@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full declared operator surface (SURVEY §2.b): each key
+  * is one operator exercised end-to-end on the testdata tables; `oracleSql`
+  * carries the equivalent DuckDB SQL where the operator is SQL-expressible
+  * (hash-family ops — MinHash/SimHash/sign-LSH — are rows-only and
+  * ground-truth-tested in ScalaTest instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val all: Seq[QueryDef] =
+    RelationalQueries.queries ++
+      AggQueries.queries ++
+      WindowQueries.queries ++
+      FunctionQueries.queries ++
+      EventQueries.queries ++
+      LlmQueries.queries ++
+      StreamingQueries.queries ++
+      ExtensionQueries.queries
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * TPC-H Q1 pricing summary (SURVEY §7.2 minimum slice). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all.find(_.name == "q1_pricing").get.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.sql.map(q.name -> _)).toMap
 }

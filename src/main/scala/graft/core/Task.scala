@@ -1,0 +1,347 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** A task: a directory + YAML spec + optional parent, forming a task tree
+  * where child specs deep-merge over parents (repype/task.py:113-215).
+  *
+  * Results are a Parquet field store (one dataset per persistent field,
+  * partitioned by `input_id`) instead of the reference's dill.gz blob
+  * (repype/task.py:514-515) — columnar, splittable, 100 TB-safe. Staleness
+  * digests (`.sha.json` / `.task.json`) and the stage×input `times.csv`
+  * follow the reference layout (repype/task.py:489-534), driving the same
+  * incremental-recompute semantics: `isPending`, first-diverging-stage
+  * detection, and ancestor pickup (repype/task.py:371-402,536-627).
+  */
+final class Task(
+    val spark: SparkSession,
+    val path: Path,
+    val spec: Map[String, Any],
+    val parent: Option[Task] = None) {
+
+  // -- spec ----------------------------------------------------------------
+
+  /** Deep-merge of the spec chain root→leaf (repype/task.py:163-167). */
+  def fullSpec: Map[String, Any] =
+    parent.map(p => Config.deepMerge(p.fullSpec, spec)).getOrElse(spec)
+
+  def runnable: Boolean = fullSpec.get("runnable") match {
+    case Some(b: Boolean) => b
+    case Some(null) | None => false
+    case Some(_) => true
+  }
+
+  def inputIds: List[InputId] =
+    InputId.decode(fullSpec.getOrElse("input_ids", Nil))
+
+  def root: Task = parent.map(_.root).getOrElse(this)
+
+  def parents: List[Task] = parent.map(p => p.parents :+ p).getOrElse(Nil)
+
+  /** Marginal stages: their outputs are stripped before persist
+    * (repype/task.py:191-212). */
+  def marginalStages: List[String] = fullSpec.get("marginal_stages") match {
+    case Some(l: Seq[_]) => l.map(String.valueOf).toList
+    case _ => Nil
+  }
+
+  // -- artifact paths (repype/task.py:217-262) -----------------------------
+  def dataPath: Path = path.resolve("data")
+  def digestTaskFilepath: Path = path.resolve(".task.json")
+  def digestShaFilepath: Path = path.resolve(".sha.json")
+  def timesFilepath: Path = path.resolve("times.csv")
+
+  def times: Benchmark = Benchmark.load(timesFilepath)
+
+  /** `{DIRNAME}`/`{ROOTDIR}` expansion, relative→task dir
+    * (repype/task.py:320-342). */
+  def resolvePath(p: String): Path = {
+    val expanded = p
+      .replace("{DIRNAME}", path.getFileName.toString)
+      .replace("{ROOTDIR}", root.path.toAbsolutePath.toString)
+    val candidate = Paths.get(expanded)
+    (if (candidate.isAbsolute) candidate else path.resolve(candidate))
+      .toAbsolutePath.normalize()
+  }
+
+  /** Hyperparameter precedence: parent config ← `base_config_path` YAML ←
+    * own `config` section (repype/task.py:287-318). */
+  def createConfig(): Config = {
+    val own = Config(spec.get("config") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    })
+    val withBase = spec.get("base_config_path") match {
+      case Some(p: String) =>
+        Config.fromYaml(Files.readString(resolvePath(p))).merge(own)
+      case _ => own
+    }
+    parent.map(_.createConfig().merge(withBase)).getOrElse(withBase)
+  }
+
+  /** Pipeline from the spec's stage-registry names + resolved scopes
+    * (repype/task.py:344-369; dynamic import replaced by [[StageRegistry]],
+    * SURVEY.md R19). */
+  def createPipeline(): Pipeline = {
+    val scopes = fullSpec.get("scopes") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> resolvePath(String.valueOf(v)).toString }
+      case _ => Map.empty[String, String]
+    }
+    fullSpec.get("pipeline") match {
+      case Some(names: Seq[_]) =>
+        Pipeline.create(spark,
+          names.map(n => StageRegistry.create(String.valueOf(n))), scopes)
+      case other => throw new IllegalArgumentException(
+        s"task $path: spec field 'pipeline' must be a list, got $other")
+    }
+  }
+
+  // -- digests / staleness -------------------------------------------------
+
+  /** Full spec with the effective config substituted in
+    * (repype/task.py:264-285). */
+  def fullSpecWithConfig(config: Config): Map[String, Any] =
+    fullSpec.updated("config", config.entries)
+
+  def computeSha(config: Config): String =
+    Json.sha1Of(fullSpecWithConfig(config))
+
+  private def digestSha: Option[Map[String, Any]] =
+    if (Files.exists(digestShaFilepath))
+      Some(Json.parseJson(Files.readString(digestShaFilepath)))
+    else None
+
+  private def digestTask: Option[Map[String, Any]] =
+    if (Files.exists(digestTaskFilepath))
+      Some(Json.parseJson(Files.readString(digestTaskFilepath)))
+    else None
+
+  /** `"incomplete" | "pipeline" | "specification" | ""`
+    * (repype/task.py:371-402). */
+  def isPending(pipeline: Pipeline, config: Config): String = {
+    if (!runnable) return ""
+    digestSha match {
+      case None => "incomplete"
+      case Some(hashes) =>
+        val stored = hashes.getOrElse("stages", Map.empty)
+          .asInstanceOf[Map[String, Any]]
+        val pipelineChanged = pipeline.stages.exists(st =>
+          !stored.get(st.id).contains(st.sha))
+        if (pipelineChanged) "pipeline"
+        else if (!hashes.get("task").contains(computeSha(config))) "specification"
+        else ""
+    }
+  }
+
+  /** First stage that is new / impl-changed / config-changed vs the stored
+    * digest (repype/task.py:536-580). */
+  def findFirstDivergingStage(pipeline: Pipeline, config: Config): Option[Stage] =
+    digestSha match {
+      case None => pipeline.stages.headOption
+      case Some(hashes) =>
+        val storedShas = hashes.getOrElse("stages", Map.empty)
+          .asInstanceOf[Map[String, Any]]
+        val storedConfig = digestTask
+          .flatMap(_.get("config")).collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
+        pipeline.stages.find { st =>
+          !storedShas.contains(st.id) ||
+            !storedShas.get(st.id).contains(st.sha) ||
+            storedConfig.getOrElse(st.id, Map.empty) !=
+              config.entries.getOrElse(st.id, Map.empty)
+        }
+    }
+
+  /** Among self + ancestors, the task with the *latest* diverging stage;
+    * no task if the best diverging stage is stage 0
+    * (repype/task.py:582-627). Returns (pickupTask, firstDivergingStage). */
+  def findPickupTask(pipeline: Pipeline, config: Config): (Option[Task], Option[Stage]) = {
+    val candidates = parents :+ this
+    val diverging = candidates.map(t => t -> t.findFirstDivergingStage(pipeline, config))
+    diverging.find(_._2.isEmpty) match {
+      case Some((t, _)) => (Some(t), None)
+      case None =>
+        val (bestTask, bestStage) = diverging.maxBy {
+          case (_, Some(st)) => pipeline.find(st.id)
+          case (_, None) => Int.MaxValue
+        }
+        if (bestStage.map(_.id) == pipeline.stages.headOption.map(_.id))
+          (None, bestStage)
+        else (Some(bestTask), bestStage)
+    }
+  }
+
+  // -- field store ---------------------------------------------------------
+
+  /** Outputs of marginal stages (repype/task.py:415-435). */
+  def marginalFields(pipeline: Pipeline): Set[String] = {
+    val marginal = marginalStages.toSet
+    pipeline.stages.filter(st => marginal.contains(st.id))
+      .flatMap(_.outputs).toSet
+  }
+
+  def stripMarginals(pipeline: Pipeline,
+                     data: Map[String, DataFrame]): Map[String, DataFrame] =
+    data -- marginalFields(pipeline)
+
+  private def fieldDir(field: String, inputId: InputId): Path =
+    dataPath.resolve(field).resolve(s"input_id=${inputId.render}")
+
+  /** Persist the task data: Parquet per persistent field × input (columnar
+    * replacement for dill.gz, repype/task.py:489-534), plus digests and
+    * times.csv. */
+  def store(pipeline: Pipeline, data: Map[InputId, Map[String, DataFrame]],
+            config: Config, times: Benchmark): Unit = {
+    require(runnable, "not runnable")
+    require(data.keySet == inputIds.toSet,
+      s"data inputs ${data.keySet} != spec inputs ${inputIds.toSet}")
+    for ((inputId, fields) <- data;
+         (field, df) <- stripMarginals(pipeline, fields) if field != "input_id")
+      df.write.mode("overwrite").parquet(fieldDir(field, inputId).toString)
+    Files.writeString(digestTaskFilepath,
+      Json.canonical(fullSpecWithConfig(config)))
+    val hashes = Map(
+      "stages" -> pipeline.stages.map(st => st.id -> st.sha).toMap,
+      "task" -> computeSha(config))
+    Files.writeString(digestShaFilepath, Json.canonical(hashes))
+    times.retain(pipeline.stages.map(_.id), inputIds)
+    times.save()
+  }
+
+  /** Load the stored task data; validates input-id and field sets vs the
+    * pipeline (repype/task.py:437-471). */
+  def load(pipeline: Option[Pipeline] = None): Map[InputId, Map[String, DataFrame]] = {
+    require(runnable, "not runnable")
+    require(Files.exists(dataPath) || inputIds.isEmpty || pipeline.isEmpty
+      || requiredFields(pipeline.get).isEmpty, s"no stored data at $dataPath")
+    val fields: Set[String] = pipeline match {
+      case Some(p) => requiredFields(p)
+      case None =>
+        if (!Files.exists(dataPath)) Set.empty
+        else Files.list(dataPath).iterator().asScala
+          .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    }
+    pipeline.foreach { _ =>
+      val stored =
+        if (!Files.exists(dataPath)) Set.empty
+        else Files.list(dataPath).iterator().asScala
+          .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+      require(stored == fields,
+        s"Loaded data is inconsistent with the pipeline: $stored != $fields")
+    }
+    inputIds.map { id =>
+      id -> fields.map { f =>
+        val dir = fieldDir(f, id)
+        require(Files.exists(dir),
+          s"Loaded data is inconsistent with task specification: missing $dir")
+        f -> spark.read.parquet(dir.toString)
+      }.toMap
+    }.toMap
+  }
+
+  private def requiredFields(pipeline: Pipeline): Set[String] =
+    pipeline.persistentFields - "input_id" -- marginalFields(pipeline)
+
+  /** Delete digests + data (repype/task.py:404-413). */
+  def reset(): Unit = {
+    Files.deleteIfExists(digestShaFilepath)
+    Files.deleteIfExists(digestTaskFilepath)
+    Files.deleteIfExists(timesFilepath)
+    if (Files.exists(dataPath)) {
+      Files.walk(dataPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  // -- run (repype/task.py:629-732) ----------------------------------------
+
+  def run(config: Config,
+          pipelineOpt: Option[Pipeline] = None,
+          pickup: Boolean = true,
+          stripMarginalsFlag: Boolean = true,
+          status: Option[Status] = None): Map[InputId, Map[String, DataFrame]] = {
+    require(runnable, "Task is not runnable")
+    val pipeline = pipelineOpt.getOrElse(createPipeline())
+
+    val (pickupTask, firstDiverging) =
+      if (pickup) findPickupTask(pipeline, config) else (None, pipeline.stages.headOption)
+    var data: Map[InputId, Map[String, DataFrame]] = Map.empty
+    val times = new Benchmark(timesFilepath)
+    val doPickup = pickupTask.isDefined
+    if (doPickup) {
+      data = pickupTask.get.load(Some(pipeline))
+      times.setAll(pickupTask.get.times)
+    }
+    val firstStage = if (doPickup) firstDiverging else None
+
+    status.foreach(_.update(Map(
+      "info" -> "start",
+      "task" -> path.toAbsolutePath.toString,
+      "pickup" -> pickupTask.map(_.path.toAbsolutePath.toString).orNull,
+      "first_stage" -> firstStage.map(_.id).orNull)))
+
+    // Nothing to do if picking up a fully-valid result
+    if (!doPickup || firstStage.isDefined) {
+      val ids = inputIds
+      for ((inputId, idx) <- ids.zipWithIndex) {
+        val inputStatus = status.map(_.derive())
+        inputStatus.foreach(_.update(Map(
+          "info" -> "process", "task" -> path.toAbsolutePath.toString,
+          "input_id" -> inputId.render,
+          "step" -> idx.toLong, "step_count" -> ids.length.toLong)))
+        val inputConfig = pipeline.configure(config, inputId)
+        val chunk = data.getOrElse(inputId, Map.empty)
+        val (newChunk, finalConfig, timesChunk) = pipeline.process(
+          inputId, inputConfig,
+          firstStage = firstStage.map(_.id),
+          data = chunk, status = inputStatus)
+        val stripped =
+          if (stripMarginalsFlag) stripMarginals(pipeline, newChunk) else newChunk
+        timesChunk.foreach { case (stageId, dt) => times.set(stageId, inputId, dt) }
+        pipeline.resolve("config", inputId).foreach { p =>
+          Option(p.getParent).foreach(Files.createDirectories(_))
+          Files.writeString(p, finalConfig.yaml)
+        }
+        data += (inputId -> stripped)
+      }
+    }
+
+    status.foreach(_.update(Map("info" -> "storing"), intermediate = true))
+    store(pipeline, data, config, times)
+    status.foreach(_.update(Map(
+      "info" -> "completed", "task" -> path.toAbsolutePath.toString)))
+    data
+  }
+
+  override def toString: String = s"""<Task "$path">"""
+}
+
+/** Registry of stage factories — the offline replacement for the
+  * reference's dotted-path dynamic imports (repype/task.py:98-114). */
+object StageRegistry {
+  private val factories =
+    scala.collection.concurrent.TrieMap.empty[String, () => Stage]
+
+  def register(name: String, factory: () => Stage): Unit =
+    factories(name) = factory
+
+  def create(name: String): Stage =
+    factories.get(name) match {
+      case Some(f) => f()
+      case None =>
+        // reflection fallback for fully-qualified class names
+        try Class.forName(name).getDeclaredConstructor().newInstance()
+          .asInstanceOf[Stage]
+        catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"Unknown stage: $name (not registered, not a class)")
+        }
+    }
+
+  def registered: Set[String] = factories.keySet.toSet
+}

@@ -1,0 +1,167 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Scale design (100 TB): every signature (MinHash, SimHash) is computed
+  * per-row with codegen'd higher-order functions — zero shuffle until the
+  * candidate-generation step, which is an inverted-index / band-bucket
+  * equi-join (shuffles only doc_id + signature, never text). No cross joins,
+  * no driver-side collection. Candidate verification joins back by doc_id.
+  *
+  * Reference anchor: repype's stages transform opaque per-input blobs
+  * (`repype/stage.py:324-351`); these are the built-in corpus-hygiene stages
+  * an LLM-data user of the reference would hand-write.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per distinct text, keyed by the
+    * canonical (minimum) doc_id, with the duplicate count.
+    * Single hash-aggregate: map-side partial min/count then one shuffle on
+    * the 128-bit digest — the standard exact-dedup shape at any scale.
+    */
+  def exact(documents: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    documents
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
+      .select(col(idCol), col("dup_cnt"))
+
+  /** Word-shingle (unigram-set) Jaccard similarity pairs ≥ `minJaccard`.
+    *
+    * Exact-set formulation via an inverted index: distinct tokens per doc →
+    * token-keyed self-join yields intersection counts only for docs sharing
+    * ≥1 token (never a cross join); sizes join back broadcast-style. At
+    * 100 TB the hot-token skew is the risk — mitigated by dropping tokens
+    * whose document frequency exceeds `maxDocFreq` (a stopword in dedup
+    * terms: it contributes candidates but almost no Jaccard discrimination).
+    */
+  def ngramJaccardPairs(documents: DataFrame, minJaccard: Double,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val tok = documents
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val filtered =
+      if (maxDocFreq == Long.MaxValue) tok
+      else {
+        val hot = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("w"))
+        tok.join(broadcast(hot), Seq("w"), "left_anti")
+      }
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = filtered.select(col("doc_id").as("d1"), col("w"))
+    val b = filtered.select(col("doc_id").as("d2"), col("w"))
+    val inter = a.join(b, a("w") === b("w") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Deterministic affine MinHash family over 64-bit shingle hashes.
+    * h_j(x) = (a_j * x + b_j) mod 2^61-1, constants from a fixed seed.
+    */
+  private[llm] def hashParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    // 31-bit constants: with the shingle hash reduced to 31 bits the affine
+    // form a*h+b stays < 2^62 — no Long overflow, which matters because
+    // Spark 4 runs in ANSI mode (overflow throws) by default.
+    Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private val Mod31 = (1L << 31) - 1
+
+  /** Per-row MinHash signature column: char-`shingleSize` shingles →
+    * xxhash64 → min over the affine family. Entirely codegen'd expression
+    * work — no explode, no shuffle; cost O(shingles × numHashes) per row.
+    */
+  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
+    val shingleHashes = transform(
+      sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1))),
+      i => pmod(xxhash64(textCol.substr(i, lit(shingleSize))), lit(Mod31)))
+    val params = hashParams(numHashes)
+    array(params.map { case (a, b) =>
+      array_min(transform(shingleHashes,
+        h => pmod(h * lit(a) + lit(b), lit(Mod31))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding near-dup: signatures → band buckets → bucket
+    * equi-join for candidates → signature-overlap Jaccard estimate.
+    * `numHashes = bands * rowsPerBand`; a pair lands in a candidate bucket
+    * iff some band of the signature matches exactly.
+    */
+  def minhashLsh(documents: DataFrame, numHashes: Int, bands: Int,
+                 shingleSize: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sigs = documents
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"),
+      col("sig").as("sig1"))
+    val rg = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"),
+      col("sig").as("sig2"))
+    l.join(rg, Seq("band", "bucket")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1)),
+          c => c.isNotNull)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens + banded hamming-distance candidates.
+    * Signature is a per-row aggregate over token hashes (codegen'd, no
+    * shuffle); candidate pairs share at least one of 8 8-bit blocks
+    * (guaranteed complete for hamming ≤ 7; approximate above that).
+    */
+  def simhashSignature(textCol: Column): Column = {
+    val tokenHashes = transform(split(textCol, " "), w => xxhash64(w))
+    // 64 counters: +1 if bit set else -1, summed over tokens; sign → bit.
+    val counts = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (a, d) => a + d))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  def simhash(documents: DataFrame, maxHamming: Int,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = documents
+      .select(col(idCol).as("doc_id"), simhashSignature(col(textCol)).as("sim"))
+      .cache()
+    val blocked = sigs.select(col("doc_id"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => call_function("shiftright", col("sim"), b * lit(8)).bitwiseAND(255))))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "block_val")
+    val l = blocked.select(col("block"), col("block_val"),
+      col("doc_id").as("d1"), col("sim").as("sim1"))
+    val rg = blocked.select(col("block"), col("block_val"),
+      col("doc_id").as("d2"), col("sim").as("sim2"))
+    l.join(rg, Seq("block", "block_val")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: quality statistics, token counting, language
+  * identification (n-gram/stopword heuristic), and document fingerprinting.
+  * All per-row, codegen'd builtin expressions — embarrassingly parallel,
+  * no shuffles beyond what the caller adds.
+  */
+object TextAnalysis {
+
+  /** Quality statistics per document: char/token counts, distinct tokens,
+    * avg token length (chars-per-token incl. separators), stopword ratio.
+    */
+  def stats(documents: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id",
+            stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    documents.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round(length(col(textCol)) * lit(1.0) / size(toks), 4).as("avg_token_len"),
+      round(size(filter(toks, w => array_contains(stopArr, w))) * lit(1.0)
+        / size(toks), 4).as("stopword_ratio"))
+  }
+
+  /** Regex token counts (BPE-ish pre-tokenizer shape: word runs + digit
+    * runs counted separately). */
+  def tokenCounts(documents: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    documents.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0))).as("n_word_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0))).as("n_num_tokens"))
+
+  /** Tiny built-in stopword profiles for the language-ID heuristic.
+    * Deliberately deterministic and dependency-free: score(lang) =
+    * Σ_token [token ∈ profile(lang)]; argmax wins, 'en' on ties.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"),
+  )
+
+  /** Language-ID: stopword-profile vote over word tokens. Returns the input
+    * plus `pred_lang` and the per-language score it won with. */
+  def languageId(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    def score(profile: Seq[String]): Column = {
+      val arr = array(profile.map(lit): _*)
+      size(filter(toks, w => array_contains(arr, w)))
+    }
+    // argmax via a sorted struct array: highest score first, stable
+    // alphabetical tie-break on language code.
+    val scored = array(langProfiles.map { case (lang, profile) =>
+      struct((-score(profile)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    documents
+      .withColumn("pred_lang", sort_array(scored).getItem(0).getField("lang"))
+      .withColumn("pred_score", -sort_array(scored).getItem(0).getField("neg"))
+  }
+
+  /** Karp-Rabin polynomial rolling hash of the normalized text (lowercased,
+    * whitespace collapsed): h = Σ c_i · 257^i mod 1e9+7, folded left so the
+    * accumulator stays < 2^62 (ANSI-safe). */
+  def fingerprint(documents: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val normalized = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val chars = split(normalized, "")
+    documents.select(
+      col(idCol).as("doc_id"),
+      aggregate(chars, lit(0L),
+        (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(1000000007L)))
+        .as("fingerprint"),
+      length(normalized).as("n_chars_norm"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Aggregations (hash agg, count-distinct, rollup/cube/grouping-sets,
+  * collect_list/set, stats, percentiles) and window functions.
+  *
+  * All double-valued aggregates are rounded on both sides; Catalyst plans
+  * these as partial→final HashAggregate automatically (map-side combine),
+  * which is the 100 TB-safe shape: no driver-side collection anywhere.
+  */
+object AggQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Flagship: TPC-H Q1 pricing summary (SURVEY §7.2 minimum slice).
+    QueryDef(
+      "q1_pricing",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef(
+      "q_count_distinct",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+             |       count(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // HLL sketch: implementations differ across engines → rows-only check.
+    QueryDef(
+      "q_approx_distinct",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+          .orderBy(col("o_orderstatus"))
+      },
+      None),
+
+    QueryDef(
+      "q_rollup",
+      (s, dir) => {
+        val nation = load(s, dir, "nation")
+        val region = load(s, dir, "region")
+        val customer = load(s, dir, "customer")
+        customer
+          .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "q_cube",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "q_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                |       grouping(o_orderstatus) AS g_status,
+                |       grouping(o_orderpriority) AS g_prio
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY g_status, g_prio,
+                |         o_orderstatus ASC NULLS FIRST,
+                |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       grouping(o_orderstatus) AS g_status,
+             |       grouping(o_orderpriority) AS g_prio
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY g_status, g_prio,
+             |         o_orderstatus ASC NULLS FIRST,
+             |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // collect_list/collect_set: serialized to a canonical sorted CSV string
+    // so the oracle compare is representation-independent.
+    QueryDef(
+      "q_collect_list",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .groupBy(col("l_orderkey"))
+          .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+              .as("linenumbers"),
+            array_join(sort_array(collect_set(col("l_returnflag"))), ",")
+              .as("flags"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey,
+             |  array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+             |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+             |FROM lineitem WHERE l_orderkey < 200
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_stats",
+      (s, dir) => {
+        load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(avg(col("value")), 3).as("avg_v"),
+            round(stddev_samp(col("value")), 3).as("std_v"),
+            round(var_samp(col("value")), 3).as("var_v"),
+            round(min(col("value")), 3).as("min_v"),
+            round(max(col("value")), 3).as("max_v"),
+            round(corr(col("value"), col("user_id").cast("double")), 3).as("corr_vu"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  round(avg(value), 3) AS avg_v,
+             |  round(stddev_samp(value), 3) AS std_v,
+             |  round(var_samp(value), 3) AS var_v,
+             |  round(min(value), 3) AS min_v,
+             |  round(max(value), 3) AS max_v,
+             |  round(corr(value, CAST(user_id AS DOUBLE)), 3) AS corr_vu
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Exact interpolated percentile (Spark `percentile` == DuckDB
+    // `quantile_cont`); approx_percentile is covered rows-only elsewhere.
+    QueryDef(
+      "q_percentile",
+      (s, dir) => {
+        load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 3).as("p50"),
+            round(expr("percentile(value, 0.9)"), 3).as("p90"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 3) AS p50,
+             |  round(quantile_cont(value, 0.9), 3) AS p90
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}

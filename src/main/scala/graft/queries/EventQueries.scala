@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table: tumbling/sliding window
+  * aggregation (batch shape of the Structured Streaming operators in
+  * `graft.streaming`), session windows, and an as-of join.
+  *
+  * `events.ts` is nanosecond parquet → Spark truncates to µs, so outputs
+  * only emit truncated timestamps (window starts, second-truncations).
+  */
+object EventQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_events_tumbling",
+      (s, dir) => {
+        load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+          .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_v"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  count(*) AS cnt, round(sum(value), 2) AS sum_v
+             |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
+    // Sliding 1h window every 30min: each event lands in 2 windows; the SQL
+    // equivalent materializes both via time_bucket and a shifted copy.
+    QueryDef(
+      "q_events_sliding",
+      (s, dir) => {
+        load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("w.start").as("ws"), col("cnt"))
+          .orderBy(col("ws"))
+      },
+      Some("""SELECT ws, count(*) AS cnt FROM (
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+             |GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // Session windows (5-minute gap) per user — batch session_window; the
+    // SQL oracle reconstructs sessions via gaps-and-islands. A new session
+    // starts when the gap is >= 5 min (Spark session end is exclusive).
+    QueryDef(
+      "q_events_session",
+      (s, dir) => {
+        load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
+          .select(col("user_id"),
+            date_trunc("second", col("w.start")).as("session_start"),
+            col("n_events"), col("sum_v"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL '5 minutes'
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM d)
+             |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+             |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // As-of join: for each purchase event, the most recent click of the same
+    // user strictly before it. Implemented the scalable way — a single
+    // union + one window pass (last click carried forward), NOT a per-row
+    // range join: O(n log n) per user vs O(n²), and it shuffles once by
+    // user_id. The oracle does the quadratic formulation (fine for DuckDB
+    // at this scale).
+    QueryDef(
+      "q_asof_join",
+      (s, dir) => {
+        val events = load(s, dir, "events")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            lit(0).as("is_probe"), lit(null).cast("long").as("probe_id"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(null).cast("timestamp").as("click_ts"),
+            lit(1).as("is_probe"), col("event_id").as("probe_id"))
+        // Order clicks before purchases at identical ts? No: "strictly
+        // before" → at equal ts the click must NOT match, so probes sort
+        // first (is_probe desc) at ties.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        clicks.unionByName(purchases)
+          .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("probe_id").as("event_id"),
+            date_trunc("second", col("asof_click")).as("prev_click_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id,
+             |  date_trunc('second', max(c.ts)) AS prev_click_s
+             |FROM events p
+             |LEFT JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
+    // Gap/delta analysis: time since previous event per user (any type).
+    QueryDef(
+      "q_events_gaps",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(s, dir, "events")
+          .withColumn("gap_s",
+            (col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double")))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("gap_s")), 1).as("avg_gap_s"),
+            round(max(col("gap_s")), 1).as("max_gap_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |    CAST(epoch(ts) AS DOUBLE)
+             |      - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE)
+             |      AS gap_s
+             |  FROM events)
+             |SELECT user_id, count(*) AS n,
+             |  round(avg(gap_s), 1) AS avg_gap_s,
+             |  round(max(gap_s), 1) AS max_gap_s
+             |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}

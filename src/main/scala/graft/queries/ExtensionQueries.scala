@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Udafs
+import graft.llm.Multimodal
+
+/** The extension surface (SURVEY.md §2.b "UDF / UDAF / UDTF" + multimodal):
+  * typed Aggregator UDAFs, a scalar-UDF stage shape, and the multimodal
+  * binary-column pipeline (decode stubbed, plumbing real).
+  */
+object ExtensionQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Typed Aggregator UDAF (partial→final, map-side combine).
+    QueryDef(
+      "q_udaf_geomean",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(round(Udafs.geoMean(col("o_totalprice")), 2).as("geo_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
+             |  count(*) AS n
+             |FROM orders WHERE o_totalprice > 0
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q_udaf_weighted_mean",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(Udafs.weightedMean(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("wavg_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Scalar UDF escape hatch (repype's arbitrary per-row process): a
+    // Luhn-like digit checksum no builtin covers; oracle reproduces it in
+    // SQL, proving the UDF surface is value-correct.
+    QueryDef(
+      "q_udf_scalar",
+      (s, dir) => {
+        val digitSum = udf { k: Long =>
+          var (n, acc) = (k, 0L)
+          while (n > 0) { acc += n % 10; n /= 10 }
+          acc
+        }
+        load(s, dir, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), digitSum(col("o_orderkey")).as("digit_sum"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH RECURSIVE ds(k, n, acc) AS (
+             |  SELECT o_orderkey, o_orderkey, 0::BIGINT FROM orders WHERE o_orderkey < 2000
+             |  UNION ALL
+             |  SELECT k, n // 10, acc + n % 10 FROM ds WHERE n > 0)
+             |SELECT k AS o_orderkey, max(acc) AS digit_sum FROM ds GROUP BY k
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Multimodal: synthetic media (binary + typed metadata) → stubbed
+    // decode → per-media features, partition-local. Rows-only (the media
+    // table is engine-synthesized; ground truth in MultimodalSpec).
+    QueryDef(
+      "q_multimodal_features",
+      (s, _) => Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 256))
+        .orderBy(col("media_id")),
+      None),
+
+    QueryDef(
+      "q_multimodal_frames",
+      (s, _) => {
+        val media = Multimodal.syntheticMedia(s, 64)
+        Multimodal.sampleFrames(media, stride = 4)
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      None),
+  )
+}

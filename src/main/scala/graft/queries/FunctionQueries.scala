@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families (SURVEY §2.b): string, date/time, math,
+  * conditional, array, map/JSON, cast. All codegen'd builtins — no UDFs.
+  */
+object FunctionQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_string_funcs",
+      (s, dir) => {
+        load(s, dir, "part")
+          .filter(col("p_partkey") < 500)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            lower(col("p_brand")).as("lbrand"),
+            substring(col("p_name"), 1, 4).as("prefix"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            trim(col("p_name")).as("tname"),
+            size(split(col("p_name"), " ")).as("n_words"),
+            regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+            col("p_type").like("%ECO%").as("is_eco"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS uname,
+             |  lower(p_brand) AS lbrand,
+             |  substring(p_name, 1, 4) AS prefix,
+             |  length(p_name) AS name_len,
+             |  concat_ws('-', p_brand, p_type) AS brand_type,
+             |  trim(p_name) AS tname,
+             |  len(string_split(p_name, ' ')) AS n_words,
+             |  coalesce(regexp_extract(p_brand, '[0-9]+', 0), '') AS brand_num,
+             |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             |  p_type LIKE '%ECO%' AS is_eco
+             |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
+      "q_date_funcs",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("d"),
+            // DuckDB date_trunc returns DATE at day-or-coarser precision —
+            // cast to match, or the oracle compare type-mismatches
+            date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+            date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+            datediff(lit("1998-01-01").cast(DateType),
+              col("o_orderdate").cast(DateType)).as("days_to_98"),
+            col("o_orderdate").cast(DateType).as("odate"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(day(o_orderdate) AS INT) AS d,
+             |  date_trunc('month', o_orderdate) AS month_start,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+             |  CAST(o_orderdate AS DATE) AS odate
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_math_funcs",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 300)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 1).as("r1"),
+            abs(col("l_discount") - lit(0.05)).as("absd"),
+            floor(col("l_quantity")).as("flr"),
+            ceil(col("l_quantity")).as("cl"),
+            round(pow(col("l_quantity"), 2), 2).as("sq"),
+            round(log(col("l_extendedprice")), 4).as("lnp"),
+            round(log10(col("l_extendedprice")), 4).as("log10p"),
+            round(sqrt(col("l_quantity")), 4).as("sqrtq"))
+          // no unique key on lineitem rows → total order over output columns
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("r1"), col("absd"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice, 1) AS r1,
+             |  abs(l_discount - 0.05) AS absd,
+             |  floor(l_quantity) AS flr,
+             |  ceil(l_quantity) AS cl,
+             |  round(pow(l_quantity, 2), 2) AS sq,
+             |  round(ln(l_extendedprice), 4) AS lnp,
+             |  round(log10(l_extendedprice), 4) AS log10p,
+             |  round(sqrt(l_quantity), 4) AS sqrtq
+             |FROM lineitem WHERE l_orderkey < 300
+             |ORDER BY l_orderkey, l_linenumber, r1, absd""".stripMargin)),
+
+    QueryDef(
+      "q_cond_funcs",
+      (s, dir) => {
+        load(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            when(col("c_acctbal") > 5000, "high")
+              .when(col("c_acctbal") > 0, "mid")
+              .otherwise("low").as("bal_class"),
+            coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("NONE"))
+              .as("seg_or_none"),
+            greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+            least(col("c_acctbal"), lit(1000.0)).as("capped_bal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal > 5000 THEN 'high'
+             |       WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS bal_class,
+             |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'NONE') AS seg_or_none,
+             |  greatest(c_acctbal, 0.0) AS pos_bal,
+             |  least(c_acctbal, 1000.0) AS capped_bal
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // JSON: props is a JSON string {"k": <int>} — parse both ways
+    // (from_json with schema, and direct path extraction).
+    QueryDef(
+      "q_json_funcs",
+      (s, dir) => {
+        load(s, dir, "events")
+          .withColumn("k1",
+            from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+              .getField("k"))
+          .withColumn("k2", get_json_object(col("props"), "$.k").cast(IntegerType))
+          .groupBy((col("k1") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("k1") === col("k2"), 1).otherwise(0)).as("n_consistent"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+             |  count(*) AS cnt, count(*) AS n_consistent
+             |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
+
+    // Decimal exactness: money math in DECIMAL(18,2) on both sides.
+    QueryDef(
+      "q_cast_decimal",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .select(col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("price_dec")).cast(DecimalType(24, 2)).as("total"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS total,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Array functions over the embeddings table (64-dim float vectors):
+    // size/slice/element access, and vector math via transform+aggregate —
+    // the sequential fold keeps float summation order identical to DuckDB's
+    // list_sum, so values match exactly before rounding.
+    QueryDef(
+      "q_array_funcs",
+      (s, dir) => {
+        load(s, dir, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(element_at(col("embedding"), 1).cast(DoubleType), 5).as("first_el"),
+            round(expr(
+              "aggregate(slice(embedding, 1, 8), 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"),
+              5).as("head_sum"),
+            round(sqrt(expr(
+              "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")),
+              5).as("l2_norm"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  len(embedding) AS dim,
+             |  round(CAST(embedding[1] AS DOUBLE), 5) AS first_el,
+             |  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 5) AS head_sum,
+             |  round(sqrt(list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2_norm
+             |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)),
+
+    QueryDef(
+      "q_explode",
+      (s, dir) => {
+        load(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("word"))
+      },
+      Some("""SELECT word, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
+    QueryDef(
+      "q_posexplode",
+      (s, dir) => {
+        load(s, dir, "part")
+          .filter(col("p_partkey") < 20)
+          .select(col("p_partkey"),
+            posexplode(split(col("p_name"), " ")))
+          .withColumnRenamed("pos", "word_pos")
+          .withColumnRenamed("col", "word")
+          .orderBy(col("p_partkey"), col("word_pos"))
+      },
+      Some("""SELECT p_partkey, CAST(pos - 1 AS INT) AS word_pos, word
+             |FROM (SELECT p_partkey,
+             |        unnest(string_split(p_name, ' ')) AS word,
+             |        generate_subscripts(string_split(p_name, ' '), 1) AS pos
+             |      FROM part WHERE p_partkey < 20)
+             |ORDER BY p_partkey, word_pos""".stripMargin)),
+  )
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (language-ID, quality score, token counts, fingerprint).
+  *
+  * SQL-expressible ops carry a DuckDB oracle; hash-family-dependent ops
+  * (MinHash/SimHash/LSH) are rows-only here and covered by ScalaTest
+  * ground-truth specs instead (the hash families can't be replicated in
+  * portable SQL).
+  */
+object LlmQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Exact dedup: canonical representative (min doc_id) per text hash.
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) => Dedup.exact(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Word-shingle Jaccard near-dup, exact set formulation (SQL-checkable):
+    // tokens → distinct-word inverted index → pair intersection counts →
+    // Jaccard. Restricted to doc_id < 120 to bound the oracle's pair count.
+    QueryDef(
+      "q_dedup_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+          load(s, dir, "documents").filter(col("doc_id") < 120), minJaccard = 0.8)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents WHERE doc_id < 120),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+             |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2,
+             |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = d1
+             |JOIN sz sb ON sb.doc_id = d2
+             |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // MinHash+LSH near-dup: deterministic affine hash family; rows-only
+    // (hash family not expressible in portable SQL) — ground truth in
+    // DedupSpec. Output: candidate pairs with estimated Jaccard.
+    QueryDef(
+      "q_dedup_minhash",
+      (s, dir) => Dedup.minhashLsh(load(s, dir, "documents"),
+          numHashes = 64, bands = 16, shingleSize = 5)
+        .orderBy(col("d1"), col("d2")),
+      None),
+
+    // SimHash near-dup: 64-bit simhash + hamming-distance candidates.
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) => Dedup.simhash(load(s, dir, "documents"), maxHamming = 8)
+        .orderBy(col("d1"), col("d2")),
+      None),
+
+    // Embedding cosine near-dup: top-20 most similar pairs (always
+    // non-empty, unlike a fixed threshold on synthetic data).
+    QueryDef(
+      "q_dedup_embedding",
+      (s, dir) => Similarity.topPairs(load(s, dir, "embeddings"), k = 20)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH sims AS (
+             |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |    list_dot_product(
+             |        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |top AS (SELECT * FROM sims ORDER BY cos_sim DESC, d1, d2 LIMIT 20)
+             |SELECT d1, d2, round(cos_sim, 4) AS cos_sim FROM top
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // Brute-force cosine top-k: for each query vector (vec_id < 10), the
+    // 5 nearest neighbours among all vectors.
+    QueryDef(
+      "q_sim_topk",
+      (s, dir) => Similarity.bruteForceTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_dot_product(
+             |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT query_id, cand_id, cos_sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_sim DESC, cand_id) AS rk
+             |  FROM sims)
+             |SELECT query_id, rk, cand_id, round(cos_sim, 4) AS cos_sim
+             |FROM ranked WHERE rk <= 5
+             |ORDER BY query_id, rk""".stripMargin)),
+
+    // LSH-bucketed ANN (random-hyperplane signatures → per-bucket exact):
+    // the 100 TB scale path; rows-only (recall measured in SimilaritySpec).
+    QueryDef(
+      "q_sim_ann_lsh",
+      (s, dir) => Similarity.lshTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 5, planes = 8, tables = 4)
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
+    // Text quality statistics (SQL-checkable).
+    QueryDef(
+      "q_text_stats",
+      (s, dir) => TextAnalysis.stats(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  length(text) AS n_chars,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             |  round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len,
+             |  round(len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('the', 'a'))) * 1.0
+             |    / len(string_split(text, ' ')), 4) AS stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Regex token counting (BPE-ish pre-tokenizer shape).
+    QueryDef(
+      "q_token_count",
+      (s, dir) => TextAnalysis.tokenCounts(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+             |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic + doc fingerprint: rows-only (hash/profile
+    // internals not portable); accuracy asserted in TextAnalysisSpec.
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => TextAnalysis.languageId(load(s, dir, "documents"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang")),
+      None),
+
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      None),
+  )
+}

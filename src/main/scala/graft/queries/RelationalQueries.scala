@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, projection/filter, distinct, joins, set ops, sort/limit/top-k.
+  *
+  * Reference anchor: repype has no relational operators — all transforms live
+  * in user `Stage.process` bodies (`repype/stage.py:324-351`); this module is
+  * the built-in operator surface per SURVEY.md §2.b, each a thin declarative
+  * DataFrame plan so Catalyst handles pushdown/pruning/join selection.
+  */
+object RelationalQueries {
+  import Tables.load
+
+  private def tmpDir(sub: String): String = {
+    val d = s"/root/repo/target/tmp/$sub"
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- sources / sinks -------------------------------------------------
+    QueryDef(
+      "q_scan_project",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+        // order by every output column for a deterministic total order.
+        load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    // CSV scan: write the (tiny) region table to CSV, read it back with a
+    // pinned schema; oracle is the original parquet → verifies lossless scan.
+    QueryDef(
+      "q_scan_csv",
+      (s, dir) => {
+        val region = load(s, dir, "region")
+        val out = tmpDir("csv_region")
+        region.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").schema(region.schema).csv(out)
+          .orderBy(col("r_regionkey"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    QueryDef(
+      "q_scan_json",
+      (s, dir) => {
+        val nation = load(s, dir, "nation")
+        val out = tmpDir("json_nation")
+        nation.coalesce(1).write.mode("overwrite").json(out)
+        s.read.schema(nation.schema).json(out).orderBy(col("n_nationkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // ---- projection / filter / predicates --------------------------------
+    QueryDef(
+      "q_filter_pred",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .filter(col("l_shipdate").between("1997-01-01", "1997-12-31")
+            && col("l_returnflag").isin("A", "R")
+            && col("l_quantity") > 30)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+             |  AND l_returnflag IN ('A','R') AND l_quantity > 30
+             |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin)),
+
+    QueryDef(
+      "q_filter_like_null",
+      (s, dir) => {
+        load(s, dir, "customer")
+          .filter(col("c_name").like("Customer#00000011%")
+            || (col("c_acctbal").isNotNull && col("c_acctbal") < -900))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_name LIKE 'Customer#00000011%'
+             |   OR (c_acctbal IS NOT NULL AND c_acctbal < -900)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_distinct",
+      (s, dir) => {
+        load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- joins -----------------------------------------------------------
+    QueryDef(
+      "q_join_inner",
+      (s, dir) => {
+        val orders = load(s, dir, "orders")
+        val customer = load(s, dir, "customer")
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // TPC-H Q5 shape: 5-way join; dims are broadcast so the only shuffle is
+    // the lineitem⨝orders sort-merge/hash on orderkey + the final group-by.
+    QueryDef(
+      "q_join_multi",
+      (s, dir) => {
+        val lineitem = load(s, dir, "lineitem")
+        val orders = load(s, dir, "orders")
+        val customer = load(s, dir, "customer")
+        val nation = load(s, dir, "nation")
+        val region = load(s, dir, "region")
+        lineitem
+          .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+          .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+          .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef(
+      "q_join_left",
+      (s, dir) => {
+        val customer = load(s, dir, "customer")
+        val orders = load(s, dir, "orders")
+        customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_right",
+      (s, dir) => {
+        val orders = load(s, dir, "orders")
+        val customer = load(s, dir, "customer")
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"), "right_outer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            countDistinct(col("c_custkey")).as("n_cust"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+             |       count(DISTINCT c_custkey) AS n_cust
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "q_join_full",
+      (s, dir) => {
+        val left = load(s, dir, "customer").filter(col("c_custkey") < 500)
+          .select(col("c_custkey"))
+        val right = load(s, dir, "orders").filter(col("o_custkey") >= 300)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        left.join(right, left("c_custkey") === right("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            col("c_custkey").isNotNull.as("has_cust"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS k,
+             |       c_custkey IS NOT NULL AS has_cust,
+             |       coalesce(n_orders, 0) AS n_orders
+             |FROM (SELECT c_custkey FROM customer WHERE c_custkey < 500) l
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+             |                 FROM orders WHERE o_custkey >= 300
+             |                 GROUP BY o_custkey) r
+             |ON l.c_custkey = r.o_custkey
+             |ORDER BY k""".stripMargin)),
+
+    QueryDef(
+      "q_join_semi",
+      (s, dir) => {
+        val customer = load(s, dir, "customer")
+        val orders = load(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_anti",
+      (s, dir) => {
+        val customer = load(s, dir, "customer")
+        val orders = load(s, dir, "orders")
+        customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Explicit broadcast of the dimension side (SURVEY §2.b Joins).
+    QueryDef(
+      "q_join_broadcast",
+      (s, dir) => {
+        val customer = load(s, dir, "customer")
+        val nation = load(s, dir, "nation")
+        customer.join(broadcast(nation),
+            customer("c_nationkey") === nation("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            round(avg(col("c_acctbal")), 2).as("avg_bal"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Theta (non-equi) join → BroadcastNestedLoopJoin on the tiny side.
+    QueryDef(
+      "q_join_theta",
+      (s, dir) => {
+        val region = load(s, dir, "region")
+        val nation = load(s, dir, "nation")
+        region.join(nation, region("r_regionkey") < nation("n_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations_above"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_nations_above
+             |FROM region JOIN nation ON r_regionkey < n_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef(
+      "q_join_cross",
+      (s, dir) => {
+        val r1 = load(s, dir, "region").select(col("r_name").as("r1"))
+        val r2 = load(s, dir, "region").select(col("r_name").as("r2"))
+        r1.crossJoin(r2).orderBy(col("r1"), col("r2"))
+      },
+      Some("""SELECT a.r_name AS r1, b.r_name AS r2
+             |FROM region a CROSS JOIN region b ORDER BY r1, r2""".stripMargin)),
+
+    // Interval/point-in-range join: price bands (broadcast) × orders.
+    QueryDef(
+      "q_join_range",
+      (s, dir) => {
+        val bands = s.createDataFrame(Seq(
+          ("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+          ("high", 300000.0, 1e9))).toDF("band", "lo", "hi")
+        val orders = load(s, dir, "orders")
+        orders.join(broadcast(bands),
+            orders("o_totalprice") >= bands("lo") && orders("o_totalprice") < bands("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, count(*) AS n_orders
+             |FROM orders JOIN (VALUES ('low', 0.0, 100000.0),
+             |                         ('mid', 100000.0, 300000.0),
+             |                         ('high', 300000.0, 1e9)) AS bands(band, lo, hi)
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // ---- sort / limit / top-k -------------------------------------------
+    QueryDef(
+      "q_sort_multikey",
+      (s, dir) => {
+        load(s, dir, "supplier")
+          .orderBy(col("s_nationkey").asc_nulls_first, col("s_acctbal").desc,
+            col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      },
+      Some("""SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+             |ORDER BY s_nationkey ASC NULLS FIRST, s_acctbal DESC, s_suppkey""".stripMargin)),
+
+    // Global top-N: planner should use TakeOrderedAndProject (no full sort).
+    QueryDef(
+      "q_topn_global",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q_topk_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        load(s, dir, "part")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |         row_number() OVER (PARTITION BY p_brand
+             |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) WHERE rn <= 3
+             |ORDER BY p_brand, rn""".stripMargin)),
+
+    // ---- set operations --------------------------------------------------
+    QueryDef(
+      "q_union_all",
+      (s, dir) => {
+        val a = load(s, dir, "customer").filter(col("c_custkey") < 50)
+          .select(col("c_custkey").as("k"))
+        val b = load(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        a.unionByName(b).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT k, count(*) AS cnt FROM (
+             |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 50
+             |  UNION ALL SELECT s_suppkey FROM supplier)
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    QueryDef(
+      "q_union_distinct",
+      (s, dir) => {
+        val a = load(s, dir, "customer").filter(col("c_custkey") < 50)
+          .select(col("c_custkey").as("k"))
+        val b = load(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        a.union(b).distinct().orderBy(col("k"))
+      },
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_custkey < 50
+             |UNION SELECT s_suppkey FROM supplier ORDER BY k""".stripMargin)),
+
+    QueryDef(
+      "q_intersect",
+      (s, dir) => {
+        val a = load(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val b = load(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        a.intersect(b).orderBy(col("nk"))
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    QueryDef(
+      "q_except",
+      (s, dir) => {
+        val a = load(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val b = load(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        a.except(b).orderBy(col("nk"))
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    QueryDef(
+      "q_intersect_all",
+      (s, dir) => {
+        val a = load(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_nationkey").as("nk"))
+        val b = load(s, dir, "customer").filter(col("c_custkey") >= 100)
+          .select(col("c_nationkey").as("nk"))
+        a.intersectAll(b).groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("nk"))
+      },
+      Some("""SELECT nk, count(*) AS cnt FROM (
+             |  SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 200
+             |  INTERSECT ALL
+             |  SELECT c_nationkey FROM customer WHERE c_custkey >= 100)
+             |GROUP BY nk ORDER BY nk""".stripMargin)),
+
+    QueryDef(
+      "q_except_all",
+      (s, dir) => {
+        val a = load(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_nationkey").as("nk"))
+        val b = load(s, dir, "customer").filter(col("c_custkey") >= 100)
+          .select(col("c_nationkey").as("nk"))
+        a.exceptAll(b).groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("nk"))
+      },
+      Some("""SELECT nk, count(*) AS cnt FROM (
+             |  SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 200
+             |  EXCEPT ALL
+             |  SELECT c_nationkey FROM customer WHERE c_custkey >= 100)
+             |GROUP BY nk ORDER BY nk""".stripMargin)),
+  )
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Batch-equivalence oracles for the Structured Streaming operators: the
+  * streaming pipeline runs with Trigger.AvailableNow over the static events
+  * parquet and must equal the batch SQL once all data is processed
+  * (SURVEY.md §7.4 risk 7).
+  */
+object StreamingQueries {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_stream_tumbling",
+      (s, dir) => EventStreams.runAvailableNow(
+          s, s"$dir/events.parquet",
+          df => EventStreams.tumblingAgg(df), "stream_tumbling")
+        .orderBy(col("ws"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  count(*) AS cnt, round(sum(value), 2) AS sum_v
+             |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
+    QueryDef(
+      "q_stream_sliding",
+      (s, dir) => EventStreams.runAvailableNow(
+          s, s"$dir/events.parquet",
+          df => EventStreams.slidingAgg(df), "stream_sliding")
+        .orderBy(col("ws")),
+      Some("""SELECT ws, count(*) AS cnt FROM (
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+             |GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    QueryDef(
+      "q_stream_session",
+      (s, dir) => EventStreams.runAvailableNow(
+          s, s"$dir/events.parquet",
+          df => EventStreams.sessionAgg(df), "stream_session")
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL '5 minutes'
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM d)
+             |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef(
+      "q_stream_dedup",
+      (s, dir) => EventStreams.runAvailableNowAppend(
+          s, s"$dir/events.parquet",
+          df => EventStreams.dedupWithinWatermark(df), "stream_dedup")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT event_id) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}

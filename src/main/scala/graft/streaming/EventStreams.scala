@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators over the `events` table shape
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * Each transform is defined on an unbounded DataFrame (works identically
+  * on `readStream` input and on batch input — Spark's unified model), so
+  * batch-equivalence oracles apply: running the streaming pipeline with
+  * `Trigger.AvailableNow` over the static parquet must equal the batch
+  * aggregation after all watermarks expire.
+  *
+  * Reference anchor: repype's long-running incremental batch notion
+  * (`repype/task.py:629-732`) mapped onto Structured Streaming per
+  * SURVEY.md §2.b (Streaming).
+  */
+object EventStreams {
+
+  /** Tumbling-window count/sum per event_type with a watermark. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_v"))
+
+  /** Sliding-window count. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("cnt"))
+
+  /** Session-window (gap-based) aggregation per user. */
+  def sessionAgg(events: DataFrame, gap: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), date_trunc("second", col("w.start")).as("session_start"),
+        col("n_events"))
+
+  /** Stateful streaming dedup by event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming transform over the static events parquet with
+    * `Trigger.AvailableNow` into an in-memory sink and return the final
+    * result table — the batch-equivalence harness used by both the oracle
+    * query (q_stream_tumbling) and the streaming specs.
+    *
+    * `complete` output mode keeps every window (no watermark-based state
+    * eviction race for a finite input); checkpoint under target/tmp.
+    */
+  /** The parquet source rejects nanosecond timestamps
+    * (PARQUET_TYPE_ILLEGAL) — stage a µs-precision copy once per
+    * (path, JVM) and stream from that. Conversion via Tables.load is
+    * lossless (testdata timestamps are µs-aligned). */
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stageMicros(spark: SparkSession, eventsPath: String): String =
+    staged.getOrElseUpdate(eventsPath, {
+      val dir = s"/root/repo/target/tmp/events_us_${math.abs(eventsPath.hashCode)}"
+      val parent = eventsPath.stripSuffix("/events.parquet")
+      graft.queries.Tables.load(spark, parent, "events")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  def runAvailableNow(spark: SparkSession, eventsPath: String,
+                      transform: DataFrame => DataFrame,
+                      queryName: String): DataFrame = {
+    val path = stageMicros(spark, eventsPath)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Append-mode variant for transforms without aggregation (dedup). */
+  def runAvailableNowAppend(spark: SparkSession, eventsPath: String,
+                            transform: DataFrame => DataFrame,
+                            queryName: String): DataFrame = {
+    val path = stageMicros(spark, eventsPath)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,198 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.DefaultStages
+
+/** Mirrors tests/test_task.py: spec merge, config precedence, input ids,
+  * path resolution, digests/pending, diverging stage + pickup, store/load
+  * round-trip, reset. */
+class TaskSpec extends SparkSpec {
+  DefaultStages.registerAll()
+
+  private def writeSpec(dir: java.nio.file.Path, yaml: String): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("task.yml"), yaml)
+  }
+
+  private def q1Spec(dir: String, maxDate: String) =
+    s"""runnable: true
+       |pipeline:
+       |  - scan-lineitem
+       |  - filter-shipdate
+       |  - pricing-summary
+       |  - sort-summary
+       |  - sink-parquet
+       |config:
+       |  scan-lineitem:
+       |    path: $sfDir
+       |  filter-shipdate:
+       |    where: "l_shipdate <= '$maxDate'"
+       |  sort-summary:
+       |    by: [l_returnflag, l_linestatus]
+       |input_ids: [1]
+       |""".stripMargin
+
+  test("fullSpec deep-merges parent chain; child overrides") {
+    val root = tempDir("task")
+    val parentDir = root.resolve("t")
+    val childDir = parentDir.resolve("variant")
+    writeSpec(parentDir, q1Spec(sfDir, "1998-09-02"))
+    writeSpec(childDir,
+      """config:
+        |  filter-shipdate:
+        |    where: "l_shipdate <= '1998-12-01'"
+        |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    val parent = batch.task(parentDir).get
+    val child = batch.task(childDir).get
+    assert(child.parent.contains(parent))
+    assert(child.runnable) // inherited
+    assert(child.fullSpec("pipeline") == parent.fullSpec("pipeline"))
+    assert(child.createConfig().get("filter-shipdate/where", "")
+      .toString.contains("1998-12-01"))
+    assert(parent.createConfig().get("filter-shipdate/where", "")
+      .toString.contains("1998-09-02"))
+  }
+
+  test("createConfig precedence: parent < base_config_path < own config") {
+    val root = tempDir("task")
+    val pDir = root.resolve("p")
+    val cDir = pDir.resolve("c")
+    Files.createDirectories(cDir)
+    // {ROOTDIR} = the root *task* dir (p), not the filesystem parent
+    Files.writeString(pDir.resolve("base.yml"),
+      "s1:\n  a: base\n  b: base\n  c: base\n")
+    writeSpec(pDir,
+      """runnable: true
+        |config:
+        |  s1:
+        |    a: parent
+        |    b: parent
+        |""".stripMargin)
+    writeSpec(cDir,
+      s"""base_config_path: '{ROOTDIR}/base.yml'
+         |config:
+         |  s1:
+         |    a: own
+         |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    val cfg = batch.task(cDir).get.createConfig()
+    assert(cfg.get("s1/a", "") == "own")      // own config wins
+    assert(cfg.get("s1/b", "") == "base")     // base overrides parent
+    assert(cfg.get("s1/c", "") == "base")
+  }
+
+  test("resolvePath placeholders") {
+    val root = tempDir("task")
+    val dir = root.resolve("mytask")
+    writeSpec(dir, "runnable: true\n")
+    val batch = new Batch(spark)
+    val t = batch.task(dir).get
+    assert(t.resolvePath("{DIRNAME}/x").toString.endsWith("mytask/mytask/x"))
+    assert(t.resolvePath("rel").startsWith(dir))
+    assert(t.resolvePath("/abs/p").toString == "/abs/p")
+  }
+
+  test("e2e: run, pickup no-op, child re-runs diverging suffix, reset") {
+    val root = tempDir("task")
+    val tDir = root.resolve("t")
+    val vDir = tDir.resolve("variant")
+    writeSpec(tDir, q1Spec(sfDir, "1998-09-02")
+      + s"scopes:\n  result: '${root}/out/%s.parquet'\n")
+    writeSpec(vDir,
+      """config:
+        |  filter-shipdate:
+        |    where: "l_shipdate <= '1997-06-01'"
+        |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    val task = batch.task(tDir).get
+    val ctx = RunContext(task, task.createPipeline(), task.createConfig())
+
+    // 1. initially pending as incomplete
+    assert(ctx.pending == "incomplete")
+    val data = ctx.run()
+    assert(data.contains(InputId(1)))
+    assert(Files.exists(task.digestShaFilepath))
+    assert(Files.exists(tDir.resolve("data/summary_sorted/input_id=1")))
+    // times.csv: 5 stages × 1 input
+    assert(task.times.shape == (5, 1))
+
+    // 2. second evaluation: not pending; pickup finds nothing to do
+    assert(ctx.pending == "")
+    val (pickupTask, diverging) = task.findPickupTask(ctx.pipeline, ctx.config)
+    assert(pickupTask.contains(task) && diverging.isEmpty)
+
+    // 3. child diverges at filter-shipdate → picks up parent's scan prefix
+    val variant = batch.task(vDir).get
+    val vCtx = RunContext(variant, variant.createPipeline(), variant.createConfig())
+    assert(vCtx.pending == "incomplete")
+    val (vPickup, vDiverge) = variant.findPickupTask(vCtx.pipeline, vCtx.config)
+    assert(vPickup.contains(task))
+    assert(vDiverge.map(_.id).contains("filter-shipdate"))
+    vCtx.run()
+    assert(vCtx.pending == "")
+    // picked-up scan keeps the parent's recorded time (golden invariant,
+    // tests/test_repype.py:205-212)
+    assert(variant.times.get("scan-lineitem", InputId(1))
+      == task.times.get("scan-lineitem", InputId(1)))
+    // re-run stage got a fresh (different) time
+    assert(variant.times.get("filter-shipdate", InputId(1))
+      != task.times.get("filter-shipdate", InputId(1)))
+
+    // 4. results actually differ (different filter window)
+    val parentRows = spark.read.parquet(tDir.resolve("data/summary_sorted/input_id=1").toString)
+      .selectExpr("sum(count_order)").head.getLong(0)
+    val childRows = spark.read.parquet(vDir.resolve("data/summary_sorted/input_id=1").toString)
+      .selectExpr("sum(count_order)").head.getLong(0)
+    assert(childRows < parentRows)
+
+    // 5. pipeline-change pending: replace a stage with a version-bumped one
+    val bumped = ctx.pipeline.stages.map {
+      case st if st.id == "pricing-summary" =>
+        new Stage {
+          override def id = "pricing-summary"
+          override def inputs = st.inputs
+          override def outputs = st.outputs
+          override def version = 99
+          def process(c: StageContext, in: Map[String, org.apache.spark.sql.DataFrame],
+                      cfg: Config) = Map.empty
+        }
+      case st => st
+    }
+    val bumpedPipeline = Pipeline.create(spark, bumped, ctx.pipeline.scopes)
+    assert(task.isPending(bumpedPipeline, ctx.config) == "pipeline")
+
+    // 6. specification-change pending
+    val cfg2 = ctx.config.updated("filter-shipdate/extra", 1L)
+    assert(task.isPending(ctx.pipeline, cfg2) == "specification")
+
+    // 7. reset clears artifacts
+    task.reset()
+    assert(ctx.pending == "incomplete")
+    assert(!Files.exists(task.digestShaFilepath))
+  }
+
+  test("marginal stages are stripped from the store") {
+    val root = tempDir("task")
+    val dir = root.resolve("t")
+    writeSpec(dir, q1Spec(sfDir, "1998-09-02")
+      + s"marginal_stages: [pricing-summary]\nscopes:\n  result: '${root}/out/%s.parquet'\n")
+    val batch = new Batch(spark)
+    batch.load(root)
+    val t = batch.task(dir).get
+    val ctx = RunContext(t, t.createPipeline(), t.createConfig())
+    assert(t.marginalFields(ctx.pipeline) == Set("summary"))
+    ctx.run()
+    assert(!Files.exists(dir.resolve("data/summary")))
+    assert(Files.exists(dir.resolve("data/summary_sorted/input_id=1")))
+    // load validates and returns remaining fields
+    val loaded = t.load(Some(ctx.pipeline))
+    assert(loaded(InputId(1)).keySet == Set("summary_sorted", "lineitem",
+      "lineitem_filtered", "summary_sorted_sunk"))
+  }
+}

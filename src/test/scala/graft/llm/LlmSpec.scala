@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ground-truth tests for the hash-family LLM operators (MinHash/SimHash/
+  * sign-LSH) that the DuckDB oracle cannot express, plus language-ID and
+  * fingerprint invariants. */
+class LlmSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import SparkSpec.spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away now"),
+      (3L, "a completely different document about spark engines and big data"),
+      (4L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (5L, "unrelated text with nothing shared at all zebra xylophone quasar"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    // docs 1 and 4 identical → one row keyed by min id 1 with dup_cnt 2
+    assert(out.length == 4)
+    val row1 = out.find(_.getLong(0) == 1L).get
+    assert(row1.getLong(1) == 2L)
+  }
+
+  test("minhashLsh finds the near-duplicate pair and not unrelated ones") {
+    val pairs = Dedup.minhashLsh(docs, numHashes = 64, bands = 16, shingleSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L))) // identical
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L))) // near-dup
+    assert(!keys.contains((3L, 5L))) // unrelated
+    val est14 = pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3
+    assert(est14 == 1.0) // identical texts → identical signatures
+  }
+
+  test("simhash: identical texts at hamming 0; unrelated far apart") {
+    val out = Dedup.simhash(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val h14 = out.find(p => (p._1, p._2) == (1L, 4L))
+    assert(h14.exists(_._3 == 0))
+    assert(!out.exists(p => (p._1, p._2) == (3L, 5L)))
+  }
+
+  test("ngramJaccardPairs exact-set math") {
+    val out = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // identical docs → jaccard 1.0
+    assert(out.find(p => (p._1, p._2) == (1L, 4L)).exists(_._3 == 1.0))
+    // 1 vs 2 share 12 of 14 distinct words: J = 12/(13+13-12)
+    val j12 = out.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(math.abs(j12 - 12.0 / 14.0) < 1e-3)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    import SparkSpec.spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .orderBy("rk").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L)) // by similarity
+    assert(out.head.getDouble(3) > 0.99)
+  }
+
+  test("lshTopK finds planted near-neighbours (high recall on clustered data)") {
+    // Near-uniform random vectors have no meaningful neighbours, so recall
+    // there measures luck. Plant structure instead: 20 base vectors, each
+    // with a tight noisy twin — sign-LSH must bucket the twins together.
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 20).map(i => (i.toLong, unit(64)))
+    val twins = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    val found = Similarity.lshTopK(corpus, queries, k = 3, planes = 8, tables = 8)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = base.count { case (i, _) => found.contains((i, i + 100L)) } / 20.0
+    assert(recall >= 0.8, s"planted-twin recall too low: $recall")
+  }
+
+  test("languageId classifies clear-cut texts") {
+    import SparkSpec.spark.implicits._
+    val texts = Seq(
+      ("en", "the cat is in the house and it is warm"),
+      ("es", "el gato es de la casa y que es un gato"),
+      ("de", "der hund und die katze das ist ein tier"),
+      ("fr", "le chien et le chat est une belle chose les deux"),
+    ).toDF("lang", "text")
+    val out = TextAnalysis.languageId(texts).select("lang", "pred_lang").collect()
+    assert(out.forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("fingerprint invariant to whitespace runs and case, sensitive to content") {
+    import SparkSpec.spark.implicits._
+    val t = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello worlds"),
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB oracle (t2 correctness gate).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB over
+the parquet tables in <sfDir>, load the Spark result parquet, sort columns by
+name, canonicalize values, and compare row-by-row. Queries without oracle SQL
+get a rows-only check (>0 rows).
+
+Driver-side tooling only — NOT part of the engine.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # match a rounded double regardless of repr noise
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_rows(tbl):
+    """pyarrow.Table -> (sorted cols, canonicalized row tuples)."""
+    cols = sorted(tbl.column_names)
+    pylists = {c: tbl.column(c).to_pylist() for c in cols}
+    rows = [tuple(canon(pylists[c][i]) for c in cols) for i in range(tbl.num_rows)]
+    return cols, rows
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    import glob
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    present = set(x.split("/")[-1] for x in glob.glob(f"{out_dir}/*")
+                  if not x.endswith(".json"))
+    # every oracle key must have a Spark output — a query that crashed in
+    # Verify leaves no dir and must count as FAIL, not be skipped
+    names = sorted(present | set(oracle))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output (query crashed in Verify?)")
+            n_fail += 1
+            continue
+        spark_df = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+        if name not in oracle:
+            ok = spark_df.num_rows > 0
+            print(f"{'pass' if ok else 'FAIL'} {name}: rows-only ({spark_df.num_rows} rows)")
+            n_pass += ok
+            n_fail += not ok
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = frame_rows(spark_df)
+        dc, dr = frame_rows(duck_df)
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} vs {dc}")
+            n_fail += 1
+        elif sr != dr:
+            n_fail += 1
+            diff = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+            print(f"FAIL {name}: {len(sr)} vs {len(dr)} rows, "
+                  f"{len(diff)} mismatched; first: "
+                  f"{diff[0] if diff else ('len', sr[:1], dr[:1])}")
+        else:
+            print(f"pass {name}: {len(sr)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(names)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
