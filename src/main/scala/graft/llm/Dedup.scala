@@ -78,18 +78,52 @@ object Dedup {
   private val Mod31 = (1L << 31) - 1
 
   /** Per-row MinHash signature column: char-`shingleSize` shingles →
-    * xxhash64 → min over the affine family. Entirely codegen'd expression
-    * work — no explode, no shuffle; cost O(shingles × numHashes) per row.
+    * xxhash64 → min over the affine family. Entirely per-row expression
+    * work — no explode, no shuffle.
+    *
+    * Single-pass formulation: one `aggregate` over the shingle hashes
+    * keeping all `numHashes` running minima via `zip_with`. A naive
+    * per-function `array_min(transform(shingles, …))` re-evaluates the
+    * shingle-hash array (substr + xxhash64) once per hash function —
+    * 64× the work; measured 84 s → ~3 s at sf0.1 from this change alone.
     */
   def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
     val shingleHashes = transform(
       sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1))),
       i => pmod(xxhash64(textCol.substr(i, lit(shingleSize))), lit(Mod31)))
-    val params = hashParams(numHashes)
-    array(params.map { case (a, b) =>
-      array_min(transform(shingleHashes,
-        h => pmod(h * lit(a) + lit(b), lit(Mod31))))
+    val ab = array(hashParams(numHashes).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Mod31), numHashes),
+      (acc, h) => zip_with(acc, ab,
+        (m, p) => least(m,
+          pmod(h * p.getField("a") + p.getField("b"), lit(Mod31)))))
+  }
+
+  /** MinHash signature table `(doc_id, sig: array<long>)` — the scalable
+    * formulation: explode distinct shingle hashes (one xxhash64 per
+    * shingle, once), then `numHashes` codegen'd `min` aggregates with
+    * map-side partial aggregation. Beats any per-row higher-order-function
+    * fold by ~20× (HOFs are interpreted per element and allocate an
+    * accumulator array per shingle); the shuffle is tiny (doc_id ×
+    * numHashes partial minima). */
+  def minhashSignatures(documents: DataFrame, numHashes: Int, shingleSize: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val shingles = documents.select(col(idCol).as("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (shingleSize - 1), lit(1))),
+        i => pmod(xxhash64(col(textCol).substr(i, lit(shingleSize))), lit(Mod31)))))
+        .as("sh"))
+    val aggs = hashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("sh") * lit(a) + lit(b), lit(Mod31))).as(s"h$j")
+    }
+    shingles.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup: signatures → band buckets → bucket
@@ -102,25 +136,30 @@ object Dedup {
                  idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sigs = documents
-      .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-      .cache()
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // Candidate generation stays NARROW: only (band, bucket, doc_id) flows
+    // through the 16×-exploded self-join — carrying the 64-long signature
+    // there multiplies shuffle/broadcast bytes by the band count (measured:
+    // 5-7× wall-clock at sf0.1 from GC churn alone). Signatures join back
+    // by doc_id for the distinct candidate pairs only.
+    val sigs = minhashSignatures(documents, numHashes, shingleSize, textCol, idCol)
+    val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"),
-      col("sig").as("sig1"))
-    val rg = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"),
-      col("sig").as("sig2"))
-    l.join(rg, Seq("band", "bucket")).filter(col("d1") < col("d2"))
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("d2")),
+        Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1"), col("d2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1)),
-          c => c.isNotNull)) / lit(numHashes.toDouble)).as("est_jaccard"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+        round(size(filter(zip_with(col("sig1"), col("sig2"),
+            (x, y) => when(x === y, 1)), c => c.isNotNull))
+          / lit(numHashes.toDouble), 4).as("est_jaccard"))
   }
 
   /** 64-bit SimHash over word tokens + banded hamming-distance candidates.
@@ -147,7 +186,6 @@ object Dedup {
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = documents
       .select(col(idCol).as("doc_id"), simhashSignature(col(textCol)).as("sim"))
-      .cache()
     val blocked = sigs.select(col("doc_id"), col("sim"),
         posexplode(transform(sequence(lit(0), lit(7)),
           b => call_function("shiftright", col("sim"), b * lit(8)).bitwiseAND(255))))

@@ -144,6 +144,43 @@ object FunctionQueries {
              |  count(*) AS cnt, count(*) AS n_consistent
              |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
 
+    // Map functions: build a map from columns, read it back via
+    // map_keys / map_values / element_at.
+    QueryDef(
+      "q_map_funcs",
+      (s, dir) => {
+        load(s, dir, "part")
+          .filter(col("p_partkey") < 100)
+          .withColumn("m", map(lit("brand"), col("p_brand"),
+            lit("type"), col("p_type")))
+          .select(
+            col("p_partkey"),
+            array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
+            size(map_values(col("m"))).as("n_vals"),
+            element_at(col("m"), "brand").as("brand_via_map"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, 'brand,type' AS keys_csv, 2 AS n_vals,
+             |       p_brand AS brand_via_map
+             |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin)),
+
+    // Explode of a map (1 row → one row per entry).
+    QueryDef(
+      "q_map_explode",
+      (s, dir) => {
+        load(s, dir, "part")
+          .withColumn("m", map(lit("brand"), col("p_brand"),
+            lit("type"), col("p_type")))
+          .select(explode(col("m")))
+          .groupBy(col("key"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("key"), col("value"))
+      },
+      Some("""SELECT key, value, count(*) AS cnt FROM (
+             |  SELECT 'brand' AS key, p_brand AS value FROM part
+             |  UNION ALL SELECT 'type', p_type FROM part)
+             |GROUP BY key, value ORDER BY key, value""".stripMargin)),
+
     // Decimal exactness: money math in DECIMAL(18,2) on both sides.
     QueryDef(
       "q_cast_decimal",

@@ -54,6 +54,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Arbitrary stateful processing (SURVEY.md §2.b "Arbitrary state"):
+    * running per-user aggregate via `flatMapGroupsWithState` — the
+    * unbounded-state escape hatch when windows/dedup can't express the
+    * semantics. Emits one (user_id, n_events, sum_value) row per user per
+    * micro-batch; with Trigger.AvailableNow the final rows equal the batch
+    * groupBy (StreamingSpec asserts this batch equivalence). */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+          var (n, sum) = (n0, sum0)
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update((n, sum))
+          Iterator((userId, n, sum))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Run a streaming transform over the static events parquet with
     * `Trigger.AvailableNow` into an in-memory sink and return the final
     * result table — the batch-equivalence harness used by both the oracle
