@@ -34,10 +34,10 @@ object GraftCli {
     require(!(run && reset), "--run and --reset are mutually exclusive")
 
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

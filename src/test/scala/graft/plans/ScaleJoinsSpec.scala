@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** Correctness + plan-shape tests for the scale-join toolkit. */
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("saltedJoin result-identical to plain inner join") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = lineitem.join(orders, "l_orderkey")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+    val salted = ScaleJoins.saltedJoin(lineitem, orders, "l_orderkey", salts = 4)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val warehouse = tempDir("warehouse").toString
+    // below the broadcast threshold the planner would broadcast and hide
+    // the exchange question entirely — disable to observe the bucket effect
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleJoins.writeBucketed(
+        Tables.load(spark, sfDir, "orders"), "orders_b", "o_orderkey", 4, warehouse)
+      ScaleJoins.writeBucketed(
+        Tables.load(spark, sfDir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", 4, warehouse)
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      // and it is still correct
+      val expected = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .join(Tables.load(spark, sfDir, "orders"), "o_orderkey")
+        .select(col("o_orderkey"), col("q"))
+      assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
