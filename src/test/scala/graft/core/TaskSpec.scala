@@ -177,6 +177,57 @@ class TaskSpec extends SparkSpec {
     assert(!Files.exists(task.digestShaFilepath))
   }
 
+  test("multi-input task: range ids, per-input scoped sinks, times shape") {
+    val root = tempDir("task")
+    val dir = root.resolve("multi")
+    writeSpec(dir, q1Spec(sfDir, "1998-09-02")
+      .replace("input_ids: [1]", "input_ids: \"1-3\"")
+      + s"scopes:\n  result: '${root}/out/%s.parquet'\n")
+    val batch = new Batch(spark)
+    batch.load(root)
+    val t = batch.task(dir).get
+    val ctx = RunContext(t, t.createPipeline(), t.createConfig())
+    assert(t.inputIds == List(InputId(1), InputId(2), InputId(3)))
+    val data = ctx.run()
+    assert(data.keySet == Set(InputId(1), InputId(2), InputId(3)))
+    for (i <- 1 to 3) {
+      assert(Files.exists(root.resolve(s"out/$i.parquet")))
+      assert(Files.exists(dir.resolve(s"data/summary_sorted/input_id=$i")))
+    }
+    assert(t.times.shape == (5, 3))
+  }
+
+  test("status transcript records pickup lineage (golden event contract)") {
+    // mirrors the reference's marquee e2e assertion (tests/test_repype.py:
+    // 158-182): the child run's transcript must name the parent it picked
+    // up from and the first diverging stage it restarted at
+    val root = tempDir("task")
+    val tDir = root.resolve("t")
+    val vDir = tDir.resolve("v")
+    writeSpec(tDir, q1Spec(sfDir, "1998-09-02")
+      + s"scopes:\n  result: '${root}/out/%s.parquet'\n")
+    writeSpec(vDir,
+      """config:
+        |  filter-shipdate:
+        |    where: "l_shipdate <= '1997-01-01'"
+        |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    val statusPath = root.resolve("status.jsonl")
+    assert(batch.run(status = Some(Status.create(statusPath))))
+    val rendered = Status.render(Status.readEvents(statusPath))
+    // parent ran from scratch: start with no pickup
+    assert(rendered.linesIterator.exists(l =>
+      l.contains("start") && l.contains("/t") && !l.contains("pickup=")))
+    // child picked up the parent and restarted at the diverging stage
+    val childStart = Status.readEvents(statusPath).find(e =>
+      e.get("info").contains("start")
+        && String.valueOf(e.getOrElse("task", "")).endsWith("/v")).get
+    assert(String.valueOf(childStart("pickup")).endsWith("/t"))
+    assert(childStart("first_stage") == "filter-shipdate")
+    assert(rendered.contains("completed"))
+  }
+
   test("marginal stages are stripped from the store") {
     val root = tempDir("task")
     val dir = root.resolve("t")
