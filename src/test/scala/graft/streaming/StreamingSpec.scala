@@ -22,6 +22,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming parquet file sink + foreachBatch both deliver every row") {
+    val events = Tables.load(spark, sfDir, "events")
+    val staged = s"/root/repo/target/tmp/spec_sink_${System.nanoTime()}"
+    events.write.mode("overwrite").parquet(s"$staged/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$staged/in")
+
+    // parquet file sink (append) — the durable streaming sink path
+    val q1 = EventStreams.dedupWithinWatermark(stream).writeStream
+      .format("parquet")
+      .option("path", s"$staged/out")
+      .option("checkpointLocation", s"$staged/ckpt1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    val sunk = spark.read.parquet(s"$staged/out")
+    assert(sunk.count() == events.dropDuplicates("event_id").count())
+
+    // foreachBatch — the programmable sink path
+    val counter = new java.util.concurrent.atomic.AtomicLong()
+    val q2 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        counter.addAndGet(batch.count()): Unit
+      }
+      .option("checkpointLocation", s"$staged/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(counter.get() == events.count())
+  }
+
+  test("synthetic events source matches the testdata schema") {
+    import graft.sources.SyntheticSources
+    val synth = SyntheticSources.events(spark, 1000)
+    val real = Tables.load(spark, sfDir, "events")
+    assert(synth.schema.map(f => (f.name, f.dataType)) ==
+      real.schema.map(f => (f.name, f.dataType)))
+    assert(synth.count() == 1000)
+    // deterministic: same seed → same content
+    val again = SyntheticSources.events(spark, 1000)
+    assert(synth.exceptAll(again).isEmpty)
+  }
+
   test("flatMapGroupsWithState running totals equal batch groupBy at the end") {
     // update-mode memory sink keeps every emitted row; the LAST row per
     // user is the final state — compare that against the batch aggregate
