@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the vector-math hot path.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate an
+  * interpreted lambda per element and allocate an intermediate array per
+  * row — measured 5-20× slower than a fused loop on 64-dim embeddings.
+  * [[DotProductExpr]] participates in whole-stage codegen (`doGenCode`
+  * emits a primitive double loop), keeping similarity scans inside one
+  * codegen stage. Accumulation is sequential in element order, exactly
+  * like the HOF formulation and DuckDB's `list_dot_product`, so oracle
+  * results are bit-identical.
+  *
+  * This is the §2.b "custom Catalyst Expression" extension tier (SURVEY
+  * §7.3 revised: one native expression where the measured HOF cost
+  * justified it).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lFloat = elemType(left).contains(FloatType)
+    val rFloat = elemType(right).contains(FloatType)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getL = if (elemType(left).contains(FloatType))
+        s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val getR = if (elemType(right).contains(FloatType))
+        s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $getL * $getR;
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.graftshim.GraftColumn
+
+  /** Column-level dot product over array<float|double>. */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumn.column(
+      DotProductExpr(GraftColumn.expression(a), GraftColumn.expression(b)))
+}

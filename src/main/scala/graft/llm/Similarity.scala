@@ -15,15 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision (matches DuckDB's
-    * sequential list accumulation, keeping the oracle comparable). */
+  /** Sequential dot product in double precision — a native codegen'd
+    * expression (graft.functions.DotProductExpr) rather than a
+    * zip_with/aggregate fold: same element-order accumulation (so DuckDB's
+    * sequential `list_dot_product` stays bit-identical), none of the
+    * per-element interpreted-lambda cost. */
   private[llm] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
-  private[llm] def l2norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  private[llm] def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   private[llm] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
