@@ -169,6 +169,65 @@ object AggQueries {
              |  round(corr(value, CAST(user_id AS DOUBLE)), 3) AS corr_vu
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Ordered string aggregation (listagg / string_agg).
+    QueryDef(
+      "q_string_agg",
+      (s, dir) => {
+        load(s, dir, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), "|")
+            .as("nations"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey,
+             |  string_agg(n_name, '|' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // Conditional aggregation: count_if / filtered sums via CASE.
+    QueryDef(
+      "q_cond_agg",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count_if(col("o_totalprice") > 200000).as("n_big"),
+            // sum DECIMAL inputs, not doubles: decimal addition is exact and
+            // associative, so the result is order-independent across engines
+            sum(when(col("o_orderpriority") === "1-URGENT",
+                col("o_totalprice").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("decimal(18,2)").as("urgent_total"),
+            max(when(col("o_orderpriority") === "1-URGENT", col("o_orderdate")))
+              .as("last_urgent"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+             |               THEN CAST(o_totalprice AS DECIMAL(18,2))
+             |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS urgent_total,
+             |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END) AS last_urgent
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // min_by / max_by (argmin/argmax).
+    QueryDef(
+      "q_arg_minmax",
+      (s, dir) => {
+        load(s, dir, "supplier")
+          .groupBy(col("s_nationkey"))
+          .agg(
+            // s_acctbal is unique per nation in this data, so the argmax
+            // is deterministic without a composite tiebreak (DuckDB's
+            // max_by cannot order by a struct)
+            max_by(col("s_suppkey"), col("s_acctbal")).as("richest"),
+            min_by(col("s_suppkey"), col("s_acctbal")).as("poorest"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey,
+             |  max_by(s_suppkey, s_acctbal) AS richest,
+             |  min_by(s_suppkey, s_acctbal) AS poorest
+             |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // Exact interpolated percentile (Spark `percentile` == DuckDB
     // `quantile_cont`); approx_percentile is covered rows-only elsewhere.
     QueryDef(

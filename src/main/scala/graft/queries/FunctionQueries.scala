@@ -227,6 +227,55 @@ object FunctionQueries {
              |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2_norm
              |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)),
 
+    // Array set operations + containment.
+    QueryDef(
+      "q_array_setops",
+      (s, dir) => {
+        load(s, dir, "part")
+          .filter(col("p_partkey") < 50)
+          .withColumn("words", split(col("p_name"), " "))
+          .withColumn("brand_words", split(lower(col("p_brand")), "#"))
+          .select(
+            col("p_partkey"),
+            array_join(array_sort(array_distinct(col("words"))), ",").as("uniq"),
+            array_join(array_sort(array_intersect(col("words"),
+              array(lit("lace"), lit("blue"), lit("green")))), ",").as("common"),
+            array_join(array_sort(array_except(
+              array(lit("lace"), lit("blue")), col("words"))), ",").as("missing"),
+            array_contains(col("words"), "blue").as("has_blue"),
+            size(array_union(col("words"), col("brand_words"))).as("n_union"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS uniq,
+             |  coalesce(array_to_string(list_sort(list_intersect(string_split(p_name, ' '),
+             |      ['lace', 'blue', 'green'])), ','), '') AS common,
+             |  array_to_string(list_sort(list_filter(['lace', 'blue'],
+             |      w -> NOT list_contains(string_split(p_name, ' '), w))), ',') AS missing,
+             |  list_contains(string_split(p_name, ' '), 'blue') AS has_blue,
+             |  len(list_distinct(list_concat(string_split(p_name, ' '),
+             |      string_split(lower(p_brand), '#')))) AS n_union
+             |FROM part WHERE p_partkey < 50 ORDER BY p_partkey""".stripMargin)),
+
+    // Struct construction and field access.
+    QueryDef(
+      "q_struct_funcs",
+      (s, dir) => {
+        load(s, dir, "customer")
+          .filter(col("c_custkey") < 100)
+          .withColumn("info", struct(col("c_name").as("name"),
+            col("c_acctbal").as("bal")))
+          .select(
+            col("c_custkey"),
+            col("info.name").as("name"),
+            (col("info.bal") > 0).as("positive"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  struct_extract({'name': c_name, 'bal': c_acctbal}, 'name') AS name,
+             |  struct_extract({'name': c_name, 'bal': c_acctbal}, 'bal') > 0 AS positive
+             |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin)),
+
     QueryDef(
       "q_explode",
       (s, dir) => {

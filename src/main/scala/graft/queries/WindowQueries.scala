@@ -114,6 +114,47 @@ object WindowQueries {
              |  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    QueryDef(
+      "q_window_pct",
+      (s, dir) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal"), col("s_suppkey"))
+        load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cume"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_nationkey,
+             |  round(percent_rank() OVER w, 4) AS pct_rank,
+             |  round(cume_dist() OVER w, 4) AS cume
+             |FROM supplier
+             |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef(
+      "q_window_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        load(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(w).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  first_value(o_orderkey) OVER w AS first_ok,
+             |  last_value(o_orderkey) OVER w AS last_ok,
+             |  nth_value(o_orderkey, 2) OVER w AS second_ok
+             |FROM orders WHERE o_custkey < 50
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Range frame: per-nation, sum of acctbal of suppliers within ±100 of
     // the current supplier's balance (RANGE BETWEEN on an ordering value).
     QueryDef(
