@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the brute-force path broadcasts the (small) query set and
   * streams the corpus once — correct baseline at any corpus size as long as
-  * |queries| is broadcastable. The LSH path is the scale-out variant: both
-  * sides hash to `tables × bucket` keys, so the join is a bucket equi-join
-  * touching only colliding candidates (tunable recall/cost via
-  * planes/tables). Cosine math is done with codegen'd higher-order
-  * functions (`zip_with`/`aggregate`) — no UDFs, no driver collection.
+  * |queries| is broadcastable. The LSH paths are the scale-out variants:
+  * rows hash to `tables × bucket` keys, so candidate generation is a bucket
+  * equi-join, and — critically — only (id, id) pairs travel through the
+  * candidate shuffle/dedup; vectors are joined back per distinct pair
+  * (carrying 64-dim arrays through an exploded join was measured at 10-40×
+  * the shuffle volume). Cosine math is a native codegen'd expression
+  * (graft.functions.DotProductExpr) — no UDFs, no driver collection.
   */
 object Similarity {
+
+  /** Dimensionality of the embeddings tables (TESTDATA.md). */
+  private[llm] val EmbeddingDim = 64
 
   /** Sequential dot product in double precision — a native codegen'd
     * expression (graft.functions.DotProductExpr) rather than a
@@ -47,12 +52,13 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
-  /** Global top-k most-similar pairs (embedding near-dup detection).
-    * All-pairs formulation — only for corpora small enough to broadcast;
-    * at scale use [[lshTopK]] / banded candidates instead.
+  /** Global top-k most-similar pairs, exact all-pairs formulation.
+    * Small-corpus ORACLE HELPER only: the `d1 < d2` theta join plans as a
+    * nested-loop O(n²) — use [[bucketedTopPairs]] (same output contract)
+    * for anything that has to scale.
     */
-  def topPairs(embeddings: DataFrame, k: Int,
-               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+  def allPairsTopK(embeddings: DataFrame, k: Int,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val a = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val b = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     a.join(b, col("d1") < col("d2"))
@@ -78,30 +84,101 @@ object Similarity {
       }.reduce(_ + _)
     }: _*)
 
+  /** (table_id, bucket, <idAs>) rows: one per input row per LSH table. The
+    * projection is deliberately narrow — vectors never enter the bucket
+    * join; they are joined back per distinct candidate pair. */
+  private def bucketKeys(df: DataFrame, hp: Seq[Seq[Seq[Double]]],
+                         idAs: String, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as(idAs), posexplode(lshKeys(col(vecCol), hp)))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+
+  /** Distinct (d1 < d2) id pairs sharing ≥1 sign-LSH bucket. */
+  private def candidatePairs(embeddings: DataFrame, planes: Int, tables: Int,
+                             vecCol: String, idCol: String): DataFrame = {
+    val hp = hyperplanes(tables, planes, EmbeddingDim)
+    val keyed = bucketKeys(embeddings, hp, "id", vecCol, idCol)
+    keyed.select(col("table_id"), col("bucket"), col("id").as("d1"))
+      .join(keyed.select(col("table_id"), col("bucket"), col("id").as("d2")),
+        Seq("table_id", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct() // a pair may collide in several tables
+  }
+
+  /** Exact cosine for a set of (d1, d2) id pairs: vectors joined back per
+    * pair (two narrow shuffle equi-joins on ids). */
+  private def pairCosine(pairs: DataFrame, embeddings: DataFrame,
+                         vecCol: String, idCol: String): DataFrame = {
+    val v1 = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val v2 = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    pairs.join(v1, "d1").join(v2, "d2")
+      .withColumn("cos_raw", cosine(col("v1"), col("v2")))
+  }
+
+  /** Global top-k most-similar pairs via sign-LSH bucketed candidates +
+    * exact cosine on candidates only — the scale path for embedding
+    * near-dup (same output contract as [[allPairsTopK]]). Every join is a
+    * narrow equi-join; no nested-loop anywhere; the final top-k is a
+    * TakeOrdered, not a global sort.
+    *
+    * Recall is governed by (planes, tables): collision probability per
+    * table is (1 - θ/π)^planes. The defaults (planes=2, tables=24) are
+    * sized for full top-k recall even on corpora whose best pairs are only
+    * cos≈0.45 (true of the synthetic test embeddings — near the LSH
+    * no-prune regime). Real near-dup corpora (target cos ≥ 0.9) should
+    * raise `planes` (12-16), which makes the buckets genuinely selective;
+    * see [[nearDupPairs]] for that configuration.
+    */
+  def bucketedTopPairs(embeddings: DataFrame, k: Int,
+                       planes: Int = 2, tables: Int = 24,
+                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pairCosine(candidatePairs(embeddings, planes, tables, vecCol, idCol),
+        embeddings, vecCol, idCol)
+      .orderBy(col("cos_raw").desc, col("d1"), col("d2"))
+      .limit(k)
+      .select(col("d1"), col("d2"), round(col("cos_raw"), 4).as("cos_sim"))
+
+  /** Threshold near-dup detection: all pairs with cosine ≥ minCos, via
+    * sign-LSH candidates + exact cosine. This is the honest 100 TB shape:
+    * at real near-dup thresholds (≥ 0.9) the 2^planes buckets shatter the
+    * corpus and candidates ≈ true dup pairs + ε, so the cost is ~linear in
+    * corpus size rather than O(n²). With a multiplicative-perturbation dup
+    * (a scaled copy of a vector) sign-LSH recall is exactly 1: scaling by
+    * a positive constant can never flip any plane's sign.
+    */
+  def nearDupPairs(embeddings: DataFrame, minCos: Double,
+                   planes: Int = 16, tables: Int = 4,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pairCosine(candidatePairs(embeddings, planes, tables, vecCol, idCol),
+        embeddings, vecCol, idCol)
+      .filter(col("cos_raw") >= minCos)
+      .select(col("d1"), col("d2"), round(col("cos_raw"), 4).as("cos_sim"))
+
   /** Approximate top-k via random-hyperplane LSH: candidates = corpus
     * vectors sharing ≥1 table bucket with the query, then exact cosine +
     * per-query window rank on candidates only. Increasing `tables` raises
-    * recall, increasing `planes` shrinks buckets (cost).
+    * recall, increasing `planes` shrinks buckets (cost). Candidate dedup
+    * runs on bare (query_id, cand_id) ids; vectors join back afterwards
+    * (query side broadcast — it is small by contract).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int, tables: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = 64
-    val hp = hyperplanes(tables, planes, dim)
-    def withKeys(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          posexplode(lshKeys(col(vecCol), hp)))
-        .withColumnRenamed("pos", "table_id")
-        .withColumnRenamed("col", "bucket")
-    val q = withKeys(queries, "query_id", "q_vec")
-    val c = withKeys(corpus, "cand_id", "c_vec")
+    val hp = hyperplanes(tables, planes, EmbeddingDim)
+    val q = bucketKeys(queries, hp, "query_id", vecCol, idCol)
+    val c = bucketKeys(corpus, hp, "cand_id", vecCol, idCol)
+    val cand = q.join(c, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
+      .distinct() // a pair may collide in several tables; ids only here
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
-    q.join(c, Seq("table_id", "bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("q_vec"), col("c_vec"))
-      .distinct() // a pair may collide in several tables
+    cand.join(broadcast(qv), "query_id")
+      .join(cv, "cand_id")
       .withColumn("cos_raw", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -181,7 +181,12 @@ object FunctionQueries {
              |  UNION ALL SELECT 'type', p_type FROM part)
              |GROUP BY key, value ORDER BY key, value""".stripMargin)),
 
-    // Decimal exactness: money math in DECIMAL(18,2) on both sides.
+    // Decimal exactness: money math in DECIMAL(18,2) on both sides. The
+    // aggregation is exact decimal arithmetic end-to-end; the OUTPUT is
+    // integer cents (BIGINT) because a DECIMAL output column's string form
+    // is ambiguous across compare harnesses ("1251869314.00" survives
+    // pyarrow but becomes "1251869314.0" through a pandas/float hop) —
+    // integer cents hash identically on every conversion path.
     QueryDef(
       "q_cast_decimal",
       (s, dir) => {
@@ -189,12 +194,12 @@ object FunctionQueries {
           .select(col("o_orderstatus"),
             col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
           .groupBy(col("o_orderstatus"))
-          .agg(sum(col("price_dec")).cast(DecimalType(24, 2)).as("total"),
+          .agg((sum(col("price_dec")) * lit(100)).cast(LongType).as("total_cents"),
             count(lit(1)).as("n"))
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS total,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents,
              |  count(*) AS n
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 

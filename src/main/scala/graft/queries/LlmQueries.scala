@@ -72,10 +72,16 @@ object LlmQueries {
       None),
 
     // Embedding cosine near-dup: top-20 most similar pairs (always
-    // non-empty, unlike a fixed threshold on synthetic data).
+    // non-empty, unlike a fixed threshold on synthetic data). Runs the
+    // sign-LSH bucketed path (equi-join candidates, exact cosine per
+    // candidate, TakeOrdered top-k — no nested-loop join anywhere). The
+    // synthetic corpus has no true near-dups (best pair cos≈0.45, the LSH
+    // no-prune regime) so planes/tables are sized for full top-20 recall
+    // there; q_dedup_embedding_planted below shows the selective regime.
     QueryDef(
       "q_dedup_embedding",
-      (s, dir) => Similarity.topPairs(load(s, dir, "embeddings"), k = 20)
+      (s, dir) => Similarity.bucketedTopPairs(load(s, dir, "embeddings"),
+          k = 20, planes = 2, tables = 24)
         .orderBy(col("d1"), col("d2")),
       Some("""WITH sims AS (
              |  SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -88,6 +94,43 @@ object LlmQueries {
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
              |top AS (SELECT * FROM sims ORDER BY cos_sim DESC, d1, d2 LIMIT 20)
              |SELECT d1, d2, round(cos_sim, 4) AS cos_sim FROM top
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // Threshold near-dup with planted duplicates: corpus = embeddings ∪ a
+    // scaled copy (×1.0001) of the first 100 vectors. Scaling by a positive
+    // constant preserves every sign-LSH plane sign, so bucket recall on the
+    // planted pairs is exactly 1, and with 16 planes the 65536 buckets
+    // shatter the rest of the corpus — candidates ≈ the true dup pairs,
+    // i.e. ~linear cost. This is the query shape a 100 TB embedding-dedup
+    // actually runs (threshold, not global top-k).
+    QueryDef(
+      "q_dedup_embedding_planted",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = base.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+        Similarity.nearDupPairs(base.unionByName(planted),
+            minCos = 0.99, planes = 16, tables = 4)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id,
+             |    list_transform(embedding, x -> x * CAST(1.0001 AS FLOAT)) AS embedding
+             |  FROM embeddings WHERE vec_id < 100),
+             |sims AS (
+             |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |    list_dot_product(
+             |        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+             |SELECT d1, d2, round(cos_sim, 4) AS cos_sim FROM sims
+             |WHERE cos_sim >= 0.99
              |ORDER BY d1, d2""".stripMargin)),
 
     // Brute-force cosine top-k: for each query vector (vec_id < 10), the

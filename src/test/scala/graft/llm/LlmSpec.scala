@@ -95,6 +95,45 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"planted-twin recall too low: $recall")
   }
 
+  test("bucketedTopPairs matches the exact all-pairs top-k on planted twins") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 30).map(i => (i.toLong, unit(64)))
+    val twins = base.take(10).map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val exact = Similarity.allPairsTopK(corpus, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.bucketedTopPairs(corpus, k = 10,
+        planes = 2, tables = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == exact, s"bucketed=$bucketed exact=$exact")
+  }
+
+  test("nearDupPairs: scaled copies found with recall 1, nothing else") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 50).map(i => (i.toLong, unit(64)))
+    val copies = base.map { case (i, v) => (i + 1000L, v.map(_ * 1.0001f)) }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    val found = Similarity.nearDupPairs(corpus, minCos = 0.99,
+        planes = 16, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // positive scaling never flips a sign-LSH plane → recall exactly 1
+    assert(found == base.map { case (i, _) => (i, i + 1000L) }.toSet)
+  }
+
   test("languageId classifies clear-cut texts") {
     import SparkSpec.spark.implicits._
     val texts = Seq(

@@ -45,4 +45,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_dedup_embedding: LSH bucket equi-join, no nested-loop join") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // top-k, not global sort
+  }
+
+  test("q_dedup_embedding_planted: threshold near-dup has no nested-loop join") {
+    val p = plan("q_dedup_embedding_planted")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sim_ann_lsh: candidate dedup shuffles bare ids, not vectors") {
+    val df = graft.SparkEntry.queries("q_sim_ann_lsh")(spark, sfDir)
+    // The HashAggregate implementing the candidate .distinct() must group
+    // by exactly (query_id, cand_id) — a vector column in its keys means
+    // 64-dim arrays went through the shuffle (the anti-pattern this plan
+    // is designed around).
+    // sparkPlan (pre-AQE): AdaptiveSparkPlanExec has no children, so
+    // collect on executedPlan would see nothing.
+    val agg = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    val distinctAggs = agg.filter(a =>
+      a.groupingExpressions.nonEmpty && a.aggregateExpressions.isEmpty)
+    assert(distinctAggs.nonEmpty)
+    distinctAggs.foreach { a =>
+      assert(!a.groupingExpressions.exists(e =>
+        e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"distinct carries array (vector) keys: ${a.groupingExpressions}")
+    }
+  }
 }
