@@ -149,8 +149,8 @@ final class Pipeline(
     val ctx = StageContext(spark, this, inputId, status)
     for (st <- stageVec) {
       if (ctrl.step(st.id) || extra.contains(st.id)) {
-        status.foreach(_.update(Map(
-          "info" -> "process-stage", "stage" -> st.id), intermediate = true))
+        // stage-level events ("start-stage"/"skip-stage") are emitted by
+        // Stage.run itself, mirroring repype/stage.py:235-240
         try {
           val (nd, dt) = st.run(ctx, d, config)
           d = nd

@@ -90,7 +90,8 @@ trait Stage {
       callback("end", ctx, newData)
       (newData, dt)
     } else {
-      ctx.status.foreach(_.update(Map("info" -> "skip-stage", "stage" -> id)))
+      ctx.status.foreach(_.update(Map("info" -> "skip-stage", "stage" -> id),
+        intermediate = true))
       callback("skip", ctx, data)
       (data, 0.0)
     }

@@ -80,19 +80,186 @@ object Status {
     else Files.readAllLines(path).asScala.toSeq
       .filter(_.nonEmpty).map(Json.parseJson)
 
-  /** Render events as indented console lines — the reference CLI renderer's
-    * format contract (repype/cli.py:21-245): indentation follows scope
-    * nesting; non-intermediate events print one line each; intermediate
-    * events only materialize if they are the last event (in-flight). */
+  /** `format_hms` (repype/cli.py:36-44): `mm:ss`, or `h:mm:ss` above one
+    * hour. */
+  def formatHms(seconds: Double): String = {
+    val s0 = math.round(seconds)
+    val (h, m, s) = (s0 / 3600, (s0 % 3600) / 60, s0 % 60)
+    val ms = f"$m%02d:$s%02d"
+    if (h == 0) ms else s"$h:$ms"
+  }
+
+  /** Render a full event sequence as the console transcript (the exact
+    * bytes a live run prints, carriage returns included) — the non-live
+    * entry point over [[ConsoleRenderer]], used post-hoc and in golden
+    * transcript tests. */
   def render(events: Seq[Map[String, Any]]): String = {
-    val lines = events.zipWithIndex.collect {
-      case (e, i) if e.get("intermediate") != Some(true) || i == events.length - 1 =>
-        val depth = String.valueOf(e.getOrElse("scope", "0")).count(_ == '/')
-        val info = String.valueOf(e.getOrElse("info", ""))
+    val sb = new StringBuilder
+    val r = new ConsoleRenderer(sb.append(_))
+    events.foreach(r.handle)
+    sb.toString
+  }
+}
+
+/** Stateful console renderer — behavioral counterpart of the reference's
+  * `StatusReaderConsoleAdapter` (repype/cli.py:31-245): per-event format
+  * strings, indentation = 2 spaces per scope-nesting level, a blank line
+  * whenever the indentation level changes, and intermediate events printed
+  * with a trailing carriage return and padded by the next line so they are
+  * visually overwritten in place (progress lines, stage spinners).
+  *
+  * Divergence by design: the reference's status store physically replaces
+  * intermediates, so its reader can miss them between polls; graft's JSONL
+  * keeps every event, so the transcript is deterministic — golden tests can
+  * assert the full byte stream.
+  */
+final class ConsoleRenderer(write: String => Unit, indent: Int = 2,
+                            now: () => Long = System.nanoTime) {
+  private val BarLength = 20
+  private var margin: Option[String] = None
+  private var intermediateLineLength = 0
+  private var progressT0 = 0L
+
+  private def str(e: Map[String, Any], k: String): Option[String] =
+    e.get(k).filter(_ != null).map(String.valueOf)
+  private def num(e: Map[String, Any], k: String): Option[Long] =
+    e.get(k).collect { case n: Long => n; case d: Double => d.toLong }
+
+  /** Pad with spaces so a previously printed `\r` line is fully erased. */
+  private def clearLine(line: String): String = {
+    val flat = line.replace("\n", " ")
+    flat + " " * math.max(0, intermediateLineLength - flat.length)
+  }
+
+  /** The reference CLI's per-info format strings (repype/cli.py:162-238).
+    * None = event not rendered (e.g. bare `expand` links). */
+  private def format(e: Map[String, Any]): Option[String] =
+    str(e, "info") match {
+      case Some("batch") =>
+        val n = e.get("batch") match { case Some(l: Seq[_]) => l.length; case _ => 0 }
+        Some(s"\n$n task(s) selected for running")
+      case Some("enter") =>
+        Some(s"\n(${num(e, "step").getOrElse(0L) + 1}/${num(e, "step_count").getOrElse(0L)})" +
+          s" Entering task: ${str(e, "task").getOrElse("")}")
+      case Some("start") =>
+        Some((str(e, "pickup"), str(e, "first_stage")) match {
+          case (None, None) => "Starting from scratch"
+          case (pickup, firstStage) =>
+            s"Picking up from: ${pickup.getOrElse("")} (${firstStage.getOrElse("copy")})"
+        })
+      case Some("process") =>
+        Some(s"(${num(e, "step").getOrElse(0L) + 1}/${num(e, "step_count").getOrElse(0L)})" +
+          s" Processing: ${str(e, "input_id").getOrElse("")}")
+      case Some("start-stage") => Some(s"Running stage: ${str(e, "stage").getOrElse("")}")
+      case Some("skip-stage") => Some(s"Skipping stage: ${str(e, "stage").getOrElse("")}")
+      case Some("storing") => Some("Storing results...")
+      case Some("completed") => Some("Results have been stored ✅")
+      case Some("interrupted") => Some("🔴 Batch run interrupted")
+      case Some("error") =>
+        val stagePart = str(e, "stage").map(s => s"""the stage "$s" of """).getOrElse("")
+        Some(s"\n🔴 An error occurred while processing ${stagePart}the task " +
+          s"${str(e, "task").getOrElse("")}:\n" + "-" * 80 + "\n" +
+          str(e, "traceback").getOrElse("") + "\n" + "-" * 80)
+      case Some("progress") =>
+        val step = num(e, "step").getOrElse(0L)
+        val max = math.max(1L, num(e, "max_steps").getOrElse(1L))
+        val eta =
+          if (step == 0) { progressT0 = now(); "" }
+          else {
+            val speed = (now() - progressT0) / 1e9 / step
+            ", ETA: " + Status.formatHms(speed * (max - step))
+          }
+        val bar = "=" * ((BarLength * step) / max).toInt
+        val pct = f"${100.0 * step / max}%.1f"
+        val details = str(e, "details").filter(_.nonEmpty).map(_ + " ").getOrElse("")
+        Some(s"$details[${bar + " " * (BarLength - bar.length)}] $pct% ($step / $max$eta)")
+      case Some("progress-done") => None // handled in handle(): clears the bar
+      case Some(other) => // unknown events: generic "info key=value" line
         val detail = Seq("task", "stage", "input_id", "details", "pickup")
-          .flatMap(k => e.get(k).filter(_ != null).map(v => s"$k=$v"))
-        "  " * depth + (info +: detail).mkString(" ")
+          .flatMap(k => str(e, k).map(v => s"$k=$v"))
+        Some((other +: detail).mkString(" "))
+      case None => None // bare expand links carry no renderable text
     }
+
+  /** Indentation + margin-change blank line + clear-padding
+    * (repype/cli.py:131-156). */
+  private def fullFormat(e: Map[String, Any], text: String): String = {
+    val depth = String.valueOf(e.getOrElse("scope", "0")).count(_ == '/')
+    val m = " " * (indent * depth)
+    val withBreak =
+      if (margin.exists(_ != m) && text.split("\n", -1).head.trim.nonEmpty) "\n" + text
+      else text
+    margin = Some(m)
+    val lines = withBreak.split("\n", -1).map(m + _)
+    lines(0) = clearLine(lines(0))
     lines.mkString("\n")
+  }
+
+  def handle(e: Map[String, Any]): Unit = {
+    val intermediate = e.get("intermediate").contains(true)
+    str(e, "info") match {
+      case Some("progress-done") => // clear the in-flight progress bar
+        write(clearLine("") + "\r")
+        intermediateLineLength = 0
+      case _ => format(e).foreach { text =>
+        val full = fullFormat(e, text)
+        if (intermediate) {
+          val lines = full.split("\n", -1)
+          if (lines.length > 1) write(lines.init.mkString("\n") + "\n")
+          write(lines.last + "\r")
+          intermediateLineLength = lines.last.length
+        } else {
+          write(full + "\n")
+          intermediateLineLength = 0
+        }
+      }
+    }
+  }
+}
+
+/** Live follower: tails a status JSONL from a daemon thread and renders
+  * events incrementally to `write` while the batch runs — the counterpart
+  * of the reference's watchdog `StatusReader` (repype/status.py:391-632)
+  * reduced to offset polling on one flat file. `stop()` drains whatever is
+  * left so the transcript is complete. */
+final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50) {
+  private val renderer = new ConsoleRenderer(write)
+  @volatile private var stopped = false
+  private var offset = 0L
+  private var buffer = ""
+  private val thread = new Thread(() => {
+    while (!stopped) { drain(); Thread.sleep(pollMs) }
+  }, "graft-status-tailer")
+  thread.setDaemon(true)
+
+  private def drain(): Unit = synchronized {
+    if (Files.exists(path)) {
+      val ch = java.nio.channels.FileChannel.open(path)
+      try {
+        val size = ch.size()
+        if (size > offset) {
+          val buf = java.nio.ByteBuffer.allocate((size - offset).toInt)
+          ch.position(offset)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          offset = size
+          buffer += new String(buf.array(), 0, buf.position(), "UTF-8")
+          // consume only complete lines; keep a trailing partial line
+          val upto = buffer.lastIndexOf('\n')
+          if (upto >= 0) {
+            buffer.substring(0, upto).split("\n").filter(_.nonEmpty)
+              .foreach(l => renderer.handle(Json.parseJson(l)))
+            buffer = buffer.substring(upto + 1)
+          }
+        }
+      } finally ch.close()
+    }
+  }
+
+  def start(): Unit = thread.start()
+
+  def stop(): Unit = {
+    stopped = true
+    thread.join(5000)
+    drain()
   }
 }

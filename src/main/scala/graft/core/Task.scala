@@ -194,15 +194,52 @@ final class Task(
 
   /** Persist the task data: Parquet per persistent field × input (columnar
     * replacement for dill.gz, repype/task.py:489-534), plus digests and
-    * times.csv. */
+    * times.csv.
+    *
+    * When `batchInputs` (homogeneous per-input configs, SURVEY §1.4), each
+    * field is written as ONE distributed job — the per-input plans union'd
+    * with an `input_id` column and written `partitionBy("input_id")`,
+    * which lands in exactly the `data/<field>/input_id=<id>/` layout the
+    * per-input loop produces (so [[load]] and pickup are unaffected). This
+    * is the scale fix for many-input tasks: N×fields driver-serialized
+    * small jobs collapse to `fields` jobs whose partitions fan out across
+    * the cluster. Falls back to the per-input loop per field when schemas
+    * diverge, an `input_id` column already exists, or an id isn't a safe
+    * partition-directory name.
+    */
   def store(pipeline: Pipeline, data: Map[InputId, Map[String, DataFrame]],
-            config: Config, times: Benchmark): Unit = {
+            config: Config, times: Benchmark,
+            batchInputs: Boolean = false): Unit = {
     require(runnable, "not runnable")
     require(data.keySet == inputIds.toSet,
       s"data inputs ${data.keySet} != spec inputs ${inputIds.toSet}")
-    for ((inputId, fields) <- data;
-         (field, df) <- stripMarginals(pipeline, fields) if field != "input_id")
-      df.write.mode("overwrite").parquet(fieldDir(field, inputId).toString)
+    val stripped: Map[InputId, Map[String, DataFrame]] =
+      data.map { case (id, fields) =>
+        id -> (stripMarginals(pipeline, fields) - "input_id")
+      }
+    val fieldNames = stripped.values.flatMap(_.keys).toSet
+    for (field <- fieldNames) {
+      val perInput: Map[InputId, DataFrame] =
+        stripped.collect { case (id, fs) if fs.contains(field) => id -> fs(field) }
+      val canBatch = batchInputs && perInput.size > 1 &&
+        perInput.keys.forall(_.render.matches("[A-Za-z0-9._-]+")) &&
+        perInput.values.map(_.schema).toSet.size == 1 &&
+        !perInput.values.head.columns.contains("input_id")
+      if (canBatch) {
+        import org.apache.spark.sql.functions.lit
+        perInput.toSeq.sortBy(_._1)
+          .map { case (id, df) => df.withColumn("input_id", lit(id.render)) }
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("input_id")
+          .parquet(dataPath.resolve(field).toString)
+        // a 0-row input produces no partition directory — write it
+        // per-input so load()'s per-id existence contract holds
+        for ((id, df) <- perInput if !Files.exists(fieldDir(field, id)))
+          df.write.mode("overwrite").parquet(fieldDir(field, id).toString)
+      } else
+        for ((id, df) <- perInput)
+          df.write.mode("overwrite").parquet(fieldDir(field, id).toString)
+    }
     Files.writeString(digestTaskFilepath,
       Json.canonical(fullSpecWithConfig(config)))
     val hashes = Map(
@@ -285,6 +322,13 @@ final class Task(
       "pickup" -> pickupTask.map(_.path.toAbsolutePath.toString).orNull,
       "first_stage" -> firstStage.map(_.id).orNull)))
 
+    // Homogeneous inputs (identical per-input configure result — the
+    // common case) let the store collapse per-input writes into one
+    // distributed job per field (SURVEY §1.4); heterogeneous configs keep
+    // the per-input path.
+    val homogeneousInputs = inputIds.length > 1 &&
+      inputIds.map(id => pipeline.configure(config, id).sha).distinct.size == 1
+
     // Nothing to do if picking up a fully-valid result
     if (!doPickup || firstStage.isDefined) {
       val ids = inputIds
@@ -312,7 +356,7 @@ final class Task(
     }
 
     status.foreach(_.update(Map("info" -> "storing"), intermediate = true))
-    store(pipeline, data, config, times)
+    store(pipeline, data, config, times, batchInputs = homogeneousInputs)
     status.foreach(_.update(Map(
       "info" -> "completed", "task" -> path.toAbsolutePath.toString)))
     data

@@ -49,17 +49,43 @@ class StatusSpec extends AnyFunSuite {
     assert(events.last("intermediate") == false)
   }
 
-  test("render: skips stale intermediates, keeps last, indents by scope") {
+  test("render: reference format strings, \\r intermediates, scope indent") {
     val (path, status) = mk()
-    status.update(Map("info" -> "start", "task" -> "t1"))
-    status.update(Map("info" -> "working"), intermediate = true) // stale
-    val child = status.derive()
-    child.update(Map("info" -> "inner"))
-    status.update(Map("info" -> "spinner"), intermediate = true) // last → kept
+    status.update(Map("info" -> "start", "task" -> "t1",
+      "pickup" -> null, "first_stage" -> null))
+    status.update(Map("info" -> "start-stage", "stage" -> "segmentation"),
+      intermediate = true)
+    val child = status.derive() // expand event: not rendered
+    child.update(Map("info" -> "inner", "details" -> "d")) // unknown info
     val out = Status.render(Status.readEvents(path))
-    assert(out.contains("start task=t1"))
-    assert(!out.contains("working"))
-    assert(out.contains("spinner"))
-    assert(out.linesIterator.exists(_.startsWith("  inner")))
+    assert(out ==
+      "Starting from scratch\n" +
+        "Running stage: segmentation\r" + // \r spinner, overwritten by…
+        " " * 27 + "\n" +                 // …the margin-change clear line
+        "  inner details=d\n")            // generic fallback, indented
+  }
+
+  test("formatHms: mm:ss under an hour, h:mm:ss above") {
+    assert(Status.formatHms(59) == "00:59")
+    assert(Status.formatHms(90) == "01:30")
+    assert(Status.formatHms(3600) == "1:00:00")
+    assert(Status.formatHms(3661) == "1:01:01")
+  }
+
+  test("progress renders a bar with percentage and ETA") {
+    var t = 0L
+    val sb = new StringBuilder
+    val r = new ConsoleRenderer(sb.append(_), now = () => t)
+    r.handle(Map("info" -> "progress", "scope" -> "0", "intermediate" -> true,
+      "step" -> 0L, "max_steps" -> 100L, "details" -> "items"))
+    t = 5L * 1000 * 1000 * 1000 // 5 s later, 50 steps done → ETA 5 s
+    r.handle(Map("info" -> "progress", "scope" -> "0", "intermediate" -> true,
+      "step" -> 50L, "max_steps" -> 100L, "details" -> "items"))
+    r.handle(Map("info" -> "progress-done", "scope" -> "0"))
+    val out = sb.toString
+    assert(out.startsWith("items [" + " " * 20 + "] 0.0% (0 / 100)\r"))
+    assert(out.contains(
+      "items [" + "=" * 10 + " " * 10 + "] 50.0% (50 / 100, ETA: 00:05)\r"))
+    assert(out.endsWith(" " * ("items [] 50.0% (50 / 100, ETA: 00:05)".length + 20) + "\r"))
   }
 }

@@ -195,12 +195,71 @@ class TaskSpec extends SparkSpec {
       assert(Files.exists(dir.resolve(s"data/summary_sorted/input_id=$i")))
     }
     assert(t.times.shape == (5, 3))
+    // homogeneous per-input configs → each field stored as ONE distributed
+    // partitionBy("input_id") job: the _SUCCESS marker sits at the FIELD
+    // level, not inside each input_id=N directory (SURVEY §1.4)
+    assert(Files.exists(dir.resolve("data/summary_sorted/_SUCCESS")))
+    assert(!Files.exists(dir.resolve("data/summary_sorted/input_id=1/_SUCCESS")))
+    // and the partitioned layout round-trips through load()
+    val loaded = t.load(Some(ctx.pipeline))
+    assert(loaded(InputId(2))("summary_sorted").count() > 0)
   }
 
-  test("status transcript records pickup lineage (golden event contract)") {
-    // mirrors the reference's marquee e2e assertion (tests/test_repype.py:
-    // 158-182): the child run's transcript must name the parent it picked
-    // up from and the first diverging stage it restarted at
+  test("heterogeneous per-input configs fall back to per-input writes") {
+    // a stage whose configure() depends on the input id makes the
+    // configure-shas diverge → store keeps the per-input loop
+    StageRegistry.register("limit-by-input", () => new Stage {
+      override def id = "limit-by-input"
+      override def inputs = Set("lineitem")
+      override def outputs = Set("limited")
+      override def version = 1
+      override def configure(pipeline: Pipeline, inputId: InputId) =
+        Seq(ConfigureRule("limit", factor = inputId.render.toDouble * 10,
+          integer = true))
+      def process(ctx: StageContext, in: Map[String, org.apache.spark.sql.DataFrame],
+                  config: Config) = {
+        val n = config.get("limit", 10L) match {
+          case l: Long => l.toInt
+          case d: Double => d.toInt
+          case other => other.toString.toDouble.toInt
+        }
+        Map("limited" -> in("lineitem").limit(n))
+      }
+    })
+    val root = tempDir("task")
+    val dir = root.resolve("het")
+    writeSpec(dir,
+      s"""runnable: true
+         |pipeline: [scan-lineitem, limit-by-input]
+         |config:
+         |  scan-lineitem:
+         |    path: $sfDir
+         |input_ids: [1, 2]
+         |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    val t = batch.task(dir).get
+    val ctx = RunContext(t, t.createPipeline(), t.createConfig())
+    ctx.run()
+    // per-input writes: _SUCCESS inside each input dir, none at field level
+    assert(!Files.exists(dir.resolve("data/limited/_SUCCESS")))
+    assert(Files.exists(dir.resolve("data/limited/input_id=1/_SUCCESS")))
+    assert(Files.exists(dir.resolve("data/limited/input_id=2/_SUCCESS")))
+    // the input-dependent config actually took effect
+    assert(spark.read.parquet(dir.resolve("data/limited/input_id=1").toString)
+      .count() == 10)
+    assert(spark.read.parquet(dir.resolve("data/limited/input_id=2").toString)
+      .count() == 20)
+  }
+
+  test("golden console transcript for a 2-task pickup run") {
+    // byte-for-byte port of the reference's marquee e2e assertion
+    // (tests/test_repype.py:158-182): full console transcript of a parent
+    // run from scratch + a variant picking up at its diverging stage —
+    // carriage-return stage spinners, margin blank lines, clear-padding
+    // and all. Divergence by design: graft's JSONL keeps every
+    // intermediate, so (unlike the reference's racy file-overwrite reader)
+    // this transcript is deterministic and includes "Storing results...".
     val root = tempDir("task")
     val tDir = root.resolve("t")
     val vDir = tDir.resolve("v")
@@ -214,18 +273,48 @@ class TaskSpec extends SparkSpec {
     val batch = new Batch(spark)
     batch.load(root)
     val statusPath = root.resolve("status.jsonl")
-    assert(batch.run(status = Some(Status.create(statusPath))))
-    val rendered = Status.render(Status.readEvents(statusPath))
-    // parent ran from scratch: start with no pickup
-    assert(rendered.linesIterator.exists(l =>
-      l.contains("start") && l.contains("/t") && !l.contains("pickup=")))
-    // child picked up the parent and restarted at the diverging stage
-    val childStart = Status.readEvents(statusPath).find(e =>
-      e.get("info").contains("start")
-        && String.valueOf(e.getOrElse("task", "")).endsWith("/v")).get
-    assert(String.valueOf(childStart("pickup")).endsWith("/t"))
-    assert(childStart("first_stage") == "filter-shipdate")
-    assert(rendered.contains("completed"))
+
+    // live tailing: collect the transcript WHILE the batch runs
+    val live = new StringBuilder
+    val tailer = new StatusTailer(statusPath,
+      s => live.synchronized { live.append(s) }, pollMs = 10)
+    tailer.start()
+    try assert(batch.run(status = Some(Status.create(statusPath))))
+    finally tailer.stop()
+
+    val pad = " " * 34 // clears "    Running stage: filter-shipdate" (34)
+    val golden =
+      "\n2 task(s) selected for running\n" +
+      "  \n" +
+      s"  (1/2) Entering task: $tDir\n" +
+      "  Starting from scratch\n" +
+      "    \n" +
+      "    (1/1) Processing: 1\n" +
+      "    Running stage: scan-lineitem\r" +
+      "    Running stage: filter-shipdate\r" +
+      "    Running stage: pricing-summary\r" +
+      "    Running stage: sort-summary   \r" +
+      "    Running stage: sink-parquet   \r" +
+      pad + "\n" +
+      "  Storing results...\r" +
+      "  Results have been stored ✅\n" +
+      "  \n" +
+      s"  (2/2) Entering task: $vDir\n" +
+      s"  Picking up from: $tDir (filter-shipdate)\n" +
+      "    \n" +
+      "    (1/1) Processing: 1\n" +
+      "    Running stage: filter-shipdate\r" +
+      "    Running stage: pricing-summary\r" +
+      "    Running stage: sort-summary   \r" +
+      "    Running stage: sink-parquet   \r" +
+      pad + "\n" +
+      "  Storing results...\r" +
+      "  Results have been stored ✅\n"
+
+    // post-hoc render of the event log is the golden transcript...
+    assert(Status.render(Status.readEvents(statusPath)) == golden)
+    // ...and the live tailer produced exactly the same bytes
+    assert(live.synchronized(live.toString) == golden)
   }
 
   test("marginal stages are stripped from the store") {
