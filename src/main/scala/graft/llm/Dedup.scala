@@ -130,10 +130,19 @@ object Dedup {
     * equi-join for candidates → signature-overlap Jaccard estimate.
     * `numHashes = bands * rowsPerBand`; a pair lands in a candidate bucket
     * iff some band of the signature matches exactly.
+    *
+    * Degenerate-bucket guard: a bucket of n near-identical docs would emit
+    * n²/2 clique pairs — at 100 TB one boilerplate page repeated 10M times
+    * is a job-killer. Buckets larger than `maxBucketSize` instead emit
+    * STAR pairs (bucket-minimum doc_id ↔ every other member): O(n) pairs
+    * that keep every member transitively linked to the same representative
+    * — exactly what dedup consumers (union-find / connected components)
+    * need — and each pair still gets its true signature-overlap estimate
+    * downstream. Small buckets keep the complete clique.
     */
   def minhashLsh(documents: DataFrame, numHashes: Int, bands: Int,
                  shingleSize: Int, textCol: String = "text",
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id", maxBucketSize: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // Candidate generation stays NARROW: only (band, bucket, doc_id) flows
@@ -147,12 +156,23 @@ object Dedup {
           b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("d2")),
+    // bucket size + representative in one window pass, co-partitioned with
+    // the candidate join key (band, bucket) — no extra shuffle stage
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val clique = small.select(col("band"), col("bucket"), col("doc_id").as("d1"))
+      .join(small.select(col("band"), col("bucket"), col("doc_id").as("d2")),
         Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
-      .distinct()
+    val star = sized
+      .filter(col("bsz") > maxBucketSize && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    val pairs = clique.unionByName(star).distinct()
     pairs
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")

@@ -73,31 +73,35 @@ object Multimodal {
       spark.sparkContext.parallelize(rows, math.max(1, n / 64)), mediaSchema)
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("mean_intensity", DoubleType, nullable = false)))
+  /** Typed row for the decode input (media_id + opaque bytes). */
+  final case class MediaBlob(media_id: Long, content: Array[Byte])
+  /** Typed decode/feature output row. */
+  final case class MediaFeatures(media_id: Long, width: Int, height: Int,
+                                 channels: Int, n_bytes: Int,
+                                 mean_intensity: Double)
+  /** Typed sampled-frame output row (1→N explode). */
+  final case class MediaFrame(media_id: Long, frame_idx: Int,
+                              frame: Array[Byte])
 
-  /** Decode + feature-extract, partition-local (`mapPartitions` over an
-    * iterator — never materializes a partition; the mapInPandas batch-UDF
-    * shape). Output: one feature row per media row. */
+  /** Decode + feature-extract, partition-local (typed Dataset
+    * `mapPartitions` over an iterator — never materializes a partition;
+    * the mapInPandas batch-UDF shape, but staying inside one codegen'd
+    * plan instead of dropping to the RDD boundary). Output: one feature
+    * row per media row. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        Option(row.getAs[Array[Byte]]("content")).map { bytes =>
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        Option(blob.content).map { bytes =>
           val d = FakeCodec.decode(bytes)
           val mean = if (d.pixels.isEmpty) 0.0
             else d.pixels.map(b => (b & 0xff).toDouble).sum / d.pixels.length
-          Row(row.getLong(0), d.width, d.height, d.channels, d.pixels.length,
-            math.rint(mean * 10000) / 10000)
+          MediaFeatures(blob.media_id, d.width, d.height, d.channels,
+            d.pixels.length, math.rint(mean * 10000) / 10000)
         }
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      })
+      .toDF()
   }
 
   /** "Resize": re-encode to the target dimensions via the stub codec
@@ -126,23 +130,19 @@ object Multimodal {
     * partition-local iterator, the `flatMap` table-function shape. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame", BinaryType, nullable = false)))
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        Option(row.getAs[Array[Byte]]("content")).toSeq.flatMap { bytes =>
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        Option(blob.content).toSeq.flatMap { bytes =>
           val d = FakeCodec.decode(bytes)
           // each "frame" = one row of the fake image
           (0 until d.height by stride).map { y =>
-            val frame = d.pixels.slice(y * d.width * d.channels,
-              (y + 1) * d.width * d.channels)
-            Row(row.getLong(0), y, frame)
+            MediaFrame(blob.media_id, y,
+              d.pixels.slice(y * d.width * d.channels,
+                (y + 1) * d.width * d.channels))
           }
         }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+      })
+      .toDF()
   }
 }

@@ -39,6 +39,25 @@ class LlmSpec extends SparkSpec {
     assert(est14 == 1.0) // identical texts → identical signatures
   }
 
+  test("minhashLsh degenerate bucket: 1k identical docs emit linear star pairs") {
+    import SparkSpec.spark.implicits._
+    // 1000 identical docs + 2 distinct ones. Without the hot-bucket cap the
+    // identical docs form a ~500k-pair clique in EVERY band; with it, each
+    // oversized bucket links members to the bucket-minimum representative:
+    // exactly 999 pairs, all with estimate 1.0, all transitively joined.
+    val many = (0L until 1000L).map(i => (i, "same boilerplate page body " * 4))
+    val distinctDocs = Seq(
+      (5000L, "a completely different document about spark engines"),
+      (5001L, "unrelated text zebra xylophone quasar"))
+    val corpus = (many ++ distinctDocs).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(corpus, numHashes = 64, bands = 16,
+        shingleSize = 5, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 999)
+    assert(pairs.forall { case (d1, _, est) => d1 == 0L && est == 1.0 })
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+  }
+
   test("simhash: identical texts at hamming 0; unrelated far apart") {
     val out = Dedup.simhash(docs, maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
