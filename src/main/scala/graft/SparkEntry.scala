@@ -18,6 +18,7 @@ object SparkEntry {
     RelationalQueries.queries ++
       AggQueries.queries ++
       WindowQueries.queries ++
+      AnalyticQueries.queries ++
       FunctionQueries.queries ++
       EventQueries.queries ++
       LlmQueries.queries ++

@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-decontamination and corpus n-gram statistics for
+  * training-data pipelines.
+  *
+  * Scale design: candidate generation is always an equi-join on a narrow
+  * hashed key (8-byte shingle hash), never raw text through a shuffle.
+  * The benchmark side of decontamination is small by nature (eval sets);
+  * it is explicitly broadcast so the train-side scan is the only pass
+  * over the corpus. N-gram counting is explode → one partial→final hash
+  * aggregate; the top-k is a TakeOrdered, not a global sort.
+  */
+object Contamination {
+
+  /** Distinct char-shingle xxhash64 values per row of `textCol`.
+    * Hashing keeps the shuffle narrow (8 bytes vs `shingleSize` chars);
+    * collisions over a corpus' shingle vocabulary are ~n²/2^65 —
+    * irrelevant next to the false-positive rate of shingling itself. */
+  private def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1))),
+      i => xxhash64(textCol.substr(i, lit(shingleSize)))))
+
+  /** Benchmark decontamination: for each training document, the number of
+    * distinct `shingleSize`-char shingles it shares with ANY benchmark
+    * document. Rows with `n_shared > 0` are contamination suspects (the
+    * exact-substring-overlap check every serious LLM data pipeline runs
+    * against its eval sets before training).
+    */
+  def sharedShingles(train: DataFrame, benchmark: DataFrame,
+                     shingleSize: Int = 20, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val trainSh = train.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
+    val benchSh = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+    // per-doc shingles are already distinct (array_distinct) and the
+    // benchmark side is globally distinct, so the join emits each shared
+    // (doc, shingle) once: count(*) IS the distinct shared-shingle count
+    trainSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus-level top-k word n-grams by occurrence count (heavy-hitter
+    * phrases — boilerplate detection, quality filters). Per-row expression
+    * explode, one hash aggregate, TakeOrdered top-k. */
+  def topNgrams(documents: DataFrame, n: Int, k: Int,
+                textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
+      .otherwise(array())
+    documents
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-2 analytic surface: pivot/unpivot reshaping, regexp functions,
+  * covariance/regression aggregates, median/distribution shape, bitwise
+  * aggregates, time-series gap-fill, and latest-record-per-key compaction.
+  *
+  * Scale notes, per operator, follow the same discipline as the rest of
+  * the query library: aggregations are partial→final hash aggregates,
+  * reshape operators are per-row expression work, the gap-fill calendar
+  * spine is generated from a 1-row aggregate (broadcast, never a driver
+  * collect), and latest-per-key is a WindowGroupLimit-prunable ranking.
+  */
+object AnalyticQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Pivot (long → wide): yearly revenue by order status. Catalyst plans
+    // a pivot as ONE hash aggregate with pivot-value branches (no join,
+    // no second shuffle) — the right shape at any scale when the pivot
+    // value set is small and known.
+    QueryDef(
+      "q_pivot",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("yr")),
+      Some("""SELECT year(o_orderdate) AS yr,
+             |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+             |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+             |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+             |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)),
+
+    // Unpivot (wide → long): per-row 1→N expression explode, shuffle-free.
+    QueryDef(
+      "q_unpivot",
+      (s, dir) => load(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "key", "val")
+        .orderBy(col("p_partkey"), col("key")),
+      Some("""SELECT p_partkey, 'size' AS key, CAST(p_size AS DOUBLE) AS val FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'retail' AS key, p_retailprice AS val FROM part
+             |ORDER BY p_partkey, key""".stripMargin)),
+
+    // Regexp functions: extract / replace-all / match — per-row codegen'd.
+    QueryDef(
+      "q_regexp_funcs",
+      (s, dir) => load(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+          col("p_name").rlike("red|blue").cast("int").as("has_color"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+             |  CAST(regexp_matches(p_name, 'red|blue') AS INT) AS has_color
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Covariance + linear-regression aggregates (one partial→final hash
+    // aggregate; the moment sums combine associatively map-side).
+    QueryDef(
+      "q_covar_regr",
+      (s, dir) => load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 0).as("cov_p"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 0).as("cov_s"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(covar_pop(l_quantity, l_extendedprice), 0) AS cov_p,
+             |  round(covar_samp(l_quantity, l_extendedprice), 0) AS cov_s,
+             |  round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+             |  regr_count(l_extendedprice, l_quantity) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Median (exact interpolated percentile) + distribution shape.
+    // Spark's skewness/kurtosis are population moments (g1, excess g2);
+    // DuckDB's are sample-corrected — the oracle computes the population
+    // forms from raw moments so both sides state the same quantity.
+    QueryDef(
+      "q_median_shape",
+      (s, dir) => load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_quantity")), 2).as("med_qty"),
+          round(skewness(col("l_discount")), 4).as("skew_disc"),
+          round(kurtosis(col("l_discount")), 4).as("kurt_disc"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(median(l_quantity), 2) AS med_qty,
+             |  round(avg((l_discount - m1) ^ 3) / (avg((l_discount - m1) ^ 2) ^ 1.5), 4) AS skew_disc,
+             |  round(avg((l_discount - m1) ^ 4) / (avg((l_discount - m1) ^ 2) ^ 2) - 3, 4) AS kurt_disc
+             |FROM (SELECT l_returnflag, l_quantity, l_discount,
+             |        avg(l_discount) OVER (PARTITION BY l_returnflag) AS m1
+             |      FROM lineitem)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Bitwise aggregates over int32 part sizes.
+    QueryDef(
+      "q_bitwise_agg",
+      (s, dir) => load(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(bit_and(col("p_size")).as("size_and"),
+          bit_or(col("p_size")).as("size_or"),
+          bit_xor(col("p_size")).as("size_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, bit_and(p_size) AS size_and,
+             |  bit_or(p_size) AS size_or, bit_xor(p_size) AS size_xor,
+             |  count(*) AS n
+             |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Time-series gap-fill (resample): daily order counts with missing
+    // calendar days filled with 0. The day spine comes from a 1-row
+    // min/max aggregate exploded into dates — broadcast to the left join,
+    // no driver round-trip, no generate-on-driver; at 100 TB the spine is
+    // still only O(days).
+    QueryDef(
+      "q_gapfill",
+      (s, dir) => {
+        val daily = load(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val spine = load(s, dir, "orders")
+          .agg(min(to_date(col("o_orderdate"))).as("d0"),
+            max(to_date(col("o_orderdate"))).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(unnest(generate_series(
+             |      CAST(min(o_orderdate) AS DATE),
+             |      CAST(max(o_orderdate) AS DATE),
+             |      INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM orders),
+             |daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+             |  FROM orders GROUP BY day)
+             |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders
+             |FROM spine s LEFT JOIN daily d ON s.day = d.day
+             |ORDER BY s.day""".stripMargin)),
+
+    // Latest record per key (CDC-style snapshot compaction): one ranking
+    // window, prunable by WindowGroupLimit — the standard "current state
+    // of every entity" query over an append-only event log.
+    QueryDef(
+      "q_latest_per_key",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        load(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value"), 4).as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |  round(value, 4) AS last_value
+             |FROM events
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+  )
+}

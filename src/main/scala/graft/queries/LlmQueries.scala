@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Packing, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -195,6 +195,65 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: training docs sharing ≥1 distinct
+    // 20-char shingle with a (broadcast) benchmark set — here the docs
+    // with doc_id % 50 == 0 play the eval set, the rest the train corpus.
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Contamination.sharedShingles(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bench AS (
+             |  SELECT text FROM documents WHERE doc_id % 50 = 0),
+             |train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+             |ti AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+             |  FROM train),
+             |tsh AS (
+             |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 20) AS sh
+             |  FROM ti),
+             |bi AS (
+             |  SELECT text,
+             |    unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+             |  FROM bench),
+             |bsh AS (
+             |  SELECT DISTINCT substring(text, CAST(i AS INT), 20) AS sh FROM bi)
+             |SELECT t.doc_id, count(*) AS n_shared
+             |FROM tsh t JOIN bsh b USING (sh)
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // Corpus heavy hitters: top-20 word bigrams by count (boilerplate
+    // detection). Explode → hash agg → TakeOrdered.
+    QueryDef(
+      "q_ngram_topk",
+      (s, dir) => Contamination.topNgrams(load(s, dir, "documents"), n = 2, k = 20),
+      Some("""WITH w AS (
+             |  SELECT string_split(text, ' ') AS words FROM documents),
+             |wi AS (
+             |  SELECT words, unnest(generate_series(1, len(words) - 1)) AS i
+             |  FROM w WHERE len(words) >= 2),
+             |bg AS (
+             |  SELECT words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1] AS ngram
+             |  FROM wi)
+             |SELECT ngram, count(*) AS cnt FROM bg
+             |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
+
+    // Greedy fixed-budget sequence packing (training-sequence assembly):
+    // rows-only by design (the greedy fold is not SQL-expressible without
+    // recursion); invariants ground-truthed in PackingSpec.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) => Packing.packGreedy(load(s, dir, "documents"),
+          tokenBudget = 128, numBuckets = 32)
+        .orderBy(col("doc_id")),
+      None),
 
     // Language-ID heuristic + doc fingerprint: rows-only (hash/profile
     // internals not portable); accuracy asserted in TextAnalysisSpec.

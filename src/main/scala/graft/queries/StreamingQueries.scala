@@ -68,5 +68,22 @@ object StreamingQueries {
         .orderBy(col("event_type")),
       Some("""SELECT event_type, count(DISTINCT event_id) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Stream-stream inner self-join (view → purchase conversions within
+    // 10 minutes): watermarked on both sides + a time-range predicate so
+    // the join state is bounded. Batch-equivalence oracle = plain join.
+    QueryDef(
+      "q_stream_join",
+      (s, dir) => EventStreams.runAvailableNowAppend(
+          s, s"$dir/events.parquet",
+          df => EventStreams.viewPurchaseJoin(df), "stream_join")
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id")),
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id,
+             |  p.event_id AS purchase_id
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             | AND v.event_type = 'view' AND p.event_type = 'purchase'
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+             |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)),
   )
 }

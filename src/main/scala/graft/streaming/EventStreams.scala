@@ -48,6 +48,31 @@ object EventStreams {
       .select(col("user_id"), date_trunc("second", col("w.start")).as("session_start"),
         col("n_events"))
 
+  /** Stream-stream inner self-join with an event-time range bound:
+    * view → purchase conversion pairs per user within `horizon`. Both
+    * sides carry watermarks AND the join has a time-range predicate, so
+    * Spark can bound the join state buffers — the condition that makes a
+    * stream-stream join runnable indefinitely (without it, state grows
+    * with the stream). Works identically on batch input, so the DuckDB
+    * join oracle applies (q_stream_join).
+    */
+  def viewPurchaseJoin(events: DataFrame, horizon: String = "10 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   /** Stateful streaming dedup by event_id within the watermark. */
   def dedupWithinWatermark(events: DataFrame,
                            watermark: String = "10 minutes"): DataFrame =

@@ -153,6 +153,32 @@ class LlmSpec extends SparkSpec {
     assert(found == base.map { case (i, _) => (i, i + 1000L) }.toSet)
   }
 
+  test("sharedShingles flags planted contamination only") {
+    import SparkSpec.spark.implicits._
+    val bench = Seq((100L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix text then the secret benchmark answer is forty two exactly and more"),
+      (2L, "a completely unrelated document about spark and scala engines"),
+    ).toDF("doc_id", "text")
+    val out = Contamination.sharedShingles(train, bench, shingleSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.contains(1L) && out(1L) > 0) // contains an exact substring
+    assert(!out.contains(2L))               // no 20-char overlap
+  }
+
+  test("topNgrams counts the dominant bigram first") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "big data big data big data"),
+      (2L, "small data"),
+    ).toDF("doc_id", "text")
+    val out = Contamination.topNgrams(docs, n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == ("big data", 3L))
+    assert(out.toMap.apply("data big") == 2L)
+  }
+
   test("languageId classifies clear-cut texts") {
     import SparkSpec.spark.implicits._
     val texts = Seq(

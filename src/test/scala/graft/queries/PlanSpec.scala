@@ -40,6 +40,10 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_latest_per_key: WindowGroupLimit prunes the rank-1 filter") {
+    assert(plan("q_latest_per_key").contains("WindowGroupLimit"))
+  }
+
   test("q_dedup_minhash: no cartesian product anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"))
