@@ -150,7 +150,13 @@ object Dedup {
     // there multiplies shuffle/broadcast bytes by the band count (measured:
     // 5-7× wall-clock at sf0.1 from GC churn alone). Signatures join back
     // by doc_id for the distinct candidate pairs only.
+    // The signature table is consumed three times in this plan (banding +
+    // both sides of the pair rejoin); persist it so the shingle explode +
+    // 64-way min aggregate — the expensive part — runs once per action
+    // instead of once per consumer. MEMORY_AND_DISK: signatures are
+    // ~0.5 KB/doc, far cheaper to spill than to recompute at any scale.
     val sigs = minhashSignatures(documents, numHashes, shingleSize, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
@@ -180,6 +186,51 @@ object Dedup {
         round(size(filter(zip_with(col("sig1"), col("sig2"),
             (x, y) => when(x === y, 1)), c => c.isNotNull))
           / lit(numHashes.toDouble), 4).as("est_jaccard"))
+  }
+
+  /** Connected components over an undirected pair list `(d1, d2)` —
+    * dedup-cluster assembly: every duplicate-pair graph component gets the
+    * component-minimum doc_id as its `cluster_id` (what downstream "keep
+    * one representative per cluster" filters consume).
+    *
+    * Algorithm: min-label propagation to fixpoint — each iteration every
+    * node adopts the minimum label among itself and its neighbours; one
+    * shuffle per iteration, converging in O(component diameter) rounds
+    * (dedup graphs are near-cliques or short chains, so diameter is small;
+    * the star-shaped pairs the capped LSH emits converge in one round).
+    * Each iteration `localCheckpoint`s the label table: without lineage
+    * truncation the plan doubles per round and the job dies on plan
+    * explosion long before data size matters. The convergence check is a
+    * scalar `count` of changed labels — an aggregate action, not a
+    * driver-side data loop.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per node: min over neighbours' labels and its own
+      val viaNeighbours = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbours, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 64-bit SimHash over word tokens + banded hamming-distance candidates.

@@ -155,6 +155,40 @@ object AnalyticQueries {
              |FROM spine s LEFT JOIN daily d ON s.day = d.day
              |ORDER BY s.day""".stripMargin)),
 
+    // MERGE / upsert semantics (the lakehouse staple) as one full-outer
+    // join: matched keys update, source-only keys insert, target-only
+    // keys carry through — a single shuffle join, no per-row driver work.
+    // Source keys with o_custkey % 7 == 0 are shifted out of the target
+    // key range so the insert branch is actually exercised.
+    QueryDef(
+      "q_merge_upsert",
+      (s, dir) => {
+        val target = load(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
+        val source = load(s, dir, "orders")
+          .select(when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("k"), col("o_totalprice"))
+          .groupBy(col("k"))
+          .agg(sum(col("o_totalprice")).as("delta"))
+        target.join(source, Seq("k"), "full_outer")
+          .select(col("k"),
+            coalesce(col("c_name"), lit("NEW")).as("name"),
+            round(coalesce(col("c_acctbal"), lit(0.0))
+              + coalesce(col("delta"), lit(0.0)) * 0.001, 2).as("balance"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH source AS (
+             |  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+             |              ELSE o_custkey END AS k,
+             |    sum(o_totalprice) AS delta
+             |  FROM orders GROUP BY k)
+             |SELECT coalesce(c.c_custkey, s.k) AS k,
+             |  coalesce(c.c_name, 'NEW') AS name,
+             |  round(coalesce(c.c_acctbal, 0) + coalesce(s.delta, 0) * 0.001, 2)
+             |    AS balance
+             |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
+             |ORDER BY k""".stripMargin)),
+
     // Latest record per key (CDC-style snapshot compaction): one ranking
     // window, prunable by WindowGroupLimit — the standard "current state
     // of every entity" query over an append-only event log.

@@ -196,6 +196,38 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Dedup-cluster assembly: connected components over a duplicate-pair
+    // graph. The corpus is documents ∪ two id-shifted copies, and pairs
+    // are the CHAIN of consecutive ids within each exact-dup group — so
+    // the component label must propagate transitively (2 hops), which is
+    // what the iterative min-label algorithm is for. The oracle knows the
+    // answer the easy way (min doc_id per content hash).
+    QueryDef(
+      "q_dedup_clusters",
+      (s, dir) => {
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val chain = corpus.select(md5(col("text")).as("h"), col("doc_id"))
+          .withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("d1"), col("doc_id").as("d2"))
+        Dedup.connectedComponents(chain).orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+             |sized AS (
+             |  SELECT doc_id,
+             |    count(*) OVER (PARTITION BY md5(text)) AS n,
+             |    min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+             |  FROM corpus)
+             |SELECT doc_id, cluster_id FROM sized WHERE n > 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: training docs sharing ≥1 distinct
     // 20-char shingle with a (broadcast) benchmark set — here the docs
     // with doc_id % 50 == 0 play the eval set, the rest the train corpus.

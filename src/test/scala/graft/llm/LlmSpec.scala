@@ -153,6 +153,23 @@ class LlmSpec extends SparkSpec {
     assert(found == base.map { case (i, _) => (i, i + 1000L) }.toSet)
   }
 
+  test("connectedComponents: chains, cliques, and isolated pairs") {
+    import SparkSpec.spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain: needs 3 propagation hops
+      (10L, 11L),                   // isolated pair
+      (20L, 21L), (20L, 22L), (21L, 22L), // clique
+      (31L, 30L),                   // reversed order: still min-labelled
+    ).toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
   test("sharedShingles flags planted contamination only") {
     import SparkSpec.spark.implicits._
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly"))
