@@ -98,8 +98,13 @@ object GraftCli {
     } else {
       val statusPath = root.resolve("status.jsonl")
       val status = Status.create(statusPath)
+      // GRAFT_CLI_INTERMEDIATE=0 mutes in-flight \r lines (the reference's
+      // REPYPE_CLI_INTERMEDIATE, repype/cli.py:113-116) — for dumb
+      // terminals and log capture
       val tailer = new StatusTailer(statusPath,
-        s => { System.out.print(s); System.out.flush() })
+        s => { System.out.print(s); System.out.flush() },
+        showIntermediate =
+          sys.env.getOrElse("GRAFT_CLI_INTERMEDIATE", "1") != "0")
       tailer.start()
       val ok =
         try batch.run(Some(selected), Some(status))

@@ -19,6 +19,7 @@ object SparkEntry {
       AggQueries.queries ++
       WindowQueries.queries ++
       AnalyticQueries.queries ++
+      SqlQueries.queries ++
       FunctionQueries.queries ++
       EventQueries.queries ++
       LlmQueries.queries ++

@@ -114,7 +114,8 @@ object Status {
   * assert the full byte stream.
   */
 final class ConsoleRenderer(write: String => Unit, indent: Int = 2,
-                            now: () => Long = System.nanoTime) {
+                            now: () => Long = System.nanoTime,
+                            showIntermediate: Boolean = true) {
   private val BarLength = 20
   private var margin: Option[String] = None
   private var intermediateLineLength = 0
@@ -197,8 +198,12 @@ final class ConsoleRenderer(write: String => Unit, indent: Int = 2,
 
   def handle(e: Map[String, Any]): Unit = {
     val intermediate = e.get("intermediate").contains(true)
+    // intermediate muting (the reference's REPYPE_CLI_INTERMEDIATE=0,
+    // repype/cli.py:113-116): drop in-flight lines entirely
+    if (!showIntermediate && intermediate) return
     str(e, "info") match {
       case Some("progress-done") => // clear the in-flight progress bar
+        if (!showIntermediate) return
         write(clearLine("") + "\r")
         intermediateLineLength = 0
       case _ => format(e).foreach { text =>
@@ -222,8 +227,10 @@ final class ConsoleRenderer(write: String => Unit, indent: Int = 2,
   * of the reference's watchdog `StatusReader` (repype/status.py:391-632)
   * reduced to offset polling on one flat file. `stop()` drains whatever is
   * left so the transcript is complete. */
-final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50) {
-  private val renderer = new ConsoleRenderer(write)
+final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
+                         showIntermediate: Boolean = true) {
+  private val renderer =
+    new ConsoleRenderer(write, showIntermediate = showIntermediate)
   @volatile private var stopped = false
   private var offset = 0L
   private var buffer = ""

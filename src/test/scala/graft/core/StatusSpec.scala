@@ -65,6 +65,16 @@ class StatusSpec extends AnyFunSuite {
         "  inner details=d\n")            // generic fallback, indented
   }
 
+  test("showIntermediate=false mutes in-flight \\r lines entirely") {
+    val sb = new StringBuilder
+    val r = new ConsoleRenderer(sb.append(_), showIntermediate = false)
+    r.handle(Map("info" -> "start-stage", "stage" -> "x", "scope" -> "0",
+      "intermediate" -> true))
+    r.handle(Map("info" -> "progress-done", "scope" -> "0"))
+    r.handle(Map("info" -> "completed", "scope" -> "0"))
+    assert(sb.toString == "Results have been stored ✅\n")
+  }
+
   test("formatHms: mm:ss under an hour, h:mm:ss above") {
     assert(Status.formatHms(59) == "00:59")
     assert(Status.formatHms(90) == "01:30")

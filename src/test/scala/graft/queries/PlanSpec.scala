@@ -44,6 +44,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_latest_per_key").contains("WindowGroupLimit"))
   }
 
+  test("q_decontaminate: benchmark side broadcast, no shuffle of train text") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ngram_topk: top-k is TakeOrdered, not a global sort") {
+    assert(plan("q_ngram_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_exists_subquery: EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+  }
+
   test("q_dedup_minhash: no cartesian product anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"))
