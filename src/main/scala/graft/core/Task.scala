@@ -370,20 +370,33 @@ final class Task(
 object StageRegistry {
   private val factories =
     scala.collection.concurrent.TrieMap.empty[String, () => Stage]
+  private val prefixFactories =
+    scala.collection.concurrent.TrieMap.empty[String, String => Stage]
 
   def register(name: String, factory: () => Stage): Unit =
     factories(name) = factory
+
+  /** Parametric stage families: any spec name starting with `prefix`
+    * resolves through `factory(fullName)` — e.g. `query-<q>` for the
+    * whole analytic query surface, `sink-parquet:<field>` for sinks of
+    * arbitrary fields. */
+  def registerPrefix(prefix: String, factory: String => Stage): Unit =
+    prefixFactories(prefix) = factory
 
   def create(name: String): Stage =
     factories.get(name) match {
       case Some(f) => f()
       case None =>
-        // reflection fallback for fully-qualified class names
-        try Class.forName(name).getDeclaredConstructor().newInstance()
-          .asInstanceOf[Stage]
-        catch {
-          case _: Exception => throw new IllegalArgumentException(
-            s"Unknown stage: $name (not registered, not a class)")
+        prefixFactories.collectFirst {
+          case (p, f) if name.startsWith(p) => f(name)
+        }.getOrElse {
+          // reflection fallback for fully-qualified class names
+          try Class.forName(name).getDeclaredConstructor().newInstance()
+            .asInstanceOf[Stage]
+          catch {
+            case _: Exception => throw new IllegalArgumentException(
+              s"Unknown stage: $name (not registered, not a class)")
+          }
         }
     }
 

@@ -41,9 +41,12 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // tokenization feeds three consumers (both join sides + the size
+    // table): persist so the corpus is tokenized once per action
     val tok = documents
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxDocFreq == Long.MaxValue) tok
       else {

@@ -97,7 +97,10 @@ object Similarity {
   private def candidatePairs(embeddings: DataFrame, planes: Int, tables: Int,
                              vecCol: String, idCol: String): DataFrame = {
     val hp = hyperplanes(tables, planes, EmbeddingDim)
+    // both sides of the bucket self-join read the same keyed projection:
+    // persist so the tables×planes hyperplane dot products run once
     val keyed = bucketKeys(embeddings, hp, "id", vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.select(col("table_id"), col("bucket"), col("id").as("d1"))
       .join(keyed.select(col("table_id"), col("bucket"), col("id").as("d2")),
         Seq("table_id", "bucket"))

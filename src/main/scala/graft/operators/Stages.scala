@@ -134,6 +134,28 @@ final class SinkParquetStage(name: String, val field: String) extends Stage {
   }
 }
 
+/** Bridge: any named query from the engine's analytic surface
+  * (`SparkEntry.queries`) as a pipeline stage — spec name `query-<name>`,
+  * output field `<name>`. Config: `path` (testdata dir, required). This is
+  * what makes SURVEY §2.b literal: every declared operator is runnable
+  * from a task.yml pipeline, sinkable, picked up incrementally, and
+  * benchmarked like any hand-written stage. */
+final class QueryStage(queryName: String) extends Stage {
+  override def id: String = s"query-$queryName"
+  override def outputs: Set[String] = Set(queryName)
+  override def version: Int = 1
+  def process(ctx: StageContext, in: Map[String, DataFrame],
+              config: Config): Map[String, DataFrame] = {
+    val dir = config.get("path", null) match {
+      case s: String => s
+      case _ => throw new IllegalArgumentException(s"$id: config 'path' required")
+    }
+    val query = graft.SparkEntry.queries.getOrElse(queryName,
+      throw new IllegalArgumentException(s"$id: unknown query $queryName"))
+    Map(queryName -> query(ctx.spark, dir))
+  }
+}
+
 /** Default registry wiring for the task.yml surface (replaces the
   * reference's dotted-import pipeline lists, repype/task.py:344-369). */
 object DefaultStages {
@@ -141,6 +163,11 @@ object DefaultStages {
   def registerAll(): Unit = synchronized {
     if (done) return
     done = true
+    // parametric families: the full query surface + arbitrary-field sinks
+    StageRegistry.registerPrefix("query-",
+      name => new QueryStage(name.stripPrefix("query-")))
+    StageRegistry.registerPrefix("sink-parquet:",
+      name => new SinkParquetStage(name, name.stripPrefix("sink-parquet:")))
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings"))
       StageRegistry.register(s"scan-$t", () => new ScanTableStage(t))

@@ -317,6 +317,30 @@ class TaskSpec extends SparkSpec {
     assert(live.synchronized(live.toString) == golden)
   }
 
+  test("query-* bridge: any analytic query runs as a task.yml pipeline stage") {
+    val root = tempDir("task")
+    val dir = root.resolve("q")
+    writeSpec(dir,
+      s"""runnable: true
+         |pipeline: [query-q_dedup_exact, 'sink-parquet:q_dedup_exact']
+         |config:
+         |  query-q_dedup_exact:
+         |    path: $sfDir
+         |input_ids: [1]
+         |scopes: {result: '${root}/out/%s.parquet'}
+         |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    val t = batch.task(dir).get
+    val ctx = RunContext(t, t.createPipeline(), t.createConfig())
+    ctx.run()
+    val sunk = spark.read.parquet(root.resolve("out/1.parquet").toString)
+    assert(sunk.columns.toSeq == Seq("doc_id", "dup_cnt"))
+    assert(sunk.count() == 500) // sf0.001 documents are all distinct
+    // second evaluation is a pickup no-op, like any other stage
+    assert(ctx.pending == "")
+  }
+
   test("marginal stages are stripped from the store") {
     val root = tempDir("task")
     val dir = root.resolve("t")
