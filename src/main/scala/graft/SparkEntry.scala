@@ -20,6 +20,7 @@ object SparkEntry {
       WindowQueries.queries ++
       AnalyticQueries.queries ++
       SqlQueries.queries ++
+      SourceQueries.queries ++
       FunctionQueries.queries ++
       EventQueries.queries ++
       LlmQueries.queries ++

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for Unicode normalization (NFC/NFD/NFKC/
+  * NFKD) — the text-canonicalization step every LLM corpus pipeline runs
+  * before hashing/dedup (differently-composed strings must hash equal).
+  *
+  * Spark has no builtin for this; a Scala UDF would box every row and
+  * fall out of whole-stage codegen. This expression stays codegen'd:
+  * `doGenCode` emits a direct `java.text.Normalizer` call on the row's
+  * string, so normalization composes with the surrounding per-row
+  * expression pipeline (same extension tier as [[DotProductExpr]]).
+  */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+  extends UnaryExpression {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown normalization form: $form")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize expects a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.$form));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftshim.GraftColumn
+
+  /** Column-level Unicode normalization. */
+  def normalize(c: Column, form: String = "NFC"): Column =
+    GraftColumn.column(UnicodeNormalizeExpr(GraftColumn.expression(c), form))
+}

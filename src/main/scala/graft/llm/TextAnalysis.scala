@@ -28,6 +28,23 @@ object TextAnalysis {
         / size(toks), 4).as("stopword_ratio"))
   }
 
+  /** Token Shannon entropy per document (quality signal: repetitive/
+    * boilerplate text scores low). Two hash aggregates — (doc, token)
+    * counts, then per-doc H = log2(n) − Σc·log2(c)/n — both with map-side
+    * partial aggregation; no windows, no driver work. */
+  def tokenEntropy(documents: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log2(col("c"))).as("slc"))
+      .select(col("doc_id"),
+        round(log2(col("n")) - col("slc") / col("n"), 4).as("entropy"))
+
   /** Regex token counts (BPE-ish pre-tokenizer shape: word runs + digit
     * runs counted separately). */
   def tokenCounts(documents: DataFrame, textCol: String = "text",

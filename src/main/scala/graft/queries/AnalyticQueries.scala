@@ -155,6 +155,21 @@ object AnalyticQueries {
              |FROM spine s LEFT JOIN daily d ON s.day = d.day
              |ORDER BY s.day""".stripMargin)),
 
+    // Histogram / value binning: fixed-width bins as floor division —
+    // one hash aggregate, the standard distribution-profiling query.
+    QueryDef(
+      "q_histogram",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+             |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
+             |  round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // MERGE / upsert semantics (the lakehouse staple) as one full-outer
     // join: matched keys update, source-only keys insert, target-only
     // keys carry through — a single shuffle join, no per-row driver work.

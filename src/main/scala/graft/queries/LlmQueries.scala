@@ -287,6 +287,37 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       None),
 
+    // Token Shannon entropy (repetition/boilerplate quality signal).
+    QueryDef(
+      "q_text_entropy",
+      (s, dir) => TextAnalysis.tokenEntropy(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, w, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  GROUP BY doc_id, w),
+             |agg AS (
+             |  SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS slc
+             |  FROM tc GROUP BY doc_id)
+             |SELECT doc_id, round(log2(n) - slc / n, 4) AS entropy
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Unicode NFC normalization via the native codegen'd expression: the
+    // input plants a decomposed "e" + COMBINING ACUTE (U+0301) pair that
+    // NFC must compose to "é" — identical composition on both engines.
+    QueryDef(
+      "q_text_normalize",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.normalize(
+            concat(substring(col("text"), 1, 20), lit("e\u0301")), "NFC")
+            .as("norm"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  nfc_normalize(substring(text, 1, 20) || 'e' || chr(769)) AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Language-ID heuristic + doc fingerprint: rows-only (hash/profile
     // internals not portable); accuracy asserted in TextAnalysisSpec.
     QueryDef(

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional columnar source formats. ORC ships inside spark-sql; the
+  * testdata is parquet-only, so each format stages a converted copy once
+  * per (table, JVM) under target/tmp and scans from that — the DuckDB
+  * oracle reads the original parquet, so the round-trip (parquet →
+  * format → scan → aggregate) is what gets hash-checked.
+  */
+object SourceQueries {
+
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stageOrc(spark: SparkSession, dir: String, table: String): String =
+    staged.getOrElseUpdate(s"$dir/$table", {
+      val out = s"/root/repo/target/tmp/orc_${table}_${math.abs(dir.hashCode)}"
+      Tables.load(spark, dir, table).write.mode("overwrite").orc(out)
+      out
+    })
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ORC scan: per-segment account stats off an ORC copy of `customer`.
+    // Predicate pushdown and column pruning work the same as parquet
+    // (ORC is a first-class V1 file source).
+    QueryDef(
+      "q_scan_orc",
+      (s, dir) => {
+        val path = stageOrc(s, dir, "customer")
+        s.read.orc(path)
+          .filter(col("c_acctbal") > 0)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer WHERE c_acctbal > 0
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+  )
+}
