@@ -191,6 +191,26 @@ object Dedup {
           / lit(numHashes.toDouble), 4).as("est_jaccard"))
   }
 
+  /** Edit-distance near-dup with blocking: candidate pairs share a cheap
+    * blocking key (default: the first token), then exact Levenshtein runs
+    * on candidates only — the classic entity-resolution shape. Never
+    * all-pairs: the block equi-join bounds candidates, and Levenshtein
+    * (O(len²) per pair) is the verify step, not the generate step.
+    */
+  def editDistancePairs(documents: DataFrame, maxDist: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val keyed = documents.select(col(idCol).as("id"), col(textCol).as("t"),
+      split(col(textCol), " ").getItem(0).as("blk"))
+    keyed.select(col("blk"), col("id").as("d1"), col("t").as("t1"))
+      .join(keyed.select(col("blk"), col("id").as("d2"), col("t").as("t2")),
+        Seq("blk"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
   /** Connected components over an undirected pair list `(d1, d2)` —
     * dedup-cluster assembly: every duplicate-pair graph component gets the
     * component-minimum doc_id as its `cluster_id` (what downstream "keep

@@ -196,6 +196,24 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Edit-distance (Levenshtein) near-dup over part names, blocked by
+    // first token: block equi-join generates candidates, exact edit
+    // distance verifies — never all-pairs.
+    QueryDef(
+      "q_dedup_edit",
+      (s, dir) => Dedup.editDistancePairs(
+          load(s, dir, "part").filter(col("p_partkey") < 400),
+          maxDist = 3, textCol = "p_name", idCol = "p_partkey")
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH k AS (
+             |  SELECT p_partkey AS id, p_name AS t,
+             |    string_split(p_name, ' ')[1] AS blk
+             |  FROM part WHERE p_partkey < 400)
+             |SELECT a.id AS d1, b.id AS d2, levenshtein(a.t, b.t) AS dist
+             |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+             |WHERE levenshtein(a.t, b.t) <= 3
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Dedup-cluster assembly: connected components over a duplicate-pair
     // graph. The corpus is documents ∪ two id-shifted copies, and pairs
     // are the CHAIN of consecutive ids within each exact-dup group — so
