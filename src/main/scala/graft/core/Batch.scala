@@ -83,7 +83,9 @@ final class Batch(val spark: SparkSession) {
       currentJobGroup = Some(jobGroup)
       spark.sparkContext.setJobGroup(jobGroup,
         s"graft task ${ctx.task.path}", interruptOnCancel = true)
-      try ctx.run(taskStatus)
+      // per-task execution metrics (input/shuffle/spill) → metrics.json
+      try Metrics.capture(spark, jobGroup,
+        ctx.task.path.resolve("metrics.json")) { ctx.run(taskStatus) }
       catch {
         case e: Throwable =>
           val (stageId, cause) = e match {

@@ -1,0 +1,80 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Execution metrics per job group — the engine-level observability the
+  * reference's `times.csv` (driver wall-clock only) cannot see: input
+  * volume, shuffle traffic, spill, and task counts straight from Spark's
+  * scheduler events. [[Batch.run]] scopes each task to its own job group,
+  * so aggregating by group id yields faithful per-task totals, written as
+  * `metrics.json` next to the digests.
+  */
+object Metrics {
+
+  final case class Totals(
+      var jobs: Long = 0, var tasks: Long = 0,
+      var inputRecords: Long = 0, var inputBytes: Long = 0,
+      var shuffleReadBytes: Long = 0, var shuffleWriteBytes: Long = 0,
+      var spillBytes: Long = 0, var cpuTimeNs: Long = 0) {
+    def json: String =
+      s"""{"jobs": $jobs, "tasks": $tasks, "input_records": $inputRecords,
+         | "input_bytes": $inputBytes, "shuffle_read_bytes": $shuffleReadBytes,
+         | "shuffle_write_bytes": $shuffleWriteBytes, "spill_bytes": $spillBytes,
+         | "cpu_time_ns": $cpuTimeNs}""".stripMargin.replace("\n", "")
+  }
+
+  /** Scheduler listener aggregating task metrics per job-group id. */
+  final class GroupListener extends SparkListener {
+    private val byGroup = TrieMap.empty[String, Totals]
+    private val jobToGroup = TrieMap.empty[Int, String]
+    private val stageToGroup = TrieMap.empty[Int, String]
+
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+      val group = Option(jobStart.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .getOrElse("")
+      if (group.nonEmpty) {
+        jobToGroup(jobStart.jobId) = group
+        jobStart.stageIds.foreach(sid => stageToGroup(sid) = group)
+        byGroup.getOrElseUpdate(group, Totals()).jobs += 1
+      }
+    }
+
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+      for (group <- stageToGroup.get(taskEnd.stageId);
+           t = byGroup.getOrElseUpdate(group, Totals());
+           m <- Option(taskEnd.taskMetrics)) t.synchronized {
+        t.tasks += 1
+        t.inputRecords += m.inputMetrics.recordsRead
+        t.inputBytes += m.inputMetrics.bytesRead
+        t.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+        t.shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+        t.spillBytes += m.diskBytesSpilled
+        t.cpuTimeNs += m.executorCpuTime
+      }
+
+    def totals(group: String): Totals = byGroup.getOrElse(group, Totals())
+  }
+
+  /** Run `body` with a listener attached; afterwards write the job
+    * group's totals to `out` (pretty-small JSON). The listener bus is
+    * asynchronous — wait for it to drain before reading. */
+  def capture[T](spark: SparkSession, group: String, out: Path)(body: => T): T = {
+    val listener = new GroupListener
+    spark.sparkContext.addSparkListener(listener)
+    try body
+    finally {
+      // flush queued scheduler events so late task-end metrics land
+      try org.apache.spark.graftshim.GraftSparkInternals
+        .drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
+      spark.sparkContext.removeSparkListener(listener)
+      Files.writeString(out, listener.totals(group).json + "\n")
+    }
+  }
+}

@@ -289,6 +289,7 @@ final class Task(
     Files.deleteIfExists(digestShaFilepath)
     Files.deleteIfExists(digestTaskFilepath)
     Files.deleteIfExists(timesFilepath)
+    Files.deleteIfExists(path.resolve("metrics.json"))
     if (Files.exists(dataPath)) {
       Files.walk(dataPath).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))

@@ -64,6 +64,34 @@ class BatchSpec extends SparkSpec {
     assert(Status.render(events).nonEmpty)
   }
 
+  test("run writes per-task execution metrics with real input volume") {
+    val root = tempDir("metrics")
+    val dir = root.resolve("m")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("task.yml"),
+      s"""runnable: true
+         |pipeline: [scan-lineitem, filter-shipdate, pricing-summary, sort-summary, sink-parquet]
+         |config:
+         |  scan-lineitem: {path: $sfDir}
+         |  filter-shipdate: {where: "l_shipdate <= '1998-09-02'"}
+         |  sort-summary: {by: [l_returnflag]}
+         |input_ids: [1]
+         |scopes: {result: '${root}/out/%s.parquet'}
+         |""".stripMargin)
+    val batch = new Batch(spark)
+    batch.load(root)
+    assert(batch.run())
+    val metrics = Json.parseJson(
+      Files.readString(dir.resolve("metrics.json")))
+    assert(metrics("jobs").asInstanceOf[Long] > 0)
+    assert(metrics("tasks").asInstanceOf[Long] > 0)
+    assert(metrics("input_records").asInstanceOf[Long] >= 6000) // lineitem rows
+    assert(metrics("shuffle_write_bytes").asInstanceOf[Long] > 0) // the sort
+    // reset clears the metrics file along with the other artifacts
+    batch.task(dir).get.reset()
+    assert(!Files.exists(dir.resolve("metrics.json")))
+  }
+
   test("run aborts on first failure and reports the failing stage") {
     register()
     StageRegistry.register("fail-stage", () => new Stage {
