@@ -60,7 +60,11 @@ object CoreProps extends Properties("graft.core") {
     }
 
   property("sha is order-insensitive over entry insertion") =
-    forAll(Gen.listOfN(5, Gen.zip(pathGen, scalarGen))) { kvs =>
+    forAll(Gen.listOfN(5, Gen.zip(pathGen, scalarGen))) { kvs0 =>
+      // prefix each path with a unique root — duplicate or
+      // prefix-overlapping paths would make insertion order matter
+      // legitimately (last write wins), which is not what's under test
+      val kvs = kvs0.zipWithIndex.map { case ((k, v), i) => (s"r$i/$k", v) }
       val a = kvs.foldLeft(Config()) { case (c, (k, v)) => c.updated(k, v) }
       val b = kvs.reverse.foldLeft(Config()) { case (c, (k, v)) => c.updated(k, v) }
       a.sha == b.sha
