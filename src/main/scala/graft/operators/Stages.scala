@@ -117,15 +117,22 @@ final class SinkParquetStage(name: String, val field: String) extends Stage {
   override def id: String = name
   override def inputs: Set[String] = Set(field)
   override def outputs: Set[String] = Set(field + "_sunk")
-  override def version: Int = 2
+  override def version: Int = 3
   def process(ctx: StageContext, in: Map[String, DataFrame],
               config: Config): Map[String, DataFrame] = {
+    // target resolution order: explicit config `path` (raw, %s = input id)
+    // → config `scope` naming a task scope (placeholder-expanded by the
+    // task, so {ROOTDIR} etc. work) → the default `result` scope
+    val scopeName = config.get("scope", "result") match {
+      case s: String => s
+      case _ => "result"
+    }
     val target = config.get("path", null) match {
       case s: String => s.replace("%s", ctx.inputId.render)
-      case _ => ctx.pipeline.resolve("result", ctx.inputId) match {
+      case _ => ctx.pipeline.resolve(scopeName, ctx.inputId) match {
         case Some(p) => p.toString
         case None => throw new IllegalArgumentException(
-          s"$id: no 'result' scope and no config 'path'")
+          s"$id: no '$scopeName' scope and no config 'path'")
       }
     }
     in(field).write.mode("overwrite").parquet(target)

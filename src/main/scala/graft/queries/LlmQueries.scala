@@ -305,6 +305,98 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       None),
 
+    // Composite document quality score (the filter gate of a corpus
+    // pipeline): stopword ratio + lexical diversity, mixed 50/50 — every
+    // component per-row or one hash aggregate, trivially 100 TB-safe.
+    QueryDef(
+      "q_quality_score",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val stopArr = array(lit("the"), lit("a"), lit("of"), lit("and"))
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            (size(filter(toks, w => array_contains(stopArr, w))) * lit(1.0)
+              / size(toks)).as("stop_ratio"),
+            (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("diversity"))
+          .select(col("doc_id"),
+            round(col("stop_ratio") * 0.5 + col("diversity") * 0.5, 4).as("score"))
+          .withColumn("keep", (col("score") >= 0.35).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '),
+             |        w -> list_contains(['the', 'a', 'of', 'and'], w))) * 1.0
+             |      / len(string_split(text, ' ')) AS stop_ratio,
+             |    len(list_distinct(string_split(text, ' '))) * 1.0
+             |      / len(string_split(text, ' ')) AS diversity
+             |  FROM documents)
+             |SELECT doc_id, round(stop_ratio * 0.5 + diversity * 0.5, 4) AS score,
+             |  CAST(round(stop_ratio * 0.5 + diversity * 0.5, 4) >= 0.35 AS INT) AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Repetition detection: the most frequent word trigram's share of a
+    // document's tokens — the "same phrase looped" failure mode filter.
+    QueryDef(
+      "q_repetition",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val grams = when(size(words) >= 3,
+            transform(sequence(lit(1), size(words) - 2),
+              i => concat_ws(" ", element_at(words, i),
+                element_at(words, i + 1), element_at(words, i + 2))))
+          .otherwise(array())
+        load(s, dir, "documents")
+          .select(col("doc_id"), size(words).as("n_tokens"),
+            explode(grams).as("g"))
+          .groupBy(col("doc_id"), col("n_tokens"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(round(max(col("c")) * lit(3.0) / first(col("n_tokens")), 4)
+            .as("max_trigram_share"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |gi AS (
+             |  SELECT doc_id, len(words) AS n_tokens, words,
+             |    unnest(generate_series(1, len(words) - 2)) AS i
+             |  FROM w WHERE len(words) >= 3),
+             |g AS (
+             |  SELECT doc_id, n_tokens,
+             |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1]
+             |      || ' ' || words[CAST(i AS INT) + 2] AS g
+             |  FROM gi),
+             |tc AS (
+             |  SELECT doc_id, n_tokens, g, count(*) AS c
+             |  FROM g GROUP BY doc_id, n_tokens, g)
+             |SELECT doc_id, round(max(c) * 3.0 / any_value(n_tokens), 4)
+             |  AS max_trigram_share
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: regexp redaction of planted email/phone substrings
+    // (per-row codegen'd regexp_replace chain; patterns chosen to parse
+    // identically under Java regex and RE2).
+    QueryDef(
+      "q_pii_scrub",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 30),
+            lit(" contact: user@example.com or +1-555-0100 now")).as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("raw"),
+              "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+            "\\+?[0-9][0-9-]{6,}[0-9]", "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      substring(text, 1, 30) || ' contact: user@example.com or +1-555-0100 now',
+             |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+             |    '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Token Shannon entropy (repetition/boilerplate quality signal).
     QueryDef(
       "q_text_entropy",
