@@ -246,6 +246,39 @@ object LlmQueries {
              |SELECT doc_id, cluster_id FROM sized WHERE n > 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // The corpus-dedup END PRODUCT: pair graph → connected components →
+    // per-document keep flag (cluster representative = component-minimum
+    // id). Same planted 3-copy corpus as q_dedup_clusters; the oracle
+    // derives keep the easy way (content-hash group minimum), while the
+    // engine walks the chain pairs transitively.
+    QueryDef(
+      "q_dedup_corpus",
+      (s, dir) => {
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val chain = corpus.select(md5(col("text")).as("h"), col("doc_id"))
+          .withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("d1"), col("doc_id").as("d2"))
+        val cc = Dedup.connectedComponents(chain)
+        corpus.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+              .cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents)
+             |SELECT doc_id,
+             |  CAST(min(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS INT)
+             |    AS keep
+             |FROM corpus ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: training docs sharing ≥1 distinct
     // 20-char shingle with a (broadcast) benchmark set — here the docs
     // with doc_id % 50 == 0 play the eval set, the rest the train corpus.

@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
   }
 
+  test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
+    import org.apache.spark.sql.functions.broadcast
+    val c = graft.queries.Tables.load(spark, sfDir, "customer")
+    val o = graft.queries.Tables.load(spark, sfDir, "orders")
+    def planOf(df: org.apache.spark.sql.DataFrame) = {
+      df.count() // materialize so AQE settles on the final physical plan
+      df.queryExecution.executedPlan.toString
+    }
+    val cond = c("c_custkey") === o("o_custkey")
+    assert(planOf(c.hint("merge").join(o, cond)).contains("SortMergeJoin"))
+    assert(planOf(c.hint("shuffle_hash").join(o, cond)).contains("ShuffledHashJoin"))
+    assert(planOf(broadcast(c).join(o, cond)).contains("BroadcastHashJoin"))
+  }
+
   test("q_dedup_minhash: no cartesian product anywhere") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"))
