@@ -155,6 +155,56 @@ object AnalyticQueries {
              |FROM spine s LEFT JOIN daily d ON s.day = d.day
              |ORDER BY s.day""".stripMargin)),
 
+    // Second string-function tier: split_part, printf-style formatting,
+    // character translation — all per-row codegen'd builtins.
+    QueryDef(
+      "q_string_funcs2",
+      (s, dir) => load(s, dir, "part")
+        .select(col("p_partkey"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+          format_string("%s/%05d", col("p_brand"), col("p_size")).as("tag"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  split_part(p_name, ' ', 2) AS second_word,
+             |  printf('%s/%05d', p_brand, p_size) AS tag,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Scalar bitwise operators (AND/OR/XOR/shift) — distinct from the
+    // bit_* aggregates.
+    QueryDef(
+      "q_bitwise_scalar",
+      (s, dir) => load(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").bitwiseAND(lit(12)).as("b_and"),
+          col("p_size").bitwiseOR(lit(3)).as("b_or"),
+          col("p_size").bitwiseXOR(lit(21)).as("b_xor"),
+          shiftleft(col("p_size"), 2).as("b_shl"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  p_size & 12 AS b_and, p_size | 3 AS b_or,
+             |  xor(p_size, 21) AS b_xor, p_size << 2 AS b_shl
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // cume_dist window (completes the ranking-function family).
+    QueryDef(
+      "q_window_cume",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+        load(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  round(cume_dist() OVER (
+             |    PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Histogram / value binning: fixed-width bins as floor division —
     // one hash aggregate, the standard distribution-profiling query.
     QueryDef(
