@@ -155,6 +155,28 @@ object AnalyticQueries {
              |FROM spine s LEFT JOIN daily d ON s.day = d.day
              |ORDER BY s.day""".stripMargin)),
 
+    // Salted skew join, oracle-checked: result-identical to the plain
+    // equi-join by construction — the DuckDB oracle IS the plain join, so
+    // the salt/replicate/drop mechanics are correctness-gated, not just
+    // spec-asserted.
+    QueryDef(
+      "q_join_salted",
+      (s, dir) => {
+        val orders = load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"))
+        val customer = load(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.plans.ScaleJoins.saltedJoin(orders, customer, "o_custkey", salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("rev"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Second string-function tier: split_part, printf-style formatting,
     // character translation — all per-row codegen'd builtins.
     QueryDef(

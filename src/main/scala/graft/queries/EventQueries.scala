@@ -113,6 +113,40 @@ object EventQueries {
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
+    // Forward as-of join (the other merge_asof direction): for every
+    // purchase, the FIRST click strictly after it — same single-window
+    // union formulation, ascending frame over the future.
+    QueryDef(
+      "q_asof_forward",
+      (s, dir) => {
+        val events = load(s, dir, "events")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            lit(0).as("is_probe"), lit(null).cast("long").as("probe_id"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(null).cast("timestamp").as("click_ts"),
+            lit(1).as("is_probe"), col("event_id").as("probe_id"))
+        // strictly after → at equal ts the click must NOT match, so
+        // probes sort last (is_probe asc) at ties; frame = rows after
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").asc)
+          .rowsBetween(1, Window.unboundedFollowing)
+        clicks.unionByName(purchases)
+          .withColumn("next_click",
+            first(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("probe_id").as("event_id"),
+            date_trunc("second", col("next_click")).as("next_click_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id,
+             |  date_trunc('second', min(c.ts)) AS next_click_s
+             |FROM events p
+             |LEFT JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
     // Gap/delta analysis: time since previous event per user (any type).
     QueryDef(
       "q_events_gaps",
