@@ -238,6 +238,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // (convergence checked after each sweep; see guard below the loop)
       // candidate label per node: min over neighbours' labels and its own
       val viaNeighbours = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
@@ -253,6 +254,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent wrong answer is worse than a loud failure: if some
+    // component's diameter exceeds maxIter sweeps, labels are still
+    // propagating — refuse to return them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter sweeps " +
+        "(a component's diameter exceeds the bound); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

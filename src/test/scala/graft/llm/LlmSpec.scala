@@ -170,6 +170,15 @@ class LlmSpec extends SparkSpec {
       30L -> 30L, 31L -> 30L))
   }
 
+  test("connectedComponents refuses to return unconverged labels") {
+    import SparkSpec.spark.implicits._
+    // a 5-node chain needs >1 sweep; with maxIter=1 it must fail loudly
+    val chain = (1L until 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+  }
+
   test("sharedShingles flags planted contamination only") {
     import SparkSpec.spark.implicits._
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly"))
