@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSessionShim
+
+import graft.SparkSpec
+import graft.functions.{TextExpressions, UnicodeNormalizeExpr}
+
+/** Extension-tier wiring (SURVEY §2.b tier c): the optimizer rule
+  * collapses redundant normalization, the extensions class contributes
+  * rule + SQL functions, and the injected functions run the native
+  * expression end-to-end on a live session. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private def countNormalize(df: org.apache.spark.sql.DataFrame): Int =
+    CollapseNormalize(df.queryExecution.analyzed).expressions
+      .flatMap(_.collect { case e: UnicodeNormalizeExpr => e }).length
+
+  test("CollapseNormalize removes redundant passes, keeps distinct forms") {
+    import SparkSpec.spark.implicits._
+    val df = Seq("cafe\u0301").toDF("s")
+    // nfc(nfc(x)) → one pass; nfc(nfkc(x)) → one pass (subsumed)
+    assert(countNormalize(df.select(TextExpressions.normalize(
+      TextExpressions.normalize(col("s"), "NFC"), "NFC"))) == 1)
+    assert(countNormalize(df.select(TextExpressions.normalize(
+      TextExpressions.normalize(col("s"), "NFKC"), "NFC"))) == 1)
+    // nfkc(nfc(x)) is NOT redundant — both passes stay
+    assert(countNormalize(df.select(TextExpressions.normalize(
+      TextExpressions.normalize(col("s"), "NFC"), "NFKC"))) == 2)
+  }
+
+  test("GraftExtensions contributes the rule and both SQL functions") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftSessionShim.optimizerRules(ext, spark)
+      .contains(CollapseNormalize))
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
+      Set("normalize_nfc", "normalize_nfkc"))
+  }
+
+  test("injected SQL functions run the native expression on a live session") {
+    GraftExtensions.functions.foreach(f =>
+      GraftSessionShim.registerFunction(spark, f))
+    val out = spark.sql("SELECT normalize_nfc('e\u0301') AS n, " +
+      "normalize_nfkc('\ufb01le') AS k").head
+    assert(out.getString(0) == "\u00e9")
+    assert(out.getString(1) == "file")
+  }
+}
