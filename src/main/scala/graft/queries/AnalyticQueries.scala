@@ -250,29 +250,34 @@ object AnalyticQueries {
     QueryDef(
       "q_merge_upsert",
       (s, dir) => {
+        // Money math in integer cents: double sums accumulate in
+        // engine-specific order and flip round(x, 2) at .005 boundaries
+        // (observed at sf0.1). balance_u is 10^-5 dollars, exact.
         val target = load(s, dir, "customer")
-          .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
+          .select(col("c_custkey").as("k"), col("c_name"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("acct_cents"))
         val source = load(s, dir, "orders")
           .select(when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000)
-            .otherwise(col("o_custkey")).as("k"), col("o_totalprice"))
+            .otherwise(col("o_custkey")).as("k"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
           .groupBy(col("k"))
-          .agg(sum(col("o_totalprice")).as("delta"))
+          .agg(sum(col("price_cents")).as("delta_cents"))
         target.join(source, Seq("k"), "full_outer")
           .select(col("k"),
             coalesce(col("c_name"), lit("NEW")).as("name"),
-            round(coalesce(col("c_acctbal"), lit(0.0))
-              + coalesce(col("delta"), lit(0.0)) * 0.001, 2).as("balance"))
+            (coalesce(col("acct_cents"), lit(0L)) * 1000
+              + coalesce(col("delta_cents"), lit(0L))).as("balance_u"))
           .orderBy(col("k"))
       },
       Some("""WITH source AS (
              |  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
              |              ELSE o_custkey END AS k,
-             |    sum(o_totalprice) AS delta
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
              |  FROM orders GROUP BY k)
              |SELECT coalesce(c.c_custkey, s.k) AS k,
              |  coalesce(c.c_name, 'NEW') AS name,
-             |  round(coalesce(c.c_acctbal, 0) + coalesce(s.delta, 0) * 0.001, 2)
-             |    AS balance
+             |  coalesce(CAST(round(c.c_acctbal * 100) AS BIGINT), 0) * 1000
+             |    + coalesce(s.delta_cents, 0) AS balance_u
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 

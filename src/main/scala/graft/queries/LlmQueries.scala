@@ -344,28 +344,36 @@ object LlmQueries {
     QueryDef(
       "q_quality_score",
       (s, dir) => {
+        // Emit the raw double (identical op order both engines is
+        // bit-exact; round(x, 4) flips at .00005 half-boundaries — seen
+        // at sf0.1) and gate `keep` with exact integer arithmetic:
+        // (stop+dist)/(2n) >= 0.35  <=>  10*(stop+dist) >= 7*n.
         val toks = split(col("text"), " ")
         val stopArr = array(lit("the"), lit("a"), lit("of"), lit("and"))
         load(s, dir, "documents")
           .select(col("doc_id"),
-            (size(filter(toks, w => array_contains(stopArr, w))) * lit(1.0)
-              / size(toks)).as("stop_ratio"),
-            (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("diversity"))
+            size(filter(toks, w => array_contains(stopArr, w))).as("stop_cnt"),
+            size(array_distinct(toks)).as("dist_cnt"),
+            size(toks).as("n_toks"))
           .select(col("doc_id"),
-            round(col("stop_ratio") * 0.5 + col("diversity") * 0.5, 4).as("score"))
-          .withColumn("keep", (col("score") >= 0.35).cast("int"))
+            ((col("stop_cnt").cast("double") / col("n_toks")) * 0.5
+              + (col("dist_cnt").cast("double") / col("n_toks")) * 0.5)
+              .as("score"),
+            ((col("stop_cnt") + col("dist_cnt")) * 10 >= col("n_toks") * 7)
+              .cast("int").as("keep"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH f AS (
              |  SELECT doc_id,
              |    len(list_filter(string_split(text, ' '),
-             |        w -> list_contains(['the', 'a', 'of', 'and'], w))) * 1.0
-             |      / len(string_split(text, ' ')) AS stop_ratio,
-             |    len(list_distinct(string_split(text, ' '))) * 1.0
-             |      / len(string_split(text, ' ')) AS diversity
+             |        w -> list_contains(['the', 'a', 'of', 'and'], w))) AS stop_cnt,
+             |    len(list_distinct(string_split(text, ' '))) AS dist_cnt,
+             |    len(string_split(text, ' ')) AS n_toks
              |  FROM documents)
-             |SELECT doc_id, round(stop_ratio * 0.5 + diversity * 0.5, 4) AS score,
-             |  CAST(round(stop_ratio * 0.5 + diversity * 0.5, 4) >= 0.35 AS INT) AS keep
+             |SELECT doc_id,
+             |  (CAST(stop_cnt AS DOUBLE) / n_toks) * 0.5
+             |    + (CAST(dist_cnt AS DOUBLE) / n_toks) * 0.5 AS score,
+             |  CAST((stop_cnt + dist_cnt) * 10 >= n_toks * 7 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
     // Repetition detection: the most frequent word trigram's share of a

@@ -338,6 +338,24 @@ object RelationalQueries {
              |  FROM part) WHERE rn <= 3
              |ORDER BY p_brand, rn""".stripMargin)),
 
+    // Deterministic hash-mod sampling — the reproducible corpus-subsample
+    // staple: hashing the key is engine-portable and rerun-stable (unlike
+    // RNG `df.sample`), per-row and shuffle-free, so the same 1/8 sample
+    // comes back on any cluster size at any data scale. First md5 hex
+    // digit in {0,1} = 2/16 of the keyspace.
+    QueryDef(
+      "q_sample_hash",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+            .isin("0", "1"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- set operations --------------------------------------------------
     QueryDef(
       "q_union_all",

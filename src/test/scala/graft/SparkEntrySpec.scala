@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract hygiene: the invariants the external harness depends
+  * on but would only fail on confusingly at round time. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("query names are unique, lowercase q_-prefixed identifiers") {
+    val names = SparkEntry.queries.keySet
+    assert(names.forall(_.matches("^q[0-9]?_?[a-z0-9_]+$")), {
+      names.filterNot(_.matches("^q[0-9]?_?[a-z0-9_]+$")).toString
+    })
+  }
+
+  test("the declared surface keeps growing, never silently shrinks") {
+    // round-2 floor: 117 queries, 101 of them oracle-checked — bump these
+    // when operators are added so a bad refactor can't drop queries
+    // without failing CI
+    assert(SparkEntry.queries.size >= 117,
+      s"only ${SparkEntry.queries.size} queries registered")
+    assert(SparkEntry.oracleSql.size >= 101,
+      s"only ${SparkEntry.oracleSql.size} oracle-checked")
+  }
+}
