@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorExpressions
+
+/** Embedding clustering for corpus curation (domain balancing, diversity
+  * sampling, near-dup triage — the step after dedup in a training-data
+  * pipeline).
+  *
+  * Reference anchor: the reference has no clustering; this extends the
+  * engine's embedding family (`Similarity`) per the builder brief's
+  * "operations a large-scale training-data pipeline would need".
+  *
+  * Scale shape: Lloyd's k-means where each iteration is ONE corpus scan.
+  * Assignment is a per-row codegen'd expression over plan-literal
+  * centroids (k×dim doubles travel with the task closure — no join, no
+  * shuffle of vectors); the update step is one k-group hash aggregate of
+  * per-dimension means (map-side combined, k rows out). Driver state is
+  * k×dim doubles per round — corpus size never reaches the driver, so the
+  * same plan runs at 100 TB. The two tiny `collect()`s (k rows each) are
+  * the deliberate driver-side fixed point of the iteration, not a data
+  * path.
+  */
+object Clustering {
+
+  /** Assign each row's `v` (array<double>) to the nearest centroid.
+    * Squared distance |v-c|² is monotone in |c|² − 2·v·c, so the norm
+    * rides as a literal and the dot product stays in whole-stage codegen
+    * ([[graft.functions.DotProductExpr]]). Ties break to the lowest
+    * centroid index (array_position finds the first minimum).
+    */
+  private def assign(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val scores: Seq[Column] = centroids.toSeq.map { c =>
+      val normSq = c.map(x => x * x).sum
+      lit(normSq) - lit(2.0) * VectorExpressions.dotProduct(col("v"), typedLit(c.toSeq))
+    }
+    df.withColumn("d", array(scores: _*))
+      .withColumn("cluster",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+      .drop("d")
+  }
+
+  /** Lloyd's k-means over `vecCol`; returns (idCol, cluster).
+    *
+    * Deterministic: initial centroids are the k lowest-`idCol` vectors
+    * and argmin ties break to the lowest centroid index, so reruns give
+    * identical assignments on identical data. A cluster that loses every
+    * member keeps its previous centroid (no respawn heuristics).
+    */
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
+    // One tokenized copy serves all `iters` scans (Spark does not reuse
+    // non-exchange subtrees across actions).
+    val cached = vecs
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var centroids: Array[Array[Double]] =
+      cached.orderBy(col(idCol)).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray)
+    require(centroids.length == k,
+      s"need at least $k vectors to seed $k clusters, got ${centroids.length}")
+    val dim = centroids.head.length
+
+    var round = 0
+    while (round < iters) {
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"m$i"))
+      val means = assign(cached, centroids)
+        .groupBy(col("cluster"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      val next = centroids.map(identity)
+      means.foreach { r =>
+        next(r.getInt(0)) = Array.tabulate(dim)(i => r.getDouble(i + 1))
+      }
+      centroids = next
+      round += 1
+    }
+
+    val out = assign(cached, centroids).select(col(idCol), col("cluster"))
+    cached.unpersist(blocking = false)
+    out
+  }
+}

@@ -98,4 +98,39 @@ object TextAnalysis {
         .as("fingerprint"),
       length(normalized).as("n_chars_norm"))
   }
+
+  /** TF-IDF per (document, term): tf = c/n, smoothed idf =
+    * ln((1+N)/(1+df)).
+    *
+    * Scale shape: two hash aggregates off one tokenize-explode (map-side
+    * combined), an equi-join of term counts against the vocabulary df
+    * table (narrow keys), and the 1-row corpus count broadcast. No
+    * windows, no driver work — the vocabulary join is the only shuffle
+    * that grows with corpus size.
+    *
+    * Oracle note: every float op is per-row (count ratios are exact
+    * binary rationals; the single ln product is rounded to 4 decimals —
+    * transcendentals never land on exact decimal half-boundaries, so the
+    * HALF_UP-vs-half-even rounding divergence that bit the rational
+    * scores cannot trigger). Float SUMS would not survive the bit-exact
+    * compare; there are none.
+    */
+  def tfidf(documents: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val tc = documents
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val vocabDf = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.select(countDistinct(col(idCol)).as("n_docs"))
+    tc.join(perDoc, "doc_id")
+      .join(vocabDf, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round((col("c").cast("double") / col("n"))
+          * log((lit(1L) + col("n_docs")).cast("double")
+            / (lit(1L) + col("df")).cast("double")), 4).as("tfidf"))
+  }
 }

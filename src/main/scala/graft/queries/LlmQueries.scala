@@ -484,5 +484,37 @@ object LlmQueries {
       (s, dir) => TextAnalysis.fingerprint(load(s, dir, "documents"))
         .orderBy(col("doc_id")),
       None),
+
+    // TF-IDF relevance weights (retrieval / keyword-extraction staple).
+    // Float ops are strictly per-row so the 4-decimal compare is stable
+    // (see TextAnalysis.tfidf oracle note).
+    QueryDef(
+      "q_tfidf",
+      (s, dir) => TextAnalysis.tfidf(load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("term")),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, term, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term),
+             |pd AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+             |v AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+             |SELECT tc.doc_id, tc.term,
+             |  round((CAST(c AS DOUBLE) / n)
+             |    * ln(CAST(1 + n_docs AS DOUBLE) / CAST(1 + df AS DOUBLE)), 4)
+             |    AS tfidf
+             |FROM tc JOIN pd USING (doc_id) JOIN v USING (term) CROSS JOIN nd
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    // Embedding k-means (corpus curation: domain balancing / diversity
+    // sampling). Iterative — not SQL-expressible; rows-only here, planted
+    // ground truth + determinism in ClusteringSpec.
+    QueryDef(
+      "q_cluster_kmeans",
+      (s, dir) => graft.llm.Clustering.kmeans(
+        load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 5)
+        .orderBy(col("vec_id")),
+      None),
   )
 }

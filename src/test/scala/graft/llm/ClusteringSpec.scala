@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-cluster ground truth for k-means (iterative — the DuckDB
+  * oracle cannot express it, so q_cluster_kmeans is rows-only and this
+  * spec is its correctness gate). */
+class ClusteringSpec extends SparkSpec {
+
+  /** 30 vectors in 3 well-separated blobs around (10,0,0,0), (0,10,0,0),
+    * (0,0,10,0); deterministic per-id offsets stand in for noise. */
+  private lazy val blobs = {
+    import SparkSpec.spark.implicits._
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    (0 until 30).map { i =>
+      val c = centers(i % 3)
+      val off = (i / 3) * 0.05 - 0.2
+      (i.toLong, c.map(_ + off).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans recovers three planted blobs exactly") {
+    val out = Clustering.kmeans(blobs, "vec_id", "embedding", k = 3, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 30)
+    // every member of a blob lands in the same cluster, and the three
+    // blobs land in three different clusters
+    val byBlob = (0 until 3).map(b => out.filterKeys(_ % 3 == b).values.toSet)
+    assert(byBlob.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.flatten.toSet.size == 3, s"blobs merged: $byBlob")
+  }
+
+  test("kmeans is deterministic across reruns") {
+    val a = Clustering.kmeans(blobs, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val b = Clustering.kmeans(blobs, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(a == b)
+  }
+
+  test("empty cluster keeps its previous centroid instead of crashing") {
+    import SparkSpec.spark.implicits._
+    // two far blobs, k=3: one seed centroid is orphaned immediately
+    val twoBlobs = (0 until 10).map { i =>
+      val base = if (i % 2 == 0) 100.0 else -100.0
+      (i.toLong, Array(base.toFloat, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(twoBlobs, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 10)
+    val even = out.filterKeys(_ % 2 == 0).values.toSet
+    val odd = out.filterKeys(_ % 2 == 1).values.toSet
+    assert(even.size == 1 && odd.size == 1 && even != odd)
+  }
+
+  test("rejects k larger than the corpus") {
+    import SparkSpec.spark.implicits._
+    val tiny = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Clustering.kmeans(tiny, "vec_id", "embedding", k = 5, iters = 1)
+    }
+  }
+}
