@@ -229,7 +229,7 @@ object AggQueries {
              |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
     // Exact interpolated percentile (Spark `percentile` == DuckDB
-    // `quantile_cont`); approx_percentile is covered rows-only elsewhere.
+    // `quantile_cont`); the sketch-based scale path is q_approx_quantile.
     QueryDef(
       "q_percentile",
       (s, dir) => {
@@ -244,5 +244,19 @@ object AggQueries {
              |  round(quantile_cont(value, 0.5), 3) AS p50,
              |  round(quantile_cont(value, 0.9), 3) AS p90
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Approximate quantiles via Spark's mergeable KLL-style sketch — the
+    // 100 TB path where exact percentile's per-group sort is the
+    // bottleneck: single pass, fixed sketch memory, map-side merge.
+    // Sketch internals differ from DuckDB's approx_quantile → rows-only;
+    // SamplingSpec bounds the error against the exact percentile.
+    QueryDef(
+      "q_approx_quantile",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("quartiles"))
+        .orderBy(col("o_orderstatus")),
+      None),
   )
 }

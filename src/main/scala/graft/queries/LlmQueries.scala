@@ -507,6 +507,30 @@ object LlmQueries {
              |FROM tc JOIN pd USING (doc_id) JOIN v USING (term) CROSS JOIN nd
              |ORDER BY doc_id, term""".stripMargin)),
 
+    // Per-source quota capping (the Common-Crawl-style move: no single
+    // domain may dominate the corpus). Selection within a source is
+    // deterministic-random — ordered by md5(doc_id), so it's unbiased
+    // w.r.t. content, rerun-stable at any cluster size, AND exactly
+    // reproducible by the oracle (unlike RNG sampling). One window over
+    // the source partitioning; WindowGroupLimit-prunable.
+    QueryDef(
+      "q_quota_per_key",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        load(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .select(col("source"), col("doc_id"), col("rn"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT source, doc_id, rn FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 50 ORDER BY source, doc_id""".stripMargin)),
+
     // Embedding k-means (corpus curation: domain balancing / diversity
     // sampling). Iterative — not SQL-expressible; rows-only here, planted
     // ground truth + determinism in ClusteringSpec.

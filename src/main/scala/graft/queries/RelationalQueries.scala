@@ -356,6 +356,23 @@ object RelationalQueries {
              |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Stratified sampling: per-stratum Bernoulli fractions via
+    // `DataFrame.stat.sampleBy` — seeded, single pass, no shuffle (the
+    // class-rebalancing primitive). RNG draws aren't portable to the
+    // oracle → rows-only; SamplingSpec asserts per-stratum fraction
+    // bounds and same-data determinism.
+    QueryDef(
+      "q_sample_stratified",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .stat.sampleBy("o_orderstatus",
+            Map("O" -> 0.1, "F" -> 0.5, "P" -> 1.0), seed = 42L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("sampled"))
+          .orderBy(col("o_orderstatus"))
+      },
+      None),
+
     // ---- set operations --------------------------------------------------
     QueryDef(
       "q_union_all",
