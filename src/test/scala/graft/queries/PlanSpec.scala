@@ -93,6 +93,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_quota_per_key: quota filter prunes via WindowGroupLimit") {
+    assert(plan("q_quota_per_key").contains("WindowGroupLimit"))
+  }
+
+  test("q_tfidf: corpus-count side is broadcast, no shuffled cross join") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the 1-row n_docs side
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_sim_ann_lsh: candidate dedup shuffles bare ids, not vectors") {
     val df = graft.SparkEntry.queries("q_sim_ann_lsh")(spark, sfDir)
     // The HashAggregate implementing the candidate .distinct() must group
