@@ -507,6 +507,37 @@ object LlmQueries {
              |FROM tc JOIN pd USING (doc_id) JOIN v USING (term) CROSS JOIN nd
              |ORDER BY doc_id, term""".stripMargin)),
 
+    // Overlapping document chunking (pretraining/RAG prep: fixed-size
+    // windows with stride overlap, 1-based char offsets). Pure integer
+    // arithmetic for the chunk count — (n-size+stride-1) div stride —
+    // and per-row substring: exact on both engines, shuffle-free 1→N.
+    QueryDef(
+      "q_chunk_docs",
+      (s, dir) => {
+        val size = 120
+        val stride = 90
+        val extra = greatest(lit(0L),
+          expr(s"(n_chars - $size + ${stride - 1}) div $stride"))
+        load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), extra)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * stride + 1).as("start"),
+            expr(s"substring(text, chunk_id * $stride + 1, $size)").as("chunk"))
+          .withColumn("chunk_len", length(col("chunk")))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0,
+             |      greatest(0, (n_chars - 120 + 89) // 90))) AS chunk_id
+             |  FROM documents)
+             |SELECT doc_id, chunk_id, chunk_id * 90 + 1 AS start,
+             |  substring(text, CAST(chunk_id * 90 + 1 AS INT), 120) AS chunk,
+             |  len(substring(text, CAST(chunk_id * 90 + 1 AS INT), 120))
+             |    AS chunk_len
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Per-source quota capping (the Common-Crawl-style move: no single
     // domain may dominate the corpus). Selection within a source is
     // deterministic-random — ordered by md5(doc_id), so it's unbiased
