@@ -571,5 +571,25 @@ object LlmQueries {
         load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 5)
         .orderBy(col("vec_id")),
       None),
+
+    // Diversity sampling: per-k-means-cluster quota, selection ordered by
+    // md5(vec_id) — every embedding region keeps representation while no
+    // dense cluster dominates (kmeans ∘ quota composition; deterministic
+    // end-to-end). Rows-only via kmeans; the quota half is the
+    // oracle-checked q_quota_per_key machinery.
+    QueryDef(
+      "q_diverse_sample",
+      (s, dir) => {
+        val assigned = graft.llm.Clustering.kmeans(
+          load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 5)
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        assigned
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 25)
+          .select(col("cluster"), col("vec_id"), col("rn"))
+          .orderBy(col("cluster"), col("vec_id"))
+      },
+      None),
   )
 }
