@@ -52,6 +52,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e6
       }
+      // release persisted subtrees between queries (operators persist
+      // multi-consumer plans and return lazily — the driver unpersists)
+      spark.catalog.clearCache()
       name -> math.rint(reps.min) / 1e3
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

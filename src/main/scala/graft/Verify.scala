@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Library operators persist() multi-consumer subtrees and return
+      // lazily, so they cannot unpersist themselves; the query driver
+      // releases everything between queries or blocks accumulate for
+      // the life of the JVM (124 queries in one session).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

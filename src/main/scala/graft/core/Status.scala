@@ -233,7 +233,7 @@ final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
     new ConsoleRenderer(write, showIntermediate = showIntermediate)
   @volatile private var stopped = false
   private var offset = 0L
-  private var buffer = ""
+  private var buffer = scala.collection.mutable.ArrayBuffer.empty[Byte]
   private val thread = new Thread(() => {
     while (!stopped) { drain(); Thread.sleep(pollMs) }
   }, "graft-status-tailer")
@@ -249,13 +249,20 @@ final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
           ch.position(offset)
           while (buf.hasRemaining && ch.read(buf) >= 0) {}
           offset = size
-          buffer += new String(buf.array(), 0, buf.position(), "UTF-8")
-          // consume only complete lines; keep a trailing partial line
-          val upto = buffer.lastIndexOf('\n')
+          // Buffer raw BYTES and decode only whole lines: a multi-byte
+          // UTF-8 character split across two polls must not be decoded
+          // mid-sequence (it would become replacement characters).
+          buffer ++= buf.array().take(buf.position())
+          val upto = buffer.lastIndexOf('\n'.toByte)
           if (upto >= 0) {
-            buffer.substring(0, upto).split("\n").filter(_.nonEmpty)
-              .foreach(l => renderer.handle(Json.parseJson(l)))
-            buffer = buffer.substring(upto + 1)
+            val complete = new String(buffer.take(upto).toArray, "UTF-8")
+            buffer = buffer.drop(upto + 1)
+            // One malformed line (partial flush, torn write) must not
+            // kill the tailer thread — skip it and keep following.
+            complete.split("\n").filter(_.nonEmpty).foreach { l =>
+              try renderer.handle(Json.parseJson(l))
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
         }
       } finally ch.close()

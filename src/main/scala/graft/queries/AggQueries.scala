@@ -250,12 +250,18 @@ object AggQueries {
     // bottleneck: single pass, fixed sketch memory, map-side merge.
     // Sketch internals differ from DuckDB's approx_quantile → rows-only;
     // SamplingSpec bounds the error against the exact percentile.
+    // Scalar projections (not the raw array) so the rows-only harness
+    // can sort/compare the result frame.
     QueryDef(
       "q_approx_quantile",
       (s, dir) => load(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
           .as("quartiles"))
+        .select(col("o_orderstatus"),
+          element_at(col("quartiles"), 1).as("q25"),
+          element_at(col("quartiles"), 2).as("q50"),
+          element_at(col("quartiles"), 3).as("q75"))
         .orderBy(col("o_orderstatus")),
       None),
   )

@@ -252,32 +252,39 @@ object AnalyticQueries {
       (s, dir) => {
         // Money math in integer cents: double sums accumulate in
         // engine-specific order and flip round(x, 2) at .005 boundaries
-        // (observed at sf0.1). balance_u is 10^-5 dollars, exact.
+        // (observed at sf0.1). The cents conversion is floor(x*100 + 0.5)
+        // — pure IEEE double ops that evaluate bit-identically in Spark
+        // and DuckDB, unlike round() (Spark HALF_UP on BigDecimal vs
+        // DuckDB on the raw binary double). balance_cents is exact
+        // integer cents: merged balance = target balance + source delta.
+        def cents(c: org.apache.spark.sql.Column) =
+          floor(c * 100 + 0.5).cast("long")
         val target = load(s, dir, "customer")
           .select(col("c_custkey").as("k"), col("c_name"),
-            round(col("c_acctbal") * 100, 0).cast("long").as("acct_cents"))
+            cents(col("c_acctbal")).as("acct_cents"))
         val source = load(s, dir, "orders")
           .select(when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000)
             .otherwise(col("o_custkey")).as("k"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+            cents(col("o_totalprice")).as("price_cents"))
           .groupBy(col("k"))
           .agg(sum(col("price_cents")).as("delta_cents"))
         target.join(source, Seq("k"), "full_outer")
           .select(col("k"),
             coalesce(col("c_name"), lit("NEW")).as("name"),
-            (coalesce(col("acct_cents"), lit(0L)) * 1000
-              + coalesce(col("delta_cents"), lit(0L))).as("balance_u"))
+            (coalesce(col("acct_cents"), lit(0L))
+              + coalesce(col("delta_cents"), lit(0L))).as("balance_cents"))
           .orderBy(col("k"))
       },
       Some("""WITH source AS (
              |  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
              |              ELSE o_custkey END AS k,
-             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS delta_cents
+             |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS delta_cents
              |  FROM orders GROUP BY k)
              |SELECT coalesce(c.c_custkey, s.k) AS k,
              |  coalesce(c.c_name, 'NEW') AS name,
-             |  coalesce(CAST(round(c.c_acctbal * 100) AS BIGINT), 0) * 1000
-             |    + coalesce(s.delta_cents, 0) AS balance_u
+             |  coalesce(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT), 0)
+             |    + coalesce(s.delta_cents, 0) AS balance_cents
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries {
 
+  // Fresh per-JVM temp root (under java.io.tmpdir): relocatable, and a
+  // stale copy can never outlive the JVM that staged it.
+  private lazy val stageRoot =
+    java.nio.file.Files.createTempDirectory("graft-staged-").toString
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stageOrc(spark: SparkSession, dir: String, table: String): String =
     staged.getOrElseUpdate(s"$dir/$table", {
-      val out = s"/root/repo/target/tmp/orc_${table}_${math.abs(dir.hashCode)}"
+      val out = s"$stageRoot/orc_${table}_${math.abs(dir.hashCode)}"
       Tables.load(spark, dir, table).write.mode("overwrite").orc(out)
       out
     })

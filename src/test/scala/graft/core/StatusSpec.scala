@@ -82,6 +82,35 @@ class StatusSpec extends AnyFunSuite {
     assert(Status.formatHms(3661) == "1:01:01")
   }
 
+  test("tailer survives split multi-byte UTF-8 and malformed lines") {
+    val dir = Files.createTempDirectory("tail")
+    val path = dir.resolve("status.jsonl")
+    val sb = new StringBuilder
+    val tailer = new StatusTailer(path,
+      s => sb.synchronized { sb.append(s) }, pollMs = 5)
+    // Event with a multi-byte char (✅ = 3 bytes in UTF-8), written in two
+    // flushes SPLIT MID-CHARACTER, with a garbage line in between polls.
+    val line = """{"info":"x","details":"ok✅","scope":"0"}""" + "\n"
+    val bytes = line.getBytes("UTF-8")
+    val cut = line.indexOf("✅") + 1 // byte offset inside the 3-byte char
+    Files.write(path, bytes.take(cut))
+    tailer.start()
+    Thread.sleep(60) // several polls see the torn prefix (no newline yet)
+    Files.write(path, bytes.drop(cut),
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.writeString(path, "not json at all\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.writeString(path, """{"info":"y","details":"after","scope":"0"}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    Thread.sleep(60)
+    tailer.stop()
+    val out = sb.synchronized(sb.toString)
+    assert(out.contains("ok✅"), s"multi-byte char corrupted: $out")
+    assert(!out.contains("�"), s"replacement char leaked: $out")
+    // the malformed line was skipped, the line after it still rendered
+    assert(out.contains("after"), s"tailer died on bad line: $out")
+  }
+
   test("progress renders a bar with percentage and ETA") {
     var t = 0L
     val sb = new StringBuilder
