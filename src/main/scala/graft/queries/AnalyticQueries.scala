@@ -275,6 +275,10 @@ object AnalyticQueries {
               + coalesce(col("delta_cents"), lit(0L))).as("balance_cents"))
           .orderBy(col("k"))
       },
+      // DuckDB's sum(BIGINT) widens to HUGEINT (arrow decimal128) — the
+      // values match Spark's int64 exactly but the driver's hash
+      // canonicalization distinguishes the types, so the oracle must cast
+      // the final total back to BIGINT (r2+r3 failed on type, not value).
       Some("""WITH source AS (
              |  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
              |              ELSE o_custkey END AS k,
@@ -283,8 +287,8 @@ object AnalyticQueries {
              |  FROM orders GROUP BY k)
              |SELECT coalesce(c.c_custkey, s.k) AS k,
              |  coalesce(c.c_name, 'NEW') AS name,
-             |  coalesce(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT), 0)
-             |    + coalesce(s.delta_cents, 0) AS balance_cents
+             |  CAST(coalesce(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT), 0)
+             |    + coalesce(s.delta_cents, 0) AS BIGINT) AS balance_cents
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
