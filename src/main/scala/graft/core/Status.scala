@@ -258,16 +258,30 @@ final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
             val complete = new String(buffer.take(upto).toArray, "UTF-8")
             buffer = buffer.drop(upto + 1)
             // One malformed line (partial flush, torn write) must not
-            // kill the tailer thread — skip it and keep following.
+            // kill the tailer thread — skip it and keep following. Only
+            // the PARSE is skippable silently; a renderer failure is a
+            // bug and goes to stderr instead of vanishing.
             complete.split("\n").filter(_.nonEmpty).foreach { l =>
-              try renderer.handle(Json.parseJson(l))
-              catch { case scala.util.control.NonFatal(_) => () }
+              val parsed =
+                try Some(Json.parseJson(l))
+                catch { case scala.util.control.NonFatal(_) => None }
+              parsed.foreach { ev =>
+                try renderer.handle(ev)
+                catch { case scala.util.control.NonFatal(e) =>
+                  System.err.println(s"[status-tailer] render failed: $e")
+                }
+              }
             }
           }
         }
       } finally ch.close()
     }
   }
+
+  /** Bytes of the file the tailer has consumed so far — lets tests (and
+    * callers that stage writes) synchronize on "the tailer saw the torn
+    * prefix" instead of sleeping a fixed interval. */
+  private[core] def observedOffset: Long = synchronized(offset)
 
   def start(): Unit = thread.start()
 

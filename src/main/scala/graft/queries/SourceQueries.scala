@@ -5,16 +5,26 @@ import org.apache.spark.sql.functions._
 
 /** Additional columnar source formats. ORC ships inside spark-sql; the
   * testdata is parquet-only, so each format stages a converted copy once
-  * per (table, JVM) under target/tmp and scans from that — the DuckDB
-  * oracle reads the original parquet, so the round-trip (parquet →
+  * per (table, JVM) under a per-JVM temp dir and scans from that — the
+  * DuckDB oracle reads the original parquet, so the round-trip (parquet →
   * format → scan → aggregate) is what gets hash-checked.
   */
 object SourceQueries {
 
-  // Fresh per-JVM temp root (under java.io.tmpdir): relocatable, and a
-  // stale copy can never outlive the JVM that staged it.
-  private lazy val stageRoot =
-    java.nio.file.Files.createTempDirectory("graft-staged-").toString
+  // Fresh per-JVM temp root (under java.io.tmpdir): relocatable, never
+  // reused across JVMs, and deleted on JVM exit by the shutdown hook so
+  // repeated bench/verify runs don't accumulate staged copies.
+  private lazy val stageRoot = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staged-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }, "graft-staged-cleanup"))
+    dir.toString
+  }
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stageOrc(spark: SparkSession, dir: String, table: String): String =
     staged.getOrElseUpdate(s"$dir/$table", {

@@ -95,14 +95,23 @@ class StatusSpec extends AnyFunSuite {
     val cut = line.indexOf("✅") + 1 // byte offset inside the 3-byte char
     Files.write(path, bytes.take(cut))
     tailer.start()
-    Thread.sleep(60) // several polls see the torn prefix (no newline yet)
+    // Deterministic sync: wait until the tailer has actually CONSUMED the
+    // torn prefix (observedOffset advances past it) before appending the
+    // rest — a fixed sleep passes vacuously if the thread never ran.
+    def awaitCond(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(2)
+      assert(cond, s"timed out waiting for $what")
+    }
+    awaitCond(tailer.observedOffset >= cut, "tailer to see the torn prefix")
     Files.write(path, bytes.drop(cut),
       java.nio.file.StandardOpenOption.APPEND)
     Files.writeString(path, "not json at all\n",
       java.nio.file.StandardOpenOption.APPEND)
     Files.writeString(path, """{"info":"y","details":"after","scope":"0"}""" + "\n",
       java.nio.file.StandardOpenOption.APPEND)
-    Thread.sleep(60)
+    awaitCond(sb.synchronized(sb.toString).contains("after"),
+      "line after the malformed one to render")
     tailer.stop()
     val out = sb.synchronized(sb.toString)
     assert(out.contains("ok✅"), s"multi-byte char corrupted: $out")
