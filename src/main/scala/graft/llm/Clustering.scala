@@ -43,15 +43,13 @@ object Clustering {
       .drop("d")
   }
 
-  /** Lloyd's k-means over `vecCol`; returns (idCol, cluster).
-    *
-    * Deterministic: initial centroids are the k lowest-`idCol` vectors
-    * and argmin ties break to the lowest centroid index, so reruns give
-    * identical assignments on identical data. A cluster that loses every
-    * member keeps its previous centroid (no respawn heuristics).
-    */
-  def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int): DataFrame = {
+  /** Train Lloyd's k-means centroids over `vecCol` and return them as
+    * driver-side k×dim doubles (the fixed-point state — corpus data never
+    * reaches the driver). Deterministic: seeded from the k lowest-`idCol`
+    * vectors, argmin ties to the lowest centroid index. Also the coarse
+    * quantizer trainer for [[graft.llm.Similarity.ivfTopK]]. */
+  private[llm] def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                                  k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
     // One tokenized copy serves all `iters` scans (Spark does not reuse
@@ -82,9 +80,28 @@ object Clustering {
       centroids = next
       round += 1
     }
-
-    val out = assign(cached, centroids).select(col(idCol), col("cluster"))
     cached.unpersist(blocking = false)
-    out
+    centroids
   }
+
+  /** Assign rows of `vecs` to the nearest of the given centroids; returns
+    * (idCol, cluster). Pure per-row expression work over plan-literal
+    * centroids — no shuffle. */
+  private[llm] def assignTo(vecs: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]]): DataFrame =
+    assign(vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v")),
+        centroids)
+      .select(col(idCol), col("cluster"))
+
+  /** Lloyd's k-means over `vecCol`; returns (idCol, cluster).
+    *
+    * Deterministic: initial centroids are the k lowest-`idCol` vectors
+    * and argmin ties break to the lowest centroid index, so reruns give
+    * identical assignments on identical data. A cluster that loses every
+    * member keeps its previous centroid (no respawn heuristics).
+    */
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame =
+    assignTo(vecs, idCol, vecCol,
+      trainCentroids(vecs, idCol, vecCol, k, iters))
 }

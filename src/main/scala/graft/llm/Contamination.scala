@@ -46,6 +46,40 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Benchmark decontamination with a Bloom prefilter — exact same output
+    * contract as [[sharedShingles]], different 100 TB shape: a distributed
+    * Bloom build over the benchmark shingles
+    * ([[graft.functions.BloomFunctions]]) becomes a plan-literal predicate
+    * that drops ~all clean train shingles BEFORE any exchange; only
+    * survivors (true hits + the sketch's ~2% FPs) reach the exact confirm
+    * join, which eliminates the FPs. The confirm join carries no hint:
+    * when the benchmark side fits the broadcast threshold AQE broadcasts
+    * it, and when an eval suite outgrows broadcast the join shuffles —
+    * but by then the corpus side is prefiltered to ~the contamination
+    * rate, so the exchange is small either way.
+    */
+  def sharedShinglesBloom(train: DataFrame, benchmark: DataFrame,
+                          shingleSize: Int = 20, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          expectedItems: Long = 1L << 16,
+                          numBits: Long = 1L << 20): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+      // consumed twice (bloom-build action + confirm join): persist so the
+      // benchmark shingling runs once; the query driver unpersists
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = graft.functions.BloomFunctions.buildBloom(
+      benchSh, col("sh"), expectedItems, numBits)
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
+      .filter(graft.functions.BloomFunctions.mightContain(bloom, col("sh")))
+      .join(benchSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Corpus-level top-k word n-grams by occurrence count (heavy-hitter
     * phrases — boilerplate detection, quality filters). Per-row expression
     * explode, one hash aggregate, TakeOrdered top-k. */

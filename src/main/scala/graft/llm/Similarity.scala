@@ -165,6 +165,67 @@ object Similarity {
     * runs on bare (query_id, cand_id) ids; vectors join back afterwards
     * (query side broadcast — it is small by contract).
     */
+  /** Approximate top-k via IVF (inverted-file) cells: a k-means coarse
+    * quantizer partitions the corpus into `nlist` cells; each query probes
+    * its `nprobe` nearest cells and ranks exact cosine over only those
+    * cells' vectors. The other classic ANN scale path next to sign-LSH
+    * ([[lshTopK]]) — IVF cells adapt to the data distribution where LSH
+    * buckets are data-oblivious.
+    *
+    * Scale shape: centroids are trained distributed (per-iteration scan +
+    * k-row driver fixed point, see [[Clustering.trainCentroids]]) and then
+    * ride the plan as literals — cell assignment is per-row codegen'd
+    * expression work, NO shuffle of vectors. Candidate generation is one
+    * broadcast equi-join of the (small) probed query×cell list against the
+    * corpus; each corpus vector lives in exactly one cell so there is no
+    * candidate dedup at all (vs LSH's multi-table distinct). The only
+    * corpus-sized shuffle is the per-query top-k window. Probing
+    * `nprobe = nlist` degenerates to exact brute force (recall 1) — the
+    * correctness anchor the spec pins.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, trainIters: Int = 3,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val centroids = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    // Squared distance to centroid c is monotone in |c|² − 2·v·c: the norm
+    // rides as a literal, the dot product is the codegen'd expression.
+    def cellScores(v: Column): Column = array(centroids.toSeq.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(c.toSeq))
+    }: _*)
+
+    val cands = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("d", cellScores(col("c_vec")))
+      .withColumn("cell",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+      .drop("d")
+
+    // Each query probes its nprobe nearest cells: sort (score, cell)
+    // structs, keep the first nprobe, explode to (query_id, cell) rows.
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("d", cellScores(col("q_vec")))
+      .withColumn("probe", transform(
+        slice(sort_array(transform(sequence(lit(0), lit(nlist - 1)),
+          i => struct(element_at(col("d"), i + 1).as("s"), i.as("i")))),
+          1, nprobe),
+        x => x.getField("i").cast("int")))
+      .select(col("query_id"), col("q_vec"), explode(col("probe")).as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    cands.join(broadcast(probed), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_raw", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int, tables: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {

@@ -171,6 +171,18 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk")),
       None),
 
+    // IVF-cell ANN (k-means coarse quantizer, nprobe-cell probing): the
+    // data-adaptive ANN scale path next to sign-LSH; rows-only (recall and
+    // the nprobe=nlist ≡ brute-force anchor are pinned in LlmSpec).
+    QueryDef(
+      "q_sim_ivf",
+      (s, dir) => Similarity.ivfTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
     // Text quality statistics (SQL-checkable).
     QueryDef(
       "q_text_stats",
@@ -287,6 +299,40 @@ object LlmQueries {
       (s, dir) => {
         val docs = load(s, dir, "documents")
         Contamination.sharedShingles(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bench AS (
+             |  SELECT text FROM documents WHERE doc_id % 50 = 0),
+             |train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+             |ti AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+             |  FROM train),
+             |tsh AS (
+             |  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 20) AS sh
+             |  FROM ti),
+             |bi AS (
+             |  SELECT text,
+             |    unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+             |  FROM bench),
+             |bsh AS (
+             |  SELECT DISTINCT substring(text, CAST(i AS INT), 20) AS sh FROM bi)
+             |SELECT t.doc_id, count(*) AS n_shared
+             |FROM tsh t JOIN bsh b USING (sh)
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // Same decontamination contract through the Bloom-prefilter path: the
+    // sketch drops clean shingles pre-exchange, the exact confirm join
+    // kills the false positives — so the result is EXACT and the same
+    // DuckDB oracle applies (substring-shingle formulation).
+    QueryDef(
+      "q_decontaminate_bloom",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Contamination.sharedShinglesBloom(
             docs.filter(col("doc_id") % 50 =!= 0),
             docs.filter(col("doc_id") % 50 === 0))
           .orderBy(col("doc_id"))

@@ -114,6 +114,62 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"planted-twin recall too low: $recall")
   }
 
+  test("ivfTopK: exhaustive probing (nprobe = nlist) is exactly brute force") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(19)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, unit(64))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, k = 4))
+    val ivf = rows(Similarity.ivfTopK(corpus, queries, k = 4,
+      nlist = 8, nprobe = 8))
+    assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
+  test("ivfTopK: selective probing keeps planted-twin recall high") {
+    // Twins sit ~on top of their base vector, so k-means puts each pair in
+    // the same cell and the query's nearest (own) cell contains its twin —
+    // probing 2 of 12 cells must still retrieve it.
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 20).map(i => (i.toLong, unit(64)))
+    val twins = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    val found = Similarity.ivfTopK(corpus, queries, k = 3,
+        nlist = 12, nprobe = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = base.count { case (i, _) => found.contains((i, i + 100L)) } / 20.0
+    assert(recall >= 0.9, s"planted-twin recall too low: $recall")
+  }
+
+  test("sharedShinglesBloom matches the exact shared-shingle counts") {
+    import SparkSpec.spark.implicits._
+    val train = docs.filter($"doc_id" =!= 3L)
+    val bench = docs.filter($"doc_id" === 3L)
+      .unionByName(Seq((99L, docs.head.getString(1))).toDF("doc_id", "text"))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = counts(Contamination.sharedShingles(train, bench))
+    val bloomed = counts(Contamination.sharedShinglesBloom(train, bench))
+    assert(exact.nonEmpty) // doc 1's text is planted in the benchmark
+    assert(bloomed == exact, s"bloom=$bloomed exact=$exact")
+  }
+
   test("bucketedTopPairs matches the exact all-pairs top-k on planted twins") {
     import SparkSpec.spark.implicits._
     val rnd = new scala.util.Random(7)

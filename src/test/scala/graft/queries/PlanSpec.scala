@@ -44,6 +44,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_latest_per_key").contains("WindowGroupLimit"))
   }
 
+  test("q_sim_ivf: cell equi-join candidates, no nested-loop anywhere") {
+    val p = plan("q_sim_ivf")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin")) // probed query×cell list broadcast
+  }
+
+  test("q_decontaminate_bloom: sketch probe filters before the confirm join") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"), "bloom predicate missing from plan")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_decontaminate: benchmark side broadcast, no shuffle of train text") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"))
