@@ -69,6 +69,27 @@ object StreamingQueries {
       Some("""SELECT event_type, count(DISTINCT event_id) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Arbitrary typed state on the Spark-4 transformWithState API
+    // (ValueState + RocksDB store): running per-user totals, update-mode
+    // emissions compacted to the final row per user — which equals the
+    // batch aggregate, so the plain GROUP BY oracle applies. value is
+    // 2-decimal in the testdata, so the rounded sum is an exact rational
+    // (no half-boundary risk).
+    QueryDef(
+      "q_stream_totals_tws",
+      (s, dir) => EventStreams.runAvailableNowUpdate(
+          s, s"$dir/events.parquet",
+          df => EventStreams.statefulUserTotalsTws(df), "stream_totals_tws")
+        .withColumn("rn", monotonically_increasing_id())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("rn"), col("n_events"), col("sum_value"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          round(col("st.sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Stream-stream inner self-join (view → purchase conversions within
     // 10 minutes): watermarked on both sides + a time-range predicate so
     // the join state is bounded. Batch-equivalence oracle = plain join.

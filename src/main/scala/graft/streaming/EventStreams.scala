@@ -17,6 +17,33 @@ import org.apache.spark.sql.streaming.Trigger
   * (`repype/task.py:629-732`) mapped onto Structured Streaming per
   * SURVEY.md §2.b (Streaming).
   */
+/** Typed state processor for [[EventStreams.statefulUserTotalsTws]]: one
+  * ValueState cell per user holding (n_events, sum_value); each input batch
+  * folds into the cell and emits the running totals. Top-level class so the
+  * closure serializes without capturing the enclosing session. */
+private[streaming] class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timers: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+    var n = n0
+    var s = s0
+    rows.foreach { case (_, v) => n += 1; s += v }
+    totals.update((n, s))
+    Iterator((key, n, s))
+  }
+}
+
 object EventStreams {
 
   /** Tumbling-window count/sum per event_type with a watermark. */
@@ -104,6 +131,27 @@ object EventStreams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Running per-user totals on the Spark 4 `transformWithState` API — the
+    * successor to (f)mapGroupsWithState with typed state primitives
+    * (ValueState/ListState/MapState, TTL, timers) backed by the RocksDB
+    * state store. Same semantics as [[statefulUserTotals]], so the same
+    * batch-equivalence ground truth applies (StreamingSpec). The RocksDB
+    * provider is required by the API; it is set on the session here —
+    * harmless for the other stateful ops, which are provider-agnostic.
+    */
+  def statefulUserTotalsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Run a streaming transform over the static events parquet with
     * `Trigger.AvailableNow` into an in-memory sink and return the final
     * result table — the batch-equivalence harness used by both the oracle
@@ -137,6 +185,27 @@ object EventStreams {
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Update-mode variant for arbitrary-state transforms that emit running
+    * rows per micro-batch (the memory sink appends each emission; callers
+    * compact to the last row per key). */
+  def runAvailableNowUpdate(spark: SparkSession, eventsPath: String,
+                            transform: DataFrame => DataFrame,
+                            queryName: String): DataFrame = {
+    val path = stageMicros(spark, eventsPath)
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()

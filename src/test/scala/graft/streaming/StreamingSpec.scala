@@ -96,6 +96,32 @@ class StreamingSpec extends SparkSpec {
     assert(synth.exceptAll(again).isEmpty)
   }
 
+  test("transformWithState running totals equal batch groupBy at the end") {
+    // Spark-4 typed-state API (ValueState + RocksDB store) — same
+    // semantics as the flatMapGroupsWithState path, same ground truth
+    val events = Tables.load(spark, sfDir, "events")
+    val staged = s"/root/repo/target/tmp/spec_tws_${System.nanoTime()}"
+    events.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(events.schema).parquet(staged)
+    val q = EventStreams.statefulUserTotalsTws(stream).writeStream
+      .format("memory").queryName("spec_tws")
+      .outputMode("update")
+      .option("checkpointLocation", s"$staged/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finals = spark.table("spec_tws")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("rn"), col("n_events"), col("sum_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        round(col("s.sum_value"), 2).as("sum_value"))
+    val batch = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    assert(finals.exceptAll(batch).isEmpty && batch.exceptAll(finals).isEmpty)
+  }
+
   test("flatMapGroupsWithState running totals equal batch groupBy at the end") {
     // update-mode memory sink keeps every emitted row; the LAST row per
     // user is the final state — compare that against the batch aggregate
