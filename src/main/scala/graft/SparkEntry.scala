@@ -25,7 +25,8 @@ object SparkEntry {
       EventQueries.queries ++
       LlmQueries.queries ++
       StreamingQueries.queries ++
-      ExtensionQueries.queries
+      ExtensionQueries.queries ++
+      SketchQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 
