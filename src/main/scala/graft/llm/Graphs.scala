@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analytics for corpus curation: PageRank-style centrality is
+  * the classic crawl-quality prior (rank the page graph, keep/upweight
+  * documents from high-centrality hosts).
+  *
+  * Scale shape (same discipline as [[Dedup.connectedComponents]]): one
+  * narrow (node, rank) shuffle join + hash aggregate per iteration; the
+  * dangling-mass term stays IN-PLAN as a broadcast 1-row aggregate (no
+  * driver collection of data); every iteration `localCheckpoint`s the rank
+  * table so the plan stays O(1) instead of doubling per round. Driver
+  * state is one Long (the node count).
+  */
+object Graphs {
+
+  /** Damped PageRank over a directed edge list `(src, dst)`; returns
+    * (node, rank) with Σrank = 1 (dangling mass redistributed uniformly).
+    * Duplicate edges are collapsed first (multi-edges would double-count
+    * contributions); nodes appearing only as destinations still receive
+    * the teleport + dangling terms.
+    */
+  def pagerank(edgesDf: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty graph")
+    // out-degree per node; deg = 0 marks dangling nodes whose rank mass is
+    // redistributed uniformly each sweep
+    val withDeg = nodes
+      .join(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val state = ranks.join(withDeg, "node")
+      val dangling = state.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = edges
+        .join(state.filter(col("deg") > 0).withColumnRenamed("node", "src"),
+          "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping)
+            * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    withDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+}

@@ -147,6 +147,44 @@ object EventQueries {
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
+    // OHLC time-series resampling: per-hour open/high/low/close over the
+    // event value stream — the downsampling staple for telemetry/market
+    // data. One window pass for the endpoint ranks (WindowGroupLimit-able)
+    // + one hash aggregate; open/close/min/max are EXACT picks of existing
+    // 2-decimal values (no float accumulation), so the oracle compare is
+    // boundary-free.
+    QueryDef(
+      "q_events_ohlc",
+      (s, dir) => {
+        val hour = date_trunc("hour", col("ts"))
+        val wAsc = Window.partitionBy(col("h"))
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy(col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        load(s, dir, "events")
+          .withColumn("h", hour)
+          .withColumn("rn_a", row_number().over(wAsc))
+          .withColumn("rn_d", row_number().over(wDesc))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("low"),
+            max(col("value")).as("high"),
+            max(when(col("rn_a") === 1, col("value"))).as("open"),
+            max(when(col("rn_d") === 1, col("value"))).as("close"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH r AS (
+             |  SELECT date_trunc('hour', ts) AS h, value,
+             |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+             |      ORDER BY ts, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM events)
+             |SELECT h, count(*) AS n, min(value) AS low, max(value) AS high,
+             |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+             |FROM r GROUP BY h ORDER BY h""".stripMargin)),
+
     // Gap/delta analysis: time since previous event per user (any type).
     QueryDef(
       "q_events_gaps",

@@ -608,6 +608,19 @@ object LlmQueries {
              |  FROM documents)
              |WHERE rn <= 50 ORDER BY source, doc_id""".stripMargin)),
 
+    // Link-graph centrality prior (the crawl-quality ranking move):
+    // PageRank over the part→supplier purchase graph from lineitem.
+    // Rows-only (float fixpoint not SQL-expressible); exact equality with
+    // a driver-side reference implementation pinned in GraphsSpec.
+    QueryDef(
+      "q_graph_pagerank",
+      (s, dir) => graft.llm.Graphs.pagerank(
+          load(s, dir, "lineitem").select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")),
+          iters = 8)
+        .orderBy(col("rank").desc, col("node")).limit(100),
+      None),
+
     // Embedding k-means (corpus curation: domain balancing / diversity
     // sampling). Iterative — not SQL-expressible; rows-only here, planted
     // ground truth + determinism in ClusteringSpec.

@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank ground truth: the distributed implementation must match a
+  * plain driver-side reference implementation on a small graph, conserve
+  * rank mass, and order hubs above leaves. */
+class GraphsSpec extends SparkSpec {
+
+  /** Reference PageRank on adjacency lists (same semantics: uniform
+    * teleport, uniform dangling redistribution). */
+  private def referenceRanks(edges: Seq[(Long, Long)], iters: Int,
+                             d: Double): Map[Long, Double] = {
+    val dedup = edges.distinct
+    val nodes = (dedup.map(_._1) ++ dedup.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = dedup.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dm = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((s, dsts) <- out; dst <- dsts)
+        contrib(dst) += rank(s) / dsts.size
+      rank = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * (contrib(v) + dm / n))).toMap
+    }
+    rank
+  }
+
+  test("pagerank matches the reference implementation on a mixed graph") {
+    import SparkSpec.spark.implicits._
+    // hub-and-spoke + chain + dangling node: 1..4 all link to 5 (hub),
+    // hub links to 6, 6 is dangling; 7→8→9 chain off to the side
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (1L, 5L)) // duplicate edge must not double-count
+    val got = Graphs.pagerank(edges.toDF("src", "dst"), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referenceRanks(edges, iters = 12, d = 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-9, s"node $k: got ${got(k)} want $w")
+    // mass conservation and sane ordering: hub outranks every spoke
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(5L) > got(1L) && got(6L) > got(9L))
+  }
+}
