@@ -42,4 +42,25 @@ object DataLayout {
       .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
     spans.agg(avg(col("span"))).head.getDouble(0)
   }
+
+  /** Range compaction — the small-files answer for append-heavy tables:
+    * rewrite into ~⌈n / targetRows⌉ files, range-partitioned AND sorted on
+    * `sortCol`, so (a) file count is bounded regardless of how many tiny
+    * increments were appended, and (b) per-file `sortCol` ranges don't
+    * overlap — a time-range scan prunes to the few covering files. The
+    * single `count()` sizes the job (a scalar action, not data to the
+    * driver); `maxRecordsPerFile` caps stragglers from range skew.
+    * Returns the planned file count. */
+  def compactByRange(df: DataFrame, sortCol: String, path: String,
+                     targetRows: Long): Int = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .parquet(path)
+    files
+  }
 }

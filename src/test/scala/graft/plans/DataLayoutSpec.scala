@@ -23,6 +23,37 @@ class DataLayoutSpec extends SparkSpec {
     assert(rows.toSeq == Seq(0L, 2L, 1L, 3L, 13L, 99L))
   }
 
+  test("compactByRange bounds file count and keeps per-file ranges disjoint") {
+    import SparkSpec.spark.implicits._
+    // simulate an append-heavy table: 40 tiny input files
+    val df = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("ts", "v")
+      .repartition(40)
+    val base = s"/root/repo/target/tmp/compact_${System.nanoTime()}"
+    df.write.parquet(s"$base/small")
+    val smallIn = spark.read.parquet(s"$base/small")
+    assert(smallIn.inputFiles.length >= 30, "fixture should be many files")
+
+    val planned = DataLayout.compactByRange(smallIn, "ts", s"$base/out",
+      targetRows = 1000)
+    assert(planned == 4)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 4000)
+    // range partitioning is sampling-based: a partition that lands over
+    // targetRows is split by maxRecordsPerFile (each split is a contiguous
+    // sorted slice, so disjointness below still holds). The contract is
+    // "bounded", not "exact": ~planned, never the 40 input shards
+    val nf = out.inputFiles.length
+    assert(nf >= planned && nf <= 2 * planned, s"got $nf files")
+    // per-file ts ranges must not overlap (the pruning property)
+    val ranges = out.groupBy(input_file_name())
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("z-order narrows per-file spans on BOTH columns; linear sort does not") {
     import SparkSpec.spark.implicits._
     val n = 1 << 12
