@@ -42,10 +42,11 @@ object Bench {
 
     exec("q1_pricing") // warmup (JVM + codegen), untimed
 
-    // best-of-2: a single rep occasionally catches a JIT/GC transient
-    // (observed 10× outliers); the min of two reps is the stable figure
+    // best-of-3: a single rep occasionally catches a JIT/GC transient
+    // (observed 10× outliers, and one whole run distorted by external
+    // machine load); the min of three reps is the stable figure
     val results = headline.map { name =>
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try exec(name) catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
