@@ -22,6 +22,46 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed join partition without manual salting") {
+    // The runtime counterpart of saltedJoin: plant a 95%-one-key fact
+    // table, lower the skew thresholds to test scale, and assert the
+    // final adaptive plan actually rewrote the sort-merge join with
+    // skew-split partitions (the `skew=true` marker). This is the
+    // mechanism that saves the 100 TB job when the skew is discovered at
+    // runtime rather than known up front.
+    import SparkSpec.spark.implicits._
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (0 until 120000)
+        .map(i => (if (i % 20 == 0) (i % 97).toLong + 1 else 0L,
+          s"payload_padding_padding_$i"))
+        .toDF("k", "p").repartition(8)
+      val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "d")
+      val joined = fact.join(dim, "k")
+      // execute joined's OWN queryExecution (count() would plan a separate
+      // aggregate query and leave this one unexecuted / non-final)
+      assert(joined.collect().length == 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     val warehouse = tempDir("warehouse").toString
     // below the broadcast threshold the planner would broadcast and hide
