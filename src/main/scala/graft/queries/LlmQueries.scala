@@ -183,6 +183,37 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk")),
       None),
 
+    // IVF with exhaustive probing (nprobe = nlist) degenerates to exact
+    // brute force — which makes the whole IVF pipeline (train, assign,
+    // probe, rank) hash-checkable against the same DuckDB SQL as
+    // q_sim_topk. The selective-nprobe variant above is the ANN path;
+    // this row proves the machinery end-to-end.
+    QueryDef(
+      "q_sim_ivf_exhaustive",
+      (s, dir) => Similarity.ivfTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 5, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_dot_product(
+             |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT query_id, cand_id, cos_sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_sim DESC, cand_id) AS rk
+             |  FROM sims)
+             |SELECT query_id, rk, cand_id, round(cos_sim, 4) AS cos_sim
+             |FROM ranked WHERE rk <= 5
+             |ORDER BY query_id, rk""".stripMargin)),
+
     // Text quality statistics (SQL-checkable).
     QueryDef(
       "q_text_stats",
