@@ -57,6 +57,28 @@ object RelationalQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Raw text-lines source — the .txt/.jsonl shape every LLM corpus
+    // ingest starts from: stage the documents' text as line files, read
+    // them back with spark.read.text, aggregate corpus stats. (Oracle sums
+    // are CAST to BIGINT: DuckDB widens sum(int) to HUGEINT, which the
+    // hash compare distinguishes from int64.)
+    QueryDef(
+      "q_scan_text",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("text"))
+        val out = tmpDir("text_documents")
+        docs.coalesce(1).write.mode("overwrite").text(out)
+        s.read.text(out)
+          .agg(count(lit(1)).as("n_lines"),
+            min(length(col("value"))).as("min_len"),
+            max(length(col("value"))).as("max_len"),
+            sum(length(col("value"))).cast("long").as("total_chars"))
+      },
+      Some("""SELECT count(*) AS n_lines, min(length(text)) AS min_len,
+             |  max(length(text)) AS max_len,
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+             |FROM documents""".stripMargin)),
+
     // ---- projection / filter / predicates --------------------------------
     QueryDef(
       "q_filter_pred",
