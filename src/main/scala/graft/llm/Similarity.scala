@@ -40,12 +40,18 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms hoisted BEFORE the join: computed once per row, not once per
+    // (query, candidate) pair — same IEEE ops in the same order, so the
+    // cosine values (and the oracle hash) are bit-identical
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
     c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("cos_raw", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
@@ -113,10 +119,16 @@ object Similarity {
     * pair (two narrow shuffle equi-joins on ids). */
   private def pairCosine(pairs: DataFrame, embeddings: DataFrame,
                          vecCol: String, idCol: String): DataFrame = {
+    // norms ride the per-row side of the joins (computed once per
+    // embedding, not once per candidate pair); same op order as the
+    // inline cosine, so values are bit-identical
     val v1 = embeddings.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+      .withColumn("n1", l2norm(col("v1")))
     val v2 = embeddings.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+      .withColumn("n2", l2norm(col("v2")))
     pairs.join(v1, "d1").join(v2, "d2")
-      .withColumn("cos_raw", cosine(col("v1"), col("v2")))
+      .withColumn("cos_raw",
+        dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
   }
 
   /** Global top-k most-similar pairs via sign-LSH bucketed candidates +
@@ -202,6 +214,7 @@ object Similarity {
       .withColumn("cell",
         (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
       .drop("d")
+      .withColumn("c_norm", l2norm(col("c_vec")))
 
     // Each query probes its nprobe nearest cells: sort (score, cell)
     // structs, keep the first nprobe, explode to (query_id, cell) rows.
@@ -214,12 +227,14 @@ object Similarity {
           1, nprobe),
         x => x.getField("i").cast("int")))
       .select(col("query_id"), col("q_vec"), explode(col("probe")).as("cell"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
     cands.join(broadcast(probed), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos_raw", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
@@ -238,12 +253,15 @@ object Similarity {
       .select("query_id", "cand_id")
       .distinct() // a pair may collide in several tables; ids only here
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
     cand.join(broadcast(qv), "query_id")
       .join(cv, "cand_id")
-      .withColumn("cos_raw", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
