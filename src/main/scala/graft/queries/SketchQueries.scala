@@ -67,6 +67,41 @@ object SketchQueries {
       },
       None),
 
+    // Count-min frequency sketch: ONE distributed typed aggregate builds a
+    // CMS over every corpus bigram (only the ~KB sketch reaches the
+    // driver), then the exact top-20 heavy hitters are probed against it.
+    // CMS never underestimates and overshoots by ≤ eps·N — both pinned in
+    // SketchesSpec; rows-only for the oracle (sketch internals). The probe
+    // uses UTF-8 bytes to match the aggregate's binary update path.
+    QueryDef(
+      "q_sketch_cms_topk",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val grams = when(size(words) >= 2,
+            transform(sequence(lit(1), size(words) - 1),
+              i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+          .otherwise(array())
+        // consumed twice (sketch build + exact counts): persist; the query
+        // driver releases the cache between queries
+        val stream = load(s, dir, "documents").select(explode(grams).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bytes = stream
+          .agg(expr("count_min_sketch(g, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        val top = stream.groupBy(col("g")).agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("g")).limit(20)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val spark = s
+        import spark.implicits._
+        top.toSeq.map { case (g, exact) =>
+          (g, exact, cms.estimateCount(
+            g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("ngram", "exact_cnt", "est_cnt")
+          .orderBy(col("exact_cnt").desc, col("ngram"))
+      },
+      None),
+
     // Mergeable quantiles: per-status KLL sketches of o_totalprice merged
     // into one, then median/p90 read off the MERGED sketch — the shape
     // that lets 1000 ingest jobs each ship a KB-sized sketch instead of

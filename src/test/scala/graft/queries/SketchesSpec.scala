@@ -43,6 +43,21 @@ class SketchesSpec extends SparkSpec {
     assert(out.getLong(4) == y97.exceptAll(y97.intersect(y98)).count())
   }
 
+  test("CMS estimates never undercount and overshoot within eps·N") {
+    val out = graft.SparkEntry.queries("q_sketch_cms_topk")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val totalGrams = docs
+      .select(greatest(size(split(col("text"), " ")) - 1, lit(0)).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    for ((g, exact, est) <- out) {
+      assert(est >= exact, s"CMS undercounted '$g': $est < $exact")
+      assert(est - exact <= math.max(1L, (0.0001 * totalGrams).toLong * 10),
+        s"CMS overshoot for '$g': est $est vs exact $exact (N=$totalGrams)")
+    }
+  }
+
   test("KLL merged quantiles sit within rank tolerance of the exact answer") {
     val out = graft.SparkEntry.queries("q_sketch_kll_quantiles")(spark, sfDir)
       .head()
