@@ -220,14 +220,15 @@ object Similarity {
     // structs, keep the first nprobe, explode to (query_id, cell) rows.
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec"))) // before the probe explode
       .withColumn("d", cellScores(col("q_vec")))
       .withColumn("probe", transform(
         slice(sort_array(transform(sequence(lit(0), lit(nlist - 1)),
           i => struct(element_at(col("d"), i + 1).as("s"), i.as("i")))),
           1, nprobe),
         x => x.getField("i").cast("int")))
-      .select(col("query_id"), col("q_vec"), explode(col("probe")).as("cell"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        explode(col("probe")).as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))

@@ -652,6 +652,49 @@ object LlmQueries {
         .orderBy(col("rank").desc, col("node")).limit(100),
       None),
 
+    // Data mixing: resample the corpus to TARGET source proportions — the
+    // training-mixture primitive (upweight curated sources, downweight
+    // crawl). Even-indexed sources get weight 2, odd weight 1;
+    // quota_s = (total·w_s) div ΣW is pure integer arithmetic and
+    // selection within a source is md5-ordered — deterministic, unbiased
+    // w.r.t. content, rerun-stable at any cluster size, oracle-exact.
+    // One window + two broadcast joins; WindowGroupLimit-prunable.
+    QueryDef(
+      "q_mixture_sample",
+      (s, dir) => {
+        val total = 300
+        val w = when(regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int") % 2 === 0, 2L).otherwise(1L)
+        val docs = load(s, dir, "documents").withColumn("w", w)
+        val weights = docs.select(col("source"), col("w")).distinct()
+        val totW = weights.agg(sum(col("w")).as("tot_w"))
+        val quotas = weights.crossJoin(broadcast(totW))
+          .select(col("source"), expr(s"($total * w) div tot_w").as("quota"))
+        val win = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.withColumn("rn", row_number().over(win))
+          .join(broadcast(quotas), "source")
+          .filter(col("rn") <= col("quota"))
+          .select(col("source"), col("doc_id"), col("rn"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT DISTINCT source,
+             |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+             |         THEN 2 ELSE 1 END AS w
+             |  FROM documents),
+             |q AS (
+             |  SELECT source, (300 * w) // (SELECT sum(w) FROM w) AS quota
+             |  FROM w),
+             |r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.source, r.doc_id, r.rn
+             |FROM r JOIN q ON r.source = q.source
+             |WHERE rn <= quota ORDER BY r.source, r.doc_id""".stripMargin)),
+
     // Embedding k-means (corpus curation: domain balancing / diversity
     // sampling). Iterative — not SQL-expressible; rows-only here, planted
     // ground truth + determinism in ClusteringSpec.
