@@ -84,6 +84,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == events.count())
   }
 
+  test("watermark drops data later than the closed window across restarts") {
+    // The semantics the watermark exists for: once a window is finalized
+    // (watermark passed its end), a straggler for it must be DROPPED, not
+    // double-counted — including across a checkpoint restart, where the
+    // watermark must be recovered from the commit log.
+    import SparkSpec.spark.implicits._
+    val base = s"/root/repo/target/tmp/spec_late_${System.nanoTime()}"
+    val (srcDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00"),
+        ts("2024-01-01 11:30:00"), ts("2024-01-01 11:45:00"))
+      .toDF("ts").write.parquet(s"$srcDir/a.parquet")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP").parquet(s"$srcDir/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("ws"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce() // watermark ends at 11:35 → the [10, 11) window is final
+    // straggler for the closed window + a fresh event that closes [11, 12)
+    Seq(ts("2024-01-01 10:20:00"), ts("2024-01-01 13:00:00"))
+      .toDF("ts").write.parquet(s"$srcDir/b.parquet")
+    runOnce()
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the late 10:20 event must NOT appear: [10, 11) stays at 2
+    assert(out("2024-01-01 10:00:00.0") == 2L,
+      s"late straggler was counted: $out")
+    assert(out("2024-01-01 11:00:00.0") == 2L)
+  }
+
   test("synthetic events source matches the testdata schema") {
     import graft.sources.SyntheticSources
     val synth = SyntheticSources.events(spark, 1000)
