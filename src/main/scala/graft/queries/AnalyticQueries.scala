@@ -292,6 +292,46 @@ object AnalyticQueries {
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
+    // Winsorization (outlier clipping at the 1st/99th percentile) — the
+    // data-cleaning staple before any mean-based statistic. Bounds are
+    // EXACT RANK PICKS (max of the bottom-k / min of the top-k by
+    // (value, key)), not interpolated percentiles: interpolation
+    // arithmetic can differ across engines, value picks cannot. The
+    // bottom-k/top-k sides are TakeOrdered + 1-row aggregates broadcast
+    // back over the corpus — no global sort or single-partition window;
+    // the one driver-side count() sizes k only.
+    QueryDef(
+      "q_winsorize",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val n = o.count()
+        val k = ((n + 99) / 100).toInt // ceil(1%) as an integer rank
+        val lo = o.orderBy(col("o_totalprice"), col("o_orderkey")).limit(k)
+          .agg(max(col("o_totalprice")).as("lo"))
+        val hi = o.orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+          .limit(k)
+          .agg(min(col("o_totalprice")).as("hi"))
+        o.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("o_orderkey"),
+            least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+              .as("clipped"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS cnt FROM orders),
+             |r AS (
+             |  SELECT o_orderkey, o_totalprice,
+             |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS ra,
+             |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd
+             |  FROM orders),
+             |b AS (
+             |  SELECT
+             |    max(CASE WHEN ra <= (cnt + 99) // 100 THEN o_totalprice END) AS lo,
+             |    min(CASE WHEN rd <= (cnt + 99) // 100 THEN o_totalprice END) AS hi
+             |  FROM r, n)
+             |SELECT o_orderkey,
+             |  least(greatest(o_totalprice, lo), hi) AS clipped
+             |FROM orders, b ORDER BY o_orderkey""".stripMargin)),
+
     // Latest record per key (CDC-style snapshot compaction): one ranking
     // window, prunable by WindowGroupLimit — the standard "current state
     // of every entity" query over an append-only event log.
