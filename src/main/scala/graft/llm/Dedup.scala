@@ -67,6 +67,44 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Containment near-dup: |A ∩ B| / |A| over distinct word sets — the
+    * ASYMMETRIC companion to [[ngramJaccardPairs]]. Jaccard misses
+    * subset duplication (a quote or excerpt inside a much larger page
+    * scores low because the union is huge); containment of the smaller
+    * side catches exactly that, which is why corpus dedup pipelines run
+    * both. Emits ordered (container d1 ⊇ contained d2 as "d2 inside d1"
+    * semantics: containment measured against the SMALLER side's size).
+    * Same scale shape as Jaccard: inverted-index token equi-join, never
+    * all-pairs; sizes join back on narrow keys.
+    */
+  def ngramContainmentPairs(documents: DataFrame, minContainment: Double,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val tok = documents
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered =
+      if (maxDocFreq == Long.MaxValue) tok
+      else {
+        val hot = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("w"))
+        tok.join(broadcast(hot), Seq("w"), "left_anti")
+      }
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = filtered.select(col("doc_id").as("d1"), col("w"))
+    val b = filtered.select(col("doc_id").as("d2"), col("w"))
+    val inter = a.join(b, a("w") === b("w") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("containment",
+        col("i") * lit(1.0) / least(col("n1"), col("n2")))
+      .filter(col("containment") >= minContainment)
+      .select(col("d1"), col("d2"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Deterministic affine MinHash family over 64-bit shingle hashes.
     * h_j(x) = (a_j * x + b_j) mod 2^61-1, constants from a fixed seed.
     */

@@ -54,6 +54,45 @@ object LlmQueries {
              |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Containment near-dup (asymmetric): planted truncated copies (first
+    // 15 words) are SUBSETS of their originals — Jaccard scores them low
+    // (union is the whole document) but containment of the smaller side
+    // is exactly 1; this is the excerpt/quote duplication case corpus
+    // pipelines must catch. Threshold formula has identical op order on
+    // both engines (i·1.0/least ≥ 0.9), so the comparison is bit-stable.
+    QueryDef(
+      "q_dedup_containment",
+      (s, dir) => {
+        val base = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id"), col("text"))
+        val truncated = base.select((col("doc_id") + 50000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text"))
+        Dedup.ngramContainmentPairs(base.unionByName(truncated),
+            minContainment = 0.9)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+             |  UNION ALL
+             |  SELECT doc_id + 50000 AS doc_id,
+             |    array_to_string((string_split(text, ' '))[1:15], ' ') AS text
+             |  FROM documents WHERE doc_id < 120),
+             |tok AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM corpus),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+             |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2,
+             |  round(i * 1.0 / least(sa.n, sb.n), 4) AS containment
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = d1
+             |JOIN sz sb ON sb.doc_id = d2
+             |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
+             |ORDER BY d1, d2""".stripMargin)),
+
     // MinHash+LSH near-dup: deterministic affine hash family; rows-only
     // (hash family not expressible in portable SQL) — ground truth in
     // DedupSpec. Output: candidate pairs with estimated Jaccard.

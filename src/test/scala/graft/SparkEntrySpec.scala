@@ -21,9 +21,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // round-4 floor: 132 queries, 114 of them oracle-checked — bump these
     // when operators are added so a bad refactor can't drop queries
     // without failing CI
-    assert(SparkEntry.queries.size >= 137,
+    assert(SparkEntry.queries.size >= 138,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 118,
+    assert(SparkEntry.oracleSql.size >= 119,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -76,6 +76,20 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(j12 - 12.0 / 14.0) < 1e-3)
   }
 
+  test("containment catches subset duplication that Jaccard misses") {
+    import SparkSpec.spark.implicits._
+    // doc 100 = the first 5 words of doc 1: containment of the smaller
+    // side is exactly 1.0, while Jaccard ≈ 5/13 — the excerpt case
+    val excerpt = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = docs.unionByName(excerpt)
+    val cont = Dedup.ngramContainmentPairs(corpus, minContainment = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.exists { case (d1, d2, c) => d1 == 1L && d2 == 100L && c == 1.0 })
+    val jac = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 100L)), "jaccard should miss the excerpt")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     import SparkSpec.spark.implicits._
     val vecs = Seq(
