@@ -40,7 +40,19 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+    setOverlapPairs(documents, textCol, idCol, maxDocFreq)
+      .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+
+  /** Shared inverted-index machinery for the exact set-overlap family:
+    * (d1 < d2, i = |A∩B|, n1, n2) for every doc pair sharing ≥1 distinct
+    * word. Token-keyed equi-join (never a cross join); sizes rejoin on
+    * narrow keys; `maxDocFreq` drops hot tokens (dedup stopwords) before
+    * the self-join — the 100 TB skew guard. */
+  private def setOverlapPairs(documents: DataFrame, textCol: String,
+                              idCol: String, maxDocFreq: Long): DataFrame = {
     // tokenization feeds three consumers (both join sides + the size
     // table): persist so the corpus is tokenized once per action
     val tok = documents
@@ -57,14 +69,10 @@ object Dedup {
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = filtered.select(col("doc_id").as("d1"), col("w"))
     val b = filtered.select(col("doc_id").as("d2"), col("w"))
-    val inter = a.join(b, a("w") === b("w") && a("d1") < b("d2"))
+    a.join(b, a("w") === b("w") && a("d1") < b("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
-      .filter(col("jac") >= minJaccard)
-      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
 
   /** Containment near-dup: |A ∩ B| / |A| over distinct word sets — the
@@ -79,31 +87,12 @@ object Dedup {
     */
   def ngramContainmentPairs(documents: DataFrame, minContainment: Double,
                             textCol: String = "text", idCol: String = "doc_id",
-                            maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val tok = documents
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val filtered =
-      if (maxDocFreq == Long.MaxValue) tok
-      else {
-        val hot = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("w"))
-        tok.join(broadcast(hot), Seq("w"), "left_anti")
-      }
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = filtered.select(col("doc_id").as("d1"), col("w"))
-    val b = filtered.select(col("doc_id").as("d2"), col("w"))
-    val inter = a.join(b, a("w") === b("w") && a("d1") < b("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+                            maxDocFreq: Long = Long.MaxValue): DataFrame =
+    setOverlapPairs(documents, textCol, idCol, maxDocFreq)
       .withColumn("containment",
         col("i") * lit(1.0) / least(col("n1"), col("n2")))
       .filter(col("containment") >= minContainment)
       .select(col("d1"), col("d2"), round(col("containment"), 4).as("containment"))
-  }
 
   /** Deterministic affine MinHash family over 64-bit shingle hashes.
     * h_j(x) = (a_j * x + b_j) mod 2^61-1, constants from a fixed seed.
