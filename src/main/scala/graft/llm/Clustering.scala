@@ -32,16 +32,23 @@ object Clustering {
     * ([[graft.functions.DotProductExpr]]). Ties break to the lowest
     * centroid index (array_position finds the first minimum).
     */
-  private def assign(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val scores: Seq[Column] = centroids.toSeq.map { c =>
-      val normSq = c.map(x => x * x).sum
-      lit(normSq) - lit(2.0) * VectorExpressions.dotProduct(col("v"), typedLit(c.toSeq))
-    }
-    df.withColumn("d", array(scores: _*))
+  /** Per-row distance-score array to every centroid (the monotone
+    * surrogate |c|² − 2·v·c; the norm rides as a literal, the dot product
+    * is the codegen'd expression). Shared by the k-means assignment and
+    * IVF cell routing ([[graft.llm.Similarity.ivfTopK]]) so the two can
+    * never diverge. */
+  private[llm] def centroidScores(v: Column,
+                                  centroids: Array[Array[Double]]): Column =
+    array(centroids.toSeq.map { c =>
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorExpressions.dotProduct(v, typedLit(c.toSeq))
+    }: _*)
+
+  private def assign(df: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("d", centroidScores(col("v"), centroids))
       .withColumn("cluster",
         (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
       .drop("d")
-  }
 
   /** Train Lloyd's k-means centroids over `vecCol` and return them as
     * driver-side k×dim doubles (the fixed-point state — corpus data never

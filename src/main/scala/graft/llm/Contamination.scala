@@ -69,6 +69,12 @@ object Contamination {
       // consumed twice (bloom-build action + confirm join): persist so the
       // benchmark shingling runs once; the query driver unpersists
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty benchmark → no contamination, same as sharedShingles (the
+    // bloom build would otherwise fail on a null sketch)
+    if (benchSh.isEmpty) {
+      return train.select(col(idCol).as("doc_id")).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared")).limit(0)
+    }
     val bloom = graft.functions.BloomFunctions.buildBloom(
       benchSh, col("sh"), expectedItems, numBits)
     train

@@ -80,10 +80,10 @@ object Dedup {
     * subset duplication (a quote or excerpt inside a much larger page
     * scores low because the union is huge); containment of the smaller
     * side catches exactly that, which is why corpus dedup pipelines run
-    * both. Emits ordered (container d1 ⊇ contained d2 as "d2 inside d1"
-    * semantics: containment measured against the SMALLER side's size).
-    * Same scale shape as Jaccard: inverted-index token equi-join, never
-    * all-pairs; sizes join back on narrow keys.
+    * both. The metric i/min(n1, n2) is SYMMETRIC and pairs are ordered by
+    * id (d1 < d2) — d1 is not necessarily the container; compare n1/n2 if
+    * the direction matters. Same scale shape as Jaccard: inverted-index
+    * token equi-join, never all-pairs; sizes join back on narrow keys.
     */
   def ngramContainmentPairs(documents: DataFrame, minContainment: Double,
                             textCol: String = "text", idCol: String = "doc_id",

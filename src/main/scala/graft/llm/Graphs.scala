@@ -45,7 +45,11 @@ object Graphs {
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
+      // the (rank ⋈ deg) join feeds BOTH the dangling-mass aggregate and
+      // the contribution subtree of the one materializing action below —
+      // persist it so the join runs once per sweep, not twice
       val state = ranks.join(withDeg, "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val dangling = state.filter(col("deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = edges
@@ -61,6 +65,7 @@ object Graphs {
           (lit((1.0 - damping) / n) + lit(damping)
             * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
         .localCheckpoint()
+      state.unpersist(blocking = false)
       i += 1
     }
     edges.unpersist(blocking = false)

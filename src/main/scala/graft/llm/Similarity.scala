@@ -170,13 +170,6 @@ object Similarity {
       .filter(col("cos_raw") >= minCos)
       .select(col("d1"), col("d2"), round(col("cos_raw"), 4).as("cos_sim"))
 
-  /** Approximate top-k via random-hyperplane LSH: candidates = corpus
-    * vectors sharing ≥1 table bucket with the query, then exact cosine +
-    * per-query window rank on candidates only. Increasing `tables` raises
-    * recall, increasing `planes` shrinks buckets (cost). Candidate dedup
-    * runs on bare (query_id, cand_id) ids; vectors join back afterwards
-    * (query side broadcast — it is small by contract).
-    */
   /** Approximate top-k via IVF (inverted-file) cells: a k-means coarse
     * quantizer partitions the corpus into `nlist` cells; each query probes
     * its `nprobe` nearest cells and ranks exact cosine over only those
@@ -202,11 +195,9 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
     val centroids = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
-    // Squared distance to centroid c is monotone in |c|² − 2·v·c: the norm
-    // rides as a literal, the dot product is the codegen'd expression.
-    def cellScores(v: Column): Column = array(centroids.toSeq.map { c =>
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(c.toSeq))
-    }: _*)
+    // same scoring expression as the k-means assignment (Clustering) so
+    // cell routing can never diverge from the trained assignment
+    def cellScores(v: Column): Column = Clustering.centroidScores(v, centroids)
 
     val cands = corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
@@ -242,6 +233,13 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Approximate top-k via random-hyperplane LSH: candidates = corpus
+    * vectors sharing ≥1 table bucket with the query, then exact cosine +
+    * per-query window rank on candidates only. Increasing `tables` raises
+    * recall, increasing `planes` shrinks buckets (cost). Candidate dedup
+    * runs on bare (query_id, cand_id) ids; vectors join back afterwards
+    * (query side broadcast — it is small by contract).
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int, tables: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {

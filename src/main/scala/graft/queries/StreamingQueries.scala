@@ -77,9 +77,11 @@ object StreamingQueries {
     // (no half-boundary risk).
     QueryDef(
       "q_stream_totals_tws",
-      (s, dir) => EventStreams.runAvailableNowUpdate(
-          s, s"$dir/events.parquet",
-          df => EventStreams.statefulUserTotalsTws(df), "stream_totals_tws")
+      (s, dir) => EventStreams.withRocksDbStateStore(s) {
+          EventStreams.runAvailableNowUpdate(
+            s, s"$dir/events.parquet",
+            df => EventStreams.statefulUserTotalsTws(df), "stream_totals_tws")
+        }
         .withColumn("rn", monotonically_increasing_id())
         .groupBy(col("user_id"))
         .agg(max(struct(col("rn"), col("n_events"), col("sum_value"))).as("st"))

@@ -135,21 +135,37 @@ object EventStreams {
     * successor to (f)mapGroupsWithState with typed state primitives
     * (ValueState/ListState/MapState, TTL, timers) backed by the RocksDB
     * state store. Same semantics as [[statefulUserTotals]], so the same
-    * batch-equivalence ground truth applies (StreamingSpec). The RocksDB
-    * provider is required by the API; it is set on the session here —
-    * harmless for the other stateful ops, which are provider-agnostic.
+    * batch-equivalence ground truth applies (StreamingSpec). The API
+    * requires the RocksDB state store provider — callers start the query
+    * inside [[withRocksDbStateStore]] (a plain transform must not mutate
+    * session config as a side effect).
     */
   def statefulUserTotalsTws(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = events.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events.selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new UserTotalsProcessor(),
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Run `body` (which must START its streaming query inside the call —
+    * Spark captures the provider conf at query start) with the RocksDB
+    * state store provider set, restoring the previous provider after.
+    * Required by `transformWithState`; scoping the conf here keeps the
+    * other stateful ops on whatever provider the session configured. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Run a streaming transform over the static events parquet with
@@ -174,9 +190,9 @@ object EventStreams {
       dir
     })
 
-  def runAvailableNow(spark: SparkSession, eventsPath: String,
-                      transform: DataFrame => DataFrame,
-                      queryName: String): DataFrame = {
+  private def runWithMode(spark: SparkSession, eventsPath: String,
+                          transform: DataFrame => DataFrame,
+                          queryName: String, mode: String): DataFrame = {
     val path = stageMicros(spark, eventsPath)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)
@@ -184,51 +200,30 @@ object EventStreams {
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  def runAvailableNow(spark: SparkSession, eventsPath: String,
+                      transform: DataFrame => DataFrame,
+                      queryName: String): DataFrame =
+    runWithMode(spark, eventsPath, transform, queryName, "complete")
 
   /** Update-mode variant for arbitrary-state transforms that emit running
     * rows per micro-batch (the memory sink appends each emission; callers
     * compact to the last row per key). */
   def runAvailableNowUpdate(spark: SparkSession, eventsPath: String,
                             transform: DataFrame => DataFrame,
-                            queryName: String): DataFrame = {
-    val path = stageMicros(spark, eventsPath)
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(path)
-    val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
-    val q = transform(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                            queryName: String): DataFrame =
+    runWithMode(spark, eventsPath, transform, queryName, "update")
 
   /** Append-mode variant for transforms without aggregation (dedup). */
   def runAvailableNowAppend(spark: SparkSession, eventsPath: String,
                             transform: DataFrame => DataFrame,
-                            queryName: String): DataFrame = {
-    val path = stageMicros(spark, eventsPath)
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(path)
-    val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
-    val q = transform(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                            queryName: String): DataFrame =
+    runWithMode(spark, eventsPath, transform, queryName, "append")
 }

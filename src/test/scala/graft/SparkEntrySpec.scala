@@ -18,7 +18,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-4 floor: 132 queries, 114 of them oracle-checked — bump these
+    // round-4 floor: 138 queries, 119 of them oracle-checked — bump these
     // when operators are added so a bad refactor can't drop queries
     // without failing CI
     assert(SparkEntry.queries.size >= 138,

@@ -145,13 +145,15 @@ class StreamingSpec extends SparkSpec {
     val staged = s"/root/repo/target/tmp/spec_tws_${System.nanoTime()}"
     events.write.mode("overwrite").parquet(staged)
     val stream = spark.readStream.schema(events.schema).parquet(staged)
-    val q = EventStreams.statefulUserTotalsTws(stream).writeStream
-      .format("memory").queryName("spec_tws")
-      .outputMode("update")
-      .option("checkpointLocation", s"$staged/_ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    EventStreams.withRocksDbStateStore(spark) {
+      val q = EventStreams.statefulUserTotalsTws(stream).writeStream
+        .format("memory").queryName("spec_tws")
+        .outputMode("update")
+        .option("checkpointLocation", s"$staged/_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val finals = spark.table("spec_tws")
       .withColumn("rn", monotonically_increasing_id())
       .groupBy(col("user_id"))
