@@ -58,17 +58,24 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: two DotProductExprs in one codegen
+      // function (any cosine = dot/(|a||b|) projection) would otherwise
+      // redefine `i`/`n`/`acc`, fail janino compilation, and silently
+      // drop the whole stage to interpreted mode.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       val getL = if (elemType(left).contains(FloatType))
-        s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+        s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (elemType(right).contains(FloatType))
-        s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $getL * $getR;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getL * $getR;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -26,4 +26,16 @@ abstract class SparkSpec extends AnyFunSuite {
 
   def tempDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(prefix)
+
+  /** Run `body` with SQL confs set, restoring prior values after. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -22,6 +22,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("two dot products in one codegen function compile (fresh locals)") {
+    // Regression: fixed `i`/`n`/`acc` locals collided when a cosine-style
+    // projection placed two DotProductExprs in one whole-stage-codegen
+    // function — janino failed and the stage silently ran interpreted.
+    // codegen.fallback=false turns that silent fallback into a test failure.
+    import SparkSpec.spark.implicits._
+    val df = Seq((1L, Array(1f, 2f), Array(3f, 4f))).toDF("id", "a", "b")
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val row = df.select(
+        VectorExpressions.dotProduct(col("a"), col("b")).as("ab"),
+        VectorExpressions.dotProduct(col("a"), col("a")).as("aa"),
+        VectorExpressions.dotProduct(col("b"), col("b")).as("bb")).head
+      assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 5.0
+        && row.getDouble(2) == 25.0)
+    }
+  }
+
   test("float x double literal mix") {
     import SparkSpec.spark.implicits._
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
