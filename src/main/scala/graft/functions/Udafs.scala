@@ -43,4 +43,59 @@ object Udafs {
   def geoMean(col: Column): Column = functions.udaf(GeoMean).apply(col)
   def weightedMean(value: Column, weight: Column): Column =
     functions.udaf(WeightedMean).apply(value, weight)
+
+  /** Misra–Gries frequent-items sketch: at most `k-1` counters, O(k)
+    * memory regardless of stream length, mergeable (Agarwal et al., "
+    * Mergeable Summaries", PODS'12: pairwise counter subtraction keeps
+    * the ε = n/k error bound under merge). Guarantee: every item with
+    * true frequency > n/k SURVIVES in the sketch (no false negatives);
+    * counts are underestimates by at most n/k. The intended 100 TB use is
+    * two-pass heavy hitters: this sketch produces a candidate set with a
+    * partial→final aggregate (map-side combine, ~k·|item| bytes per
+    * partial), then one semi-join recounts candidates exactly — see
+    * `q_heavy_hitters`.
+    */
+  final class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 1, "k must be > 1")
+
+    def zero: Map[String, Long] = Map.empty
+
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size < k) m
+      else {
+        // decrement-all step: subtract the smallest count from everyone;
+        // zeros drop out. One pass, keeps <= k-1 counters.
+        val dec = m.values.min
+        m.flatMap { case (s, c) => if (c > dec) Some(s -> (c - dec)) else None }
+      }
+
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      shrink(b.updated(x, b.getOrElse(x, 0L) + 1L))
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      // counter-wise sum, then repeated decrement back down to k-1
+      // counters (the PODS'12 mergeable form preserves the error bound)
+      var m = b.foldLeft(a) { case (acc, (s, c)) =>
+        acc.updated(s, acc.getOrElse(s, 0L) + c)
+      }
+      while (m.size >= k) m = shrink(m)
+      m
+    }
+
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+
+    // ExpressionEncoder (not kryo): the buffer/result stay a Catalyst
+    // MapType, so partials ship in Tungsten format and `map_keys` applies
+    // directly to the result.
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Frequent-item CANDIDATES (keys of the MG sketch) over a string
+    * column: complete for every item with frequency > n/k. */
+  def frequentCandidates(col: Column, k: Int): Column =
+    functions.map_keys(functions.udaf(new MisraGries(k)).apply(col))
 }

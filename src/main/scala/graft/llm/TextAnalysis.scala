@@ -133,4 +133,47 @@ object TextAnalysis {
           * log((lit(1L) + col("n_docs")).cast("double")
             / (lit(1L) + col("df")).cast("double")), 4).as("tfidf"))
   }
+
+  /** BM25 relevance per (document, query term) — the ranking function TF-IDF
+    * feeds into in every lexical retrieval stack (Robertson/Spärck Jones;
+    * Lucene's default similarity). k1 damps term-frequency saturation, b
+    * normalizes by document length against the corpus mean.
+    *
+    * Scale shape mirrors [[tfidf]]: one tokenize-explode feeding term
+    * counts (map-side combined), doc lengths over ALL terms, df restricted
+    * to the query's terms, and the 1-row corpus stats (N, avgdl) broadcast.
+    * The query-term filter prunes the big tc join input BEFORE the df join,
+    * so cost tracks matching postings, not the vocabulary.
+    *
+    * Oracle note: same per-row discipline as tfidf — counts and lengths
+    * are exact integers, avgdl is one BIGINT-sum/count division identical
+    * in any engine, and the lone transcendental (ln in the idf) is rounded
+    * at 4 decimals per row. Nothing sums floats.
+    */
+  def bm25(documents: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tc = documents
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLen = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+    val hits = tc.filter(col("term").isin(queryTerms: _*))
+    val dfTbl = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = documents.agg(countDistinct(col(idCol)).as("n_docs"))
+    val avg = docLen.agg((sum(col("dl")).cast("double")
+      / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0)
+      + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("c") * (lit(k1) + 1.0)) /
+      (col("c") + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * col("dl") / col("avgdl")))
+    hits.join(docLen, "doc_id")
+      .join(dfTbl, "term")
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(avg))
+      .select(col("doc_id"), col("term"),
+        round(idf * tfNorm, 4).as("bm25"))
+  }
 }

@@ -39,6 +39,37 @@ object ScaleJoins {
       .drop(saltedRight(key)).drop("_salt")
   }
 
+  /** Point-in-interval join rewritten as a bin equi-join — the scale path
+    * for range joins. A theta join (`lo <= p AND p < hi`) plans as a
+    * nested-loop: O(points × intervals), fatal once neither side
+    * broadcasts. Quantizing the range axis into fixed-width bins turns it
+    * into a shuffled equi-join: each interval is replicated to the bins it
+    * overlaps (`floor(lo/W) .. floor(hi/W)` — ~(hi-lo)/W rows), each point
+    * lands in exactly one bin, and the exact `[lo, hi)` predicate runs as
+    * a post-join filter. Cost scales with data × average interval span /
+    * W, never with points × intervals.
+    *
+    * Pick `binWidth` near the median interval span: too small replicates
+    * intervals; too large packs unrelated rows into one bin (the filter
+    * then discards them post-shuffle). Column names of the two inputs must
+    * be disjoint (standard equi-join hygiene; asserted).
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must not share column names")
+    val binnedIntervals = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val binnedPoints = points.withColumn("_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    binnedPoints.join(binnedIntervals, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+
   /** Persist `df` bucketed (and sorted) by `key` into the session catalog —
     * the co-location contract: subsequent equi-joins between two tables
     * bucketed with the same `numBuckets` on the same key plan with ZERO

@@ -292,6 +292,38 @@ object AnalyticQueries {
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
+    // SCD Type-2 dimension build (the warehouse versioning staple): turn
+    // a change log into validity-interval rows — each version valid from
+    // its own timestamp until the next version's (NULL = current). One
+    // shuffle on the business key into a lead() window; ties inside a key
+    // break on the change id, so the interval chain is total and
+    // deterministic. At scale this is the standard CDC → dimension-table
+    // materialization: partition-parallel per key, no driver loops.
+    QueryDef(
+      "q_scd2",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("valid_from"), col("change_id"))
+        load(s, dir, "orders")
+          .filter(col("o_custkey") <= 200) // a readable slice of the log
+          .select(col("o_custkey").as("k"), col("o_orderkey").as("change_id"),
+            col("o_orderdate").as("valid_from"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("state_cents"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("k"), col("valid_from"), col("change_id"))
+      },
+      Some("""SELECT o_custkey AS k, o_orderkey AS change_id,
+             |  o_orderdate AS valid_from,
+             |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS state_cents,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+             |FROM orders WHERE o_custkey <= 200
+             |ORDER BY k, valid_from, change_id""".stripMargin)),
+
     // Winsorization (outlier clipping at the 1st/99th percentile) — the
     // data-cleaning staple before any mean-based statistic. Bounds are
     // EXACT RANK PICKS (max of the bottom-k / min of the top-k by

@@ -444,6 +444,40 @@ object LlmQueries {
              |SELECT ngram, count(*) AS cnt FROM bg
              |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
 
+    // Two-pass exact heavy hitters — the 100 TB answer to "which tokens
+    // exceed 1/60 of the corpus". Pass 1: a Misra–Gries sketch (custom
+    // mergeable Aggregator, <= 59 counters per partial, map-side combined)
+    // yields a candidate set that PROVABLY contains every item with
+    // frequency > n/60 (no false negatives — the MG guarantee). Pass 2:
+    // candidates broadcast back, a semi-join recounts ONLY those terms
+    // exactly. Neither pass materializes the full vocabulary aggregate,
+    // and the threshold test is pure BIGINT arithmetic (c*60 > n), so the
+    // sketch-then-recount result equals the oracle's brute-force GROUP BY
+    // exactly — which is what lets a sketch query be hash-checked at all.
+    QueryDef(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val k = 60
+        val terms = load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+        val cands = terms
+          .agg(graft.functions.Udafs.frequentCandidates(col("term"), k).as("ks"))
+          .select(explode(col("ks")).as("term"))
+        val total = terms.agg(count(lit(1)).as("n"))
+        terms.join(broadcast(cands), Seq("term"), "left_semi")
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(total))
+          .filter(col("c") * k > col("n"))
+          .select(col("term"), col("c"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |n AS (SELECT count(*) AS n FROM t)
+             |SELECT term, count(*) AS c FROM t CROSS JOIN n
+             |GROUP BY term, n HAVING count(*) * 60 > n
+             |ORDER BY term""".stripMargin)),
+
     // Greedy fixed-budget sequence packing (training-sequence assembly):
     // rows-only by design (the greedy fold is not SQL-expressible without
     // recursion); invariants ground-truthed in PackingSpec.
@@ -621,6 +655,35 @@ object LlmQueries {
              |    * ln(CAST(1 + n_docs AS DOUBLE) / CAST(1 + df AS DOUBLE)), 4)
              |    AS tfidf
              |FROM tc JOIN pd USING (doc_id) JOIN v USING (term) CROSS JOIN nd
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    // BM25 ranking for a 3-term query (the lexical-retrieval staple that
+    // TF-IDF feeds into). Same float discipline as q_tfidf: integer
+    // counts, one broadcast avgdl division, per-row ln rounded at 4
+    // decimals — nothing sums floats, so the compare is exact. The oracle
+    // SQL mirrors the engine's expression tree associativity exactly
+    // (left-assoc products/divisions) so both evaluate bit-identically.
+    QueryDef(
+      "q_bm25",
+      (s, dir) => TextAnalysis
+        .bm25(load(s, dir, "documents"), Seq("join", "scan", "stream"))
+        .orderBy(col("doc_id"), col("term")),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, term, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, sum(c) AS dl FROM tc GROUP BY doc_id),
+             |hits AS (SELECT * FROM tc WHERE term IN ('join', 'scan', 'stream')),
+             |df AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+             |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             |avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+             |SELECT h.doc_id, h.term,
+             |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |    * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+             |    AS bm25
+             |FROM hits h JOIN dl USING (doc_id) JOIN df USING (term)
+             |CROSS JOIN corpus CROSS JOIN avg
              |ORDER BY doc_id, term""".stripMargin)),
 
     // Overlapping document chunking (pretraining/RAG prep: fixed-size

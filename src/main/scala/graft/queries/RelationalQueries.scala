@@ -317,6 +317,40 @@ object RelationalQueries {
              |  ON o_totalprice >= lo AND o_totalprice < hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // Binned interval join — the 100 TB shape for q_join_range's problem.
+    // 25 OVERLAPPING price bands (one per nation key, stride 20k < span
+    // 50k, so a price can match up to 3 bands) joined to orders without a
+    // nested loop: ScaleJoins.binnedRangeJoin replicates each band to the
+    // ~3 bins it overlaps and equi-joins on the bin (PlanSpec asserts no
+    // BroadcastNestedLoopJoin). Oracle is the plain theta join — identical
+    // semantics, different physical plan. Money sums in exact integer
+    // cents (q_merge_upsert precedent).
+    QueryDef(
+      "q_join_range_binned",
+      (s, dir) => {
+        val bands = load(s, dir, "nation")
+          .select(col("n_nationkey").as("band_id"),
+            (col("n_nationkey") * 20000.0).as("lo"),
+            (col("n_nationkey") * 20000.0 + 50000.0).as("hi"))
+        val orders = load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        graft.plans.ScaleJoins
+          .binnedRangeJoin(orders, bands, "o_totalprice", "lo", "hi",
+            binWidth = 25000.0)
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+              .as("sum_cents"))
+          .orderBy(col("band_id"))
+      },
+      Some("""SELECT n_nationkey AS band_id, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents
+             |FROM orders JOIN nation
+             |  ON o_totalprice >= n_nationkey * 20000.0
+             | AND o_totalprice < n_nationkey * 20000.0 + 50000.0
+             |GROUP BY band_id ORDER BY band_id""".stripMargin)),
+
     // ---- sort / limit / top-k -------------------------------------------
     QueryDef(
       "q_sort_multikey",
@@ -376,6 +410,37 @@ object RelationalQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES in
+    // its exponential-clock form): each row draws a deterministic uniform
+    // u from a Knuth multiplicative hash of its key — plain BIGINT
+    // arithmetic, bit-identical in any engine, unlike RNG sampling — and
+    // races with clock -ln(u)/weight; the k smallest clocks are the
+    // sample, inclusion probability ∝ weight. Distributed shape: per-row
+    // arithmetic + TakeOrderedAndProject top-k (per-partition heaps, no
+    // global sort), the same at any scale. The clock itself is never
+    // emitted: libm ln may differ in the last ulp across engines, which
+    // cannot flip the top-k selection on continuous data but would fail a
+    // bit-exact compare of the clock values.
+    QueryDef(
+      "q_sample_weighted",
+      (s, dir) => {
+        val u = ((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L)
+          + lit(0.5)) / lit(4294967296.0)
+        load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (-log(u) / col("o_totalprice")).as("_clock"))
+          .orderBy(col("_clock"), col("o_orderkey"))
+          .limit(50)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |    -ln(((o_orderkey * 2654435761) % 4294967296 + 0.5)
+             |        / 4294967296.0) / o_totalprice AS clock
+             |  FROM orders ORDER BY clock, o_orderkey LIMIT 50)
              |ORDER BY o_orderkey""".stripMargin)),
 
     // Stratified sampling: per-stratum Bernoulli fractions via

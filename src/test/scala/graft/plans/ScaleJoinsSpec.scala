@@ -22,6 +22,38 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("binnedRangeJoin result-identical to the theta range join") {
+    val points = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // overlapping intervals (stride < span) so multi-match is exercised
+    val intervals = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("band"),
+        (col("n_nationkey") * 20000.0).as("lo"),
+        (col("n_nationkey") * 20000.0 + 50000.0).as("hi"))
+    val theta = points.join(intervals,
+      points("o_totalprice") >= intervals("lo")
+        && points("o_totalprice") < intervals("hi"))
+      .select(col("o_orderkey"), col("band"))
+    val binned = ScaleJoins.binnedRangeJoin(
+        points, intervals, "o_totalprice", "lo", "hi", binWidth = 25000.0)
+      .select(col("o_orderkey"), col("band"))
+    assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
+  }
+
+  test("binnedRangeJoin plans as an equi-join, not a nested loop") {
+    val points = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val intervals = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("band"),
+        (col("n_nationkey") * 20000.0).as("lo"),
+        (col("n_nationkey") * 20000.0 + 50000.0).as("hi"))
+    val p = ScaleJoins.binnedRangeJoin(
+        points, intervals, "o_totalprice", "lo", "hi", binWidth = 25000.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("AQE splits a skewed join partition without manual salting") {
     // The runtime counterpart of saltedJoin: plant a 95%-one-key fact
     // table, lower the skew thresholds to test scale, and assert the

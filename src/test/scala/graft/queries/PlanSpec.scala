@@ -40,6 +40,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_join_range_binned: bin equi-join, no nested loop") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_latest_per_key: WindowGroupLimit prunes the rank-1 filter") {
     assert(plan("q_latest_per_key").contains("WindowGroupLimit"))
   }
