@@ -108,5 +108,31 @@ object StreamingQueries {
              | AND v.event_type = 'view' AND p.event_type = 'purchase'
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)),
+
+    // Stream-stream LEFT OUTER join: unmatched views must surface with a
+    // NULL purchase — semantics the inner join never exercises, because
+    // NULL-padding requires watermark-driven state EVICTION ("no match
+    // can still arrive"), not just matching. Finite input + heartbeat
+    // sentinel (see EventStreams.stageMicrosHeartbeat) makes the
+    // streaming result equal the batch LEFT JOIN, so the same DuckDB
+    // oracle applies. Spark sorts ASC nulls-first; the oracle says so
+    // explicitly (DuckDB defaults nulls-last).
+    QueryDef(
+      "q_stream_join_left",
+      (s, dir) => EventStreams.runAvailableNowAppendHeartbeat(
+          s, s"$dir/events.parquet",
+          df => EventStreams.viewPurchaseJoinLeftOuter(df), "stream_join_left")
+        // sentinel filter on the SINK table (batch side): inside the
+        // streaming plan it would be pushed below the watermark and kill
+        // the heartbeat before it advances anything
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id")),
+      Some("""SELECT v.user_id AS user_id, v.event_id AS view_id,
+             |  p.event_id AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+             |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin)),
   )
 }

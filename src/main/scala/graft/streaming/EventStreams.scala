@@ -100,6 +100,41 @@ object EventStreams {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** Left-outer stream-stream join: every view emits, matched or not —
+    * the conversion-funnel query where "no purchase" is the interesting
+    * row. Same bounded-state conditions as [[viewPurchaseJoin]]
+    * (two-sided watermarks + time-range predicate); the NULL-padded rows
+    * additionally depend on state EVICTION — Spark can only declare "no
+    * match ever" for a view once the watermark passes `view_ts +
+    * horizon`, so unmatched results trail matched ones by the watermark.
+    * On a finite stream the tail would be withheld forever; the
+    * heartbeat-staging runner ([[runAvailableNowAppendHeartbeat]])
+    * supplies the far-future sentinel that flushes it, and this filter
+    * drops the sentinels from the result. */
+  def viewPurchaseJoinLeftOuter(events: DataFrame,
+                                horizon: String = "10 minutes",
+                                watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"interval $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    // NOTE: the heartbeat sentinels (user_id = -1) must be filtered AFTER
+    // the sink, not here — a non-event-time predicate inside the streaming
+    // plan gets pushed below the watermark operators into the scan, which
+    // would drop the sentinels before they ever advance the watermark
+    // (observed: stale watermark, stranded outer rows).
+  }
+
   /** Stateful streaming dedup by event_id within the watermark. */
   def dedupWithinWatermark(events: DataFrame,
                            watermark: String = "10 minutes"): DataFrame =
@@ -190,12 +225,64 @@ object EventStreams {
       dir
     })
 
+  /** Staged µs copy plus TWO far-future "heartbeat" rounds (a view+purchase
+    * sentinel pair at max+1 day, another at max+2 days), written as
+    * separate mtime-ordered appends. An outer stream-stream join emits its
+    * NULL-padded rows only when the GLOBAL watermark (min over both sides)
+    * passes the eviction point, and the watermark a batch EVICTS with is
+    * the one committed by the PREVIOUS batch — so a single sentinel round
+    * in the final data batch advances the watermark one batch too late
+    * (observed: AvailableNow terminates without a closing no-data batch,
+    * stranding every view still inside the horizon). Round 1 advances both
+    * sides' watermarks past all real data; the round-2 batch then evicts
+    * with that watermark. The streaming version of a watermark
+    * heartbeat/punctuation event, run with maxFilesPerTrigger=1 so the
+    * rounds land in distinct micro-batches (mtime order = append order). */
+  private def stageMicrosHeartbeat(spark: SparkSession,
+                                   eventsPath: String): String =
+    staged.getOrElseUpdate(eventsPath + "#heartbeat", {
+      val dir =
+        s"/root/repo/target/tmp/events_us_hb_${math.abs(eventsPath.hashCode)}"
+      val parent = eventsPath.stripSuffix("/events.parquet")
+      val ev = graft.queries.Tables.load(spark, parent, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      // one data file → one data batch under maxFilesPerTrigger=1: the
+      // whole corpus sees watermark 0, so nothing is dropped as late no
+      // matter how rows are ordered across the source files
+      ev.coalesce(1).write.mode("overwrite").parquet(dir)
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      def heartbeat(round: Int): Unit = {
+        val hbTs = new java.sql.Timestamp(maxTs.getTime + round * 86400000L)
+        val hb = ev.sparkSession.range(2).select(
+          (col("id") - 2L * round).as("event_id"), // negative: disjoint ids
+          lit(hbTs).as("ts"),
+          lit(-1L).as("user_id"),
+          when(col("id") === 0, "view").otherwise("purchase").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        Thread.sleep(10) // strictly later mtime than the previous write
+        hb.coalesce(1).write.mode("append").parquet(dir)
+      }
+      heartbeat(1)
+      heartbeat(2)
+      dir
+    })
+
   private def runWithMode(spark: SparkSession, eventsPath: String,
                           transform: DataFrame => DataFrame,
-                          queryName: String, mode: String): DataFrame = {
-    val path = stageMicros(spark, eventsPath)
+                          queryName: String, mode: String,
+                          heartbeat: Boolean = false): DataFrame = {
+    val path =
+      if (heartbeat) stageMicrosHeartbeat(spark, eventsPath)
+      else stageMicros(spark, eventsPath)
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(path)
+    val reader = spark.readStream.schema(schema)
+    // heartbeat staging needs its sentinel rounds in separate
+    // micro-batches (see stageMicrosHeartbeat); file mtime order + one
+    // file per trigger guarantees data < round1 < round2 batch order
+    val stream =
+      (if (heartbeat) reader.option("maxFilesPerTrigger", "1") else reader)
+        .parquet(path)
     val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
     val q = transform(stream).writeStream
       .format("memory")
@@ -226,4 +313,12 @@ object EventStreams {
                             transform: DataFrame => DataFrame,
                             queryName: String): DataFrame =
     runWithMode(spark, eventsPath, transform, queryName, "append")
+
+  /** Append-mode run over the heartbeat-staged input — required for
+    * outer stream-stream joins (see [[stageMicrosHeartbeat]]). */
+  def runAvailableNowAppendHeartbeat(spark: SparkSession, eventsPath: String,
+                                     transform: DataFrame => DataFrame,
+                                     queryName: String): DataFrame =
+    runWithMode(spark, eventsPath, transform, queryName, "append",
+      heartbeat = true)
 }
