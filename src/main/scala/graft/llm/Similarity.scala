@@ -233,6 +233,106 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Product-quantization top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the memory-compression tier of
+    * the ANN family, complementing IVF's candidate pruning.
+    *
+    * Encode: the D-dim space splits into `m` subspaces of D/m dims; each
+    * subspace gets its own `ksub`-centroid k-means codebook (trained with
+    * the shared [[Clustering.trainCentroids]]), and every corpus vector
+    * compresses to `m` small ints — 64 floats become 8 nibble-codes, a
+    * 32× memory cut, computed per-row over plan-literal codebooks with no
+    * shuffle.
+    *
+    * Query (ADC — asymmetric distance computation): each query
+    * precomputes, once, a lookup table of its subvector dot products
+    * against every codebook centroid (m×ksub doubles, built on the
+    * broadcast query side); scoring a corpus row is then `m` array
+    * lookups on its code — O(m) per row instead of O(D) multiply-adds,
+    * and the scan touches codes only, never the raw vectors. The top
+    * k·`refine` ADC candidates per query are re-ranked with exact cosine
+    * (vectors join back by id for candidates only), absorbing the
+    * quantization error the way production IVF-PQ stacks do.
+    *
+    * Scale shape: codes scan (narrow) + per-query window on
+    * (query_id, cand_id, adc) id-sized rows + candidate-only vector
+    * join-back. The corpus' full vectors are never broadcast, shuffled,
+    * or scanned in the hot loop.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, refine: Int = 4,
+             trainIters: Int = 3,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(EmbeddingDim % m == 0, s"m=$m must divide dim=$EmbeddingDim")
+    val dsub = EmbeddingDim / m
+    def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
+
+    // per-subspace codebooks from the shared deterministic k-means trainer
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
+      Clustering.trainCentroids(
+        corpus.select(col(idCol),
+          sub(col(vecCol).cast("array<double>"), s).as("subv")),
+        idCol, "subv", ksub, trainIters)
+    }
+
+    // corpus → m codes (argmin per subspace; same scoring expression as
+    // the trainer so encode can never diverge from training)
+    def codeFor(vSub: Column, s: Int): Column = {
+      val d = Clustering.centroidScores(vSub, codebooks(s))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    // exact norm rides beside the code (1 double — still narrow) so ADC
+    // can rank by approximate COSINE; ranking by raw approximate dot
+    // would bias candidates toward large-norm vectors
+    val codes = corpus
+      .select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .select(col("cand_id"),
+        array((0 until m).map(s => codeFor(sub(col("cv"), s), s)): _*)
+          .as("code"),
+        l2norm(col("cv")).as("c_norm"))
+
+    // broadcast query side: raw vec + norm + the per-subspace ADC LUTs
+    val qv = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+      .withColumn("lut", array((0 until m).map { s =>
+        array(codebooks(s).toSeq.map(c =>
+          dot(sub(col("q_vec"), s), typedLit(c.toSeq))): _*)
+      }: _*))
+
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("lut"), s + 1),
+        element_at(col("code"), s + 1) + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    val cand = codes.crossJoin(broadcast(qv))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", adc / (col("q_norm") * col("c_norm")))
+      .select(col("query_id"), col("cand_id"), col("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= k * refine)
+      .select(col("query_id"), col("cand_id"))
+
+    // exact cosine re-rank over candidates only
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    cand.join(broadcast(qv.select(col("query_id"), col("q_vec"), col("q_norm"))),
+        "query_id")
+      .join(cv, "cand_id")
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: candidates = corpus
     * vectors sharing ≥1 table bucket with the query, then exact cosine +
     * per-query window rank on candidates only. Increasing `tables` raises

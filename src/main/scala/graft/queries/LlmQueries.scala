@@ -222,6 +222,51 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk")),
       None),
 
+    // Product-quantization ANN (codes + ADC lookup scoring + exact
+    // re-rank): the memory-compression tier beside IVF's pruning — 64
+    // floats per vector become 8 codes for the candidate scan. Rows-only;
+    // recall and the refine-everything ≡ brute-force anchor are pinned in
+    // LlmSpec, and q_sim_pq_exhaustive below is oracle-checked.
+    QueryDef(
+      "q_sim_pq",
+      (s, dir) => Similarity.pqTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 5, m = 8, ksub = 16, refine = 4)
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
+    // PQ with the refine window covering the whole corpus: every row
+    // passes to the exact cosine re-rank, so the full pipeline (codebook
+    // training, encoding, ADC scan, re-rank) must reproduce brute force
+    // bit-for-bit — hash-checkable against the same SQL as q_sim_topk.
+    // (The oracle gate runs at sf0.01 = 500 vectors; k·refine = 500
+    // covers it. The selective variant above is the actual ANN path.)
+    QueryDef(
+      "q_sim_pq_exhaustive",
+      (s, dir) => Similarity.pqTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 5, m = 8, ksub = 16, refine = 100)
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_dot_product(
+             |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT query_id, cand_id, cos_sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_sim DESC, cand_id) AS rk
+             |  FROM sims)
+             |SELECT query_id, rk, cand_id, round(cos_sim, 4) AS cos_sim
+             |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
     // IVF with exhaustive probing (nprobe = nlist) degenerates to exact
     // brute force — which makes the whole IVF pipeline (train, assign,
     // probe, rank) hash-checkable against the same DuckDB SQL as

@@ -171,6 +171,50 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-twin recall too low: $recall")
   }
 
+  test("pqTopK: refine window covering the corpus is exactly brute force") {
+    // With k·refine >= |corpus|, every row reaches the exact re-rank, so
+    // train→encode→ADC→re-rank must reproduce brute force bit-for-bit.
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, unit(64))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, k = 4))
+    val pq = rows(Similarity.pqTopK(corpus, queries, k = 4,
+      m = 8, ksub = 8, refine = 15)) // 4*15 = 60 >= |corpus|
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
+  test("pqTopK: selective refine keeps planted-twin recall high") {
+    // A twin quantizes to (nearly) the same codes as its base, so the ADC
+    // scan must surface it inside a small refine window.
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 20).map(i => (i.toLong, unit(64)))
+    val twins = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    val found = Similarity.pqTopK(corpus, queries, k = 3,
+        m = 8, ksub = 8, refine = 3)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = base.count { case (i, _) => found.contains((i, i + 100L)) } / 20.0
+    assert(recall >= 0.9, s"planted-twin recall too low: $recall")
+  }
+
   test("sharedShinglesBloom matches the exact shared-shingle counts") {
     import SparkSpec.spark.implicits._
     val train = docs.filter($"doc_id" =!= 3L)
