@@ -333,6 +333,100 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** IVF-PQ: the production ANN composition — IVF's coarse quantizer
+    * prunes the search to `nprobe` cells, PQ's codes compress what gets
+    * scanned inside them. The scan cost is (nprobe/nlist)·N rows × O(m)
+    * ADC lookups over code rows; raw vectors appear only in the final
+    * k·refine exact re-rank. Both stages reuse their standalone trainers
+    * ([[Clustering.trainCentroids]] twice: once for cells, once per PQ
+    * subspace), so the composed path can never diverge from the parts
+    * the specs pin individually.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
+                refine: Int = 4, trainIters: Int = 3,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    require(EmbeddingDim % m == 0, s"m=$m must divide dim=$EmbeddingDim")
+    val dsub = EmbeddingDim / m
+    def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
+
+    val cells = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
+      Clustering.trainCentroids(
+        corpus.select(col(idCol),
+          sub(col(vecCol).cast("array<double>"), s).as("subv")),
+        idCol, "subv", ksub, trainIters)
+    }
+    def codeFor(vSub: Column, s: Int): Column = {
+      val d = Clustering.centroidScores(vSub, codebooks(s))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    def cellScores(v: Column): Column = Clustering.centroidScores(v, cells)
+
+    // the index: (cell, code, norm) per corpus row — one narrow table
+    val index = corpus
+      .select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("d", cellScores(col("cv")))
+      .withColumn("cell",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+      .select(col("cand_id"), col("cell"),
+        array((0 until m).map(s => codeFor(sub(col("cv"), s), s)): _*)
+          .as("code"),
+        l2norm(col("cv")).as("c_norm"))
+
+    // query side: probed cells + ADC LUTs, broadcast
+    val probed = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+      .withColumn("lut", array((0 until m).map { s =>
+        array(codebooks(s).toSeq.map(c =>
+          dot(sub(col("q_vec"), s), typedLit(c.toSeq))): _*)
+      }: _*))
+      .withColumn("d", cellScores(col("q_vec")))
+      .withColumn("probe", transform(
+        slice(sort_array(transform(sequence(lit(0), lit(nlist - 1)),
+          i => struct(element_at(col("d"), i + 1).as("s"), i.as("i")))),
+          1, nprobe),
+        x => x.getField("i").cast("int")))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("lut"),
+        explode(col("probe")).as("cell"))
+
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("lut"), s + 1),
+        element_at(col("code"), s + 1) + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    val cand = index.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", adc / (col("q_norm") * col("c_norm")))
+      .select(col("query_id"), col("cand_id"), col("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= k * refine)
+      .select(col("query_id"), col("cand_id"))
+
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    cand.join(broadcast(qv), "query_id")
+      .join(cv, "cand_id")
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: candidates = corpus
     * vectors sharing ≥1 table bucket with the query, then exact cosine +
     * per-query window rank on candidates only. Increasing `tables` raises

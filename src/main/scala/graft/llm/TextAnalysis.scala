@@ -134,6 +134,44 @@ object TextAnalysis {
             / (lit(1L) + col("df")).cast("double")), 4).as("tfidf"))
   }
 
+  /** Per-document unigram language-model log-likelihood — the
+    * perplexity-proxy quality score (docs whose tokens are improbable
+    * under the corpus' own unigram distribution are boilerplate, noise,
+    * or wrong-language). Add-one smoothing: p(t) = (ct+1)/(N+V).
+    *
+    * Scale shape: tokenize-explode → (doc,term) counts → vocabulary
+    * counts (both map-side combined) → broadcast 1-row corpus totals →
+    * postings equi-join back — the tfidf/bm25 template.
+    *
+    * Determinism: a per-doc SUM of float log-probs would depend on
+    * aggregation order and could never hash-match an oracle. Instead each
+    * term's ln p is rounded to 4 decimals (per-row transcendental — the
+    * stable op) and converted to exact integer micro-units (×10⁴, round
+    * not floor, so the representation error of the 4-dp double cannot
+    * flip a unit); doc scores are then BIGINT sums — exact, associative,
+    * engine-identical. Output stays integral (n_tokens, sum_logp_micro):
+    * the per-token average is a downstream division, not a stored float.
+    */
+  def unigramLmScore(documents: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val tc = documents
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tc.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val totals = vocab.agg(sum(col("ct")).as("n"), count(lit(1)).as("v"))
+    val lm = vocab.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(round(log((col("ct") + lit(1.0)) / (col("n") + col("v"))), 4)
+          * 10000).cast("long").as("micro"))
+    tc.join(lm, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("micro")).as("sum_logp_micro"))
+  }
+
   /** BM25 relevance per (document, query term) — the ranking function TF-IDF
     * feeds into in every lexical retrieval stack (Robertson/Spärck Jones;
     * Lucene's default similarity). k1 damps term-frequency saturation, b

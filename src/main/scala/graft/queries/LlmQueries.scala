@@ -267,6 +267,18 @@ object LlmQueries {
              |SELECT query_id, rk, cand_id, round(cos_sim, 4) AS cos_sim
              |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
+    // IVF-PQ composed (cell pruning × code compression) — the production
+    // ANN shape; rows-only, with the exhaustive-everything ≡ brute-force
+    // anchor pinned in LlmSpec.
+    QueryDef(
+      "q_sim_ivfpq",
+      (s, dir) => Similarity.ivfPqTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4)
+        .orderBy(col("query_id"), col("rk")),
+      None),
+
     // IVF with exhaustive probing (nprobe = nlist) degenerates to exact
     // brute force — which makes the whole IVF pipeline (train, assign,
     // probe, rank) hash-checkable against the same DuckDB SQL as
@@ -730,6 +742,29 @@ object LlmQueries {
              |FROM hits h JOIN dl USING (doc_id) JOIN df USING (term)
              |CROSS JOIN corpus CROSS JOIN avg
              |ORDER BY doc_id, term""".stripMargin)),
+
+    // Unigram-LM document scoring (perplexity proxy): corpus trains its
+    // own add-one-smoothed unigram model, every doc gets an exact-integer
+    // log-likelihood in micro-units (see TextAnalysis.unigramLmScore for
+    // why the output is integral — float sums can't hash-match).
+    QueryDef(
+      "q_lm_score",
+      (s, dir) => TextAnalysis.unigramLmScore(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+             |vocab AS (SELECT term, sum(c) AS ct FROM tc GROUP BY term),
+             |tot AS (SELECT sum(ct) AS n, count(*) AS v FROM vocab),
+             |lm AS (SELECT term,
+             |  CAST(round(round(ln((ct + 1.0) / (n + v)), 4) * 10000) AS BIGINT)
+             |    AS micro
+             |  FROM vocab CROSS JOIN tot)
+             |SELECT tc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(sum(c * micro) AS BIGINT) AS sum_logp_micro
+             |FROM tc JOIN lm USING (term)
+             |GROUP BY tc.doc_id ORDER BY doc_id""".stripMargin)),
 
     // Overlapping document chunking (pretraining/RAG prep: fixed-size
     // windows with stride overlap, 1-based char offsets). Pure integer

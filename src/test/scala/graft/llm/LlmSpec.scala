@@ -215,6 +215,46 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-twin recall too low: $recall")
   }
 
+  test("ivfPqTopK: exhaustive probe + corpus-wide refine is brute force") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, unit(64))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, k = 4))
+    val ivfpq = rows(Similarity.ivfPqTopK(corpus, queries, k = 4,
+      nlist = 8, nprobe = 8, m = 8, ksub = 8, refine = 15))
+    assert(ivfpq == exact, s"ivfpq=$ivfpq exact=$exact")
+  }
+
+  test("ivfPqTopK: selective probe + refine keeps planted-twin recall") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 20).map(i => (i.toLong, unit(64)))
+    val twins = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    val found = Similarity.ivfPqTopK(corpus, queries, k = 3,
+        nlist = 12, nprobe = 2, m = 8, ksub = 8, refine = 3)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = base.count { case (i, _) => found.contains((i, i + 100L)) } / 20.0
+    assert(recall >= 0.9, s"planted-twin recall too low: $recall")
+  }
+
   test("sharedShinglesBloom matches the exact shared-shingle counts") {
     import SparkSpec.spark.implicits._
     val train = docs.filter($"doc_id" =!= 3L)
