@@ -109,6 +109,30 @@ object StreamingQueries {
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)),
 
+    // Chained windowed aggregation — two stateful operators in one query
+    // (per-10-min counts → hourly peak), append mode as chaining
+    // requires, run over the heartbeat staging so the tail hour
+    // finalizes; the post-sink filter drops the sentinels' own far-future
+    // hour (the real data's max ts bounds real windows).
+    QueryDef(
+      "q_stream_chained_agg",
+      (s, dir) => {
+        val maxTs = Tables.load(s, dir, "events")
+          .agg(max(col("ts"))).head.getTimestamp(0)
+        EventStreams.runAvailableNowAppendHeartbeat(
+            s, s"$dir/events.parquet",
+            df => EventStreams.chainedWindowAgg(df), "stream_chained_agg")
+          .filter(col("hs") <= lit(maxTs))
+          .orderBy(col("hs"), col("event_type"))
+      },
+      Some("""WITH c AS (
+             |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS wten,
+             |    event_type, count(*) AS cnt
+             |  FROM events GROUP BY wten, event_type)
+             |SELECT time_bucket(INTERVAL '1 hour', wten) AS hs, event_type,
+             |  max(cnt) AS peak_10m
+             |FROM c GROUP BY hs, event_type ORDER BY hs, event_type""".stripMargin)),
+
     // Stream-stream LEFT OUTER join: unmatched views must surface with a
     // NULL purchase — semantics the inner join never exercises, because
     // NULL-padding requires watermark-driven state EVICTION ("no match

@@ -65,6 +65,25 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("ws"), col("cnt"))
 
+  /** Chained windowed aggregation — TWO stateful operators in one
+    * streaming query (Spark 3.4+ stateful-operator chaining): per-10-min
+    * event counts, then the per-hour PEAK of those counts. The inner
+    * window's event-time column propagates via `window_time` so the outer
+    * aggregation stays watermark-driven; before chaining support, this
+    * required two queries glued by an intermediate sink. Works identically
+    * on batch input → DuckDB oracle via two GROUP BYs. */
+  def chainedWindowAgg(events: DataFrame,
+                       inner: String = "10 minutes",
+                       outer: String = "1 hour",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), inner).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(window(window_time(col("w")), outer).as("hw"), col("event_type"))
+      .agg(max(col("cnt")).as("peak_10m"))
+      .select(col("hw.start").as("hs"), col("event_type"), col("peak_10m"))
+
   /** Session-window (gap-based) aggregation per user. */
   def sessionAgg(events: DataFrame, gap: String = "5 minutes",
                  watermark: String = "10 minutes"): DataFrame =
