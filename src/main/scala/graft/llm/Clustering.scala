@@ -91,6 +91,66 @@ object Clustering {
     centroids
   }
 
+  /** Train all `m` product-quantization subspace codebooks at once: ONE
+    * corpus scan per Lloyd iteration instead of one per (subspace ×
+    * iteration). Rows explode to (s, subv) — m·N narrow rows — the
+    * m×ksub×dsub codebooks ride as one plan literal indexed by the
+    * subspace column, and the update is a single (s, cluster) hash
+    * aggregate collecting m·ksub rows. Seeding matches
+    * [[trainCentroids]]: per subspace, the ksub lowest-id subvectors.
+    * Driver round trips drop from m·iters to iters — the difference
+    * between 24 sequential mini-jobs and 3 at any corpus size.
+    */
+  private[llm] def trainSubspaceCodebooks(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, ksub: Int, iters: Int): IndexedSeq[Array[Array[Double]]] = {
+    require(m > 0 && ksub > 0 && iters > 0, "m, ksub, iters must be positive")
+    val subRows = vecs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * dsub + 1, dsub)): _*)).as(Seq("s", "subv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // seed: the ksub lowest-id subvectors per subspace, in id order
+    val seed = subRows
+      .join(broadcast(vecs.select(col(idCol).as("id"))
+        .orderBy(col("id")).limit(ksub)), "id")
+      .orderBy(col("s"), col("id"))
+      .collect()
+    require(seed.length == m * ksub,
+      s"need at least $ksub vectors to seed $ksub clusters per subspace")
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) { (s, c) =>
+      seed(s * ksub + c).getSeq[Double](2).toArray
+    }
+
+    var round = 0
+    while (round < iters) {
+      val bookLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val normLit = typedLit(books.map(_.map(b => b.map(x => x * x).sum).toSeq).toSeq)
+      val scores = array((0 until ksub).map { c =>
+        element_at(element_at(normLit, col("s") + 1), c + 1) -
+          lit(2.0) * VectorExpressions.dotProduct(col("subv"),
+            element_at(element_at(bookLit, col("s") + 1), c + 1))
+      }: _*)
+      val meanCols = (0 until dsub).map(i =>
+        avg(element_at(col("subv"), i + 1)).as(s"m$i"))
+      val means = subRows
+        .withColumn("d", scores)
+        .withColumn("cluster",
+          (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+        .groupBy(col("s"), col("cluster"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      means.foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) =
+          Array.tabulate(dsub)(i => r.getDouble(i + 2))
+      }
+      round += 1
+    }
+    subRows.unpersist(blocking = false)
+    books.toIndexedSeq
+  }
+
   /** Assign rows of `vecs` to the nearest of the given centroids; returns
     * (idCol, cluster). Pure per-row expression work over plan-literal
     * centroids — no shuffle. */

@@ -268,13 +268,9 @@ object Similarity {
     val dsub = EmbeddingDim / m
     def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
 
-    // per-subspace codebooks from the shared deterministic k-means trainer
-    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
-      Clustering.trainCentroids(
-        corpus.select(col(idCol),
-          sub(col(vecCol).cast("array<double>"), s).as("subv")),
-        idCol, "subv", ksub, trainIters)
-    }
+    // all m subspace codebooks trained in one scan per iteration
+    val codebooks = Clustering.trainSubspaceCodebooks(
+      corpus, idCol, vecCol, m, dsub, ksub, trainIters)
 
     // corpus → m codes (argmin per subspace; same scoring expression as
     // the trainer so encode can never diverge from training)
@@ -354,12 +350,8 @@ object Similarity {
     def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
 
     val cells = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
-    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
-      Clustering.trainCentroids(
-        corpus.select(col(idCol),
-          sub(col(vecCol).cast("array<double>"), s).as("subv")),
-        idCol, "subv", ksub, trainIters)
-    }
+    val codebooks = Clustering.trainSubspaceCodebooks(
+      corpus, idCol, vecCol, m, dsub, ksub, trainIters)
     def codeFor(vSub: Column, s: Int): Column = {
       val d = Clustering.centroidScores(vSub, codebooks(s))
       (array_position(d, array_min(d)) - 1).cast("int")
