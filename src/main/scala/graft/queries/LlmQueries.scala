@@ -335,6 +335,54 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary construction + id encoding — the tokenize-to-ids step
+    // before any training run: terms with count >= 5 get dense ids ranked
+    // by (freq desc, term); id 0 is reserved for OOV. Docs re-emit as
+    // position-ordered id arrays plus an OOV count. The ranking window is
+    // a single partition BY DESIGN: a vocabulary is a bounded dictionary
+    // (it grows with language, not corpus size), while the heavy parts —
+    // term counts and the encode join — are hash aggregates and a
+    // broadcast join, fully distributed.
+    QueryDef(
+      "q_vocab_encode",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term"))
+        val terms = load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        val vocab = terms.groupBy(col("term"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 5)
+          .withColumn("token_id", row_number().over(w))
+        terms
+          .join(broadcast(vocab.select(col("term"), col("token_id"))),
+            Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"),
+                coalesce(col("token_id"), lit(0)).as("tid")))),
+              x => x.getField("tid")).as("ids"),
+            sum(when(col("token_id").isNull, 1).otherwise(0)).as("n_unk"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, words[CAST(i AS INT)] AS term, i AS pos
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+             |        FROM documents),
+             |    unnest(generate_series(1, len(words))) AS u(i)),
+             |vocab AS (
+             |  SELECT term, row_number() OVER (ORDER BY count(*) DESC, term)
+             |    AS token_id
+             |  FROM t GROUP BY term HAVING count(*) >= 5)
+             |SELECT doc_id,
+             |  list(coalesce(token_id, 0) ORDER BY pos) AS ids,
+             |  CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_unk
+             |FROM t LEFT JOIN vocab USING (term)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Edit-distance (Levenshtein) near-dup over part names, blocked by
     // first token: block equi-join generates candidates, exact edit
     // distance verifies — never all-pairs.
