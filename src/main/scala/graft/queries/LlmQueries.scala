@@ -335,6 +335,57 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Corpus snapshot diff (dataset versioning): classify every doc id as
+    // added / removed / changed / same between two corpus versions by
+    // full-outer-joining content hashes — never the texts themselves, so
+    // the shuffle carries (id, 32-byte md5) regardless of document size.
+    // v2 is derived deterministically from v1 (drop id%101==0, edit
+    // id%97==0, add shifted copies of id%103==0) so the oracle sees the
+    // same two versions and all four statuses occur.
+    QueryDef(
+      "q_corpus_diff",
+      (s, dir) => {
+        val v1 = load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h1"))
+        val base2 = load(s, dir, "documents")
+        val v2 = base2
+          .filter(col("doc_id") % 101 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 97 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text"))).as("h2"))
+          .unionByName(base2.filter(col("doc_id") % 103 === 0) // new docs
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              md5(col("text")).as("h2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("same").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, md5(text) AS h1 FROM documents),
+             |v2 AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 97 = 0 THEN text || ' edited'
+             |             ELSE text END) AS h2
+             |  FROM documents WHERE doc_id % 101 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+             |  FROM documents WHERE doc_id % 103 = 0),
+             |d AS (
+             |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |    CASE WHEN h1 IS NULL THEN 'added'
+             |         WHEN h2 IS NULL THEN 'removed'
+             |         WHEN h1 <> h2 THEN 'changed'
+             |         ELSE 'same' END AS status
+             |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT status, count(*) AS n, min(doc_id) AS first_id
+             |FROM d GROUP BY status ORDER BY status""".stripMargin)),
+
     // Vocabulary construction + id encoding — the tokenize-to-ids step
     // before any training run: terms with count >= 5 get dense ids ranked
     // by (freq desc, term); id 0 is reserved for OOV. Docs re-emit as
