@@ -56,13 +56,28 @@ object ScaleJoins {
     */
   def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxReplication: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points and intervals must not share column names")
-    val binnedIntervals = intervals.withColumn("_bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    // Fail LOUDLY on an interval spanning more than `maxReplication`
+    // bins: one unbounded interval would silently replicate into millions
+    // of rows — at cluster scale that reads as a hung stage, not an
+    // error. The guard is woven into the sequence's upper bound (a free-
+    // standing guard column would be pruned as dead code); raise_error
+    // fires only on the offending row, costing one codegen'd comparison.
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val hiBinGuarded = when(hiBin - loBin >= maxReplication,
+      raise_error(concat(
+        lit(s"binnedRangeJoin: interval spans >= $maxReplication bins of " +
+          s"width $binWidth ["),
+        col(loCol), lit(", "), col(hiCol),
+        lit(") — raise binWidth or maxReplication"))).cast("long"))
+      .otherwise(hiBin)
+    val binnedIntervals = intervals
+      .withColumn("_bin", explode(sequence(loBin, hiBinGuarded)))
     val binnedPoints = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))
     binnedPoints.join(binnedIntervals, Seq("_bin"))

@@ -40,6 +40,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_heavy_hitters: candidate recount is a broadcast semi-join") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "expected the MG candidate set broadcast into a semi-join")
+  }
+
+  test("q_vocab_encode: encode join broadcasts the vocabulary") {
+    assert(plan("q_vocab_encode").contains("BroadcastHashJoin"))
+  }
+
   test("q_join_range_binned: bin equi-join, no nested loop") {
     val p = plan("q_join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin"))
