@@ -239,16 +239,22 @@ object LlmQueries {
     // PQ with the refine window covering the whole corpus: every row
     // passes to the exact cosine re-rank, so the full pipeline (codebook
     // training, encoding, ADC scan, re-rank) must reproduce brute force
-    // bit-for-bit — hash-checkable against the same SQL as q_sim_topk.
-    // (The oracle gate runs at sf0.01 = 500 vectors; k·refine = 500
-    // covers it. The selective variant above is the actual ANN path.)
+    // bit-for-bit — hash-checkable against the same SQL as q_sim_topk at
+    // ANY scale factor (refine is sized from the corpus count; the one
+    // driver-side count sizes a parameter, like q_winsorize's rank k).
+    // The selective variant above is the actual ANN path.
     QueryDef(
       "q_sim_pq_exhaustive",
-      (s, dir) => Similarity.pqTopK(
-          load(s, dir, "embeddings"),
-          load(s, dir, "embeddings").filter(col("vec_id") < 10),
-          k = 5, m = 8, ksub = 16, refine = 100)
-        .orderBy(col("query_id"), col("rk")),
+      (s, dir) => {
+        val k = 5
+        val n = load(s, dir, "embeddings").count()
+        Similarity.pqTopK(
+            load(s, dir, "embeddings"),
+            load(s, dir, "embeddings").filter(col("vec_id") < 10),
+            k = k, m = 8, ksub = 16,
+            refine = ((n + k - 1) / k).toInt)
+          .orderBy(col("query_id"), col("rk"))
+      },
       Some("""WITH sims AS (
              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              |    list_dot_product(
