@@ -209,5 +209,85 @@ object EventQueries {
              |  round(avg(gap_s), 1) AS avg_gap_s,
              |  round(max(gap_s), 1) AS max_gap_s
              |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Ordered funnel (view → click → purchase, each step within 1 day
+    // of the previous): each step's timestamp is the first qualifying
+    // event inside the conversion window after the previous step — the
+    // product-analytics staple. Three conditional min-aggregates chained
+    // by user_id equi-joins (same key → one logical shuffle under AQE);
+    // per-user work is bounded, no windows over the whole stream, no
+    // driver loops. Counts per furthest-stage-reached are the output.
+    QueryDef(
+      "q_events_funnel",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") >= col("v_ts")
+            && col("ts") <= col("v_ts") + expr("interval 1 day"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") >= col("c_ts")
+            && col("ts") <= col("c_ts") + expr("interval 1 day"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("p_ts").isNotNull, 3)
+              .when(col("c_ts").isNotNull, 2)
+              .otherwise(1).as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+             |    AND e.ts <= v.v_ts + INTERVAL 1 DAY
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+             |    AND e.ts <= c.c_ts + INTERVAL 1 DAY
+             |  GROUP BY e.user_id)
+             |SELECT CASE WHEN p_ts IS NOT NULL THEN 3
+             |            WHEN c_ts IS NOT NULL THEN 2 ELSE 1 END AS stage,
+             |  count(*) AS users
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+             |GROUP BY stage ORDER BY stage""".stripMargin)),
+
+    // Retention cohort grid: users bucketed by first-activity day, then
+    // distinct-user counts per (cohort_day, day_offset) — the growth-
+    // analytics table behind every retention curve. Two hash aggregates
+    // and one user_id equi-join; day arithmetic in pure integer
+    // datediff, so the grid is exact on both engines.
+    QueryDef(
+      "q_events_retention",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(min(col("d")).as("cohort_day"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day"))
+            .as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |cohort AS (
+             |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+             |SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+             |  count(DISTINCT user_id) AS active_users
+             |FROM ev JOIN cohort USING (user_id)
+             |GROUP BY cohort_day, day_offset
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
   )
 }
