@@ -53,5 +53,39 @@ object SourceQueries {
              |  round(sum(c_acctbal), 2) AS total_bal
              |FROM customer WHERE c_acctbal > 0
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // JDBC source/sink roundtrip through embedded Derby (bundled with
+    // Spark — zero new dependencies): write `nation` to a relational
+    // store, scan it back through the JDBC source, aggregate. A 25-row
+    // dimension reads on one connection by design; for big JDBC tables
+    // the scale lever is partitionColumn/lowerBound/upperBound/
+    // numPartitions, which splits the read into parallel range queries.
+    QueryDef(
+      "q_scan_jdbc",
+      (s, dir) => {
+        val url = stageDerby(s, dir, "nation")
+        s.read.format("jdbc")
+          .option("url", url).option("dbtable", "nation")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .load()
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
   )
+
+  private def stageDerby(spark: SparkSession, dir: String,
+                         table: String): String =
+    staged.getOrElseUpdate(s"jdbc:$dir/$table", {
+      val url =
+        s"jdbc:derby:$stageRoot/derby_${table}_${math.abs(dir.hashCode)};create=true"
+      Tables.load(spark, dir, table)
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .save()
+      url
+    })
 }
