@@ -74,7 +74,47 @@ object SourceQueries {
       },
       Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // binaryFile source — the real ingest path for multimodal corpora
+    // (images/audio as opaque bytes + file metadata; llm/Multimodal is the
+    // downstream processing). Stages the first 20 documents as .bin files,
+    // reads them back through Spark's built-in binaryFile source, and
+    // verifies content integrity end-to-end: the oracle recomputes byte
+    // length and md5 from the SAME source rows, so any corruption in the
+    // stage-write → file-scan path breaks the hash match.
+    QueryDef(
+      "q_scan_binary",
+      (s, dir) => {
+        val path = stageBinaryDocs(s, dir)
+        s.read.format("binaryFile").load(path)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS content_md5
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Stage the first 20 documents as one .bin file each (UTF-8 text
+    * bytes) under the per-JVM temp root. */
+  private def stageBinaryDocs(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"bin:$dir", {
+      val out = s"$stageRoot/bin_docs_${math.abs(dir.hashCode)}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect() // 20 rows, staging only
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      out
+    })
 
   private def stageDerby(spark: SparkSession, dir: String,
                          table: String): String =
