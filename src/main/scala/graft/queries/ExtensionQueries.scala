@@ -85,5 +85,46 @@ object ExtensionQueries {
           .orderBy(col("media_id"))
       },
       None),
+
+    // Typed cogroup — the per-group imperative escape hatch for logic
+    // spanning TWO datasets (the batch sibling of
+    // flatMapGroupsWithState): customers and their orders stream through
+    // one function per key as iterators, here reconciling the stored
+    // balance against order history in integer cents. One shuffle per
+    // side on the key, no state beyond the running sums; semantics
+    // match a left-join aggregate, so the oracle is plain SQL. Use
+    // declarative joins when they can express the logic — this tier is
+    // for when they can't; the oracle keeps this instance honest.
+    QueryDef(
+      "q_cogroup_reconcile",
+      (s, dir) => {
+        import s.implicits._
+        val cents = (c: org.apache.spark.sql.Column) =>
+          floor(c * 100 + 0.5).cast("long")
+        val cust = load(s, dir, "customer")
+          .select(col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))
+          .as[(Long, Long)]
+        val ords = load(s, dir, "orders")
+          .select(col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+          .as[(Long, Long)]
+        cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+          val c = cs.toList
+          if (c.isEmpty) Iterator.empty // orphan orders: out of scope here
+          else {
+            var n = 0L
+            var sum = 0L
+            os.foreach { o => n += 1; sum += o._2 }
+            Iterator((k, c.head._2, n, sum))
+          }
+        }.toDF("k", "acct_cents", "n_orders", "orders_cents")
+          .orderBy(col("k"))
+      },
+      Some("""SELECT c_custkey AS k,
+             |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents,
+             |  count(o_custkey) AS n_orders,
+             |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)
+             |    AS BIGINT)), 0) AS BIGINT) AS orders_cents
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY k, acct_cents ORDER BY k""".stripMargin)),
   )
 }
