@@ -144,6 +144,29 @@ object FunctionQueries {
              |  count(*) AS cnt, count(*) AS n_consistent
              |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
 
+    // VARIANT (Spark 4 semi-structured type): parse_json into the binary
+    // variant encoding once, then typed path access via variant_get —
+    // the schema-on-read path for ragged JSON, cheaper than re-parsing
+    // strings per extraction and open where from_json's fixed schema is
+    // closed. Aggregation semantics identical to the string-JSON query,
+    // so DuckDB's json_extract is a valid oracle.
+    QueryDef(
+      "q_variant_json",
+      (s, dir) => {
+        load(s, dir, "events")
+          .select(parse_json(col("props")).as("v"))
+          .select(variant_get(col("v"), "$.k", "int").as("k"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+             |  count(*) AS cnt,
+             |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+             |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin)),
+
     // Map functions: build a map from columns, read it back via
     // map_keys / map_values / element_at.
     QueryDef(
