@@ -213,13 +213,8 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", l2norm(col("q_vec"))) // before the probe explode
       .withColumn("d", cellScores(col("q_vec")))
-      .withColumn("probe", transform(
-        slice(sort_array(transform(sequence(lit(0), lit(nlist - 1)),
-          i => struct(element_at(col("d"), i + 1).as("s"), i.as("i")))),
-          1, nprobe),
-        x => x.getField("i").cast("int")))
       .select(col("query_id"), col("q_vec"), col("q_norm"),
-        explode(col("probe")).as("cell"))
+        explode(probeCells(col("d"), nlist, nprobe)).as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
@@ -231,6 +226,91 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
         round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---- shared ANN machinery -------------------------------------------
+
+  /** Exact cosine re-rank of bare (query_id, cand_id) candidate pairs:
+    * vectors join back by id (query side broadcast), a per-query window
+    * keeps the top k. THE single re-rank implementation — every
+    * candidate-generating path (LSH, PQ, IVF-PQ) ends here, so
+    * tie-breaking, rounding, and output shape cannot diverge between
+    * paths. */
+  private def rerankExact(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int,
+                          vecCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    cand.join(broadcast(qv), "query_id")
+      .join(cv, "cand_id")
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** PQ expressions shared by [[pqTopK]] and [[ivfPqTopK]] — one
+    * implementation of encode/LUT/score so the standalone and composed
+    * paths cannot diverge. */
+  private final case class Pq(codebooks: IndexedSeq[Array[Array[Double]]],
+                              m: Int, dsub: Int) {
+    private def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
+
+    /** m argmin codes per row — same scoring expression as the trainer,
+      * so encoding can never diverge from training. */
+    def codes(v: Column): Column = array((0 until m).map { s =>
+      val d = Clustering.centroidScores(sub(v, s), codebooks(s))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+
+    /** Per-query ADC lookup table: dot of each query subvector against
+      * every codebook centroid (m×ksub doubles on the broadcast side). */
+    def lut(qVec: Column): Column = array((0 until m).map { s =>
+      array(codebooks(s).toSeq.map(c =>
+        dot(sub(qVec, s), typedLit(c.toSeq))): _*)
+    }: _*)
+
+    /** ADC score of a code row: m array lookups, no vector math. */
+    def adc(lutCol: Column, codeCol: Column): Column =
+      (0 until m).map(s => element_at(element_at(lutCol, s + 1),
+        element_at(codeCol, s + 1) + 1)).reduce(_ + _)
+  }
+
+  private def trainPq(corpus: DataFrame, m: Int, ksub: Int, trainIters: Int,
+                      vecCol: String, idCol: String): Pq = {
+    require(EmbeddingDim % m == 0, s"m=$m must divide dim=$EmbeddingDim")
+    val dsub = EmbeddingDim / m
+    Pq(Clustering.trainSubspaceCodebooks(
+      corpus, idCol, vecCol, m, dsub, ksub, trainIters), m, dsub)
+  }
+
+  /** The `nprobe` nearest cell indices from a per-row cell-score array
+    * (shared by [[ivfTopK]] and [[ivfPqTopK]]). */
+  private def probeCells(d: Column, nlist: Int, nprobe: Int): Column =
+    transform(
+      slice(sort_array(transform(sequence(lit(0), lit(nlist - 1)),
+        i => struct(element_at(d, i + 1).as("s"), i.as("i")))),
+        1, nprobe),
+      x => x.getField("i").cast("int"))
+
+  /** Top k·refine per query by approximate ADC cosine over (query, code)
+    * rows already carrying `adc`, returning bare (query_id, cand_id). */
+  private def adcTopCandidates(scored: DataFrame, kRefine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    scored
+      .select(col("query_id"), col("cand_id"), col("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= kRefine)
+      .select(col("query_id"), col("cand_id"))
   }
 
   /** Product-quantization top-k (Jégou et al., "Product Quantization for
@@ -263,70 +343,28 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, refine: Int = 4,
              trainIters: Int = 3,
              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(EmbeddingDim % m == 0, s"m=$m must divide dim=$EmbeddingDim")
-    val dsub = EmbeddingDim / m
-    def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
-
-    // all m subspace codebooks trained in one scan per iteration
-    val codebooks = Clustering.trainSubspaceCodebooks(
-      corpus, idCol, vecCol, m, dsub, ksub, trainIters)
-
-    // corpus → m codes (argmin per subspace; same scoring expression as
-    // the trainer so encode can never diverge from training)
-    def codeFor(vSub: Column, s: Int): Column = {
-      val d = Clustering.centroidScores(vSub, codebooks(s))
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
+    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol)
     // exact norm rides beside the code (1 double — still narrow) so ADC
     // can rank by approximate COSINE; ranking by raw approximate dot
     // would bias candidates toward large-norm vectors
     val codes = corpus
       .select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("cv"))
-      .select(col("cand_id"),
-        array((0 until m).map(s => codeFor(sub(col("cv"), s), s)): _*)
-          .as("code"),
+      .select(col("cand_id"), pq.codes(col("cv")).as("code"),
         l2norm(col("cv")).as("c_norm"))
-
-    // broadcast query side: raw vec + norm + the per-subspace ADC LUTs
+    // broadcast query side: norm + the per-subspace ADC LUTs
     val qv = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
-      .withColumn("lut", array((0 until m).map { s =>
-        array(codebooks(s).toSeq.map(c =>
-          dot(sub(col("q_vec"), s), typedLit(c.toSeq))): _*)
-      }: _*))
-
-    val adc = (0 until m)
-      .map(s => element_at(element_at(col("lut"), s + 1),
-        element_at(col("code"), s + 1) + 1))
-      .reduce(_ + _)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("cand_id"))
-    val cand = codes.crossJoin(broadcast(qv))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc", adc / (col("q_norm") * col("c_norm")))
-      .select(col("query_id"), col("cand_id"), col("adc"))
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= k * refine)
-      .select(col("query_id"), col("cand_id"))
-
-    // exact cosine re-rank over candidates only
-    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", l2norm(col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("cand_id"))
-    cand.join(broadcast(qv.select(col("query_id"), col("q_vec"), col("q_norm"))),
-        "query_id")
-      .join(cv, "cand_id")
-      .withColumn("cos_raw",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos_raw"), 4).as("cos_sim"))
+      .select(col("query_id"), l2norm(col("q_vec")).as("q_norm"),
+        pq.lut(col("q_vec")).as("lut"))
+    val cand = adcTopCandidates(
+      codes.crossJoin(broadcast(qv))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("adc",
+          pq.adc(col("lut"), col("code")) / (col("q_norm") * col("c_norm"))),
+      k * refine)
+    rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
 
   /** IVF-PQ: the production ANN composition — IVF's coarse quantizer
@@ -342,20 +380,10 @@ object Similarity {
                 nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
                 refine: Int = 4, trainIters: Int = 3,
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    require(EmbeddingDim % m == 0, s"m=$m must divide dim=$EmbeddingDim")
-    val dsub = EmbeddingDim / m
-    def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)
-
     val cells = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
-    val codebooks = Clustering.trainSubspaceCodebooks(
-      corpus, idCol, vecCol, m, dsub, ksub, trainIters)
-    def codeFor(vSub: Column, s: Int): Column = {
-      val d = Clustering.centroidScores(vSub, codebooks(s))
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
+    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol)
     def cellScores(v: Column): Column = Clustering.centroidScores(v, cells)
 
     // the index: (cell, code, norm) per corpus row — one narrow table
@@ -365,58 +393,27 @@ object Similarity {
       .withColumn("d", cellScores(col("cv")))
       .withColumn("cell",
         (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
-      .select(col("cand_id"), col("cell"),
-        array((0 until m).map(s => codeFor(sub(col("cv"), s), s)): _*)
-          .as("code"),
+      .select(col("cand_id"), col("cell"), pq.codes(col("cv")).as("code"),
         l2norm(col("cv")).as("c_norm"))
 
-    // query side: probed cells + ADC LUTs, broadcast
+    // broadcast query side: probed cells + norm + ADC LUTs (the raw
+    // query vector is NOT carried — the re-rank re-derives it by id)
     val probed = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("q_norm", l2norm(col("q_vec")))
-      .withColumn("lut", array((0 until m).map { s =>
-        array(codebooks(s).toSeq.map(c =>
-          dot(sub(col("q_vec"), s), typedLit(c.toSeq))): _*)
-      }: _*))
+      .withColumn("lut", pq.lut(col("q_vec")))
       .withColumn("d", cellScores(col("q_vec")))
-      .withColumn("probe", transform(
-        slice(sort_array(transform(sequence(lit(0), lit(nlist - 1)),
-          i => struct(element_at(col("d"), i + 1).as("s"), i.as("i")))),
-          1, nprobe),
-        x => x.getField("i").cast("int")))
-      .select(col("query_id"), col("q_vec"), col("q_norm"), col("lut"),
-        explode(col("probe")).as("cell"))
+      .select(col("query_id"), col("q_norm"), col("lut"),
+        explode(probeCells(col("d"), nlist, nprobe)).as("cell"))
 
-    val adc = (0 until m)
-      .map(s => element_at(element_at(col("lut"), s + 1),
-        element_at(col("code"), s + 1) + 1))
-      .reduce(_ + _)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("cand_id"))
-    val cand = index.join(broadcast(probed), Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("adc", adc / (col("q_norm") * col("c_norm")))
-      .select(col("query_id"), col("cand_id"), col("adc"))
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= k * refine)
-      .select(col("query_id"), col("cand_id"))
-
-    val qv = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("q_vec"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
-    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", l2norm(col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("cand_id"))
-    cand.join(broadcast(qv), "query_id")
-      .join(cv, "cand_id")
-      .withColumn("cos_raw",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos_raw"), 4).as("cos_sim"))
+    val cand = adcTopCandidates(
+      index.join(broadcast(probed), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("adc",
+          pq.adc(col("lut"), col("code")) / (col("q_norm") * col("c_norm"))),
+      k * refine)
+    rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
 
   /** Approximate top-k via random-hyperplane LSH: candidates = corpus
@@ -429,7 +426,6 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int, tables: Int,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hp = hyperplanes(tables, planes, EmbeddingDim)
     val q = bucketKeys(queries, hp, "query_id", vecCol, idCol)
     val c = bucketKeys(corpus, hp, "cand_id", vecCol, idCol)
@@ -437,19 +433,6 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id")
       .distinct() // a pair may collide in several tables; ids only here
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
-    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", l2norm(col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("cand_id"))
-    cand.join(broadcast(qv), "query_id")
-      .join(cv, "cand_id")
-      .withColumn("cos_raw",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos_raw"), 4).as("cos_sim"))
+    rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
 }

@@ -67,14 +67,20 @@ object ScaleJoins {
     // error. The guard is woven into the sequence's upper bound (a free-
     // standing guard column would be pruned as dead code); raise_error
     // fires only on the offending row, costing one codegen'd comparison.
+    // An INVERTED interval (lo > hi) must also fail here: sequence()
+    // with start > stop generates a DESCENDING range, so a single
+    // garbage row would otherwise replicate unboundedly right past the
+    // span check.
     val loBin = floor(col(loCol) / binWidth).cast("long")
     val hiBin = floor(col(hiCol) / binWidth).cast("long")
-    val hiBinGuarded = when(hiBin - loBin >= maxReplication,
+    val hiBinGuarded = when(
+      hiBin - loBin >= maxReplication || col(loCol) > col(hiCol),
       raise_error(concat(
-        lit(s"binnedRangeJoin: interval spans >= $maxReplication bins of " +
-          s"width $binWidth ["),
+        lit(s"binnedRangeJoin: interval inverted or spanning >= " +
+          s"$maxReplication bins of width $binWidth ["),
         col(loCol), lit(", "), col(hiCol),
-        lit(") — raise binWidth or maxReplication"))).cast("long"))
+        lit(") — fix the interval or raise binWidth/maxReplication")))
+        .cast("long"))
       .otherwise(hiBin)
     val binnedIntervals = intervals
       .withColumn("_bin", explode(sequence(loBin, hiBinGuarded)))

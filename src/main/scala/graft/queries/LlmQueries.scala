@@ -620,8 +620,12 @@ object LlmQueries {
       "q_heavy_hitters",
       (s, dir) => {
         val k = 60
+        // three consumers (sketch, total, recount) — persist or the
+        // tokenize-explode scan runs three times (q_sketch_cms_topk
+        // precedent; the query driver unpersists between queries)
         val terms = load(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = terms
           .agg(graft.functions.Udafs.frequentCandidates(col("term"), k).as("ks"))
           .select(explode(col("ks")).as("term"))

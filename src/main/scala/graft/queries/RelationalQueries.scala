@@ -422,12 +422,15 @@ object RelationalQueries {
     // global sort), the same at any scale. The clock itself is never
     // emitted: libm ln may differ in the last ulp across engines, which
     // cannot flip the top-k selection on continuous data but would fail a
-    // bit-exact compare of the clock values.
+    // bit-exact compare of the clock values. The key is masked to 2^31
+    // BEFORE the multiply: (2^31-1)·2654435761 ≈ 5.7e18 stays inside
+    // int64, where the unmasked product overflows (wrapping silently in
+    // Spark, erroring in ANSI engines) once keys pass ~3.5e9.
     QueryDef(
       "q_sample_weighted",
       (s, dir) => {
-        val u = ((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L)
-          + lit(0.5)) / lit(4294967296.0)
+        val u = (((col("o_orderkey") % lit(2147483648L)) * lit(2654435761L))
+          % lit(4294967296L) + lit(0.5)) / lit(4294967296.0)
         load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
             (-log(u) / col("o_totalprice")).as("_clock"))
@@ -438,8 +441,8 @@ object RelationalQueries {
       },
       Some("""SELECT o_orderkey, o_totalprice FROM (
              |  SELECT o_orderkey, o_totalprice,
-             |    -ln(((o_orderkey * 2654435761) % 4294967296 + 0.5)
-             |        / 4294967296.0) / o_totalprice AS clock
+             |    -ln((((o_orderkey % 2147483648) * 2654435761) % 4294967296
+             |         + 0.5) / 4294967296.0) / o_totalprice AS clock
              |  FROM orders ORDER BY clock, o_orderkey LIMIT 50)
              |ORDER BY o_orderkey""".stripMargin)),
 

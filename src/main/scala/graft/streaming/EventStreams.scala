@@ -269,9 +269,28 @@ object EventStreams {
       // one data file → one data batch under maxFilesPerTrigger=1: the
       // whole corpus sees watermark 0, so nothing is dropped as late no
       // matter how rows are ordered across the source files
+      def partFiles(): Set[java.io.File] =
+        new java.io.File(dir).listFiles()
+          .filter(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).toSet
+      // FileStreamSource orders by mtime (path tie-break): pin the
+      // data < round1 < round2 batch order by stamping EXPLICIT
+      // second-spaced mtimes on the files each write step created —
+      // relying on write-time ordering breaks on filesystems with
+      // coarse (1 s) mtime granularity, where a tied sentinel could
+      // batch BEFORE the data and late-drop the whole corpus.
+      val mtimeBase = (System.currentTimeMillis() / 1000L) * 1000L - 60000L
+      def pin(fs: Set[java.io.File], step: Int): Unit =
+        fs.toSeq.sortBy(_.getName).foreach { f =>
+          require(f.setLastModified(mtimeBase + step * 2000L),
+            s"could not pin mtime of $f")
+        }
       ev.coalesce(1).write.mode("overwrite").parquet(dir)
+      val dataFiles = partFiles()
+      pin(dataFiles, 0)
       val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
       def heartbeat(round: Int): Unit = {
+        val before = partFiles()
         val hbTs = new java.sql.Timestamp(maxTs.getTime + round * 86400000L)
         val hb = ev.sparkSession.range(2).select(
           (col("id") - 2L * round).as("event_id"), // negative: disjoint ids
@@ -279,8 +298,8 @@ object EventStreams {
           lit(-1L).as("user_id"),
           when(col("id") === 0, "view").otherwise("purchase").as("event_type"),
           lit(0.0).as("value"), lit("").as("props"))
-        Thread.sleep(10) // strictly later mtime than the previous write
         hb.coalesce(1).write.mode("append").parquet(dir)
+        pin(partFiles() -- before, round)
       }
       heartbeat(1)
       heartbeat(2)

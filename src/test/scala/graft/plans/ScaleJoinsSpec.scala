@@ -67,6 +67,21 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("binnedRangeJoin")), msgs(e).toString)
   }
 
+  test("binnedRangeJoin fails loudly on an inverted interval") {
+    // sequence(start > stop) counts DOWN — without its own guard branch
+    // one garbage row would replicate unboundedly past the span check
+    import graft.SparkSpec.spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val intervals = Seq((1L, 1e9, 0.0)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      ScaleJoins.binnedRangeJoin(points, intervals, "p", "lo", "hi",
+        binWidth = 1.0, maxReplication = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("binnedRangeJoin")), msgs(e).toString)
+  }
+
   test("AQE splits a skewed join partition without manual salting") {
     // The runtime counterpart of saltedJoin: plant a 95%-one-key fact
     // table, lower the skew thresholds to test scale, and assert the
