@@ -292,6 +292,67 @@ object AnalyticQueries {
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
+    // Data-quality constraint checks (the dbt-test / expectations shape):
+    // uniqueness, not-null, domain, and referential-integrity violations
+    // counted in one pass each — unioned into a single (check, violations)
+    // report. The FK check is an anti-join (orders → customer), the
+    // uniqueness check a group-count; every check is a distributed
+    // aggregate, and a pipeline gates on `violations == 0`.
+    QueryDef(
+      "q_dq_checks",
+      (s, dir) => {
+        val orders = load(s, dir, "orders")
+        val customer = load(s, dir, "customer")
+        val dupKeys = orders.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("violations"))
+          .select(lit("orderkey_unique").as("check"), col("violations"))
+        val nullCust = orders
+          .agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("violations"))
+          .select(lit("custkey_not_null").as("check"), col("violations"))
+        val badStatus = orders
+          .agg(sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L)
+            .otherwise(1L)).as("violations"))
+          .select(lit("status_domain").as("check"), col("violations"))
+        val orphans = orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("custkey_fk").as("check"), col("violations"))
+        // deliberately violated on the test data (prices run to ~500k): a
+        // report where every count is zero never proves the counters count
+        val priceRange = orders
+          .agg(sum(when(col("o_totalprice").between(0, 400000), 0L)
+            .otherwise(1L)).as("violations"))
+          .select(lit("totalprice_range").as("check"), col("violations"))
+        dupKeys.unionByName(nullCust).unionByName(badStatus)
+          .unionByName(orphans).unionByName(priceRange)
+          .orderBy(col("check"))
+      },
+      Some("""SELECT 'custkey_fk' AS "check", count(*) AS violations
+             |FROM orders o WHERE NOT EXISTS (
+             |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |UNION ALL
+             |SELECT 'custkey_not_null',
+             |  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'orderkey_unique', CAST(coalesce(sum(c), 0) AS BIGINT)
+             |FROM (SELECT count(*) AS c FROM orders
+             |      GROUP BY o_orderkey HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT 'status_domain',
+             |  CAST(coalesce(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+             |    THEN 0 ELSE 1 END), 0) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'totalprice_range',
+             |  CAST(coalesce(sum(CASE WHEN o_totalprice BETWEEN 0 AND 400000
+             |    THEN 0 ELSE 1 END), 0) AS BIGINT)
+             |FROM orders
+             |ORDER BY "check"""".stripMargin)),
+
     // SCD Type-2 dimension build (the warehouse versioning staple): turn
     // a change log into validity-interval rows — each version valid from
     // its own timestamp until the next version's (NULL = current). One
