@@ -292,6 +292,55 @@ object AnalyticQueries {
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
+    // Robust outlier detection via median/MAD (the cleaning step where
+    // mean/stddev fail — both are dragged by the very outliers they're
+    // meant to find; the median absolute deviation has a 50% breakdown
+    // point). Two grouped exact medians (one over values, one over
+    // absolute deviations after a broadcast join of the group medians)
+    // + a per-row flag — three hash aggregates total, no windows over
+    // the full table. Money in exact cents so the deviation arithmetic
+    // is integer-exact; the flag threshold is the standard 3×1.4826·MAD.
+    QueryDef(
+      "q_outlier_mad",
+      (s, dir) => {
+        def cents(c: org.apache.spark.sql.Column) =
+          floor(c * 100 + 0.5).cast("long")
+        val o = load(s, dir, "orders")
+          .select(col("o_orderstatus").as("grp"),
+            cents(col("o_totalprice")).as("v"))
+        val med = o.groupBy(col("grp"))
+          .agg(median(col("v")).as("med"))
+        val mad = o.join(broadcast(med), "grp")
+          .select(col("grp"), abs(col("v") - col("med")).as("dev"))
+          .groupBy(col("grp")).agg(median(col("dev")).as("mad"))
+        o.join(broadcast(med), "grp").join(broadcast(mad), "grp")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("v") - col("med"))
+              > lit(3 * 1.4826) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            // uniform test data yields zero 3-MAD outliers; this nonzero
+            // ratio proves the deviation arithmetic is really computed
+            round(max(abs(col("v") - col("med"))) / first(col("mad")), 4)
+              .as("max_dev_ratio")) // mad is per-group constant; first()
+
+          .orderBy(col("grp"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderstatus AS grp,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+             |  FROM orders),
+             |med AS (SELECT grp, median(v) AS med FROM o GROUP BY grp),
+             |mad AS (
+             |  SELECT o.grp, median(abs(v - med)) AS mad
+             |  FROM o JOIN med USING (grp) GROUP BY o.grp)
+             |SELECT o.grp, count(*) AS n,
+             |  CAST(sum(CASE WHEN abs(v - med) > 3 * 1.4826 * mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  round(max(abs(v - med)) / mad, 4) AS max_dev_ratio
+             |FROM o JOIN med USING (grp) JOIN mad USING (grp)
+             |GROUP BY o.grp, mad ORDER BY grp""".stripMargin)),
+
     // Data-quality constraint checks (the dbt-test / expectations shape):
     // uniqueness, not-null, domain, and referential-integrity violations
     // counted in one pass each — unioned into a single (check, violations)

@@ -341,6 +341,37 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split assignment — the overflow-safe
+    // Knuth hash (q_sample_weighted) reduced to 256 buckets, cut 80/10/10.
+    // Per-row, shuffle-free, rerun- and cluster-size-stable, and
+    // leakage-safe: a document's split depends only on its id, never on
+    // partitioning or RNG state, so it cannot migrate between splits
+    // across reruns or cluster sizes.
+    QueryDef(
+      "q_split_assign",
+      (s, dir) => {
+        val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)
+          % lit(4294967296L)) % lit(256L)
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(bucket < 205, "train")
+              .when(bucket < 230, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2147483648) * 2654435761) % 4294967296 % 256
+             |      AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 205 THEN 'train'
+             |            WHEN bucket < 230 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  count(*) AS n, min(doc_id) AS first_id
+             |FROM b GROUP BY split ORDER BY split""".stripMargin)),
+
     // Corpus snapshot diff (dataset versioning): classify every doc id as
     // added / removed / changed / same between two corpus versions by
     // full-outer-joining content hashes — never the texts themselves, so
