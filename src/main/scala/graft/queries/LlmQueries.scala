@@ -341,6 +341,64 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Exact repeated-span detection — the cross-document substring-dedup
+    // shape (boilerplate headers, license blocks, templated text):
+    // word-level 8-grams that occur in MORE THAN ONE document mark their
+    // positions; consecutive marked positions merge into maximal spans
+    // per doc (gaps-and-islands). Scale shape: shingle explode → one
+    // gram hash-aggregate (map-side combined, narrow md5 keys) → semi-
+    // join the duplicated grams back → per-doc window on positions.
+    // Nothing is ever pairwise; cost is corpus × shingle factor.
+    QueryDef(
+      "q_dedup_spans",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val grams = load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 8) // shorter docs have no 8-grams
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(words) - 8)," +
+              " i -> md5(concat_ws(' ', slice(words, i + 1, 8))))"))
+            .as(Seq("pos", "gram")))
+        val dup = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("gram"))
+        grams.join(dup, Seq("gram"), "left_semi")
+          .withColumn("island", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) - min(col("pos")) + 8).as("span_words"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_words")).as("dup_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    CAST(i AS BIGINT) - 1 AS pos,
+             |    md5(array_to_string(words[CAST(i AS INT):CAST(i + 7 AS INT)],
+             |      ' ')) AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+             |        FROM documents WHERE len(string_split(text, ' ')) >= 8),
+             |    unnest(generate_series(1, len(words) - 7)) AS u(i)),
+             |dup AS (
+             |  SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) > 1),
+             |flagged AS (
+             |  SELECT doc_id, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS island
+             |  FROM g WHERE gram IN (SELECT gram FROM dup)),
+             |spans AS (
+             |  SELECT doc_id, island, min(pos) AS span_start,
+             |    max(pos) - min(pos) + 8 AS span_words
+             |  FROM flagged GROUP BY doc_id, island)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(span_words) AS BIGINT) AS dup_words
+             |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split assignment — the overflow-safe
     // Knuth hash (q_sample_weighted) reduced to 256 buckets, cut 80/10/10.
     // Per-row, shuffle-free, rerun- and cluster-size-stable, and
