@@ -399,6 +399,72 @@ object LlmQueries {
              |  CAST(sum(span_words) AS BIGINT) AS dup_words
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Repeated-span REMOVAL — the cleaning follow-through of
+    // q_dedup_spans: every word covered by a cross-document duplicated
+    // 8-gram is cut, and the survivors reassemble in position order.
+    // Coverage = explode of each duplicated gram's 8 positions, distinct
+    // on narrow (doc_id, pos) pairs; reconstruction is one per-doc
+    // ordered collect. Output limited to affected docs that RETAIN at
+    // least one word — a doc that was entirely duplicated text has no
+    // survivors and drops out (the dedup-delete case), which both the
+    // engine and the oracle express the same way.
+    QueryDef(
+      "q_despan_clean",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 8)
+        val grams = docs
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(words) - 8)," +
+              " i -> md5(concat_ws(' ', slice(words, i + 1, 8))))"))
+            .as(Seq("pos", "gram")))
+        val dup = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select(col("gram"))
+        val covered = grams.join(dup, Seq("gram"), "left_semi")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
+          .distinct()
+        val words = docs.select(col("doc_id"),
+          posexplode(col("words")).as(Seq("pos", "word")))
+        words.join(covered.select(col("doc_id")).distinct(), Seq("doc_id"),
+            "left_semi") // affected docs only
+          .join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("pos"), col("word")))),
+              x => x.getField("word"))).as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             |    md5(array_to_string(words[CAST(i AS INT):CAST(i + 7 AS INT)],
+             |      ' ')) AS gram
+             |  FROM d, unnest(generate_series(1, len(words) - 7)) AS u(i)),
+             |dup AS (
+             |  SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) > 1),
+             |covered AS (
+             |  SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS pos
+             |  FROM g, unnest(generate_series(0, 7)) AS v(o)
+             |  WHERE gram IN (SELECT gram FROM dup)),
+             |w AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             |    words[CAST(i AS INT)] AS word
+             |  FROM d, unnest(generate_series(1, len(words))) AS u(i))
+             |SELECT w.doc_id, count(*) AS n_kept,
+             |  array_to_string(list(word ORDER BY w.pos), ' ') AS clean_text
+             |FROM w
+             |WHERE w.doc_id IN (SELECT doc_id FROM covered)
+             |  AND NOT EXISTS (SELECT 1 FROM covered c
+             |    WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+             |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin)),
+
     // Deterministic train/val/test split assignment — the overflow-safe
     // Knuth hash (q_sample_weighted) reduced to 256 buckets, cut 80/10/10.
     // Per-row, shuffle-free, rerun- and cluster-size-stable, and
