@@ -496,6 +496,34 @@ object LlmQueries {
              |  count(*) AS n, min(doc_id) AS first_id
              |FROM b GROUP BY split ORDER BY split""".stripMargin)),
 
+    // Prefix-filtered Jaccard (PPJoin shape): identical semantics and
+    // ORACLE to q_dedup_jaccard, different physical strategy — only each
+    // doc's rarest (1−t)·|A|+1 tokens enter the candidate self-join, so
+    // common tokens never explode quadratically; exact verification on
+    // candidates only. LlmSpec pins output equality with the plain
+    // inverted index and that the prefix index is strictly smaller.
+    QueryDef(
+      "q_dedup_jaccard_prefix",
+      (s, dir) => Dedup.prefixFilteredJaccardPairs(
+          load(s, dir, "documents").filter(col("doc_id") < 120),
+          minJaccard = 0.8)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents WHERE doc_id < 120),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+             |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2,
+             |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = d1
+             |JOIN sz sb ON sb.doc_id = d2
+             |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Corpus snapshot diff (dataset versioning): classify every doc id as
     // added / removed / changed / same between two corpus versions by
     // full-outer-joining content hashes — never the texts themselves, so

@@ -171,6 +171,32 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-twin recall too low: $recall")
   }
 
+  test("prefix-filtered Jaccard equals the plain inverted index exactly") {
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val plain = Dedup.ngramJaccardPairs(docs, minJaccard = 0.7)
+    val pref = Dedup.prefixFilteredJaccardPairs(docs, minJaccard = 0.7)
+    assert(pref.exceptAll(plain).isEmpty && plain.exceptAll(pref).isEmpty)
+    assert(plain.count() > 0) // non-vacuous: planted near-dups exist
+  }
+
+  test("prefix filter indexes strictly fewer tokens than the full index") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val full = tok.count()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val prefix = tok.join(dfreq, "w").join(sizes, "doc_id")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("w"))))
+      .filter(col("r") <= col("n") - ceil(lit(0.7) * col("n")) + 1)
+      .count()
+    assert(prefix < full / 2,
+      s"prefix index not materially smaller: $prefix vs $full")
+  }
+
   test("pqTopK: refine window covering the corpus is exactly brute force") {
     // With k·refine >= |corpus|, every row reaches the exact re-rank, so
     // train→encode→ADC→re-rank must reproduce brute force bit-for-bit.
