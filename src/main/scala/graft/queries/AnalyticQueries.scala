@@ -292,6 +292,47 @@ object AnalyticQueries {
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
+    // Column profiling (the deequ/pandas-profiling staple): count, null
+    // count, distinct count, min, max per column in ONE scan — the
+    // numeric columns unpivot to (column, value) rows feeding a single
+    // hash aggregate, so profiling N columns costs one pass, not N.
+    // Money values in exact cents; the unpivot is per-row expression
+    // work, shuffle-free before the aggregate.
+    QueryDef(
+      "q_profile_columns",
+      (s, dir) => load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("totalprice_cents"),
+          col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("order_year"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("o_orderkey"), col("totalprice_cents"),
+            col("o_custkey"), col("order_year")),
+          "column", "v")
+        .groupBy(col("column"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("column")),
+      Some("""WITH u AS (
+             |  SELECT 'o_orderkey' AS "column", o_orderkey AS v FROM orders
+             |  UNION ALL
+             |  SELECT 'totalprice_cents',
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey', o_custkey FROM orders
+             |  UNION ALL
+             |  SELECT 'order_year', CAST(year(o_orderdate) AS BIGINT)
+             |  FROM orders)
+             |SELECT "column", count(*) AS n_rows,
+             |  CAST(coalesce(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT) AS n_nulls,
+             |  count(DISTINCT v) AS n_distinct,
+             |  min(v) AS min_v, max(v) AS max_v
+             |FROM u GROUP BY "column" ORDER BY "column"""".stripMargin)),
+
     // Robust outlier detection via median/MAD (the cleaning step where
     // mean/stddev fail — both are dragged by the very outliers they're
     // meant to find; the median absolute deviation has a 50% breakdown
