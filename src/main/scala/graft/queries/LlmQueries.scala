@@ -496,6 +496,49 @@ object LlmQueries {
              |  count(*) AS n, min(doc_id) AS first_id
              |FROM b GROUP BY split ORDER BY split""".stripMargin)),
 
+    // Per-label embedding prototypes (class centroids — retrieval
+    // calibration, semantic-dedup representatives, few-shot class means).
+    // Float vector sums can never hash-match across engines, so each
+    // float is fixed-pointed to exact integer micro-units FIRST and the
+    // per-dimension sums are BIGINT — exact, associative, engine-
+    // identical; the mean stays a downstream division. Scale shape:
+    // posexplode to (label, dim, micro) → one hash aggregate → ordered
+    // re-collect per label; dims are bounded (64), labels are bounded,
+    // so the aggregate output is tiny regardless of corpus size.
+    QueryDef(
+      "q_embed_prototype",
+      (s, dir) => {
+        // floor(x·1e6 + 0.5), not round(): pure IEEE ops that evaluate
+        // bit-identically in any engine for either sign (the cents trick)
+        val micro = floor(col("x") * 1000000 + 0.5).cast("long").as("m")
+        load(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "x")))
+          .select(col("label"), col("dim"), micro)
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("label"))
+          .agg(transform(
+              array_sort(collect_list(struct(col("dim"), col("s")))),
+              x => x.getField("s")).as("sum_micro"),
+            max(col("n")).as("n_vectors"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label, CAST(i AS BIGINT) - 1 AS dim,
+             |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             |      * 1000000 + 0.5) AS BIGINT) AS m
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(i)),
+             |d AS (
+             |  SELECT label, dim, CAST(sum(m) AS BIGINT) AS s,
+             |    count(*) AS n
+             |  FROM e GROUP BY label, dim)
+             |SELECT label, list(s ORDER BY dim) AS sum_micro,
+             |  CAST(max(n) AS BIGINT) AS n_vectors
+             |FROM d GROUP BY label ORDER BY label""".stripMargin)),
+
     // Prefix-filtered Jaccard (PPJoin shape): identical semantics and
     // ORACLE to q_dedup_jaccard, different physical strategy — only each
     // doc's rarest (1−t)·|A|+1 tokens enter the candidate self-join, so
