@@ -41,10 +41,41 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxDocFreq: Long = Long.MaxValue): DataFrame =
-    setOverlapPairs(documents, textCol, idCol, maxDocFreq)
+    jaccardFromOverlap(setOverlapPairs(documents, textCol, idCol, maxDocFreq),
+      minJaccard)
+
+  /** The ONE (i, n1, n2) → thresholded, rounded Jaccard projection —
+    * shared by the plain and prefix-filtered paths so they cannot drift. */
+  private def jaccardFromOverlap(overlap: DataFrame,
+                                 minJaccard: Double): DataFrame =
+    overlap
       .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
       .filter(col("jac") >= minJaccard)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+
+  /** The ONE distinct-word tokenization (doc_id, w), persisted for its
+    * multiple consumers — shared by every set-overlap path. */
+  private[llm] def distinctTokens(documents: DataFrame, textCol: String,
+                                  idCol: String): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The PPJoin prefix: each document's `n − ⌈t·n⌉ + 1` globally rarest
+    * tokens (order: df asc, token asc). Exposed private[llm] so the spec
+    * measures the REAL prefix the join indexes, not a re-derivation. */
+  private[llm] def prefixTokens(tok: DataFrame, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq"), col("w"))
+    tok.join(dfreq, "w").join(sizes, "doc_id")
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(col("doc_id"), col("w"))
+  }
 
   /** Prefix-filtered exact Jaccard pairs (the PPJoin idea, Xiao et al.,
     * WWW'08): semantically identical to [[ngramJaccardPairs]], but the
@@ -61,20 +92,10 @@ object Dedup {
   def prefixFilteredJaccardPairs(documents: DataFrame, minJaccard: Double,
                                  textCol: String = "text",
                                  idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0, 1]")
-    val tok = documents
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = distinctTokens(documents, textCol, idCol)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    val wRank = Window.partitionBy(col("doc_id"))
-      .orderBy(col("dfreq"), col("w"))
-    val prefix = tok.join(dfreq, "w").join(sizes, "doc_id")
-      .withColumn("r", row_number().over(wRank))
-      .filter(col("r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("doc_id"), col("w"))
+    val prefix = prefixTokens(tok, minJaccard)
     val pa = prefix.select(col("doc_id").as("d1"), col("w"))
     val pb = prefix.select(col("doc_id").as("d2"), col("w"))
     val cand = pa.join(pb, pa("w") === pb("w") && pa("d1") < pb("d2"))
@@ -83,15 +104,13 @@ object Dedup {
       .join(tok.select(col("doc_id").as("d1"), col("w")), "d1")
       .join(tok.select(col("doc_id").as("d2"), col("w")), Seq("d2", "w"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jac",
-        col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
-      .filter(col("jac") >= minJaccard)
-      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+    jaccardFromOverlap(
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+          .withColumnRenamed("n", "n2"), "d2"),
+      minJaccard)
   }
 
   /** Shared inverted-index machinery for the exact set-overlap family:
@@ -101,12 +120,8 @@ object Dedup {
     * the self-join — the 100 TB skew guard. */
   private def setOverlapPairs(documents: DataFrame, textCol: String,
                               idCol: String, maxDocFreq: Long): DataFrame = {
-    // tokenization feeds three consumers (both join sides + the size
-    // table): persist so the corpus is tokenized once per action
-    val tok = documents
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared tokenization (persisted — it feeds both join sides + sizes)
+    val tok = distinctTokens(documents, textCol, idCol)
     val filtered =
       if (maxDocFreq == Long.MaxValue) tok
       else {

@@ -354,6 +354,8 @@ object LlmQueries {
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("pos"))
+        // two consumers (dup aggregate + semi-join probe): persist or the
+        // shingle/md5 explode — the dominant cost — runs twice
         val grams = load(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("words"))
           .filter(size(col("words")) >= 8) // shorter docs have no 8-grams
@@ -361,15 +363,23 @@ object LlmQueries {
             "transform(sequence(0, size(words) - 8)," +
               " i -> md5(concat_ws(' ', slice(words, i + 1, 8))))"))
             .as(Seq("pos", "gram")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dup = grams.groupBy(col("gram"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") > 1)
           .select(col("gram"))
+        // islands over COVERED WORD POSITIONS (each duplicated gram marks
+        // its 8 positions, distinct): overlapping grams merge into one
+        // span and dup_words counts each position once — a per-gram
+        // (max−min+8) sum would double-count positions shared by
+        // non-consecutive overlapping grams and could exceed the doc size
         grams.join(dup, Seq("gram"), "left_semi")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
+          .distinct()
           .withColumn("island", col("pos") - row_number().over(w))
           .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) - min(col("pos")) + 8).as("span_words"))
+          .agg(count(lit(1)).as("span_words"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans"),
             sum(col("span_words")).as("dup_words"))
@@ -386,15 +396,18 @@ object LlmQueries {
              |dup AS (
              |  SELECT gram FROM g GROUP BY gram
              |  HAVING count(DISTINCT doc_id) > 1),
-             |flagged AS (
+             |covered AS (
+             |  SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS pos
+             |  FROM g, unnest(generate_series(0, 7)) AS v(o)
+             |  WHERE gram IN (SELECT gram FROM dup)),
+             |islands AS (
              |  SELECT doc_id, pos,
              |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
              |      AS island
-             |  FROM g WHERE gram IN (SELECT gram FROM dup)),
+             |  FROM covered),
              |spans AS (
-             |  SELECT doc_id, island, min(pos) AS span_start,
-             |    max(pos) - min(pos) + 8 AS span_words
-             |  FROM flagged GROUP BY doc_id, island)
+             |  SELECT doc_id, island, count(*) AS span_words
+             |  FROM islands GROUP BY doc_id, island)
              |SELECT doc_id, count(*) AS n_spans,
              |  CAST(sum(span_words) AS BIGINT) AS dup_words
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -411,14 +424,18 @@ object LlmQueries {
     QueryDef(
       "q_despan_clean",
       (s, dir) => {
+        // docs feeds grams AND the word re-collect; grams feeds the dup
+        // aggregate AND the coverage explode — persist both
         val docs = load(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("words"))
           .filter(size(col("words")) >= 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val grams = docs
           .select(col("doc_id"), posexplode(expr(
             "transform(sequence(0, size(words) - 8)," +
               " i -> md5(concat_ws(' ', slice(words, i + 1, 8))))"))
             .as(Seq("pos", "gram")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dup = grams.groupBy(col("gram"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") > 1).select(col("gram"))
@@ -470,12 +487,19 @@ object LlmQueries {
     // Per-row, shuffle-free, rerun- and cluster-size-stable, and
     // leakage-safe: a document's split depends only on its id, never on
     // partitioning or RNG state, so it cannot migrate between splits
-    // across reruns or cluster sizes.
+    // across reruns or cluster sizes. The bucket takes the HIGH byte of
+    // the 32-bit product (div 2^24): multiplication by an odd constant is
+    // a BIJECTION on the low bits, so `% 256` would reduce to doc_id mod
+    // 256 — ids allocated with a stride or worker-encoded low bits would
+    // all land in one split. High product bits mix every input bit
+    // (Knuth's actual prescription).
     QueryDef(
       "q_split_assign",
       (s, dir) => {
-        val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)
-          % lit(4294967296L)) % lit(256L)
+        // double division by 2^24 only shifts the exponent (exact for
+        // h < 2^32), so the long cast is a true integer div on both sides
+        val bucket = ((((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(4294967296L)) / lit(16777216L)).cast("long")
         load(s, dir, "documents")
           .select(col("doc_id"),
             when(bucket < 205, "train")
@@ -487,7 +511,7 @@ object LlmQueries {
       },
       Some("""WITH b AS (
              |  SELECT doc_id,
-             |    ((doc_id % 2147483648) * 2654435761) % 4294967296 % 256
+             |    ((doc_id % 2147483648) * 2654435761) % 4294967296 // 16777216
              |      AS bucket
              |  FROM documents)
              |SELECT CASE WHEN bucket < 205 THEN 'train'

@@ -180,19 +180,12 @@ class LlmSpec extends SparkSpec {
   }
 
   test("prefix filter indexes strictly fewer tokens than the full index") {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
+    // measures the REAL production prefix (Dedup.prefixTokens), not a
+    // re-derivation that could go stale if the prefix formula changes
     val docs = graft.queries.Tables.load(spark, sfDir, "documents")
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val tok = Dedup.distinctTokens(docs, "text", "doc_id")
     val full = tok.count()
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    val prefix = tok.join(dfreq, "w").join(sizes, "doc_id")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("w"))))
-      .filter(col("r") <= col("n") - ceil(lit(0.7) * col("n")) + 1)
-      .count()
+    val prefix = Dedup.prefixTokens(tok, minJaccard = 0.7).count()
     assert(prefix < full / 2,
       s"prefix index not materially smaller: $prefix vs $full")
   }
