@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_vocab_encode").contains("BroadcastHashJoin"))
   }
 
+  test("q_dedup_jaccard_prefix: prefix candidates, no cartesian anywhere") {
+    val p = plan("q_dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_spans: gram equi-join + semi-join, no nested loop") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_join_range_binned: bin equi-join, no nested loop") {
     val p = plan("q_join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin"))
