@@ -10,6 +10,10 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("entry() returns rows on sf0.001 (the driver's t1 smoke gate)") {
+    assert(SparkEntry.entry(SparkSpec.spark).count() > 0)
+  }
+
   test("query names are unique, lowercase q_-prefixed identifiers") {
     val names = SparkEntry.queries.keySet
     assert(names.forall(_.matches("^q[0-9]?_?[a-z0-9_]+$")), {
