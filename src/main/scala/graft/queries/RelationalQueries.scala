@@ -317,6 +317,44 @@ object RelationalQueries {
              |  ON o_totalprice >= lo AND o_totalprice < hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other — the semantics plain equality silently drops (NULL = NULL
+    // is NULL, so those rows vanish from an inner join). Keys are nulled
+    // deterministically (every 7th region slot) on both sides so the
+    // null-match branch is actually exercised. Still a hash-equi-join:
+    // Spark plans <=> as an EqualNullSafe key, no nested loop.
+    QueryDef(
+      "q_join_nullsafe",
+      (s, dir) => {
+        val a = load(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            when(col("s_suppkey") % 7 === 0, lit(null))
+              .otherwise(col("s_nationkey") % 5).as("ka"))
+        val b = load(s, dir, "nation")
+          .select(col("n_nationkey"),
+            when(col("n_nationkey") % 7 === 0, lit(null))
+              .otherwise(col("n_nationkey") % 5).as("kb"))
+        a.join(b, a("ka") <=> b("kb"))
+          .groupBy(col("ka"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("n_nationkey")).as("n_nations"))
+          .orderBy(col("ka").asc_nulls_first)
+      },
+      Some("""WITH a AS (
+             |  SELECT s_suppkey,
+             |    CASE WHEN s_suppkey % 7 = 0 THEN NULL
+             |         ELSE s_nationkey % 5 END AS ka
+             |  FROM supplier),
+             |b AS (
+             |  SELECT n_nationkey,
+             |    CASE WHEN n_nationkey % 7 = 0 THEN NULL
+             |         ELSE n_nationkey % 5 END AS kb
+             |  FROM nation)
+             |SELECT ka, count(*) AS n_pairs,
+             |  count(DISTINCT n_nationkey) AS n_nations
+             |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+             |GROUP BY ka ORDER BY ka NULLS FIRST""".stripMargin)),
+
     // Binned interval join — the 100 TB shape for q_join_range's problem.
     // 25 OVERLAPPING price bands (one per nation key, stride 20k < span
     // 50k, so a price can match up to 3 bands) joined to orders without a
