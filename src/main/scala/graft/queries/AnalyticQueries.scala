@@ -292,6 +292,45 @@ object AnalyticQueries {
              |FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.k
              |ORDER BY k""".stripMargin)),
 
+    // Ratio-to-report / contribution analysis (the BI staple): each
+    // nation's share of its region's revenue — a grouped sum (exact
+    // cents) ratioed against its window total. The window runs over the
+    // 25-row aggregate, not the fact table, so the partition-wide total
+    // costs nothing; the share is one double division of exact integers
+    // rounded at 4.
+    QueryDef(
+      "q_ratio_to_report",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("r_name"))
+        val rev = load(s, dir, "customer")
+          .join(load(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(load(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+            .as("rev_cents"))
+        rev
+          .withColumn("region_cents", sum(col("rev_cents")).over(w))
+          .select(col("r_name"), col("n_name"), col("rev_cents"),
+            round(col("rev_cents") * lit(1.0) / col("region_cents"), 4)
+              .as("share"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT r_name, n_name,
+             |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS rev_cents
+             |  FROM customer
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY r_name, n_name)
+             |SELECT r_name, n_name, rev_cents,
+             |  round(rev_cents * 1.0 / sum(rev_cents)
+             |    OVER (PARTITION BY r_name), 4) AS share
+             |FROM rev ORDER BY r_name, n_name""".stripMargin)),
+
     // Column profiling (the deequ/pandas-profiling staple): count, null
     // count, distinct count, min, max per column in ONE scan — the
     // numeric columns unpivot to (column, value) rows feeding a single

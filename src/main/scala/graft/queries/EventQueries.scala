@@ -210,6 +210,42 @@ object EventQueries {
              |  round(max(gap_s), 1) AS max_gap_s
              |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Time-weighted aggregation (telemetry/TWAP staple): each reading
+    // holds until the next one, so its weight is that duration — a plain
+    // mean over-counts bursts and under-counts stable periods. dt via
+    // lead() in exact integer MICROSECONDS (seconds-level epoch() rounds vs
+    // truncates differently across engines); value in centi-units so the
+    // sums are exact BIGINTs (float sums can't hash-match). The weighted
+    // mean is the downstream ratio of two exact integers.
+    QueryDef(
+      "q_events_twa",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v_centi"))
+          .withColumn("dt_us",
+            expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id" +
+              " ORDER BY ts, event_id)) - unix_micros(ts)"))
+          .filter(col("dt_us").isNotNull) // last reading has no duration
+          .groupBy(col("user_id"))
+          .agg(sum(col("v_centi") * col("dt_us")).as("sum_v_centi_us"),
+            sum(col("dt_us")).as("sum_dt_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_centi,
+             |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(sum(v_centi * dt_us) AS BIGINT) AS sum_v_centi_us,
+             |  CAST(sum(dt_us) AS BIGINT) AS sum_dt_us
+             |FROM d WHERE dt_us IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Ordered funnel (view → click → purchase, each step within 1 day
     // of the previous): each step's timestamp is the first qualifying
     // event inside the conversion window after the previous step — the
