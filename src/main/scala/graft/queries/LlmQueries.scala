@@ -520,6 +520,41 @@ object LlmQueries {
              |  count(*) AS n, min(doc_id) AS first_id
              |FROM b GROUP BY split ORDER BY split""".stripMargin)),
 
+    // Feature hashing (the hashing trick): tokens → fixed 16-dim count
+    // vector via a portable content hash, no vocabulary to build, ship,
+    // or keep in sync — the streaming-friendly featurizer for linear
+    // models and n-gram baselines. The bucket is the first md5 hex digit
+    // mapped through instr() (identical in any engine — hex→int casts
+    // are not portable); counts are exact ints collected in bucket order.
+    QueryDef(
+      "q_feature_hash",
+      (s, dir) => {
+        val bucket = (instr(lit("0123456789abcdef"),
+          substring(md5(col("term")), 1, 1)) - 1).cast("int")
+        load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .select(col("doc_id"), bucket.as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(transform(array_sort(collect_list(struct(col("b"), col("c")))),
+            x => x.getField("c")).as("counts"),
+            count(lit(1)).as("n_buckets"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1
+             |      AS b
+             |  FROM t),
+             |c AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY doc_id, b)
+             |SELECT doc_id, list(c ORDER BY b) AS counts,
+             |  count(*) AS n_buckets
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Per-label embedding prototypes (class centroids — retrieval
     // calibration, semantic-dedup representatives, few-shot class means).
     // Float vector sums can never hash-match across engines, so each
