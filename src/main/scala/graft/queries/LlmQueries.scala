@@ -520,6 +520,62 @@ object LlmQueries {
              |  count(*) AS n, min(doc_id) AS first_id
              |FROM b GROUP BY split ORDER BY split""".stripMargin)),
 
+    // Class keywords (c-TF-IDF shape): the top-5 terms that DISTINGUISH
+    // each language group — term frequency within the class × inverse
+    // class frequency, ranked per class. The corpus-exploration /
+    // cluster-labeling staple. All aggregates are over (class, term) —
+    // bounded by vocabulary × classes, not corpus size; the only float is
+    // one per-row ln, rounded at 4; rank ties break on the term.
+    QueryDef(
+      "q_class_keywords",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("term"))
+        val tc = load(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val classTotals = tc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+        val classFreq = tc.groupBy(col("term"))
+          .agg(countDistinct(col("lang")).as("cf"))
+        val nClasses = tc.select(countDistinct(col("lang")).as("nc"))
+        tc.join(classTotals, "lang")
+          .join(classFreq, "term")
+          .crossJoin(broadcast(nClasses))
+          .withColumn("score",
+            round((col("c").cast("double") / col("n"))
+              * log((lit(1L) + col("nc")).cast("double")
+                / (lit(1L) + col("cf")).cast("double")), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("term"), col("score"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT lang, term, count(*) AS c
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY lang, term),
+             |ct AS (SELECT lang, sum(c) AS n FROM tc GROUP BY lang),
+             |cf AS (SELECT term, count(DISTINCT lang) AS cf FROM tc GROUP BY term),
+             |nc AS (SELECT count(DISTINCT lang) AS nc FROM tc),
+             |scored AS (
+             |  SELECT tc.lang, tc.term,
+             |    round((CAST(c AS DOUBLE) / n)
+             |      * ln(CAST(1 + nc AS DOUBLE) / CAST(1 + cf AS DOUBLE)), 4)
+             |      AS score
+             |  FROM tc JOIN ct USING (lang) JOIN cf USING (term)
+             |  CROSS JOIN nc),
+             |ranked AS (
+             |  SELECT lang, term, score,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY score DESC, term) AS rk
+             |  FROM scored)
+             |SELECT lang, rk, term, score FROM ranked WHERE rk <= 5
+             |ORDER BY lang, rk""".stripMargin)),
+
     // Feature hashing (the hashing trick): tokens → fixed 16-dim count
     // vector via a portable content hash, no vocabulary to build, ship,
     // or keep in sync — the streaming-friendly featurizer for linear
