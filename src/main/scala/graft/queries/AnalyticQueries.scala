@@ -257,8 +257,7 @@ object AnalyticQueries {
         // and DuckDB, unlike round() (Spark HALF_UP on BigDecimal vs
         // DuckDB on the raw binary double). balance_cents is exact
         // integer cents: merged balance = target balance + source delta.
-        def cents(c: org.apache.spark.sql.Column) =
-          floor(c * 100 + 0.5).cast("long")
+        def cents(c: org.apache.spark.sql.Column) = Tables.cents(c)
         val target = load(s, dir, "customer")
           .select(col("c_custkey").as("k"), col("c_name"),
             cents(col("c_acctbal")).as("acct_cents"))
@@ -309,8 +308,7 @@ object AnalyticQueries {
           .join(load(s, dir, "region"),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))
-            .as("rev_cents"))
+          .agg(sum(Tables.cents(col("c_acctbal"))).as("rev_cents"))
         rev
           .withColumn("region_cents", sum(col("rev_cents")).over(w))
           .select(col("r_name"), col("n_name"), col("rev_cents"),
@@ -341,8 +339,7 @@ object AnalyticQueries {
       "q_profile_columns",
       (s, dir) => load(s, dir, "orders")
         .select(col("o_orderkey"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long")
-            .as("totalprice_cents"),
+          Tables.cents(col("o_totalprice")).as("totalprice_cents"),
           col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("order_year"))
         .unpivot(Array.empty[org.apache.spark.sql.Column],
@@ -383,11 +380,9 @@ object AnalyticQueries {
     QueryDef(
       "q_outlier_mad",
       (s, dir) => {
-        def cents(c: org.apache.spark.sql.Column) =
-          floor(c * 100 + 0.5).cast("long")
         val o = load(s, dir, "orders")
           .select(col("o_orderstatus").as("grp"),
-            cents(col("o_totalprice")).as("v"))
+            Tables.cents(col("o_totalprice")).as("v"))
         val med = o.groupBy(col("grp"))
           .agg(median(col("v")).as("med"))
         val mad = o.join(broadcast(med), "grp")
@@ -498,8 +493,7 @@ object AnalyticQueries {
           .filter(col("o_custkey") <= 200) // a readable slice of the log
           .select(col("o_custkey").as("k"), col("o_orderkey").as("change_id"),
             col("o_orderdate").as("valid_from"),
-            floor(col("o_totalprice") * 100 + 0.5).cast("long")
-              .as("state_cents"))
+            Tables.cents(col("o_totalprice")).as("state_cents"))
           .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
           .withColumn("is_current", col("valid_to").isNull)
           .orderBy(col("k"), col("valid_from"), col("change_id"))

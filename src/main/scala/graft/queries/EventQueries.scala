@@ -220,11 +220,9 @@ object EventQueries {
     QueryDef(
       "q_events_twa",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         load(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("ts"),
-            floor(col("value") * 100 + 0.5).cast("long").as("v_centi"))
+            Tables.cents(col("value")).as("v_centi"))
           .withColumn("dt_us",
             expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id" +
               " ORDER BY ts, event_id)) - unix_micros(ts)"))

@@ -99,8 +99,7 @@ object ExtensionQueries {
       "q_cogroup_reconcile",
       (s, dir) => {
         import s.implicits._
-        val cents = (c: org.apache.spark.sql.Column) =>
-          floor(c * 100 + 0.5).cast("long")
+        val cents = (c: org.apache.spark.sql.Column) => Tables.cents(c)
         val cust = load(s, dir, "customer")
           .select(col("c_custkey"), cents(col("c_acctbal")).as("acct_cents"))
           .as[(Long, Long)]

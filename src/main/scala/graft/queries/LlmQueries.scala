@@ -520,12 +520,15 @@ object LlmQueries {
              |  count(*) AS n, min(doc_id) AS first_id
              |FROM b GROUP BY split ORDER BY split""".stripMargin)),
 
-    // Class keywords (c-TF-IDF shape): the top-5 terms that DISTINGUISH
-    // each language group — term frequency within the class × inverse
-    // class frequency, ranked per class. The corpus-exploration /
-    // cluster-labeling staple. All aggregates are over (class, term) —
-    // bounded by vocabulary × classes, not corpus size; the only float is
-    // one per-row ln, rounded at 4; rank ties break on the term.
+    // Class keywords (c-TF-IDF, the frequency-based BERTopic form): the
+    // top-5 terms that DISTINGUISH each language group. Presence-based
+    // idf (count of classes containing the term) is degenerate on any
+    // corpus whose common vocabulary spans all classes — every score
+    // collapses to 0 and ranking becomes alphabetical; the
+    // ln(1 + A/f_t) form (A = mean class size, f_t = corpus frequency)
+    // discriminates on FREQUENCY and stays informative. Aggregates are
+    // bounded by vocabulary × classes, never corpus size; the one float
+    // is a per-row ln rounded at 4; rank ties break on the term.
     QueryDef(
       "q_class_keywords",
       (s, dir) => {
@@ -538,16 +541,15 @@ object LlmQueries {
           .agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val classTotals = tc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
-        val classFreq = tc.groupBy(col("term"))
-          .agg(countDistinct(col("lang")).as("cf"))
-        val nClasses = tc.select(countDistinct(col("lang")).as("nc"))
+        val termTotals = tc.groupBy(col("term")).agg(sum(col("c")).as("ft"))
+        val avgClass = classTotals
+          .agg((sum(col("n")).cast("double") / count(lit(1))).as("a"))
         tc.join(classTotals, "lang")
-          .join(classFreq, "term")
-          .crossJoin(broadcast(nClasses))
+          .join(termTotals, "term")
+          .crossJoin(broadcast(avgClass))
           .withColumn("score",
             round((col("c").cast("double") / col("n"))
-              * log((lit(1L) + col("nc")).cast("double")
-                / (lit(1L) + col("cf")).cast("double")), 4))
+              * log(lit(1.0) + col("a") / col("ft")), 4))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 5)
           .select(col("lang"), col("rk"), col("term"), col("score"))
@@ -559,15 +561,14 @@ object LlmQueries {
              |        FROM documents)
              |  GROUP BY lang, term),
              |ct AS (SELECT lang, sum(c) AS n FROM tc GROUP BY lang),
-             |cf AS (SELECT term, count(DISTINCT lang) AS cf FROM tc GROUP BY term),
-             |nc AS (SELECT count(DISTINCT lang) AS nc FROM tc),
+             |tt AS (SELECT term, sum(c) AS ft FROM tc GROUP BY term),
+             |ac AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS a FROM ct),
              |scored AS (
              |  SELECT tc.lang, tc.term,
-             |    round((CAST(c AS DOUBLE) / n)
-             |      * ln(CAST(1 + nc AS DOUBLE) / CAST(1 + cf AS DOUBLE)), 4)
+             |    round((CAST(c AS DOUBLE) / n) * ln(1.0 + a / ft), 4)
              |      AS score
-             |  FROM tc JOIN ct USING (lang) JOIN cf USING (term)
-             |  CROSS JOIN nc),
+             |  FROM tc JOIN ct USING (lang) JOIN tt USING (term)
+             |  CROSS JOIN ac),
              |ranked AS (
              |  SELECT lang, term, score,
              |    row_number() OVER (PARTITION BY lang
@@ -581,7 +582,10 @@ object LlmQueries {
     // or keep in sync — the streaming-friendly featurizer for linear
     // models and n-gram baselines. The bucket is the first md5 hex digit
     // mapped through instr() (identical in any engine — hex→int casts
-    // are not portable); counts are exact ints collected in bucket order.
+    // are not portable). Vectors are DENSIFIED over all 16 buckets
+    // (empty buckets emit 0): counts[i] must mean bucket i on every row
+    // or the defining property of the trick — fixed-dim component-wise
+    // comparability — is lost.
     QueryDef(
       "q_feature_hash",
       (s, dir) => {
@@ -593,9 +597,13 @@ object LlmQueries {
           .groupBy(col("doc_id"), col("b"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
-          .agg(transform(array_sort(collect_list(struct(col("b"), col("c")))),
-            x => x.getField("c")).as("counts"),
-            count(lit(1)).as("n_buckets"))
+          .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+            .as("m"),
+            count(lit(1)).as("n_nonzero"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(15)),
+              i => coalesce(element_at(col("m"), i), lit(0L))).as("counts"),
+            col("n_nonzero"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (
@@ -606,10 +614,16 @@ object LlmQueries {
              |    strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1
              |      AS b
              |  FROM t),
-             |c AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY doc_id, b)
-             |SELECT doc_id, list(c ORDER BY b) AS counts,
-             |  count(*) AS n_buckets
-             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |c AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY doc_id, b),
+             |grid AS (
+             |  SELECT d.doc_id, CAST(g AS BIGINT) AS b
+             |  FROM (SELECT DISTINCT doc_id FROM c) d,
+             |    unnest(generate_series(0, 15)) AS u(g)),
+             |nz AS (SELECT doc_id, count(*) AS n_nonzero FROM c GROUP BY doc_id)
+             |SELECT grid.doc_id,
+             |  list(coalesce(c, 0) ORDER BY grid.b) AS counts, n_nonzero
+             |FROM grid LEFT JOIN c USING (doc_id, b) JOIN nz USING (doc_id)
+             |GROUP BY grid.doc_id, n_nonzero ORDER BY grid.doc_id""".stripMargin)),
 
     // Per-label embedding prototypes (class centroids — retrieval
     // calibration, semantic-dedup representatives, few-shot class means).

@@ -47,4 +47,13 @@ object Tables {
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Money in exact integer cents: floor(x·100 + 0.5) — pure IEEE double
+    * ops that evaluate bit-identically in Spark and DuckDB for either
+    * sign, unlike round() (Spark HALF_UP on BigDecimal vs DuckDB on the
+    * raw binary double). THE one conversion every money-summing query
+    * uses; SQL mirror: `CAST(floor(x * 100 + 0.5) AS BIGINT)`. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions
+      .floor(c * 100 + 0.5).cast("long")
 }

@@ -377,8 +377,7 @@ object RelationalQueries {
             binWidth = 25000.0)
           .groupBy(col("band_id"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-              .as("sum_cents"))
+            sum(Tables.cents(col("o_totalprice"))).as("sum_cents"))
           .orderBy(col("band_id"))
       },
       Some("""SELECT n_nationkey AS band_id, count(*) AS n_orders,

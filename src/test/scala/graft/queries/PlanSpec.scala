@@ -50,6 +50,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_vocab_encode").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_nullsafe: EqualNullSafe plans a hash join, no nested loop") {
+    val p = plan("q_join_nullsafe")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_dedup_jaccard_prefix: prefix candidates, no cartesian anywhere") {
     val p = plan("q_dedup_jaccard_prefix")
     assert(!p.contains("CartesianProduct"))
