@@ -63,12 +63,11 @@ object Contamination {
                           idCol: String = "doc_id",
                           expectedItems: Long = 1L << 16,
                           numBits: Long = 1L << 20): DataFrame = {
-    val benchSh = benchmark
+    // consumed twice (bloom-build action + confirm join): persist so the
+    // benchmark shingling runs once; Caches.release()/clearCache frees it
+    val benchSh = Caches.track(benchmark
       .select(explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
-      .distinct()
-      // consumed twice (bloom-build action + confirm join): persist so the
-      // benchmark shingling runs once; the query driver unpersists
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // empty benchmark → no contamination, same as sharedShingles (the
     // bloom build would otherwise fail on a null sketch)
     if (benchSh.isEmpty) {

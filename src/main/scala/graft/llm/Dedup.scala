@@ -57,10 +57,9 @@ object Dedup {
     * multiple consumers — shared by every set-overlap path. */
   private[llm] def distinctTokens(documents: DataFrame, textCol: String,
                                   idCol: String): DataFrame =
-    documents
+    Caches.track(documents
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(array_distinct(split(col(textCol), " "))).as("w")))
 
   /** The PPJoin prefix: each document's `n − ⌈t·n⌉ + 1` globally rarest
     * tokens (order: df asc, token asc). Exposed private[llm] so the spec
@@ -248,8 +247,8 @@ object Dedup {
     // 64-way min aggregate — the expensive part — runs once per action
     // instead of once per consumer. MEMORY_AND_DISK: signatures are
     // ~0.5 KB/doc, far cheaper to spill than to recompute at any scale.
-    val sigs = minhashSignatures(documents, numHashes, shingleSize, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = Caches.track(
+      minhashSignatures(documents, numHashes, shingleSize, textCol, idCol))
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
@@ -282,22 +281,60 @@ object Dedup {
   }
 
   /** Edit-distance near-dup with blocking: candidate pairs share a cheap
-    * blocking key (default: the first token), then exact Levenshtein runs
-    * on candidates only — the classic entity-resolution shape. Never
-    * all-pairs: the block equi-join bounds candidates, and Levenshtein
-    * (O(len²) per pair) is the verify step, not the generate step.
+    * blocking key, then exact Levenshtein runs on candidates only — the
+    * classic entity-resolution shape. Never all-pairs: the block equi-join
+    * bounds candidates, and Levenshtein (O(len²) per pair) is the verify
+    * step, not the generate step.
+    *
+    * Skew guards (the 100 TB shape):
+    *  - COMPOSITE key (first token, length bucket): a hot first token (a
+    *    boilerplate prefix, "the ...") no longer forms one quadratic block.
+    *    Bucket width is `maxDist + 1` and every doc is emitted under its own
+    *    bucket AND the next one, so any pair within `maxDist` edits — whose
+    *    lengths differ by ≤ maxDist — always shares a key: NO false
+    *    negatives versus plain first-token blocking.
+    *  - Block cap (same star mechanics as [[minhashLsh]]): blocks larger
+    *    than `maxBlockSize` emit O(n) pairs to the block-minimum
+    *    representative instead of the n²/2 clique; the exact verify still
+    *    runs on every emitted pair. Under a degenerate block this is an
+    *    approximation (members > maxDist from the representative drop out)
+    *    — the documented trade for not dying on skew.
     */
   def editDistancePairs(documents: DataFrame, maxDist: Int,
-                        textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxBlockSize: Int = 500): DataFrame = {
+    val bw = maxDist + 1
     val keyed = documents.select(col(idCol).as("id"), col(textCol).as("t"),
-      split(col(textCol), " ").getItem(0).as("blk"))
-    keyed.select(col("blk"), col("id").as("d1"), col("t").as("t1"))
-      .join(keyed.select(col("blk"), col("id").as("d2"), col("t").as("t2")),
-        Seq("blk"))
+      split(col(textCol), " ").getItem(0).as("tok"),
+      floor(length(col(textCol)) / bw).as("q"))
+    // candidate generation carries only (tok, qb, id) — texts rejoin by id
+    // for the distinct candidate pairs, never through the self-join
+    val emitted = keyed.select(col("id"), col("tok"),
+      explode(array(col("q"), col("q") + 1)).as("qb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok"), col("qb"))
+    val sized = emitted
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBlockSize)
+    val clique = small.select(col("tok"), col("qb"), col("id").as("d1"))
+      .join(small.select(col("tok"), col("qb"), col("id").as("d2")),
+        Seq("tok", "qb"))
       .filter(col("d1") < col("d2"))
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
-      .filter(col("dist") <= maxDist)
+      .select(col("d1"), col("d2"))
+    val star = sized
+      .filter(col("bsz") > maxBlockSize && col("id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("id").as("d2"))
+    val pairs = clique.unionByName(star).distinct()
+    val txt = keyed.select(col("id"), col("t"))
+    pairs
+      .join(txt.select(col("id").as("d1"), col("t").as("t1")), "d1")
+      .join(txt.select(col("id").as("d2"), col("t").as("t2")), "d2")
+      // cheap length pre-filter, then banded Levenshtein (early exit above
+      // the threshold; returns the true distance when within it)
+      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("d1"), col("d2"), col("dist"))
   }
 
@@ -373,24 +410,50 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Degenerate-bucket guard (same mechanics as [[minhashLsh]]): a block
+    * bucket of n near-identical docs would emit n²/2 clique pairs — one
+    * boilerplate page repeated 10M times at 100 TB is a job-killer. Buckets
+    * larger than `maxBucketSize` emit O(n) STAR pairs to the bucket-minimum
+    * representative instead; every member stays transitively linked for the
+    * downstream connected-components pass, and each emitted pair still gets
+    * its exact hamming distance. Small buckets keep the complete clique.
+    */
   def simhash(documents: DataFrame, maxHamming: Int,
-              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = documents
-      .select(col(idCol).as("doc_id"), simhashSignature(col(textCol)).as("sim"))
-    val blocked = sigs.select(col("doc_id"), col("sim"),
+              textCol: String = "text", idCol: String = "doc_id",
+              maxBucketSize: Int = 500): DataFrame = {
+    // Signature is consumed by banding AND both sides of the pair rejoin;
+    // persist so the 64-counter aggregate runs once per action. The pair
+    // join carries only (block, block_val, doc_id) — narrow, like the LSH
+    // candidate join; signatures rejoin by doc_id for distinct pairs only.
+    val sigs = Caches.track(documents
+      .select(col(idCol).as("doc_id"), simhashSignature(col(textCol)).as("sim")))
+    val blocked = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(7)),
           b => call_function("shiftright", col("sim"), b * lit(8)).bitwiseAND(255))))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
-    val l = blocked.select(col("block"), col("block_val"),
-      col("doc_id").as("d1"), col("sim").as("sim1"))
-    val rg = blocked.select(col("block"), col("block_val"),
-      col("doc_id").as("d2"), col("sim").as("sim2"))
-    l.join(rg, Seq("block", "block_val")).filter(col("d1") < col("d2"))
+    // bucket size + representative in one window pass, co-partitioned with
+    // the candidate join key (block, block_val) — no extra shuffle stage
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("block_val"))
+    val sized = blocked
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val clique = small.select(col("block"), col("block_val"), col("doc_id").as("d1"))
+      .join(small.select(col("block"), col("block_val"), col("doc_id").as("d2")),
+        Seq("block", "block_val"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val star = sized
+      .filter(col("bsz") > maxBucketSize && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    val pairs = clique.unionByName(star).distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("sim").as("sim1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sim").as("sim2")), "d2")
       .select(col("d1"), col("d2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -73,4 +73,68 @@ object Graphs {
     nodes.unpersist(blocking = false)
     ranks
   }
+
+  /** Fixed-point integer PageRank — identical sweep structure to
+    * [[pagerank]], but rank mass lives in integer `scale`-units and every
+    * operation is exact BIGINT arithmetic (integer div for the per-edge
+    * share, the dangling redistribution, and the damping ratio). Float
+    * PageRank can never hash-match a second engine (per-node contribution
+    * sums are order-dependent); this variant is bit-identical on ANY
+    * engine that evaluates the same integer formula, which is what makes
+    * q_graph_pagerank oracle-comparable. The floor divisions shed at most
+    * one unit per node per sweep, so Σrank drifts low by ≤ iters·n units —
+    * noise at scale=1e12 — and ranking quality is unaffected.
+    *
+    * rank'(v) = ((den−num)·scale) div (den·n)
+    *          + (num · (Σ_{u→v} rank(u) div deg(u) + dm div n)) div den
+    * where dm = Σ_{deg(u)=0} rank(u), num/den = damping (85/100).
+    */
+  def pagerankExact(edgesDf: DataFrame, iters: Int = 10,
+                    dampingNum: Long = 85L, dampingDen: Long = 100L,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty graph")
+    val withDeg = nodes
+      .join(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val teleport = (dampingDen - dampingNum) * scale / (dampingDen * n)
+    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val state = ranks.join(withDeg, "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dangling = state.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val contribs = edges
+        .join(state.filter(col("deg") > 0).withColumnRenamed("node", "src"),
+          "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(teleport) + expr(
+            s"($dampingNum * (coalesce(contrib, 0L) + dm div $n)) div $dampingDen"
+          )).as("rank"))
+        .localCheckpoint()
+      state.unpersist(blocking = false)
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    withDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
 }

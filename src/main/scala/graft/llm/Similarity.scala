@@ -105,8 +105,7 @@ object Similarity {
     val hp = hyperplanes(tables, planes, EmbeddingDim)
     // both sides of the bucket self-join read the same keyed projection:
     // persist so the tables×planes hyperplane dot products run once
-    val keyed = bucketKeys(embeddings, hp, "id", vecCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = Caches.track(bucketKeys(embeddings, hp, "id", vecCol, idCol))
     keyed.select(col("table_id"), col("bucket"), col("id").as("d1"))
       .join(keyed.select(col("table_id"), col("bucket"), col("id").as("d2")),
         Seq("table_id", "bucket"))

@@ -117,11 +117,10 @@ object TextAnalysis {
     */
   def tfidf(documents: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
-    val tc = documents
+    val tc = Caches.track(documents
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("c")))
     val perDoc = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
     val vocabDf = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = documents.select(countDistinct(col(idCol)).as("n_docs"))
@@ -154,12 +153,11 @@ object TextAnalysis {
     */
   def unigramLmScore(documents: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val tc = documents
+    val tc = Caches.track(documents
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("c")))
     val vocab = tc.groupBy(col("term")).agg(sum(col("c")).as("ct"))
     val totals = vocab.agg(sum(col("ct")).as("n"), count(lit(1)).as("v"))
     val lm = vocab.crossJoin(broadcast(totals))
@@ -191,11 +189,10 @@ object TextAnalysis {
   def bm25(documents: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75,
            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tc = documents
+    val tc = Caches.track(documents
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("c")))
     val docLen = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
     val hits = tc.filter(col("term").isin(queryTerms: _*))
     val dfTbl = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -19,6 +19,48 @@ import graft.llm.{Contamination, Dedup, Packing, Similarity, TextAnalysis}
 object LlmQueries {
   import Tables.load
 
+  /** DuckDB mirror of [[graft.llm.Graphs.pagerankExact]] over the
+    * part→supplier purchase graph: the fixed iteration count unrolls into a
+    * chain of CTEs (aggregates are not allowed in a recursive term, and an
+    * unrolled chain is plainly auditable). Every op is integer — `//` on
+    * positives ≡ Spark's `div` — and sums CAST back from DuckDB's HUGEINT
+    * widening, so the match is exact by construction. */
+  private def pagerankOracle(iters: Int, scale: Long = 1000000000000L): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+         |  FROM r${k - 1} r JOIN deg g USING (node) WHERE g.deg = 0),
+         |c$k AS (
+         |  SELECT e.dst AS node, CAST(sum(r.rank // g.deg) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN deg g ON g.node = e.src
+         |  WHERE g.deg > 0 GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT n.node, CAST(
+         |    (15 * $scale) // (100 * (SELECT n FROM nc))
+         |    + (85 * (coalesce(c.contrib, 0)
+         |             + (SELECT dm FROM d$k) // (SELECT n FROM nc))) // 100
+         |    AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (
+       |  SELECT n.node, coalesce(d.deg, 0) AS deg
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT src AS node, count(*) AS deg FROM edges GROUP BY src) d
+       |  USING (node)),
+       |r0 AS (
+       |  SELECT node, $scale // (SELECT n FROM nc) AS rank FROM nodes),
+       |$steps
+       |SELECT node, rank FROM r$iters
+       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Exact dedup: canonical representative (min doc_id) per text hash.
@@ -497,9 +539,13 @@ object LlmQueries {
       "q_split_assign",
       (s, dir) => {
         // double division by 2^24 only shifts the exponent (exact for
-        // h < 2^32), so the long cast is a true integer div on both sides
-        val bucket = ((((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
-          % lit(4294967296L)) / lit(16777216L)).cast("long")
+        // h < 2^32), so the long cast is a true integer div on both sides.
+        // pmod (not %) keeps the reduced id NONNEGATIVE for negative ids:
+        // both engines' % keep the dividend's sign and their integer
+        // divisions disagree (truncate vs floor), so a signed intermediate
+        // would diverge; from a nonnegative base every later op agrees.
+        val bucket = (((pmod(col("doc_id"), lit(2147483648L))) * lit(2654435761L))
+          % lit(4294967296L) / lit(16777216L)).cast("long")
         load(s, dir, "documents")
           .select(col("doc_id"),
             when(bucket < 205, "train")
@@ -511,8 +557,8 @@ object LlmQueries {
       },
       Some("""WITH b AS (
              |  SELECT doc_id,
-             |    ((doc_id % 2147483648) * 2654435761) % 4294967296 // 16777216
-             |      AS bucket
+             |    (((doc_id % 2147483648 + 2147483648) % 2147483648)
+             |      * 2654435761) % 4294967296 // 16777216 AS bucket
              |  FROM documents)
              |SELECT CASE WHEN bucket < 205 THEN 'train'
              |            WHEN bucket < 230 THEN 'val'
@@ -601,8 +647,11 @@ object LlmQueries {
             .as("m"),
             count(lit(1)).as("n_nonzero"))
           .select(col("doc_id"),
-            transform(sequence(lit(0), lit(15)),
-              i => coalesce(element_at(col("m"), i), lit(0L))).as("counts"),
+            // CSV-serialized (order-preserving) so the oracle harness can
+            // sort/hash the column — raw array<> cells crash pandas.
+            array_join(transform(sequence(lit(0), lit(15)),
+              i => coalesce(element_at(col("m"), i), lit(0L))), ",")
+              .as("counts"),
             col("n_nonzero"))
           .orderBy(col("doc_id"))
       },
@@ -621,7 +670,8 @@ object LlmQueries {
              |    unnest(generate_series(0, 15)) AS u(g)),
              |nz AS (SELECT doc_id, count(*) AS n_nonzero FROM c GROUP BY doc_id)
              |SELECT grid.doc_id,
-             |  list(coalesce(c, 0) ORDER BY grid.b) AS counts, n_nonzero
+             |  array_to_string(list(coalesce(c, 0) ORDER BY grid.b), ',')
+             |    AS counts, n_nonzero
              |FROM grid LEFT JOIN c USING (doc_id, b) JOIN nz USING (doc_id)
              |GROUP BY grid.doc_id, n_nonzero ORDER BY grid.doc_id""".stripMargin)),
 
@@ -648,9 +698,11 @@ object LlmQueries {
           .groupBy(col("label"), col("dim"))
           .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
           .groupBy(col("label"))
-          .agg(transform(
+          // dim-ordered then CSV-serialized: the oracle harness cannot
+          // sort/hash raw array<> cells (pandas unhashable-ndarray crash)
+          .agg(array_join(transform(
               array_sort(collect_list(struct(col("dim"), col("s")))),
-              x => x.getField("s")).as("sum_micro"),
+              x => x.getField("s")), ",").as("sum_micro"),
             max(col("n")).as("n_vectors"))
           .orderBy(col("label"))
       },
@@ -664,7 +716,8 @@ object LlmQueries {
              |  SELECT label, dim, CAST(sum(m) AS BIGINT) AS s,
              |    count(*) AS n
              |  FROM e GROUP BY label, dim)
-             |SELECT label, list(s ORDER BY dim) AS sum_micro,
+             |SELECT label,
+             |  array_to_string(list(s ORDER BY dim), ',') AS sum_micro,
              |  CAST(max(n) AS BIGINT) AS n_vectors
              |FROM d GROUP BY label ORDER BY label""".stripMargin)),
 
@@ -772,10 +825,12 @@ object LlmQueries {
             Seq("term"), "left")
           .groupBy(col("doc_id"))
           .agg(
-            transform(
+            // position-ordered then CSV-serialized for the oracle harness
+            // (raw array<> cells are unhashable/unsortable in pandas)
+            array_join(transform(
               array_sort(collect_list(struct(col("pos"),
                 coalesce(col("token_id"), lit(0)).as("tid")))),
-              x => x.getField("tid")).as("ids"),
+              x => x.getField("tid")), ",").as("ids"),
             sum(when(col("token_id").isNull, 1).otherwise(0)).as("n_unk"))
           .orderBy(col("doc_id"))
       },
@@ -789,7 +844,8 @@ object LlmQueries {
              |    AS token_id
              |  FROM t GROUP BY term HAVING count(*) >= 5)
              |SELECT doc_id,
-             |  list(coalesce(token_id, 0) ORDER BY pos) AS ids,
+             |  array_to_string(list(coalesce(token_id, 0) ORDER BY pos), ',')
+             |    AS ids,
              |  CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_unk
              |FROM t LEFT JOIN vocab USING (term)
@@ -1287,16 +1343,19 @@ object LlmQueries {
 
     // Link-graph centrality prior (the crawl-quality ranking move):
     // PageRank over the part→supplier purchase graph from lineitem.
-    // Rows-only (float fixpoint not SQL-expressible); exact equality with
-    // a driver-side reference implementation pinned in GraphsSpec.
+    // Fixed-point integer variant (Graphs.pagerankExact): every sweep is
+    // exact BIGINT arithmetic, so the 8 iterations unroll into a chain of
+    // DuckDB CTEs that matches bit-for-bit — float PageRank's per-node
+    // contribution sums are aggregation-order-dependent and could never
+    // hash-match. The float pagerank stays pinned by GraphsSpec.
     QueryDef(
       "q_graph_pagerank",
-      (s, dir) => graft.llm.Graphs.pagerank(
+      (s, dir) => graft.llm.Graphs.pagerankExact(
           load(s, dir, "lineitem").select(col("l_partkey").as("src"),
             (col("l_suppkey") + 1000000L).as("dst")),
           iters = 8)
         .orderBy(col("rank").desc, col("node")).limit(100),
-      None),
+      Some(pagerankOracle(iters = 8))),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight
@@ -1351,16 +1410,38 @@ object LlmQueries {
         .orderBy(col("vec_id")),
       None),
 
-    // Diversity sampling: per-k-means-cluster quota, selection ordered by
-    // md5(vec_id) — every embedding region keeps representation while no
-    // dense cluster dominates (kmeans ∘ quota composition; deterministic
-    // end-to-end). Rows-only via kmeans; the quota half is the
-    // oracle-checked q_quota_per_key machinery.
+    // Diversity sampling: per-region quota over an embedding-space
+    // partition — every region keeps representation while no dense region
+    // dominates. The partition is the Voronoi assignment to 8 FIXED seed
+    // prototypes (the first 8 embeddings) by max dot product: same
+    // cell shape as one k-means assignment sweep, but deterministic and
+    // oracle-exact — each per-dim product is fixed-pointed to integer
+    // micro-units before the BIGINT sum (exact, associative,
+    // engine-identical; a float dot product would be order-dependent).
+    // Trained-centroid diversity sampling stays available as
+    // q_cluster_kmeans ∘ the same quota (ClusteringSpec). Scale shape:
+    // the k×dim prototype table broadcasts; one hash aggregate per
+    // (vector, prototype); WindowGroupLimit prunes the quota window.
     QueryDef(
       "q_diverse_sample",
       (s, dir) => {
-        val assigned = graft.llm.Clustering.kmeans(
-          load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 5)
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "x")))
+        val cent = load(s, dir, "embeddings").filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "y")))
+        val dp = emb.join(broadcast(cent), "dim")
+          .groupBy(col("vec_id"), col("c"))
+          .agg(sum(floor(col("x") * col("y") * lit(1000000) + lit(0.5))
+            .cast("long")).as("dp_micro"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dp_micro").desc, col("c"))
+        val assigned = dp
+          .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+          .select(col("vec_id"), col("c").as("cluster"))
         val w = Window.partitionBy(col("cluster"))
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         assigned
@@ -1369,6 +1450,33 @@ object LlmQueries {
           .select(col("cluster"), col("vec_id"), col("rn"))
           .orderBy(col("cluster"), col("vec_id"))
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, i - 1 AS dim,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(i)),
+             |cent AS (
+             |  SELECT vec_id AS c, i - 1 AS dim,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS y
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(i)
+             |  WHERE vec_id < 8),
+             |dp AS (
+             |  SELECT e.vec_id, cent.c,
+             |    CAST(sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS dp_micro
+             |  FROM e JOIN cent USING (dim) GROUP BY e.vec_id, cent.c),
+             |a AS (
+             |  SELECT vec_id, c AS cluster,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY dp_micro DESC, c) AS rk
+             |  FROM dp),
+             |r AS (
+             |  SELECT cluster, vec_id,
+             |    row_number() OVER (PARTITION BY cluster
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             |  FROM a WHERE rk = 1)
+             |SELECT cluster, vec_id, rn FROM r WHERE rn <= 25
+             |ORDER BY cluster, vec_id""".stripMargin)),
   )
 }

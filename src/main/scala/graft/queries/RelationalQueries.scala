@@ -458,8 +458,14 @@ object RelationalQueries {
     // arithmetic + TakeOrderedAndProject top-k (per-partition heaps, no
     // global sort), the same at any scale. The clock itself is never
     // emitted: libm ln may differ in the last ulp across engines, which
-    // cannot flip the top-k selection on continuous data but would fail a
-    // bit-exact compare of the clock values. The key is masked to 2^31
+    // would fail a bit-exact compare of the clock values. ACCEPTED residual
+    // oracle risk (not fixable without changing the algorithm): two rows
+    // whose clocks agree to ~1e-16 relative could straddle rank 50
+    // differently across engines — the exponential transform that makes
+    // A-ES inclusion exactly ∝ weight has no integer-arithmetic equivalent,
+    // and on continuous clock values a 1-ulp flip at exactly the boundary
+    // pair is vanishingly rare (never observed at sf0.001-0.1; revisit only
+    // if this row ever flakes). The key is masked to 2^31
     // BEFORE the multiply: (2^31-1)·2654435761 ≈ 5.7e18 stays inside
     // int64, where the unmasked product overflows (wrapping silently in
     // Spark, erroring in ANSI engines) once keys pass ~3.5e9.
@@ -483,22 +489,32 @@ object RelationalQueries {
              |  FROM orders ORDER BY clock, o_orderkey LIMIT 50)
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // Stratified sampling: per-stratum Bernoulli fractions via
-    // `DataFrame.stat.sampleBy` — seeded, single pass, no shuffle (the
-    // class-rebalancing primitive). RNG draws aren't portable to the
-    // oracle → rows-only; SamplingSpec asserts per-stratum fraction
-    // bounds and same-data determinism.
+    // Stratified sampling: per-stratum fractions via the deterministic
+    // Knuth hash (the q_sample_weighted/q_split_assign machinery) against
+    // per-stratum integer thresholds — single pass, no shuffle, per-row
+    // (the class-rebalancing primitive), and unlike RNG `sampleBy`
+    // (still covered by SamplingSpec) rerun-stable and oracle-exact:
+    // thresholds are floor(fraction·2^32), pure BIGINT compares.
     QueryDef(
       "q_sample_stratified",
       (s, dir) => {
+        val u = ((col("o_orderkey") % lit(2147483648L)) * lit(2654435761L)) %
+          lit(4294967296L)
+        val threshold = when(col("o_orderstatus") === "O", 429496729L)   // 0.1
+          .when(col("o_orderstatus") === "F", 2147483648L)               // 0.5
+          .otherwise(4294967296L)                                        // 1.0
         load(s, dir, "orders")
-          .stat.sampleBy("o_orderstatus",
-            Map("O" -> 0.1, "F" -> 0.5, "P" -> 1.0), seed = 42L)
+          .filter(u < threshold)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("sampled"))
           .orderBy(col("o_orderstatus"))
       },
-      None),
+      Some("""SELECT o_orderstatus, count(*) AS sampled FROM orders
+             |WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296
+             |  < CASE o_orderstatus WHEN 'O' THEN 429496729
+             |                       WHEN 'F' THEN 2147483648
+             |                       ELSE 4294967296 END
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ---- set operations --------------------------------------------------
     QueryDef(
