@@ -60,16 +60,29 @@ object AggQueries {
              |       count(*) AS n_orders
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // HLL sketch: implementations differ across engines → rows-only check.
+    // HLL sketch: register layouts differ across engines, so the estimate
+    // itself can never hash-match — instead the query emits the EXACT
+    // count plus a boolean asserting the sketch landed within 3 standard
+    // errors (rsd=0.02 → 6%) of it, and the oracle emits the exact count
+    // with a literal TRUE. A broken/drifting sketch flips the boolean and
+    // fails the hash compare, so the approximate operator is genuinely
+    // oracle-gated, not rows-only.
     QueryDef(
       "q_approx_distinct",
       (s, dir) => {
         load(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
-          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .select(col("o_orderstatus"), col("n_cust"),
+            (abs(col("approx") - col("n_cust")) <=
+              col("n_cust") * lit(0.06)).as("within_3se"))
           .orderBy(col("o_orderstatus"))
       },
-      None),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+             |  true AS within_3se
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
       "q_rollup",
@@ -248,21 +261,85 @@ object AggQueries {
     // Approximate quantiles via Spark's mergeable KLL-style sketch — the
     // 100 TB path where exact percentile's per-group sort is the
     // bottleneck: single pass, fixed sketch memory, map-side merge.
-    // Sketch internals differ from DuckDB's approx_quantile → rows-only;
-    // SamplingSpec bounds the error against the exact percentile.
-    // Scalar projections (not the raw array) so the rows-only harness
-    // can sort/compare the result frame.
+    // Sketch internals differ from DuckDB's approx_quantile, so the raw
+    // estimates can never hash-match. Instead the query VERIFIES the
+    // sketch's own contract in-plan: approx_percentile(acc) returns an
+    // element whose rank is within N/acc of the target, so re-joining the
+    // quartiles against the data and counting rows `<`/`<=` each value
+    // bounds its true rank fraction. The emitted booleans (tolerance
+    // 2/acc, twice the guarantee, ± one row for rank discreteness) go
+    // green on a working sketch and flip on a drifting one; the oracle
+    // emits exact group counts + literal TRUEs. SamplingSpec still bounds
+    // the numeric error against the exact percentile.
     QueryDef(
       "q_approx_quantile",
-      (s, dir) => load(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
-          .as("quartiles"))
-        .select(col("o_orderstatus"),
-          element_at(col("quartiles"), 1).as("q25"),
-          element_at(col("quartiles"), 2).as("q50"),
-          element_at(col("quartiles"), 3).as("q75"))
-        .orderBy(col("o_orderstatus")),
-      None),
+      (s, dir) => {
+        val orders = load(s, dir, "orders")
+        val sketch = orders.groupBy(col("o_orderstatus"))
+          .agg(expr(
+            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("qs"))
+        def rankOk(q: Double, i: Int) = {
+          val v = element_at(col("qs"), i)
+          val le = sum(when(col("o_totalprice") <= v, 1L).otherwise(0L))
+          val lt = sum(when(col("o_totalprice") < v, 1L).otherwise(0L))
+          (le + lit(1L) >= (lit(q) - lit(0.0002)) * count(lit(1)) &&
+            lt - lit(1L) <= (lit(q) + lit(0.0002)) * count(lit(1)))
+            .as(s"rank_ok_q${(q * 100).toInt}")
+        }
+        orders.join(broadcast(sketch), "o_orderstatus")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            rankOk(0.25, 1), rankOk(0.50, 2), rankOk(0.75, 3))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  true AS rank_ok_q25, true AS rank_ok_q50, true AS rank_ok_q75
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Incremental aggregate maintenance — the append-only ingest pattern
+    // at 100 TB: each arriving day folds into per-(day, status) PARTIALS
+    // (sum/count/max in exact integer cents), and the running per-status
+    // totals are a merge of partials — no re-scan of history, ever. The
+    // query computes both the partial-merge and the direct aggregate and
+    // emits a `partials_match` boolean beside the totals, so the oracle
+    // (direct aggregate + literal TRUE) gates the re-aggregation law
+    // sum∘sum = sum, count∘sum = count, max∘max = max — the property that
+    // makes the incremental design safe. All-BIGINT; the merge input is
+    // |days|×|statuses| rows, broadcastable at any corpus size.
+    QueryDef(
+      "q_incremental_agg",
+      (s, dir) => {
+        val o = load(s, dir, "orders").select(col("o_orderstatus"),
+          date_trunc("day", col("o_orderdate")).as("day"),
+          Tables.cents(col("o_totalprice")).as("cents"))
+        val partials = o.groupBy(col("o_orderstatus"), col("day"))
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+            max(col("cents")).as("m"))
+        val merged = partials.groupBy(col("o_orderstatus"))
+          .agg(sum(col("s")).as("total_cents"), sum(col("n")).as("n_orders"),
+            max(col("m")).as("max_cents"))
+        val direct = o.groupBy(col("o_orderstatus"))
+          .agg(sum(col("cents")).as("d_total"), count(lit(1)).as("d_n"),
+            max(col("cents")).as("d_max"))
+        merged.join(direct, "o_orderstatus")
+          .select(col("o_orderstatus"), col("total_cents"), col("n_orders"),
+            col("max_cents"),
+            (col("total_cents") === col("d_total") &&
+              col("n_orders") === col("d_n") &&
+              col("max_cents") === col("d_max")).cast("int")
+              .as("partials_match"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS total_cents,
+             |  count(*) AS n_orders,
+             |  max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS max_cents,
+             |  1 AS partials_match
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
   )
 }

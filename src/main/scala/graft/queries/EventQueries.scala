@@ -323,5 +323,58 @@ object EventQueries {
              |FROM ev JOIN cohort USING (user_id)
              |GROUP BY cohort_day, day_offset
              |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // Sliding-window anomaly detection (z-score vs the trailing 20
+    // readings per event type) — the telemetry/data-quality monitor. The
+    // usual float mean/stddev can never hash-match across engines, so the
+    // test is algebraically cleared of divisions: with frame sums S1=Σv,
+    // S2=Σv² over n trailing centi-unit values,
+    //   |z| > 3  ⇔  (n·v − S1)² > 9·(n·S2 − S1²)
+    // — pure BIGINT on both sides (centi-values ≤ ~1e5 keep every term
+    // under ~1e13). One window pass, ROWS frame, no self-join; flags only
+    // fire once the frame has ≥ 10 readings. Output is the per-type
+    // anomaly count + total so the compare stays small at any SF.
+    QueryDef(
+      "q_events_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        load(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            Tables.cents(col("value")).as("v"))
+          .select(col("event_type"), col("v"),
+            count(col("v")).over(w).as("n"),
+            sum(col("v")).over(w).as("s1"),
+            sum(col("v") * col("v")).over(w).as("s2"))
+          .select(col("event_type"),
+            (col("n") >= 10 &&
+              (col("n") * col("v") - col("s1")) *
+                (col("n") * col("v") - col("s1")) >
+              lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
+              .cast("int").as("is_anomaly"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("is_anomaly")).as("n_anomalies"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, ts, event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |f AS (
+             |  SELECT event_type, v,
+             |    count(v) OVER w AS n,
+             |    CAST(sum(v) OVER w AS BIGINT) AS s1,
+             |    CAST(sum(v * v) OVER w AS BIGINT) AS s2
+             |  FROM v
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type,
+             |  CAST(sum(CAST(n >= 10
+             |    AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+             |    AS INT)) AS BIGINT) AS n_anomalies,
+             |  count(*) AS n_events
+             |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

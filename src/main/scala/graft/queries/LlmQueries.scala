@@ -1196,8 +1196,8 @@ object LlmQueries {
              |  nfc_normalize(substring(text, 1, 20) || 'e' || chr(769)) AS norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Language-ID heuristic + doc fingerprint: rows-only (hash/profile
-    // internals not portable); accuracy asserted in TextAnalysisSpec.
+    // Language-ID heuristic: rows-only (profile internals not portable);
+    // accuracy asserted in TextAnalysisSpec.
     QueryDef(
       "q_text_langid",
       (s, dir) => TextAnalysis.languageId(load(s, dir, "documents"))
@@ -1206,11 +1206,25 @@ object LlmQueries {
         .orderBy(col("lang"), col("pred_lang")),
       None),
 
+    // Doc fingerprint: the polynomial rolling hash is pure integer
+    // arithmetic (acc·257 + ascii, mod 1e9+7), so DuckDB replays it
+    // exactly with a lambda reduce — the accumulator rides as VARCHAR
+    // (list_reduce needs a same-typed seed inside the char list) and every
+    // step casts back to BIGINT before the modulus.
     QueryDef(
       "q_text_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(load(s, dir, "documents"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id,
+             |  CAST(list_reduce(
+             |    list_prepend('0', string_split_regex(
+             |      regexp_replace(lower(text), '\s+', ' ', 'g'), '')),
+             |    (acc, c) -> CAST((CAST(acc AS BIGINT) * 257 + ascii(c))
+             |                     % 1000000007 AS VARCHAR)
+             |  ) AS BIGINT) AS fingerprint,
+             |  length(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             |    AS n_chars_norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // TF-IDF relevance weights (retrieval / keyword-extraction staple).
     // Float ops are strictly per-row so the 4-decimal compare is stable
@@ -1478,5 +1492,132 @@ object LlmQueries {
              |  FROM a WHERE rk = 1)
              |SELECT cluster, vec_id, rn FROM r WHERE rn <= 25
              |ORDER BY cluster, vec_id""".stripMargin)),
+
+    // Int8 embedding quantization (symmetric, per-vector max-abs scale) —
+    // the 4× memory/bandwidth cut that makes 100 TB ANN indexes fit:
+    // codes ride the shuffle instead of float vectors. The scale
+    // (max|x|) is an exact order statistic (no float accumulation) and
+    // each code is one identically-ordered double expression per dim
+    // with a floor(+0.5) integerization — engine-exact, hence the full
+    // DuckDB oracle. Dim-ordered codes re-collect CSV-serialized (the
+    // harness cannot hash raw arrays). Scale shape: one posexplode, two
+    // hash aggregates, one narrow per-vector join; no windows over data.
+    QueryDef(
+      "q_embed_quantize",
+      (s, dir) => {
+        val e = load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "x")))
+        val scale = e.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("m"))
+        e.join(scale, "vec_id")
+          .select(col("vec_id"), col("dim"), col("m"),
+            floor(col("x") * lit(127.0) / col("m") + lit(0.5))
+              .cast("long").as("code"))
+          .groupBy(col("vec_id"))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("dim"), col("code")))),
+              x => x.getField("code")), ",").as("codes"),
+            count(lit(1)).as("n_dims"),
+            floor(max(col("m")) * lit(1000000) + lit(0.5)).cast("long")
+              .as("scale_micro"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, i - 1 AS dim,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(i)),
+             |m AS (SELECT vec_id, max(abs(x)) AS m FROM e GROUP BY vec_id),
+             |c AS (
+             |  SELECT e.vec_id, dim,
+             |    CAST(floor(x * 127 / m.m + 0.5) AS BIGINT) AS code, m.m
+             |  FROM e JOIN m USING (vec_id))
+             |SELECT vec_id,
+             |  array_to_string(list(code ORDER BY dim), ',') AS codes,
+             |  CAST(count(*) AS BIGINT) AS n_dims,
+             |  CAST(floor(max(m) * 1000000 + 0.5) AS BIGINT) AS scale_micro
+             |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Deterministic corpus shuffle + sharding (the reproducible
+    // training-order primitive): shard = Knuth multiplicative hash of the
+    // id (rerun- and cluster-size-stable, leakage-free — depends only on
+    // the id), position within shard = md5-ordered row_number. Unlike
+    // ORDER BY rand(): oracle-exact, identical on any engine, and
+    // shuffle-light — no global sort, one window per shard partition.
+    QueryDef(
+      "q_shuffle_shard",
+      (s, dir) => {
+        val u = (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) %
+          lit(4294967296L)
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        load(s, dir, "documents")
+          .select(col("doc_id"), (u % lit(8)).as("shard"))
+          .withColumn("pos", row_number().over(w))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    (((doc_id % 2147483648 + 2147483648) % 2147483648)
+             |      * 2654435761) % 4294967296 % 8 AS shard
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+             |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // Gopher-style heuristic quality battery (word-count bounds, mean
+    // word length, symbol-to-word ratio, stopword-hit rule) — the
+    // pretraining filter battery beyond q_quality_score's two signals.
+    // Everything is exact BIGINT arithmetic: mean word length and symbol
+    // ratio are integer-division micro-units (single-space tokenization
+    // makes Σ|word| = len(text) − n + 1, so no second aggregate), and
+    // per-row array ops keep it shuffle-free — the whole battery is one
+    // codegen'd projection at any corpus size.
+    QueryDef(
+      "q_quality_gopher",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val stopArr = array(lit("the"), lit("a"), lit("of"),
+          lit("and"), lit("to"))
+        load(s, dir, "documents")
+          .select(col("doc_id"), size(toks).as("n_words"),
+            (length(col("text")) - size(toks) + lit(1)).as("sum_len"),
+            size(filter(toks, w => w.contains("#") || w.contains("...")))
+              .as("n_symbol"),
+            size(filter(toks, w => array_contains(stopArr, w)))
+              .as("stop_hits"))
+          .select(col("doc_id"), col("n_words"),
+            expr("sum_len * 1000000 div n_words").as("mean_wordlen_micro"),
+            expr("n_symbol * 1000000 div n_words").as("symbol_ratio_micro"),
+            col("stop_hits"),
+            (col("n_words").between(20, 100000) &&
+              expr("sum_len * 1000000 div n_words")
+                .between(3000000L, 10000000L) &&
+              expr("n_symbol * 1000000 div n_words") <= 100000L &&
+              col("stop_hits") >= 2).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    len(string_split(text, ' ')) AS n_words,
+             |    length(text) - len(string_split(text, ' ')) + 1 AS sum_len,
+             |    len(list_filter(string_split(text, ' '),
+             |      w -> contains(w, '#') OR contains(w, '...'))) AS n_symbol,
+             |    len(list_filter(string_split(text, ' '),
+             |      w -> list_contains(['the', 'a', 'of', 'and', 'to'], w)))
+             |      AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  sum_len * 1000000 // n_words AS mean_wordlen_micro,
+             |  n_symbol * 1000000 // n_words AS symbol_ratio_micro,
+             |  stop_hits,
+             |  CAST(n_words BETWEEN 20 AND 100000
+             |    AND sum_len * 1000000 // n_words BETWEEN 3000000 AND 10000000
+             |    AND n_symbol * 1000000 // n_words <= 100000
+             |    AND stop_hits >= 2 AS INT) AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
   )
 }
