@@ -171,4 +171,40 @@ class PlanSpec extends SparkSpec {
         s"distinct carries array (vector) keys: ${a.groupingExpressions}")
     }
   }
+
+  test("q_quality_gopher: one shuffle-free projection, no join/agg") {
+    val p = plan("q_quality_gopher")
+    // the battery must stay per-row: no joins, no aggregates, and the
+    // ONLY exchange is the presentation sort's range partitioning
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffle:\n$p")
+  }
+
+  test("q_shuffle_shard: no global sort before the per-shard window") {
+    val p = plan("q_shuffle_shard")
+    // ORDER BY rand()-style shuffles are the anti-pattern: the only wide
+    // operations allowed are the shard hash partitioning + final order
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "per-shard position window missing")
+  }
+
+  test("q_embed_quantize: per-vector scale joins narrow, no nested loop") {
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_events_anomaly: single window pass, no self-join") {
+    val p = plan("q_events_anomaly")
+    assert(!p.contains("Join"), s"trailing-frame stats must not self-join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("q_incremental_agg: partial-merge and direct agg, equi-join only") {
+    val p = plan("q_incremental_agg")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
