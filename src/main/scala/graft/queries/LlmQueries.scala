@@ -1063,7 +1063,36 @@ object LlmQueries {
       (s, dir) => Packing.packGreedy(load(s, dir, "documents"),
           tokenBudget = 128, numBuckets = 32)
         .orderBy(col("doc_id")),
-      None),
+      // The greedy fold is sequential per bucket, so the oracle replays
+      // it as a recursive CTE stepping row_number+1 within each bucket —
+      // recursion depth = docs per bucket, fine at oracle scale (the
+      // Spark side stays the distributed flatMapSortedGroups).
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, n_tokens, bucket,
+             |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+             |      AS rn
+             |  FROM (SELECT doc_id,
+             |          len(string_split_regex(text, '\s+')) AS n_tokens,
+             |          doc_id % 32 AS bucket
+             |        FROM documents)),
+             |r AS (
+             |  SELECT bucket, rn, doc_id, n_tokens,
+             |    CAST(0 AS BIGINT) AS pack_seq_acc, n_tokens AS used,
+             |    0 AS pack_pos
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+             |    CASE WHEN r.used > 0 AND r.used + d.n_tokens > 128
+             |         THEN r.pack_seq_acc + 1 ELSE r.pack_seq_acc END,
+             |    CASE WHEN r.used > 0 AND r.used + d.n_tokens > 128
+             |         THEN d.n_tokens ELSE r.used + d.n_tokens END,
+             |    CASE WHEN r.used > 0 AND r.used + d.n_tokens > 128
+             |         THEN 0 ELSE r.pack_pos + 1 END
+             |  FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+             |SELECT doc_id, n_tokens,
+             |  bucket * 1099511627776 + pack_seq_acc AS pack_id,
+             |  pack_pos AS pack_seq
+             |FROM r ORDER BY doc_id""".stripMargin)),
 
     // Composite document quality score (the filter gate of a corpus
     // pipeline): stopword ratio + lexical diversity, mixed 50/50 — every
@@ -1196,15 +1225,38 @@ object LlmQueries {
              |  nfc_normalize(substring(text, 1, 20) || 'e' || chr(769)) AS norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Language-ID heuristic: rows-only (profile internals not portable);
-    // accuracy asserted in TextAnalysisSpec.
+    // Language-ID heuristic: the stopword-profile vote is pure integer
+    // scoring with an alphabetical tie-break, so DuckDB replays it
+    // verbatim — the profiles inline as a VALUES table and the argmax
+    // becomes a row_number over (score DESC, lang). Keep the profile
+    // lists in sync with TextAnalysis.langProfiles.
     QueryDef(
       "q_text_langid",
       (s, dir) => TextAnalysis.languageId(load(s, dir, "documents"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("pred_lang")),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, lang, p.plang,
+             |    len(list_filter(ws, w -> list_contains(p.words, w))) AS score
+             |  FROM t, (VALUES
+             |    ('en', ['the','a','of','and','to','is','in','it']),
+             |    ('es', ['el','la','de','y','que','en','un','es']),
+             |    ('de', ['der','die','das','und','ist','ein','zu','den']),
+             |    ('fr', ['le','la','de','et','est','un','une','les']),
+             |    ('zh', ['的','是','了','在','和','有','我','不'])
+             |  ) AS p(plang, words)),
+             |pred AS (
+             |  SELECT doc_id, lang, plang AS pred_lang,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, plang) AS rk
+             |  FROM sc)
+             |SELECT lang, pred_lang, count(*) AS cnt
+             |FROM pred WHERE rk = 1
+             |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)),
 
     // Doc fingerprint: the polynomial rolling hash is pure integer
     // arithmetic (acc·257 + ascii, mod 1e9+7), so DuckDB replays it

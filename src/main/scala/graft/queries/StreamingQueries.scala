@@ -158,5 +158,25 @@ object StreamingQueries {
              |  ON v.user_id = p.user_id
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin)),
+
+    // Stream-static enrichment join: events enriched with the customer
+    // dimension (stream-static joins are STATELESS — only the downstream
+    // windowed aggregate holds state), dim side broadcast so the stream
+    // never reshuffles for the lookup. Batch-equivalence oracle; sums in
+    // exact integer centi-units.
+    QueryDef(
+      "q_stream_enrich",
+      (s, dir) => EventStreams.runAvailableNow(
+          s, s"$dir/events.parquet",
+          df => EventStreams.enrichAgg(df, Tables.load(s, dir, "customer")),
+          "stream_enrich")
+        .orderBy(col("ws"), col("c_mktsegment")),
+      Some("""SELECT date_trunc('hour', ts) AS ws, c_mktsegment,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_v_centi
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY ws, c_mktsegment
+             |ORDER BY ws, c_mktsegment""".stripMargin)),
   )
 }

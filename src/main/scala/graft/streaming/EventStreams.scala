@@ -55,6 +55,26 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_v"))
 
+  /** Stream-static enrichment: the stream joins a STATIC dimension (no
+    * state, no watermark needed for the join itself — only the downstream
+    * windowed aggregate is stateful), the dim side broadcast so enriching
+    * never reshuffles the stream. At cluster scale this is the dimension
+    * lookup every event pipeline runs; the static side is re-read per
+    * micro-batch, so a compact dim table is the contract. */
+  def enrichAgg(events: DataFrame, dim: DataFrame,
+                window_ : String = "1 hour",
+                watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), window_).as("w"), col("c_mktsegment"))
+      // exact integer centi-units: float sums are aggregation-order-
+      // dependent and could not hash-match the batch oracle
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_v_centi"))
+      .select(col("w.start").as("ws"), col("c_mktsegment"), col("cnt"),
+        col("sum_v_centi"))
+
   /** Sliding-window count. */
   def slidingAgg(events: DataFrame, window_ : String = "1 hour",
                  slide: String = "30 minutes",
