@@ -66,6 +66,58 @@ class LlmSpec extends SparkSpec {
     assert(!out.exists(p => (p._1, p._2) == (3L, 5L)))
   }
 
+  test("simhash degenerate bucket: identical docs emit linear star pairs") {
+    import SparkSpec.spark.implicits._
+    // 500 identical docs: every byte-band bucket holds all of them, so
+    // without the cap each of the 8 bands forms a ~125k-pair clique. With
+    // maxBucketSize=100 each oversized bucket stars to the min-id
+    // representative: exactly 499 distinct pairs, all at hamming 0.
+    val corpus = (0L until 500L)
+      .map(i => (i, "same boilerplate page body " * 4)).toDF("doc_id", "text")
+    val pairs = Dedup.simhash(corpus, maxHamming = 3, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 499)
+    assert(pairs.forall { case (d1, _, h) => d1 == 0L && h == 0 })
+    assert(pairs.map(_._2).toSet == (1L until 500L).toSet)
+  }
+
+  test("editDistancePairs: composite blocking finds within-distance pairs") {
+    import SparkSpec.spark.implicits._
+    val corpus = Seq(
+      (1L, "hello world this is fine"),
+      (2L, "hello world this is finer"),     // dist 1, same first token
+      (3L, "hello world that is fine"),      // dist 2 vs doc 1
+      (4L, "goodbye world this is fine"),    // different first token: blocked
+      (5L, "hello totally different content here and much longer text"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(corpus, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out.contains((1L, 2L, 1)))
+    assert(out.contains((1L, 3L, 2)))
+    assert(out.contains((2L, 3L, 3)))
+    // first-token blocking (documented): doc 4 is 'goodbye ...' — never
+    // a candidate even though its distance to doc 1 is 7 > maxDist anyway
+    assert(!out.exists(p => p._2 == 4L || p._1 == 4L))
+    // doc 5 shares the block token but its length bucket is ≥ 2 buckets
+    // away AND the length pre-filter kills it
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("editDistancePairs hot block: shared first token emits star pairs") {
+    import SparkSpec.spark.implicits._
+    // 400 identical one-token-prefixed docs: one (token, length-bucket)
+    // block far over the cap → star pairs to the min id, exact verify
+    // still runs (dist 0), every member transitively linked.
+    val corpus = (0L until 400L)
+      .map(i => (i, "boilerplate repeated body text")).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(corpus, maxDist = 2,
+        maxBlockSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 399)
+    assert(pairs.forall { case (d1, _, d) => d1 == 0L && d == 0 })
+    assert(pairs.map(_._2).toSet == (1L until 400L).toSet)
+  }
+
   test("ngramJaccardPairs exact-set math") {
     val out = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
