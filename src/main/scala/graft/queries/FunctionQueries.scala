@@ -334,5 +334,57 @@ object FunctionQueries {
              |        generate_subscripts(string_split(p_name, ' '), 1) AS pos
              |      FROM part WHERE p_partkey < 20)
              |ORDER BY p_partkey, word_pos""".stripMargin)),
+
+    // Null-preserving explode: rows with an empty (or null) array survive
+    // with a NULL element instead of vanishing — the outer-generator
+    // semantics a LEFT JOIN LATERAL gives in SQL. DuckDB mirror: rewrite
+    // empty lists to [NULL] before unnest (exactly explode_outer's
+    // contract).
+    QueryDef(
+      "q_explode_outer",
+      (s, dir) => {
+        load(s, dir, "part")
+          .filter(col("p_partkey") < 200)
+          .withColumn("toks",
+            when(col("p_size") % 5 === 0, array().cast("array<string>"))
+              .otherwise(split(col("p_type"), " ")))
+          .select(col("p_partkey"), explode_outer(col("toks")).as("tok"))
+          .orderBy(col("p_partkey"), col("tok"))
+      },
+      Some("""SELECT p_partkey, unnest(
+             |    CASE WHEN p_size % 5 = 0 THEN [NULL]
+             |         ELSE string_split(p_type, ' ') END) AS tok
+             |FROM part WHERE p_partkey < 200
+             |ORDER BY p_partkey, tok NULLS FIRST""".stripMargin)),
+
+    // ANSI-safe arithmetic: the try_* family returns NULL instead of
+    // raising on division by zero, failed casts, overflow, and
+    // out-of-range element access — the semantics that keep a 100 TB job
+    // from dying on one malformed row. Overflow: try_add against
+    // Long.MaxValue nulls for every positive key (DuckDB mirrors with a
+    // literal NULL since its BIGINT overflow always raises).
+    QueryDef(
+      "q_try_funcs",
+      (s, dir) => {
+        load(s, dir, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"),
+            round(expr("try_divide(o_totalprice, o_custkey % 7)"), 4)
+              .as("div_or_null"),
+            expr("try_cast(o_orderpriority AS INT)").as("cast_or_null"),
+            expr("try_add(o_orderkey + 1, 9223372036854775807L)")
+              .as("overflow_null"),
+            expr("try_element_at(split(o_orderpriority, '-'), 99)")
+              .as("oob_null"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  round(o_totalprice / nullif(o_custkey % 7, 0), 4)
+             |    AS div_or_null,
+             |  TRY_CAST(o_orderpriority AS INT) AS cast_or_null,
+             |  CAST(NULL AS BIGINT) AS overflow_null,
+             |  string_split(o_orderpriority, '-')[99] AS oob_null
+             |FROM orders WHERE o_orderkey < 500
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 }
