@@ -61,6 +61,22 @@ object Metrics {
     def totals(group: String): Totals = byGroup.getOrElse(group, Totals())
   }
 
+  /** In-plan row-level metrics (`Dataset.observe` → `CollectMetrics`):
+    * named aggregates computed DURING the job that produces the result —
+    * no second scan, no extra job. The scheduler listener above sees
+    * bytes and task counts; this sees the data itself (row counts, sums,
+    * null tallies) at any point in the plan, which is how a 100 TB
+    * pipeline asserts volume invariants ("rows out == rows in − dropped")
+    * without paying for a recount. Returns the instrumented frame plus
+    * the `Observation` handle; read `obs.get` after the first action. */
+  def observed(df: org.apache.spark.sql.DataFrame, name: String,
+               metrics: org.apache.spark.sql.Column*)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observe needs at least one metric column")
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   /** Run `body` with a listener attached; afterwards write the job
     * group's totals to `out` (pretty-small JSON). The listener bus is
     * asynchronous — wait for it to drain before reading. */

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+
+/** Property-based invariants for the llm operator layer. These spin real
+  * Spark jobs per case, so the case counts are deliberately small (the
+  * example-based LlmSpec/PackingSpec cover the fixed scenarios; these
+  * sweep the input space for the algebraic guarantees). */
+object LlmProps extends Properties("graft.llm") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  // -- packGreedy ------------------------------------------------------------
+
+  property("packGreedy: no pack exceeds the budget unless a single doc does") =
+    forAll(Gen.chooseNum(3, 20), Gen.nonEmptyListOf(docGen)) { (budget, texts) =>
+      import SparkSpec.spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val packed = Packing.packGreedy(docs, tokenBudget = budget, numBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      val byPack = packed.groupBy(_._3)
+      byPack.forall { case (_, members) =>
+        val total = members.map(_._2).sum
+        total <= budget || members.length == 1
+      }
+    }
+
+  property("packGreedy: pack_seq is contiguous from 0 in doc_id order") =
+    forAll(Gen.chooseNum(3, 20), Gen.nonEmptyListOf(docGen)) { (budget, texts) =>
+      import SparkSpec.spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val packed = Packing.packGreedy(docs, tokenBudget = budget, numBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      packed.groupBy(_._2).forall { case (_, members) =>
+        members.sortBy(_._1).map(_._3).toSeq == members.indices.toSeq
+      }
+    }
+
+  // -- connectedComponents ---------------------------------------------------
+
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(8, for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+
+  /** Reference union-find over the same edges. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  property("connectedComponents labels = min node id per component") =
+    forAll(edgeListGen.suchThat(_.nonEmpty)) { edges =>
+      import SparkSpec.spark.implicits._
+      val pairs = edges.toDF("d1", "d2")
+      val got = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      got == want
+    }
+
+  // -- editDistancePairs -----------------------------------------------------
+
+  property("editDistancePairs: no false negatives within first-token blocks") =
+    forAll(Gen.chooseNum(1, 3), Gen.nonEmptyListOf(docGen)) { (maxDist, texts) =>
+      import SparkSpec.spark.implicits._
+      val docs = texts.distinct.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.editDistancePairs(df, maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: brute force over pairs sharing the first token — the
+      // documented blocking domain (the length-bucket overlap never drops
+      // a within-maxDist pair, so it must not reduce this set)
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (id1, t1) <- docs; (id2, t2) <- docs
+        if id1 < id2
+        if t1.split(" ").head == t2.split(" ").head
+        if lev(t1, t2) <= maxDist
+      } yield (id1, id2)).toSet
+      Prop(want.subsetOf(got)) :| s"missing ${want.diff(got)}"
+    }
+}
