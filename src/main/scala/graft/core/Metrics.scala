@@ -77,12 +77,35 @@ object Metrics {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** Per-stage output row counts, fed by [[Pipeline.process]] wrapping
+    * each declared stage output in an observation. The counts ride the
+    * store-time job (no recount); entries whose plan never executed (a
+    * field the sink didn't need) simply stay empty and are skipped. */
+  object StageRows {
+    private val pending =
+      TrieMap.empty[String, org.apache.spark.sql.Observation]
+    def register(key: String, obs: org.apache.spark.sql.Observation): Unit =
+      pending(key) = obs
+    def clear(): Unit = pending.clear()
+    /** Drain populated observations → key → rows (non-blocking). */
+    def drain(): Map[String, Long] = {
+      val out = pending.toMap.flatMap { case (k, o) =>
+        org.apache.spark.sql.graftshim.GraftObservation.resultsOrEmpty(o)
+          .get("rows").map(v => k -> v.asInstanceOf[Long])
+      }
+      pending.clear()
+      out
+    }
+  }
+
   /** Run `body` with a listener attached; afterwards write the job
-    * group's totals to `out` (pretty-small JSON). The listener bus is
+    * group's totals to `out` (pretty-small JSON), including any per-stage
+    * observed row counts registered during the run. The listener bus is
     * asynchronous — wait for it to drain before reading. */
   def capture[T](spark: SparkSession, group: String, out: Path)(body: => T): T = {
     val listener = new GroupListener
     spark.sparkContext.addSparkListener(listener)
+    StageRows.clear()
     try body
     finally {
       // flush queued scheduler events so late task-end metrics land
@@ -90,7 +113,15 @@ object Metrics {
         .drainListenerBus(spark.sparkContext)
       catch { case _: Throwable => () }
       spark.sparkContext.removeSparkListener(listener)
-      Files.writeString(out, listener.totals(group).json + "\n")
+      val rows = StageRows.drain()
+      val rowsJson =
+        if (rows.isEmpty) ""
+        else rows.toSeq.sorted
+          .map { case (k, v) => s""""${k}": $v""" }
+          .mkString(", \"rows_out\": {", ", ", "}")
+      val base = listener.totals(group).json
+      Files.writeString(out,
+        base.stripSuffix("}") + rowsJson + "}\n")
     }
   }
 }
