@@ -383,6 +383,35 @@ object LlmQueries {
              |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE-style pretokenizer counting: the GPT-2 pretokenizer regex
+    // (contraction suffixes | space-prefixed letter runs | digit runs |
+    // punctuation runs | whitespace) — the token-budget estimator every
+    // training-data pipeline runs before the real (vocab-dependent) BPE
+    // merge step. Both engines speak the same \p{L}/\p{N} class syntax,
+    // so one pattern serves Spark (Java regex) and DuckDB (RE2);
+    // whitespace-run matches are filtered out of the count. Per-row,
+    // shuffle-free.
+    QueryDef(
+      "q_token_bpe",
+      (s, dir) => {
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+" +
+          "| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(
+              regexp_extract_all(col("text"), lit(pat), lit(0)),
+              t => !t.rlike("^\\s+$"))).as("n_bpe_tokens"),
+            length(col("text")).as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(list_filter(
+             |    regexp_extract_all(text,
+             |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+             |    t -> NOT regexp_matches(t, '^\s+$'))) AS n_bpe_tokens,
+             |  length(text) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Exact repeated-span detection — the cross-document substring-dedup
     // shape (boilerplate headers, license blocks, templated text):
     // word-level 8-grams that occur in MORE THAN ONE document mark their
