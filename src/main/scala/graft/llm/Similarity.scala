@@ -58,6 +58,37 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives closest to the decision boundary, which is what makes
+    * a contrastive batch informative. Same exact brute-force shape as
+    * [[bruteForceTopK]] (query side broadcast, norms hoisted before the
+    * join, per-query window with id tie-break) plus the label inequality
+    * in the join condition — deterministic and oracle-exact; the ANN
+    * variants swap in as the scale path exactly as for plain top-k. */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id",
+                        labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("q_label"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("c_label"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id") &&
+        col("c_label") =!= col("q_label"))
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("c_label").as("neg_label"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Global top-k most-similar pairs, exact all-pairs formulation.
     * Small-corpus ORACLE HELPER only: the `d1 < d2` theta join plans as a
     * nested-loop O(n²) — use [[bucketedTopPairs]] (same output contract)

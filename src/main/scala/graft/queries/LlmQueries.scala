@@ -241,6 +241,37 @@ object LlmQueries {
              |FROM ranked WHERE rk <= 5
              |ORDER BY query_id, rk""".stripMargin)),
 
+    // Hard-negative mining (contrastive-training batch construction): for
+    // each query, the 5 most-similar vectors with a DIFFERENT label —
+    // exact, label-aware top-k; deterministic and fully oracle-checked.
+    QueryDef(
+      "q_sim_hard_negatives",
+      (s, dir) => Similarity.hardNegativesTopK(
+          load(s, dir, "embeddings"),
+          load(s, dir, "embeddings").filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rk")),
+      Some("""WITH sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    c.label AS neg_label,
+             |    list_dot_product(
+             |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM embeddings q JOIN embeddings c
+             |    ON c.vec_id <> q.vec_id AND c.label <> q.label
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT query_id, cand_id, neg_label, cos_sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos_sim DESC, cand_id) AS rk
+             |  FROM sims)
+             |SELECT query_id, rk, cand_id, neg_label,
+             |  round(cos_sim, 4) AS cos_sim
+             |FROM ranked WHERE rk <= 5
+             |ORDER BY query_id, rk""".stripMargin)),
+
     // LSH-bucketed ANN (random-hyperplane signatures → per-bucket exact):
     // the 100 TB scale path; rows-only (recall measured in SimilaritySpec).
     QueryDef(
