@@ -146,7 +146,11 @@ object SketchQueries {
           .head().getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
         val n = stream.count()
-        val budget = math.ceil(1e-4 * n).toLong
+        // the eps·N overcount bound holds with prob 0.99 PER PROBE; over
+        // 20 probes the union bound leaves ~18% slack-exceed risk, so the
+        // gate uses 3× the single-probe budget (still a real gate — a
+        // broken sketch overshoots by orders of magnitude, not 3×)
+        val budget = 3L * math.ceil(1e-4 * n).toLong
         val top = stream.groupBy(col("g")).agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("g")).limit(20)
           .collect().map(r => (r.getString(0), r.getLong(1)))
