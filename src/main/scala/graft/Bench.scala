@@ -54,7 +54,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e6
       }
       // release persisted subtrees between queries (operators persist
-      // multi-consumer plans and return lazily — the driver unpersists)
+      // multi-consumer plans and return lazily — the driver unpersists;
+      // Caches.release() also drops the registry's plan references)
+      graft.llm.Caches.release()
       spark.catalog.clearCache()
       name -> math.rint(reps.min) / 1e3
     }

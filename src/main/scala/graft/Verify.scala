@@ -29,7 +29,10 @@ object Verify {
       // Library operators persist() multi-consumer subtrees and return
       // lazily, so they cannot unpersist themselves; the query driver
       // releases everything between queries or blocks accumulate for
-      // the life of the JVM (124 queries in one session).
+      // the life of the JVM. Caches.release() also drops the registry's
+      // strong plan references (clearCache alone frees blocks but would
+      // let the tracked DataFrames pile up across 180 queries).
+      graft.llm.Caches.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

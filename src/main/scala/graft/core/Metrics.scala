@@ -77,10 +77,11 @@ object Metrics {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
-  /** Per-stage output row counts, fed by [[Pipeline.process]] wrapping
-    * each declared stage output in an observation. The counts ride the
-    * store-time job (no recount); entries whose plan never executed (a
-    * field the sink didn't need) simply stay empty and are skipped. */
+  /** Stored-field output row counts, fed by [[Task.store]] wrapping each
+    * persisted field's FINAL plan in an observation (top placement — a
+    * CollectMetrics node at a stage boundary would block predicate
+    * pushdown below it). The counts ride the write job (no recount);
+    * entries whose plan never executed stay empty and are skipped. */
   object StageRows {
     private val pending =
       TrieMap.empty[String, org.apache.spark.sql.Observation]

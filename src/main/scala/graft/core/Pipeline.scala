@@ -155,20 +155,6 @@ final class Pipeline(
           val (nd, dt) = st.run(ctx, d, config)
           d = nd
           times += (st.id -> dt)
-          // wrap each declared output in an in-plan row observation: the
-          // count rides the store-time job (no recount) and lands in
-          // metrics.json as rows_out — per-stage data volume the
-          // reference's wall-clock times.csv cannot see. Plans that never
-          // execute (fields the sink drops) leave empty observations,
-          // skipped at drain time.
-          for (f <- st.outputs if d.contains(f)) {
-            import org.apache.spark.sql.functions.{count, lit}
-            val key = s"${inputId.render}/${st.id}/$f"
-            val (wrapped, obs) =
-              Metrics.observed(d(f), s"rows/$key", count(lit(1)).as("rows"))
-            Metrics.StageRows.register(key, obs)
-            d += (f -> wrapped)
-          }
         } catch {
           case e: Throwable => throw new StageError(st.id, e)
         }

@@ -219,8 +219,21 @@ final class Task(
       }
     val fieldNames = stripped.values.flatMap(_.keys).toSet
     for (field <- fieldNames) {
+      // in-plan row observation at the TOP of each stored field's final
+      // plan: the count rides the write job (no recount) and lands in
+      // metrics.json as rows_out. Top placement matters — a CollectMetrics
+      // node at a stage boundary would sit between filters and the scan
+      // and block predicate/partition pushdown; above the full plan it
+      // blocks nothing.
       val perInput: Map[InputId, DataFrame] =
-        stripped.collect { case (id, fs) if fs.contains(field) => id -> fs(field) }
+        stripped.collect { case (id, fs) if fs.contains(field) =>
+          import org.apache.spark.sql.functions.{count, lit}
+          val key = s"${id.render}/$field"
+          val (wrapped, obs) = Metrics.observed(
+            fs(field), s"rows/$key", count(lit(1)).as("rows"))
+          Metrics.StageRows.register(key, obs)
+          id -> wrapped
+        }
       val canBatch = batchInputs && perInput.size > 1 &&
         perInput.keys.forall(_.render.matches("[A-Za-z0-9._-]+")) &&
         perInput.values.map(_.schema).toSet.size == 1 &&

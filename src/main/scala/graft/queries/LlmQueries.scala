@@ -22,20 +22,23 @@ object LlmQueries {
   /** DuckDB mirror of [[graft.llm.Graphs.pagerankExact]] over the
     * part→supplier purchase graph: the fixed iteration count unrolls into a
     * chain of CTEs (aggregates are not allowed in a recursive term, and an
-    * unrolled chain is plainly auditable). Every op is integer — `//` on
+    * unrolled chain is plainly auditable). Each CTE is MATERIALIZED —
+    * r_{k-1} is referenced by both d_k and c_k, and DuckDB's default
+    * inlining of multi-referenced CTEs makes the unrolled chain's cost
+    * grow geometrically with iters. Every op is integer — `//` on
     * positives ≡ Spark's `div` — and sums CAST back from DuckDB's HUGEINT
     * widening, so the match is exact by construction. */
   private def pagerankOracle(iters: Int, scale: Long = 1000000000000L): String = {
     val steps = (1 to iters).map { k =>
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
          |  FROM r${k - 1} r JOIN deg g USING (node) WHERE g.deg = 0),
-         |c$k AS (
+         |c$k AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(sum(r.rank // g.deg) AS BIGINT) AS contrib
          |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
          |  JOIN deg g ON g.node = e.src
          |  WHERE g.deg > 0 GROUP BY e.dst),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT n.node, CAST(
          |    (15 * $scale) // (100 * (SELECT n FROM nc))
          |    + (85 * (coalesce(c.contrib, 0)
@@ -43,18 +46,18 @@ object LlmQueries {
          |    AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
        |  FROM lineitem),
-       |nodes AS (
+       |nodes AS MATERIALIZED (
        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |nc AS (SELECT count(*) AS n FROM nodes),
-       |deg AS (
+       |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |deg AS MATERIALIZED (
        |  SELECT n.node, coalesce(d.deg, 0) AS deg
        |  FROM nodes n LEFT JOIN (
        |    SELECT src AS node, count(*) AS deg FROM edges GROUP BY src) d
        |  USING (node)),
-       |r0 AS (
+       |r0 AS MATERIALIZED (
        |  SELECT node, $scale // (SELECT n FROM nc) AS rank FROM nodes),
        |$steps
        |SELECT node, rank FROM r$iters
@@ -1624,8 +1627,11 @@ object LlmQueries {
         val scale = e.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("m"))
         e.join(scale, "vec_id")
           .select(col("vec_id"), col("dim"), col("m"),
-            floor(col("x") * lit(127.0) / col("m") + lit(0.5))
-              .cast("long").as("code"))
+            // all-zero vector → m = 0: 0/0 is NaN (ANSI cast throws,
+            // DuckDB yields NULL) — emit code 0 explicitly on both sides
+            when(col("m") === 0, lit(0L)).otherwise(
+              floor(col("x") * lit(127.0) / col("m") + lit(0.5))
+                .cast("long")).as("code"))
           .groupBy(col("vec_id"))
           .agg(
             array_join(transform(
@@ -1644,7 +1650,9 @@ object LlmQueries {
              |m AS (SELECT vec_id, max(abs(x)) AS m FROM e GROUP BY vec_id),
              |c AS (
              |  SELECT e.vec_id, dim,
-             |    CAST(floor(x * 127 / m.m + 0.5) AS BIGINT) AS code, m.m
+             |    CASE WHEN m.m = 0 THEN 0
+             |         ELSE CAST(floor(x * 127 / m.m + 0.5) AS BIGINT)
+             |    END AS code, m.m
              |  FROM e JOIN m USING (vec_id))
              |SELECT vec_id,
              |  array_to_string(list(code ORDER BY dim), ',') AS codes,
@@ -1696,9 +1704,13 @@ object LlmQueries {
           lit("and"), lit("to"))
         load(s, dir, "documents")
           .select(col("doc_id"), size(toks).as("n_words"),
-            (length(col("text")) - size(toks) + lit(1)).as("sum_len"),
+            // BIGINT before the ×1e6: length()/size() are int32, and a
+            // >2147-char doc would overflow the int32 multiply (ANSI
+            // throws, non-ANSI silently wraps away from the oracle)
+            (length(col("text")) - size(toks) + lit(1)).cast("long")
+              .as("sum_len"),
             size(filter(toks, w => w.contains("#") || w.contains("...")))
-              .as("n_symbol"),
+              .cast("long").as("n_symbol"),
             size(filter(toks, w => array_contains(stopArr, w)))
               .as("stop_hits"))
           .select(col("doc_id"), col("n_words"),
