@@ -28,6 +28,22 @@ class ObservationSpec extends SparkSpec {
     assert(m("null_shipdates") == 0L)
   }
 
+  test("top-placed observation does not block predicate pushdown") {
+    // the regression this pins: a CollectMetrics node BETWEEN a filter
+    // and its scan blocks pushdown (observe-then-filter plans with
+    // PushedFilters: []); Task.store places observations at the top of
+    // each stored field's final plan, where the filter still reaches
+    // the parquet scan
+    val filtered = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= "1998-09-02")
+    val (df, _) = Metrics.observed(filtered, "pushdown_probe",
+      count(lit(1)).as("rows"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter not pushed below the observation:\n$plan")
+  }
+
   test("observation at an intermediate point sees pre-aggregation rows") {
     // the observe sits BELOW the aggregate: it must report input rows to
     // the agg, not output groups — the "rows in vs rows out" invariant
