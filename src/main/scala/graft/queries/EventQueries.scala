@@ -147,6 +147,62 @@ object EventQueries {
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
+    // Nearest as-of join (the third merge_asof direction): for every
+    // purchase, the click with the smallest |Δt| in EITHER direction,
+    // ties preferring backward (pandas semantics). Both directional
+    // lookups ride the same union + user_id-partitioned windows — same
+    // single shuffle as q_asof_join, never a per-row range join. Distances
+    // compare in integer MICROSECONDS on both engines (events.ts is ns
+    // parquet; both sides truncate to µs), so the pick is engine-exact.
+    QueryDef(
+      "q_asof_nearest",
+      (s, dir) => {
+        val events = load(s, dir, "events")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            lit(0).as("is_probe"), lit(null).cast("long").as("probe_id"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast("timestamp").as("click_ts"),
+            lit(1).as("is_probe"), col("event_id").as("probe_id"))
+        // strict on both sides: at equal ts the click matches neither
+        // direction (probes sort first desc / last asc at ties)
+        val wBack = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wFwd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").asc)
+          .rowsBetween(1, Window.unboundedFollowing)
+        clicks.unionByName(purchases)
+          .withColumn("back", last(col("click_ts"), ignoreNulls = true).over(wBack))
+          .withColumn("fwd", first(col("click_ts"), ignoreNulls = true).over(wFwd))
+          .filter(col("is_probe") === 1)
+          .withColumn("dt_back", expr("unix_micros(ts) - unix_micros(back)"))
+          .withColumn("dt_fwd", expr("unix_micros(fwd) - unix_micros(ts)"))
+          .select(col("probe_id").as("event_id"),
+            date_trunc("second",
+              when(col("back").isNull, col("fwd"))
+                .when(col("fwd").isNull, col("back"))
+                .when(col("dt_back") <= col("dt_fwd"), col("back"))
+                .otherwise(col("fwd"))).as("nearest_click_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |cand AS (
+             |  SELECT p.event_id, c.ts AS cts,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+             |               CASE WHEN c.ts < p.ts THEN 0 ELSE 1 END) AS rk
+             |  FROM p JOIN events c
+             |    ON c.user_id = p.user_id AND c.event_type = 'click'
+             |   AND c.ts <> p.ts)
+             |SELECT p.event_id,
+             |  date_trunc('second', cand.cts) AS nearest_click_s
+             |FROM p LEFT JOIN cand ON cand.event_id = p.event_id AND rk = 1
+             |ORDER BY p.event_id""".stripMargin)),
+
     // OHLC time-series resampling: per-hour open/high/low/close over the
     // event value stream — the downsampling staple for telemetry/market
     // data. One window pass for the endpoint ranks (WindowGroupLimit-able)
