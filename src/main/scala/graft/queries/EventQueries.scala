@@ -380,6 +380,63 @@ object EventQueries {
              |GROUP BY cohort_day, day_offset
              |ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // Interval-union coverage: each event opens a 5-minute activity
+    // interval; overlapping intervals merge (gaps-and-islands via the
+    // running-max-end trick: a new island starts where an interval's
+    // start clears every prior end), and the answer is the total COVERED
+    // time per user — the deduplicated "active minutes" metric naive
+    // sum-of-durations double-counts. One user_id shuffle, two window
+    // passes, exact integer microseconds end-to-end.
+    QueryDef(
+      "q_events_coverage",
+      (s, dir) => {
+        val iv = load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("st"))
+          .withColumn("en", col("st") + lit(300000000L)) // +5 min
+        val wPrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("new_island",
+            when(col("st") > coalesce(max(col("en")).over(wPrev),
+              lit(Long.MinValue)), 1).otherwise(0))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("is"), max(col("en")).as("ie"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("ie") - col("is")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS st,
+             |    epoch_us(ts) + 300000000 AS en
+             |  FROM events),
+             |mk AS (
+             |  SELECT user_id, st, en,
+             |    CASE WHEN st > coalesce(max(en) OVER (
+             |        PARTITION BY user_id ORDER BY st, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        -9223372036854775808) THEN 1 ELSE 0 END AS new_island,
+             |    event_id
+             |  FROM iv),
+             |isl AS (
+             |  SELECT user_id, st, en,
+             |    sum(new_island) OVER (PARTITION BY user_id
+             |      ORDER BY st, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island
+             |  FROM mk),
+             |g AS (
+             |  SELECT user_id, island, min(st) AS i_s, max(en) AS i_e
+             |  FROM isl GROUP BY user_id, island)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Sliding-window anomaly detection (z-score vs the trailing 20
     // readings per event type) — the telemetry/data-quality monitor. The
     // usual float mean/stddev can never hash-match across engines, so the
