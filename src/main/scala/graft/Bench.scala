@@ -23,7 +23,14 @@ object Bench {
     "q_dedup_exact",     // hash dedup
     "q_dedup_minhash",   // minhash+LSH banding
     "q_sim_topk",        // brute-force cosine top-k
-    "q_text_stats")      // per-row text analysis
+    "q_text_stats",      // per-row text analysis
+    // round-5 extension — the heaviest round-3/4 additions, added so the
+    // driver bench sees regressions in the most expensive new operators
+    // (first numbers recorded in BASELINE.md as their own frozen budget)
+    "q_sim_ivfpq",       // IVF-PQ ANN (two k-means trainers + ADC scan)
+    "q_bm25",            // BM25 ranking (tokenize + postings join)
+    "q_dedup_spans",     // repeated-span detection (shingle agg + window)
+    "q_stream_chained_agg") // two-level streaming agg, RocksDB state
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
