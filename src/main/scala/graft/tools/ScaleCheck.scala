@@ -1,0 +1,138 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Caches, Dedup, Similarity}
+
+/** Scale-trajectory spot-check (BASELINE.md evidence): runs the heaviest
+  * dedup/ANN library paths on 1×/3×/10× synthesized copies of the sf0.1
+  * corpus and prints one JSON line per (query, factor) with wall seconds
+  * and total shuffle read/write bytes.
+  *
+  * The 2×-budget bench can only show sameness at one scale; this shows the
+  * TRAJECTORY — a super-linear time or shuffle-bytes curve here is the
+  * local-mode signature of a plan that dies at cluster scale.
+  *
+  * Synthesis: copy k (k ≥ 1) shifts ids by k·10⁷ and prefixes every token
+  * with `c<k>_`. Tagging keeps the intra-copy near-duplicate structure
+  * bit-identical to the original corpus while guaranteeing ZERO cross-copy
+  * token/shingle collisions — without it the k-fold corpus is 90% exact
+  * duplicates and pair OUTPUT grows as k², which would masquerade as
+  * super-linear runtime. Embeddings are id-shifted only (exact duplicate
+  * vectors just add candidates; training/encode/scan cost is what scales).
+  */
+object ScaleCheck {
+
+  private final class ShuffleListener extends SparkListener {
+    val write = new AtomicLong(0L)
+    val read = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  private def synthesize(spark: SparkSession, base: String, factor: Int,
+                         dir: String): Unit = {
+    val fs = new java.io.File(dir)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    val docCopies = (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        // "$1c<k>_" = kept separator + per-copy token tag (group ref $1 is
+        // unambiguous: 'c' is not a digit; a backslash-escaped \$1 would
+        // insert the LITERAL text "$1" and weld each doc into one token)
+        .withColumn("text",
+          regexp_replace(col("text"), "(^| )", "$1c" + k + "_"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) embs
+      else embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val synthRoot = if (args.length > 1) args(1) else "target/scalecheck"
+    val factors = Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val runs: Seq[(String, String => DataFrame)] = Seq(
+      ("q_dedup_minhash", dir => Dedup.minhashLsh(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        numHashes = 64, bands = 16, shingleSize = 5)),
+      // full corpus, not the oracle's doc_id<120 slice — the library path
+      ("q_dedup_jaccard_prefix", dir => Dedup.prefixFilteredJaccardPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), minJaccard = 0.8)),
+      ("q_sim_ivfpq", dir => {
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
+          k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4)
+      }),
+      // the production 100 TB shape: quantizers train on the deterministic
+      // hash-band sample, so training cost stays ~flat as the corpus grows
+      // while encode/scan stay linear
+      ("q_sim_ivfpq_tf0.1", dir => {
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
+          k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4,
+          trainFraction = 0.1)
+      }))
+
+    // untimed warmup: pays JVM/codegen compilation once, outside every
+    // measurement (the first-ever run of each path is 3-10× its steady
+    // state and would masquerade as a scaling anomaly at factor 1)
+    for ((_, mk) <- runs) {
+      mk(base).write.format("noop").mode("overwrite").save()
+      Caches.release(); spark.catalog.clearCache()
+    }
+
+    for (f <- factors) {
+      val dir = if (f == 1) base else s"$synthRoot/x$f"
+      if (f != 1) synthesize(spark, base, f, dir)
+      for ((name, mk) <- runs) {
+        // best-of-2: shuffle bytes are plan-determined (identical across
+        // reps); the min wall time drops GC/scheduling transients
+        val reps = (1 to 2).map { _ =>
+          val w0 = listener.write.get(); val r0 = listener.read.get()
+          val t0 = System.nanoTime()
+          mk(dir).write.format("noop").mode("overwrite").save()
+          val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
+          Caches.release()
+          spark.catalog.clearCache()
+          (sec, listener.write.get() - w0, listener.read.get() - r0)
+        }
+        val best = reps.minBy(_._1)
+        val mb = (b: Long) => math.rint(b / 1e5) / 10.0
+        println(s"""{"query":"$name","factor":$f,"sec":${best._1},""" +
+          s""""shuffle_write_mb":${mb(best._2)},""" +
+          s""""shuffle_read_mb":${mb(best._3)}}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -58,6 +58,50 @@ class ClusteringSpec extends SparkSpec {
     assert(even.size == 1 && odd.size == 1 && even != odd)
   }
 
+  test("sampled training (trainFraction) still recovers the blobs and " +
+      "assigns every row") {
+    import SparkSpec.spark.implicits._
+    // Blob membership (i/2)%3: the 3 lowest ids the 0.5 hash band keeps
+    // (0, 3, 5) land in three DIFFERENT blobs, so lowest-id-of-sample
+    // seeding starts one centroid per blob. (Seeding quality under
+    // sampling is the caller's fixture concern — the library contract is
+    // determinism + full-corpus assignment, which this pins too.)
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    val sampledBlobs = (0 until 30).map { i =>
+      val c = centers((i / 2) % 3)
+      val off = (i / 6) * 0.05 - 0.1
+      (i.toLong, c.map(_ + off).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(sampledBlobs, "vec_id", "embedding", k = 3,
+        iters = 5, trainFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // assignment covers the FULL corpus even though centroids trained on
+    // the deterministic half-sample
+    assert(out.size == 30)
+    val byBlob = (0 until 3).map(b =>
+      out.filterKeys(i => (i / 2) % 3 == b).values.toSet)
+    assert(byBlob.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.flatten.toSet.size == 3, s"blobs merged: $byBlob")
+    // deterministic: the hash-band sample is rerun-stable
+    val again = Clustering.kmeans(sampledBlobs, "vec_id", "embedding", k = 3,
+        iters = 5, trainFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == again)
+  }
+
+  test("trainFraction = 1 is the identity (no sample filter in the plan)") {
+    assert(Clustering.trainSample(blobs, "vec_id", 1.0) eq blobs)
+    assertThrows[IllegalArgumentException] {
+      Clustering.trainSample(blobs, "vec_id", 0.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Clustering.trainSample(blobs, "vec_id", 1.5)
+    }
+  }
+
   test("rejects k larger than the corpus") {
     import SparkSpec.spark.implicits._
     val tiny = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
