@@ -16,6 +16,19 @@ import scala.collection.concurrent.TrieMap
   */
 object Metrics {
 
+  // JSON string escape (same contract as Verify's): backslash, quote, and
+  // ALL control chars — an input id or field name with a quote in it must
+  // not produce malformed metrics.json
+  private def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   final case class Totals(
       var jobs: Long = 0, var tasks: Long = 0,
       var inputRecords: Long = 0, var inputBytes: Long = 0,
@@ -81,21 +94,32 @@ object Metrics {
     * persisted field's FINAL plan in an observation (top placement — a
     * CollectMetrics node at a stage boundary would block predicate
     * pushdown below it). The counts ride the write job (no recount);
-    * entries whose plan never executed stay empty and are skipped. */
+    * entries whose plan never executed stay empty and are skipped (their
+    * session-side ObservationManager entry — a name→observation map slot,
+    * not a listener — is the one thing Spark keeps for a never-run plan).
+    *
+    * Entries are scoped by job group so two tasks capturing concurrently
+    * in one JVM cannot drain each other's counts; registrations made with
+    * no job group set (direct [[Task.store]] callers outside [[Batch]])
+    * land in the `""` scope, which every capture also drains. */
   object StageRows {
     private val pending =
-      TrieMap.empty[String, org.apache.spark.sql.Observation]
-    def register(key: String, obs: org.apache.spark.sql.Observation): Unit =
-      pending(key) = obs
-    def clear(): Unit = pending.clear()
-    /** Drain populated observations → key → rows (non-blocking). */
-    def drain(): Map[String, Long] = {
-      val out = pending.toMap.flatMap { case (k, o) =>
+      TrieMap.empty[(String, String), org.apache.spark.sql.Observation]
+    def register(group: String, key: String,
+                 obs: org.apache.spark.sql.Observation): Unit =
+      pending((group, key)) = obs
+    private def scopes(group: String): Set[String] = Set(group, "")
+    def clear(group: String): Unit =
+      pending.keySet.filter(k => scopes(group)(k._1)).foreach(pending.remove)
+    /** Drain this group's (and ungrouped) observations → key → rows
+      * (non-blocking); other groups' entries stay untouched. */
+    def drain(group: String): Map[String, Long] = {
+      val mine = pending.toMap.filter { case ((g, _), _) => scopes(group)(g) }
+      mine.keys.foreach(pending.remove)
+      mine.flatMap { case ((_, k), o) =>
         org.apache.spark.sql.graftshim.GraftObservation.resultsOrEmpty(o)
           .get("rows").map(v => k -> v.asInstanceOf[Long])
       }
-      pending.clear()
-      out
     }
   }
 
@@ -106,7 +130,7 @@ object Metrics {
   def capture[T](spark: SparkSession, group: String, out: Path)(body: => T): T = {
     val listener = new GroupListener
     spark.sparkContext.addSparkListener(listener)
-    StageRows.clear()
+    StageRows.clear(group)
     try body
     finally {
       // flush queued scheduler events so late task-end metrics land
@@ -114,11 +138,11 @@ object Metrics {
         .drainListenerBus(spark.sparkContext)
       catch { case _: Throwable => () }
       spark.sparkContext.removeSparkListener(listener)
-      val rows = StageRows.drain()
+      val rows = StageRows.drain(group)
       val rowsJson =
         if (rows.isEmpty) ""
         else rows.toSeq.sorted
-          .map { case (k, v) => s""""${k}": $v""" }
+          .map { case (k, v) => s"${jsonString(k)}: $v" }
           .mkString(", \"rows_out\": {", ", ", "}")
       val base = listener.totals(group).json
       Files.writeString(out,

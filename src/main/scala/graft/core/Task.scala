@@ -231,7 +231,11 @@ final class Task(
           val key = s"${id.render}/$field"
           val (wrapped, obs) = Metrics.observed(
             fs(field), s"rows/$key", count(lit(1)).as("rows"))
-          Metrics.StageRows.register(key, obs)
+          // scope by the job group Batch.run set on this thread, so a
+          // concurrent capture in the same JVM cannot drain these counts
+          val group = Option(fs(field).sparkSession.sparkContext
+            .getLocalProperty("spark.jobGroup.id")).getOrElse("")
+          Metrics.StageRows.register(group, key, obs)
           id -> wrapped
         }
       val canBatch = batchInputs && perInput.size > 1 &&

@@ -66,6 +66,15 @@ object Dedup {
     * count `n` and the token's rank `r` in that global order — the inputs
     * of the length and positional filters. Exposed private[llm] so the
     * spec measures the REAL prefix the join indexes, not a re-derivation. */
+  /** `ceil` for thresholds derived from a float product whose exact value
+    * is often integral: back the argument off by an epsilon so e.g.
+    * 0.8/1.8·63 = 28.000000000000004 ceils to the exact 28, not 29. All
+    * call sites are LOWER bounds a qualifying pair must meet — a
+    * one-too-high threshold silently DROPS true pairs (false negatives),
+    * while the epsilon can only admit a spurious candidate that the exact
+    * verify step then rejects. */
+  private def ceilExact(x: Column): Column = ceil(x - lit(1e-6))
+
   private[llm] def prefixTokens(tok: DataFrame, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -74,7 +83,7 @@ object Dedup {
       .orderBy(col("dfreq"), col("w"))
     tok.join(dfreq, "w").join(sizes, "doc_id")
       .withColumn("r", row_number().over(wRank))
-      .filter(col("r") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .filter(col("r") <= col("n") - ceilExact(lit(minJaccard) * col("n")) + 1)
       .select(col("doc_id"), col("w"), col("n"), col("r"))
   }
 
@@ -115,13 +124,13 @@ object Dedup {
     val pb = prefix.select(col("doc_id").as("d2"), col("w"),
       col("n").as("n2"), col("r").as("p2"))
     // i ≥ ⌈t·(n1+n2)/(1+t)⌉ ⟺ jac = i/(n1+n2−i) ≥ t
-    val needed = ceil(lit(minJaccard / (1 + minJaccard)) *
+    val needed = ceilExact(lit(minJaccard / (1 + minJaccard)) *
       (col("n1") + col("n2")))
     // n1/n2 are functionally determined by d1/d2 — keeping them through
     // the distinct is free and drops the two sizes rejoins entirely
     val cand = pa.join(pb, pa("w") === pb("w") && pa("d1") < pb("d2")
-        && col("n2") >= ceil(lit(minJaccard) * col("n1"))
-        && col("n1") >= ceil(lit(minJaccard) * col("n2"))
+        && col("n2") >= ceilExact(lit(minJaccard) * col("n1"))
+        && col("n1") >= ceilExact(lit(minJaccard) * col("n2"))
         && least(col("n1") - col("p1"), col("n2") - col("p2")) + 1 >= needed)
       .select(col("d1"), col("d2"), col("n1"), col("n2")).distinct()
     // Verify by per-pair array_intersect over each doc's sorted distinct
@@ -335,9 +344,12 @@ object Dedup {
                         textCol: String = "text", idCol: String = "doc_id",
                         maxBlockSize: Int = 500): DataFrame = {
     val bw = maxDist + 1
-    val keyed = documents.select(col(idCol).as("id"), col(textCol).as("t"),
+    // consumed three times (candidate emit + both sides of the text
+    // rejoin): persist so the source scan runs once; Caches.release frees
+    val keyed = Caches.track(documents.select(
+      col(idCol).as("id"), col(textCol).as("t"),
       split(col(textCol), " ").getItem(0).as("tok"),
-      floor(length(col(textCol)) / bw).as("q"))
+      floor(length(col(textCol)) / bw).as("q")))
     // candidate generation carries only (tok, qb, id) — texts rejoin by id
     // for the distinct candidate pairs, never through the self-join
     val emitted = keyed.select(col("id"), col("tok"),

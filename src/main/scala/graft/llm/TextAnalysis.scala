@@ -86,7 +86,11 @@ object TextAnalysis {
 
   /** Karp-Rabin polynomial rolling hash of the normalized text (lowercased,
     * whitespace collapsed): h = Σ c_i · 257^i mod 1e9+7, folded left so the
-    * accumulator stays < 2^62 (ANSI-safe). */
+    * accumulator stays < 2^62 (ANSI-safe). `ascii` returns the full Unicode
+    * code point in both Spark and DuckDB, so the hash is portable across
+    * the BMP; only non-BMP text (surrogate pairs, e.g. emoji) diverges —
+    * Spark's `split("")` yields two UTF-16 code units where DuckDB yields
+    * one code point. */
   def fingerprint(documents: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val normalized = regexp_replace(lower(col(textCol)), "\\s+", " ")

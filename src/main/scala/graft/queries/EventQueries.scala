@@ -194,10 +194,14 @@ object EventQueries {
              |  SELECT p.event_id, c.ts AS cts,
              |    row_number() OVER (PARTITION BY p.event_id
              |      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
-             |               CASE WHEN c.ts < p.ts THEN 0 ELSE 1 END) AS rk
+             |               CASE WHEN epoch_us(c.ts) < epoch_us(p.ts)
+             |                    THEN 0 ELSE 1 END) AS rk
              |  FROM p JOIN events c
              |    ON c.user_id = p.user_id AND c.event_type = 'click'
-             |   AND c.ts <> p.ts)
+             |   -- compare at MICROseconds: events.ts is ns parquet, which
+             |   -- Spark truncates to us on read while DuckDB keeps ns — a
+             |   -- raw ts <> would re-admit same-us clicks Spark excludes
+             |   AND epoch_us(c.ts) <> epoch_us(p.ts))
              |SELECT p.event_id,
              |  date_trunc('second', cand.cts) AS nearest_click_s
              |FROM p LEFT JOIN cand ON cand.event_id = p.event_id AND rk = 1
@@ -481,7 +485,11 @@ object EventQueries {
              |    CAST(sum(v) OVER w AS BIGINT) AS s1,
              |    CAST(sum(v * v) OVER w AS BIGINT) AS s2
              |  FROM v
-             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             |  -- order by MICROsecond-truncated ts (+ event_id tiebreak)
+             |  -- to replay Spark's us-truncated parquet read; raw ns ts
+             |  -- would order same-us events differently than the tiebreak
+             |  WINDOW w AS (PARTITION BY event_type
+             |               ORDER BY epoch_us(ts), event_id
              |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
              |SELECT event_type,
              |  CAST(sum(CAST(n >= 10

@@ -422,27 +422,29 @@ object LlmQueries {
     // punctuation runs | whitespace) — the token-budget estimator every
     // training-data pipeline runs before the real (vocab-dependent) BPE
     // merge step. Both engines speak the same \p{L}/\p{N} class syntax,
-    // so one pattern serves Spark (Java regex) and DuckDB (RE2);
-    // whitespace-run matches are filtered out of the count. Per-row,
-    // shuffle-free.
+    // but their \s classes differ (Java includes \x0B, RE2 does not), so
+    // whitespace is spelled as the EXPLICIT class [ \t\n\x0B\f\r] in both
+    // patterns; whitespace-run matches are filtered out of the count.
+    // Per-row, shuffle-free.
     QueryDef(
       "q_token_bpe",
       (s, dir) => {
+        val ws = " \\t\\n\\x0B\\f\\r"
         val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+" +
-          "| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+          s"| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
         load(s, dir, "documents")
           .select(col("doc_id"),
             size(filter(
               regexp_extract_all(col("text"), lit(pat), lit(0)),
-              t => !t.rlike("^\\s+$"))).as("n_bpe_tokens"),
+              t => !t.rlike(s"^[$ws]+$$"))).as("n_bpe_tokens"),
             length(col("text")).as("n_chars"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  len(list_filter(
              |    regexp_extract_all(text,
-             |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
-             |    t -> NOT regexp_matches(t, '^\s+$'))) AS n_bpe_tokens,
+             |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'),
+             |    t -> NOT regexp_matches(t, '^[ \t\n\x0B\f\r]+$'))) AS n_bpe_tokens,
              |  length(text) AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

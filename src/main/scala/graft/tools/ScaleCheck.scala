@@ -118,13 +118,22 @@ object ScaleCheck {
         // best-of-2: shuffle bytes are plan-determined (identical across
         // reps); the min wall time drops GC/scheduling transients
         val reps = (1 to 2).map { _ =>
-          val w0 = listener.write.get(); val r0 = listener.read.get()
+          // the listener bus is async: flush queued stage-completed events
+          // before each counter read or late bytes bleed into the next
+          // (query, factor) cell — exactly the cross-cell noise a
+          // trajectory check cannot tolerate
+          def drained(c: AtomicLong): Long = {
+            org.apache.spark.graftshim.GraftSparkInternals
+              .drainListenerBus(spark.sparkContext)
+            c.get()
+          }
+          val w0 = drained(listener.write); val r0 = listener.read.get()
           val t0 = System.nanoTime()
           mk(dir).write.format("noop").mode("overwrite").save()
           val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
           Caches.release()
           spark.catalog.clearCache()
-          (sec, listener.write.get() - w0, listener.read.get() - r0)
+          (sec, drained(listener.write) - w0, listener.read.get() - r0)
         }
         val best = reps.minBy(_._1)
         val mb = (b: Long) => math.rint(b / 1e5) / 10.0

@@ -231,6 +231,24 @@ class LlmSpec extends SparkSpec {
     assert(plain.count() > 0) // non-vacuous: planted near-dups exist
   }
 
+  test("prefix-filtered Jaccard keeps an exact-threshold boundary pair " +
+      "(float-ceil regression)") {
+    import SparkSpec.spark.implicits._
+    // jac = 28/(30+33-28) = 0.8 EXACTLY at t = 0.8. The pruning thresholds
+    // compute 0.8/1.8·63 = 28.000000000000004 in doubles; a plain ceil
+    // demands overlap 29 and the positional filter then kills every prefix
+    // match (first common token at ranks (3,6): bound 1+min(27,27) = 28).
+    // ceilExact must keep the pair; the exact verify confirms it.
+    val shared = (1 to 28).map(i => f"s$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared"),
+      (2L, s"b1 b2 b3 b4 b5 $shared")).toDF("doc_id", "text")
+    val out = Dedup.prefixFilteredJaccardPairs(docs, minJaccard = 0.8)
+      .collect()
+    assert(out.length == 1, s"boundary pair dropped: ${out.toSeq}")
+    assert(math.abs(out(0).getAs[Double]("jaccard") - 0.8) < 1e-12)
+  }
+
   test("prefix filter indexes strictly fewer tokens than the full index") {
     // measures the REAL production prefix (Dedup.prefixTokens), not a
     // re-derivation that could go stale if the prefix formula changes
