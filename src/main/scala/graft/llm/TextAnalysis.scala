@@ -174,6 +174,52 @@ object TextAnalysis {
         sum(col("c") * col("micro")).as("sum_logp_micro"))
   }
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 — "Data
+    * Selection for Language Models via Importance Resampling"): score each
+    * document by how much more likely its hashed-unigram bag is under a
+    * TARGET slice of the corpus than under the RAW corpus,
+    * `log w(d) = Σ_tokens ln(p_target(bucket)/p_raw(bucket))`, add-one
+    * smoothed over a fixed 256-bucket feature space. High-weight docs
+    * "look like" the target domain; selection takes the top quantile.
+    *
+    * Scale shape: ONE tokenize-explode feeds ONE bucket aggregate (raw
+    * count and filtered target count together — the target slice never
+    * costs a second corpus scan); the 256-row log-ratio table is
+    * vocabulary-free (hashing trick: no dictionary to build or ship) and
+    * broadcasts back onto the exploded tokens; per-doc weights are exact
+    * BIGINT sums of fixed-point per-bucket ratios ([[unigramLmScore]]'s
+    * determinism recipe). Nothing but two narrow shuffles scales with the
+    * corpus. The bucket is two md5 hex digits mapped through `instr`
+    * (portable across engines — hex→int casts are not).
+    *
+    * `targetPred` is any boolean Column over `documents`' columns (e.g.
+    * `col("lang") === "en"`, a quality flag, a hand-curated id set).
+    */
+  def importanceWeights(documents: DataFrame, targetPred: Column,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val hx = "0123456789abcdef"
+    def digit(i: Int): Column =
+      instr(lit(hx), substring(md5(col("term")), i, 1)) - 1
+    val tok = Caches.track(documents
+      .select(col(idCol).as("doc_id"), targetPred.cast("int").as("tgt"),
+        explode(split(col(textCol), " ")).as("term"))
+      .select(col("doc_id"), col("tgt"),
+        (digit(1) * 16 + digit(2)).cast("long").as("b")))
+    val bc = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
+    val totals = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = bc.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(round(log(((col("ct") + lit(1.0)) * (col("nr") + lit(256))) /
+            ((col("cr") + lit(1.0)) * (col("nt") + lit(256)))), 4)
+          * 10000).cast("long").as("lr_micro"))
+    tok.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr_micro")).as("log_w_micro"))
+  }
+
   /** BM25 relevance per (document, query term) — the ranking function TF-IDF
     * feeds into in every lexical retrieval stack (Robertson/Spärck Jones;
     * Lucene's default similarity). k1 damps term-frequency saturation, b

@@ -631,6 +631,48 @@ object LlmQueries {
              |  count(*) AS n, min(doc_id) AS first_id
              |FROM b GROUP BY split ORDER BY split""".stripMargin)),
 
+    // DSIR importance weights (hashed-unigram importance resampling, the
+    // published training-data-selection method): how target-like (here:
+    // lang = 'en') is each document versus the raw corpus. Per-doc weight
+    // = exact BIGINT sum of fixed-point per-bucket log-ratios over a
+    // 256-bucket hashed feature space (see TextAnalysis.importanceWeights
+    // for the scale shape — one explode, one aggregate, one broadcast).
+    // `selected` thresholds at weight > 0 (more target-like than not): a
+    // scale-safe per-row predicate where a global top-k rank would
+    // single-partition the full corpus — production top-k selection
+    // computes an approx-quantile threshold first, then filters.
+    QueryDef(
+      "q_importance_dsir",
+      (s, dir) => TextAnalysis.importanceWeights(
+          load(s, dir, "documents"), col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("log_w_micro"),
+          (col("log_w_micro") > 0).cast("int").as("selected"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+             |    unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, tgt,
+             |    (strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1)
+             |      * 16
+             |    + strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1
+             |      AS b
+             |  FROM t),
+             |bc AS (SELECT b, count(*) AS cr, sum(tgt) AS ct
+             |       FROM b GROUP BY b),
+             |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+             |lr AS (
+             |  SELECT b, CAST(round(round(ln(((ct + 1.0) * (nr + 256)) /
+             |      ((cr + 1.0) * (nt + 256))), 4) * 10000) AS BIGINT)
+             |    AS lr_micro
+             |  FROM bc CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(lr_micro) AS BIGINT) AS log_w_micro,
+             |  CAST(CAST(sum(lr_micro) AS BIGINT) > 0 AS INT) AS selected
+             |FROM b JOIN lr USING (b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Class keywords (c-TF-IDF, the frequency-based BERTopic form): the
     // top-5 terms that DISTINGUISH each language group. Presence-based
     // idf (count of classes containing the term) is degenerate on any

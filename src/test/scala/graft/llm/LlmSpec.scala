@@ -460,6 +460,24 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(r => r.getString(0) == r.getString(1)))
   }
 
+  test("importance weights score target-vocabulary docs above raw-only docs") {
+    import SparkSpec.spark.implicits._
+    // Target slice (lang=en) speaks alpha/beta/gamma, the rest speaks
+    // delta/epsilon/zeta. The two probes have their labels FLIPPED, so a
+    // correct importance weight must follow the vocabulary, not the label:
+    // doc 21 (target-vocab, non-target label) outweighs doc 22.
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "alpha beta gamma", "en")) ++
+      (11 to 20).map(i => (i.toLong, "delta epsilon zeta", "de")) ++
+      Seq((21L, "alpha beta", "de"), (22L, "delta epsilon", "en"))
+    ).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.importanceWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.size == 22)
+    assert(w(21L) > 0, s"target-vocab doc not positive: ${w(21L)}")
+    assert(w(22L) < 0, s"raw-vocab doc not negative: ${w(22L)}")
+  }
+
   test("fingerprint invariant to whitespace runs and case, sensitive to content") {
     import SparkSpec.spark.implicits._
     val t = Seq(
