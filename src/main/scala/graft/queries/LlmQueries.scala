@@ -1239,6 +1239,56 @@ object LlmQueries {
              |  CAST((stop_cnt + dist_cnt) * 10 >= n_toks * 7 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    // document by its average unigram-LM log-likelihood WITHIN its
+    // language and cut each language into head/middle/tail terciles —
+    // the standard "keep the head, maybe the middle" pretraining filter.
+    // Reuses unigramLmScore's exact-integer doc scores; the per-doc
+    // average is the same two BIGINTs divided identically in both
+    // engines (IEEE-identical doubles → identical ordering), ntile runs
+    // per-language with a doc_id tiebreak, and the output carries no
+    // floats. Scale shape: LM template + one per-language window pass.
+    QueryDef(
+      "q_ccnet_buckets",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy((col("sum_logp_micro") * lit(1.0) / col("n_tokens")).desc,
+            col("doc_id"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(TextAnalysis.unigramLmScore(docs), "doc_id")
+          .withColumn("t", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"),
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+             |vocab AS (SELECT term, sum(c) AS ct FROM tc GROUP BY term),
+             |tot AS (SELECT sum(ct) AS n, count(*) AS v FROM vocab),
+             |lm AS (SELECT term,
+             |  CAST(round(round(ln((ct + 1.0) / (n + v)), 4) * 10000) AS BIGINT)
+             |    AS micro
+             |  FROM vocab CROSS JOIN tot),
+             |score AS (
+             |  SELECT tc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(sum(c * micro) AS BIGINT) AS sum_logp_micro
+             |  FROM tc JOIN lm USING (term) GROUP BY tc.doc_id),
+             |b AS (
+             |  SELECT s.doc_id, d.lang,
+             |    ntile(3) OVER (PARTITION BY d.lang
+             |      ORDER BY s.sum_logp_micro * 1.0 / s.n_tokens DESC,
+             |               s.doc_id) AS t
+             |  FROM score s JOIN documents d ON d.doc_id = s.doc_id)
+             |SELECT doc_id, lang,
+             |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     // Repetition detection: the most frequent word trigram's share of a
     // document's tokens — the "same phrase looped" failure mode filter.
     QueryDef(
