@@ -207,4 +207,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_importance_dsir: log-ratio table broadcasts, tokens never sort") {
+    val p = plan("q_importance_dsir")
+    // the 256-row bucket table must come back as a broadcast hash join —
+    // a shuffled (sort-merge) join here would repartition every exploded
+    // token row by bucket, the exact full-corpus shuffle the design avoids
+    assert(p.contains("BroadcastHashJoin"), s"bucket join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token-side shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
