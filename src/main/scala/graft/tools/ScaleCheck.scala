@@ -69,6 +69,10 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val synthRoot = if (args.length > 1) args(1) else "target/scalecheck"
+    // optional 3rd arg: comma-separated query-name filter (add a new path
+    // without re-paying the expensive ones)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val factors = Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -81,7 +85,7 @@ object ScaleCheck {
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
 
-    val runs: Seq[(String, String => DataFrame)] = Seq(
+    val allRuns: Seq[(String, String => DataFrame)] = Seq(
       ("q_dedup_minhash", dir => Dedup.minhashLsh(
         spark.read.parquet(s"$dir/documents.parquet"),
         numHashes = 64, bands = 16, shingleSize = 5)),
@@ -101,7 +105,16 @@ object ScaleCheck {
         Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
           k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4,
           trainFraction = 0.1)
-      }))
+      }),
+      // query-level paths (SparkEntry reads documents.parquet from dir):
+      // the shingle hash-aggregate span detector and the Bloom-prefiltered
+      // decontamination join — the two non-pairwise dedup shapes
+      ("q_dedup_spans", dir =>
+        graft.SparkEntry.queries("q_dedup_spans")(spark, dir)),
+      ("q_decontaminate_bloom", dir =>
+        graft.SparkEntry.queries("q_decontaminate_bloom")(spark, dir)))
+    val runs = allRuns.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
 
     // untimed warmup: pays JVM/codegen compilation once, outside every
     // measurement (the first-ever run of each path is 3-10× its steady
