@@ -30,7 +30,10 @@ object Bench {
     "q_sim_ivfpq",       // IVF-PQ ANN (two k-means trainers + ADC scan)
     "q_bm25",            // BM25 ranking (tokenize + postings join)
     "q_dedup_spans",     // repeated-span detection (shingle agg + window)
-    "q_stream_chained_agg") // two-level streaming agg, RocksDB state
+    "q_stream_chained_agg", // two-level streaming agg, RocksDB state
+    // round-5 data-selection additions (own frozen budget in BASELINE.md)
+    "q_importance_dsir", // DSIR hashed-unigram importance weights
+    "q_ccnet_buckets")   // per-language LM-score terciles
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
