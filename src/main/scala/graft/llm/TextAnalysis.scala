@@ -193,7 +193,10 @@ object TextAnalysis {
     * (portable across engines — hex→int casts are not).
     *
     * `targetPred` is any boolean Column over `documents`' columns (e.g.
-    * `col("lang") === "en"`, a quality flag, a hand-curated id set).
+    * `col("lang") === "en"`, a quality flag, a hand-curated id set); a
+    * NULL predicate counts as not-target (coalesced to 0 — without it a
+    * bucket fed only by NULL-pred docs would get a NULL count and its
+    * tokens would silently vanish from every doc's weight).
     */
   def importanceWeights(documents: DataFrame, targetPred: Column,
                         textCol: String = "text",
@@ -202,12 +205,15 @@ object TextAnalysis {
     def digit(i: Int): Column =
       instr(lit(hx), substring(md5(col("term")), i, 1)) - 1
     val tok = Caches.track(documents
-      .select(col(idCol).as("doc_id"), targetPred.cast("int").as("tgt"),
+      .select(col(idCol).as("doc_id"),
+        coalesce(targetPred.cast("int"), lit(0)).as("tgt"),
         explode(split(col(textCol), " ")).as("term"))
       .select(col("doc_id"), col("tgt"),
         (digit(1) * 16 + digit(2)).cast("long").as("b")))
-    val bc = tok.groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
+    // 256 rows, two consumers (log-ratio table + totals): cache it or the
+    // corpus-sized bucket aggregation over `tok` runs twice per action
+    val bc = Caches.track(tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct")))
     val totals = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lr = bc.crossJoin(broadcast(totals))
       .select(col("b"),

@@ -1247,7 +1247,13 @@ object LlmQueries {
     // average is the same two BIGINTs divided identically in both
     // engines (IEEE-identical doubles → identical ordering), ntile runs
     // per-language with a doc_id tiebreak, and the output carries no
-    // floats. Scale shape: LM template + one per-language window pass.
+    // floats. Scale note: exact ntile sorts each language inside ONE
+    // window partition — fine at oracle scale, a straggler on a skewed
+    // 100 TB corpus. The production shape is CCNet's own: derive the two
+    // cutoff scores per language from a sample/approx-quantile (CCNet
+    // fits its cutoffs on a sample too), broadcast the per-language
+    // cutoff table, and bucket per-row with no sort — the oracle keeps
+    // the exact formulation because approximate cutoffs can't hash-match.
     QueryDef(
       "q_ccnet_buckets",
       (s, dir) => {

@@ -17,13 +17,20 @@ import graft.llm.{Caches, Dedup, Similarity}
   * TRAJECTORY — a super-linear time or shuffle-bytes curve here is the
   * local-mode signature of a plan that dies at cluster scale.
   *
-  * Synthesis: copy k (k ≥ 1) shifts ids by k·10⁷ and prefixes every token
-  * with `c<k>_`. Tagging keeps the intra-copy near-duplicate structure
-  * bit-identical to the original corpus while guaranteeing ZERO cross-copy
-  * token/shingle collisions — without it the k-fold corpus is 90% exact
-  * duplicates and pair OUTPUT grows as k², which would masquerade as
-  * super-linear runtime. Embeddings are id-shifted only (exact duplicate
-  * vectors just add candidates; training/encode/scan cost is what scales).
+  * Synthesis: copy k (k ≥ 1) shifts ids by k·10⁷ and rotates the letters
+  * of `text` by k (a per-copy Caesar substitution via `translate`). A
+  * bijection on the alphabet preserves the intra-copy near-duplicate
+  * structure EXACTLY (token equality, shingle equality, doc lengths all
+  * unchanged) while making every letter — hence every word token and
+  * every char shingle containing a letter — differ across copies: zero
+  * cross-copy collisions for both the token-join and char-shingle paths.
+  * (The earlier `c<k>_` token-tagging variant only perturbed shingles
+  * near token boundaries — interior char shingles still collided across
+  * copies — and inflated doc lengths by the tag bytes.) Without the
+  * substitution the k-fold corpus is 90% exact duplicates and pair
+  * OUTPUT grows as k², which would masquerade as super-linear runtime.
+  * Embeddings are id-shifted only (exact duplicate vectors just add
+  * candidates; training/encode/scan cost is what scales).
   */
 object ScaleCheck {
 
@@ -46,15 +53,13 @@ object ScaleCheck {
     fs.mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-        // "$1c<k>_" = kept separator + per-copy token tag (group ref $1 is
-        // unambiguous: 'c' is not a digit; a backslash-escaped \$1 would
-        // insert the LITERAL text "$1" and weld each doc into one token)
-        .withColumn("text",
-          regexp_replace(col("text"), "(^| )", "$1c" + k + "_"))
+        .withColumn("text", translate(col("text"),
+          alpha, alpha.drop(k % 26) + alpha.take(k % 26)))
     }
     docCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
