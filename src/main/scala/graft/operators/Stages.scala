@@ -61,7 +61,8 @@ final class SqlStage(name: String, override val inputs: Set[String],
     in.foreach { case (f, df) => df.createOrReplaceTempView(f) }
     val sql = config.get("sql", defaultSql) match {
       case s: String => s
-      case _ => defaultSql
+      case _ if defaultSql != null => defaultSql
+      case _ => throw new IllegalArgumentException(s"$id: config 'sql' required")
     }
     Map(output -> ctx.spark.sql(sql))
   }
@@ -175,6 +176,18 @@ object DefaultStages {
       name => new QueryStage(name.stripPrefix("query-")))
     StageRegistry.registerPrefix("sink-parquet:",
       name => new SinkParquetStage(name, name.stripPrefix("sink-parquet:")))
+    // generic SQL compose: spec `sql:<output>:<in1>+<in2>+…` consumes the
+    // named prior fields as temp views and emits `<output>` from config
+    // `sql` — the task.yml primitive for joining stage outputs (e.g. the
+    // selection signals of the data_selection example into one filtered
+    // corpus) without writing a Scala stage. Inputs ride in the spec name
+    // because toposort needs them before any config is resolved.
+    StageRegistry.registerPrefix("sql:", name => {
+      val parts = name.stripPrefix("sql:").split(":", 2)
+      require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+        s"$name: expected sql:<output>:<in1>+<in2>+...")
+      new SqlStage(name, parts(1).split("\\+").toSet, parts(0), null)
+    })
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings"))
       StageRegistry.register(s"scan-$t", () => new ScanTableStage(t))

@@ -359,4 +359,14 @@ class TaskSpec extends SparkSpec {
     assert(loaded(InputId(1)).keySet == Set("summary_sorted", "lineitem",
       "lineitem_filtered", "summary_sorted_sunk"))
   }
+
+  test("sql: compose stage parses output and inputs from its spec name") {
+    graft.operators.DefaultStages.registerAll()
+    val s = StageRegistry.create("sql:joined:a+b+c")
+    assert(s.outputs == Set("joined"))
+    assert(s.inputs == Set("a", "b", "c"))
+    // malformed names fail at creation, not mid-run
+    assertThrows[IllegalArgumentException](StageRegistry.create("sql:noinputs"))
+    assertThrows[IllegalArgumentException](StageRegistry.create("sql::a+b"))
+  }
 }
