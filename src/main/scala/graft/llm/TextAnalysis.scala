@@ -174,6 +174,38 @@ object TextAnalysis {
         sum(col("c") * col("micro")).as("sum_logp_micro"))
   }
 
+  /** Scale-safe CCNet bucketing — the production form of the exact-ntile
+    * `q_ccnet_buckets` query: derive per-language tercile CUTOFF scores
+    * with approximate quantiles (one hash aggregate, no sort), broadcast
+    * the languages×2 cutoff table, and bucket every document with a
+    * per-row comparison. The exact formulation funnels each language
+    * through ONE window-sort task — a straggler on a skewed 100 TB
+    * corpus; this shape has no sort anywhere and its cost is the LM
+    * template plus two narrow aggregates. CCNet itself fits cutoffs on a
+    * sample, so approximate boundaries are the method, not a compromise.
+    * Docs at the cutoff boundary may land one bucket away from the
+    * exact-tercile assignment (LlmSpec pins high agreement on the test
+    * corpus). */
+  def pplBucketsApprox(documents: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       langCol: String = "lang"): DataFrame = {
+    val scores = Caches.track(documents
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(unigramLmScore(documents, textCol, idCol), "doc_id")
+      .withColumn("avg_logp",
+        col("sum_logp_micro") * lit(1.0) / col("n_tokens")))
+    val cuts = scores.groupBy(col("lang"))
+      .agg(percentile_approx(col("avg_logp"),
+        array(lit(2.0 / 3), lit(1.0 / 3)), lit(10000)).as("cuts"))
+      .select(col("lang"), col("cuts").getItem(0).as("c_head"),
+        col("cuts").getItem(1).as("c_mid"))
+    scores.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"),
+        when(col("avg_logp") >= col("c_head"), "head")
+          .when(col("avg_logp") >= col("c_mid"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS'23 — "Data
     * Selection for Language Models via Importance Resampling"): score each
     * document by how much more likely its hashed-unigram bag is under a

@@ -460,6 +460,21 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(r => r.getString(0) == r.getString(1)))
   }
 
+  test("approx ppl buckets agree with the exact ntile terciles") {
+    val docs = graft.queries.Tables.load(spark, sfDir, "documents")
+    val approx = TextAnalysis.pplBucketsApprox(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exact = graft.SparkEntry.queries("q_ccnet_buckets")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    // the sort-free cutoff path must reproduce the exact terciles except
+    // at quantile boundaries; every (bucket) must be populated
+    val agree = approx.count { case (id, b) => exact(id) == b }
+    assert(agree >= (approx.size * 0.9).toInt,
+      s"only $agree/${approx.size} bucket assignments agree")
+    assert(approx.values.toSet == Set("head", "middle", "tail"))
+  }
+
   test("importance weights score target-vocabulary docs above raw-only docs") {
     import SparkSpec.spark.implicits._
     // Target slice (lang=en) speaks alpha/beta/gamma, the rest speaks
