@@ -147,6 +147,50 @@ object EventQueries {
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
+    // As-of join with TOLERANCE (merge_asof's tolerance parameter): the
+    // most recent click strictly before each purchase, kept only when it
+    // falls within 5 minutes — older matches become NULL, exactly
+    // pandas' semantics (the single most-recent candidate either passes
+    // the tolerance or the probe gets no match; equivalently, max(ts)
+    // over the bounded window). Same union + one-window shape as
+    // q_asof_join — the tolerance is a per-row µs comparison AFTER the
+    // window, so the plan cost is unchanged. Oracle compares at
+    // MICROseconds throughout (ns parquet truncates on Spark read).
+    QueryDef(
+      "q_asof_tolerance",
+      (s, dir) => {
+        val events = load(s, dir, "events")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+            lit(0).as("is_probe"), lit(null).cast("long").as("probe_id"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast("timestamp").as("click_ts"),
+            lit(1).as("is_probe"), col("event_id").as("probe_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        clicks.unionByName(purchases)
+          .withColumn("asof_click",
+            last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("probe_id").as("event_id"),
+            date_trunc("second",
+              when(expr("unix_micros(ts) - unix_micros(asof_click)")
+                <= lit(300000000L), col("asof_click")))
+              .as("prev_click_5m_s"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id,
+             |  date_trunc('second', max(c.ts)) AS prev_click_5m_s
+             |FROM events p
+             |LEFT JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             | AND epoch_us(c.ts) < epoch_us(p.ts)
+             | AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
     // Nearest as-of join (the third merge_asof direction): for every
     // purchase, the click with the smallest |Δt| in EITHER direction,
     // ties preferring backward (pandas semantics). Both directional
