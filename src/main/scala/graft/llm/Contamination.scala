@@ -46,6 +46,27 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The eval-integrity direction of [[sharedShingles]]: a per-BENCHMARK-
+    * item contamination report — for each benchmark doc, how many distinct
+    * training docs share ≥1 shingle with it and how many distinct
+    * (train doc, shingle) overlaps exist. This is the table an eval owner
+    * reads to decide which items to retire; the train-side view decides
+    * which corpus docs to drop. Same scale shape: the benchmark side (ids
+    * + shingles this time) broadcasts, the train side never collects.
+    */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame,
+                          shingleSize: Int = 20, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val trainSh = train.select(col(idCol).as("train_id"),
+      explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
+    val benchSh = benchmark.select(col(idCol).as("bench_id"),
+      explode(shingleHashes(col(textCol), shingleSize)).as("sh"))
+    trainSh.join(broadcast(benchSh), "sh")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_overlaps"))
+  }
+
   /** Benchmark decontamination with a Bloom prefilter — exact same output
     * contract as [[sharedShingles]], different 100 TB shape: a distributed
     * Bloom build over the benchmark shingles

@@ -1074,6 +1074,45 @@ object LlmQueries {
              |FROM tsh t JOIN bsh b USING (sh)
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // The eval-integrity direction of decontamination: per-BENCHMARK-item
+    // report of how many train docs overlap it and how many distinct
+    // (train doc, shingle) overlaps exist — what an eval owner reads to
+    // retire compromised items. Same broadcast-benchmark scale shape.
+    QueryDef(
+      "q_decontaminate_report",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Contamination.contaminationReport(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0))
+          .orderBy(col("bench_id"))
+      },
+      Some("""WITH bench AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+             |train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+             |ti AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+             |  FROM train),
+             |tsh AS (
+             |  SELECT DISTINCT doc_id AS train_id,
+             |    substring(text, CAST(i AS INT), 20) AS sh
+             |  FROM ti),
+             |bi AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+             |  FROM bench),
+             |bsh AS (
+             |  SELECT DISTINCT doc_id AS bench_id,
+             |    substring(text, CAST(i AS INT), 20) AS sh
+             |  FROM bi)
+             |SELECT b.bench_id,
+             |  count(DISTINCT t.train_id) AS n_train_docs,
+             |  count(*) AS n_overlaps
+             |FROM tsh t JOIN bsh b USING (sh)
+             |GROUP BY b.bench_id ORDER BY b.bench_id""".stripMargin)),
+
     // Same decontamination contract through the Bloom-prefilter path: the
     // sketch drops clean shingles pre-exchange, the exact confirm join
     // kills the false positives — so the result is EXACT and the same

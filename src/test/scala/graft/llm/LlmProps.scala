@@ -110,4 +110,30 @@ object LlmProps extends Properties("graft.llm") {
       } yield (id1, id2)).toSet
       Prop(want.subsetOf(got)) :| s"missing ${want.diff(got)}"
     }
+
+  // -- prefixFilteredJaccardPairs -------------------------------------------
+
+  /** The PPJoin filters (prefix, length, positional) and their
+    * epsilon-guarded ceil thresholds must NEVER drop a qualifying pair:
+    * across random corpora and random thresholds the filtered path must
+    * equal the plain inverted index exactly. This is the input-space
+    * sweep for the float-ceil false-negative class (a fixed boundary
+    * fixture lives in LlmSpec); small-vocab docs make exact-threshold
+    * Jaccard values (e.g. 4/5) common, which is exactly where plain
+    * `ceil` over a double product goes wrong. */
+  property("prefixFilteredJaccardPairs ≡ plain inverted index on random corpora") =
+    forAll(Gen.chooseNum(2, 8),
+           Gen.oneOf(0.5, 0.6, 2.0 / 3, 0.75, 0.8),
+           Gen.listOfN(6, docGen)) { (_, t, texts) =>
+      import SparkSpec.spark.implicits._
+      val docs = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+        .toDF("doc_id", "text")
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = norm(Dedup.ngramJaccardPairs(docs, minJaccard = t))
+      val pref = norm(Dedup.prefixFilteredJaccardPairs(docs, minJaccard = t))
+      Caches.release()
+      Prop(plain == pref) :|
+        s"t=$t missing=${plain.diff(pref)} extra=${pref.diff(plain)}"
+    }
 }
