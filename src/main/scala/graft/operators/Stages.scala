@@ -186,7 +186,12 @@ object DefaultStages {
       val parts = name.stripPrefix("sql:").split(":", 2)
       require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
         s"$name: expected sql:<output>:<in1>+<in2>+...")
-      new SqlStage(name, parts(1).split("\\+").toSet, parts(0), null)
+      val ins = parts(1).split("\\+").toSet
+      // an empty segment ('a++b', '+a') would otherwise surface later as
+      // an opaque toposort failure instead of failing at creation
+      require(ins.forall(_.nonEmpty),
+        s"$name: empty input field in '${parts(1)}'")
+      new SqlStage(name, ins, parts(0), null)
     })
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings"))

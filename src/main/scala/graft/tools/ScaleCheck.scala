@@ -21,9 +21,11 @@ import graft.llm.{Caches, Dedup, Similarity}
   * of `text` by k (a per-copy Caesar substitution via `translate`). A
   * bijection on the alphabet preserves the intra-copy near-duplicate
   * structure EXACTLY (token equality, shingle equality, doc lengths all
-  * unchanged) while making every letter — hence every word token and
-  * every char shingle containing a letter — differ across copies: zero
-  * cross-copy collisions for both the token-join and char-shingle paths.
+  * unchanged) while making every letter differ across copies: zero
+  * cross-copy WORD-token collisions, and char-shingle collisions only
+  * where one rotation of a shingle happens to equal another shingle
+  * elsewhere in the corpus (measured: ~19 of ~500k distinct 5-char
+  * shingles between any two rotations of the sf0.1 corpus — negligible).
   * (The earlier `c<k>_` token-tagging variant only perturbed shingles
   * near token boundaries — interior char shingles still collided across
   * copies — and inflated doc lengths by the tag bytes.) Without the
@@ -48,8 +50,16 @@ object ScaleCheck {
 
   private def synthesize(spark: SparkSession, base: String, factor: Int,
                          dir: String): Unit = {
+    // rotations repeat mod 26: k = 26 would make copy 26 byte-identical
+    // to copy 0 (quadratic pair output — the artifact this tool exists
+    // to exclude), so cap the factor below the alphabet period
+    require(factor >= 1 && factor <= 25,
+      s"factor must be in [1, 25] (Caesar period), got $factor")
     val fs = new java.io.File(dir)
-    if (new java.io.File(fs, "_DONE").exists()) return
+    // marker is versioned by synthesis algorithm: a stale corpus from an
+    // older synthesis (e.g. the token-tagged variant) must regenerate,
+    // not get silently measured under the new method's claims
+    if (new java.io.File(fs, "_DONE_caesar_v2").exists()) return
     fs.mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
@@ -68,7 +78,7 @@ object ScaleCheck {
       else embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v2")).close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -368,5 +368,7 @@ class TaskSpec extends SparkSpec {
     // malformed names fail at creation, not mid-run
     assertThrows[IllegalArgumentException](StageRegistry.create("sql:noinputs"))
     assertThrows[IllegalArgumentException](StageRegistry.create("sql::a+b"))
+    assertThrows[IllegalArgumentException](StageRegistry.create("sql:out:a++b"))
+    assertThrows[IllegalArgumentException](StageRegistry.create("sql:out:+a"))
   }
 }

@@ -122,9 +122,8 @@ object LlmProps extends Properties("graft.llm") {
     * Jaccard values (e.g. 4/5) common, which is exactly where plain
     * `ceil` over a double product goes wrong. */
   property("prefixFilteredJaccardPairs ≡ plain inverted index on random corpora") =
-    forAll(Gen.chooseNum(2, 8),
-           Gen.oneOf(0.5, 0.6, 2.0 / 3, 0.75, 0.8),
-           Gen.listOfN(6, docGen)) { (_, t, texts) =>
+    forAll(Gen.oneOf(0.5, 0.6, 2.0 / 3, 0.75, 0.8),
+           Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, docGen))) { (t, texts) =>
       import SparkSpec.spark.implicits._
       val docs = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
         .toDF("doc_id", "text")
