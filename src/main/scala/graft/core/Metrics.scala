@@ -34,12 +34,24 @@ object Metrics {
       var inputRecords: Long = 0, var inputBytes: Long = 0,
       var shuffleReadBytes: Long = 0, var shuffleWriteBytes: Long = 0,
       var spillBytes: Long = 0, var cpuTimeNs: Long = 0) {
-    def json: String =
-      s"""{"jobs": $jobs, "tasks": $tasks, "input_records": $inputRecords,
-         | "input_bytes": $inputBytes, "shuffle_read_bytes": $shuffleReadBytes,
-         | "shuffle_write_bytes": $shuffleWriteBytes, "spill_bytes": $spillBytes,
-         | "cpu_time_ns": $cpuTimeNs}""".stripMargin.replace("\n", "")
+    /** Field name → pre-rendered JSON value, the single source the JSON
+      * serialization builds from (no string surgery downstream). */
+    def fields: Seq[(String, String)] = Seq(
+      "jobs" -> jobs.toString, "tasks" -> tasks.toString,
+      "input_records" -> inputRecords.toString,
+      "input_bytes" -> inputBytes.toString,
+      "shuffle_read_bytes" -> shuffleReadBytes.toString,
+      "shuffle_write_bytes" -> shuffleWriteBytes.toString,
+      "spill_bytes" -> spillBytes.toString,
+      "cpu_time_ns" -> cpuTimeNs.toString)
+    def json: String = jsonObject(fields)
   }
+
+  /** One JSON object from (name, rendered-value) pairs — the only place
+    * object syntax is assembled. */
+  private def jsonObject(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s"${jsonString(k)}: $v" }
+      .mkString("{", ", ", "}")
 
   /** Scheduler listener aggregating task metrics per job-group id. */
   final class GroupListener extends SparkListener {
@@ -108,13 +120,20 @@ object Metrics {
     def register(group: String, key: String,
                  obs: org.apache.spark.sql.Observation): Unit =
       pending((group, key)) = obs
-    private def scopes(group: String): Set[String] = Set(group, "")
-    def clear(group: String): Unit =
-      pending.keySet.filter(k => scopes(group)(k._1)).foreach(pending.remove)
-    /** Drain this group's (and ungrouped) observations → key → rows
-      * (non-blocking); other groups' entries stay untouched. */
-    def drain(group: String): Map[String, Long] = {
-      val mine = pending.toMap.filter { case ((g, _), _) => scopes(group)(g) }
+    private def scopes(group: String, ungrouped: Boolean): Set[String] =
+      if (ungrouped) Set(group, "") else Set(group)
+    def clear(group: String, includeUngrouped: Boolean): Unit =
+      pending.keySet.filter(k => scopes(group, includeUngrouped)(k._1))
+        .foreach(pending.remove)
+    /** Drain this group's observations → key → rows (non-blocking);
+      * other groups' entries stay untouched. The shared `""` scope
+      * (registrations made with no job group set) is only drained when
+      * `includeUngrouped` — with concurrent captures, attributing an
+      * ungrouped count to whichever capture drains first would be
+      * nondeterministic, so those entries stay pending instead. */
+    def drain(group: String, includeUngrouped: Boolean): Map[String, Long] = {
+      val mine = pending.toMap
+        .filter { case ((g, _), _) => scopes(group, includeUngrouped)(g) }
       mine.keys.foreach(pending.remove)
       mine.flatMap { case ((_, k), o) =>
         org.apache.spark.sql.graftshim.GraftObservation.resultsOrEmpty(o)
@@ -123,6 +142,10 @@ object Metrics {
     }
   }
 
+  /** Number of [[capture]] calls currently in flight (gates whether the
+    * shared ungrouped observation scope can be attributed safely). */
+  private val activeCaptures = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Run `body` with a listener attached; afterwards write the job
     * group's totals to `out` (pretty-small JSON), including any per-stage
     * observed row counts registered during the run. The listener bus is
@@ -130,7 +153,8 @@ object Metrics {
   def capture[T](spark: SparkSession, group: String, out: Path)(body: => T): T = {
     val listener = new GroupListener
     spark.sparkContext.addSparkListener(listener)
-    StageRows.clear(group)
+    StageRows.clear(group,
+      includeUngrouped = activeCaptures.incrementAndGet() == 1)
     try body
     finally {
       // flush queued scheduler events so late task-end metrics land
@@ -138,15 +162,17 @@ object Metrics {
         .drainListenerBus(spark.sparkContext)
       catch { case _: Throwable => () }
       spark.sparkContext.removeSparkListener(listener)
-      val rows = StageRows.drain(group)
-      val rowsJson =
-        if (rows.isEmpty) ""
-        else rows.toSeq.sorted
-          .map { case (k, v) => s"${jsonString(k)}: $v" }
-          .mkString(", \"rows_out\": {", ", ", "}")
-      val base = listener.totals(group).json
+      // ungrouped registrations are attributable only while this is the
+      // sole in-flight capture (see StageRows.drain)
+      val rows = StageRows.drain(group,
+        includeUngrouped = activeCaptures.get == 1)
+      activeCaptures.decrementAndGet()
+      val rowsField =
+        if (rows.isEmpty) Seq.empty
+        else Seq("rows_out" -> jsonObject(
+          rows.toSeq.sorted.map { case (k, v) => (k, v.toString) }))
       Files.writeString(out,
-        base.stripSuffix("}") + rowsJson + "}\n")
+        jsonObject(listener.totals(group).fields ++ rowsField) + "\n")
     }
   }
 }

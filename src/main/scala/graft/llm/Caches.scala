@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registry of persisted multi-consumer intermediates created by the llm
   * library operators (tokenizations, MinHash/SimHash signatures, corpus
@@ -8,27 +8,40 @@ import org.apache.spark.sql.DataFrame
   * their own caches — the cache must outlive the method and die with the
   * caller's action instead.
   *
+  * The registry is keyed BY SESSION: two SparkSessions sharing a JVM (a
+  * notebook server, concurrent tasks) each see only their own
+  * intermediates, so one caller's [[Caches.release]] can never evict
+  * another session's persisted plans into silent recompute.
+  *
   * Two consumption conventions:
   *  - The query driver (Verify/Bench) calls `spark.catalog.clearCache()`
   *    between queries — it never needs this registry.
   *  - Direct library callers call [[Caches.release]] once the actions on
   *    the returned DataFrames complete; otherwise repeated calls in a
-  *    long-lived session accumulate cached lineages for the life of the JVM.
+  *    long-lived session accumulate cached lineages for the life of the
+  *    session.
   */
 object Caches {
-  private val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val registered =
+    scala.collection.mutable.Map.empty[SparkSession,
+      scala.collection.mutable.ArrayBuffer[DataFrame]]
 
-  /** Persist `df` at MEMORY_AND_DISK and remember it for [[release]]. */
+  /** Persist `df` at MEMORY_AND_DISK and remember it for [[release]]
+    * under the session that owns it. */
   private[llm] def track(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registered += p
+    registered.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.ArrayBuffer.empty) += p
     p
   }
 
-  /** Unpersist every intermediate the library persisted since the last
-    * release. Safe at any time: an unpersisted plan silently recomputes. */
-  def release(): Unit = synchronized {
-    registered.foreach(_.unpersist(blocking = false))
-    registered.clear()
+  /** Unpersist every intermediate the library persisted in the ACTIVE
+    * session since its last release; other sessions' caches are untouched.
+    * Safe at any time: an unpersisted plan silently recomputes. */
+  def release(): Unit = release(SparkSession.active)
+
+  /** Unpersist the given session's tracked intermediates. */
+  def release(session: SparkSession): Unit = synchronized {
+    registered.remove(session).foreach(_.foreach(_.unpersist(blocking = false)))
   }
 }

@@ -76,7 +76,20 @@ object Clustering {
     * fixed point sees the sample). */
   private[llm] def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
                                   k: Int, iters: Int,
-                                  trainFraction: Double = 1.0): Array[Array[Double]] = {
+                                  trainFraction: Double = 1.0): Array[Array[Double]] =
+    trainCentroidsDiag(vecs, idCol, vecCol, k, iters, trainFraction)._1
+
+  /** [[trainCentroids]] plus the per-iteration inertia sequence: element t
+    * is Σ min_c |v−c_t|² over the training rows, measured against the
+    * centroids entering iteration t — computed inside the SAME aggregate
+    * scan as the centroid update (one extra sum column, no extra pass).
+    * Lloyd's contraction property makes the sequence non-increasing in
+    * exact arithmetic; callers surface that as an accuracy-contract
+    * boolean (with an FP-rounding tolerance). */
+  private[llm] def trainCentroidsDiag(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int,
+      trainFraction: Double = 1.0): (Array[Array[Double]], Array[Double]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
     val train = trainSample(vecs, idCol, trainFraction)
@@ -92,15 +105,24 @@ object Clustering {
     require(centroids.length == k,
       s"need at least $k vectors to seed $k clusters, got ${centroids.length}")
     val dim = centroids.head.length
+    val inertia = new Array[Double](iters)
 
     var round = 0
     while (round < iters) {
       val meanCols = (0 until dim).map(i =>
         avg(element_at(col("v"), i + 1)).as(s"m$i"))
-      val means = assign(cached, centroids)
+      // min surrogate score is |c|²−2vc; adding |v|² recovers |v−c|², so
+      // the per-cluster sum rides the update aggregate for free
+      val sseCol = sum(array_min(col("d")) +
+        VectorExpressions.dotProduct(col("v"), col("v"))).as("sse")
+      val means = cached
+        .withColumn("d", centroidScores(col("v"), centroids))
+        .withColumn("cluster",
+          (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
         .groupBy(col("cluster"))
-        .agg(meanCols.head, meanCols.tail: _*)
+        .agg(meanCols.head, (meanCols.tail :+ sseCol): _*)
         .collect()
+      inertia(round) = means.map(_.getDouble(dim + 1)).sum
       val next = centroids.map(identity)
       means.foreach { r =>
         next(r.getInt(0)) = Array.tabulate(dim)(i => r.getDouble(i + 1))
@@ -109,7 +131,7 @@ object Clustering {
       round += 1
     }
     cached.unpersist(blocking = false)
-    centroids
+    (centroids, inertia)
   }
 
   /** Train all `m` product-quantization subspace codebooks at once: ONE
@@ -197,4 +219,16 @@ object Clustering {
              k: Int, iters: Int, trainFraction: Double = 1.0): DataFrame =
     assignTo(vecs, idCol, vecCol,
       trainCentroids(vecs, idCol, vecCol, k, iters, trainFraction))
+
+  /** [[kmeans]] plus the per-iteration training inertia (see
+    * [[trainCentroidsDiag]]): (assignments, inertia sequence). The inertia
+    * sequence is non-increasing by Lloyd's contraction — the in-plan
+    * accuracy contract q_cluster_kmeans surfaces to the oracle. */
+  def kmeansWithInertia(vecs: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int,
+                        trainFraction: Double = 1.0): (DataFrame, Array[Double]) = {
+    val (centroids, inertia) =
+      trainCentroidsDiag(vecs, idCol, vecCol, k, iters, trainFraction)
+    (assignTo(vecs, idCol, vecCol, centroids), inertia)
+  }
 }

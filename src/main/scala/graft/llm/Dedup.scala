@@ -269,10 +269,16 @@ object Dedup {
     * — exactly what dedup consumers (union-find / connected components)
     * need — and each pair still gets its true signature-overlap estimate
     * downstream. Small buckets keep the complete clique.
+    *
+    * The guard is EXPLICIT OPT-IN: the default (`Int.MaxValue`) emits the
+    * complete clique for every bucket — exact semantics for library
+    * callers. Scale deployments (and the engine's own queries) pass a cap
+    * (≈500) to trade clique completeness for skew immunity.
     */
   def minhashLsh(documents: DataFrame, numHashes: Int, bands: Int,
                  shingleSize: Int, textCol: String = "text",
-                 idCol: String = "doc_id", maxBucketSize: Int = 500): DataFrame = {
+                 idCol: String = "doc_id",
+                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // Candidate generation stays NARROW: only (band, bucket, doc_id) flows
@@ -336,11 +342,13 @@ object Dedup {
     *    representative instead of the n²/2 clique; the exact verify still
     *    runs on every emitted pair. Under a degenerate block this is an
     *    approximation (members > maxDist from the representative drop out)
-    *    — the documented trade for not dying on skew.
+    *    — the documented trade for not dying on skew. EXPLICIT OPT-IN:
+    *    the default (`Int.MaxValue`) keeps complete within-block pair
+    *    sets; scale deployments pass a cap (≈500).
     */
   def editDistancePairs(documents: DataFrame, maxDist: Int,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxBlockSize: Int = 500): DataFrame = {
+                        maxBlockSize: Int = Int.MaxValue): DataFrame = {
     val bw = maxDist + 1
     // consumed three times (candidate emit + both sides of the text
     // rejoin): persist so the source scan runs once; Caches.release frees
@@ -458,10 +466,14 @@ object Dedup {
     * representative instead; every member stays transitively linked for the
     * downstream connected-components pass, and each emitted pair still gets
     * its exact hamming distance. Small buckets keep the complete clique.
+    *
+    * EXPLICIT OPT-IN (as for [[minhashLsh]]): the default
+    * (`Int.MaxValue`) emits complete cliques; scale deployments pass a
+    * cap (≈500).
     */
   def simhash(documents: DataFrame, maxHamming: Int,
               textCol: String = "text", idCol: String = "doc_id",
-              maxBucketSize: Int = 500): DataFrame = {
+              maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // Signature is consumed by banding AND both sides of the pair rejoin;
     // persist so the 64-counter aggregate runs once per action. The pair
     // join carries only (block, block_val, doc_id) — narrow, like the LSH

@@ -28,7 +28,13 @@ object LlmQueries {
     * grow geometrically with iters. Every op is integer — `//` on
     * positives ≡ Spark's `div` — and sums CAST back from DuckDB's HUGEINT
     * widening, so the match is exact by construction. */
-  private def pagerankOracle(iters: Int, scale: Long = 1000000000000L): String = {
+  private def pagerankOracle(iters: Int, scale: Long = 1000000000000L,
+                             dampingNum: Long = 85L,
+                             dampingDen: Long = 100L): String = {
+    // damping interpolates from the SAME parameters pagerankExact takes,
+    // so pointing the query at non-default damping cannot silently
+    // diverge from the oracle text
+    val tn = dampingDen - dampingNum
     val steps = (1 to iters).map { k =>
       s"""d$k AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
@@ -40,9 +46,9 @@ object LlmQueries {
          |  WHERE g.deg > 0 GROUP BY e.dst),
          |r$k AS MATERIALIZED (
          |  SELECT n.node, CAST(
-         |    (15 * $scale) // (100 * (SELECT n FROM nc))
-         |    + (85 * (coalesce(c.contrib, 0)
-         |             + (SELECT dm FROM d$k) // (SELECT n FROM nc))) // 100
+         |    ($tn * $scale) // ($dampingDen * (SELECT n FROM nc))
+         |    + ($dampingNum * (coalesce(c.contrib, 0)
+         |             + (SELECT dm FROM d$k) // (SELECT n FROM nc))) // $dampingDen
          |    AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
     }.mkString(",\n")
@@ -63,6 +69,31 @@ object LlmQueries {
        |SELECT node, rank FROM r$iters
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
+
+  /** Shared in-plan accuracy contract for the approximate ANN family
+    * (sign-LSH / IVF / PQ / IVF-PQ): given top-k results over a corpus
+    * planted with EXACT copies of the query vectors (vec_id+100000), the
+    * twin must rank 1 with cosine 1.0 — identical vectors share every
+    * bucket/cell/code by construction, so this is a structural guarantee
+    * of a correct index, not a probabilistic recall bound. One boolean
+    * per query; the DuckDB oracle matches literal TRUE (the hash/codebook
+    * machinery is not expressible in portable SQL — the q_approx_distinct
+    * gate pattern). Missing queries surface as FALSE via the left join. */
+  private def annTwinGate(queries: DataFrame, top: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("query_id"))
+      .join(top.filter(col("rk") === 1)
+        .select(col("query_id"),
+          (col("cand_id") === col("query_id") + 100000 &&
+            col("cos_sim") >= 0.999).as("ok")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("ok"), lit(false)).as("twin_top1"))
+      .orderBy(col("query_id"))
+
+  private val annTwinGateSql: String =
+    """SELECT vec_id AS query_id, true AS twin_top1
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -138,22 +169,68 @@ object LlmQueries {
              |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
              |ORDER BY d1, d2""".stripMargin)),
 
-    // MinHash+LSH near-dup: deterministic affine hash family; rows-only
-    // (hash family not expressible in portable SQL) — ground truth in
-    // DedupSpec. Output: candidate pairs with estimated Jaccard.
+    // MinHash+LSH near-dup with an in-plan accuracy contract: the corpus
+    // is documents ∪ exact copies of the first 100 docs (doc_id+100000).
+    // An exact copy has an identical shingle set, hence an identical
+    // 64-hash signature, hence collides in EVERY band — so the planted
+    // pair MUST surface with estimated Jaccard exactly 64/64 = 1.0. The
+    // query emits those two guarantees as booleans per planted doc and the
+    // DuckDB oracle matches them with literal TRUE (the hash family itself
+    // is not expressible in portable SQL — the q_approx_distinct gate
+    // pattern). A broken signature, banding, bucket join, or estimate
+    // flips a boolean and fails the hash compare. The full candidate-pair
+    // surface (including the bucket star cap) stays pinned in LlmSpec.
     QueryDef(
       "q_dedup_minhash",
-      (s, dir) => Dedup.minhashLsh(load(s, dir, "documents"),
-          numHashes = 64, bands = 16, shingleSize = 5)
-        .orderBy(col("d1"), col("d2")),
-      None),
+      (s, dir) => {
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val pairs = Dedup.minhashLsh(base.unionByName(planted),
+          numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)
+        val twinHit = pairs
+          .filter(col("d2") === col("d1") + 100000 && col("d1") < 100)
+          .select(col("d1").as("doc_id"),
+            (col("est_jaccard") === 1.0).as("est_one"))
+        base.filter(col("doc_id") < 100).select("doc_id")
+          .join(twinHit, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("est_one").isNotNull.as("twin_found"),
+            coalesce(col("est_one"), lit(false)).as("est_jaccard_one"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, true AS twin_found, true AS est_jaccard_one
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
 
-    // SimHash near-dup: 64-bit simhash + hamming-distance candidates.
+    // SimHash near-dup with the same planted-twin in-plan contract: an
+    // exact copy has an identical token multiset, hence an identical
+    // 64-bit simhash — all 8 byte-blocks match, the candidate join must
+    // emit the pair, and its hamming distance must be exactly 0. Booleans
+    // out, literal TRUE on the oracle side; hash family + star cap stay
+    // pinned in LlmSpec's degenerate-block tests.
     QueryDef(
       "q_dedup_simhash",
-      (s, dir) => Dedup.simhash(load(s, dir, "documents"), maxHamming = 8)
-        .orderBy(col("d1"), col("d2")),
-      None),
+      (s, dir) => {
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val pairs = Dedup.simhash(base.unionByName(planted), maxHamming = 8,
+          maxBucketSize = 500)
+        val twinHit = pairs
+          .filter(col("d2") === col("d1") + 100000 && col("d1") < 100)
+          .select(col("d1").as("doc_id"),
+            (col("hamming") === 0).as("ham0"))
+        base.filter(col("doc_id") < 100).select("doc_id")
+          .join(twinHit, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("ham0").isNotNull.as("twin_found"),
+            coalesce(col("ham0"), lit(false)).as("hamming_zero"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, true AS twin_found, true AS hamming_zero
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
 
     // Embedding cosine near-dup: top-20 most similar pairs (always
     // non-empty, unlike a fixed threshold on synthetic data). Runs the
@@ -275,42 +352,68 @@ object LlmQueries {
              |FROM ranked WHERE rk <= 5
              |ORDER BY query_id, rk""".stripMargin)),
 
-    // LSH-bucketed ANN (random-hyperplane signatures → per-bucket exact):
-    // the 100 TB scale path; rows-only (recall measured in SimilaritySpec).
+    // LSH-bucketed ANN with an in-plan accuracy contract: the corpus is
+    // embeddings ∪ exact copies of the 10 query vectors (vec_id+100000).
+    // An identical vector has identical plane dot products, hence
+    // identical bucket keys in every table — the twin is GUARANTEED a
+    // candidate, and the exact re-rank must put it at rank 1 with cosine
+    // 1.0 (next-best synthetic pair is cos≈0.45). The per-query boolean
+    // goes out; the oracle matches literal TRUE (the q_approx_distinct
+    // gate pattern — the hyperplane family is not portable SQL). Recall
+    // on non-planted neighbours stays measured in LlmSpec.
     QueryDef(
       "q_sim_ann_lsh",
-      (s, dir) => Similarity.lshTopK(
-          load(s, dir, "embeddings"),
-          load(s, dir, "embeddings").filter(col("vec_id") < 10),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val top = Similarity.lshTopK(corpus, queries,
           k = 5, planes = 8, tables = 4)
-        .orderBy(col("query_id"), col("rk")),
-      None),
+        annTwinGate(queries, top)
+      },
+      Some(annTwinGateSql)),
 
     // IVF-cell ANN (k-means coarse quantizer, nprobe-cell probing): the
-    // data-adaptive ANN scale path next to sign-LSH; rows-only (recall and
-    // the nprobe=nlist ≡ brute-force anchor are pinned in LlmSpec).
+    // data-adaptive ANN scale path next to sign-LSH. In-plan twin gate:
+    // an exact copy of the query lands in the query's own nearest cell
+    // (identical score array → identical argmin), which is always probe
+    // #1 — guaranteed candidacy, rank 1, cosine 1.0. The nprobe=nlist ≡
+    // brute-force anchor stays oracle-green in q_sim_ivf_exhaustive.
     QueryDef(
       "q_sim_ivf",
-      (s, dir) => Similarity.ivfTopK(
-          load(s, dir, "embeddings"),
-          load(s, dir, "embeddings").filter(col("vec_id") < 10),
-          k = 5, nlist = 16, nprobe = 4)
-        .orderBy(col("query_id"), col("rk")),
-      None),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        annTwinGate(queries,
+          Similarity.ivfTopK(corpus, queries, k = 5, nlist = 16, nprobe = 4))
+      },
+      Some(annTwinGateSql)),
 
     // Product-quantization ANN (codes + ADC lookup scoring + exact
     // re-rank): the memory-compression tier beside IVF's pruning — 64
     // floats per vector become 8 codes for the candidate scan. Rows-only;
     // recall and the refine-everything ≡ brute-force anchor are pinned in
     // LlmSpec, and q_sim_pq_exhaustive below is oracle-checked.
+    // In-plan twin gate: the exact copy encodes to the query's own PQ
+    // codes (identical subvectors → identical per-subspace argmin), so
+    // its ADC score is the query's self-reconstruction similarity (≫ the
+    // cos≈0.45 synthetic ceiling of other rows) — guaranteed into the
+    // k·refine ADC window, and the exact re-rank must then put it at
+    // rank 1 with cosine 1.0.
     QueryDef(
       "q_sim_pq",
-      (s, dir) => Similarity.pqTopK(
-          load(s, dir, "embeddings"),
-          load(s, dir, "embeddings").filter(col("vec_id") < 10),
-          k = 5, m = 8, ksub = 16, refine = 4)
-        .orderBy(col("query_id"), col("rk")),
-      None),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        annTwinGate(queries,
+          Similarity.pqTopK(corpus, queries, k = 5, m = 8, ksub = 16, refine = 4))
+      },
+      Some(annTwinGateSql)),
 
     // PQ with the refine window covering the whole corpus: every row
     // passes to the exact cosine re-rank, so the full pipeline (codebook
@@ -350,16 +453,23 @@ object LlmQueries {
              |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
     // IVF-PQ composed (cell pruning × code compression) — the production
-    // ANN shape; rows-only, with the exhaustive-everything ≡ brute-force
-    // anchor pinned in LlmSpec.
+    // ANN shape. In-plan twin gate composes both structural guarantees:
+    // the exact copy sits in the always-probed nearest cell (IVF) and
+    // carries the query's own codes (PQ), so it must survive the ADC
+    // window and re-rank to rank 1 at cosine 1.0. The
+    // exhaustive-everything ≡ brute-force anchor stays pinned in LlmSpec.
     QueryDef(
       "q_sim_ivfpq",
-      (s, dir) => Similarity.ivfPqTopK(
-          load(s, dir, "embeddings"),
-          load(s, dir, "embeddings").filter(col("vec_id") < 10),
-          k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4)
-        .orderBy(col("query_id"), col("rk")),
-      None),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        annTwinGate(queries,
+          Similarity.ivfPqTopK(corpus, queries,
+            k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4))
+      },
+      Some(annTwinGateSql)),
 
     // IVF with exhaustive probing (nprobe = nlist) degenerates to exact
     // brute force — which makes the whole IVF pipeline (train, assign,
@@ -965,7 +1075,8 @@ object LlmQueries {
       "q_dedup_edit",
       (s, dir) => Dedup.editDistancePairs(
           load(s, dir, "part").filter(col("p_partkey") < 400),
-          maxDist = 3, textCol = "p_name", idCol = "p_partkey")
+          maxDist = 3, textCol = "p_name", idCol = "p_partkey",
+          maxBlockSize = 500)
         .orderBy(col("d1"), col("d2")),
       Some("""WITH k AS (
              |  SELECT p_partkey AS id, p_name AS t,
@@ -1669,14 +1780,43 @@ object LlmQueries {
              |WHERE rn <= quota ORDER BY r.source, r.doc_id""".stripMargin)),
 
     // Embedding k-means (corpus curation: domain balancing / diversity
-    // sampling). Iterative — not SQL-expressible; rows-only here, planted
-    // ground truth + determinism in ClusteringSpec.
+    // sampling). The iteration itself is not SQL-expressible, so the
+    // query surfaces two in-plan accuracy contracts as booleans the
+    // oracle matches with literal TRUE:
+    //  - twin coherence: an EXACT copy of a vector (vec_id+100000) must
+    //    land in the same cluster — identical v → identical score array
+    //    → identical argmin, a structural guarantee of a correct
+    //    assignment sweep;
+    //  - Lloyd contraction: the per-iteration inertia sequence (measured
+    //    inside the update aggregate, Clustering.trainCentroidsDiag) is
+    //    non-increasing (1e-9 relative tolerance for FP summation order).
+    // Planted-blob recovery + rerun determinism stay in ClusteringSpec.
     QueryDef(
       "q_cluster_kmeans",
-      (s, dir) => graft.llm.Clustering.kmeans(
-        load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 5)
-        .orderBy(col("vec_id")),
-      None),
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val twins = base.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        val (assigned, inertia) = graft.llm.Clustering.kmeansWithInertia(
+          base.unionByName(twins), "vec_id", "embedding", k = 8, iters = 5)
+        val monotone = inertia.indices.drop(1)
+          .forall(t => inertia(t) <= inertia(t - 1) * (1 + 1e-9))
+        assigned.filter(col("vec_id") < 100)
+          .join(assigned
+            .filter(col("vec_id") >= 100000)
+            .select((col("vec_id") - 100000).as("vec_id"),
+              col("cluster").as("twin_cluster")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster") === col("twin_cluster"), lit(false))
+              .as("twin_same_cluster"),
+            lit(monotone).as("inertia_monotone"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, true AS twin_same_cluster,
+             |  true AS inertia_monotone
+             |FROM embeddings WHERE vec_id < 100
+             |ORDER BY vec_id""".stripMargin)),
 
     // Diversity sampling: per-region quota over an embedding-space
     // partition — every region keeps representation while no dense region
@@ -1799,28 +1939,30 @@ object LlmQueries {
              |  CAST(floor(max(m) * 1000000 + 0.5) AS BIGINT) AS scale_micro
              |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
-    // Deterministic corpus shuffle + sharding (the reproducible
-    // training-order primitive): shard = Knuth multiplicative hash of the
-    // id (rerun- and cluster-size-stable, leakage-free — depends only on
-    // the id), position within shard = md5-ordered row_number. Unlike
-    // ORDER BY rand(): oracle-exact, identical on any engine, and
-    // shuffle-light — no global sort, one window per shard partition.
+    // Deterministic corpus shuffle + sharding (Sharding.shuffleShard).
+    // The shard count is DERIVED from the corpus size (one driver-side
+    // count sizes the parameter — the q_sim_pq_exhaustive pattern), so
+    // per-window-task rows stay bounded by ~docsPerShard as the corpus
+    // grows; a hardcoded count would be a parallelism ceiling (12.5 TB
+    // per task at 100 TB with 8 shards). The oracle derives the same
+    // count from the same formula, so the compare is SF-independent:
+    // 64-doc fixture shards give 8 at sf0.01, 79 at sf0.1.
     QueryDef(
       "q_shuffle_shard",
       (s, dir) => {
-        val u = (pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)) %
-          lit(4294967296L)
-        val w = Window.partitionBy(col("shard"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        load(s, dir, "documents")
-          .select(col("doc_id"), (u % lit(8)).as("shard"))
-          .withColumn("pos", row_number().over(w))
+        val docs = load(s, dir, "documents")
+        val shards = graft.llm.Sharding.shardCount(
+          docs.count(), docsPerShard = 64)
+        graft.llm.Sharding.shuffleShard(docs, shards)
           .orderBy(col("shard"), col("pos"))
       },
-      Some("""WITH s AS (
+      Some("""WITH n AS (
+             |  SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+             |  FROM documents),
+             |s AS (
              |  SELECT doc_id,
              |    (((doc_id % 2147483648 + 2147483648) % 2147483648)
-             |      * 2654435761) % 4294967296 % 8 AS shard
+             |      * 2654435761) % 4294967296 % (SELECT k FROM n) AS shard
              |  FROM documents)
              |SELECT doc_id, shard,
              |  row_number() OVER (PARTITION BY shard

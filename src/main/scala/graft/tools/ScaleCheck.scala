@@ -59,17 +59,25 @@ object ScaleCheck {
     // marker is versioned by synthesis algorithm: a stale corpus from an
     // older synthesis (e.g. the token-tagged variant) must regenerate,
     // not get silently measured under the new method's claims
-    if (new java.io.File(fs, "_DONE_caesar_v2").exists()) return
+    if (new java.io.File(fs, "_DONE_caesar_v3").exists()) return
     fs.mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    // rotate BOTH cases so uppercase letters are not cross-copy fixed
+    // points (digits/punctuation remain — testdata text is lowercase
+    // words + spaces, and a shared digit shingle would need 5 adjacent
+    // non-letter chars to collide at shingleSize=5); the lower/upper
+    // rotation stays bijective, preserving intra-copy dup structure
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val upper = alpha.toUpperCase
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
         .withColumn("text", translate(col("text"),
-          alpha, alpha.drop(k % 26) + alpha.take(k % 26)))
+          alpha + upper,
+          alpha.drop(k % 26) + alpha.take(k % 26) +
+            upper.drop(k % 26) + upper.take(k % 26)))
     }
     docCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -78,7 +86,7 @@ object ScaleCheck {
       else embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v2")).close()
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v3")).close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,7 +111,7 @@ object ScaleCheck {
     val allRuns: Seq[(String, String => DataFrame)] = Seq(
       ("q_dedup_minhash", dir => Dedup.minhashLsh(
         spark.read.parquet(s"$dir/documents.parquet"),
-        numHashes = 64, bands = 16, shingleSize = 5)),
+        numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)),
       // full corpus, not the oracle's doc_id<120 slice — the library path
       ("q_dedup_jaccard_prefix", dir => Dedup.prefixFilteredJaccardPairs(
         spark.read.parquet(s"$dir/documents.parquet"), minJaccard = 0.8)),
