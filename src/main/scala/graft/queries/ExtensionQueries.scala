@@ -66,25 +66,60 @@ object ExtensionQueries {
              |SELECT k AS o_orderkey, max(acc) AS digit_sum FROM ds GROUP BY k
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // Multimodal: synthetic media (binary + typed metadata) → stubbed
-    // decode → per-media features, partition-local. Rows-only (the media
-    // table is engine-synthesized; ground truth in MultimodalSpec).
+    // Multimodal: synthetic media (REAL PNG bytes + typed metadata) →
+    // javax.imageio decode → per-media features, partition-local. The
+    // fixture pixels follow the closed form (id·31 + rasterIndex) % 256
+    // with id-derived dims, so the oracle recomputes every feature —
+    // width, height, byte count, and the exact integer mean — from the
+    // id alone: a wrong decode (dims, channel handling, pixel values)
+    // breaks the hash match. This is a true decode gate, not plumbing.
     QueryDef(
       "q_multimodal_features",
       (s, _) => Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 256))
         .orderBy(col("media_id")),
-      None),
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    CAST(4 + i % 28 AS INT) AS width,
+             |    CAST(4 + (i * 7) % 28 AS INT) AS height,
+             |    CAST(3 AS INT) AS channels
+             |  FROM generate_series(0, 255) AS g(i)),
+             |px AS (
+             |  SELECT media_id, width, height, channels,
+             |    sum((media_id * 31 + j) % 256) AS s, count(*) AS n
+             |  FROM m, unnest(generate_series(0, width * height * channels - 1)) AS u(j)
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT media_id, width, height, channels,
+             |  CAST(n AS BIGINT) AS n_bytes,
+             |  CAST((s * 1000000) // n AS BIGINT) AS mean_micro
+             |FROM px ORDER BY media_id""".stripMargin)),
 
+    // Frame sampling over the same real-PNG fixture: row count AND the
+    // summed pixel content of the sampled frames are recomputed by the
+    // oracle from the closed form (rows y ≡ 0 mod stride), so a decoder
+    // that samples the wrong rows or corrupts frame bytes fails the hash.
     QueryDef(
       "q_multimodal_frames",
       (s, _) => {
         val media = Multimodal.syntheticMedia(s, 64)
         Multimodal.sampleFrames(media, stride = 4)
           .groupBy(col("media_id"))
-          .agg(count(lit(1)).as("n_frames"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("frame_sum")).as("pix_sum"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    4 + i % 28 AS width, 4 + (i * 7) % 28 AS height
+             |  FROM generate_series(0, 63) AS g(i)),
+             |px AS (
+             |  SELECT media_id,
+             |    CAST(sum(CASE WHEN (j // (width * 3)) % 4 = 0
+             |             THEN (media_id * 31 + j) % 256 ELSE 0 END) AS BIGINT) AS pix_sum
+             |  FROM m, unnest(generate_series(0, width * height * 3 - 1)) AS u(j)
+             |  GROUP BY media_id)
+             |SELECT m.media_id, CAST((m.height + 3) // 4 AS BIGINT) AS n_frames,
+             |  px.pix_sum
+             |FROM m JOIN px USING (media_id) ORDER BY media_id""".stripMargin)),
 
     // Typed cogroup — the per-group imperative escape hatch for logic
     // spanning TWO datasets (the batch sibling of

@@ -2,45 +2,76 @@ package graft.llm
 
 import graft.SparkSpec
 
-/** Ground truth for the multimodal plumbing (codec stubbed, Spark-side
-  * schema/batching real). */
+/** Ground truth for the multimodal path with the REAL javax.imageio PNG
+  * codec: byte-exact raster round-trips, closed-form feature recovery,
+  * corrupt-blob quarantine. */
 class MultimodalSpec extends SparkSpec {
 
-  test("encode/decode round-trip is lossless") {
-    val bytes = Multimodal.FakeCodec.encode(8, 6, 3, seed = 99)
-    val d = Multimodal.FakeCodec.decode(bytes)
+  test("PNG encode/decode round-trips the RGB raster byte-exactly") {
+    val (w, h) = (8, 6)
+    val raster = Array.tabulate(w * h * 3)(j => ((j * 13 + 7) % 256).toByte)
+    val bytes = Multimodal.ImageCodec.encodePng(w, h, raster)
+    // real PNG magic, not a synthetic header
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val d = Multimodal.ImageCodec.decode(bytes)
     assert(d.width == 8 && d.height == 6 && d.channels == 3)
-    assert(d.pixels.length == 8 * 6 * 3)
-    // deterministic: same seed → same payload
-    assert(java.util.Arrays.equals(bytes,
-      Multimodal.FakeCodec.encode(8, 6, 3, seed = 99)))
+    assert(java.util.Arrays.equals(d.pixels, raster))
   }
 
-  test("extractFeatures: one row per media, consistent dims") {
-    val media = Multimodal.syntheticMedia(spark, 50)
-    val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.length == 50)
-    assert(feats.forall(r => r.getInt(4) == r.getInt(1) * r.getInt(2) * r.getInt(3)))
-    assert(feats.forall(r => r.getDouble(5) >= 0 && r.getDouble(5) <= 255))
-    // deterministic across evaluations
-    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 50))
-      .collect()
-    assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  test("corrupt and non-image bytes are quarantined, not task-killers") {
+    assert(Multimodal.ImageCodec.tryDecode("not a png".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.tryDecode(Array[Byte](0x89.toByte, 'P', 'N',
+      'G', 13, 10, 26, 10, 0, 0)).isEmpty)
+    val media = Multimodal.syntheticMedia(spark, 5)
+    import SparkSpec.spark.implicits._
+    val corrupt = Seq((99L, "image", "garbage".getBytes, "image/png",
+      Map("camera" -> "camX"))).toDF("media_id", "kind", "content", "mime", "meta")
+    val feats = Multimodal.extractFeatures(media.unionByName(corrupt)).collect()
+    assert(feats.length == 5, "corrupt blob must be skipped, valid ones kept")
+  }
+
+  test("extractFeatures recovers the closed-form pixel stats per media") {
+    val n = 50
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, n))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(feats.size == n)
+    (0 until n).foreach { i =>
+      val w = 4 + i % 28
+      val h = 4 + (i * 7) % 28
+      val cnt = w * h * 3
+      val sum = (0 until cnt).map(j => (i.toLong * 31 + j) % 256).sum
+      assert(feats(i.toLong) == (w, h, 3, cnt.toLong, sum * 1000000L / cnt),
+        s"media $i decoded features diverge from the closed form")
+    }
   }
 
   test("resize produces target dims, preserves channels") {
     val media = Multimodal.syntheticMedia(spark, 10)
-    val resized = Multimodal.resize(media, 16, 12)
-    val feats = Multimodal.extractFeatures(resized).collect()
-    assert(feats.forall(r => r.getInt(1) == 16 && r.getInt(2) == 12 && r.getInt(3) == 3))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resize(media, 16, 12)).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(r => r.getInt(1) == 16 && r.getInt(2) == 12 &&
+      r.getInt(3) == 3))
   }
 
-  test("sampleFrames explodes height/stride rows per media") {
+  test("sampleFrames explodes height/stride rows with exact row content") {
     val media = Multimodal.syntheticMedia(spark, 10)
-    val heights = Multimodal.extractFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getInt(2)).toMap
     val frames = Multimodal.sampleFrames(media, stride = 4).collect()
-    val byMedia = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
-    assert(byMedia == heights.map { case (id, h) => id -> (h + 3) / 4 })
+    val byMedia = frames.groupBy(_.getLong(0))
+    (0 until 10).foreach { i =>
+      val w = 4 + i % 28
+      val h = 4 + (i * 7) % 28
+      val mine = byMedia(i.toLong)
+      assert(mine.length == (h + 3) / 4)
+      mine.foreach { r =>
+        val y = r.getInt(1)
+        val expected = (0 until w * 3)
+          .map(k => (i.toLong * 31 + y * w * 3 + k) % 256).sum
+        assert(r.getLong(3) == expected,
+          s"frame (media $i, row $y) byte sum diverges")
+      }
+    }
   }
 }
