@@ -453,40 +453,40 @@ object RelationalQueries {
     // its exponential-clock form): each row draws a deterministic uniform
     // u from a Knuth multiplicative hash of its key — plain BIGINT
     // arithmetic, bit-identical in any engine, unlike RNG sampling — and
-    // races with clock -ln(u)/weight; the k smallest clocks are the
-    // sample, inclusion probability ∝ weight. Distributed shape: per-row
-    // arithmetic + TakeOrderedAndProject top-k (per-partition heaps, no
-    // global sort), the same at any scale. The clock itself is never
-    // emitted: libm ln may differ in the last ulp across engines, which
-    // would fail a bit-exact compare of the clock values. ACCEPTED residual
-    // oracle risk (not fixable without changing the algorithm): two rows
-    // whose clocks agree to ~1e-16 relative could straddle rank 50
-    // differently across engines — the exponential transform that makes
-    // A-ES inclusion exactly ∝ weight has no integer-arithmetic equivalent,
-    // and on continuous clock values a 1-ulp flip at exactly the boundary
-    // pair is vanishingly rare (never observed at sf0.001-0.1; revisit only
-    // if this row ever flakes). The key is masked to 2^31
-    // BEFORE the multiply: (2^31-1)·2654435761 ≈ 5.7e18 stays inside
-    // int64, where the unmasked product overflows (wrapping silently in
-    // Spark, erroring in ANSI engines) once keys pass ~3.5e9.
+    // races with priority key weight_cents · u: the k LARGEST keys are
+    // the sample, inclusion monotone in weight (a heavier row beats a
+    // lighter one at equal hash draw). PURE-INTEGER ranking: weight in
+    // exact cents × the 32-bit hash draw stays a BIGINT product
+    // (~6e7·4.3e9 ≈ 2.6e17 < 2^63), so rank-50 membership is a BIGINT
+    // compare with an o_orderkey tie-break — no libm anywhere, nothing
+    // for engines to disagree on in the last ulp. (The classic A-ES
+    // exponential clock -ln(u)/w gives exactly-∝-weight marginals but
+    // rides libm ln, whose 1-ulp cross-engine drift at the rank boundary
+    // was this query's one documented oracle flake risk — retired round
+    // 6.) Distributed shape: per-row arithmetic + TakeOrderedAndProject
+    // top-k (per-partition heaps, no global sort), the same at any scale.
+    // The hash input is masked to 2^31 BEFORE the multiply:
+    // (2^31-1)·2654435761 ≈ 5.7e18 stays inside int64, where the
+    // unmasked product overflows once keys pass ~3.5e9.
     QueryDef(
       "q_sample_weighted",
       (s, dir) => {
-        val u = (((col("o_orderkey") % lit(2147483648L)) * lit(2654435761L))
-          % lit(4294967296L) + lit(0.5)) / lit(4294967296.0)
+        val u = ((col("o_orderkey") % lit(2147483648L)) * lit(2654435761L)) %
+          lit(4294967296L)
         load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
-            (-log(u) / col("o_totalprice")).as("_clock"))
-          .orderBy(col("_clock"), col("o_orderkey"))
+            (Tables.cents(col("o_totalprice")) * u).as("_key"))
+          .orderBy(col("_key").desc, col("o_orderkey"))
           .limit(50)
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_totalprice FROM (
              |  SELECT o_orderkey, o_totalprice,
-             |    -ln((((o_orderkey % 2147483648) * 2654435761) % 4294967296
-             |         + 0.5) / 4294967296.0) / o_totalprice AS clock
-             |  FROM orders ORDER BY clock, o_orderkey LIMIT 50)
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |      * (((o_orderkey % 2147483648) * 2654435761) % 4294967296)
+             |      AS key
+             |  FROM orders ORDER BY key DESC, o_orderkey LIMIT 50)
              |ORDER BY o_orderkey""".stripMargin)),
 
     // Stratified sampling: per-stratum fractions via the deterministic

@@ -59,7 +59,7 @@ object ScaleCheck {
     // marker is versioned by synthesis algorithm: a stale corpus from an
     // older synthesis (e.g. the token-tagged variant) must regenerate,
     // not get silently measured under the new method's claims
-    if (new java.io.File(fs, "_DONE_caesar_v3").exists()) return
+    if (new java.io.File(fs, "_DONE_caesar_v4").exists()) return
     fs.mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
@@ -86,7 +86,19 @@ object ScaleCheck {
       else embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v3")).close()
+    // lineitem (graph edges only): shifting BOTH keys by k·10⁷ yields k
+    // disjoint graph components — src stays < 2·10⁵ and dst ≥ 10⁶ inside
+    // each 10⁷ block, so copies never cross-link and the pagerank
+    // workload scales exactly with nodes+edges
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"))
+    (0 until factor).map { k =>
+      if (k == 0) li
+      else li.select((col("l_partkey") + lit(k * 10000000L)).as("l_partkey"),
+        (col("l_suppkey") + lit(k * 10000000L)).as("l_suppkey"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v4")).close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,7 +147,26 @@ object ScaleCheck {
       ("q_dedup_spans", dir =>
         graft.SparkEntry.queries("q_dedup_spans")(spark, dir)),
       ("q_decontaminate_bloom", dir =>
-        graft.SparkEntry.queries("q_decontaminate_bloom")(spark, dir)))
+        graft.SparkEntry.queries("q_decontaminate_bloom")(spark, dir)),
+      // round-6 additions: the iterative fixpoint graph sweep (synthesized
+      // lineitem = disjoint component copies), the exact label-aware
+      // mining path, and the CCNet pair — exact per-language window sort
+      // vs the sort-free approx-cutoff production shape, so the trajectory
+      // table shows WHY the approx path is spec-pinned
+      ("q_graph_pagerank", dir => graft.llm.Graphs.pagerankExact(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst")),
+        iters = 8).orderBy(col("rank").desc, col("node")).limit(100)),
+      ("q_sim_hard_negatives", dir => {
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.hardNegativesTopK(embs, embs.filter(col("vec_id") < 10),
+          k = 5)
+      }),
+      ("q_ccnet_buckets_exact", dir =>
+        graft.SparkEntry.queries("q_ccnet_buckets")(spark, dir)),
+      ("q_ccnet_buckets_approx", dir => graft.llm.TextAnalysis
+        .pplBucketsApprox(spark.read.parquet(s"$dir/documents.parquet"))))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
 
