@@ -109,4 +109,21 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kmeans(tiny, "vec_id", "embedding", k = 5, iters = 1)
     }
   }
+
+  test("kmeansWithInertia: Lloyd contraction holds and the sweep converges " +
+      "on the blobs") {
+    val (assigned, inertia) = Clustering.kmeansWithInertia(
+      blobs, "vec_id", "embedding", k = 3, iters = 5)
+    assert(assigned.count() == 30)
+    assert(inertia.length == 5)
+    assert(inertia.forall(_ >= 0.0))
+    // non-increasing per Lloyd's contraction (tolerance for FP sum order)
+    inertia.indices.drop(1).foreach(t =>
+      assert(inertia(t) <= inertia(t - 1) * (1 + 1e-9),
+        s"inertia rose at iteration $t: ${inertia.toSeq}"))
+    // blob recovery implies the final inertia is the within-blob spread,
+    // far below the seed round's (the 3 lowest-id seeds all sit in
+    // different blobs here, but their spread still dwarfs convergence)
+    assert(inertia.last <= inertia.head)
+  }
 }
