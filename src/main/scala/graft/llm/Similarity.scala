@@ -452,6 +452,46 @@ object Similarity {
     rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup pairs
+    * via cluster-partitioned candidate generation. Embeddings are
+    * partitioned by a coarse quantizer (k-means by default, the paper's
+    * construction); candidate pairs are an equi-join ON THE CLUSTER ID —
+    * at any reasonable k a near-duplicate pair shares a cell, so
+    * candidates shrink from n²/2 to Σ|cell|²/2 — and exact cosine
+    * verifies candidates only. The data-adaptive sibling of
+    * [[nearDupPairs]]' sign-LSH buckets; same output contract plus the
+    * cluster id.
+    *
+    * Scale shape: assignment is per-row codegen over plan-literal
+    * centroids (no vector shuffle); the candidate join shuffles bare
+    * (cluster, id) rows; vectors join back per candidate pair only —
+    * the minhashLsh narrowness rule applied to the semantic tier.
+    *
+    * `assignments` (idCol, cluster) overrides the trained quantizer:
+    * the oracle-exact fixed-prototype path and externally trained
+    * clusterings both enter here; None trains k-means on the input.
+    */
+  def semanticNearDupPairs(embeddings: DataFrame, minCos: Double,
+                           k: Int = 64, trainIters: Int = 3,
+                           trainFraction: Double = 1.0,
+                           assignments: Option[DataFrame] = None,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val assigned = assignments
+      .getOrElse(Clustering.kmeans(embeddings, idCol, vecCol, k, trainIters,
+        trainFraction))
+      .select(col(idCol).as("id"), col("cluster"))
+    val pairs = assigned.select(col("cluster"), col("id").as("d1"))
+      .join(assigned.select(col("cluster"), col("id").as("d2")), Seq("cluster"))
+      .filter(col("d1") < col("d2"))
+      .select(col("cluster"), col("d1"), col("d2"))
+    pairCosine(pairs, embeddings, vecCol, idCol)
+      .filter(col("cos_raw") >= minCos)
+      .select(col("cluster"), col("d1"), col("d2"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: candidates = corpus
     * vectors sharing ≥1 table bucket with the query, then exact cosine +
     * per-query window rank on candidates only. Increasing `tables` raises

@@ -294,6 +294,88 @@ object LlmQueries {
              |WHERE cos_sim >= 0.99
              |ORDER BY d1, d2""".stripMargin)),
 
+    // SemDeDup semantic near-dup (Abbas et al. 2023,
+    // Similarity.semanticNearDupPairs): candidates come from an equi-join
+    // on the semantic cluster id instead of LSH buckets — near-dups share
+    // a cell, so candidates are Σ|cell|²/2 ≪ n²/2. For oracle exactness
+    // the cluster assignment here is the deterministic fixed-prototype
+    // Voronoi (first 8 embeddings, integerized-micro dot argmax — the
+    // q_diverse_sample recipe); the trained-k-means assignment is the
+    // library default, planted-twin-pinned in LlmSpec. Corpus plants
+    // exact copies of the first 50 vectors: same integer dot sums →
+    // same cluster → candidate → cosine 1.0 ≥ 0.99.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = base.unionByName(base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val emb = corpus.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        val cent = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "y")))
+        val dp = emb.join(broadcast(cent), "dim")
+          .groupBy(col("vec_id"), col("c"))
+          .agg(sum(floor(col("x") * col("y") * lit(1000000) + lit(0.5))
+            .cast("long")).as("dp_micro"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dp_micro").desc, col("c"))
+        val assigned = dp
+          .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+          .select(col("vec_id"), col("c").as("cluster"))
+        Similarity.semanticNearDupPairs(corpus, minCos = 0.99,
+            assignments = Some(assigned))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id, embedding
+             |  FROM embeddings WHERE vec_id < 50),
+             |e AS (
+             |  SELECT vec_id, i - 1 AS dim,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM corpus,
+             |    unnest(generate_series(1, len(embedding))) AS u(i)),
+             |cent AS (
+             |  SELECT vec_id AS c, i - 1 AS dim,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS y
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(i)
+             |  WHERE vec_id < 8),
+             |dp AS (
+             |  SELECT e.vec_id, cent.c,
+             |    CAST(sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS dp_micro
+             |  FROM e JOIN cent USING (dim) GROUP BY e.vec_id, cent.c),
+             |a AS (
+             |  SELECT vec_id, c AS cluster,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY dp_micro DESC, c) AS rk
+             |  FROM dp),
+             |asg AS (SELECT vec_id, cluster FROM a WHERE rk = 1),
+             |cand AS (
+             |  SELECT x.cluster, x.vec_id AS d1, y.vec_id AS d2
+             |  FROM asg x JOIN asg y
+             |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+             |sims AS (
+             |  SELECT cand.cluster, d1, d2,
+             |    list_dot_product(
+             |        list_transform(va.embedding, v -> CAST(v AS DOUBLE)),
+             |        list_transform(vb.embedding, v -> CAST(v AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(va.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(vb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM cand
+             |  JOIN corpus va ON va.vec_id = d1
+             |  JOIN corpus vb ON vb.vec_id = d2)
+             |SELECT cluster, d1, d2, round(cos_sim, 4) AS cos_sim
+             |FROM sims WHERE cos_sim >= 0.99
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Brute-force cosine top-k: for each query vector (vec_id < 10), the
     // 5 nearest neighbours among all vectors.
     QueryDef(

@@ -22,12 +22,15 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-5 floor: 186 queries, 177 of them oracle-checked — bump these
+    // round-6 floor: 187 queries, ALL 187 oracle-checked (the former 9
+    // rows-only approximate operators carry in-plan accuracy-contract
+    // booleans; the multimodal pair rides the real-PNG closed form;
+    // q_dedup_semantic is new) — bump these
     // when operators are added so a bad refactor can't drop queries
     // without failing CI
-    assert(SparkEntry.queries.size >= 186,
+    assert(SparkEntry.queries.size >= 187,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 177,
+    assert(SparkEntry.oracleSql.size >= 187,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -505,4 +505,36 @@ class LlmSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("semanticNearDupPairs (trained k-means path) finds planted twins " +
+      "with cluster-bounded candidates") {
+    import SparkSpec.spark.implicits._
+    // 3 far-apart blobs of 10 vectors; ids 0/10/20 get exact twins
+    // (id+1000). A correct SemDeDup must (a) recover each twin pair at
+    // cosine 1.0, (b) emit NO cross-blob pair (cross-blob cosine is ~0,
+    // far under the threshold, and cluster partitioning should not even
+    // generate most of those candidates).
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0))
+    val basePts = (0 until 30).map { i =>
+      val c = centers(i / 10)
+      (i.toLong, c.map(x => (x + (i % 10) * 0.01).toFloat))
+    }
+    val twins = Seq(0, 10, 20).map { i =>
+      (i.toLong + 1000, basePts(i)._2.clone())
+    }
+    val corpus = (basePts ++ twins).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(corpus, minCos = 0.999,
+        k = 3, trainIters = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val twinPairs = pairs.filter { case (d1, d2, _) => d2 == d1 + 1000 }
+    assert(twinPairs.map(_._1).toSet == Set(0L, 10L, 20L),
+      s"missing planted twin pairs in ${pairs.toSeq}")
+    assert(twinPairs.forall(_._3 == 1.0))
+    // nothing across blobs survives the threshold
+    assert(pairs.forall { case (d1, d2, _) =>
+      (d1 % 1000) / 10 == (d2 % 1000) / 10 })
+  }
 }

@@ -141,6 +141,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_dedup_semantic: cluster equi-join candidates, no nested-loop join") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_quota_per_key: quota filter prunes via WindowGroupLimit") {
     assert(plan("q_quota_per_key").contains("WindowGroupLimit"))
   }
