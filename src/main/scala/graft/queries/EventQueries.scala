@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * aggregation (batch shape of the Structured Streaming operators in
   * `graft.streaming`), session windows, and an as-of join.
   *
-  * `events.ts` is nanosecond parquet → Spark truncates to µs, so outputs
-  * only emit truncated timestamps (window starts, second-truncations).
+  * `events.ts` always loads as a µs `TimestampType` regardless of the
+  * parquet's physical encoding (Tables.load normalizes ns-legacy /
+  * µs-NTZ / µs-LTZ), so outputs only emit µs-or-coarser timestamps
+  * (window starts, second-truncations) and comparisons happen in
+  * integer microseconds (`unix_micros` / DuckDB `epoch_us`).
   */
 object EventQueries {
   import Tables.load
@@ -155,7 +158,7 @@ object EventQueries {
     // over the bounded window). Same union + one-window shape as
     // q_asof_join — the tolerance is a per-row µs comparison AFTER the
     // window, so the plan cost is unchanged. Oracle compares at
-    // MICROseconds throughout (ns parquet truncates on Spark read).
+    // MICROseconds throughout (ts loads at µs precision; see header).
     QueryDef(
       "q_asof_tolerance",
       (s, dir) => {
@@ -242,9 +245,8 @@ object EventQueries {
              |                    THEN 0 ELSE 1 END) AS rk
              |  FROM p JOIN events c
              |    ON c.user_id = p.user_id AND c.event_type = 'click'
-             |   -- compare at MICROseconds: events.ts is ns parquet, which
-             |   -- Spark truncates to us on read while DuckDB keeps ns — a
-             |   -- raw ts <> would re-admit same-us clicks Spark excludes
+             |   -- compare at MICROseconds (both engines read us data; the
+             |   -- integer epoch_us comparison stays exact either way)
              |   AND epoch_us(c.ts) <> epoch_us(p.ts))
              |SELECT p.event_id,
              |  date_trunc('second', cand.cts) AS nearest_click_s

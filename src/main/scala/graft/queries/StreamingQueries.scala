@@ -117,12 +117,15 @@ object StreamingQueries {
     QueryDef(
       "q_stream_chained_agg",
       (s, dir) => {
-        val maxTs = Tables.load(s, dir, "events")
-          .agg(max(col("ts"))).head.getTimestamp(0)
+        // in-plan epoch-µs max, read back as Long: type-proof against the
+        // loaded ts being LTZ vs NTZ (a raw getTimestamp would crash on
+        // the LocalDateTime an NTZ row returns)
+        val maxMicros = Tables.load(s, dir, "events")
+          .agg(max(unix_micros(col("ts")))).head.getLong(0)
         EventStreams.runAvailableNowAppendHeartbeat(
             s, s"$dir/events.parquet",
             df => EventStreams.chainedWindowAgg(df), "stream_chained_agg")
-          .filter(col("hs") <= lit(maxTs))
+          .filter(col("hs") <= timestamp_micros(lit(maxMicros)))
           .orderBy(col("hs"), col("event_type"))
       },
       Some("""WITH c AS (

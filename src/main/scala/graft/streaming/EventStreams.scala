@@ -250,10 +250,14 @@ object EventStreams {
     * `complete` output mode keeps every window (no watermark-based state
     * eviction race for a finite input); checkpoint under target/tmp.
     */
-  /** The parquet source rejects nanosecond timestamps
-    * (PARQUET_TYPE_ILLEGAL) — stage a µs-precision copy once per
-    * (path, JVM) and stream from that. Conversion via Tables.load is
-    * lossless (testdata timestamps are µs-aligned). */
+  /** Stage a normalized copy of the events parquet once per (path, JVM)
+    * and stream from that: Tables.load absorbs whatever physical encoding
+    * the driver generated (ns-legacy, which the parquet streaming source
+    * rejects with PARQUET_TYPE_ILLEGAL; µs-NTZ, which `withWatermark`
+    * rejects — event time must be TimestampType) and the staged file is
+    * always a µs session-local timestamp the watermark machinery accepts.
+    * Conversion is lossless (testdata timestamps are µs-aligned, UTC
+    * session). */
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stageMicros(spark: SparkSession, eventsPath: String): String =
     staged.getOrElseUpdate(eventsPath, {
@@ -308,10 +312,13 @@ object EventStreams {
       ev.coalesce(1).write.mode("overwrite").parquet(dir)
       val dataFiles = partFiles()
       pin(dataFiles, 0)
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      // in-plan epoch-µs max (type-proof: getTimestamp crashes if ts ever
+      // loads as TIMESTAMP_NTZ — rows carry LocalDateTime, not Timestamp)
+      val maxMicros = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
       def heartbeat(round: Int): Unit = {
         val before = partFiles()
-        val hbTs = new java.sql.Timestamp(maxTs.getTime + round * 86400000L)
+        val hbTs = new java.sql.Timestamp(
+          maxMicros / 1000L + round * 86400000L)
         val hb = ev.sparkSession.range(2).select(
           (col("id") - 2L * round).as("event_id"), // negative: disjoint ids
           lit(hbTs).as("ts"),
@@ -342,13 +349,36 @@ object EventStreams {
       (if (heartbeat) reader.option("maxFilesPerTrigger", "1") else reader)
         .parquet(path)
     val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
-    val q = transform(stream).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Size the STATEFUL shuffle from the input, not the CPU count: each
+    // stateful operator pays a state-store open/commit per partition per
+    // micro-batch regardless of rows, so 32 CPU-derived partitions over a
+    // few-MB micro-batch is ~192 tiny-file commits of pure overhead
+    // (measured 12.6 s → 3.5 s on q_stream_chained_agg at sf0.1 going
+    // 32 → 8). AQE coalesces exactly this for batch plans but is disabled
+    // across stateful streaming stages (partition count is frozen into
+    // the checkpoint), so the runner derives it: one partition per 32 MB
+    // of input, floor 4, capped at the session setting — a big input on a
+    // big session keeps the session's parallelism. Scoped set/restore:
+    // the conf is captured at query START (same pattern as
+    // [[withRocksDbStateStore]]).
+    val dataBytes = Option(new java.io.File(path)
+        .listFiles((_, n) => n.endsWith(".parquet")))
+      .map(_.map(_.length).sum).getOrElse(0L)
+    val key = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(key).toInt
+    val stateParts = math.max(4L,
+      math.min(sessionParts.toLong, dataBytes / (32L << 20) + 1)).toInt
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, stateParts.toString)
+    val q =
+      try transform(stream).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set(key, saved)
     q.awaitTermination()
     spark.table(queryName)
   }

@@ -59,7 +59,7 @@ object ScaleCheck {
     // marker is versioned by synthesis algorithm: a stale corpus from an
     // older synthesis (e.g. the token-tagged variant) must regenerate,
     // not get silently measured under the new method's claims
-    if (new java.io.File(fs, "_DONE_caesar_v4").exists()) return
+    if (new java.io.File(fs, "_DONE_caesar_v5").exists()) return
     fs.mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
@@ -98,7 +98,22 @@ object ScaleCheck {
         (col("l_suppkey") + lit(k * 10000000L)).as("l_suppkey"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v4")).close()
+    // events (streaming-family trajectory): id/user shifts keep copies
+    // disjoint (per-user sessions and view→purchase pairs never cross
+    // copies); ts is UNCHANGED, so k× data = k× traffic over the same
+    // time range — the realistic stream-scaling axis (state per window
+    // key grows with traffic; watermark advance pattern is identical).
+    // Written raw (NTZ passes through), mirroring the driver's physical
+    // contract — the streaming runner normalizes via Tables.load.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(k * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v5")).close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,7 +181,16 @@ object ScaleCheck {
       ("q_ccnet_buckets_exact", dir =>
         graft.SparkEntry.queries("q_ccnet_buckets")(spark, dir)),
       ("q_ccnet_buckets_approx", dir => graft.llm.TextAnalysis
-        .pplBucketsApprox(spark.read.parquet(s"$dir/documents.parquet"))))
+        .pplBucketsApprox(spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-7 addition: the chained two-stateful-operator streaming
+      // query (per-10-min counts → hourly peak) — the heaviest
+      // state-store path in the bench. k× traffic over the same time
+      // range, so state keys stay constant while per-key updates scale;
+      // a super-linear curve here would flag state-store or shuffle
+      // pathology the batch rows can't see. (Timed cell includes the
+      // one-off heartbeat staging on rep 1; best-of-2 drops it.)
+      ("q_stream_chained_agg", dir =>
+        graft.SparkEntry.queries("q_stream_chained_agg")(spark, dir)))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
 
