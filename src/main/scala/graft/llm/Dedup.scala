@@ -324,6 +324,67 @@ object Dedup {
           / lit(numHashes.toDouble), 4).as("est_jaccard"))
   }
 
+  /** Incremental MinHash-LSH dedup: match a NEW batch of documents against
+    * an existing HISTORY corpus — the production ingest pattern (daily crawl
+    * deltas dedup against the accumulated corpus without ever re-pairing
+    * history with itself). Returns (batch_id, hist_id, est_jaccard), one
+    * row per banded candidate pair.
+    *
+    * Scale shape: both sides reduce to signatures (same hash family, so
+    * identical text ⇒ identical signature regardless of which side it is
+    * on), candidates come from an ASYMMETRIC band-bucket equi-join — batch
+    * bands against history bands only, never history×history, so the join
+    * cost is proportional to the DELTA, not the corpus. In a real
+    * deployment the history side's banded signatures are computed once and
+    * persisted as a table partitioned by (band, bucket); each ingest then
+    * joins only its own bands against that index. History-side hot buckets
+    * (one boilerplate page stored a million times) cap at `maxBucketSize`
+    * per (band, bucket) via the bucket-minimum representative — the same
+    * opt-in star trade as [[minhashLsh]], asymmetric version: every batch
+    * doc still meets the bucket's representative, so membership ("has a
+    * historical dup") is preserved; only WHICH historical twin is reported
+    * narrows. */
+  def incrementalMinhashMatches(history: DataFrame, batch: DataFrame,
+                                numHashes: Int, bands: Int, shingleSize: Int,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    val histSigs = Caches.track(
+      minhashSignatures(history, numHashes, shingleSize, textCol, idCol))
+    val batchSigs = Caches.track(
+      minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
+    // history-side star cap per (band, bucket): one window pass, co-
+    // partitioned with the join key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val histBand = banded(histSigs)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("bsz") <= maxBucketSize || col("doc_id") === col("rep"))
+      .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
+    val pairs = banded(batchSigs)
+      .select(col("band"), col("bucket"), col("doc_id").as("batch_id"))
+      .join(histBand, Seq("band", "bucket"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+    pairs
+      .join(batchSigs.select(col("doc_id").as("batch_id"), col("sig").as("sig1")),
+        "batch_id")
+      .join(histSigs.select(col("doc_id").as("hist_id"), col("sig").as("sig2")),
+        "hist_id")
+      .select(col("batch_id"), col("hist_id"),
+        round(size(filter(zip_with(col("sig1"), col("sig2"),
+            (x, y) => when(x === y, 1)), c => c.isNotNull))
+          / lit(numHashes.toDouble), 4).as("est_jaccard"))
+  }
+
   /** Edit-distance near-dup with blocking: candidate pairs share a cheap
     * blocking key, then exact Levenshtein runs on candidates only — the
     * classic entity-resolution shape. Never all-pairs: the block equi-join

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge-table training — the
+  * tokenizer-learning step of a training-data pipeline (the engine already
+  * COUNTS with a fixed merge table via q_token_bpe; this LEARNS the table).
+  *
+  * Reference anchor: none in repype — brief-mandated text-analysis family
+  * ("token counting (whitespace + a BPE-ish regex)") extended to training,
+  * following Sennrich et al. 2016's word-frequency formulation.
+  *
+  * Scale shape (the standard practice, same as HuggingFace's trainer): BPE
+  * statistics are a function of the WORD-FREQUENCY table, not the raw
+  * corpus — so the corpus is scanned ONCE into `(word, count)` (one
+  * shuffle, map-side combined; the table is vocabulary-bounded, millions
+  * of rows at web scale vs billions of documents). Each merge round then
+  * runs entirely on that bounded table: adjacent-symbol-pair counts are
+  * one hash aggregate, the argmax pair is a 1-row collect (the driver's
+  * fixed-point state, same contract as k-means centroids), and the merge
+  * applies as one codegen'd `replace`. Driver state after K rounds is the
+  * K-row merge table itself — corpus size never reaches the driver.
+  */
+object Tokenization {
+
+  /** Learn the first `numMerges` BPE merges over whitespace-tokenized
+    * `textCol`, weighted by word frequency. Returns one row per merge:
+    * (rank 1-based, pair "a|b", pair_cnt).
+    *
+    * Symbols are '|'-delimited inside a word ("key" → "k|e|y"); a merge
+    * replaces every non-overlapping occurrence left-to-right (SQL
+    * `replace` semantics — identical in Spark and DuckDB, which is what
+    * makes the oracle expressible). Ties on count break to the
+    * lexicographically smallest pair, so the learned table is
+    * deterministic for a given corpus.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+                     numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    // ONE corpus scan: whitespace words → frequency table → symbol form.
+    // Persisted: every merge round re-reads this (tiny) table, never the
+    // corpus. concat_ws over split("") inserts '|' between characters.
+    val words = Caches.track(docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat_ws("|", split(col("w"), "")).as("sym"), col("cnt")))
+
+    // adjacent symbol pairs of one row: zip the symbol list with its own
+    // tail (zip_with pads the tail with null; filter drops the pad slot)
+    val pairsOf = expr(
+      """filter(
+        |  zip_with(split(sym, '\\|'),
+        |           slice(split(sym, '\\|'), 2, size(split(sym, '\\|'))),
+        |           (a, b) -> concat(a, '|', b)),
+        |  x -> x is not null)""".stripMargin)
+
+    var cur = words
+    val merges = (1 to numMerges).map { rank =>
+      val top = cur
+        .select(explode(pairsOf).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair").asc)
+        .limit(1).collect().head
+      val pair = top.getString(0)
+      // words are corpus tokens (no quotes by construction), but escape
+      // anyway — a quote in a token must not break the literal
+      val q = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+      cur = cur.withColumn("sym",
+        expr(s"replace(sym, '${q(pair)}', '${q(pair.replace("|", ""))}')"))
+      (rank, pair, top.getLong(1))
+    }
+    import spark.implicits._
+    merges.toDF("rank", "pair", "pair_cnt")
+  }
+
+  /** The DuckDB oracle for [[learnBpeMerges]]: the same word-frequency →
+    * pair-count → argmax → replace rounds, one interpolated CTE block per
+    * merge (the pagerankOracle pattern — parameters interpolate so query
+    * and oracle cannot drift). */
+  def bpeOracleSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s.sym[g.i] || '|' || s.sym[g.i+1] AS pair, sum(w.cnt) AS pcnt
+         |  FROM $prev w,
+         |       LATERAL (SELECT string_split(w.sym, '|') AS sym) s,
+         |       LATERAL (SELECT unnest(generate_series(1, len(s.sym)-1)) AS i) g
+         |  GROUP BY 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT pair, pcnt FROM p$i ORDER BY pcnt DESC, pair LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(sym, (SELECT pair FROM m$i),
+         |                 replace((SELECT pair FROM m$i), '|', '')) AS sym, cnt
+         |  FROM $prev)""".stripMargin
+    }
+    val sel = (1 to numMerges).map(i =>
+      s"SELECT $i AS rank, (SELECT pair FROM m$i) AS pair, " +
+        s"(SELECT CAST(pcnt AS BIGINT) FROM m$i) AS pair_cnt")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT array_to_string(string_split(w, ''), '|') AS sym,
+       |         count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |${sel.mkString(" UNION ALL ")}
+       |ORDER BY rank""".stripMargin
+  }
+}

@@ -341,5 +341,36 @@ object AggQueries {
              |  1 AS partials_match
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Salted two-phase aggregation — the skew-safe groupBy companion to
+    // q_join_salted: a handful of ultra-hot group keys (3 return flags
+    // over the whole lineitem table — the worst case: fewer keys than
+    // cores) would reduce on 3 tasks however many executors exist. Phase
+    // 1 fans each key across 64 salt lanes (hash of the row's order key)
+    // and partially aggregates per (key, salt); phase 2 merges the ≤
+    // 64·|keys| partials — bounded, broadcast-scale — back to per-key
+    // totals. Exact integer cents end-to-end, so the salted re-aggregation
+    // is bit-identical to the direct GROUP BY the oracle runs; Spark's own
+    // partial aggregation thins per-partition duplicates but cannot split
+    // a hot key's REDUCE side — the salt lanes are what add that axis.
+    QueryDef(
+      "q_agg_salted",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        val partial = li
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(64)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(Tables.cents(col("l_quantity"))).as("q"),
+            count(lit(1)).as("c"))
+        partial.groupBy(col("l_returnflag"))
+          .agg(sum(col("q")).as("sum_qty_cents"), sum(col("c")).as("cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_qty_cents,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }

@@ -1234,6 +1234,56 @@ object LlmQueries {
              |    AS keep
              |FROM corpus ORDER BY doc_id""".stripMargin)),
 
+    // Incremental dedup — the production ingest pattern: a NEW batch
+    // (doc_id ≥ 400) dedups against the accumulated HISTORY corpus via an
+    // asymmetric band-bucket join (batch bands × history index only; the
+    // join cost tracks the delta, never history²). Planted-twin gate, same
+    // contract as q_dedup_minhash: exact copies of the first 20 batch docs
+    // sit in the history (id + 100000) — identical text ⇒ identical
+    // signature ⇒ every band collides, so each planted doc MUST report a
+    // historical dup at est_jaccard 1.0. One boolean per planted doc; the
+    // full match surface (true near-dups vs exact-Jaccard ground truth)
+    // stays pinned in LlmSpec.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") >= 400)
+        val planted = batch.filter(col("doc_id") < 420)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 400).unionByName(planted)
+        val matches = Dedup.incrementalMinhashMatches(history, batch,
+          numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)
+        batch.filter(col("doc_id") < 420).select(col("doc_id").as("batch_id"))
+          .join(matches
+            .filter(col("hist_id") === col("batch_id") + 100000 &&
+              col("est_jaccard") >= 0.9999)
+            .select(col("batch_id"), lit(true).as("hist_dup")),
+            Seq("batch_id"), "left")
+          .select(col("batch_id"),
+            coalesce(col("hist_dup"), lit(false)).as("hist_dup"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT doc_id AS batch_id, true AS hist_dup
+             |FROM documents WHERE doc_id >= 400 AND doc_id < 420
+             |ORDER BY batch_id""".stripMargin)),
+
+    // BPE merge-table learning (Sennrich et al. 2016): the first 8 merges
+    // over the whitespace word-frequency table, counts weighted by word
+    // frequency, ties to the lexicographically smallest pair. The corpus
+    // is scanned ONCE into (word, cnt); every merge round runs on that
+    // vocabulary-bounded table (pair hash-agg + 1-row argmax collect +
+    // codegen'd replace). Oracle = the same rounds as interpolated DuckDB
+    // CTEs (the pagerankOracle pattern) — left-to-right non-overlapping
+    // `replace` semantics are identical in both engines, which is what
+    // makes the whole training loop hash-checkable.
+    QueryDef(
+      "q_bpe_learn",
+      (s, dir) => graft.llm.Tokenization
+        .learnBpeMerges(load(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy(col("rank")),
+      Some(graft.llm.Tokenization.bpeOracleSql(8))),
+
     // Benchmark decontamination: training docs sharing ≥1 distinct
     // 20-char shingle with a (broadcast) benchmark set — here the docs
     // with doc_id % 50 == 0 play the eval set, the rest the train corpus.

@@ -537,4 +537,80 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall { case (d1, d2, _) =>
       (d1 % 1000) / 10 == (d2 % 1000) / 10 })
   }
+
+  test("incrementalMinhashMatches: batch finds its historical twins, " +
+      "never pairs history with itself") {
+    import SparkSpec.spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "a completely different document about spark engines and big data"),
+      (3L, "boilerplate legal disclaimer text repeated on every single page"),
+      (4L, "boilerplate legal disclaimer text repeated on every single page"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (101L, "the quick brown fox jumps over the lazy dog and runs far away now"),
+      (102L, "fresh unseen content zebra xylophone quasar nothing shared here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashMatches(history, batch,
+        numHashes = 64, bands = 16, shingleSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact twin across the boundary at estimate 1.0
+    assert(out.exists { case (b, h, est) => b == 100L && h == 1L && est == 1.0 })
+    // near-dup (one word differs) surfaces too
+    assert(out.exists { case (b, h, _) => b == 101L && h == 1L })
+    // fresh content matches nothing; history-history pairs never emitted
+    assert(out.forall(_._1 >= 100L))
+    assert(!out.exists(_._1 == 102L))
+  }
+
+  test("incrementalMinhashMatches hot history bucket: representative " +
+      "membership survives the cap") {
+    import SparkSpec.spark.implicits._
+    // 500 identical historical docs (one boilerplate page stored 500×);
+    // cap 100 keeps only the bucket representative on the history side.
+    // A batch copy of that page must STILL report a historical dup — via
+    // the representative — with estimate 1.0.
+    val history = (0L until 500L)
+      .map(i => (i, "same boilerplate page body " * 4)).toDF("doc_id", "text")
+    val batch = Seq((9000L, "same boilerplate page body " * 4))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashMatches(history, batch,
+        numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((9000L, 0L, 1.0)))
+  }
+
+  test("learnBpeMerges matches the hand-computed classic fixture") {
+    import SparkSpec.spark.implicits._
+    // Sennrich-style toy corpus as one document: counts are word-weighted.
+    // Words: low ×5, lower ×2, newest ×6, widest ×3.
+    // Pair counts round 1: e|s = 9 (newest 6 + widest 3), s|t = 9,
+    // e|w = 6, l|o = 7, o|w = 7, … — argmax ties 9/9 break lexicographically:
+    // 'e|s' < 's|t', so merge 1 = e|s, then merge 2 = es|t (count 9).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = Tokenization.learnBpeMerges(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1, "e|s", 9L)), s"got ${out.toSeq}")
+    assert(out(1) == ((2, "es|t", 9L)))
+    // round 3: l|o = 7 and o|w = 7 remain; 'l|o' wins the tie
+    assert(out(2) == ((3, "l|o", 7L)))
+  }
+
+  test("learnBpeMerges replace is left-to-right non-overlapping") {
+    import SparkSpec.spark.implicits._
+    // 'aaaa' has three overlapping a|a positions but greedy left-to-right
+    // merges exactly two: a|a|a|a → aa|aa. The pair count (weighted, non-
+    // overlapping) is 2 per word occurrence — matching SQL replace
+    // semantics on both engines is the contract this pins.
+    val out = Tokenization.learnBpeMerges(
+        Seq((1L, "aaaa aaaa")).toDF("doc_id", "text"), "text", numMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out(0)._2 == "a|a")
+    assert(out(1) == ((2, "aa|aa", 2L)), s"got ${out.toSeq}")
+  }
 }
