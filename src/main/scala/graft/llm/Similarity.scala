@@ -417,9 +417,30 @@ object Similarity {
                 trainFraction: Double = 1.0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    val cells = Clustering.trainCentroids(
-      corpus, idCol, vecCol, nlist, trainIters, trainFraction)
-    val pq = trainPq(corpus, m, ksub, trainIters, vecCol, idCol, trainFraction)
+    // The coarse (cell) and PQ trainers are INDEPENDENT Lloyd loops over
+    // the same corpus — run them concurrently so the composed path costs
+    // max(coarse, pq) driver round-trips instead of their sum (each round
+    // is a small aggregate job; with both loops in flight the scheduler
+    // interleaves them). Results are identical to the sequential order —
+    // neither loop reads the other's state. Local properties (job group /
+    // pool) are inherited so Batch-scoped cancellation still reaches the
+    // training jobs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.graftshim.GraftSparkInternals
+    val sc = corpus.sparkSession.sparkContext
+    // thunks built HERE so the caller thread's properties are what the
+    // pool threads inherit
+    val trainCells = GraftSparkInternals.withInheritedLocalProperties(sc)(
+      Clustering.trainCentroids(
+        corpus, idCol, vecCol, nlist, trainIters, trainFraction))
+    val trainBooks = GraftSparkInternals.withInheritedLocalProperties(sc)(
+      trainPq(corpus, m, ksub, trainIters, vecCol, idCol, trainFraction))
+    val cellsF = Future(trainCells())
+    val pqF = Future(trainBooks())
+    val cells = Await.result(cellsF, Duration.Inf)
+    val pq = Await.result(pqF, Duration.Inf)
     def cellScores(v: Column): Column = Clustering.centroidScores(v, cells)
 
     // the index: (cell, code, norm) per corpus row — one narrow table
