@@ -3,9 +3,10 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed BPE (byte-pair-encoding) merge-table training — the
-  * tokenizer-learning step of a training-data pipeline (the engine already
-  * COUNTS with a fixed merge table via q_token_bpe; this LEARNS the table).
+/** Distributed BPE (byte-pair-encoding) tokenizer training and encoding —
+  * the tokenizer step of a training-data pipeline (the engine already
+  * COUNTS with a fixed merge table via q_token_bpe; this LEARNS the table
+  * and ENCODES with it).
   *
   * Reference anchor: none in repype — brief-mandated text-analysis family
   * ("token counting (whitespace + a BPE-ish regex)") extended to training,
@@ -21,24 +22,22 @@ import org.apache.spark.sql.functions._
   * fixed-point state, same contract as k-means centroids), and the merge
   * applies as one codegen'd `replace`. Driver state after K rounds is the
   * K-row merge table itself — corpus size never reaches the driver.
+  * Encoding then BROADCASTS the (word → segmentation) vocabulary back
+  * against the corpus — per-document cost is a broadcast-hash lookup per
+  * word, no shuffle of text.
   */
 object Tokenization {
 
-  /** Learn the first `numMerges` BPE merges over whitespace-tokenized
-    * `textCol`, weighted by word frequency. Returns one row per merge:
-    * (rank 1-based, pair "a|b", pair_cnt).
-    *
-    * Symbols are '|'-delimited inside a word ("key" → "k|e|y"); a merge
-    * replaces every non-overlapping occurrence left-to-right (SQL
-    * `replace` semantics — identical in Spark and DuckDB, which is what
-    * makes the oracle expressible). Ties on count break to the
-    * lexicographically smallest pair, so the learned table is
-    * deterministic for a given corpus.
+  /** Escape a corpus token for embedding in a SQL string literal. */
+  private val q = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** The training loop shared by [[learnBpeMerges]] and
+    * [[bpeTokenCounts]]: returns the K learned merges and the final
+    * (w, sym, cnt) vocabulary table with each word's merged segmentation.
     */
-  def learnBpeMerges(docs: DataFrame, textCol: String,
-                     numMerges: Int): DataFrame = {
+  private def trainLoop(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
-    val spark = docs.sparkSession
     // ONE corpus scan: whitespace words → frequency table → symbol form.
     // Persisted: every merge round re-reads this (tiny) table, never the
     // corpus. concat_ws over split("") inserts '|' between characters.
@@ -46,7 +45,8 @@ object Tokenization {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat_ws("|", split(col("w"), "")).as("sym"), col("cnt")))
+      .select(col("w"), concat_ws("|", split(col("w"), "")).as("sym"),
+        col("cnt")))
 
     // adjacent symbol pairs of one row: zip the symbol list with its own
     // tail (zip_with pads the tail with null; filter drops the pad slot)
@@ -65,22 +65,59 @@ object Tokenization {
         .orderBy(col("pcnt").desc, col("pair").asc)
         .limit(1).collect().head
       val pair = top.getString(0)
-      // words are corpus tokens (no quotes by construction), but escape
-      // anyway — a quote in a token must not break the literal
-      val q = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
       cur = cur.withColumn("sym",
         expr(s"replace(sym, '${q(pair)}', '${q(pair.replace("|", ""))}')"))
       (rank, pair, top.getLong(1))
     }
+    (merges, cur)
+  }
+
+  /** Learn the first `numMerges` BPE merges over whitespace-tokenized
+    * `textCol`, weighted by word frequency. Returns one row per merge:
+    * (rank 1-based, pair "a|b", pair_cnt).
+    *
+    * Symbols are '|'-delimited inside a word ("key" → "k|e|y"); a merge
+    * replaces every non-overlapping occurrence left-to-right (SQL
+    * `replace` semantics — identical in Spark and DuckDB, which is what
+    * makes the oracle expressible). Ties on count break to the
+    * lexicographically smallest pair, so the learned table is
+    * deterministic for a given corpus.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+                     numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = trainLoop(docs, textCol, numMerges)
     import spark.implicits._
     merges.toDF("rank", "pair", "pair_cnt")
   }
 
-  /** The DuckDB oracle for [[learnBpeMerges]]: the same word-frequency →
-    * pair-count → argmax → replace rounds, one interpolated CTE block per
-    * merge (the pagerankOracle pattern — parameters interpolate so query
-    * and oracle cannot drift). */
-  def bpeOracleSql(numMerges: Int): String = {
+  /** ENCODE with a freshly learned merge table: per-document BPE token
+    * counts under the first `numMerges` merges. The learned vocabulary —
+    * (word → number of symbols after all merges), vocabulary-bounded —
+    * broadcasts against the corpus' exploded words, so encoding costs a
+    * broadcast-hash probe per word plus one per-doc sum; the text itself
+    * never shuffles. Returns (idCol, n_words, n_tokens): n_tokens ≤
+    * chars-per-word · n_words and shrinks as merges are added — the
+    * compression the tokenizer exists for. */
+  def bpeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+                     numMerges: Int): DataFrame = {
+    val (_, vocab) = trainLoop(docs, textCol, numMerges)
+    val ntok = broadcast(vocab.select(col("w"),
+      size(split(col("sym"), "\\|")).cast("long").as("ntok")))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(ntok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Shared CTE prefix for the DuckDB oracles: the same word-frequency →
+    * pair-count → argmax → replace rounds as the engine, one interpolated
+    * block per merge (the pagerankOracle pattern — parameters interpolate
+    * so query and oracle cannot drift). `w{numMerges}` is the final
+    * vocabulary (w, sym, cnt). */
+  private def bpeRoundsCte(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { i =>
       val prev = if (i == 1) "w0" else s"w${i - 1}"
       s"""p$i AS MATERIALIZED (
@@ -92,20 +129,38 @@ object Tokenization {
          |m$i AS MATERIALIZED (
          |  SELECT pair, pcnt FROM p$i ORDER BY pcnt DESC, pair LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT replace(sym, (SELECT pair FROM m$i),
-         |                 replace((SELECT pair FROM m$i), '|', '')) AS sym, cnt
+         |  SELECT w, replace(sym, (SELECT pair FROM m$i),
+         |                    replace((SELECT pair FROM m$i), '|', '')) AS sym,
+         |         cnt
          |  FROM $prev)""".stripMargin
     }
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(string_split(w, ''), '|') AS sym,
+       |         count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[learnBpeMerges]]. */
+  def bpeOracleSql(numMerges: Int): String = {
     val sel = (1 to numMerges).map(i =>
       s"SELECT $i AS rank, (SELECT pair FROM m$i) AS pair, " +
         s"(SELECT CAST(pcnt AS BIGINT) FROM m$i) AS pair_cnt")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT array_to_string(string_split(w, ''), '|') AS sym,
-       |         count(*) AS cnt
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY 1),
-       |${rounds.mkString(",\n")}
+    s"""WITH ${bpeRoundsCte(numMerges)}
        |${sel.mkString(" UNION ALL ")}
        |ORDER BY rank""".stripMargin
   }
+
+  /** DuckDB oracle for [[bpeTokenCounts]]: the same rounds, then the
+    * final vocabulary joins back against each document's words. */
+  def bpeEncodeOracleSql(numMerges: Int): String =
+    s"""WITH ${bpeRoundsCte(numMerges)}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(v.sym, '|'))) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN w$numMerges v USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 }

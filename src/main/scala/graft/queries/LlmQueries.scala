@@ -1284,6 +1284,21 @@ object LlmQueries {
         .orderBy(col("rank")),
       Some(graft.llm.Tokenization.bpeOracleSql(8))),
 
+    // BPE encode — the other half of the tokenizer loop: per-document
+    // token counts under the 8 freshly learned merges. The learned
+    // vocabulary (word → post-merge symbol count, vocabulary-bounded)
+    // broadcasts against the corpus' exploded words — a broadcast-hash
+    // probe per word plus a per-doc sum; document text never shuffles.
+    // Oracle = the training rounds' final vocabulary CTE joined back to
+    // each document's words.
+    QueryDef(
+      "q_bpe_encode",
+      (s, dir) => graft.llm.Tokenization
+        .bpeTokenCounts(load(s, dir, "documents"), "text", "doc_id",
+          numMerges = 8)
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization.bpeEncodeOracleSql(8))),
+
     // Benchmark decontamination: training docs sharing ≥1 distinct
     // 20-char shingle with a (broadcast) benchmark set — here the docs
     // with doc_id % 50 == 0 play the eval set, the rest the train corpus.

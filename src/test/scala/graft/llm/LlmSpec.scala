@@ -600,6 +600,20 @@ class LlmSpec extends SparkSpec {
     assert(out(2) == ((3, "l|o", 7L)))
   }
 
+  test("bpeTokenCounts encodes the classic fixture exactly") {
+    import SparkSpec.spark.implicits._
+    // after merges e|s, es|t, l|o the segmentations are: low → lo|w (2),
+    // lower → lo|w|e|r (4), newest → n|e|w|est (4), widest → w|i|d|est (4)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = Tokenization.bpeTokenCounts(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+        numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 16L, 5L * 2 + 2 * 4 + 6 * 4 + 3 * 4)),
+      s"got ${out.toSeq}")
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
