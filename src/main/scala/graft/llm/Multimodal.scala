@@ -200,4 +200,116 @@ object Multimodal {
       })
       .toDF()
   }
+
+  // ------------------------------------------------------------------
+  // Audio: real WAV (RIFF / PCM16 mono little-endian) codec over the
+  // JDK's javax.sound.sampled — the second modality, same contract as
+  // the image path: opaque binary column in, typed features out, the
+  // decode exercising an actual byte-level container parse.
+  // ------------------------------------------------------------------
+
+  object AudioCodec {
+    final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                  samples: Array[Short])
+
+    /** Encode mono PCM16 samples as a WAV container. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode WAV bytes back to PCM16 samples (real RIFF header parse via
+      * AudioSystem — rate/width/endianness come from the container, not
+      * from the caller). Throws on undecodable bytes. */
+    def decode(bytes: Array[Byte]): DecodedAudio = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian && fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported audio format: $fmt")
+      val raw = ais.readAllBytes()
+      val samples = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) =
+          (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      DecodedAudio(fmt.getSampleRate.toInt, 1, samples)
+    }
+
+    /** [[decode]] quarantining corrupt blobs as None (same 100 TB posture
+      * as [[ImageCodec.tryDecode]]). */
+    def tryDecode(bytes: Array[Byte]): Option[DecodedAudio] =
+      try Some(decode(bytes)) catch { case _: Exception => None }
+  }
+
+  /** Closed-form sample value of synthetic clip `id` at index `j` — what
+    * the generator writes and the DuckDB oracle recomputes:
+    * ((id·7919 + j·131) mod 65536) − 32768, the full signed-16 range. */
+  @inline private def synthSample(id: Long, j: Int): Short =
+    (((id * 7919 + j * 131L) % 65536L) - 32768L).toShort
+
+  private def synthAudioParams(id: Long): (Int, Int) =
+    ((8000 + (id % 3) * 4000).toInt, (512 + (id % 7) * 128).toInt)
+
+  /** Deterministic synthetic audio table of REAL WAV blobs (rate and
+    * length derived from the id; samples follow [[synthSample]]). */
+  def syntheticAudio(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val (rate, len) = synthAudioParams(i.toLong)
+      val samples = Array.tabulate(len)(j => synthSample(i.toLong, j))
+      Row(i.toLong, "audio", AudioCodec.encodeWav(rate, samples),
+        "audio/wav", Map("mic" -> s"mic${i % 2}"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 64)), mediaSchema)
+  }
+
+  /** Typed audio feature row — all-integer so the oracle matches exactly:
+    * `energy` = Σ s², `peak` = max |s| (no float RMS; energy is the exact
+    * sufficient statistic RMS derives from). */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 n_samples: Long, duration_micros: Long,
+                                 energy: Long, peak: Long)
+
+  /** Decode + feature-extract for audio blobs: partition-local, corrupt
+    * blobs quarantined by skip — the audio twin of [[extractFeatures]]. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        Option(blob.content).flatMap(AudioCodec.tryDecode).map { d =>
+          var energy = 0L
+          var peak = 0L
+          var i = 0
+          while (i < d.samples.length) {
+            val s = d.samples(i).toLong
+            energy += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioFeatures(blob.media_id, d.sampleRate, d.samples.length.toLong,
+            d.samples.length.toLong * 1000000L / d.sampleRate, energy, peak)
+        }
+      })
+      .toDF()
+  }
 }

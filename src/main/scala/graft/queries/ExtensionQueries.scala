@@ -121,6 +121,36 @@ object ExtensionQueries {
              |  px.pix_sum
              |FROM m JOIN px USING (media_id) ORDER BY media_id""".stripMargin)),
 
+    // Audio modality over the same contract: synthetic REAL WAV blobs
+    // (RIFF/PCM16, javax.sound encode) → container-parsing decode →
+    // all-integer features. Rate, length, and every sample value follow
+    // closed forms of the id, so the oracle recomputes duration, energy
+    // (Σs² — the exact sufficient statistic for RMS) and peak from
+    // generate_series alone: wrong endianness, a dropped header byte, or
+    // off-by-one sample parsing all break the hash.
+    QueryDef(
+      "q_multimodal_audio",
+      (s, _) => Multimodal
+        .extractAudioFeatures(Multimodal.syntheticAudio(s, 64))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    CAST(8000 + (i % 3) * 4000 AS INT) AS sample_rate,
+             |    512 + (i % 7) * 128 AS n_samples
+             |  FROM generate_series(0, 63) AS g(i)),
+             |sv AS (
+             |  SELECT media_id, sample_rate, n_samples,
+             |    ((media_id * 7919 + j * 131) % 65536) - 32768 AS s
+             |  FROM m, unnest(generate_series(0, n_samples - 1)) AS u(j))
+             |SELECT media_id, sample_rate,
+             |  CAST(n_samples AS BIGINT) AS n_samples,
+             |  CAST(n_samples * 1000000 // sample_rate AS BIGINT)
+             |    AS duration_micros,
+             |  CAST(sum(s * s) AS BIGINT) AS energy,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak
+             |FROM sv GROUP BY media_id, sample_rate, n_samples
+             |ORDER BY media_id""".stripMargin)),
+
     // Typed cogroup — the per-group imperative escape hatch for logic
     // spanning TWO datasets (the batch sibling of
     // flatMapGroupsWithState): customers and their orders stream through

@@ -1,5 +1,7 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Ground truth for the multimodal path with the REAL javax.imageio PNG
@@ -73,5 +75,33 @@ class MultimodalSpec extends SparkSpec {
           s"frame (media $i, row $y) byte sum diverges")
       }
     }
+  }
+
+  test("AudioCodec WAV encode→decode round-trips samples and rate exactly") {
+    val samples = Array.tabulate(1000)(j =>
+      (((j * 131L + 7919L) % 65536L) - 32768L).toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(16000, samples)
+    // real RIFF container: starts with the magic, carries a parsed header
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val d = Multimodal.AudioCodec.decode(wav)
+    assert(d.sampleRate == 16000 && d.channels == 1)
+    assert(d.samples.toSeq == samples.toSeq)
+  }
+
+  test("extractAudioFeatures quarantines corrupt blobs and keeps the rest") {
+    val media = Multimodal.syntheticAudio(spark, 8)
+    // corrupt blob 3 (truncated header) and null out blob 5
+    val broken = media.withColumn("content",
+      when(col("media_id") === 3, expr("substring(content, 1, 10)"))
+        .when(col("media_id") === 5, lit(null).cast("binary"))
+        .otherwise(col("content")))
+    val out = Multimodal.extractAudioFeatures(broken).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 4L, 6L, 7L))
+    // surviving rows carry the closed-form energy (spot-check id 0)
+    val n0 = 512L
+    val expEnergy = (0L until n0).map { j =>
+      val s = ((0L * 7919 + j * 131) % 65536) - 32768; s * s
+    }.sum
+    assert(out.find(_.getLong(0) == 0L).get.getLong(4) == expEnergy)
   }
 }
