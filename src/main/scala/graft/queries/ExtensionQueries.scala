@@ -151,6 +151,38 @@ object ExtensionQueries {
              |FROM sv GROUP BY media_id, sample_rate, n_samples
              |ORDER BY media_id""".stripMargin)),
 
+    // Video modality: real GVID demux (magic + length index) over real
+    // PNG member frames — every sampled frame goes through the genuine
+    // image decode. Dims, frame counts, and every pixel follow closed
+    // forms of (id, frame), so the oracle rebuilds each sampled frame's
+    // byte sum from generate_series; a demuxer off by one frame or one
+    // offset byte breaks the hash.
+    QueryDef(
+      "q_multimodal_video",
+      (s, _) => Multimodal
+        .sampleVideoFrames(Multimodal.syntheticVideo(s, 64), stride = 2)
+        .orderBy(col("media_id"), col("frame_idx")),
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    4 + i % 28 AS width, 4 + (i * 7) % 28 AS height,
+             |    4 + i % 8 AS nf
+             |  FROM generate_series(0, 63) AS g(i)),
+             |fr AS (
+             |  SELECT media_id, width, height,
+             |    unnest(generate_series(0, nf - 1)) AS frame_idx
+             |  FROM m),
+             |px AS (
+             |  SELECT media_id, frame_idx, width, height,
+             |    CAST(sum((media_id * 31 + frame_idx * 17 + j) % 256)
+             |      AS BIGINT) AS pix_sum
+             |  FROM fr, unnest(generate_series(0, width * height * 3 - 1)) AS u(j)
+             |  WHERE frame_idx % 2 = 0
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+             |  pix_sum
+             |FROM px ORDER BY media_id, frame_idx""".stripMargin)),
+
     // Typed cogroup — the per-group imperative escape hatch for logic
     // spanning TWO datasets (the batch sibling of
     // flatMapGroupsWithState): customers and their orders stream through

@@ -104,4 +104,34 @@ class MultimodalSpec extends SparkSpec {
     }.sum
     assert(out.find(_.getLong(0) == 0L).get.getLong(4) == expEnergy)
   }
+
+  test("VideoCodec container round-trips frames; truncation quarantines") {
+    val frames = (0 until 3).map { f =>
+      Multimodal.ImageCodec.encodePng(4, 4,
+        Array.tabulate(48)(j => ((f * 17 + j) % 256).toByte))
+    }
+    val blob = Multimodal.VideoCodec.encode(frames)
+    val back = Multimodal.VideoCodec.decode(blob)
+    assert(back.length == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // truncated container (index promises more bytes than present) → None
+    assert(Multimodal.VideoCodec.tryDecode(blob.dropRight(5)).isEmpty)
+    // bad magic → None
+    assert(Multimodal.VideoCodec.tryDecode("nope".getBytes ++ blob).isEmpty)
+  }
+
+  test("sampleVideoFrames decodes every stride-th frame with exact content") {
+    val out = Multimodal.sampleVideoFrames(
+        Multimodal.syntheticVideo(spark, 6), stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+    (0 until 6).foreach { i =>
+      val (w, h, nf) = (4 + i % 28, 4 + (i * 7) % 28, 4 + i % 8)
+      val mine = out.filter(_._1 == i.toLong)
+      assert(mine.map(_._2).toSeq == (0 until nf by 2).toSeq)
+      mine.foreach { case (_, f, sum) =>
+        val exp = (0 until w * h * 3).map(j => (i * 31 + f * 17 + j) % 256).sum
+        assert(sum == exp, s"video $i frame $f pixel sum diverges")
+      }
+    }
+  }
 }
