@@ -33,7 +33,12 @@ object Bench {
     "q_stream_chained_agg", // two-level streaming agg, RocksDB state
     // round-5 data-selection additions (own frozen budget in BASELINE.md)
     "q_importance_dsir", // DSIR hashed-unigram importance weights
-    "q_ccnet_buckets")   // per-language LM-score terciles
+    "q_ccnet_buckets",   // per-language LM-score terciles
+    // round-7 additions (own frozen budget in BASELINE.md): the heaviest
+    // new operators — tokenizer training (iterative driver fixed point)
+    // and the asymmetric batch-vs-history dedup join
+    "q_bpe_learn",       // BPE merge training (8 rounds over word counts)
+    "q_dedup_incremental") // new-batch bands × history signature index
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
