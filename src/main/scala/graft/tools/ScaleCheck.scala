@@ -190,7 +190,18 @@ object ScaleCheck {
       // pathology the batch rows can't see. (Timed cell includes the
       // one-off heartbeat staging on rep 1; best-of-2 drops it.)
       ("q_stream_chained_agg", dir =>
-        graft.SparkEntry.queries("q_stream_chained_agg")(spark, dir)))
+        graft.SparkEntry.queries("q_stream_chained_agg")(spark, dir)),
+      // round-7: incremental dedup with a FIXED batch against a GROWING
+      // history — the claim under test is that the candidate join stays
+      // delta-sized while only the (linear, embarrassingly parallel)
+      // history signature pass grows. In production the history index is
+      // precomputed once; this row pays it per run, so the measured curve
+      // is the WORST case for the pattern.
+      ("q_dedup_incremental", dir => Dedup.incrementalMinhashMatches(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        spark.read.parquet(s"$base/documents.parquet")
+          .filter(col("doc_id") >= 400),
+        numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
 
