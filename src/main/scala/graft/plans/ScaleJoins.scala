@@ -105,4 +105,21 @@ object ScaleJoins {
       .sortBy(key)
       .option("path", s"$path/$table")
       .saveAsTable(table)
+
+  /** Z-order (Morton) value of two non-negative int columns: bit b of `x`
+    * lands at position 2b, bit b of `y` at 2b+1, interleaving the two key
+    * spaces so that rows close in EITHER dimension cluster together in
+    * the sort order. Sorting a write by this value is the standard
+    * data-skipping layout for multi-dimensional scans at 100 TB: files
+    * (or row groups) then cover small rectangles of the (x, y) space and
+    * parquet min/max statistics prune scans filtered on EITHER column —
+    * a single-column sort only ever prunes one. Pure bit arithmetic
+    * (shift/and/multiply) — codegen-friendly, and exactly expressible in
+    * the DuckDB oracle so the layout is hash-checkable.
+    */
+  def zorder2(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      (shiftright(x, b) % 2) * lit(1L << (2 * b)) +
+        (shiftright(y, b) % 2) * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
 }

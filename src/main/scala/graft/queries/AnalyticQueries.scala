@@ -570,5 +570,48 @@ object AnalyticQueries {
              |QUALIFY row_number() OVER (
              |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
+
+    // Z-order (Morton) layout — the multi-dimensional data-skipping story:
+    // interleaving the bits of (l_partkey, l_suppkey) and sorting/bucketing
+    // by the result makes each bucket cover a small RECTANGLE of the key
+    // space, so parquet min/max stats prune scans filtered on EITHER key
+    // (a single-column sort only ever prunes one). The query emits the
+    // per-bucket rectangles (count + min/max of both keys) — the bounded
+    // ranges ARE the pruning property, and every number is pure integer
+    // bit arithmetic the oracle recomputes term-for-term. Bucket width
+    // derives from max(z) via a 1-row broadcast (SF-independent).
+    {
+      val bits = 16
+      // DuckDB side of ScaleJoins.zorder2: same 2·bits-term interleave sum
+      val zSql = (0 until bits).map { b =>
+        s"((l_partkey >> $b) & 1) * ${1L << (2 * b)} + " +
+          s"((l_suppkey >> $b) & 1) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      QueryDef(
+        "q_zorder_layout",
+        (s, dir) => {
+          val z = Tables.load(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey"),
+              graft.plans.ScaleJoins.zorder2(
+                col("l_partkey"), col("l_suppkey"), bits).as("zv"))
+          val width = z.agg(expr("max(zv) div 64 + 1").as("w"))
+          z.crossJoin(broadcast(width))
+            .groupBy(expr("zv div w").as("bucket"))
+            .agg(count(lit(1)).as("cnt"),
+              min(col("l_partkey")).as("min_part"),
+              max(col("l_partkey")).as("max_part"),
+              min(col("l_suppkey")).as("min_supp"),
+              max(col("l_suppkey")).as("max_supp"))
+            .orderBy(col("bucket"))
+        },
+        Some(s"""WITH z AS (
+                |  SELECT l_partkey, l_suppkey, $zSql AS zv
+                |  FROM lineitem),
+                |w AS (SELECT max(zv) // 64 + 1 AS w FROM z)
+                |SELECT zv // (SELECT w FROM w) AS bucket, count(*) AS cnt,
+                |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+                |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
+    },
   )
 }
