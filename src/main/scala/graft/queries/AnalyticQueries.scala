@@ -571,6 +571,49 @@ object AnalyticQueries {
              |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // Temporal (as-of dimension) join — the lookup SCD2 exists FOR: each
+    // fact row joins the dimension VERSION valid at its event time
+    // ([valid_from, valid_to) half-open, so every timestamp matches at
+    // most one version; facts before the key's first version keep NULLs
+    // via the left join). Scale shape: an equi-join on the dimension KEY
+    // (co-partitioned, versions-per-key bounded by the change history —
+    // never a range join against the whole version table) with the time
+    // predicate as the join residual. Composes q_scd2's versioning with
+    // the events fact stream; all-integer state so the oracle is exact.
+    QueryDef(
+      "q_temporal_join",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("valid_from"), col("change_id"))
+        val dim = load(s, dir, "orders")
+          .filter(col("o_custkey") <= 200)
+          .select(col("o_custkey").as("k"), col("o_orderkey").as("change_id"),
+            col("o_orderdate").as("valid_from"),
+            Tables.cents(col("o_totalprice")).as("state_cents"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        val facts = load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        facts.join(dim,
+            facts("user_id") === dim("k") &&
+              col("ts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")),
+            "left")
+          .select(col("event_id"), col("change_id"), col("state_cents"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH scd AS (
+             |  SELECT o_custkey AS k, o_orderkey AS change_id,
+             |    o_orderdate AS valid_from,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS state_cents,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM orders WHERE o_custkey <= 200)
+             |SELECT e.event_id, s.change_id, s.state_cents
+             |FROM events e LEFT JOIN scd s
+             |  ON e.user_id = s.k AND e.ts >= s.valid_from
+             | AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Z-order (Morton) layout — the multi-dimensional data-skipping story:
     // interleaving the bits of (l_partkey, l_suppkey) and sorting/bucketing
     // by the result makes each bucket cover a small RECTANGLE of the key
