@@ -571,6 +571,40 @@ object AnalyticQueries {
              |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // Exponentially time-decayed counts — recency weighting for data
+    // selection (favor users/sources with RECENT activity), computed in
+    // EXACT integer arithmetic: an event aged k whole hours weighs
+    // 2^(50−min(k,50)), i.e. weight halves per hour, as a BIGINT power
+    // of two. The per-user sum is then an exact integer (denominator
+    // 2^50 implied) — no float pow, no order-dependent rounding, so the
+    // oracle matches bit-for-bit where a double formulation would flake.
+    // Reference epoch = max(ts) over the table via 1-row broadcast;
+    // map-side combined single hash aggregate.
+    QueryDef(
+      "q_decay_counts",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val tmax = ev.agg(max(col("us")).as("us_max"))
+        ev.crossJoin(broadcast(tmax))
+          .withColumn("age_h",
+            expr("least((us_max - us) div 3600000000, 50)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("shiftleft(cast(1 as bigint), cast(50 - age_h as int))"))
+              .as("decay_num"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH t AS (SELECT max(epoch_us(ts)) AS us_max FROM events),
+             |a AS (
+             |  SELECT user_id,
+             |    least((us_max - epoch_us(ts)) // 3600000000, 50) AS age_h
+             |  FROM events, t)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(1 AS BIGINT) << (50 - age_h)) AS BIGINT)
+             |    AS decay_num
+             |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Temporal (as-of dimension) join — the lookup SCD2 exists FOR: each
     // fact row joins the dimension VERSION valid at its event time
     // ([valid_from, valid_to) half-open, so every timestamp matches at
