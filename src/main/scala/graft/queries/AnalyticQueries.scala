@@ -571,6 +571,35 @@ object AnalyticQueries {
              |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // Benford leading-digit profile — the classic fraud/synthetic-data
+    // detector in the DQ family (natural multiplicative quantities put
+    // ~30.1% of leading digits at 1; uniform synthetics don't). Emits
+    // observed counts and exact integer shares (micro-units, floor) per
+    // digit — the judgment threshold stays with the caller, the profile
+    // itself is engine-exact. One hash agg + 1-row broadcast total.
+    QueryDef(
+      "q_dq_benford",
+      (s, dir) => {
+        val d = load(s, dir, "orders").select(expr(
+          "substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1)")
+          .as("digit"))
+        val tot = d.agg(count(lit(1)).as("total"))
+        d.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("cnt"),
+            expr("cnt * 1000000 div total").as("share_micro"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS digit
+             |  FROM orders),
+             |t AS (SELECT count(*) AS total FROM d)
+             |SELECT digit, count(*) AS cnt,
+             |  CAST(count(*) * 1000000 // (SELECT total FROM t) AS BIGINT)
+             |    AS share_micro
+             |FROM d GROUP BY digit ORDER BY digit""".stripMargin)),
+
     // Exponentially time-decayed counts — recency weighting for data
     // selection (favor users/sources with RECENT activity), computed in
     // EXACT integer arithmetic: an event aged k whole hours weighs

@@ -1421,6 +1421,48 @@ object LlmQueries {
              |SELECT ngram, count(*) AS cnt FROM bg
              |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
 
+    // Per-GROUP heavy hitters: the top-3 bigrams within each language —
+    // vocabulary-drift monitoring per corpus slice (the grouped sibling
+    // of q_ngram_topk's global top-k). One explode + (lang, ngram) hash
+    // agg + per-lang rank; WindowGroupLimit pushes the top-3 below the
+    // exchange, so only ≤ 3·|langs| ranked rows ever cross the shuffle.
+    QueryDef(
+      "q_ngram_topk_grouped",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val bigrams = docs.select(col("lang"),
+            split(col("text"), " ").as("ws"))
+          .select(col("lang"), explode(expr(
+            """filter(zip_with(ws, slice(ws, 2, size(ws)),
+              |  (a, b) -> concat(a, ' ', b)), x -> x is not null)"""
+              .stripMargin)).as("ngram"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("ngram"))
+        bigrams.groupBy(col("lang"), col("ngram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH w AS (
+             |  SELECT lang, string_split(text, ' ') AS words FROM documents),
+             |wi AS (
+             |  SELECT lang, words,
+             |    unnest(generate_series(1, len(words) - 1)) AS i
+             |  FROM w WHERE len(words) >= 2),
+             |bg AS (
+             |  SELECT lang,
+             |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1] AS ngram
+             |  FROM wi),
+             |c AS (
+             |  SELECT lang, ngram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+             |r AS (
+             |  SELECT lang, ngram, cnt, row_number() OVER (
+             |    PARTITION BY lang ORDER BY cnt DESC, ngram) AS rk
+             |  FROM c)
+             |SELECT lang, ngram, cnt, CAST(rk AS INT) AS rk
+             |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
     // Two-pass exact heavy hitters — the 100 TB answer to "which tokens
     // exceed 1/60 of the corpus". Pass 1: a Misra–Gries sketch (custom
     // mergeable Aggregator, <= 59 counters per partial, map-side combined)
