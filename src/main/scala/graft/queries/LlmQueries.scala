@@ -2158,6 +2158,46 @@ object LlmQueries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM s ORDER BY shard, pos""".stripMargin)),
 
+    // Shard MANIFEST — the artifact a dataloader actually consumes: per
+    // shard, its document count, byte size, and cumulative byte offset
+    // (so a reader can seek shard k without scanning shards 0..k−1).
+    // The running-sum window is over shard-count rows only — a manifest
+    // is bounded by construction (size-derived shard count), so the
+    // single-partition ordered window here is a bounded-input pattern,
+    // not a corpus-sized sort.
+    QueryDef(
+      "q_shard_manifest",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val shards = graft.llm.Sharding.shardCount(
+          docs.count(), docsPerShard = 64)
+        val w = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        graft.llm.Sharding.shuffleShard(docs, shards)
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+          .withColumn("offset", coalesce(sum(col("bytes")).over(w), lit(0L)))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH n AS (
+             |  SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    (((doc_id % 2147483648 + 2147483648) % 2147483648)
+             |      * 2654435761) % 4294967296 % (SELECT k FROM n) AS shard
+             |  FROM documents),
+             |a AS (
+             |  SELECT s.shard, count(*) AS n_docs,
+             |    CAST(sum(d.n_chars) AS BIGINT) AS bytes
+             |  FROM s JOIN documents d USING (doc_id) GROUP BY s.shard)
+             |SELECT shard, n_docs, bytes,
+             |  CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS offset
+             |FROM a ORDER BY shard""".stripMargin)),
+
     // Gopher-style heuristic quality battery (word-count bounds, mean
     // word length, symbol-to-word ratio, stopword-hit rule) — the
     // pretraining filter battery beyond q_quality_score's two signals.
