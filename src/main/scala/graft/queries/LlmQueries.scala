@@ -2198,6 +2198,49 @@ object LlmQueries {
              |    AS BIGINT) AS offset
              |FROM a ORDER BY shard""".stripMargin)),
 
+    // Shard diversity — is each shard a good MIX of sources, or did the
+    // shuffle accidentally concentrate one source? Simpson's index
+    // 1 − Σ(nᵢ/n)² in exact integers: emit the numerator n² − Σnᵢ² and
+    // denominator n² per shard (0 = one source only; → n²·(1−1/k) for a
+    // perfect k-way mix). Probability that two random docs from the
+    // shard differ in source — no logs, no floats, engine-exact. Two
+    // hash aggs (shard×source, then shard), both map-side combined.
+    QueryDef(
+      "q_shard_diversity",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val shards = graft.llm.Sharding.shardCount(
+          docs.count(), docsPerShard = 64)
+        graft.llm.Sharding.shuffleShard(docs, shards)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("ns"))
+          .groupBy(col("shard"))
+          .agg(sum(col("ns")).as("n"), sum(col("ns") * col("ns")).as("ss"))
+          .select(col("shard"), col("n").as("n_docs"),
+            (col("n") * col("n") - col("ss")).as("simpson_num"),
+            (col("n") * col("n")).as("simpson_den"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH n AS (
+             |  SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    (((doc_id % 2147483648 + 2147483648) % 2147483648)
+             |      * 2654435761) % 4294967296 % (SELECT k FROM n) AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT s.shard, d.source, count(*) AS ns
+             |  FROM s JOIN documents d USING (doc_id) GROUP BY 1, 2),
+             |a AS (
+             |  SELECT shard, CAST(sum(ns) AS BIGINT) AS n,
+             |    CAST(sum(ns * ns) AS BIGINT) AS ss
+             |  FROM c GROUP BY shard)
+             |SELECT shard, n AS n_docs,
+             |  n * n - ss AS simpson_num, n * n AS simpson_den
+             |FROM a ORDER BY shard""".stripMargin)),
+
     // Gopher-style heuristic quality battery (word-count bounds, mean
     // word length, symbol-to-word ratio, stopword-hit rule) — the
     // pretraining filter battery beyond q_quality_score's two signals.
