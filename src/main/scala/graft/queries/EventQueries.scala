@@ -150,6 +150,37 @@ object EventQueries {
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
+    // Rolling 7-day distinct users per day (the WAU metric): each event
+    // EXPLODES to the 7 daily windows it contributes to (one explode +
+    // one distinct-agg — never a per-day self-join against the event
+    // table; ×7 row amplification is linear and the standard shape for
+    // sliding distinct counts, since COUNT(DISTINCT) does not decompose
+    // over window frames). Only days with events appear (the 7-window
+    // membership makes trailing windows of quiet days appear too).
+    QueryDef(
+      "q_rolling_distinct",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        val days = ev.select(col("d")).distinct()
+        ev.select(col("user_id"), col("d"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .withColumn("w_day", expr("d + make_interval(0, 0, 0, off)"))
+          .join(days.select(col("d").as("w_day")), Seq("w_day"))
+          .groupBy(col("w_day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .orderBy(col("w_day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
+             |days AS (SELECT DISTINCT d FROM e),
+             |win AS (
+             |  SELECT e.user_id, e.d + o.off * INTERVAL '1 day' AS w_day
+             |  FROM e, LATERAL (SELECT unnest(generate_series(0, 6)) AS off) o)
+             |SELECT w.w_day, count(DISTINCT w.user_id) AS wau
+             |FROM win w JOIN days ON days.d = w.w_day
+             |GROUP BY w.w_day ORDER BY w.w_day""".stripMargin)),
+
     // As-of join with TOLERANCE (merge_asof's tolerance parameter): the
     // most recent click strictly before each purchase, kept only when it
     // falls within 5 minutes — older matches become NULL, exactly

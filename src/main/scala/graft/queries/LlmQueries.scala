@@ -2198,6 +2198,52 @@ object LlmQueries {
              |    AS BIGINT) AS offset
              |FROM a ORDER BY shard""".stripMargin)),
 
+    // Largest-remainder (Hamilton) mixture allocation: split a fixed
+    // token budget across sources proportionally to their size, with the
+    // fractional remainders resolved EXACTLY — floor quotas first, then
+    // one extra slot each to the largest remainders until the budget is
+    // spent. Σquota = budget by construction, every step is integer
+    // arithmetic (no float proportions to round inconsistently), and the
+    // remainder rank runs over |sources| rows — bounded, like the shard
+    // manifest. The allocation step q_mixture_sample consumes upstream.
+    QueryDef(
+      "q_mixture_allocate",
+      (s, dir) => {
+        val budget = 100000L
+        val src = load(s, dir, "documents")
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("n"))
+        val tot = src.agg(sum(col("n")).as("n_total"))
+        val base = src.crossJoin(broadcast(tot))
+          .withColumn("base_q", expr(s"$budget * n div n_total"))
+          .withColumn("rem", expr(s"($budget * n) % n_total"))
+        val deficit = base.agg((lit(budget) - sum(col("base_q"))).as("deficit"))
+        val w = Window.orderBy(col("rem").desc, col("source"))
+        base.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(deficit))
+          .select(col("source"), col("n"),
+            (col("base_q") +
+              when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH s AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM s),
+             |b AS (
+             |  SELECT source, n,
+             |    100000 * n // (SELECT N FROM t) AS base_q,
+             |    (100000 * n) % (SELECT N FROM t) AS rem
+             |  FROM s),
+             |d AS (SELECT 100000 - CAST(sum(base_q) AS BIGINT) AS deficit FROM b),
+             |r AS (
+             |  SELECT source, n, base_q,
+             |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |  FROM b)
+             |SELECT source, n,
+             |  CAST(base_q + CASE WHEN rk <= (SELECT deficit FROM d)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |FROM r ORDER BY source""".stripMargin)),
+
     // Shard diversity — is each shard a good MIX of sources, or did the
     // shuffle accidentally concentrate one source? Simpson's index
     // 1 − Σ(nᵢ/n)² in exact integers: emit the numerator n² − Σnᵢ² and
