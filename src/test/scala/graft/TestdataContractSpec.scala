@@ -60,23 +60,32 @@ class TestdataContractSpec extends SparkSpec {
       "label" -> IntegerType),
   )
 
-  test("testdata contract: every table loads with the pinned schema") {
-    val drifted = Tables.names.flatMap { table =>
-      val got = Tables.load(spark, sfDir, table).schema
-        .map(f => (f.name, f.dataType))
-      val want = expected(table)
-      if (got == want) Nil
-      else {
-        val gotM = got.toMap
-        val wantM = want.toMap
-        val cols =
-          (wantM.keySet -- gotM.keySet).map(c => s"$table.$c MISSING (expected ${wantM(c)})") ++
-          (gotM.keySet -- wantM.keySet).map(c => s"$table.$c UNEXPECTED (${gotM(c)})") ++
-          wantM.keySet.intersect(gotM.keySet).collect {
-            case c if wantM(c) != gotM(c) =>
-              s"$table.$c is ${gotM(c)}, expected ${wantM(c)}"
-          }
-        if (cols.isEmpty) Seq(s"$table column ORDER changed: $got") else cols.toSeq
+  // all three scale factors: a PARTIAL regen (e.g. only sf0.01, the
+  // correctness tier) must fail here too, not just when sf0.001 drifts
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  test("testdata contract: every table loads with the pinned schema " +
+      "at every scale factor") {
+    val drifted = sfDirs.flatMap { dir =>
+      Tables.names.flatMap { table =>
+        val got = Tables.load(spark, dir, table).schema
+          .map(f => (f.name, f.dataType))
+        val want = expected(table)
+        if (got == want) Nil
+        else {
+          val gotM = got.toMap
+          val wantM = want.toMap
+          val cols =
+            (wantM.keySet -- gotM.keySet).map(c => s"$dir/$table.$c MISSING (expected ${wantM(c)})") ++
+            (gotM.keySet -- wantM.keySet).map(c => s"$dir/$table.$c UNEXPECTED (${gotM(c)})") ++
+            wantM.keySet.intersect(gotM.keySet).collect {
+              case c if wantM(c) != gotM(c) =>
+                s"$dir/$table.$c is ${gotM(c)}, expected ${wantM(c)}"
+            }
+          if (cols.isEmpty) Seq(s"$dir/$table column ORDER changed: $got")
+          else cols.toSeq
+        }
       }
     }
     assert(drifted.isEmpty,
