@@ -31,11 +31,35 @@ object Tokenization {
   /** Escape a corpus token for embedding in a SQL string literal. */
   private val q = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** Memo of completed training runs, keyed by (session, canonicalized
+    * corpus plan, text column, merge count): a session that both LEARNS a
+    * tokenizer and ENCODES with it (the normal pipeline shape) pays the
+    * K-round training — 1 driver round-trip per merge — exactly once.
+    * Entries are tiny (the K-row merge table plus a lazy plan; the
+    * vocabulary DataFrame is never collected), and the cached plan stays
+    * correct even if the underlying persisted `words` table is evicted:
+    * re-running an action just recomputes it from the corpus with ZERO
+    * new driver round-trips, because the learned merges are interpolated
+    * into the plan as literals. */
+  private val trained = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
+    (Seq[(Int, String, Long)], DataFrame)]
+
+  private def trainLoop(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = synchronized {
+    trained.getOrElseUpdate(
+      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        textCol, numMerges),
+      trainLoopUncached(docs, textCol, numMerges))
+  }
+
   /** The training loop shared by [[learnBpeMerges]] and
     * [[bpeTokenCounts]]: returns the K learned merges and the final
     * (w, sym, cnt) vocabulary table with each word's merged segmentation.
     */
-  private def trainLoop(docs: DataFrame, textCol: String, numMerges: Int)
+  private def trainLoopUncached(docs: DataFrame, textCol: String,
+                                numMerges: Int)
       : (Seq[(Int, String, Long)], DataFrame) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     // ONE corpus scan: whitespace words → frequency table → symbol form.
@@ -65,8 +89,22 @@ object Tokenization {
         .orderBy(col("pcnt").desc, col("pair").asc)
         .limit(1).collect().head
       val pair = top.getString(0)
-      cur = cur.withColumn("sym",
-        expr(s"replace(sym, '${q(pair)}', '${q(pair.replace("|", ""))}')"))
+      // Boundary-aware merge: double the INTERNAL delimiters and wrap
+      // ("t|h|e" → "|t||h||e|") so the search literal "|a||b|" can only
+      // match whole adjacent symbols — a plain replace(sym,'h|e','he')
+      // would also hit "th|e" across the t·h boundary once symbols grow
+      // multi-character, merging a pair that was never learned. The
+      // replacement "|ab|" keeps single pipes at its edges, so adjacent
+      // matches never share characters and left-to-right non-overlapping
+      // replace = the greedy Sennrich merge order; un-doubling restores
+      // the canonical form. Same three plain replaces in the DuckDB
+      // oracle ([[bpeRoundsCte]]) — no regex, no lookaround.
+      val search = "|" + pair.replace("|", "||") + "|"
+      val repl = "|" + pair.replace("|", "") + "|"
+      cur = cur.withColumn("sym", expr(
+        s"replace(trim(BOTH '|' FROM replace(" +
+          s"concat('|', replace(sym, '|', '||'), '|'), " +
+          s"'${q(search)}', '${q(repl)}')), '||', '|')"))
       (rank, pair, top.getLong(1))
     }
     (merges, cur)
@@ -77,11 +115,14 @@ object Tokenization {
     * (rank 1-based, pair "a|b", pair_cnt).
     *
     * Symbols are '|'-delimited inside a word ("key" → "k|e|y"); a merge
-    * replaces every non-overlapping occurrence left-to-right (SQL
-    * `replace` semantics — identical in Spark and DuckDB, which is what
-    * makes the oracle expressible). Ties on count break to the
-    * lexicographically smallest pair, so the learned table is
-    * deterministic for a given corpus.
+    * replaces every non-overlapping WHOLE-SYMBOL occurrence left-to-right
+    * (greedy Sennrich order), implemented as a delimiter-doubled SQL
+    * `replace` so a match can never straddle a symbol boundary — plain
+    * string replace would corrupt segmentations once symbols grow
+    * multi-character (see trainLoop). All three replaces have identical
+    * semantics in Spark and DuckDB, which is what makes the oracle
+    * expressible. Ties on count break to the lexicographically smallest
+    * pair, so the learned table is deterministic for a given corpus.
     */
   def learnBpeMerges(docs: DataFrame, textCol: String,
                      numMerges: Int): DataFrame = {
@@ -129,8 +170,11 @@ object Tokenization {
          |m$i AS MATERIALIZED (
          |  SELECT pair, pcnt FROM p$i ORDER BY pcnt DESC, pair LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT w, replace(sym, (SELECT pair FROM m$i),
-         |                    replace((SELECT pair FROM m$i), '|', '')) AS sym,
+         |  SELECT w, replace(trim(replace(
+         |      '|' || replace(sym, '|', '||') || '|',
+         |      '|' || replace((SELECT pair FROM m$i), '|', '||') || '|',
+         |      '|' || replace((SELECT pair FROM m$i), '|', '') || '|'),
+         |    '|'), '||', '|') AS sym,
          |         cnt
          |  FROM $prev)""".stripMargin
     }

@@ -116,10 +116,26 @@ object ScaleJoins {
     * a single-column sort only ever prunes one. Pure bit arithmetic
     * (shift/and/multiply) — codegen-friendly, and exactly expressible in
     * the DuckDB oracle so the layout is hash-checkable.
+    *
+    * Keys MUST fit in `bits` bits: bits at or above position `bits` are
+    * not interleaved, so silently accepting a wider key would collapse
+    * distinct keys onto one z-value and quietly destroy the rectangle
+    * property the layout exists for. Out-of-range rows therefore raise
+    * in-plan (a `when`-guarded `raise_error`, still codegen'd) instead
+    * of degrading the layout — callers widen `bits` to fit their key
+    * domain.
     */
-  def zorder2(x: Column, y: Column, bits: Int = 16): Column =
-    (0 until bits).map { b =>
+  def zorder2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val lim = lit(1L << bits)
+    val interleaved = (0 until bits).map { b =>
       (shiftright(x, b) % 2) * lit(1L << (2 * b)) +
         (shiftright(y, b) % 2) * lit(1L << (2 * b + 1))
     }.reduce(_ + _)
+    val inRange =
+      x.geq(lit(0)).and(x.lt(lim)).and(y.geq(lit(0))).and(y.lt(lim))
+    when(inRange, interleaved).otherwise(raise_error(concat(
+      lit(s"zorder2: key outside [0, 2^$bits): x="), x.cast("string"),
+      lit(" y="), y.cast("string"))))
+  }
 }

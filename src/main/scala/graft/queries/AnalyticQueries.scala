@@ -603,12 +603,18 @@ object AnalyticQueries {
     // Exponentially time-decayed counts — recency weighting for data
     // selection (favor users/sources with RECENT activity), computed in
     // EXACT integer arithmetic: an event aged k whole hours weighs
-    // 2^(50−min(k,50)), i.e. weight halves per hour, as a BIGINT power
+    // 2^(40−min(k,40)), i.e. weight halves per hour, as a BIGINT power
     // of two. The per-user sum is then an exact integer (denominator
-    // 2^50 implied) — no float pow, no order-dependent rounding, so the
+    // 2^40 implied) — no float pow, no order-dependent rounding, so the
     // oracle matches bit-for-bit where a double formulation would flake.
-    // Reference epoch = max(ts) over the table via 1-row broadcast;
-    // map-side combined single hash aggregate.
+    // Overflow bound: worst case every event lands in the newest hour, so
+    // a per-user sum is ≤ n_events·2^40, which fits in 63 bits up to
+    // 2^23 ≈ 8.4M events PER USER — orders of magnitude above any
+    // supported scale factor (DuckDB would sum into HUGEINT and error on
+    // the BIGINT cast while Spark wraps silently, so the ceiling keeps
+    // the two engines from diverging on skewed users). Reference epoch =
+    // max(ts) over the table via 1-row broadcast; map-side combined
+    // single hash aggregate.
     QueryDef(
       "q_decay_counts",
       (s, dir) => {
@@ -617,20 +623,20 @@ object AnalyticQueries {
         val tmax = ev.agg(max(col("us")).as("us_max"))
         ev.crossJoin(broadcast(tmax))
           .withColumn("age_h",
-            expr("least((us_max - us) div 3600000000, 50)"))
+            expr("least((us_max - us) div 3600000000, 40)"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
-            sum(expr("shiftleft(cast(1 as bigint), cast(50 - age_h as int))"))
+            sum(expr("shiftleft(cast(1 as bigint), cast(40 - age_h as int))"))
               .as("decay_num"))
           .orderBy(col("user_id"))
       },
       Some("""WITH t AS (SELECT max(epoch_us(ts)) AS us_max FROM events),
              |a AS (
              |  SELECT user_id,
-             |    least((us_max - epoch_us(ts)) // 3600000000, 50) AS age_h
+             |    least((us_max - epoch_us(ts)) // 3600000000, 40) AS age_h
              |  FROM events, t)
              |SELECT user_id, count(*) AS n_events,
-             |  CAST(sum(CAST(1 AS BIGINT) << (50 - age_h)) AS BIGINT)
+             |  CAST(sum(CAST(1 AS BIGINT) << (40 - age_h)) AS BIGINT)
              |    AS decay_num
              |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin)),
 

@@ -14,9 +14,21 @@ object GraftSparkInternals {
     * properties (job group, description, scheduler pool — all
     * thread-local in SparkContext). The mechanism behind running two
     * independent driver-side training loops concurrently without losing
-    * job-group cancellation scoping (core/Batch.scala's contract). */
+    * job-group cancellation scoping (core/Batch.scala's contract).
+    *
+    * `getLocalProperties` returns the caller thread's LIVE Properties
+    * (Spark clones only across parent→child InheritableThreadLocal), so
+    * we snapshot it here — otherwise caller mutations race the worker —
+    * and the thunk restores the executing thread's prior properties in a
+    * finally, so a pooled thread never keeps the caller's job group. */
   def withInheritedLocalProperties[T](sc: SparkContext)(body: => T): () => T = {
-    val props = sc.getLocalProperties // cloned snapshot (private[spark])
-    () => { sc.setLocalProperties(props); body }
+    val snapshot = new java.util.Properties()
+    snapshot.putAll(sc.getLocalProperties)
+    () => {
+      val prior = sc.getLocalProperties
+      sc.setLocalProperties(snapshot)
+      try body
+      finally sc.setLocalProperties(prior)
+    }
   }
 }

@@ -627,4 +627,23 @@ class LlmSpec extends SparkSpec {
     assert(out(0)._2 == "a|a")
     assert(out(1) == ((2, "aa|aa", 2L)), s"got ${out.toSeq}")
   }
+
+  test("learnBpeMerges merges whole symbols only, never across boundaries") {
+    import SparkSpec.spark.implicits._
+    // th ×6, the ×2, he ×3. Round 1: t|h (8) beats h|e (5) → "the" becomes
+    // th|e. Round 2 merges h|e (count 3 — only "he" still has h·e
+    // adjacent) — a plain string replace would ALSO rewrite "th|e" to the
+    // single symbol "the" across the t·h boundary, corrupting the
+    // segmentation AND leaving round 3 with no pairs at all.
+    // Boundary-aware merging leaves th|e intact, so round 3 learns
+    // exactly (th, e) with count 2.
+    val text = (Seq.fill(6)("th") ++ Seq.fill(2)("the") ++
+      Seq.fill(3)("he")).mkString(" ")
+    val out = Tokenization.learnBpeMerges(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "t|h", 8L), (2, "h|e", 3L), (3, "th|e", 2L)),
+      s"got ${out.toSeq}")
+  }
 }
