@@ -265,7 +265,9 @@ object TextAnalysis {
     *
     * Scale shape mirrors [[tfidf]]: one tokenize-explode feeding term
     * counts (map-side combined), doc lengths over ALL terms, df restricted
-    * to the query's terms, and the 1-row corpus stats (N, avgdl) broadcast.
+    * to the query's terms, and the 1-row corpus stats (N, avgdl) broadcast
+    * — both stats in ONE aggregate over the doc-length table, so the
+    * corpus is scanned exactly once (N = docs with at least one term).
     * The query-term filter prunes the big tc join input BEFORE the df join,
     * so cost tracks matching postings, not the vocabulary.
     *
@@ -284,9 +286,13 @@ object TextAnalysis {
     val docLen = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
     val hits = tc.filter(col("term").isin(queryTerms: _*))
     val dfTbl = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = documents.agg(countDistinct(col(idCol)).as("n_docs"))
-    val avg = docLen.agg((sum(col("dl")).cast("double")
-      / count(lit(1))).as("avgdl"))
+    // N and avgdl come from ONE aggregate over docLen (a row per doc
+    // with ≥1 term, already derived from the persisted term counts) — a
+    // separate countDistinct over `documents` would re-scan the whole
+    // corpus for a number docLen already knows. Both land in the same
+    // 1-row broadcast.
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val idf = log(lit(1.0)
       + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("c") * (lit(k1) + 1.0)) /
@@ -294,8 +300,7 @@ object TextAnalysis {
         + lit(b) * col("dl") / col("avgdl")))
     hits.join(docLen, "doc_id")
       .join(dfTbl, "term")
-      .crossJoin(broadcast(corpus))
-      .crossJoin(broadcast(avg))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         round(idf * tfNorm, 4).as("bm25"))
   }

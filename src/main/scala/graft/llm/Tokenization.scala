@@ -54,6 +54,13 @@ object Tokenization {
       trainLoopUncached(docs, textCol, numMerges))
   }
 
+  /** Drop every memoized training. graft.Bench calls this before EACH
+    * timed rep: the frozen q_bpe_learn budget was measured with training
+    * paid per rep, and a memo hit would silently turn reps 2-3 into
+    * no-ops and report a fantasy number. Pipeline sessions (Verify, the
+    * examples) never call it — they get the train-once sharing. */
+  def invalidateTrained(): Unit = synchronized { trained.clear() }
+
   /** The training loop shared by [[learnBpeMerges]] and
     * [[bpeTokenCounts]]: returns the K learned merges and the final
     * (w, sym, cnt) vocabulary table with each word's merged segmentation.

@@ -1821,14 +1821,14 @@ object LlmQueries {
              |dl AS (SELECT doc_id, sum(c) AS dl FROM tc GROUP BY doc_id),
              |hits AS (SELECT * FROM tc WHERE term IN ('join', 'scan', 'stream')),
              |df AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
-             |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-             |avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+             |stats AS (SELECT count(*) AS n_docs,
+             |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
              |SELECT h.doc_id, h.term,
              |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
              |    * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
              |    AS bm25
              |FROM hits h JOIN dl USING (doc_id) JOIN df USING (term)
-             |CROSS JOIN corpus CROSS JOIN avg
+             |CROSS JOIN stats
              |ORDER BY doc_id, term""".stripMargin)),
 
     // Unigram-LM document scoring (perplexity proxy): corpus trains its
