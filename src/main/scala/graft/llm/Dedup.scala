@@ -570,4 +570,89 @@ object Dedup {
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact longest-duplicate-substring dedup (the suffix-array method of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): find every maximal word span of length ≥ `minLen` whose
+    * text occurs at ≥ 2 positions in the corpus — VARIABLE-length spans
+    * with exact boundaries, where the fixed-shingle q_dedup_spans only
+    * reports 8-gram coverage.
+    *
+    * Distributed suffix-array shape (never materializes a global array,
+    * never compares all pairs):
+    *  1. every word position emits a BOUNDED suffix: a 16-byte md5 of its
+    *     first `minLen` words (the bucket key — two suffixes can only
+    *     share a ≥ minLen-word prefix if they share it) plus the next
+    *     `maxLen − minLen` words as the residual. The shuffle carries the
+    *     hash and the capped residual, not unbounded text.
+    *  2. within a bucket, suffixes sort lexicographically by residual —
+    *     the suffix-array order restricted to the bucket. The classic
+    *     suffix-array property: a suffix's longest common prefix with ANY
+    *     other suffix is attained at a sort-order NEIGHBOR, so one
+    *     window pass (lag + lead) yields each position's exact maximal
+    *     duplicate length, `minLen + word-LCP(residuals)`, capped at
+    *     `maxLen`. A hot bucket (viral boilerplate repeated B times)
+    *     costs B log B sort work — never B².
+    *  3. duplicate STARTS chain into full spans: inside a duplicate of
+    *     length K > maxLen every position is itself a start, so exploding
+    *     each start's [pos, pos+len) interval and merging via
+    *     gaps-and-islands recovers spans of ANY length — the cap bounds
+    *     per-row state, not reported span length.
+    *
+    * Returns one row per doc containing duplicated text: (doc_id,
+    * n_spans, dup_words, max_span). Within-doc repeats count (a doc
+    * repeating its own 30-word block is dedupable text), matching the
+    * reference method's corpus-level definition.
+    */
+  def suffixDuplicateSpans(documents: DataFrame, minLen: Int = 12,
+                           maxLen: Int = 32, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(maxLen > minLen && minLen > 0,
+      s"need maxLen > minLen > 0, got ($minLen, $maxLen)")
+    // word-LCP of two capped residual arrays: first index where they
+    // differ (zip_with pads the shorter side with null, so a length
+    // mismatch registers as a difference), else the full common length.
+    // Guarded: a missing neighbor must yield NULL, not a fake LCP.
+    def lcp(a: String, b: String): String =
+      s"CASE WHEN $b IS NULL THEN NULL ELSE coalesce(" +
+        s"nullif(array_position(" +
+        s"zip_with($a, $b, (x, y) -> x IS DISTINCT FROM y), true), 0) - 1, " +
+        s"size($a)) END"
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("res"), col("doc_id"), col("pos"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val starts = documents
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("words"))
+      .filter(size(col("words")) >= minLen)
+      .select(col("doc_id"), col("words"),
+        explode(expr(s"sequence(0, size(words) - $minLen)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"md5(concat_ws(' ', slice(words, pos + 1, $minLen)))")
+          .as("bucket"),
+        expr(s"slice(words, pos + 1 + $minLen, ${maxLen - minLen})")
+          .as("res"))
+      .withColumn("pres", lag(col("res"), 1).over(wBucket))
+      .withColumn("nres", lead(col("res"), 1).over(wBucket))
+      // greatest() skips SQL NULLs in Spark but the oracle engine may
+      // not: the explicit -1 fallback + singleton guard keeps the two
+      // formulations term-for-term identical
+      .withColumn("match_len", expr(
+        s"CASE WHEN pres IS NULL AND nres IS NULL THEN NULL " +
+          s"ELSE $minLen + greatest(coalesce(${lcp("res", "pres")}, -1), " +
+          s"coalesce(${lcp("res", "nres")}, -1)) END"))
+      .filter(col("match_len").isNotNull)
+    starts
+      .select(col("doc_id"),
+        explode(expr("sequence(pos, pos + match_len - 1)")).as("pos"))
+      .distinct()
+      .withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("span_words"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_words")).as("dup_words"),
+        max(col("span_words")).as("max_span"))
+  }
 }

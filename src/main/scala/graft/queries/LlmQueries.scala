@@ -781,6 +781,77 @@ object LlmQueries {
              |    WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
              |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin)),
 
+    // Suffix-array longest-duplicate-substring dedup (Lee et al. 2022) —
+    // VARIABLE-length exact duplicated spans where q_dedup_spans only
+    // reports fixed 8-gram coverage: every word position emits a bounded
+    // suffix (md5 of its first 12 words = the bucket, next 20 words = the
+    // residual); within a bucket the sort order is the suffix-array order
+    // and one lag/lead window gives each position its exact maximal
+    // duplicate length (the LCP-with-neighbor property); duplicate starts
+    // then chain into maximal spans via the same gaps-and-islands
+    // machinery as q_dedup_spans. See Dedup.suffixDuplicateSpans for the
+    // scale analysis (hashed bucket keys, capped residuals, B log B hot
+    // buckets, never all-pairs).
+    {
+      val L = 12 // minimum duplicate length (words) — the bucket prefix
+      val M = 32 // LCP cap per row (spans longer than M chain via islands)
+      // DuckDB word-LCP of res vs a neighbor list: first differing index
+      // (index lambda pads the short side with NULL → registers as a
+      // difference), else the full residual length; NULL neighbor → NULL.
+      // list_position returns 0 (not NULL) when absent — exactly Spark's
+      // array_position contract — hence the same nullif guard
+      def lcpSql(b: String) =
+        s"CASE WHEN $b IS NULL THEN NULL ELSE coalesce(" +
+          s"nullif(list_position(list_transform(res, (x, i) -> " +
+          s"x IS DISTINCT FROM $b[i]), true), 0) - 1, len(res)) END"
+      QueryDef(
+        "q_dedup_suffix",
+        (s, dir) => Dedup
+          .suffixDuplicateSpans(load(s, dir, "documents"), minLen = L,
+            maxLen = M)
+          .orderBy(col("doc_id")),
+        Some(s"""WITH d AS (
+                |  SELECT doc_id, string_split(text, ' ') AS words
+                |  FROM documents WHERE len(string_split(text, ' ')) >= $L),
+                |s AS (
+                |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+                |    md5(array_to_string(
+                |      words[CAST(i AS INT):CAST(i + ${L - 1} AS INT)], ' '))
+                |      AS bucket,
+                |    words[CAST(i + $L AS INT):CAST(i + ${M - 1} AS INT)]
+                |      AS res
+                |  FROM d, unnest(generate_series(1, len(words) - ${L - 1}))
+                |    u(i)),
+                |n AS (
+                |  SELECT doc_id, pos, res,
+                |    lag(res) OVER w AS pres, lead(res) OVER w AS nres
+                |  FROM s WINDOW w AS
+                |    (PARTITION BY bucket ORDER BY res, doc_id, pos)),
+                |m AS (
+                |  SELECT doc_id, pos,
+                |    CASE WHEN pres IS NULL AND nres IS NULL THEN NULL
+                |         ELSE $L + greatest(
+                |           coalesce(${lcpSql("pres")}, -1),
+                |           coalesce(${lcpSql("nres")}, -1)) END AS match_len
+                |  FROM n),
+                |covered AS (
+                |  SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS pos
+                |  FROM m, unnest(generate_series(0, match_len - 1)) v(o)
+                |  WHERE match_len IS NOT NULL),
+                |islands AS (
+                |  SELECT doc_id, pos,
+                |    pos - row_number() OVER (PARTITION BY doc_id
+                |      ORDER BY pos) AS island
+                |  FROM covered),
+                |spans AS (
+                |  SELECT doc_id, island, count(*) AS span_words
+                |  FROM islands GROUP BY 1, 2)
+                |SELECT doc_id, count(*) AS n_spans,
+                |  CAST(sum(span_words) AS BIGINT) AS dup_words,
+                |  CAST(max(span_words) AS BIGINT) AS max_span
+                |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+    },
+
     // Deterministic train/val/test split assignment — the overflow-safe
     // Knuth hash (q_sample_weighted) reduced to 256 buckets, cut 80/10/10.
     // Per-row, shuffle-free, rerun- and cluster-size-stable, and

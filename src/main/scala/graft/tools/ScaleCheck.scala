@@ -59,7 +59,7 @@ object ScaleCheck {
     // marker is versioned by synthesis algorithm: a stale corpus from an
     // older synthesis (e.g. the token-tagged variant) must regenerate,
     // not get silently measured under the new method's claims
-    if (new java.io.File(fs, "_DONE_caesar_v5").exists()) return
+    if (new java.io.File(fs, "_DONE_caesar_v6").exists()) return
     fs.mkdirs()
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
@@ -113,7 +113,19 @@ object ScaleCheck {
         .withColumn("user_id", col("user_id") + lit(k * 10000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v5")).close()
+    // orders (temporal-join dimension): shift the VERSION id only and keep
+    // o_custkey + o_orderdate, so each copy adds another full set of SCD2
+    // versions to the SAME keys — the versions-per-key growth axis (the
+    // equi-join candidate list per fact grows k×; tied valid_from dates
+    // produce zero-width versions that match nothing, exactly as ties do
+    // in a real change feed)
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v6")).close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,14 +147,17 @@ object ScaleCheck {
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
 
-    val allRuns: Seq[(String, String => DataFrame)] = Seq(
-      ("q_dedup_minhash", dir => Dedup.minhashLsh(
+    // each run gets (synth dir, scale factor): most paths read k×
+    // tables from dir; generator-input paths (video) scale off the
+    // factor directly
+    val allRuns: Seq[(String, (String, Int) => DataFrame)] = Seq(
+      ("q_dedup_minhash", (dir, _) => Dedup.minhashLsh(
         spark.read.parquet(s"$dir/documents.parquet"),
         numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)),
       // full corpus, not the oracle's doc_id<120 slice — the library path
-      ("q_dedup_jaccard_prefix", dir => Dedup.prefixFilteredJaccardPairs(
+      ("q_dedup_jaccard_prefix", (dir, _) => Dedup.prefixFilteredJaccardPairs(
         spark.read.parquet(s"$dir/documents.parquet"), minJaccard = 0.8)),
-      ("q_sim_ivfpq", dir => {
+      ("q_sim_ivfpq", (dir, _) => {
         val embs = spark.read.parquet(s"$dir/embeddings.parquet")
         Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
           k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4)
@@ -150,7 +165,7 @@ object ScaleCheck {
       // the production 100 TB shape: quantizers train on the deterministic
       // hash-band sample, so training cost stays ~flat as the corpus grows
       // while encode/scan stay linear
-      ("q_sim_ivfpq_tf0.1", dir => {
+      ("q_sim_ivfpq_tf0.1", (dir, _) => {
         val embs = spark.read.parquet(s"$dir/embeddings.parquet")
         Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
           k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4,
@@ -159,28 +174,28 @@ object ScaleCheck {
       // query-level paths (SparkEntry reads documents.parquet from dir):
       // the shingle hash-aggregate span detector and the Bloom-prefiltered
       // decontamination join — the two non-pairwise dedup shapes
-      ("q_dedup_spans", dir =>
+      ("q_dedup_spans", (dir, _) =>
         graft.SparkEntry.queries("q_dedup_spans")(spark, dir)),
-      ("q_decontaminate_bloom", dir =>
+      ("q_decontaminate_bloom", (dir, _) =>
         graft.SparkEntry.queries("q_decontaminate_bloom")(spark, dir)),
       // round-6 additions: the iterative fixpoint graph sweep (synthesized
       // lineitem = disjoint component copies), the exact label-aware
       // mining path, and the CCNet pair — exact per-language window sort
       // vs the sort-free approx-cutoff production shape, so the trajectory
       // table shows WHY the approx path is spec-pinned
-      ("q_graph_pagerank", dir => graft.llm.Graphs.pagerankExact(
+      ("q_graph_pagerank", (dir, _) => graft.llm.Graphs.pagerankExact(
         spark.read.parquet(s"$dir/lineitem.parquet")
           .select(col("l_partkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst")),
         iters = 8).orderBy(col("rank").desc, col("node")).limit(100)),
-      ("q_sim_hard_negatives", dir => {
+      ("q_sim_hard_negatives", (dir, _) => {
         val embs = spark.read.parquet(s"$dir/embeddings.parquet")
         Similarity.hardNegativesTopK(embs, embs.filter(col("vec_id") < 10),
           k = 5)
       }),
-      ("q_ccnet_buckets_exact", dir =>
+      ("q_ccnet_buckets_exact", (dir, _) =>
         graft.SparkEntry.queries("q_ccnet_buckets")(spark, dir)),
-      ("q_ccnet_buckets_approx", dir => graft.llm.TextAnalysis
+      ("q_ccnet_buckets_approx", (dir, _) => graft.llm.TextAnalysis
         .pplBucketsApprox(spark.read.parquet(s"$dir/documents.parquet"))),
       // round-7 addition: the chained two-stateful-operator streaming
       // query (per-10-min counts → hourly peak) — the heaviest
@@ -189,7 +204,7 @@ object ScaleCheck {
       // a super-linear curve here would flag state-store or shuffle
       // pathology the batch rows can't see. (Timed cell includes the
       // one-off heartbeat staging on rep 1; best-of-2 drops it.)
-      ("q_stream_chained_agg", dir =>
+      ("q_stream_chained_agg", (dir, _) =>
         graft.SparkEntry.queries("q_stream_chained_agg")(spark, dir)),
       // round-7: incremental dedup with a FIXED batch against a GROWING
       // history — the claim under test is that the candidate join stays
@@ -197,19 +212,59 @@ object ScaleCheck {
       // history signature pass grows. In production the history index is
       // precomputed once; this row pays it per run, so the measured curve
       // is the WORST case for the pattern.
-      ("q_dedup_incremental", dir => Dedup.incrementalMinhashMatches(
+      ("q_dedup_incremental", (dir, _) => Dedup.incrementalMinhashMatches(
         spark.read.parquet(s"$dir/documents.parquet"),
         spark.read.parquet(s"$base/documents.parquet")
           .filter(col("doc_id") >= 400),
-        numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)))
+        numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)),
+      // round-8: suffix-array variable-length dedup — positions (and the
+      // md5-bucketed suffix table) grow linearly with the corpus; copies
+      // share no word tokens, so buckets never merge across copies and a
+      // super-linear curve would expose a hidden pairwise path
+      ("q_dedup_suffix", (dir, _) => Dedup.suffixDuplicateSpans(
+        spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-8: BPE training on the VOCABULARY growth axis — the Caesar
+      // copies contribute k× distinct words (every rotated word is new),
+      // not just k× rows, so the per-round pair aggregate's input (the
+      // word table) genuinely grows k×; training rounds stay fixed at 8
+      ("q_bpe_learn", (dir, _) => graft.llm.Tokenization.learnBpeMerges(
+        spark.read.parquet(s"$dir/documents.parquet"), "text",
+        numMerges = 8)),
+      // round-8: temporal join on the VERSIONS-PER-KEY axis — synthesized
+      // orders add k full version sets to the SAME dimension keys, so the
+      // per-fact candidate list in the equi-join grows k× (the residual
+      // time predicate still keeps ≤ 1 match per fact)
+      ("q_temporal_join", (dir, _) =>
+        graft.SparkEntry.queries("q_temporal_join")(spark, dir)),
+      // round-8: video decode throughput — k× synthetic GVID containers
+      // staged to parquet OUTSIDE the timed region (the single-threaded
+      // driver-side fixture generation would otherwise dominate and read
+      // as fake super-linearity), so the curve shows scan + demux +
+      // per-frame PNG decode scaling with container bytes
+      ("q_multimodal_video", (_, f) => graft.llm.Multimodal
+        .sampleVideoFrames(
+          spark.read.parquet(s"$synthRoot/videos_x$f/media.parquet"),
+          stride = 2)))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+
+    // stage the video fixtures (driver-side blob generation — harness
+    // cost, not operator cost) before any timing
+    if (runs.exists(_._1 == "q_multimodal_video"))
+      for (f <- factors) {
+        val dir = new java.io.File(s"$synthRoot/videos_x$f")
+        if (!new java.io.File(dir, "_DONE").exists()) {
+          graft.llm.Multimodal.syntheticVideo(spark, 64 * f)
+            .write.mode("overwrite").parquet(s"$dir/media.parquet")
+          new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
+        }
+      }
 
     // untimed warmup: pays JVM/codegen compilation once, outside every
     // measurement (the first-ever run of each path is 3-10× its steady
     // state and would masquerade as a scaling anomaly at factor 1)
     for ((_, mk) <- runs) {
-      mk(base).write.format("noop").mode("overwrite").save()
+      mk(base, 1).write.format("noop").mode("overwrite").save()
       Caches.release(); spark.catalog.clearCache()
     }
 
@@ -229,9 +284,12 @@ object ScaleCheck {
               .drainListenerBus(spark.sparkContext)
             c.get()
           }
+          // reps must each pay BPE training — a memo hit would measure
+          // the cost of not training (same rule as graft.Bench)
+          graft.llm.Tokenization.invalidateTrained()
           val w0 = drained(listener.write); val r0 = listener.read.get()
           val t0 = System.nanoTime()
-          mk(dir).write.format("noop").mode("overwrite").save()
+          mk(dir, f).write.format("noop").mode("overwrite").save()
           val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
           Caches.release()
           spark.catalog.clearCache()

@@ -646,4 +646,35 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "t|h", 8L), (2, "h|e", 3L), (3, "th|e", 2L)),
       s"got ${out.toSeq}")
   }
+
+  test("suffixDuplicateSpans recovers a planted 60-word duplicate exactly") {
+    import SparkSpec.spark.implicits._
+    // docs A and B share EXACTLY a 60-word run — longer than the 32-word
+    // per-row LCP cap, so the span must chain across capped starts; all
+    // other words are globally unique so the boundaries are exact. Doc C
+    // has no duplicated text and must be absent.
+    val dup = (1 to 60).map(i => s"d$i").mkString(" ")
+    val a = "a1 a2 a3 a4 a5 " + dup + " a6 a7 a8"
+    val b = "b1 b2 b3 b4 " + dup + " b5 b6"
+    val c = (1 to 70).map(i => s"c$i").mkString(" ")
+    val out = Dedup.suffixDuplicateSpans(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 60L, 60L), (2L, 1L, 60L, 60L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("suffixDuplicateSpans counts within-doc repeats as duplicated text") {
+    import SparkSpec.spark.implicits._
+    // one doc repeats its own 20-word block twice with unique words
+    // between and around: two islands of exactly 20 words each
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = "u1 u2 u3 " + block + " u4 u5 " + block + " u6 u7 u8"
+    val out = Dedup.suffixDuplicateSpans(
+        Seq((7L, d)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((7L, 2L, 40L, 20L)), s"got ${out.toSeq}")
+  }
 }
