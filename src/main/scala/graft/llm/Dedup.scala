@@ -541,6 +541,18 @@ object Dedup {
     // candidate join; signatures rejoin by doc_id for distinct pairs only.
     val sigs = Caches.track(documents
       .select(col(idCol).as("doc_id"), simhashSignature(col(textCol)).as("sim")))
+    hammingBandedPairs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /** Banded hamming-distance candidate pairs over 64-bit signatures
+    * `(doc_id, sim)` — the shared mechanics behind [[simhash]] (text) and
+    * [[imageDhashPairs]] (images): 8 byte-bands per signature; pigeonhole
+    * guarantees any pair within hamming 7 shares at least one band, so
+    * for `maxHamming < 8` banding loses nothing while the candidate join
+    * stays an equi-join on (block, block_val). Exact `bit_count(xor)`
+    * verify per candidate. Caller persists `sigs` (two consumers). */
+  private[llm] def hammingBandedPairs(sigs: DataFrame, maxHamming: Int,
+                                      maxBucketSize: Int): DataFrame = {
     val blocked = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(7)),
           b => call_function("shiftright", col("sim"), b * lit(8)).bitwiseAND(255))))
@@ -569,6 +581,24 @@ object Dedup {
       .select(col("d1"), col("d2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Image perceptual near-dup (dHash): decode each image blob, hash the
+    * raster with [[Multimodal.dhash64]], and find every pair within
+    * `maxHamming` bits via the banded candidate machinery — the standard
+    * image-corpus dedup operator (re-encoded/re-sized copies of one photo
+    * land within a few bits). Corrupt blobs quarantine inside the decode
+    * and simply contribute no signature. Scale shape: decode is
+    * embarrassingly parallel; the only exchange carries (media_id, 8
+    * byte-bands) — never pixels; `maxBucketSize` caps degenerate buckets
+    * (e.g. a corpus of near-black thumbnails) exactly as in [[simhash]].
+    */
+  def imageDhashPairs(media: DataFrame, maxHamming: Int = 6,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming < 8,
+      s"maxHamming must be < 8 for lossless 8-band bucketing, got $maxHamming")
+    val sigs = Caches.track(Multimodal.dhashSignatures(media))
+    hammingBandedPairs(sigs, maxHamming, maxBucketSize)
   }
 
   /** Exact longest-duplicate-substring dedup (the suffix-array method of

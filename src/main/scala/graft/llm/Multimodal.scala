@@ -127,6 +127,105 @@ object Multimodal {
 
   /** Typed row for the decode input (media_id + opaque bytes). */
   final case class MediaBlob(media_id: Long, content: Array[Byte])
+
+  // ------------------------------------------------------------------
+  // Perceptual hash (dHash) — image NEAR-duplicate detection over the
+  // decoded raster: the standard image-corpus dedup signature (two
+  // re-encodes/resizes of one photo hash within a few bits; unrelated
+  // photos differ in ~32 of 64).
+  // ------------------------------------------------------------------
+
+  /** 64-bit difference hash of a decoded raster: nearest-neighbor
+    * downscale to a 9×8 grayscale grid (same sampling rule as [[resize]]:
+    * src = dst·srcDim/dstDim), gray = (r+g+b) div 3, and bit (y·8+x) set
+    * iff gray(x+1,y) > gray(x,y) — 8 horizontal comparisons per row × 8
+    * rows. Every step is integer arithmetic on the raster, which is what
+    * lets the q_dedup_phash oracle recompute the hash from the synthetic
+    * fixture's closed-form pixels. Brightness/contrast shifts preserve
+    * the comparisons; per-pixel noise flips isolated bits — hamming
+    * distance is the dissimilarity. */
+  def dhash64(d: ImageCodec.Decoded): Long = {
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * d.height / 8
+      var gx = 0
+      var prev = 0
+      while (gx < 9) {
+        val sx = gx * d.width / 9
+        val i = (sy * d.width + sx) * 3
+        val gray = ((d.pixels(i) & 0xff) + (d.pixels(i + 1) & 0xff) +
+          (d.pixels(i + 2) & 0xff)) / 3
+        if (gx > 0 && gray > prev)
+          hash |= 1L << (gy * 8 + (gx - 1))
+        prev = gray
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Typed (media_id, dhash) signature row. */
+  final case class MediaSig(media_id: Long, sim: Long)
+
+  /** Per-image dHash signature table — partition-local decode + hash,
+    * corrupt blobs quarantined by skip (same posture as
+    * [[extractFeatures]]). Column names match [[Dedup.simhash]]'s
+    * signature contract so the hamming band machinery applies as-is. */
+  def dhashSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        Option(blob.content).flatMap(ImageCodec.tryDecode)
+          .map(d => MediaSig(blob.media_id, dhash64(d)))
+      })
+      .toDF("doc_id", "sim")
+  }
+
+  /** Closed-form pixel for the perceptual-hash fixture: a per-id
+    * pseudo-random-looking but fully deterministic pattern (the linear
+    * [[synthPixel]] ramp would give every image a near-identical dHash —
+    * a useless fixture for a SIMILARITY operator). The quadratic term
+    * breaks the linearity; the DuckDB oracle recomputes it verbatim. */
+  @inline private def phashPixel(id: Long, j: Int): Byte =
+    ((id * 7919L + j.toLong * 131L + (j.toLong * j.toLong % 1009L)) % 256L)
+      .toByte
+
+  /** Fixture for q_dedup_phash: `n` base PNGs with [[phashPixel]] pixels
+    * and id-derived dims, plus `twins` EXACT pixel copies of images
+    * 0..twins−1 under ids 1000+k (the planted distance-0 pairs), plus
+    * `twins` NOISY copies under ids 1500+k (+1 on every 97th raster byte
+    * — the re-encode-with-slight-noise near-dup, landing at a small but
+    * usually nonzero hamming distance), plus one corrupt blob (id 2000)
+    * that must quarantine, not fail the job. */
+  def syntheticPhashMedia(spark: SparkSession, n: Int,
+                          twins: Int = 4): DataFrame = {
+    require(twins <= n, s"twins ($twins) must be <= n ($n)")
+    def png(src: Long, noise: Boolean): Array[Byte] = {
+      val (w, h) = synthDims(src)
+      ImageCodec.encodePng(w, h, Array.tabulate(w * h * 3) { j =>
+        val bump = if (noise && j % 97 == 0) 1 else 0
+        (((phashPixel(src, j) & 0xff) + bump) % 256).toByte
+      })
+    }
+    val base = (0 until n).map(i =>
+      Row(i.toLong, "image", png(i.toLong, noise = false), "image/png",
+        Map("camera" -> s"cam${i % 3}")))
+    val twinRows = (0 until twins).map(k =>
+      Row(1000L + k, "image", png(k.toLong, noise = false), "image/png",
+        Map("camera" -> "twin")))
+    val noisyRows = (0 until twins).map(k =>
+      Row(1500L + k, "image", png(k.toLong, noise = true), "image/png",
+        Map("camera" -> "noisy")))
+    val corrupt = Seq(Row(2000L, "image",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte), "image/png",
+      Map("camera" -> "corrupt")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ twinRows ++ noisyRows ++ corrupt,
+        math.max(1, n / 16)), mediaSchema)
+  }
   /** Typed decode/feature output row. `mean_micro` is the mean pixel
     * intensity in exact integer micro-units (Σpixels·10⁶ div count) — no
     * float division, so the DuckDB oracle matches bit-for-bit. */

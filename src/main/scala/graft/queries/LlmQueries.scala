@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Contamination, Dedup, Packing, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -851,6 +851,82 @@ object LlmQueries {
                 |  CAST(max(span_words) AS BIGINT) AS max_span
                 |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin))
     },
+
+    // Image perceptual near-dup (dHash over the REAL PNG decode): the
+    // fixture's pixels follow a closed form of the id, so the oracle
+    // rebuilds every 9×8 grayscale grid, every difference bit, and every
+    // pairwise hamming distance from generate_series alone and
+    // brute-forces ALL pairs — while the engine decodes actual PNG bytes
+    // and must surface exactly the same pair set through its banded
+    // (never-all-pairs) candidate path. Pigeonhole makes the 8-band
+    // bucketing lossless at maxHamming 6, so banded == brute force is the
+    // claim under test; the planted twins (ids 1000+k = pixel-identical
+    // copies of k) must surface at distance 0, the NOISY twins (ids
+    // 1500+k, byte-DIFFERENT PNGs whose perturbation is below the
+    // gray-comparison threshold) must surface too — the perceptual-not-
+    // exact matching an exact content hash would miss — and the corrupt
+    // blob (id 2000) must quarantine silently rather than fail the job.
+    QueryDef(
+      "q_dedup_phash",
+      (s, _) => Dedup
+        .imageDhashPairs(Multimodal.syntheticPhashMedia(s, 48),
+          maxHamming = 6)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH ids AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+             |    0 AS noisy
+             |  FROM generate_series(0, 47) g(i)
+             |  UNION ALL
+             |  SELECT CAST(1000 + k AS BIGINT), CAST(k AS BIGINT), 0
+             |  FROM generate_series(0, 3) t(k)
+             |  UNION ALL
+             |  SELECT CAST(1500 + k AS BIGINT), CAST(k AS BIGINT), 1
+             |  FROM generate_series(0, 3) t2(k)),
+             |dims AS (
+             |  SELECT media_id, src, noisy,
+             |    4 + src % 28 AS w, 4 + (src * 7) % 28 AS h
+             |  FROM ids),
+             |gray AS (
+             |  SELECT media_id, gy, gx,
+             |    (((src*7919 + j0*131 + (j0*j0 % 1009)) % 256
+             |      + CASE WHEN noisy = 1 AND j0 % 97 = 0
+             |             THEN 1 ELSE 0 END) % 256
+             |     + ((src*7919 + (j0+1)*131 + ((j0+1)*(j0+1) % 1009)) % 256
+             |      + CASE WHEN noisy = 1 AND (j0+1) % 97 = 0
+             |             THEN 1 ELSE 0 END) % 256
+             |     + ((src*7919 + (j0+2)*131 + ((j0+2)*(j0+2) % 1009)) % 256
+             |      + CASE WHEN noisy = 1 AND (j0+2) % 97 = 0
+             |             THEN 1 ELSE 0 END) % 256)
+             |      // 3 AS g
+             |  FROM (
+             |    SELECT media_id, src, noisy, gx, gy,
+             |      ((gy * h // 8) * w + (gx * w // 9)) * 3 AS j0
+             |    FROM dims,
+             |      unnest(generate_series(0, 8)) u(gx),
+             |      unnest(generate_series(0, 7)) v(gy))),
+             |bits AS (
+             |  SELECT l.media_id, l.gy * 8 + l.gx AS b,
+             |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+             |  FROM gray l JOIN gray r
+             |    ON r.media_id = l.media_id AND r.gy = l.gy
+             |   AND r.gx = l.gx + 1
+             |  WHERE l.gx < 8),
+             |hash AS (
+             |  SELECT media_id,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INT))
+             |      ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+             |      ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY media_id)
+             |SELECT a.media_id AS d1, b.media_id AS d2,
+             |  CAST(bit_count(xor(a.lo, b.lo))
+             |     + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+             |FROM hash a JOIN hash b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.lo, b.lo))
+             |    + bit_count(xor(a.hi, b.hi)) <= 6
+             |ORDER BY d1, d2""".stripMargin)),
 
     // Deterministic train/val/test split assignment — the overflow-safe
     // Knuth hash (q_sample_weighted) reduced to 256 buckets, cut 80/10/10.

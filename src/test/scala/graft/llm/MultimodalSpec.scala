@@ -134,4 +134,36 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("imageDhashPairs surfaces pixel-identical twins at distance 0 and " +
+      "quarantines the corrupt blob") {
+    val pairs = Dedup.imageDhashPairs(
+        Multimodal.syntheticPhashMedia(spark, 16, twins = 2), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // planted twins: EXACT pixel copies must pair with their source at 0
+    assert(pairs.contains((0L, 1000L, 0)), s"twin of 0 missing: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 1001L, 0)), s"twin of 1 missing: ${pairs.toSeq}")
+    // noisy twins are byte-DIFFERENT PNGs (+1 on every 97th raster byte)
+    // that still pair — the perceptual matching an exact hash would miss
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1500L),
+      s"noisy twin of 0 missing: ${pairs.toSeq}")
+    // the corrupt blob contributes no signature, hence no pair
+    assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L))
+    // canonical pair orientation
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("banded dhash pair surface equals brute force (pigeonhole at <8)") {
+    val media = Multimodal.syntheticPhashMedia(spark, 24, twins = 3)
+    val sigs = Multimodal.dhashSignatures(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (id1, s1) <- sigs; (id2, s2) <- sigs if id1 < id2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 6
+    } yield (id1, id2, h)).toSet
+    val banded = Dedup.imageDhashPairs(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded missing ${brute -- banded}, extra ${banded -- brute}")
+  }
 }
