@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level corpus filters — the FIRST stage of published
+  * web-corpus pipelines (the CCNet / RefinedWeb shape): extract each
+  * document's registrable domain, drop blocklisted domains, and cap the
+  * per-domain document count so no single site dominates the corpus.
+  *
+  * Scale shape: domain extraction is per-row string arithmetic (no
+  * shuffle, codegen'd); the blocklist — even a multi-million-row one —
+  * broadcasts for the anti-join; the per-domain cap is one hash-ordered
+  * window, WindowGroupLimit-prunable exactly like q_quota_per_key, so
+  * the shuffle carries (domain, doc_id, hash) — never text.
+  */
+object Domains {
+
+  /** Multi-label public suffixes the registrable-domain rule must know
+    * about ("bbc.co.uk" is registrable; "co.uk" is not a site). A
+    * production deployment swaps in the full Public Suffix List — the
+    * mechanics (bounded membership check + label slice) are unchanged;
+    * the list is data, not code. */
+  val multiLabelSuffixes: Seq[String] =
+    Seq("co.uk", "com.au", "co.jp", "com.br", "co.in")
+
+  /** Host of a URL: the authority between "://" and the first path
+    * slash. Pure string ops (substring_index twice) so the DuckDB oracle
+    * states the same extraction with split_part. */
+  def hostOf(url: Column): Column =
+    substring_index(substring_index(url, "://", -1), "/", 1)
+
+  /** Registrable domain of a host: the last two labels, or the last
+    * THREE when the trailing pair is a known multi-label public suffix
+    * (so "news.bbc.co.uk" → "bbc.co.uk" while "news.bbc.com" →
+    * "bbc.com"). */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    when(last2.isin(multiLabelSuffixes: _*),
+      concat_ws(".", slice(labels, -3, 3))).otherwise(last2)
+  }
+
+  /** The full filter: annotate with the registrable domain, anti-join
+    * the blocklist (broadcast — blocklists are small next to the
+    * corpus), and keep at most `maxPerDomain` documents per domain,
+    * selected by the same deterministic md5-of-id order as
+    * q_quota_per_key (rerun- and cluster-size-stable, unbiased w.r.t.
+    * content). Returns the kept rows with their `domain` column. */
+  def filterByDomain(docs: DataFrame, urlCol: String, idCol: String,
+                     blocklist: DataFrame, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be > 0, got $maxPerDomain")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("domain", registrableDomain(hostOf(col(urlCol))))
+      .join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerDomain)
+      .drop("rn")
+  }
+}

@@ -2056,6 +2056,69 @@ object LlmQueries {
              |  FROM documents)
              |WHERE rn <= 50 ORDER BY source, doc_id""".stripMargin)),
 
+    // URL/domain corpus filters (Domains.filterByDomain) — the first
+    // stage of published web-corpus pipelines: registrable-domain
+    // extraction (with a multi-label public-suffix rule, so *.src?.co.uk
+    // keeps THREE labels), broadcast blocklist anti-join, and a
+    // deterministic per-domain cap. URLs are synthesized from
+    // (doc_id, source) in closed form — subdomain from doc_id mod 3, TLD
+    // from doc_id div 20 mod 5 (decorrelated from source = doc_id mod 20,
+    // so sources spread over all five TLDs) — so the oracle rebuilds
+    // every URL, re-extracts
+    // every domain with the same string ops, and re-applies the same
+    // blocklist and cap. 20 sources × 5 TLDs ≈ 100 domains over 500
+    // docs; cap 4 actually trims and the blocklist actually drops.
+    QueryDef(
+      "q_filter_domains",
+      (s, dir) => {
+        import s.implicits._
+        val urls = load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("url", concat(lit("https://"),
+            expr("element_at(array('www','cdn','img'), " +
+              "cast(doc_id % 3 as int) + 1)"),
+            lit("."), col("source"), lit("."),
+            expr("element_at(array('com','co.uk','org','net','io'), " +
+              "cast((doc_id div 20) % 5 as int) + 1)"),
+            lit("/p/"), col("doc_id")))
+        val blocklist = Seq("src3.com", "src7.co.uk", "src11.org",
+          "src15.net", "src19.io").toDF("domain")
+        graft.llm.Domains
+          .filterByDomain(urls, "url", "doc_id", blocklist, maxPerDomain = 4)
+          .select(col("doc_id"), col("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' ||
+             |    (['www','cdn','img'])[CAST(doc_id % 3 AS INT) + 1] ||
+             |    '.' || source || '.' ||
+             |    (['com','co.uk','org','net','io'])
+             |      [CAST((doc_id // 20) % 5 AS INT) + 1]
+             |    || '/p/' || doc_id AS url
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    string_split(split_part(split_part(url, '://', 2), '/', 1),
+             |      '.') AS labels
+             |  FROM u),
+             |r AS (
+             |  SELECT doc_id,
+             |    CASE WHEN array_to_string(labels[-2:], '.')
+             |           IN ('co.uk','com.au','co.jp','com.br','co.in')
+             |         THEN array_to_string(labels[-3:], '.')
+             |         ELSE array_to_string(labels[-2:], '.') END AS domain
+             |  FROM h),
+             |k AS (
+             |  SELECT doc_id, domain,
+             |    row_number() OVER (PARTITION BY domain
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM r
+             |  WHERE domain NOT IN ('src3.com','src7.co.uk','src11.org',
+             |    'src15.net','src19.io'))
+             |SELECT doc_id, domain FROM k WHERE rn <= 4
+             |ORDER BY doc_id""".stripMargin)),
+
     // Link-graph centrality prior (the crawl-quality ranking move):
     // PageRank over the part→supplier purchase graph from lineitem.
     // Fixed-point integer variant (Graphs.pagerankExact): every sweep is
