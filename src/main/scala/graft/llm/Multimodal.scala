@@ -128,6 +128,32 @@ object Multimodal {
   /** Typed row for the decode input (media_id + opaque bytes). */
   final case class MediaBlob(media_id: Long, content: Array[Byte])
 
+  /** Stage 64 synthetic PNGs as REAL FILES (img_<id>.png, pixels =
+    * [[synthPixel]] — the q_multimodal_features closed form) plus one
+    * corrupt img_999.png, under a per-JVM temp dir, and return the
+    * directory: the fixture for the `binaryFile` INGEST path (scan real
+    * files → decode → features), as opposed to the in-memory fixtures
+    * the other multimodal queries use. Memoized per JVM; deleted on
+    * exit. */
+  lazy val pngIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-png-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }, "graft-media-png-cleanup"))
+    (0 until 64).foreach { i =>
+      val (w, h) = synthDims(i.toLong)
+      java.nio.file.Files.write(dir.resolve(s"img_$i.png"),
+        ImageCodec.encodePng(w, h,
+          Array.tabulate(w * h * 3)(j => synthPixel(i.toLong, j))))
+    }
+    java.nio.file.Files.write(dir.resolve("img_999.png"),
+      Array.tabulate[Byte](48)(i => (i * 41).toByte))
+    dir.toString
+  }
+
   // ------------------------------------------------------------------
   // Perceptual hash (dHash) — image NEAR-duplicate detection over the
   // decoded raster: the standard image-corpus dedup signature (two

@@ -93,6 +93,38 @@ object ExtensionQueries {
              |  CAST((s * 1000000) // n AS BIGINT) AS mean_micro
              |FROM px ORDER BY media_id""".stripMargin)),
 
+    // The binaryFile INGEST path end-to-end: real PNG FILES on disk →
+    // Spark's binaryFile source → filename-derived ids → javax.imageio
+    // decode → features. Same closed-form pixels as q_multimodal_features,
+    // so the oracle recomputes every feature from generate_series while
+    // the engine must survive an actual file scan; the staged corrupt
+    // img_999.png exercises quarantine on the INGEST path (absent from
+    // the output, absent from the oracle).
+    QueryDef(
+      "q_multimodal_ingest",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .load(Multimodal.pngIngestDir)
+          .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+            .cast("long").as("media_id"), col("content"))
+        Multimodal.extractFeatures(media).orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    CAST(4 + i % 28 AS INT) AS width,
+             |    CAST(4 + (i * 7) % 28 AS INT) AS height,
+             |    CAST(3 AS INT) AS channels
+             |  FROM generate_series(0, 63) AS g(i)),
+             |px AS (
+             |  SELECT media_id, width, height, channels,
+             |    sum((media_id * 31 + j) % 256) AS s, count(*) AS n
+             |  FROM m, unnest(generate_series(0, width * height * channels - 1)) AS u(j)
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT media_id, width, height, channels,
+             |  CAST(n AS BIGINT) AS n_bytes,
+             |  CAST((s * 1000000) // n AS BIGINT) AS mean_micro
+             |FROM px ORDER BY media_id""".stripMargin)),
+
     // Frame sampling over the same real-PNG fixture: row count AND the
     // summed pixel content of the sampled frames are recomputed by the
     // oracle from the closed form (rows y ≡ 0 mod stride), so a decoder
