@@ -304,4 +304,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"),
         round(idf * tfNorm, 4).as("bm25"))
   }
+
+  /** Line-level boilerplate removal — the first cleaning pass in published
+    * web-corpus pipelines (CCNet's per-shard line dedup, RefinedWeb's
+    * line-wise filters): a line that recurs across many documents of the
+    * same source is mast-head/footer/cookie-banner furniture, not content.
+    * The testdata corpus carries no newlines, so the "line" unit is a
+    * non-overlapping window of `lineWords` tokens (the q_chunk_docs chunk
+    * contract); a line is boilerplate within a source when its exact text
+    * occurs in at least `minDocs` DISTINCT documents of that source.
+    * Returns only the AFFECTED documents (≥1 line removed) with their
+    * rebuilt text and removal counts — the untouched corpus majority never
+    * leaves the scan.
+    *
+    * Scale: the frequency aggregate and both membership joins run on the
+    * 128-bit line HASH, never the line text, so shuffles carry (source,
+    * hash) pairs; the only text movement is the per-doc rebuild of its own
+    * kept lines. Distinct from [[graft.llm.Dedup]]'s span dedup: the
+    * criterion is within-source document FREQUENCY (threshold), not
+    * cross-corpus duplication, and every occurrence is dropped — there is
+    * no kept first copy.
+    */
+  def stripBoilerplate(documents: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", sourceCol: String = "source",
+                       lineWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    val w = split(col(textCol), " ")
+    val nChunks = ceil(size(w) / lit(lineWords.toDouble)).cast("int")
+    // lines feeds the frequency aggregate, the affected-doc probe, the
+    // kept-line rebuild, and the per-doc totals — persist once
+    val lines = Caches.track(documents
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(w, i * lineWords + 1, lit(lineWords)))))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line"))))
+    val boiler = lines.groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("source"), col("lh"))
+    val affected = lines.join(boiler, Seq("source", "lh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val mine = lines.join(affected, Seq("doc_id"), "left_semi")
+    val kept = mine.join(boiler, Seq("source", "lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+    mine.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -571,6 +571,44 @@ object AnalyticQueries {
              |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // CDC changelog apply (Debezium-shape compaction): a stream of keyed
+    // upsert/delete ops collapses to the final table snapshot — the op
+    // with the highest sequence wins, and a winning tombstone ('D')
+    // removes the key from the snapshot entirely. The changelog is
+    // derived deterministically from orders (key = o_custkey, sequence =
+    // (o_orderdate, o_orderkey), every 10th orderkey a tombstone).
+    // Unlike q_latest_per_key (a sort-window pick) the apply is ONE
+    // hash aggregate — count + two max_by's over the sequence struct —
+    // with map-side partial aggregation and no per-key sort, the shape
+    // that compacts a 100 TB changelog without a window pass; the oracle
+    // states the same semantics via QUALIFY row_number.
+    QueryDef(
+      "q_cdc_apply",
+      (s, dir) => {
+        val seq0 = struct(col("o_orderdate"), col("o_orderkey"))
+        load(s, dir, "orders")
+          .withColumn("op",
+            when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_ops"),
+            max_by(col("op"), seq0).as("last_op"),
+            max_by(col("o_totalprice"), seq0).as("p"))
+          .filter(col("last_op") === "U")
+          .select(col("o_custkey"), round(col("p"), 2).as("last_price"),
+            col("n_ops"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, round(o_totalprice, 2) AS last_price, n_ops
+             |FROM (
+             |  SELECT o_custkey, o_totalprice,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             |    row_number() OVER w AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n_ops
+             |  FROM orders WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC))
+             |WHERE rn = 1 AND op = 'U'
+             |ORDER BY o_custkey""".stripMargin)),
+
     // Benford leading-digit profile — the classic fraud/synthetic-data
     // detector in the DQ family (natural multiplicative quantities put
     // ~30.1% of leading digits at 1; uniform synthetics don't). Emits

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, EmbedStats, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -2118,6 +2118,79 @@ object LlmQueries {
              |    'src15.net','src19.io'))
              |SELECT doc_id, domain FROM k WHERE rn <= 4
              |ORDER BY doc_id""".stripMargin)),
+
+    // Embedding covariance (EmbedStats.covarianceUpperTriangle) — the
+    // second-moment input to whitening/PCA preprocessing of a vector
+    // corpus. ONE aggregation pass: each row expands in-place to its
+    // d(d+1)/2 = 2080 index pairs and a map-side-combined hash agg
+    // reduces them, so shuffle volume is partitions × 2080 rows no
+    // matter the corpus size; the oracle states the same statistic as a
+    // self-join of the exploded table (the formulation the engine
+    // deliberately avoids — that join would shuffle d·n rows twice).
+    QueryDef(
+      "q_embed_covariance",
+      (s, dir) => EmbedStats
+        .covarianceUpperTriangle(load(s, dir, "embeddings"))
+        .orderBy(col("i"), col("j")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, i - 1 AS d,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS u(i))
+             |SELECT a.d AS i, b.d AS j,
+             |  round(sum(a.x * b.x) / count(*)
+             |    - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 6)
+             |    + 0.0 AS cov
+             |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Line-level boilerplate removal (TextAnalysis.stripBoilerplate) —
+    // CCNet/RefinedWeb's first cleaning pass: a "line" (here a
+    // non-overlapping 10-word chunk; the corpus has no newlines) whose
+    // exact text recurs in ≥2 DISTINCT documents of the same source is
+    // site furniture and every occurrence is stripped; affected docs are
+    // rebuilt from their kept lines in order. Frequency agg + membership
+    // joins run on the md5 line hash (shuffles carry hashes, not text);
+    // the oracle reruns the chunking/threshold/rebuild on the line text
+    // itself, so an md5 collision or a drifted chunk boundary would
+    // hash-mismatch.
+    QueryDef(
+      "q_boilerplate",
+      (s, dir) => TextAnalysis
+        .stripBoilerplate(load(s, dir, "documents"),
+          lineWords = 10, minDocs = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS w
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+             |    array_to_string(
+             |      w[CAST(i * 10 + 1 AS INT):CAST((i + 1) * 10 AS INT)],
+             |      ' ') AS line
+             |  FROM d, unnest(generate_series(0,
+             |    CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) u(i)),
+             |b AS (
+             |  SELECT source, line FROM l GROUP BY 1, 2
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |aff AS (
+             |  SELECT DISTINCT doc_id FROM l JOIN b USING (source, line)),
+             |m AS (
+             |  SELECT l.* FROM l WHERE doc_id IN (SELECT doc_id FROM aff)),
+             |k AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |    array_to_string(list(line ORDER BY pos), ' ') AS clean_text
+             |  FROM m
+             |  WHERE NOT EXISTS (SELECT 1 FROM b
+             |    WHERE b.source = m.source AND b.line = m.line)
+             |  GROUP BY doc_id),
+             |t AS (
+             |  SELECT doc_id, count(*) AS n_lines FROM m GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_lines,
+             |  t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
+             |  coalesce(k.clean_text, '') AS clean_text
+             |FROM t LEFT JOIN k USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin)),
 
     // Link-graph centrality prior (the crawl-quality ranking move):
     // PageRank over the part→supplier purchase graph from lineitem.

@@ -506,6 +506,48 @@ class LlmSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("covarianceUpperTriangle matches the hand-computed 2x2 matrix") {
+    import SparkSpec.spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 4.0f)),
+      (3L, Array(5.0f, 8.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = EmbedStats.covarianceUpperTriangle(vecs)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // means (3, 14/3); cov00 = 35/3 - 9, cov01 = 18 - 14, cov11 = 28 - 196/9
+    assert(out.length == 3)
+    assert(out(0) == ((0L, 0L, BigDecimal(8.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1) == ((0L, 1L, 4.0)))
+    assert(out(2) == ((1L, 1L, BigDecimal(56.0 / 9).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("stripBoilerplate drops per-source recurring lines, scoped to the " +
+      "source, and rebuilds affected docs") {
+    import SparkSpec.spark.implicits._
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    val tailA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val tailC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val t = Seq(
+      (1L, s"$header $tailA", "srcA"), // header recurs in srcA → stripped
+      (2L, s"$header $tailB", "srcA"),
+      (3L, s"$header $tailC", "srcB"), // sole occurrence in srcB → kept
+      (4L, header, "srcA"), // all-boilerplate doc → empty rebuild
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis
+      .stripBoilerplate(t, lineWords = 10, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // doc 3 untouched → absent
+    assert(out(1L) == ((2L, 1L, tailA)))
+    assert(out(2L) == ((2L, 1L, tailB)))
+    assert(out(4L) == ((1L, 1L, "")))
+  }
+
   test("semanticNearDupPairs (trained k-means path) finds planted twins " +
       "with cluster-bounded candidates") {
     import SparkSpec.spark.implicits._
