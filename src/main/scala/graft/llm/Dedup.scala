@@ -601,6 +601,21 @@ object Dedup {
     hammingBandedPairs(sigs, maxHamming, maxBucketSize)
   }
 
+  /** Audio perceptual near-dup: fingerprint each clip with
+    * [[Multimodal.audioFingerprint64]] (frame-energy delta signs) and
+    * find every pair within `maxHamming` bits via the same banded
+    * candidate machinery as [[imageDhashPairs]] — re-encoded/re-leveled
+    * copies of one recording land within a few bits. Corrupt blobs
+    * quarantine inside the decode and contribute no signature; the only
+    * exchange carries (media_id, 8 byte-bands), never samples. */
+  def audioFingerprintPairs(media: DataFrame, maxHamming: Int = 4,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming < 8,
+      s"maxHamming must be < 8 for lossless 8-band bucketing, got $maxHamming")
+    val sigs = Caches.track(Multimodal.audioFingerprintSignatures(media))
+    hammingBandedPairs(sigs, maxHamming, maxBucketSize)
+  }
+
   /** Exact longest-duplicate-substring dedup (the suffix-array method of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): find every maximal word span of length ≥ `minLen` whose

@@ -538,4 +538,108 @@ object Multimodal {
       })
       .toDF()
   }
+
+  // ------------------------------------------------------------------
+  // Audio perceptual fingerprint (Haitsma-Kalker 2002 energy-delta
+  // shape, time-domain simplification): re-encoded/re-leveled copies of
+  // one clip hash within a few bits; unrelated clips differ in ~32 of
+  // 64. The audio twin of [[dhash64]].
+  // ------------------------------------------------------------------
+
+  /** 64-bit audio fingerprint: split the clip into 65 equal frames
+    * (frameLen = n div 65; the sub-frame tail is dropped), per-frame
+    * energy Σs² in exact integers, bit f set iff energy(f+1) >
+    * energy(f). Energy ratios survive resampling and mild noise while
+    * unrelated content randomizes the 64 comparisons — and every step is
+    * integer arithmetic on the decoded samples, so the q_dedup_audiofp
+    * oracle recomputes the hash from the fixture's closed-form samples.
+    * Clips shorter than 65 samples fingerprint to 0. */
+  def audioFingerprint64(d: AudioCodec.DecodedAudio): Long = {
+    val flen = d.samples.length / 65
+    if (flen == 0) return 0L
+    val en = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var e = 0L
+      var j = f * flen
+      val end = j + flen
+      while (j < end) {
+        val s = d.samples(j).toLong
+        e += s * s
+        j += 1
+      }
+      en(f) = e
+      f += 1
+    }
+    var h = 0L
+    f = 0
+    while (f < 64) {
+      if (en(f + 1) > en(f)) h |= 1L << f
+      f += 1
+    }
+    h
+  }
+
+  /** Per-clip fingerprint signature table — partition-local decode +
+    * hash, corrupt blobs quarantined by skip. Column names match
+    * [[Dedup.simhash]]'s signature contract so the hamming band
+    * machinery applies as-is (same bridge as [[dhashSignatures]]). */
+  def audioFingerprintSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        Option(blob.content).flatMap(AudioCodec.tryDecode)
+          .map(d => MediaSig(blob.media_id, audioFingerprint64(d)))
+      })
+      .toDF("doc_id", "sim")
+  }
+
+  /** Closed-form sample for the fingerprint fixture — the audio analog
+    * of [[phashPixel]] (the linear [[synthSample]] ramp would give every
+    * clip a near-identical delta profile): full signed-16 range with a
+    * quadratic wobble, recomputed verbatim by the DuckDB oracle. The
+    * noisy variant adds +4096 to every 7th sample (clamped away from
+    * overflow) — loud enough to move frame energies, small enough that
+    * the twin stays within a couple of fingerprint bits. */
+  @inline private def fingerprintSample(src: Long, j: Int,
+                                        noisy: Boolean): Short = {
+    val s0 = ((src * 7919L + j.toLong * 131L + (j.toLong * j.toLong) % 1009L)
+      % 65536L - 32768L).toShort
+    if (noisy && j % 7 == 0)
+      (if (s0 <= 32767 - 4096) s0 + 4096 else s0 - 4096).toShort
+    else s0
+  }
+
+  /** Fixture for q_dedup_audiofp: `n` base WAV clips with
+    * [[fingerprintSample]] samples and id-derived rate/length, plus
+    * `twins` EXACT copies of clips 0..twins−1 under ids 1000+k (planted
+    * distance-0 pairs), plus `twins` NOISY copies under ids 1500+k (the
+    * re-encode-with-audible-noise near-dup, hamming ≤ a few bits), plus
+    * one corrupt blob (id 2000) that must quarantine, not fail the
+    * job. */
+  def syntheticFingerprintAudio(spark: SparkSession, n: Int,
+                                twins: Int = 4): DataFrame = {
+    require(twins <= n, s"twins ($twins) must be <= n ($n)")
+    def wav(src: Long, noisy: Boolean): Array[Byte] = {
+      val (rate, len) = synthAudioParams(src)
+      AudioCodec.encodeWav(rate,
+        Array.tabulate(len)(j => fingerprintSample(src, j, noisy)))
+    }
+    val base = (0 until n).map(i =>
+      Row(i.toLong, "audio", wav(i.toLong, noisy = false), "audio/wav",
+        Map("mic" -> s"mic${i % 2}")))
+    val twinRows = (0 until twins).map(k =>
+      Row(1000L + k, "audio", wav(k.toLong, noisy = false), "audio/wav",
+        Map("mic" -> "twin")))
+    val noisyRows = (0 until twins).map(k =>
+      Row(1500L + k, "audio", wav(k.toLong, noisy = true), "audio/wav",
+        Map("mic" -> "noisy")))
+    val corrupt = Seq(Row(2000L, "audio",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte), "audio/wav",
+      Map("mic" -> "corrupt")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ twinRows ++ noisyRows ++ corrupt,
+        math.max(1, n / 16)), mediaSchema)
+  }
 }

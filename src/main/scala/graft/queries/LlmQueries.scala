@@ -2119,6 +2119,74 @@ object LlmQueries {
              |SELECT doc_id, domain FROM k WHERE rn <= 4
              |ORDER BY doc_id""".stripMargin)),
 
+    // Audio perceptual near-dup (energy-delta fingerprint over the REAL
+    // WAV decode) — the audio sibling of q_dedup_phash, completing
+    // perceptual dedup across both decoded modalities. The fixture's
+    // samples follow a closed form of the id, so the oracle rebuilds
+    // every frame energy, every delta bit, and every pairwise hamming
+    // distance from generate_series and brute-forces ALL pairs — while
+    // the engine parses actual RIFF containers and must surface exactly
+    // the same pair set through its banded (never-all-pairs) path.
+    // Planted twins (1000+k = sample-identical copies of k) must surface
+    // at distance 0, NOISY twins (1500+k, +4096 on every 7th sample —
+    // byte-different WAVs an exact hash would miss) within 4 bits, and
+    // the corrupt blob (2000) must quarantine silently.
+    QueryDef(
+      "q_dedup_audiofp",
+      (s, _) => Dedup
+        .audioFingerprintPairs(Multimodal.syntheticFingerprintAudio(s, 48),
+          maxHamming = 4)
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH ids AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+             |    0 AS noisy
+             |  FROM generate_series(0, 47) g(i)
+             |  UNION ALL
+             |  SELECT CAST(1000 + k AS BIGINT), CAST(k AS BIGINT), 0
+             |  FROM generate_series(0, 3) t(k)
+             |  UNION ALL
+             |  SELECT CAST(1500 + k AS BIGINT), CAST(k AS BIGINT), 1
+             |  FROM generate_series(0, 3) t2(k)),
+             |p AS (
+             |  SELECT media_id, src, noisy,
+             |    (512 + (src % 7) * 128) // 65 AS flen
+             |  FROM ids),
+             |en AS (
+             |  SELECT media_id, j // flen AS f, sum(s * s) AS e
+             |  FROM (
+             |    SELECT media_id, flen, j,
+             |      CASE WHEN noisy = 1 AND j % 7 = 0 THEN
+             |        CASE WHEN s0 <= 28671 THEN s0 + 4096 ELSE s0 - 4096 END
+             |      ELSE s0 END AS s
+             |    FROM (
+             |      SELECT media_id, noisy, flen, j,
+             |        ((src * 7919 + j * 131 + (j * j) % 1009) % 65536)
+             |          - 32768 AS s0
+             |      FROM p, unnest(generate_series(0, 65 * flen - 1)) u(j)))
+             |  GROUP BY 1, 2),
+             |bits AS (
+             |  SELECT l.media_id, l.f AS b,
+             |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+             |  FROM en l JOIN en r
+             |    ON r.media_id = l.media_id AND r.f = l.f + 1
+             |  WHERE l.f < 64),
+             |hash AS (
+             |  SELECT media_id,
+             |    CAST(sum(CASE WHEN b < 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INT))
+             |      ELSE 0 END) AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN b >= 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+             |      ELSE 0 END) AS BIGINT) AS hi
+             |  FROM bits GROUP BY media_id)
+             |SELECT a.media_id AS d1, b.media_id AS d2,
+             |  CAST(bit_count(xor(a.lo, b.lo))
+             |     + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+             |FROM hash a JOIN hash b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.lo, b.lo))
+             |    + bit_count(xor(a.hi, b.hi)) <= 4
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Embedding covariance (EmbedStats.covarianceUpperTriangle) — the
     // second-moment input to whitening/PCA preprocessing of a vector
     // corpus. ONE aggregation pass: each row expands in-place to its

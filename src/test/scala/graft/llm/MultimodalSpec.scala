@@ -166,4 +166,36 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute,
       s"banded missing ${brute -- banded}, extra ${banded -- brute}")
   }
+
+  test("audioFingerprintPairs surfaces sample-identical twins at 0, noisy " +
+      "twins within the bar, and quarantines the corrupt blob") {
+    val pairs = Dedup.audioFingerprintPairs(
+        Multimodal.syntheticFingerprintAudio(spark, 16, twins = 2),
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // planted twins: EXACT sample copies must pair with their source at 0
+    assert(pairs.contains((0L, 1000L, 0)), s"twin of 0 missing: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 1001L, 0)), s"twin of 1 missing: ${pairs.toSeq}")
+    // noisy twins are byte-DIFFERENT WAVs (+4096 on every 7th sample)
+    // that still pair — the perceptual matching an exact hash would miss
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1500L),
+      s"noisy twin of 0 missing: ${pairs.toSeq}")
+    // the corrupt blob contributes no signature, hence no pair
+    assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("banded audio fingerprint pair surface equals brute force") {
+    val media = Multimodal.syntheticFingerprintAudio(spark, 24, twins = 3)
+    val sigs = Multimodal.audioFingerprintSignatures(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (id1, s1) <- sigs; (id2, s2) <- sigs if id1 < id2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 4
+    } yield (id1, id2, h)).toSet
+    val banded = Dedup.audioFingerprintPairs(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded missing ${brute -- banded}, extra ${banded -- brute}")
+  }
 }
