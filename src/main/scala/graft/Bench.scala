@@ -40,9 +40,12 @@ object Bench {
     "q_bpe_learn",       // BPE merge training (8 rounds over word counts)
     "q_dedup_incremental", // new-batch bands × history signature index
     // round-8 additions (own frozen budget in BASELINE.md): the heaviest
-    // unbenched round-7 operators
+    // unbenched round-7 operators, then the heaviest round-8 ones
     "q_temporal_join",   // as-of dimension join over SCD2 versions
-    "q_multimodal_video") // GVID demux + per-frame PNG decode
+    "q_multimodal_video", // GVID demux + per-frame PNG decode
+    "q_dedup_suffix",    // suffix-array variable-length duplicate spans
+    "q_embed_covariance", // one-pass d(d+1)/2 pair-sum aggregate
+    "q_boilerplate")     // per-source line frequency strip + rebuild
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

@@ -244,7 +244,21 @@ object ScaleCheck {
       ("q_multimodal_video", (_, f) => graft.llm.Multimodal
         .sampleVideoFrames(
           spark.read.parquet(s"$synthRoot/videos_x$f/media.parquet"),
-          stride = 2)))
+          stride = 2)),
+      // round-8: line-level boilerplate strip — the Caesar copies keep
+      // each copy's recurring-line structure intact (rotation is a
+      // bijection on line text) while lines never collide across copies,
+      // so the per-(source, line-hash) frequency aggregate's group count
+      // and the affected-doc output both grow exactly k×
+      ("q_boilerplate", (dir, _) => graft.llm.TextAnalysis
+        .stripBoilerplate(spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-8: audio fingerprint near-dup — k× staged WAV clips (same
+      // out-of-timing staging rule as video); decode + fingerprint is
+      // partition-local, and the only exchange is the banded signature
+      // table, so time should track clip bytes and shuffle stay tiny
+      ("q_dedup_audiofp", (_, f) => Dedup.audioFingerprintPairs(
+        spark.read.parquet(s"$synthRoot/audiofp_x$f/media.parquet"),
+        maxHamming = 4, maxBucketSize = 500)))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
 
@@ -255,6 +269,15 @@ object ScaleCheck {
         val dir = new java.io.File(s"$synthRoot/videos_x$f")
         if (!new java.io.File(dir, "_DONE").exists()) {
           graft.llm.Multimodal.syntheticVideo(spark, 64 * f)
+            .write.mode("overwrite").parquet(s"$dir/media.parquet")
+          new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
+        }
+      }
+    if (runs.exists(_._1 == "q_dedup_audiofp"))
+      for (f <- factors) {
+        val dir = new java.io.File(s"$synthRoot/audiofp_x$f")
+        if (!new java.io.File(dir, "_DONE").exists()) {
+          graft.llm.Multimodal.syntheticFingerprintAudio(spark, 48 * f)
             .write.mode("overwrite").parquet(s"$dir/media.parquet")
           new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
         }

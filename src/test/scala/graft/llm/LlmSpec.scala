@@ -525,6 +525,53 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("pcaProject: top component recovers the planted direction, " +
+      "whitening gives identity covariance, output is deterministic") {
+    import SparkSpec.spark.implicits._
+    // planted: x = t·(0.6, 0.8, 0, 0) + small deterministic noise — one
+    // dominant variance direction, three near-noise ones
+    val rows = (0 until 200).map { i =>
+      val t = ((i % 21) - 10).toDouble
+      val x = Array.tabulate(4) { j =>
+        val base = j match { case 0 => 0.6 * t; case 1 => 0.8 * t; case _ => 0.0 }
+        (base + ((i * 31 + j * 17) % 7 - 3) * 0.01).toFloat
+      }
+      (i.toLong, x, t)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+
+    // top-1 projection correlates (almost perfectly) with the planted t
+    val p1 = EmbedStats.pcaProject(df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    val ts = rows.map(r => r._1 -> r._3).toMap
+    val xs = rows.map(r => p1(r._1))
+    val ys = rows.map(r => ts(r._1))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cab = a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum
+      val (va, vb) = (a.map(u => (u - ma) * (u - ma)).sum,
+        b.map(v => (v - mb) * (v - mb)).sum)
+      cab / math.sqrt(va * vb)
+    }
+    assert(math.abs(corr(xs, ys)) > 0.999)
+
+    // whitened full-rank projection has (population) identity covariance
+    val white = EmbedStats.pcaProject(df, k = 4, whiten = true)
+    val cov = EmbedStats.covarianceUpperTriangle(white, "proj")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    for (i <- 0 until 4; j <- i until 4) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov((i.toLong, j.toLong)) - expect) < 0.02,
+        s"cov($i,$j) = ${cov((i.toLong, j.toLong))}")
+    }
+
+    // deterministic: a second run produces identical projections
+    val p1b = EmbedStats.pcaProject(df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    assert(p1 == p1b)
+  }
+
   test("stripBoilerplate drops per-source recurring lines, scoped to the " +
       "source, and rebuilds affected docs") {
     import SparkSpec.spark.implicits._
