@@ -2595,6 +2595,56 @@ object LlmQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS quota
              |FROM r ORDER BY source""".stripMargin)),
 
+    // Temperature-scaled mixture allocation — the multilingual-corpus
+    // rebalancing move (mT5/XLM-R: sample source s with probability ∝
+    // n_s^α, α < 1, so low-resource sources are upweighted relative to
+    // their raw share). α = 1/2 here, and the weight is the EXACT
+    // integer √: w_s = floor(sqrt(n_s)) — sqrt is IEEE
+    // correctly-rounded and identical in both engines, and every step
+    // after it (proportional split + largest-remainder completion,
+    // the q_mixture_allocate machinery) is pure integer arithmetic, so
+    // a float Σw can never flip a quota at a rounding boundary.
+    QueryDef(
+      "q_mixture_temperature",
+      (s, dir) => {
+        val budget = 100000L
+        val src = load(s, dir, "documents")
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("n"))
+          .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+        val tot = src.agg(sum(col("w")).as("w_total"))
+        val base = src.crossJoin(broadcast(tot))
+          .withColumn("base_q", expr(s"$budget * w div w_total"))
+          .withColumn("rem", expr(s"($budget * w) % w_total"))
+        val deficit = base.agg((lit(budget) - sum(col("base_q"))).as("deficit"))
+        val w = Window.orderBy(col("rem").desc, col("source"))
+        base.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(deficit))
+          .select(col("source"), col("n"), col("w"),
+            (col("base_q") +
+              when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH s AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |sw AS (
+             |  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM s),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM sw),
+             |b AS (
+             |  SELECT source, n, w,
+             |    100000 * w // (SELECT W FROM t) AS base_q,
+             |    (100000 * w) % (SELECT W FROM t) AS rem
+             |  FROM sw),
+             |d AS (SELECT 100000 - CAST(sum(base_q) AS BIGINT) AS deficit FROM b),
+             |r AS (
+             |  SELECT source, n, w, base_q,
+             |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |  FROM b)
+             |SELECT source, n, w,
+             |  CAST(base_q + CASE WHEN rk <= (SELECT deficit FROM d)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+             |FROM r ORDER BY source""".stripMargin)),
+
     // Shard diversity — is each shard a good MIX of sources, or did the
     // shuffle accidentally concentrate one source? Simpson's index
     // 1 − Σ(nᵢ/n)² in exact integers: emit the numerator n² − Σnᵢ² and

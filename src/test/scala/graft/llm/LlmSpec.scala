@@ -525,6 +525,20 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("temperature allocation sums exactly to budget and upweights the " +
+      "low-resource source relative to its raw share") {
+    val out = graft.SparkEntry.queries("q_mixture_temperature")(
+      SparkSpec.spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.map(_._3).sum == 100000L) // largest-remainder completes
+    val nTot = out.map(_._2).sum.toDouble
+    val (minSrc, maxSrc) = (out.minBy(_._2), out.maxBy(_._2))
+    // α = 1/2 flattens the mixture: smallest source's quota share must
+    // exceed its raw corpus share, largest source's must shrink
+    assert(minSrc._3 / 100000.0 > minSrc._2 / nTot)
+    assert(maxSrc._3 / 100000.0 < maxSrc._2 / nTot)
+  }
+
   test("pcaProject: top component recovers the planted direction, " +
       "whitening gives identity covariance, output is deterministic") {
     import SparkSpec.spark.implicits._
