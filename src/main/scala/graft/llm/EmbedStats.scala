@@ -58,17 +58,21 @@ object EmbedStats {
   def covarianceUpperTriangle(embeddings: DataFrame,
                               vecCol: String = "embedding",
                               roundTo: Int = 6): DataFrame = {
-    val means = dimMeans(embeddings, vecCol)
+    // ONE 1-row broadcast side: the means fold into a d-element array
+    // (two separate broadcast joins would each re-run the means
+    // aggregate — projections differ, so ReuseExchange cannot dedupe)
+    val meansRow = dimMeans(embeddings, vecCol)
+      .agg(expr("transform(array_sort(collect_list(struct(d, m)))," +
+        " x -> x.m)").as("ms"))
     pairProducts(embeddings, vecCol)
-      .join(broadcast(means.select(col("d").cast("long").as("i"),
-        col("m").as("mi"))), "i")
-      .join(broadcast(means.select(col("d").cast("long").as("j"),
-        col("m").as("mj"))), "j")
+      .crossJoin(broadcast(meansRow))
       .select(col("i"), col("j"),
         // + 0.0 collapses IEEE negative zero: a tiny negative covariance
         // rounds to -0.0, which formats differently from 0.0 ("-0" vs
         // "0") depending on which side of zero each engine's sum landed
-        (round(col("sxy") / col("n") - col("mi") * col("mj"), roundTo)
+        (round(col("sxy") / col("n")
+          - element_at(col("ms"), col("i").cast("int") + 1)
+          * element_at(col("ms"), col("j").cast("int") + 1), roundTo)
           + lit(0.0)).as("cov"))
   }
 

@@ -590,6 +590,9 @@ object Multimodal {
     media.select(col("media_id"), col("content")).as[MediaBlob]
       .mapPartitions(_.flatMap { blob =>
         Option(blob.content).flatMap(AudioCodec.tryDecode)
+          // sub-65-sample clips have no frames: a shared 0 fingerprint
+          // would pair every such stub at distance 0 — skip them instead
+          .filter(_.samples.length >= 65)
           .map(d => MediaSig(blob.media_id, audioFingerprint64(d)))
       })
       .toDF("doc_id", "sim")
