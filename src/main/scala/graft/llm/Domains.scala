@@ -34,12 +34,17 @@ object Domains {
   /** Registrable domain of a host: the last two labels, or the last
     * THREE when the trailing pair is a known multi-label public suffix
     * (so "news.bbc.co.uk" → "bbc.co.uk" while "news.bbc.com" →
-    * "bbc.com"). */
+    * "bbc.com"). A single-label host (e.g. "localhost", an intranet
+    * name) IS its own domain — slice(-2) would return empty there, and
+    * an empty-string domain would silently pool every such doc under
+    * one key for the blocklist and the per-domain cap. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val last2 = concat_ws(".", slice(labels, -2, 2))
-    when(last2.isin(multiLabelSuffixes: _*),
-      concat_ws(".", slice(labels, -3, 3))).otherwise(last2)
+    when(size(labels) <= 1, host)
+      .when(last2.isin(multiLabelSuffixes: _*),
+        concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(last2)
   }
 
   /** The full filter: annotate with the registrable domain, anti-join

@@ -23,6 +23,10 @@ object EmbedStats {
     * → 1.71 s at sf0.1 for the split form. */
   private def pairProducts(embeddings: DataFrame, vecCol: String): DataFrame =
     embeddings
+      // empty arrays must contribute NOTHING: Spark's sequence(0, -1)
+      // DESCENDS ([0, -1]), which would emit bogus (0,-1) pairs with
+      // null products; null vectors drop here too (size(null) < 1)
+      .filter(size(col(vecCol)) >= 1)
       .select(explode(expr(
         s"""flatten(transform(sequence(0, size($vecCol) - 1), i ->
            |  transform(sequence(i, size($vecCol) - 1), j ->
@@ -39,6 +43,7 @@ object EmbedStats {
     * out — always broadcastable). */
   private def dimMeans(embeddings: DataFrame, vecCol: String): DataFrame =
     embeddings
+      .filter(size(col(vecCol)) >= 1)
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(avg(col("x")).as("m"))
 
@@ -54,6 +59,13 @@ object EmbedStats {
     * aggregation order differs between engines and runs, but the values
     * are O(1e-1) with 1e-16 relative error, orders of magnitude inside
     * the rounding.
+    *
+    * REQUIRES uniform dimensionality: with ragged vectors each pair's
+    * `n` counts only the vectors long enough to hold index j while the
+    * means average over everyone holding each dim — the result would be
+    * a silently inconsistent mix (the lazy plan cannot fail fast here;
+    * [[pcaProject]], which does act, enforces the requirement with an
+    * explicit error).
     */
   def covarianceUpperTriangle(embeddings: DataFrame,
                               vecCol: String = "embedding",

@@ -44,14 +44,29 @@ object Tokenization {
   private val trained = scala.collection.mutable.Map.empty[
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
-    (Seq[(Int, String, Long)], DataFrame)]
+    () => (Seq[(Int, String, Long)], DataFrame)]
+
+  /** Memo entries above this are all dropped (whole-map clear — a
+    * session training over this many distinct corpora is a sweep, not a
+    * pipeline, and per-entry LRU bookkeeping isn't worth it). */
+  private val MaxTrained = 64
 
   private def trainLoop(docs: DataFrame, textCol: String, numMerges: Int)
-      : (Seq[(Int, String, Long)], DataFrame) = synchronized {
-    trained.getOrElseUpdate(
-      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-        textCol, numMerges),
-      trainLoopUncached(docs, textCol, numMerges))
+      : (Seq[(Int, String, Long)], DataFrame) = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, textCol, numMerges)
+    // the object monitor guards ONLY the map; the training itself runs
+    // under the holder's own lazy-val lock, so concurrent callers of the
+    // SAME corpus share one run while different corpora (or a pure memo
+    // read) never block behind a minutes-long training
+    val holder = synchronized {
+      if (trained.size > MaxTrained) trained.clear()
+      trained.getOrElseUpdate(key, {
+        lazy val r = trainLoopUncached(docs, textCol, numMerges)
+        () => r
+      })
+    }
+    holder()
   }
 
   /** Drop every memoized training. graft.Bench calls this before EACH

@@ -43,28 +43,11 @@ object DataLayout {
     spans.agg(avg(col("span"))).head.getDouble(0)
   }
 
-  /** Bucketed co-located layout — the shuffle-free-join answer for fact
-    * tables joined repeatedly on the same key. `bucketBy(n, key)` hashes
-    * every row into one of n bucket files per partition at WRITE time;
-    * two tables bucketed into the same n on their join key are already
-    * co-partitioned, so Spark plans the join with NO Exchange on either
-    * side — at 100 TB that turns every repeated key-join from a full
-    * shuffle of both sides into a per-bucket local merge. `sortCols`
-    * additionally sorts within buckets, which lets the reader skip the
-    * sort before a merge join. Bucketing requires a catalog table; this
-    * writes an EXTERNAL one (explicit `path`) so the data lives with the
-    * caller's layout, not the warehouse. Prune/verify with
-    * [[DataLayoutSpec]]'s executed-plan assertion. */
-  def writeBucketed(df: DataFrame, table: String, path: String, key: String,
-                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
-      .option("path", path)
-      .bucketBy(buckets, key)
-    val ws =
-      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
-      else w
-    ws.saveAsTable(table)
-  }
+  // NOTE: the bucketed co-located join layout (bucketBy + sortBy external
+  // table; two co-bucketed tables join with ZERO exchanges) lives in
+  // [[ScaleJoins.writeBucketed]] with its plan-asserted spec — kept there
+  // because bucketing is a JOIN co-location contract, while this object
+  // owns scan-pruning layouts.
 
   /** Range compaction — the small-files answer for append-heavy tables:
     * rewrite into ~⌈n / targetRows⌉ files, range-partitioned AND sorted on

@@ -731,7 +731,13 @@ object AnalyticQueries {
     // bit arithmetic the oracle recomputes term-for-term. Bucket width
     // derives from max(z) via a 1-row broadcast (SF-independent).
     {
-      val bits = 16
+      // 27 bits per key: covers the raw SFs (max l_partkey 2·10⁴ at
+      // sf0.1) AND the ScaleCheck/BenchScale synthesis, which shifts
+      // keys by k·10⁷ (max ≈ 9·10⁷ < 2^27) — zorder2 raises on
+      // out-of-range keys, so an undersized width would crash the 10×
+      // bench rather than degrade; 2·27 = 54 interleaved bits still fit
+      // a BIGINT on both engines
+      val bits = 27
       // DuckDB side of ScaleJoins.zorder2: same 2·bits-term interleave sum
       val zSql = (0 until bits).map { b =>
         s"((l_partkey >> $b) & 1) * ${1L << (2 * b)} + " +

@@ -525,6 +525,20 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("registrableDomain: multi-label suffix, plain domain, and " +
+      "single-label host each resolve to their own key") {
+    import SparkSpec.spark.implicits._
+    val out = Seq("news.bbc.co.uk", "news.bbc.com", "localhost",
+        "intranet", "a.b.c.org")
+      .toDF("host")
+      .select(Domains.registrableDomain(col("host")).as("d"))
+      .collect().map(_.getString(0))
+    // single-label hosts are their OWN domain — an empty string would
+    // pool localhost+intranet under one blocklist/cap key
+    assert(out.toSeq == Seq("bbc.co.uk", "bbc.com", "localhost",
+      "intranet", "c.org"))
+  }
+
   test("temperature allocation sums exactly to budget and upweights the " +
       "low-resource source relative to its raw share") {
     val out = graft.SparkEntry.queries("q_mixture_temperature")(

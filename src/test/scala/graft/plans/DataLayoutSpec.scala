@@ -83,33 +83,7 @@ class DataLayoutSpec extends SparkSpec {
     assert(zA < 0.45 * linB && zB < 0.45 * linB)
   }
 
-  test("co-bucketed tables join with no Exchange on either side") {
-    import SparkSpec.spark.implicits._
-    val facts = (0 until 2000).map(i => (i.toLong % 100, i.toLong))
-      .toDF("k", "v")
-    val dims = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
-    val base = s"/root/repo/target/tmp/bucketed_${System.nanoTime()}"
-    DataLayout.writeBucketed(facts, "bk_facts", s"$base/facts", "k", 8,
-      sortCols = Seq("k"))
-    DataLayout.writeBucketed(dims, "bk_dims", s"$base/dims", "k", 8,
-      sortCols = Seq("k"))
-    try {
-      // force the merge-join path: broadcast would hide the property
-      withSQLConf(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.enabled" -> "false") {
-        val joined = spark.table("bk_facts")
-          .join(spark.table("bk_dims"), "k")
-        assert(joined.count() == 2000)
-        val plan = joined.queryExecution.executedPlan.toString
-        assert(plan.contains("SortMergeJoin"), plan.take(2000))
-        // the whole point: co-bucketed sides are pre-partitioned on the
-        // join key, so the plan carries NO shuffle at all
-        assert(!plan.contains("Exchange"), plan.take(2000))
-      }
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS bk_facts")
-      spark.sql("DROP TABLE IF EXISTS bk_dims")
-    }
-  }
+  // bucketed co-located join coverage lives in ScaleJoinsSpec
+  // ("bucketed tables join with zero exchanges") next to its
+  // ScaleJoins.writeBucketed implementation
 }
