@@ -47,6 +47,33 @@ object Domains {
       .otherwise(last2)
   }
 
+  /** URL canonicalization — the dedup key published web pipelines (C4,
+    * CCNet) group on before any content hashing: the same page is
+    * crawled under case-varied hosts, explicit default ports, tracking
+    * parameters, fragments, and trailing slashes. Rules applied (pure
+    * string/regex ops, every one restated by the DuckDB oracle):
+    * lowercase scheme+host, drop an explicit :80/:443, strip the
+    * fragment, drop utm_* query parameters (keeping the others in
+    * order), drop a then-empty query entirely, strip a trailing path
+    * slash. Per-row and codegen'd — no shuffle, no UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = substring_index(noFrag, "://", 1)
+    val rest = substring_index(noFrag, "://", -1)
+    val host = substring_index(rest, "/", 1)
+    val pathQ = substr(rest, length(host) + 1)
+    val pathOnly = substring_index(pathQ, "?", 1)
+    val qs = when(instr(pathQ, "?") > 0,
+      substr(pathQ, length(pathOnly) + 2)).otherwise(lit(""))
+    val qClean = regexp_replace(
+      regexp_replace(qs, lit("utm_[^&]*&"), lit("")),
+      lit("&?utm_[^&]*$"), lit(""))
+    val hostClean = regexp_replace(lower(host), lit(":(80|443)$"), lit(""))
+    val pathClean = regexp_replace(pathOnly, lit("/$"), lit(""))
+    concat(lower(scheme), lit("://"), hostClean, pathClean,
+      when(qClean =!= "", concat(lit("?"), qClean)).otherwise(lit("")))
+  }
+
   /** The full filter: annotate with the registrable domain, anti-join
     * the blocklist (broadcast — blocklists are small next to the
     * corpus), and keep at most `maxPerDomain` documents per domain,

@@ -91,6 +91,46 @@ object ScaleJoins {
       .drop("_bin")
   }
 
+  /** Interval × interval OVERLAP join ([loA, hiA) ∩ [loB, hiB) ≠ ∅ ⇔
+    * loA < hiB AND loB < hiA) — the temporal/genomic sibling of
+    * [[binnedRangeJoin]]. Same equi-join-on-bin scale shape: both sides
+    * explode to the width-`binWidth` bins they touch, the join runs on
+    * the bin key (co-partitioned, never a theta cross product), and the
+    * residual predicate verifies the actual overlap. A pair sharing
+    * several bins would duplicate, so each pair is emitted ONLY from its
+    * first shared bin — max(loBinA, loBinB), a codegen'd comparison
+    * instead of a global distinct. Same loud guards as binnedRangeJoin:
+    * inverted or over-wide intervals raise in-plan rather than silently
+    * replicating. Sides must not share column names. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          loA: String, hiA: String,
+                          loB: String, hiB: String,
+                          binWidth: Long,
+                          maxReplication: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "overlap-join sides must not share column names")
+    def binned(df: DataFrame, lo: String, hi: String) = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      // half-open: an interval's last occupied bin holds hi - 1
+      val hiBin = floor((col(hi) - 1) / binWidth).cast("long")
+      val hiBinGuarded = when(
+        hiBin - loBin >= maxReplication || col(lo) >= col(hi),
+        raise_error(concat(
+          lit(s"intervalOverlapJoin: interval empty/inverted or spanning" +
+            s" >= $maxReplication bins of width $binWidth ["),
+          col(lo), lit(", "), col(hi), lit(")"))).cast("long"))
+        .otherwise(hiBin)
+      df.withColumn("_bin", explode(sequence(loBin, hiBinGuarded)))
+    }
+    binned(a, loA, hiA).join(binned(b, loB, hiB), Seq("_bin"))
+      .filter(col(loA) < col(hiB) && col(loB) < col(hiA))
+      .filter(col("_bin") === greatest(
+        floor(col(loA) / binWidth).cast("long"),
+        floor(col(loB) / binWidth).cast("long")))
+      .drop("_bin")
+  }
+
   /** Persist `df` bucketed (and sorted) by `key` into the session catalog —
     * the co-location contract: subsequent equi-joins between two tables
     * bucketed with the same `numBuckets` on the same key plan with ZERO

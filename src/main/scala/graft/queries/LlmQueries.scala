@@ -2119,6 +2119,89 @@ object LlmQueries {
              |SELECT doc_id, domain FROM k WHERE rn <= 4
              |ORDER BY doc_id""".stripMargin)),
 
+    // URL canonicalization + URL-level dedup (Domains.canonicalizeUrl)
+    // — the dedup key C4/CCNet group on before any content hashing: the
+    // same page crawled under case-varied hosts, explicit default
+    // ports, utm_* tracking params, fragments, and trailing slashes
+    // must collapse to ONE canonical URL. The fixture derives messy
+    // URLs from doc_id in closed form — doc pairs (2k, 2k+1) differ in
+    // ALL of case/port/utm/slash/fragment yet share a canonical form —
+    // so the oracle rebuilds every URL, re-canonicalizes with the same
+    // regex/string steps, and must land on the identical group set
+    // (min-id keep, variant count).
+    QueryDef(
+      "q_url_dedup",
+      (s, dir) => {
+        val urls = load(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("url", expr("""concat('https://',
+            CASE WHEN doc_id % 2 = 0
+              THEN concat('WWW.SRC', cast((doc_id div 2) % 20 as string), '.COM')
+              ELSE concat('www.src', cast((doc_id div 2) % 20 as string), '.com') END,
+            CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+            '/p/', cast(doc_id div 2 as string),
+            CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+            '?ref=r', cast(doc_id div 2 as string),
+            CASE WHEN doc_id % 2 = 0
+              THEN concat('&utm_c=x', cast(doc_id as string)) ELSE '' END,
+            CASE WHEN doc_id % 5 = 0
+              THEN concat('#s', cast(doc_id as string)) ELSE '' END)"""))
+        urls
+          .select(col("doc_id"),
+            graft.llm.Domains.canonicalizeUrl(col("url")).as("url"))
+          .groupBy(col("url"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_variants"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN 'WWW.SRC' || (doc_id // 2) % 20 || '.COM'
+             |      ELSE 'www.src' || (doc_id // 2) % 20 || '.com' END ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+             |    '/p/' || (doc_id // 2) ||
+             |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+             |    '?ref=r' || (doc_id // 2) ||
+             |    CASE WHEN doc_id % 2 = 0 THEN '&utm_c=x' || doc_id
+             |         ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN '#s' || doc_id ELSE '' END
+             |      AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id,
+             |    split_part(split_part(url, '#', 1), '://', 1) AS scheme,
+             |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+             |  FROM u),
+             |hp AS (
+             |  SELECT doc_id, scheme,
+             |    split_part(rest, '/', 1) AS host,
+             |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+             |  FROM parts),
+             |pq AS (
+             |  SELECT doc_id, scheme, host,
+             |    split_part(pathq, '?', 1) AS path_only,
+             |    CASE WHEN strpos(pathq, '?') > 0
+             |      THEN substr(pathq,
+             |        length(split_part(pathq, '?', 1)) + 2)
+             |      ELSE '' END AS qs
+             |  FROM hp),
+             |canon AS (
+             |  SELECT doc_id,
+             |    lower(scheme) || '://' ||
+             |    regexp_replace(lower(host), ':(80|443)$', '') ||
+             |    regexp_replace(path_only, '/$', '') ||
+             |    CASE WHEN regexp_replace(regexp_replace(qs,
+             |        'utm_[^&]*&', '', 'g'), '&?utm_[^&]*$', '') <> ''
+             |      THEN '?' || regexp_replace(regexp_replace(qs,
+             |        'utm_[^&]*&', '', 'g'), '&?utm_[^&]*$', '')
+             |      ELSE '' END AS url
+             |  FROM pq)
+             |SELECT url, min(doc_id) AS keep_id,
+             |  count(*) AS n_variants
+             |FROM canon GROUP BY url ORDER BY url""".stripMargin)),
+
     // Audio perceptual near-dup (energy-delta fingerprint over the REAL
     // WAV decode) — the audio sibling of q_dedup_phash, completing
     // perceptual dedup across both decoded modalities. The fixture's

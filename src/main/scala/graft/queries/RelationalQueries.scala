@@ -388,6 +388,49 @@ object RelationalQueries {
              | AND o_totalprice < n_nationkey * 20000.0 + 50000.0
              |GROUP BY band_id ORDER BY band_id""".stripMargin)),
 
+    // Interval × interval OVERLAP join (ScaleJoins.intervalOverlapJoin):
+    // two sets of order-validity windows ([date, date+20d) vs
+    // [date, date+15d), disjoint customer slices) joined where they
+    // overlap in time — the temporal/genomic overlap-join shape. The
+    // engine explodes both sides to 32-day bins and equi-joins on the
+    // bin (overlap verified as a residual; each pair emitted only from
+    // its first shared bin — no distinct), while the oracle states the
+    // plain loA < hiB AND loB < hiA theta join: identical pair sets or
+    // the hash fails.
+    QueryDef(
+      "q_join_interval",
+      (s, dir) => {
+        def slice(rem: Int, span: Int, p: String) =
+          load(s, dir, "orders")
+            .filter(col("o_custkey") % 100 === rem)
+            .select(col("o_orderkey").as(s"${p}_id"),
+              expr("unix_micros(o_orderdate) div 86400000000")
+                .as(s"${p}_lo"))
+            .withColumn(s"${p}_hi", col(s"${p}_lo") + span)
+        graft.plans.ScaleJoins
+          .intervalOverlapJoin(slice(0, 20, "a"), slice(1, 15, "b"),
+            "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 32L)
+          .select(col("a_id"), col("b_id"),
+            (greatest(col("a_lo"), col("b_lo"))).as("ov_from"),
+            (least(col("a_hi"), col("b_hi"))).as("ov_to"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS a_id,
+             |    epoch_us(o_orderdate) // 86400000000 AS a_lo,
+             |    epoch_us(o_orderdate) // 86400000000 + 20 AS a_hi
+             |  FROM orders WHERE o_custkey % 100 = 0),
+             |b AS (
+             |  SELECT o_orderkey AS b_id,
+             |    epoch_us(o_orderdate) // 86400000000 AS b_lo,
+             |    epoch_us(o_orderdate) // 86400000000 + 15 AS b_hi
+             |  FROM orders WHERE o_custkey % 100 = 1)
+             |SELECT a_id, b_id,
+             |  greatest(a_lo, b_lo) AS ov_from,
+             |  least(a_hi, b_hi) AS ov_to
+             |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // ---- sort / limit / top-k -------------------------------------------
     QueryDef(
       "q_sort_multikey",

@@ -525,6 +525,23 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("canonicalizeUrl applies each rule and keeps non-tracking params") {
+    import SparkSpec.spark.implicits._
+    val cases = Seq(
+      ("https://WWW.Ex.COM:443/a/", "https://www.ex.com/a"),
+      ("http://ex.com:80/a?utm_s=1", "http://ex.com/a"),
+      ("https://ex.com/a?utm_s=1&ref=2", "https://ex.com/a?ref=2"),
+      ("https://ex.com/a?ref=2&utm_s=1#frag", "https://ex.com/a?ref=2"),
+      ("https://ex.com:8080/a?b=1&c=2", "https://ex.com:8080/a?b=1&c=2"),
+      ("https://ex.com", "https://ex.com"),
+    )
+    val out = cases.map(_._1).toDF("url")
+      .select(Domains.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2),
+      out.zip(cases).filter(p => p._1 != p._2._2).mkString(";"))
+  }
+
   test("registrableDomain: multi-label suffix, plain domain, and " +
       "single-label host each resolve to their own key") {
     import SparkSpec.spark.implicits._

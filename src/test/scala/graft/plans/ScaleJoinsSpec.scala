@@ -40,6 +40,37 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
   }
 
+  test("intervalOverlapJoin result-identical to the theta overlap join, " +
+      "each pair exactly once") {
+    import graft.SparkSpec.spark.implicits._
+    // spans >> binWidth so pairs share MANY bins — the first-shared-bin
+    // dedup is what's under test (a naive bin join would multi-emit)
+    val a = Seq((1L, 0L, 50L), (2L, 40L, 90L), (3L, 200L, 210L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 45L, 60L), (11L, 89L, 95L), (12L, 300L, 310L),
+        (13L, 0L, 220L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val theta = a.join(b, a("a_lo") < b("b_hi") && b("b_lo") < a("a_hi"))
+      .select(col("a_id"), col("b_id"))
+    val binned = ScaleJoins.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 8L)
+      .select(col("a_id"), col("b_id"))
+    assert(binned.count() == binned.distinct().count(), "pair multi-emit")
+    assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
+  }
+
+  test("intervalOverlapJoin fails loudly on an empty/inverted interval") {
+    import graft.SparkSpec.spark.implicits._
+    val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_lo", "a_hi") // empty
+    val b = Seq((2L, 0L, 20L)).toDF("b_id", "b_lo", "b_hi")
+    val e = intercept[Exception] {
+      ScaleJoins.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 8L).collect()
+    }
+    assert(e.getMessage.contains("intervalOverlapJoin") ||
+      e.getCause != null, e.getMessage)
+  }
+
   test("binnedRangeJoin plans as an equi-join, not a nested loop") {
     val points = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
