@@ -305,6 +305,47 @@ object TextAnalysis {
         round(idf * tfNorm, 4).as("bm25"))
   }
 
+  /** Per-document DEFLATE compression ratio — the published
+    * "gzip-compressibility" quality signal (used in RedPajama/Dolma-style
+    * curation): highly repetitive or templated text compresses far below
+    * natural prose, and near-random noise barely compresses at all, so
+    * the ratio separates both failure modes from quality text with one
+    * cheap pass. Partition-local `mapPartitions` with ONE reused
+    * Deflater per partition (level fixed at 6 — the ratio must be a
+    * stable fingerprint, not drift with a JVM default); emitted in
+    * integer micro-units (compressed·10⁶ div raw) so downstream
+    * thresholds are exact. Null/empty text → ratio 0. DEFLATE is not
+    * SQL-expressible, so this is spec-gated rather than oracle-checked:
+    * LlmSpec pins the repetitive < natural < noise ordering and
+    * determinism across runs.
+    */
+  def compressionRatio(documents: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          if (text == null || text.isEmpty) (id, 0L, 0L)
+          else {
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished())
+              compressed += deflater.deflate(buf)
+            (id, raw.length.toLong, compressed * 1000000L / raw.length)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "ratio_micro")
+  }
+
   /** Line-level boilerplate removal — the first cleaning pass in published
     * web-corpus pipelines (CCNet's per-shard line dedup, RefinedWeb's
     * line-wise filters): a line that recurs across many documents of the

@@ -135,4 +135,31 @@ object LlmProps extends Properties("graft.llm") {
       Prop(plain == pref) :|
         s"t=$t missing=${plain.diff(pref)} extra=${pref.diff(plain)}"
     }
+
+  // -- canonicalizeUrl -------------------------------------------------------
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP")
+    host <- Gen.oneOf("Ex.COM", "www.ex.com", "a.b.co.uk", "EX.com")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/a", "/a/b", "/a/")
+    query <- Gen.oneOf("", "?x=1", "?utm_a=1", "?x=1&utm_b=2",
+      "?utm_a=1&x=2", "?utm_a=1&utm_b=2")
+    frag <- Gen.oneOf("", "#f", "#utm_x")
+  } yield s"$scheme://$host$port$path$query$frag"
+
+  /** Canonicalization must be a PROJECTION: applying it twice is the
+    * same as once (otherwise two crawls of the same page could land on
+    * different dedup keys depending on how often each was cleaned). */
+  property("canonicalizeUrl is idempotent across the messy-URL space") =
+    forAll(Gen.listOfN(8, urlGen)) { urls =>
+      import SparkSpec.spark.implicits._
+      val once = urls.toDF("url")
+        .select(Domains.canonicalizeUrl(col("url")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      val twice = once.toDF("url")
+        .select(Domains.canonicalizeUrl(col("url")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      Prop(once == twice) :| s"once=$once twice=$twice"
+    }
 }

@@ -525,6 +525,29 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("compressionRatio orders repetitive < natural < noise and is " +
+      "deterministic") {
+    import SparkSpec.spark.implicits._
+    val rng = new scala.util.Random(7)
+    val natural = (0 until 200).map(_ =>
+      Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+        "dogs", "while", "rivers", "flow")(rng.nextInt(11))).mkString(" ")
+    val t = Seq(
+      (1L, "ab " * 400),                                   // repetitive
+      (2L, natural),                                       // natural-ish
+      (3L, (0 until 1200).map(_ =>                          // noise
+        (33 + rng.nextInt(90)).toChar).mkString),
+      (4L, ""),                                            // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L), out.toString)
+    assert(out(4L) == 0L)
+    val again = TextAnalysis.compressionRatio(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == again)
+  }
+
   test("canonicalizeUrl applies each rule and keeps non-tracking params") {
     import SparkSpec.spark.implicits._
     val cases = Seq(
