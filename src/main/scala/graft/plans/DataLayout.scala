@@ -43,6 +43,28 @@ object DataLayout {
     spans.agg(avg(col("span"))).head.getDouble(0)
   }
 
+  /** Write with per-column parquet BLOOM FILTERS — the data-skipping
+    * complement to [[zorderWrite]]: min/max statistics prune RANGE
+    * predicates but are useless for point lookups on high-cardinality
+    * identifier columns scattered across files (every file's [min, max]
+    * spans the whole id domain). A bloom filter per row group answers
+    * "id definitely absent" and lets the reader skip the group without
+    * decoding it — at 100 TB the difference between touching every row
+    * group and touching the handful that might hold the key. `bloomCols`
+    * maps column → expected distinct count (sizes the filter; parquet
+    * targets ~1% false positives at that NDV). Pure write options — the
+    * reader side is automatic when `parquet.filter.bloom.enabled` (on by
+    * default) sees an equality pushdown. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+                            bloomCols: Map[String, Long]): Unit = {
+    require(bloomCols.nonEmpty, "bloomCols must name at least one column")
+    bloomCols.foldLeft(df.write.mode("overwrite")) {
+      case (w, (c, ndv)) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   // NOTE: the bucketed co-located join layout (bucketBy + sortBy external
   // table; two co-bucketed tables join with ZERO exchanges) lives in
   // [[ScaleJoins.writeBucketed]] with its plan-asserted spec — kept there

@@ -86,4 +86,42 @@ class DataLayoutSpec extends SparkSpec {
   // bucketed co-located join coverage lives in ScaleJoinsSpec
   // ("bucketed tables join with zero exchanges") next to its
   // ScaleJoins.writeBucketed implementation
+
+  test("writeWithBloomFilters materializes a bloom filter for the named " +
+      "column only, and filtered reads stay correct") {
+    import SparkSpec.spark.implicits._
+    val df = (0 until 20000)
+      .map(i => (s"user_${i * 7919 % 100000}", i.toLong)).toDF("uid", "v")
+    val base = s"/root/repo/target/tmp/bloom_${System.nanoTime()}"
+    DataLayout.writeWithBloomFilters(df, base, Map("uid" -> 20000L))
+
+    // read the parquet footer: the bloomed column's chunks carry a
+    // filter offset; the un-bloomed column's chunks do not
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(base).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val offsets = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRowGroups.toArray.toSeq.flatMap { bm =>
+        bm.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+          .getColumns.toArray.toSeq.map { cc =>
+            val c = cc.asInstanceOf[
+              org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+            c.getPath.toDotString -> c.getBloomFilterOffset
+          }
+      } finally reader.close()
+    }
+    assert(offsets.exists { case (p, off) => p == "uid" && off > 0 },
+      s"no bloom filter for uid: $offsets")
+    assert(offsets.filter(_._1 == "v").forall(_._2 <= 0),
+      s"unexpected bloom on v: $offsets")
+
+    // equality lookups through the bloom-enabled reader remain exact
+    val out = spark.read.parquet(base)
+      .filter(col("uid") === "user_7919").count()
+    assert(out == df.filter(col("uid") === "user_7919").count())
+  }
 }
