@@ -305,6 +305,29 @@ object TextAnalysis {
         round(idf * tfNorm, 4).as("bm25"))
   }
 
+  /** HTML → text extraction (the trafilatura-shape step at the head of
+    * every web-corpus pipeline, reduced to its deterministic core):
+    * script/style subtrees are DROPPED (their text is code, not prose),
+    * remaining tags become whitespace, the five standard entities decode,
+    * and whitespace runs collapse. Pure per-row regexp/replace chains —
+    * codegen'd, no shuffle, and every step states identically in the
+    * DuckDB oracle (RE2 and Java agree on these patterns; non-greedy
+    * `.*?` keeps two script blocks from merging into one deletion).
+    * Returns (doc_id, clean text, n_tags removed). */
+  def htmlStrip(documents: DataFrame, htmlCol: String = "html",
+                idCol: String = "doc_id"): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      lit("<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
+    val noTags = regexp_replace(noScript, lit("<[^>]*>"), lit(" "))
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    documents.select(col(idCol).as("doc_id"),
+      trim(regexp_replace(decoded, lit("\\s+"), lit(" "))).as("text"),
+      size(regexp_extract_all(col(htmlCol), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags"))
+  }
+
   /** Per-document DEFLATE compression ratio — the published
     * "gzip-compressibility" quality signal (used in RedPajama/Dolma-style
     * curation): highly repetitive or templated text compresses far below

@@ -2119,6 +2119,53 @@ object LlmQueries {
              |SELECT doc_id, domain FROM k WHERE rn <= 4
              |ORDER BY doc_id""".stripMargin)),
 
+    // HTML → text extraction (TextAnalysis.htmlStrip) — the head of
+    // every web-corpus pipeline: drop script/style subtrees, strip
+    // tags, decode the standard entities, collapse whitespace. The
+    // fixture wraps each document's text in a closed-form page (title,
+    // heading, entity-bearing tail paragraph, a script block that must
+    // vanish WHOLE), so the oracle rebuilds the page and must recover
+    // byte-identical clean text and tag counts via the same RE2/Java-
+    // agreeing regex chain.
+    QueryDef(
+      "q_text_html_strip",
+      (s, dir) => {
+        val pages = load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("<html><head><title>Doc "),
+              col("doc_id").cast("string"),
+              lit("</title></head><body><h1>Doc "),
+              col("doc_id").cast("string"),
+              lit("</h1><p>"), col("text"),
+              lit("</p><p>tail &amp; more &lt;raw&gt;</p>"),
+              lit("<script>var x = 1;</script></body></html>"))
+              .as("html"))
+        TextAnalysis.htmlStrip(pages).orderBy(col("doc_id"))
+      },
+      Some("""WITH pages AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>Doc ' || doc_id ||
+             |    '</title></head><body><h1>Doc ' || doc_id ||
+             |    '</h1><p>' || text ||
+             |    '</p><p>tail &amp; more &lt;raw&gt;</p>' ||
+             |    '<script>var x = 1;</script></body></html>' AS html
+             |  FROM documents),
+             |stripped AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(html,
+             |      '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             |      '<[^>]*>', ' ', 'g') AS t,
+             |    len(regexp_extract_all(html, '<[^>]*>')) AS n_tags
+             |  FROM pages)
+             |SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(t,
+             |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             |      '&quot;', '"'), '&#39;', ''''),
+             |    '\s+', ' ', 'g')) AS text,
+             |  CAST(n_tags AS BIGINT) AS n_tags
+             |FROM stripped ORDER BY doc_id""".stripMargin)),
+
     // URL canonicalization + URL-level dedup (Domains.canonicalizeUrl)
     // — the dedup key C4/CCNet group on before any content hashing: the
     // same page crawled under case-varied hosts, explicit default

@@ -22,15 +22,15 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-8 floor: 213 queries, ALL 213 oracle-checked (round 8 adds
+    // round-8 floor: 214 queries, ALL 214 oracle-checked (round 8 adds
     // suffix-array dedup, image/audio perceptual near-dup, domain and
     // boilerplate filters, CDC apply, embedding covariance, URL dedup,
     // interval-overlap join, temperature allocation) — bump these when
     // operators are added so a bad refactor can't drop queries without
     // failing CI
-    assert(SparkEntry.queries.size >= 213,
+    assert(SparkEntry.queries.size >= 214,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 213,
+    assert(SparkEntry.oracleSql.size >= 214,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

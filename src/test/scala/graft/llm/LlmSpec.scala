@@ -525,6 +525,24 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("htmlStrip drops script/style subtrees whole, decodes entities, " +
+      "and collapses whitespace") {
+    import SparkSpec.spark.implicits._
+    val t = Seq(
+      (1L, "<p>a &amp; b</p><script>if (x<y) beep()</script><p>c</p>"),
+      (2L, "<div>one</div>  <style>.a{}</style> <b>two</b>"),
+      (3L, "plain text, no markup"),
+      // two script blocks: greedy matching would also delete KEEP
+      (4L, "<script>a()</script><p>KEEP</p><script>b()</script>"),
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.htmlStrip(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "a & b c")
+    assert(out(2L)._1 == "one two")
+    assert(out(3L) == (("plain text, no markup", 0L)))
+    assert(out(4L)._1 == "KEEP")
+  }
+
   test("compressionRatio orders repetitive < natural < noise and is " +
       "deterministic") {
     import SparkSpec.spark.implicits._
