@@ -60,16 +60,23 @@ object Domains {
     val noFrag = substring_index(url, "#", 1)
     val scheme = substring_index(noFrag, "://", 1)
     val rest = substring_index(noFrag, "://", -1)
-    val host = substring_index(rest, "/", 1)
+    // host ends at the first '/' OR '?' — a query with no path
+    // ("ex.com?x=1") must not absorb into the host (it would dodge the
+    // port/utm rules and get wrongly lowercased)
+    val host = substring_index(substring_index(rest, "/", 1), "?", 1)
     val pathQ = substr(rest, length(host) + 1)
     val pathOnly = substring_index(pathQ, "?", 1)
     val qs = when(instr(pathQ, "?") > 0,
       substr(pathQ, length(pathOnly) + 2)).otherwise(lit(""))
-    val qClean = regexp_replace(
-      regexp_replace(qs, lit("utm_[^&]*&"), lit("")),
-      lit("&?utm_[^&]*$"), lit(""))
+    // parameter-wise filter, not a regex: an unanchored 'utm_' pattern
+    // would also fire on param names/values merely CONTAINING utm_
+    // ("?xutm_b=1", "?q=utm_test") and corrupt the query
+    val qClean = array_join(
+      filter(split(qs, "&"), p => !p.startsWith("utm_")), "&")
     val hostClean = regexp_replace(lower(host), lit(":(80|443)$"), lit(""))
-    val pathClean = regexp_replace(pathOnly, lit("/$"), lit(""))
+    // strip ALL trailing slashes — '/a//' must canonicalize in one
+    // application (idempotence: the LlmProps projection property)
+    val pathClean = regexp_replace(pathOnly, lit("/+$"), lit(""))
     concat(lower(scheme), lit("://"), hostClean, pathClean,
       when(qClean =!= "", concat(lit("?"), qClean)).otherwise(lit("")))
   }

@@ -316,11 +316,16 @@ object TextAnalysis {
     * Returns (doc_id, clean text, n_tags removed). */
   def htmlStrip(documents: DataFrame, htmlCol: String = "html",
                 idCol: String = "doc_id"): DataFrame = {
+    // (?is): real-world scripts span lines (Java '.' stops at \n without
+    // DOTALL) and tags come uppercase — both would otherwise leak script
+    // code into the "clean" text
     val noScript = regexp_replace(col(htmlCol),
-      lit("<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
+      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
     val noTags = regexp_replace(noScript, lit("<[^>]*>"), lit(" "))
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+    // '&amp;' decodes LAST: escaped entities ('&amp;lt;' = the literal
+    // text "&lt;") must not double-decode into '<'
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
     documents.select(col(idCol).as("doc_id"),
       trim(regexp_replace(decoded, lit("\\s+"), lit(" "))).as("text"),
@@ -351,6 +356,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater buffers are NATIVE memory, reclaimed only at GC
+        // finalization — on a long-lived executor that accrues off-heap
+        // until the container limit; release at task end instead
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           if (text == null || text.isEmpty) (id, 0L, 0L)

@@ -61,6 +61,8 @@ object ScaleJoins {
     require(binWidth > 0, "binWidth must be positive")
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points and intervals must not share column names")
+    require(!(points.columns ++ intervals.columns).contains("_bin"),
+      "inputs must not carry a _bin column (reserved by the bin explode)")
     // Fail LOUDLY on an interval spanning more than `maxReplication`
     // bins: one unbounded interval would silently replicate into millions
     // of rows — at cluster scale that reads as a hung stage, not an
@@ -82,7 +84,12 @@ object ScaleJoins {
         lit(") — fix the interval or raise binWidth/maxReplication")))
         .cast("long"))
       .otherwise(hiBin)
+    // null-bounded intervals match nothing under the theta semantics
+    // (point >= lo AND point < hi is null-rejecting) — drop explicitly
+    // so behavior doesn't depend on optimizer pushdown order (same
+    // contract as intervalOverlapJoin)
     val binnedIntervals = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
       .withColumn("_bin", explode(sequence(loBin, hiBinGuarded)))
     val binnedPoints = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))
@@ -110,6 +117,8 @@ object ScaleJoins {
     require(binWidth > 0, "binWidth must be positive")
     require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
       "overlap-join sides must not share column names")
+    require(!(a.columns ++ b.columns).contains("_bin"),
+      "inputs must not carry a _bin column (reserved by the bin explode)")
     def binned(df: DataFrame, lo: String, hi: String) = {
       val loBin = floor(col(lo) / binWidth).cast("long")
       // half-open: an interval's last occupied bin holds hi - 1
@@ -117,11 +126,16 @@ object ScaleJoins {
       val hiBinGuarded = when(
         hiBin - loBin >= maxReplication || col(lo) >= col(hi),
         raise_error(concat(
-          lit(s"intervalOverlapJoin: interval empty/inverted or spanning" +
-            s" >= $maxReplication bins of width $binWidth ["),
+          lit(s"intervalOverlapJoin: interval empty/inverted or " +
+            s"spanning >= $maxReplication bins of width $binWidth ["),
           col(lo), lit(", "), col(hi), lit(")"))).cast("long"))
         .otherwise(hiBin)
-      df.withColumn("_bin", explode(sequence(loBin, hiBinGuarded)))
+      // null bounds match NOTHING — the SQL comparison semantics the
+      // theta formulation (loA < hiB AND loB < hiA) has anyway; drop
+      // them explicitly so the behavior doesn't depend on whether the
+      // optimizer pushes the null-rejecting residual below the explode
+      df.filter(col(lo).isNotNull && col(hi).isNotNull)
+        .withColumn("_bin", explode(sequence(loBin, hiBinGuarded)))
     }
     binned(a, loA, hiA).join(binned(b, loB, hiB), Seq("_bin"))
       .filter(col(loA) < col(hiB) && col(loB) < col(hiA))

@@ -2153,15 +2153,16 @@ object LlmQueries {
              |stripped AS (
              |  SELECT doc_id,
              |    regexp_replace(regexp_replace(html,
-             |      '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             |      '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+             |      ' ', 'g'),
              |      '<[^>]*>', ' ', 'g') AS t,
              |    len(regexp_extract_all(html, '<[^>]*>')) AS n_tags
              |  FROM pages)
              |SELECT doc_id,
              |  trim(regexp_replace(
              |    replace(replace(replace(replace(replace(t,
-             |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             |      '&quot;', '"'), '&#39;', ''''),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', ''''), '&amp;', '&'),
              |    '\s+', ' ', 'g')) AS text,
              |  CAST(n_tags AS BIGINT) AS n_tags
              |FROM stripped ORDER BY doc_id""".stripMargin)),
@@ -2223,8 +2224,10 @@ object LlmQueries {
              |  FROM u),
              |hp AS (
              |  SELECT doc_id, scheme,
-             |    split_part(rest, '/', 1) AS host,
-             |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+             |    split_part(split_part(rest, '/', 1), '?', 1) AS host,
+             |    substr(rest, length(
+             |      split_part(split_part(rest, '/', 1), '?', 1)) + 1)
+             |      AS pathq
              |  FROM parts),
              |pq AS (
              |  SELECT doc_id, scheme, host,
@@ -2234,17 +2237,19 @@ object LlmQueries {
              |        length(split_part(pathq, '?', 1)) + 2)
              |      ELSE '' END AS qs
              |  FROM hp),
+             |qc AS (
+             |  SELECT doc_id, scheme, host, path_only,
+             |    array_to_string(list_filter(string_split(qs, '&'),
+             |      p -> NOT starts_with(p, 'utm_')), '&') AS qclean
+             |  FROM pq),
              |canon AS (
              |  SELECT doc_id,
              |    lower(scheme) || '://' ||
              |    regexp_replace(lower(host), ':(80|443)$', '') ||
-             |    regexp_replace(path_only, '/$', '') ||
-             |    CASE WHEN regexp_replace(regexp_replace(qs,
-             |        'utm_[^&]*&', '', 'g'), '&?utm_[^&]*$', '') <> ''
-             |      THEN '?' || regexp_replace(regexp_replace(qs,
-             |        'utm_[^&]*&', '', 'g'), '&?utm_[^&]*$', '')
+             |    regexp_replace(path_only, '/+$', '') ||
+             |    CASE WHEN qclean <> '' THEN '?' || qclean
              |      ELSE '' END AS url
-             |  FROM pq)
+             |  FROM qc)
              |SELECT url, min(doc_id) AS keep_id,
              |  count(*) AS n_variants
              |FROM canon GROUP BY url ORDER BY url""".stripMargin)),

@@ -142,9 +142,9 @@ object LlmProps extends Properties("graft.llm") {
     scheme <- Gen.oneOf("http", "https", "HTTP")
     host <- Gen.oneOf("Ex.COM", "www.ex.com", "a.b.co.uk", "EX.com")
     port <- Gen.oneOf("", ":80", ":443", ":8080")
-    path <- Gen.oneOf("", "/", "/a", "/a/b", "/a/")
+    path <- Gen.oneOf("", "/", "/a", "/a/b", "/a/", "/a//")
     query <- Gen.oneOf("", "?x=1", "?utm_a=1", "?x=1&utm_b=2",
-      "?utm_a=1&x=2", "?utm_a=1&utm_b=2")
+      "?utm_a=1&x=2", "?utm_a=1&utm_b=2", "?xutm_b=1&y=2", "?q=utm_test")
     frag <- Gen.oneOf("", "#f", "#utm_x")
   } yield s"$scheme://$host$port$path$query$frag"
 

@@ -534,6 +534,9 @@ class LlmSpec extends SparkSpec {
       (3L, "plain text, no markup"),
       // two script blocks: greedy matching would also delete KEEP
       (4L, "<script>a()</script><p>KEEP</p><script>b()</script>"),
+      // multi-line + uppercase script must still vanish whole (DOTALL,
+      // case-insensitive); escaped entity must not double-decode
+      (5L, "<SCRIPT>\nvar x = 1;\n</SCRIPT><p>ok &amp;lt; here</p>"),
     ).toDF("doc_id", "html")
     val out = TextAnalysis.htmlStrip(t).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
@@ -541,6 +544,7 @@ class LlmSpec extends SparkSpec {
     assert(out(2L)._1 == "one two")
     assert(out(3L) == (("plain text, no markup", 0L)))
     assert(out(4L)._1 == "KEEP")
+    assert(out(5L)._1 == "ok &lt; here", out(5L))
   }
 
   test("compressionRatio orders repetitive < natural < noise and is " +
@@ -575,6 +579,12 @@ class LlmSpec extends SparkSpec {
       ("https://ex.com/a?ref=2&utm_s=1#frag", "https://ex.com/a?ref=2"),
       ("https://ex.com:8080/a?b=1&c=2", "https://ex.com:8080/a?b=1&c=2"),
       ("https://ex.com", "https://ex.com"),
+      // 'utm_' as a SUBSTRING of a name/value must survive intact
+      ("https://ex.com/a?xutm_b=1&q=utm_t", "https://ex.com/a?xutm_b=1&q=utm_t"),
+      // query with no path: host must not absorb it
+      ("https://Ex.com:443?utm_s=1&ID=AbC", "https://ex.com?ID=AbC"),
+      // repeated trailing slashes strip in ONE application (idempotence)
+      ("https://ex.com/a//", "https://ex.com/a"),
     )
     val out = cases.map(_._1).toDF("url")
       .select(Domains.canonicalizeUrl(col("url")).as("c"))

@@ -59,6 +59,10 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
   }
 
+  private def messageChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+
   test("intervalOverlapJoin fails loudly on an empty/inverted interval") {
     import graft.SparkSpec.spark.implicits._
     val a = Seq((1L, 10L, 10L)).toDF("a_id", "a_lo", "a_hi") // empty
@@ -67,8 +71,23 @@ class ScaleJoinsSpec extends SparkSpec {
       ScaleJoins.intervalOverlapJoin(a, b,
         "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 8L).collect()
     }
-    assert(e.getMessage.contains("intervalOverlapJoin") ||
-      e.getCause != null, e.getMessage)
+    // the GUARD's message specifically — any-exception would also accept
+    // an unrelated analysis error and leave the guard untested
+    assert(messageChain(e).contains("intervalOverlapJoin"), messageChain(e))
+  }
+
+  test("intervalOverlapJoin: null-bounded interval matches nothing — the " +
+      "theta semantics — and non-null rows still join") {
+    import graft.SparkSpec.spark.implicits._
+    val a = Seq((1L, Some(0L), Option.empty[Long]),
+        (2L, Some(0L), Some(10L)))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 5L, 20L)).toDF("b_id", "b_lo", "b_hi")
+    val out = ScaleJoins.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 8L)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 10L)), out.toSeq)
   }
 
   test("binnedRangeJoin plans as an equi-join, not a nested loop") {
