@@ -42,6 +42,11 @@ object Bench {
     // round-8 additions (own frozen budget in BASELINE.md): the heaviest
     // unbenched round-7 operators, then the heaviest round-8 ones
     "q_temporal_join",   // as-of dimension join over SCD2 versions
+    // NOTE: the video query ignores the sf dir (fixed 64-clip fixture
+    // generated in-query, the only oracle-able form) — its budget guards
+    // decode-path regressions at constant work; SCALING evidence for the
+    // decode path is ScaleCheck's container-bytes row, which stages
+    // fixtures outside the timed region
     "q_multimodal_video", // GVID demux + per-frame PNG decode
     "q_dedup_suffix",    // suffix-array variable-length duplicate spans
     "q_embed_covariance", // one-pass d(d+1)/2 pair-sum aggregate

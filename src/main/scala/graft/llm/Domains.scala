@@ -25,11 +25,18 @@ object Domains {
   val multiLabelSuffixes: Seq[String] =
     Seq("co.uk", "com.au", "co.jp", "com.br", "co.in")
 
-  /** Host of a URL: the authority between "://" and the first path
-    * slash. Pure string ops (substring_index twice) so the DuckDB oracle
-    * states the same extraction with split_part. */
-  def hostOf(url: Column): Column =
-    substring_index(substring_index(url, "://", -1), "/", 1)
+  /** Host of a URL: the authority between the FIRST "://" and the next
+    * '/' or '?'. The cut after the scheme is length-based — a
+    * last-occurrence split would re-parse any URL whose query embeds
+    * another URL ("?next=https://b.com/x") as the embedded one, the
+    * classic crawl-data parsing trap. Pure string ops, stated
+    * identically by the DuckDB oracle with split_part (which also splits
+    * on the first occurrence). */
+  def hostOf(url: Column): Column = {
+    val scheme = substring_index(url, "://", 1)
+    val rest = substr(url, length(scheme) + lit(4))
+    substring_index(substring_index(rest, "/", 1), "?", 1)
+  }
 
   /** Registrable domain of a host: the last two labels, or the last
     * THREE when the trailing pair is a known multi-label public suffix
@@ -41,7 +48,11 @@ object Domains {
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val last2 = concat_ws(".", slice(labels, -2, 2))
-    when(size(labels) <= 1, host)
+    // a host that IS a public suffix ("co.uk" itself) keeps the whole
+    // host: slice(-3) of a 2-element array is empty, and an empty-string
+    // domain would pool unrelated rows (same rationale as single-label)
+    when(size(labels) <= 1 ||
+        (last2.isin(multiLabelSuffixes: _*) && size(labels) <= 2), host)
       .when(last2.isin(multiLabelSuffixes: _*),
         concat_ws(".", slice(labels, -3, 3)))
       .otherwise(last2)
@@ -58,8 +69,11 @@ object Domains {
     * slash. Per-row and codegen'd — no shuffle, no UDF. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
+    // FIRST '://' — a last-occurrence split would re-parse any URL whose
+    // query embeds another URL ("?next=https://b.com/x") as the embedded
+    // one (see hostOf)
     val scheme = substring_index(noFrag, "://", 1)
-    val rest = substring_index(noFrag, "://", -1)
+    val rest = substr(noFrag, length(scheme) + lit(4))
     // host ends at the first '/' OR '?' — a query with no path
     // ("ex.com?x=1") must not absorb into the host (it would dodge the
     // port/utm rules and get wrongly lowercased)
@@ -73,7 +87,16 @@ object Domains {
     // ("?xutm_b=1", "?q=utm_test") and corrupt the query
     val qClean = array_join(
       filter(split(qs, "&"), p => !p.startsWith("utm_")), "&")
-    val hostClean = regexp_replace(lower(host), lit(":(80|443)$"), lit(""))
+    // only the scheme's OWN default port is redundant: http://x:443 is a
+    // different origin than http://x and must not merge with it
+    val schemeLower = lower(scheme)
+    val hostLower = lower(host)
+    val hostClean =
+      when(schemeLower === "http",
+        regexp_replace(hostLower, lit(":80$"), lit("")))
+        .when(schemeLower === "https",
+          regexp_replace(hostLower, lit(":443$"), lit("")))
+        .otherwise(hostLower)
     // strip ALL trailing slashes — '/a//' must canonicalize in one
     // application (idempotence: the LlmProps projection property)
     val pathClean = regexp_replace(pathOnly, lit("/+$"), lit(""))
@@ -93,7 +116,13 @@ object Domains {
     val w = Window.partitionBy(col("domain"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs
-      .withColumn("domain", registrableDomain(hostOf(col(urlCol))))
+      // normalize the host before extraction: case-varied crawls of one
+      // site ("Ex.com"/"ex.com") and explicit ports ("ex.com:8080")
+      // must land on ONE domain key, or they dodge the blocklist and
+      // each get their own per-domain quota
+      .withColumn("domain", registrableDomain(
+        regexp_replace(lower(hostOf(col(urlCol))), lit(":[0-9]+$"),
+          lit(""))))
       .join(broadcast(blocklist), Seq("domain"), "left_anti")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxPerDomain)

@@ -73,7 +73,14 @@ object Tokenization {
     * timed rep: the frozen q_bpe_learn budget was measured with training
     * paid per rep, and a memo hit would silently turn reps 2-3 into
     * no-ops and report a fantasy number. Pipeline sessions (Verify, the
-    * examples) never call it — they get the train-once sharing. */
+    * examples) never call it — they get the train-once sharing.
+    *
+    * CAVEAT: the memo key is the canonicalized READ PLAN, which for a
+    * file source is path-based — a session that trains on a path, then
+    * REWRITES that path's files and retrains, gets the stale merge
+    * table back. Call this between the rewrite and the retrain (cache
+    * invalidation by content hash is deliberately out of scope: the
+    * supported pipeline shape writes derived corpora to new paths). */
   def invalidateTrained(): Unit = synchronized { trained.clear() }
 
   /** The training loop shared by [[learnBpeMerges]] and

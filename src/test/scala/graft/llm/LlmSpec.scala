@@ -585,6 +585,11 @@ class LlmSpec extends SparkSpec {
       ("https://Ex.com:443?utm_s=1&ID=AbC", "https://ex.com?ID=AbC"),
       // repeated trailing slashes strip in ONE application (idempotence)
       ("https://ex.com/a//", "https://ex.com/a"),
+      // an embedded URL in the query must not hijack the parse
+      ("https://ex.com/a?next=https://b.com/x",
+        "https://ex.com/a?next=https://b.com/x"),
+      // only the scheme's OWN default port is redundant
+      ("http://ex.com:443/a", "http://ex.com:443/a"),
     )
     val out = cases.map(_._1).toDF("url")
       .select(Domains.canonicalizeUrl(col("url")).as("c"))
@@ -597,14 +602,15 @@ class LlmSpec extends SparkSpec {
       "single-label host each resolve to their own key") {
     import SparkSpec.spark.implicits._
     val out = Seq("news.bbc.co.uk", "news.bbc.com", "localhost",
-        "intranet", "a.b.c.org")
+        "intranet", "a.b.c.org", "co.uk")
       .toDF("host")
       .select(Domains.registrableDomain(col("host")).as("d"))
       .collect().map(_.getString(0))
     // single-label hosts are their OWN domain — an empty string would
-    // pool localhost+intranet under one blocklist/cap key
+    // pool localhost+intranet under one blocklist/cap key; a host that
+    // IS a public suffix likewise keeps itself
     assert(out.toSeq == Seq("bbc.co.uk", "bbc.com", "localhost",
-      "intranet", "c.org"))
+      "intranet", "c.org", "co.uk"))
   }
 
   test("temperature allocation sums exactly to budget and upweights the " +
