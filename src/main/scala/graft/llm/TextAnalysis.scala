@@ -174,6 +174,56 @@ object TextAnalysis {
         sum(col("c") * col("micro")).as("sum_logp_micro"))
   }
 
+  /** Per-document INTERPOLATED BIGRAM language-model log-likelihood —
+    * the KenLM-shape perplexity filter (published pipelines score docs
+    * under an n-gram LM; unigram [[unigramLmScore]] catches
+    * wrong-language and noise, the bigram term additionally catches
+    * scrambled/unnatural word ORDER that unigram statistics cannot see).
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+1)/(N+V) with λ = 3/4
+    * (both λ terms exact binary fractions); every scored bigram is
+    * corpus-observed so the conditional term needs no smoothing, and the
+    * unigram backoff keeps parity with unigramLmScore's add-one.
+    *
+    * Same determinism discipline as unigramLmScore: per-bigram ln p is
+    * rounded to 4 decimals then fixed to integer micro-units, and doc
+    * scores are exact BIGINT sums. Two thin column-pruned scans (bigram
+    * explode + unigram explode) rather than one fused wide explode —
+    * the covariance split-pass trade. All count tables are
+    * vocabulary-bounded; the model join broadcasts.
+    */
+  def bigramLmScore(documents: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val bg = Caches.track(documents
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(split($textCol, ' ')) - 2)," +
+            s" i -> named_struct('w1', split($textCol, ' ')[i]," +
+            s" 'w2', split($textCol, ' ')[i + 1]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val cu = Caches.track(documents
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu")))
+    val totals = cu.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    val p = (lit(0.75) * col("cb") / col("cu1")) +
+      (lit(0.25) * (col("cu2") + lit(1.0)) / (col("n") + col("v")))
+    val lm = cb
+      .join(broadcast(cu.select(col("term").as("w1"), col("cu").as("cu1"))),
+        "w1")
+      .join(broadcast(cu.select(col("term").as("w2"), col("cu").as("cu2"))),
+        "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        round(round(log(p), 4) * 10000).cast("long").as("micro"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("micro")).as("sum_logp_micro"))
+  }
+
   /** Scale-safe CCNet bucketing — the production form of the exact-ntile
     * `q_ccnet_buckets` query: derive per-language tercile CUTOFF scores
     * with approximate quantiles (one hash aggregate, no sort), broadcast

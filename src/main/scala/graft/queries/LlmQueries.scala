@@ -2119,6 +2119,46 @@ object LlmQueries {
              |SELECT doc_id, domain FROM k WHERE rn <= 4
              |ORDER BY doc_id""".stripMargin)),
 
+    // Interpolated bigram LM scoring (TextAnalysis.bigramLmScore) — the
+    // KenLM-shape perplexity filter: p(w2|w1) = 3/4·cb/cu1 +
+    // 1/4·(cu2+1)/(N+V), per-bigram ln rounded to 4 dp then fixed to
+    // integer micro-units so per-doc sums are exact BIGINTs (the
+    // q_lm_score determinism discipline). Catches scrambled word order
+    // that unigram statistics cannot see.
+    QueryDef(
+      "q_lm_bigram",
+      (s, dir) => TextAnalysis.bigramLmScore(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |bg0 AS (
+             |  SELECT doc_id, w[CAST(i AS INT)] AS w1,
+             |    w[CAST(i + 1 AS INT)] AS w2
+             |  FROM d, unnest(generate_series(1, len(w) - 1)) u(i)),
+             |bgd AS (
+             |  SELECT doc_id, w1, w2, count(*) AS c
+             |  FROM bg0 GROUP BY 1, 2, 3),
+             |cb AS (SELECT w1, w2, sum(c) AS cb FROM bgd GROUP BY 1, 2),
+             |t AS (SELECT unnest(string_split(text, ' ')) AS term
+             |      FROM documents),
+             |cu AS (SELECT term, count(*) AS cu FROM t GROUP BY term),
+             |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM cu),
+             |lm AS (
+             |  SELECT w1, w2,
+             |    CAST(round(round(ln(
+             |      0.75 * cb / c1.cu
+             |      + 0.25 * (c2.cu + 1.0) / (n + v)), 4) * 10000)
+             |      AS BIGINT) AS micro
+             |  FROM cb
+             |  JOIN cu c1 ON c1.term = cb.w1
+             |  JOIN cu c2 ON c2.term = cb.w2
+             |  CROSS JOIN tot)
+             |SELECT bgd.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(c * micro) AS BIGINT) AS sum_logp_micro
+             |FROM bgd JOIN lm USING (w1, w2)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // HTML → text extraction (TextAnalysis.htmlStrip) — the head of
     // every web-corpus pipeline: drop script/style subtrees, strip
     // tags, decode the standard entities, collapse whitespace. The

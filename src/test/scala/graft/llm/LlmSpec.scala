@@ -525,6 +525,27 @@ class LlmSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("bigramLmScore penalizes scrambled word order that unigram " +
+      "statistics cannot see") {
+    import SparkSpec.spark.implicits._
+    val natural = "the quick fox runs home"
+    val scrambled = "home the runs quick fox" // same unigrams, new order
+    // corpus dominated by the natural order, plus one scrambled copy
+    val docs = ((1 to 20).map(i => (i.toLong, natural)) :+
+      (100L, scrambled)).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same bigram count per doc; the scrambled doc's transitions are
+    // rare under the corpus model -> strictly lower log-likelihood
+    assert(out(1L)._1 == out(100L)._1)
+    assert(out(100L)._2 < out(1L)._2, out.toString)
+    // unigram scores are IDENTICAL (same bag of words) — the bigram
+    // model is what separates them
+    val uni = TextAnalysis.unigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(1L) == uni(100L))
+  }
+
   test("htmlStrip drops script/style subtrees whole, decodes entities, " +
       "and collapses whitespace") {
     import SparkSpec.spark.implicits._
