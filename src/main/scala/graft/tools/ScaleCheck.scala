@@ -252,6 +252,12 @@ object ScaleCheck {
       // and the affected-doc output both grow exactly k×
       ("q_boilerplate", (dir, _) => graft.llm.TextAnalysis
         .stripBoilerplate(spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-8: bigram LM scoring on the VOCABULARY axis (Caesar copies
+      // add k× distinct words AND k× distinct bigrams) — the model
+      // tables grow k× while per-doc scoring work stays constant; a
+      // super-linear curve would flag the model join degenerating
+      ("q_lm_bigram", (dir, _) => graft.llm.TextAnalysis
+        .bigramLmScore(spark.read.parquet(s"$dir/documents.parquet"))),
       // round-8: audio fingerprint near-dup — k× staged WAV clips (same
       // out-of-timing staging rule as video); decode + fingerprint is
       // partition-local, and the only exchange is the banded signature
