@@ -50,7 +50,8 @@ object Bench {
     "q_multimodal_video", // GVID demux + per-frame PNG decode
     "q_dedup_suffix",    // suffix-array variable-length duplicate spans
     "q_embed_covariance", // one-pass d(d+1)/2 pair-sum aggregate
-    "q_boilerplate")     // per-source line frequency strip + rebuild
+    "q_boilerplate",     // per-source line frequency strip + rebuild
+    "q_lm_bigram")       // interpolated bigram LM model + scoring join
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
