@@ -46,10 +46,44 @@ case class UnicodeNormalizeExpr(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for Public-Suffix-List registrable-domain
+  * extraction — the key the URL/domain corpus filters group on.
+  *
+  * The PSL rule sets ([[graft.llm.Psl]]) ship inside the jar and load
+  * once per executor JVM, so the lookup needs no broadcast and no join;
+  * a Scala UDF would box every row and break whole-stage codegen, while
+  * this expression emits a direct static call (`Psl.registrable` — a
+  * Scala object's static forwarder) and stays inside the codegen'd
+  * per-row pipeline, exactly like [[UnicodeNormalizeExpr]].
+  */
+case class RegistrableDomainExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"registrable_domain expects a string host, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Psl.registrable(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.llm.Psl.registrable($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftshim.GraftColumn
 
   /** Column-level Unicode normalization. */
   def normalize(c: Column, form: String = "NFC"): Column =
     GraftColumn.column(UnicodeNormalizeExpr(GraftColumn.expression(c), form))
+
+  /** Column-level PSL registrable-domain extraction. */
+  def registrableDomain(c: Column): Column =
+    GraftColumn.column(RegistrableDomainExpr(GraftColumn.expression(c)))
 }

@@ -17,46 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Domains {
 
-  /** Multi-label public suffixes the registrable-domain rule must know
-    * about ("bbc.co.uk" is registrable; "co.uk" is not a site). A
-    * production deployment swaps in the full Public Suffix List — the
-    * mechanics (bounded membership check + label slice) are unchanged;
-    * the list is data, not code. */
-  val multiLabelSuffixes: Seq[String] =
-    Seq("co.uk", "com.au", "co.jp", "com.br", "co.in")
-
   /** Host of a URL: the authority between the FIRST "://" and the next
     * '/' or '?'. The cut after the scheme is length-based — a
     * last-occurrence split would re-parse any URL whose query embeds
     * another URL ("?next=https://b.com/x") as the embedded one, the
-    * classic crawl-data parsing trap. Pure string ops, stated
-    * identically by the DuckDB oracle with split_part (which also splits
-    * on the first occurrence). */
+    * classic crawl-data parsing trap. A scheme-less or protocol-relative
+    * URL ("ex.com/path") has no "://" to cut at; the whole prefix before
+    * the first '/' or '?' is the host then — WITHOUT this branch the
+    * length-based cut would run past the end and return "", pooling
+    * every scheme-less row under one empty domain key (shared quota,
+    * un-blocklistable). Pure string ops, stated identically by the
+    * DuckDB oracle with split_part (which also splits on the first
+    * occurrence). */
   def hostOf(url: Column): Column = {
     val scheme = substring_index(url, "://", 1)
-    val rest = substr(url, length(scheme) + lit(4))
+    val rest = when(instr(url, "://") > 0, substr(url, length(scheme) + lit(4)))
+      .otherwise(url)
     substring_index(substring_index(rest, "/", 1), "?", 1)
   }
 
-  /** Registrable domain of a host: the last two labels, or the last
-    * THREE when the trailing pair is a known multi-label public suffix
-    * (so "news.bbc.co.uk" → "bbc.co.uk" while "news.bbc.com" →
-    * "bbc.com"). A single-label host (e.g. "localhost", an intranet
-    * name) IS its own domain — slice(-2) would return empty there, and
+  /** Registrable domain of a host under the bundled Public Suffix List
+    * ([[Psl]]): one label more than the longest matching public-suffix
+    * rule, with wildcard (`*.ck`) and exception (`!www.ck`) rules
+    * honored — "news.bbc.co.uk" → "bbc.co.uk", "a.src.github.io" →
+    * "src.github.io", "a.b.ck" → "a.b.ck" (wildcard), "www.ck" →
+    * "www.ck" (exception). A single-label host (e.g. "localhost", an
+    * intranet name) or a host that IS a public suffix keeps itself —
     * an empty-string domain would silently pool every such doc under
-    * one key for the blocklist and the per-domain cap. */
-  def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val last2 = concat_ws(".", slice(labels, -2, 2))
-    // a host that IS a public suffix ("co.uk" itself) keeps the whole
-    // host: slice(-3) of a 2-element array is empty, and an empty-string
-    // domain would pool unrelated rows (same rationale as single-label)
-    when(size(labels) <= 1 ||
-        (last2.isin(multiLabelSuffixes: _*) && size(labels) <= 2), host)
-      .when(last2.isin(multiLabelSuffixes: _*),
-        concat_ws(".", slice(labels, -3, 3)))
-      .otherwise(last2)
-  }
+    * one key for the blocklist and the per-domain cap. Per-row codegen'd
+    * native expression; the rule data ships in the jar (no broadcast,
+    * no join). */
+  def registrableDomain(host: Column): Column =
+    graft.functions.TextExpressions.registrableDomain(host)
 
   /** URL canonicalization — the dedup key published web pipelines (C4,
     * CCNet) group on before any content hashing: the same page is

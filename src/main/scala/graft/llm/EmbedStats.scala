@@ -162,7 +162,9 @@ object EmbedStats {
     * unit variance per output dimension, the standard preprocessing
     * before cosine ANN or clustering on anisotropic embeddings.
     *
-    * Returns (`idCol`, proj ARRAY of k doubles). Not SQL-expressible
+    * Returns (`idCol`, proj ARRAY of k doubles), one row per input row
+    * with a non-empty vector — null/empty-vector rows are excluded from
+    * the stats passes and from the projection alike. Not SQL-expressible
     * (the oracle cannot eigendecompose) — correctness is spec-gated in
     * LlmSpec: whitened output has identity covariance, the top component
     * recovers a planted dominant direction, and the projection is
@@ -200,6 +202,10 @@ object EmbedStats {
       aggregate(zip_with(centered, w, (x, wi) => x * wi), lit(0.0),
         (acc, x) => acc + x)
     }
-    embeddings.select(col(idCol), array(projCols: _*).as("proj"))
+    // same row set the stats passes saw: a null/empty vector contributed
+    // nothing to the covariance, and projecting it would zip_with-pad
+    // with nulls and silently emit an all-null proj row
+    embeddings.filter(size(col(vecCol)) >= 1)
+      .select(col(idCol), array(projCols: _*).as("proj"))
   }
 }

@@ -221,11 +221,13 @@ object Multimodal {
 
   /** Fixture for q_dedup_phash: `n` base PNGs with [[phashPixel]] pixels
     * and id-derived dims, plus `twins` EXACT pixel copies of images
-    * 0..twins−1 under ids 1000+k (the planted distance-0 pairs), plus
-    * `twins` NOISY copies under ids 1500+k (+1 on every 97th raster byte
+    * 0..twins−1 under ids n+k (the planted distance-0 pairs), plus
+    * `twins` NOISY copies under ids 2n+k (+1 on every 97th raster byte
     * — the re-encode-with-slight-noise near-dup, landing at a small but
-    * usually nonzero hamming distance), plus one corrupt blob (id 2000)
-    * that must quarantine, not fail the job. */
+    * usually nonzero hamming distance), plus one corrupt blob (id 3n)
+    * that must quarantine, not fail the job. Special ids are DERIVED
+    * from n — fixed offsets would collide with base ids at large scale
+    * factors (see [[syntheticFingerprintAudio]]). */
   def syntheticPhashMedia(spark: SparkSession, n: Int,
                           twins: Int = 4): DataFrame = {
     require(twins <= n, s"twins ($twins) must be <= n ($n)")
@@ -240,12 +242,12 @@ object Multimodal {
       Row(i.toLong, "image", png(i.toLong, noise = false), "image/png",
         Map("camera" -> s"cam${i % 3}")))
     val twinRows = (0 until twins).map(k =>
-      Row(1000L + k, "image", png(k.toLong, noise = false), "image/png",
+      Row(n.toLong + k, "image", png(k.toLong, noise = false), "image/png",
         Map("camera" -> "twin")))
     val noisyRows = (0 until twins).map(k =>
-      Row(1500L + k, "image", png(k.toLong, noise = true), "image/png",
+      Row(2L * n + k, "image", png(k.toLong, noise = true), "image/png",
         Map("camera" -> "noisy")))
-    val corrupt = Seq(Row(2000L, "image",
+    val corrupt = Seq(Row(3L * n, "image",
       Array.tabulate[Byte](64)(i => (i * 37).toByte), "image/png",
       Map("camera" -> "corrupt")))
     spark.createDataFrame(
@@ -616,11 +618,13 @@ object Multimodal {
 
   /** Fixture for q_dedup_audiofp: `n` base WAV clips with
     * [[fingerprintSample]] samples and id-derived rate/length, plus
-    * `twins` EXACT copies of clips 0..twins−1 under ids 1000+k (planted
-    * distance-0 pairs), plus `twins` NOISY copies under ids 1500+k (the
+    * `twins` EXACT copies of clips 0..twins−1 under ids n+k (planted
+    * distance-0 pairs), plus `twins` NOISY copies under ids 2n+k (the
     * re-encode-with-audible-noise near-dup, hamming ≤ a few bits), plus
-    * one corrupt blob (id 2000) that must quarantine, not fail the
-    * job. */
+    * one corrupt blob (id 3n) that must quarantine, not fail the job.
+    * Special ids are DERIVED from n — fixed offsets (1000+k et al.)
+    * would silently collide with base ids once a ScaleCheck factor
+    * pushes n past the offset. */
   def syntheticFingerprintAudio(spark: SparkSession, n: Int,
                                 twins: Int = 4): DataFrame = {
     require(twins <= n, s"twins ($twins) must be <= n ($n)")
@@ -633,12 +637,12 @@ object Multimodal {
       Row(i.toLong, "audio", wav(i.toLong, noisy = false), "audio/wav",
         Map("mic" -> s"mic${i % 2}")))
     val twinRows = (0 until twins).map(k =>
-      Row(1000L + k, "audio", wav(k.toLong, noisy = false), "audio/wav",
+      Row(n.toLong + k, "audio", wav(k.toLong, noisy = false), "audio/wav",
         Map("mic" -> "twin")))
     val noisyRows = (0 until twins).map(k =>
-      Row(1500L + k, "audio", wav(k.toLong, noisy = true), "audio/wav",
+      Row(2L * n + k, "audio", wav(k.toLong, noisy = true), "audio/wav",
         Map("mic" -> "noisy")))
-    val corrupt = Seq(Row(2000L, "audio",
+    val corrupt = Seq(Row(3L * n, "audio",
       Array.tabulate[Byte](64)(i => (i * 37).toByte), "audio/wav",
       Map("mic" -> "corrupt")))
     spark.createDataFrame(

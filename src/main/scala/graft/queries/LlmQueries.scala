@@ -860,12 +860,12 @@ object LlmQueries {
     // and must surface exactly the same pair set through its banded
     // (never-all-pairs) candidate path. Pigeonhole makes the 8-band
     // bucketing lossless at maxHamming 6, so banded == brute force is the
-    // claim under test; the planted twins (ids 1000+k = pixel-identical
+    // claim under test; the planted twins (ids n+k = pixel-identical
     // copies of k) must surface at distance 0, the NOISY twins (ids
-    // 1500+k, byte-DIFFERENT PNGs whose perturbation is below the
+    // 2n+k, byte-DIFFERENT PNGs whose perturbation is below the
     // gray-comparison threshold) must surface too — the perceptual-not-
     // exact matching an exact content hash would miss — and the corrupt
-    // blob (id 2000) must quarantine silently rather than fail the job.
+    // blob (id 3n) must quarantine silently rather than fail the job.
     QueryDef(
       "q_dedup_phash",
       (s, _) => Dedup
@@ -877,10 +877,10 @@ object LlmQueries {
              |    0 AS noisy
              |  FROM generate_series(0, 47) g(i)
              |  UNION ALL
-             |  SELECT CAST(1000 + k AS BIGINT), CAST(k AS BIGINT), 0
+             |  SELECT CAST(48 + k AS BIGINT), CAST(k AS BIGINT), 0
              |  FROM generate_series(0, 3) t(k)
              |  UNION ALL
-             |  SELECT CAST(1500 + k AS BIGINT), CAST(k AS BIGINT), 1
+             |  SELECT CAST(96 + k AS BIGINT), CAST(k AS BIGINT), 1
              |  FROM generate_series(0, 3) t2(k)),
              |dims AS (
              |  SELECT media_id, src, noisy,
@@ -2057,17 +2057,22 @@ object LlmQueries {
              |WHERE rn <= 50 ORDER BY source, doc_id""".stripMargin)),
 
     // URL/domain corpus filters (Domains.filterByDomain) — the first
-    // stage of published web-corpus pipelines: registrable-domain
-    // extraction (with a multi-label public-suffix rule, so *.src?.co.uk
-    // keeps THREE labels), broadcast blocklist anti-join, and a
+    // stage of published web-corpus pipelines: Public-Suffix-List
+    // registrable-domain extraction (graft.llm.Psl — longest-match with
+    // wildcard/exception rules, so *.src?.co.uk and *.src?.github.io
+    // each keep THREE labels), broadcast blocklist anti-join, and a
     // deterministic per-domain cap. URLs are synthesized from
-    // (doc_id, source) in closed form — subdomain from doc_id mod 3, TLD
-    // from doc_id div 20 mod 5 (decorrelated from source = doc_id mod 20,
-    // so sources spread over all five TLDs) — so the oracle rebuilds
-    // every URL, re-extracts
-    // every domain with the same string ops, and re-applies the same
-    // blocklist and cap. 20 sources × 5 TLDs ≈ 100 domains over 500
-    // docs; cap 4 actually trims and the blocklist actually drops.
+    // (doc_id, source) in closed form — subdomain from doc_id mod 3,
+    // suffix from doc_id div 20 mod 5 (decorrelated from source =
+    // doc_id mod 20, so sources spread over all five suffixes,
+    // including the PRIVATE-section github.io and the multi-label
+    // com.au) — and the oracle rebuilds every URL, then re-runs the
+    // GENERIC longest-match algorithm over the IDENTICAL rule table
+    // (Psl.oracleValuesSql inlines the engine's parsed rules as VALUES,
+    // so the suffix DATA and the algorithm are both pinned, not a
+    // hand-copied special case), and re-applies the same blocklist and
+    // cap. 20 sources × 5 suffixes ≈ 100 domains over 500 docs; cap 4
+    // actually trims and the blocklist actually drops.
     QueryDef(
       "q_filter_domains",
       (s, dir) => {
@@ -2078,44 +2083,63 @@ object LlmQueries {
             expr("element_at(array('www','cdn','img'), " +
               "cast(doc_id % 3 as int) + 1)"),
             lit("."), col("source"), lit("."),
-            expr("element_at(array('com','co.uk','org','net','io'), " +
+            expr("element_at(array('com','co.uk','org','github.io','com.au'), " +
               "cast((doc_id div 20) % 5 as int) + 1)"),
             lit("/p/"), col("doc_id")))
         val blocklist = Seq("src3.com", "src7.co.uk", "src11.org",
-          "src15.net", "src19.io").toDF("domain")
+          "src15.github.io", "src19.com.au").toDF("domain")
         graft.llm.Domains
           .filterByDomain(urls, "url", "doc_id", blocklist, maxPerDomain = 4)
           .select(col("doc_id"), col("domain"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH u AS (
+      Some(s"""WITH u AS (
              |  SELECT doc_id,
              |    'https://' ||
              |    (['www','cdn','img'])[CAST(doc_id % 3 AS INT) + 1] ||
              |    '.' || source || '.' ||
-             |    (['com','co.uk','org','net','io'])
+             |    (['com','co.uk','org','github.io','com.au'])
              |      [CAST((doc_id // 20) % 5 AS INT) + 1]
              |    || '/p/' || doc_id AS url
              |  FROM documents),
              |h AS (
              |  SELECT doc_id,
              |    string_split(split_part(split_part(url, '://', 2), '/', 1),
-             |      '.') AS labels
+             |      '.') AS ls
              |  FROM u),
+             |psl(rule, kind) AS (VALUES ${graft.llm.Psl.oracleValuesSql}),
+             |cand AS (
+             |  SELECT doc_id, CAST(i AS INT) AS slen,
+             |    array_to_string(ls[len(ls) - CAST(i AS INT) + 1:], '.')
+             |      AS suf
+             |  FROM h, unnest(generate_series(1, len(ls))) g(i)),
+             |m AS (
+             |  SELECT c.doc_id,
+             |    max(CASE WHEN p.kind = 2 THEN c.slen - 1 END) AS exc_ps,
+             |    max(CASE WHEN p.kind = 0 THEN c.slen
+             |             WHEN p.kind = 1 AND c.slen >= 2 THEN c.slen
+             |        END) AS norm_ps
+             |  FROM cand c LEFT JOIN psl p
+             |    ON (p.kind IN (0, 2) AND p.rule = c.suf)
+             |    OR (p.kind = 1 AND c.slen >= 2
+             |        AND p.rule = array_to_string(
+             |          string_split(c.suf, '.')[2:], '.'))
+             |  GROUP BY c.doc_id),
              |r AS (
-             |  SELECT doc_id,
-             |    CASE WHEN array_to_string(labels[-2:], '.')
-             |           IN ('co.uk','com.au','co.jp','com.br','co.in')
-             |         THEN array_to_string(labels[-3:], '.')
-             |         ELSE array_to_string(labels[-2:], '.') END AS domain
-             |  FROM h),
+             |  SELECT h.doc_id,
+             |    CASE WHEN COALESCE(m.exc_ps, m.norm_ps, 1) >= len(h.ls)
+             |         THEN array_to_string(h.ls, '.')
+             |         ELSE array_to_string(
+             |           h.ls[len(h.ls) - COALESCE(m.exc_ps, m.norm_ps, 1):],
+             |           '.') END AS domain
+             |  FROM h JOIN m USING (doc_id)),
              |k AS (
              |  SELECT doc_id, domain,
              |    row_number() OVER (PARTITION BY domain
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM r
              |  WHERE domain NOT IN ('src3.com','src7.co.uk','src11.org',
-             |    'src15.net','src19.io'))
+             |    'src15.github.io','src19.com.au'))
              |SELECT doc_id, domain FROM k WHERE rn <= 4
              |ORDER BY doc_id""".stripMargin)),
 
@@ -2285,7 +2309,10 @@ object LlmQueries {
              |canon AS (
              |  SELECT doc_id,
              |    lower(scheme) || '://' ||
-             |    regexp_replace(lower(host), ':(80|443)$', '') ||
+             |    CASE lower(scheme)
+             |      WHEN 'http' THEN regexp_replace(lower(host), ':80$', '')
+             |      WHEN 'https' THEN regexp_replace(lower(host), ':443$', '')
+             |      ELSE lower(host) END ||
              |    regexp_replace(path_only, '/+$', '') ||
              |    CASE WHEN qclean <> '' THEN '?' || qclean
              |      ELSE '' END AS url
@@ -2302,10 +2329,10 @@ object LlmQueries {
     // distance from generate_series and brute-forces ALL pairs — while
     // the engine parses actual RIFF containers and must surface exactly
     // the same pair set through its banded (never-all-pairs) path.
-    // Planted twins (1000+k = sample-identical copies of k) must surface
-    // at distance 0, NOISY twins (1500+k, +4096 on every 7th sample —
+    // Planted twins (n+k = sample-identical copies of k) must surface
+    // at distance 0, NOISY twins (2n+k, +4096 on every 7th sample —
     // byte-different WAVs an exact hash would miss) within 4 bits, and
-    // the corrupt blob (2000) must quarantine silently.
+    // the corrupt blob (3n) must quarantine silently.
     QueryDef(
       "q_dedup_audiofp",
       (s, _) => Dedup
@@ -2317,10 +2344,10 @@ object LlmQueries {
              |    0 AS noisy
              |  FROM generate_series(0, 47) g(i)
              |  UNION ALL
-             |  SELECT CAST(1000 + k AS BIGINT), CAST(k AS BIGINT), 0
+             |  SELECT CAST(48 + k AS BIGINT), CAST(k AS BIGINT), 0
              |  FROM generate_series(0, 3) t(k)
              |  UNION ALL
-             |  SELECT CAST(1500 + k AS BIGINT), CAST(k AS BIGINT), 1
+             |  SELECT CAST(96 + k AS BIGINT), CAST(k AS BIGINT), 1
              |  FROM generate_series(0, 3) t2(k)),
              |p AS (
              |  SELECT media_id, src, noisy,

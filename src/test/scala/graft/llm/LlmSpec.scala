@@ -619,19 +619,70 @@ class LlmSpec extends SparkSpec {
       out.zip(cases).filter(p => p._1 != p._2._2).mkString(";"))
   }
 
-  test("registrableDomain: multi-label suffix, plain domain, and " +
-      "single-label host each resolve to their own key") {
+  test("registrableDomain: PSL longest-match with wildcard, exception, " +
+      "private-section, and unknown-TLD rules; no host maps to an " +
+      "empty key") {
     import SparkSpec.spark.implicits._
-    val out = Seq("news.bbc.co.uk", "news.bbc.com", "localhost",
-        "intranet", "a.b.c.org", "co.uk")
+    val cases = Seq(
+      // multi-label ICANN suffix: co.uk keeps THREE labels
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "news.bbc.com" -> "bbc.com",
+      // PRIVATE-section suffix: github.io is a public suffix, so a
+      // project site keeps three labels
+      "docs.myproj.github.io" -> "myproj.github.io",
+      // wildcard rule *.ck: every 2-label suffix under ck is public, so
+      // a.b.ck registers at THREE labels
+      "a.b.ck" -> "a.b.ck",
+      // ...but the exception rule !www.ck punches through the wildcard:
+      // ck itself is the public suffix there
+      "sub.www.ck" -> "www.ck",
+      "www.ck" -> "www.ck",
+      // wildcard under jp with its exception: city.kawasaki.jp IS
+      // registrable (the !city rule), any other label is a registry
+      "www.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "a.shop.kawasaki.jp" -> "a.shop.kawasaki.jp",
+      // unknown TLD → implicit "*" rule: last two labels
+      "foo.bar.unknowntld" -> "bar.unknowntld",
+      // single-label hosts are their OWN domain — an empty string would
+      // pool localhost+intranet under one blocklist/cap key; a host
+      // that IS a public suffix likewise keeps itself
+      "localhost" -> "localhost",
+      "intranet" -> "intranet",
+      "a.b.c.org" -> "c.org",
+      "co.uk" -> "co.uk",
+      "github.io" -> "github.io")
+    val out = cases.map(_._1)
       .toDF("host")
       .select(Domains.registrableDomain(col("host")).as("d"))
       .collect().map(_.getString(0))
-    // single-label hosts are their OWN domain — an empty string would
-    // pool localhost+intranet under one blocklist/cap key; a host that
-    // IS a public suffix likewise keeps itself
-    assert(out.toSeq == Seq("bbc.co.uk", "bbc.com", "localhost",
-      "intranet", "c.org", "co.uk"))
+    assert(out.toSeq == cases.map(_._2),
+      out.zip(cases).filter(p => p._1 != p._2._2).mkString(";"))
+    assert(out.forall(_.nonEmpty))
+  }
+
+  test("Psl parses wildcard/exception grammar and the bundled list " +
+      "round-trips through the oracle VALUES table") {
+    val r = Psl.parse(Iterator(
+      "// comment", "", "com", "co.uk", "*.ck", "!www.ck",
+      "UPPER.CASE  trailing junk"))
+    assert(r.exact.contains("com") && r.exact.contains("co.uk"))
+    assert(r.exact.contains("upper.case")) // lowercased, junk stripped
+    assert(r.wildcardBases == Set("ck") && r.exceptions == Set("www.ck"))
+    assert(r.maxLabels == 2)
+    // bundled list: the families the fixture and the docs rely on
+    val b = Psl.rules
+    assert(b.exact.contains("co.uk") && b.exact.contains("github.io"))
+    assert(b.wildcardBases.contains("ck") &&
+      b.wildcardBases.contains("kawasaki.jp"))
+    assert(b.exceptions.contains("www.ck") &&
+      b.exceptions.contains("city.kawasaki.jp"))
+    // the oracle VALUES table carries every rule exactly once
+    val values = Psl.oracleValuesSql
+    assert(values.contains("('co.uk', 0)") && values.contains("('ck', 1)")
+      && values.contains("('www.ck', 2)"))
+    val nRows = values.split("\\), \\(").length
+    assert(nRows ==
+      b.exact.size + b.wildcardBases.size + b.exceptions.size)
   }
 
   test("temperature allocation sums exactly to budget and upweights the " +

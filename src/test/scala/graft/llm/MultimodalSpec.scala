@@ -141,14 +141,16 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.syntheticPhashMedia(spark, 16, twins = 2), maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // planted twins: EXACT pixel copies must pair with their source at 0
-    assert(pairs.contains((0L, 1000L, 0)), s"twin of 0 missing: ${pairs.toSeq}")
-    assert(pairs.contains((1L, 1001L, 0)), s"twin of 1 missing: ${pairs.toSeq}")
-    // noisy twins are byte-DIFFERENT PNGs (+1 on every 97th raster byte)
-    // that still pair — the perceptual matching an exact hash would miss
-    assert(pairs.exists(p => p._1 == 0L && p._2 == 1500L),
+    // (twin ids are n+k = 16+k for this n=16 fixture)
+    assert(pairs.contains((0L, 16L, 0)), s"twin of 0 missing: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 17L, 0)), s"twin of 1 missing: ${pairs.toSeq}")
+    // noisy twins (ids 2n+k = 32+k) are byte-DIFFERENT PNGs (+1 on every
+    // 97th raster byte) that still pair — the perceptual matching an
+    // exact hash would miss
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 32L),
       s"noisy twin of 0 missing: ${pairs.toSeq}")
-    // the corrupt blob contributes no signature, hence no pair
-    assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L))
+    // the corrupt blob (id 3n = 48) contributes no signature, hence no pair
+    assert(!pairs.exists(p => p._1 == 48L || p._2 == 48L))
     // canonical pair orientation
     assert(pairs.forall(p => p._1 < p._2))
   }
@@ -174,14 +176,16 @@ class MultimodalSpec extends SparkSpec {
         maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // planted twins: EXACT sample copies must pair with their source at 0
-    assert(pairs.contains((0L, 1000L, 0)), s"twin of 0 missing: ${pairs.toSeq}")
-    assert(pairs.contains((1L, 1001L, 0)), s"twin of 1 missing: ${pairs.toSeq}")
-    // noisy twins are byte-DIFFERENT WAVs (+4096 on every 7th sample)
-    // that still pair — the perceptual matching an exact hash would miss
-    assert(pairs.exists(p => p._1 == 0L && p._2 == 1500L),
+    // (twin ids are n+k = 16+k for this n=16 fixture)
+    assert(pairs.contains((0L, 16L, 0)), s"twin of 0 missing: ${pairs.toSeq}")
+    assert(pairs.contains((1L, 17L, 0)), s"twin of 1 missing: ${pairs.toSeq}")
+    // noisy twins (ids 2n+k = 32+k) are byte-DIFFERENT WAVs (+4096 on
+    // every 7th sample) that still pair — the perceptual matching an
+    // exact hash would miss
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 32L),
       s"noisy twin of 0 missing: ${pairs.toSeq}")
-    // the corrupt blob contributes no signature, hence no pair
-    assert(!pairs.exists(p => p._1 == 2000L || p._2 == 2000L))
+    // the corrupt blob (id 3n = 48) contributes no signature, hence no pair
+    assert(!pairs.exists(p => p._1 == 48L || p._2 == 48L))
     assert(pairs.forall(p => p._1 < p._2))
   }
 
