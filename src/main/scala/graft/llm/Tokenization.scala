@@ -86,6 +86,39 @@ object Tokenization {
   /** The training loop shared by [[learnBpeMerges]] and
     * [[bpeTokenCounts]]: returns the K learned merges and the final
     * (w, sym, cnt) vocabulary table with each word's merged segmentation.
+    *
+    * BATCHED rounds: one scan of the vocabulary table serves MANY
+    * merges, not one — a 30k-merge production tokenizer cannot pay one
+    * driver round-trip per merge (30k serialized Spark jobs is hours of
+    * pure scheduling latency even though each is cheap). Per scan the
+    * driver collects the top-T pairs and accepts the maximal PREFIX (in
+    * (count desc, pair asc) order) whose pairs are pairwise
+    * symbol-disjoint, truncated to counts STRICTLY above the first
+    * rejected candidate's count. That prefix is provably the exact
+    * greedy Sennrich sequence:
+    *
+    *   - merging (a,b) only changes counts of pairs CONTAINING a or b
+    *     (they can only decrease) and CREATES pairs containing the new
+    *     symbol ab, each of whose counts is bounded by an old pair
+    *     sharing a symbol with (a,b) — every occurrence of (x,ab) was
+    *     an occurrence of (x,a);
+    *   - every pair sharing a symbol with an accepted pair sorts
+    *     at-or-after the stop candidate (else the scan would have
+    *     stopped there), so its count — and hence every created pair's
+    *     count — is ≤ the stop count;
+    *   - each kept pair's count is strictly above the stop count, so at
+    *     its sequential round it still beats every decreased, unchanged,
+    *     and newly created pair; within the batch, counts of disjoint
+    *     pairs are mutually unaffected.
+    *
+    * Ties (kept count == stop count) fall back to accepting just the
+    * head pair — the head is the global (count, lex) argmax, i.e.
+    * exactly the sequential choice — so progress is always ≥ 1
+    * merge/scan and typical batches are tens of merges. The vocabulary
+    * table is localCheckpoint'd each batch: lineage (one codegen'd
+    * `replace` chain per batch) stays bounded instead of growing to
+    * numMerges nested expressions, and each scan reads a
+    * vocabulary-bounded materialized table, never the corpus.
     */
   private def trainLoopUncached(docs: DataFrame, textCol: String,
                                 numMerges: Int)
@@ -110,33 +143,88 @@ object Tokenization {
         |           (a, b) -> concat(a, '|', b)),
         |  x -> x is not null)""".stripMargin)
 
-    var cur = words
-    val merges = (1 to numMerges).map { rank =>
-      val top = cur
-        .select(explode(pairsOf).as("pair"), col("cnt"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
-        .orderBy(col("pcnt").desc, col("pair").asc)
-        .limit(1).collect().head
-      val pair = top.getString(0)
-      // Boundary-aware merge: double the INTERNAL delimiters and wrap
-      // ("t|h|e" → "|t||h||e|") so the search literal "|a||b|" can only
-      // match whole adjacent symbols — a plain replace(sym,'h|e','he')
-      // would also hit "th|e" across the t·h boundary once symbols grow
-      // multi-character, merging a pair that was never learned. The
-      // replacement "|ab|" keeps single pipes at its edges, so adjacent
-      // matches never share characters and left-to-right non-overlapping
-      // replace = the greedy Sennrich merge order; un-doubling restores
-      // the canonical form. Same three plain replaces in the DuckDB
-      // oracle ([[bpeRoundsCte]]) — no regex, no lookaround.
+    // Boundary-aware merge: double the INTERNAL delimiters and wrap
+    // ("t|h|e" → "|t||h||e|") so the search literal "|a||b|" can only
+    // match whole adjacent symbols — a plain replace(sym,'h|e','he')
+    // would also hit "th|e" across the t·h boundary once symbols grow
+    // multi-character, merging a pair that was never learned. The
+    // replacement "|ab|" keeps single pipes at its edges, so adjacent
+    // matches never share characters and left-to-right non-overlapping
+    // replace = the greedy Sennrich merge order; un-doubling restores
+    // the canonical form. Same three plain replaces in the DuckDB
+    // oracle ([[bpeRoundsCte]]) — no regex, no lookaround.
+    def applyMerge(df: DataFrame, pair: String): DataFrame = {
       val search = "|" + pair.replace("|", "||") + "|"
       val repl = "|" + pair.replace("|", "") + "|"
-      cur = cur.withColumn("sym", expr(
+      df.withColumn("sym", expr(
         s"replace(trim(BOTH '|' FROM replace(" +
           s"concat('|', replace(sym, '|', '||'), '|'), " +
           s"'${q(search)}', '${q(repl)}')), '||', '|')"))
-      (rank, pair, top.getLong(1))
     }
-    (merges, cur)
+
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var done = 0
+    while (done < numMerges) {
+      val remaining = numMerges - done
+      // top-T candidates; T beyond `remaining` only serves to locate the
+      // stop candidate, so a small margin suffices
+      val t = math.max(64, math.min(1024, 4 * remaining))
+      val cand = cur
+        .select(explode(pairsOf).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair").asc)
+        .limit(t)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (cand.isEmpty) {
+        done = numMerges // fully merged vocabulary: nothing left to learn
+      } else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val prefix = Seq.newBuilder[(String, Long)]
+        var nAccepted = 0
+        var stopCount = -1L // count of the first unaccepted candidate
+        var i = 0
+        var stopped = false
+        while (i < cand.length && !stopped && nAccepted < remaining) {
+          val (pair, cnt) = cand(i)
+          val d = pair.indexOf('|')
+          val (s1, s2) = (pair.substring(0, d), pair.substring(d + 1))
+          if (touched.contains(s1) || touched.contains(s2)) {
+            stopCount = cnt
+            stopped = true
+          } else {
+            prefix += ((pair, cnt))
+            nAccepted += 1
+            touched += s1
+            touched += s2
+            i += 1
+          }
+        }
+        if (!stopped) {
+          // ended by `remaining` or by list exhaustion: the first
+          // unaccepted candidate (if any) bounds every conflicting pair;
+          // an exhausted top-T list may hide smaller pairs below it
+          if (nAccepted < cand.length) stopCount = cand(nAccepted)._2
+          else if (cand.length == t) stopCount = cand.last._2
+        }
+        val all = prefix.result()
+        // strict truncation: a created pair can TIE the stop count and
+        // win the (count, lex) order, so ties are not provably greedy
+        val kept0 = if (stopCount < 0) all
+          else all.takeWhile(_._2 > stopCount)
+        // no provable batch → the head alone IS the sequential argmax
+        val kept = if (kept0.isEmpty) all.take(1) else kept0
+        kept.foreach { case (pair, cnt) =>
+          done += 1
+          merges += ((done, pair, cnt))
+          cur = applyMerge(cur, pair)
+        }
+        // bound lineage to one batch's replace chain; the table is
+        // vocabulary-sized, so materialization is cheap
+        cur = cur.localCheckpoint()
+      }
+    }
+    (merges.result(), cur)
   }
 
   /** Learn the first `numMerges` BPE merges over whitespace-tokenized

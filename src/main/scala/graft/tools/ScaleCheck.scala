@@ -135,7 +135,11 @@ object ScaleCheck {
     // without re-paying the expensive ones)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val factors = Seq(1, 3, 10)
+    // optional 4th arg: comma-separated factor list (probe one axis
+    // without re-paying the full 1/3/10 sweep)
+    val factors =
+      if (args.length > 3) args(3).split(",").toSeq.map(_.toInt)
+      else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -230,6 +234,17 @@ object ScaleCheck {
       ("q_bpe_learn", (dir, _) => graft.llm.Tokenization.learnBpeMerges(
         spark.read.parquet(s"$dir/documents.parquet"), "text",
         numMerges = 8)),
+      // round-9: BPE training on the MERGE-DEPTH axis (M = 64 and 256 at
+      // the same corpus) — the batched rounds claim is that a realistic
+      // merge count costs ~one scan per tens of merges, not one driver
+      // round-trip per merge; a depth curve near-linear (or better) in M
+      // is the evidence, and the factor axis shows depth × vocabulary
+      ("q_bpe_learn_m64", (dir, _) => graft.llm.Tokenization.learnBpeMerges(
+        spark.read.parquet(s"$dir/documents.parquet"), "text",
+        numMerges = 64)),
+      ("q_bpe_learn_m256", (dir, _) => graft.llm.Tokenization.learnBpeMerges(
+        spark.read.parquet(s"$dir/documents.parquet"), "text",
+        numMerges = 256)),
       // round-8: temporal join on the VERSIONS-PER-KEY axis — synthesized
       // orders add k full version sets to the SAME dimension keys, so the
       // per-fact candidate list in the equi-join grows k× (the residual

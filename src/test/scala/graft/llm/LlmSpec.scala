@@ -910,6 +910,62 @@ class LlmSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("batched learnBpeMerges equals the sequential greedy formulation " +
+      "at depth 64 (independent pure-Scala reference)") {
+    import SparkSpec.spark.implicits._
+    // A corpus diverse enough that batches genuinely accept MULTIPLE
+    // disjoint merges per scan (the whole point of batching) while the
+    // reference below replays the textbook one-merge-at-a-time greedy
+    // loop: same (count desc, pair asc) argmax, same left-to-right
+    // non-overlapping replace. Any batching unsoundness — a created
+    // pair outrunning a batched one, a tie resolved differently — shows
+    // up as a diverging merge table.
+    val words = Seq(
+      "low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3,
+      "the" -> 9, "quick" -> 4, "brown" -> 4, "fox" -> 7, "jumps" -> 3,
+      "over" -> 5, "lazy" -> 2, "dog" -> 8, "pack" -> 3, "my" -> 6,
+      "box" -> 4, "with" -> 5, "five" -> 2, "dozen" -> 3, "liquor" -> 2,
+      "jugs" -> 4, "zebra" -> 3, "night" -> 5, "light" -> 6, "might" -> 2,
+      "string" -> 4, "spring" -> 3, "strong" -> 5, "mining" -> 2)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+
+    // independent sequential reference on the exact word-count table
+    def refBpe(numMerges: Int): Seq[(Int, String, Long)] = {
+      var vocab: Seq[(List[String], Long)] =
+        words.map { case (w, c) => (w.split("").toList, c.toLong) }
+      def mergeList(s: List[String], a: String, b: String): List[String] =
+        s match {
+          case x :: y :: rest if x == a && y == b =>
+            (a + b) :: mergeList(rest, a, b)
+          case x :: rest => x :: mergeList(rest, a, b)
+          case Nil => Nil
+        }
+      (1 to numMerges).flatMap { rank =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((a, b), c) = counts.minBy { case ((x, y), n) =>
+            (-n, x + "|" + y)
+          }
+          vocab = vocab.map { case (s, n) => (mergeList(s, a, b), n) }
+          Some((rank, a + "|" + b, c))
+        }
+      }
+    }
+
+    val expected = refBpe(64)
+    val out = Tokenization.learnBpeMerges(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", numMerges = 64)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == expected,
+      out.toSeq.zip(expected).filter(p => p._1 != p._2).mkString(";"))
+  }
+
   test("suffixDuplicateSpans recovers a planted 60-word duplicate exactly") {
     import SparkSpec.spark.implicits._
     // docs A and B share EXACTLY a 60-word run — longer than the 32-word
