@@ -350,13 +350,6 @@ object Dedup {
                                 idCol: String = "doc_id",
                                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
     val histSigs = Caches.track(
       minhashSignatures(history, numHashes, shingleSize, textCol, idCol))
     val batchSigs = Caches.track(
@@ -365,12 +358,34 @@ object Dedup {
     // partitioned with the join key
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
-    val histBand = banded(histSigs)
+    val histBand = bandedBuckets(histSigs, bands, numHashes / bands)
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("doc_id")).over(w))
       .filter(col("bsz") <= maxBucketSize || col("doc_id") === col("rep"))
       .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
-    val pairs = banded(batchSigs)
+    matchBatchBands(histBand, histSigs, batchSigs, numHashes, bands)
+  }
+
+  /** Banded bucket table `(doc_id, band, bucket)` of a signature table —
+    * the ONE banding function shared by every LSH path (including the
+    * persisted index write and its later readers): bucket = murmur3 of
+    * the band's signature slice, seeded by the band number. Any drift
+    * here would silently empty every index join. */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** The incremental-match core shared by the from-scratch and the
+    * index-backed paths: asymmetric candidate equi-join (batch bands ×
+    * history bands — never history×history), then the signature-overlap
+    * verify on distinct candidates only. */
+  private def matchBatchBands(histBand: DataFrame, histSigs: DataFrame,
+                              batchSigs: DataFrame, numHashes: Int,
+                              bands: Int): DataFrame = {
+    val pairs = bandedBuckets(batchSigs, bands, numHashes / bands)
       .select(col("band"), col("bucket"), col("doc_id").as("batch_id"))
       .join(histBand, Seq("band", "bucket"))
       .select(col("batch_id"), col("hist_id")).distinct()
@@ -383,6 +398,80 @@ object Dedup {
         round(size(filter(zip_with(col("sig1"), col("sig2"),
             (x, y) => when(x === y, 1)), c => c.isNotNull))
           / lit(numHashes.toDouble), 4).as("est_jaccard"))
+  }
+
+  /** Write the PERSISTED MinHash index of a history corpus — the missing
+    * half of the production incremental-dedup story:
+    * [[incrementalMinhashMatches]] recomputes history signatures every
+    * batch, while a real ingest pipeline pays that pass ONCE and each
+    * daily delta joins against the stored index.
+    *
+    * Layout under `path`:
+    *  - `bands/` — (bucket, hist_id) parquet, PARTITIONED BY band (the
+    *    16-way directory split a reader prunes to its probe bands) and
+    *    range-distributed + sorted by bucket within each band, so parquet
+    *    row-group min/max statistics prune bucket probes inside a band
+    *    file too;
+    *  - `sigs/` — (doc_id, sig) parquet for the verify join;
+    *  - `meta/` — one row recording (num_hashes, bands, shingle_size,
+    *    max_bucket_size). The reader derives every parameter from meta:
+    *    a batch hashed with different parameters would silently match
+    *    nothing, so the parameters live WITH the index, not in the
+    *    caller's head.
+    *
+    * The history-side hot-bucket star cap is applied at WRITE time (the
+    * bucket-minimum representative always survives), so a million-copy
+    * boilerplate bucket costs its cap once here instead of at every
+    * ingest. */
+  def writeMinhashIndex(history: DataFrame, path: String,
+                        numHashes: Int, bands: Int, shingleSize: Int,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxBucketSize: Int = Int.MaxValue): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = history.sparkSession
+    import spark.implicits._
+    val sigs = Caches.track(
+      minhashSignatures(history, numHashes, shingleSize, textCol, idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    bandedBuckets(sigs, bands, numHashes / bands)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("bsz") <= maxBucketSize || col("doc_id") === col("rep"))
+      .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    Seq((numHashes, bands, shingleSize,
+        if (maxBucketSize == Int.MaxValue) -1 else maxBucketSize))
+      .toDF("num_hashes", "bands", "shingle_size", "max_bucket_size")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental dedup against a PERSISTED index ([[writeMinhashIndex]]):
+    * signature + banding parameters come from the index's own meta, the
+    * history signature pass is NOT re-paid, and per-batch cost is truly
+    * delta-sized — the candidate exchange carries batch bands plus the
+    * matching index rows, and the verify probes the stored signature
+    * table for candidate ids only. Same output contract as
+    * [[incrementalMinhashMatches]]: (batch_id, hist_id, est_jaccard). */
+  def incrementalMinhashMatchesIndexed(batch: DataFrame, indexPath: String,
+                                       textCol: String = "text",
+                                       idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
+    val numHashes = meta.head.getAs[Int]("num_hashes")
+    val bands = meta.head.getAs[Int]("bands")
+    val shingleSize = meta.head.getAs[Int]("shingle_size")
+    val histBand = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("hist_id"))
+    val histSigs = spark.read.parquet(s"$indexPath/sigs")
+    val batchSigs = Caches.track(
+      minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
+    matchBatchBands(histBand, histSigs, batchSigs, numHashes, bands)
   }
 
   /** Edit-distance near-dup with blocking: candidate pairs share a cheap

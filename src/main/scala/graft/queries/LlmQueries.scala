@@ -1415,6 +1415,41 @@ object LlmQueries {
              |FROM documents WHERE doc_id >= 400 AND doc_id < 420
              |ORDER BY batch_id""".stripMargin)),
 
+    // The PERSISTED-index variant of the same ingest pattern
+    // (Dedup.writeMinhashIndex + incrementalMinhashMatchesIndexed): the
+    // history signature index is written ONCE — (band)-partitioned,
+    // bucket-sorted parquet plus a meta row carrying the hash
+    // parameters — then the batch matches against the STORED index with
+    // history signatures never recomputed. Same planted-twin oracle as
+    // q_dedup_incremental: the full write → read → match round-trip must
+    // reproduce the from-scratch result, which pins the banding function
+    // and the parquet layout against drift.
+    QueryDef(
+      "q_dedup_incremental_indexed",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") >= 400)
+        val planted = batch.filter(col("doc_id") < 420)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 400).unionByName(planted)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index"
+        Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
+          shingleSize = 5, maxBucketSize = 500)
+        val matches = Dedup.incrementalMinhashMatchesIndexed(batch, idx)
+        batch.filter(col("doc_id") < 420).select(col("doc_id").as("batch_id"))
+          .join(matches
+            .filter(col("hist_id") === col("batch_id") + 100000 &&
+              col("est_jaccard") >= 0.9999)
+            .select(col("batch_id"), lit(true).as("hist_dup")),
+            Seq("batch_id"), "left")
+          .select(col("batch_id"),
+            coalesce(col("hist_dup"), lit(false)).as("hist_dup"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT doc_id AS batch_id, true AS hist_dup
+             |FROM documents WHERE doc_id >= 400 AND doc_id < 420
+             |ORDER BY batch_id""".stripMargin)),
+
     // BPE merge-table learning (Sennrich et al. 2016): the first 8 merges
     // over the whitespace word-frequency table, counts weighted by word
     // frequency, ties to the lexicographically smallest pair. The corpus

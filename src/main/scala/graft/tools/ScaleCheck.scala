@@ -221,6 +221,16 @@ object ScaleCheck {
         spark.read.parquet(s"$base/documents.parquet")
           .filter(col("doc_id") >= 400),
         numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)),
+      // round-9: the SAME fixed batch against a PERSISTED history index
+      // (staged once per factor OUTSIDE the timing, like the video
+      // fixtures) — the production complement of q_dedup_incremental:
+      // the measured curve is the true per-batch cost with history
+      // signatures never recomputed
+      ("q_dedup_incremental_idx", (_, f) =>
+        Dedup.incrementalMinhashMatchesIndexed(
+          spark.read.parquet(s"$base/documents.parquet")
+            .filter(col("doc_id") >= 400),
+          s"$synthRoot/mhidx_x$f")),
       // round-8: suffix-array variable-length dedup — positions (and the
       // md5-bucketed suffix table) grow linearly with the corpus; copies
       // share no word tokens, so buckets never merge across copies and a
@@ -301,6 +311,19 @@ object ScaleCheck {
           graft.llm.Multimodal.syntheticFingerprintAudio(spark, 48 * f)
             .write.mode("overwrite").parquet(s"$dir/media.parquet")
           new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
+        }
+      }
+    if (runs.exists(_._1 == "q_dedup_incremental_idx"))
+      for (f <- factors) {
+        val src = if (f == 1) base else s"$synthRoot/x$f"
+        if (f != 1) synthesize(spark, base, f, src)
+        val ix = new java.io.File(s"$synthRoot/mhidx_x$f")
+        if (!new java.io.File(ix, "_DONE").exists()) {
+          Dedup.writeMinhashIndex(
+            spark.read.parquet(s"$src/documents.parquet"), ix.toString,
+            numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)
+          Caches.release(); spark.catalog.clearCache()
+          new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
         }
       }
 

@@ -844,6 +844,46 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((9000L, 0L, 1.0)))
   }
 
+  test("persisted MinHash index: write → read → match reproduces the " +
+      "from-scratch incremental result; layout is band-partitioned with " +
+      "self-describing meta") {
+    import SparkSpec.spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "a completely different document about spark engines and big data"),
+      (3L, "boilerplate legal disclaimer text repeated on every single page"),
+      (4L, "boilerplate legal disclaimer text repeated on every single page"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (101L, "the quick brown fox jumps over the lazy dog and runs far away now"),
+      (102L, "fresh unseen content zebra xylophone quasar nothing shared here"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx_spec").toString
+    Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
+      shingleSize = 5)
+    // layout: one directory per band (partition pruning surface) + meta
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName).toSet
+    assert(bandDirs == (0 until 16).map(b => s"band=$b").toSet, bandDirs)
+    val meta = SparkSpec.spark.read.parquet(s"$idx/meta").collect()
+    assert(meta.length == 1 && meta.head.getAs[Int]("num_hashes") == 64 &&
+      meta.head.getAs[Int]("bands") == 16 &&
+      meta.head.getAs[Int]("shingle_size") == 5)
+    // the indexed match — history signatures NOT recomputed — must equal
+    // the from-scratch formulation row for row
+    val indexed = Dedup.incrementalMinhashMatchesIndexed(batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scratch = Dedup.incrementalMinhashMatches(history, batch,
+        numHashes = 64, bands = 16, shingleSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == scratch,
+      s"indexed missing ${scratch -- indexed}, extra ${indexed -- scratch}")
+    assert(indexed.exists { case (b, h, est) =>
+      b == 100L && h == 1L && est == 1.0 })
+  }
+
   test("learnBpeMerges matches the hand-computed classic fixture") {
     import SparkSpec.spark.implicits._
     // Sennrich-style toy corpus as one document: counts are word-weighted.
