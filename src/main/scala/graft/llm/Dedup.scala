@@ -589,6 +589,83 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round algorithm for graphs whose diameter
+    * breaks [[connectedComponents]]'s O(diameter) min-label loop. Chain-
+    * shaped near-dup clusters (exactly what suffix/span dedup emits over
+    * serialized content) have diameters in the thousands at corpus
+    * scale; label propagation needs one shuffle per HOP, this needs one
+    * per HALVING.
+    *
+    *  - large-star: each node u connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood m(u) — every edge (u,v),
+    *    v > u, rewrites to (v, m(u));
+    *  - small-star: each node u connects its smaller-or-equal closed
+    *    neighborhood to its minimum — edges (u, m(u)) and (v, m(u)) for
+    *    the smaller neighbors v ≠ m(u).
+    *
+    * Both operations preserve connectivity exactly (every rewrite stays
+    * within the component; no edge ever crosses components), and the
+    * unique fixpoint is a union of stars centered at each component's
+    * minimum node — the cluster_id contract. Convergence is checked by
+    * SET EQUALITY of the canonical edge list (two aggregate actions per
+    * round, O(log n) rounds), and, like the propagation loop, an
+    * unconverged exit throws rather than returning silently-partial
+    * labels. Same output contract as [[connectedComponents]]:
+    * (doc_id, cluster_id) with cluster_id = component-minimum id.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    val nodes = Caches.track(pairs.select(col("d1").as("node"))
+      .unionByName(pairs.select(col("d2").as("node"))).distinct())
+    // canonical undirected edge list u > v, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.limit(1).isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star over BOTH directions: m = min of the closed
+      // neighborhood; each edge (center u, larger neighbor v) → (v, m)
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // small-star on the canonical (u > every neighbor) orientation:
+      // m = min neighbor (< u); emit (u, m) and (v, m) for v ≠ m
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u")
+        .select(explode(array(
+          struct(col("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // fixpoint = canonical edge set unchanged by a full round (subset
+      // + equal count ⇒ equal; both are distinct sets)
+      converged = small.except(edges).limit(1).isEmpty &&
+        small.count() == edges.count()
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIter rounds; " +
+        "raise maxIter")
+    // fixpoint edges are stars (u, componentMin); isolated original
+    // nodes (self-paired inputs) label themselves
+    nodes.join(edges.groupBy(col("u")).agg(min(col("v")).as("m")),
+        nodes("node") === col("u"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("m"), col("node")).as("cluster_id"))
+  }
+
   /** 64-bit SimHash over word tokens + banded hamming-distance candidates.
     * Signature is a per-row aggregate over token hashes (codegen'd, no
     * shuffle); candidate pairs share at least one of 8 8-bit blocks

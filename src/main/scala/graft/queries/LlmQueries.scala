@@ -1348,6 +1348,40 @@ object LlmQueries {
              |SELECT doc_id, cluster_id FROM sized WHERE n > 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // The O(log n)-round component algorithm on the same planted-chain
+    // graph (Dedup.connectedComponentsStar — alternating large-star/
+    // small-star, Kiveris et al. 2014): identical cluster contract and
+    // identical oracle as q_dedup_clusters, so both component engines
+    // are pinned to the same ground truth; the star rounds are the
+    // 100 TB path for chain-shaped dedup graphs whose diameter exceeds
+    // any sane propagation sweep bound (the depth axis is ScaleCheck's
+    // q_dedup_cc_chain row).
+    QueryDef(
+      "q_dedup_clusters_star",
+      (s, dir) => {
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val chain = corpus.select(md5(col("text")).as("h"), col("doc_id"))
+          .withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("d1"), col("doc_id").as("d2"))
+        Dedup.connectedComponentsStar(chain).orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+             |sized AS (
+             |  SELECT doc_id,
+             |    count(*) OVER (PARTITION BY md5(text)) AS n,
+             |    min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+             |  FROM corpus)
+             |SELECT doc_id, cluster_id FROM sized WHERE n > 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // The corpus-dedup END PRODUCT: pair graph → connected components →
     // per-document keep flag (cluster representative = component-minimum
     // id). Same planted 3-copy corpus as q_dedup_clusters; the oracle

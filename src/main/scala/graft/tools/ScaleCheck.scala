@@ -255,6 +255,15 @@ object ScaleCheck {
       ("q_bpe_learn_m256", (dir, _) => graft.llm.Tokenization.learnBpeMerges(
         spark.read.parquet(s"$dir/documents.parquet"), "text",
         numMerges = 256)),
+      // round-9: large-star/small-star connected components on a PLANTED
+      // LONG-CHAIN graph (diameter = 50k·f — the shape serialized
+      // suffix/span dedup emits, and one the O(diameter) propagation
+      // loop can never finish inside any sane sweep bound): rounds grow
+      // as log(diameter), so time should be near-FLAT in f while bytes
+      // track the edge list
+      ("q_dedup_cc_chain", (_, f) => Dedup.connectedComponentsStar(
+        spark.range(50000L * f)
+          .select(col("id").as("d1"), (col("id") + 1).as("d2")))),
       // round-8: temporal join on the VERSIONS-PER-KEY axis — synthesized
       // orders add k full version sets to the SAME dimension keys, so the
       // per-fact candidate list in the equi-join grows k× (the residual

@@ -80,6 +80,16 @@ object LlmProps extends Properties("graft.llm") {
       got == want
     }
 
+  property("connectedComponentsStar labels = union-find per component") =
+    forAll(edgeListGen.suchThat(_.nonEmpty)) { edges =>
+      import SparkSpec.spark.implicits._
+      val pairs = edges.toDF("d1", "d2")
+      val got = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      got == want
+    }
+
   // -- editDistancePairs -----------------------------------------------------
 
   property("editDistancePairs: no false negatives within first-token blocks") =

@@ -422,6 +422,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar: identical labels on chains, cliques, " +
+      "and isolated pairs") {
+    import SparkSpec.spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L),
+      (31L, 30L),
+    ).toDF("d1", "d2")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop, s"star $star vs propagation $prop")
+  }
+
+  test("connectedComponentsStar finishes a diameter-120 chain that the " +
+      "propagation loop's default bound cannot") {
+    import SparkSpec.spark.implicits._
+    // chain-shaped clusters are exactly what suffix/span dedup produces;
+    // min-label propagation needs one SHUFFLE PER HOP and its default
+    // bound (20 sweeps) correctly refuses a 120-hop chain — the star
+    // rounds halve the diameter instead and finish well inside their
+    // default bound
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain).collect()
+    }
+    val out = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 121 && out.forall(_._2 == 0L),
+      out.filter(_._2 != 0L).take(5).mkString(";"))
+  }
+
   test("sharedShingles flags planted contamination only") {
     import SparkSpec.spark.implicits._
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly"))
