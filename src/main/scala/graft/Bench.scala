@@ -51,7 +51,11 @@ object Bench {
     "q_dedup_suffix",    // suffix-array variable-length duplicate spans
     "q_embed_covariance", // one-pass d(d+1)/2 pair-sum aggregate
     "q_boilerplate",     // per-source line frequency strip + rebuild
-    "q_lm_bigram")       // interpolated bigram LM model + scoring join
+    "q_lm_bigram",       // interpolated bigram LM model + scoring join
+    // round-9 addition (own frozen budget in BASELINE.md): the heaviest
+    // operator previously outside the headline — the 8-sweep exact
+    // pagerank fixpoint (iterative rank⋈degree joins + checkpoints)
+    "q_graph_pagerank")  // exact-integer pagerank, 8 fixpoint sweeps
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
