@@ -179,17 +179,52 @@ object ScaleJoins {
     * of degrading the layout — callers widen `bits` to fit their key
     * domain.
     */
-  def zorder2(x: Column, y: Column, bits: Int = 16): Column = {
+  def zorder2(x: Column, y: Column, bits: Int = 16): Column =
+    zorderN(Seq(x, y), bits)
+
+  /** N-dimensional Z-order (Morton) value: bit b of column i lands at
+    * position N·b + i, generalizing [[zorder2]] to the 3-4 column
+    * layouts real tables tune for (e.g. date × key × domain). Same
+    * contract: keys must fit `bits` bits (out-of-range raises in-plan —
+    * a silently collapsed key space would quietly destroy the
+    * hyper-rectangle property), N·bits must fit a BIGINT, and the value
+    * is a plain sum of shift/mask terms — codegen'd, and stated
+    * term-for-term by the DuckDB oracle. */
+  def zorderN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 2, s"zorderN needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"need 1 <= bits and n*bits <= 62, got n=$n bits=$bits")
+    val lim = lit(1L << bits)
+    val interleaved = (for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield (shiftright(c, b) % 2) * lit(1L << (n * b + i))).reduce(_ + _)
+    val inRange = cols.map(c => c.geq(lit(0)).and(c.lt(lim))).reduce(_ and _)
+    val shown = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(s" c$i="), c.cast("string"))
+    }
+    when(inRange, interleaved).otherwise(raise_error(concat(
+      lit(s"zorder: key outside [0, 2^$bits):") +: shown: _*)))
+  }
+
+  /** Hilbert-curve index of two non-negative int columns — the
+    * range-locality upgrade over [[zorder2]]: consecutive Hilbert values
+    * are ALWAYS grid neighbors (Morton jumps across the space at every
+    * power-of-two boundary), so equal-width buckets of the sorted curve
+    * cover tighter, never-split rectangles and parquet min/max pruning
+    * keeps more of its promise on range predicates. The per-row loop
+    * lives in a native codegen'd expression ([[graft.functions]] tier —
+    * unrolling the bit-level rotations as nested Column `when`s would
+    * blow the expression tree up exponentially); out-of-range keys
+    * raise in-plan exactly like [[zorderN]]. */
+  def hilbert2(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val lim = lit(1L << bits)
-    val interleaved = (0 until bits).map { b =>
-      (shiftright(x, b) % 2) * lit(1L << (2 * b)) +
-        (shiftright(y, b) % 2) * lit(1L << (2 * b + 1))
-    }.reduce(_ + _)
     val inRange =
       x.geq(lit(0)).and(x.lt(lim)).and(y.geq(lit(0))).and(y.lt(lim))
-    when(inRange, interleaved).otherwise(raise_error(concat(
-      lit(s"zorder2: key outside [0, 2^$bits): x="), x.cast("string"),
+    when(inRange, Hilbert.index(x, y, bits)).otherwise(raise_error(concat(
+      lit(s"hilbert2: key outside [0, 2^$bits): x="), x.cast("string"),
       lit(" y="), y.cast("string"))))
   }
 }

@@ -769,5 +769,107 @@ object AnalyticQueries {
                 |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
                 |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
     },
+
+    // THREE-dimensional Z-order layout (ScaleJoins.zorderN) — real
+    // layout tuning interleaves 3-4 columns (date × key × domain); here
+    // (l_partkey, l_suppkey, l_linenumber) at 20 bits each (3·20 = 60
+    // interleaved bits — still one BIGINT on both engines). Same
+    // hash-checkable contract as q_zorder_layout: per-bucket counts plus
+    // min/max of ALL THREE keys — bounded boxes on every axis ARE the
+    // pruning property — with the oracle restating the interleave sum
+    // term-for-term at positions 3b/3b+1/3b+2.
+    {
+      val bits = 20
+      val zSql = (0 until bits).map { b =>
+        s"((l_partkey >> $b) & 1) * ${1L << (3 * b)} + " +
+          s"((l_suppkey >> $b) & 1) * ${1L << (3 * b + 1)} + " +
+          s"((l_linenumber >> $b) & 1) * ${1L << (3 * b + 2)}"
+      }.mkString(" + ")
+      QueryDef(
+        "q_zorder3_layout",
+        (s, dir) => {
+          val z = Tables.load(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+              graft.plans.ScaleJoins.zorderN(
+                Seq(col("l_partkey"), col("l_suppkey"),
+                  col("l_linenumber")), bits).as("zv"))
+          val width = z.agg(expr("max(zv) div 64 + 1").as("w"))
+          z.crossJoin(broadcast(width))
+            .groupBy(expr("zv div w").as("bucket"))
+            .agg(count(lit(1)).as("cnt"),
+              min(col("l_partkey")).as("min_part"),
+              max(col("l_partkey")).as("max_part"),
+              min(col("l_suppkey")).as("min_supp"),
+              max(col("l_suppkey")).as("max_supp"),
+              min(col("l_linenumber")).as("min_line"),
+              max(col("l_linenumber")).as("max_line"))
+            .orderBy(col("bucket"))
+        },
+        Some(s"""WITH z AS (
+                |  SELECT l_partkey, l_suppkey, l_linenumber, $zSql AS zv
+                |  FROM lineitem),
+                |w AS (SELECT max(zv) // 64 + 1 AS w FROM z)
+                |SELECT zv // (SELECT w FROM w) AS bucket, count(*) AS cnt,
+                |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+                |  min(l_linenumber) AS min_line, max(l_linenumber) AS max_line
+                |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin))
+    },
+
+    // Hilbert-curve layout (ScaleJoins.hilbert2, native codegen'd loop) —
+    // the range-locality upgrade over Morton: consecutive curve values
+    // are always grid NEIGHBORS, so equal-width buckets cover compact,
+    // never-split rectangles (the adjacency/bijectivity structure is
+    // spec-gated in DataLayoutSpec; this query pins the VALUES). The
+    // oracle replays the same rotate-reflect level loop as a recursive
+    // CTE — 16 integer iterations per row, identical arithmetic — and
+    // must land on identical per-bucket boxes.
+    {
+      val bits = 16
+      QueryDef(
+        "q_hilbert_layout",
+        (s, dir) => {
+          val h = Tables.load(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey"),
+              graft.plans.ScaleJoins.hilbert2(
+                col("l_partkey"), col("l_suppkey"), bits).as("hv"))
+          val width = h.agg(expr("max(hv) div 64 + 1").as("w"))
+          h.crossJoin(broadcast(width))
+            .groupBy(expr("hv div w").as("bucket"))
+            .agg(count(lit(1)).as("cnt"),
+              min(col("l_partkey")).as("min_part"),
+              max(col("l_partkey")).as("max_part"),
+              min(col("l_suppkey")).as("min_supp"),
+              max(col("l_suppkey")).as("max_supp"))
+            .orderBy(col("bucket"))
+        },
+        Some(s"""WITH RECURSIVE it AS (
+                |  SELECT CAST(l_partkey AS BIGINT) AS px,
+                |    CAST(l_suppkey AS BIGINT) AS py,
+                |    CAST(l_partkey AS BIGINT) AS x,
+                |    CAST(l_suppkey AS BIGINT) AS y,
+                |    CAST(0 AS BIGINT) AS d,
+                |    CAST(${1L << (bits - 1)} AS BIGINT) AS s
+                |  FROM lineitem
+                |  UNION ALL
+                |  SELECT px, py,
+                |    CASE WHEN (y & s) > 0 THEN x
+                |         WHEN (x & s) > 0 THEN s - 1 - y ELSE y END,
+                |    CASE WHEN (y & s) > 0 THEN y
+                |         WHEN (x & s) > 0 THEN s - 1 - x ELSE x END,
+                |    d + s * s * xor(
+                |      3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+                |    s // 2
+                |  FROM it WHERE s > 0),
+                |h AS (
+                |  SELECT px AS l_partkey, py AS l_suppkey, d AS hv
+                |  FROM it WHERE s = 0),
+                |w AS (SELECT max(hv) // 64 + 1 AS w FROM h)
+                |SELECT hv // (SELECT w FROM w) AS bucket, count(*) AS cnt,
+                |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+                |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin))
+    },
   )
 }

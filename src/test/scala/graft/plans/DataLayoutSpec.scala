@@ -83,6 +83,98 @@ class DataLayoutSpec extends SparkSpec {
     assert(zA < 0.45 * linB && zB < 0.45 * linB)
   }
 
+  test("3-column z-order narrows per-file spans on ALL THREE axes; " +
+      "linear sort narrows only its own") {
+    import SparkSpec.spark.implicits._
+    val n = 1 << 12
+    val rnd = new scala.util.Random(7)
+    val df = (0 until n).map(_ => (rnd.nextInt(4096).toLong,
+      rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("a", "b", "c")
+    val base = s"/root/repo/target/tmp/zorder3_${System.nanoTime()}"
+
+    // 64 files = 2^6 z-ranges over a cube → each axis splits ~4× (two
+    // top interleaved bits per dimension); 16 files would only halve
+    // each axis and prove nothing
+    DataLayout.zorderWriteN(df, Seq("a", "b", "c"), s"$base/z", files = 64)
+    df.repartitionByRange(64, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(s"$base/lin")
+
+    val z = SparkSpec.spark.read.parquet(s"$base/z")
+    val lin = SparkSpec.spark.read.parquet(s"$base/lin")
+    assert(z.count() == n && lin.count() == n)
+    val linB = DataLayout.meanFileSpan(lin, "b")
+    // the generalized rectangle-shrink property: every interleaved axis
+    // is bounded well below the ~4096 global span (each file covers a
+    // sub-box), where the linear layout leaves two axes at full span
+    for (cn <- Seq("a", "b", "c"))
+      assert(DataLayout.meanFileSpan(z, cn) < 0.5 * linB,
+        s"axis $cn not clustered")
+    assert(DataLayout.meanFileSpan(lin, "a") < 0.2 * linB)
+  }
+
+  test("hilbert index is a bijection on the grid and consecutive curve " +
+      "positions are always grid neighbors (Morton is not)") {
+    val bits = 5
+    val side = 1 << bits
+    // bijectivity: every cell maps to a distinct position in [0, 4^bits)
+    val ds = for (x <- 0L until side; y <- 0L until side)
+      yield Hilbert.xy2d(bits, x, y)
+    assert(ds.toSet.size == side * side)
+    assert(ds.min == 0L && ds.max == side.toLong * side - 1)
+    // round-trip + THE Hilbert property: |step| in Manhattan distance is
+    // exactly 1 between consecutive positions — Morton jumps (e.g. 3→4
+    // crosses from (1,1) to (2,0): distance 2) — this adjacency is what
+    // keeps equal-width buckets of the sorted curve spatially compact
+    var prev = Hilbert.d2xy(bits, 0L)
+    for (d <- 1L until (side.toLong * side)) {
+      val cur = Hilbert.d2xy(bits, d)
+      assert(Hilbert.xy2d(bits, cur._1, cur._2) == d) // inverse round-trip
+      val manhattan = math.abs(cur._1 - prev._1) + math.abs(cur._2 - prev._2)
+      assert(manhattan == 1, s"jump at d=$d: $prev -> $cur")
+      prev = cur
+    }
+  }
+
+  test("hilbert2 expression equals the reference loop and raises on " +
+      "out-of-range keys") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 500).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ScaleJoins.hilbert2(col("x"), col("y"), 16).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, h) =>
+      assert(h == Hilbert.xy2d(16, x, y), s"($x,$y)")
+    }
+    val err = intercept[Exception] {
+      Seq((70000L, 1L)).toDF("x", "y")
+        .select(ScaleJoins.hilbert2(col("x"), col("y"), 16)).collect()
+    }
+    assert(err.getMessage.contains("hilbert2"))
+  }
+
+  test("hilbert layout's per-file boxes are at least as tight as " +
+      "morton's on uniform grids") {
+    import SparkSpec.spark.implicits._
+    val side = 128
+    val df = (for (x <- 0 until side; y <- 0 until side)
+      yield (x.toLong, y.toLong)).toDF("a", "b")
+    val base = s"/root/repo/target/tmp/hilbert_${System.nanoTime()}"
+    DataLayout.hilbertWrite(df, "a", "b", s"$base/h", files = 16, bits = 7)
+    DataLayout.zorderWrite(df, "a", "b", s"$base/z", files = 16)
+    val h = SparkSpec.spark.read.parquet(s"$base/h")
+    val z = SparkSpec.spark.read.parquet(s"$base/z")
+    val hSpan = DataLayout.meanFileSpan(h, "a") + DataLayout.meanFileSpan(h, "b")
+    val zSpan = DataLayout.meanFileSpan(z, "a") + DataLayout.meanFileSpan(z, "b")
+    // the never-split-rectangle property: equal-width Hilbert buckets
+    // cover boxes no looser than Morton's (strictly tighter when the
+    // bucket count is off the curve's power-of-four alignment)
+    assert(hSpan <= zSpan * 1.01, s"hilbert $hSpan vs morton $zSpan")
+  }
+
   // bucketed co-located join coverage lives in ScaleJoinsSpec
   // ("bucketed tables join with zero exchanges") next to its
   // ScaleJoins.writeBucketed implementation
