@@ -84,6 +84,181 @@ object TextAnalysis {
       .withColumn("pred_score", -sort_array(scored).getItem(0).getField("neg"))
   }
 
+  /** Hashed char-trigram features of lowercased text — the fastText
+    * feature shape. Trigrams of length-≥3 text (including spaces, so
+    * word boundaries contribute); shorter text is its own single
+    * feature. */
+  private def charTrigrams(textCol: Column): Column = {
+    val t = lower(textCol)
+    transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3)))
+  }
+
+  /** Engine-portable feature bucket in [0, 4096): the first three hex
+    * digits of md5 (the q_feature_hash machinery widened to 12 bits) —
+    * identical arithmetic via instr/strpos on both engines, so a model
+    * trained here is bit-reproducible by the DuckDB oracle. */
+  private def md5Bucket4096(c: Column): Column = {
+    val hex = lit("0123456789abcdef")
+    val h = md5(c)
+    ((instr(hex, substring(h, 1, 1)) - 1) * 256 +
+      (instr(hex, substring(h, 2, 1)) - 1) * 16 +
+      (instr(hex, substring(h, 3, 1)) - 1)).cast("long")
+  }
+
+  /** Number of hash buckets in the langid feature space. */
+  val LangIdDim = 4096
+
+  /** Train a fastText-style hashed-trigram language-ID model: a
+    * multinomial Naive-Bayes linear model over [[LangIdDim]] hashed
+    * char-trigram buckets (the published shape — a linear model over
+    * hashed n-gram features — with NB-counted weights, which train in
+    * two hash aggregates instead of SGD epochs). Laplace-smoothed
+    * per-bucket log-likelihoods are rounded to 4 decimals and fixed to
+    * integer MICRO-UNITS (the q_lm_score determinism discipline), so
+    * document scores are exact BIGINT sums on any engine.
+    *
+    * Returns (lang, b, w_micro) with one `b = -1` row per language
+    * carrying the unseen-bucket default weight. Model size is bounded by
+    * languages × [[LangIdDim]] — broadcast territory forever, no matter
+    * the training corpus size; training itself is two map-side-combined
+    * aggregates over the exploded trigrams. */
+  def trainLangIdModel(labeled: DataFrame, langCol: String = "lang",
+                       textCol: String = "text"): DataFrame = {
+    val micro = (x: Column) => round(round(x, 4) * 10000).cast("long")
+    val counts = Caches.track(labeled
+      .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("g"))
+      .select(col("lang"), md5Bucket4096(col("g")).as("b"))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val weights = counts.join(totals, "lang")
+      .select(col("lang"), col("b"),
+        micro(log((col("c") + lit(1.0)) / (col("n") + lit(LangIdDim.toDouble))))
+          .as("w_micro"))
+    val defaults = totals
+      .select(col("lang"), lit(-1L).as("b"),
+        micro(log(lit(1.0) / (col("n") + lit(LangIdDim.toDouble))))
+          .as("w_micro"))
+    weights.unionByName(defaults)
+  }
+
+  /** Score documents under a [[trainLangIdModel]] model: per-doc bucket
+    * counts join the BROADCAST model, unseen buckets pay the language's
+    * default weight, and the argmax (ties to the alphabetically first
+    * language) is a struct-min aggregate — no window, map-side
+    * combinable. Returns (idCol, pred_lang, score_micro). The text
+    * never shuffles: the exchange carries (id, bucket, count) and the
+    * per-(id, lang) partial sums. */
+  def langIdScore(documents: DataFrame, model: DataFrame,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val tri = Caches.track(documents
+      .select(col(idCol).as("id"), explode(charTrigrams(col(textCol))).as("g"))
+      .select(col("id"), md5Bucket4096(col("g")).as("b"))
+      .groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("c")))
+    val nTri = tri.groupBy(col("id")).agg(sum(col("c")).as("n_tri"))
+    val weights = model.filter(col("b") >= 0)
+    val defaults = model.filter(col("b") === -1)
+      .select(col("lang"), col("w_micro").as("def_micro"))
+    val matched = tri.join(broadcast(weights), "b")
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("c") * col("w_micro")).as("ms"), sum(col("c")).as("mc"))
+    nTri.crossJoin(broadcast(defaults))
+      .join(matched, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"),
+        (coalesce(col("ms"), lit(0L)) +
+          (col("n_tri") - coalesce(col("mc"), lit(0L))) * col("def_micro"))
+          .as("score_micro"))
+      .groupBy(col("id"))
+      .agg(min(struct((-col("score_micro")).as("neg"), col("lang"))).as("top"))
+      .select(col("id").as(idCol), col("top.lang").as("pred_lang"),
+        (-col("top.neg")).as("score_micro"))
+  }
+
+  /** Six-language sentence fixture for the hashed-trigram langid model —
+    * 8 training + 3 held-out sentences per language, authored for this
+    * repo (lowercase ASCII so `lower`/md5 agree byte-for-byte across
+    * engines). Shared by the oracle-checked query (which interpolates it
+    * into SQL VALUES) and the held-out accuracy spec. */
+  val langIdFixture: Seq[(String, Int, String)] = {
+    def block(lang: String, train: Seq[String], test: Seq[String]) =
+      train.map(t => (lang, 0, t)) ++ test.map(t => (lang, 1, t))
+    block("en", Seq(
+      "the cat sat on the mat and looked at the dog",
+      "we went to the market to buy some fresh bread",
+      "it is raining today so take your umbrella with you",
+      "the children are playing in the garden after school",
+      "i would like a cup of tea with milk please",
+      "this book was written by a famous english author",
+      "the train leaves the station at seven in the morning",
+      "they have been living in london for many years"), Seq(
+      "the weather is very nice this time of year",
+      "she reads the newspaper every morning with coffee",
+      "the quick brown fox jumps over the lazy dog")) ++
+    block("es", Seq(
+      "el gato esta sentado en la alfombra de la casa",
+      "vamos al mercado a comprar pan fresco y fruta",
+      "hoy esta lloviendo asi que lleva tu paraguas",
+      "los ninos juegan en el jardin despues de la escuela",
+      "me gustaria una taza de cafe con leche por favor",
+      "este libro fue escrito por un autor espanol famoso",
+      "el tren sale de la estacion a las siete de la manana",
+      "ellos viven en madrid desde hace muchos anos"), Seq(
+      "el tiempo es muy agradable en esta epoca del ano",
+      "ella lee el periodico todas las mananas con cafe",
+      "los perros corren rapido por el parque grande")) ++
+    block("de", Seq(
+      "die katze sitzt auf der matte und schaut den hund an",
+      "wir gehen zum markt um frisches brot zu kaufen",
+      "es regnet heute also nimm deinen regenschirm mit",
+      "die kinder spielen nach der schule im garten",
+      "ich moechte bitte eine tasse tee mit milch",
+      "dieses buch wurde von einem beruehmten autor geschrieben",
+      "der zug faehrt um sieben uhr morgens vom bahnhof ab",
+      "sie wohnen seit vielen jahren in berlin"), Seq(
+      "das wetter ist sehr schoen um diese jahreszeit",
+      "sie liest jeden morgen die zeitung mit kaffee",
+      "die hunde laufen schnell durch den grossen park")) ++
+    block("fr", Seq(
+      "le chat est assis sur le tapis de la maison",
+      "nous allons au marche pour acheter du pain frais",
+      "il pleut aujourd hui alors prends ton parapluie",
+      "les enfants jouent dans le jardin apres l ecole",
+      "je voudrais une tasse de the avec du lait",
+      "ce livre a ete ecrit par un auteur francais celebre",
+      "le train part de la gare a sept heures du matin",
+      "ils habitent a paris depuis de nombreuses annees"), Seq(
+      "le temps est tres agreable a cette periode de l annee",
+      "elle lit le journal tous les matins avec du cafe",
+      "les chiens courent vite dans le grand parc")) ++
+    block("it", Seq(
+      "il gatto e seduto sul tappeto della casa",
+      "andiamo al mercato a comprare del pane fresco",
+      "oggi piove quindi porta il tuo ombrello con te",
+      "i bambini giocano in giardino dopo la scuola",
+      "vorrei una tazza di te con il latte per favore",
+      "questo libro e stato scritto da un famoso autore italiano",
+      "il treno parte dalla stazione alle sette del mattino",
+      "loro vivono a roma da molti anni"), Seq(
+      "il tempo e molto bello in questo periodo dell anno",
+      "lei legge il giornale ogni mattina con il caffe",
+      "i cani corrono veloci nel grande parco")) ++
+    block("pt", Seq(
+      "o gato esta sentado no tapete da casa",
+      "vamos ao mercado comprar pao fresco e fruta",
+      "hoje esta chovendo entao leve o seu guarda chuva",
+      "as criancas brincam no jardim depois da escola",
+      "eu gostaria de uma xicara de cha com leite por favor",
+      "este livro foi escrito por um autor portugues famoso",
+      "o trem sai da estacao as sete da manha",
+      "eles moram em lisboa ha muitos anos"), Seq(
+      "o tempo esta muito agradavel nesta epoca do ano",
+      "ela le o jornal todas as manhas com cafe",
+      "os caes correm rapido pelo grande parque"))
+  }
+
   /** Karp-Rabin polynomial rolling hash of the normalized text (lowercased,
     * whitespace collapsed): h = Σ c_i · 257^i mod 1e9+7, folded left so the
     * accumulator stays < 2^62 (ANSI-safe). `ascii` returns the full Unicode

@@ -1976,6 +1976,84 @@ object LlmQueries {
              |FROM pred WHERE rk = 1
              |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)),
 
+    // fastText-style hashed-trigram language ID (TextAnalysis
+    // .trainLangIdModel + langIdScore) — the published linear-model
+    // shape beyond the stopword-vote heuristic above: char trigrams
+    // hash into 4096 md5 buckets (the q_feature_hash machinery widened
+    // to 12 bits), NB-counted log-likelihood weights fix to integer
+    // micro-units, and scoring is one broadcast model join + exact
+    // BIGINT sums. Train on the 6-language fixture's 48 training
+    // sentences, predict its 18 HELD-OUT sentences; the oracle retrains
+    // the whole model in SQL from the same interpolated sentence VALUES
+    // — bucket arithmetic, smoothing, rounding, argmax — so the model
+    // and the scorer are both pinned end-to-end (held-out ACCURACY is
+    // pinned separately in LlmSpec).
+    {
+      val fx = TextAnalysis.langIdFixture
+      val trainVals = fx.filter(_._2 == 0)
+        .map(x => s"('${x._1}', '${x._3}')").mkString(", ")
+      val testVals = fx.filter(_._2 == 1).zipWithIndex
+        .map { case ((_, _, t), i) => s"($i, '$t')" }.mkString(", ")
+      val bSql = (g: String) =>
+        s"(strpos('0123456789abcdef', substring(md5($g), 1, 1)) - 1) * 256 " +
+          s"+ (strpos('0123456789abcdef', substring(md5($g), 2, 1)) - 1) * 16 " +
+          s"+ (strpos('0123456789abcdef', substring(md5($g), 3, 1)) - 1)"
+      QueryDef(
+        "q_langid_model",
+        (s, dir) => {
+          import s.implicits._
+          val train = fx.filter(_._2 == 0).map(x => (x._1, x._3))
+            .toDF("lang", "text")
+          val test = fx.filter(_._2 == 1).zipWithIndex
+            .map { case ((_, _, t), i) => (i.toLong, t) }.toDF("sid", "text")
+          val model = TextAnalysis.trainLangIdModel(train)
+          TextAnalysis.langIdScore(test, model, idCol = "sid")
+            .orderBy(col("sid"))
+        },
+        Some(s"""WITH train(lang, text) AS (VALUES $trainVals),
+                |test(sid, text) AS (VALUES $testVals),
+                |tg AS (
+                |  SELECT lang, lower(text) AS t,
+                |    unnest(generate_series(1, greatest(length(text) - 2, 1)))
+                |      AS i
+                |  FROM train),
+                |g AS (SELECT lang, substring(t, CAST(i AS INT), 3) AS g
+                |      FROM tg),
+                |b AS (SELECT lang, ${bSql("g")} AS b FROM g),
+                |c AS (SELECT lang, b, count(*) AS c FROM b GROUP BY 1, 2),
+                |n AS (SELECT lang, sum(c) AS n FROM c GROUP BY 1),
+                |w AS (SELECT lang, b,
+                |    CAST(round(round(ln((c + 1.0) / (n + 4096.0)), 4)
+                |      * 10000) AS BIGINT) AS w
+                |  FROM c JOIN n USING (lang)),
+                |defs AS (SELECT lang,
+                |    CAST(round(round(ln(1.0 / (n + 4096.0)), 4)
+                |      * 10000) AS BIGINT) AS def
+                |  FROM n),
+                |sg AS (
+                |  SELECT sid, lower(text) AS t,
+                |    unnest(generate_series(1, greatest(length(text) - 2, 1)))
+                |      AS i
+                |  FROM test),
+                |sgg AS (SELECT sid, substring(t, CAST(i AS INT), 3) AS g
+                |        FROM sg),
+                |sb AS (SELECT sid, ${bSql("g")} AS b FROM sgg),
+                |tc AS (SELECT sid, b, count(*) AS c FROM sb GROUP BY 1, 2),
+                |tn AS (SELECT sid, sum(c) AS n_tri FROM tc GROUP BY 1),
+                |m AS (SELECT sid, lang, sum(c * w) AS ms, sum(c) AS mc
+                |      FROM tc JOIN w USING (b) GROUP BY 1, 2),
+                |grid AS (SELECT sid, n_tri, lang, def
+                |         FROM tn CROSS JOIN defs),
+                |sc AS (SELECT sid, lang,
+                |    CAST(coalesce(ms, 0) + (n_tri - coalesce(mc, 0)) * def
+                |      AS BIGINT) AS score_micro
+                |  FROM grid LEFT JOIN m USING (sid, lang))
+                |SELECT sid, lang AS pred_lang, score_micro FROM sc
+                |QUALIFY row_number() OVER (PARTITION BY sid
+                |  ORDER BY score_micro DESC, lang) = 1
+                |ORDER BY sid""".stripMargin))
+    },
+
     // Doc fingerprint: the polynomial rolling hash is pure integer
     // arithmetic (acc·257 + ascii, mod 1e9+7), so DuckDB replays it
     // exactly with a lambda reduce — the accumulator rides as VARCHAR

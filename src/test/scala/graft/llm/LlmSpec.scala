@@ -878,6 +878,28 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((9000L, 0L, 1.0)))
   }
 
+  test("hashed-trigram langid model: held-out accuracy on the 6-language " +
+      "fixture") {
+    import SparkSpec.spark.implicits._
+    val fx = TextAnalysis.langIdFixture
+    val train = fx.filter(_._2 == 0).map(x => (x._1, x._3))
+      .toDF("lang", "text")
+    val test = fx.filter(_._2 == 1).zipWithIndex
+      .map { case ((l, _, t), i) => (i.toLong, l, t) }
+    val model = TextAnalysis.trainLangIdModel(train)
+    val pred = TextAnalysis.langIdScore(
+        test.map(x => (x._1, x._3)).toDF("sid", "text"), model,
+        idCol = "sid")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val results = test.map { case (sid, truth, _) => (sid, truth, pred(sid)) }
+    val correct = results.count { case (_, truth, p) => truth == p }
+    // pinned held-out accuracy: 18 unseen sentences across 6 languages
+    // (including the es/pt and fr/it near-pairs); the NB trigram model
+    // must separate all of them — a drop below 18/18 means the feature
+    // hashing, smoothing, or scoring drifted
+    assert(correct == 18, results.filter(r => r._2 != r._3).mkString(";"))
+  }
+
   test("persisted MinHash index: write → read → match reproduces the " +
       "from-scratch incremental result; layout is band-partitioned with " +
       "self-describing meta") {
