@@ -126,6 +126,87 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 11:00:00.0") == 2L)
   }
 
+  test("restart with GROWN input keeps the checkpoint's frozen state " +
+      "partition count; resizing requires a new checkpoint") {
+    // The 100 TB deploy story made explicit: the stateful shuffle count
+    // (input-sized at first run — see EventStreams.runWithMode) is
+    // FROZEN into the checkpoint by Structured Streaming. A restart
+    // against 10× input silently keeps the original count no matter
+    // what spark.sql.shuffle.partitions says at restart — correct
+    // results, but parallelism pinned at day-one sizing. Re-sizing
+    // state means a NEW checkpoint (reprocess or offline state rewrite);
+    // this spec pins that documented behavior so the deploy rule is
+    // enforced, not folklore.
+    import SparkSpec.spark.implicits._
+    val base = s"/root/repo/target/tmp/spec_grow_${System.nanoTime()}"
+    val (srcDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    (0 until 64).map(i => (i.toLong % 8,
+        ts(f"2024-01-01 10:${i % 60}%02d:00")))
+      .toDF("k", "ts").write.parquet(s"$srcDir/a.parquet")
+
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def runOnce(parts: Int): Unit = {
+      spark.conf.set(key, parts.toString)
+      try {
+        val q = spark.readStream
+          .schema("k BIGINT, ts TIMESTAMP").parquet(s"$srcDir/*")
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.format("memory").queryName("grow_restart")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set(key, saved)
+    }
+
+    def statePartitionDirs(): Set[String] = {
+      val d = new java.io.File(s"$ckpt/state/0")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .map(_.getName).toSet
+    }
+
+    runOnce(parts = 4) // first run freezes 4 state partitions
+    assert(statePartitionDirs() == Set("0", "1", "2", "3"))
+
+    // grow the input 10× and restart with a BIGGER session setting: the
+    // checkpoint wins — still exactly 4 state partitions, results exact
+    (0 until 640).map(i => (i.toLong % 8,
+        ts(f"2024-01-01 11:${i % 60}%02d:00")))
+      .toDF("k", "ts").write.parquet(s"$srcDir/b.parquet")
+    runOnce(parts = 32)
+    assert(statePartitionDirs() == Set("0", "1", "2", "3"),
+      s"state partition count changed: ${statePartitionDirs()}")
+    val out = spark.table("grow_restart")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == (0L until 8L).map(k => k -> 88L).toMap, out)
+
+    // a FRESH checkpoint under the bigger setting re-derives the count —
+    // that (reprocessing) is the documented resize path
+    val ckpt2 = s"$base/ckpt2"
+    spark.conf.set(key, "8")
+    try {
+      val q = spark.readStream
+        .schema("k BIGINT, ts TIMESTAMP").parquet(s"$srcDir/*")
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName("grow_fresh")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, saved)
+    val d2 = new java.io.File(s"$ckpt2/state/0")
+    val fresh = Option(d2.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.forall(_.isDigit)).length
+    assert(fresh == 8, s"fresh checkpoint should size to 8, got $fresh")
+  }
+
   test("synthetic events source matches the testdata schema") {
     import graft.sources.SyntheticSources
     val synth = SyntheticSources.events(spark, 1000)
