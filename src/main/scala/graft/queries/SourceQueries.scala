@@ -97,6 +97,43 @@ object SourceQueries {
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |  md5(text) AS content_md5
              |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
+
+    // WARC segment scan — the native container of published web corpora
+    // (Common Crawl): two staged segments (plain WARC + multi-member
+    // .warc.gz) built from closed-form records, cracked through
+    // binaryFile + the partition-local frame parser. The oracle
+    // regenerates every response row from the same closed form, so
+    // header extraction, HTTP splitting, gzip member handling, AND the
+    // skip rules (warcinfo/request records, the corrupt mid-file record)
+    // are all hash-checked. See graft.sources.Warc for the 100 TB story
+    // (file-level parallelism over ~1 GB segments, zero shuffle).
+    QueryDef(
+      "q_scan_warc",
+      (s, _) => {
+        graft.sources.Warc.readResponses(s, graft.sources.Warc.warcIngestDir)
+          .select(col("record_id"), col("url"), col("warc_date"),
+            col("http_status"), col("content_type"), col("text"),
+            col("n_bytes"))
+          .orderBy(col("record_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(i AS INT) AS i,
+             |    'Record ' || i || ' body ' ||
+             |      repeat('w', CAST(i % 13 AS INT)) AS body
+             |  FROM generate_series(0, 35) AS g(i))
+             |SELECT
+             |  '<urn:uuid:rec-' || lpad(CAST(i AS VARCHAR), 3, '0') || '>'
+             |    AS record_id,
+             |  'http://site' || (i % 5) || '.example/page/' || i AS url,
+             |  '2026-01-' || lpad(CAST(i % 27 + 1 AS VARCHAR), 2, '0') ||
+             |    'T00:00:00Z' AS warc_date,
+             |  CAST(CASE WHEN i % 9 = 0 THEN 404 ELSE 200 END AS INT)
+             |    AS http_status,
+             |  CASE WHEN i % 6 = 0 THEN 'text/plain'
+             |       ELSE 'text/html; charset=utf-8' END AS content_type,
+             |  body AS text,
+             |  CAST(length(body) AS BIGINT) AS n_bytes
+             |FROM r ORDER BY record_id""".stripMargin)),
   )
 
   /** Stage the first 20 documents as one .bin file each (UTF-8 text

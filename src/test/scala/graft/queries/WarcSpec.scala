@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+
+/** WARC container cracking: frame parsing, HTTP splitting, gzip member
+  * handling, skip rules, and corrupt-record resync (q_scan_warc's
+  * machinery; the oracle hash-checks the values, this spec pins the
+  * structural contracts the oracle can't see from the output alone). */
+class WarcSpec extends SparkSpec {
+
+  private lazy val docs =
+    Warc.readResponses(spark, Warc.warcIngestDir).cache()
+
+  test("all 36 planted response records surface; nothing else does") {
+    assert(docs.count() === 36L)
+    // warcinfo/request/corrupt ids never leak into the output
+    val ids = docs.select("record_id").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(ids.forall(_.startsWith("<urn:uuid:rec-")))
+    assert(ids.size === 36)
+  }
+
+  test("corrupt record is dropped and the parser resyncs: records 12-23 " +
+      "(AFTER the corrupt frame in seg_0) are all present") {
+    val after = docs.filter(col("record_id") >= "<urn:uuid:rec-012>" &&
+      col("record_id") <= "<urn:uuid:rec-023>")
+    assert(after.count() === 12L)
+  }
+
+  test("multi-member .warc.gz segment contributes its 12 records") {
+    val gz = docs.filter(col("record_id") >= "<urn:uuid:rec-024>")
+    assert(gz.count() === 12L)
+    // bodies decode byte-exact through the gzip path
+    val r30 = gz.filter(col("record_id") === "<urn:uuid:rec-030>")
+      .select("text").head().getString(0)
+    assert(r30 === Warc.synthBody(30))
+  }
+
+  test("HTTP status and content-type are extracted per record") {
+    assert(docs.filter(col("http_status") === 404).count() === 4L) // 0,9,18,27
+    assert(docs.filter(col("content_type") === "text/plain").count() === 6L)
+    assert(docs.filter(col("content_type")
+      .startsWith("text/html")).count() === 30L)
+  }
+
+  test("n_bytes is the HTTP body length, not the payload length") {
+    val r5 = docs.filter(col("record_id") === "<urn:uuid:rec-005>").head()
+    val body = Warc.synthBody(5)
+    assert(r5.getAs[String]("text") === body)
+    assert(r5.getAs[Long]("n_bytes") === body.length.toLong)
+  }
+
+  test("scan is a single stage: no exchange in the plan") {
+    val plan = Warc.readResponses(spark, Warc.warcIngestDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
