@@ -260,6 +260,85 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Write the PERSISTED IVF index of a corpus — the ANN mirror of
+    * [[Dedup.writeMinhashIndex]]: production builds the index ONCE and
+    * every query batch reads only its probed slice, instead of re-training
+    * centroids and re-assigning cells per run.
+    *
+    * Layout: `path/centroids` is the nlist×dim coarse quantizer (tiny —
+    * KBs); `path/postings` is the corpus as narrow (cand_id, c_vec,
+    * c_norm) rows partitioned BY CELL, so a query batch probing p
+    * distinct cells lists and reads exactly p directories — the parquet
+    * analogue of FAISS's inverted lists. At 100 TB the postings write is
+    * one linear pass (assignment is per-row codegen'd expression work
+    * against centroid literals, the only shuffle is the partitioned
+    * write), and per-batch query cost becomes independent of corpus
+    * growth outside the probed cells. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int,
+                    trainIters: Int = 3,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Clustering.trainCentroids(
+      corpus, idCol, vecCol, nlist, trainIters, trainFraction)
+    centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
+      .withColumn("cell",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+      .drop("d")
+      .withColumn("c_norm", l2norm(col("c_vec")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+  }
+
+  /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):
+    * centroids load as bounded driver state (nlist rows — the k-means
+    * contract), each query probes its nprobe nearest cells, and the
+    * postings read is PRUNED to the batch's distinct probed cells with a
+    * static partition filter (provably `PartitionFilters` in the scan, vs
+    * trusting DPP to fire) — ≤ nlist ints of driver state buys a scan
+    * that touches only the probed fraction of the index on disk. The
+    * ranking tail is [[ivfTopK]]'s: broadcast probe join, exact cosine,
+    * per-query top-k window. */
+  def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                     nprobe: Int, vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val centroids: Array[Array[Double]] =
+      spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val nlist = centroids.length
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+      .withColumn("d", Clustering.centroidScores(col("q_vec"), centroids))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        explode(probeCells(col("d"), nlist, nprobe)).as("cell"))
+    val probedT = Caches.track(probed) // cell collect + probe join
+    val cells = probedT.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted // ≤ nlist values
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("cell").isin(cells.map(c => c: Any).toSeq: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    postings.join(broadcast(probedT), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   // ---- shared ANN machinery -------------------------------------------
 
   /** Exact cosine re-rank of bare (query_id, cand_id) candidate pairs:

@@ -474,6 +474,27 @@ object LlmQueries {
       },
       Some(annTwinGateSql)),
 
+    // IVF against a PERSISTED index (the ANN mirror of
+    // q_dedup_incremental_indexed): the corpus is written ONCE as a
+    // centroid table + cell-partitioned postings, and the query batch
+    // reads back only its probed cells (static partition filter —
+    // ≤ nlist ints of driver state buys on-disk pruning). Same in-plan
+    // twin gate: the planted exact copy shares the query's cell, which
+    // is always probe #1.
+    QueryDef(
+      "q_sim_ivf_indexed",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        Similarity.writeIvfIndex(corpus, idx, nlist = 16)
+        annTwinGate(queries,
+          Similarity.ivfTopKIndexed(queries, idx, k = 5, nprobe = 4))
+      },
+      Some(annTwinGateSql)),
+
     // Product-quantization ANN (codes + ADC lookup scoring + exact
     // re-rank): the memory-compression tier beside IVF's pruning — 64
     // floats per vector become 8 codes for the candidate scan. Rows-only;

@@ -198,6 +198,33 @@ class LlmSpec extends SparkSpec {
     assert(ivf == exact, s"ivf=$ivf exact=$exact")
   }
 
+  test("ivfTopKIndexed: persisted index reproduces in-memory ivfTopK and " +
+      "the postings scan partition-prunes to the probed cells") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(19)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, unit(64))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val idx = tempDir("graft-ivf-idx-").toString
+    Similarity.writeIvfIndex(corpus, idx, nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // same trainCentroids fixpoint on the same corpus → identical cells,
+    // identical scores: the index round-trip must be value-exact
+    val mem = rows(Similarity.ivfTopK(corpus, queries, k = 4,
+      nlist = 8, nprobe = 3))
+    val onDisk = Similarity.ivfTopKIndexed(queries, idx, k = 4, nprobe = 3)
+    assert(rows(onDisk) == mem)
+    val scan = onDisk.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      "postings scan must prune by probed cell partitions")
+  }
+
   test("ivfTopK: selective probing keeps planted-twin recall high") {
     // Twins sit ~on top of their base vector, so k-means puts each pair in
     // the same cell and the query's nearest (own) cell contains its twin —
