@@ -371,10 +371,13 @@ object Dedup {
     * persisted index write and its later readers): bucket = murmur3 of
     * the band's signature slice, seeded by the band number. Any drift
     * here would silently empty every index join. */
+  private def bucketArray(sigCol: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(sigCol, b * lit(r) + lit(1), lit(r)), b))
+
   private def bandedBuckets(sigs: DataFrame, bands: Int, r: Int): DataFrame =
     sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * lit(r) + lit(1), lit(r)), b))))
+        posexplode(bucketArray(col("sig"), bands, r)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -472,6 +475,53 @@ object Dedup {
     val batchSigs = Caches.track(
       minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
     matchBatchBands(histBand, histSigs, batchSigs, numHashes, bands)
+  }
+
+  /** STREAMING variant of [[incrementalMinhashMatchesIndexed]] — the
+    * ingest front door: new documents arrive as a stream and are matched
+    * against the persisted index as they land, instead of in nightly
+    * batches. Everything is streaming-legal without state: the signature
+    * and band explode are stateless per-row expressions, and both index
+    * probes (bands, then signatures for the verify) are stream-STATIC
+    * equi-joins — no watermark, no state store, so the plan survives any
+    * micro-batch cadence and restarts carry no state baggage.
+    *
+    * Output contract differs from the batch path in ONE way: a candidate
+    * pair surfaces once PER COLLIDING BAND (rows carry `band`) because a
+    * streaming `distinct` would need unbounded state; the caller dedups
+    * after the sink — exact-by-construction since est_jaccard is a pure
+    * function of the pair. */
+  def streamingMinhashMatchesIndexed(batchStream: DataFrame,
+                                     indexPath: String,
+                                     textCol: String = "text",
+                                     idCol: String = "doc_id"): DataFrame = {
+    val spark = batchStream.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
+    val numHashes = meta.head.getAs[Int]("num_hashes")
+    val bands = meta.head.getAs[Int]("bands")
+    val shingleSize = meta.head.getAs[Int]("shingle_size")
+    val r = numHashes / bands
+    val histBand = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("hist_id"))
+    val histSigs = spark.read.parquet(s"$indexPath/sigs")
+      .select(col("doc_id").as("hist_id"), col("sig").as("sig2"))
+    batchStream
+      .select(col(idCol).as("batch_id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig1"))
+      // sig rides THROUGH the explode: joining it back later would be a
+      // stream-stream join
+      .select(col("batch_id"), col("sig1"),
+        posexplode(bucketArray(col("sig1"), bands, r)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .join(histBand, Seq("band", "bucket"))
+      .join(histSigs, "hist_id")
+      .select(col("batch_id"), col("hist_id"), col("band"),
+        round(size(filter(zip_with(col("sig1"), col("sig2"),
+            (x, y) => when(x === y, 1)), c => c.isNotNull))
+          / lit(numHashes.toDouble), 4).as("est_jaccard"))
   }
 
   /** Edit-distance near-dup with blocking: candidate pairs share a cheap

@@ -181,5 +181,47 @@ object StreamingQueries {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY ws, c_mktsegment
              |ORDER BY ws, c_mktsegment""".stripMargin)),
+
+    // Streaming-ingest dedup against the PERSISTED MinHash index: new
+    // documents arrive as a file stream and match the stored history
+    // index as they land — the production front door where
+    // q_dedup_incremental_indexed is the nightly batch. Statelessness is
+    // the point (signature + band explode are per-row expressions, both
+    // index probes are stream-STATIC joins — no watermark, no state
+    // store; StreamingSpec pins the plan), so multi-band hits dedup
+    // after the sink. Same planted-twin fixture and oracle as the batch
+    // path: stream ≡ batch ≡ oracle.
+    QueryDef(
+      "q_stream_dedup_indexed",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") >= 400)
+        val planted = batch.filter(col("doc_id") < 420)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 400).unionByName(planted)
+        val tmp = System.getProperty("java.io.tmpdir")
+        val idx = s"$tmp/graft_mh_index_streamq"
+        graft.llm.Dedup.writeMinhashIndex(history, idx, numHashes = 64,
+          bands = 16, shingleSize = 5, maxBucketSize = 500)
+        val batchDir = s"$tmp/graft_stream_docs_batch"
+        batch.write.mode("overwrite").parquet(batchDir)
+        val matches = EventStreams.runParquetAvailableNowAppend(s, batchDir,
+          st => graft.llm.Dedup.streamingMinhashMatchesIndexed(st, idx),
+          "stream_dedup_indexed")
+        batch.filter(col("doc_id") < 420).select(col("doc_id").as("batch_id"))
+          .join(matches
+              .filter(col("hist_id") === col("batch_id") + 100000 &&
+                col("est_jaccard") >= 0.9999)
+              .select(col("batch_id"), lit(true).as("hist_dup"))
+              .distinct(), // one row per colliding band before this
+            Seq("batch_id"), "left")
+          .select(col("batch_id"),
+            coalesce(col("hist_dup"), lit(false)).as("hist_dup"))
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT doc_id AS batch_id, true AS hist_dup
+             |FROM documents WHERE doc_id >= 400 AND doc_id < 420
+             |ORDER BY batch_id""".stripMargin)),
   )
 }

@@ -340,6 +340,16 @@ object EventStreams {
     val path =
       if (heartbeat) stageMicrosHeartbeat(spark, eventsPath)
       else stageMicros(spark, eventsPath)
+    runAtPath(spark, path, transform, queryName, mode, heartbeat)
+  }
+
+  /** The runner tail shared by the events paths and the generic parquet
+    * path: schema-pinned file stream → transform → memory sink under
+    * Trigger.AvailableNow, with the input-sized state-partition rule. */
+  private def runAtPath(spark: SparkSession, path: String,
+                        transform: DataFrame => DataFrame,
+                        queryName: String, mode: String,
+                        heartbeat: Boolean): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val reader = spark.readStream.schema(schema)
     // heartbeat staging needs its sentinel rounds in separate
@@ -409,4 +419,13 @@ object EventStreams {
                                      queryName: String): DataFrame =
     runWithMode(spark, eventsPath, transform, queryName, "append",
       heartbeat = true)
+
+  /** Append-mode run over an ARBITRARY parquet directory (documents,
+    * deltas — anything without the events table's ns-timestamp staging
+    * need). The streaming-ingest entry point for non-event tables. */
+  def runParquetAvailableNowAppend(spark: SparkSession, parquetDir: String,
+                                   transform: DataFrame => DataFrame,
+                                   queryName: String): DataFrame =
+    runAtPath(spark, parquetDir, transform, queryName, "append",
+      heartbeat = false)
 }

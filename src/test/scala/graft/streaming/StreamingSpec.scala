@@ -274,4 +274,43 @@ class StreamingSpec extends SparkSpec {
         round(sum(col("value")), 2).as("sum_value"))
     assert(finals.exceptAll(batch).isEmpty && batch.exceptAll(finals).isEmpty)
   }
+
+  test("streaming indexed dedup is stateless and pair-equal to the batch " +
+      "index reader") {
+    import graft.llm.Dedup
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") < 40)
+    val batch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      // plant a known twin so at least one match exists
+      .unionByName(history.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+    val root = s"/root/repo/target/tmp/spec_stream_idx_${System.nanoTime()}"
+    Dedup.writeMinhashIndex(history, s"$root/idx", numHashes = 32,
+      bands = 8, shingleSize = 5)
+    batch.write.mode("overwrite").parquet(s"$root/batch")
+    // the streaming transform must carry no stateful operator: no
+    // watermark, no dedup, no aggregation — analyzed plan is state-free
+    val streamDf = Dedup.streamingMinhashMatchesIndexed(
+      spark.readStream.schema(batch.schema).parquet(s"$root/batch"),
+      s"$root/idx")
+    assert(streamDf.isStreaming)
+    val planStr = streamDf.queryExecution.analyzed.toString
+    assert(!planStr.contains("Deduplicate") && !planStr.contains("Aggregate"),
+      "streaming path must stay stateless")
+    val out = EventStreams.runParquetAvailableNowAppend(spark, s"$root/batch",
+      st => Dedup.streamingMinhashMatchesIndexed(st, s"$root/idx"),
+      "spec_stream_idx")
+    val streamPairs = out
+      .select(col("batch_id"), col("hist_id"), col("est_jaccard"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchPairs = Dedup
+      .incrementalMinhashMatchesIndexed(batch, s"$root/idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.exists { case (b, h, j) => b == h + 9000 && j >= 0.99 },
+      "planted twin must match its history source")
+  }
 }
