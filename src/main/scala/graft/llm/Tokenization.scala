@@ -120,6 +120,25 @@ object Tokenization {
     * numMerges nested expressions, and each scan reads a
     * vocabulary-bounded materialized table, never the corpus.
     */
+  /** Boundary-aware merge on the `sym` column: double the INTERNAL
+    * delimiters and wrap ("t|h|e" → "|t||h||e|") so the search literal
+    * "|a||b|" can only match whole adjacent symbols — a plain
+    * replace(sym,'h|e','he') would also hit "th|e" across the t·h
+    * boundary once symbols grow multi-character, merging a pair that was
+    * never learned. The replacement "|ab|" keeps single pipes at its
+    * edges, so adjacent matches never share characters and left-to-right
+    * non-overlapping replace = the greedy Sennrich merge order;
+    * un-doubling restores the canonical form. Same three plain replaces
+    * in the DuckDB oracle ([[bpeRoundsCte]]) — no regex, no lookaround. */
+  private def applyMerge(df: DataFrame, pair: String): DataFrame = {
+    val search = "|" + pair.replace("|", "||") + "|"
+    val repl = "|" + pair.replace("|", "") + "|"
+    df.withColumn("sym", expr(
+      s"replace(trim(BOTH '|' FROM replace(" +
+        s"concat('|', replace(sym, '|', '||'), '|'), " +
+        s"'${q(search)}', '${q(repl)}')), '||', '|')"))
+  }
+
   private def trainLoopUncached(docs: DataFrame, textCol: String,
                                 numMerges: Int)
       : (Seq[(Int, String, Long)], DataFrame) = {
@@ -142,25 +161,6 @@ object Tokenization {
         |           slice(split(sym, '\\|'), 2, size(split(sym, '\\|'))),
         |           (a, b) -> concat(a, '|', b)),
         |  x -> x is not null)""".stripMargin)
-
-    // Boundary-aware merge: double the INTERNAL delimiters and wrap
-    // ("t|h|e" → "|t||h||e|") so the search literal "|a||b|" can only
-    // match whole adjacent symbols — a plain replace(sym,'h|e','he')
-    // would also hit "th|e" across the t·h boundary once symbols grow
-    // multi-character, merging a pair that was never learned. The
-    // replacement "|ab|" keeps single pipes at its edges, so adjacent
-    // matches never share characters and left-to-right non-overlapping
-    // replace = the greedy Sennrich merge order; un-doubling restores
-    // the canonical form. Same three plain replaces in the DuckDB
-    // oracle ([[bpeRoundsCte]]) — no regex, no lookaround.
-    def applyMerge(df: DataFrame, pair: String): DataFrame = {
-      val search = "|" + pair.replace("|", "||") + "|"
-      val repl = "|" + pair.replace("|", "") + "|"
-      df.withColumn("sym", expr(
-        s"replace(trim(BOTH '|' FROM replace(" +
-          s"concat('|', replace(sym, '|', '||'), '|'), " +
-          s"'${q(search)}', '${q(repl)}')), '||', '|')"))
-    }
 
     var cur = words
     val merges = Seq.newBuilder[(Int, String, Long)]
@@ -324,4 +324,91 @@ object Tokenization {
        |JOIN w$numMerges v USING (w)
        |WHERE d.w <> ''
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Pretrained path — the production tokenizer shape: the merge table
+  // SHIPS AS DATA (like the bundled Public Suffix List), training never
+  // runs at encode time.
+  // ------------------------------------------------------------------
+
+  /** Encode under a FIXED merge table. Unlike [[bpeTokenCounts]] (which
+    * trains first, one driver round-trip per merge batch), the pretrained
+    * path has ZERO training round-trips: the corpus scans once into its
+    * distinct-word table and all M merges chain into one codegen'd
+    * replace expression over that vocabulary-bounded table — encode cost
+    * is independent of M's history, exactly how a shipped tiktoken-style
+    * vocabulary behaves. `merges` must be in learned order ("a|b" form);
+    * applying them in order reproduces the trainer's segmentation on any
+    * corpus (LlmSpec pins self-consistency: encode-with-learned-merges ≡
+    * learn-then-encode). */
+  def bpeTokenCountsPretrained(docs: DataFrame, textCol: String,
+                               idCol: String,
+                               merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .select(col("w"), concat_ws("|", split(col("w"), "")).as("sym"))
+    val vocab = merges.foldLeft(words)(applyMerge)
+    val ntok = broadcast(vocab.select(col("w"),
+      size(split(col("sym"), "\\|")).cast("long").as("ntok")))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(ntok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Train on `docs` and PERSIST the merge table — the tokenizer-model
+    * artifact (rank, pair, pair_cnt) a deployment trains once and every
+    * later job reads ([[bpeTokenCountsWithModel]]). Completes the
+    * persisted-artifact trio: MinHash index, IVF index, BPE model. */
+  def writeBpeModel(docs: DataFrame, textCol: String, path: String,
+                    numMerges: Int): Unit =
+    learnBpeMerges(docs, textCol, numMerges)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Encode against a persisted model ([[writeBpeModel]]): the merge
+    * table loads as bounded driver state (M rows, ordered by rank) and
+    * feeds [[bpeTokenCountsPretrained]] — no training, no dependence on
+    * the training corpus. */
+  def bpeTokenCountsWithModel(docs: DataFrame, textCol: String,
+                              idCol: String, modelPath: String): DataFrame = {
+    val merges = docs.sparkSession.read.parquet(modelPath)
+      .orderBy(col("rank")).collect().map(_.getAs[String]("pair")).toSeq
+    bpeTokenCountsPretrained(docs, textCol, idCol, merges)
+  }
+
+  /** DuckDB oracle for [[bpeTokenCountsPretrained]]: the SAME fixed
+    * merge literals, applied as the same chained boundary-aware replaces
+    * over the distinct-word table. */
+  def bpePretrainedOracleSql(merges: Seq[String]): String = {
+    val rounds = merges.zipWithIndex.map { case (pair, i) =>
+      val prev = if (i == 0) "w0" else s"w$i"
+      val search = "|" + pair.replace("|", "||") + "|"
+      val repl = "|" + pair.replace("|", "") + "|"
+      def sq(s: String) = s.replace("'", "''")
+      s"""w${i + 1} AS MATERIALIZED (
+         |  SELECT w, replace(trim(replace(
+         |      '|' || replace(sym, '|', '||') || '|',
+         |      '${sq(search)}', '${sq(repl)}'),
+         |    '|'), '||', '|') AS sym
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(string_split(w, ''), '|') AS sym
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> ''),
+       |${rounds.mkString(",\n")}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(v.sym, '|'))) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN w${merges.length} v USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
 }

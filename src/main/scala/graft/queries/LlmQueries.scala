@@ -90,6 +90,11 @@ object LlmQueries {
         coalesce(col("ok"), lit(false)).as("twin_top1"))
       .orderBy(col("query_id"))
 
+  /** Fixed merge table for q_bpe_encode_pretrained — learned order,
+    * later merges consuming earlier outputs. */
+  private val PretrainedMerges = Seq(
+    "t|h", "th|e", "i|n", "a|n", "an|d", "e|r", "o|n", "r|e")
+
   private val annTwinGateSql: String =
     """SELECT vec_id AS query_id, true AS twin_top1
       |FROM embeddings WHERE vec_id < 10
@@ -1535,6 +1540,21 @@ object LlmQueries {
           numMerges = 8)
         .orderBy(col("doc_id")),
       Some(graft.llm.Tokenization.bpeEncodeOracleSql(8))),
+
+    // Encode under a SHIPPED merge table — the production tokenizer
+    // path (a tiktoken-style vocabulary is data, like the bundled PSL;
+    // training never runs at encode time): all 8 fixed merges chain
+    // into ONE codegen'd replace expression over the distinct-word
+    // table, zero driver round-trips. Later merges build on earlier
+    // ones ("t|h" then "th|e"), which the oracle's chained
+    // boundary-aware replaces restate literally.
+    QueryDef(
+      "q_bpe_encode_pretrained",
+      (s, dir) => graft.llm.Tokenization
+        .bpeTokenCountsPretrained(load(s, dir, "documents"), "text",
+          "doc_id", PretrainedMerges)
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization.bpePretrainedOracleSql(PretrainedMerges))),
 
     // Benchmark decontamination: training docs sharing ≥1 distinct
     // 20-char shingle with a (broadcast) benchmark set — here the docs

@@ -1000,6 +1000,28 @@ class LlmSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("pretrained encode with the learned merges equals learn-then-encode, " +
+      "and the persisted model round-trips") {
+    import SparkSpec.spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "lowest newest low")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val learned = rows(Tokenization.bpeTokenCounts(docs, "text", "doc_id",
+      numMerges = 3))
+    // hand the trainer's own merges to the pretrained path
+    val merges = Tokenization.learnBpeMerges(docs, "text", numMerges = 3)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(rows(Tokenization.bpeTokenCountsPretrained(docs, "text", "doc_id",
+      merges)) == learned)
+    // and through the persisted model artifact
+    val model = tempDir("graft-bpe-model-").toString
+    Tokenization.writeBpeModel(docs, "text", model, numMerges = 3)
+    assert(rows(Tokenization.bpeTokenCountsWithModel(docs, "text", "doc_id",
+      model)) == learned)
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
