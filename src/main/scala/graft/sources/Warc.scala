@@ -193,8 +193,8 @@ object Warc {
     h ++ payload ++ crlf("\n\n")
   }
 
-  private def responseRecord(i: Int): Array[Byte] = {
-    val body = synthBody(i).getBytes(StandardCharsets.UTF_8)
+  private def responseRecord(i: Int, pad: Int = 0): Array[Byte] = {
+    val body = (synthBody(i) + ("w" * pad)).getBytes(StandardCharsets.UTF_8)
     val status = if (i % 9 == 0) "404 Not Found" else "200 OK"
     val ctype = if (i % 6 == 0) "text/plain" else "text/html; charset=utf-8"
     val http = crlf(s"""HTTP/1.1 $status
@@ -237,6 +237,30 @@ object Warc {
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(bytes); gz.close()
     bos.toByteArray
+  }
+
+  /** Tooling (ScaleCheck staging — NOT the oracle fixture): write `n`
+    * padded response records as multi-member `.warc.gz` segments of
+    * `perSegment` records each, sized for throughput measurement.
+    * Parallelism is one task per segment file, so the record count per
+    * segment sets the task granularity exactly as Common Crawl's ~1 GB
+    * segments do at production scale. */
+  private[graft] def writeSyntheticSegments(dir: String, n: Int,
+                                            perSegment: Int = 2000,
+                                            pad: Int = 500): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    var i = 0
+    var seg = 0
+    while (i < n) {
+      val hi = math.min(i + perSegment, n)
+      val out = new java.io.ByteArrayOutputStream(perSegment * (pad + 400))
+      (i until hi).foreach(j => out.write(gzipMember(responseRecord(j, pad))))
+      java.nio.file.Files.write(d.resolve(f"seg_$seg%05d.warc.gz"),
+        out.toByteArray)
+      i = hi
+      seg += 1
+    }
   }
 
   /** Staged two-segment fixture dir (built once per JVM, removed on

@@ -231,6 +231,27 @@ object ScaleCheck {
           spark.read.parquet(s"$base/documents.parquet")
             .filter(col("doc_id") >= 400),
           s"$synthRoot/mhidx_x$f")),
+      // round-9: IVF ANN against the PERSISTED index (staged per factor
+      // outside the timing): the from-scratch path re-pays centroid
+      // training + whole-corpus cell assignment every run; the indexed
+      // query pays only its probed cells' postings. At fixed nlist the
+      // probed read still grows with the index (nprobe/nlist of k×
+      // rows) — the claim is the training/assignment pass is GONE and
+      // the remaining curve tracks the probed fraction, never the whole
+      // index
+      ("q_sim_ivf_idx", (_, f) => graft.llm.Similarity.ivfTopKIndexed(
+        spark.read.parquet(s"$base/embeddings.parquet")
+          .filter(col("vec_id") < 10),
+        s"$synthRoot/ivfidx_x$f", k = 5, nprobe = 4)),
+      // round-9: WARC cracking throughput — k× staged .warc.gz segments
+      // (2000 records each, ~700 B/record): gunzip + frame parse + HTTP
+      // split are partition-local with one task per segment, so time
+      // should track container bytes and shuffle stay at the final
+      // aggregate's partials
+      ("q_scan_warc", (_, f) => graft.sources.Warc.readResponses(
+          spark, s"$synthRoot/warc_x$f")
+        .groupBy(col("http_status"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))),
       // round-8: suffix-array variable-length dedup — positions (and the
       // md5-bucketed suffix table) grow linearly with the corpus; copies
       // share no word tokens, so buckets never merge across copies and a
@@ -333,6 +354,29 @@ object ScaleCheck {
             numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)
           Caches.release(); spark.catalog.clearCache()
           new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
+        }
+      }
+
+    if (runs.exists(_._1 == "q_sim_ivf_idx"))
+      for (f <- factors) {
+        val src = if (f == 1) base else s"$synthRoot/x$f"
+        if (f != 1) synthesize(spark, base, f, src)
+        val ix = new java.io.File(s"$synthRoot/ivfidx_x$f")
+        if (!new java.io.File(ix, "_DONE").exists()) {
+          graft.llm.Similarity.writeIvfIndex(
+            spark.read.parquet(s"$src/embeddings.parquet"), ix.toString,
+            nlist = 16)
+          Caches.release(); spark.catalog.clearCache()
+          new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
+        }
+      }
+    if (runs.exists(_._1 == "q_scan_warc"))
+      for (f <- factors) {
+        val dir = new java.io.File(s"$synthRoot/warc_x$f")
+        if (!new java.io.File(dir, "_DONE").exists()) {
+          graft.sources.Warc.writeSyntheticSegments(
+            dir.toString, 30000 * f)
+          new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
         }
       }
 
