@@ -435,21 +435,61 @@ object Dedup {
     import spark.implicits._
     val sigs = Caches.track(
       minhashSignatures(history, numHashes, shingleSize, textCol, idCol))
+    writeBandRows(sigs, bands, numHashes / bands, path, maxBucketSize,
+      "overwrite")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    Seq((numHashes, bands, shingleSize,
+        if (maxBucketSize == Int.MaxValue) -1 else maxBucketSize))
+      .toDF("num_hashes", "bands", "shingle_size", "max_bucket_size")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The capped band-bucket write shared by [[writeMinhashIndex]]
+    * (overwrite) and [[appendToMinhashIndex]] (append): hot buckets keep
+    * their minimum representative, rows land in band=N partition dirs
+    * range-distributed + sorted by bucket for row-group pruning. */
+  private def writeBandRows(sigs: DataFrame, bands: Int, r: Int,
+                            path: String, maxBucketSize: Int,
+                            mode: String): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
-    bandedBuckets(sigs, bands, numHashes / bands)
+    bandedBuckets(sigs, bands, r)
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("doc_id")).over(w))
       .filter(col("bsz") <= maxBucketSize || col("doc_id") === col("rep"))
       .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
       .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    Seq((numHashes, bands, shingleSize,
-        if (maxBucketSize == Int.MaxValue) -1 else maxBucketSize))
-      .toDF("num_hashes", "bands", "shingle_size", "max_bucket_size")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** APPEND a batch to a persisted index ([[writeMinhashIndex]]) — the
+    * index-MAINTENANCE half of the ingest loop: match today's delta,
+    * keep what survives, then fold the survivors in so tomorrow's delta
+    * sees them as history. Signature/banding parameters come from the
+    * index's own meta (the same no-drift rule as the reader); new band
+    * rows land in the existing band=N partition dirs and sigs gain one
+    * file set — nothing existing is rewritten, so the append costs
+    * O(batch), not O(index). The write-time hot-bucket cap applies
+    * within THIS append's rows only (an already-hot bucket grows by at
+    * most one append's cap; the reader's probe-side cap still bounds
+    * per-query cost). */
+  def appendToMinhashIndex(batch: DataFrame, indexPath: String,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
+    val numHashes = meta.head.getAs[Int]("num_hashes")
+    val bands = meta.head.getAs[Int]("bands")
+    val shingleSize = meta.head.getAs[Int]("shingle_size")
+    val rawCap = meta.head.getAs[Int]("max_bucket_size")
+    val maxBucketSize = if (rawCap < 0) Int.MaxValue else rawCap
+    val sigs = Caches.track(
+      minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
+    writeBandRows(sigs, bands, numHashes / bands, indexPath, maxBucketSize,
+      "append")
+    sigs.write.mode("append").parquet(s"$indexPath/sigs")
   }
 
   /** Incremental dedup against a PERSISTED index ([[writeMinhashIndex]]):

@@ -1510,6 +1510,47 @@ object LlmQueries {
              |FROM documents WHERE doc_id >= 400 AND doc_id < 420
              |ORDER BY batch_id""".stripMargin)),
 
+    // Index MAINTENANCE — the full ingest loop over the persisted
+    // MinHash index: write history, APPEND a day's batch (O(batch),
+    // nothing rewritten), then probe with planted copies of BOTH the
+    // original history and the appended batch — every probe must flag,
+    // proving the appended rows are first-class history. Each run
+    // starts from a fresh overwrite, so repeated runs never compound
+    // the append.
+    QueryDef(
+      "q_dedup_index_append",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 300)
+        val day1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_app"
+        Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
+          shingleSize = 5, maxBucketSize = 500)
+        Dedup.appendToMinhashIndex(day1, idx)
+        val probes = day1.filter(col("doc_id") < 320)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+          .unionByName(history.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        val matches = Dedup.incrementalMinhashMatchesIndexed(probes, idx)
+        probes.select(col("doc_id").as("probe_id"))
+          .join(matches
+              .filter((col("hist_id") === col("batch_id") - 200000 ||
+                  col("hist_id") === col("batch_id") - 300000) &&
+                col("est_jaccard") >= 0.9999)
+              .select(col("batch_id").as("probe_id"),
+                lit(true).as("hist_dup"))
+              .distinct(),
+            Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("hist_dup"), lit(false)).as("hist_dup"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""SELECT doc_id + 200000 AS probe_id, true AS hist_dup
+             |FROM documents WHERE doc_id >= 300 AND doc_id < 320
+             |UNION ALL
+             |SELECT doc_id + 300000, true FROM documents WHERE doc_id < 20
+             |ORDER BY probe_id""".stripMargin)),
+
     // BPE merge-table learning (Sennrich et al. 2016): the first 8 merges
     // over the whitespace word-frequency table, counts weighted by word
     // frequency, ties to the lexicographically smallest pair. The corpus
