@@ -296,6 +296,33 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
   }
 
+  /** APPEND new vectors to a persisted IVF index ([[writeIvfIndex]]) —
+    * the maintenance half, mirroring [[Dedup.appendToMinhashIndex]]:
+    * the coarse quantizer is FROZEN (new vectors are assigned with the
+    * STORED centroids — retraining would silently re-cell the existing
+    * postings out from under their directories), so an append is one
+    * linear pass over the delta landing in the existing cell=N partition
+    * dirs; nothing existing is rewritten. The FAISS add-after-train
+    * contract: recall degrades only as far as the data drifts from the
+    * trained quantizer, and a drifted index is rebuilt deliberately, not
+    * incidentally. */
+  def appendToIvfIndex(delta: DataFrame, indexPath: String,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): Unit = {
+    val spark = delta.sparkSession
+    val centroids: Array[Array[Double]] =
+      spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
+        .collect().map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    delta
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
+      .withColumn("cell",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+      .drop("d")
+      .withColumn("c_norm", l2norm(col("c_vec")))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
+  }
+
   /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):
     * centroids load as bounded driver state (nlist rows — the k-means
     * contract), each query probes its nprobe nearest cells, and the

@@ -500,6 +500,29 @@ object LlmQueries {
       },
       Some(annTwinGateSql)),
 
+    // IVF index MAINTENANCE: train + write on the base corpus, then
+    // APPEND the planted twins with the STORED centroids (quantizer
+    // frozen — the FAISS add-after-train contract; retraining would
+    // re-cell existing postings out from under their directories). An
+    // identical vector scores identically against the frozen centroids,
+    // so each appended twin lands in its query's own cell — probe #1 —
+    // and the twin gate passes only if appended rows are first-class
+    // index citizens. Fresh overwrite each run, so appends never
+    // compound.
+    QueryDef(
+      "q_sim_ivf_index_append",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_app"
+        Similarity.writeIvfIndex(base, idx, nlist = 16)
+        Similarity.appendToIvfIndex(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")), idx)
+        annTwinGate(queries,
+          Similarity.ivfTopKIndexed(queries, idx, k = 5, nprobe = 4))
+      },
+      Some(annTwinGateSql)),
+
     // Product-quantization ANN (codes + ADC lookup scoring + exact
     // re-rank): the memory-compression tier beside IVF's pruning — 64
     // floats per vector become 8 codes for the candidate scan. Rows-only;
