@@ -97,7 +97,7 @@ object Warc {
     * segment. Non-response records (warcinfo, request, metadata, …) are
     * skipped silently; malformed records are dropped with a resync (see
     * the object doc). */
-  private[sources] def parseResponses(bytes: Array[Byte]): Seq[WarcDoc] = {
+  private[graft] def parseResponses(bytes: Array[Byte]): Seq[WarcDoc] = {
     val out = Seq.newBuilder[WarcDoc]
     var pos = nextMagic(bytes, 0)
     while (pos >= 0) {

@@ -52,6 +52,25 @@ class WarcSpec extends SparkSpec {
     assert(r5.getAs[Long]("n_bytes") === body.length.toLong)
   }
 
+  test("overlong Content-Length drops the record and recovers at the " +
+      "next magic") {
+    def rec(path: String): String = {
+      val payload = "HTTP/1.1 200 OK\r\nContent-Type: t\r\n\r\nhi"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$path>\r\n" +
+        s"WARC-Target-URI: http://x/$path\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    }
+    // middle record claims 99999 payload bytes (truncated / lying
+    // length): it must drop, and the trailing record must still parse
+    val bytes = (rec("a") +
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\n\r\nxx" +
+      rec("b")).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val docs = Warc.parseResponses(bytes)
+    assert(docs.map(_.url) === Seq("http://x/a", "http://x/b"))
+    assert(docs.forall(_.text === "hi"))
+  }
+
   test("scan is a single stage: no exchange in the plan") {
     val plan = Warc.readResponses(spark, Warc.warcIngestDir)
       .queryExecution.executedPlan.toString
