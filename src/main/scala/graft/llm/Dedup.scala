@@ -756,6 +756,30 @@ object Dedup {
         coalesce(col("m"), col("node")).as("cluster_id"))
   }
 
+  /** Dedup-AWARE train/val/test split: every member of a near-dup
+    * cluster lands in the SAME split — the published leakage rule (one
+    * twin training while the other evaluates silently inflates eval
+    * scores; splits must be by cluster, not by document). The split key
+    * is the cluster representative (min id of the component, from
+    * [[connectedComponentsStar]]) for clustered docs and the doc's own
+    * id for singletons; the key then routes through the same
+    * multiplicative-hash bucket rule as the plain split operator
+    * (train < 205, val < 230 of 256 — exact integer arithmetic, engine-
+    * identical in DuckDB). Scale shape: components as audited, plus one
+    * left join and per-row codegen'd hash work — no new exchange class. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val clusters = connectedComponentsStar(pairs)
+    val bucket = ((pmod(col("split_key"), lit(2147483648L)) * lit(2654435761L))
+      % lit(4294967296L) / lit(16777216L)).cast("long")
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("split_key"),
+        when(bucket < 205, "train")
+          .when(bucket < 230, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** 64-bit SimHash over word tokens + banded hamming-distance candidates.
     * Signature is a per-row aggregate over token hashes (codegen'd, no
     * shuffle); candidate pairs share at least one of 8 8-bit blocks

@@ -1397,6 +1397,55 @@ object LlmQueries {
              |SELECT doc_id, cluster_id FROM sized WHERE n > 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // Dedup-AWARE split (the published leakage rule: near-dup twins must
+    // never straddle train/eval): the q_dedup_clusters planted-triple
+    // corpus routes every cluster through its representative's hash
+    // bucket, singletons through their own — the oracle restates
+    // components as md5-group min-ids and the same exact-integer bucket
+    // rule, so a single straddling twin breaks the hash.
+    QueryDef(
+      "q_split_leakage_free",
+      (s, dir) => {
+        // copies cover only a PREFIX of the corpus, so the un-copied
+        // tail (minus base-internal exact dups) exercises the singleton
+        // own-id path alongside the cluster-representative path
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.filter(col("doc_id") < 200)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        val chain = corpus.select(md5(col("text")).as("h"), col("doc_id"))
+          .withColumn("prev", lag(col("doc_id"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("d1"), col("doc_id").as("d2"))
+        Dedup.leakageFreeSplit(corpus.select("doc_id"), chain)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |    WHERE doc_id < 200
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents
+             |    WHERE doc_id < 100),
+             |keyed AS (
+             |  SELECT doc_id,
+             |    CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+             |         THEN min(doc_id) OVER (PARTITION BY md5(text))
+             |         ELSE doc_id END AS split_key
+             |  FROM corpus),
+             |b AS (
+             |  SELECT doc_id, split_key,
+             |    (((split_key % 2147483648 + 2147483648) % 2147483648)
+             |      * 2654435761) % 4294967296 // 16777216 AS bucket
+             |  FROM keyed)
+             |SELECT doc_id, split_key,
+             |  CASE WHEN bucket < 205 THEN 'train'
+             |       WHEN bucket < 230 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     // The O(log n)-round component algorithm on the same planted-chain
     // graph (Dedup.connectedComponentsStar — alternating large-star/
     // small-star, Kiveris et al. 2014): identical cluster contract and
