@@ -492,6 +492,54 @@ object Dedup {
     sigs.write.mode("append").parquet(s"$indexPath/sigs")
   }
 
+  /** Recursively delete a directory tree (compaction swap cleanup). */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
+  /** Rewrite-and-swap one index subdir: the fresh copy replaces the live
+    * one via two local renames (object-store deployments swap a
+    * manifest/version pointer instead — the Iceberg/Delta move; the
+    * LAYOUT contract is what compaction is about, not the rename). */
+  private def swapDir(live: String, fresh: String): Unit = {
+    val livePath = java.nio.file.Paths.get(live)
+    val old = java.nio.file.Paths.get(live + "_old")
+    deleteTree(old)
+    java.nio.file.Files.move(livePath, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(fresh), livePath)
+    deleteTree(old)
+  }
+
+  /** COMPACT a persisted MinHash index ([[writeMinhashIndex]]) after many
+    * appends: each [[appendToMinhashIndex]] lands one more file set per
+    * touched band dir, and a year of daily deltas means the reader's
+    * probe pays hundreds of small-file opens per band — the classic
+    * LSM/small-files decay. Compaction rewrites bands range-distributed +
+    * sorted by (band, bucket), restoring the write-time row-group-pruning
+    * layout appends cannot maintain, and consolidates sigs; exact
+    * duplicate rows (the same doc appended twice) collapse as stated
+    * hygiene. Reader output is unchanged (spec-pinned); cost is one
+    * linear pass over the index — the deliberate amortization trade. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Unit = {
+    spark.read.parquet(s"$indexPath/bands")
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("hist_id"))
+      .distinct()
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexPath/bands_compacting")
+    spark.read.parquet(s"$indexPath/sigs").dropDuplicates("doc_id")
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode("overwrite").parquet(s"$indexPath/sigs_compacting")
+    swapDir(s"$indexPath/bands", s"$indexPath/bands_compacting")
+    swapDir(s"$indexPath/sigs", s"$indexPath/sigs_compacting")
+  }
+
   /** Incremental dedup against a PERSISTED index ([[writeMinhashIndex]]):
     * signature + banding parameters come from the index's own meta, the
     * history signature pass is NOT re-paid, and per-batch cost is truly

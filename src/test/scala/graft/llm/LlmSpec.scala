@@ -225,6 +225,39 @@ class LlmSpec extends SparkSpec {
       "postings scan must prune by probed cell partitions")
   }
 
+  test("compactMinhashIndex consolidates append file sets and preserves " +
+      "reader output exactly") {
+    import SparkSpec.spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"document number $i with some repeated filler words $i"))
+      .toDF("doc_id", "text")
+    val idx = tempDir("graft-mh-compact-").toString + "/idx"
+    Dedup.writeMinhashIndex(mk(0L until 30L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5)
+    Dedup.appendToMinhashIndex(mk(100L until 120L), idx)
+    Dedup.appendToMinhashIndex(mk(200L until 220L), idx)
+    // one probe twin per write generation: original, append 1, append 2
+    val probe = mk(Seq(5L, 105L, 205L))
+      .select((col("doc_id") + 9000).as("doc_id"), col("text"))
+    def matches() = Dedup.incrementalMinhashMatchesIndexed(probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def bandFiles() = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idx/bands"))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = matches()
+    assert(Set(5L, 105L, 205L).subsetOf(
+      before.filter(_._3 >= 0.999).map(_._2)),
+      s"twins across all generations must match: $before")
+    val filesBefore = bandFiles()
+    Dedup.compactMinhashIndex(spark, idx)
+    assert(matches() == before, "compaction must not change reader output")
+    assert(bandFiles() < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> ${bandFiles()})")
+  }
+
   test("ivfTopK: selective probing keeps planted-twin recall high") {
     // Twins sit ~on top of their base vector, so k-means puts each pair in
     // the same cell and the query's nearest (own) cell contains its twin —
