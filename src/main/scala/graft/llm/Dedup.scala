@@ -493,7 +493,7 @@ object Dedup {
   }
 
   /** Recursively delete a directory tree (compaction swap cleanup). */
-  private def deleteTree(p: java.nio.file.Path): Unit = {
+  private[llm] def deleteTree(p: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
@@ -504,7 +504,7 @@ object Dedup {
     * one via two local renames (object-store deployments swap a
     * manifest/version pointer instead — the Iceberg/Delta move; the
     * LAYOUT contract is what compaction is about, not the rename). */
-  private def swapDir(live: String, fresh: String): Unit = {
+  private[llm] def swapDir(live: String, fresh: String): Unit = {
     val livePath = java.nio.file.Paths.get(live)
     val old = java.nio.file.Paths.get(live + "_old")
     deleteTree(old)

@@ -323,6 +323,24 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
   }
 
+  /** COMPACT a persisted IVF index after many appends — the same
+    * LSM/small-files decay (and the same dir-swap machinery) as
+    * [[Dedup.compactMinhashIndex]]: each append lands one more file set
+    * per touched cell dir; compaction rewrites the postings consolidated
+    * per cell. Centroids are untouched (KB-scale, never appended to);
+    * reader output is unchanged (spec-pinned). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit = {
+    spark.read.parquet(s"$indexPath/postings")
+      .select(col("cell").cast("int").as("cell"), col("cand_id"),
+        col("c_vec"), col("c_norm"))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("cand_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/postings_compacting")
+    Dedup.swapDir(s"$indexPath/postings", s"$indexPath/postings_compacting")
+  }
+
   /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):
     * centroids load as bounded driver state (nlist rows — the k-means
     * contract), each query probes its nprobe nearest cells, and the

@@ -258,6 +258,40 @@ class LlmSpec extends SparkSpec {
       s"compaction must shrink the file count ($filesBefore -> ${bandFiles()})")
   }
 
+  test("compactIvfIndex consolidates appended postings and preserves " +
+      "reader output exactly") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 40).map(i => (i.toLong, unit(64)))
+      .toDF("vec_id", "embedding")
+    val idx = tempDir("graft-ivf-compact-").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, idx, nlist = 4)
+    Similarity.appendToIvfIndex(
+      (100 until 120).map(i => (i.toLong, unit(64)))
+        .toDF("vec_id", "embedding"), idx)
+    val queries = corpus.filter($"vec_id" < 5)
+    def rows() = Similarity.ivfTopKIndexed(queries, idx, k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def files() = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$idx/postings"))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = rows()
+    val filesBefore = files()
+    Similarity.compactIvfIndex(spark, idx)
+    assert(rows() == before, "compaction must not change reader output")
+    assert(files() < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> ${files()})")
+  }
+
   test("ivfTopK: selective probing keeps planted-twin recall high") {
     // Twins sit ~on top of their base vector, so k-means puts each pair in
     // the same cell and the query's nearest (own) cell contains its twin —
