@@ -307,10 +307,7 @@ final class Task(
     Files.deleteIfExists(digestTaskFilepath)
     Files.deleteIfExists(timesFilepath)
     Files.deleteIfExists(path.resolve("metrics.json"))
-    if (Files.exists(dataPath)) {
-      Files.walk(dataPath).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    Fs.deleteTree(dataPath)
   }
 
   // -- run (repype/task.py:629-732) ----------------------------------------

@@ -492,14 +492,6 @@ object Dedup {
     sigs.write.mode("append").parquet(s"$indexPath/sigs")
   }
 
-  /** Recursively delete a directory tree (compaction swap cleanup). */
-  private[llm] def deleteTree(p: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, Path}
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-  }
-
   /** Rewrite-and-swap one index subdir: the fresh copy replaces the live
     * one via two local renames (object-store deployments swap a
     * manifest/version pointer instead — the Iceberg/Delta move; the
@@ -507,10 +499,10 @@ object Dedup {
   private[llm] def swapDir(live: String, fresh: String): Unit = {
     val livePath = java.nio.file.Paths.get(live)
     val old = java.nio.file.Paths.get(live + "_old")
-    deleteTree(old)
+    graft.core.Fs.deleteTree(old)
     java.nio.file.Files.move(livePath, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(fresh), livePath)
-    deleteTree(old)
+    graft.core.Fs.deleteTree(old)
   }
 
   /** COMPACT a persisted MinHash index ([[writeMinhashIndex]]) after many
@@ -519,9 +511,12 @@ object Dedup {
     * probe pays hundreds of small-file opens per band — the classic
     * LSM/small-files decay. Compaction rewrites bands range-distributed +
     * sorted by (band, bucket), restoring the write-time row-group-pruning
-    * layout appends cannot maintain, and consolidates sigs; exact
-    * duplicate rows (the same doc appended twice) collapse as stated
-    * hygiene. Reader output is unchanged (spec-pinned); cost is one
+    * layout appends cannot maintain, and consolidates sigs; only
+    * byte-identical duplicate ROWS collapse (re-running the same append
+    * twice), so reader output is provably unchanged even if a doc_id was
+    * wrongly re-appended with different text — both signature versions
+    * survive, exactly as before compaction (resolving that conflict is
+    * the caller's data bug, not compaction's call to make). Cost is one
     * linear pass over the index — the deliberate amortization trade. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String): Unit = {
@@ -533,7 +528,7 @@ object Dedup {
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexPath/bands_compacting")
-    spark.read.parquet(s"$indexPath/sigs").dropDuplicates("doc_id")
+    spark.read.parquet(s"$indexPath/sigs").distinct()
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode("overwrite").parquet(s"$indexPath/sigs_compacting")
     swapDir(s"$indexPath/bands", s"$indexPath/bands_compacting")
@@ -817,7 +812,10 @@ object Dedup {
     * left join and per-row codegen'd hash work — no new exchange class. */
   def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id"): DataFrame = {
+    // components emit a fixed (doc_id, cluster_id) schema — realign to
+    // the caller's id column so non-default idCol joins resolve
     val clusters = connectedComponentsStar(pairs)
+      .withColumnRenamed("doc_id", idCol)
     val bucket = ((pmod(col("split_key"), lit(2147483648L)) * lit(2654435761L))
       % lit(4294967296L) / lit(16777216L)).cast("long")
     docs.join(clusters, Seq(idCol), "left")

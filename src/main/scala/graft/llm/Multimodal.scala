@@ -137,12 +137,7 @@ object Multimodal {
     * exit. */
   lazy val pngIngestDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-media-png-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }, "graft-media-png-cleanup"))
+    graft.core.Fs.deleteOnExit(dir, "graft-media-png-cleanup")
     (0 until 64).foreach { i =>
       val (w, h) = synthDims(i.toLong)
       java.nio.file.Files.write(dir.resolve(s"img_$i.png"),

@@ -218,36 +218,38 @@ object Similarity {
     * `nprobe = nlist` degenerates to exact brute force (recall 1) — the
     * correctness anchor the spec pins.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int, nprobe: Int, trainIters: Int = 3,
-              vecCol: String = "embedding", idCol: String = "vec_id",
-              trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    val centroids = Clustering.trainCentroids(
-      corpus, idCol, vecCol, nlist, trainIters, trainFraction)
-    // same scoring expression as the k-means assignment (Clustering) so
-    // cell routing can never diverge from the trained assignment
-    def cellScores(v: Column): Column = Clustering.centroidScores(v, centroids)
-
-    val cands = corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .withColumn("d", cellScores(col("c_vec")))
+  /** Cell assignment of `df` against a fixed coarse quantizer: the SAME
+    * scoring expression as the k-means assignment (Clustering) so cell
+    * routing can never diverge from the trained assignment — shared by
+    * the in-memory path, the index write, and the index append (a drift
+    * in any one would silently de-sync index writes from reads). */
+  private def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+                          vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
       .withColumn("cell",
         (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
       .drop("d")
       .withColumn("c_norm", l2norm(col("c_vec")))
 
-    // Each query probes its nprobe nearest cells: sort (score, cell)
-    // structs, keep the first nprobe, explode to (query_id, cell) rows.
-    val probed = queries
+  /** Probe table of a query set against a fixed quantizer: norms hoisted
+    * before the explode, one (query_id, q_vec, q_norm, cell) row per
+    * probed cell. */
+  private def probeTable(queries: DataFrame,
+                         centroids: Array[Array[Double]], nprobe: Int,
+                         vecCol: String, idCol: String): DataFrame =
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", l2norm(col("q_vec"))) // before the probe explode
-      .withColumn("d", cellScores(col("q_vec")))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+      .withColumn("d", Clustering.centroidScores(col("q_vec"), centroids))
       .select(col("query_id"), col("q_vec"), col("q_norm"),
-        explode(probeCells(col("d"), nlist, nprobe)).as("cell"))
+        explode(probeCells(col("d"), centroids.length, nprobe)).as("cell"))
 
+  /** The IVF ranking tail shared by the in-memory and indexed paths:
+    * broadcast probe join on cell, exact cosine, per-query top-k. */
+  private def rankProbed(cands: DataFrame, probed: DataFrame,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("cand_id"))
     cands.join(broadcast(probed), Seq("cell"))
@@ -258,6 +260,26 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
         round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** Centroid table of a persisted index as bounded driver state (nlist
+    * rows — the k-means contract). */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, trainIters: Int = 3,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              trainFraction: Double = 1.0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val centroids = Clustering.trainCentroids(
+      corpus, idCol, vecCol, nlist, trainIters, trainFraction)
+    rankProbed(assignCells(corpus, centroids, vecCol, idCol),
+      probeTable(queries, centroids, nprobe, vecCol, idCol), k)
   }
 
   /** Write the PERSISTED IVF index of a corpus — the ANN mirror of
@@ -286,13 +308,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
-      .withColumn("cell",
-        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
-      .drop("d")
-      .withColumn("c_norm", l2norm(col("c_vec")))
+    assignCells(corpus, centroids, vecCol, idCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
   }
 
@@ -308,20 +324,10 @@ object Similarity {
     * incidentally. */
   def appendToIvfIndex(delta: DataFrame, indexPath: String,
                        vecCol: String = "embedding",
-                       idCol: String = "vec_id"): Unit = {
-    val spark = delta.sparkSession
-    val centroids: Array[Array[Double]] =
-      spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
-        .collect().map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    delta
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
-      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
-      .withColumn("cell",
-        (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
-      .drop("d")
-      .withColumn("c_norm", l2norm(col("c_vec")))
+                       idCol: String = "vec_id"): Unit =
+    assignCells(delta, loadCentroids(delta.sparkSession, indexPath),
+        vecCol, idCol)
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
-  }
 
   /** COMPACT a persisted IVF index after many appends — the same
     * LSM/small-files decay (and the same dir-swap machinery) as
@@ -353,35 +359,17 @@ object Similarity {
   def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
                      nprobe: Int, vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
-    val centroids: Array[Array[Double]] =
-      spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
-        .collect().map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    val nlist = centroids.length
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    val probed = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
-      .withColumn("d", Clustering.centroidScores(col("q_vec"), centroids))
-      .select(col("query_id"), col("q_vec"), col("q_norm"),
-        explode(probeCells(col("d"), nlist, nprobe)).as("cell"))
-    val probedT = Caches.track(probed) // cell collect + probe join
-    val cells = probedT.select("cell").distinct().collect()
+    val centroids = loadCentroids(spark, indexPath)
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, nlist=${centroids.length}], got $nprobe")
+    val probed = Caches.track( // consumed twice: cell collect + probe join
+      probeTable(queries, centroids, nprobe, vecCol, idCol))
+    val cells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted // ≤ nlist values
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter(col("cell").isin(cells.map(c => c: Any).toSeq: _*))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("cand_id"))
-    postings.join(broadcast(probedT), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cos_raw",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos_raw"), 4).as("cos_sim"))
+    rankProbed(postings, probed, k)
   }
 
   // ---- shared ANN machinery -------------------------------------------

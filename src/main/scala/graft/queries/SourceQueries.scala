@@ -16,13 +16,7 @@ object SourceQueries {
   // repeated bench/verify runs don't accumulate staged copies.
   private lazy val stageRoot = {
     val dir = java.nio.file.Files.createTempDirectory("graft-staged-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }, "graft-staged-cleanup"))
+    graft.core.Fs.deleteOnExit(dir, "graft-staged-cleanup")
     dir.toString
   }
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]

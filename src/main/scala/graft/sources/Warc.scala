@@ -43,46 +43,12 @@ object Warc {
 
   private val Magic = "WARC/1.".getBytes(StandardCharsets.US_ASCII)
 
-  /** Decompress a (possibly multi-member) gzip blob. `GZIPInputStream`
-    * reads concatenated members until EOF — exactly the layout of
-    * `.warc.gz` (one member per record, so HTTP range readers can fetch
-    * single records; we read whole segments). */
-  private[sources] def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(
-      math.min(bytes.length.toLong * 4, Int.MaxValue.toLong - 16).toInt)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
-  }
-
-  /** Index of the next record magic at or after `from`, or -1. */
-  private def nextMagic(bytes: Array[Byte], from: Int): Int = {
-    var i = math.max(from, 0)
-    val last = bytes.length - Magic.length
-    while (i <= last) {
-      var j = 0
-      while (j < Magic.length && bytes(i + j) == Magic(j)) j += 1
-      if (j == Magic.length) return i
-      i += 1
-    }
-    -1
-  }
-
-  /** Index just past the first CRLFCRLF at or after `from`, or -1. */
-  private def pastHeaderBlock(bytes: Array[Byte], from: Int): Int = {
-    var i = from
-    val last = bytes.length - 4
-    while (i <= last) {
-      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i + 4
-      i += 1
-    }
-    -1
-  }
+  /** Records claiming a payload larger than this are treated as corrupt
+    * framing — no real WARC document approaches 64 MB, and trusting an
+    * absurd length would let one lying record demand an absurd buffer
+    * (it also bounds the mark/reset window a truncated record can ask
+    * for). The parser rescans for the next magic instead. */
+  private val MaxRecordBytes: Int = 64 << 20
 
   /** Parse a `Name: value` header block (case-insensitive names). */
   private def parseHeaders(block: String): Map[String, String] =
@@ -93,45 +59,125 @@ object Warc {
         line.substring(c + 1).trim)
     }.toMap
 
-  /** Extract the HTTP response documents of one (decompressed) WARC
-    * segment. Non-response records (warcinfo, request, metadata, …) are
-    * skipped silently; malformed records are dropped with a resync (see
-    * the object doc). */
-  private[graft] def parseResponses(bytes: Array[Byte]): Seq[WarcDoc] = {
-    val out = Seq.newBuilder[WarcDoc]
-    var pos = nextMagic(bytes, 0)
-    while (pos >= 0) {
-      val afterHeaders = pastHeaderBlock(bytes, pos)
-      var resyncFrom = pos + 1
-      if (afterHeaders > 0) {
-        val headers = parseHeaders(new String(bytes, pos, afterHeaders - pos,
-          StandardCharsets.UTF_8))
-        val len = headers.get("content-length")
-          .flatMap(v => scala.util.Try(v.toInt).toOption)
-        len match {
-          case Some(n) if n >= 0 && afterHeaders + n <= bytes.length =>
-            // well-framed record: resume AFTER the payload even when the
-            // record itself is skipped or its HTTP head is malformed
-            resyncFrom = afterHeaders + n
-            if (headers.get("warc-type").contains("response"))
-              httpResponse(bytes, afterHeaders, n, headers)
-                .foreach(out += _)
-          case _ => // bad/missing length: framing lost, resync at magic
+  /** Extract the HTTP response documents of one WARC segment STREAM, in
+    * O(record) memory — the decompressed segment never materializes, so
+    * segment size is bounded only by `binaryFile`'s compressed-blob
+    * limit (Common Crawl's ~1 GB `.warc.gz` unit fits with headroom).
+    * Non-response records (warcinfo, request, metadata, …) are skipped;
+    * malformed records are dropped with a rescan for the next magic; a
+    * TRUNCATED record (claimed length runs past EOF) resets to just
+    * after its own header and rescans, so a lying Content-Length cannot
+    * swallow the records behind it; an IO error mid-stream (a corrupt
+    * gzip member) ends the iteration with everything already parsed —
+    * quarantine-the-remainder, since gzip framing cannot be resynced. */
+  private[graft] def parseResponses(
+      in0: java.io.InputStream): Iterator[WarcDoc] =
+    new Iterator[WarcDoc] {
+      private val in = new java.io.BufferedInputStream(in0, 64 * 1024)
+      private var nextDoc: WarcDoc = _
+      private var finished = false
+      advance()
+
+      override def hasNext: Boolean = nextDoc != null
+      override def next(): WarcDoc = {
+        val d = nextDoc
+        advance()
+        d
+      }
+
+      /** Consume bytes until a whole magic has been read; false at EOF.
+        * "WARC/1." repeats its first byte nowhere else, so the restart
+        * rule on 'W' is exact. */
+      private def scanToMagic(): Boolean = {
+        var m = 0
+        while (m < Magic.length) {
+          val b = in.read()
+          if (b < 0) return false
+          if (b == Magic(m)) m += 1
+          else m = if (b == Magic(0)) 1 else 0
+        }
+        true
+      }
+
+      /** The header block after the magic, through its CRLFCRLF (64 KB
+        * cap — a header that long is corrupt framing). */
+      private def readHeaderBlock(): Option[Array[Byte]] = {
+        val buf = new java.io.ByteArrayOutputStream(512)
+        var tail = 0 // matched prefix of \r\n\r\n at the current end
+        while (buf.size < 65536) {
+          val b = in.read()
+          if (b < 0) return None
+          buf.write(b)
+          tail =
+            if (b == "\r\n\r\n".charAt(tail)) tail + 1
+            else if (b == '\r') 1
+            else 0
+          if (tail == 4) return Some(buf.toByteArray)
+        }
+        None
+      }
+
+      private def readFully(n: Int): Option[Array[Byte]] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) return None
+          off += r
+        }
+        Some(buf)
+      }
+
+      private def advance(): Unit = {
+        nextDoc = null
+        try {
+          while (nextDoc == null && !finished) {
+            if (!scanToMagic()) finished = true
+            else readHeaderBlock() match {
+              case None => // runaway/EOF header: rescan finds EOF or magic
+              case Some(block) =>
+                val headers = parseHeaders(
+                  new String(block, StandardCharsets.UTF_8))
+                headers.get("content-length")
+                  .flatMap(v => scala.util.Try(v.toLong).toOption) match {
+                  case Some(n) if n >= 0 && n <= MaxRecordBytes =>
+                    in.mark(n.toInt + 1)
+                    readFully(n.toInt) match {
+                      case None => in.reset() // truncated: rescan after header
+                      case Some(payload) =>
+                        if (headers.get("warc-type").contains("response"))
+                          httpResponse(payload, headers)
+                            .foreach(d => nextDoc = d)
+                    }
+                  case _ => // bad/missing/absurd length: rescan at magic
+                }
+            }
+          }
+        } catch {
+          case _: java.io.IOException =>
+            finished = true
+            nextDoc = null
         }
       }
-      pos = nextMagic(bytes, resyncFrom)
     }
-    out.result()
-  }
+
+  /** In-memory convenience overload (specs, small fixtures). */
+  private[graft] def parseResponses(bytes: Array[Byte]): Seq[WarcDoc] =
+    parseResponses(new java.io.ByteArrayInputStream(bytes)).toSeq
 
   /** Split one `application/http` payload into (status, content-type,
     * body); None when the HTTP head is malformed. */
-  private def httpResponse(bytes: Array[Byte], start: Int, n: Int,
+  private def httpResponse(payload: Array[Byte],
                            warcHeaders: Map[String, String]): Option[WarcDoc] = {
-    val bodyStart = pastHeaderBlock(bytes, start)
-    if (bodyStart < 0 || bodyStart > start + n) return None
-    val head = new String(bytes, start, bodyStart - start,
-      StandardCharsets.UTF_8)
+    var bodyStart = -1
+    var i = 0
+    while (bodyStart < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') bodyStart = i + 4
+      i += 1
+    }
+    if (bodyStart < 0) return None
+    val head = new String(payload, 0, bodyStart, StandardCharsets.UTF_8)
     val lines = head.split("\r\n")
     val status = lines.headOption.map(_.split(" ")) match {
       case Some(parts) if parts.length >= 2 && parts(0).startsWith("HTTP/") =>
@@ -140,14 +186,15 @@ object Warc {
     }
     status.map { st =>
       val httpHeaders = parseHeaders(lines.drop(1).mkString("\r\n"))
-      val bodyLen = start + n - bodyStart
+      val bodyLen = payload.length - bodyStart
       WarcDoc(
         record_id = warcHeaders.getOrElse("warc-record-id", ""),
         url = warcHeaders.getOrElse("warc-target-uri", ""),
         warc_date = warcHeaders.getOrElse("warc-date", ""),
         http_status = st,
         content_type = httpHeaders.getOrElse("content-type", ""),
-        text = new String(bytes, bodyStart, bodyLen, StandardCharsets.UTF_8),
+        text = new String(payload, bodyStart, bodyLen,
+          StandardCharsets.UTF_8),
         n_bytes = bodyLen.toLong)
     }
   }
@@ -155,14 +202,22 @@ object Warc {
   /** Scan a directory of `.warc` / `.warc.gz` segments into a DataFrame
     * of HTTP response documents. One task per segment file (see the
     * object doc for why that is the right split unit); everything after
-    * the `binaryFile` listing is partition-local. */
+    * the `binaryFile` listing is partition-local and streams in
+    * O(record) memory. A segment whose gzip header is unreadable
+    * quarantines whole (empty iterator) instead of failing the job. */
   def readResponses(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(dir)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
-        val raw = if (path.endsWith(".gz")) gunzip(content) else content
-        parseResponses(raw)
+        val raw = new java.io.ByteArrayInputStream(content)
+        val in: java.io.InputStream =
+          if (path.endsWith(".gz"))
+            scala.util.Try(
+                new java.util.zip.GZIPInputStream(raw, 64 * 1024): java.io.InputStream)
+              .getOrElse(new java.io.ByteArrayInputStream(Array.emptyByteArray))
+          else raw
+        parseResponses(in)
       }
       .toDF()
   }
@@ -268,12 +323,7 @@ object Warc {
     * request/warcinfo records must never surface. */
   lazy val warcIngestDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }, "graft-warc-cleanup"))
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-cleanup")
     val seg0 = warcinfoRecord ++
       (0 until 12).flatMap(i => requestRecord(i) ++ responseRecord(i)) ++
       corruptRecord ++
