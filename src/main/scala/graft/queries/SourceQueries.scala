@@ -128,6 +128,51 @@ object SourceQueries {
              |  body AS text,
              |  CAST(length(body) AS BIGINT) AS n_bytes
              |FROM r ORDER BY record_id""".stripMargin)),
+
+    // WET extraction — the published Common Crawl artifact type: WARC
+    // response records with HTML bodies chained straight into the
+    // HTML-to-text strip, one composed single-stage plan (crack and
+    // strip both partition-local). The oracle rebuilds the closed-form
+    // pages and restates the identical strip chain, so the COMPOSITION
+    // (frame parse → HTTP split → gzip → tag/script/entity handling) is
+    // hash-checked end to end.
+    QueryDef(
+      "q_warc_wet",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcHtmlIngestDir)
+          .select(regexp_extract(col("url"), "page/(\\d+)$", 1)
+            .cast("long").as("doc_id"), col("text").as("html"))
+        graft.llm.TextAnalysis.htmlStrip(pages).orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(i AS INT) AS i,
+             |    'Record ' || i || ' body ' ||
+             |      repeat('w', CAST(i % 13 AS INT)) AS body
+             |  FROM generate_series(0, 17) AS g(i)),
+             |pages AS (
+             |  SELECT CAST(i AS BIGINT) AS doc_id,
+             |    '<html><head><title>R' || i ||
+             |    '</title></head><body><h1>R ' || i || '</h1><p>' ||
+             |    body ||
+             |    '</p><script>var x = 1;</script></body></html>' AS html
+             |  FROM r),
+             |stripped AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(html,
+             |      '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+             |      ' ', 'g'),
+             |      '<[^>]*>', ' ', 'g') AS t,
+             |    len(regexp_extract_all(html, '<[^>]*>')) AS n_tags
+             |  FROM pages)
+             |SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(t,
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', ''''), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS text,
+             |  CAST(n_tags AS BIGINT) AS n_tags
+             |FROM stripped ORDER BY doc_id""".stripMargin)),
   )
 
   /** Stage the first 20 documents as one .bin file each (UTF-8 text

@@ -248,10 +248,9 @@ object Warc {
     h ++ payload ++ crlf("\n\n")
   }
 
-  private def responseRecord(i: Int, pad: Int = 0): Array[Byte] = {
-    val body = (synthBody(i) + ("w" * pad)).getBytes(StandardCharsets.UTF_8)
-    val status = if (i % 9 == 0) "404 Not Found" else "200 OK"
-    val ctype = if (i % 6 == 0) "text/plain" else "text/html; charset=utf-8"
+  private def responseRecordWith(i: Int, bodyText: String, status: String,
+                                 ctype: String): Array[Byte] = {
+    val body = bodyText.getBytes(StandardCharsets.UTF_8)
     val http = crlf(s"""HTTP/1.1 $status
                        |Content-Type: $ctype
                        |Content-Length: ${body.length}
@@ -261,6 +260,30 @@ object Warc {
       s"WARC-Target-URI: http://site${i % 5}.example/page/$i\n" +
         f"WARC-Date: 2026-01-${i % 27 + 1}%02dT00:00:00Z\n",
       http)
+  }
+
+  private def responseRecord(i: Int, pad: Int = 0): Array[Byte] =
+    responseRecordWith(i, synthBody(i) + ("w" * pad),
+      if (i % 9 == 0) "404 Not Found" else "200 OK",
+      if (i % 6 == 0) "text/plain" else "text/html; charset=utf-8")
+
+  /** Closed-form HTML page for the WET-extraction fixture: a title and
+    * heading the strip must flatten, the plain body, and a script block
+    * that must vanish whole. */
+  private[graft] def synthHtmlBody(i: Int): String =
+    s"<html><head><title>R$i</title></head><body><h1>R $i</h1><p>" +
+      synthBody(i) + "</p><script>var x = 1;</script></body></html>"
+
+  /** Staged single-segment fixture of HTML response records (WET
+    * extraction: q_warc_wet chains this through TextAnalysis.htmlStrip). */
+  lazy val warcHtmlIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-html-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-html-cleanup")
+    val seg = (0 until 18).flatMap(i => gzipMember(
+      responseRecordWith(i, synthHtmlBody(i), "200 OK",
+        "text/html; charset=utf-8"))).toArray
+    java.nio.file.Files.write(dir.resolve("seg_0.warc.gz"), seg)
+    dir.toString
   }
 
   private def requestRecord(i: Int): Array[Byte] =
