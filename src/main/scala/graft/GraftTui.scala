@@ -178,8 +178,7 @@ object GraftTui {
           case 'd' =>
             sel.foreach { r =>
               if (confirmKey(s"Delete ${r.path} and all sub-tasks?")) {
-                Files.walk(r.path).sorted(java.util.Comparator.reverseOrder())
-                  .forEach(p => Files.deleteIfExists(p))
+                graft.core.Fs.deleteTree(r.path)
                 reload()
                 message = s"deleted ${r.path}"
               }
