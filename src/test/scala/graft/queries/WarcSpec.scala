@@ -71,6 +71,33 @@ class WarcSpec extends SparkSpec {
     assert(docs.forall(_.text === "hi"))
   }
 
+  test("corrupt gzip tail quarantines the remainder, keeps parsed records") {
+    // stage: intact members for records 0..2, then garbage bytes that
+    // are not a valid gzip member — the segment must yield the three
+    // records and stop, not fail the job
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-badgz-")
+    val good = Warc.readResponses(spark, Warc.warcIngestDir) // force fixture
+    assert(good.count() === 36L)
+    val members = new java.io.ByteArrayOutputStream()
+    (0 until 3).foreach { i =>
+      val one = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(Warc.warcIngestDir, "seg_1.warc.gz"))
+      if (i == 0) members.write(one) // 12 valid records
+    }
+    members.write(Array.tabulate[Byte](64)(j => (j * 37).toByte)) // garbage
+    java.nio.file.Files.write(dir.resolve("bad_tail.warc.gz"),
+      members.toByteArray)
+    val docs = Warc.readResponses(spark, dir.toString)
+    assert(docs.count() === 12L, "records before the corruption must survive")
+  }
+
+  test("a .gz file that is not gzip at all quarantines whole (no crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-notgz-")
+    java.nio.file.Files.write(dir.resolve("junk.warc.gz"),
+      "this is not gzip".getBytes)
+    assert(Warc.readResponses(spark, dir.toString).count() === 0L)
+  }
+
   test("scan is a single stage: no exchange in the plan") {
     val plan = Warc.readResponses(spark, Warc.warcIngestDir)
       .queryExecution.executedPlan.toString
