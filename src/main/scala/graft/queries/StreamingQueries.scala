@@ -223,5 +223,43 @@ object StreamingQueries {
       Some("""SELECT doc_id AS batch_id, true AS hist_dup
              |FROM documents WHERE doc_id >= 400 AND doc_id < 420
              |ORDER BY batch_id""".stripMargin)),
+
+    // CONTINUOUS crawl ingest: the WARC segments themselves arrive as a
+    // binaryFile stream (a live crawler landing segment files) and the
+    // SAME partition-local decode stage as the batch scan cracks them
+    // per micro-batch — stateless end to end, so the stream must equal
+    // the batch scan exactly, and q_scan_warc's closed-form oracle
+    // applies verbatim. Spark's unified model doing real work: one
+    // decode function, two execution modes, one hash.
+    QueryDef(
+      "q_stream_warc_ingest",
+      (s, _) => {
+        EventStreams.runBinaryAvailableNowAppend(
+            s, graft.sources.Warc.warcIngestDir,
+            df => graft.sources.Warc.decodeSegments(s)(df),
+            "stream_warc_ingest")
+          .select(col("record_id"), col("url"), col("warc_date"),
+            col("http_status"), col("content_type"), col("text"),
+            col("n_bytes"))
+          .orderBy(col("record_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(i AS INT) AS i,
+             |    'Record ' || i || ' body ' ||
+             |      repeat('w', CAST(i % 13 AS INT)) AS body
+             |  FROM generate_series(0, 35) AS g(i))
+             |SELECT
+             |  '<urn:uuid:rec-' || lpad(CAST(i AS VARCHAR), 3, '0') || '>'
+             |    AS record_id,
+             |  'http://site' || (i % 5) || '.example/page/' || i AS url,
+             |  '2026-01-' || lpad(CAST(i % 27 + 1 AS VARCHAR), 2, '0') ||
+             |    'T00:00:00Z' AS warc_date,
+             |  CAST(CASE WHEN i % 9 = 0 THEN 404 ELSE 200 END AS INT)
+             |    AS http_status,
+             |  CASE WHEN i % 6 = 0 THEN 'text/plain'
+             |       ELSE 'text/html; charset=utf-8' END AS content_type,
+             |  body AS text,
+             |  CAST(length(body) AS BIGINT) AS n_bytes
+             |FROM r ORDER BY record_id""".stripMargin)),
   )
 }

@@ -205,9 +205,18 @@ object Warc {
     * the `binaryFile` listing is partition-local and streams in
     * O(record) memory. A segment whose gzip header is unreadable
     * quarantines whole (empty iterator) instead of failing the job. */
-  def readResponses(spark: SparkSession, dir: String): DataFrame = {
+  def readResponses(spark: SparkSession, dir: String): DataFrame =
+    decodeSegments(spark)(spark.read.format("binaryFile").load(dir))
+
+  /** The (path, content) → WarcDoc decode stage shared by the batch scan
+    * and the continuous-ingest stream
+    * ([[graft.streaming.EventStreams.runBinaryAvailableNowAppend]]) —
+    * Spark's unified model: the same partition-local flatMap runs over a
+    * static listing or a file stream discovering segments as a crawler
+    * lands them. */
+  def decodeSegments(spark: SparkSession)(files: DataFrame): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
+    files
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val raw = new java.io.ByteArrayInputStream(content)

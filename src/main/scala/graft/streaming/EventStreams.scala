@@ -358,6 +358,22 @@ object EventStreams {
     val stream =
       (if (heartbeat) reader.option("maxFilesPerTrigger", "1") else reader)
         .parquet(path)
+    runStream(spark, stream, transform, queryName, mode,
+      dirBytes(path, ".parquet"))
+  }
+
+  private def dirBytes(path: String, suffix: String): Long =
+    Option(new java.io.File(path)
+        .listFiles((_, n) => n.endsWith(suffix)))
+      .map(_.map(_.length).sum).getOrElse(0L)
+
+  /** The sink/trigger/state-sizing tail over an ALREADY-BUILT streaming
+    * DataFrame (parquet table streams and binary container streams share
+    * everything past the source). */
+  private def runStream(spark: SparkSession, stream: DataFrame,
+                        transform: DataFrame => DataFrame,
+                        queryName: String, mode: String,
+                        dataBytes: Long): DataFrame = {
     val ckpt = s"/root/repo/target/tmp/ckpt_${queryName}_${System.nanoTime()}"
     // Size the STATEFUL shuffle from the input, not the CPU count: each
     // stateful operator pays a state-store open/commit per partition per
@@ -371,9 +387,6 @@ object EventStreams {
     // big session keeps the session's parallelism. Scoped set/restore:
     // the conf is captured at query START (same pattern as
     // [[withRocksDbStateStore]]).
-    val dataBytes = Option(new java.io.File(path)
-        .listFiles((_, n) => n.endsWith(".parquet")))
-      .map(_.map(_.length).sum).getOrElse(0L)
     val key = "spark.sql.shuffle.partitions"
     val sessionParts = spark.conf.get(key).toInt
     val stateParts = math.max(4L,
@@ -428,4 +441,23 @@ object EventStreams {
                                    queryName: String): DataFrame =
     runAtPath(spark, parquetDir, transform, queryName, "append",
       heartbeat = false)
+
+  /** Append-mode run over a STREAMED binaryFile directory — continuous
+    * container ingest (WARC segments landing from a live crawler, media
+    * blobs from an uploader): the file stream discovers new blobs per
+    * micro-batch and the transform is partition-local decode, so the
+    * plan is stateless end to end (no watermark, no state store — the
+    * same contract as the streaming indexed dedup). */
+  def runBinaryAvailableNowAppend(spark: SparkSession, dir: String,
+                                  transform: DataFrame => DataFrame,
+                                  queryName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .load(dir)
+    runStream(spark, stream, transform, queryName, "append",
+      dirBytes(dir, ""))
+  }
 }

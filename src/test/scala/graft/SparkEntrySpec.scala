@@ -22,15 +22,15 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-9 floor: 228 queries, ALL 228 oracle-checked (round 9 adds
+    // round-9 floor: 229 queries, ALL 229 oracle-checked (round 9 adds
     // PSL-backed domains, star connected components, indexed incremental
     // dedup, Hilbert/zorder3 layout, the langid model, WARC scan, the
     // persisted IVF index, streaming indexed dedup, pretrained BPE
     // encode) — bump these when operators are added so a bad refactor
     // can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 228,
+    assert(SparkEntry.queries.size >= 229,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 228,
+    assert(SparkEntry.oracleSql.size >= 229,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
