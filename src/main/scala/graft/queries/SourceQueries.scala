@@ -27,6 +27,30 @@ object SourceQueries {
       out
     })
 
+  /** Closed-form oracle of the 36-record Warc fixture — shared verbatim
+    * by q_scan_warc and the streaming q_stream_warc_ingest (one decode
+    * function, two execution modes, ONE oracle; a fixture change edits
+    * exactly one SQL blob). */
+  private[queries] val warcScanOracleSql: String =
+    """WITH r AS (
+             |  SELECT CAST(i AS INT) AS i,
+             |    'Record ' || i || ' body ' ||
+             |      repeat('w', CAST(i % 13 AS INT)) AS body
+             |  FROM generate_series(0, 35) AS g(i))
+             |SELECT
+             |  '<urn:uuid:rec-' || lpad(CAST(i AS VARCHAR), 3, '0') || '>'
+             |    AS record_id,
+             |  'http://site' || (i % 5) || '.example/page/' || i AS url,
+             |  '2026-01-' || lpad(CAST(i % 27 + 1 AS VARCHAR), 2, '0') ||
+             |    'T00:00:00Z' AS warc_date,
+             |  CAST(CASE WHEN i % 9 = 0 THEN 404 ELSE 200 END AS INT)
+             |    AS http_status,
+             |  CASE WHEN i % 6 = 0 THEN 'text/plain'
+             |       ELSE 'text/html; charset=utf-8' END AS content_type,
+             |  body AS text,
+             |  CAST(length(body) AS BIGINT) AS n_bytes
+             |FROM r ORDER BY record_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ORC scan: per-segment account stats off an ORC copy of `customer`.
@@ -110,24 +134,7 @@ object SourceQueries {
             col("n_bytes"))
           .orderBy(col("record_id"))
       },
-      Some("""WITH r AS (
-             |  SELECT CAST(i AS INT) AS i,
-             |    'Record ' || i || ' body ' ||
-             |      repeat('w', CAST(i % 13 AS INT)) AS body
-             |  FROM generate_series(0, 35) AS g(i))
-             |SELECT
-             |  '<urn:uuid:rec-' || lpad(CAST(i AS VARCHAR), 3, '0') || '>'
-             |    AS record_id,
-             |  'http://site' || (i % 5) || '.example/page/' || i AS url,
-             |  '2026-01-' || lpad(CAST(i % 27 + 1 AS VARCHAR), 2, '0') ||
-             |    'T00:00:00Z' AS warc_date,
-             |  CAST(CASE WHEN i % 9 = 0 THEN 404 ELSE 200 END AS INT)
-             |    AS http_status,
-             |  CASE WHEN i % 6 = 0 THEN 'text/plain'
-             |       ELSE 'text/html; charset=utf-8' END AS content_type,
-             |  body AS text,
-             |  CAST(length(body) AS BIGINT) AS n_bytes
-             |FROM r ORDER BY record_id""".stripMargin)),
+      Some(warcScanOracleSql)),
 
     // WET extraction — the published Common Crawl artifact type: WARC
     // response records with HTML bodies chained straight into the

@@ -128,11 +128,14 @@ object Warc {
         Some(buf)
       }
 
+      private def closeQuietly(): Unit =
+        try in.close() catch { case _: java.io.IOException => () }
+
       private def advance(): Unit = {
         nextDoc = null
         try {
           while (nextDoc == null && !finished) {
-            if (!scanToMagic()) finished = true
+            if (!scanToMagic()) { finished = true; closeQuietly() }
             else readHeaderBlock() match {
               case None => // runaway/EOF header: rescan finds EOF or magic
               case Some(block) =>
@@ -157,6 +160,7 @@ object Warc {
           case _: java.io.IOException =>
             finished = true
             nextDoc = null
+            closeQuietly()
         }
       }
     }
@@ -226,6 +230,14 @@ object Warc {
                 new java.util.zip.GZIPInputStream(raw, 64 * 1024): java.io.InputStream)
               .getOrElse(new java.io.ByteArrayInputStream(Array.emptyByteArray))
           else raw
+        // the parser closes `in` at exhaustion/IO-error; the listener is
+        // the backstop for consumers that abandon the iterator early
+        // (limit, take) — a GZIPInputStream's native Inflater otherwise
+        // waits for GC, the off-heap leak TextAnalysis's Deflater
+        // discipline exists to prevent
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
         parseResponses(in)
       }
       .toDF()

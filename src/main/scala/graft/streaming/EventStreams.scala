@@ -363,9 +363,9 @@ object EventStreams {
   }
 
   private def dirBytes(path: String, suffix: String): Long =
-    Option(new java.io.File(path)
-        .listFiles((_, n) => n.endsWith(suffix)))
-      .map(_.map(_.length).sum).getOrElse(0L)
+    Option(new java.io.File(path).listFiles())
+      .map(_.filter(f => f.isFile && f.getName.endsWith(suffix))
+        .map(_.length).sum).getOrElse(0L)
 
   /** The sink/trigger/state-sizing tail over an ALREADY-BUILT streaming
     * DataFrame (parquet table streams and binary container streams share

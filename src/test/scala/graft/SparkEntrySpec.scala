@@ -24,9 +24,11 @@ class SparkEntrySpec extends AnyFunSuite {
   test("the declared surface keeps growing, never silently shrinks") {
     // round-9 floor: 229 queries, ALL 229 oracle-checked (round 9 adds
     // PSL-backed domains, star connected components, indexed incremental
-    // dedup, Hilbert/zorder3 layout, the langid model, WARC scan, the
-    // persisted IVF index, streaming indexed dedup, pretrained BPE
-    // encode) — bump these when operators are added so a bad refactor
+    // dedup, Hilbert/zorder3 layout, the langid model, WARC scan + WET
+    // extraction + continuous streamed ingest, the persisted IVF index,
+    // index append/maintenance, streaming indexed dedup, leakage-free
+    // split, pretrained BPE encode) — bump these when operators are
+    // added so a bad refactor
     // can't drop queries without failing CI
     assert(SparkEntry.queries.size >= 229,
       s"only ${SparkEntry.queries.size} queries registered")

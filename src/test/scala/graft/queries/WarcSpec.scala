@@ -72,18 +72,15 @@ class WarcSpec extends SparkSpec {
   }
 
   test("corrupt gzip tail quarantines the remainder, keeps parsed records") {
-    // stage: intact members for records 0..2, then garbage bytes that
-    // are not a valid gzip member — the segment must yield the three
+    // stage: the 12 intact members of seg_1.warc.gz, then garbage bytes
+    // that are not a valid gzip member — the segment must yield the 12
     // records and stop, not fail the job
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-badgz-")
     val good = Warc.readResponses(spark, Warc.warcIngestDir) // force fixture
     assert(good.count() === 36L)
     val members = new java.io.ByteArrayOutputStream()
-    (0 until 3).foreach { i =>
-      val one = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(Warc.warcIngestDir, "seg_1.warc.gz"))
-      if (i == 0) members.write(one) // 12 valid records
-    }
+    members.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Warc.warcIngestDir, "seg_1.warc.gz")))
     members.write(Array.tabulate[Byte](64)(j => (j * 37).toByte)) // garbage
     java.nio.file.Files.write(dir.resolve("bad_tail.warc.gz"),
       members.toByteArray)
