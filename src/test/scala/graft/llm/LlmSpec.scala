@@ -994,6 +994,44 @@ class LlmSpec extends SparkSpec {
     assert(correct == 18, results.filter(r => r._2 != r._3).mkString(";"))
   }
 
+  test("the langid model machinery doubles as a supervised QUALITY " +
+      "classifier: hq/lq labels train the same hashed-trigram NB and " +
+      "separate held-out docs") {
+    // the published fastText-style quality filter (CCNet/RefinedWeb
+    // shape) is the SAME linear-model-over-hashed-ngrams as language ID
+    // — the label column is data, not code. Train on prose vs two lq
+    // failure modes (keyboard mash, token spam) and require clean
+    // held-out separation.
+    import SparkSpec.spark.implicits._
+    val prose = Seq(
+      "the committee reviewed the proposal and suggested several changes",
+      "she walked along the river bank watching the evening light fade",
+      "modern compilers perform many optimization passes over the code",
+      "the recipe calls for two cups of flour and a pinch of salt",
+      "historians still debate the causes of the sudden economic decline",
+      "the museum opened a new wing dedicated to maritime navigation")
+    val mash = Seq(
+      "asdf jkl qwerty zxcv uiop bnm asdf qwer zxcv jklm asdf qwerty",
+      "xkcd qqq wvw zzz kjh gfd poi uyt rew vbn mnb asd fgh jkl qwe",
+      "zzz qqq xxx vvv kkk jjj hhh ggg fff ddd sss aaa ppp ooo iii")
+    val spam = Seq(
+      "buy now buy now buy now click here click here best price best price",
+      "win win win free free free offer offer offer now now now click",
+      "cheap cheap deal deal sale sale today today only only click click")
+    val train = (prose.take(4).map(("hq", _)) ++
+      mash.take(2).map(("lq", _)) ++ spam.take(2).map(("lq", _)))
+      .toDF("lang", "text")
+    val held = (prose.drop(4).map(("hq", _)) ++
+      mash.drop(2).map(("lq", _)) ++ spam.drop(2).map(("lq", _)))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    val model = TextAnalysis.trainLangIdModel(train)
+    val pred = TextAnalysis.langIdScore(
+        held.map(x => (x._1, x._3)).toDF("sid", "text"), model, idCol = "sid")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wrong = held.filter { case (sid, truth, _) => pred(sid) != truth }
+    assert(wrong.isEmpty, wrong.mkString(";"))
+  }
+
   test("persisted MinHash index: write → read → match reproduces the " +
       "from-scratch incremental result; layout is band-partitioned with " +
       "self-describing meta") {
