@@ -55,7 +55,12 @@ object Bench {
     // round-9 addition (own frozen budget in BASELINE.md): the heaviest
     // operator previously outside the headline — the 8-sweep exact
     // pagerank fixpoint (iterative rank⋈degree joins + checkpoints)
-    "q_graph_pagerank")  // exact-integer pagerank, 8 fixpoint sweeps
+    "q_graph_pagerank",  // exact-integer pagerank, 8 fixpoint sweeps
+    // round-9 additions #2 (first frozen budgets in BASELINE.md): the
+    // heaviest of the new index-lifecycle/streaming operators
+    "q_stream_dedup_indexed", // streaming ingest vs persisted MinHash index
+    "q_dedup_index_append",   // index write + delta append + probe
+    "q_sim_ivf_index_append") // IVF write + frozen-quantizer append + probe
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
