@@ -231,6 +231,18 @@ object ScaleCheck {
           spark.read.parquet(s"$base/documents.parquet")
             .filter(col("doc_id") >= 400),
           s"$synthRoot/mhidx_x$f")),
+      // round-9: the streaming front door against a GROWING history
+      // index (the headline's heaviest query, q_stream_dedup_indexed's
+      // core without the oracle gating): the SAME fixed batch streams
+      // against the k× mhidx staging — per-batch cost must stay
+      // delta-sized from the stream exactly as it does from the batch
+      // reader, with the fixed micro-batch machinery as a constant
+      ("q_stream_dedup_idx", (_, f) =>
+        graft.streaming.EventStreams.runParquetAvailableNowAppend(
+          spark, s"$synthRoot/stream_batch",
+          st => Dedup.streamingMinhashMatchesIndexed(
+            st, s"$synthRoot/mhidx_x$f"),
+          s"sc_stream_dedup_idx_x$f")),
       // round-9: IVF ANN against the PERSISTED index (staged per factor
       // outside the timing): the from-scratch path re-pays centroid
       // training + whole-corpus cell assignment every run; the indexed
@@ -343,7 +355,17 @@ object ScaleCheck {
           new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
         }
       }
-    if (runs.exists(_._1 == "q_dedup_incremental_idx"))
+    if (runs.exists(_._1 == "q_stream_dedup_idx")) {
+      val bdir = new java.io.File(s"$synthRoot/stream_batch")
+      if (!new java.io.File(bdir, "_DONE").exists()) {
+        spark.read.parquet(s"$base/documents.parquet")
+          .filter(col("doc_id") >= 400)
+          .write.mode("overwrite").parquet(bdir.toString)
+        new java.io.FileOutputStream(new java.io.File(bdir, "_DONE")).close()
+      }
+    }
+    if (runs.exists(r => r._1 == "q_dedup_incremental_idx" ||
+        r._1 == "q_stream_dedup_idx"))
       for (f <- factors) {
         val src = if (f == 1) base else s"$synthRoot/x$f"
         if (f != 1) synthesize(spark, base, f, src)
