@@ -4,11 +4,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Public Suffix List parsing + registrable-domain lookup.
   *
-  * The bundled `graft/public_suffix_list.dat` resource uses the
-  * canonical publicsuffix.org grammar — one rule per line, `//`
-  * comments, `*.` wildcard rules, `!` exception rules — so a production
-  * deployment swaps in the full list verbatim; the parser and lookup
-  * are data-independent. Lookup follows the published algorithm:
+  * The bundled `graft/public_suffix_list.dat` resource is the COMPLETE
+  * published publicsuffix.org list, verbatim (~9.5k rules incl. the
+  * private section and IDN U-label rules), in the canonical grammar —
+  * one rule per line, `//` comments, `*.` wildcard rules, `!`
+  * exception rules; the parser and lookup are data-independent, so a
+  * list refresh is a resource swap. Lookup follows the published
+  * algorithm:
   *
   *   1. a rule matches a host when the rule equals a label-suffix of
   *      the host; a wildcard rule `*.foo` matches any suffix with
