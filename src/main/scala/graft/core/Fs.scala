@@ -14,6 +14,18 @@ object Fs {
 
   def deleteTree(p: String): Unit = deleteTree(java.nio.file.Paths.get(p))
 
+  /** Fresh per-JVM scratch root under `java.io.tmpdir` (created lazily,
+    * deleted on JVM exit): paths derived from it are private to THIS
+    * process, so concurrent graft JVMs (a bench run next to a verify
+    * run) can never overwrite each other's staged fixtures or
+    * persisted-index artifacts mid-read — fixed shared names under
+    * tmpdir were a cross-process race. */
+  lazy val scratchRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    deleteOnExit(dir, "graft-scratch-cleanup")
+    dir.toString
+  }
+
   /** Register a JVM-exit hook deleting `dir` (temp fixture staging). */
   def deleteOnExit(dir: java.nio.file.Path, hookName: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

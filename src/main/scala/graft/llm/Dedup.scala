@@ -471,9 +471,11 @@ object Dedup {
     * rows land in the existing band=N partition dirs and sigs gain one
     * file set — nothing existing is rewritten, so the append costs
     * O(batch), not O(index). The write-time hot-bucket cap applies
-    * within THIS append's rows only (an already-hot bucket grows by at
-    * most one append's cap; the reader's probe-side cap still bounds
-    * per-query cost). */
+    * within THIS append's rows only — an already-hot bucket grows by at
+    * most one append's cap per append, so bucket sizes CAN creep across
+    * many appends; [[compactMinhashIndex]] re-applies the index's
+    * global cap, which is the designed recovery (compact on the same
+    * cadence the small-files decay already demands). */
   def appendToMinhashIndex(batch: DataFrame, indexPath: String,
                            textCol: String = "text",
                            idCol: String = "doc_id"): Unit = {
@@ -516,14 +518,29 @@ object Dedup {
     * twice), so reader output is provably unchanged even if a doc_id was
     * wrongly re-appended with different text — both signature versions
     * survive, exactly as before compaction (resolving that conflict is
-    * the caller's data bug, not compaction's call to make). Cost is one
-    * linear pass over the index — the deliberate amortization trade. */
+    * the caller's data bug, not compaction's call to make) — EXCEPT that
+    * the index's write-time hot-bucket cap (meta `max_bucket_size`) is
+    * RE-APPLIED globally: appends can only cap within their own rows,
+    * so a hot bucket creeps by up to one cap per append, and compaction
+    * is where the global bound is restored (the bucket-minimum
+    * representative survives, as at write time). Cost is one linear
+    * pass over the index — the deliberate amortization trade. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String): Unit = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
+    val rawCap = meta.head.getAs[Int]("max_bucket_size")
+    val cap = if (rawCap < 0) Int.MaxValue else rawCap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
     spark.read.parquet(s"$indexPath/bands")
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("hist_id"))
       .distinct()
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("hist_id")).over(w))
+      .filter(col("bsz") <= cap || col("hist_id") === col("rep"))
+      .select(col("band"), col("bucket"), col("hist_id"))
       .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band")
@@ -808,15 +825,24 @@ object Dedup {
     * id for singletons; the key then routes through the same
     * multiplicative-hash bucket rule as the plain split operator
     * (train < 205, val < 230 of 256 — exact integer arithmetic, engine-
-    * identical in DuckDB). Scale shape: components as audited, plus one
-    * left join and per-row codegen'd hash work — no new exchange class. */
+    * identical in DuckDB). A NON-numeric id column hashes to a numeric
+    * key first (xxhash64 folded into [0, 2³¹)): the multiplicative rule
+    * on a string key would yield a null bucket and silently route every
+    * row to 'test'. Scale shape: components as audited, plus one left
+    * join and per-row codegen'd hash work — no new exchange class. */
   def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id"): DataFrame = {
     // components emit a fixed (doc_id, cluster_id) schema — realign to
     // the caller's id column so non-default idCol joins resolve
     val clusters = connectedComponentsStar(pairs)
       .withColumnRenamed("doc_id", idCol)
-    val bucket = ((pmod(col("split_key"), lit(2147483648L)) * lit(2654435761L))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val numericKey = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col("split_key")
+      case _ => pmod(xxhash64(col("split_key").cast("string")),
+        lit(2147483648L))
+    }
+    val bucket = ((pmod(numericKey, lit(2147483648L)) * lit(2654435761L))
       % lit(4294967296L) / lit(16777216L)).cast("long")
     docs.join(clusters, Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))

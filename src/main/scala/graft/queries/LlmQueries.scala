@@ -493,7 +493,7 @@ object LlmQueries {
         val queries = base.filter(col("vec_id") < 10)
         val corpus = base.unionByName(queries.select(
           (col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        val idx = s"${graft.core.Fs.scratchRoot}/ivf_index"
         Similarity.writeIvfIndex(corpus, idx, nlist = 16)
         annTwinGate(queries,
           Similarity.ivfTopKIndexed(queries, idx, k = 5, nprobe = 4))
@@ -514,7 +514,7 @@ object LlmQueries {
       (s, dir) => {
         val base = load(s, dir, "embeddings").select("vec_id", "embedding")
         val queries = base.filter(col("vec_id") < 10)
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_app"
+        val idx = s"${graft.core.Fs.scratchRoot}/ivf_idx_app"
         Similarity.writeIvfIndex(base, idx, nlist = 16)
         Similarity.appendToIvfIndex(queries.select(
           (col("vec_id") + 100000).as("vec_id"), col("embedding")), idx)
@@ -1564,7 +1564,7 @@ object LlmQueries {
         val planted = batch.filter(col("doc_id") < 420)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
         val history = docs.filter(col("doc_id") < 400).unionByName(planted)
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index"
+        val idx = s"${graft.core.Fs.scratchRoot}/mh_index"
         Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
           shingleSize = 5, maxBucketSize = 500)
         val matches = Dedup.incrementalMinhashMatchesIndexed(batch, idx)
@@ -1595,7 +1595,7 @@ object LlmQueries {
         val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
         val history = docs.filter(col("doc_id") < 300)
         val day1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_app"
+        val idx = s"${graft.core.Fs.scratchRoot}/mh_index_app"
         Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
           shingleSize = 5, maxBucketSize = 500)
         Dedup.appendToMinhashIndex(day1, idx)

@@ -200,7 +200,7 @@ object StreamingQueries {
         val planted = batch.filter(col("doc_id") < 420)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
         val history = docs.filter(col("doc_id") < 400).unionByName(planted)
-        val tmp = System.getProperty("java.io.tmpdir")
+        val tmp = graft.core.Fs.scratchRoot
         val idx = s"$tmp/graft_mh_index_streamq"
         graft.llm.Dedup.writeMinhashIndex(history, idx, numHashes = 64,
           bands = 16, shingleSize = 5, maxBucketSize = 500)

@@ -73,7 +73,13 @@ object Warc {
   private[graft] def parseResponses(
       in0: java.io.InputStream): Iterator[WarcDoc] =
     new Iterator[WarcDoc] {
-      private val in = new java.io.BufferedInputStream(in0, 64 * 1024)
+      // `var`: a truncated record pushes its partially-read payload back
+      // as a SequenceInputStream prefix (see advance) — recovery without
+      // mark/reset, whose mark(n) would grow and permanently retain the
+      // buffered stream's internal buffer up to the largest claimed
+      // Content-Length, double-buffering every payload thereafter
+      private var in: java.io.InputStream =
+        new java.io.BufferedInputStream(in0, 64 * 1024)
       private var nextDoc: WarcDoc = _
       private var finished = false
       advance()
@@ -117,15 +123,17 @@ object Warc {
         None
       }
 
-      private def readFully(n: Int): Option[Array[Byte]] = {
+      /** (payload, bytesRead) — bytesRead < n means the stream ended
+        * mid-payload (a truncated or lying Content-Length). */
+      private def readUpTo(n: Int): (Array[Byte], Int) = {
         val buf = new Array[Byte](n)
         var off = 0
-        while (off < n) {
-          val r = in.read(buf, off, n - off)
-          if (r < 0) return None
-          off += r
+        var r = 0
+        while (off < n && r >= 0) {
+          r = in.read(buf, off, n - off)
+          if (r > 0) off += r
         }
-        Some(buf)
+        (buf, off)
       }
 
       private def closeQuietly(): Unit =
@@ -144,14 +152,16 @@ object Warc {
                 headers.get("content-length")
                   .flatMap(v => scala.util.Try(v.toLong).toOption) match {
                   case Some(n) if n >= 0 && n <= MaxRecordBytes =>
-                    in.mark(n.toInt + 1)
-                    readFully(n.toInt) match {
-                      case None => in.reset() // truncated: rescan after header
-                      case Some(payload) =>
-                        if (headers.get("warc-type").contains("response"))
-                          httpResponse(payload, headers)
-                            .foreach(d => nextDoc = d)
-                    }
+                    val (payload, got) = readUpTo(n.toInt)
+                    if (got < n) {
+                      // truncated: push the partial payload back and
+                      // rescan it — records that physically exist inside
+                      // a lying record's claimed span are recovered,
+                      // same semantics as a reset-to-after-header
+                      in = new java.io.SequenceInputStream(
+                        new java.io.ByteArrayInputStream(payload, 0, got), in)
+                    } else if (headers.get("warc-type").contains("response"))
+                      httpResponse(payload, headers).foreach(d => nextDoc = d)
                   case _ => // bad/missing/absurd length: rescan at magic
                 }
             }

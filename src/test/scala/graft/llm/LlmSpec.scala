@@ -258,6 +258,54 @@ class LlmSpec extends SparkSpec {
       s"compaction must shrink the file count ($filesBefore -> ${bandFiles()})")
   }
 
+  test("compactMinhashIndex re-applies the global hot-bucket cap that " +
+      "appends can only honor within their own rows") {
+    import SparkSpec.spark.implicits._
+    // identical texts → identical signatures → every doc in the SAME
+    // band buckets; cap 3 at write time, then two appends of exactly 3
+    // copies each — WITHIN cap per append, so every row is kept and the
+    // bucket creeps to up to 1 + 3 + 3 rows until compaction restores
+    // the global bound
+    def copies(ids: Seq[Long]) = ids
+      .map(i => (i, "the very same boilerplate page body repeated"))
+      .toDF("doc_id", "text")
+    val idx = tempDir("graft-mh-recap-").toString + "/idx"
+    Dedup.writeMinhashIndex(copies(0L until 10L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5, maxBucketSize = 3)
+    Dedup.appendToMinhashIndex(copies(100L until 103L), idx)
+    Dedup.appendToMinhashIndex(copies(200L until 203L), idx)
+    def maxBucket() = SparkSpec.spark.read.parquet(s"$idx/bands")
+      .groupBy("band", "bucket").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBucket() > 3, "appends should have grown a hot bucket")
+    Dedup.compactMinhashIndex(SparkSpec.spark, idx)
+    assert(maxBucket() <= 3,
+      s"compaction must restore the write-time cap, got ${maxBucket()}")
+    // the bucket-minimum representative (doc 0) must survive the re-cap
+    val kept = SparkSpec.spark.read.parquet(s"$idx/bands")
+      .select("hist_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L))
+  }
+
+  test("leakageFreeSplit hashes non-numeric ids instead of silently " +
+      "routing every row to 'test'") {
+    import SparkSpec.spark.implicits._
+    val docs = (0 until 300).map(i => s"doc-$i").toDF("doc_id")
+    val pairs = Seq(("doc-1", "doc-2"), ("doc-10", "doc-11"))
+      .toDF("d1", "d2")
+    val out = Dedup.leakageFreeSplit(docs, pairs).collect()
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    // the multiplicative rule on a string key used to null the bucket →
+    // 100% 'test'; hashed keys must land near the 205/25/26 shares
+    assert(bySplit.getOrElse("train", 0) > 200, bySplit.toString)
+    assert(bySplit.getOrElse("val", 0) > 0 && bySplit.getOrElse("test", 0) > 0,
+      bySplit.toString)
+    // cluster atomicity still holds for string ids
+    val splitOf = out.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(splitOf("doc-1") == splitOf("doc-2"))
+    assert(splitOf("doc-10") == splitOf("doc-11"))
+  }
+
   test("compactIvfIndex consolidates appended postings and preserves " +
       "reader output exactly") {
     import SparkSpec.spark.implicits._
