@@ -180,6 +180,30 @@ object SourceQueries {
              |    '\s+', ' ', 'g')) AS text,
              |  CAST(n_tags AS BIGINT) AS n_tags
              |FROM stripped ORDER BY doc_id""".stripMargin)),
+
+    // Charset-aware WARC body decode — the silent-corruption path real
+    // crawls hit (~30% of pages are non-UTF-8): the fixture's records
+    // carry raw windows-1252 / GBK / latin-1 bytes plus headerless
+    // valid-UTF-8 and legacy bodies, and the engine must decode each
+    // per its Content-Type charset (strict-UTF-8 → windows-1252
+    // detection when undeclared/unsupported). The oracle restates the
+    // independent closed-form EXPECTED text per record
+    // (Warc.charsetOracleValuesSql — the Psl data-pinning discipline),
+    // so every decode rule is hash-checked, and n_bytes stays the RAW
+    // byte length (≠ char count for every non-ASCII record).
+    QueryDef(
+      "q_warc_charset",
+      (s, _) => {
+        graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcCharsetIngestDir)
+          .select(col("record_id"), col("url"), col("content_type"),
+            col("text"), col("n_bytes"))
+          .orderBy(col("record_id"))
+      },
+      Some(s"""SELECT * FROM (VALUES
+             |  ${graft.sources.Warc.charsetOracleValuesSql})
+             |  AS t(record_id, url, content_type, text, n_bytes)
+             |ORDER BY record_id""".stripMargin)),
   )
 
   /** Stage the first 20 documents as one .bin file each (UTF-8 text

@@ -50,6 +50,62 @@ object Warc {
     * for). The parser rescans for the next magic instead. */
   private val MaxRecordBytes: Int = 64 << 20
 
+  private val CharsetRe =
+    "(?i)charset\\s*=\\s*(\"[^\"]*\"|[^;\\s]+)".r
+
+  /** The charset declared in a Content-Type header value, when present
+    * AND supported by the JVM (`charset=unknown-8bit` and friends fall
+    * through to the detection heuristic, not to an error). */
+  private[graft] def charsetOf(
+      contentType: String): Option[java.nio.charset.Charset] =
+    CharsetRe.findFirstMatchIn(contentType).flatMap { m =>
+      val name = m.group(1).stripPrefix("\"").stripSuffix("\"").trim
+      scala.util.Try(java.nio.charset.Charset.forName(name)).toOption
+    }
+
+  /** Decode with replacement (a stray bad byte yields U+FFFD, never an
+    * exception — one mojibake character must not drop the record). */
+  private def decodeWith(cs: java.nio.charset.Charset, bytes: Array[Byte],
+                         off: Int, len: Int): String =
+    cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(bytes, off, len)).toString
+
+  /** windows-1252 with an ISO-8859-1 backstop (only the former can be
+    * absent from a JVM, and then only a crippled one). */
+  private val Fallback1252: java.nio.charset.Charset =
+    scala.util.Try(java.nio.charset.Charset.forName("windows-1252"))
+      .getOrElse(StandardCharsets.ISO_8859_1)
+
+  /** Charset-aware HTTP body decode — the CCNet-shape rule real crawls
+    * need (~30% of pages are non-UTF-8; decoding them as UTF-8
+    * mojibakes the corpus and poisons langid/shingles/quality scores
+    * downstream):
+    *
+    *  1. a declared, supported `charset=` in the Content-Type header
+    *     wins (decoded with replacement for stray bad bytes);
+    *  2. otherwise STRICT UTF-8 is attempted — ASCII and valid UTF-8
+    *     pages (the majority) decode exactly;
+    *  3. bytes that are NOT valid UTF-8 decode as windows-1252, the
+    *     dominant encoding of undeclared/misdeclared legacy pages
+    *     (every byte maps, so this path never fails).
+    */
+  private[graft] def decodeBody(bytes: Array[Byte], off: Int, len: Int,
+                                contentType: String): String =
+    charsetOf(contentType) match {
+      case Some(cs) => decodeWith(cs, bytes, off, len)
+      case None =>
+        try StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes, off, len)).toString
+        catch {
+          case _: java.nio.charset.CharacterCodingException =>
+            decodeWith(Fallback1252, bytes, off, len)
+        }
+    }
+
   /** Parse a `Name: value` header block (case-insensitive names). */
   private def parseHeaders(block: String): Map[String, String] =
     block.split("\r\n").iterator.flatMap { line =>
@@ -201,14 +257,14 @@ object Warc {
     status.map { st =>
       val httpHeaders = parseHeaders(lines.drop(1).mkString("\r\n"))
       val bodyLen = payload.length - bodyStart
+      val ctype = httpHeaders.getOrElse("content-type", "")
       WarcDoc(
         record_id = warcHeaders.getOrElse("warc-record-id", ""),
         url = warcHeaders.getOrElse("warc-target-uri", ""),
         warc_date = warcHeaders.getOrElse("warc-date", ""),
         http_status = st,
-        content_type = httpHeaders.getOrElse("content-type", ""),
-        text = new String(payload, bodyStart, bodyLen,
-          StandardCharsets.UTF_8),
+        content_type = ctype,
+        text = decodeBody(payload, bodyStart, bodyLen, ctype),
         n_bytes = bodyLen.toLong)
     }
   }
@@ -279,9 +335,8 @@ object Warc {
     h ++ payload ++ crlf("\n\n")
   }
 
-  private def responseRecordWith(i: Int, bodyText: String, status: String,
-                                 ctype: String): Array[Byte] = {
-    val body = bodyText.getBytes(StandardCharsets.UTF_8)
+  private def responseRecordBytes(i: Int, body: Array[Byte], status: String,
+                                  ctype: String): Array[Byte] = {
     val http = crlf(s"""HTTP/1.1 $status
                        |Content-Type: $ctype
                        |Content-Length: ${body.length}
@@ -292,6 +347,11 @@ object Warc {
         f"WARC-Date: 2026-01-${i % 27 + 1}%02dT00:00:00Z\n",
       http)
   }
+
+  private def responseRecordWith(i: Int, bodyText: String, status: String,
+                                 ctype: String): Array[Byte] =
+    responseRecordBytes(i, bodyText.getBytes(StandardCharsets.UTF_8),
+      status, ctype)
 
   private def responseRecord(i: Int, pad: Int = 0): Array[Byte] =
     responseRecordWith(i, synthBody(i) + ("w" * pad),
@@ -316,6 +376,69 @@ object Warc {
     java.nio.file.Files.write(dir.resolve("seg_0.warc.gz"), seg)
     dir.toString
   }
+
+  /** Closed-form charset-decode fixture cases:
+    * (content_type, raw body BYTES, expected decoded text). The bytes
+    * exercise every rule of [[decodeBody]] — declared windows-1252 /
+    * GBK / quoted iso-8859-1 / utf-8, an UNSUPPORTED declared name, and
+    * headerless bodies that are valid UTF-8 (strict path) or legacy
+    * windows-1252 (the detection fallback). The expected strings are
+    * independent closed-form data the oracle restates verbatim — a
+    * decode regression breaks the hash, not just a spec. */
+  private[graft] val charsetCases: IndexedSeq[(String, Array[Byte], String)] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def a(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    IndexedSeq(
+      ("text/html; charset=windows-1252",
+        a("caf") ++ b(0xE9) ++ a(" ") ++ b(0x93) ++ a("quoted") ++
+          b(0x94, 0x20, 0x97) ++ a(" dash"),
+        "café “quoted” — dash"),
+      ("text/html; charset=gbk",
+        b(0xD6, 0xD0, 0xCE, 0xC4) ++ a(" gbk page body"),
+        "中文 gbk page body"),
+      ("text/html; charset=utf-8",
+        "naïve ünicode ✓".getBytes(StandardCharsets.UTF_8),
+        "naïve ünicode ✓"),
+      ("text/html",
+        "müller declared nothing but is valid utf8"
+          .getBytes(StandardCharsets.UTF_8),
+        "müller declared nothing but is valid utf8"),
+      ("text/html",
+        a("legacy caf") ++ b(0xE9) ++ a(" page") ++ b(0x97) ++ a("end"),
+        "legacy café page—end"),
+      ("text/html; charset=\"iso-8859-1\"",
+        a("se") ++ b(0xF1) ++ a("or quoted latin1"),
+        "señor quoted latin1"),
+      ("text/html; charset=x-bogus-name",
+        a("unsupported charset name, ascii body"),
+        "unsupported charset name, ascii body"),
+      ("text/plain", a("plain ascii body"), "plain ascii body"))
+  }
+
+  /** Staged single-segment fixture of the [[charsetCases]] records. */
+  lazy val warcCharsetIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cs-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-cs-cleanup")
+    val seg = charsetCases.zipWithIndex.flatMap { case ((ct, body, _), i) =>
+      gzipMember(responseRecordBytes(i, body, "200 OK", ct))
+    }.toArray
+    java.nio.file.Files.write(dir.resolve("seg_0.warc.gz"), seg)
+    dir.toString
+  }
+
+  /** The charset fixture's expected rows as a DuckDB VALUES list —
+    * (record_id, url, content_type, text, n_bytes), the same
+    * data-pinning discipline as [[graft.llm.Psl.oracleValuesSql]]: the
+    * oracle restates the independent expected DECODED text while the
+    * engine decodes the raw bytes, so the two can only hash-match if
+    * every decode rule fires correctly. */
+  private[graft] def charsetOracleValuesSql: String =
+    charsetCases.zipWithIndex.map { case ((ct, body, decoded), i) =>
+      val rid = f"<urn:uuid:rec-$i%03d>"
+      val url = s"http://site${i % 5}.example/page/$i"
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      s"(${q(rid)}, ${q(url)}, ${q(ct)}, ${q(decoded)}, ${body.length})"
+    }.mkString(", ")
 
   private def requestRecord(i: Int): Array[Byte] =
     record("request", f"<urn:uuid:req-$i%03d>",

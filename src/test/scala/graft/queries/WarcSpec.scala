@@ -100,4 +100,47 @@ class WarcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("charsetOf: header parsing edges — case, quotes, parameters, " +
+      "unsupported names") {
+    assert(Warc.charsetOf("text/html; charset=utf-8").map(_.name())
+      === Some("UTF-8"))
+    assert(Warc.charsetOf("text/html; CHARSET=GBK").map(_.name())
+      === Some("GBK"))
+    assert(Warc.charsetOf("text/html;charset=\"windows-1252\"; foo=bar")
+      .map(_.name()) === Some("windows-1252"))
+    assert(Warc.charsetOf("text/html; charset=x-no-such-charset").isEmpty)
+    assert(Warc.charsetOf("text/html").isEmpty)
+    assert(Warc.charsetOf("").isEmpty)
+  }
+
+  test("decodeBody: declared charset wins; undeclared falls back " +
+      "strict-UTF-8 then windows-1252; bad bytes replace, never throw") {
+    def d(bytes: Array[Byte], ct: String) =
+      Warc.decodeBody(bytes, 0, bytes.length, ct)
+    val w1252 = Array[Byte]('c', 'a', 'f', 0xE9.toByte)
+    assert(d(w1252, "text/html; charset=windows-1252") === "café")
+    // the same bytes undeclared: not valid UTF-8 → windows-1252 heuristic
+    assert(d(w1252, "text/html") === "café")
+    // declared UTF-8 with a stray bad byte: replacement char, no throw
+    assert(d(w1252, "text/html; charset=utf-8") === "caf�")
+    // undeclared valid UTF-8 must decode as UTF-8, not latin-1 mojibake
+    assert(d("中文".getBytes("UTF-8"), "text/plain") === "中文")
+    assert(d(Array[Byte](0xD6.toByte, 0xD0.toByte), "x; charset=gbk") === "中")
+  }
+
+  test("charset fixture round-trips: every decode rule is exercised and " +
+      "n_bytes stays the raw byte length") {
+    val out = Warc.readResponses(spark, Warc.warcCharsetIngestDir)
+      .orderBy("record_id").collect()
+    assert(out.length === Warc.charsetCases.length)
+    out.zip(Warc.charsetCases).foreach { case (row, (ct, bytes, decoded)) =>
+      assert(row.getAs[String]("content_type") === ct)
+      assert(row.getAs[String]("text") === decoded)
+      assert(row.getAs[Long]("n_bytes") === bytes.length.toLong)
+    }
+    // non-ASCII records prove n_bytes ≠ char count (raw bytes, not text)
+    assert(out.exists(r =>
+      r.getAs[Long]("n_bytes") != r.getAs[String]("text").length.toLong))
+  }
 }
