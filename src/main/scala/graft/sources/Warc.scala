@@ -271,40 +271,83 @@ object Warc {
 
   /** Scan a directory of `.warc` / `.warc.gz` segments into a DataFrame
     * of HTTP response documents. One task per segment file (see the
-    * object doc for why that is the right split unit); everything after
-    * the `binaryFile` listing is partition-local and streams in
-    * O(record) memory. A segment whose gzip header is unreadable
+    * object doc for why that is the right split unit); the listing's
+    * PATH column alone enters the task and the segment opens as a
+    * Hadoop FS stream inside it ([[decodeSegmentPaths]]), so the batch
+    * scan holds O(64 KB buffers) per in-flight task — never the
+    * segment blob. A segment whose gzip header is unreadable
     * quarantines whole (empty iterator) instead of failing the job. */
   def readResponses(spark: SparkSession, dir: String): DataFrame =
-    decodeSegments(spark)(spark.read.format("binaryFile").load(dir))
+    decodeSegmentPaths(spark)(spark.read.format("binaryFile").load(dir))
 
-  /** The (path, content) → WarcDoc decode stage shared by the batch scan
-    * and the continuous-ingest stream
-    * ([[graft.streaming.EventStreams.runBinaryAvailableNowAppend]]) —
-    * Spark's unified model: the same partition-local flatMap runs over a
-    * static listing or a file stream discovering segments as a crawler
-    * lands them. */
+  /** The shared gzip-or-plain wrapping + task-completion close guard of
+    * both decode stages: `raw` is the segment byte stream; a broken
+    * gzip header quarantines the whole segment (empty stream) instead
+    * of failing the task. */
+  private def guardedSegmentStream(path: String,
+                                   raw: java.io.InputStream): java.io.InputStream = {
+    val in: java.io.InputStream =
+      if (path.endsWith(".gz"))
+        scala.util.Try(
+            new java.util.zip.GZIPInputStream(raw, 64 * 1024): java.io.InputStream)
+          .getOrElse {
+            try raw.close() catch { case _: java.io.IOException => () }
+            new java.io.ByteArrayInputStream(Array.emptyByteArray)
+          }
+      else raw
+    // the parser closes `in` at exhaustion/IO-error; the listener is
+    // the backstop for consumers that abandon the iterator early
+    // (limit, take) — a GZIPInputStream's native Inflater otherwise
+    // waits for GC, and an abandoned FS stream would leak its socket
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: java.io.IOException => () }))
+    in
+  }
+
+  /** PATH-streaming decode stage — the 100 TB memory contract: only the
+    * `path` column of the `binaryFile` listing reaches the task
+    * (column pruning means the source never loads file contents), and
+    * the segment opens via the Hadoop FileSystem INSIDE the task. Heap
+    * per in-flight task is O(64 KB buffers) + O(record), versus the
+    * blob variant's O(compressed segment) — at Common Crawl's ~1 GB
+    * segments, 32 concurrent blob tasks held ~32 GB of byte arrays
+    * (and binaryFile caps files at ~2 GB outright). Parallelism is
+    * identical (one task per segment file); output is identical to
+    * [[decodeSegments]] (spec-pinned). A file that vanished between
+    * listing and open quarantines empty, like a corrupt gzip header. */
+  def decodeSegmentPaths(spark: SparkSession)(files: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    files.select("path").as[String]
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val raw: java.io.InputStream =
+          scala.util.Try(p.getFileSystem(hc.conf).open(p): java.io.InputStream)
+            .getOrElse(new java.io.ByteArrayInputStream(Array.emptyByteArray))
+        parseResponses(guardedSegmentStream(path, raw))
+      }
+      .toDF()
+  }
+
+  /** The (path, content) BLOB decode stage — kept for the
+    * continuous-ingest STREAM
+    * ([[graft.streaming.EventStreams.runBinaryAvailableNowAppend]]),
+    * where the binaryFile streaming source delivers content per
+    * micro-batch anyway, and for in-memory fixtures. Batch scans use
+    * [[decodeSegmentPaths]]: this variant holds the whole compressed
+    * segment on heap per task — fine at streaming micro-batch segment
+    * counts, the wrong contract for a 100k-segment batch scan. Same
+    * parser, same quarantine rules, ONE decode function two ways —
+    * output is spec-pinned identical to the path variant. */
   def decodeSegments(spark: SparkSession)(files: DataFrame): DataFrame = {
     import spark.implicits._
     files
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
-        val raw = new java.io.ByteArrayInputStream(content)
-        val in: java.io.InputStream =
-          if (path.endsWith(".gz"))
-            scala.util.Try(
-                new java.util.zip.GZIPInputStream(raw, 64 * 1024): java.io.InputStream)
-              .getOrElse(new java.io.ByteArrayInputStream(Array.emptyByteArray))
-          else raw
-        // the parser closes `in` at exhaustion/IO-error; the listener is
-        // the backstop for consumers that abandon the iterator early
-        // (limit, take) — a GZIPInputStream's native Inflater otherwise
-        // waits for GC, the off-heap leak TextAnalysis's Deflater
-        // discipline exists to prevent
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: java.io.IOException => () }))
-        parseResponses(in)
+        parseResponses(guardedSegmentStream(path,
+          new java.io.ByteArrayInputStream(content)))
       }
       .toDF()
   }

@@ -101,6 +101,25 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("path-streaming decode equals the blob decode on both fixture " +
+      "dirs (plain + gz segments): one parser, two ingestion contracts") {
+    for (dir <- Seq(Warc.warcIngestDir, Warc.warcCharsetIngestDir)) {
+      val listing = spark.read.format("binaryFile").load(dir)
+      val viaPath = Warc.decodeSegmentPaths(spark)(listing)
+        .orderBy("record_id").collect().toSeq
+      val viaBlob = Warc.decodeSegments(spark)(listing)
+        .orderBy("record_id").collect().toSeq
+      assert(viaPath === viaBlob)
+      assert(viaPath.nonEmpty)
+    }
+    // the path variant must not deserialize file contents in its scan:
+    // the listing's content column is pruned away
+    val plan = Warc.readResponses(spark, Warc.warcIngestDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<path:string>"),
+      s"content column must be pruned from the binaryFile scan:\n$plan")
+  }
+
   test("charsetOf: header parsing edges — case, quotes, parameters, " +
       "unsupported names") {
     assert(Warc.charsetOf("text/html; charset=utf-8").map(_.name())
