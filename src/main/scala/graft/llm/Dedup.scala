@@ -422,6 +422,11 @@ object Dedup {
     *    nothing, so the parameters live WITH the index, not in the
     *    caller's head.
     *
+    * After compaction, `bands`/`sigs` become versioned directories
+    * resolved through a `current` manifest ([[IndexManifest]]) — every
+    * reader and the append path resolve through it, so a fresh index
+    * (plain dirs, no manifest) and a compacted one read identically.
+    *
     * The history-side hot-bucket star cap is applied at WRITE time (the
     * bucket-minimum representative always survives), so a million-copy
     * boilerplate bucket costs its cap once here instead of at every
@@ -433,10 +438,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = history.sparkSession
     import spark.implicits._
+    IndexManifest.reset(path) // a fresh write supersedes any old manifest
     val sigs = Caches.track(
       minhashSignatures(history, numHashes, shingleSize, textCol, idCol))
-    writeBandRows(sigs, bands, numHashes / bands, path, maxBucketSize,
-      "overwrite")
+    writeBandRows(sigs, bands, numHashes / bands, s"$path/bands",
+      maxBucketSize, "overwrite")
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     Seq((numHashes, bands, shingleSize,
         if (maxBucketSize == Int.MaxValue) -1 else maxBucketSize))
@@ -447,9 +453,10 @@ object Dedup {
   /** The capped band-bucket write shared by [[writeMinhashIndex]]
     * (overwrite) and [[appendToMinhashIndex]] (append): hot buckets keep
     * their minimum representative, rows land in band=N partition dirs
-    * range-distributed + sorted by bucket for row-group pruning. */
+    * range-distributed + sorted by bucket for row-group pruning.
+    * `bandsDir` is the already-RESOLVED live bands directory. */
   private def writeBandRows(sigs: DataFrame, bands: Int, r: Int,
-                            path: String, maxBucketSize: Int,
+                            bandsDir: String, maxBucketSize: Int,
                             mode: String): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
@@ -460,7 +467,7 @@ object Dedup {
       .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
       .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
-      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+      .write.mode(mode).partitionBy("band").parquet(bandsDir)
   }
 
   /** APPEND a batch to a persisted index ([[writeMinhashIndex]]) — the
@@ -489,22 +496,10 @@ object Dedup {
     val maxBucketSize = if (rawCap < 0) Int.MaxValue else rawCap
     val sigs = Caches.track(
       minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
-    writeBandRows(sigs, bands, numHashes / bands, indexPath, maxBucketSize,
-      "append")
-    sigs.write.mode("append").parquet(s"$indexPath/sigs")
-  }
-
-  /** Rewrite-and-swap one index subdir: the fresh copy replaces the live
-    * one via two local renames (object-store deployments swap a
-    * manifest/version pointer instead — the Iceberg/Delta move; the
-    * LAYOUT contract is what compaction is about, not the rename). */
-  private[llm] def swapDir(live: String, fresh: String): Unit = {
-    val livePath = java.nio.file.Paths.get(live)
-    val old = java.nio.file.Paths.get(live + "_old")
-    graft.core.Fs.deleteTree(old)
-    java.nio.file.Files.move(livePath, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(fresh), livePath)
-    graft.core.Fs.deleteTree(old)
+    writeBandRows(sigs, bands, numHashes / bands,
+      IndexManifest.resolve(indexPath, "bands"), maxBucketSize, "append")
+    sigs.write.mode("append")
+      .parquet(IndexManifest.resolve(indexPath, "sigs"))
   }
 
   /** COMPACT a persisted MinHash index ([[writeMinhashIndex]]) after many
@@ -524,7 +519,14 @@ object Dedup {
     * so a hot bucket creeps by up to one cap per append, and compaction
     * is where the global bound is restored (the bucket-minimum
     * representative survives, as at write time). Cost is one linear
-    * pass over the index — the deliberate amortization trade. */
+    * pass over the index — the deliberate amortization trade.
+    *
+    * Publication is a MANIFEST POINTER write ([[IndexManifest]]): the
+    * consolidated copy lands in a fresh immutable version dir and one
+    * atomic `current` replace makes it live — no rename window with a
+    * missing subdir, object-store expressible, and a reader that
+    * resolved just before the swap finishes against the retained prior
+    * version. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String): Unit = {
     val meta = spark.read.parquet(s"$indexPath/meta").collect()
@@ -533,7 +535,8 @@ object Dedup {
     val cap = if (rawCap < 0) Int.MaxValue else rawCap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
-    spark.read.parquet(s"$indexPath/bands")
+    val bandsV = IndexManifest.nextVersionDir(indexPath, "bands")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("hist_id"))
       .distinct()
@@ -544,12 +547,13 @@ object Dedup {
       .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$indexPath/bands_compacting")
-    spark.read.parquet(s"$indexPath/sigs").distinct()
+      .parquet(s"$indexPath/$bandsV")
+    val sigsV = IndexManifest.nextVersionDir(indexPath, "sigs")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "sigs")).distinct()
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      .write.mode("overwrite").parquet(s"$indexPath/sigs_compacting")
-    swapDir(s"$indexPath/bands", s"$indexPath/bands_compacting")
-    swapDir(s"$indexPath/sigs", s"$indexPath/sigs_compacting")
+      .write.mode("overwrite").parquet(s"$indexPath/$sigsV")
+    IndexManifest.publish(indexPath, "bands", bandsV)
+    IndexManifest.publish(indexPath, "sigs", sigsV)
   }
 
   /** Incremental dedup against a PERSISTED index ([[writeMinhashIndex]]):
@@ -568,10 +572,12 @@ object Dedup {
     val numHashes = meta.head.getAs[Int]("num_hashes")
     val bands = meta.head.getAs[Int]("bands")
     val shingleSize = meta.head.getAs[Int]("shingle_size")
-    val histBand = spark.read.parquet(s"$indexPath/bands")
+    val histBand = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("hist_id"))
-    val histSigs = spark.read.parquet(s"$indexPath/sigs")
+    val histSigs = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "sigs"))
     val batchSigs = Caches.track(
       minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
     matchBatchBands(histBand, histSigs, batchSigs, numHashes, bands)
@@ -602,10 +608,12 @@ object Dedup {
     val bands = meta.head.getAs[Int]("bands")
     val shingleSize = meta.head.getAs[Int]("shingle_size")
     val r = numHashes / bands
-    val histBand = spark.read.parquet(s"$indexPath/bands")
+    val histBand = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("hist_id"))
-    val histSigs = spark.read.parquet(s"$indexPath/sigs")
+    val histSigs = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "sigs"))
       .select(col("doc_id").as("hist_id"), col("sig").as("sig2"))
     batchStream
       .select(col(idCol).as("batch_id"),

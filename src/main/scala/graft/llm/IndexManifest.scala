@@ -1,0 +1,132 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Version-pointer manifest for persisted index directories (the MinHash
+  * and IVF index lifecycles, [[Dedup.writeMinhashIndex]] /
+  * [[Similarity.writeIvfIndex]]).
+  *
+  * Problem: compaction rewrites an index subdir (`bands`, `sigs`,
+  * `postings`) wholesale. Swapping the fresh copy in via directory
+  * renames has a window where the subdir is absent — a crash mid-swap
+  * leaves a broken index, and a concurrent reader sees a hole. Object
+  * stores don't even have atomic directory renames.
+  *
+  * The Iceberg/Delta answer, applied at the smallest useful scale: data
+  * directories are IMMUTABLE VERSIONS (`bands_v3`), and a tiny `current`
+  * manifest file maps logical names to the live version. Compaction
+  * writes a complete new version dir, then publishes it with ONE atomic
+  * pointer write (temp file + atomic rename locally; a single-object PUT
+  * on object stores). Every reader resolves through the manifest at open
+  * time, so it either sees the old complete version or the new complete
+  * version — never a hole. The immediately superseded version is
+  * RETAINED for one compaction cycle (pruned by the next), so a reader
+  * that resolved just before the swap can still finish its scan.
+  *
+  * Concurrency contract: many readers + one maintenance writer
+  * (append/compact) — the manifest write is atomic, but two CONCURRENT
+  * compactions of the same index are a caller error (last publish wins;
+  * both version dirs remain until pruned).
+  *
+  * Back-compat: an index written before versioning has plain subdirs and
+  * no manifest; `resolve` falls back to the plain name, and the first
+  * compaction migrates it to versioned layout.
+  *
+  * Reference anchor: repype/task.py:280-287 (compute_sha — artifact
+  * identity tracked in small sidecar metadata, not directory layout).
+  */
+object IndexManifest {
+
+  private val ManifestName = "current"
+
+  private def manifestPath(indexPath: String): Path =
+    Paths.get(indexPath, ManifestName)
+
+  /** name→dirname map in the manifest (empty when absent). */
+  private def readMap(indexPath: String): Map[String, String] = {
+    val p = manifestPath(indexPath)
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        val eq = line.indexOf('=')
+        if (eq <= 0) None else Some(line.take(eq) -> line.drop(eq + 1))
+      }.toMap
+  }
+
+  /** Resolve logical subdir `name` of an index to its live ABSOLUTE
+    * path: the manifest's entry when present, the plain name otherwise
+    * (pre-versioning indexes). */
+  def resolve(indexPath: String, name: String): String =
+    s"$indexPath/${readMap(indexPath).getOrElse(name, name)}"
+
+  /** A fresh version dirname for `name` (one past the largest existing
+    * `name_v<N>` on disk — counting disk, not just the manifest, so an
+    * unpublished dir left by a crashed compaction is never reused). */
+  def nextVersionDir(indexPath: String, name: String): String = {
+    val re = (java.util.regex.Pattern.quote(name) + "_v(\\d+)").r
+    val root = Paths.get(indexPath)
+    val existing =
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val s = Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).collect {
+            case re(n) => n.toInt
+          }.toSeq
+        } finally s.close()
+      }
+    s"${name}_v${(existing :+ 0).max + 1}"
+  }
+
+  /** Reset an index path for a FRESH write (writeMinhashIndex /
+    * writeIvfIndex with a pre-existing index at `path`): drop the
+    * manifest and every versioned dir so the new plain-layout write
+    * can't be shadowed by a stale pointer from the old index. */
+  def reset(indexPath: String): Unit = {
+    val root = Paths.get(indexPath)
+    if (!Files.exists(root)) return
+    Files.deleteIfExists(manifestPath(indexPath))
+    val s = Files.list(root)
+    val versioned =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches(".+_v\\d+")).toSeq
+      } finally s.close()
+    versioned.foreach(d => graft.core.Fs.deleteTree(s"$indexPath/$d"))
+  }
+
+  /** Publish `versionDir` as the live version of `name`: one atomic
+    * manifest replace (other names' entries are carried over), then
+    * prune every OTHER version of `name` except the one just
+    * superseded — the one-cycle grace window for in-flight readers.
+    * The superseded dir is pruned by the NEXT publish. */
+  def publish(indexPath: String, name: String, versionDir: String): Unit = {
+    val prior = readMap(indexPath)
+    val superseded = prior.getOrElse(name, name)
+    val next = prior + (name -> versionDir)
+    val body = next.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(indexPath, s".$ManifestName.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(indexPath),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // prune stale versions: everything matching `name` or `name_v*`
+    // that is neither the new live dir nor its immediate predecessor
+    val root = Paths.get(indexPath)
+    val re = (java.util.regex.Pattern.quote(name) + "(_v\\d+)?").r
+    val s = Files.list(root)
+    val stale =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).filter {
+          case d @ re(_*) => d != versionDir && d != superseded
+          case _ => false
+        }.toSeq
+      } finally s.close()
+    stale.foreach(d => graft.core.Fs.deleteTree(s"$indexPath/$d"))
+  }
+}

@@ -302,6 +302,7 @@ object Similarity {
                     trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    IndexManifest.reset(path) // a fresh write supersedes any old manifest
     val centroids = Clustering.trainCentroids(
       corpus, idCol, vecCol, nlist, trainIters, trainFraction)
     centroids.toSeq.zipWithIndex
@@ -327,24 +328,28 @@ object Similarity {
                        idCol: String = "vec_id"): Unit =
     assignCells(delta, loadCentroids(delta.sparkSession, indexPath),
         vecCol, idCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/postings")
+      .write.mode("append").partitionBy("cell")
+      .parquet(IndexManifest.resolve(indexPath, "postings"))
 
   /** COMPACT a persisted IVF index after many appends — the same
-    * LSM/small-files decay (and the same dir-swap machinery) as
-    * [[Dedup.compactMinhashIndex]]: each append lands one more file set
-    * per touched cell dir; compaction rewrites the postings consolidated
-    * per cell. Centroids are untouched (KB-scale, never appended to);
-    * reader output is unchanged (spec-pinned). */
+    * LSM/small-files decay (and the same manifest-pointer publication,
+    * [[IndexManifest]]) as [[Dedup.compactMinhashIndex]]: each append
+    * lands one more file set per touched cell dir; compaction rewrites
+    * the postings consolidated per cell into a fresh version dir and
+    * publishes it with one atomic pointer write. Centroids are
+    * untouched (KB-scale, never appended to); reader output is
+    * unchanged (spec-pinned). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String): Unit = {
-    spark.read.parquet(s"$indexPath/postings")
+    val postingsV = IndexManifest.nextVersionDir(indexPath, "postings")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("c_vec"), col("c_norm"))
       .repartitionByRange(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/postings_compacting")
-    Dedup.swapDir(s"$indexPath/postings", s"$indexPath/postings_compacting")
+      .parquet(s"$indexPath/$postingsV")
+    IndexManifest.publish(indexPath, "postings", postingsV)
   }
 
   /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):
@@ -367,7 +372,8 @@ object Similarity {
       probeTable(queries, centroids, nprobe, vecCol, idCol))
     val cells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted // ≤ nlist values
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val postings = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "postings"))
       .filter(col("cell").isin(cells.map(c => c: Any).toSeq: _*))
     rankProbed(postings, probed, k)
   }

@@ -243,7 +243,7 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     def bandFiles() = {
       val s = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(s"$idx/bands"))
+        java.nio.file.Paths.get(IndexManifest.resolve(idx, "bands")))
       try s.filter(_.toString.endsWith(".parquet")).count()
       finally s.close()
     }
@@ -274,7 +274,8 @@ class LlmSpec extends SparkSpec {
       numHashes = 32, bands = 8, shingleSize = 5, maxBucketSize = 3)
     Dedup.appendToMinhashIndex(copies(100L until 103L), idx)
     Dedup.appendToMinhashIndex(copies(200L until 203L), idx)
-    def maxBucket() = SparkSpec.spark.read.parquet(s"$idx/bands")
+    def maxBucket() = SparkSpec.spark.read
+      .parquet(IndexManifest.resolve(idx, "bands"))
       .groupBy("band", "bucket").count()
       .agg(max("count")).collect().head.getLong(0)
     assert(maxBucket() > 3, "appends should have grown a hot bucket")
@@ -282,9 +283,67 @@ class LlmSpec extends SparkSpec {
     assert(maxBucket() <= 3,
       s"compaction must restore the write-time cap, got ${maxBucket()}")
     // the bucket-minimum representative (doc 0) must survive the re-cap
-    val kept = SparkSpec.spark.read.parquet(s"$idx/bands")
+    val kept = SparkSpec.spark.read
+      .parquet(IndexManifest.resolve(idx, "bands"))
       .select("hist_id").distinct().collect().map(_.getLong(0)).toSet
     assert(kept.contains(0L))
+  }
+
+  test("manifest-pointer compaction: a reader resolved BEFORE compaction " +
+      "finishes against the retained prior version; versions prune on " +
+      "the next cycle") {
+    import SparkSpec.spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"manifest lifecycle document $i with filler words $i"))
+      .toDF("doc_id", "text")
+    val idx = tempDir("graft-mh-manifest-").toString + "/idx"
+    Dedup.writeMinhashIndex(mk(0L until 30L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5)
+    Dedup.appendToMinhashIndex(mk(100L until 110L), idx)
+    val probe = mk(Seq(5L, 105L))
+      .select((col("doc_id") + 9000).as("doc_id"), col("text"))
+    // reader OPENED (file listing resolved) before compaction runs
+    val preReader = Dedup.incrementalMinhashMatchesIndexed(probe, idx)
+    val expected = preReader.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Dedup.compactMinhashIndex(SparkSpec.spark, idx)
+    // the prior version is retained one cycle, so the pre-compaction
+    // plan still scans complete data and must not error or change
+    val afterSwap = preReader.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterSwap == expected,
+      "pre-compaction reader must resolve a consistent retained version")
+    // a FRESH reader resolves the new version through the manifest
+    assert(Dedup.incrementalMinhashMatchesIndexed(probe, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == expected)
+    def versionDirs(name: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(d => d == name || d.startsWith(name + "_v")).toSet
+      } finally s.close()
+    }
+    // after one compaction: live v1 + retained plain dir
+    assert(versionDirs("bands") == Set("bands", "bands_v1"),
+      versionDirs("bands").toString)
+    Dedup.compactMinhashIndex(SparkSpec.spark, idx)
+    // after two: live v2 + retained v1; the plain dir is pruned
+    assert(versionDirs("bands") == Set("bands_v1", "bands_v2"),
+      versionDirs("bands").toString)
+    assert(Dedup.incrementalMinhashMatchesIndexed(probe, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == expected)
+    // a FRESH write over the compacted index resets the manifest: the
+    // stale pointer must not shadow the new plain-layout dirs
+    Dedup.writeMinhashIndex(mk(500L until 520L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5)
+    val fresh = Dedup.incrementalMinhashMatchesIndexed(
+      mk(Seq(505L)).select((col("doc_id") + 9000).as("doc_id"), col("text")),
+      idx).collect().map(_.getLong(1)).toSet
+    assert(fresh.contains(505L) && !fresh.exists(_ < 500L),
+      s"fresh write must supersede the old index: $fresh")
   }
 
   test("leakageFreeSplit hashes non-numeric ids instead of silently " +
@@ -328,7 +387,7 @@ class LlmSpec extends SparkSpec {
         r.getDouble(3))).toSet
     def files() = {
       val s = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(s"$idx/postings"))
+        java.nio.file.Paths.get(IndexManifest.resolve(idx, "postings")))
       try s.filter(_.toString.endsWith(".parquet")).count()
       finally s.close()
     }
