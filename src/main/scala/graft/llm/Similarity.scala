@@ -352,6 +352,145 @@ object Similarity {
     IndexManifest.publish(indexPath, "postings", postingsV)
   }
 
+  /** Write the PERSISTED IVF-PQ index — the production FAISS artifact
+    * shape (IVFPQ + refine tier) and the 100 TB memory cut the
+    * in-memory [[ivfPqTopK]] only computes transiently:
+    *
+    *  - `centroids/` — the nlist×dim coarse quantizer (KBs);
+    *  - `codebooks/` + `pq_meta/` — the m per-subspace PQ codebooks
+    *    (m×ksub×dsub doubles — KBs) and their shape, stored WITH the
+    *    index so encode parameters can never drift from query
+    *    parameters;
+    *  - `codes/` — the HOT tier: (cand_id, code, c_norm) per corpus
+    *    row, partitioned by cell — m small ints per vector instead of
+    *    d floats, which is what the ADC scan reads;
+    *  - `vectors/` — the REFINE tier: the raw-vector postings
+    *    ([[writeIvfIndex]]'s shape), touched only for the k·refine
+    *    exact-re-rank candidates per query, pruned to probed cells.
+    *
+    * Training is [[trainCoarseAndPq]] — the identical concurrent
+    * trainer as the in-memory path, so index results ≡ in-memory
+    * results for the same corpus and parameters (spec-pinned). */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, nlist: Int,
+                      m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
+                      vecCol: String = "embedding", idCol: String = "vec_id",
+                      trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    IndexManifest.reset(path) // a fresh write supersedes any old manifest
+    val (cells, pq) = trainCoarseAndPq(corpus, nlist, m, ksub, trainIters,
+      vecCol, idCol, trainFraction)
+    cells.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    pq.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((pq.m, ksub, pq.dsub)).toDF("m", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_meta")
+    encodeIvfPq(corpus, cells, pq, vecCol, idCol).drop("cv")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    assignCells(corpus, cells, vecCol, idCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** PQ reconstructed from a persisted index's codebooks — bounded
+    * driver state (m×ksub rows, KBs). */
+  private def loadPq(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String): Pq = {
+    val meta = spark.read.parquet(s"$indexPath/pq_meta").collect()
+    require(meta.length == 1, s"malformed pq_meta at $indexPath/pq_meta")
+    val m = meta.head.getAs[Int]("m")
+    val ksub = meta.head.getAs[Int]("ksub")
+    val dsub = meta.head.getAs[Int]("dsub")
+    val books = Array.fill(m)(Array.ofDim[Array[Double]](ksub))
+    spark.read.parquet(s"$indexPath/codebooks").collect().foreach { r =>
+      books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray
+    }
+    Pq(books.toIndexedSeq, m, dsub)
+  }
+
+  /** APPEND new vectors to a persisted IVF-PQ index: coarse quantizer
+    * AND codebooks are FROZEN (the [[appendToIvfIndex]] add-after-train
+    * contract, extended to the PQ tier — re-trained codebooks would
+    * silently re-code the existing postings out from under the ADC
+    * scan). One linear pass over the delta into both tiers' existing
+    * cell dirs; nothing existing is rewritten. */
+  def appendToIvfPqIndex(delta: DataFrame, indexPath: String,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): Unit = {
+    val spark = delta.sparkSession
+    val cells = loadCentroids(spark, indexPath)
+    val pq = loadPq(spark, indexPath)
+    encodeIvfPq(delta, cells, pq, vecCol, idCol).drop("cv")
+      .write.mode("append").partitionBy("cell")
+      .parquet(IndexManifest.resolve(indexPath, "codes"))
+    assignCells(delta, cells, vecCol, idCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(IndexManifest.resolve(indexPath, "vectors"))
+  }
+
+  /** COMPACT a persisted IVF-PQ index: both tiers consolidate per cell
+    * into fresh version dirs published via [[IndexManifest]] (the
+    * [[compactIvfIndex]] machinery, twice). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Unit = {
+    val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
+      .select(col("cell").cast("int").as("cell"), col("cand_id"),
+        col("code"), col("c_norm"))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("cand_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/$codesV")
+    val vecsV = IndexManifest.nextVersionDir(indexPath, "vectors")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
+      .select(col("cell").cast("int").as("cell"), col("cand_id"),
+        col("c_vec"), col("c_norm"))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("cand_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/$vecsV")
+    IndexManifest.publish(indexPath, "codes", codesV)
+    IndexManifest.publish(indexPath, "vectors", vecsV)
+  }
+
+  /** Approximate top-k against a PERSISTED IVF-PQ index
+    * ([[writeIvfPqIndex]]): centroids and codebooks load as bounded
+    * driver state, the ADC candidate scan reads ONLY the probed cells
+    * of the CODES tier (static partition filter — m ints per row, the
+    * 100 TB scan-cost cut), and the exact re-rank touches the raw
+    * VECTORS tier for candidate rows in probed cells only. Output ≡
+    * the in-memory [[ivfPqTopK]] for the same corpus/parameters: the
+    * shared trainer, encoder, candidate stage, and re-rank make
+    * divergence structurally impossible (and the spec pins it). */
+  def ivfPqTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                       nprobe: Int, refine: Int = 4,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val cells = loadCentroids(spark, indexPath)
+    require(nprobe >= 1 && nprobe <= cells.length,
+      s"nprobe must be in [1, nlist=${cells.length}], got $nprobe")
+    val pq = loadPq(spark, indexPath)
+    val probed = Caches.track( // consumed twice: cell collect + probe join
+      ivfPqProbeTable(queries, cells, pq, nprobe, vecCol, idCol))
+    val probedCells = probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted // ≤ nlist values
+    def pruneToProbed(df: DataFrame): DataFrame =
+      df.filter(col("cell").isin(probedCells.map(c => c: Any).toSeq: _*))
+    val codes = pruneToProbed(
+      spark.read.parquet(IndexManifest.resolve(indexPath, "codes")))
+    val cand = ivfPqCandidates(codes, probed, pq, k * refine)
+    val corpusVecs = pruneToProbed(
+        spark.read.parquet(IndexManifest.resolve(indexPath, "vectors")))
+      .select(col("cand_id").as(idCol), col("c_vec").as(vecCol))
+    rerankExact(cand, corpusVecs, queries, k, vecCol, idCol)
+  }
+
   /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):
     * centroids load as bounded driver state (nlist rows — the k-means
     * contract), each query probes its nprobe nearest cells, and the
@@ -528,21 +667,20 @@ object Similarity {
     * subspace), so the composed path can never diverge from the parts
     * the specs pin individually.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
-                refine: Int = 4, trainIters: Int = 3,
-                vecCol: String = "embedding", idCol: String = "vec_id",
-                trainFraction: Double = 1.0): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    // The coarse (cell) and PQ trainers are INDEPENDENT Lloyd loops over
-    // the same corpus — run them concurrently so the composed path costs
-    // max(coarse, pq) driver round-trips instead of their sum (each round
-    // is a small aggregate job; with both loops in flight the scheduler
-    // interleaves them). Results are identical to the sequential order —
-    // neither loop reads the other's state. Local properties (job group /
-    // pool) are inherited so Batch-scoped cancellation still reaches the
-    // training jobs.
+  /** Train the coarse quantizer and the PQ codebooks CONCURRENTLY — two
+    * INDEPENDENT Lloyd loops over the same corpus, so the composed cost
+    * is max(coarse, pq) driver round-trips instead of their sum (each
+    * round is a small aggregate job; with both loops in flight the
+    * scheduler interleaves them). Results are identical to the
+    * sequential order — neither loop reads the other's state. Local
+    * properties (job group / pool) are inherited so Batch-scoped
+    * cancellation still reaches the training jobs. Shared by the
+    * in-memory [[ivfPqTopK]] and the index write [[writeIvfPqIndex]],
+    * so the two paths can never train differently. */
+  private def trainCoarseAndPq(corpus: DataFrame, nlist: Int, m: Int,
+                               ksub: Int, trainIters: Int,
+                               vecCol: String, idCol: String,
+                               trainFraction: Double): (Array[Array[Double]], Pq) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -557,37 +695,65 @@ object Similarity {
       trainPq(corpus, m, ksub, trainIters, vecCol, idCol, trainFraction))
     val cellsF = Future(trainCells())
     val pqF = Future(trainBooks())
-    val cells = Await.result(cellsF, Duration.Inf)
-    val pq = Await.result(pqF, Duration.Inf)
-    def cellScores(v: Column): Column = Clustering.centroidScores(v, cells)
+    (Await.result(cellsF, Duration.Inf), Await.result(pqF, Duration.Inf))
+  }
 
-    // the index: (cell, code, norm) per corpus row — one narrow table
-    val index = corpus
+  /** (cand_id, cell, code, c_norm, cv) rows of a corpus under a FIXED
+    * coarse quantizer + PQ — the one encode implementation behind the
+    * in-memory path, the index write, and the index append (parameter
+    * drift between them would silently de-sync writes from reads). */
+  private def encodeIvfPq(corpus: DataFrame, cells: Array[Array[Double]],
+                          pq: Pq, vecCol: String, idCol: String): DataFrame =
+    corpus
       .select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("d", cellScores(col("cv")))
+      .withColumn("d", Clustering.centroidScores(col("cv"), cells))
       .withColumn("cell",
         (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
       .select(col("cand_id"), col("cell"), pq.codes(col("cv")).as("code"),
-        l2norm(col("cv")).as("c_norm"))
+        l2norm(col("cv")).as("c_norm"), col("cv"))
 
-    // broadcast query side: probed cells + norm + ADC LUTs (the raw
-    // query vector is NOT carried — the re-rank re-derives it by id)
-    val probed = queries
+  /** Probed-query broadcast side of an IVF-PQ scan: probed cells + norm
+    * + ADC LUTs (the raw query vector is NOT carried — the re-rank
+    * re-derives it by id). */
+  private def ivfPqProbeTable(queries: DataFrame, cells: Array[Array[Double]],
+                              pq: Pq, nprobe: Int,
+                              vecCol: String, idCol: String): DataFrame =
+    queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("q_norm", l2norm(col("q_vec")))
       .withColumn("lut", pq.lut(col("q_vec")))
-      .withColumn("d", cellScores(col("q_vec")))
+      .withColumn("d", Clustering.centroidScores(col("q_vec"), cells))
       .select(col("query_id"), col("q_norm"), col("lut"),
-        explode(probeCells(col("d"), nlist, nprobe)).as("cell"))
+        explode(probeCells(col("d"), cells.length, nprobe)).as("cell"))
 
-    val cand = adcTopCandidates(
-      index.join(broadcast(probed), Seq("cell"))
+  /** The ADC candidate stage shared by the in-memory and indexed IVF-PQ
+    * paths: broadcast probe join on cell, O(m)-lookup approximate
+    * cosine, top k·refine per query. */
+  private def ivfPqCandidates(codes: DataFrame, probed: DataFrame,
+                              pq: Pq, kRefine: Int): DataFrame =
+    adcTopCandidates(
+      codes.join(broadcast(probed), Seq("cell"))
         .filter(col("query_id") =!= col("cand_id"))
         .withColumn("adc",
           pq.adc(col("lut"), col("code")) / (col("q_norm") * col("c_norm"))),
-      k * refine)
+      kRefine)
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
+                refine: Int = 4, trainIters: Int = 3,
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                trainFraction: Double = 1.0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val (cells, pq) = trainCoarseAndPq(corpus, nlist, m, ksub, trainIters,
+      vecCol, idCol, trainFraction)
+    // the index: (cell, code, norm) per corpus row — one narrow table
+    val index = encodeIvfPq(corpus, cells, pq, vecCol, idCol)
+      .drop("cv")
+    val probed = ivfPqProbeTable(queries, cells, pq, nprobe, vecCol, idCol)
+    val cand = ivfPqCandidates(index, probed, pq, k * refine)
     rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
 

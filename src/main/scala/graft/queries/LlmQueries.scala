@@ -523,6 +523,54 @@ object LlmQueries {
       },
       Some(annTwinGateSql)),
 
+    // IVF-PQ against a PERSISTED index — the production FAISS artifact
+    // (codebooks as data + per-cell CODE postings + a raw-vector refine
+    // tier): the ADC candidate scan reads m small ints per row from the
+    // probed cells only (static partition filter), and the exact
+    // re-rank touches raw vectors for the k·refine candidates. Same
+    // in-plan twin gate as q_sim_ivfpq: the planted exact copy encodes
+    // to the query's own codes in the query's own cell — through the
+    // ADC window into the exact re-rank at rank 1, cosine 1.0, and the
+    // full write → read round-trip is what's gated.
+    QueryDef(
+      "q_sim_ivfpq_indexed",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_index"
+        Similarity.writeIvfPqIndex(corpus, idx, nlist = 16, m = 8,
+          ksub = 16)
+        annTwinGate(queries,
+          Similarity.ivfPqTopKIndexed(queries, idx, k = 5, nprobe = 4,
+            refine = 4))
+      },
+      Some(annTwinGateSql)),
+
+    // IVF-PQ index MAINTENANCE: write the base corpus, APPEND the
+    // planted twins with the FROZEN quantizer AND codebooks (an
+    // identical vector scores identically against frozen centroids and
+    // encodes to identical codes), then compact — the twin gate passes
+    // only if appended rows survive the whole lifecycle as first-class
+    // citizens of both tiers (codes for the ADC scan, vectors for the
+    // re-rank). Fresh overwrite each run, so appends never compound.
+    QueryDef(
+      "q_sim_ivfpq_index_append",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_idx_app"
+        Similarity.writeIvfPqIndex(base, idx, nlist = 16, m = 8, ksub = 16)
+        Similarity.appendToIvfPqIndex(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")), idx)
+        Similarity.compactIvfPqIndex(s, idx)
+        annTwinGate(queries,
+          Similarity.ivfPqTopKIndexed(queries, idx, k = 5, nprobe = 4,
+            refine = 4))
+      },
+      Some(annTwinGateSql)),
+
     // Product-quantization ANN (codes + ADC lookup scoring + exact
     // re-rank): the memory-compression tier beside IVF's pruning — 64
     // floats per vector become 8 codes for the candidate scan. Rows-only;

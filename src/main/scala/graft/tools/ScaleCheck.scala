@@ -255,6 +255,15 @@ object ScaleCheck {
         spark.read.parquet(s"$base/embeddings.parquet")
           .filter(col("vec_id") < 10),
         s"$synthRoot/ivfidx_x$f", k = 5, nprobe = 4)),
+      // round-10: IVF-PQ against the PERSISTED two-tier index (staged
+      // per factor outside the timing): the ADC scan reads m-int code
+      // rows from probed cells only, the re-rank touches raw vectors
+      // for k·refine candidates — both tiers partition-pruned, so the
+      // curve must stay flat as the index grows 10×
+      ("q_sim_ivfpq_idx", (_, f) => graft.llm.Similarity.ivfPqTopKIndexed(
+        spark.read.parquet(s"$base/embeddings.parquet")
+          .filter(col("vec_id") < 10),
+        s"$synthRoot/ivfpqidx_x$f", k = 5, nprobe = 4, refine = 4)),
       // round-9: WARC cracking throughput — k× staged .warc.gz segments
       // (2000 records each, ~700 B/record): gunzip + frame parse + HTTP
       // split are partition-local with one task per segment, so time
@@ -392,6 +401,20 @@ object ScaleCheck {
           new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
         }
       }
+    if (runs.exists(_._1 == "q_sim_ivfpq_idx"))
+      for (f <- factors) {
+        val src = if (f == 1) base else s"$synthRoot/x$f"
+        if (f != 1) synthesize(spark, base, f, src)
+        val ix = new java.io.File(s"$synthRoot/ivfpqidx_x$f")
+        if (!new java.io.File(ix, "_DONE").exists()) {
+          graft.llm.Similarity.writeIvfPqIndex(
+            spark.read.parquet(s"$src/embeddings.parquet"), ix.toString,
+            nlist = 16, m = 8, ksub = 16)
+          Caches.release(); spark.catalog.clearCache()
+          new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
+        }
+      }
+
     if (runs.exists(_._1 == "q_scan_warc"))
       for (f <- factors) {
         val dir = new java.io.File(s"$synthRoot/warc_x$f")

@@ -399,6 +399,81 @@ class LlmSpec extends SparkSpec {
       s"compaction must shrink the file count ($filesBefore -> ${files()})")
   }
 
+  test("ivfPqTopKIndexed equals the in-memory ivfPqTopK exactly; the " +
+      "codes tier is measurably smaller than the raw-vector postings") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 2000 rows so parquet data outweighs per-file overhead — the size
+    // assertion below compares real payload, not footers
+    val corpus = (0 until 2000).map(i => (i.toLong, unit(64)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val mem = Similarity.ivfPqTopK(corpus, queries, k = 4,
+        nlist = 8, nprobe = 3, m = 8, ksub = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val idx = tempDir("graft-ivfpq-idx-").toString + "/idx"
+    Similarity.writeIvfPqIndex(corpus, idx, nlist = 8, m = 8, ksub = 16)
+    val onDisk = Similarity.ivfPqTopKIndexed(queries, idx, k = 4,
+      nprobe = 3, refine = 4)
+    assert(onDisk.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).toSet == mem,
+      "persisted IVF-PQ must reproduce the in-memory path exactly")
+    // the ADC scan must prune to probed cell partitions
+    val scan = onDisk.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      "codes scan must prune by probed cell partitions")
+    // the memory cut: codes (m ints + norm per row) vs raw vectors
+    // (64 floats + norm per row) — the on-disk ratio must be material
+    def dirBytes(d: String) = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try s.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    val codesBytes = dirBytes(IndexManifest.resolve(idx, "codes"))
+    val vecBytes = dirBytes(IndexManifest.resolve(idx, "vectors"))
+    assert(codesBytes * 3 < vecBytes,
+      s"codes tier must be << raw postings: $codesBytes vs $vecBytes")
+  }
+
+  test("IVF-PQ index lifecycle: frozen-codebook append makes twins " +
+      "first-class; compaction preserves reader output via the manifest") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 100).map(i => (i.toLong, unit(64)))
+      .toDF("vec_id", "embedding")
+    val queries = base.filter($"vec_id" < 5)
+    val idx = tempDir("graft-ivfpq-app-").toString + "/idx"
+    Similarity.writeIvfPqIndex(base, idx, nlist = 8, m = 8, ksub = 16)
+    // append exact twins of the queries with the FROZEN quantizer and
+    // codebooks: identical vectors share the query's cell and codes, so
+    // each twin must surface at rank 1 with cosine ~1
+    Similarity.appendToIvfPqIndex(
+      queries.select(($"vec_id" + 100000).as("vec_id"), $"embedding"), idx)
+    def top1() = Similarity.ivfPqTopKIndexed(queries, idx, k = 3,
+        nprobe = 2, refine = 4)
+      .filter($"rk" === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val afterAppend = top1()
+    assert(afterAppend.forall { case (q, c, cos) =>
+      c == q + 100000 && cos >= 0.999 },
+      s"appended twins must be first-class index citizens: $afterAppend")
+    Similarity.compactIvfPqIndex(SparkSpec.spark, idx)
+    assert(top1() == afterAppend,
+      "compaction must not change IVF-PQ reader output")
+  }
+
   test("ivfTopK: selective probing keeps planted-twin recall high") {
     // Twins sit ~on top of their base vector, so k-means puts each pair in
     // the same cell and the query's nearest (own) cell contains its twin —
