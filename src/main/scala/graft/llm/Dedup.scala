@@ -487,19 +487,159 @@ object Dedup {
                            textCol: String = "text",
                            idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()
-    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
-    val numHashes = meta.head.getAs[Int]("num_hashes")
-    val bands = meta.head.getAs[Int]("bands")
-    val shingleSize = meta.head.getAs[Int]("shingle_size")
-    val rawCap = meta.head.getAs[Int]("max_bucket_size")
-    val maxBucketSize = if (rawCap < 0) Int.MaxValue else rawCap
+    val (numHashes, bands, shingleSize, maxBucketSize) =
+      readMinhashIndexMeta(spark, indexPath)
     val sigs = Caches.track(
       minhashSignatures(batch, numHashes, shingleSize, textCol, idCol))
     writeBandRows(sigs, bands, numHashes / bands,
       IndexManifest.resolve(indexPath, "bands"), maxBucketSize, "append")
     sigs.write.mode("append")
       .parquet(IndexManifest.resolve(indexPath, "sigs"))
+  }
+
+  /** (num_hashes, bands, shingle_size, max_bucket_size) from the index's
+    * own meta — the no-drift rule every reader and maintainer follows. */
+  private def readMinhashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String): (Int, Int, Int, Int) = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
+    val rawCap = meta.head.getAs[Int]("max_bucket_size")
+    (meta.head.getAs[Int]("num_hashes"), meta.head.getAs[Int]("bands"),
+      meta.head.getAs[Int]("shingle_size"),
+      if (rawCap < 0) Int.MaxValue else rawCap)
+  }
+
+  /** One micro-batch of the CLOSED streaming ingest loop — the
+    * foreachBatch body behind
+    * [[graft.streaming.EventStreams.runMinhashIngestLoop]]: match
+    * `batch` against the persisted index, drop documents whose best
+    * index match reaches `threshold`, APPEND the survivors back so the
+    * NEXT micro-batch sees them as history, and record the batch as
+    * committed.
+    *
+    * Restart safety (foreachBatch re-delivers a batch whose commit
+    * didn't reach the streaming checkpoint):
+    *  - a commit marker under `ingest_commits/` short-circuits a
+    *    re-delivered batch whose append fully finished — no work, no
+    *    re-read;
+    *  - the append itself lands as a BATCH-KEYED FILE SET
+    *    ([[appendBatchFileSets]]): deterministic `ingest-<key>-i` file
+    *    names that a re-execution REPLACES instead of duplicating, so
+    *    even a crash between the append and the marker re-converges to
+    *    exactly one copy of the batch's rows.
+    *
+    * Within-batch duplicates are deliberately NOT matched against each
+    * other — the loop's contract is "novel versus history at the
+    * batch's arrival time" (documents arriving together both survive;
+    * the equivalent sequential batch loop behaves identically, which is
+    * what the spec compares). Single maintenance writer: the stream's
+    * appends must not race a concurrent compaction. */
+  def ingestBatchIntoMinhashIndex(batch: DataFrame, indexPath: String,
+                                  batchKey: String, threshold: Double,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id"): Unit = {
+    val commits = java.nio.file.Paths.get(indexPath, "ingest_commits")
+    val marker = commits.resolve(batchKey)
+    if (java.nio.file.Files.exists(marker)) return // fully committed
+    // purge any partial keyed append a crashed earlier delivery left
+    // BEFORE matching: the match must never see this batch's own rows
+    // (it would flag every survivor as its own duplicate and drop it)
+    purgeKeyedFiles(indexPath, batchKey)
+    val dup = incrementalMinhashMatchesIndexed(batch, indexPath, textCol,
+        idCol)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("batch_id")).distinct()
+    val survivors = batch.join(dup, batch(idCol) === dup("batch_id"),
+      "left_anti")
+    appendBatchFileSets(survivors, indexPath, batchKey, textCol, idCol)
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
+  /** Remove every live file of `batchKey`'s keyed set (sigs + all band
+    * dirs) — the first step of a (re-)delivery. */
+  private def purgeKeyedFiles(indexPath: String, batchKey: String): Unit = {
+    clearKeyedFiles(IndexManifest.resolve(indexPath, "sigs"), batchKey)
+    val liveBands = IndexManifest.resolve(indexPath, "bands")
+    listDirs(liveBands, "band=").foreach(d =>
+      clearKeyedFiles(s"$liveBands/$d", batchKey))
+  }
+
+  /** Append one batch's rows as an IDEMPOTENT batch-keyed file set: the
+    * rows are written to a staging dir (overwrite — re-execution
+    * replaces it), then moved into the live band/sigs dirs under
+    * DETERMINISTIC names `ingest-<key>-<i>.parquet`. The caller
+    * ([[ingestBatchIntoMinhashIndex]]) purges any prior files of the
+    * same key before matching, so however many times a batch is
+    * re-delivered, the index ends with exactly one copy of its rows.
+    * File moves are local-rename cheap; on object stores they are
+    * copies of the batch's own (delta-sized) data. */
+  private def appendBatchFileSets(survivors: DataFrame, indexPath: String,
+                                  batchKey: String, textCol: String,
+                                  idCol: String): Unit = {
+    val spark = survivors.sparkSession
+    val (numHashes, bands, shingleSize, maxBucketSize) =
+      readMinhashIndexMeta(spark, indexPath)
+    val stage = s"$indexPath/ingest_staging/$batchKey"
+    val sigs = Caches.track(
+      minhashSignatures(survivors, numHashes, shingleSize, textCol, idCol))
+    writeBandRows(sigs, bands, numHashes / bands, s"$stage/bands",
+      maxBucketSize, "overwrite")
+    sigs.write.mode("overwrite").parquet(s"$stage/sigs")
+    moveKeyedFiles(s"$stage/sigs", IndexManifest.resolve(indexPath, "sigs"),
+      batchKey)
+    // band files sit one partition-dir deeper; move per band=N dir
+    val liveBands = IndexManifest.resolve(indexPath, "bands")
+    listDirs(s"$stage/bands", "band=").foreach { d =>
+      moveKeyedFiles(s"$stage/bands/$d", s"$liveBands/$d", batchKey)
+    }
+    graft.core.Fs.deleteTree(stage)
+  }
+
+  private def listDirs(root: String, prefix: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) return Seq.empty
+    val s = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq
+    } finally s.close()
+  }
+
+  private def clearKeyedFiles(dir: String, batchKey: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) return
+    val s = java.nio.file.Files.list(p)
+    val stale =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"ingest-$batchKey-"))
+          .toSeq
+      } finally s.close()
+    stale.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Move the parquet part-files of `srcDir` into `dstDir` under
+    * deterministic `ingest-<key>-<i>.parquet` names (sorted source
+    * order → stable numbering). */
+  private def moveKeyedFiles(srcDir: String, dstDir: String,
+                             batchKey: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+    val parts =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f,
+        java.nio.file.Paths.get(dstDir, s"ingest-$batchKey-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** COMPACT a persisted MinHash index ([[writeMinhashIndex]]) after many
@@ -567,11 +707,8 @@ object Dedup {
                                        textCol: String = "text",
                                        idCol: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()
-    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
-    val numHashes = meta.head.getAs[Int]("num_hashes")
-    val bands = meta.head.getAs[Int]("bands")
-    val shingleSize = meta.head.getAs[Int]("shingle_size")
+    val (numHashes, bands, shingleSize, _) =
+      readMinhashIndexMeta(spark, indexPath)
     val histBand = spark.read
       .parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),
@@ -602,11 +739,8 @@ object Dedup {
                                      textCol: String = "text",
                                      idCol: String = "doc_id"): DataFrame = {
     val spark = batchStream.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()
-    require(meta.length == 1, s"malformed index meta at $indexPath/meta")
-    val numHashes = meta.head.getAs[Int]("num_hashes")
-    val bands = meta.head.getAs[Int]("bands")
-    val shingleSize = meta.head.getAs[Int]("shingle_size")
+    val (numHashes, bands, shingleSize, _) =
+      readMinhashIndexMeta(spark, indexPath)
     val r = numHashes / bands
     val histBand = spark.read
       .parquet(IndexManifest.resolve(indexPath, "bands"))

@@ -83,12 +83,16 @@ object IndexManifest {
 
   /** Reset an index path for a FRESH write (writeMinhashIndex /
     * writeIvfIndex with a pre-existing index at `path`): drop the
-    * manifest and every versioned dir so the new plain-layout write
-    * can't be shadowed by a stale pointer from the old index. */
+    * manifest, every versioned dir, and any streaming-ingest state
+    * (commit markers, staging) so the new plain-layout write can't be
+    * shadowed by a stale pointer — or a stale batch marker — from the
+    * old index. */
   def reset(indexPath: String): Unit = {
     val root = Paths.get(indexPath)
     if (!Files.exists(root)) return
     Files.deleteIfExists(manifestPath(indexPath))
+    graft.core.Fs.deleteTree(s"$indexPath/ingest_commits")
+    graft.core.Fs.deleteTree(s"$indexPath/ingest_staging")
     val s = Files.list(root)
     val versioned =
       try {

@@ -11,6 +11,29 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
+  /** Stage `df` as the single file `batch_<i>.parquet` under `dir` with
+    * an mtime that orders it i-th: the file stream's
+    * maxFilesPerTrigger=1 + mtime ordering turns the files into
+    * DETERMINISTIC micro-batch boundaries (the ingest-loop queries need
+    * batch N's appends visible to batch N+1). */
+  private def stageOrderedFile(df: org.apache.spark.sql.DataFrame,
+                               dir: String, i: Int): Unit = {
+    val tmp = s"$dir/_stage_$i"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally s.close()
+    val dst = java.nio.file.Paths.get(dir, s"batch_$i.parquet")
+    java.nio.file.Files.move(part, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    graft.core.Fs.deleteTree(tmp)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -223,6 +246,74 @@ object StreamingQueries {
       Some("""SELECT doc_id AS batch_id, true AS hist_dup
              |FROM documents WHERE doc_id >= 400 AND doc_id < 420
              |ORDER BY batch_id""".stripMargin)),
+
+    // The CLOSED ingest loop — match-then-append inside ONE streaming
+    // query (EventStreams.runMinhashIngestLoop): batch 0 carries novel
+    // docs 300-349 plus exact twins of HISTORY (must drop against the
+    // index); batch 1 carries novel docs 350-399 plus exact twins of
+    // BATCH 0's survivors — which drop ONLY IF the loop actually
+    // appended batch 0 back into the index before batch 1 ran. Novel
+    // texts are SYNTHESIZED in closed form (id + md5 words) rather than
+    // taken from the documents table, because the synthetic corpus
+    // carries planted ~0.98-jaccard near-dup pairs whose minhash
+    // collision is correct engine behavior but not SQL-expressible —
+    // with synthesized texts the ONLY matches are the planted exact
+    // twins, so survival is a pure id predicate. The output reports,
+    // per streamed doc, whether it survived into the final index's
+    // signature table. Restart/re-delivery idempotency is pinned in
+    // StreamingSpec.
+    QueryDef(
+      "q_stream_dedup_append",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        def synth(id: org.apache.spark.sql.Column) = concat_ws(" ",
+          lit("ingest stream document"), id, md5(id.cast("string")),
+          md5(concat(id.cast("string"), lit("x"))),
+          md5(concat(id.cast("string"), lit("y"))))
+        val tmp = graft.core.Fs.scratchRoot
+        val idx = s"$tmp/mh_index_ingest"
+        graft.llm.Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 300),
+          idx, numHashes = 64, bands = 16, shingleSize = 5,
+          maxBucketSize = 500)
+        val novel0 = s.range(300, 350)
+          .select(col("id").as("doc_id"), synth(col("id")).as("text"))
+        val novel1 = s.range(350, 400)
+          .select(col("id").as("doc_id"), synth(col("id")).as("text"))
+        val b0 = novel0
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val b1 = novel1
+          .unionByName(s.range(300, 310)
+            .select((col("id") + 200000).as("doc_id"),
+              synth(col("id")).as("text")))
+        val streamDir = s"$tmp/ingest_stream_docs"
+        graft.core.Fs.deleteTree(streamDir)
+        stageOrderedFile(b0, streamDir, 0)
+        stageOrderedFile(b1, streamDir, 1)
+        val ckpt = s"$tmp/ingest_ckpt"
+        graft.core.Fs.deleteTree(ckpt)
+        EventStreams.runMinhashIngestLoop(s, streamDir, idx,
+          threshold = 0.9999, checkpoint = ckpt)
+        val indexed = s.read
+          .parquet(graft.llm.IndexManifest.resolve(idx, "sigs"))
+          .select(col("doc_id"), lit(true).as("survived"))
+        b0.unionByName(b1).select(col("doc_id"))
+          .join(indexed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("survived"), lit(false)).as("survived"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, (doc_id < 100000) AS survived FROM (
+             |  SELECT CAST(i AS BIGINT) AS doc_id
+             |  FROM generate_series(300, 399) g(i)
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id FROM documents
+             |  WHERE doc_id < 10
+             |  UNION ALL
+             |  SELECT CAST(i + 200000 AS BIGINT) AS doc_id
+             |  FROM generate_series(300, 309) h(i))
+             |ORDER BY doc_id""".stripMargin)),
 
     // CONTINUOUS crawl ingest: the WARC segments themselves arrive as a
     // binaryFile stream (a live crawler landing segment files) and the

@@ -448,6 +448,41 @@ object EventStreams {
     * micro-batch and the transform is partition-local decode, so the
     * plan is stateless end to end (no watermark, no state store — the
     * same contract as the streaming indexed dedup). */
+  /** The CLOSED continuous-ingest loop — match-then-append inside ONE
+    * streaming query: each micro-batch of documents is matched against
+    * the persisted MinHash index, survivors are appended back
+    * ([[graft.llm.Dedup.ingestBatchIntoMinhashIndex]]), and the next
+    * micro-batch sees them as history. This is what a live crawler
+    * needs and what the stateless match-only stream
+    * ([[graft.llm.Dedup.streamingMinhashMatchesIndexed]]) couldn't do
+    * — fold survivors in without stopping the stream for a batch
+    * append.
+    *
+    * `checkpoint` is CALLER-SUPPLIED (unlike the memory-sink runners'
+    * throwaway checkpoints) because restart-with-the-same-checkpoint is
+    * the contract under test: a killed run resumes at the first
+    * uncommitted batch, re-delivered batches are no-ops via the commit
+    * marker, and a crash inside the append re-converges via the
+    * batch-keyed file sets. One file per trigger keeps batch boundaries
+    * deterministic (mtime order), so the stream is reproducible against
+    * the equivalent sequential batch loop. */
+  def runMinhashIngestLoop(spark: SparkSession, parquetDir: String,
+                           indexPath: String, threshold: Double,
+                           checkpoint: String): Unit = {
+    val schema = spark.read.parquet(parquetDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(parquetDir)
+    val q = stream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        graft.llm.Dedup.ingestBatchIntoMinhashIndex(
+          df, indexPath, s"b$id", threshold))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runBinaryAvailableNowAppend(spark: SparkSession, dir: String,
                                   transform: DataFrame => DataFrame,
                                   queryName: String): DataFrame = {

@@ -313,4 +313,86 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs.exists { case (b, h, j) => b == h + 9000 && j >= 0.99 },
       "planted twin must match its history source")
   }
+
+  test("closed ingest loop: kill/restart resumes at the first uncommitted " +
+      "batch, equals the sequential batch loop, and re-delivery (with or " +
+      "without the commit marker) never duplicates index rows") {
+    import SparkSpec.spark.implicits._
+    import graft.llm.{Dedup, IndexManifest}
+    // synthesized texts: distinct ids share no vocabulary, so the ONLY
+    // possible matches are the planted exact twins
+    def mk(ids: Seq[Long], twinOf: Map[Long, Long] = Map.empty) = ids
+      .map { i =>
+        val src = twinOf.getOrElse(i, i)
+        (i, s"restart ingest document $src token${src * 31} " +
+          s"token${src * 57} token${src * 91} closing words $src")
+      }.toDF("doc_id", "text")
+    val root = s"/root/repo/target/tmp/spec_ingest_${System.nanoTime()}"
+    val streamIdx = s"$root/stream_idx"
+    val batchIdx = s"$root/batch_idx"
+    val history = mk(0L until 20L)
+    for (idx <- Seq(streamIdx, batchIdx))
+      Dedup.writeMinhashIndex(history, idx, numHashes = 32, bands = 8,
+        shingleSize = 5)
+    // batch 0: novel 100-119 + an exact twin of HISTORY doc 0
+    val b0 = mk((100L until 120L) :+ 900000L, Map(900000L -> 0L))
+    // batch 1: novel 200-219 + an exact twin of BATCH 0 survivor 100 —
+    // filtered only if the loop appended batch 0 before batch 1 ran
+    val b1 = mk((200L until 220L) :+ 910000L, Map(910000L -> 100L))
+    val streamDir = s"$root/stream"
+    val ckpt = s"$root/ckpt"
+    def stage(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = s"$streamDir/_st$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val part =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally s.close()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(streamDir, s"batch_$i.parquet"))
+      new java.io.File(s"$streamDir/batch_$i.parquet")
+        .setLastModified(1700000000000L + i * 60000L)
+      graft.core.Fs.deleteTree(tmp)
+    }
+    stage(b0, 0)
+    // run 1 sees ONLY batch 0, then "dies" (AvailableNow drains + stops)
+    EventStreams.runMinhashIngestLoop(spark, streamDir, streamIdx,
+      threshold = 0.9999, checkpoint = ckpt)
+    def sigIds(idx: String) = spark.read
+      .parquet(IndexManifest.resolve(idx, "sigs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sigIds(streamIdx).toSet ==
+      (0L until 20L).toSet ++ (100L until 120L).toSet,
+      "batch 0 survivors must be appended, its history twin dropped")
+    // batch 1 lands; the RESTART with the same checkpoint resumes there
+    stage(b1, 1)
+    EventStreams.runMinhashIngestLoop(spark, streamDir, streamIdx,
+      threshold = 0.9999, checkpoint = ckpt)
+    // sequential batch-loop reference over the same batches
+    Dedup.ingestBatchIntoMinhashIndex(b0, batchIdx, "r0", 0.9999)
+    Dedup.ingestBatchIntoMinhashIndex(b1, batchIdx, "r1", 0.9999)
+    val expected = (0L until 20L) ++ (100L until 120L) ++ (200L until 220L)
+    assert(sigIds(streamIdx).toSet == expected.toSet,
+      "restarted stream must equal the full ingest")
+    assert(sigIds(batchIdx).toSet == sigIds(streamIdx).toSet,
+      "stream ≡ sequential batch loop")
+    val rowsBefore = sigIds(streamIdx).length
+    assert(rowsBefore == expected.length, "no duplicate signature rows")
+    // re-delivery WITH the marker: a no-op
+    val keys = new java.io.File(s"$streamIdx/ingest_commits").list().toSeq
+    val lastKey = keys.sorted.last
+    Dedup.ingestBatchIntoMinhashIndex(b1, streamIdx, lastKey, 0.9999)
+    assert(sigIds(streamIdx).length == rowsBefore, "marker skip must no-op")
+    // re-delivery WITHOUT the marker (crash in the append→marker
+    // window): the batch-keyed file sets must REPLACE, not duplicate
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$streamIdx/ingest_commits/$lastKey"))
+    Dedup.ingestBatchIntoMinhashIndex(b1, streamIdx, lastKey, 0.9999)
+    assert(sigIds(streamIdx).length == rowsBefore,
+      "keyed file sets must replace on re-delivery, never duplicate")
+    assert(sigIds(streamIdx).toSet == expected.toSet)
+  }
 }
