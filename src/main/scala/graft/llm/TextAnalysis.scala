@@ -259,6 +259,122 @@ object TextAnalysis {
       "os caes correm rapido pelo grande parque"))
   }
 
+  /** Train a DISCRIMINATIVE quality classifier — binary LOGISTIC
+    * regression over the same [[LangIdDim]] hashed char-trigram buckets
+    * as [[trainLangIdModel]]. The published fastText-style quality
+    * filter (the CCNet/RefinedWeb wiki-vs-crawl model) is a TRAINED
+    * linear model, not NB-counted weights: discriminative training
+    * reweights features the classes share (NB's independence assumption
+    * double-counts them), which is what separates borderline documents.
+    *
+    * Training is full-batch gradient descent on normalized trigram
+    * frequencies where each round is ONE action over the cached
+    * (doc, bucket, x) table — per-doc margins (the current weight
+    * vector rides as a plan literal), residuals joined back, per-bucket
+    * gradient collected. Driver state is ≤ [[LangIdDim]]+1 doubles no
+    * matter the corpus size, and every round is map-side-combined
+    * aggregate work — the MLlib-L-BFGS scale shape without the
+    * dependency. The intercept trains as pseudo-bucket −1 with x = 1 —
+    * exactly [[langIdScore]]'s unseen-bucket default slot.
+    *
+    * The returned model is the SAME (lang, b, w_micro) shape
+    * [[langIdScore]] scores: the intercept is folded into every bucket
+    * weight and the default row (Σ_b c_b·(w_b + b0) = n·(Σ x_b·w_b +
+    * b0)), so scoring raw counts scales the trained frequency margin by
+    * the positive n_tri and preserves the decision boundary exactly.
+    * The negative class carries only a zero default row — its score is
+    * the 0 the positive margin is compared against. */
+  def trainQualityLogistic(labeled: DataFrame, posLabel: String,
+                           negLabel: String, labelCol: String = "lang",
+                           textCol: String = "text", iters: Int = 20,
+                           lr: Double = 8.0, l2: Double = 1e-4): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val tri = Caches.track(labeled
+      .filter(col(labelCol).isin(posLabel, negLabel))
+      .select(monotonically_increasing_id().as("id"),
+        (col(labelCol) === posLabel).cast("double").as("y"),
+        explode(charTrigrams(col(textCol))).as("g"))
+      .select(col("id"), col("y"), md5Bucket4096(col("g")).as("b"))
+      .groupBy(col("id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("c")))
+    val withN = tri
+      .join(tri.groupBy(col("id")).agg(sum(col("c")).as("n")), "id")
+      .select(col("id"), col("y"), col("b"), (col("c") / col("n")).as("x"))
+    // intercept as pseudo-bucket −1, x = 1 per doc
+    val feats = Caches.track(withN.unionByName(
+      withN.select(col("id"), col("y")).distinct()
+        .select(col("id"), col("y"), lit(-1L).as("b"), lit(1.0).as("x"))))
+    val nDocs = feats.select(col("id")).distinct().count().toDouble
+    // w(0) = intercept (bucket −1), w(b+1) = bucket b
+    var w = Array.fill(LangIdDim + 1)(0.0)
+    // size the per-round shuffles from the training-set size, not the
+    // session CPU count: each round is a driver-synchronized action, so
+    // 32 near-empty shuffle partitions per stage is pure scheduling
+    // overhead on small labeled sets (the labeled set is SMALL by the
+    // problem's nature — thousands of curated examples, not the corpus)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, math.max(2L, math.min(saved.toInt.toLong,
+      nDocs.toLong / 50000 + 1)).toString)
+    try {
+      for (_ <- 0 until iters) {
+        val wLit = typedLit(w.toSeq)
+        val resid = feats
+          .withColumn("wx",
+            element_at(wLit, (col("b") + 2).cast("int")) * col("x"))
+          .groupBy(col("id"), col("y")).agg(sum(col("wx")).as("s"))
+          .select(col("id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("r"))
+        val grad = feats.join(resid, "id")
+          .groupBy(col("b")).agg(sum(col("r") * col("x")).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = Array.tabulate(LangIdDim + 1) { i =>
+          val b = i - 1
+          w(i) - lr * (grad.getOrElse(b, 0.0) / nDocs +
+            (if (b >= 0) l2 * w(i) else 0.0))
+        }
+      }
+    } finally spark.conf.set(key, saved)
+    val micro = (x: Double) => math.round(x * 10000.0)
+    val observed = feats.filter(col("b") >= 0).select(col("b"))
+      .distinct().collect().map(_.getLong(0))
+    val posRows = observed.toSeq
+      .map(b => (posLabel, b, micro(w(b.toInt + 1) + w(0))))
+    (posRows ++ Seq((posLabel, -1L, micro(w(0))), (negLabel, -1L, 0L)))
+      .toDF("lang", "b", "w_micro")
+  }
+
+  /** Quality-classifier fixture: high-quality prose vs two published
+    * low-quality failure modes (keyboard mash, token spam), split into
+    * train (0) and held-out (1) rows — the [[langIdFixture]] pattern
+    * for the hq/lq axis. Shared by the NB and logistic specs and the
+    * oracle-checked q_quality_logistic query. */
+  val qualityFixture: Seq[(String, Int, String)] = {
+    val prose = Seq(
+      "the committee reviewed the proposal and suggested several changes",
+      "she walked along the river bank watching the evening light fade",
+      "modern compilers perform many optimization passes over the code",
+      "the recipe calls for two cups of flour and a pinch of salt",
+      "historians still debate the causes of the sudden economic decline",
+      "the museum opened a new wing dedicated to maritime navigation")
+    // held-out lq rows are RECOMBINATIONS of the training vocabulary
+    // (new token order, same failure mode) — the generalization a
+    // content-based linear model is supposed to make; fully novel
+    // vocabulary would test the unseen-bucket prior, not the weights
+    val mash = Seq(
+      "asdf jkl qwerty zxcv uiop bnm asdf qwer zxcv jklm asdf qwerty",
+      "xkcd qqq wvw zzz kjh gfd poi uyt rew vbn mnb asd fgh jkl qwe",
+      "qwerty asdf zxcv jkl uiop qqq zzz bnm qwer asd fgh poi rew")
+    val spam = Seq(
+      "buy now buy now buy now click here click here best price best price",
+      "win win win free free free offer offer offer now now now click",
+      "click here best price buy now free offer win now click here win")
+    prose.take(4).map(("hq", 0, _)) ++ prose.drop(4).map(("hq", 1, _)) ++
+      mash.take(2).map(("lq", 0, _)) ++ mash.drop(2).map(("lq", 1, _)) ++
+      spam.take(2).map(("lq", 0, _)) ++ spam.drop(2).map(("lq", 1, _))
+  }
+
   /** Karp-Rabin polynomial rolling hash of the normalized text (lowercased,
     * whitespace collapsed): h = Σ c_i · 257^i mod 1e9+7, folded left so the
     * accumulator stays < 2^62 (ANSI-safe). `ascii` returns the full Unicode

@@ -2256,6 +2256,40 @@ object LlmQueries {
                 |ORDER BY sid""".stripMargin))
     },
 
+    // Discriminative (logistic) quality classifier — the published
+    // fastText-filter shape: a TRAINED linear model over the hashed
+    // char-trigram buckets, trained full-batch in-query on the shared
+    // hq/lq fixture and scored through the SAME langIdScore path as
+    // the NB models. Gradient-descent weights are float sums whose last
+    // ulps depend on aggregation order, so the SCORES are not
+    // oracle-stable — the PREDICTIONS on the cleanly-separated held-out
+    // fixture are, and the oracle restates the fixture's true labels
+    // (the annTwinGate discipline: the gate is in the plan, the oracle
+    // pins the expected outcome). Held-out accuracy ≥ the NB baseline
+    // is pinned in LlmSpec.
+    {
+      val held = graft.llm.TextAnalysis.qualityFixture.filter(_._2 == 1)
+        .zipWithIndex.map { case ((l, _, t), i) => (i.toLong, l, t) }
+      QueryDef(
+        "q_quality_logistic",
+        (s, dir) => {
+          import s.implicits._
+          val train = graft.llm.TextAnalysis.qualityFixture
+            .filter(_._2 == 0).map(x => (x._1, x._3)).toDF("lang", "text")
+          val model = graft.llm.TextAnalysis
+            .trainQualityLogistic(train, "hq", "lq")
+          graft.llm.TextAnalysis.langIdScore(
+              held.map(x => (x._1, x._3)).toDF("sid", "text"), model,
+              idCol = "sid")
+            .select(col("sid"), col("pred_lang"))
+            .orderBy(col("sid"))
+        },
+        Some(s"""SELECT * FROM (VALUES ${held.map { case (i, l, _) =>
+                 s"($i, '$l')" }.mkString(", ")})
+                |  AS t(sid, pred_lang)
+                |ORDER BY sid""".stripMargin))
+    },
+
     // Doc fingerprint: the polynomial rolling hash is pure integer
     // arithmetic (acc·257 + ascii, mod 1e9+7), so DuckDB replays it
     // exactly with a lambda reduce — the accumulator rides as VARCHAR

@@ -1185,33 +1185,50 @@ class LlmSpec extends SparkSpec {
     // failure modes (keyboard mash, token spam) and require clean
     // held-out separation.
     import SparkSpec.spark.implicits._
-    val prose = Seq(
-      "the committee reviewed the proposal and suggested several changes",
-      "she walked along the river bank watching the evening light fade",
-      "modern compilers perform many optimization passes over the code",
-      "the recipe calls for two cups of flour and a pinch of salt",
-      "historians still debate the causes of the sudden economic decline",
-      "the museum opened a new wing dedicated to maritime navigation")
-    val mash = Seq(
-      "asdf jkl qwerty zxcv uiop bnm asdf qwer zxcv jklm asdf qwerty",
-      "xkcd qqq wvw zzz kjh gfd poi uyt rew vbn mnb asd fgh jkl qwe",
-      "zzz qqq xxx vvv kkk jjj hhh ggg fff ddd sss aaa ppp ooo iii")
-    val spam = Seq(
-      "buy now buy now buy now click here click here best price best price",
-      "win win win free free free offer offer offer now now now click",
-      "cheap cheap deal deal sale sale today today only only click click")
-    val train = (prose.take(4).map(("hq", _)) ++
-      mash.take(2).map(("lq", _)) ++ spam.take(2).map(("lq", _)))
+    val fx = TextAnalysis.qualityFixture
+    val train = fx.filter(_._2 == 0).map(x => (x._1, x._3))
       .toDF("lang", "text")
-    val held = (prose.drop(4).map(("hq", _)) ++
-      mash.drop(2).map(("lq", _)) ++ spam.drop(2).map(("lq", _)))
-      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    val held = fx.filter(_._2 == 1)
+      .zipWithIndex.map { case ((l, _, t), i) => (i.toLong, l, t) }
     val model = TextAnalysis.trainLangIdModel(train)
     val pred = TextAnalysis.langIdScore(
         held.map(x => (x._1, x._3)).toDF("sid", "text"), model, idCol = "sid")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val wrong = held.filter { case (sid, truth, _) => pred(sid) != truth }
     assert(wrong.isEmpty, wrong.mkString(";"))
+  }
+
+  test("logistic quality classifier: discriminative training on the same " +
+      "hashed-trigram features, scored by the shared langIdScore path, " +
+      "held-out accuracy >= the NB baseline") {
+    import SparkSpec.spark.implicits._
+    val fx = TextAnalysis.qualityFixture
+    val train = fx.filter(_._2 == 0).map(x => (x._1, x._3))
+      .toDF("lang", "text")
+    val held = fx.filter(_._2 == 1)
+      .zipWithIndex.map { case ((l, _, t), i) => (i.toLong, l, t) }
+    val heldDf = held.map(x => (x._1, x._3)).toDF("sid", "text")
+    def wrongOf(model: org.apache.spark.sql.DataFrame) = {
+      val pred = TextAnalysis.langIdScore(heldDf, model, idCol = "sid")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      held.filter { case (sid, truth, _) => pred(sid) != truth }
+    }
+    val logWrong = wrongOf(
+      TextAnalysis.trainQualityLogistic(train, "hq", "lq"))
+    val nbWrong = wrongOf(TextAnalysis.trainLangIdModel(train))
+    assert(logWrong.isEmpty, logWrong.mkString(";"))
+    assert(logWrong.size <= nbWrong.size,
+      s"logistic (${logWrong.size} wrong) must be >= NB baseline " +
+        s"(${nbWrong.size} wrong)")
+    // the model really is the trained-linear shape: one positive class
+    // with folded intercept, a zero default row for the negative class
+    val m = TextAnalysis.trainQualityLogistic(train, "hq", "lq")
+    val langs = m.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(langs == Set("hq", "lq"))
+    assert(m.filter(col("lang") === "lq").count() == 1)
+    assert(m.filter(col("lang") === "lq").collect().head
+      .getAs[Long]("w_micro") == 0L)
   }
 
   test("persisted MinHash index: write → read → match reproduces the " +
