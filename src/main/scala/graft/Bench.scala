@@ -60,7 +60,11 @@ object Bench {
     // heaviest of the new index-lifecycle/streaming operators
     "q_stream_dedup_indexed", // streaming ingest vs persisted MinHash index
     "q_dedup_index_append",   // index write + delta append + probe
-    "q_sim_ivf_index_append") // IVF write + frozen-quantizer append + probe
+    "q_sim_ivf_index_append", // IVF write + frozen-quantizer append + probe
+    // round-10 additions (first frozen budgets in BASELINE.md): the
+    // heaviest round-9 operators still outside the headline
+    "q_dedup_clusters_star",  // O(log n) large-star/small-star components
+    "q_sim_ivf_indexed")      // IVF write + partition-pruned indexed query
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
