@@ -367,6 +367,11 @@ object Similarity {
     *  - `vectors/` — the REFINE tier: the raw-vector postings
     *    ([[writeIvfIndex]]'s shape), touched only for the k·refine
     *    exact-re-rank candidates per query, pruned to probed cells.
+    *    OPTIONAL: `storeVectors = false` omits it entirely — the FAISS
+    *    no-refine deployment, where storing d floats per vector is
+    *    exactly the cost PQ exists to avoid; queries then run ADC-only
+    *    ([[ivfPqTopKIndexed]] with `adcOnly = true`) and the index IS
+    *    the ~d·4/m-fold smaller artifact.
     *
     * Training is [[trainCoarseAndPq]] — the identical concurrent
     * trainer as the in-memory path, so index results ≡ in-memory
@@ -374,7 +379,8 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, path: String, nlist: Int,
                       m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
                       vecCol: String = "embedding", idCol: String = "vec_id",
-                      trainFraction: Double = 1.0): Unit = {
+                      trainFraction: Double = 1.0,
+                      storeVectors: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     IndexManifest.reset(path) // a fresh write supersedes any old manifest
@@ -388,18 +394,20 @@ object Similarity {
       book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((pq.m, ksub, pq.dsub)).toDF("m", "ksub", "dsub")
+    Seq((pq.m, ksub, pq.dsub, storeVectors))
+      .toDF("m", "ksub", "dsub", "has_vectors")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_meta")
     encodeIvfPq(corpus, cells, pq, vecCol, idCol).drop("cv")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    assignCells(corpus, cells, vecCol, idCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    if (storeVectors)
+      assignCells(corpus, cells, vecCol, idCol)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
-  /** PQ reconstructed from a persisted index's codebooks — bounded
-    * driver state (m×ksub rows, KBs). */
+  /** (PQ, has_vectors) reconstructed from a persisted index's
+    * codebooks + meta — bounded driver state (m×ksub rows, KBs). */
   private def loadPq(spark: org.apache.spark.sql.SparkSession,
-                     indexPath: String): Pq = {
+                     indexPath: String): (Pq, Boolean) = {
     val meta = spark.read.parquet(s"$indexPath/pq_meta").collect()
     require(meta.length == 1, s"malformed pq_meta at $indexPath/pq_meta")
     val m = meta.head.getAs[Int]("m")
@@ -410,7 +418,7 @@ object Similarity {
       books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
         r.getAs[scala.collection.Seq[Double]]("centroid").toArray
     }
-    Pq(books.toIndexedSeq, m, dsub)
+    (Pq(books.toIndexedSeq, m, dsub), meta.head.getAs[Boolean]("has_vectors"))
   }
 
   /** APPEND new vectors to a persisted IVF-PQ index: coarse quantizer
@@ -424,13 +432,14 @@ object Similarity {
                          idCol: String = "vec_id"): Unit = {
     val spark = delta.sparkSession
     val cells = loadCentroids(spark, indexPath)
-    val pq = loadPq(spark, indexPath)
+    val (pq, hasVectors) = loadPq(spark, indexPath)
     encodeIvfPq(delta, cells, pq, vecCol, idCol).drop("cv")
       .write.mode("append").partitionBy("cell")
       .parquet(IndexManifest.resolve(indexPath, "codes"))
-    assignCells(delta, cells, vecCol, idCol)
-      .write.mode("append").partitionBy("cell")
-      .parquet(IndexManifest.resolve(indexPath, "vectors"))
+    if (hasVectors)
+      assignCells(delta, cells, vecCol, idCol)
+        .write.mode("append").partitionBy("cell")
+        .parquet(IndexManifest.resolve(indexPath, "vectors"))
   }
 
   /** COMPACT a persisted IVF-PQ index: both tiers consolidate per cell
@@ -446,16 +455,18 @@ object Similarity {
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$codesV")
-    val vecsV = IndexManifest.nextVersionDir(indexPath, "vectors")
-    spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
-      .select(col("cell").cast("int").as("cell"), col("cand_id"),
-        col("c_vec"), col("c_norm"))
-      .repartitionByRange(col("cell"))
-      .sortWithinPartitions(col("cell"), col("cand_id"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexPath/$vecsV")
     IndexManifest.publish(indexPath, "codes", codesV)
-    IndexManifest.publish(indexPath, "vectors", vecsV)
+    if (loadPq(spark, indexPath)._2) {
+      val vecsV = IndexManifest.nextVersionDir(indexPath, "vectors")
+      spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
+        .select(col("cell").cast("int").as("cell"), col("cand_id"),
+          col("c_vec"), col("c_norm"))
+        .repartitionByRange(col("cell"))
+        .sortWithinPartitions(col("cell"), col("cand_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexPath/$vecsV")
+      IndexManifest.publish(indexPath, "vectors", vecsV)
+    }
   }
 
   /** Approximate top-k against a PERSISTED IVF-PQ index
@@ -466,16 +477,30 @@ object Similarity {
     * VECTORS tier for candidate rows in probed cells only. Output ≡
     * the in-memory [[ivfPqTopK]] for the same corpus/parameters: the
     * shared trainer, encoder, candidate stage, and re-rank make
-    * divergence structurally impossible (and the spec pins it). */
+    * divergence structurally impossible (and the spec pins it).
+    *
+    * `adcOnly = true` (REQUIRED for a `storeVectors = false` index)
+    * skips the exact re-rank and returns the top k ranked by the
+    * approximate ADC cosine itself — the FAISS no-refine deployment:
+    * `cos_sim` is then the quantized approximation (its error is
+    * bounded by the codebook reconstruction error; rank-1 for an exact
+    * planted twin is still guaranteed, since an identical vector
+    * encodes to the query's own codes and maximizes its own ADC
+    * score — spec-pinned). */
   def ivfPqTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
                        nprobe: Int, refine: Int = 4,
                        vecCol: String = "embedding",
-                       idCol: String = "vec_id"): DataFrame = {
+                       idCol: String = "vec_id",
+                       adcOnly: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val cells = loadCentroids(spark, indexPath)
     require(nprobe >= 1 && nprobe <= cells.length,
       s"nprobe must be in [1, nlist=${cells.length}], got $nprobe")
-    val pq = loadPq(spark, indexPath)
+    val (pq, hasVectors) = loadPq(spark, indexPath)
+    require(hasVectors || adcOnly,
+      s"index at $indexPath was written with storeVectors=false — " +
+        "exact re-rank is impossible; query with adcOnly=true")
     val probed = Caches.track( // consumed twice: cell collect + probe join
       ivfPqProbeTable(queries, cells, pq, nprobe, vecCol, idCol))
     val probedCells = probed.select("cell").distinct().collect()
@@ -484,11 +509,24 @@ object Similarity {
       df.filter(col("cell").isin(probedCells.map(c => c: Any).toSeq: _*))
     val codes = pruneToProbed(
       spark.read.parquet(IndexManifest.resolve(indexPath, "codes")))
-    val cand = ivfPqCandidates(codes, probed, pq, k * refine)
-    val corpusVecs = pruneToProbed(
-        spark.read.parquet(IndexManifest.resolve(indexPath, "vectors")))
-      .select(col("cand_id").as(idCol), col("c_vec").as(vecCol))
-    rerankExact(cand, corpusVecs, queries, k, vecCol, idCol)
+    if (adcOnly) {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("cand_id"))
+      codes.join(broadcast(probed), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("adc",
+          pq.adc(col("lut"), col("code")) / (col("q_norm") * col("c_norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("cand_id"),
+          round(col("adc"), 4).as("cos_sim"))
+    } else {
+      val cand = ivfPqCandidates(codes, probed, pq, k * refine)
+      val corpusVecs = pruneToProbed(
+          spark.read.parquet(IndexManifest.resolve(indexPath, "vectors")))
+        .select(col("cand_id").as(idCol), col("c_vec").as(vecCol))
+      rerankExact(cand, corpusVecs, queries, k, vecCol, idCol)
+    }
   }
 
   /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):

@@ -548,6 +548,39 @@ object LlmQueries {
       },
       Some(annTwinGateSql)),
 
+    // ADC-ONLY IVF-PQ index (storeVectors = false) — the FAISS
+    // no-refine deployment where storing d floats per vector is
+    // exactly the cost PQ exists to avoid: the index is codes +
+    // codebooks only, and ranking is the approximate ADC cosine
+    // itself. The twin gate relaxes to rank-1 IDENTITY (no cosine
+    // threshold): an ADC score is the quantized reconstruction
+    // similarity, but an exact planted twin encodes to the query's own
+    // codes and therefore maximizes the query's own ADC score — rank 1
+    // is structural, and that is what's gated over the full
+    // lean-write → ADC-read round-trip.
+    QueryDef(
+      "q_sim_ivfpq_adc",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_adc_index"
+        Similarity.writeIvfPqIndex(corpus, idx, nlist = 16, m = 8,
+          ksub = 16, storeVectors = false)
+        val top = Similarity.ivfPqTopKIndexed(queries, idx, k = 5,
+          nprobe = 4, adcOnly = true)
+        queries.select(col("vec_id").as("query_id"))
+          .join(top.filter(col("rk") === 1)
+            .select(col("query_id"),
+              (col("cand_id") === col("query_id") + 100000).as("ok")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("ok"), lit(false)).as("twin_top1"))
+          .orderBy(col("query_id"))
+      },
+      Some(annTwinGateSql)),
+
     // IVF-PQ index MAINTENANCE: write the base corpus, APPEND the
     // planted twins with the FROZEN quantizer AND codebooks (an
     // identical vector scores identically against frozen centroids and

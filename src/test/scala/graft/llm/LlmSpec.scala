@@ -474,6 +474,53 @@ class LlmSpec extends SparkSpec {
       "compaction must not change IVF-PQ reader output")
   }
 
+  test("ADC-only IVF-PQ index (storeVectors=false): no refine tier on " +
+      "disk, twin still rank-1 by ADC, exact re-rank refused") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 150).map(i => (i.toLong, unit(64)))
+      .toDF("vec_id", "embedding")
+    val queries = base.filter($"vec_id" < 5)
+    val corpus = base.unionByName(
+      queries.select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val lean = tempDir("graft-ivfpq-lean-").toString + "/idx"
+    Similarity.writeIvfPqIndex(corpus, lean, nlist = 8, m = 8, ksub = 16,
+      storeVectors = false)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lean/vectors")),
+      "no refine tier may exist on disk")
+    // an identical planted twin encodes to the query's own codes, so it
+    // maximizes the query's ADC score — rank 1 without any re-rank
+    val top1 = Similarity.ivfPqTopKIndexed(queries, lean, k = 3,
+        nprobe = 2, adcOnly = true)
+      .filter($"rk" === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(top1 == (0L until 5L).map(q => (q, q + 100000)).toSet, top1)
+    // exact re-rank against a vectorless index must refuse loudly, not
+    // silently return approximations
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(queries, lean, k = 3, nprobe = 2)
+    }
+    assert(err.getMessage.contains("adcOnly"))
+    // the lean index is the point: materially smaller than the same
+    // index with the refine tier
+    val full = tempDir("graft-ivfpq-full-").toString + "/idx"
+    Similarity.writeIvfPqIndex(corpus, full, nlist = 8, m = 8, ksub = 16)
+    def bytes(root: String) = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    assert(bytes(lean) * 2 < bytes(full),
+      s"lean index must be materially smaller: ${bytes(lean)} vs ${bytes(full)}")
+  }
+
   test("ivfTopK: selective probing keeps planted-twin recall high") {
     // Twins sit ~on top of their base vector, so k-means puts each pair in
     // the same cell and the query's nearest (own) cell contains its twin —
