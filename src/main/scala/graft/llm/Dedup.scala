@@ -596,7 +596,7 @@ object Dedup {
     graft.core.Fs.deleteTree(stage)
   }
 
-  private def listDirs(root: String, prefix: String): Seq[String] = {
+  private[llm] def listDirs(root: String, prefix: String): Seq[String] = {
     val p = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.exists(p)) return Seq.empty
     val s = java.nio.file.Files.list(p)
@@ -607,7 +607,7 @@ object Dedup {
     } finally s.close()
   }
 
-  private def clearKeyedFiles(dir: String, batchKey: String): Unit = {
+  private[llm] def clearKeyedFiles(dir: String, batchKey: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(p)) return
     val s = java.nio.file.Files.list(p)
@@ -624,7 +624,7 @@ object Dedup {
   /** Move the parquet part-files of `srcDir` into `dstDir` under
     * deterministic `ingest-<key>-<i>.parquet` names (sorted source
     * order → stable numbering). */
-  private def moveKeyedFiles(srcDir: String, dstDir: String,
+  private[llm] def moveKeyedFiles(srcDir: String, dstDir: String,
                              batchKey: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
     val s = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))

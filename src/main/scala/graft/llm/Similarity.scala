@@ -352,6 +352,49 @@ object Similarity {
     IndexManifest.publish(indexPath, "postings", postingsV)
   }
 
+  /** One micro-batch of the CLOSED embedding ingest loop — the ANN
+    * mirror of [[Dedup.ingestBatchIntoMinhashIndex]] and the streaming
+    * form of SemDeDup: match `batch` vectors against the persisted IVF
+    * index ([[writeIvfIndex]]), DROP vectors whose best-match cosine
+    * reaches `minCos` (an embedding near-duplicate of history), APPEND
+    * the survivors with the FROZEN quantizer so the next micro-batch
+    * sees them as history, and record the batch as committed.
+    *
+    * Same restart contract as the MinHash loop: a commit marker
+    * short-circuits fully-delivered batches; the append lands as a
+    * batch-keyed file set in the cell=N partition dirs (deterministic
+    * `ingest-<key>-i` names a re-execution replaces), and the batch's
+    * partial files are purged BEFORE matching so a survivor can never
+    * be flagged as its own duplicate. Single maintenance writer. */
+  def ingestBatchIntoIvfIndex(batch: DataFrame, indexPath: String,
+                              batchKey: String, minCos: Double,
+                              nprobe: Int = 4,
+                              vecCol: String = "embedding",
+                              idCol: String = "vec_id"): Unit = {
+    val commits = java.nio.file.Paths.get(indexPath, "ingest_commits")
+    val marker = commits.resolve(batchKey)
+    if (java.nio.file.Files.exists(marker)) return // fully committed
+    val livePostings = IndexManifest.resolve(indexPath, "postings")
+    Dedup.listDirs(livePostings, "cell=").foreach(d =>
+      Dedup.clearKeyedFiles(s"$livePostings/$d", batchKey))
+    val dup = ivfTopKIndexed(batch, indexPath, k = 1, nprobe = nprobe,
+        vecCol = vecCol, idCol = idCol)
+      .filter(col("cos_sim") >= minCos)
+      .select(col("query_id")).distinct()
+    val survivors = batch.join(dup, batch(idCol) === dup("query_id"),
+      "left_anti")
+    val stage = s"$indexPath/ingest_staging/$batchKey"
+    assignCells(survivors, loadCentroids(batch.sparkSession, indexPath),
+        vecCol, idCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    Dedup.listDirs(stage, "cell=").foreach { d =>
+      Dedup.moveKeyedFiles(s"$stage/$d", s"$livePostings/$d", batchKey)
+    }
+    graft.core.Fs.deleteTree(stage)
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
   /** Write the PERSISTED IVF-PQ index — the production FAISS artifact
     * shape (IVFPQ + refine tier) and the 100 TB memory cut the
     * in-memory [[ivfPqTopK]] only computes transiently:

@@ -315,6 +315,61 @@ object StreamingQueries {
              |  FROM generate_series(300, 309) h(i))
              |ORDER BY doc_id""".stripMargin)),
 
+    // The embedding-side CLOSED ingest loop — streaming SemDeDup
+    // against the persisted IVF index (EventStreams.runIvfIngestLoop):
+    // batch 0 carries novel vectors 300-349 plus exact twins of
+    // HISTORY (cos 1.0 ≥ 0.999 → drop); batch 1 carries novel vectors
+    // 350-399 plus exact twins of BATCH 0's survivors — dropped ONLY
+    // IF the loop appended batch 0 with the frozen quantizer before
+    // batch 1 ran (an identical vector lands in its twin's own cell,
+    // probe #1). The synthetic embeddings' off-diagonal cosine ceiling
+    // is ~0.51, so novel vectors can never trip the 0.999 bar and
+    // survival is a pure id predicate the oracle restates.
+    QueryDef(
+      "q_stream_embed_ingest",
+      (s, dir) => {
+        val vecs = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tmp = graft.core.Fs.scratchRoot
+        val idx = s"$tmp/ivf_index_ingest"
+        graft.llm.Similarity.writeIvfIndex(
+          vecs.filter(col("vec_id") < 300), idx, nlist = 16)
+        val b0 = vecs.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+          .unionByName(vecs.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val b1 = vecs.filter(col("vec_id") >= 350 && col("vec_id") < 400)
+          .unionByName(
+            vecs.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+              .select((col("vec_id") + 200000).as("vec_id"),
+                col("embedding")))
+        val streamDir = s"$tmp/ingest_stream_vecs"
+        graft.core.Fs.deleteTree(streamDir)
+        stageOrderedFile(b0, streamDir, 0)
+        stageOrderedFile(b1, streamDir, 1)
+        val ckpt = s"$tmp/ingest_vec_ckpt"
+        graft.core.Fs.deleteTree(ckpt)
+        EventStreams.runIvfIngestLoop(s, streamDir, idx, minCos = 0.999,
+          nprobe = 4, checkpoint = ckpt)
+        val indexed = s.read
+          .parquet(graft.llm.IndexManifest.resolve(idx, "postings"))
+          .select(col("cand_id").as("vec_id"), lit(true).as("survived"))
+        b0.unionByName(b1).select(col("vec_id"))
+          .join(indexed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("survived"), lit(false)).as("survived"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, (vec_id < 100000) AS survived FROM (
+             |  SELECT vec_id FROM embeddings
+             |  WHERE vec_id >= 300 AND vec_id < 400
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id FROM embeddings
+             |  WHERE vec_id < 10
+             |  UNION ALL
+             |  SELECT vec_id + 200000 AS vec_id FROM embeddings
+             |  WHERE vec_id >= 300 AND vec_id < 310)
+             |ORDER BY vec_id""".stripMargin)),
+
     // CONTINUOUS crawl ingest: the WARC segments themselves arrive as a
     // binaryFile stream (a live crawler landing segment files) and the
     // SAME partition-local decode stage as the batch scan cracks them

@@ -483,6 +483,30 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** The embedding-side closed ingest loop — same contract as
+    * [[runMinhashIngestLoop]] with
+    * [[graft.llm.Similarity.ingestBatchIntoIvfIndex]] as the
+    * foreachBatch body: per micro-batch, match vectors against the
+    * persisted IVF index, drop embedding near-duplicates of history
+    * (cos ≥ minCos — streaming SemDeDup), append survivors with the
+    * frozen quantizer. Restart/re-delivery semantics identical. */
+  def runIvfIngestLoop(spark: SparkSession, parquetDir: String,
+                       indexPath: String, minCos: Double, nprobe: Int,
+                       checkpoint: String): Unit = {
+    val schema = spark.read.parquet(parquetDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(parquetDir)
+    val q = stream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        graft.llm.Similarity.ingestBatchIntoIvfIndex(
+          df, indexPath, s"b$id", minCos, nprobe))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runBinaryAvailableNowAppend(spark: SparkSession, dir: String,
                                   transform: DataFrame => DataFrame,
                                   queryName: String): DataFrame = {

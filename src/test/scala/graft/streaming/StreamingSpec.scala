@@ -395,4 +395,72 @@ class StreamingSpec extends SparkSpec {
       "keyed file sets must replace on re-delivery, never duplicate")
     assert(sigIds(streamIdx).toSet == expected.toSet)
   }
+
+  test("embedding ingest loop (streaming SemDeDup): restart resumes, " +
+      "twins of history AND of earlier survivors drop, re-delivery " +
+      "never duplicates postings") {
+    import SparkSpec.spark.implicits._
+    import graft.llm.{IndexManifest, Similarity}
+    val rnd = new scala.util.Random(53)
+    def unit() = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // distinct random unit vectors: pairwise cos ≪ 0.999 with
+    // overwhelming margin at d=64; twins are exact copies
+    val history = (0L until 30L).map(i => (i, unit()))
+    val novel0 = (100L until 115L).map(i => (i, unit()))
+    val novel1 = (200L until 215L).map(i => (i, unit()))
+    val b0 = (novel0 :+ (900000L, history.head._2)).toDF("vec_id", "embedding")
+    val b1 = (novel1 :+ (910000L, novel0.head._2)).toDF("vec_id", "embedding")
+    val root = s"/root/repo/target/tmp/spec_vecingest_${System.nanoTime()}"
+    val idx = s"$root/idx"
+    Similarity.writeIvfIndex(history.toDF("vec_id", "embedding"), idx,
+      nlist = 4)
+    val streamDir = s"$root/stream"
+    def stage(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = s"$streamDir/_st$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val part =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally s.close()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(streamDir, s"batch_$i.parquet"))
+      new java.io.File(s"$streamDir/batch_$i.parquet")
+        .setLastModified(1700000000000L + i * 60000L)
+      graft.core.Fs.deleteTree(tmp)
+    }
+    stage(b0, 0)
+    val ckpt = s"$root/ckpt"
+    EventStreams.runIvfIngestLoop(spark, streamDir, idx, minCos = 0.999,
+      nprobe = 2, checkpoint = ckpt)
+    def postedIds() = spark.read
+      .parquet(IndexManifest.resolve(idx, "postings"))
+      .select("cand_id").collect().map(_.getLong(0)).toSeq
+    assert(postedIds().toSet ==
+      (0L until 30L).toSet ++ (100L until 115L).toSet,
+      "batch 0 survivors appended, its history twin dropped")
+    stage(b1, 1)
+    EventStreams.runIvfIngestLoop(spark, streamDir, idx, minCos = 0.999,
+      nprobe = 2, checkpoint = ckpt) // restart: resumes at batch 1
+    val expected = (0L until 30L) ++ (100L until 115L) ++ (200L until 215L)
+    assert(postedIds().toSet == expected.toSet,
+      "restart must process only batch 1; survivor twin must drop")
+    val rowsBefore = postedIds().length
+    assert(rowsBefore == expected.length, "no duplicate posting rows")
+    // re-delivery without the marker: keyed file sets must replace
+    val keys = new java.io.File(s"$idx/ingest_commits").list().toSeq
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$idx/ingest_commits/${keys.sorted.last}"))
+    Similarity.ingestBatchIntoIvfIndex(b1, idx, keys.sorted.last,
+      minCos = 0.999, nprobe = 2)
+    assert(postedIds().length == rowsBefore,
+      "re-delivery must replace keyed file sets, never duplicate")
+    assert(postedIds().toSet == expected.toSet)
+  }
 }
