@@ -696,6 +696,39 @@ object Dedup {
     IndexManifest.publish(indexPath, "sigs", sigsV)
   }
 
+  /** Max live parquet-file count across one partition level's dirs —
+    * the small-files-decay measure both `IfNeeded` compactors read
+    * (per-PROBE cost is files-per-partition-dir, not the total). */
+  private[llm] def maxFilesPerDir(root: String, prefix: String): Int = {
+    val dirs = listDirs(root, prefix)
+    if (dirs.isEmpty) 0
+    else dirs.map { d =>
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, d))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString
+          .endsWith(".parquet"))
+      } finally s.close()
+    }.max
+  }
+
+  /** Compact only when the small-files decay has actually accrued: a
+    * probe pays one file open per live file in its band dir, so the
+    * trigger is the MAX parquet-file count across band dirs exceeding
+    * `maxFilesPerBand`. This is the operational hook a maintenance
+    * schedule (or an ingest loop's owner) calls after each append
+    * window without tracking state — cheap directory listings, a
+    * linear-pass compaction only when warranted. Returns whether a
+    * compaction ran. */
+  def compactMinhashIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  maxFilesPerBand: Int = 16): Boolean = {
+    val decayed = maxFilesPerDir(
+      IndexManifest.resolve(indexPath, "bands"), "band=") > maxFilesPerBand
+    if (decayed) compactMinhashIndex(spark, indexPath)
+    decayed
+  }
+
   /** Incremental dedup against a PERSISTED index ([[writeMinhashIndex]]):
     * signature + banding parameters come from the index's own meta, the
     * history signature pass is NOT re-paid, and per-batch cost is truly

@@ -572,6 +572,19 @@ object Similarity {
     }
   }
 
+  /** The [[Dedup.compactMinhashIndexIfNeeded]] hook for the IVF index:
+    * compact when any cell dir's live parquet-file count exceeds
+    * `maxFilesPerCell` (per-probe cost is files-per-probed-cell).
+    * Returns whether a compaction ran. */
+  def compactIvfIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              maxFilesPerCell: Int = 16): Boolean = {
+    val decayed = Dedup.maxFilesPerDir(
+      IndexManifest.resolve(indexPath, "postings"), "cell=") > maxFilesPerCell
+    if (decayed) compactIvfIndex(spark, indexPath)
+    decayed
+  }
+
   /** Approximate top-k against a PERSISTED index ([[writeIvfIndex]]):
     * centroids load as bounded driver state (nlist rows — the k-means
     * contract), each query probes its nprobe nearest cells, and the

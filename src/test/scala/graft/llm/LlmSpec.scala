@@ -346,6 +346,34 @@ class LlmSpec extends SparkSpec {
       s"fresh write must supersede the old index: $fresh")
   }
 
+  test("compactIfNeeded: below the per-dir file bar it is a no-op, past " +
+      "it a real compaction runs") {
+    import SparkSpec.spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"threshold compaction doc $i filler words $i"))
+      .toDF("doc_id", "text")
+    val idx = tempDir("graft-mh-ifneeded-").toString + "/idx"
+    Dedup.writeMinhashIndex(mk(0L until 20L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5)
+    Dedup.appendToMinhashIndex(mk(100L until 110L), idx)
+    def versions() = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("bands_v"))
+      } finally s.close()
+    }
+    // generous bar: one append's file sets don't warrant a rewrite
+    assert(!Dedup.compactMinhashIndexIfNeeded(SparkSpec.spark, idx,
+      maxFilesPerBand = 1000))
+    assert(versions() == 0, "no-op must not create a version dir")
+    // bar of 0: any file count trips it → real compaction, new version
+    assert(Dedup.compactMinhashIndexIfNeeded(SparkSpec.spark, idx,
+      maxFilesPerBand = 0))
+    assert(versions() == 1, "triggered compaction must publish a version")
+  }
+
   test("leakageFreeSplit hashes non-numeric ids instead of silently " +
       "routing every row to 'test'") {
     import SparkSpec.spark.implicits._
