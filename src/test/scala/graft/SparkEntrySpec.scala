@@ -22,17 +22,15 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-9 floor: 229 queries, ALL 229 oracle-checked (round 9 adds
-    // PSL-backed domains, star connected components, indexed incremental
-    // dedup, Hilbert/zorder3 layout, the langid model, WARC scan + WET
-    // extraction + continuous streamed ingest, the persisted IVF index,
-    // index append/maintenance, streaming indexed dedup, leakage-free
-    // split, pretrained BPE encode) — bump these when operators are
-    // added so a bad refactor
-    // can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 229,
+    // round-10 floor: 236 queries, ALL 236 oracle-checked (round 10
+    // adds charset-aware WARC decode, the persisted IVF-PQ index
+    // [indexed + append + ADC-only], both closed streaming ingest
+    // loops [MinHash documents + IVF embeddings], and the logistic
+    // quality classifier) — bump these when operators are added so a
+    // bad refactor can't drop queries without failing CI
+    assert(SparkEntry.queries.size >= 236,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 229,
+    assert(SparkEntry.oracleSql.size >= 236,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
