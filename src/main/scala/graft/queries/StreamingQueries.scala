@@ -370,6 +370,54 @@ object StreamingQueries {
              |  WHERE vec_id >= 300 AND vec_id < 310)
              |ORDER BY vec_id""".stripMargin)),
 
+    // The COMPLETE crawl front door in ONE streaming query
+    // (EventStreams.runWarcIngestLoop): WARC segments land as a
+    // binaryFile stream, the frame parser cracks them per micro-batch,
+    // and the extracted documents run the closed dedup-ingest loop
+    // against a pre-built history index — segment 0 carries two exact
+    // copies of HISTORY bodies (records 3, 7 — drop), segment 1 two
+    // exact copies of segment-0 SURVIVORS (records 15, 19 — drop only
+    // if the loop folded segment 0 back in before segment 1 ran).
+    // Fixture bodies are disjoint-vocabulary md5 words
+    // (Warc.crawlBody), so distinct records sit at est_jaccard ~0 and
+    // survival is the pure closed form the oracle VALUES restate.
+    QueryDef(
+      "q_stream_warc_dedup",
+      (s, _) => {
+        import s.implicits._
+        val tmp = graft.core.Fs.scratchRoot
+        val idx = s"$tmp/mh_index_crawl"
+        val history = Seq(
+          ("hist-0", graft.sources.Warc.crawlHistoryBody(0)),
+          ("hist-1", graft.sources.Warc.crawlHistoryBody(1)))
+          .toDF("doc_id", "text")
+        graft.llm.Dedup.writeMinhashIndex(history, idx, numHashes = 64,
+          bands = 16, shingleSize = 5, maxBucketSize = 500)
+        val ckpt = s"$tmp/crawl_ckpt"
+        graft.core.Fs.deleteTree(ckpt)
+        EventStreams.runWarcIngestLoop(s,
+          graft.sources.Warc.warcCrawlDedupIngestDir, idx,
+          threshold = 0.9999, checkpoint = ckpt)
+        val indexed = s.read
+          .parquet(graft.llm.IndexManifest.resolve(idx, "sigs"))
+          .select(col("doc_id").as("record_id"),
+            lit(true).as("survived"))
+        s.range(0, 24)
+          .select(format_string("<urn:uuid:rec-%03d>", col("id"))
+            .as("record_id"))
+          .join(indexed, Seq("record_id"), "left")
+          .select(col("record_id"),
+            coalesce(col("survived"), lit(false)).as("survived"))
+          .orderBy(col("record_id"))
+      },
+      Some(s"""SELECT * FROM (VALUES ${(0 until 24).map { i =>
+               val rid = f"<urn:uuid:rec-$i%03d>"
+               val ok = !graft.sources.Warc.CrawlPlantedDups.contains(i)
+               s"('$rid', $ok)"
+             }.mkString(", ")})
+             |  AS t(record_id, survived)
+             |ORDER BY record_id""".stripMargin)),
+
     // CONTINUOUS crawl ingest: the WARC segments themselves arrive as a
     // binaryFile stream (a live crawler landing segment files) and the
     // SAME partition-local decode stage as the batch scan cracks them

@@ -483,6 +483,55 @@ object Warc {
       s"(${q(rid)}, ${q(url)}, ${q(ct)}, ${q(decoded)}, ${body.length})"
     }.mkString(", ")
 
+  /** Disjoint-vocabulary body for the crawl-dedup fixture: three
+    * md5-hex words seeded by `i` — two bodies share essentially no
+    * char shingles (each has ~90 distinct 5-shingles out of 16⁵
+    * possible), so MinHash est_jaccard between DISTINCT records is ~0
+    * and only planted exact copies can reach the dedup threshold.
+    * (The q_scan_warc synthBody scaffold shares most of its shingles
+    * across records — fine for parse checks, unusable under a dedup
+    * gate.) */
+  private[graft] def crawlBody(i: Int): String = {
+    def h(x: Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(x.toString.getBytes(StandardCharsets.US_ASCII))
+        .map("%02x".format(_)).mkString
+    }
+    s"${h(i)} ${h(i + 1000000)} ${h(i + 2000000)}"
+  }
+
+  /** History bodies for the crawl-dedup fixture (disjoint seed range). */
+  private[graft] def crawlHistoryBody(j: Int): String = crawlBody(5000000 + j)
+
+  /** Records of the crawl-dedup ingest fixture whose bodies are planted
+    * EXACT copies: 3 and 7 copy history bodies 0 and 1 (must drop
+    * against the pre-built index in micro-batch 0); 15 and 19 copy
+    * records 0 and 4 (batch-0 SURVIVORS — they drop only if the ingest
+    * loop appended batch 0 before batch 1 ran). */
+  private[graft] val CrawlPlantedDups: Map[Int, String] = Map(
+    3 -> crawlHistoryBody(0), 7 -> crawlHistoryBody(1),
+    15 -> crawlBody(0), 19 -> crawlBody(4))
+
+  /** Two-segment staged fixture for the streamed crawl-dedup loop:
+    * seg_0 (older mtime) carries records 0-11, seg_1 records 12-23;
+    * bodies are [[crawlBody]] except the [[CrawlPlantedDups]]. */
+  lazy val warcCrawlDedupIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-crawl-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-crawl-cleanup")
+    def seg(ids: Range): Array[Byte] = ids.flatMap { i =>
+      gzipMember(responseRecordWith(i,
+        CrawlPlantedDups.getOrElse(i, crawlBody(i)), "200 OK",
+        "text/plain"))
+    }.toArray
+    val s0 = dir.resolve("seg_0.warc.gz")
+    val s1 = dir.resolve("seg_1.warc.gz")
+    java.nio.file.Files.write(s0, seg(0 until 12))
+    java.nio.file.Files.write(s1, seg(12 until 24))
+    s0.toFile.setLastModified(1700000000000L)
+    s1.toFile.setLastModified(1700000060000L)
+    dir.toString
+  }
+
   private def requestRecord(i: Int): Array[Byte] =
     record("request", f"<urn:uuid:req-$i%03d>",
       s"WARC-Target-URI: http://site${i % 5}.example/page/$i\n",

@@ -483,6 +483,42 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** The COMPLETE crawl front door in ONE streaming query: WARC
+    * segments land as a binaryFile stream, each micro-batch is cracked
+    * by the same partition-local frame parser as the batch scan
+    * ([[graft.sources.Warc.decodeSegments]] — charset-aware decode
+    * included), and the extracted documents run straight through the
+    * closed dedup-ingest loop
+    * ([[graft.llm.Dedup.ingestBatchIntoMinhashIndex]]): match against
+    * the persisted history index, drop near-duplicates, append
+    * survivors so the next SEGMENT's records see them as history. A
+    * crawler drops segment files; the index stays current — no second
+    * job, no intermediate table. Restart/re-delivery semantics are the
+    * ingest loop's; one segment file per trigger keeps batch
+    * boundaries deterministic (mtime order). Record identity is the
+    * WARC-Record-ID (string ids are first-class index citizens). */
+  def runWarcIngestLoop(spark: SparkSession, warcDir: String,
+                        indexPath: String, threshold: Double,
+                        checkpoint: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(warcDir)
+    val docs = graft.sources.Warc.decodeSegments(spark)(stream)
+      .select(col("record_id").as("doc_id"), col("text"))
+    val q = docs.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        graft.llm.Dedup.ingestBatchIntoMinhashIndex(
+          df, indexPath, s"b$id", threshold))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The embedding-side closed ingest loop — same contract as
     * [[runMinhashIngestLoop]] with
     * [[graft.llm.Similarity.ingestBatchIntoIvfIndex]] as the
