@@ -255,6 +255,24 @@ object ScaleCheck {
         spark.read.parquet(s"$base/embeddings.parquet")
           .filter(col("vec_id") < 10),
         s"$synthRoot/ivfidx_x$f", k = 5, nprobe = 4)),
+      // round-10: the CLOSED ingest loop's per-batch cost against a
+      // growing history index (staged per factor): one foreachBatch
+      // body = indexed match (band-pruned, delta-sized) + survivor
+      // append (O(batch) keyed file sets) — the curve must stay flat
+      // for 10× history. The batch is the base docs REVERSED (novel
+      // shingles, novel ids), so rep 1 measures match+append and rep 2
+      // (after rep 1's append made the batch historical) match+empty
+      // append; min-of-2 is comparable across factors
+      ("q_ingest_loop", (_, f) => {
+        val batch = spark.read.parquet(s"$base/documents.parquet")
+          .filter(col("doc_id") < 500)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            reverse(col("text")).as("text"))
+        graft.llm.Dedup.ingestBatchIntoMinhashIndex(batch,
+          s"$synthRoot/mhidx_ing_x$f", s"k${System.nanoTime()}",
+          threshold = 0.9999)
+        spark.range(1).toDF("done")
+      }),
       // round-10: IVF-PQ against the PERSISTED two-tier index (staged
       // per factor outside the timing): the ADC scan reads m-int code
       // rows from probed cells only, the re-rank touches raw vectors
@@ -379,6 +397,22 @@ object ScaleCheck {
         val src = if (f == 1) base else s"$synthRoot/x$f"
         if (f != 1) synthesize(spark, base, f, src)
         val ix = new java.io.File(s"$synthRoot/mhidx_x$f")
+        if (!new java.io.File(ix, "_DONE").exists()) {
+          Dedup.writeMinhashIndex(
+            spark.read.parquet(s"$src/documents.parquet"), ix.toString,
+            numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)
+          Caches.release(); spark.catalog.clearCache()
+          new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
+        }
+      }
+
+    // dedicated copies for the ingest-loop row: the loop APPENDS, and
+    // sharing mhidx_x$f would pollute the read-only rows' staging
+    if (runs.exists(_._1 == "q_ingest_loop"))
+      for (f <- factors) {
+        val src = if (f == 1) base else s"$synthRoot/x$f"
+        if (f != 1) synthesize(spark, base, f, src)
+        val ix = new java.io.File(s"$synthRoot/mhidx_ing_x$f")
         if (!new java.io.File(ix, "_DONE").exists()) {
           Dedup.writeMinhashIndex(
             spark.read.parquet(s"$src/documents.parquet"), ix.toString,
