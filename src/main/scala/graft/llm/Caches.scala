@@ -44,4 +44,32 @@ object Caches {
   def release(session: SparkSession): Unit = synchronized {
     registered.remove(session).foreach(_.foreach(_.unpersist(blocking = false)))
   }
+
+  /** Run `body` and then unpersist ONLY the intermediates tracked
+    * DURING it — the scope for callers that complete every action on
+    * the library's returned DataFrames internally (the streaming
+    * ingest-loop bodies: one leaked signature cache per micro-batch
+    * would grow without bound over a long-running crawl). The caller's
+    * pre-existing tracked caches are untouched. Scopes are for
+    * sequential use within a session (the ingest loops are — one
+    * foreachBatch at a time); concurrent scopes in one session would
+    * release each other's additions, which release() also would. */
+  private[llm] def scoped[T](session: SparkSession)(body: => T): T = {
+    val mark = synchronized {
+      registered.get(session).map(_.length).getOrElse(0)
+    }
+    try body
+    finally {
+      val added = synchronized {
+        registered.get(session) match {
+          case Some(buf) if buf.length > mark =>
+            val a = buf.slice(mark, buf.length).toList
+            buf.remove(mark, buf.length - mark)
+            a
+          case _ => Nil
+        }
+      }
+      added.foreach(_.unpersist(blocking = false))
+    }
+  }
 }

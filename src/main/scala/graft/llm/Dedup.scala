@@ -545,13 +545,18 @@ object Dedup {
     // BEFORE matching: the match must never see this batch's own rows
     // (it would flag every survivor as its own duplicate and drop it)
     purgeKeyedFiles(indexPath, batchKey)
-    val dup = incrementalMinhashMatchesIndexed(batch, indexPath, textCol,
-        idCol)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("batch_id")).distinct()
-    val survivors = batch.join(dup, batch(idCol) === dup("batch_id"),
-      "left_anti")
-    appendBatchFileSets(survivors, indexPath, batchKey, textCol, idCol)
+    // every action completes inside this call, so the signature caches
+    // the match and append track must not outlive it — one leaked
+    // cache per micro-batch is unbounded over a long-running crawl
+    Caches.scoped(batch.sparkSession) {
+      val dup = incrementalMinhashMatchesIndexed(batch, indexPath, textCol,
+          idCol)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("batch_id")).distinct()
+      val survivors = batch.join(dup, batch(idCol) === dup("batch_id"),
+        "left_anti")
+      appendBatchFileSets(survivors, indexPath, batchKey, textCol, idCol)
+    }
     java.nio.file.Files.createDirectories(commits)
     java.nio.file.Files.write(marker, Array.emptyByteArray)
   }

@@ -82,26 +82,16 @@ object IndexManifest {
   }
 
   /** Reset an index path for a FRESH write (writeMinhashIndex /
-    * writeIvfIndex with a pre-existing index at `path`): drop the
-    * manifest, every versioned dir, and any streaming-ingest state
-    * (commit markers, staging) so the new plain-layout write can't be
-    * shadowed by a stale pointer — or a stale batch marker — from the
-    * old index. */
-  def reset(indexPath: String): Unit = {
-    val root = Paths.get(indexPath)
-    if (!Files.exists(root)) return
-    Files.deleteIfExists(manifestPath(indexPath))
-    graft.core.Fs.deleteTree(s"$indexPath/ingest_commits")
-    graft.core.Fs.deleteTree(s"$indexPath/ingest_staging")
-    val s = Files.list(root)
-    val versioned =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches(".+_v\\d+")).toSeq
-      } finally s.close()
-    versioned.foreach(d => graft.core.Fs.deleteTree(s"$indexPath/$d"))
-  }
+    * writeIvfIndex / writeIvfPqIndex over a pre-existing index at
+    * `path`): delete the WHOLE index tree. Anything narrower leaves a
+    * trap — a stale manifest pointer, a stale ingest commit marker, or
+    * (worst) a stale sibling-FLAVOR tier: writing an IVF-PQ index over
+    * an old raw-IVF one would leave the old `postings/` dir for
+    * ivfTopKIndexed to silently serve the OLD corpus from. The index
+    * directory is dedicated to the index by contract, so a fresh write
+    * owns all of it. */
+  def reset(indexPath: String): Unit =
+    graft.core.Fs.deleteTree(indexPath)
 
   /** Publish `versionDir` as the live version of `name`: one atomic
     * manifest replace (other names' entries are carried over), then

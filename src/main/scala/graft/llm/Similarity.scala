@@ -377,20 +377,24 @@ object Similarity {
     val livePostings = IndexManifest.resolve(indexPath, "postings")
     Dedup.listDirs(livePostings, "cell=").foreach(d =>
       Dedup.clearKeyedFiles(s"$livePostings/$d", batchKey))
-    val dup = ivfTopKIndexed(batch, indexPath, k = 1, nprobe = nprobe,
-        vecCol = vecCol, idCol = idCol)
-      .filter(col("cos_sim") >= minCos)
-      .select(col("query_id")).distinct()
-    val survivors = batch.join(dup, batch(idCol) === dup("query_id"),
-      "left_anti")
-    val stage = s"$indexPath/ingest_staging/$batchKey"
-    assignCells(survivors, loadCentroids(batch.sparkSession, indexPath),
-        vecCol, idCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    Dedup.listDirs(stage, "cell=").foreach { d =>
-      Dedup.moveKeyedFiles(s"$stage/$d", s"$livePostings/$d", batchKey)
+    // scoped: the probe-table cache must not outlive the micro-batch
+    // (same unbounded-crawl argument as the MinHash loop)
+    Caches.scoped(batch.sparkSession) {
+      val dup = ivfTopKIndexed(batch, indexPath, k = 1, nprobe = nprobe,
+          vecCol = vecCol, idCol = idCol)
+        .filter(col("cos_sim") >= minCos)
+        .select(col("query_id")).distinct()
+      val survivors = batch.join(dup, batch(idCol) === dup("query_id"),
+        "left_anti")
+      val stage = s"$indexPath/ingest_staging/$batchKey"
+      assignCells(survivors, loadCentroids(batch.sparkSession, indexPath),
+          vecCol, idCol)
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+      Dedup.listDirs(stage, "cell=").foreach { d =>
+        Dedup.moveKeyedFiles(s"$stage/$d", s"$livePostings/$d", batchKey)
+      }
+      graft.core.Fs.deleteTree(stage)
     }
-    graft.core.Fs.deleteTree(stage)
     java.nio.file.Files.createDirectories(commits)
     java.nio.file.Files.write(marker, Array.emptyByteArray)
   }

@@ -290,11 +290,17 @@ object TextAnalysis {
                            lr: Double = 8.0, l2: Double = 1e-4): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
+    // id assigned BEFORE the explode: in the same select,
+    // monotonically_increasing_id() evaluates per EXPLODED row, which
+    // would make every trigram occurrence its own one-feature document
+    // and silently void the per-document frequency normalization below
     val tri = Caches.track(labeled
       .filter(col(labelCol).isin(posLabel, negLabel))
       .select(monotonically_increasing_id().as("id"),
         (col(labelCol) === posLabel).cast("double").as("y"),
-        explode(charTrigrams(col(textCol))).as("g"))
+        col(textCol).as("t"))
+      .select(col("id"), col("y"),
+        explode(charTrigrams(col("t"))).as("g"))
       .select(col("id"), col("y"), md5Bucket4096(col("g")).as("b"))
       .groupBy(col("id"), col("y"), col("b"))
       .agg(count(lit(1)).as("c")))

@@ -78,13 +78,17 @@ object LlmQueries {
     * of a correct index, not a probabilistic recall bound. One boolean
     * per query; the DuckDB oracle matches literal TRUE (the hash/codebook
     * machinery is not expressible in portable SQL — the q_approx_distinct
-    * gate pattern). Missing queries surface as FALSE via the left join. */
-  private def annTwinGate(queries: DataFrame, top: DataFrame): DataFrame =
+    * gate pattern). Missing queries surface as FALSE via the left join.
+    * `minCos = None` relaxes to rank-1 IDENTITY only — the ADC-only
+    * path, whose scores are reconstruction-bounded approximations. */
+  private def annTwinGate(queries: DataFrame, top: DataFrame,
+                          minCos: Option[Double] = Some(0.999)): DataFrame =
     queries.select(col("vec_id").as("query_id"))
       .join(top.filter(col("rk") === 1)
         .select(col("query_id"),
-          (col("cand_id") === col("query_id") + 100000 &&
-            col("cos_sim") >= 0.999).as("ok")),
+          minCos.foldLeft(
+            col("cand_id") === col("query_id") + 100000)(
+            (ok, c) => ok && col("cos_sim") >= c).as("ok")),
         Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("ok"), lit(false)).as("twin_top1"))
@@ -568,16 +572,10 @@ object LlmQueries {
         val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_adc_index"
         Similarity.writeIvfPqIndex(corpus, idx, nlist = 16, m = 8,
           ksub = 16, storeVectors = false)
-        val top = Similarity.ivfPqTopKIndexed(queries, idx, k = 5,
-          nprobe = 4, adcOnly = true)
-        queries.select(col("vec_id").as("query_id"))
-          .join(top.filter(col("rk") === 1)
-            .select(col("query_id"),
-              (col("cand_id") === col("query_id") + 100000).as("ok")),
-            Seq("query_id"), "left")
-          .select(col("query_id"),
-            coalesce(col("ok"), lit(false)).as("twin_top1"))
-          .orderBy(col("query_id"))
+        annTwinGate(queries,
+          Similarity.ivfPqTopKIndexed(queries, idx, k = 5, nprobe = 4,
+            adcOnly = true),
+          minCos = None)
       },
       Some(annTwinGateSql)),
 

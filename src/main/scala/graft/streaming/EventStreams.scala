@@ -442,12 +442,6 @@ object EventStreams {
     runAtPath(spark, parquetDir, transform, queryName, "append",
       heartbeat = false)
 
-  /** Append-mode run over a STREAMED binaryFile directory — continuous
-    * container ingest (WARC segments landing from a live crawler, media
-    * blobs from an uploader): the file stream discovers new blobs per
-    * micro-batch and the transform is partition-local decode, so the
-    * plan is stateless end to end (no watermark, no state store — the
-    * same contract as the streaming indexed dedup). */
   /** The CLOSED continuous-ingest loop — match-then-append inside ONE
     * streaming query: each micro-batch of documents is matched against
     * the persisted MinHash index, survivors are appended back
@@ -473,14 +467,34 @@ object EventStreams {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(parquetDir)
+    val sk = streamKey(checkpoint)
     val q = stream.writeStream
       .foreachBatch((df: DataFrame, id: Long) =>
         graft.llm.Dedup.ingestBatchIntoMinhashIndex(
-          df, indexPath, s"b$id", threshold))
+          df, indexPath, s"$sk-b$id", threshold))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Stable identity of a streaming ingest RUN, persisted inside the
+    * checkpoint dir and prefixed onto every commit-marker key: batch
+    * ids restart at 0 whenever a checkpoint is recreated, so markers
+    * keyed by batch id alone would collide across checkpoints sharing
+    * one index — a recreated checkpoint's batch 0 would silently
+    * short-circuit on the OLD stream's `b0` marker (or purge its
+    * committed file set). First use mints a random id; the same live
+    * checkpoint keeps it (re-delivery dedup still works), a recreated
+    * checkpoint gets a fresh keyspace. */
+  private def streamKey(checkpoint: String): String = {
+    val dir = java.nio.file.Paths.get(checkpoint)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("graft_stream_id")
+    if (!java.nio.file.Files.exists(f))
+      java.nio.file.Files.write(f, java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12).getBytes("UTF-8"))
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
   }
 
   /** The COMPLETE crawl front door in ONE streaming query: WARC
@@ -509,10 +523,11 @@ object EventStreams {
       .load(warcDir)
     val docs = graft.sources.Warc.decodeSegments(spark)(stream)
       .select(col("record_id").as("doc_id"), col("text"))
+    val sk = streamKey(checkpoint)
     val q = docs.writeStream
       .foreachBatch((df: DataFrame, id: Long) =>
         graft.llm.Dedup.ingestBatchIntoMinhashIndex(
-          df, indexPath, s"b$id", threshold))
+          df, indexPath, s"$sk-b$id", threshold))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -533,16 +548,23 @@ object EventStreams {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(parquetDir)
+    val sk = streamKey(checkpoint)
     val q = stream.writeStream
       .foreachBatch((df: DataFrame, id: Long) =>
         graft.llm.Similarity.ingestBatchIntoIvfIndex(
-          df, indexPath, s"b$id", minCos, nprobe))
+          df, indexPath, s"$sk-b$id", minCos, nprobe))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
 
+  /** Append-mode run over a STREAMED binaryFile directory — continuous
+    * container ingest (WARC segments landing from a live crawler, media
+    * blobs from an uploader): the file stream discovers new blobs per
+    * micro-batch and the transform is partition-local decode, so the
+    * plan is stateless end to end (no watermark, no state store — the
+    * same contract as the streaming indexed dedup). */
   def runBinaryAvailableNowAppend(spark: SparkSession, dir: String,
                                   transform: DataFrame => DataFrame,
                                   queryName: String): DataFrame = {

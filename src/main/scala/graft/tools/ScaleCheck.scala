@@ -406,20 +406,36 @@ object ScaleCheck {
         }
       }
 
-    // dedicated copies for the ingest-loop row: the loop APPENDS, and
-    // sharing mhidx_x$f would pollute the read-only rows' staging
+    // dedicated staging for the ingest-loop row: the loop APPENDS, so
+    // it can share neither the read-only rows' mhidx staging nor a
+    // _DONE-cached copy of its own (a mutated fixture would measure a
+    // different operation next run and creep its band-dir file counts).
+    // A PRISTINE index builds once behind the marker; each RUN works on
+    // a fresh file copy of it.
     if (runs.exists(_._1 == "q_ingest_loop"))
       for (f <- factors) {
         val src = if (f == 1) base else s"$synthRoot/x$f"
         if (f != 1) synthesize(spark, base, f, src)
-        val ix = new java.io.File(s"$synthRoot/mhidx_ing_x$f")
-        if (!new java.io.File(ix, "_DONE").exists()) {
+        val pristine = new java.io.File(s"$synthRoot/mhidx_ingp_x$f")
+        if (!new java.io.File(pristine, "_DONE").exists()) {
           Dedup.writeMinhashIndex(
-            spark.read.parquet(s"$src/documents.parquet"), ix.toString,
+            spark.read.parquet(s"$src/documents.parquet"),
+            pristine.toString,
             numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)
           Caches.release(); spark.catalog.clearCache()
-          new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
+          new java.io.FileOutputStream(
+            new java.io.File(pristine, "_DONE")).close()
         }
+        val run = java.nio.file.Paths.get(s"$synthRoot/mhidx_ing_x$f")
+        graft.core.Fs.deleteTree(run)
+        val srcP = pristine.toPath
+        val s = java.nio.file.Files.walk(srcP)
+        try s.forEach { p =>
+          val dst = run.resolve(srcP.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst)
+        } finally s.close()
       }
 
     if (runs.exists(_._1 == "q_sim_ivf_idx"))

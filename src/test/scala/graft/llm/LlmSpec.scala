@@ -1273,6 +1273,20 @@ class LlmSpec extends SparkSpec {
     assert(wrong.isEmpty, wrong.mkString(";"))
   }
 
+  test("monotonically_increasing_id assigned in a SEPARATE select before " +
+      "an explode stays per-document (the invariant trainQualityLogistic " +
+      "depends on)") {
+    import SparkSpec.spark.implicits._
+    // in the SAME select as the explode, the id evaluates per exploded
+    // row (verified on this Spark build) — Catalyst must not collapse
+    // the two projections across the nondeterministic expression
+    val ids = Seq("aaa bbb ccc", "ddd eee").toDF("text")
+      .select(monotonically_increasing_id().as("id"), col("text").as("t"))
+      .select(col("id"), explode(split(col("t"), " ")).as("w"))
+      .select("id").distinct().count()
+    assert(ids == 2, s"expected 2 per-document ids, got $ids")
+  }
+
   test("logistic quality classifier: discriminative training on the same " +
       "hashed-trigram features, scored by the shared langIdScore path, " +
       "held-out accuracy >= the NB baseline") {
