@@ -570,6 +570,33 @@ object Dedup {
       clearKeyedFiles(s"$liveBands/$d", batchKey))
   }
 
+  private val KeyedFileRe = "^ingest-(.+)-\\d+\\.parquet$".r
+
+  /** Ingest batch keys with live keyed files in `dirs` but NO commit
+    * marker — an in-flight or crashed delivery. Compaction must refuse
+    * while any exist: absorbing an UNCOMMITTED batch's keyed files into
+    * a consolidated version erases their keyed identity, so the
+    * restart's purge-before-rematch would find nothing to purge, the
+    * re-match would flag every survivor as its own (absorbed) duplicate,
+    * and the batch would silently vanish from the index. */
+  private[llm] def uncommittedIngestKeys(indexPath: String,
+                                         dirs: Seq[String]): Set[String] = {
+    val committed = listDirs(s"$indexPath/ingest_commits", "").toSet
+    dirs.flatMap { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).collect {
+            case KeyedFileRe(k) => k
+          }.toSeq
+        } finally s.close()
+      }
+    }.toSet -- committed
+  }
+
   /** Append one batch's rows as an IDEMPOTENT batch-keyed file set: the
     * rows are written to a staging dir (overwrite — re-execution
     * replaces it), then moved into the live band/sigs dirs under
@@ -674,6 +701,16 @@ object Dedup {
     * version. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String): Unit = {
+    val liveBands0 = IndexManifest.resolve(indexPath, "bands")
+    val inflight = uncommittedIngestKeys(indexPath,
+      IndexManifest.resolve(indexPath, "sigs") +:
+        listDirs(liveBands0, "band=").map(d => s"$liveBands0/$d"))
+    require(inflight.isEmpty,
+      s"refusing to compact $indexPath: uncommitted ingest batches " +
+        s"${inflight.mkString(", ")} have live keyed files — absorbing " +
+        "them would erase the keyed identity their restart recovery " +
+        "depends on; let the stream restart (or clean up a dead one) " +
+        "first")
     val meta = spark.read.parquet(s"$indexPath/meta").collect()
     require(meta.length == 1, s"malformed index meta at $indexPath/meta")
     val rawCap = meta.head.getAs[Int]("max_bucket_size")

@@ -346,6 +346,42 @@ class LlmSpec extends SparkSpec {
       s"fresh write must supersede the old index: $fresh")
   }
 
+  test("compaction refuses while an UNCOMMITTED ingest batch has live " +
+      "keyed files; committed batches absorb fine and their markers " +
+      "still short-circuit re-delivery afterwards") {
+    import SparkSpec.spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"interlock doc $i token${i * 31} token${i * 57} end"))
+      .toDF("doc_id", "text")
+    val idx = tempDir("graft-mh-interlock-").toString + "/idx"
+    Dedup.writeMinhashIndex(mk(0L until 20L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5)
+    Dedup.ingestBatchIntoMinhashIndex(mk(100L until 110L), idx, "k1",
+      threshold = 0.9999)
+    // a crashed delivery: keyed file present, no commit marker
+    val bandDir = java.nio.file.Paths.get(
+      IndexManifest.resolve(idx, "bands"), "band=0")
+    val dead = bandDir.resolve("ingest-deadkey-0.parquet")
+    java.nio.file.Files.write(dead, Array.emptyByteArray)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.compactMinhashIndex(SparkSpec.spark, idx)
+    }
+    assert(err.getMessage.contains("deadkey"))
+    java.nio.file.Files.delete(dead)
+    // with only COMMITTED batches, compaction absorbs their file sets
+    def sigIds() = SparkSpec.spark.read
+      .parquet(IndexManifest.resolve(idx, "sigs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val before = sigIds().toSet
+    Dedup.compactMinhashIndex(SparkSpec.spark, idx)
+    assert(sigIds().toSet == before)
+    // the absorbed batch's marker still short-circuits a re-delivery
+    Dedup.ingestBatchIntoMinhashIndex(mk(100L until 110L), idx, "k1",
+      threshold = 0.9999)
+    assert(sigIds().toSet == before && sigIds().length == before.size,
+      "re-delivery of an absorbed committed batch must no-op")
+  }
+
   test("compactIfNeeded: below the per-dir file bar it is a no-op, past " +
       "it a real compaction runs") {
     import SparkSpec.spark.implicits._
