@@ -14,6 +14,20 @@ object Fs {
 
   def deleteTree(p: String): Unit = deleteTree(java.nio.file.Paths.get(p))
 
+  /** Recursively copy a directory tree (REPLACE_EXISTING per file). */
+  def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
+
+  def copyTree(src: String, dst: String): Unit =
+    copyTree(java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+
   /** Fresh per-JVM scratch root under `java.io.tmpdir` (created lazily,
     * deleted on JVM exit): paths derived from it are private to THIS
     * process, so concurrent graft JVMs (a bench run next to a verify

@@ -55,18 +55,23 @@ object Caches {
     * foreachBatch at a time); concurrent scopes in one session would
     * release each other's additions, which release() also would. */
   private[llm] def scoped[T](session: SparkSession)(body: => T): T = {
-    val mark = synchronized {
-      registered.get(session).map(_.length).getOrElse(0)
+    // snapshot by IDENTITY, not by buffer position: a concurrent
+    // release() (documented safe at any time) may empty and repopulate
+    // the buffer mid-scope, and a length mark would then miss the
+    // scope's own additions — re-leaking the per-micro-batch caches
+    val before = synchronized {
+      registered.get(session)
+        .map(buf => buf.map(d => d: AnyRef).toSet).getOrElse(Set.empty)
     }
     try body
     finally {
       val added = synchronized {
         registered.get(session) match {
-          case Some(buf) if buf.length > mark =>
-            val a = buf.slice(mark, buf.length).toList
-            buf.remove(mark, buf.length - mark)
+          case Some(buf) =>
+            val a = buf.filterNot(d => before.contains(d)).toList
+            buf.filterInPlace(d => before.contains(d))
             a
-          case _ => Nil
+          case None => Nil
         }
       }
       added.foreach(_.unpersist(blocking = false))

@@ -597,6 +597,52 @@ object Dedup {
     }.toSet -- committed
   }
 
+  /** The interlock shared by every compactor: refuse while uncommitted
+    * ingest batches have live keyed files in `dirs` (see
+    * [[uncommittedIngestKeys]] for why absorbing them is data loss). */
+  private[llm] def requireNoUncommittedIngest(indexPath: String,
+                                              dirs: Seq[String]): Unit = {
+    val inflight = uncommittedIngestKeys(indexPath, dirs)
+    require(inflight.isEmpty,
+      s"refusing to compact $indexPath: uncommitted ingest batches " +
+        s"${inflight.mkString(", ")} have live keyed files — absorbing " +
+        "them would erase the keyed identity their restart recovery " +
+        "depends on. Restart the owning stream to converge, or — if its " +
+        "checkpoint is gone for good — purgeOrphanedIngestBatches first")
+  }
+
+  /** Delete the keyed files (and staging) of every UNCOMMITTED ingest
+    * batch — the recovery for a stream that is permanently ABANDONED
+    * (its checkpoint deleted/recreated, so its own restart purge will
+    * never run and the orphaned keys would wedge compaction forever).
+    * Safe precisely in that scenario: a recreated checkpoint replays
+    * the source from scratch, and with the orphan rows gone the
+    * replayed documents are novel again and re-append under the new
+    * stream's keys — nothing is lost. Do NOT call while the owning
+    * stream can still restart: its in-flight batch would re-match
+    * against history only, exactly as its own purge would arrange, so
+    * even that is convergent — but the stream owns that recovery.
+    * Returns the purged keys. */
+  def purgeOrphanedIngestBatches(indexPath: String): Set[String] = {
+    val dirs = ingestKeyedDirs(indexPath)
+    val orphans = uncommittedIngestKeys(indexPath, dirs)
+    orphans.foreach { k =>
+      dirs.foreach(d => clearKeyedFiles(d, k))
+      graft.core.Fs.deleteTree(s"$indexPath/ingest_staging/$k")
+    }
+    orphans
+  }
+
+  /** Every live dir that can hold ingest-keyed files, across both index
+    * layouts (MinHash: sigs + band dirs; IVF: cell dirs). */
+  private[llm] def ingestKeyedDirs(indexPath: String): Seq[String] = {
+    val bands = IndexManifest.resolve(indexPath, "bands")
+    val postings = IndexManifest.resolve(indexPath, "postings")
+    Seq(IndexManifest.resolve(indexPath, "sigs")) ++
+      listDirs(bands, "band=").map(d => s"$bands/$d") ++
+      listDirs(postings, "cell=").map(d => s"$postings/$d")
+  }
+
   /** Append one batch's rows as an IDEMPOTENT batch-keyed file set: the
     * rows are written to a staging dir (overwrite — re-execution
     * replaces it), then moved into the live band/sigs dirs under
@@ -701,16 +747,7 @@ object Dedup {
     * version. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String): Unit = {
-    val liveBands0 = IndexManifest.resolve(indexPath, "bands")
-    val inflight = uncommittedIngestKeys(indexPath,
-      IndexManifest.resolve(indexPath, "sigs") +:
-        listDirs(liveBands0, "band=").map(d => s"$liveBands0/$d"))
-    require(inflight.isEmpty,
-      s"refusing to compact $indexPath: uncommitted ingest batches " +
-        s"${inflight.mkString(", ")} have live keyed files — absorbing " +
-        "them would erase the keyed identity their restart recovery " +
-        "depends on; let the stream restart (or clean up a dead one) " +
-        "first")
+    requireNoUncommittedIngest(indexPath, ingestKeyedDirs(indexPath))
     val meta = spark.read.parquet(s"$indexPath/meta").collect()
     require(meta.length == 1, s"malformed index meta at $indexPath/meta")
     val rawCap = meta.head.getAs[Int]("max_bucket_size")

@@ -341,15 +341,8 @@ object Similarity {
     * unchanged (spec-pinned). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String): Unit = {
-    val live0 = IndexManifest.resolve(indexPath, "postings")
-    val inflight = Dedup.uncommittedIngestKeys(indexPath,
-      Dedup.listDirs(live0, "cell=").map(d => s"$live0/$d"))
-    require(inflight.isEmpty,
-      s"refusing to compact $indexPath: uncommitted ingest batches " +
-        s"${inflight.mkString(", ")} have live keyed files — absorbing " +
-        "them would erase the keyed identity their restart recovery " +
-        "depends on; let the stream restart (or clean up a dead one) " +
-        "first")
+    Dedup.requireNoUncommittedIngest(indexPath,
+      Dedup.ingestKeyedDirs(indexPath))
     val postingsV = IndexManifest.nextVersionDir(indexPath, "postings")
     spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),

@@ -491,10 +491,22 @@ object EventStreams {
     val dir = java.nio.file.Paths.get(checkpoint)
     java.nio.file.Files.createDirectories(dir)
     val f = dir.resolve("graft_stream_id")
-    if (!java.nio.file.Files.exists(f))
-      java.nio.file.Files.write(f, java.util.UUID.randomUUID().toString
-        .replace("-", "").take(12).getBytes("UTF-8"))
-    new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+    def current: String =
+      if (!java.nio.file.Files.exists(f)) ""
+      else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+    if (current.isEmpty) {
+      // temp + atomic rename, and re-mint on a blank read: a crash
+      // between create and write would otherwise pin sk = "" forever,
+      // restoring the cross-checkpoint collision this id prevents
+      val fresh = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      val tmp = dir.resolve(".graft_stream_id.tmp")
+      java.nio.file.Files.write(tmp, fresh.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    current
   }
 
   /** The COMPLETE crawl front door in ONE streaming query: WARC

@@ -426,16 +426,9 @@ object ScaleCheck {
           new java.io.FileOutputStream(
             new java.io.File(pristine, "_DONE")).close()
         }
-        val run = java.nio.file.Paths.get(s"$synthRoot/mhidx_ing_x$f")
+        val run = s"$synthRoot/mhidx_ing_x$f"
         graft.core.Fs.deleteTree(run)
-        val srcP = pristine.toPath
-        val s = java.nio.file.Files.walk(srcP)
-        try s.forEach { p =>
-          val dst = run.resolve(srcP.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(dst)
-          else java.nio.file.Files.copy(p, dst)
-        } finally s.close()
+        graft.core.Fs.copyTree(pristine.toString, run)
       }
 
     if (runs.exists(_._1 == "q_sim_ivf_idx"))

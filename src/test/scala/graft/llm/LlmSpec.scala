@@ -367,7 +367,12 @@ class LlmSpec extends SparkSpec {
       Dedup.compactMinhashIndex(SparkSpec.spark, idx)
     }
     assert(err.getMessage.contains("deadkey"))
-    java.nio.file.Files.delete(dead)
+    // the abandoned-stream recovery: purge removes exactly the
+    // orphaned key's files (committed k1 untouched) and unwedges
+    // compaction without manual file surgery
+    assert(Dedup.purgeOrphanedIngestBatches(idx) == Set("deadkey"))
+    assert(!java.nio.file.Files.exists(dead))
+    assert(Dedup.purgeOrphanedIngestBatches(idx).isEmpty)
     // with only COMMITTED batches, compaction absorbs their file sets
     def sigIds() = SparkSpec.spark.read
       .parquet(IndexManifest.resolve(idx, "sigs"))
