@@ -172,4 +172,55 @@ object LlmProps extends Properties("graft.llm") {
         .collect().map(_.getString(0)).toSeq
       Prop(once == twice) :| s"once=$once twice=$twice"
     }
+
+  // -- IndexManifest ---------------------------------------------------------
+
+  /** For ANY interleaving of publishes across logical names, the
+    * manifest must keep these invariants (pure filesystem — no Spark):
+    * resolve points at the LAST published dir of each name; at most the
+    * live version and its immediate predecessor exist on disk; other
+    * names' pointers survive each publish untouched. The example-based
+    * LlmSpec covers the reader-retention story; this sweeps the
+    * publish-order space. */
+  property("IndexManifest: resolve-last, two-version retention, and " +
+      "cross-name isolation under arbitrary publish sequences") =
+    forAll(Gen.listOfN(6, Gen.oneOf("bands", "sigs", "postings"))) { seq =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-manifest-prop-")
+      try {
+        val last = scala.collection.mutable.Map.empty[String, String]
+        val prev = scala.collection.mutable.Map.empty[String, String]
+        // plain dirs exist first (the pre-versioning layout)
+        Seq("bands", "sigs", "postings").foreach(n =>
+          java.nio.file.Files.createDirectories(root.resolve(n)))
+        val ok = seq.forall { name =>
+          val v = IndexManifest.nextVersionDir(root.toString, name)
+          java.nio.file.Files.createDirectories(root.resolve(v))
+          IndexManifest.publish(root.toString, name, v)
+          prev(name) = last.getOrElse(name, name)
+          last(name) = v
+          val resolved = Seq("bands", "sigs", "postings").forall { n =>
+            IndexManifest.resolve(root.toString, n) ==
+              s"$root/${last.getOrElse(n, n)}"
+          }
+          val retained = Seq("bands", "sigs", "postings").forall { n =>
+            val s = java.nio.file.Files.list(root)
+            val dirs =
+              try {
+                import scala.jdk.CollectionConverters._
+                s.iterator().asScala.map(_.getFileName.toString)
+                  .filter(d => d == n || d.startsWith(n + "_v")).toSet
+              } finally s.close()
+            // never published: the plain dir; otherwise exactly the
+            // live version + its immediate predecessor (which is the
+            // plain dir right after the first publish)
+            val want =
+              if (last.contains(n)) Set(last(n), prev(n)) else Set(n)
+            dirs == want
+          }
+          resolved && retained
+        }
+        Prop(ok)
+      } finally graft.core.Fs.deleteTree(root)
+    }
 }
