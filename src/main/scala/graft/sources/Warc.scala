@@ -45,9 +45,8 @@ object Warc {
 
   /** Records claiming a payload larger than this are treated as corrupt
     * framing — no real WARC document approaches 64 MB, and trusting an
-    * absurd length would let one lying record demand an absurd buffer
-    * (it also bounds the mark/reset window a truncated record can ask
-    * for). The parser rescans for the next magic instead. */
+    * absurd length would let one lying record demand an absurd payload
+    * buffer. The parser rescans for the next magic instead. */
   private val MaxRecordBytes: Int = 64 << 20
 
   private val CharsetRe =
