@@ -538,9 +538,8 @@ object Dedup {
                                   batchKey: String, threshold: Double,
                                   textCol: String = "text",
                                   idCol: String = "doc_id"): Unit = {
-    val commits = java.nio.file.Paths.get(indexPath, "ingest_commits")
-    val marker = commits.resolve(batchKey)
-    if (java.nio.file.Files.exists(marker)) return // fully committed
+    val marker = s"$indexPath/ingest_commits/$batchKey"
+    if (graft.core.SidecarFs.exists(marker)) return // fully committed
     // purge any partial keyed append a crashed earlier delivery left
     // BEFORE matching: the match must never see this batch's own rows
     // (it would flag every survivor as its own duplicate and drop it)
@@ -557,8 +556,8 @@ object Dedup {
         "left_anti")
       appendBatchFileSets(survivors, indexPath, batchKey, textCol, idCol)
     }
-    java.nio.file.Files.createDirectories(commits)
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    graft.core.SidecarFs.mkdirs(s"$indexPath/ingest_commits")
+    graft.core.SidecarFs.createMarker(marker)
   }
 
   /** Remove every live file of `batchKey`'s keyed set (sigs + all band
@@ -583,17 +582,7 @@ object Dedup {
                                          dirs: Seq[String]): Set[String] = {
     val committed = listDirs(s"$indexPath/ingest_commits", "").toSet
     dirs.flatMap { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (!java.nio.file.Files.exists(p)) Seq.empty
-      else {
-        val s = java.nio.file.Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString).collect {
-            case KeyedFileRe(k) => k
-          }.toSeq
-        } finally s.close()
-      }
+      graft.core.SidecarFs.listNames(d).collect { case KeyedFileRe(k) => k }
     }.toSet -- committed
   }
 
@@ -609,6 +598,41 @@ object Dedup {
         "them would erase the keyed identity their restart recovery " +
         "depends on. Restart the owning stream to converge, or — if its " +
         "checkpoint is gone for good — purgeOrphanedIngestBatches first")
+  }
+
+  private val MarkerRe = "^(.+)-b(\\d+)$".r
+
+  /** Prune retired ingest commit markers, keeping only the NEWEST
+    * marker per stream key. Without this, a long-running ingest loop
+    * leaves one empty marker file per micro-batch forever — the
+    * machinery built to fight small-files decay accruing its own
+    * unbounded small-file growth (and `uncommittedIngestKeys` listing
+    * all of them on every compaction check).
+    *
+    * Why newest-per-stream is the exact safe boundary: a marker exists
+    * to short-circuit a RE-DELIVERED batch, and Structured Streaming
+    * only re-delivers the latest batch whose offset commit didn't reach
+    * the checkpoint — the moment the same stream delivered batch N+1,
+    * batch N's commit was durably recorded, so N can never be
+    * re-delivered and its marker is dead weight. Blanket deletion would
+    * NOT be safe: the newest batch can still be re-delivered, and once
+    * compaction has absorbed its keyed files the IVF re-match excludes
+    * self-id pairs, so a markerless re-delivery would re-append its
+    * vectors as duplicates. Markers that don't match the
+    * `<stream>-b<id>` shape (caller-chosen keys) are kept. Runs inside
+    * compaction — the single-maintenance-writer window, so no live
+    * append races the listing. */
+  private[llm] def pruneCommitMarkers(indexPath: String): Unit = {
+    val dir = s"$indexPath/ingest_commits"
+    val parsed = graft.core.SidecarFs.listNames(dir).flatMap {
+      case MarkerRe(stream, id) => Some((stream, id.toLong))
+      case _ => None
+    }
+    val newest = parsed.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).max) }
+    parsed.foreach { case (stream, id) =>
+      if (id != newest(stream))
+        graft.core.SidecarFs.deleteFile(s"$dir/$stream-b$id")
+    }
   }
 
   /** Delete the keyed files (and staging) of every UNCOMMITTED ingest
@@ -628,7 +652,7 @@ object Dedup {
     val orphans = uncommittedIngestKeys(indexPath, dirs)
     orphans.foreach { k =>
       dirs.foreach(d => clearKeyedFiles(d, k))
-      graft.core.Fs.deleteTree(s"$indexPath/ingest_staging/$k")
+      graft.core.SidecarFs.deleteTree(s"$indexPath/ingest_staging/$k")
     }
     orphans
   }
@@ -671,52 +695,28 @@ object Dedup {
     listDirs(s"$stage/bands", "band=").foreach { d =>
       moveKeyedFiles(s"$stage/bands/$d", s"$liveBands/$d", batchKey)
     }
-    graft.core.Fs.deleteTree(stage)
+    graft.core.SidecarFs.deleteTree(stage)
   }
 
-  private[llm] def listDirs(root: String, prefix: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.exists(p)) return Seq.empty
-    val s = java.nio.file.Files.list(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(prefix)).toSeq
-    } finally s.close()
-  }
+  private[llm] def listDirs(root: String, prefix: String): Seq[String] =
+    graft.core.SidecarFs.listNames(root).filter(_.startsWith(prefix))
 
-  private[llm] def clearKeyedFiles(dir: String, batchKey: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) return
-    val s = java.nio.file.Files.list(p)
-    val stale =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(s"ingest-$batchKey-"))
-          .toSeq
-      } finally s.close()
-    stale.foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private[llm] def clearKeyedFiles(dir: String, batchKey: String): Unit =
+    graft.core.SidecarFs.listNames(dir)
+      .filter(_.startsWith(s"ingest-$batchKey-"))
+      .foreach(f => graft.core.SidecarFs.deleteFile(s"$dir/$f"))
 
   /** Move the parquet part-files of `srcDir` into `dstDir` under
     * deterministic `ingest-<key>-<i>.parquet` names (sorted source
     * order → stable numbering). */
   private[llm] def moveKeyedFiles(srcDir: String, dstDir: String,
                              batchKey: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
-    val parts =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-      } finally s.close()
+    graft.core.SidecarFs.mkdirs(dstDir)
+    val parts = graft.core.SidecarFs.listNames(srcDir)
+      .filter(_.endsWith(".parquet")).sorted
     parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f,
-        java.nio.file.Paths.get(dstDir, s"ingest-$batchKey-$i.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.core.SidecarFs.renameOverwrite(s"$srcDir/$f",
+        s"$dstDir/ingest-$batchKey-$i.parquet")
     }
   }
 
@@ -773,6 +773,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexPath/$sigsV")
     IndexManifest.publish(indexPath, "bands", bandsV)
     IndexManifest.publish(indexPath, "sigs", sigsV)
+    pruneCommitMarkers(indexPath)
   }
 
   /** Max live parquet-file count across one partition level's dirs —
@@ -782,12 +783,7 @@ object Dedup {
     val dirs = listDirs(root, prefix)
     if (dirs.isEmpty) 0
     else dirs.map { d =>
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, d))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.count(_.getFileName.toString
-          .endsWith(".parquet"))
-      } finally s.close()
+      graft.core.SidecarFs.listNames(s"$root/$d").count(_.endsWith(".parquet"))
     }.max
   }
 

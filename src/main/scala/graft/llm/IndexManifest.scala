@@ -1,7 +1,6 @@
 package graft.llm
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import graft.core.SidecarFs
 
 /** Version-pointer manifest for persisted index directories (the MinHash
   * and IVF index lifecycles, [[Dedup.writeMinhashIndex]] /
@@ -17,12 +16,19 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * directories are IMMUTABLE VERSIONS (`bands_v3`), and a tiny `current`
   * manifest file maps logical names to the live version. Compaction
   * writes a complete new version dir, then publishes it with ONE atomic
-  * pointer write (temp file + atomic rename locally; a single-object PUT
-  * on object stores). Every reader resolves through the manifest at open
-  * time, so it either sees the old complete version or the new complete
-  * version — never a hole. The immediately superseded version is
-  * RETAINED for one compaction cycle (pruned by the next), so a reader
-  * that resolved just before the swap can still finish its scan.
+  * pointer write (temp file + overwrite rename — atomic on HDFS/local,
+  * a single-object swap on stores without atomic rename; see
+  * [[graft.core.SidecarFs.renameOverwrite]] for the exact contract).
+  * Every reader resolves through the manifest at open time, so it
+  * either sees the old complete version or the new complete version —
+  * never a hole. The immediately superseded version is RETAINED for one
+  * compaction cycle (pruned by the next), so a reader that resolved
+  * just before the swap can still finish its scan.
+  *
+  * All sidecar I/O goes through the Hadoop FileSystem API
+  * ([[graft.core.SidecarFs]]) resolved from the session's Hadoop conf,
+  * so the lifecycle runs against `file://`, `hdfs://`, or object-store
+  * URIs exactly like the Spark reads/writes of the index data itself.
   *
   * Concurrency contract: many readers + one maintenance writer
   * (append/compact) — the manifest write is atomic, but two CONCURRENT
@@ -40,20 +46,17 @@ object IndexManifest {
 
   private val ManifestName = "current"
 
-  private def manifestPath(indexPath: String): Path =
-    Paths.get(indexPath, ManifestName)
+  private def manifestPath(indexPath: String): String =
+    s"$indexPath/$ManifestName"
 
   /** name→dirname map in the manifest (empty when absent). */
-  private def readMap(indexPath: String): Map[String, String] = {
-    val p = manifestPath(indexPath)
-    if (!Files.exists(p)) Map.empty
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .flatMap { line =>
-        val eq = line.indexOf('=')
-        if (eq <= 0) None else Some(line.take(eq) -> line.drop(eq + 1))
-      }.toMap
-  }
+  private def readMap(indexPath: String): Map[String, String] =
+    SidecarFs.readString(manifestPath(indexPath)).toSeq
+      .flatMap(_.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          val eq = line.indexOf('=')
+          if (eq <= 0) None else Some(line.take(eq) -> line.drop(eq + 1))
+        }).toMap
 
   /** Resolve logical subdir `name` of an index to its live ABSOLUTE
     * path: the manifest's entry when present, the plain name otherwise
@@ -66,18 +69,7 @@ object IndexManifest {
     * unpublished dir left by a crashed compaction is never reused). */
   def nextVersionDir(indexPath: String, name: String): String = {
     val re = (java.util.regex.Pattern.quote(name) + "_v(\\d+)").r
-    val root = Paths.get(indexPath)
-    val existing =
-      if (!Files.exists(root)) Seq.empty
-      else {
-        val s = Files.list(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString).collect {
-            case re(n) => n.toInt
-          }.toSeq
-        } finally s.close()
-      }
+    val existing = SidecarFs.listNames(indexPath).collect { case re(n) => n.toInt }
     s"${name}_v${(existing :+ 0).max + 1}"
   }
 
@@ -91,7 +83,7 @@ object IndexManifest {
     * directory is dedicated to the index by contract, so a fresh write
     * owns all of it. */
   def reset(indexPath: String): Unit =
-    graft.core.Fs.deleteTree(indexPath)
+    SidecarFs.deleteTree(indexPath)
 
   /** Publish `versionDir` as the live version of `name`: one atomic
     * manifest replace (other names' entries are carried over), then
@@ -104,23 +96,14 @@ object IndexManifest {
     val next = prior + (name -> versionDir)
     val body = next.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("", "\n", "\n")
-    val tmp = Paths.get(indexPath, s".$ManifestName.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(indexPath),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    SidecarFs.writeStringAtomic(manifestPath(indexPath), body)
     // prune stale versions: everything matching `name` or `name_v*`
     // that is neither the new live dir nor its immediate predecessor
-    val root = Paths.get(indexPath)
     val re = (java.util.regex.Pattern.quote(name) + "(_v\\d+)?").r
-    val s = Files.list(root)
-    val stale =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString).filter {
-          case d @ re(_*) => d != versionDir && d != superseded
-          case _ => false
-        }.toSeq
-      } finally s.close()
-    stale.foreach(d => graft.core.Fs.deleteTree(s"$indexPath/$d"))
+    val stale = SidecarFs.listNames(indexPath).filter {
+      case d @ re(_*) => d != versionDir && d != superseded
+      case _ => false
+    }
+    stale.foreach(d => SidecarFs.deleteTree(s"$indexPath/$d"))
   }
 }

@@ -352,6 +352,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$postingsV")
     IndexManifest.publish(indexPath, "postings", postingsV)
+    Dedup.pruneCommitMarkers(indexPath)
   }
 
   /** One micro-batch of the CLOSED embedding ingest loop — the ANN
@@ -373,9 +374,8 @@ object Similarity {
                               nprobe: Int = 4,
                               vecCol: String = "embedding",
                               idCol: String = "vec_id"): Unit = {
-    val commits = java.nio.file.Paths.get(indexPath, "ingest_commits")
-    val marker = commits.resolve(batchKey)
-    if (java.nio.file.Files.exists(marker)) return // fully committed
+    val marker = s"$indexPath/ingest_commits/$batchKey"
+    if (graft.core.SidecarFs.exists(marker)) return // fully committed
     val livePostings = IndexManifest.resolve(indexPath, "postings")
     Dedup.listDirs(livePostings, "cell=").foreach(d =>
       Dedup.clearKeyedFiles(s"$livePostings/$d", batchKey))
@@ -395,10 +395,10 @@ object Similarity {
       Dedup.listDirs(stage, "cell=").foreach { d =>
         Dedup.moveKeyedFiles(s"$stage/$d", s"$livePostings/$d", batchKey)
       }
-      graft.core.Fs.deleteTree(stage)
+      graft.core.SidecarFs.deleteTree(stage)
     }
-    java.nio.file.Files.createDirectories(commits)
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    graft.core.SidecarFs.mkdirs(s"$indexPath/ingest_commits")
+    graft.core.SidecarFs.createMarker(marker)
   }
 
   /** Write the PERSISTED IVF-PQ index — the production FAISS artifact

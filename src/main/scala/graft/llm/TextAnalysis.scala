@@ -321,8 +321,13 @@ object TextAnalysis {
     // problem's nature — thousands of curated examples, not the corpus)
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
-    spark.conf.set(key, math.max(2L, math.min(saved.toInt.toLong,
-      nDocs.toLong / 50000 + 1)).toString)
+    // skip the tuning when the configured value isn't a plain integer
+    // (e.g. "auto" on some distributions) — aborting training over a
+    // scheduling optimization would be backwards
+    scala.util.Try(saved.toInt).toOption.foreach { savedN =>
+      spark.conf.set(key, math.max(2L, math.min(savedN.toLong,
+        nDocs.toLong / 50000 + 1)).toString)
+    }
     try {
       for (_ <- 0 until iters) {
         val wLit = typedLit(w.toSeq)

@@ -313,8 +313,11 @@ object Warc {
     * segments, 32 concurrent blob tasks held ~32 GB of byte arrays
     * (and binaryFile caps files at ~2 GB outright). Parallelism is
     * identical (one task per segment file); output is identical to
-    * [[decodeSegments]] (spec-pinned). A file that vanished between
-    * listing and open quarantines empty, like a corrupt gzip header. */
+    * [[decodeSegments]] (spec-pinned). A file that VANISHED between
+    * listing and open quarantines empty, like a corrupt gzip header —
+    * but only that case: any other open failure (transient store IO,
+    * throttling, permissions) rethrows so Spark's task retry handles
+    * it, instead of silently losing the whole segment's documents. */
   def decodeSegmentPaths(spark: SparkSession)(files: DataFrame): DataFrame = {
     import spark.implicits._
     val hc = org.apache.spark.graftshim.GraftSparkInternals
@@ -323,8 +326,11 @@ object Warc {
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
         val raw: java.io.InputStream =
-          scala.util.Try(p.getFileSystem(hc.conf).open(p): java.io.InputStream)
-            .getOrElse(new java.io.ByteArrayInputStream(Array.emptyByteArray))
+          try p.getFileSystem(hc.conf).open(p): java.io.InputStream
+          catch {
+            case _: java.io.FileNotFoundException =>
+              new java.io.ByteArrayInputStream(Array.emptyByteArray)
+          }
         parseResponses(guardedSegmentStream(path, raw))
       }
       .toDF()

@@ -488,23 +488,18 @@ object EventStreams {
     * checkpoint keeps it (re-delivery dedup still works), a recreated
     * checkpoint gets a fresh keyspace. */
   private def streamKey(checkpoint: String): String = {
-    val dir = java.nio.file.Paths.get(checkpoint)
-    java.nio.file.Files.createDirectories(dir)
-    val f = dir.resolve("graft_stream_id")
-    def current: String =
-      if (!java.nio.file.Files.exists(f)) ""
-      else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+    import graft.core.SidecarFs
+    SidecarFs.mkdirs(checkpoint)
+    val f = s"$checkpoint/graft_stream_id"
+    def current: String = SidecarFs.readString(f).getOrElse("").trim
     if (current.isEmpty) {
-      // temp + atomic rename, and re-mint on a blank read: a crash
+      // temp + atomic rename (SidecarFs — the checkpoint can live on
+      // any Hadoop-visible FS), and re-mint on a blank read: a crash
       // between create and write would otherwise pin sk = "" forever,
       // restoring the cross-checkpoint collision this id prevents
       val fresh = java.util.UUID.randomUUID().toString
         .replace("-", "").take(12)
-      val tmp = dir.resolve(".graft_stream_id.tmp")
-      java.nio.file.Files.write(tmp, fresh.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      SidecarFs.writeStringAtomic(f, fresh)
     }
     current
   }
