@@ -26,52 +26,52 @@ object Graphs {
   def pagerank(edgesDf: DataFrame, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    // pre-partitioned by src: the once-per-sweep (edges ⋈ state) join
+    // reuses this persisted partitioning, so the BIG side of the sweep
+    // join never re-exchanges — only the n-row rank table moves
     val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pagerank over an empty graph")
     // out-degree per node; deg = 0 marks dangling nodes whose rank mass is
-    // redistributed uniformly each sweep
+    // redistributed uniformly each sweep. deg rides IN the iterated state
+    // (node, deg, rank) — folding the static degree table into the state
+    // once removes the per-sweep rank⋈degree join (and its persist) an
+    // earlier shape paid; each sweep is exactly one edge join, one
+    // contribution aggregate, and one degree-table rejoin.
     val withDeg = nodes
       .join(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var state = withDeg.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
-      // the (rank ⋈ deg) join feeds BOTH the dangling-mass aggregate and
-      // the contribution subtree of the one materializing action below —
-      // persist it so the join runs once per sweep, not twice
-      val state = ranks.join(withDeg, "node")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val dangling = state.filter(col("deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = edges
-        .join(state.filter(col("deg") > 0).withColumnRenamed("node", "src"),
-          "src")
+        .join(state.filter(col("deg") > 0)
+          .select(col("node").as("src"), col("rank"), col("deg")), "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
-      ranks = nodes
+      state = withDeg
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping)
             * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
         .localCheckpoint()
-      state.unpersist(blocking = false)
       i += 1
     }
     edges.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    ranks
+    state.select(col("node"), col("rank"))
   }
 
   /** Fixed-point integer PageRank — identical sweep structure to
@@ -93,12 +93,14 @@ object Graphs {
                     dampingNum: Long = 85L, dampingDen: Long = 100L,
                     scale: Long = 1000000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    // same sweep shape as [[pagerank]]: src-partitioned persisted edges,
+    // deg folded into the iterated (node, deg, rank) state
     val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pagerank over an empty graph")
     val withDeg = nodes
@@ -108,33 +110,29 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val teleport = (dampingDen - dampingNum) * scale / (dampingDen * n)
-    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
+    var state = withDeg.withColumn("rank", lit(scale / n)).localCheckpoint()
     var i = 0
     while (i < iters) {
-      val state = ranks.join(withDeg, "node")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val dangling = state.filter(col("deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val contribs = edges
-        .join(state.filter(col("deg") > 0).withColumnRenamed("node", "src"),
-          "src")
+        .join(state.filter(col("deg") > 0)
+          .select(col("node").as("src"), col("rank"), col("deg")), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
-      ranks = nodes
+      state = withDeg
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(teleport) + expr(
             s"($dampingNum * (coalesce(contrib, 0L) + dm div $n)) div $dampingDen"
           )).as("rank"))
         .localCheckpoint()
-      state.unpersist(blocking = false)
       i += 1
     }
     edges.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    ranks
+    state.select(col("node"), col("rank"))
   }
 }
