@@ -1148,16 +1148,27 @@ object Dedup {
 
   /** Banded hamming-distance candidate pairs over 64-bit signatures
     * `(doc_id, sim)` — the shared mechanics behind [[simhash]] (text) and
-    * [[imageDhashPairs]] (images): 8 byte-bands per signature; pigeonhole
-    * guarantees any pair within hamming 7 shares at least one band, so
-    * for `maxHamming < 8` banding loses nothing while the candidate join
-    * stays an equi-join on (block, block_val). Exact `bit_count(xor)`
-    * verify per candidate. Caller persists `sigs` (two consumers). */
+    * [[imageDhashPairs]] (images): `numBands` equal bit-bands per
+    * signature; pigeonhole guarantees any pair within hamming
+    * `numBands − 1` shares at least one band, so for
+    * `maxHamming < numBands` banding loses nothing while the candidate
+    * join stays an equi-join on (block, block_val). More bands buy a
+    * wider lossless radius at the cost of proportionally more candidate
+    * rows (16 four-bit bands ≈ 2× the exchange of 8 byte-bands) — the
+    * lossy-format dedup trade ([[imageDhashPairs]] over JPEG re-encodes
+    * needs radius ~12). Exact `bit_count(xor)` verify per candidate.
+    * Caller persists `sigs` (two consumers). */
   private[llm] def hammingBandedPairs(sigs: DataFrame, maxHamming: Int,
-                                      maxBucketSize: Int): DataFrame = {
+                                      maxBucketSize: Int,
+                                      numBands: Int = 8): DataFrame = {
+    require(numBands > 0 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    val bits = 64 / numBands
+    val mask = (1L << bits) - 1
     val blocked = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(7)),
-          b => call_function("shiftright", col("sim"), b * lit(8)).bitwiseAND(255))))
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => call_function("shiftright", col("sim"), b * lit(bits))
+            .bitwiseAND(mask))))
       .withColumnRenamed("pos", "block")
       .withColumnRenamed("col", "block_val")
     // bucket size + representative in one window pass, co-partitioned with
@@ -1196,11 +1207,13 @@ object Dedup {
     * (e.g. a corpus of near-black thumbnails) exactly as in [[simhash]].
     */
   def imageDhashPairs(media: DataFrame, maxHamming: Int = 6,
-                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming < 8,
-      s"maxHamming must be < 8 for lossless 8-band bucketing, got $maxHamming")
+                      maxBucketSize: Int = Int.MaxValue,
+                      numBands: Int = 8): DataFrame = {
+    require(maxHamming < numBands,
+      s"maxHamming must be < numBands=$numBands for lossless bucketing, " +
+        s"got $maxHamming")
     val sigs = Caches.track(Multimodal.dhashSignatures(media))
-    hammingBandedPairs(sigs, maxHamming, maxBucketSize)
+    hammingBandedPairs(sigs, maxHamming, maxBucketSize, numBands)
   }
 
   /** Audio perceptual near-dup: fingerprint each clip with

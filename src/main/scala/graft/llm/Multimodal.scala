@@ -65,9 +65,51 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Decode image bytes (any ImageIO-supported format — PNG/BMP/GIF…)
-      * to the RGB raster. Throws on undecodable bytes; callers that must
-      * survive corrupt blobs wrap in [[tryDecode]]. */
+    /** Encode an RGB raster as JPEG at an explicit `quality` (0..1).
+      * JPEG is LOSSY: decode(encodeJpeg(...)) returns approximately the
+      * input raster — close enough that brightness-comparison features
+      * ([[Multimodal.dhash64]]) survive, exact enough for nothing else.
+      * Crawled corpora are JPEG-dominated, so the perceptual-dedup path
+      * must decode a lossy format, not just lossless PNG. */
+    def encodeJpeg(width: Int, height: Int, pixels: Array[Byte],
+                   quality: Float): Array[Byte] = {
+      require(pixels.length == width * height * 3,
+        s"raster must be width*height*3 bytes, got ${pixels.length}")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val i = (y * width + x) * 3
+          img.setRGB(x, y,
+            ((pixels(i) & 0xff) << 16) | ((pixels(i + 1) & 0xff) << 8) |
+              (pixels(i + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(img, null, null), params)
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
+      out.toByteArray
+    }
+
+    /** Decode image bytes (any ImageIO-supported format — PNG/JPEG/BMP/
+      * GIF…) to the RGB raster. Throws on undecodable bytes; callers that
+      * must survive corrupt blobs wrap in [[tryDecode]]. */
     def decode(bytes: Array[Byte]): Decoded = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -249,6 +291,47 @@ object Multimodal {
       spark.sparkContext.parallelize(base ++ twinRows ++ noisyRows ++ corrupt,
         math.max(1, n / 16)), mediaSchema)
   }
+  /** Fixture for q_dedup_phash_jpeg — the LOSSY-format twin of
+    * [[syntheticPhashMedia]]: `n` base images as REAL JPEGs (quality
+    * 0.92) of the [[phashPixel]] rasters, plus `twins` BYTE-IDENTICAL
+    * copies of images 0..twins−1 under ids n+k (identical bytes decode
+    * identically regardless of JPEG loss — the planted distance-0
+    * pairs), plus `twins` RE-ENCODED copies under ids 2n+k (decode the
+    * base JPEG, re-encode at quality 0.75 — the real-crawl "same photo
+    * saved again" near-dup, whose compression artifacts perturb pixels
+    * but leave most brightness comparisons intact), plus one corrupt
+    * blob (id 3n) that must quarantine. Unlike the PNG fixture, pixels
+    * after decode have NO closed form (JPEG loss), so the oracle pins
+    * the planted-pair OUTCOMES, not recomputed hashes. */
+  def syntheticJpegPhashMedia(spark: SparkSession, n: Int,
+                              twins: Int = 4): DataFrame = {
+    require(twins <= n, s"twins ($twins) must be <= n ($n)")
+    def baseJpeg(src: Long): Array[Byte] = {
+      val (w, h) = synthDims(src)
+      ImageCodec.encodeJpeg(w, h,
+        Array.tabulate(w * h * 3)(j => phashPixel(src, j)), 0.92f)
+    }
+    val baseBytes = (0 until n).map(i => baseJpeg(i.toLong))
+    val base = (0 until n).map(i =>
+      Row(i.toLong, "image", baseBytes(i), "image/jpeg",
+        Map("camera" -> s"cam${i % 3}")))
+    val twinRows = (0 until twins).map(k =>
+      Row(n.toLong + k, "image", baseBytes(k), "image/jpeg",
+        Map("camera" -> "twin")))
+    val reencoded = (0 until twins).map { k =>
+      val d = ImageCodec.decode(baseBytes(k))
+      Row(2L * n + k, "image",
+        ImageCodec.encodeJpeg(d.width, d.height, d.pixels, 0.75f),
+        "image/jpeg", Map("camera" -> "reenc"))
+    }
+    val corrupt = Seq(Row(3L * n, "image",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte), "image/jpeg",
+      Map("camera" -> "corrupt")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ twinRows ++ reencoded ++ corrupt,
+        math.max(1, n / 16)), mediaSchema)
+  }
+
   /** Typed decode/feature output row. `mean_micro` is the mean pixel
     * intensity in exact integer micro-units (Σpixels·10⁶ div count) — no
     * float division, so the DuckDB oracle matches bit-for-bit. */

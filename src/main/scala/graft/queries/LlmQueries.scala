@@ -1056,6 +1056,57 @@ object LlmQueries {
              |    + bit_count(xor(a.hi, b.hi)) <= 6
              |ORDER BY d1, d2""".stripMargin)),
 
+    // JPEG perceptual near-dup — the LOSSY-format gate the PNG fixture
+    // can't provide (real crawled corpora are JPEG-dominated, and PNG-only
+    // meant the perceptual path had never decoded a lossy format). The
+    // fixture plants three outcomes: byte-identical JPEG twins (identical
+    // bytes decode identically, so distance 0 is certain despite the
+    // loss), re-encoded-at-lower-quality copies (compression artifacts
+    // perturb pixels but the brightness comparisons survive within the
+    // 16-band lossless radius), and a corrupt blob that must quarantine.
+    // Decoded JPEG pixels have no closed form, so the oracle pins the
+    // planted-pair OUTCOMES (the annTwinGate discipline: the gates are
+    // computed in-plan through the real banded candidate machinery —
+    // never all-pairs — and the oracle restates what the plant
+    // guarantees); the hamming magnitudes are pinned in MultimodalSpec.
+    {
+      val n = 48
+      val twins = 4
+      QueryDef(
+        "q_dedup_phash_jpeg",
+        (s, _) => {
+          import s.implicits._
+          val media = Multimodal.syntheticJpegPhashMedia(s, n, twins)
+          val pairs = Dedup.imageDhashPairs(media, maxHamming = 12,
+            numBands = 16)
+          val expected = ((0 until twins).map(k =>
+              ("exact", k.toLong, (n + k).toLong)) ++
+            (0 until twins).map(k =>
+              ("reenc", k.toLong, 2L * n + k)))
+            .toDF("kind", "d1", "d2")
+          val gated = expected.join(pairs, Seq("d1", "d2"), "left")
+            .select(col("kind"), col("d1"), col("d2"),
+              (col("hamming").isNotNull &&
+                (col("kind") =!= lit("exact") || col("hamming") === 0))
+                .as("ok"))
+          val quarantine = Multimodal.dhashSignatures(media).agg(
+              (sum(when(col("doc_id") === 3L * n, 1).otherwise(0)) === 0 &&
+                count(lit(1)) === n + 2 * twins).as("ok"))
+            .select(lit("quarantine").as("kind"), lit(3L * n).as("d1"),
+              lit(-1L).as("d2"), col("ok"))
+          gated.unionByName(quarantine).orderBy(col("kind"), col("d1"))
+        },
+        Some(s"""SELECT * FROM (VALUES ${
+          ((0 until twins).map(k =>
+            s"('exact', CAST(${k} AS BIGINT), CAST(${n + k} AS BIGINT), true)") ++
+            (0 until twins).map(k =>
+              s"('reenc', CAST(${k} AS BIGINT), CAST(${2 * n + k} AS BIGINT), true)") ++
+            Seq(s"('quarantine', CAST(${3 * n} AS BIGINT), CAST(-1 AS BIGINT), true)"))
+            .mkString(", ")})
+                |  AS t(kind, d1, d2, ok)
+                |ORDER BY kind, d1""".stripMargin))
+    },
+
     // Deterministic train/val/test split assignment — the overflow-safe
     // Knuth hash (q_sample_weighted) reduced to 256 buckets, cut 80/10/10.
     // Per-row, shuffle-free, rerun- and cluster-size-stable, and

@@ -22,15 +22,13 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-10 floor: 237 queries, ALL 237 oracle-checked (round 10
-    // adds charset-aware WARC decode, the persisted IVF-PQ index
-    // [indexed + append + ADC-only], both closed streaming ingest
-    // loops [MinHash documents + IVF embeddings], and the logistic
-    // quality classifier, and the one-query crawl front door q_stream_warc_dedup) — bump these when operators are added so a
-    // bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 237,
+    // round-11 floor: 238 queries, ALL 238 oracle-checked (round 11
+    // adds the JPEG perceptual-dedup gate q_dedup_phash_jpeg over the
+    // 16-band hamming machinery) — bump these when operators are added
+    // so a bad refactor can't drop queries without failing CI
+    assert(SparkEntry.queries.size >= 238,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 237,
+    assert(SparkEntry.oracleSql.size >= 238,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

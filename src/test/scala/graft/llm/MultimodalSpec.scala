@@ -155,6 +155,57 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("JPEG: lossy decode keeps dims exact and mean within a tolerance " +
+      "window; byte-identical twins hash to 0; re-encodes stay within " +
+      "the perceptual bar; corrupt blobs quarantine") {
+    val n = 16
+    val media = Multimodal.syntheticJpegPhashMedia(spark, n, twins = 2)
+    // decode gate: JPEG loses pixel values but never dims; the mean
+    // survives within a small window (DC coefficients dominate)
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getLong(5))).toMap
+    assert(!feats.contains(3L * n), "corrupt JPEG must quarantine")
+    (0 until n).foreach { i =>
+      val (w, h) = ((4 + i % 28), (4 + (i * 7) % 28))
+      val (dw, dh, mean) = feats(i.toLong)
+      assert((dw, dh) == (w, h), s"dims of $i: got ($dw,$dh) want ($w,$h)")
+      // raster mean of the phash pixel form is near-uniform over 0..255
+      // (~127.5); JPEG keeps the block DC means, so the decoded mean
+      // stays within a ±12 window of mid-gray in micro-units
+      assert(math.abs(mean - 127500000L) < 12000000L,
+        s"mean of $i drifted: $mean")
+    }
+    val sigs = Multimodal.dhashSignatures(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 2).foreach { k =>
+      assert(sigs(k.toLong) == sigs(n.toLong + k),
+        s"byte-identical twin $k must hash identically")
+      val reH = java.lang.Long.bitCount(sigs(k.toLong) ^ sigs(2L * n + k))
+      info(s"re-encode hamming for $k: $reH")
+      // JPEG artifacts flip more comparison bits than PNG noise — the
+      // radius the 16-band bucketing exists to cover losslessly
+      assert(reH <= 12, s"re-encoded copy of $k drifted to hamming $reH")
+    }
+    // unrelated base pairs stay far — the perceptual margin
+    val farH = java.lang.Long.bitCount(sigs(2L) ^ sigs(9L))
+    assert(farH > 12, s"unrelated images too close: $farH")
+    // the 16-band candidate path surfaces both planted pair kinds and
+    // equals brute force at radius 12 (pigeonhole: lossless < 16)
+    val banded = Dedup.imageDhashPairs(media, maxHamming = 12, numBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (id1, s1) <- sigs.toSeq; (id2, s2) <- sigs.toSeq if id1 < id2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 12
+    } yield (id1, id2, h)).toSet
+    assert(banded == brute,
+      s"banded missing ${brute -- banded}, extra ${banded -- brute}")
+    (0 until 2).foreach { k =>
+      assert(banded.contains((k.toLong, n.toLong + k, 0)))
+      assert(banded.exists(p => p._1 == k.toLong && p._2 == 2L * n + k))
+    }
+  }
+
   test("banded dhash pair surface equals brute force (pigeonhole at <8)") {
     val media = Multimodal.syntheticPhashMedia(spark, 24, twins = 3)
     val sigs = Multimodal.dhashSignatures(media)
