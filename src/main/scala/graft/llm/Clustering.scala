@@ -86,10 +86,21 @@ object Clustering {
     * Lloyd's contraction property makes the sequence non-increasing in
     * exact arithmetic; callers surface that as an accuracy-contract
     * boolean (with an FP-rounding tolerance). */
+  /** Above this dimensionality the Lloyd update switches from `dim`
+    * separate avg columns to the posexplode + (cluster, dim) hash
+    * aggregate: thousands of aggregate expressions per round are a
+    * codegen-size and planner-time hazard at production embedding dims
+    * (768–4096), where the exploded shape stays flat in `dim` (more
+    * narrow rows, constant expression count). Below it the wide
+    * aggregate wins — fewer rows through the exchange, one combine per
+    * partition. */
+  private[llm] val WideDimUpdateThreshold = 128
+
   private[llm] def trainCentroidsDiag(
       vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int,
-      trainFraction: Double = 1.0): (Array[Array[Double]], Array[Double]) = {
+      trainFraction: Double = 1.0,
+      explodedUpdate: Option[Boolean] = None): (Array[Array[Double]], Array[Double]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
     val train = trainSample(vecs, idCol, trainFraction)
@@ -105,27 +116,55 @@ object Clustering {
     require(centroids.length == k,
       s"need at least $k vectors to seed $k clusters, got ${centroids.length}")
     val dim = centroids.head.length
+    val exploded = explodedUpdate.getOrElse(dim > WideDimUpdateThreshold)
     val inertia = new Array[Double](iters)
 
     var round = 0
     while (round < iters) {
-      val meanCols = (0 until dim).map(i =>
-        avg(element_at(col("v"), i + 1)).as(s"m$i"))
       // min surrogate score is |c|²−2vc; adding |v|² recovers |v−c|², so
       // the per-cluster sum rides the update aggregate for free
-      val sseCol = sum(array_min(col("d")) +
-        VectorExpressions.dotProduct(col("v"), col("v"))).as("sse")
-      val means = cached
+      val assigned = cached
         .withColumn("d", centroidScores(col("v"), centroids))
         .withColumn("cluster",
           (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
-        .groupBy(col("cluster"))
-        .agg(meanCols.head, (meanCols.tail :+ sseCol): _*)
-        .collect()
-      inertia(round) = means.map(_.getDouble(dim + 1)).sum
-      val next = centroids.map(identity)
-      means.foreach { r =>
-        next(r.getInt(0)) = Array.tabulate(dim)(i => r.getDouble(i + 1))
+      // deep copy: the exploded path mutates inner arrays per (cluster,
+      // dim) row, and sharing them with `centroids` would alias the
+      // lost-cluster keep-previous contract
+      val next = centroids.map(_.clone())
+      if (!exploded) {
+        val meanCols = (0 until dim).map(i =>
+          avg(element_at(col("v"), i + 1)).as(s"m$i"))
+        val sseCol = sum(array_min(col("d")) +
+          VectorExpressions.dotProduct(col("v"), col("v"))).as("sse")
+        val means = assigned
+          .groupBy(col("cluster"))
+          .agg(meanCols.head, (meanCols.tail :+ sseCol): _*)
+          .collect()
+        inertia(round) = means.map(_.getDouble(dim + 1)).sum
+        means.foreach { r =>
+          next(r.getInt(0)) = Array.tabulate(dim)(i => r.getDouble(i + 1))
+        }
+      } else {
+        // wide-dim shape: one narrow (cluster, i, x) row per vector
+        // element, ONE hash aggregate of k·dim groups — expression count
+        // constant in dim, so codegen/planner cost stays flat to d=4096.
+        // The per-row SSE rides the i=0 slot (every vector has one) so
+        // the inertia still needs no second scan.
+        val rows = assigned
+          .select(col("cluster"),
+            (array_min(col("d")) +
+              VectorExpressions.dotProduct(col("v"), col("v"))).as("sse"),
+            posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("cluster"), col("i"))
+          .agg(avg(col("x")).as("m"),
+            sum(when(col("i") === 0, col("sse"))).as("ssepart"))
+          .collect()
+        inertia(round) = rows.iterator
+          .filter(r => r.getInt(1) == 0 && !r.isNullAt(3))
+          .map(_.getDouble(3)).sum
+        rows.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
       }
       centroids = next
       round += 1

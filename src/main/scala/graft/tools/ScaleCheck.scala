@@ -352,6 +352,23 @@ object ScaleCheck {
       // super-linear curve would flag the model join degenerating
       ("q_lm_bigram", (dir, _) => graft.llm.TextAnalysis
         .bigramLmScore(spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-11: k-means Lloyd training on the DIMENSION axis (fixed
+      // 4000 rows, d = 64·f; run with factors "1,4,16" for d=64/256/
+      // 1024): above d=128 the update switches to the posexplode +
+      // (cluster, dim) hash aggregate, so planner/codegen cost stays
+      // flat in d and the curve tracks data volume (n·d elements,
+      // linear in f) instead of exploding with thousands of
+      // per-dimension aggregate expressions. Vectors synthesize in-plan
+      // (a transform over sequence — no staging, no driver loop).
+      ("q_kmeans_dim", (_, f) => {
+        val d = 64 * f
+        val vecs = spark.range(4000).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(1, $d), " +
+            "j -> cast((id * 31 + j) % 97 AS double) / 97.0)")
+            .as("embedding"))
+        graft.llm.Clustering.kmeans(vecs, "vec_id", "embedding",
+          k = 8, iters = 3)
+      }),
       // round-8: audio fingerprint near-dup — k× staged WAV clips (same
       // out-of-timing staging rule as video); decode + fingerprint is
       // partition-local, and the only exchange is the banded signature

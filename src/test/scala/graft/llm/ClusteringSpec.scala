@@ -35,6 +35,47 @@ class ClusteringSpec extends SparkSpec {
     assert(byBlob.flatten.toSet.size == 3, s"blobs merged: $byBlob")
   }
 
+  test("wide-dim exploded Lloyd update matches the wide-aggregate path " +
+      "(centroids, inertia, assignments) and engages above the threshold") {
+    import SparkSpec.spark.implicits._
+    // d=96 stays below the 128 threshold, so forcing each path pins
+    // parity of the two aggregate shapes on identical data
+    val d = 96
+    val wide = (0 until 24).map { i =>
+      val base = Array.tabulate(d)(j =>
+        (if (j % 3 == i % 3) 10.0 else 0.0) + (i / 3) * 0.05 - 0.2)
+      (i.toLong, base.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val (cA, inA) = Clustering.trainCentroidsDiag(wide, "vec_id", "embedding",
+      k = 3, iters = 4, explodedUpdate = Some(false))
+    val (cB, inB) = Clustering.trainCentroidsDiag(wide, "vec_id", "embedding",
+      k = 3, iters = 4, explodedUpdate = Some(true))
+    (cA zip cB).zipWithIndex.foreach { case ((a, b), c) =>
+      (a zip b).zipWithIndex.foreach { case ((x, y), j) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+          s"centroid $c dim $j: wide=$x exploded=$y") }
+    }
+    (inA zip inB).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x))) }
+    // assignments are integer-identical (blobs are well separated)
+    val asgA = Clustering.assignTo(wide, "vec_id", "embedding", cA)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val asgB = Clustering.assignTo(wide, "vec_id", "embedding", cB)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(asgA == asgB)
+    // and the default path auto-engages the exploded shape above the
+    // threshold without changing the planted-blob outcome
+    val big = (0 until 24).map { i =>
+      val base = Array.tabulate(256)(j =>
+        (if (j % 3 == i % 3) 10.0 else 0.0) + (i / 3) * 0.05 - 0.2)
+      (i.toLong, base.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(big, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byBlob = (0 until 3).map(b => out.filterKeys(_ % 3 == b).values.toSet)
+    assert(byBlob.forall(_.size == 1) && byBlob.flatten.toSet.size == 3)
+  }
+
   test("kmeans is deterministic across reruns") {
     val a = Clustering.kmeans(blobs, "vec_id", "embedding", k = 3, iters = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
