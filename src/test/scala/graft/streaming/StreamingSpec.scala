@@ -207,6 +207,66 @@ class StreamingSpec extends SparkSpec {
     assert(fresh == 8, s"fresh checkpoint should size to 8, got $fresh")
   }
 
+  test("StateResize: reprocess into a new checkpoint at a new partition " +
+      "count, state verified key-for-key; restart continues at the new " +
+      "count with identical results") {
+    import SparkSpec.spark.implicits._
+    val base = s"/root/repo/target/tmp/spec_resize_${System.nanoTime()}"
+    val (srcDir, ckptA, ckptB) = (s"$base/in", s"$base/ckptA", s"$base/ckptB")
+    def write(name: String, n: Int, off: Int): Unit =
+      (0 until n).map(i => ((i + off).toLong % 8, (i + off).toLong))
+        .toDF("k", "v").write.parquet(s"$srcDir/$name.parquet")
+    def runInto(ckpt: String, name: String): Unit = {
+      val q = spark.readStream.schema("k BIGINT, v BIGINT")
+        .parquet(s"$srcDir/*")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    // N=2 batches through the OLD checkpoint at count 4
+    spark.conf.set(key, "4")
+    try {
+      write("a", 64, 0); runInto(ckptA, "resize_old1")
+      write("b", 64, 64); runInto(ckptA, "resize_old2")
+    } finally spark.conf.set(key, saved)
+    assert(StateResize.statePartitionCount(ckptA) == 4)
+
+    val report = StateResize.resize(spark, ckptA, ckptB, newPartitions = 8,
+      (_, ck) => runInto(ck, "resize_rebuild"))
+    assert(report.oldPartitions == 4 && report.newPartitions == 8, report)
+    assert(report.stateKeys == 8, report)
+    assert(report.matched,
+      s"rebuilt state must match the old checkpoint key-for-key: $report")
+
+    // new input arrives; the stream restarts against the NEW checkpoint
+    // (under a session setting that would fight it — the frozen 8 wins)
+    write("c", 64, 128)
+    spark.conf.set(key, "2")
+    try runInto(ckptB, "resize_cont")
+    finally spark.conf.set(key, saved)
+    assert(StateResize.statePartitionCount(ckptB) == 8,
+      s"count must stay frozen at 8: ${StateResize.statePartitionCount(ckptB)}")
+    val out = spark.table("resize_cont")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0 until 192).map(i => (i.toLong % 8, i.toLong))
+      .groupBy(_._1).map { case (k, xs) =>
+        (k, xs.size.toLong, xs.map(_._2).sum) }.toSet
+    assert(out == want, s"got $out want $want")
+    // a resize into a USED checkpoint must refuse (count only writable
+    // at first run)
+    intercept[IllegalArgumentException] {
+      StateResize.resize(spark, ckptA, ckptB, 16,
+        (_, ck) => runInto(ck, "resize_refuse"))
+    }
+  }
+
   test("synthetic events source matches the testdata schema") {
     import graft.sources.SyntheticSources
     val synth = SyntheticSources.events(spark, 1000)
