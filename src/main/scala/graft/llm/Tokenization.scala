@@ -411,4 +411,343 @@ object Tokenization {
        |WHERE d.w <> ''
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (the SentencePiece-shape family, Kudo 2018) —
+  // the OTHER published subword trainer next to BPE: seed a piece vocab
+  // from substring counts, refine by EM, prune, encode by Viterbi. This
+  // implementation is the VITERBI (hard-EM) variant: the E-step assigns
+  // each word its single best segmentation and counts pieces
+  // INTEGRALLY, which (a) keeps every piece of trained state an exact
+  // integer, (b) makes piece probabilities single IEEE divisions
+  // cnt/total, and therefore (c) makes the whole training replayable
+  // BIT-IDENTICALLY by a second engine: Viterbi compares products of
+  // identical doubles built in identical association order, so the
+  // argmax — and every downstream integer count — cannot diverge. Soft
+  // EM's fractional expected counts are order-dependent float sums and
+  // could never hash-match an oracle; the hard variant is the published
+  // simplification (Viterbi-EM) that preserves the algorithm's shape.
+  //
+  // Scale shape (the same discipline as BPE): all training state is
+  // VOCABULARY-BOUNDED — the word-frequency table, the substring-count
+  // seed, the per-round usage aggregate. The corpus is scanned once (to
+  // build the word table); every EM round scans only the word table
+  // with the piece probabilities broadcast, and the per-round driver
+  // state is the piece table (≤ seed size). The per-word Viterbi DP is
+  // partition-local Scala over that bounded table — the one place a
+  // closure beats an expression tree, and it never touches corpus rows.
+  // ------------------------------------------------------------------
+
+  /** Best segmentation of `w` under piece log-free probabilities:
+    * maximize Π p(piece), ties to fewer pieces, then lexicographically
+    * smallest space-joined segmentation — the EXACT comparison order the
+    * DuckDB oracle replays (prob DESC, k ASC, seg ASC), on bit-identical
+    * doubles. Returns empty when no path exists (a character outside the
+    * vocabulary — impossible after seeding, which keeps every corpus
+    * character). */
+  private[llm] def viterbiSegment(w: String, probs: collection.Map[String, Double],
+                                  maxPieceLen: Int): Seq[String] = {
+    final case class A(prob: Double, k: Int, seg: String)
+    val n = w.length
+    val alpha = new Array[A](n + 1)
+    alpha(0) = A(1.0, 0, "")
+    var j = 1
+    while (j <= n) {
+      var best: A = null
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        val prev = alpha(j - l)
+        if (prev != null) {
+          val piece = w.substring(j - l, j)
+          probs.get(piece) match {
+            case Some(p) =>
+              val cand = A(prev.prob * p, prev.k + 1,
+                if (prev.seg.isEmpty) piece else prev.seg + " " + piece)
+              if (best == null || cand.prob > best.prob ||
+                  (cand.prob == best.prob && (cand.k < best.k ||
+                    (cand.k == best.k && cand.seg < best.seg))))
+                best = cand
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      alpha(j) = best
+      j += 1
+    }
+    if (alpha(n) == null) Seq.empty
+    else alpha(n).seg.split(" ").toIndexedSeq
+  }
+
+  /** The word-frequency table both trainer and encoder run from: one
+    * corpus scan, vocabulary-bounded output. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Train the unigram vocabulary: returns (piece, cnt) for the final
+    * vocab — every corpus character (floored at count 1 so no word is
+    * ever unsegmentable) plus the top `vocabMulti` multi-character
+    * pieces by (final Viterbi usage desc, piece asc) — plus the
+    * per-round Viterbi negative log-likelihoods (nats; the hard-EM
+    * monotonicity diagnostic LlmSpec pins). */
+  private[llm] def unigramTrain(docs: DataFrame, textCol: String,
+                                vocabMulti: Int, maxPieceLen: Int,
+                                iters: Int, seedMulti: Int)
+      : (Seq[(String, Long)], Array[Double]) = {
+    require(vocabMulti > 0 && maxPieceLen >= 2 && iters > 0 && seedMulti >= vocabMulti,
+      s"bad unigram params: vocabMulti=$vocabMulti maxPieceLen=$maxPieceLen " +
+        s"iters=$iters seedMulti=$seedMulti")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = Caches.track(wordTable(docs, textCol))
+
+    // seed counts: every substring of length 1..L, weighted by word
+    // frequency — one exploded aggregate over the bounded word table
+    val subCounts = Caches.track(words
+      .select(col("w"), col("cnt"),
+        explode(expr(
+          s"""filter(
+             |  flatten(transform(sequence(1, length(w)), i ->
+             |    transform(sequence(1, $maxPieceLen), l ->
+             |      CASE WHEN i + l - 1 <= length(w)
+             |           THEN substring(w, i, l) END))),
+             |  x -> x IS NOT NULL)""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c")))
+    val charSeed = subCounts.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multiSeed = subCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece").asc).limit(seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var pieces: Map[String, Long] = (charSeed ++ multiSeed).toMap
+    val nll = new Array[Double](iters)
+
+    def probsOf(ps: Map[String, Long]): Map[String, Double] = {
+      val total = ps.valuesIterator.sum
+      ps.map { case (p, c) => p -> c.toDouble / total.toDouble }
+    }
+
+    var round = 0
+    while (round < iters) {
+      val probs = probsOf(pieces)
+      val bc = spark.sparkContext.broadcast(probs)
+      val maxL = maxPieceLen
+      // E-step: one scan of the word table; usage counts are integers
+      val segs = words.as[(String, Long)].map { case (w, cnt) =>
+        val seg = viterbiSegment(w, bc.value, maxL)
+        (cnt, seg.map(p => bc.value(p)).product, seg)
+      }
+      val (usageRows, sumNll) = {
+        val rows = segs.flatMap { case (cnt, _, seg) => seg.map(p => (p, cnt)) }
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .collect()
+        val ll = segs.map { case (cnt, prob, _) => -cnt * math.log(prob) }
+          .toDF("x").agg(coalesce(sum(col("x")), lit(0.0)))
+          .first().getDouble(0)
+        (rows, ll)
+      }
+      bc.destroy()
+      nll(round) = sumNll
+      val usage = usageRows.toMap
+      // M-step: counts ARE the usage; characters floor at 1 (never
+      // unsegmentable), zero-usage multi pieces drop
+      pieces = pieces.flatMap {
+        case (p, _) if p.length == 1 => Some(p -> math.max(usage.getOrElse(p, 0L), 1L))
+        case (p, _) => usage.get(p).filter(_ > 0L).map(p -> _)
+      }
+      round += 1
+    }
+    // prune: all characters + top vocabMulti multi pieces
+    val chars = pieces.filter(_._1.length == 1)
+    val multi = pieces.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(vocabMulti)
+    ((chars.toSeq ++ multi).sortBy { case (p, c) => (-c, p) }, nll)
+  }
+
+  /** Learn the unigram vocabulary over whitespace-tokenized `textCol`;
+    * returns one row per kept piece: (rank 1-based by (cnt desc, piece
+    * asc), piece, cnt) — integer-exact output, which is what lets the
+    * DuckDB oracle ([[unigramLearnOracleSql]]) replay the whole
+    * training bit-for-bit. */
+  def learnUnigram(docs: DataFrame, textCol: String, vocabMulti: Int = 24,
+                   maxPieceLen: Int = 4, iters: Int = 2,
+                   seedMulti: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (vocab, _) = unigramTrain(docs, textCol, vocabMulti, maxPieceLen,
+      iters, seedMulti)
+    vocab.zipWithIndex
+      .map { case ((p, c), i) => (i + 1, p, c) }
+      .toDF("rank", "piece", "cnt")
+  }
+
+  /** ENCODE with a freshly trained unigram vocabulary: per-document
+    * token counts under the final pruned pieces' Viterbi segmentation.
+    * The (word → piece count) table is vocabulary-bounded and
+    * broadcasts against the corpus' exploded words — encoding costs a
+    * broadcast-hash probe per word plus one per-doc sum; text never
+    * shuffles. Returns (idCol, n_words, n_tokens). */
+  def unigramTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+                         vocabMulti: Int = 24, maxPieceLen: Int = 4,
+                         iters: Int = 2, seedMulti: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (vocab, _) = unigramTrain(docs, textCol, vocabMulti, maxPieceLen,
+      iters, seedMulti)
+    val total = vocab.map(_._2).sum
+    val probs = vocab.map { case (p, c) => p -> (c.toDouble / total.toDouble) }.toMap
+    val bc = spark.sparkContext.broadcast(probs)
+    val maxL = maxPieceLen
+    val ntok = broadcast(wordTable(docs, textCol)
+      .select(col("w")).as[String]
+      .map(w => (w, viterbiSegment(w, bc.value, maxL).length.toLong))
+      .toDF("w", "ntok"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(ntok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** One unrolled Viterbi DP chain over word positions 1..`maxLen` for
+    * the DuckDB oracle: CTEs `a<tag>_j` hold the best (prob, k, seg)
+    * prefix state per word at position j — candidates extend each
+    * `a<tag>_{j-l}` by the length-l piece ending at j, and the winner is
+    * row_number() = 1 under EXACTLY the engine's comparison (prob DESC,
+    * k ASC, seg ASC) on bit-identical doubles (products of identical
+    * operands in identical association order). `best<tag>` picks each
+    * word's full-length state. */
+  private def unigramDpChain(tag: String, probsCte: String, maxLen: Int,
+                             maxPieceLen: Int): String = {
+    val steps = (1 to maxLen).map { j =>
+      val branches = (1 to math.min(maxPieceLen, j)).map { l =>
+        val src = if (j - l == 0) s"a${tag}_0" else s"a${tag}_${j - l}"
+        s"""      SELECT a.w, a.cnt, a.prob * p.p AS prob, a.k + 1 AS k,
+           |        CASE WHEN a.seg = '' THEN p.piece
+           |             ELSE a.seg || ' ' || p.piece END AS seg
+           |      FROM $src a JOIN $probsCte p
+           |        ON p.piece = substr(a.w, ${j - l + 1}, $l)
+           |      WHERE len(a.w) >= $j""".stripMargin
+      }
+      s"""a${tag}_$j AS MATERIALIZED (
+         |  SELECT w, cnt, prob, k, seg FROM (
+         |    SELECT u.*, row_number() OVER (PARTITION BY w
+         |      ORDER BY prob DESC, k ASC, seg ASC) AS rk
+         |    FROM (
+         |${branches.mkString("\n      UNION ALL\n")}
+         |    ) u)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val bests = (1 to maxLen).map(j =>
+      s"  SELECT w, cnt, k, seg FROM a${tag}_$j WHERE len(w) = $j")
+    s"""a${tag}_0 AS MATERIALIZED (
+       |  SELECT w, cnt, CAST(1.0 AS DOUBLE) AS prob, 0 AS k, '' AS seg
+       |  FROM words),
+       |${steps.mkString(",\n")},
+       |best$tag AS MATERIALIZED (
+       |${bests.mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** The training CTE prefix shared by both unigram oracles: word table,
+    * substring seed, `iters` hard-EM rounds (DP chain → usage aggregate
+    * → re-estimated piece table), and the pruned `final` vocabulary —
+    * the SQL replay of [[unigramTrain]], step for step. */
+  private def unigramTrainCtes(vocabMulti: Int, maxPieceLen: Int,
+                               iters: Int, seedMulti: Int,
+                               maxLen: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""${unigramDpChain(s"_r$r", s"probs${r - 1}", maxLen, maxPieceLen)},
+         |usage$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(string_split(seg, ' ')) AS piece, cnt
+         |    FROM best_r$r)
+         |  GROUP BY piece),
+         |pieces$r AS MATERIALIZED (
+         |  SELECT p.piece,
+         |    CAST(CASE WHEN len(p.piece) = 1
+         |              THEN greatest(coalesce(u.c, 0), 1)
+         |              ELSE u.c END AS BIGINT) AS c
+         |  FROM pieces${r - 1} p LEFT JOIN usage$r u USING (piece)
+         |  WHERE len(p.piece) = 1 OR coalesce(u.c, 0) > 0),
+         |probs$r AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(c AS DOUBLE) /
+         |      CAST((SELECT sum(c) FROM pieces$r) AS DOUBLE) AS p
+         |  FROM pieces$r)""".stripMargin
+    }
+    s"""words AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM words,
+       |    unnest(generate_series(1, len(w))) u(i),
+       |    unnest(generate_series(1, $maxPieceLen)) v(l)
+       |  WHERE i + l - 1 <= len(w)
+       |  GROUP BY 1),
+       |pieces0 AS MATERIALIZED (
+       |  SELECT piece, c FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c,
+       |      row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+       |    FROM sub WHERE len(piece) > 1)
+       |  WHERE rk <= $seedMulti),
+       |probs0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(c AS DOUBLE) /
+       |      CAST((SELECT sum(c) FROM pieces0) AS DOUBLE) AS p
+       |  FROM pieces0),
+       |${rounds.mkString(",\n")},
+       |final AS MATERIALIZED (
+       |  SELECT piece, c FROM pieces$iters WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c,
+       |      row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+       |    FROM pieces$iters WHERE len(piece) > 1)
+       |  WHERE rk <= $vocabMulti)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[learnUnigram]]: the full hard-EM training
+    * replayed in SQL — integer-exact output (rank, piece, cnt), with the
+    * internal Viterbi argmax decisions bit-identical by construction
+    * (see [[unigramDpChain]]). `maxLen` bounds the DP unroll and must
+    * cover the corpus' longest word (the engine side has no such bound;
+    * testdata documents max out at 8 chars). */
+  def unigramLearnOracleSql(vocabMulti: Int = 24, maxPieceLen: Int = 4,
+                            iters: Int = 2, seedMulti: Int = 48,
+                            maxLen: Int = 12): String =
+    s"""WITH ${unigramTrainCtes(vocabMulti, maxPieceLen, iters, seedMulti, maxLen)}
+       |SELECT row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rank,
+       |  piece, cnt
+       |FROM (SELECT piece, CAST(c AS BIGINT) AS cnt FROM final)
+       |ORDER BY rank""".stripMargin
+
+  /** DuckDB oracle for [[unigramTokenCounts]]: training CTEs + one more
+    * Viterbi chain under the pruned vocabulary's probabilities, joined
+    * back to the corpus' exploded words. */
+  def unigramEncodeOracleSql(vocabMulti: Int = 24, maxPieceLen: Int = 4,
+                             iters: Int = 2, seedMulti: Int = 48,
+                             maxLen: Int = 12): String =
+    s"""WITH ${unigramTrainCtes(vocabMulti, maxPieceLen, iters, seedMulti, maxLen)},
+       |probsF AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(c AS DOUBLE) /
+       |      CAST((SELECT sum(c) FROM final) AS DOUBLE) AS p
+       |  FROM final),
+       |${unigramDpChain("_e", "probsF", maxLen, maxPieceLen)}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(b.k) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN best_e b USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 }

@@ -1784,6 +1784,36 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       Some(graft.llm.Tokenization.bpeEncodeOracleSql(8))),
 
+    // Unigram-LM tokenizer learning (the SentencePiece-shape family,
+    // Kudo 2018) — the other published subword trainer next to BPE,
+    // here as the VITERBI (hard-EM) variant: substring-count seed, EM
+    // rounds whose E-step is each word's single best segmentation
+    // (integral piece counts), count-based pruning. Every piece of
+    // trained state is an exact integer and piece probabilities are
+    // single IEEE divisions, so the oracle replays the ENTIRE training
+    // as unrolled DP CTEs with bit-identical argmax decisions — the
+    // q_bpe_learn discipline extended to a float-scored DP. All
+    // training state is vocabulary-bounded; EM rounds scan only the
+    // word table with piece probs broadcast.
+    QueryDef(
+      "q_unigram_learn",
+      (s, dir) => graft.llm.Tokenization
+        .learnUnigram(load(s, dir, "documents"), "text")
+        .orderBy(col("rank")),
+      Some(graft.llm.Tokenization.unigramLearnOracleSql())),
+
+    // Unigram encode — per-document Viterbi token counts under the
+    // freshly trained pruned vocabulary. The (word → piece count) table
+    // is vocabulary-bounded and broadcasts against the corpus' exploded
+    // words (text never shuffles); the oracle runs one more unrolled DP
+    // chain under the final probabilities.
+    QueryDef(
+      "q_unigram_encode",
+      (s, dir) => graft.llm.Tokenization
+        .unigramTokenCounts(load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization.unigramEncodeOracleSql())),
+
     // Encode under a SHIPPED merge table — the production tokenizer
     // path (a tiktoken-style vocabulary is data, like the bundled PSL;
     // training never runs at encode time): all 8 fixed merges chain

@@ -352,6 +352,15 @@ object ScaleCheck {
       // super-linear curve would flag the model join degenerating
       ("q_lm_bigram", (dir, _) => graft.llm.TextAnalysis
         .bigramLmScore(spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-11: unigram-LM training on the VOCABULARY growth axis —
+      // the same axis as q_bpe_learn (Caesar copies add k× distinct
+      // words): the word table, the substring-count seed, and each EM
+      // round's usage aggregate all grow with the vocabulary, while the
+      // number of driver round-trips stays fixed at `iters`; a
+      // super-linear curve would flag the per-word Viterbi or the seed
+      // explosion degenerating
+      ("q_unigram_learn", (dir, _) => graft.llm.Tokenization.learnUnigram(
+        spark.read.parquet(s"$dir/documents.parquet"), "text")),
       // round-11: k-means Lloyd training on the DIMENSION axis (fixed
       // 4000 rows, d = 64·f; run with factors "1,4,16" for d=64/256/
       // 1024): above d=128 the update switches to the posexplode +

@@ -1575,4 +1575,63 @@ class LlmSpec extends SparkSpec {
         r.getLong(3)))
     assert(out.toSeq == Seq((7L, 2L, 40L, 20L)), s"got ${out.toSeq}")
   }
+
+  test("unigram trainer: planted morphemes emerge, compositional words " +
+      "encode to their morpheme count, hard-EM NLL is non-increasing") {
+    import SparkSpec.spark.implicits._
+    // a morpheme-compositional corpus: stems × suffixes, frequent enough
+    // that the unigram objective must keep the stems and suffixes as
+    // pieces (splitting "walk" into chars costs 4 low-prob factors vs 1)
+    val stems = Seq("walk", "talk", "jump", "play")
+    val suffixes = Seq("ing", "ed", "er")
+    val docs = (0 until 40).map { i =>
+      val ws = (0 until 6).map(j =>
+        stems((i + j) % 4) + suffixes((i + 2 * j) % 3))
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val vocab = Tokenization.learnUnigram(docs, "text",
+        vocabMulti = 8, maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val pieces = vocab.map(_._1).toSet
+    stems.foreach(st => assert(pieces.contains(st),
+      s"stem $st missing from $pieces"))
+    Seq("ing", "ed").foreach(sf => assert(pieces.contains(sf),
+      s"suffix $sf missing from $pieces"))
+    // encode: every word is stem+suffix → exactly 2 tokens per word
+    val enc = Tokenization.unigramTokenCounts(docs, "text", "doc_id",
+        vocabMulti = 8, maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    enc.foreach { case (id, nw, nt) =>
+      assert(nw == 6 && nt == 12, s"doc $id: n_words=$nw n_tokens=$nt") }
+    // hard-EM monotonicity: per-round Viterbi NLL non-increasing (the
+    // char-count floor can perturb by at most its unit mass — tolerance)
+    val (_, nll) = Tokenization.unigramTrain(docs, "text",
+      vocabMulti = 8, maxPieceLen = 4, iters = 4, seedMulti = 48)
+    nll.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"NLL increased: ${nll.toSeq}") }
+  }
+
+  test("viterbiSegment equals brute-force best segmentation under the " +
+      "same (prob, k, seg) order") {
+    val probs = Map("a" -> 0.08, "b" -> 0.06, "c" -> 0.05, "ab" -> 0.2,
+      "bc" -> 0.18, "abc" -> 0.11, "ca" -> 0.13, "aa" -> 0.19)
+    def brute(w: String): Seq[String] = {
+      def all(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(3, s.length)).flatMap { l =>
+          val (h, t) = (s.take(l), s.drop(l))
+          if (probs.contains(h)) all(t).map(h :: _) else Seq.empty
+        }
+      val cands = all(w).map { seg =>
+        (seg.map(probs).product, seg.length, seg.mkString(" "))
+      }
+      if (cands.isEmpty) Seq.empty
+      else cands.minBy { case (p, k, s) => (-p, k, s) }._3.split(" ").toSeq
+    }
+    for (w <- Seq("abc", "abca", "aabbcc", "cabcab", "aaaa", "abcabcab",
+        "b", "ccc")) {
+      val dp = Tokenization.viterbiSegment(w, probs, maxPieceLen = 3)
+      assert(dp == brute(w), s"$w: dp=$dp brute=${brute(w)}")
+    }
+  }
 }
