@@ -64,7 +64,13 @@ object Bench {
     // round-10 additions (first frozen budgets in BASELINE.md): the
     // heaviest round-9 operators still outside the headline
     "q_dedup_clusters_star",  // O(log n) large-star/small-star components
-    "q_sim_ivf_indexed")      // IVF write + partition-pruned indexed query
+    "q_sim_ivf_indexed",      // IVF write + partition-pruned indexed query
+    // round-11 additions (first frozen budgets in BASELINE.md): the
+    // heaviest round-10 operators still outside the headline — both pay
+    // their FULL lifecycle per run by stated contract (two-tier index
+    // write + indexed query; index write + two streamed ingest batches)
+    "q_sim_ivfpq_indexed",    // IVF-PQ two-tier write + ADC indexed query
+    "q_stream_dedup_append")  // closed streaming ingest loop vs fresh index
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
