@@ -657,14 +657,20 @@ object Dedup {
     orphans
   }
 
-  /** Every live dir that can hold ingest-keyed files, across both index
-    * layouts (MinHash: sigs + band dirs; IVF: cell dirs). */
+  /** Every live dir that can hold ingest-keyed files, across all three
+    * index layouts (MinHash: sigs + band dirs; IVF: postings cell dirs;
+    * IVF-PQ: codes + vectors cell dirs). Dirs absent from a layout list
+    * empty. */
   private[llm] def ingestKeyedDirs(indexPath: String): Seq[String] = {
     val bands = IndexManifest.resolve(indexPath, "bands")
     val postings = IndexManifest.resolve(indexPath, "postings")
+    val codes = IndexManifest.resolve(indexPath, "codes")
+    val vectors = IndexManifest.resolve(indexPath, "vectors")
     Seq(IndexManifest.resolve(indexPath, "sigs")) ++
       listDirs(bands, "band=").map(d => s"$bands/$d") ++
-      listDirs(postings, "cell=").map(d => s"$postings/$d")
+      listDirs(postings, "cell=").map(d => s"$postings/$d") ++
+      listDirs(codes, "cell=").map(d => s"$codes/$d") ++
+      listDirs(vectors, "cell=").map(d => s"$vectors/$d")
   }
 
   /** Append one batch's rows as an IDEMPOTENT batch-keyed file set: the

@@ -491,11 +491,77 @@ object Similarity {
         .parquet(IndexManifest.resolve(indexPath, "vectors"))
   }
 
+  /** One micro-batch of the CLOSED IVF-PQ ingest loop — the
+    * [[ingestBatchIntoIvfIndex]] contract extended to the two-tier PQ
+    * artifact: match `batch` against the persisted IVF-PQ index
+    * ([[ivfPqTopKIndexed]] — exact re-rank when the refine tier exists,
+    * ADC-only otherwise), DROP vectors whose best match reaches
+    * `minCos`, and append the survivors to BOTH tiers (codes always,
+    * raw vectors when stored) with the FROZEN quantizer and codebooks.
+    * Restart safety is the shared keyed-file-set machinery: a commit
+    * marker short-circuits fully-delivered batches; appends land under
+    * deterministic `ingest-<key>-i` names per cell dir that a
+    * re-execution REPLACES; the batch's partial files are purged from
+    * both tiers BEFORE matching so a survivor can never be flagged as
+    * its own duplicate. On an ADC-only index `minCos` applies to the
+    * quantized ADC cosine (exact twins still score at the top — the
+    * query's own codes maximize its ADC). Single maintenance writer. */
+  def ingestBatchIntoIvfPqIndex(batch: DataFrame, indexPath: String,
+                                batchKey: String, minCos: Double,
+                                nprobe: Int = 4, refine: Int = 4,
+                                vecCol: String = "embedding",
+                                idCol: String = "vec_id"): Unit = {
+    val spark = batch.sparkSession
+    val marker = s"$indexPath/ingest_commits/$batchKey"
+    if (graft.core.SidecarFs.exists(marker)) return // fully committed
+    val (pq, hasVectors) = loadPq(spark, indexPath)
+    val liveCodes = IndexManifest.resolve(indexPath, "codes")
+    val liveVecs = IndexManifest.resolve(indexPath, "vectors")
+    Dedup.listDirs(liveCodes, "cell=").foreach(d =>
+      Dedup.clearKeyedFiles(s"$liveCodes/$d", batchKey))
+    if (hasVectors)
+      Dedup.listDirs(liveVecs, "cell=").foreach(d =>
+        Dedup.clearKeyedFiles(s"$liveVecs/$d", batchKey))
+    Caches.scoped(spark) {
+      val dup = ivfPqTopKIndexed(batch, indexPath, k = 1, nprobe = nprobe,
+          refine = refine, vecCol = vecCol, idCol = idCol,
+          adcOnly = !hasVectors)
+        .filter(col("cos_sim") >= minCos)
+        .select(col("query_id")).distinct()
+      val survivors = batch.join(dup, batch(idCol) === dup("query_id"),
+        "left_anti")
+      val cells = loadCentroids(spark, indexPath)
+      val stage = s"$indexPath/ingest_staging/$batchKey"
+      encodeIvfPq(survivors, cells, pq, vecCol, idCol).drop("cv")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/codes")
+      Dedup.listDirs(s"$stage/codes", "cell=").foreach { d =>
+        Dedup.moveKeyedFiles(s"$stage/codes/$d", s"$liveCodes/$d", batchKey)
+      }
+      if (hasVectors) {
+        assignCells(survivors, cells, vecCol, idCol)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$stage/vectors")
+        Dedup.listDirs(s"$stage/vectors", "cell=").foreach { d =>
+          Dedup.moveKeyedFiles(s"$stage/vectors/$d", s"$liveVecs/$d", batchKey)
+        }
+      }
+      graft.core.SidecarFs.deleteTree(stage)
+    }
+    graft.core.SidecarFs.mkdirs(s"$indexPath/ingest_commits")
+    graft.core.SidecarFs.createMarker(marker)
+  }
+
   /** COMPACT a persisted IVF-PQ index: both tiers consolidate per cell
     * into fresh version dirs published via [[IndexManifest]] (the
-    * [[compactIvfIndex]] machinery, twice). */
+    * [[compactIvfIndex]] machinery, twice). Shares the MinHash/IVF
+    * compactors' interlock: refuses while uncommitted ingest batches
+    * have live keyed files (absorbing them erases the keyed identity
+    * restart recovery depends on), and prunes retired commit markers
+    * afterwards. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String): Unit = {
+    Dedup.requireNoUncommittedIngest(indexPath,
+      Dedup.ingestKeyedDirs(indexPath))
     val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
     spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
@@ -516,6 +582,21 @@ object Similarity {
         .parquet(s"$indexPath/$vecsV")
       IndexManifest.publish(indexPath, "vectors", vecsV)
     }
+    Dedup.pruneCommitMarkers(indexPath)
+  }
+
+  /** The [[compactIvfIndexIfNeeded]] hook for the IVF-PQ index: compact
+    * when any CODES cell dir's live parquet-file count exceeds the bar
+    * (the ADC scan's per-probe cost measure; the refine tier decays in
+    * lockstep since both tiers append together). Returns whether a
+    * compaction ran. */
+  def compactIvfPqIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String,
+                                maxFilesPerCell: Int = 16): Boolean = {
+    val decayed = Dedup.maxFilesPerDir(
+      IndexManifest.resolve(indexPath, "codes"), "cell=") > maxFilesPerCell
+    if (decayed) compactIvfPqIndex(spark, indexPath)
+    decayed
   }
 
   /** Approximate top-k against a PERSISTED IVF-PQ index

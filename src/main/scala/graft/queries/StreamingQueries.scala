@@ -370,6 +370,62 @@ object StreamingQueries {
              |  WHERE vec_id >= 300 AND vec_id < 310)
              |ORDER BY vec_id""".stripMargin)),
 
+    // The IVF-PQ closed ingest loop (EventStreams.runIvfPqIngestLoop) —
+    // the two-tier PQ artifact kept current by the stream: same planted
+    // structure as q_stream_embed_ingest (batch 0 = novel vectors +
+    // exact twins of HISTORY; batch 1 = novel vectors + exact twins of
+    // batch 0's SURVIVORS, dropped only if the loop appended batch 0 to
+    // BOTH tiers with the frozen quantizer and codebooks before batch 1
+    // ran — the ADC candidate must surface the twin from the appended
+    // codes, the exact re-rank from the appended vectors). Survival is
+    // read from the CODES tier; the refine tier tracking it is pinned
+    // in StreamingSpec along with restart/re-delivery idempotency.
+    QueryDef(
+      "q_stream_ivfpq_ingest",
+      (s, dir) => {
+        val vecs = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val tmp = graft.core.Fs.scratchRoot
+        val idx = s"$tmp/ivfpq_index_ingest"
+        graft.llm.Similarity.writeIvfPqIndex(
+          vecs.filter(col("vec_id") < 300), idx, nlist = 16, m = 8,
+          ksub = 16)
+        val b0 = vecs.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+          .unionByName(vecs.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val b1 = vecs.filter(col("vec_id") >= 350 && col("vec_id") < 400)
+          .unionByName(
+            vecs.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+              .select((col("vec_id") + 200000).as("vec_id"),
+                col("embedding")))
+        val streamDir = s"$tmp/ingest_stream_pqvecs"
+        graft.core.Fs.deleteTree(streamDir)
+        stageOrderedFile(b0, streamDir, 0)
+        stageOrderedFile(b1, streamDir, 1)
+        val ckpt = s"$tmp/ingest_pqvec_ckpt"
+        graft.core.Fs.deleteTree(ckpt)
+        EventStreams.runIvfPqIngestLoop(s, streamDir, idx, minCos = 0.999,
+          nprobe = 4, checkpoint = ckpt)
+        val indexed = s.read
+          .parquet(graft.llm.IndexManifest.resolve(idx, "codes"))
+          .select(col("cand_id").as("vec_id"), lit(true).as("survived"))
+        b0.unionByName(b1).select(col("vec_id"))
+          .join(indexed, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("survived"), lit(false)).as("survived"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, (vec_id < 100000) AS survived FROM (
+             |  SELECT vec_id FROM embeddings
+             |  WHERE vec_id >= 300 AND vec_id < 400
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id FROM embeddings
+             |  WHERE vec_id < 10
+             |  UNION ALL
+             |  SELECT vec_id + 200000 AS vec_id FROM embeddings
+             |  WHERE vec_id >= 300 AND vec_id < 310)
+             |ORDER BY vec_id""".stripMargin)),
+
     // The COMPLETE crawl front door in ONE streaming query
     // (EventStreams.runWarcIngestLoop): WARC segments land as a
     // binaryFile stream, the frame parser cracks them per micro-batch,

@@ -566,6 +566,32 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** The IVF-PQ closed ingest loop — [[runIvfIngestLoop]] for the
+    * two-tier PQ artifact
+    * ([[graft.llm.Similarity.ingestBatchIntoIvfPqIndex]] as the
+    * foreachBatch body): per micro-batch, match vectors against the
+    * persisted IVF-PQ index (ADC candidates + exact re-rank when the
+    * refine tier exists), drop near-duplicates of history, append
+    * survivors to both tiers with the frozen quantizer AND codebooks.
+    * Restart/re-delivery semantics identical to the other loops. */
+  def runIvfPqIngestLoop(spark: SparkSession, parquetDir: String,
+                         indexPath: String, minCos: Double, nprobe: Int,
+                         checkpoint: String): Unit = {
+    val schema = spark.read.parquet(parquetDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(parquetDir)
+    val sk = streamKey(checkpoint)
+    val q = stream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        graft.llm.Similarity.ingestBatchIntoIvfPqIndex(
+          df, indexPath, s"$sk-b$id", minCos, nprobe))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Append-mode run over a STREAMED binaryFile directory — continuous
     * container ingest (WARC segments landing from a live crawler, media
     * blobs from an uploader): the file stream discovers new blobs per

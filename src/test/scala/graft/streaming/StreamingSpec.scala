@@ -523,4 +523,93 @@ class StreamingSpec extends SparkSpec {
       "re-delivery must replace keyed file sets, never duplicate")
     assert(postedIds().toSet == expected.toSet)
   }
+
+  test("IVF-PQ ingest loop: restart resumes, twins of history AND of " +
+      "earlier survivors drop, re-delivery never duplicates either tier, " +
+      "compaction interlocks on uncommitted batches") {
+    import SparkSpec.spark.implicits._
+    import graft.llm.{Dedup, IndexManifest, Similarity}
+    val rnd = new scala.util.Random(59)
+    def unit() = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val history = (0L until 30L).map(i => (i, unit()))
+    val novel0 = (100L until 115L).map(i => (i, unit()))
+    val novel1 = (200L until 215L).map(i => (i, unit()))
+    val b0 = (novel0 :+ (900000L, history.head._2)).toDF("vec_id", "embedding")
+    val b1 = (novel1 :+ (910000L, novel0.head._2)).toDF("vec_id", "embedding")
+    val root = s"/root/repo/target/tmp/spec_pqingest_${System.nanoTime()}"
+    val idx = s"$root/idx"
+    Similarity.writeIvfPqIndex(history.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = 8, ksub = 8)
+    val streamDir = s"$root/stream"
+    def stage(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = s"$streamDir/_st$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val part =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+        } finally s.close()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(streamDir, s"batch_$i.parquet"))
+      new java.io.File(s"$streamDir/batch_$i.parquet")
+        .setLastModified(1700000000000L + i * 60000L)
+      graft.core.Fs.deleteTree(tmp)
+    }
+    stage(b0, 0)
+    val ckpt = s"$root/ckpt"
+    EventStreams.runIvfPqIngestLoop(spark, streamDir, idx, minCos = 0.999,
+      nprobe = 2, checkpoint = ckpt)
+    def tierIds(tier: String) = spark.read
+      .parquet(IndexManifest.resolve(idx, tier))
+      .select("cand_id").collect().map(_.getLong(0)).toSeq
+    assert(tierIds("codes").toSet ==
+      (0L until 30L).toSet ++ (100L until 115L).toSet,
+      "batch 0 survivors appended to codes, its history twin dropped")
+    stage(b1, 1)
+    EventStreams.runIvfPqIngestLoop(spark, streamDir, idx, minCos = 0.999,
+      nprobe = 2, checkpoint = ckpt) // restart: resumes at batch 1
+    val expected = (0L until 30L) ++ (100L until 115L) ++ (200L until 215L)
+    assert(tierIds("codes").toSet == expected.toSet,
+      "restart must process only batch 1; survivor twin must drop")
+    assert(tierIds("vectors").toSet == expected.toSet,
+      "refine tier must track the codes tier")
+    val codesBefore = tierIds("codes").length
+    val vecsBefore = tierIds("vectors").length
+    assert(codesBefore == expected.length && vecsBefore == expected.length)
+    // simulate a crash AFTER an append, BEFORE its marker: keyed files
+    // live with no marker → the compaction interlock must trip, and the
+    // orphan purge must name exactly that batch
+    Similarity.ingestBatchIntoIvfPqIndex(b1, idx, "crashkey",
+      minCos = 0.999, nprobe = 2)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$idx/ingest_commits/crashkey"))
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqIndex(SparkSpec.spark, idx)
+    }
+    assert(Dedup.purgeOrphanedIngestBatches(idx) == Set("crashkey"))
+    // re-delivery without the marker: keyed file sets replace BOTH tiers
+    val keys = new java.io.File(s"$idx/ingest_commits").list().toSeq
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$idx/ingest_commits/${keys.sorted.last}"))
+    Similarity.ingestBatchIntoIvfPqIndex(b1, idx, keys.sorted.last,
+      minCos = 0.999, nprobe = 2)
+    assert(tierIds("codes").length == codesBefore,
+      "re-delivery must replace keyed code file sets, never duplicate")
+    assert(tierIds("vectors").length == vecsBefore)
+    assert(tierIds("codes").toSet == expected.toSet)
+    // compaction consolidates both tiers and the reader output holds
+    Similarity.compactIvfPqIndex(SparkSpec.spark, idx)
+    assert(tierIds("codes").toSet == expected.toSet)
+    val top = Similarity.ivfPqTopKIndexed(
+      Seq((77L, novel0.head._2)).toDF("vec_id", "embedding"), idx,
+      k = 1, nprobe = 4)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(top == Set((100L, 1.0)), s"planted twin must rank 1: $top")
+  }
 }
