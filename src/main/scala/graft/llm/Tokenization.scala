@@ -593,14 +593,30 @@ object Tokenization {
   def unigramTokenCounts(docs: DataFrame, textCol: String, idCol: String,
                          vocabMulti: Int = 24, maxPieceLen: Int = 4,
                          iters: Int = 2, seedMulti: Int = 48): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val (vocab, _) = unigramTrain(docs, textCol, vocabMulti, maxPieceLen,
       iters, seedMulti)
-    val total = vocab.map(_._2).sum
-    val probs = vocab.map { case (p, c) => p -> (c.toDouble / total.toDouble) }.toMap
+    unigramTokenCountsPretrained(docs, textCol, idCol, vocab)
+  }
+
+  /** ENCODE under a SHIPPED piece table (piece, cnt) — the production
+    * tokenizer path (a SentencePiece-style vocabulary is data; training
+    * never runs at encode time). Probabilities derive as cnt/total over
+    * the shipped counts, maxPieceLen from the longest shipped piece —
+    * no parameter can drift from the artifact. The shipped pieces must
+    * cover every corpus character (the trainer guarantees this for its
+    * own vocab; a hand-shipped table that misses one leaves those
+    * words unsegmentable — counted with 0 tokens). */
+  def unigramTokenCountsPretrained(docs: DataFrame, textCol: String,
+                                   idCol: String,
+                                   pieces: Seq[(String, Long)]): DataFrame = {
+    require(pieces.nonEmpty, "pieces must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val total = pieces.map(_._2).sum
+    val probs = pieces.map { case (p, c) =>
+      p -> (c.toDouble / total.toDouble) }.toMap
+    val maxL = pieces.map(_._1.length).max
     val bc = spark.sparkContext.broadcast(probs)
-    val maxL = maxPieceLen
     val ntok = broadcast(wordTable(docs, textCol)
       .select(col("w")).as[String]
       .map(w => (w, viterbiSegment(w, bc.value, maxL).length.toLong))
@@ -611,6 +627,60 @@ object Tokenization {
       .join(ntok, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Train on `docs` and PERSIST the piece table — the unigram model
+    * artifact (rank, piece, cnt), completing the persisted-artifact
+    * family next to [[writeBpeModel]], the MinHash index, and the IVF
+    * indexes. */
+  def writeUnigramModel(docs: DataFrame, textCol: String, path: String,
+                        vocabMulti: Int = 24, maxPieceLen: Int = 4,
+                        iters: Int = 2, seedMulti: Int = 48): Unit =
+    learnUnigram(docs, textCol, vocabMulti, maxPieceLen, iters, seedMulti)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Encode against a persisted model ([[writeUnigramModel]]): the
+    * piece table loads as bounded driver state and feeds
+    * [[unigramTokenCountsPretrained]] — no training, no dependence on
+    * the training corpus. */
+  def unigramTokenCountsWithModel(docs: DataFrame, textCol: String,
+                                  idCol: String,
+                                  modelPath: String): DataFrame = {
+    val rows = docs.sparkSession.read.parquet(modelPath)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"))).toSeq
+    unigramTokenCountsPretrained(docs, textCol, idCol, rows)
+  }
+
+  /** DuckDB oracle for [[unigramTokenCountsPretrained]]: the SAME fixed
+    * piece literals as a VALUES table, probabilities as the same
+    * cnt/total divisions, one unrolled Viterbi chain, the same
+    * corpus-word join. */
+  def unigramPretrainedOracleSql(pieces: Seq[(String, Long)],
+                                 maxLen: Int = 12): String = {
+    def sq(s: String) = s.replace("'", "''")
+    val maxPieceLen = pieces.map(_._1.length).max
+    val values = pieces
+      .map { case (p, c) => s"('${sq(p)}', CAST($c AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |pp AS (SELECT * FROM (VALUES $values) AS t(piece, c)),
+       |probsP AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(c AS DOUBLE) /
+       |      CAST((SELECT sum(c) FROM pp) AS DOUBLE) AS p
+       |  FROM pp),
+       |${unigramDpChain("_p", "probsP", maxLen, maxPieceLen)}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(b.k) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN best_p b USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   /** One unrolled Viterbi DP chain over word positions 1..`maxLen` for

@@ -99,6 +99,18 @@ object LlmQueries {
   private val PretrainedMerges = Seq(
     "t|h", "th|e", "i|n", "a|n", "an|d", "e|r", "o|n", "r|e")
 
+  /** Fixed unigram piece table for q_unigram_encode_pretrained — the
+    * SentencePiece-style shipped vocabulary: every lowercase letter
+    * (full corpus-character coverage, the trainer's own invariant for a
+    * self-trained vocab) plus common English subwords with fixed
+    * counts. */
+  private val PretrainedPieces: Seq[(String, Long)] =
+    ('a' to 'z').map(c => (c.toString, 50L)) ++ Seq(
+      ("the", 800L), ("tion", 600L), ("ing", 500L), ("ion", 450L),
+      ("th", 400L), ("in", 380L), ("an", 350L), ("er", 320L),
+      ("on", 310L), ("re", 300L), ("st", 290L), ("at", 280L),
+      ("en", 270L), ("ed", 260L), ("es", 250L))
+
   private val annTwinGateSql: String =
     """SELECT vec_id AS query_id, true AS twin_top1
       |FROM embeddings WHERE vec_id < 10
@@ -1813,6 +1825,25 @@ object LlmQueries {
         .unigramTokenCounts(load(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id")),
       Some(graft.llm.Tokenization.unigramEncodeOracleSql())),
+
+    // Unigram encode under a SHIPPED piece table — the production
+    // SentencePiece-deployment path (the vocabulary is data; training
+    // never runs at encode time): probabilities derive as cnt/total
+    // over the shipped counts, maxPieceLen from the longest shipped
+    // piece, and each distinct word Viterbi-segments once against the
+    // broadcast table. The oracle restates the SAME piece literals as a
+    // VALUES table and replays one unrolled DP chain — bit-identical
+    // argmax by the q_unigram_learn argument. The persisted-model
+    // variant (writeUnigramModel → unigramTokenCountsWithModel ≡
+    // learn-then-encode) is spec-pinned like the BPE model artifact.
+    QueryDef(
+      "q_unigram_encode_pretrained",
+      (s, dir) => graft.llm.Tokenization
+        .unigramTokenCountsPretrained(load(s, dir, "documents"), "text",
+          "doc_id", PretrainedPieces)
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization
+        .unigramPretrainedOracleSql(PretrainedPieces))),
 
     // Encode under a SHIPPED merge table — the production tokenizer
     // path (a tiktoken-style vocabulary is data, like the bundled PSL;

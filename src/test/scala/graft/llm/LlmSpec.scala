@@ -1456,6 +1456,31 @@ class LlmSpec extends SparkSpec {
       model)) == learned)
   }
 
+  test("unigram pretrained encode with the learned pieces equals " +
+      "learn-then-encode, and the persisted model round-trips") {
+    import SparkSpec.spark.implicits._
+    val text = (Seq.fill(6)("walking") ++ Seq.fill(5)("walked") ++
+      Seq.fill(4)("talking") ++ Seq.fill(3)("talked")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "walker talked walking")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val learned = rows(Tokenization.unigramTokenCounts(docs, "text",
+      "doc_id", vocabMulti = 8, maxPieceLen = 4, iters = 2))
+    // hand the trainer's own pieces to the pretrained path
+    val pieces = Tokenization.learnUnigram(docs, "text", vocabMulti = 8,
+        maxPieceLen = 4, iters = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(rows(Tokenization.unigramTokenCountsPretrained(docs, "text",
+      "doc_id", pieces)) == learned)
+    // and through the persisted model artifact
+    val model = tempDir("graft-unigram-model-").toString
+    Tokenization.writeUnigramModel(docs, "text", model, vocabMulti = 8,
+      maxPieceLen = 4, iters = 2)
+    assert(rows(Tokenization.unigramTokenCountsWithModel(docs, "text",
+      "doc_id", model)) == learned)
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
