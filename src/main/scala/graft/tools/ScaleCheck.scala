@@ -273,6 +273,26 @@ object ScaleCheck {
           threshold = 0.9999)
         spark.range(1).toDF("done")
       }),
+      // round-11: the IVF-PQ ingest loop's per-batch cost against a k×
+      // history index (same pristine + fresh-copy discipline as
+      // q_ingest_loop — the loop mutates its fixture): one foreachBatch
+      // body = indexed ADC match + exact re-rank (partition-pruned,
+      // delta-sized) + survivor append to BOTH tiers (O(batch) keyed
+      // file sets) — the curve must stay flat for 10× history. The
+      // batch negates the base vectors (cos −1 vs every history twin →
+      // novel), so rep 1 measures match+append and rep 2 (the batch now
+      // historical) match+empty append; min-of-2 comparable across
+      // factors
+      ("q_ingest_loop_pq", (_, f) => {
+        val batch = spark.read.parquet(s"$base/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+          .select((col("vec_id") + 900000000L).as("vec_id"),
+            expr("transform(embedding, x -> -x)").as("embedding"))
+        graft.llm.Similarity.ingestBatchIntoIvfPqIndex(batch,
+          s"$synthRoot/ivfpqidx_ing_x$f", s"k${System.nanoTime()}",
+          minCos = 0.999, nprobe = 4)
+        spark.range(1).toDF("done")
+      }),
       // round-10: IVF-PQ against the PERSISTED two-tier index (staged
       // per factor outside the timing): the ADC scan reads m-int code
       // rows from probed cells only, the re-rank touches raw vectors
@@ -482,6 +502,25 @@ object ScaleCheck {
           Caches.release(); spark.catalog.clearCache()
           new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
         }
+      }
+    // PQ ingest-loop staging: pristine two-tier index per factor behind
+    // the marker; each RUN works on a fresh file copy (the loop appends)
+    if (runs.exists(_._1 == "q_ingest_loop_pq"))
+      for (f <- factors) {
+        val src = if (f == 1) base else s"$synthRoot/x$f"
+        if (f != 1) synthesize(spark, base, f, src)
+        val pristine = new java.io.File(s"$synthRoot/ivfpqidx_ingp_x$f")
+        if (!new java.io.File(pristine, "_DONE").exists()) {
+          graft.llm.Similarity.writeIvfPqIndex(
+            spark.read.parquet(s"$src/embeddings.parquet"),
+            pristine.toString, nlist = 16, m = 8, ksub = 16)
+          Caches.release(); spark.catalog.clearCache()
+          new java.io.FileOutputStream(
+            new java.io.File(pristine, "_DONE")).close()
+        }
+        val run = s"$synthRoot/ivfpqidx_ing_x$f"
+        graft.core.Fs.deleteTree(run)
+        graft.core.Fs.copyTree(pristine.toString, run)
       }
 
     if (runs.exists(_._1 == "q_scan_warc"))
