@@ -275,6 +275,47 @@ object Dedup {
     * callers. Scale deployments (and the engine's own queries) pass a cap
     * (≈500) to trade clique completeness for skew immunity.
     */
+  /** Optimal (bands, rowsPerBand) for a MinHash-LSH run at `numHashes`
+    * targeting a Jaccard `threshold` — the datasketch-style S-curve
+    * tuner, so callers stop hand-picking band counts: a pair at
+    * similarity s becomes a candidate with probability
+    * 1 − (1 − s^r)^b, and the planner picks the divisor split (b·r =
+    * numHashes) minimizing `fpWeight`·(area under the curve BELOW the
+    * threshold — false positives that cost verify work) + (1−fpWeight)·
+    * (area of the miss region ABOVE it — false negatives that cost
+    * recall), each integral a midpoint Riemann sum over 500 steps. Ties
+    * break to fewer bands (cheaper exchange). Pure driver arithmetic —
+    * feed the result to [[minhashLsh]] / [[writeMinhashIndex]]. */
+  def lshPlan(numHashes: Int, threshold: Double,
+              fpWeight: Double = 0.5): (Int, Int) = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(fpWeight >= 0 && fpWeight <= 1,
+      s"fpWeight must be in [0, 1], got $fpWeight")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) => (lshPlanError(b, r, threshold, fpWeight), b) }
+  }
+
+  /** The weighted FP+FN objective [[lshPlan]] minimizes (exposed for the
+    * oracle, which replays the same midpoint sums in SQL). */
+  private[llm] def lshPlanError(b: Int, r: Int, threshold: Double,
+                                fpWeight: Double): Double = {
+    val steps = 500
+    def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    var fp = 0.0
+    var fn = 0.0
+    var i = 0
+    while (i < steps) {
+      fp += p(threshold * (i + 0.5) / steps) * threshold / steps
+      fn += (1.0 - p(threshold + (1.0 - threshold) * (i + 0.5) / steps)) *
+        (1.0 - threshold) / steps
+      i += 1
+    }
+    fpWeight * fp + (1.0 - fpWeight) * fn
+  }
+
   def minhashLsh(documents: DataFrame, numHashes: Int, bands: Int,
                  shingleSize: Int, textCol: String = "text",
                  idCol: String = "doc_id",

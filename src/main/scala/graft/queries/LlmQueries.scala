@@ -190,6 +190,56 @@ object LlmQueries {
              |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
              |ORDER BY d1, d2""".stripMargin)),
 
+    // LSH parameter planner (the datasketch-style S-curve tuner): for a
+    // grid of (numHashes, threshold) targets, pick the divisor split
+    // b·r = numHashes minimizing weighted FP+FN area of the candidate
+    // curve 1−(1−s^r)^b — so callers stop hand-picking band counts.
+    // Pure driver arithmetic with INTEGER outputs; the oracle replays
+    // the same 500-step midpoint sums with SQL pow() and takes the same
+    // (error, bands) argmin — cross-engine pow/summation drift is
+    // ~1e-13 while LlmSpec pins every grid point's best-vs-runner-up
+    // error gap above 1e-6, so the argmin cannot flip.
+    QueryDef(
+      "q_dedup_lsh_plan",
+      (s, _) => {
+        import s.implicits._
+        val grid = Seq((64, 0.5), (64, 0.8), (128, 0.5), (128, 0.7),
+          (128, 0.9), (256, 0.8))
+        grid.map { case (n, t) =>
+          val (b, r) = Dedup.lshPlan(n, t)
+          (n.toLong, t, b.toLong, r.toLong)
+        }.toDF("num_hashes", "threshold", "bands", "rows_per_band")
+          .orderBy(col("num_hashes"), col("threshold"))
+      },
+      Some("""WITH grid AS (
+             |  SELECT n, CAST(t AS DOUBLE) AS t
+             |  FROM (VALUES (64, 0.5), (64, 0.8), (128, 0.5),
+             |    (128, 0.7), (128, 0.9), (256, 0.8)) AS g(n, t)),
+             |cand AS (
+             |  SELECT n, t, CAST(b AS INT) AS b, CAST(n // b AS INT) AS r
+             |  FROM grid, unnest(generate_series(1, 256)) u(b)
+             |  WHERE b <= n AND n % b = 0),
+             |scored AS (
+             |  SELECT n, t, b, r,
+             |    (SELECT
+             |       0.5 * sum((1 - pow(1 - pow(t * (CAST(i AS DOUBLE) + 0.5)
+             |                 / 500, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)))
+             |               * t / 500)
+             |     + 0.5 * sum((1 - (1 - pow(1 - pow(t + (1 - t)
+             |                 * (CAST(i AS DOUBLE) + 0.5) / 500,
+             |                 CAST(r AS DOUBLE)), CAST(b AS DOUBLE))))
+             |               * (1 - t) / 500)
+             |     FROM generate_series(0, 499) st(i)) AS e
+             |  FROM cand),
+             |pick AS (
+             |  SELECT n, t, b, r,
+             |    row_number() OVER (PARTITION BY n, t ORDER BY e, b) AS rk
+             |  FROM scored)
+             |SELECT CAST(n AS BIGINT) AS num_hashes, t AS threshold,
+             |  CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band
+             |FROM pick WHERE rk = 1
+             |ORDER BY num_hashes, threshold""".stripMargin)),
+
     // MinHash+LSH near-dup with an in-plan accuracy contract: the corpus
     // is documents ∪ exact copies of the first 100 docs (doc_id+100000).
     // An exact copy has an identical shingle set, hence an identical

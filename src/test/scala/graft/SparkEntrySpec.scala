@@ -28,9 +28,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // q_unigram_learn / q_unigram_encode with the full hard-EM training
     // replayed by the oracle) — bump these when operators are added so
     // a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 242,
+    assert(SparkEntry.queries.size >= 243,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 242,
+    assert(SparkEntry.oracleSql.size >= 243,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

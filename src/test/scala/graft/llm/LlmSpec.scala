@@ -1636,6 +1636,31 @@ class LlmSpec extends SparkSpec {
       assert(b <= a * (1 + 1e-9), s"NLL increased: ${nll.toSeq}") }
   }
 
+  test("lshPlan: S-curve midpoint tracks the threshold, more selective " +
+      "thresholds buy more rows per band, and every grid point's argmin " +
+      "gap is wide enough for the cross-engine oracle") {
+    val grid = Seq((64, 0.5), (64, 0.8), (128, 0.5), (128, 0.7),
+      (128, 0.9), (256, 0.8))
+    grid.foreach { case (n, t) =>
+      val (b, r) = Dedup.lshPlan(n, t)
+      assert(b * r == n, s"($n,$t): $b*$r != $n")
+      // the curve's 50% point (1/b)^(1/r) sits near the target
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.2, s"($n,$t): midpoint $mid far from $t")
+      // argmin separation: best vs runner-up error gap must dwarf the
+      // ~1e-13 cross-engine pow/summation drift the oracle replay carries
+      val errs = (1 to n).filter(n % _ == 0)
+        .map(bb => Dedup.lshPlanError(bb, n / bb, t, 0.5)).sorted
+      assert(errs(1) - errs(0) > 1e-6,
+        s"($n,$t): argmin gap ${errs(1) - errs(0)} too tight for the oracle")
+    }
+    // higher threshold → more rows per band (a steeper, later curve)
+    assert(Dedup.lshPlan(128, 0.9)._2 > Dedup.lshPlan(128, 0.5)._2)
+    // weighting FP harder shifts toward more selective bands (r up or eq)
+    assert(Dedup.lshPlan(128, 0.7, fpWeight = 0.9)._2 >=
+      Dedup.lshPlan(128, 0.7, fpWeight = 0.1)._2)
+  }
+
   test("viterbiSegment equals brute-force best segmentation under the " +
       "same (prob, k, seg) order") {
     val probs = Map("a" -> 0.08, "b" -> 0.06, "c" -> 0.05, "ab" -> 0.2,

@@ -43,4 +43,32 @@ class QueryPlanShapeSpec extends SparkSpec {
       && !p.contains("BroadcastNestedLoopJoin"),
       s"interval join fell back to the quadratic path:\n$p")
   }
+
+  test("16-band JPEG dhash candidates stay a banded equi-join, never " +
+      "all-pairs") {
+    // the widened lossless radius must not change the candidate SHAPE:
+    // pairs come from the (block, block_val) equi-join at 16 bands
+    // exactly as at 8
+    val p = graft.llm.Dedup.imageDhashPairs(
+        graft.llm.Multimodal.syntheticJpegPhashMedia(spark, 16, twins = 2),
+        maxHamming = 12, numBands = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"JPEG banded candidates fell back to all-pairs:\n$p")
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
+
+  test("unigram encode joins corpus words against the broadcast " +
+      "vocabulary-bounded token table") {
+    val p = plan("q_unigram_encode_pretrained")
+    // text must never shuffle: the (word -> ntok) probe is a broadcast
+    // hash join against the exploded corpus words
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unigram encode shuffles the corpus into a join:\n$p")
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
 }
