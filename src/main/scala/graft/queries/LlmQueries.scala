@@ -111,6 +111,61 @@ object LlmQueries {
       ("on", 310L), ("re", 300L), ("st", 290L), ("at", 280L),
       ("en", 270L), ("ed", 260L), ("es", 250L))
 
+  /** The dHash-recomputation CTEs of the q_dedup_phash oracle for the
+    * PNG fixture at (n, twins) — the closed-form pixels let DuckDB
+    * rebuild every 9×8 grayscale grid, difference bit, and 64-bit hash
+    * (as a lo/hi BIGINT pair) independently of the engine's actual PNG
+    * decode. Shared by the pair and cluster oracles. */
+  private def phashHashCtes(n: Int, twins: Int): String =
+    s"""ids AS (
+       |  SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
+       |    0 AS noisy
+       |  FROM generate_series(0, ${n - 1}) g(i)
+       |  UNION ALL
+       |  SELECT CAST($n + k AS BIGINT), CAST(k AS BIGINT), 0
+       |  FROM generate_series(0, ${twins - 1}) t(k)
+       |  UNION ALL
+       |  SELECT CAST(${2 * n} + k AS BIGINT), CAST(k AS BIGINT), 1
+       |  FROM generate_series(0, ${twins - 1}) t2(k)),
+       |dims AS (
+       |  SELECT media_id, src, noisy,
+       |    4 + src % 28 AS w, 4 + (src * 7) % 28 AS h
+       |  FROM ids),
+       |gray AS (
+       |  SELECT media_id, gy, gx,
+       |    (((src*7919 + j0*131 + (j0*j0 % 1009)) % 256
+       |      + CASE WHEN noisy = 1 AND j0 % 97 = 0
+       |             THEN 1 ELSE 0 END) % 256
+       |     + ((src*7919 + (j0+1)*131 + ((j0+1)*(j0+1) % 1009)) % 256
+       |      + CASE WHEN noisy = 1 AND (j0+1) % 97 = 0
+       |             THEN 1 ELSE 0 END) % 256
+       |     + ((src*7919 + (j0+2)*131 + ((j0+2)*(j0+2) % 1009)) % 256
+       |      + CASE WHEN noisy = 1 AND (j0+2) % 97 = 0
+       |             THEN 1 ELSE 0 END) % 256)
+       |      // 3 AS g
+       |  FROM (
+       |    SELECT media_id, src, noisy, gx, gy,
+       |      ((gy * h // 8) * w + (gx * w // 9)) * 3 AS j0
+       |    FROM dims,
+       |      unnest(generate_series(0, 8)) u(gx),
+       |      unnest(generate_series(0, 7)) v(gy))),
+       |bits AS (
+       |  SELECT l.media_id, l.gy * 8 + l.gx AS b,
+       |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+       |  FROM gray l JOIN gray r
+       |    ON r.media_id = l.media_id AND r.gy = l.gy
+       |   AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |hash AS (
+       |  SELECT media_id,
+       |    CAST(sum(CASE WHEN b < 32
+       |      THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INT))
+       |      ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN b >= 32
+       |      THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
+       |      ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY media_id)""".stripMargin
+
   private val annTwinGateSql: String =
     """SELECT vec_id AS query_id, true AS twin_top1
       |FROM embeddings WHERE vec_id < 10
@@ -1062,54 +1117,7 @@ object LlmQueries {
         .imageDhashPairs(Multimodal.syntheticPhashMedia(s, 48),
           maxHamming = 6)
         .orderBy(col("d1"), col("d2")),
-      Some("""WITH ids AS (
-             |  SELECT CAST(i AS BIGINT) AS media_id, CAST(i AS BIGINT) AS src,
-             |    0 AS noisy
-             |  FROM generate_series(0, 47) g(i)
-             |  UNION ALL
-             |  SELECT CAST(48 + k AS BIGINT), CAST(k AS BIGINT), 0
-             |  FROM generate_series(0, 3) t(k)
-             |  UNION ALL
-             |  SELECT CAST(96 + k AS BIGINT), CAST(k AS BIGINT), 1
-             |  FROM generate_series(0, 3) t2(k)),
-             |dims AS (
-             |  SELECT media_id, src, noisy,
-             |    4 + src % 28 AS w, 4 + (src * 7) % 28 AS h
-             |  FROM ids),
-             |gray AS (
-             |  SELECT media_id, gy, gx,
-             |    (((src*7919 + j0*131 + (j0*j0 % 1009)) % 256
-             |      + CASE WHEN noisy = 1 AND j0 % 97 = 0
-             |             THEN 1 ELSE 0 END) % 256
-             |     + ((src*7919 + (j0+1)*131 + ((j0+1)*(j0+1) % 1009)) % 256
-             |      + CASE WHEN noisy = 1 AND (j0+1) % 97 = 0
-             |             THEN 1 ELSE 0 END) % 256
-             |     + ((src*7919 + (j0+2)*131 + ((j0+2)*(j0+2) % 1009)) % 256
-             |      + CASE WHEN noisy = 1 AND (j0+2) % 97 = 0
-             |             THEN 1 ELSE 0 END) % 256)
-             |      // 3 AS g
-             |  FROM (
-             |    SELECT media_id, src, noisy, gx, gy,
-             |      ((gy * h // 8) * w + (gx * w // 9)) * 3 AS j0
-             |    FROM dims,
-             |      unnest(generate_series(0, 8)) u(gx),
-             |      unnest(generate_series(0, 7)) v(gy))),
-             |bits AS (
-             |  SELECT l.media_id, l.gy * 8 + l.gx AS b,
-             |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
-             |  FROM gray l JOIN gray r
-             |    ON r.media_id = l.media_id AND r.gy = l.gy
-             |   AND r.gx = l.gx + 1
-             |  WHERE l.gx < 8),
-             |hash AS (
-             |  SELECT media_id,
-             |    CAST(sum(CASE WHEN b < 32
-             |      THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INT))
-             |      ELSE 0 END) AS BIGINT) AS lo,
-             |    CAST(sum(CASE WHEN b >= 32
-             |      THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INT))
-             |      ELSE 0 END) AS BIGINT) AS hi
-             |  FROM bits GROUP BY media_id)
+      Some(s"""WITH ${phashHashCtes(48, 4)}
              |SELECT a.media_id AS d1, b.media_id AS d2,
              |  CAST(bit_count(xor(a.lo, b.lo))
              |     + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
@@ -1117,6 +1125,40 @@ object LlmQueries {
              |WHERE bit_count(xor(a.lo, b.lo))
              |    + bit_count(xor(a.hi, b.hi)) <= 6
              |ORDER BY d1, d2""".stripMargin)),
+
+    // Image near-dup CLUSTERING end to end — the pair surface composed
+    // with the O(log n) star components into what a curation pipeline
+    // actually consumes: (image, cluster) with the cluster id = the
+    // component-minimum media_id (the canonical representative to keep).
+    // FULL-strength oracle: DuckDB recomputes every dHash from the
+    // closed-form PNG pixels, brute-forces the pair set, and takes the
+    // TRANSITIVE CLOSURE with a recursive CTE — so the engine's banded
+    // candidates + star fixpoint are checked against an independent
+    // end-to-end reimplementation, not a planted VALUES table.
+    QueryDef(
+      "q_dedup_phash_clusters",
+      (s, _) => Dedup.connectedComponentsStar(
+          Dedup.imageDhashPairs(Multimodal.syntheticPhashMedia(s, 48),
+              maxHamming = 6)
+            .select(col("d1"), col("d2")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${phashHashCtes(48, 4)},
+             |pairs AS (
+             |  SELECT a.media_id AS d1, b.media_id AS d2
+             |  FROM hash a JOIN hash b ON a.media_id < b.media_id
+             |  WHERE bit_count(xor(a.lo, b.lo))
+             |      + bit_count(xor(a.hi, b.hi)) <= 6),
+             |edges AS (
+             |  SELECT d1 AS n1, d2 AS n2 FROM pairs
+             |  UNION ALL SELECT d2, d1 FROM pairs),
+             |nodes AS (SELECT DISTINCT n1 AS node FROM edges),
+             |reach AS (
+             |  SELECT node, node AS lbl FROM nodes
+             |  UNION
+             |  SELECT e.n2 AS node, r.lbl
+             |  FROM reach r JOIN edges e ON e.n1 = r.node)
+             |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
     // JPEG perceptual near-dup — the LOSSY-format gate the PNG fixture
     // can't provide (real crawled corpora are JPEG-dominated, and PNG-only

@@ -22,15 +22,16 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-11 floor: 240 queries, ALL 240 oracle-checked (round 11
-    // adds the JPEG perceptual-dedup gate q_dedup_phash_jpeg over the
-    // 16-band hamming machinery, and the unigram-LM tokenizer pair
-    // q_unigram_learn / q_unigram_encode with the full hard-EM training
-    // replayed by the oracle) — bump these when operators are added so
-    // a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 243,
+    // round-11 floor: 244 queries, ALL 244 oracle-checked (round 11
+    // adds the JPEG perceptual-dedup gate, the unigram-LM tokenizer
+    // trio [learn / encode / pretrained-encode with the full hard-EM
+    // training replayed by the oracle], the closed IVF-PQ ingest loop,
+    // the LSH parameter planner, and phash clustering with a
+    // recursive-closure oracle) — bump these when operators are added
+    // so a bad refactor can't drop queries without failing CI
+    assert(SparkEntry.queries.size >= 244,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 243,
+    assert(SparkEntry.oracleSql.size >= 244,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
