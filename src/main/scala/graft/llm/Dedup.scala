@@ -256,25 +256,6 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
   }
 
-  /** MinHash + LSH banding near-dup: signatures → band buckets → bucket
-    * equi-join for candidates → signature-overlap Jaccard estimate.
-    * `numHashes = bands * rowsPerBand`; a pair lands in a candidate bucket
-    * iff some band of the signature matches exactly.
-    *
-    * Degenerate-bucket guard: a bucket of n near-identical docs would emit
-    * n²/2 clique pairs — at 100 TB one boilerplate page repeated 10M times
-    * is a job-killer. Buckets larger than `maxBucketSize` instead emit
-    * STAR pairs (bucket-minimum doc_id ↔ every other member): O(n) pairs
-    * that keep every member transitively linked to the same representative
-    * — exactly what dedup consumers (union-find / connected components)
-    * need — and each pair still gets its true signature-overlap estimate
-    * downstream. Small buckets keep the complete clique.
-    *
-    * The guard is EXPLICIT OPT-IN: the default (`Int.MaxValue`) emits the
-    * complete clique for every bucket — exact semantics for library
-    * callers. Scale deployments (and the engine's own queries) pass a cap
-    * (≈500) to trade clique completeness for skew immunity.
-    */
   /** Optimal (bands, rowsPerBand) for a MinHash-LSH run at `numHashes`
     * targeting a Jaccard `threshold` — the datasketch-style S-curve
     * tuner, so callers stop hand-picking band counts: a pair at
@@ -316,6 +297,25 @@ object Dedup {
     fpWeight * fp + (1.0 - fpWeight) * fn
   }
 
+  /** MinHash + LSH banding near-dup: signatures → band buckets → bucket
+    * equi-join for candidates → signature-overlap Jaccard estimate.
+    * `numHashes = bands * rowsPerBand`; a pair lands in a candidate bucket
+    * iff some band of the signature matches exactly.
+    *
+    * Degenerate-bucket guard: a bucket of n near-identical docs would emit
+    * n²/2 clique pairs — at 100 TB one boilerplate page repeated 10M times
+    * is a job-killer. Buckets larger than `maxBucketSize` instead emit
+    * STAR pairs (bucket-minimum doc_id ↔ every other member): O(n) pairs
+    * that keep every member transitively linked to the same representative
+    * — exactly what dedup consumers (union-find / connected components)
+    * need — and each pair still gets its true signature-overlap estimate
+    * downstream. Small buckets keep the complete clique.
+    *
+    * The guard is EXPLICIT OPT-IN: the default (`Int.MaxValue`) emits the
+    * complete clique for every bucket — exact semantics for library
+    * callers. Scale deployments (and the engine's own queries) pass a cap
+    * (≈500) to trade clique completeness for skew immunity.
+    */
   def minhashLsh(documents: DataFrame, numHashes: Int, bands: Int,
                  shingleSize: Int, textCol: String = "text",
                  idCol: String = "doc_id",
@@ -641,7 +641,16 @@ object Dedup {
         "checkpoint is gone for good — purgeOrphanedIngestBatches first")
   }
 
-  private val MarkerRe = "^(.+)-b(\\d+)$".r
+  /** Anchored to the EXACT marker shape the streaming loops mint
+    * ([[graft.streaming.EventStreams]] streamKey: 12 lowercase hex chars
+    * + `-b<batchId>`): a looser `.+-b\d+` would also claim CALLER-chosen
+    * idempotency keys that merely end in `-b<digits>` ("nightly-b2"),
+    * and pruning those breaks direct-API re-delivery — unlike a
+    * Structured Streaming checkpoint, a caller's orchestrator may
+    * re-deliver ANY old batch, and with its marker pruned and its keyed
+    * files compacted away the IVF self-id-excluding re-match would
+    * re-append every vector as a duplicate. */
+  private val MarkerRe = "^([0-9a-f]{12})-b(\\d+)$".r
 
   /** Prune retired ingest commit markers, keeping only the NEWEST
     * marker per stream key. Without this, a long-running ingest loop
@@ -666,7 +675,9 @@ object Dedup {
   private[llm] def pruneCommitMarkers(indexPath: String): Unit = {
     val dir = s"$indexPath/ingest_commits"
     val parsed = graft.core.SidecarFs.listNames(dir).flatMap {
-      case MarkerRe(stream, id) => Some((stream, id.toLong))
+      // toLongOption: an id beyond Long range is not a minted marker —
+      // keep it rather than abort the surrounding compaction
+      case MarkerRe(stream, id) => id.toLongOption.map(stream -> _)
       case _ => None
     }
     val newest = parsed.groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).max) }
@@ -1211,7 +1222,11 @@ object Dedup {
     require(numBands > 0 && 64 % numBands == 0,
       s"numBands must divide 64, got $numBands")
     val bits = 64 / numBands
-    val mask = (1L << bits) - 1
+    // bits = 64 (numBands = 1, the whole-signature bucket): 1L << 64
+    // wraps to 1L in JVM shift semantics and would mask every signature
+    // to a single global bucket — the all-pairs blowup banding exists
+    // to avoid
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val blocked = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           b => call_function("shiftright", col("sim"), b * lit(bits))

@@ -535,11 +535,14 @@ object Tokenization {
       val probs = probsOf(pieces)
       val bc = spark.sparkContext.broadcast(probs)
       val maxL = maxPieceLen
-      // E-step: one scan of the word table; usage counts are integers
+      // E-step: one scan of the word table, PERSISTED for the round —
+      // the per-word Viterbi DP is the round's dominant CPU and feeds
+      // two actions (usage aggregate + NLL diagnostic); without the
+      // persist each would re-run the whole DP pass
       val segs = words.as[(String, Long)].map { case (w, cnt) =>
         val seg = viterbiSegment(w, bc.value, maxL)
         (cnt, seg.map(p => bc.value(p)).product, seg)
-      }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (usageRows, sumNll) = {
         val rows = segs.flatMap { case (cnt, _, seg) => seg.map(p => (p, cnt)) }
           .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
@@ -549,6 +552,7 @@ object Tokenization {
           .first().getDouble(0)
         (rows, ll)
       }
+      segs.unpersist(blocking = false)
       bc.destroy()
       nll(round) = sumNll
       val usage = usageRows.toMap

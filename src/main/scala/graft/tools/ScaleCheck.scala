@@ -150,6 +150,8 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
+    // per-invocation id stride for q_ingest_loop_pq (see its comment)
+    val pqIngestRep = new AtomicLong(0L)
 
     // each run gets (synth dir, scale factor): most paths read k×
     // tables from dir; generator-input paths (video) scale off the
@@ -280,13 +282,19 @@ object ScaleCheck {
       // delta-sized) + survivor append to BOTH tiers (O(batch) keyed
       // file sets) — the curve must stay flat for 10× history. The
       // batch negates the base vectors (cos −1 vs every history twin →
-      // novel), so rep 1 measures match+append and rep 2 (the batch now
-      // historical) match+empty append; min-of-2 comparable across
-      // factors
+      // novel), and each invocation offsets the ids by a fresh stride:
+      // the ANN match EXCLUDES same-id candidates, so a repeat of the
+      // SAME ids would never see its own earlier append and would
+      // silently re-append duplicates — with fresh ids the repeat's
+      // vectors match their earlier copies by CONTENT (cos 1.0) and
+      // drop. Rep 1 thus measures match+append and rep 2 match+empty
+      // append; min-of-2 comparable across factors
       ("q_ingest_loop_pq", (_, f) => {
+        val stride = pqIngestRep.getAndIncrement()
         val batch = spark.read.parquet(s"$base/embeddings.parquet")
           .filter(col("vec_id") < 500)
-          .select((col("vec_id") + 900000000L).as("vec_id"),
+          .select((col("vec_id") + 900000000L + stride * 1000000L)
+            .as("vec_id"),
             expr("transform(embedding, x -> -x)").as("embedding"))
         graft.llm.Similarity.ingestBatchIntoIvfPqIndex(batch,
           s"$synthRoot/ivfpqidx_ing_x$f", s"k${System.nanoTime()}",

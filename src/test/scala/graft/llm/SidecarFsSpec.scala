@@ -103,21 +103,26 @@ class SidecarFsSpec extends SparkSpec {
   test("compaction prunes retired commit markers, keeping the newest per " +
       "stream key, and the kept marker still short-circuits re-delivery") {
     val idx = tempDir("graft-mh-markers-").toString + "/idx"
+    // stream keys in the EXACT 12-hex shape streamKey mints — anything
+    // looser (a caller key merely ending in -b<digits>) must be KEPT,
+    // since direct-API orchestrators may re-deliver any old batch
+    val (skA, skB) = ("aaaaaaaaaaaa", "bbbbbbbbbbbb")
     Dedup.writeMinhashIndex(mk(0L until 10L), idx,
       numHashes = 32, bands = 8, shingleSize = 5)
-    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(500L)), idx, "skA-b0", 0.9)
-    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(501L)), idx, "skA-b1", 0.9)
-    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(502L)), idx, "skA-b2", 0.9)
-    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(600L)), idx, "skB-b0", 0.9)
-    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(601L)), idx, "odd-key", 0.9)
+    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(500L)), idx, s"$skA-b0", 0.9)
+    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(501L)), idx, s"$skA-b1", 0.9)
+    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(502L)), idx, s"$skA-b2", 0.9)
+    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(600L)), idx, s"$skB-b0", 0.9)
+    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(601L)), idx, "nightly-b2", 0.9)
     assert(SidecarFs.listNames(s"$idx/ingest_commits").size == 5)
     Dedup.compactMinhashIndex(SparkSpec.spark, idx)
-    // skA keeps only b2, skB keeps b0; the non-<stream>-b<id> key is kept
+    // skA keeps only b2, skB keeps b0; the caller-shaped key is kept
+    // even though it ends in -b<digits> (not a minted stream id)
     assert(SidecarFs.listNames(s"$idx/ingest_commits").toSet ==
-      Set("skA-b2", "skB-b0", "odd-key"))
+      Set(s"$skA-b2", s"$skB-b0", "nightly-b2"))
     // the kept newest marker still short-circuits a re-delivery: the
     // batch's rows are in the compacted index exactly once afterwards
-    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(502L)), idx, "skA-b2", 0.9)
+    Dedup.ingestBatchIntoMinhashIndex(mk(Seq(502L)), idx, s"$skA-b2", 0.9)
     val n502 = SparkSpec.spark.read
       .parquet(IndexManifest.resolve(idx, "sigs"))
       .filter(col("doc_id") === 502L).count()
