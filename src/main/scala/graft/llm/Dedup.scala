@@ -1194,14 +1194,18 @@ object Dedup {
     */
   def simhash(documents: DataFrame, maxHamming: Int,
               textCol: String = "text", idCol: String = "doc_id",
-              maxBucketSize: Int = Int.MaxValue): DataFrame = {
+              maxBucketSize: Int = Int.MaxValue,
+              numBands: Int = 8): DataFrame = {
+    require(maxHamming < numBands,
+      s"maxHamming must be < numBands=$numBands for lossless bucketing, " +
+        s"got $maxHamming")
     // Signature is consumed by banding AND both sides of the pair rejoin;
     // persist so the 64-counter aggregate runs once per action. The pair
     // join carries only (block, block_val, doc_id) — narrow, like the LSH
     // candidate join; signatures rejoin by doc_id for distinct pairs only.
     val sigs = Caches.track(documents
       .select(col(idCol).as("doc_id"), simhashSignature(col(textCol)).as("sim")))
-    hammingBandedPairs(sigs, maxHamming, maxBucketSize)
+    hammingBandedPairs(sigs, maxHamming, maxBucketSize, numBands)
   }
 
   /** Banded hamming-distance candidate pairs over 64-bit signatures
@@ -1286,11 +1290,13 @@ object Dedup {
     * quarantine inside the decode and contribute no signature; the only
     * exchange carries (media_id, 8 byte-bands), never samples. */
   def audioFingerprintPairs(media: DataFrame, maxHamming: Int = 4,
-                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming < 8,
-      s"maxHamming must be < 8 for lossless 8-band bucketing, got $maxHamming")
+                            maxBucketSize: Int = Int.MaxValue,
+                            numBands: Int = 8): DataFrame = {
+    require(maxHamming < numBands,
+      s"maxHamming must be < numBands=$numBands for lossless bucketing, " +
+        s"got $maxHamming")
     val sigs = Caches.track(Multimodal.audioFingerprintSignatures(media))
-    hammingBandedPairs(sigs, maxHamming, maxBucketSize)
+    hammingBandedPairs(sigs, maxHamming, maxBucketSize, numBands)
   }
 
   /** Exact longest-duplicate-substring dedup (the suffix-array method of

@@ -341,8 +341,11 @@ object LlmQueries {
         val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
         val planted = base.filter(col("doc_id") < 100)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        // radius 8 needs 16 bands for lossless bucketing (pigeonhole —
+        // the round-11 guard exposed that 8 bands at radius 8 could
+        // silently miss a pair whose 8 flipped bits land one per band)
         val pairs = Dedup.simhash(base.unionByName(planted), maxHamming = 8,
-          maxBucketSize = 500)
+          maxBucketSize = 500, numBands = 16)
         val twinHit = pairs
           .filter(col("d2") === col("d1") + 100000 && col("d1") < 100)
           .select(col("d1").as("doc_id"),

@@ -59,7 +59,9 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhash: identical texts at hamming 0; unrelated far apart") {
-    val out = Dedup.simhash(docs, maxHamming = 10)
+    // radius 10 needs 16 bands (the guard that exposed the old 8-band
+    // call as silently lossy above radius 7)
+    val out = Dedup.simhash(docs, maxHamming = 10, numBands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     val h14 = out.find(p => (p._1, p._2) == (1L, 4L))
     assert(h14.exists(_._3 == 0))

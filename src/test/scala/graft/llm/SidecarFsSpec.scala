@@ -4,13 +4,24 @@ import graft.SparkSpec
 import graft.core.SidecarFs
 import org.apache.spark.sql.functions._
 
+/** A NON-`file` scheme backed by the local FS, registered as
+  * `fs.mockfs.impl`: proves the sidecar ops dispatch through the Hadoop
+  * FileSystem API by URI scheme with no hidden `file:`/`java.nio`
+  * assumptions — the closest a single-machine test gets to an
+  * HDFS/object-store deployment. (RawLocalFileSystem, not the
+  * checksummed LocalFileSystem, so the mock adds no .crc siblings.) */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 /** The index-lifecycle sidecar ops run through the Hadoop FileSystem API
   * ([[graft.core.SidecarFs]]), so the persisted-index tier works wherever
   * the index DATA lives. These specs exercise the full lifecycle under
   * SCHEME-QUALIFIED `file:` URIs — paths the old `java.nio.file`
   * implementation could not even parse (Files.exists("file:/...") is
   * silently false, sending every sidecar op to a wrong relative dir) —
-  * plus the commit-marker pruning compaction performs. */
+  * plus a `mockfs://` run proving scheme dispatch, plus the
+  * commit-marker pruning compaction performs. */
 class SidecarFsSpec extends SparkSpec {
 
   private def schemeDir(prefix: String): String =
@@ -98,6 +109,36 @@ class SidecarFsSpec extends SparkSpec {
       k = 1, nprobe = 4)
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
     assert(top == Set((3L, 1.0)), s"planted twin must rank 1: $top")
+  }
+
+  test("MinHash index lifecycle runs under a NON-file scheme (mockfs://) " +
+      "— sidecar ops dispatch by URI scheme, data and sidecars coherent") {
+    val hc = SparkSpec.spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mockfs.impl", classOf[MockSchemeFs].getName)
+    try {
+      val idx = "mockfs://" + tempDir("graft-mh-mockfs-").toString + "/idx"
+      Dedup.writeMinhashIndex(mk(0L until 20L), idx,
+        numHashes = 32, bands = 8, shingleSize = 5)
+      Dedup.appendToMinhashIndex(mk(100L until 110L), idx)
+      Dedup.ingestBatchIntoMinhashIndex(
+        mk(Seq(5L, 300L)).select((col("doc_id") + 9000).as("doc_id"),
+          col("text")),
+        idx, "cccccccccccc-b0", threshold = 0.9)
+      assert(SidecarFs.exists(s"$idx/ingest_commits/cccccccccccc-b0"))
+      Dedup.compactMinhashIndex(SparkSpec.spark, idx)
+      assert(SidecarFs.readString(s"$idx/current")
+        .exists(_.contains("bands_v")))
+      val matched = Dedup.incrementalMinhashMatchesIndexed(
+          mk(Seq(7L, 105L)).select((col("doc_id") + 5000).as("doc_id"),
+            col("text")), idx)
+        .filter(col("est_jaccard") >= 0.999)
+        .select("hist_id").collect().map(_.getLong(0)).toSet
+      assert(Set(7L, 105L).subsetOf(matched), s"got $matched")
+      val sigs = SparkSpec.spark.read
+        .parquet(IndexManifest.resolve(idx, "sigs"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigs.contains(9300L) && !sigs.contains(9005L))
+    } finally hc.unset("fs.mockfs.impl")
   }
 
   test("compaction prunes retired commit markers, keeping the newest per " +
