@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Contamination, Dedup, EmbedStats, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, EmbedStats, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
@@ -2598,6 +2598,76 @@ object LlmQueries {
              |FROM hits h JOIN dl USING (doc_id) JOIN df USING (term)
              |CROSS JOIN stats
              |ORDER BY doc_id, term""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical list
+    // and the cosine vector list (doc_id = vec_id corpus alignment) fused
+    // by Σ 1e6 div (60 + rank) — rank-only fusion, no cross-scale score
+    // normalization. Both lists are distributed top-50s
+    // (TakeOrderedAndProject), the fusion frame is ≤100 rows, and the
+    // fused score is an exact integer, so the oracle — which replays the
+    // q_bm25 scoring, the q_sim_topk cosine, and the same integer
+    // fusion — hash-matches exactly. Documents missing from one list
+    // keep a NULL rank (they surfaced on the other signal alone).
+    QueryDef(
+      "q_hybrid_rrf",
+      (s, dir) => Retrieval.hybridRrf(
+          load(s, dir, "documents"), load(s, dir, "embeddings"),
+          Seq("join", "scan", "stream"), queryVecId = 0L,
+          perList = 50, rrfK = 60, topK = 20)
+        .orderBy(col("fused_rank")),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, term, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, sum(c) AS dl FROM tc GROUP BY doc_id),
+             |hits AS (SELECT * FROM tc WHERE term IN ('join', 'scan', 'stream')),
+             |df AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+             |stats AS (SELECT count(*) AS n_docs,
+             |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |bm AS (
+             |  SELECT h.doc_id,
+             |    CAST(round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |      * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+             |      * 10000) AS BIGINT) AS micro
+             |  FROM hits h JOIN dl USING (doc_id) JOIN df USING (term)
+             |  CROSS JOIN stats),
+             |lex AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS lex_micro
+             |        FROM bm GROUP BY doc_id),
+             |l_rank AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY lex_micro DESC, doc_id) AS lex_rank
+             |  FROM lex),
+             |l_top AS (SELECT * FROM l_rank WHERE lex_rank <= 50),
+             |v_sims AS (
+             |  SELECT c.vec_id AS doc_id,
+             |    list_dot_product(
+             |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_raw
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id = 0),
+             |v_rank AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS vec_rank
+             |  FROM v_sims),
+             |v_top AS (SELECT * FROM v_rank WHERE vec_rank <= 50),
+             |fused AS (
+             |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             |    l.lex_rank, v.vec_rank,
+             |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+             |       + coalesce(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
+             |      AS rrf_micro
+             |  FROM l_top l FULL OUTER JOIN v_top v ON l.doc_id = v.doc_id),
+             |ranked AS (
+             |  SELECT doc_id, lex_rank, vec_rank, rrf_micro,
+             |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+             |  FROM fused)
+             |SELECT doc_id, lex_rank, vec_rank, rrf_micro, fused_rank
+             |FROM ranked WHERE fused_rank <= 20
+             |ORDER BY fused_rank""".stripMargin)),
 
     // Unigram-LM document scoring (perplexity proxy): corpus trains its
     // own add-one-smoothed unigram model, every doc gets an exact-integer

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hybrid retrieval (RRF fusion) semantics + plan shape. The end-to-end
+  * value correctness is hash-gated by q_hybrid_rrf's DuckDB oracle; these
+  * pin the fusion edge cases the oracle data may not exercise and the
+  * distributed-top-K plan shape. */
+class RetrievalSpec extends SparkSpec {
+
+  private def lexList(rows: Seq[(Long, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "lex_rank")
+  }
+  private def vecList(rows: Seq[(Long, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "vec_rank")
+  }
+
+  test("rrfFuse: both-list docs sum contributions; single-list docs keep " +
+      "a NULL rank and the other list's exact integer contribution") {
+    val out = Retrieval.rrfFuse(
+        lexList(Seq(1L -> 1, 2L -> 2)), vecList(Seq(2L -> 1, 3L -> 2)),
+        rrfK = 60, topK = 10)
+      .orderBy(col("fused_rank"))
+      .select("doc_id", "lex_rank", "vec_rank", "rrf_micro", "fused_rank")
+      .collect()
+    val rows = out.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1 else r.getInt(1),
+      if (r.isNullAt(2)) -1 else r.getInt(2),
+      r.getLong(3), r.getInt(4)))
+    // 1e6 div 61 = 16393, div 62 = 16129
+    assert(rows.toSeq === Seq(
+      (2L, 2, 1, 16129L + 16393L, 1),
+      (1L, 1, -1, 16393L, 2),
+      (3L, -1, 2, 16129L, 3)))
+  }
+
+  test("rrfFuse: equal fused scores break ties by doc_id, and topK " +
+      "truncates after ranking") {
+    val out = Retrieval.rrfFuse(
+        lexList(Seq(5L -> 1)), vecList(Seq(3L -> 1, 9L -> 2)),
+        rrfK = 60, topK = 2)
+      .orderBy(col("fused_rank"))
+      .select("doc_id", "fused_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // docs 3 and 5 both score 16393: lower id wins; doc 9 is cut by topK
+    assert(out.toSeq === Seq((3L, 1), (5L, 2)))
+  }
+
+  test("both list builders plan a distributed top-K " +
+      "(TakeOrderedAndProject), never a global sort of the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (df <- Seq(Retrieval.topLexical(docs, Seq("join", "scan"), 50),
+        Retrieval.topVector(embs, 0L, 50))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"list builder lost the top-K plan:\n$p")
+    }
+    Caches.release()
+    spark.catalog.clearCache()
+  }
+
+  test("hybridRrf end-to-end: contiguous fused ranks, non-increasing " +
+      "scores, and every surfaced doc carries at least one rank") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Retrieval.hybridRrf(docs, embs,
+        Seq("join", "scan", "stream"), queryVecId = 0L,
+        perList = 50, rrfK = 60, topK = 20)
+      .orderBy(col("fused_rank")).collect()
+    assert(out.length === 20)
+    assert(out.map(_.getInt(out.head.fieldIndex("fused_rank"))).toSeq ===
+      (1 to 20))
+    val micros = out.map(_.getLong(out.head.fieldIndex("rrf_micro")))
+    assert(micros.zip(micros.tail).forall { case (a, b) => a >= b })
+    val li = out.head.fieldIndex("lex_rank")
+    val vi = out.head.fieldIndex("vec_rank")
+    assert(out.forall(r => !r.isNullAt(li) || !r.isNullAt(vi)))
+    Caches.release()
+    spark.catalog.clearCache()
+  }
+}
