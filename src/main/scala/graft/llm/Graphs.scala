@@ -135,4 +135,62 @@ object Graphs {
     withDeg.unpersist(blocking = false)
     state.select(col("node"), col("rank"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over an edge list treated as UNDIRECTED — the other classic
+    * curation prior next to centrality: communities in the co-purchase /
+    * co-link graph drive domain-level sampling quotas the way
+    * [[Dedup.connectedComponents]] drives dedup clusters, but at a finer
+    * grain (LPA splits a connected component into densely-linked
+    * sub-communities instead of fusing everything reachable).
+    *
+    * Determinism (what makes q_graph_labelprop oracle-comparable, where
+    * the published ASYNCHRONOUS random-order variant never could be):
+    * labels start as node ids; each round EVERY node simultaneously
+    * takes the most frequent label among its neighbors PLUS ITS OWN
+    * current label (the self-vote damps the two-coloring oscillation
+    * synchronous LPA is known for on bipartite regions), ties broken to
+    * the SMALLEST label. Vote counts are integers and the argmax is
+    * (count DESC, label ASC) — every round is exact integer work, so a
+    * fixed iteration count unrolls into bit-identical DuckDB CTEs (the
+    * pagerankExact discipline).
+    *
+    * Scale shape (the [[pagerank]] sweep discipline): the symmetrized
+    * edge list is deduplicated, pre-partitioned by the join side, and
+    * persisted ONCE; each round is one (edges ⋈ labels) shuffle join in
+    * which only the n-row label table moves, one (node, label) hash
+    * aggregate, and one per-node max — no windows, no driver state
+    * beyond the loop counter; `localCheckpoint` bounds the plan to one
+    * round. */
+  def labelPropagation(edgesDf: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    // symmetrize + dedup; pre-partition by dst so the per-round
+    // (adj ⋈ labels-on-dst) join never re-exchanges the big side
+    val adj = edgesDf.select(col("src"), col("dst"))
+      .unionByName(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val votes = adj
+        .join(state.select(col("node").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("node"), col("lbl"))
+        .unionByName(state.select(col("node"), col("lbl"))) // self-vote
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("cv"))
+      state = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("cv"), (-col("lbl")).as("negl"))).as("m"))
+        .select(col("node"), (-col("m.negl")).as("lbl"))
+        .localCheckpoint()
+      i += 1
+    }
+    adj.unpersist(blocking = false)
+    state.select(col("node"), col("lbl"))
+  }
 }

@@ -526,6 +526,77 @@ object TextAnalysis {
         sum(col("c") * col("micro")).as("sum_logp_micro"))
   }
 
+  /** Per-document KNESER-NEY bigram log-likelihood — the smoothing the
+    * production n-gram filters actually ship (KenLM's default, hence
+    * CCNet's): absolute discounting with a CONTINUATION-probability
+    * backoff,
+    *
+    *   p(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + λ(w₁)·p_cont(w₂)
+    *   λ(w₁)    = d·N₁₊(w₁·)/c(w₁·)        (the discounted mass)
+    *   p_cont(w₂) = N₁₊(·w₂)/N₁₊(··)
+    *
+    * with d = 3/4 (exact binary fraction). Unlike [[bigramLmScore]]'s
+    * unigram-frequency interpolation, the backoff weighs how many
+    * DISTINCT contexts a word follows — "francisco" is frequent but
+    * nearly always follows "san", so its continuation probability is
+    * tiny and novel-context uses are penalized; that distinction is the
+    * published reason KN beats interpolated counts as a fluency filter.
+    * Every scored bigram is corpus-observed, so c(w₁w₂) ≥ 1 > d and the
+    * max(·,0) clamp in the textbook formula is vacuous here.
+    *
+    * Determinism (the [[unigramLmScore]] discipline): every model count
+    * is an exact integer — c(w₁w₂); c(w₁·) = Σ_{w₂} c(w₁w₂); the
+    * continuation counts N₁₊ are DISTINCT-counts over the bigram-type
+    * table — and the per-bigram probability is a fixed five-operation
+    * IEEE double expression evaluated in identical association order on
+    * both engines, then ln → round(4 dp) → integer micro-units, so doc
+    * scores are exact BIGINT sums.
+    *
+    * Scale shape: the bigram explode is the [[bigramLmScore]] template;
+    * all model tables (bigram types, left/right continuation counts)
+    * are vocabulary-bounded hash aggregates; the assembled model
+    * broadcasts back against the per-doc bigrams — corpus text never
+    * joins by shuffle.
+    */
+  def kneserNeyBigramScore(documents: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val bg = Caches.track(documents
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(split($textCol, ' ')) - 2)," +
+            s" i -> named_struct('w1', split($textCol, ' ')[i]," +
+            s" 'w2', split($textCol, ' ')[i + 1]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")))
+    // bigram TYPE table: (w1, w2, cb) — every other model table derives
+    // from it, so the corpus is scanned once for the whole model
+    val cb = Caches.track(bg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cb")))
+    // left profile of w1: total mass c(w1·) and distinct continuations
+    val lft = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p"))
+    // right continuation count of w2: distinct preceding contexts
+    val rgt = cb.groupBy(col("w2")).agg(count(lit(1)).as("nl"))
+    val totals = cb.agg(count(lit(1)).as("ntypes"))
+    // ((cb − d)/c1) + (((d·n1p)/c1) · (nl/ntypes)) — five IEEE ops in
+    // this exact association order; the oracle states the same shape
+    val p = ((col("cb") - lit(0.75)) / col("c1")) +
+      (((lit(0.75) * col("n1p")) / col("c1"))
+        * (col("nl").cast("double") / col("ntypes").cast("double")))
+    val lm = cb
+      .join(broadcast(lft), "w1")
+      .join(broadcast(rgt), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        round(round(log(p), 4) * 10000).cast("long").as("micro"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("micro")).as("sum_logp_micro"))
+  }
+
   /** Scale-safe CCNet bucketing — the production form of the exact-ntile
     * `q_ccnet_buckets` query: derive per-language tercile CUTOFF scores
     * with approximate quantiles (one hash aggregate, no sort), broadcast

@@ -81,7 +81,8 @@ object Tokenization {
     * table back. Call this between the rewrite and the retrain (cache
     * invalidation by content hash is deliberately out of scope: the
     * supported pipeline shape writes derived corpora to new paths). */
-  def invalidateTrained(): Unit = synchronized { trained.clear() }
+  def invalidateTrained(): Unit =
+    synchronized { trained.clear(); trainedWp.clear() }
 
   /** The training loop shared by [[learnBpeMerges]] and
     * [[bpeTokenCounts]]: returns the K learned merges and the final
@@ -822,6 +823,226 @@ object Tokenization {
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |      FROM documents) d
        |JOIN best_e b USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // WordPiece tokenizer (Schuster & Nakajima 2012; the BERT trainer) —
+  // the THIRD published subword family next to BPE and unigram-LM. Same
+  // greedy merge loop as BPE but a LIKELIHOOD objective: each round
+  // merges the adjacent pair maximizing count(ab) / (count(a)·count(b))
+  // — the corpus-likelihood gain of fusing the pair under a unigram
+  // model — instead of raw pair frequency. Continuation symbols carry
+  // the published '##' prefix ("hugs" → h ·##u ·##g ·##s; merging
+  // (##g,##s) yields ##gs, merging (h,##u) yields hu), so the learned
+  // vocabulary is exactly the BERT artifact shape.
+  //
+  // Determinism/oracle discipline (the q_bpe_learn pattern): every
+  // piece of round state is an exact integer (pair count, left/right
+  // symbol counts); the argmax score is ONE IEEE double division of a
+  // product of two exactly-promoted integers, built in identical
+  // association order on both engines, so the per-round argmax — and
+  // hence the whole training — replays bit-identically as unrolled
+  // DuckDB CTEs. Ties break to the lexicographically smallest pair.
+  //
+  // Scale shape: identical to BPE — all state is the vocabulary-bounded
+  // word-frequency table; each round is two hash aggregates over it
+  // (pair counts + symbol counts), one broadcast join, and a 1-row
+  // collect. UNLIKE BPE the rounds cannot batch: merging (a,b) creates
+  // symbol ab whose LOW count sits in the DENOMINATOR of every new
+  // pair's score, so a freshly created pair can immediately outrank all
+  // remaining candidates — the disjoint-prefix proof that batches BPE
+  // does not carry over, and the published trainers are sequential
+  // here too. Encode broadcasts the learned (word → piece count)
+  // vocabulary against the corpus; text never shuffles.
+  // ------------------------------------------------------------------
+
+  /** Memo of WordPiece trainings (same contract as [[trained]]). */
+  private val trainedWp = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
+    () => (Seq[(Int, String, Long, Long, Long)], DataFrame)]
+
+  /** Boundary-aware WordPiece merge: like [[applyMerge]] but the merged
+    * symbol strips the second symbol's '##' continuation marker at the
+    * junction ("h|##u" → "hu", "##g|##s" → "##gs"). */
+  private def wpApplyMerge(df: DataFrame, pair: String): DataFrame = {
+    val search = "|" + pair.replace("|", "||") + "|"
+    val repl = "|" + pair.replace("|##", "") + "|"
+    df.withColumn("sym", expr(
+      s"replace(trim(BOTH '|' FROM replace(" +
+        s"concat('|', replace(sym, '|', '||'), '|'), " +
+        s"'${q(search)}', '${q(repl)}')), '||', '|')"))
+  }
+
+  private def wpTrainLoop(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, Long, Long, Long)], DataFrame) = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, textCol, numMerges)
+    val holder = synchronized {
+      if (trainedWp.size > MaxTrained) trainedWp.clear()
+      trainedWp.getOrElseUpdate(key, {
+        lazy val r = wpTrainLoopUncached(docs, textCol, numMerges)
+        () => r
+      })
+    }
+    holder()
+  }
+
+  private def wpTrainLoopUncached(docs: DataFrame, textCol: String,
+                                  numMerges: Int)
+      : (Seq[(Int, String, Long, Long, Long)], DataFrame) = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    // one corpus scan: word-frequency table in '##'-marked symbol form
+    // ("hugs" → "h|##u|##g|##s")
+    val words = Caches.track(docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), concat_ws("|##", split(col("w"), "")).as("sym"),
+        col("cnt")))
+    val pairsOf = expr(
+      """filter(
+        |  zip_with(split(sym, '\\|'),
+        |           slice(split(sym, '\\|'), 2, size(split(sym, '\\|'))),
+        |           (a, b) -> concat(a, '|', b)),
+        |  x -> x is not null)""".stripMargin)
+
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < numMerges && !exhausted) {
+      // per-symbol corpus frequencies — the score denominators
+      val syms = cur
+        .select(explode(split(col("sym"), "\\|")).as("s"), col("cnt"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("scnt"))
+      val best = cur
+        .select(explode(pairsOf).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .join(broadcast(syms.select(
+          col("s").as("s1"), col("scnt").as("ca"))),
+          expr("substring_index(pair, '|', 1) = s1"))
+        .join(broadcast(syms.select(
+          col("s").as("s2"), col("scnt").as("cb"))),
+          expr("substring_index(pair, '|', -1) = s2"))
+        .orderBy((col("pcnt").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double"))).desc,
+          col("pair").asc)
+        .limit(1)
+        .select(col("pair"), col("pcnt"), col("ca"), col("cb"))
+        .collect()
+      if (best.isEmpty) exhausted = true // fully merged: nothing to learn
+      else {
+        val r = best.head
+        val pair = r.getString(0)
+        done += 1
+        merges += ((done, pair, r.getLong(1), r.getLong(2), r.getLong(3)))
+        // bound lineage: one replace per round, table is vocabulary-sized
+        cur = wpApplyMerge(cur, pair).localCheckpoint()
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** Learn the first `numMerges` WordPiece merges over
+    * whitespace-tokenized `textCol`. Returns one row per merge:
+    * (rank, pair "a|##b", pair_cnt, left_cnt, right_cnt) — the score
+    * that chose the pair is pair_cnt/(left_cnt·right_cnt), reported via
+    * its three exact-integer components so the output is float-free. */
+  def learnWordpieceMerges(docs: DataFrame, textCol: String,
+                           numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = wpTrainLoop(docs, textCol, numMerges)
+    import spark.implicits._
+    merges.toDF("rank", "pair", "pair_cnt", "left_cnt", "right_cnt")
+  }
+
+  /** ENCODE with the freshly learned WordPiece vocabulary: per-document
+    * piece counts under the first `numMerges` merges, via the trained
+    * segmentation table (every corpus word is in the table by
+    * construction; the published greedy longest-match inference rule is
+    * for out-of-training words and coincides with the trained
+    * segmentation only on them — this encode reports the TRAINED
+    * segmentation, the exact analogue of [[bpeTokenCounts]]). */
+  def wordpieceTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+                           numMerges: Int): DataFrame = {
+    val (_, vocab) = wpTrainLoop(docs, textCol, numMerges)
+    val ntok = broadcast(vocab.select(col("w"),
+      size(split(col("sym"), "\\|")).cast("long").as("ntok")))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(ntok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Shared CTE prefix for the WordPiece oracles: word table in
+    * '##'-marked form, then per round symbol counts → pair counts →
+    * likelihood argmax → junction-aware replace. `w{numMerges}` is the
+    * final vocabulary. */
+  private def wpRoundsCte(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s, sum(cnt) AS scnt FROM (
+         |    SELECT unnest(string_split(sym, '|')) AS s, cnt FROM $prev)
+         |  GROUP BY 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT sp.sym[g.i] || '|' || sp.sym[g.i+1] AS pair,
+         |         sum(w.cnt) AS pcnt
+         |  FROM $prev w,
+         |       LATERAL (SELECT string_split(w.sym, '|') AS sym) sp,
+         |       LATERAL (SELECT unnest(generate_series(1, len(sp.sym)-1)) AS i) g
+         |  GROUP BY 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT p.pair, p.pcnt, a.scnt AS ca, b.scnt AS cb
+         |  FROM p$i p
+         |  JOIN s$i a ON a.s = string_split(p.pair, '|')[1]
+         |  JOIN s$i b ON b.s = string_split(p.pair, '|')[2]
+         |  ORDER BY CAST(p.pcnt AS DOUBLE)
+         |             / (CAST(a.scnt AS DOUBLE) * CAST(b.scnt AS DOUBLE))
+         |           DESC, p.pair
+         |  LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, replace(trim(replace(
+         |      '|' || replace(sym, '|', '||') || '|',
+         |      '|' || replace((SELECT pair FROM m$i), '|', '||') || '|',
+         |      '|' || replace((SELECT pair FROM m$i), '|##', '') || '|'),
+         |    '|'), '||', '|') AS sym,
+         |         cnt
+         |  FROM $prev)""".stripMargin
+    }
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(string_split(w, ''), '|##') AS sym,
+       |         count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[learnWordpieceMerges]]. */
+  def wordpieceOracleSql(numMerges: Int): String = {
+    val sel = (1 to numMerges).map(i =>
+      s"SELECT $i AS rank, (SELECT pair FROM m$i) AS pair, " +
+        s"(SELECT CAST(pcnt AS BIGINT) FROM m$i) AS pair_cnt, " +
+        s"(SELECT CAST(ca AS BIGINT) FROM m$i) AS left_cnt, " +
+        s"(SELECT CAST(cb AS BIGINT) FROM m$i) AS right_cnt")
+    s"""WITH ${wpRoundsCte(numMerges)}
+       |${sel.mkString(" UNION ALL ")}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[wordpieceTokenCounts]]: the training rounds'
+    * final vocabulary joined back against each document's words. */
+  def wordpieceEncodeOracleSql(numMerges: Int): String =
+    s"""WITH ${wpRoundsCte(numMerges)}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(v.sym, '|'))) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN w$numMerges v USING (w)
        |WHERE d.w <> ''
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 }

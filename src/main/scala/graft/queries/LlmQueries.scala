@@ -70,6 +70,42 @@ object LlmQueries {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Unrolled synchronous label-propagation rounds over the same
+    * purchase graph (the pagerankOracle pattern): per round, each node
+    * takes the (count DESC, label ASC) argmax over neighbor labels plus
+    * its own — all-integer voting, so the replay is bit-identical. */
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT node, lbl, CAST(sum(cv) AS BIGINT) AS cv FROM (
+         |    SELECT a.src AS node, s.lbl, count(*) AS cv
+         |    FROM adj a JOIN l${k - 1} s ON s.node = a.dst
+         |    GROUP BY 1, 2
+         |    UNION ALL SELECT node, lbl, 1 FROM l${k - 1})
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY cv DESC, lbl) AS rn
+         |    FROM v$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0
+       |    UNION ALL SELECT dst AS src, src AS dst FROM e0)
+       |  WHERE src <> dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl
+       |  FROM (SELECT DISTINCT src AS node FROM adj)),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
+       |FROM l$iters ORDER BY node""".stripMargin
+  }
+
   /** Shared in-plan accuracy contract for the approximate ANN family
     * (sign-LSH / IVF / PQ / IVF-PQ): given top-k results over a corpus
     * planted with EXACT copies of the query vectors (vec_id+100000), the
@@ -1902,6 +1938,35 @@ object LlmQueries {
     // q_bpe_learn discipline extended to a float-scored DP. All
     // training state is vocabulary-bounded; EM rounds scan only the
     // word table with piece probs broadcast.
+    // WordPiece learn — the THIRD published subword family (Schuster &
+    // Nakajima 2012; BERT's trainer): the BPE merge loop under a
+    // LIKELIHOOD objective count(ab)/(count(a)·count(b)) with
+    // '##'-marked continuation symbols. The argmax score is one IEEE
+    // division of exactly-promoted integers in identical association
+    // order on both engines, so the 8 rounds unroll into bit-identical
+    // DuckDB CTEs; the output reports the score via its three integer
+    // components and stays float-free.
+    QueryDef(
+      "q_wordpiece_learn",
+      (s, dir) => graft.llm.Tokenization
+        .learnWordpieceMerges(load(s, dir, "documents"), "text",
+          numMerges = 8)
+        .orderBy(col("rank")),
+      Some(graft.llm.Tokenization.wordpieceOracleSql(8))),
+
+    // WordPiece encode — per-document piece counts under the 8 learned
+    // merges via the trained segmentation table (vocabulary-bounded,
+    // broadcast against the corpus' exploded words; text never
+    // shuffles). Oracle = the training rounds' final vocabulary joined
+    // back to each document.
+    QueryDef(
+      "q_wordpiece_encode",
+      (s, dir) => graft.llm.Tokenization
+        .wordpieceTokenCounts(load(s, dir, "documents"), "text", "doc_id",
+          numMerges = 8)
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization.wordpieceEncodeOracleSql(8))),
+
     QueryDef(
       "q_unigram_learn",
       (s, dir) => graft.llm.Tokenization
@@ -2874,6 +2939,47 @@ object LlmQueries {
              |FROM bgd JOIN lm USING (w1, w2)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // KNESER-NEY bigram scoring (TextAnalysis.kneserNeyBigramScore) —
+    // the smoothing the production perplexity filters actually ship
+    // (KenLM's default, hence CCNet's): absolute discount d = 3/4 with
+    // a CONTINUATION-probability backoff — p(w2|w1) = (cb − d)/c1 +
+    // (d·n1p/c1)·(nl/ntypes), where n1p/nl are distinct-context counts
+    // over the bigram-type table. All model counts are exact integers;
+    // per-bigram ln p rounds to 4 dp then fixes to micro-units, so doc
+    // sums are exact BIGINTs (the q_lm_score discipline).
+    QueryDef(
+      "q_lm_kneser_ney",
+      (s, dir) => TextAnalysis.kneserNeyBigramScore(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |bg0 AS (
+             |  SELECT doc_id, w[CAST(i AS INT)] AS w1,
+             |    w[CAST(i + 1 AS INT)] AS w2
+             |  FROM d, unnest(generate_series(1, len(w) - 1)) u(i)),
+             |bgd AS (
+             |  SELECT doc_id, w1, w2, count(*) AS c
+             |  FROM bg0 GROUP BY 1, 2, 3),
+             |cb AS (SELECT w1, w2, sum(c) AS cb FROM bgd GROUP BY 1, 2),
+             |lft AS (SELECT w1, sum(cb) AS c1, count(*) AS n1p
+             |        FROM cb GROUP BY 1),
+             |rgt AS (SELECT w2, count(*) AS nl FROM cb GROUP BY 1),
+             |tot AS (SELECT count(*) AS ntypes FROM cb),
+             |lm AS (
+             |  SELECT cb.w1, cb.w2,
+             |    CAST(round(round(ln(
+             |      ((CAST(cb AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE))
+             |      + (((0.75 * CAST(n1p AS DOUBLE)) / CAST(c1 AS DOUBLE))
+             |         * (CAST(nl AS DOUBLE) / CAST(ntypes AS DOUBLE)))
+             |    ), 4) * 10000) AS BIGINT) AS micro
+             |  FROM cb JOIN lft USING (w1) JOIN rgt USING (w2)
+             |  CROSS JOIN tot)
+             |SELECT bgd.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(c * micro) AS BIGINT) AS sum_logp_micro
+             |FROM bgd JOIN lm USING (w1, w2)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // HTML → text extraction (TextAnalysis.htmlStrip) — the head of
     // every web-corpus pipeline: drop script/style subtrees, strip
     // tags, decode the standard entities, collapse whitespace. The
@@ -3168,6 +3274,22 @@ object LlmQueries {
           iters = 8)
         .orderBy(col("rank").desc, col("node")).limit(100),
       Some(pagerankOracle(iters = 8))),
+
+    // Community detection over the same purchase graph: synchronous
+    // label propagation with self-vote and min-label tie-break
+    // (Graphs.labelPropagation) — the finer-grained curation prior next
+    // to centrality (communities → domain-level quotas). Every round is
+    // exact integer voting, so 4 iterations unroll into bit-identical
+    // DuckDB CTEs; the asynchronous published variant is randomized and
+    // could never be oracle-checked.
+    QueryDef(
+      "q_graph_labelprop",
+      (s, dir) => graft.llm.Graphs.labelPropagation(
+          load(s, dir, "lineitem").select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")),
+          iters = 4)
+        .orderBy(col("node")),
+      Some(labelPropOracle(iters = 4))),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

@@ -22,16 +22,18 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-11 floor: 244 queries, ALL 244 oracle-checked (round 11
+    // round-11 floor: 249 queries, ALL 249 oracle-checked (round 11
     // adds the JPEG perceptual-dedup gate, the unigram-LM tokenizer
     // trio [learn / encode / pretrained-encode with the full hard-EM
     // training replayed by the oracle], the closed IVF-PQ ingest loop,
-    // the LSH parameter planner, and phash clustering with a
-    // recursive-closure oracle) — bump these when operators are added
-    // so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 244,
+    // the LSH parameter planner, phash clustering with a
+    // recursive-closure oracle, hybrid BM25+cosine RRF retrieval,
+    // label-propagation communities, the WordPiece learn/encode pair,
+    // and Kneser-Ney bigram scoring) — bump these when operators are
+    // added so a bad refactor can't drop queries without failing CI
+    assert(SparkEntry.queries.size >= 249,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 244,
+    assert(SparkEntry.oracleSql.size >= 249,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

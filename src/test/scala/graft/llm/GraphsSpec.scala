@@ -46,4 +46,35 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
     assert(got(5L) > got(1L) && got(6L) > got(9L))
   }
+
+  test("labelPropagation finds the two triangle communities across a " +
+      "bridge, ignoring duplicates, direction, and self-loops") {
+    import SparkSpec.spark.implicits._
+    // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; hand-unrolled:
+    // r1: (1,2,3)→1, 4→3, (5,6)→4; r2: 4→4; r3 stable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (2L, 1L),  // reversed duplicate must not double a vote
+      (5L, 5L))  // self-loop must be dropped, not self-vote twice
+    val got = Graphs.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), got.toString)
+  }
+
+  test("labelPropagation's self-vote damps the synchronous two-coloring " +
+      "oscillation on bipartite graphs") {
+    import SparkSpec.spark.implicits._
+    // 4-cycle (bipartite): without the self-vote, synchronous LPA swaps
+    // the two color classes' labels forever; with it, hand-unrolling
+    // gives r1: (1,2,4)→1, 3→2; r2: all→1; stable thereafter — so both
+    // an even and an odd iteration count land on the same fixpoint
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    for (iters <- Seq(3, 4)) {
+      val got = Graphs.labelPropagation(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+        s"iters=$iters: $got")
+    }
+  }
 }

@@ -974,6 +974,80 @@ class LlmSpec extends SparkSpec {
     assert(uni(1L) == uni(100L))
   }
 
+  test("kneserNeyBigramScore matches the hand-computed model on a " +
+      "closed-form corpus") {
+    import SparkSpec.spark.implicits._
+    // bigram types: (a,b)×2, (a,c)×1, (b,b)×1 → ntypes=3;
+    // left: a:(c1=3,n1p=2), b:(c1=1,n1p=1); right: nl(b)=2, nl(c)=1
+    // p(b|a) = 1.25/3 + (1.5/3)·(2/3) = 0.75        → micro −2877
+    // p(c|a) = 0.25/3 + (1.5/3)·(1/3) = 0.25        → micro −13863
+    // p(b|b) = 0.25/1 + 0.75·(2/3)    = 0.75        → micro −2877
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((1L, -2877L)), 2L -> ((1L, -2877L)),
+      3L -> ((1L, -13863L)), 4L -> ((1L, -2877L))), out.toString)
+  }
+
+  test("kneserNeyBigramScore penalizes single-context words in novel " +
+      "contexts where the interpolated model cannot distinguish") {
+    import SparkSpec.spark.implicits._
+    // the published motivating case: 'francisco' and 'york' are equally
+    // FREQUENT, but francisco follows only 'san' while york follows many
+    // contexts — so york's continuation probability is higher and the
+    // novel bigram 'the york' outscores 'the francisco' under KN, while
+    // the unigram-interpolated model (identical cb, c(w1), unigram
+    // counts) scores them IDENTICALLY
+    val docs = ((1 to 15).map(i => (i.toLong, "san francisco")) ++
+      (21 to 25).map(i => (i.toLong, "new york")) ++
+      (31 to 35).map(i => (i.toLong, "old york")) ++
+      (41 to 45).map(i => (i.toLong, "in york")) :+
+      (100L, "the francisco") :+ (200L, "the york")).toDF("doc_id", "text")
+    val kn = TextAnalysis.kneserNeyBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kn(200L) > kn(100L), kn.toString)
+    val interp = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(interp(200L) == interp(100L), interp.toString)
+  }
+
+  test("learnWordpieceMerges picks the likelihood argmax where BPE picks " +
+      "raw pair frequency") {
+    import SparkSpec.spark.implicits._
+    // aa×4: pair (a,##a) cnt 4, syms a:4(+6 from ab-less bc words? no)
+    // corpus: aa×4, bc×6 → pairs (a,##a):4 score 4/(4·4)=0.25,
+    // (b,##c):6 score 6/(6·6)=0.167 — WordPiece merges the RARER but
+    // more predictive (a,##a); frequency-greedy BPE merges b|c
+    val text = (Seq.fill(4)("aa") ++ Seq.fill(6)("bc")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val wp = Tokenization.learnWordpieceMerges(docs, "text", numMerges = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(wp.toSeq == Seq((1, "a|##a", 4L, 4L, 4L)), wp.toSeq.toString)
+    val bpe = Tokenization.learnBpeMerges(docs, "text", numMerges = 1)
+      .collect().map(r => r.getString(1))
+    assert(bpe.toSeq == Seq("b|c"))
+  }
+
+  test("wordpiece merges strip the '##' continuation marker at the " +
+      "junction and encode through the trained segmentation") {
+    import SparkSpec.spark.implicits._
+    // abc×2: round 1 ties (a,##b)=(##b,##c)=2/(2·2) → '##b|##c' wins the
+    // lexicographic tie ('#' < 'a'), merging to ##bc; round 2 merges
+    // (a,##bc) into the whole word abc
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val wp = Tokenization.learnWordpieceMerges(docs, "text", numMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(wp.toSeq == Seq((1, "##b|##c", 2L), (2, "a|##bc", 2L)),
+      wp.toSeq.toString)
+    def ntok(m: Int): Long = Tokenization.wordpieceTokenCounts(
+      docs, "text", "doc_id", numMerges = m).collect().head.getLong(2)
+    assert(ntok(1) == 4L) // a ·##bc per word
+    assert(ntok(2) == 2L) // abc whole-word piece
+  }
+
   test("htmlStrip drops script/style subtrees whole, decodes entities, " +
       "and collapses whitespace") {
     import SparkSpec.spark.implicits._
