@@ -70,7 +70,13 @@ object Bench {
     // their FULL lifecycle per run by stated contract (two-tier index
     // write + indexed query; index write + two streamed ingest batches)
     "q_sim_ivfpq_indexed",    // IVF-PQ two-tier write + ADC indexed query
-    "q_stream_dedup_append")  // closed streaming ingest loop vs fresh index
+    "q_stream_dedup_append",  // closed streaming ingest loop vs fresh index
+    // round-11 additions #2 (first frozen budgets in BASELINE.md): the
+    // heaviest of the late-round-11 operators — the LPA fixpoint and the
+    // WordPiece pair's full-lifecycle representative (encode re-trains
+    // the 8 merges per run: training caches are cleared between reps)
+    "q_graph_labelprop",      // synchronous LPA, 4 integer-voting rounds
+    "q_wordpiece_encode")     // WordPiece 8-merge train + segmented encode
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

@@ -1124,6 +1124,47 @@ object Dedup {
         coalesce(col("m"), col("node")).as("cluster_id"))
   }
 
+  /** Quality-aware survivor selection over a duplicate-pair graph — the
+    * OTHER published keep policy next to min-id representatives
+    * (`q_dedup_corpus`): real pipelines keep the BEST member of each
+    * near-dup cluster (longest / highest-quality — near-dups differ, and
+    * a truncated or boilerplate-padded twin should lose to the clean
+    * one), not the one with the smallest id. Given docs carrying an
+    * integer quality column and a near-dup pair list, returns one row
+    * per cluster — (cluster_id, doc_id, score, n_members) — where the
+    * survivor is the (score DESC, id ASC) argmax and singletons survive
+    * as their own cluster. The score must be integral for cross-engine
+    * exactness (token counts, byte lengths, micro-unit fixed-point
+    * scores all qualify — float ordering ties would be engine-defined).
+    *
+    * Scale shape: components via [[connectedComponentsStar]] (O(log n)
+    * rounds, chain-safe), then ONE left join to attach labels and ONE
+    * (cluster) hash aggregate with an in-plan struct-max argmax — no
+    * windows over the corpus, no driver state. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+                         scoreCol: String,
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"keepBestPerCluster needs a numeric id column for the argmax " +
+          s"tie-break; $idCol is $other — hash it to a numeric key first")
+    }
+    val clusters = connectedComponentsStar(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol), col(scoreCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.negid")).as(idCol),
+        col("m.s").as(scoreCol), col("n_members"))
+  }
+
   /** Dedup-AWARE train/val/test split: every member of a near-dup
     * cluster lands in the SAME split — the published leakage rule (one
     * twin training while the other evaluates silently inflates eval

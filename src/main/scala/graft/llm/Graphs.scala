@@ -193,4 +193,117 @@ object Graphs {
     adj.unpersist(blocking = false)
     state.select(col("node"), col("lbl"))
   }
+
+  /** Per-node triangle counts over an edge list treated as UNDIRECTED —
+    * the third graph-curation prior next to centrality and communities:
+    * triangle density separates organically-linked neighborhoods from
+    * link-farm stars (a spam hub has huge degree but few triangles), and
+    * (node, deg, triangles) is exactly the input of the local clustering
+    * coefficient 2·t/(deg·(deg−1)).
+    *
+    * Scale shape — the published degree-orientation bound (Cohen 2009 /
+    * Suri & Vassilvitskii 2011, the standard MapReduce formulation):
+    * every undirected edge is oriented from its LOWER (deg, id) endpoint
+    * to its higher one, so each triangle is generated exactly once, a
+    * node's oriented out-degree is O(√m), and the wedge join produces
+    * O(m^{3/2}) candidate rows TOTAL instead of Σdeg² — the difference
+    * between a hub contributing deg² wedges and contributing none.
+    * Three equi-joins end to end (never all-pairs): orient (edges ⋈ deg
+    * twice), wedge (oriented ⋈ oriented on the shared source), close
+    * (wedges ⋈ oriented on the (v,w) pair); per-node counts are one
+    * explode + hash aggregate over confirmed triangles. All counting is
+    * exact integers, so the result hash-matches any engine that
+    * enumerates the same graph (q_graph_triangles replays it in DuckDB
+    * via the canonical a<b<c form — orientation-independent ground
+    * truth).
+    *
+    * Returns (node, deg, triangles) for every node of the symmetrized
+    * simple graph (triangle-free nodes report 0). */
+  def triangleCounts(edgesDf: DataFrame): DataFrame = {
+    val und = edgesDf.select(col("src"), col("dst"))
+      .unionByName(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient toward the higher (deg, id) endpoint; carry BOTH endpoint
+    // degree keys so the wedge stage can apply the same total order to
+    // its (v, w) pair without re-joining the degree table
+    val oriented = und
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges (u; v ≺ w) from a shared oriented source, then close the
+    // (v, w) side against the oriented edge set — (v, w) is already in
+    // orientation order because ≺ IS the orientation's total order
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"), col("a.u") === col("b.u"))
+      .filter(col("a.dv") < col("b.dv") ||
+        (col("a.dv") === col("b.dv") && col("a.v") < col("b.v")))
+      .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+    val tris = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    // eager localCheckpoint severs lineage from the staged tables, so
+    // releasing them cannot force a recompute under the caller's action
+    val out = deg
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint()
+    Seq(und, deg, oriented, tris).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Rounds-bounded k-core peel over an edge list treated as UNDIRECTED:
+    * repeatedly delete nodes of degree < k (with all incident edges) for
+    * exactly `rounds` synchronous rounds, returning (node, deg) for the
+    * survivors with their within-subgraph degrees. Once the peel reaches
+    * its fixpoint — the k-core — further rounds are no-ops, so for any
+    * `rounds` ≥ the graph's peel depth this IS the k-core (the
+    * coreness/graph-mining standard for "densely embedded", the
+    * complement of the link-farm signal [[triangleCounts]] measures);
+    * below the peel depth it is the well-defined rounds-bounded peel,
+    * which is what lets a FIXED unroll replay bit-identically in DuckDB
+    * (the pagerankExact discipline — all-integer degrees, no floats).
+    * GraphsSpec pins a fixture whose peel needs multiple cascading
+    * rounds plus the no-op idempotence past the fixpoint.
+    *
+    * Scale shape: per round one hash aggregate (degrees), one
+    * broadcast-resistant semi-join of the shrinking edge table against
+    * surviving nodes on EACH endpoint, and a `localCheckpoint` that
+    * bounds the plan while the edge set only ever shrinks — the peel is
+    * monotone, so round cost decreases; no windows, no driver state
+    * beyond the loop counter. */
+  def kcore(edgesDf: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    var adj = edgesDf.select(col("src"), col("dst"))
+      .unionByName(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = adj.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      adj = adj
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      i += 1
+    }
+    adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -1786,6 +1786,66 @@ object LlmQueries {
              |    AS keep
              |FROM corpus ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware survivor selection (Dedup.keepBestPerCluster) — the
+    // OTHER published keep policy next to q_dedup_corpus's min-id rule:
+    // keep the BEST member of each near-dup cluster. The corpus plants,
+    // per base doc, a 10-word-truncated copy (+10000) and a copy that is
+    // padded for even ids / 5-word-truncated for odd (+20000), with the
+    // pair chain built by construction — so even clusters' survivor is
+    // the PADDED copy and odd clusters' the base doc, proving the argmax
+    // is by score and not by id. Scores are exact token counts; the
+    // argmax is an in-plan struct-max (no corpus window), components via
+    // the O(log n) star rounds.
+    QueryDef(
+      "q_dedup_keep_best",
+      (s, dir) => {
+        val base = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("text")))
+          .unionByName(base.select((col("doc_id") + 20000).as("doc_id"),
+            when(col("doc_id") % 2 === 0,
+              concat(col("text"), lit(" pad pad pad pad")))
+              .otherwise(concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+              .as("text")))
+        val pairs = base.select(col("doc_id").as("d1"),
+            (col("doc_id") + 10000).as("d2"))
+          .unionByName(base.select(col("doc_id").as("d1"),
+            (col("doc_id") + 20000).as("d2")))
+        Dedup.keepBestPerCluster(
+          corpus.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          pairs, scoreCol = "n_tokens")
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |    array_to_string(string_split(text, ' ')[1:10], ' ')
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 20000,
+             |    CASE WHEN doc_id % 2 = 0 THEN text || ' pad pad pad pad'
+             |         ELSE array_to_string(string_split(text, ' ')[1:5], ' ')
+             |    END
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id, doc_id % 10000 AS cluster_id,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM corpus)
+             |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+             |  CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_members AS BIGINT) AS n_members
+             |FROM (
+             |  SELECT doc_id, cluster_id, n_tokens,
+             |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             |    row_number() OVER (PARTITION BY cluster_id
+             |      ORDER BY n_tokens DESC, doc_id) AS rn
+             |  FROM scored) WHERE rn = 1
+             |ORDER BY cluster_id""".stripMargin)),
+
     // Incremental dedup — the production ingest pattern: a NEW batch
     // (doc_id ≥ 400) dedups against the accumulated HISTORY corpus via an
     // asymmetric band-bucket join (batch bands × history index only; the
@@ -3290,6 +3350,100 @@ object LlmQueries {
           iters = 4)
         .orderBy(col("node")),
       Some(labelPropOracle(iters = 4))),
+
+    // Per-node triangle counts (Graphs.triangleCounts) over the
+    // CO-PURCHASE projection of the purchase graph (parts sharing an
+    // order — the bipartite part⟷supplier graph is triangle-free by
+    // construction, so the projection is the triangle fixture): the
+    // link-farm separator — a spam hub has huge degree but few
+    // triangles — and the raw input of the local clustering
+    // coefficient. Engine: degree-oriented wedge join (each triangle
+    // generated once, out-degree O(√m), wedge rows O(m^{3/2}));
+    // oracle: orientation-independent canonical a<b<c enumeration —
+    // two independent algorithms, exact-integer counts, full hash
+    // match.
+    QueryDef(
+      "q_graph_triangles",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.llm.Graphs.triangleCounts(
+          li.as("a").join(li.as("b"), "l_orderkey")
+            .filter(col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"),
+              col("b.l_partkey").as("dst")))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e0 AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey < b.l_partkey),
+             |adj AS MATERIALIZED (
+             |  SELECT src, dst FROM e0
+             |  UNION SELECT dst, src FROM e0),
+             |tri AS MATERIALIZED (
+             |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+             |  FROM adj x
+             |  JOIN adj y ON y.src = x.dst AND y.dst > x.dst
+             |  JOIN adj z ON z.src = x.src AND z.dst = y.dst
+             |  WHERE x.dst > x.src),
+             |pern AS (
+             |  SELECT node, count(*) AS triangles FROM (
+             |    SELECT a AS node FROM tri
+             |    UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri)
+             |  GROUP BY 1),
+             |deg AS (SELECT src AS node, count(*) AS deg FROM adj
+             |        GROUP BY 1)
+             |SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg,
+             |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
+             |FROM deg LEFT JOIN pern USING (node)
+             |ORDER BY node""".stripMargin)),
+
+    // Rounds-bounded k-core peel (Graphs.kcore) over the same
+    // co-purchase projection — the "densely embedded" complement of the
+    // triangle signal: survivors of the k=80 peel are parts whose
+    // co-purchase neighborhood stays ≥80-strong even after every weakly
+    // connected part cascades out. All-integer degrees, so the 6
+    // synchronous rounds unroll into bit-identical DuckDB CTEs (rounds
+    // past the fixpoint are no-ops; GraphsSpec pins the cascade +
+    // idempotence).
+    QueryDef(
+      "q_graph_kcore",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.llm.Graphs.kcore(
+          li.as("a").join(li.as("b"), "l_orderkey")
+            .filter(col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"),
+              col("b.l_partkey").as("dst")),
+          k = 80, rounds = 6)
+          .orderBy(col("node"))
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""n$i AS MATERIALIZED (
+             |  SELECT src AS node FROM a${i - 1}
+             |  GROUP BY 1 HAVING count(*) >= 80),
+             |a$i AS MATERIALIZED (
+             |  SELECT a.src, a.dst FROM a${i - 1} a
+             |  JOIN n$i s ON s.node = a.src
+             |  JOIN n$i t ON t.node = a.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey
+           |  WHERE a.l_partkey < b.l_partkey),
+           |a0 AS MATERIALIZED (
+           |  SELECT src, dst FROM e0
+           |  UNION SELECT dst, src FROM e0),
+           |$rounds
+           |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+           |FROM a6 GROUP BY 1 ORDER BY node""".stripMargin
+      }),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

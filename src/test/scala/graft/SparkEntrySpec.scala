@@ -29,11 +29,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // the LSH parameter planner, phash clustering with a
     // recursive-closure oracle, hybrid BM25+cosine RRF retrieval,
     // label-propagation communities, the WordPiece learn/encode pair,
-    // and Kneser-Ney bigram scoring) — bump these when operators are
-    // added so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 249,
+    // Kneser-Ney bigram scoring, degree-oriented triangle counts, the
+    // rounds-bounded k-core peel, and quality-aware survivor selection)
+    // — bump these when operators are added so a bad refactor can't
+    // drop queries without failing CI
+    assert(SparkEntry.queries.size >= 252,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 249,
+    assert(SparkEntry.oracleSql.size >= 252,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -77,4 +77,39 @@ class GraphsSpec extends SparkSpec {
         s"iters=$iters: $got")
     }
   }
+
+  test("triangleCounts: two triangles sharing an edge, a triangle-free " +
+      "star hub, duplicate/reversed/self-loop edges ignored") {
+    import SparkSpec.spark.implicits._
+    // triangles {1,2,3} and {2,3,4} share edge 2-3; hub 10 fans out to
+    // 1,2,3,4 via NOTHING (only to 20,21,22 leaves — star, no triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L),
+      (10L, 20L), (10L, 21L), (10L, 22L),
+      (3L, 2L),   // reversed duplicate
+      (1L, 1L))   // self-loop
+    val got = Graphs.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L)), 2L -> ((3L, 2L)), 3L -> ((3L, 2L)), 4L -> ((2L, 1L)),
+      10L -> ((3L, 0L)), 20L -> ((1L, 0L)), 21L -> ((1L, 0L)),
+      22L -> ((1L, 0L))), got.toString)
+  }
+
+  test("kcore peels a chain into the clique over cascading rounds and is " +
+      "idempotent past the fixpoint; k above the core empties the graph") {
+    import SparkSpec.spark.implicits._
+    // K4 {1,2,3,4} with a pendant chain 5-6-7 hanging off node 1:
+    // k=2 peel needs 3 cascading rounds (7, then 6, then 5)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (5L, 6L), (6L, 7L))
+    def run(k: Int, rounds: Int): Map[Long, Long] =
+      Graphs.kcore(edges.toDF("src", "dst"), k, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    assert(run(2, 3) == core, run(2, 3).toString)
+    assert(run(2, 6) == core) // no-op rounds past the fixpoint
+    // 2 rounds is mid-cascade: 5 still present (6 left only this round)
+    assert(run(2, 2).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(run(4, 3).isEmpty) // K4 is a 3-core, not a 4-core
+  }
 }

@@ -436,6 +436,29 @@ class LlmSpec extends SparkSpec {
     assert(splitOf("doc-10") == splitOf("doc-11"))
   }
 
+  test("keepBestPerCluster: score argmax with min-id ties, transitive " +
+      "clusters, surviving singletons, and a loud string-id refusal") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), // chain cluster, tie 2v3
+      (10L, 4L),                                 // singleton
+      (20L, 1L), (21L, 7L)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), // transitive: 1-2-3 one cluster
+      (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.keepBestPerCluster(docs, pairs, "score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 9L, 3L)),   // max score 9 twice → min id 2 wins
+      10L -> ((10L, 4L, 1L)), // singleton survives as its own cluster
+      20L -> ((21L, 7L, 2L))), got.toString) // argmax NOT the min id
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.keepBestPerCluster(
+        Seq(("a", 1L)).toDF("doc_id", "score"),
+        Seq(("a", "a")).toDF("d1", "d2"), "score")
+    }
+    assert(ex.getMessage.contains("numeric id"))
+  }
+
   test("compactIvfIndex consolidates appended postings and preserves " +
       "reader output exactly") {
     import SparkSpec.spark.implicits._
