@@ -76,7 +76,13 @@ object Bench {
     // WordPiece pair's full-lifecycle representative (encode re-trains
     // the 8 merges per run: training caches are cleared between reps)
     "q_graph_labelprop",      // synchronous LPA, 4 integer-voting rounds
-    "q_wordpiece_encode")     // WordPiece 8-merge train + segmented encode
+    "q_wordpiece_encode",     // WordPiece 8-merge train + segmented encode
+    // round-11 additions #3 (first frozen budgets in BASELINE.md): the
+    // graph pair over the dense co-purchase projection — the heaviest
+    // operators of the round (the triangle wedge join alone generates
+    // ~41M candidate rows at sf0.1)
+    "q_graph_triangles",      // degree-oriented wedge join + closure
+    "q_graph_kcore")          // 6 synchronous peel rounds, k=80
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

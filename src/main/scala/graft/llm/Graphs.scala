@@ -306,4 +306,79 @@ object Graphs {
     }
     adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Personalized PageRank with an exact-integer fixpoint — TrustRank
+    * (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the seed-biased
+    * random walk that propagates trust from a vetted seed set through
+    * the link graph, the published crawl-curation complement of global
+    * [[pagerankExact]] centrality (rank mass concentrates near the
+    * seeds; low-scoring far pages are the spam candidates). Identical
+    * sweep structure to [[pagerankExact]] with two substitutions: the
+    * teleport term lands ONLY on seeds (scale/|S| each, not scale/n),
+    * and dangling mass returns to the seeds (the walk restarts at a
+    * seed, never at a uniformly random page):
+    *
+    *   rank'(v) = [v∈S]·((den−num)·scale) div (den·|S|)
+    *            + (num · (Σ_{u→v} rank(u) div deg(u)
+    *                      + [v∈S]·(dm div |S|))) div den
+    *
+    * All-integer arithmetic (the floor divisions shed ≤ 1 unit per node
+    * per sweep), so a fixed iteration count unrolls into bit-identical
+    * DuckDB CTEs. The seed set rides as a 0/1 column IN the iterated
+    * state — per sweep one edge join, one contribution aggregate, one
+    * state rejoin, exactly the [[pagerankExact]] shape; seeds broadcast
+    * once into the state build and add no per-sweep work. */
+  def trustRankExact(edgesDf: DataFrame, seeds: DataFrame, iters: Int = 8,
+                     dampingNum: Long = 85L, dampingDen: Long = 100L,
+                     scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val seedSet = seeds.select(col("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedSet.join(nodes, Seq("node"), "left_semi").count()
+    require(nSeeds > 0, "trustRank needs at least one seed present in the graph")
+    val withDeg = nodes
+      .join(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        Seq("node"), "left")
+      .join(broadcast(seedSet.withColumn("is_seed", lit(1L))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val teleport = (dampingDen - dampingNum) * scale / (dampingDen * nSeeds)
+    var state = withDeg
+      .withColumn("rank", col("is_seed") * lit(scale / nSeeds))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val dangling = state.filter(col("deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val contribs = edges
+        .join(state.filter(col("deg") > 0)
+          .select(col("node").as("src"), col("rank"), col("deg")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      state = withDeg
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("deg"), col("is_seed"),
+          (col("is_seed") * lit(teleport) + expr(
+            s"($dampingNum * (coalesce(contrib, 0L)" +
+              s" + is_seed * (dm div $nSeeds))) div $dampingDen"
+          )).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    withDeg.unpersist(blocking = false)
+    seedSet.unpersist(blocking = false)
+    state.select(col("node"), col("rank"))
+  }
 }

@@ -597,6 +597,100 @@ object TextAnalysis {
         sum(col("c") * col("micro")).as("sum_logp_micro"))
   }
 
+  /** Per-document interpolated TRIGRAM Kneser-Ney log-likelihood — the
+    * order at which the production perplexity filters actually operate
+    * (KenLM ships order ≥ 3; CCNet's reference model is a 5-gram): the
+    * [[kneserNeyBigramScore]] discount-plus-continuation recursion
+    * applied one level deeper (Chen & Goodman 1999's interpolated form),
+    *
+    *   p(w₃|w₁w₂) = (c(w₁w₂w₃) − d)/c(w₁w₂·)
+    *              + λ(w₁w₂) · p_KN(w₃|w₂)
+    *   p_KN(w₃|w₂) = (N₁₊(·w₂w₃) − d)/N₁₊(·w₂·)
+    *              + (d·N₁₊(w₂·)/N₁₊(·w₂·)) · N₁₊(·w₃)/N₁₊(··)
+    *
+    * with d = 3/4 and λ(w₁w₂) = d·N₁₊(w₁w₂·)/c(w₁w₂·). The mid-level
+    * probability uses CONTINUATION counts (distinct predecessors of the
+    * (w₂,w₃) pair over trigram types), not raw bigram frequency — the
+    * defining KN property carried through the recursion. Every scored
+    * trigram is corpus-observed, so both discounted numerators are ≥
+    * 1 − d > 0 and the textbook max(·,0) clamps are vacuous.
+    *
+    * Determinism: every model quantity is an exact integer (trigram
+    * counts, context masses, four distinct-count tables); the per-trigram
+    * probability is a fixed eleven-operation IEEE double expression in
+    * stated association order, then ln → 4 dp → integer micro-units —
+    * doc scores are exact BIGINT sums (the [[kneserNeyBigramScore]]
+    * discipline one order up).
+    *
+    * Scale shape: one corpus scan builds the per-doc trigram counts; the
+    * trigram TYPE table derives every model table as vocabulary-bounded
+    * hash aggregates (plus the bigram-type table for the base
+    * continuation level); the assembled model broadcasts back against
+    * per-doc trigrams — corpus text never joins by shuffle. */
+  def kneserNeyTrigramScore(documents: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val tg = Caches.track(documents
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(split($textCol, ' ')) - 3)," +
+            s" i -> named_struct('w1', split($textCol, ' ')[i]," +
+            s" 'w2', split($textCol, ' ')[i + 1]," +
+            s" 'w3', split($textCol, ' ')[i + 2]))")).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c")))
+    // trigram TYPE table — the model's single derivation root (the
+    // bigram level additionally needs the corpus bigram-type table for
+    // the base continuation distribution)
+    val ct = Caches.track(tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c")).as("c3")))
+    // context profile of (w1,w2): total mass and distinct continuations
+    val ctx = ct.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("cctx"), count(lit(1)).as("n3"))
+    // mid continuation counts around w2: distinct predecessors of each
+    // (w2,w3) pair, and distinct (w1,w3) pairs through w2
+    val mid = ct.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("nm"))
+    val midCtx = ct.groupBy(col("w2")).agg(count(lit(1)).as("n2mid"))
+    // base level over corpus BIGRAM types (both corpus positions, not
+    // just trigram-interior ones): distinct continuations of w2,
+    // distinct predecessors of w3, total bigram types
+    val bgt = Caches.track(documents
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(explode(expr(
+        s"transform(sequence(0, size(split($textCol, ' ')) - 2)," +
+          s" i -> named_struct('w1', split($textCol, ' ')[i]," +
+          s" 'w2', split($textCol, ' ')[i + 1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .distinct())
+    val rgt = bgt.groupBy(col("w1").as("w2")).agg(count(lit(1)).as("nr"))
+    val lft = bgt.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("nl"))
+    val totals = bgt.agg(count(lit(1)).as("ntypes"))
+    // ((c3−d)/cctx) + (((d·n3)/cctx) · (((nm−d)/n2mid)
+    //   + (((d·nr)/n2mid) · (nl/ntypes)))) — eleven IEEE ops in this
+    // exact association order; the oracle states the same shape
+    val p = ((col("c3") - lit(0.75)) / col("cctx")) +
+      (((lit(0.75) * col("n3")) / col("cctx"))
+        * (((col("nm") - lit(0.75)) / col("n2mid"))
+          + (((lit(0.75) * col("nr")) / col("n2mid"))
+            * (col("nl").cast("double") / col("ntypes").cast("double")))))
+    val lm = ct
+      .join(broadcast(ctx), Seq("w1", "w2"))
+      .join(broadcast(mid), Seq("w2", "w3"))
+      .join(broadcast(midCtx), "w2")
+      .join(broadcast(rgt), "w2")
+      .join(broadcast(lft), "w3")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(round(log(p), 4) * 10000).cast("long").as("micro"))
+    tg.join(lm, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(col("c") * col("micro")).as("sum_logp_micro"))
+  }
+
   /** Scale-safe CCNet bucketing — the production form of the exact-ntile
     * `q_ccnet_buckets` query: derive per-language tercile CUTOFF scores
     * with approximate quantiles (one hash aggregate, no sort), broadcast

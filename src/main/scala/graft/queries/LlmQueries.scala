@@ -106,6 +106,55 @@ object LlmQueries {
        |FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.llm.Graphs.trustRankExact]] — the
+    * pagerankOracle chain with the two TrustRank substitutions (teleport
+    * and dangling mass land only on seeds), seeds = parts with key <
+    * 50. Same MATERIALIZED/integer-`//`/BIGINT-cast discipline. */
+  private def trustRankOracle(iters: Int, scale: Long = 1000000000000L,
+                              dampingNum: Long = 85L,
+                              dampingDen: Long = 100L): String = {
+    val tn = dampingDen - dampingNum
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+         |  FROM r${k - 1} r JOIN deg g USING (node) WHERE g.deg = 0),
+         |c$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(r.rank // g.deg) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN deg g ON g.node = e.src
+         |  WHERE g.deg > 0 GROUP BY e.dst),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(
+         |    n.is_seed * (($tn * $scale) // ($dampingDen * (SELECT ns FROM sc)))
+         |    + ($dampingNum * (coalesce(c.contrib, 0)
+         |             + n.is_seed * ((SELECT dm FROM d$k)
+         |                            // (SELECT ns FROM sc)))) // $dampingDen
+         |    AS BIGINT) AS rank
+         |  FROM seeded n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |seeded AS MATERIALIZED (
+       |  SELECT node, CASE WHEN node < 50 THEN 1 ELSE 0 END AS is_seed
+       |  FROM nodes),
+       |sc AS MATERIALIZED (
+       |  SELECT count(*) AS ns FROM seeded WHERE is_seed = 1),
+       |deg AS MATERIALIZED (
+       |  SELECT n.node, coalesce(d.deg, 0) AS deg
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT src AS node, count(*) AS deg FROM edges GROUP BY src) d
+       |  USING (node)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, is_seed * ($scale // (SELECT ns FROM sc)) AS rank
+       |  FROM seeded),
+       |$steps
+       |SELECT node, rank FROM r$iters WHERE rank > 0
+       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
+
   /** Shared in-plan accuracy contract for the approximate ANN family
     * (sign-LSH / IVF / PQ / IVF-PQ): given top-k results over a corpus
     * planted with EXACT copies of the query vectors (vec_id+100000), the
@@ -3040,6 +3089,58 @@ object LlmQueries {
              |FROM bgd JOIN lm USING (w1, w2)
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Interpolated TRIGRAM Kneser-Ney (TextAnalysis.kneserNeyTrigramScore)
+    // — the order the production perplexity filters actually run (KenLM
+    // ships ≥3-gram): the KN discount-plus-continuation recursion one
+    // level deeper, mid-level probabilities from continuation counts over
+    // trigram types, base level from corpus bigram types. All model
+    // counts exact integers; per-trigram p is eleven IEEE ops in stated
+    // association order, ln → 4 dp → micro-units, exact BIGINT doc sums.
+    QueryDef(
+      "q_lm_kn_trigram",
+      (s, dir) => TextAnalysis.kneserNeyTrigramScore(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |tg0 AS (
+             |  SELECT doc_id, w[CAST(i AS INT)] AS w1,
+             |    w[CAST(i + 1 AS INT)] AS w2, w[CAST(i + 2 AS INT)] AS w3
+             |  FROM d, unnest(generate_series(1, len(w) - 2)) u(i)),
+             |tgd AS (
+             |  SELECT doc_id, w1, w2, w3, count(*) AS c
+             |  FROM tg0 GROUP BY 1, 2, 3, 4),
+             |ct AS (SELECT w1, w2, w3, sum(c) AS c3 FROM tgd GROUP BY 1, 2, 3),
+             |ctx AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS n3
+             |        FROM ct GROUP BY 1, 2),
+             |mid AS (SELECT w2, w3, count(*) AS nm FROM ct GROUP BY 1, 2),
+             |midctx AS (SELECT w2, count(*) AS n2mid FROM ct GROUP BY 1),
+             |b0 AS (
+             |  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+             |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+             |        WHERE len(string_split(text, ' ')) >= 2) t,
+             |       unnest(generate_series(1, len(w) - 1)) u(i)),
+             |bgt AS (SELECT DISTINCT w1, w2 FROM b0),
+             |rgt AS (SELECT w1 AS w2, count(*) AS nr FROM bgt GROUP BY 1),
+             |lft AS (SELECT w2 AS w3, count(*) AS nl FROM bgt GROUP BY 1),
+             |tot AS (SELECT count(*) AS ntypes FROM bgt),
+             |lm AS (
+             |  SELECT ct.w1, ct.w2, ct.w3,
+             |    CAST(round(round(ln(
+             |      ((CAST(c3 AS DOUBLE) - 0.75) / CAST(cctx AS DOUBLE))
+             |      + (((0.75 * CAST(n3 AS DOUBLE)) / CAST(cctx AS DOUBLE))
+             |         * (((CAST(nm AS DOUBLE) - 0.75) / CAST(n2mid AS DOUBLE))
+             |            + (((0.75 * CAST(nr AS DOUBLE)) / CAST(n2mid AS DOUBLE))
+             |               * (CAST(nl AS DOUBLE) / CAST(ntypes AS DOUBLE)))))
+             |    ), 4) * 10000) AS BIGINT) AS micro
+             |  FROM ct JOIN ctx USING (w1, w2) JOIN mid USING (w2, w3)
+             |  JOIN midctx USING (w2) JOIN rgt USING (w2) JOIN lft USING (w3)
+             |  CROSS JOIN tot)
+             |SELECT tgd.doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             |  CAST(sum(c * micro) AS BIGINT) AS sum_logp_micro
+             |FROM tgd JOIN lm USING (w1, w2, w3)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // HTML → text extraction (TextAnalysis.htmlStrip) — the head of
     // every web-corpus pipeline: drop script/style subtrees, strip
     // tags, decode the standard entities, collapse whitespace. The
@@ -3444,6 +3545,31 @@ object LlmQueries {
            |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
            |FROM a6 GROUP BY 1 ORDER BY node""".stripMargin
       }),
+
+    // TrustRank (Graphs.trustRankExact) — seed-biased PageRank over the
+    // purchase graph, seeds = parts with key < 50: the published
+    // spam-filtering curation prior (trust flows from a vetted seed
+    // set; far low-rank pages are the spam candidates). Teleport AND
+    // dangling mass land only on seeds; all-integer sweeps, so 8
+    // iterations unroll into the pagerankOracle chain with the two
+    // TrustRank substitutions. Non-seed nodes more than one hop from
+    // every seed hold rank 0 — the WHERE rank > 0 cut keeps the output
+    // the reached neighborhood (applied identically in both engines).
+    QueryDef(
+      "q_graph_trustrank",
+      (s, dir) => {
+        import s.implicits._
+        graft.llm.Graphs.trustRankExact(
+          load(s, dir, "lineitem").select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")),
+          seeds = load(s, dir, "lineitem")
+            .select(col("l_partkey").as("node"))
+            .filter(col("node") < 50).distinct(),
+          iters = 8)
+          .filter(col("rank") > 0)
+          .orderBy(col("rank").desc, col("node")).limit(100)
+      },
+      Some(trustRankOracle(iters = 8))),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

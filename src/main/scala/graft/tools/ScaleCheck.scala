@@ -128,6 +128,24 @@ object ScaleCheck {
     new java.io.FileOutputStream(new java.io.File(fs, "_DONE_caesar_v6")).close()
   }
 
+  /** k disjoint id-shifted copies of the base co-purchase projection
+    * (parts sharing an order) — the graph rows' component-copies axis.
+    * The synthesized lineitem keeps only (l_partkey, l_suppkey), so the
+    * orderkey-bearing projection builds from BASE and shifts per copy. */
+  private def copurchaseCopies(spark: SparkSession, base: String,
+                               factor: Int): DataFrame = {
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    (0 until factor).map { k =>
+      if (k == 0) e0
+      else e0.select((col("src") + lit(k * 10000000L)).as("src"),
+        (col("dst") + lit(k * 10000000L)).as("dst"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val synthRoot = if (args.length > 1) args(1) else "target/scalecheck"
@@ -406,6 +424,22 @@ object ScaleCheck {
         graft.llm.Clustering.kmeans(vecs, "vec_id", "embedding",
           k = 8, iters = 3)
       }),
+      // round-11: the graph trio on the COMPONENT-COPIES axis — k
+      // disjoint id-shifted copies of the base co-purchase projection
+      // (copies never cross-link, structure identical per copy), so
+      // wedge rows, peel work, and vote rows all grow EXACTLY k×; a
+      // super-linear time curve would flag the wedge join or the
+      // per-round label join degenerating. The k× projection join is
+      // part of the timed cell (linear, dominated by the graph work).
+      ("q_graph_triangles", (_, f) =>
+        graft.llm.Graphs.triangleCounts(copurchaseCopies(spark, base, f))),
+      ("q_graph_kcore", (_, f) =>
+        graft.llm.Graphs.kcore(copurchaseCopies(spark, base, f),
+          k = 80, rounds = 6)),
+      ("q_graph_labelprop", (dir, _) => graft.llm.Graphs.labelPropagation(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst")), iters = 4)),
       // round-8: audio fingerprint near-dup — k× staged WAV clips (same
       // out-of-timing staging rule as video); decode + fingerprint is
       // partition-local, and the only exchange is the banded signature

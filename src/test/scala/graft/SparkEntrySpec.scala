@@ -29,13 +29,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // the LSH parameter planner, phash clustering with a
     // recursive-closure oracle, hybrid BM25+cosine RRF retrieval,
     // label-propagation communities, the WordPiece learn/encode pair,
-    // Kneser-Ney bigram scoring, degree-oriented triangle counts, the
-    // rounds-bounded k-core peel, and quality-aware survivor selection)
-    // — bump these when operators are added so a bad refactor can't
-    // drop queries without failing CI
-    assert(SparkEntry.queries.size >= 252,
+    // Kneser-Ney bigram+trigram scoring, degree-oriented triangle
+    // counts, the rounds-bounded k-core peel, TrustRank, and
+    // quality-aware survivor selection) — bump these when operators are
+    // added so a bad refactor can't drop queries without failing CI
+    assert(SparkEntry.queries.size >= 254,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 252,
+    assert(SparkEntry.oracleSql.size >= 254,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -112,4 +112,26 @@ class GraphsSpec extends SparkSpec {
     assert(run(2, 2).keySet == Set(1L, 2L, 3L, 4L, 5L))
     assert(run(4, 3).isEmpty) // K4 is a 3-core, not a 4-core
   }
+
+  test("trustRankExact: trust decays along the chain, dangling mass " +
+      "returns to the seeds, unreached components hold rank zero") {
+    import SparkSpec.spark.implicits._
+    // chain 1→2→3 (3 dangling) seeded at 1; 10→11 unreachable.
+    // Hand-unrolled at S=1e12, d=85/100, T=0.15e12:
+    //  r1: 1→T, 2→0.85S;  r2: 1→T (dm=0), 2→0.85T, 3→0.85²S;
+    //  r3: 3's mass returns to the seed: 1→T+0.85·(0.85²S)=764125e6,
+    //      2→0.85T, 3→0.85·0.85T
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graphs.trustRankExact(edges, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 764125000000L, 2L -> 127500000000L, 3L -> 108375000000L,
+      10L -> 0L, 11L -> 0L), got.toString)
+    // a seed absent from the graph is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.trustRankExact(edges, Seq(99L).toDF("node"), iters = 2)
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
 }

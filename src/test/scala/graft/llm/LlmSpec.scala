@@ -1013,6 +1013,26 @@ class LlmSpec extends SparkSpec {
       3L -> ((1L, -13863L)), 4L -> ((1L, -2877L))), out.toString)
   }
 
+  test("kneserNeyTrigramScore matches the hand-computed interpolated " +
+      "model on a closed-form corpus") {
+    import SparkSpec.spark.implicits._
+    // trigram types: (a,b,c)×2, (d,b,c)×1, (a,b,d)×1
+    // ctx: (a,b): cctx=3, n3=2; (d,b): cctx=1, n3=1
+    // mid around b: nm(·,b,c)=2 {a,d}, nm(·,b,d)=1 {a}; n2mid(b)=3
+    // bigram types {(a,b),(b,c),(d,b),(b,d)}: nr(b·)=2, nl(·c)=nl(·d)=1,
+    // ntypes=4
+    // p(c|a,b) = 1.25/3 + (1.5/3)·[1.25/3 + (1.5/3)·(1/4)] = 0.6875
+    //   → ln → −0.3747 → micro −3747
+    // p(c|d,b) = 0.25/1 + 0.75·[0.546875-ish base] … = 0.65625 → −4212
+    // p(d|a,b) = 0.25/3 + 0.5·[0.25/3 + 0.5·0.25] = 0.1875 → −16740
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "d b c"),
+      (4L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyTrigramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, -3747L)), 2L -> ((1L, -3747L)),
+      3L -> ((1L, -4212L)), 4L -> ((1L, -16740L))), out.toString)
+  }
+
   test("kneserNeyBigramScore penalizes single-context words in novel " +
       "contexts where the interpolated model cannot distinguish") {
     import SparkSpec.spark.implicits._
