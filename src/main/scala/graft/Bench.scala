@@ -82,7 +82,8 @@ object Bench {
     // operators of the round (the triangle wedge join alone generates
     // ~41M candidate rows at sf0.1)
     "q_graph_triangles",      // degree-oriented wedge join + closure
-    "q_graph_kcore")          // 6 synchronous peel rounds, k=80
+    "q_graph_kcore",          // 6 synchronous peel rounds, k=80
+    "q_graph_trustrank")      // seed-biased integer pagerank, 8 sweeps
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

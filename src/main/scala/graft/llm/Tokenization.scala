@@ -1045,4 +1045,83 @@ object Tokenization {
        |JOIN w$numMerges v USING (w)
        |WHERE d.w <> ''
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Encode under a FIXED WordPiece merge table — the BERT deployment
+    * shape (vocab.txt ships with the model; training never runs at
+    * encode time): zero driver round-trips, all M junction-aware merges
+    * chain into one codegen'd replace expression over the distinct-word
+    * table ([[bpeTokenCountsPretrained]]'s contract with '##'-marked
+    * symbols). `merges` must be in learned order ("a|##b" form). */
+  def wordpieceTokenCountsPretrained(docs: DataFrame, textCol: String,
+                                     idCol: String,
+                                     merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .select(col("w"), concat_ws("|##", split(col("w"), "")).as("sym"))
+    val vocab = merges.foldLeft(words)(wpApplyMerge)
+    val ntok = broadcast(vocab.select(col("w"),
+      size(split(col("sym"), "\\|")).cast("long").as("ntok")))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(ntok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Train on `docs` and PERSIST the WordPiece merge table — the third
+    * tokenizer family's model artifact, completing the BPE/unigram/
+    * WordPiece persisted-artifact symmetry ([[writeBpeModel]],
+    * [[writeUnigramModel]]). */
+  def writeWordpieceModel(docs: DataFrame, textCol: String, path: String,
+                          numMerges: Int): Unit =
+    learnWordpieceMerges(docs, textCol, numMerges)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Encode against a persisted WordPiece model
+    * ([[writeWordpieceModel]]): the merge table loads as bounded driver
+    * state (M rows, ordered by rank) and feeds
+    * [[wordpieceTokenCountsPretrained]] — no training, no dependence on
+    * the training corpus. */
+  def wordpieceTokenCountsWithModel(docs: DataFrame, textCol: String,
+                                    idCol: String,
+                                    modelPath: String): DataFrame = {
+    val merges = docs.sparkSession.read.parquet(modelPath)
+      .orderBy(col("rank")).collect().map(_.getAs[String]("pair")).toSeq
+    wordpieceTokenCountsPretrained(docs, textCol, idCol, merges)
+  }
+
+  /** DuckDB oracle for [[wordpieceTokenCountsPretrained]]: the SAME
+    * fixed merge literals applied as chained junction-aware replaces
+    * over the '##'-marked distinct-word table. */
+  def wordpiecePretrainedOracleSql(merges: Seq[String]): String = {
+    val rounds = merges.zipWithIndex.map { case (pair, i) =>
+      val prev = if (i == 0) "w0" else s"w$i"
+      val search = "|" + pair.replace("|", "||") + "|"
+      val repl = "|" + pair.replace("|##", "") + "|"
+      def sq(s: String) = s.replace("'", "''")
+      s"""w${i + 1} AS MATERIALIZED (
+         |  SELECT w, replace(trim(replace(
+         |      '|' || replace(sym, '|', '||') || '|',
+         |      '${sq(search)}', '${sq(repl)}'),
+         |    '|'), '||', '|') AS sym
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(string_split(w, ''), '|##') AS sym
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> ''),
+       |${rounds.mkString(",\n")}
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(v.sym, '|'))) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN w${merges.length} v USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
 }

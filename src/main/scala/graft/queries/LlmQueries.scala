@@ -184,6 +184,13 @@ object LlmQueries {
   private val PretrainedMerges = Seq(
     "t|h", "th|e", "i|n", "a|n", "an|d", "e|r", "o|n", "r|e")
 
+  /** Fixed WordPiece merge table for q_wordpiece_encode_pretrained —
+    * the same shipped subwords in BERT's '##'-marked form, learned
+    * order with later merges consuming earlier outputs. */
+  private val PretrainedWpMerges = Seq(
+    "t|##h", "th|##e", "i|##n", "a|##n", "an|##d", "e|##r", "o|##n",
+    "r|##e")
+
   /** Fixed unigram piece table for q_unigram_encode_pretrained — the
     * SentencePiece-style shipped vocabulary: every lowercase letter
     * (full corpus-character coverage, the trainer's own invariant for a
@@ -2075,6 +2082,23 @@ object LlmQueries {
           numMerges = 8)
         .orderBy(col("doc_id")),
       Some(graft.llm.Tokenization.wordpieceEncodeOracleSql(8))),
+
+    // WordPiece encode under a SHIPPED merge table — the BERT
+    // deployment shape (vocab ships with the model, training never runs
+    // at encode time): zero driver round-trips, the 8 fixed
+    // junction-aware merges chain into one codegen'd replace over the
+    // '##'-marked distinct-word table. Completes the pretrained-artifact
+    // symmetry across all three tokenizer families (BPE / unigram /
+    // WordPiece); LlmSpec pins pretrained ≡ learn-then-encode ≡
+    // through-the-persisted-artifact.
+    QueryDef(
+      "q_wordpiece_encode_pretrained",
+      (s, dir) => graft.llm.Tokenization
+        .wordpieceTokenCountsPretrained(load(s, dir, "documents"), "text",
+          "doc_id", PretrainedWpMerges)
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization
+        .wordpiecePretrainedOracleSql(PretrainedWpMerges))),
 
     QueryDef(
       "q_unigram_learn",

@@ -1600,6 +1600,29 @@ class LlmSpec extends SparkSpec {
       "doc_id", model)) == learned)
   }
 
+  test("wordpiece pretrained encode with the learned merges equals " +
+      "learn-then-encode, and the persisted model round-trips") {
+    import SparkSpec.spark.implicits._
+    val text = (Seq.fill(5)("hugs") ++ Seq.fill(4)("bugs") ++
+      Seq.fill(3)("hug") ++ Seq.fill(2)("bug")).mkString(" ")
+    val docs = Seq((1L, text), (2L, "hugs bug hug")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val learned = rows(Tokenization.wordpieceTokenCounts(docs, "text",
+      "doc_id", numMerges = 3))
+    // hand the trainer's own merges to the pretrained path
+    val merges = Tokenization.learnWordpieceMerges(docs, "text",
+        numMerges = 3)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(rows(Tokenization.wordpieceTokenCountsPretrained(docs, "text",
+      "doc_id", merges)) == learned)
+    // and through the persisted model artifact
+    val model = tempDir("graft-wp-model-").toString
+    Tokenization.writeWordpieceModel(docs, "text", model, numMerges = 3)
+    assert(rows(Tokenization.wordpieceTokenCountsWithModel(docs, "text",
+      "doc_id", model)) == learned)
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
