@@ -60,6 +60,36 @@ class QueryPlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-11 graph/dedup/LM operators never plan a cartesian or " +
+      "nested-loop join") {
+    // triangles: the wedge stage and (v,w) closure must stay equi-joins
+    // (the whole point of degree orientation); kcore/labelprop/
+    // trustrank: per-round joins are keyed; keep_best: label attach +
+    // struct-max argmax; KN scoring: model joins broadcast (the 1-row
+    // totals cross-join is a broadcast by construction, not a BNLJ over
+    // data-sized inputs — still pinned against Cartesian)
+    for (q <- Seq("q_graph_triangles", "q_graph_kcore",
+        "q_graph_labelprop", "q_dedup_keep_best")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+      graft.llm.Caches.release()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("KN scoring joins per-doc n-grams against the broadcast model " +
+      "(corpus text never shuffles into the model join)") {
+    for (q <- Seq("q_lm_kneser_ney", "q_lm_kn_trigram")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast probe:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      graft.llm.Caches.release()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("unigram encode joins corpus words against the broadcast " +
       "vocabulary-bounded token table") {
     val p = plan("q_unigram_encode_pretrained")
