@@ -1094,6 +1094,133 @@ object Tokenization {
     wordpieceTokenCountsPretrained(docs, textCol, idCol, merges)
   }
 
+  /** BERT's published runtime segmentation rule (the
+    * tokenization.py WordpieceTokenizer): from the current position take
+    * the LONGEST vocabulary piece (word-initial bare, continuations
+    * '##'-prefixed); if no piece matches, the WHOLE word becomes one
+    * [UNK] token. Returns Some(pieceCount) or None for [UNK]. Greedy
+    * longest-match is deterministic by construction — no scores, no
+    * ties. */
+  private[llm] def greedyWordpiece(w: String, vocab: Set[String],
+                                   maxSubLen: Int): Option[Int] = {
+    val n = w.length
+    var pos = 0
+    var k = 0
+    while (pos < n) {
+      var l = math.min(maxSubLen, n - pos)
+      var found = -1
+      while (l >= 1 && found < 0) {
+        val cand = (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+        // the pos-0 guard keeps a word literally starting with '##' from
+        // matching a continuation piece — word-initial matches must be
+        // bare pieces (the documented contract, mirrored by the oracle)
+        if (vocab.contains(cand) && (pos > 0 || !cand.startsWith("##")))
+          found = l
+        l -= 1
+      }
+      if (found < 0) return None
+      pos += found
+      k += 1
+    }
+    Some(k)
+  }
+
+  /** Encode under a SHIPPED vocab.txt-shape piece set with BERT's greedy
+    * longest-match inference ([[greedyWordpiece]]) — the deployment path
+    * when only the PIECE SET ships (BERT's vocab.txt carries no merge
+    * order, so the merge-replay encoders cannot run): per-document
+    * (n_words, n_tokens, n_unk), an un-segmentable word counting as ONE
+    * [UNK] token. The UNK rate doubles as a production quality signal —
+    * a high-UNK document is script/encoding noise relative to the vocab.
+    *
+    * Scale shape (the [[unigramTokenCountsPretrained]] pattern): the
+    * piece set broadcasts as driver state, segmentation runs once per
+    * DISTINCT word on the vocabulary-bounded word table, and the
+    * (word → counts) table broadcasts back against the exploded corpus —
+    * text never shuffles. */
+  def wordpieceTokenCountsGreedy(docs: DataFrame, textCol: String,
+                                 idCol: String,
+                                 vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxSub = vocab.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    val ntok = broadcast(wordTable(docs, textCol)
+      .select(col("w")).as[String]
+      .map { w =>
+        greedyWordpiece(w, bc.value, maxSub) match {
+          case Some(k) => (w, k.toLong, 0L)
+          case None    => (w, 1L, 1L)
+        }
+      }
+      .toDF("w", "ntok", "unk"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(ntok, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"),
+        sum(col("unk")).as("n_unk"))
+  }
+
+  /** DuckDB oracle for [[wordpieceTokenCountsGreedy]]: the greedy match
+    * unrolled over `maxSteps` piece-consumption steps (each step
+    * advances ≥ 1 character, so any word of length ≤ maxSteps
+    * finishes). State per word is (pos, k, unk); each step takes the
+    * longest vocabulary piece at `pos` via a max() over the piece
+    * VALUES table, flags [UNK] when nothing matches, and finished words
+    * carry through unchanged. */
+  def wordpieceGreedyOracleSql(vocab: Seq[String],
+                               maxSteps: Int = 12): String = {
+    def sq(s: String) = s.replace("'", "''")
+    val values = vocab.map(p => s"('${sq(p)}')").mkString(", ")
+    val steps = (1 to maxSteps).map { s =>
+      s"""g$s AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    CASE WHEN pos >= len(w) OR unk = 1 THEN pos
+         |         WHEN bl IS NULL THEN len(w)
+         |         ELSE pos + bl END AS pos,
+         |    CASE WHEN pos >= len(w) OR unk = 1 THEN k
+         |         WHEN bl IS NULL THEN 1
+         |         ELSE k + 1 END AS k,
+         |    CASE WHEN unk = 1 THEN 1
+         |         WHEN pos < len(w) AND bl IS NULL THEN 1
+         |         ELSE 0 END AS unk
+         |  FROM (
+         |    SELECT g.*, (
+         |      SELECT max(CASE WHEN g.pos = 0 THEN len(v.piece)
+         |                      ELSE len(v.piece) - 2 END)
+         |      FROM vocab v
+         |      WHERE CASE WHEN g.pos = 0
+         |          THEN v.piece NOT LIKE '##%'
+         |               AND v.piece = substr(g.w, 1, len(v.piece))
+         |          ELSE v.piece LIKE '##%'
+         |               AND len(v.piece) > 2
+         |               AND substr(v.piece, 3)
+         |                   = substr(g.w, g.pos + 1, len(v.piece) - 2)
+         |          END) AS bl
+         |    FROM g${s - 1} g))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |vocab AS (SELECT * FROM (VALUES $values) AS t(piece)),
+       |g0 AS (SELECT w, cnt, 0 AS pos, 0 AS k, 0 AS unk FROM words),
+       |$steps
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(CASE WHEN g.unk = 1 THEN 1 ELSE g.k END) AS BIGINT)
+       |    AS n_tokens,
+       |  CAST(sum(g.unk) AS BIGINT) AS n_unk
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN g$maxSteps g USING (w)
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[wordpieceTokenCountsPretrained]]: the SAME
     * fixed merge literals applied as chained junction-aware replaces
     * over the '##'-marked distinct-word table. */

@@ -191,6 +191,18 @@ object LlmQueries {
     "t|##h", "th|##e", "i|##n", "a|##n", "an|##d", "e|##r", "o|##n",
     "r|##e")
 
+  /** Fixed vocab.txt-shape piece SET for q_wordpiece_greedy — every
+    * letter word-initial, every letter EXCEPT q and z as a
+    * continuation (so words with an interior q/z exercise the [UNK]
+    * path), plus multi-char pieces that make longest-match visible
+    * (e.g. "the" beats t·##h·##e; "##ing" beats four singles). */
+  private val GreedyWpVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      ('a' to 'z').filterNot(c => c == 'q' || c == 'z')
+        .map(c => s"##$c") ++
+      Seq("the", "##he", "##ing", "in", "##in", "an", "##an", "on",
+        "##on", "er", "##er", "re", "##re", "##nd", "st", "##st")
+
   /** Fixed unigram piece table for q_unigram_encode_pretrained — the
     * SentencePiece-style shipped vocabulary: every lowercase letter
     * (full corpus-character coverage, the trainer's own invariant for a
@@ -2099,6 +2111,23 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       Some(graft.llm.Tokenization
         .wordpiecePretrainedOracleSql(PretrainedWpMerges))),
+
+    // BERT's RUNTIME segmentation (Tokenization.wordpieceTokenCountsGreedy)
+    // — greedy longest-match over a shipped vocab.txt-shape piece SET
+    // (no merge order ships with BERT vocabularies, so merge replay
+    // cannot run): per-doc (n_words, n_tokens, n_unk), an
+    // un-segmentable word counting as ONE [UNK] token. The vocab omits
+    // ##q/##z so interior-q/z words exercise the [UNK] path, and its
+    // multi-char pieces make longest-match visible. Deterministic by
+    // construction (no scores, no ties); the oracle unrolls the greedy
+    // consumption to 12 steps (max corpus word length is 8).
+    QueryDef(
+      "q_wordpiece_greedy",
+      (s, dir) => graft.llm.Tokenization
+        .wordpieceTokenCountsGreedy(load(s, dir, "documents"), "text",
+          "doc_id", GreedyWpVocab)
+        .orderBy(col("doc_id")),
+      Some(graft.llm.Tokenization.wordpieceGreedyOracleSql(GreedyWpVocab))),
 
     QueryDef(
       "q_unigram_learn",

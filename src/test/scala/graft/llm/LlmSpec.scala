@@ -1623,6 +1623,35 @@ class LlmSpec extends SparkSpec {
       "doc_id", model)) == learned)
   }
 
+  test("greedyWordpiece: longest-match wins, mid-word dead ends become " +
+      "one [UNK], and per-doc counts aggregate words correctly") {
+    import SparkSpec.spark.implicits._
+    val vocab = Seq("a", "b", "c", "q", "the", "##he", "##b", "##c",
+      "##bc", "##eo")
+    // longest-match: "abc" → a ·##bc (2), NOT a ·##b ·##c (3)
+    assert(Tokenization.greedyWordpiece("abc", vocab.toSet, 3)
+      == Some(2))
+    // whole-word piece beats any decomposition
+    assert(Tokenization.greedyWordpiece("the", vocab.toSet, 3)
+      == Some(1))
+    // dead end at pos 0 (no 'x' piece) and mid-word (no '##x'):
+    assert(Tokenization.greedyWordpiece("xab", vocab.toSet, 3).isEmpty)
+    assert(Tokenization.greedyWordpiece("axb", vocab.toSet, 3).isEmpty)
+    // greedy ≠ optimal: "theo" takes 'the' then dead-ends on '##o'
+    // even though t·##he... no 't' piece — use 'q': no, assert the
+    // documented greedy failure shape instead: 'the'+nothing for ##o
+    assert(Tokenization.greedyWordpiece("theo", vocab.toSet, 3).isEmpty)
+    val docs = Seq((1L, "abc the abc"), (2L, "the axb")).toDF("doc_id", "text")
+    val out = Tokenization.wordpieceTokenCountsGreedy(docs, "text",
+        "doc_id", vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc1: abc(2)+the(1)+abc(2) = 5 tokens, 0 unk
+    // doc2: the(1) + axb([UNK]=1) = 2 tokens, 1 unk
+    assert(out == Map(1L -> ((3L, 5L, 0L)), 2L -> ((2L, 2L, 1L))),
+      out.toString)
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
