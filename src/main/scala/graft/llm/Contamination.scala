@@ -46,6 +46,36 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** FUZZY decontamination — the MinHash complement of the exact
+    * shingle-overlap rule: a train document is contaminated when its
+    * ESTIMATED Jaccard against any benchmark document reaches
+    * `minJaccard`, catching the lightly-paraphrased leakage exact
+    * shingles miss (the published near-dup-against-eval sweep). Returns
+    * one row per train doc: (doc_id, contaminated 0/1, n_hits).
+    *
+    * Scale shape: candidate generation delegates to
+    * [[Dedup.incrementalMinhashMatches]]'s asymmetric band-bucket join
+    * (train bands × the benchmark signature side only, with the hot-
+    * bucket star cap) — cost tracks the train side and the benchmark's
+    * banded signatures, never train × benchmark; the flag join back is
+    * one aggregate of the (small) match list. */
+  def fuzzyContamination(train: DataFrame, benchmark: DataFrame,
+                         minJaccard: Double = 0.8, numHashes: Int = 64,
+                         bands: Int = 16, shingleSize: Int = 5,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxBucketSize: Int = 500): DataFrame = {
+    val matches = Dedup.incrementalMinhashMatches(benchmark, train,
+      numHashes, bands, shingleSize, textCol, idCol, maxBucketSize)
+    val hits = matches.filter(col("est_jaccard") >= minJaccard)
+      .groupBy(col("batch_id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_hits").isNotNull.cast("int").as("contaminated"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** The eval-integrity direction of [[sharedShingles]]: a per-BENCHMARK-
     * item contamination report — for each benchmark doc, how many distinct
     * training docs share ≥1 shingle with it and how many distinct

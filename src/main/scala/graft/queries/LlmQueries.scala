@@ -2288,6 +2288,32 @@ object LlmQueries {
              |FROM tsh t JOIN bsh b USING (sh)
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 
+    // FUZZY decontamination (Contamination.fuzzyContamination) — the
+    // MinHash complement of the exact shingle rule, catching
+    // lightly-paraphrased eval leakage: train docs whose estimated
+    // Jaccard against any benchmark doc reaches the bar. Planted-twin
+    // gate (the q_dedup_incremental discipline): exact copies of every
+    // benchmark doc planted into the train side MUST flag (identical
+    // text ⇒ identical signature ⇒ every band collides); the gate
+    // projects the planted ids only, where ground truth is structural.
+    QueryDef(
+      "q_decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val planted = bench.select((col("doc_id") + 100000).as("doc_id"),
+          col("text"))
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+          .unionByName(planted)
+        Contamination.fuzzyContamination(train, bench, minJaccard = 0.9999)
+          .filter(col("doc_id") >= 100000)
+          .select(col("doc_id"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id + 100000 AS doc_id, CAST(1 AS INT) AS contaminated
+             |FROM documents WHERE doc_id % 50 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus heavy hitters: top-20 word bigrams by count (boilerplate
     // detection). Explode → hash agg → TakeOrdered.
     QueryDef(

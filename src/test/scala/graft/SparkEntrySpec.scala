@@ -33,9 +33,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // counts, the rounds-bounded k-core peel, TrustRank, and
     // quality-aware survivor selection) — bump these when operators are
     // added so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 256,
+    assert(SparkEntry.queries.size >= 257,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 256,
+    assert(SparkEntry.oracleSql.size >= 257,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

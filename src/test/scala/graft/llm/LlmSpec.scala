@@ -1652,6 +1652,25 @@ class LlmSpec extends SparkSpec {
       out.toString)
   }
 
+  test("fuzzyContamination flags a paraphrased benchmark twin and leaves " +
+      "disjoint-vocabulary docs clean") {
+    import SparkSpec.spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog " +
+      "and runs far away home tonight while everyone sleeps quietly"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      // one word swapped — exact 20-char shingles break around the edit,
+      // but the 5-char shingle Jaccard stays high
+      (10L, benchText.replace("lazy", "idle")),
+      (11L, "completely different subject matter entirely unrelated " +
+        "vocabulary zebra xylophone quartz jigsaw")).toDF("doc_id", "text")
+    val out = Contamination.fuzzyContamination(train, bench,
+        minJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((1, 1L)), out.toString)
+    assert(out(11L) == ((0, 0L)), out.toString)
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
