@@ -625,8 +625,12 @@ object TextAnalysis {
     * Scale shape: one corpus scan builds the per-doc trigram counts; the
     * trigram TYPE table derives every model table as vocabulary-bounded
     * hash aggregates (plus the bigram-type table for the base
-    * continuation level); the assembled model broadcasts back against
-    * per-doc trigrams — corpus text never joins by shuffle. */
+    * continuation level). The unigram-bounded profiles broadcast; the
+    * type-table-sized context/continuation tables join KEYED (they are
+    * the same order as the model itself — a forced broadcast there
+    * would OOM at production vocabulary), and the per-doc scoring join
+    * probes the assembled model, which Catalyst broadcasts whenever it
+    * fits. */
   def kneserNeyTrigramScore(documents: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
     val tg = Caches.track(documents
@@ -676,9 +680,15 @@ object TextAnalysis {
         * (((col("nm") - lit(0.75)) / col("n2mid"))
           + (((lit(0.75) * col("nr")) / col("n2mid"))
             * (col("nl").cast("double") / col("ntypes").cast("double")))))
+    // ctx and mid are TYPE-TABLE-sized ((w1,w2) contexts / (w2,w3)
+    // continuations — the same order as ct itself), so they must NOT
+    // carry a broadcast hint: at production vocabulary they exceed any
+    // broadcast budget and the keyed join is the right plan. Only the
+    // UNIGRAM-bounded profiles (midCtx, rgt, lft) and the 1-row total
+    // broadcast unconditionally.
     val lm = ct
-      .join(broadcast(ctx), Seq("w1", "w2"))
-      .join(broadcast(mid), Seq("w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
       .join(broadcast(midCtx), "w2")
       .join(broadcast(rgt), "w2")
       .join(broadcast(lft), "w3")
