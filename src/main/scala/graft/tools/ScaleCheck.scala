@@ -407,6 +407,16 @@ object ScaleCheck {
       // explosion degenerating
       ("q_unigram_learn", (dir, _) => graft.llm.Tokenization.learnUnigram(
         spark.read.parquet(s"$dir/documents.parquet"), "text")),
+      // round-11: WordPiece training on the same VOCABULARY axis — the
+      // likelihood-argmax rounds are sequential by necessity (a fresh
+      // merge's low count sits in new scores' denominators), so the
+      // claim under test is that each round's two hash aggregates over
+      // the k×-vocabulary word table stay cheap against the fixed
+      // 8-round driver-sync cost
+      ("q_wordpiece_learn", (dir, _) => graft.llm.Tokenization
+        .learnWordpieceMerges(
+          spark.read.parquet(s"$dir/documents.parquet"), "text",
+          numMerges = 8)),
       // round-11: k-means Lloyd training on the DIMENSION axis (fixed
       // 4000 rows, d = 64·f; run with factors "1,4,16" for d=64/256/
       // 1024): above d=128 the update switches to the posexplode +
