@@ -307,6 +307,151 @@ object Graphs {
     adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Local clustering coefficient — the per-node ratio actually consumed
+    * by link-spam classifiers (a link farm's hub has huge degree but a
+    * near-zero coefficient, an organic community sits near 1):
+    * cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)), from [[triangleCounts]]'s
+    * (node, deg, triangles). Reported in integer `scale`-units via one
+    * BIGINT floor division — 2·t·scale div (deg·(deg−1)) — so the result
+    * hash-matches any engine computing the same integers (a float ratio
+    * would be bit-identical here too, but the integer form keeps the
+    * whole graph family on one cross-engine discipline). Nodes of degree
+    * < 2 have no defined ratio and report 0 (the classifier convention).
+    * Cost: [[triangleCounts]] + one projection — no extra shuffle. */
+  def clusteringCoefficient(edgesDf: DataFrame,
+                            scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    triangleCounts(edgesDf)
+      .select(col("node"), col("deg"), col("triangles"),
+        when(col("deg") >= 2,
+          expr(s"(2 * triangles * $scale) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) with an exact-integer
+    * fixpoint — the published complement of PageRank's single score: a
+    * directory/link-farm page can be a strong HUB (points at many good
+    * pages) while being no AUTHORITY (nothing good points at it), and the
+    * hub/authority split is the classic spam-vs-catalog separator on
+    * bipartite-ish crawl regions where one PageRank number conflates the
+    * two roles.
+    *
+    * Exact-integer discipline (what makes q_graph_hits oracle-comparable;
+    * float HITS could never hash-match — the L2 norm alone is
+    * order-dependent): scores live in `scale`-units and the published
+    * per-round normalization is L1 BY FLOOR DIVISION against the in-plan
+    * global sum, rank'(v) = (raw(v)·scale) div Σraw. Update order is the
+    * published one: auth from CURRENT hubs, normalize; hubs from the NEW
+    * auths, normalize. Overflow is structural, not hoped-for: after any
+    * normalization Σscore ≤ scale, so every raw sum ≤ scale and every
+    * raw·scale product ≤ scale² = 1e18 < 2⁶³ (round 1 starts from
+    * hub₀ = scale div n each, Σ ≤ scale, same bound); `scale` must be ≥ n
+    * so hub₀ ≥ 1 (checked loudly).
+    *
+    * Scale shape (the [[pagerankExact]] sweep discipline): the edge list
+    * persists TWICE, pre-partitioned by src and by dst, so each round's
+    * two joins (hubs enter on src, auths return on dst) never re-exchange
+    * the big side — only the n-row score tables move; one hash aggregate
+    * per direction; `localCheckpoint` bounds the plan per round; driver
+    * state is the node count. Returns (node, hub, auth) in scale-units
+    * over all nodes (pure sinks hold hub 0, pure sources auth 0). */
+  def hitsExact(edgesDf: DataFrame, iters: Int = 4,
+                scale: Long = 1000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val eSrc = edgesDf.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = eSrc.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eSrc.select(col("src").as("node"))
+      .unionByName(eSrc.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "hits over an empty graph")
+    require(scale >= n, s"scale=$scale must be >= node count $n " +
+      "(initial hub mass scale div n would floor to 0)")
+
+    var state = nodes
+      .select(col("node"), lit(scale / n).as("hub"), lit(0L).as("auth"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val authRaw = eSrc
+        .join(state.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub")).as("raw"))
+      val aTot = authRaw.agg(coalesce(sum(col("raw")), lit(0L)).as("tot"))
+      val auth = nodes
+        .join(authRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0L) * $scale) div greatest(tot, 1L)")
+            .as("auth"))
+      val hubRaw = eDst
+        .join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth")).as("raw"))
+      val hTot = hubRaw.agg(coalesce(sum(col("raw")), lit(0L)).as("tot"))
+      state = nodes
+        .join(hubRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0L) * $scale) div greatest(tot, 1L)")
+            .as("hub"))
+        .join(auth, Seq("node"))
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint()
+      i += 1
+    }
+    Seq(eSrc, eDst, nodes).foreach(_.unpersist(blocking = false))
+    state
+  }
+
+  /** Hop distance from a seed set — synchronous frontier BFS over the
+    * DIRECTED edge list as given (callers symmetrize for undirected
+    * semantics): dist(v) = the minimum number of edges from any seed,
+    * computed for exactly `maxHops` rounds; nodes further than `maxHops`
+    * (or unreachable) are absent. The discrete companion of
+    * [[trustRankExact]]'s continuous trust mass — "how many hops from a
+    * vetted seed" is the published crawl-frontier depth prior (crawl
+    * scheduling and spam heuristics both cut on it), and a pure-integer
+    * one, so a fixed unroll replays bit-identically in DuckDB (the
+    * per-round DISTINCT frontier form — a recursive path-enumeration CTE
+    * would blow up combinatorially on dense graphs; the engine never
+    * enumerates paths either).
+    *
+    * Scale shape: per round one (edges ⋈ frontier) equi-join in which
+    * only the frontier moves, one DISTINCT, and one anti-join against the
+    * visited set; the frontier is a subset of nodes, never of paths;
+    * `localCheckpoint` per round bounds the plan. Monotonicity makes the
+    * result exactly min-distance: a node enters the state at the FIRST
+    * round that reaches it and is excluded from every later frontier. */
+  def khopDistance(edgesDf: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var i = 1
+    while (i <= maxHops) {
+      val reached = edges
+        .join(state.filter(col("dist") === i - 1)
+          .select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached
+        .join(state.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+      state = state.unionByName(fresh).localCheckpoint()
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    state
+  }
+
   /** Personalized PageRank with an exact-integer fixpoint — TrustRank
     * (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the seed-biased
     * random walk that propagates trust from a vetted seed set through

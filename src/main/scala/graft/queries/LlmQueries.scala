@@ -155,6 +155,78 @@ object LlmQueries {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.llm.Graphs.hitsExact]] over the
+    * part→supplier purchase graph — the pagerankOracle unrolled-CTE
+    * discipline applied to the two-score sweep: per round, auth from the
+    * CURRENT hubs then L1-floor-normalized against the in-plan sum, hubs
+    * from the NEW auths likewise. Every op is integer (`//` on positives
+    * ≡ Spark's `div`, `greatest(tot,1)` guards the empty-side division
+    * identically in both engines); sums CAST back from HUGEINT. */
+  private def hitsOracle(iters: Int, scale: Long = 1000000000L): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst),
+         |at$k AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS tot FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.node, CAST((coalesce(r.raw, 0) * $scale)
+         |    // greatest((SELECT tot FROM at$k), 1) AS BIGINT) AS auth
+         |  FROM nodes n LEFT JOIN ar$k r USING (node)),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+         |ht$k AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS tot FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.node, CAST((coalesce(r.raw, 0) * $scale)
+         |    // greatest((SELECT tot FROM ht$k), 1) AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN hr$k r USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (
+       |  SELECT node, $scale // (SELECT n FROM nc) AS hub FROM nodes),
+       |$steps
+       |SELECT n.node, h.hub, a.auth
+       |FROM nodes n JOIN h$iters h USING (node) JOIN a$iters a USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.llm.Graphs.khopDistance]] over the
+    * SYMMETRIZED purchase graph, seeds = parts < 50 — per-round DISTINCT
+    * frontier CTEs replaying the engine's monotone visited-set BFS (a
+    * recursive path-enumeration CTE would explode combinatorially on the
+    * dense graph; neither engine enumerates paths). */
+  private def khopOracle(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN s${k - 1} s ON s.node = e.src
+         |  WHERE s.dist = ${k - 1}),
+         |s$k AS MATERIALIZED (
+         |  SELECT node, dist FROM s${k - 1}
+         |  UNION ALL
+         |  SELECT node, $k AS dist FROM r$k
+         |  WHERE node NOT IN (SELECT node FROM s${k - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |s0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS node, 0 AS dist FROM lineitem
+       |  WHERE l_partkey < 50),
+       |$steps
+       |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist
+       |FROM s$maxHops ORDER BY node""".stripMargin
+  }
+
   /** Shared in-plan accuracy contract for the approximate ANN family
     * (sign-LSH / IVF / PQ / IVF-PQ): given top-k results over a corpus
     * planted with EXACT copies of the query vectors (vec_id+100000), the
@@ -3649,6 +3721,97 @@ object LlmQueries {
           .orderBy(col("rank").desc, col("node")).limit(100)
       },
       Some(trustRankOracle(iters = 8))),
+
+    // Local clustering coefficient (Graphs.clusteringCoefficient) over
+    // the co-purchase projection — the ratio the link-spam classifiers
+    // consume (a farm hub: huge degree, near-zero coefficient; an
+    // organic clique: near 1e6 micro-units). Engine counts triangles by
+    // the degree-oriented wedge join; the oracle re-counts them by the
+    // orientation-independent canonical a<b<c enumeration and applies
+    // the same 2·t·1e6 div (deg·(deg−1)) floor division — two
+    // independent algorithms, exact integers, full hash match.
+    QueryDef(
+      "q_graph_clustercoef",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.llm.Graphs.clusteringCoefficient(
+          li.as("a").join(li.as("b"), "l_orderkey")
+            .filter(col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"),
+              col("b.l_partkey").as("dst")))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e0 AS MATERIALIZED (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |  WHERE a.l_partkey < b.l_partkey),
+             |adj AS MATERIALIZED (
+             |  SELECT src, dst FROM e0
+             |  UNION SELECT dst, src FROM e0),
+             |tri AS MATERIALIZED (
+             |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+             |  FROM adj x
+             |  JOIN adj y ON y.src = x.dst AND y.dst > x.dst
+             |  JOIN adj z ON z.src = x.src AND z.dst = y.dst
+             |  WHERE x.dst > x.src),
+             |pern AS (
+             |  SELECT node, count(*) AS triangles FROM (
+             |    SELECT a AS node FROM tri
+             |    UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri)
+             |  GROUP BY 1),
+             |deg AS (SELECT src AS node, count(*) AS deg FROM adj
+             |        GROUP BY 1)
+             |SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg,
+             |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+             |  CAST(CASE WHEN deg >= 2
+             |    THEN (2 * coalesce(triangles, 0) * 1000000)
+             |         // (deg * (deg - 1))
+             |    ELSE 0 END AS BIGINT) AS cc
+             |FROM deg LEFT JOIN pern USING (node)
+             |ORDER BY node""".stripMargin)),
+
+    // HITS hubs & authorities (Graphs.hitsExact) over the directed
+    // part→supplier purchase graph — the two-score complement of
+    // PageRank (a catalog page is a strong hub and no authority; one
+    // PageRank number conflates the roles). Exact-integer sweeps with
+    // in-plan L1 floor normalization, so 4 iterations unroll into
+    // bit-identical DuckDB CTEs; on the bipartite graph every part is
+    // pure hub (auth 0) and every supplier pure authority (hub 0) after
+    // round 1 — the role separation the operator exists to measure.
+    QueryDef(
+      "q_graph_hits",
+      (s, dir) => graft.llm.Graphs.hitsExact(
+          load(s, dir, "lineitem").select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")),
+          iters = 4)
+        .orderBy(col("node")),
+      Some(hitsOracle(iters = 4))),
+
+    // Hop distance from a trusted seed set (Graphs.khopDistance) over
+    // the SYMMETRIZED purchase graph, seeds = parts < 50 — the discrete
+    // companion of TrustRank's continuous trust mass ("how many hops
+    // from vetted" is the published crawl-depth prior). Monotone
+    // frontier BFS, pure integers; the oracle replays the per-round
+    // DISTINCT-frontier form (path-enumeration recursion would explode
+    // on the dense graph — neither engine enumerates paths).
+    QueryDef(
+      "q_graph_khop",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        val e0 = li.select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        graft.llm.Graphs.khopDistance(
+          e0.unionByName(e0.select(col("dst").as("src"),
+            col("src").as("dst"))),
+          seeds = li.select(col("l_partkey").as("node"))
+            .filter(col("node") < 50).distinct(),
+          maxHops = 3)
+          .orderBy(col("node"))
+      },
+      Some(khopOracle(maxHops = 3))),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

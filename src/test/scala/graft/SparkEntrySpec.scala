@@ -30,12 +30,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // recursive-closure oracle, hybrid BM25+cosine RRF retrieval,
     // label-propagation communities, the WordPiece learn/encode pair,
     // Kneser-Ney bigram+trigram scoring, degree-oriented triangle
-    // counts, the rounds-bounded k-core peel, TrustRank, and
-    // quality-aware survivor selection) — bump these when operators are
-    // added so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 257,
+    // counts, the rounds-bounded k-core peel, TrustRank, quality-aware
+    // survivor selection, the local clustering coefficient, HITS
+    // hubs/authorities, and seed-set k-hop BFS) — bump these when
+    // operators are added so a bad refactor can't drop queries without
+    // failing CI
+    assert(SparkEntry.queries.size >= 260,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 257,
+    assert(SparkEntry.oracleSql.size >= 260,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -134,4 +134,65 @@ class GraphsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("seed"))
   }
+
+  test("clusteringCoefficient: closed triangle at 1.0, hub of a shared " +
+      "edge below it, pendant and degree-1 nodes at 0") {
+    import SparkSpec.spark.implicits._
+    // triangle {1,2,3} with a pendant 4 off node 3: deg 1:2 2:2 3:3 4:1;
+    // each of 1,2,3 closes one triangle. Hand-computed micro-units:
+    //  cc(1)=cc(2)=2·1·1e6 div (2·1)=1000000, cc(3)=2e6 div 6=333333,
+    //  cc(4)=0 (deg<2 — no defined ratio, the classifier convention)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = Graphs.clusteringCoefficient(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L))), got.toString)
+  }
+
+  test("hitsExact: hand-unrolled rounds on a bipartite-ish graph — " +
+      "hub/authority roles separate, duplicates collapse") {
+    import SparkSpec.spark.implicits._
+    // 1→3, 2→3, 2→4 (+ a duplicate 1→3): 2 is the stronger hub (points
+    // at both authorities), 3 the stronger authority (both hubs point at
+    // it); sources hold auth 0, sinks hub 0. scale=1000, n=4, hub₀=250.
+    //  round 1: authRaw 3:500 4:250, Σ=750 → auth 3:666 4:333;
+    //           hubRaw 1:666 2:999, Σ=1665 → hub 1:400 2:600
+    //  round 2: authRaw 3:1000 4:600, Σ=1600 → auth 3:625 4:375;
+    //           hubRaw 1:625 2:1000, Σ=1625 → hub 1:384 2:615
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    def run(iters: Int): Map[Long, (Long, Long)] =
+      Graphs.hitsExact(edges, iters = iters, scale = 1000L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(run(1) == Map(1L -> ((400L, 0L)), 2L -> ((600L, 0L)),
+      3L -> ((0L, 666L)), 4L -> ((0L, 333L))), run(1).toString)
+    assert(run(2) == Map(1L -> ((384L, 0L)), 2L -> ((615L, 0L)),
+      3L -> ((0L, 625L)), 4L -> ((0L, 375L))), run(2).toString)
+    // scale below the node count is refused loudly (hub₀ would floor to 0)
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.hitsExact(edges, iters = 1, scale = 3L)
+    }
+    assert(ex.getMessage.contains("scale"))
+  }
+
+  test("khopDistance: min-distance BFS with a cycle, bounded hops, " +
+      "multiple seeds, and off-graph seeds at distance 0") {
+    import SparkSpec.spark.implicits._
+    // chain 1→2→3→4 with a back-edge 3→1 (the cycle must not re-raise
+    // dist(1)); 5→6 unreachable from seed 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 1L), (5L, 6L))
+      .toDF("src", "dst")
+    def run(seeds: Seq[Long], hops: Int): Map[Long, Int] =
+      Graphs.khopDistance(edges, seeds.toDF("node"), hops).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(run(Seq(1L), 5) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    assert(run(Seq(1L), 0) == Map(1L -> 0)) // seeds only
+    // a second seed pulls its own component in; an off-graph seed is
+    // trivially at distance 0 from itself
+    assert(run(Seq(1L, 5L), 1) == Map(1L -> 0, 2L -> 1, 5L -> 0, 6L -> 1))
+    assert(run(Seq(99L), 2) == Map(99L -> 0))
+  }
 }
