@@ -204,6 +204,102 @@ object SourceQueries {
              |  ${graft.sources.Warc.charsetOracleValuesSql})
              |  AS t(record_id, url, content_type, text, n_bytes)
              |ORDER BY record_id""".stripMargin)),
+
+    // robots.txt crawl-politeness filtering (RFC 9309 core) — the step
+    // every published web pipeline runs before ingest: crack the
+    // fixture WARC (per-host robots.txt responses + crawled pages),
+    // parse the robots bodies into the merged rule table, and filter
+    // every page by the longest-matching prefix rule for the crawler
+    // token (Allow wins ties; specific-agent group shadows `*`; no
+    // rule → allowed). The oracle restates the closed-form bodies and
+    // page URLs and replays the ENTIRE parse + match independently in
+    // SQL — group formation, comment stripping, empty-value drops,
+    // case folding, mid-segment prefixes, and the tie-break are all
+    // hash-checked, not just asserted in specs.
+    QueryDef(
+      "q_warc_robots",
+      (s, _) => {
+        val docs = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcRobotsIngestDir)
+          .select(col("url"),
+            regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
+              .as("path"),
+            col("text"))
+        val robots = docs.filter(col("path") === "/robots.txt")
+          .select(col("host"), col("text").as("body"))
+        val pages = docs.filter(col("path") =!= "/robots.txt")
+          .select(col("url"), col("host"), col("path"))
+        graft.sources.Robots
+          .allowed(pages, graft.sources.Robots.rules(robots),
+            agent = "GraftBot") // mixed case: token folding is load-bearing
+          .orderBy(col("url"))
+      },
+      Some(s"""WITH robots(host, body) AS (VALUES
+             |  ${graft.sources.Warc.robotsOracleRobotsValuesSql}),
+             |pages(url, host, path) AS (VALUES
+             |  ${graft.sources.Warc.robotsOraclePagesValuesSql}),
+             |lines AS (
+             |  SELECT host, i AS ln,
+             |    regexp_replace(regexp_replace(parts[i], '#.*$$', ''),
+             |      '^[ \\t\\r]+|[ \\t\\r]+$$', '', 'g') AS line
+             |  FROM (SELECT host, string_split(body, chr(10)) AS parts
+             |        FROM robots),
+             |       unnest(generate_series(1, len(parts))) AS t(i)),
+             |parsed AS (
+             |  SELECT host, ln,
+             |    lower(regexp_replace(regexp_extract(line, '^([^:]+):', 1),
+             |      '^[ \\t\\r]+|[ \\t\\r]+$$', '', 'g')) AS key,
+             |    regexp_replace(regexp_extract(line, '^[^:]+:(.*)$$', 1),
+             |      '^[ \\t\\r]+|[ \\t\\r]+$$', '', 'g') AS value
+             |  FROM lines WHERE line <> ''),
+             |dirs AS (
+             |  SELECT * FROM parsed
+             |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+             |flagged AS (
+             |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END
+             |      AS is_ua,
+             |    lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END, 1, 0)
+             |      OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+             |  FROM dirs),
+             |grps AS (
+             |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY host ORDER BY ln) AS grp
+             |  FROM flagged),
+             |agents AS (
+             |  SELECT DISTINCT host, grp, lower(value) AS agent
+             |  FROM grps WHERE is_ua = 1),
+             |rulerows AS (
+             |  SELECT host, grp,
+             |    CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS is_allow,
+             |    value AS prefix
+             |  FROM grps WHERE is_ua = 0 AND value <> ''),
+             |rules AS (
+             |  SELECT DISTINCT a.host, a.agent, r.is_allow, r.prefix
+             |  FROM agents a JOIN rulerows r USING (host, grp)),
+             |spec AS (
+             |  SELECT DISTINCT host, 1 AS hs FROM rules
+             |  WHERE agent = 'graftbot'),
+             |appl AS (
+             |  SELECT r.host AS r_host, r.is_allow, r.prefix,
+             |    len(r.prefix) AS plen
+             |  FROM rules r LEFT JOIN spec s USING (host)
+             |  WHERE (coalesce(s.hs, 0) = 1 AND r.agent = 'graftbot')
+             |     OR (coalesce(s.hs, 0) = 0 AND r.agent = '*')),
+             |m AS (
+             |  SELECT p.url, p.host, p.path, a.is_allow, a.prefix, a.plen
+             |  FROM pages p LEFT JOIN appl a
+             |    ON a.r_host = p.host AND starts_with(p.path, a.prefix)),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY url
+             |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
+             |      prefix DESC NULLS LAST) AS rn
+             |  FROM m)
+             |SELECT url, host, path,
+             |  (plen IS NULL OR is_allow = 1) AS allowed,
+             |  prefix AS rule_prefix
+             |FROM rk WHERE rn = 1 ORDER BY url""".stripMargin)),
   )
 
   /** Stage the first 20 documents as one .bin file each (UTF-8 text

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and longest-match URL filtering — the crawl
+  * politeness/curation step every published web pipeline runs before
+  * ingest (C4, CCNet and RefinedWeb all filter fetched URLs against the
+  * host's Robots Exclusion Protocol rules; Common Crawl's own fetcher
+  * obeys them upstream).
+  *
+  * Implements the line-oriented core of RFC 9309:
+  *  - `key: value` lines; keys case-insensitive among `user-agent` /
+  *    `allow` / `disallow`; `#` starts a comment (full-line or
+  *    trailing); other directives (crawl-delay, sitemap, …) are ignored
+  *    and do NOT terminate a group (nor do blank lines — RFC 9309
+  *    dropped the 1994 draft's blank-line separators);
+  *  - CONSECUTIVE user-agent lines head ONE group (the RFC multi-agent
+  *    form: `User-agent: a\nUser-agent: b\nDisallow: /x` binds the rule
+  *    to both); a user-agent line after a rule line starts a new group;
+  *    rules before any user-agent line are invalid and dropped;
+  *  - an EMPTY Allow/Disallow value matches nothing and is dropped
+  *    (RFC 9309 §2.2.2: an empty Disallow permits everything);
+  *  - group choice per host: the exact (case-insensitive) product-token
+  *    group if the host has one, else the `*` group; rules of every
+  *    matching group merge (the RFC merge rule for repeated groups);
+  *  - rule choice per URL: the longest matching path PREFIX; Allow wins
+  *    length ties; no matching rule → allowed. Wildcard `*`/`$`
+  *    matching is the widely-implemented EXTENSION of the RFC and is
+  *    out of scope here — matching is pure prefix (the 1994 REP rule),
+  *    which deliberately matches mid-segment (`Disallow: /tmp` blocks
+  *    `/tmpfile`, exactly as published parsers do).
+  *
+  * Every step is deterministic integer/string work, so q_warc_robots
+  * replays the ENTIRE parse + match in DuckDB from the restated
+  * closed-form bodies — parser and filter are both hash-checked against
+  * an independent SQL implementation.
+  *
+  * Scale shape: robots bodies are per-HOST and small (the rules table
+  * is KB-to-MB at web scale — bounded by hosts, not pages), so parsing
+  * windows partition by host over a few dozen rows each, and the page
+  * filter is ONE broadcast equi-join on host (with the prefix predicate
+  * as the join filter) plus one hash aggregate per page — page text
+  * never shuffles, and the crawl side stays embarrassingly parallel. */
+object Robots {
+
+  // the shared explicit trim — Spark's trim() strips only spaces and
+  // DuckDB's only spaces; \t and a CRLF file's trailing \r must strip
+  // identically in both engines, so both use this regex
+  private def rtrim(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^[ \\t\\r]+|[ \\t\\r]+$", "")
+
+  /** Parse robots.txt bodies into the merged rule table
+    * (host, agent, is_allow, prefix). Input: one row per host with the
+    * raw body text (`host`, `body`). */
+  def rules(robots: DataFrame): DataFrame = {
+    val lines = robots
+      .select(col("host"),
+        posexplode(split(col("body"), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        rtrim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+    val dirs = lines
+      .select(col("host"), col("ln"),
+        lower(rtrim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        rtrim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    // group id = running count of user-agent lines that FOLLOW a
+    // non-user-agent line (consecutive UA lines share one group)
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grps = dirs
+      .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
+      .withColumn("prev_ua", lag(col("is_ua"), 1, 0).over(w))
+      .withColumn("grp",
+        sum(when(col("is_ua") === 1 && col("prev_ua") === 0, 1)
+          .otherwise(0)).over(w))
+    val agents = grps.filter(col("is_ua") === 1)
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+      .distinct()
+    val ruleRows = grps
+      .filter(col("is_ua") === 0 && col("value") =!= "")
+      .select(col("host"), col("grp"),
+        (col("key") === "allow").cast("int").as("is_allow"),
+        col("value").as("prefix"))
+    agents.join(ruleRows, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("is_allow"), col("prefix"))
+      .distinct()
+  }
+
+  /** Longest-match verdict per crawled page for one crawler product
+    * token. Input pages carry (`url`, `host`, `path`); `rulesDf` is
+    * [[rules]]'s output (broadcast — bounded by hosts). Returns every
+    * page row plus `allowed` and the winning `rule_prefix` (NULL when
+    * no rule matched — allowed by default). */
+  def allowed(pages: DataFrame, rulesDf: DataFrame,
+              agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val hasSpecific = rulesDf.filter(col("agent") === a)
+      .select(col("host")).distinct()
+      .withColumn("has_specific", lit(1))
+    val applicable = rulesDf
+      .filter(col("agent") === a || col("agent") === "*")
+      .join(hasSpecific, Seq("host"), "left")
+      .filter(
+        (coalesce(col("has_specific"), lit(0)) === 1 && col("agent") === a)
+          || (coalesce(col("has_specific"), lit(0)) === 0
+            && col("agent") === "*"))
+      .select(col("host").as("r_host"), col("is_allow"), col("prefix"),
+        length(col("prefix")).as("plen"))
+    // one broadcast equi-join on host; the prefix predicate rides as
+    // the join filter. Lexicographic max of (plen, is_allow, prefix)
+    // IS the RFC rule: longest prefix, Allow wins ties (prefix as the
+    // final field makes the tie-break total and engine-independent).
+    pages
+      .join(broadcast(applicable),
+        col("host") === col("r_host")
+          && expr("startswith(path, prefix)"), "left")
+      .groupBy(col("url"), col("host"), col("path"))
+      .agg(max(when(col("plen").isNotNull,
+        struct(col("plen"), col("is_allow"), col("prefix")))).as("best"))
+      .select(col("url"), col("host"), col("path"),
+        (col("best").isNull || col("best.is_allow") === 1).as("allowed"),
+        col("best.prefix").as("rule_prefix"))
+  }
+}

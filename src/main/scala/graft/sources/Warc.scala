@@ -488,6 +488,104 @@ object Warc {
       s"(${q(rid)}, ${q(url)}, ${q(ct)}, ${q(decoded)}, ${body.length})"
     }.mkString(", ")
 
+  // ------------------------------------------------------------------
+  // robots.txt fixture — closed-form bodies + page paths, so the
+  // q_warc_robots oracle can restate BOTH and replay the entire
+  // RFC 9309 parse + longest-match filter in SQL (bodies are
+  // single-quote-free by construction; newlines restate as chr(10)).
+  // ------------------------------------------------------------------
+
+  /** Per-host robots.txt bodies exercising every implemented rule:
+    * site0 — one `*` group with an Allow override, a mid-segment
+    * Disallow (/tmp also blocks /tmpfile), an interleaved ignored
+    * directive (crawl-delay must not split the group); site1 — a
+    * specific graftbot group ABOVE a `*` group that disallows
+    * everything (group choice must pick the specific one and ignore
+    * `*` entirely); site2 — the multi-user-agent group form, an exact
+    * Allow/Disallow length tie (Allow wins), a trailing comment, a
+    * full-line comment, and an empty Disallow (matches nothing). */
+  private[graft] val robotsBodies: Seq[(String, String)] = Seq(
+    "site0.example" -> Seq(
+      "# site0 catch-all group",
+      "User-agent: *",
+      "Disallow: /private/",
+      "Allow: /private/pub/",
+      "Disallow: /tmp",
+      "Crawl-delay: 10").mkString("\n"),
+    "site1.example" -> Seq(
+      "User-agent: graftbot",
+      "Disallow: /graft-only/",
+      "User-agent: *",
+      "Disallow: /").mkString("\n"),
+    "site2.example" -> Seq(
+      "# lead comment",
+      "User-agent: alpha",
+      "User-agent: graftbot",
+      "Disallow: /dup/   # trailing comment",
+      "Allow: /dup/",
+      "Disallow:").mkString("\n"))
+
+  /** Hosts of the robots fixture's PAGE records — includes
+    * site3.example, which serves no robots.txt (everything allowed). */
+  private[graft] val robotsHosts: Seq[String] =
+    robotsBodies.map(_._1) :+ "site3.example"
+
+  /** Crawled paths staged on EVERY host: each path hits a different
+    * rule on at least one host (longest-match override, mid-segment
+    * prefix, tie, specific-group shadowing, no-match default). */
+  private[graft] val robotsPagePaths: Seq[String] = Seq(
+    "/page/1", "/private/x", "/private/pub/y", "/tmp/z", "/tmpfile",
+    "/graft-only/a", "/dup/d", "/other")
+
+  /** Staged single-segment fixture: one robots.txt response per
+    * [[robotsBodies]] host plus one page response per
+    * host × [[robotsPagePaths]]. */
+  lazy val warcRobotsIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-rob-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-rob-cleanup")
+    val robots = robotsBodies.zipWithIndex.map { case ((host, body), i) =>
+      responseRecordUri(900 + i, s"http://$host/robots.txt", body,
+        "text/plain")
+    }
+    val pages = (for {
+      (host, hi) <- robotsHosts.zipWithIndex
+      (path, pi) <- robotsPagePaths.zipWithIndex
+    } yield responseRecordUri(hi * 100 + pi, s"http://$host$path",
+      s"page $host$path", "text/html"))
+    java.nio.file.Files.write(dir.resolve("seg_0.warc"),
+      (robots ++ pages).flatten.toArray)
+    dir.toString
+  }
+
+  private def responseRecordUri(i: Int, uri: String, bodyText: String,
+                                ctype: String): Array[Byte] = {
+    val body = bodyText.getBytes(StandardCharsets.UTF_8)
+    val http = crlf(s"""HTTP/1.1 200 OK
+                       |Content-Type: $ctype
+                       |Content-Length: ${body.length}
+                       |
+                       |""".stripMargin) ++ body
+    record("response", f"<urn:uuid:rob-$i%03d>",
+      s"WARC-Target-URI: $uri\nWARC-Date: 2026-02-01T00:00:00Z\n", http)
+  }
+
+  /** The robots bodies as a DuckDB VALUES list (host, body) — newlines
+    * become chr(10) concatenations; bodies are quote-free by
+    * construction (checked loudly, so a future fixture edit cannot
+    * silently corrupt the oracle literal). */
+  private[graft] def robotsOracleRobotsValuesSql: String =
+    robotsBodies.map { case (host, body) =>
+      require(!body.contains("'"), "robots fixture bodies must stay quote-free")
+      val lit = body.split("\n", -1).map(l => s"'$l'")
+        .mkString(" || chr(10) || ")
+      s"('$host', $lit)"
+    }.mkString(", ")
+
+  /** The page records as a DuckDB VALUES list (url, host, path). */
+  private[graft] def robotsOraclePagesValuesSql: String =
+    (for (host <- robotsHosts; path <- robotsPagePaths)
+      yield s"('http://$host$path', '$host', '$path')").mkString(", ")
+
   /** Disjoint-vocabulary body for the crawl-dedup fixture: three
     * md5-hex words seeded by `i` — two bodies share essentially no
     * char shingles (each has ~90 distinct 5-shingles out of 16⁵

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ground truth for the RFC 9309 subset: group formation, comment and
+  * empty-value handling, case folding, specific-agent shadowing,
+  * longest-prefix matching with the Allow tie-break. The q_warc_robots
+  * oracle replays the same rules in SQL; this spec pins the hand-derived
+  * expectations the oracle cannot state (parse-table shapes, refusal of
+  * out-of-group rules). */
+class RobotsSpec extends SparkSpec {
+
+  private def rulesOf(body: String): Set[(String, Int, String)] = {
+    import SparkSpec.spark.implicits._
+    Robots.rules(Seq(("h", body)).toDF("host", "body"))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+  }
+
+  test("rules: consecutive user-agent lines head ONE group; a UA line " +
+      "after a rule starts a new one; pre-group rules are dropped") {
+    val body = Seq(
+      "Disallow: /orphan",        // before any group: invalid, dropped
+      "User-agent: a",
+      "User-agent: b",            // same group as a
+      "Disallow: /x",
+      "User-agent: c",            // rule seen since → NEW group
+      "Disallow: /y").mkString("\n")
+    assert(rulesOf(body) == Set(
+      ("a", 0, "/x"), ("b", 0, "/x"), ("c", 0, "/y")))
+  }
+
+  test("rules: comments strip (full-line and trailing), unknown " +
+      "directives and blank lines do not split a group, empty " +
+      "Allow/Disallow values match nothing and drop, keys fold case") {
+    val body = Seq(
+      "# preamble",
+      "USER-AGENT: Bot",          // key and agent case-fold
+      "Crawl-delay: 7",           // unknown directive: ignored, no split
+      "",
+      "DisAllow: /a   # trailing",
+      "Sitemap: http://h/s.xml",  // ignored
+      "Allow:",                   // empty value: dropped
+      "Allow: /a/deep").mkString("\n")
+    assert(rulesOf(body) == Set(("bot", 0, "/a"), ("bot", 1, "/a/deep")))
+  }
+
+  test("allowed: longest prefix wins, Allow wins exact ties, prefixes " +
+      "match mid-segment, no rule means allowed") {
+    import SparkSpec.spark.implicits._
+    val rules = Seq(
+      ("h", "*", 0, "/private/"),
+      ("h", "*", 1, "/private/pub/"),
+      ("h", "*", 0, "/tmp"),
+      ("h", "*", 0, "/dup/"),
+      ("h", "*", 1, "/dup/")).toDF("host", "agent", "is_allow", "prefix")
+    val pages = Seq("/private/x", "/private/pub/y", "/tmp/z", "/tmpfile",
+      "/dup/d", "/other").map(p => (s"http://h$p", "h", p))
+      .toDF("url", "host", "path")
+    val got = Robots.allowed(pages, rules, "bot").collect()
+      .map(r => r.getString(2) ->
+        ((r.getBoolean(3), Option(r.getString(4))))).toMap
+    assert(got == Map(
+      "/private/x" -> ((false, Some("/private/"))),
+      "/private/pub/y" -> ((true, Some("/private/pub/"))), // longest wins
+      "/tmp/z" -> ((false, Some("/tmp"))),
+      "/tmpfile" -> ((false, Some("/tmp"))), // mid-segment, as published
+      "/dup/d" -> ((true, Some("/dup/"))),   // exact tie → Allow wins
+      "/other" -> ((true, None))), got.toString)
+  }
+
+  test("allowed: a specific-agent group shadows * entirely (its rules " +
+      "do not merge in), and the crawler token folds case") {
+    import SparkSpec.spark.implicits._
+    val rules = Seq(
+      ("h1", "graftbot", 0, "/graft-only/"),
+      ("h1", "*", 0, "/"),             // must be IGNORED for graftbot
+      ("h2", "*", 0, "/blocked/")).toDF("host", "agent", "is_allow", "prefix")
+    val pages = Seq(
+      ("http://h1/graft-only/a", "h1", "/graft-only/a"),
+      ("http://h1/anything", "h1", "/anything"),
+      ("http://h2/blocked/b", "h2", "/blocked/b"),
+      ("http://h2/open", "h2", "/open")).toDF("url", "host", "path")
+    val got = Robots.allowed(pages, rules, "GraftBot").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(
+      "http://h1/graft-only/a" -> false,
+      "http://h1/anything" -> true,    // the * Disallow: / is shadowed
+      "http://h2/blocked/b" -> false,  // h2 has no specific group → *
+      "http://h2/open" -> true), got.toString)
+  }
+}
