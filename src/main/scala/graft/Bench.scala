@@ -83,7 +83,11 @@ object Bench {
     // ~41M candidate rows at sf0.1)
     "q_graph_triangles",      // degree-oriented wedge join + closure
     "q_graph_kcore",          // 6 synchronous peel rounds, k=80
-    "q_graph_trustrank")      // seed-biased integer pagerank, 8 sweeps
+    "q_graph_trustrank",      // seed-biased integer pagerank, 8 sweeps
+    // round-11 addition #5: the heaviest of the late-round graph ops
+    // (q_graph_clustercoef stays off the headline — its cost IS the
+    // already-budgeted triangle count plus one projection)
+    "q_graph_hits")           // 4 two-direction integer HITS sweeps
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

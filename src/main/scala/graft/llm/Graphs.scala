@@ -352,9 +352,12 @@ object Graphs {
     * persists TWICE, pre-partitioned by src and by dst, so each round's
     * two joins (hubs enter on src, auths return on dst) never re-exchange
     * the big side — only the n-row score tables move; one hash aggregate
-    * per direction; `localCheckpoint` bounds the plan per round; driver
-    * state is the node count. Returns (node, hub, auth) in scale-units
-    * over all nodes (pure sinks hold hub 0, pure sources auth 0). */
+    * per direction, checkpointed ONCE so the normalization cannot
+    * re-evaluate the edge join; driver state is the node count plus one
+    * Long total per direction per round (the [[pagerankExact]] "one
+    * Long" budget — never data rows). Returns (node, hub, auth) in
+    * scale-units over all nodes (pure sinks hold hub 0, pure sources
+    * auth 0). */
   def hitsExact(edgesDf: DataFrame, iters: Int = 4,
                 scale: Long = 1000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
@@ -377,28 +380,34 @@ object Graphs {
       .localCheckpoint()
     var i = 0
     while (i < iters) {
+      // each direction's edge-join aggregate is checkpointed ONCE and
+      // its total read as a single driver Long (bounded driver state,
+      // the pagerankExact "one Long" budget) — an in-plan broadcast
+      // total would re-evaluate the expensive m-row join on both the
+      // broadcast and probe sides of the normalization
       val authRaw = eSrc
         .join(state.select(col("node").as("src"), col("hub")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub")).as("raw"))
-      val aTot = authRaw.agg(coalesce(sum(col("raw")), lit(0L)).as("tot"))
+        .localCheckpoint()
+      val aTot = math.max(1L,
+        authRaw.agg(coalesce(sum(col("raw")), lit(0L))).first().getLong(0))
       val auth = nodes
         .join(authRaw, Seq("node"), "left")
-        .crossJoin(broadcast(aTot))
         .select(col("node"),
-          expr(s"(coalesce(raw, 0L) * $scale) div greatest(tot, 1L)")
-            .as("auth"))
+          expr(s"(coalesce(raw, 0L) * $scale) div $aTot").as("auth"))
+        .localCheckpoint()
       val hubRaw = eDst
         .join(auth.select(col("node").as("dst"), col("auth")), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth")).as("raw"))
-      val hTot = hubRaw.agg(coalesce(sum(col("raw")), lit(0L)).as("tot"))
+        .localCheckpoint()
+      val hTot = math.max(1L,
+        hubRaw.agg(coalesce(sum(col("raw")), lit(0L))).first().getLong(0))
       state = nodes
         .join(hubRaw, Seq("node"), "left")
-        .crossJoin(broadcast(hTot))
         .select(col("node"),
-          expr(s"(coalesce(raw, 0L) * $scale) div greatest(tot, 1L)")
-            .as("hub"))
+          expr(s"(coalesce(raw, 0L) * $scale) div $hTot").as("hub"))
         .join(auth, Seq("node"))
         .select(col("node"), col("hub"), col("auth"))
         .localCheckpoint()

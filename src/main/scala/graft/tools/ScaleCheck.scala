@@ -450,6 +450,15 @@ object ScaleCheck {
         spark.read.parquet(s"$dir/lineitem.parquet")
           .select(col("l_partkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst")), iters = 4)),
+      // round-11: HITS on the k× purchase-graph axis (same synthesized
+      // lineitem as pagerank): per sweep each direction is one edge
+      // join + one hash aggregate over m′ = k·m distinct edges, so
+      // time should track edges linearly with the n-row score tables
+      // as the only moving join side
+      ("q_graph_hits", (dir, _) => graft.llm.Graphs.hitsExact(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst")), iters = 4)),
       // round-8: audio fingerprint near-dup — k× staged WAV clips (same
       // out-of-timing staging rule as video); decode + fingerprint is
       // partition-local, and the only exchange is the banded signature

@@ -101,4 +101,28 @@ class QueryPlanShapeSpec extends SparkSpec {
     graft.llm.Caches.release()
     spark.catalog.clearCache()
   }
+
+  test("late-round-11 operators (clustering coefficient, HITS, k-hop, " +
+      "robots) never plan a cartesian or nested-loop join") {
+    for (q <- Seq("q_graph_clustercoef", "q_graph_hits", "q_graph_khop",
+        "q_warc_robots")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+      graft.llm.Caches.release()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("robots page filtering probes the host-bounded rule table via a " +
+      "broadcast hash join (the prefix predicate rides as the join " +
+      "filter; page rows never shuffle)") {
+    val p = plan("q_warc_robots")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pages are being shuffled into the rule join:\n$p")
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
 }
