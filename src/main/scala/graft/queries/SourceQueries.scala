@@ -239,54 +239,7 @@ object SourceQueries {
              |  ${graft.sources.Warc.robotsOracleRobotsValuesSql}),
              |pages(url, host, path) AS (VALUES
              |  ${graft.sources.Warc.robotsOraclePagesValuesSql}),
-             |lines AS (
-             |  SELECT host, i AS ln,
-             |    regexp_replace(regexp_replace(parts[i], '#.*$$', ''),
-             |      '^[ \\t\\r]+|[ \\t\\r]+$$', '', 'g') AS line
-             |  FROM (SELECT host, string_split(body, chr(10)) AS parts
-             |        FROM robots),
-             |       unnest(generate_series(1, len(parts))) AS t(i)),
-             |parsed AS (
-             |  SELECT host, ln,
-             |    lower(regexp_replace(regexp_extract(line, '^([^:]+):', 1),
-             |      '^[ \\t\\r]+|[ \\t\\r]+$$', '', 'g')) AS key,
-             |    regexp_replace(regexp_extract(line, '^[^:]+:(.*)$$', 1),
-             |      '^[ \\t\\r]+|[ \\t\\r]+$$', '', 'g') AS value
-             |  FROM lines WHERE line <> ''),
-             |dirs AS (
-             |  SELECT * FROM parsed
-             |  WHERE key IN ('user-agent', 'allow', 'disallow')),
-             |flagged AS (
-             |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END
-             |      AS is_ua,
-             |    lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END, 1, 0)
-             |      OVER (PARTITION BY host ORDER BY ln) AS prev_ua
-             |  FROM dirs),
-             |grps AS (
-             |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0
-             |      THEN 1 ELSE 0 END)
-             |      OVER (PARTITION BY host ORDER BY ln) AS grp
-             |  FROM flagged),
-             |agents AS (
-             |  SELECT DISTINCT host, grp, lower(value) AS agent
-             |  FROM grps WHERE is_ua = 1),
-             |rulerows AS (
-             |  SELECT host, grp,
-             |    CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS is_allow,
-             |    value AS prefix
-             |  FROM grps WHERE is_ua = 0 AND value <> ''),
-             |rules AS (
-             |  SELECT DISTINCT a.host, a.agent, r.is_allow, r.prefix
-             |  FROM agents a JOIN rulerows r USING (host, grp)),
-             |spec AS (
-             |  SELECT DISTINCT host, 1 AS hs FROM rules
-             |  WHERE agent = 'graftbot'),
-             |appl AS (
-             |  SELECT r.host AS r_host, r.is_allow, r.prefix,
-             |    len(r.prefix) AS plen
-             |  FROM rules r LEFT JOIN spec s USING (host)
-             |  WHERE (coalesce(s.hs, 0) = 1 AND r.agent = 'graftbot')
-             |     OR (coalesce(s.hs, 0) = 0 AND r.agent = '*')),
+             |$robotsParseCtesSql,
              |m AS (
              |  SELECT p.url, p.host, p.path, a.is_allow, a.prefix, a.plen
              |  FROM pages p LEFT JOIN appl a
@@ -300,7 +253,192 @@ object SourceQueries {
              |  (plen IS NULL OR is_allow = 1) AS allowed,
              |  prefix AS rule_prefix
              |FROM rk WHERE rn = 1 ORDER BY url""".stripMargin)),
+
+    // Crawl-discovery frontier — the sitemap.xml complement of the
+    // robots filter (sitemaps.org protocol): extract <urlset> entries
+    // from each host's sitemap (salvage-what-matches regexp, the
+    // published crawler behavior on the frequently-malformed real
+    // corpus; nested <sitemap> INDEX blocks ignored by construction),
+    // attach the robots verdict, the per-host crawl-delay (the
+    // Bing/Yandex scheduler input), and the already-crawled flag — the
+    // assembled scheduler input of a polite crawler. The oracle
+    // restates robots + sitemap bodies + the crawled set and replays
+    // extraction, parse, group choice, longest-match, delay binding,
+    // and the anti-join — the WHOLE frontier build, independently.
+    QueryDef(
+      "q_warc_sitemap",
+      (s, _) => {
+        val docs = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcSitemapIngestDir)
+          .select(col("url"),
+            regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
+              .as("path"),
+            col("text"))
+        val robots = docs.filter(col("path") === "/robots.txt")
+          .select(col("host"), col("text").as("body"))
+        val maps = docs.filter(col("path") === "/sitemap.xml")
+          .select(col("host"), col("text").as("body"))
+        val crawled = docs
+          .filter(col("path") =!= "/robots.txt"
+            && col("path") =!= "/sitemap.xml")
+          .select(col("url")).distinct()
+          .withColumn("already_crawled", lit(true))
+        val ents = graft.sources.Sitemaps.entries(maps)
+          .select(col("url"), col("host"),
+            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
+              .as("path"),
+            col("lastmod"))
+        graft.sources.Robots
+          .allowed(ents.select(col("url"), col("host"), col("path")),
+            graft.sources.Robots.rules(robots), agent = "GraftBot")
+          .join(ents.select(col("url"), col("lastmod")), Seq("url"))
+          .join(crawled, Seq("url"), "left")
+          .join(graft.sources.Robots.delays(robots, "GraftBot"),
+            Seq("host"), "left")
+          .select(col("url"), col("host"), col("path"), col("lastmod"),
+            col("allowed"),
+            coalesce(col("already_crawled"), lit(false))
+              .as("already_crawled"),
+            col("crawl_delay"))
+          .orderBy(col("url"))
+      },
+      Some(s"""WITH robots(host, body) AS (VALUES
+             |  ${graft.sources.Warc.robotsOracleRobotsValuesSql}),
+             |maps(host, body) AS (VALUES
+             |  ${graft.sources.Warc.sitemapOracleValuesSql}),
+             |crawled(url, c_host, c_path) AS (VALUES
+             |  ${graft.sources.Warc.robotsOraclePagesValuesSql}),
+             |$robotsParseCtesSql,
+             |$robotsDelayCtesSql,
+             |blocks AS (
+             |  SELECT host,
+             |    unnest(regexp_extract_all(body,
+             |      '(?s)<url>(.*?)</url>', 1)) AS block
+             |  FROM maps),
+             |ents AS (
+             |  SELECT host,
+             |    regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)
+             |      AS url,
+             |    nullif(regexp_extract(block,
+             |      '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '')
+             |      AS lastmod
+             |  FROM blocks
+             |  WHERE regexp_extract(block,
+             |    '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''),
+             |epaths AS (
+             |  SELECT url, host,
+             |    regexp_extract(url, '^https?://[^/]+(/.*)$$', 1) AS path,
+             |    lastmod
+             |  FROM ents),
+             |m AS (
+             |  SELECT p.url, p.host, p.path, p.lastmod,
+             |    a.is_allow, a.prefix, a.plen
+             |  FROM epaths p LEFT JOIN appl a
+             |    ON a.r_host = p.host AND starts_with(p.path, a.prefix)),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY url
+             |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
+             |      prefix DESC NULLS LAST) AS rn
+             |  FROM m)
+             |SELECT e.url, e.host, e.path, e.lastmod,
+             |  (e.plen IS NULL OR e.is_allow = 1) AS allowed,
+             |  coalesce(c.ac, false) AS already_crawled,
+             |  d.crawl_delay
+             |FROM rk e
+             |LEFT JOIN (SELECT DISTINCT url, true AS ac FROM crawled) c
+             |  USING (url)
+             |LEFT JOIN delays d ON d.d_host = e.host
+             |WHERE e.rn = 1 ORDER BY e.url""".stripMargin)),
   )
+
+  /** Shared DuckDB replay of [[graft.sources.Robots.rules]] plus the
+    * agent-'graftbot' group choice: expects a CTE `robots(host, body)`
+    * in scope, yields `lines` … `appl(r_host, is_allow, prefix, plen)`.
+    * Used verbatim by q_warc_robots and q_warc_sitemap so the two
+    * oracles cannot drift apart. */
+  private def robotsParseCtesSql: String =
+    """lines AS (
+      |  SELECT host, i AS ln,
+      |    regexp_replace(regexp_replace(parts[i], '#.*$', ''),
+      |      '^[ \t\r]+|[ \t\r]+$', '', 'g') AS line
+      |  FROM (SELECT host, string_split(body, chr(10)) AS parts
+      |        FROM robots),
+      |       unnest(generate_series(1, len(parts))) AS t(i)),
+      |parsed AS (
+      |  SELECT host, ln,
+      |    lower(regexp_replace(regexp_extract(line, '^([^:]+):', 1),
+      |      '^[ \t\r]+|[ \t\r]+$', '', 'g')) AS key,
+      |    regexp_replace(regexp_extract(line, '^[^:]+:(.*)$', 1),
+      |      '^[ \t\r]+|[ \t\r]+$', '', 'g') AS value
+      |  FROM lines WHERE line <> ''),
+      |dirs AS (
+      |  SELECT * FROM parsed
+      |  WHERE key IN ('user-agent', 'allow', 'disallow')),
+      |flagged AS (
+      |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END
+      |      AS is_ua,
+      |    lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END, 1, 0)
+      |      OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+      |  FROM dirs),
+      |grps AS (
+      |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY host ORDER BY ln) AS grp
+      |  FROM flagged),
+      |agents AS (
+      |  SELECT DISTINCT host, grp, lower(value) AS agent
+      |  FROM grps WHERE is_ua = 1),
+      |rulerows AS (
+      |  SELECT host, grp,
+      |    CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS is_allow,
+      |    value AS prefix
+      |  FROM grps WHERE is_ua = 0 AND value <> ''),
+      |rules AS (
+      |  SELECT DISTINCT a.host, a.agent, r.is_allow, r.prefix
+      |  FROM agents a JOIN rulerows r USING (host, grp)),
+      |spec AS (
+      |  SELECT DISTINCT host, 1 AS hs FROM rules
+      |  WHERE agent = 'graftbot'),
+      |appl AS (
+      |  SELECT r.host AS r_host, r.is_allow, r.prefix,
+      |    len(r.prefix) AS plen
+      |  FROM rules r LEFT JOIN spec s USING (host)
+      |  WHERE (coalesce(s.hs, 0) = 1 AND r.agent = 'graftbot')
+      |     OR (coalesce(s.hs, 0) = 0 AND r.agent = '*'))""".stripMargin
+
+  /** DuckDB replay of [[graft.sources.Robots.delays]] for agent
+    * 'graftbot': reuses `parsed` from [[robotsParseCtesSql]], yields
+    * `delays(d_host, crawl_delay)`. */
+  private def robotsDelayCtesSql: String =
+    """ddirs AS (
+      |  SELECT * FROM parsed
+      |  WHERE key IN ('user-agent', 'crawl-delay')),
+      |dflag AS (
+      |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END
+      |      AS is_ua,
+      |    lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END, 1, 0)
+      |      OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+      |  FROM ddirs),
+      |dgrps AS (
+      |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY host ORDER BY ln) AS grp
+      |  FROM dflag),
+      |dagents AS (
+      |  SELECT DISTINCT host, grp, lower(value) AS agent
+      |  FROM dgrps WHERE is_ua = 1),
+      |drows AS (
+      |  SELECT host, grp, CAST(value AS INT) AS delay
+      |  FROM dgrps WHERE is_ua = 0 AND regexp_matches(value, '^[0-9]+$')),
+      |delays AS (
+      |  SELECT host AS d_host,
+      |    coalesce(
+      |      min(CASE WHEN agent = 'graftbot' THEN delay END),
+      |      min(CASE WHEN agent = '*' THEN delay END)) AS crawl_delay
+      |  FROM dagents JOIN drows USING (host, grp)
+      |  WHERE agent IN ('graftbot', '*')
+      |  GROUP BY host)""".stripMargin
 
   /** Stage the first 20 documents as one .bin file each (UTF-8 text
     * bytes) under the per-JVM temp root. */

@@ -88,6 +88,52 @@ object Robots {
       .distinct()
   }
 
+  /** Per-host crawl-delay for one crawler token — the de-facto
+    * politeness directive (not in RFC 9309 but honored by Bing/Yandex
+    * and emitted by most sites; Google ignores it): the scheduler input
+    * next to [[allowed]]'s verdict. Grammar: a `crawl-delay: N` line
+    * binds to the most recent user-agent run (consecutive UA lines =
+    * one run, exactly [[rules]]' group shape); non-integer values are
+    * ignored; group choice is [[allowed]]'s (exact token if the host
+    * declares one for crawl-delay, else `*`); several bound delays
+    * collapse to the MINIMUM (the conservative merge). Returns
+    * (host, crawl_delay) only for hosts that declare one. */
+  def delays(robots: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val lines = robots
+      .select(col("host"),
+        posexplode(split(col("body"), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        rtrim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+    val dirs = lines
+      .select(col("host"), col("ln"),
+        lower(rtrim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        rtrim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key").isin("user-agent", "crawl-delay"))
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grps = dirs
+      .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
+      .withColumn("prev_ua", lag(col("is_ua"), 1, 0).over(w))
+      .withColumn("grp",
+        sum(when(col("is_ua") === 1 && col("prev_ua") === 0, 1)
+          .otherwise(0)).over(w))
+    val agents = grps.filter(col("is_ua") === 1)
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+      .distinct()
+    val delayRows = grps
+      .filter(col("is_ua") === 0 && col("value").rlike("^[0-9]+$"))
+      .select(col("host"), col("grp"), col("value").cast("int").as("delay"))
+    agents.join(delayRows, Seq("host", "grp"))
+      .filter(col("agent") === a || col("agent") === "*")
+      .groupBy(col("host"))
+      .agg(
+        min(when(col("agent") === a, col("delay"))).as("sd"),
+        min(when(col("agent") === "*", col("delay"))).as("wd"))
+      .select(col("host"),
+        coalesce(col("sd"), col("wd")).as("crawl_delay"))
+  }
+
   /** Longest-match verdict per crawled page for one crawler product
     * token. Input pages carry (`url`, `host`, `path`); `rulesDf` is
     * [[rules]]'s output (broadcast — bounded by hosts). Returns every

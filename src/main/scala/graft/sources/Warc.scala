@@ -557,6 +557,87 @@ object Warc {
     dir.toString
   }
 
+  /** Per-host sitemap.xml bodies (closed-form, single-quote-free):
+    * site0 — already-crawled entry with lastmod, a fresh allowed entry,
+    * a fresh entry under the Disallowed /private/ prefix, a lastmod-less
+    * entry, and a /tmpnew entry the mid-segment /tmp rule must block;
+    * site1 — an entry under the graftbot-specific Disallow and a fresh
+    * allowed one; site2 — whitespace padding inside loc/lastmod (trim is
+    * load-bearing) plus an already-crawled path; site3 — no robots.txt
+    * on this host (everything allowed) and a nested <sitemap> INDEX
+    * block the urlset extraction must ignore. */
+  private[graft] val sitemapBodies: Seq[(String, String)] = Seq(
+    "site0.example" -> Seq(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">",
+      "  <url>",
+      "    <loc>http://site0.example/page/1</loc>",
+      "    <lastmod>2026-01-05</lastmod>",
+      "  </url>",
+      "  <url><loc>http://site0.example/new/a</loc>" +
+        "<lastmod>2026-02-01</lastmod></url>",
+      "  <url><loc>http://site0.example/private/new</loc></url>",
+      "  <url><loc>http://site0.example/tmpnew</loc>" +
+        "<lastmod>2026-01-20</lastmod></url>",
+      "</urlset>").mkString("\n"),
+    "site1.example" -> Seq(
+      "<urlset>",
+      "  <url><loc>http://site1.example/graft-only/s</loc></url>",
+      "  <url><loc>http://site1.example/fresh</loc>" +
+        "<lastmod>2026-02-10</lastmod></url>",
+      "</urlset>").mkString("\n"),
+    "site2.example" -> Seq(
+      "<urlset>",
+      "  <url><loc>  http://site2.example/dup/s  </loc>",
+      "       <lastmod>  2026-01-30  </lastmod></url>",
+      "  <url><loc>http://site2.example/other</loc></url>",
+      "</urlset>").mkString("\n"),
+    "site3.example" -> Seq(
+      "<sitemapindex>",
+      "  <sitemap><loc>http://site3.example/sitemap2.xml</loc></sitemap>",
+      "</sitemapindex>",
+      "<urlset>",
+      "  <url><loc>http://site3.example/new/z</loc>" +
+        "<lastmod>2026-02-14</lastmod></url>",
+      "</urlset>").mkString("\n"))
+
+  /** Staged fixture for the crawl-discovery frontier: the robots fixture
+    * (robots.txt per [[robotsBodies]] host + crawled pages on every
+    * [[robotsHosts]] host) PLUS one sitemap.xml response per
+    * [[sitemapBodies]] host. */
+  lazy val warcSitemapIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-map-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-map-cleanup")
+    val robots = robotsBodies.zipWithIndex.map { case ((host, body), i) =>
+      responseRecordUri(900 + i, s"http://$host/robots.txt", body,
+        "text/plain")
+    }
+    val maps = sitemapBodies.zipWithIndex.map { case ((host, body), i) =>
+      responseRecordUri(950 + i, s"http://$host/sitemap.xml", body,
+        "application/xml")
+    }
+    val pages = (for {
+      (host, hi) <- robotsHosts.zipWithIndex
+      (path, pi) <- robotsPagePaths.zipWithIndex
+    } yield responseRecordUri(hi * 100 + pi, s"http://$host$path",
+      s"page $host$path", "text/html"))
+    java.nio.file.Files.write(dir.resolve("seg_0.warc"),
+      (robots ++ maps ++ pages).flatten.toArray)
+    dir.toString
+  }
+
+  /** The sitemap bodies as a DuckDB VALUES list (host, body) — the
+    * [[robotsOracleRobotsValuesSql]] discipline (quote-free checked;
+    * newlines as chr(10)). */
+  private[graft] def sitemapOracleValuesSql: String =
+    sitemapBodies.map { case (host, body) =>
+      require(!body.contains("'"),
+        "sitemap fixture bodies must stay single-quote-free")
+      val lit = body.split("\n", -1).map(l => s"'$l'")
+        .mkString(" || chr(10) || ")
+      s"('$host', $lit)"
+    }.mkString(", ")
+
   private def responseRecordUri(i: Int, uri: String, bodyText: String,
                                 ctype: String): Array[Byte] = {
     val body = bodyText.getBytes(StandardCharsets.UTF_8)

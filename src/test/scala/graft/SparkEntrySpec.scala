@@ -35,9 +35,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // hubs/authorities, and seed-set k-hop BFS) — bump these when
     // operators are added so a bad refactor can't drop queries without
     // failing CI
-    assert(SparkEntry.queries.size >= 261,
+    assert(SparkEntry.queries.size >= 262,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 261,
+    assert(SparkEntry.oracleSql.size >= 262,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -91,4 +91,43 @@ class RobotsSpec extends SparkSpec {
       "http://h2/blocked/b" -> false,  // h2 has no specific group → *
       "http://h2/open" -> true), got.toString)
   }
+
+  test("delays: binds to the preceding user-agent run, specific agent " +
+      "beats *, several delays collapse to the minimum, non-integer " +
+      "values and delay-less hosts drop") {
+    import SparkSpec.spark.implicits._
+    val robots = Seq(
+      ("h1", Seq("User-agent: *", "Crawl-delay: 10",
+        "User-agent: bot", "Crawl-delay: 3",
+        "Crawl-delay: 7").mkString("\n")),      // bot: min(3,7)=3 beats *
+      ("h2", Seq("User-agent: *", "Crawl-delay: 4").mkString("\n")),
+      ("h3", Seq("User-agent: *", "Crawl-delay: soon").mkString("\n")),
+      ("h4", Seq("User-agent: *", "Disallow: /x").mkString("\n")))
+      .toDF("host", "body")
+    val got = Robots.delays(robots, "Bot").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("h1" -> 3, "h2" -> 4), got.toString)
+  }
+
+  test("Sitemaps.entries: loc/lastmod extraction with whitespace trim, " +
+      "loc-less entries drop, sitemapindex blocks are not urlset entries") {
+    import SparkSpec.spark.implicits._
+    val body = Seq(
+      "<sitemapindex>",
+      "  <sitemap><loc>http://h/sub.xml</loc></sitemap>", // index: ignored
+      "</sitemapindex>",
+      "<urlset>",
+      "  <url>",
+      "    <loc>  http://h/a  </loc>",
+      "    <lastmod>  2026-01-01  </lastmod>",
+      "  </url>",
+      "  <url><loc>http://h/b</loc></url>",   // no lastmod → NULL
+      "  <url><lastmod>2026-01-02</lastmod></url>", // no loc → dropped
+      "</urlset>").mkString("\n")
+    val got = Sitemaps.entries(Seq(("h", body)).toDF("host", "body"))
+      .collect().map(r => r.getString(1) -> Option(r.getString(2))).toMap
+    assert(got == Map(
+      "http://h/a" -> Some("2026-01-01"),
+      "http://h/b" -> None), got.toString)
+  }
 }
