@@ -958,4 +958,58 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** C4's line-level cleaning battery (Raffel et al. 2020, JMLR 21(140)
+    * §2.2 — the most-cited published pretraining cleaning recipe,
+    * applied verbatim by the T5 corpus and countless successors). Per
+    * LINE, keep only lines that
+    *  (1) end in a terminal punctuation mark — `.` `!` `?`, optionally
+    *      followed by a closing quote (C4's "end quotation mark");
+    *  (2) carry at least `minWordsPerLine` words (C4 used 5);
+    *  (3) do not mention "javascript" (the cookie/JS-warning
+    *      boilerplate rule).
+    * Per PAGE, `keep` is false when fewer than `minKeptLines` lines
+    * survive (C4's three-sentence floor), or the page contains
+    * "lorem ipsum", a curly brace `{` (code), or any `badWords` entry
+    * as a whole word (C4's blocklist rule; entries must be lowercase
+    * alphanumeric words). C4's remaining rule — the three-sentence-span
+    * corpus dedup — is [[Dedup]]'s spans family, not a per-doc map.
+    *
+    * Line-drop counters cascade deterministically (punct → short → js):
+    * each dropped line counts under its FIRST failing rule.
+    *
+    * Scale shape: pure per-row higher-order array work (split / filter /
+    * size / array_join) — whole-stage codegen, zero shuffle,
+    * embarrassingly parallel at any corpus size. The page verdict and
+    * the cleaned text both come out of one projection, so the filter
+    * composes with any downstream operator without re-reading. */
+  def c4Clean(documents: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id", minWordsPerLine: Int = 5,
+              minKeptLines: Int = 3,
+              badWords: Seq[String] = Seq.empty): DataFrame = {
+    require(badWords.forall(_.matches("[a-z0-9]+")),
+      "badWords must be lowercase alphanumeric words (whole-word regex)")
+    val lines = split(col(textCol), "\n")
+    def punctOk(l: Column) = l.rlike("[.!?][\"']?$")
+    def longEnough(l: Column) = size(split(l, " ")) >= minWordsPerLine
+    def hasJs(l: Column) = contains(lower(l), lit("javascript"))
+    val kept = filter(lines, l => punctOk(l) && longEnough(l) && !hasJs(l))
+    val lowered = lower(col(textCol))
+    val badHit =
+      if (badWords.isEmpty) lit(false)
+      else lowered.rlike("\\b(" + badWords.mkString("|") + ")\\b")
+    documents.select(col(idCol).as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      size(filter(lines, l => !punctOk(l))).as("dropped_punct"),
+      size(filter(lines, l => punctOk(l) && !longEnough(l)))
+        .as("dropped_short"),
+      size(filter(lines, l => punctOk(l) && longEnough(l) && hasJs(l)))
+        .as("dropped_js"),
+      (size(kept) >= minKeptLines
+        && !contains(lowered, lit("lorem ipsum"))
+        && !contains(col(textCol), lit("{"))
+        && !badHit).as("keep"),
+      array_join(kept, "\n").as("clean_text"))
+  }
 }

@@ -30,7 +30,22 @@ object LlmQueries {
     * widening, so the match is exact by construction. */
   private def pagerankOracle(iters: Int, scale: Long = 1000000000000L,
                              dampingNum: Long = 85L,
-                             dampingDen: Long = 100L): String = {
+                             dampingDen: Long = 100L): String =
+    pagerankOracleFrom(prelude = "",
+      edgesSql = """SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+                   |  FROM lineitem""".stripMargin,
+      iters = iters, scale = scale,
+      dampingNum = dampingNum, dampingDen = dampingDen)
+
+  /** [[pagerankOracle]] over an ARBITRARY graph: `prelude` is zero or
+    * more leading CTEs (empty for none), `edgesSql` the SELECT body of
+    * the `edges` CTE — q_graph_linkrank points this at the crawled host
+    * graph replayed by [[graft.sources.Links.linksExtractCtesSql]]. */
+  private[queries] def pagerankOracleFrom(prelude: String, edgesSql: String,
+                                          iters: Int,
+                                          scale: Long = 1000000000000L,
+                                          dampingNum: Long = 85L,
+                                          dampingDen: Long = 100L): String = {
     // damping interpolates from the SAME parameters pagerankExact takes,
     // so pointing the query at non-default damping cannot silently
     // diverge from the oracle text
@@ -52,9 +67,9 @@ object LlmQueries {
          |    AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS MATERIALIZED (
-       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
-       |  FROM lineitem),
+    val pre = if (prelude.isEmpty) "" else s"$prelude,\n"
+    s"""WITH ${pre}edges AS MATERIALIZED (
+       |  $edgesSql),
        |nodes AS MATERIALIZED (
        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
@@ -4280,5 +4295,100 @@ object LlmQueries {
              |    AND n_symbol * 1000000 // n_words <= 100000
              |    AND stop_hits >= 2 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // C4's line-level cleaning battery (Raffel et al. 2020 §2.2) — the
+    // most-cited published cleaning recipe, next to Gopher's
+    // document-level stats: terminal-punctuation lines, ≥5-word lines,
+    // the javascript rule, the lorem-ipsum / curly-brace / bad-word
+    // page drops, and the three-surviving-lines floor. The testdata
+    // documents are single-line and punctuation-free (every rule would
+    // be degenerate), so the fixture is a closed-form doc set restated
+    // verbatim by the oracle (the q_scan_warc discipline); the clean
+    // text round-trips through the hash so kept-line ORDER is checked,
+    // not just counts. The operator itself is one codegen'd projection
+    // of higher-order array ops — zero shuffle at any corpus size.
+    QueryDef(
+      "q_quality_c4",
+      (s, _) => {
+        val docs = s.createDataFrame(c4FixtureDocs).toDF("doc_id", "text")
+        graft.llm.TextAnalysis.c4Clean(docs,
+            badWords = Seq("badword1", "badword2"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs(doc_id, text) AS (VALUES
+             |  $c4DocsValuesSql),
+             |f AS (
+             |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+             |    list_filter(string_split(text, chr(10)), x ->
+             |      regexp_matches(x, '[.!?]["'']?$$')
+             |      AND len(string_split(x, ' ')) >= 5
+             |      AND NOT contains(lower(x), 'javascript')) AS kept
+             |  FROM docs)
+             |SELECT doc_id,
+             |  CAST(len(lines) AS INT) AS n_lines,
+             |  CAST(len(kept) AS INT) AS n_kept,
+             |  CAST(len(list_filter(lines, x ->
+             |    NOT regexp_matches(x, '[.!?]["'']?$$'))) AS INT)
+             |    AS dropped_punct,
+             |  CAST(len(list_filter(lines, x ->
+             |    regexp_matches(x, '[.!?]["'']?$$')
+             |    AND len(string_split(x, ' ')) < 5)) AS INT)
+             |    AS dropped_short,
+             |  CAST(len(list_filter(lines, x ->
+             |    regexp_matches(x, '[.!?]["'']?$$')
+             |    AND len(string_split(x, ' ')) >= 5
+             |    AND contains(lower(x), 'javascript'))) AS INT)
+             |    AS dropped_js,
+             |  (len(kept) >= 3
+             |    AND NOT contains(lower(text), 'lorem ipsum')
+             |    AND NOT contains(text, '{')
+             |    AND NOT regexp_matches(lower(text),
+             |      '\\b(badword1|badword2)\\b')) AS keep,
+             |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+             |FROM f ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Closed-form fixture for q_quality_c4: 48 docs whose lines cycle
+    * through the five per-line shapes (kept statement, short line,
+    * no-punctuation line, javascript boilerplate, kept question), plus
+    * deterministic specials — a quote-terminated line (i%5=0, the "end
+    * quotation mark" rule), lorem-ipsum (i%7=0), curly-brace code
+    * (i%11=0) and bad-word (i%13=0) page-drop triggers. Single-quote-
+    * and backslash-free so [[c4DocsValuesSql]] restates it verbatim. */
+  // lazy: referenced by the `queries` val during object init, which
+  // runs before this definition in source order
+  private[queries] lazy val c4FixtureDocs: Seq[(Long, String)] =
+    (0L until 48L).map { i =>
+      val base = (0 to (i % 6).toInt).map { j =>
+        ((i * 7 + j * 3) % 5).toInt match {
+          case 0 => s"the quick brown fox jumps over line $i-$j."
+          case 1 => "short line."
+          case 2 => "this line has no terminal punctuation at all"
+          case 3 => "please enable javascript to view the content here."
+          case _ => s"is this a well formed question line $i-$j?"
+        }
+      }
+      val specials =
+        (if (i % 5 == 0)
+          Seq("he said \"the closing quote should count here.\"") else Nil) ++
+          (if (i % 7 == 0)
+            Seq("lorem ipsum dolor sit amet consectetur adipiscing.")
+          else Nil) ++
+          (if (i % 11 == 0)
+            Seq("function foo() { return this value now; }.") else Nil) ++
+          (if (i % 13 == 0)
+            Seq("this text contains badword1 sadly right there.") else Nil)
+      i -> (base ++ specials).mkString("\n")
+    }
+
+  /** [[c4FixtureDocs]] as a DuckDB VALUES list (the robots-fixture
+    * discipline: newlines as chr(10), quote/backslash-free checked). */
+  private def c4DocsValuesSql: String =
+    c4FixtureDocs.map { case (i, t) =>
+      require(!t.contains("'") && !t.contains("\\"),
+        "c4 fixture docs must stay single-quote- and backslash-free")
+      val lit = t.split("\n", -1).map(l => s"'$l'")
+        .mkString(" || chr(10) || ")
+      s"($i, $lit)"
+    }.mkString(", ")
 }

@@ -350,6 +350,95 @@ object SourceQueries {
              |  USING (url)
              |LEFT JOIN delays d ON d.d_host = e.host
              |WHERE e.rn = 1 ORDER BY e.url""".stripMargin)),
+
+    // Hyperlink extraction + RFC 3986 resolution — the step that turns
+    // a cracked crawl into the web graph (sources.Links): every href
+    // form (double/single-quoted, unquoted, case-folded), every
+    // resolution case (absolute, scheme-relative, root-relative,
+    // relative with dot-segment removal), and every drop rule
+    // (fragment-only, javascript:/mailto:, href-less and non-<a> tags)
+    // is exercised by the closed-form fixture pages and replayed
+    // INDEPENDENTLY by the oracle from the restated bodies — extraction
+    // regexes, entity decode, fragment strip, base-dir math, and the
+    // bounded dot-segment chain are all hash-checked.
+    QueryDef(
+      "q_warc_links",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        graft.sources.Links.resolved(pages)
+          .groupBy(col("page_url"), col("link_url"), col("anchor"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("page_url"), col("link_url"), col("anchor"))
+      },
+      Some(s"""WITH pages(url, html) AS (VALUES
+             |  ${graft.sources.Warc.linksOracleValuesSql}),
+             |${graft.sources.Links.linksExtractCtesSql}
+             |SELECT page_url, link_url, anchor, count(*) AS n
+             |FROM linkrows
+             |GROUP BY page_url, link_url, anchor
+             |ORDER BY page_url, link_url, anchor""".stripMargin)),
+
+    // Host-level web graph off the same crawl — the Common Crawl
+    // host-graph shape the curation priors consume (PageRank seeds,
+    // TrustRank, HITS): one hash aggregate over the resolved links,
+    // intra-host edges excluded, output bounded by host PAIRS.
+    QueryDef(
+      "q_warc_hostgraph",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        graft.sources.Links
+          .hostEdges(graft.sources.Links.resolved(pages))
+          .orderBy(col("src_host"), col("dst_host"))
+      },
+      Some(s"""WITH pages(url, html) AS (VALUES
+             |  ${graft.sources.Warc.linksOracleValuesSql}),
+             |${graft.sources.Links.linksExtractCtesSql}
+             |SELECT src_host, dst_host, count(*) AS n_links FROM (
+             |  SELECT regexp_extract(page_url, '^https?://([^/]+)', 1)
+             |      AS src_host,
+             |    regexp_extract(link_url, '^https?://([^/]+)', 1)
+             |      AS dst_host
+             |  FROM linkrows) t
+             |WHERE src_host <> dst_host
+             |GROUP BY src_host, dst_host
+             |ORDER BY src_host, dst_host""".stripMargin)),
+
+    // Crawl → graph → rank, end to end: exact-integer PageRank
+    // (Graphs.pagerankExact, the q_graph_pagerank discipline) over the
+    // host graph EXTRACTED FROM THE CRAWLED PAGES — the composition a
+    // production pipeline actually runs (Common Crawl publishes exactly
+    // this host-level rank). site3 has no outbound links, so the
+    // dangling-mass redistribution is load-bearing. The oracle replays
+    // link extraction, host-edge assembly, AND the 4 unrolled rank
+    // sweeps — one CTE chain from raw HTML to rank, bit-identical.
+    QueryDef(
+      "q_graph_linkrank",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        val edges = graft.sources.Links
+          .hostEdges(graft.sources.Links.resolved(pages))
+          .select(col("src_host").as("src"), col("dst_host").as("dst"))
+        graft.llm.Graphs.pagerankExact(edges, iters = 4)
+          .orderBy(col("rank").desc, col("node")).limit(100)
+      },
+      Some(LlmQueries.pagerankOracleFrom(
+        prelude = s"""pages(url, html) AS (VALUES
+                     |  ${graft.sources.Warc.linksOracleValuesSql}),
+                     |${graft.sources.Links.linksExtractCtesSql}""".stripMargin,
+        edgesSql = """SELECT DISTINCT src, dst FROM (
+                     |    SELECT regexp_extract(page_url,
+                     |        '^https?://([^/]+)', 1) AS src,
+                     |      regexp_extract(link_url,
+                     |        '^https?://([^/]+)', 1) AS dst
+                     |    FROM linkrows) t
+                     |  WHERE src <> dst""".stripMargin,
+        iters = 4))),
   )
 
   /** Shared DuckDB replay of [[graft.sources.Robots.rules]] plus the

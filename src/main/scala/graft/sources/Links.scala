@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hyperlink extraction and relative-URL resolution — the step that
+  * turns a cracked crawl into the WEB GRAPH every published curation
+  * prior consumes: host-level PageRank/TrustRank seeds (Common Crawl
+  * publishes exactly this host graph), HITS hubs, anchor-text signals,
+  * and frontier discovery all start from "which page links where, with
+  * what text".
+  *
+  * Extraction is the [[Sitemaps]] discipline — deliberate
+  * salvage-what-matches regexps, not an HTML parser: real crawled HTML
+  * is overwhelmingly non-well-formed and the published extractors keep
+  * whatever parses. `<a …href=…>anchor</a>` occurrences yield
+  * (href, anchor); href accepts double-quoted, single-quoted, and
+  * unquoted forms plus case-insensitive tag/attr names; `<link>` /
+  * `<area>` and href-less anchors never match by construction; anchor
+  * text is tag-stripped and whitespace-collapsed. `&amp;` decodes in
+  * hrefs (the one entity that routinely appears in query strings);
+  * other entities pass through raw.
+  *
+  * Resolution implements the RFC 3986 §5 cases a crawler meets:
+  * fragment stripping (a fragment-only link drops), non-http(s) schemes
+  * drop (javascript:/mailto:/data:/…), absolute http(s) passes through,
+  * scheme-relative `//host/p` takes the base scheme, root-relative
+  * `/p` takes the base origin, and relative paths resolve against the
+  * base directory with §5.2.4 dot-segment removal. Dot-segment removal
+  * is a BOUNDED unrolled regexp chain ([[normSteps]] — the same step
+  * list emits both the Catalyst expression chain and the DuckDB oracle
+  * SQL, so the two engines cannot drift): each round collapses one
+  * level of `/seg/../` (leftmost-first, so a real segment always
+  * collapses before a `..` can self-match — pops-from-empty-root
+  * collapse exactly like RFC remove_dot_segments' no-op pops), and a
+  * path still carrying dot segments after [[NormRounds]] rounds is
+  * DROPPED as malformed (salvage-what-matches: bounded-depth
+  * incomplete normalization becomes a drop, never a wrong URL).
+  * Deliberately out of scope (documented, like Robots' wildcards):
+  * `<base href>` overrides, percent-encoding normalization, and dot
+  * segments inside query strings.
+  *
+  * Every step is per-row regexp + one explode — embarrassingly
+  * parallel, zero shuffle until the caller aggregates; the host-graph
+  * rollup ([[hostEdges]]) is one hash aggregate whose output is bounded
+  * by host PAIRS, not pages. q_warc_links / q_warc_hostgraph /
+  * q_graph_linkrank replay the ENTIRE chain in DuckDB from the restated
+  * closed-form fixture bodies.
+  *
+  * Reference anchor: repype/pipeline.py:79-118 (stages consuming
+  * upstream artifacts by field name — here pages feed the link stage
+  * exactly as images feed seg stages).
+  */
+object Links {
+
+  /** One `<a …href=…>…</a>` occurrence, whole match. Attribute values
+    * must not contain `>` (HTML allows it quoted; crawled reality and
+    * RE2's lack of backreferences both say salvage, skip those). */
+  private[sources] val ATagRe: String =
+    "(?is)<a\\s[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>.*?</a>"
+
+  /** The href token (still quoted) out of one match. */
+  private[sources] val HrefRe: String =
+    "(?is)href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+
+  /** The anchor body out of one match (greedy: the match itself ends at
+    * the first `</a>`, so the group is exact). */
+  private[sources] val AnchorRe: String = "(?is)^<a[^>]*>(.*)</a>$"
+
+  /** Rounds of dot-segment collapse. Each round's GLOBAL mid-pass
+    * collapses every non-overlapping `/seg/../` at once (so a run of k
+    * `..` roughly halves per round) plus one root-level no-op pop —
+    * 4 rounds resolve the ≤8-level chains real HTML contains; deeper
+    * chains drop via [[ResidualDotRe]]. */
+  val NormRounds = 4
+
+  /** RFC 3986 §5.2.4 remove_dot_segments as a bounded (pattern →
+    * replacement) chain, applied in order. Shared verbatim between the
+    * engine ([[normalizeDotSegments]]) and the oracle SQL
+    * ([[normalizeSql]]). Kept deliberately short (16 steps): the chain
+    * is nested expression code in whole-stage codegen. */
+  private[sources] val normSteps: Seq[(String, String)] = {
+    val dot = Seq.fill(3)("/\\./" -> "/") :+ ("/\\.$" -> "/")
+    val dotdot = (1 to NormRounds).flatMap { _ =>
+      Seq("^/\\.\\./" -> "/", // pop at root = no-op pop
+        "/[^/]+/\\.\\./" -> "/") // pop one real segment (global)
+    }
+    // interior passes leave at most a two-deep trailing `..` tail
+    val tail = Seq.fill(2)(
+      Seq("/[^/]+/\\.\\.$" -> "/", "^/\\.\\.$" -> "/")).flatten
+    dot ++ dotdot ++ tail
+  }
+
+  /** A path still carrying dot segments after normalization (deeper
+    * than [[NormRounds]] or degenerate) — malformed, drop the link. */
+  private[sources] val ResidualDotRe: String = "/\\.\\./|/\\./|/\\.\\.$|/\\.$"
+
+  /** Non-fragment schemes a crawler never follows: anything with an
+    * explicit scheme that is not http(s). */
+  private[sources] val OtherSchemeRe: String = "^(?i)[a-z][a-z0-9+.-]*:"
+  private[sources] val HttpRe: String = "^(?i)https?://"
+
+  /** The engine-side normalization chain. */
+  private[sources] def normalizeDotSegments(c: Column): Column =
+    normSteps.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** The SAME chain as DuckDB SQL over the expression `inner`. */
+  private[sources] def normalizeSql(inner: String): String =
+    normSteps.foldLeft(inner) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+    }
+
+  /** Single-quoted SQL literal (internal quotes doubled). */
+  private[sources] def sqlLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** Raw (href, anchor) occurrences per page. Input: (`url`, `html`).
+    * Output: (url, href, anchor) — href quote-stripped, `&amp;`-decoded,
+    * fragment-stripped (may be empty = fragment-only); anchor
+    * tag-stripped, whitespace-collapsed, trimmed. */
+  def rawLinks(pages: DataFrame): DataFrame =
+    pages
+      .select(col("url"),
+        // typed function, NOT expr(): a SQL string literal would
+        // re-process the regex's backslashes
+        explode(regexp_extract_all(col("html"), lit(ATagRe), lit(0)))
+          .as("m"))
+      .select(col("url"),
+        regexp_replace(
+          regexp_replace(
+            trim(regexp_extract(col("m"), HrefRe, 1), "\"'"),
+            "&amp;", "&"),
+          "#.*$", "").as("href"),
+        trim(regexp_replace(
+          regexp_replace(regexp_extract(col("m"), AnchorRe, 1),
+            "<[^>]*>", " "),
+          "[ \\t\\r\\n]+", " ")).as("anchor"))
+
+  /** Resolved outgoing links per page: (page_url, link_url, anchor) —
+    * one row per occurrence; fragment-only, non-http(s)-scheme, and
+    * malformed-dot-depth links are dropped. */
+  def resolved(pages: DataFrame): DataFrame = {
+    val base = rawLinks(pages)
+      .withColumn("origin",
+        regexp_extract(col("url"), "^(https?://[^/]+)", 1))
+      .withColumn("scheme", regexp_extract(col("url"), "^([a-z]+):", 1))
+      .withColumn("basedir", {
+        val p = regexp_extract(col("url"), "^https?://[^/]+(/.*)?$", 1)
+        when(p === "", lit("/"))
+          .otherwise(regexp_replace(p, "[^/]*$", ""))
+      })
+      // normalize ONCE, in its own projection — the 16-step chain is
+      // the expensive expression; the CASE below only references it
+      .withColumn("npath", normalizeDotSegments(
+        when(col("href").startsWith("/"), col("href"))
+          .otherwise(concat(col("basedir"), col("href")))))
+    base
+      .withColumn("link_url",
+        when(col("href") === "", lit(null))
+          .when(col("href").rlike(HttpRe), col("href"))
+          .when(col("href").rlike(OtherSchemeRe), lit(null))
+          .when(col("href").startsWith("//"),
+            concat(col("scheme"), lit(":"), col("href")))
+          .when(col("npath").rlike(ResidualDotRe), lit(null))
+          .otherwise(concat(col("origin"), col("npath"))))
+      .filter(col("link_url").isNotNull)
+      .select(col("url").as("page_url"), col("link_url"), col("anchor"))
+  }
+
+  /** Host-level web-graph edges off [[resolved]]'s output:
+    * (src_host, dst_host, n_links), intra-host edges excluded — the
+    * Common Crawl host-graph shape PageRank/TrustRank/HITS consume.
+    * Output is bounded by host PAIRS; one hash aggregate. */
+  def hostEdges(links: DataFrame): DataFrame =
+    links
+      .select(
+        regexp_extract(col("page_url"), "^https?://([^/]+)", 1)
+          .as("src_host"),
+        regexp_extract(col("link_url"), "^https?://([^/]+)", 1)
+          .as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** DuckDB replay of [[rawLinks]] + [[resolved]]: expects a CTE
+    * `pages(url, html)` in scope, yields
+    * `linkrows(page_url, link_url, anchor)`. Shared verbatim by the
+    * q_warc_links / q_warc_hostgraph / q_graph_linkrank oracles so the
+    * three cannot drift. */
+  def linksExtractCtesSql: String = {
+    val norm = normalizeSql(
+      "CASE WHEN starts_with(href, '/') THEN href ELSE basedir || href END")
+    s"""lm AS (
+       |  SELECT url, unnest(regexp_extract_all(html,
+       |    ${sqlLit(ATagRe)}, 0)) AS m
+       |  FROM pages),
+       |lraw AS (
+       |  SELECT url,
+       |    regexp_replace(replace(
+       |      trim(regexp_extract(m, ${sqlLit(HrefRe)}, 1), '"' || chr(39)),
+       |      '&amp;', '&'), '#.*$$', '') AS href,
+       |    trim(regexp_replace(regexp_replace(
+       |      regexp_extract(m, ${sqlLit(AnchorRe)}, 1),
+       |      '<[^>]*>', ' ', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS anchor
+       |  FROM lm),
+       |lbase AS (
+       |  SELECT url, href, anchor,
+       |    regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
+       |    regexp_extract(url, '^([a-z]+):', 1) AS scheme,
+       |    CASE WHEN regexp_extract(url, '^https?://[^/]+(/.*)$$', 1) = ''
+       |      THEN '/'
+       |      ELSE regexp_replace(
+       |        regexp_extract(url, '^https?://[^/]+(/.*)$$', 1),
+       |        '[^/]*$$', '') END AS basedir
+       |  FROM lraw),
+       |lnorm AS (
+       |  SELECT url, href, anchor, origin, scheme,
+       |    $norm AS npath
+       |  FROM lbase),
+       |lres AS (
+       |  SELECT url AS page_url, anchor,
+       |    CASE
+       |      WHEN href = '' THEN NULL
+       |      WHEN regexp_matches(href, ${sqlLit(HttpRe)}) THEN href
+       |      WHEN regexp_matches(href, ${sqlLit(OtherSchemeRe)}) THEN NULL
+       |      WHEN starts_with(href, '//') THEN scheme || ':' || href
+       |      WHEN regexp_matches(npath, ${sqlLit(ResidualDotRe)}) THEN NULL
+       |      ELSE origin || npath
+       |    END AS link_url
+       |  FROM lnorm),
+       |linkrows AS (
+       |  SELECT page_url, link_url, anchor FROM lres
+       |  WHERE link_url IS NOT NULL)""".stripMargin
+  }
+}

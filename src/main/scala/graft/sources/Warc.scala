@@ -638,6 +638,97 @@ object Warc {
       s"('$host', $lit)"
     }.mkString(", ")
 
+  /** Closed-form HTML pages for the link-extraction fixture
+    * (q_warc_links / q_warc_hostgraph / q_graph_linkrank): page0 is the
+    * rule-coverage page (every href form, every resolution case, every
+    * drop rule of [[Links]]); the rest shape an asymmetric host graph —
+    * site0 links out to all three others, site1 and site2 link back,
+    * and site3 has NO outbound links (a dangling PageRank node, so the
+    * dangling-mass path of the rank sweep is load-bearing in
+    * q_graph_linkrank). Bodies may contain single quotes (they are
+    * doubled in [[linksOracleValuesSql]]) but no backslashes. */
+  private[graft] val linkPageBodies: Seq[(String, String)] = Seq(
+    "http://site0.example/a/b/page0.html" -> Seq(
+      "<html><body>",
+      "<h1>Page zero</h1>",
+      "<p>Intro text with no links.</p>",
+      "<a href=\"http://site1.example/x\">external absolute</a>",
+      "<a href=\"https://site2.example/sec\">secure link</a>",
+      "<a href='/rooted/p'>single quoted rooted</a>",
+      "<a href=rel/one>unquoted relative</a>",
+      "<a href=\"../up/two\">dotdot link</a>",
+      "<a href=\"./same/three\">dot link</a>",
+      "<a href=\"#frag\">fragment only</a>",
+      "<a href=\"next#sec\">fragment strip</a>",
+      "<a href=\"javascript:void(0)\">js link</a>",
+      "<a href=\"mailto:x@example.com\">mail link</a>",
+      "<a href=\"//site3.example/proto\">scheme relative</a>",
+      "<A HREF=\"/UPPER\">upper tag</A>",
+      "<link href=\"/style.css\">",
+      "<a href=\"../../../over/top\">beyond root</a>",
+      "<a href=\"search?q=1&amp;r=2\">query link</a>",
+      "<a href=\"/nested\"><b>Bold</b> anchor</a>",
+      "<a href=\"/img\"><img src=\"i.png\"/></a>",
+      "<a href=\"/ws\">  spaced",
+      "  anchor </a>",
+      "<a href=\"../../../../../../../../x\">deep beyond root</a>",
+      "<a name=\"here\">no href</a>",
+      "</body></html>").mkString("\n"),
+    "http://site0.example/index.html" -> Seq(
+      "<html><body>",
+      "<p>Front page.</p>",
+      "<a href=\"http://site1.example/x\">partner one</a>",
+      "<a href=\"http://site1.example/x\">partner one</a>",
+      "<a href=\"http://site1.example/y\">partner two</a>",
+      "<a href=\"http://site2.example/z\">partner three</a>",
+      "<a href=\"/a/b/page0.html\">inside</a>",
+      "</body></html>").mkString("\n"),
+    "http://site1.example/dir/p1.html" -> Seq(
+      "<html><body>",
+      "<a href=\"http://site0.example/\">home zero</a>",
+      "<a href=\"//site2.example/one\">two one</a>",
+      "<a href=\"https://site2.example/two\">two two</a>",
+      "<a href=\"../local\">sibling</a>",
+      "</body></html>").mkString("\n"),
+    "http://site2.example/p2.html" -> Seq(
+      "<html><body>",
+      "<a href=\"http://site0.example/a/b/page0.html\">zero deep</a>",
+      "<a href=\"p2self\">self</a>",
+      "</body></html>").mkString("\n"),
+    "http://site3.example/only.html" -> Seq(
+      "<html><body>",
+      "<a href=\"#top\">to top</a>",
+      "<a href=\"javascript:alert(1)\">noop</a>",
+      "<p>No outbound links here.</p>",
+      "</body></html>").mkString("\n"))
+
+  /** Staged single-segment fixture of the [[linkPageBodies]] pages. */
+  lazy val warcLinksIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-lnk-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-lnk-cleanup")
+    val recs = linkPageBodies.zipWithIndex.map { case ((url, body), i) =>
+      responseRecordUri(970 + i, url, body, "text/html; charset=utf-8")
+    }
+    java.nio.file.Files.write(dir.resolve("seg_0.warc"),
+      recs.flatten.toArray)
+    dir.toString
+  }
+
+  /** The link pages as a DuckDB VALUES list (url, html) — newlines as
+    * chr(10) concatenations, single quotes doubled (unlike the robots
+    * bodies, href='…' forms NEED quotes in the fixture); backslash-free
+    * checked loudly (DuckDB standard literals do not escape, Scala
+    * emission here must not start). */
+  private[graft] def linksOracleValuesSql: String =
+    linkPageBodies.map { case (url, body) =>
+      require(!body.contains("\\"),
+        "link fixture bodies must stay backslash-free")
+      val lit = body.split("\n", -1)
+        .map(l => s"'${l.replace("'", "''")}'")
+        .mkString(" || chr(10) || ")
+      s"('$url', $lit)"
+    }.mkString(", ")
+
   private def responseRecordUri(i: Int, uri: String, bodyText: String,
                                 ctype: String): Array[Byte] = {
     val body = bodyText.getBytes(StandardCharsets.UTF_8)

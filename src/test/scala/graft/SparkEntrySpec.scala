@@ -32,12 +32,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // Kneser-Ney bigram+trigram scoring, degree-oriented triangle
     // counts, the rounds-bounded k-core peel, TrustRank, quality-aware
     // survivor selection, the local clustering coefficient, HITS
-    // hubs/authorities, and seed-set k-hop BFS) — bump these when
-    // operators are added so a bad refactor can't drop queries without
-    // failing CI
-    assert(SparkEntry.queries.size >= 262,
+    // hubs/authorities, seed-set k-hop BFS, then the crawl→graph loop
+    // [hyperlink extraction with RFC 3986 resolution, the host-level
+    // web graph, PageRank over the crawled host graph] and the C4
+    // line-level cleaning battery) — bump these when operators are
+    // added so a bad refactor can't drop queries without failing CI
+    assert(SparkEntry.queries.size >= 266,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 262,
+    assert(SparkEntry.oracleSql.size >= 266,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -1874,4 +1874,54 @@ class LlmSpec extends SparkSpec {
       assert(dp == brute(w), s"$w: dp=$dp brute=${brute(w)}")
     }
   }
+
+  test("c4Clean: per-line rules cascade (punct → short → js), the quote-" +
+      "terminated line keeps, and kept lines rebuild in order") {
+    import SparkSpec.spark.implicits._
+    val text = Seq(
+      "this first line is long enough to keep.", // kept
+      "short one.", // punct ok, <5 words → dropped_short
+      "no terminal punctuation on this line here", // dropped_punct
+      "short no punct", // fails punct FIRST → dropped_punct (cascade)
+      "please enable javascript for this content now.", // dropped_js
+      "she said \"a quote after the period still counts.\"", // kept
+      "is this question line long enough to stay?" // kept
+    ).mkString("\n")
+    val out = TextAnalysis.c4Clean(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("n_lines") === 7)
+    assert(out.getAs[Int]("n_kept") === 3)
+    assert(out.getAs[Int]("dropped_punct") === 2)
+    assert(out.getAs[Int]("dropped_short") === 1)
+    assert(out.getAs[Int]("dropped_js") === 1)
+    assert(out.getAs[Boolean]("keep"))
+    assert(out.getAs[String]("clean_text") === Seq(
+      "this first line is long enough to keep.",
+      "she said \"a quote after the period still counts.\"",
+      "is this question line long enough to stay?").mkString("\n"))
+  }
+
+  test("c4Clean: page drops — lorem ipsum, curly brace, whole-word bad " +
+      "word (substring must NOT trigger), and the kept-lines floor") {
+    import SparkSpec.spark.implicits._
+    val goodLines = Seq(
+      "a perfectly fine line number one stays here.",
+      "a perfectly fine line number two stays here.",
+      "a perfectly fine line number three stays here.")
+    val docs = Seq(
+      (1L, goodLines.mkString("\n")), // keep
+      (2L, (goodLines :+ "some Lorem Ipsum generator output follows now.")
+        .mkString("\n")), // case-folded lorem → drop
+      (3L, (goodLines :+ "var config = { mode: production } stays.")
+        .mkString("\n")), // curly → drop
+      (4L, (goodLines :+ "this mentions badword1 in plain form today.")
+        .mkString("\n")), // bad word → drop
+      (5L, (goodLines :+ "but notbadword1ish is only a substring here.")
+        .mkString("\n")), // substring: must KEEP
+      (6L, goodLines.take(2).mkString("\n")) // 2 kept < 3 floor → drop
+    ).toDF("doc_id", "text")
+    val keep = TextAnalysis.c4Clean(docs, badWords = Seq("badword1"))
+      .orderBy("doc_id").collect().map(_.getAs[Boolean]("keep")).toSeq
+    assert(keep === Seq(true, false, false, false, true, false))
+  }
 }

@@ -125,4 +125,22 @@ class QueryPlanShapeSpec extends SparkSpec {
     graft.llm.Caches.release()
     spark.catalog.clearCache()
   }
+
+  test("link extraction is joinless narrow work: the host-graph rollup " +
+      "plans zero joins and the 16-step normalization chain stays " +
+      "inside whole-stage codegen") {
+    val df = graft.SparkEntry.queries("q_warc_hostgraph")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"extraction should not join:\n$p")
+    // the resolution CASE + dot-segment chain must not fall out of
+    // codegen: with fallback disabled a Janino over-size failure (seen
+    // at 6 rounds with a per-branch chain) THROWS instead of silently
+    // degrading to interpreted eval
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      assert(df.collect().nonEmpty)
+    }
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
 }

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ground truth for link extraction + RFC 3986 resolution: href forms,
+  * drop rules, dot-segment removal (including the bounded-depth drop
+  * the oracle fixture cannot reach), and the host-graph rollup. The
+  * q_warc_links oracle replays the same chain in SQL; this spec pins
+  * hand-derived per-rule expectations plus the edges only reachable
+  * with constructed inputs. */
+class LinksSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+
+  private def resolve(pageUrl: String, html: String): Seq[(String, String)] =
+    Links.resolved(Seq((pageUrl, html)).toDF("url", "html"))
+      .select(col("link_url"), col("anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  private val base = "http://h.example/a/b/page.html"
+
+  test("href forms: double-quoted, single-quoted, unquoted, case-folded " +
+      "tag/attr all extract; <link>/<area>/href-less <a> never match") {
+    val html =
+      """<a href="/dq">d</a> <a href='/sq'>s</a> <a href=/uq>u</a>
+        |<A HREF="/up">U</A>
+        |<link href="/css"> <area href="/ar"> <a name="n">plain</a>""".stripMargin
+    assert(resolve(base, html).map(_._1).sorted ===
+      Seq("http://h.example/dq", "http://h.example/sq",
+        "http://h.example/up", "http://h.example/uq"))
+  }
+
+  test("resolution cases: absolute passes, scheme-relative takes base " +
+      "scheme, root-relative takes origin, relative resolves against " +
+      "the base directory") {
+    val html =
+      """<a href="https://x.example/p?q=1">abs</a>
+        |<a href="//y.example/sr">sr</a>
+        |<a href="/rooted">r</a>
+        |<a href="sib/ling">rel</a>""".stripMargin
+    assert(resolve(base, html).map(_._1) ===
+      Seq("https://x.example/p?q=1", "http://y.example/sr",
+        "http://h.example/rooted", "http://h.example/a/b/sib/ling"))
+  }
+
+  test("drop rules: fragment-only, javascript:, mailto:, data:, tel: " +
+      "all drop; a trailing fragment strips off a kept link") {
+    val html =
+      """<a href="#top">f</a>
+        |<a href="javascript:void(0)">j</a>
+        |<a href="mailto:a@b.c">m</a>
+        |<a href="data:text/plain,x">d</a>
+        |<a href="tel:+123">t</a>
+        |<a href="next.html#sec">keep</a>""".stripMargin
+    assert(resolve(base, html).map(_._1) ===
+      Seq("http://h.example/a/b/next.html"))
+  }
+
+  test("dot-segment removal matches RFC 3986 remove_dot_segments on " +
+      "the shapes crawled HTML contains") {
+    val cases = Seq(
+      "./x" -> "http://h.example/a/b/x",
+      "../x" -> "http://h.example/a/x",
+      "../../x" -> "http://h.example/x",
+      "../../../x" -> "http://h.example/x", // pop past root = no-op
+      "../../../../../../../../x" -> "http://h.example/x", // 8 deep
+      "c/../x" -> "http://h.example/a/b/x",
+      "c/d/../../x" -> "http://h.example/a/b/x",
+      "c/.." -> "http://h.example/a/b/", // trailing .. keeps dir slash
+      ".." -> "http://h.example/a/",
+      "." -> "http://h.example/a/b/")
+    cases.foreach { case (href, want) =>
+      val got = resolve(base, s"""<a href="$href">t</a>""").map(_._1)
+      assert(got === Seq(want), s"href=$href")
+    }
+  }
+
+  test("a dot-chain deeper than the bounded normalization DROPS the " +
+      "link (never emits a wrong URL)") {
+    // 4 global-halving rounds resolve runs into the hundreds; ~2^6
+    // levels survive every pass and must hit the residual-dot guard
+    val deep = "../" * 500 + "x"
+    assert(resolve(base, s"""<a href="$deep">t</a>""") === Seq.empty)
+  }
+
+  test("anchor text: nested tags strip, whitespace collapses, image " +
+      "anchors yield empty text, &amp; decodes in hrefs") {
+    val html =
+      """<a href="/n"><b>Bold</b>  and <i>italic</i></a>
+        |<a href="/i"><img src="x.png"/></a>
+        |<a href="/q?a=1&amp;b=2">q</a>""".stripMargin
+    assert(resolve(base, html) === Seq(
+      ("http://h.example/n", "Bold and italic"),
+      ("http://h.example/i", ""),
+      ("http://h.example/q?a=1&b=2", "q")))
+  }
+
+  test("hostEdges: intra-host edges drop, cross-host occurrences count") {
+    val links = Seq(
+      ("http://a.ex/p1", "http://b.ex/x", ""),
+      ("http://a.ex/p1", "http://b.ex/y", ""),
+      ("http://a.ex/p2", "http://a.ex/self", ""), // intra: dropped
+      ("http://b.ex/p", "http://a.ex/z", ""))
+      .toDF("page_url", "link_url", "anchor")
+    val got = Links.hostEdges(links)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(("a.ex", "b.ex", 2L), ("b.ex", "a.ex", 1L)))
+  }
+
+  test("fixture pages crack into the expected host graph (dangling " +
+      "site3 included as a rank sink)") {
+    val pages = Warc.readResponses(spark, Warc.warcLinksIngestDir)
+      .select(col("url"), col("text").as("html"))
+    val got = Links.hostEdges(Links.resolved(pages))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("site0.example", "site1.example", 4L),
+      ("site0.example", "site2.example", 2L),
+      ("site0.example", "site3.example", 1L),
+      ("site1.example", "site0.example", 1L),
+      ("site1.example", "site2.example", 2L),
+      ("site2.example", "site0.example", 1L)))
+  }
+}
