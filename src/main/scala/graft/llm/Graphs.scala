@@ -535,4 +535,116 @@ object Graphs {
     seedSet.unpersist(blocking = false)
     state.select(col("node"), col("rank"))
   }
+
+  /** Exact-integer WEIGHTED PageRank — the variant the crawled host
+    * graph actually calls for: a host linking another 400 times should
+    * pass more rank than one linking it once, so each out-edge carries
+    * weight w(u,v) and u's rank splits proportionally —
+    * rank(u)·w(u,v) div W(u), W(u) = Σ_v w(u,v) — instead of evenly by
+    * out-degree (pagerankExact is the w≡1 special case; same damping,
+    * teleport, and dangling-mass rules, same unrolled-CTE oracle
+    * discipline). Duplicate (src,dst) rows merge by SUMMING weight.
+    * Weights must be positive integers with scale·max(w) < 2⁶³ (the
+    * per-edge product before the floor division; loud requires guard
+    * the sign, the magnitude is the caller's units contract).
+    *
+    * Scale shape: identical to [[pagerankExact]] — src-partitioned
+    * persisted edges, (node, wout) folded into the iterated state, one
+    * narrow shuffle per sweep, localCheckpoint bounding lineage. */
+  def pagerankWeightedExact(edgesDf: DataFrame, iters: Int = 10,
+                            dampingNum: Long = 85L, dampingDen: Long = 100L,
+                            scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val edges = edgesDf
+      .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty graph")
+    val badW = edges.filter(col("w") <= 0).count()
+    require(badW == 0, s"$badW edges carry non-positive weight")
+    val withW = nodes
+      .join(edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("wout"), lit(0L)).as("wout"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val teleport = (dampingDen - dampingNum) * scale / (dampingDen * n)
+    var state = withW.withColumn("rank", lit(scale / n)).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val dangling = state.filter(col("wout") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val contribs = edges
+        .join(state.filter(col("wout") > 0)
+          .select(col("node").as("src"), col("rank"), col("wout")), "src")
+        .select(col("dst").as("node"), expr("(rank * w) div wout").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      state = withW
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("wout"),
+          (lit(teleport) + expr(
+            s"($dampingNum * (coalesce(contrib, 0L) + dm div $n)) div $dampingDen"
+          )).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    withW.unpersist(blocking = false)
+    state.select(col("node"), col("rank"))
+  }
+
+  /** Link prediction over an undirected graph: for every DISTANCE-2
+    * pair (u, w) — not already linked, sharing at least one neighbor —
+    * the common-neighbor count and the resource-allocation index
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 2009: Σ_{z∈N(u)∩N(w)} 1/deg(z),
+    * here in exact integer micro-units scale div deg(z), the
+    * integer-friendly member of the published CN/AA/RA family — RA
+    * outperforms Adamic-Adar's 1/ln(deg) in the original study and
+    * needs no float log). In a curation pipeline this is the published
+    * mirror/farm detector shape: two hosts sharing most outlink
+    * neighbors are near-duplicates of each other even when no page
+    * hashes match.
+    *
+    * Hubs contribute noise and quadratic wedges, so neighbors are only
+    * counted THROUGH nodes of degree ≤ maxDeg (the standard cap; a
+    * hub's RA contribution is ~0 anyway). Wedge rows are bounded by
+    * maxDeg·m instead of Σdeg².
+    *
+    * Output: (u, w, cn, ra_micro) with u < w; existing edges
+    * anti-joined away. All-integer, so the DuckDB oracle replays the
+    * whole computation. */
+  def linkPrediction(edgesDf: DataFrame, maxDeg: Long = 64,
+                     scale: Long = 1000000L): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    // und feeds the degree table, the hinge-neighbor build, and the
+    // final anti-join; nb self-joins — track both for the query driver
+    // to release (no in-operator unpersist: the result is lazy and an
+    // eager checkpoint of the full pair table would be a needless
+    // materialization barrier at scale)
+    val und = Caches.track(edgesDf.select(col("src"), col("dst"))
+      .unionByName(edgesDf.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val deg = und.groupBy(col("src").as("z")).agg(count(lit(1)).as("zdeg"))
+    // neighbors through low-degree hinges only, zdeg carried so the
+    // pair stage never re-joins the degree table
+    val nb = Caches.track(und.select(col("src").as("z"), col("dst").as("n"))
+      .join(deg.filter(col("zdeg") <= maxDeg), "z"))
+    val pairs = nb.select(col("z"), col("n").as("u"), col("zdeg"))
+      .join(nb.select(col("z"), col("n").as("w")), "z")
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"$scale div zdeg")).as("ra_micro"))
+    pairs.join(
+      und.select(col("src").as("u"), col("dst").as("w")),
+      Seq("u", "w"), "left_anti")
+  }
 }

@@ -85,6 +85,52 @@ object LlmQueries {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** WEIGHTED [[pagerankOracleFrom]]: `edgesSql` yields (src, dst, w);
+    * per sweep each edge contributes (rank·w) div W(src) — the same
+    * per-edge floor division [[graft.llm.Graphs.pagerankWeightedExact]]
+    * evaluates, so the unrolled chain is bit-identical. */
+  private[queries] def pagerankWeightedOracleFrom(
+      prelude: String, edgesSql: String, iters: Int,
+      scale: Long = 1000000000000L, dampingNum: Long = 85L,
+      dampingDen: Long = 100L): String = {
+    val tn = dampingDen - dampingNum
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+         |  FROM r${k - 1} r JOIN wout g USING (node) WHERE g.wout = 0),
+         |c$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.rank * e.w) // g.wout) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN wout g ON g.node = e.src
+         |  WHERE g.wout > 0 GROUP BY e.dst),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(
+         |    ($tn * $scale) // ($dampingDen * (SELECT n FROM nc))
+         |    + ($dampingNum * (coalesce(c.contrib, 0)
+         |             + (SELECT dm FROM d$k) // (SELECT n FROM nc))) // $dampingDen
+         |    AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    val pre = if (prelude.isEmpty) "" else s"$prelude,\n"
+    s"""WITH ${pre}edges AS MATERIALIZED (
+       |  $edgesSql),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |wout AS MATERIALIZED (
+       |  SELECT n.node, coalesce(d.wout, 0) AS wout
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT src AS node, CAST(sum(w) AS BIGINT) AS wout
+       |    FROM edges GROUP BY src) d
+       |  USING (node)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, $scale // (SELECT n FROM nc) AS rank FROM nodes),
+       |$steps
+       |SELECT node, rank FROM r$iters
+       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
+
   /** Unrolled synchronous label-propagation rounds over the same
     * purchase graph (the pagerankOracle pattern): per round, each node
     * takes the (count DESC, label ASC) argmax over neighbor labels plus
@@ -3827,6 +3873,52 @@ object LlmQueries {
           .orderBy(col("node"))
       },
       Some(khopOracle(maxHops = 3))),
+
+    // Link prediction (Graphs.linkPrediction) over the customer⟷part
+    // purchase graph: common-neighbor count + the resource-allocation
+    // index (Zhou/Lü/Zhang 2009) in exact integer micro-units for every
+    // unlinked distance-2 pair, hinged only through nodes of degree
+    // ≤ 40 (the hub cap that bounds wedge rows by maxDeg·m instead of
+    // Σdeg²). The shared-neighborhood score is the published
+    // mirror/farm detector shape on a web graph. Top-100 by a total
+    // order, so the LIMIT is deterministic; the oracle replays wedges,
+    // scoring, and the existing-edge anti-join.
+    QueryDef(
+      "q_graph_linkpred",
+      (s, dir) => {
+        val e = load(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_partkey"))
+          .join(load(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") + 10000000).as("src"),
+            col("l_partkey").as("dst"))
+        graft.llm.Graphs.linkPrediction(e, maxDeg = 40)
+          .orderBy(col("ra_micro").desc, col("cn").desc, col("u"),
+            col("w"))
+          .limit(100)
+      },
+      Some("""WITH e0 AS MATERIALIZED (
+             |  SELECT DISTINCT o.o_custkey + 10000000 AS src,
+             |    l.l_partkey AS dst
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+             |adj AS MATERIALIZED (
+             |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |deg AS MATERIALIZED (
+             |  SELECT src AS z, count(*) AS zdeg FROM adj GROUP BY 1),
+             |nb AS MATERIALIZED (
+             |  SELECT a.src AS z, a.dst AS n, d.zdeg
+             |  FROM adj a JOIN deg d ON d.z = a.src
+             |  WHERE d.zdeg <= 40),
+             |p AS (
+             |  SELECT x.n AS u, y.n AS w, CAST(count(*) AS BIGINT) AS cn,
+             |    CAST(sum(1000000 // x.zdeg) AS BIGINT) AS ra_micro
+             |  FROM nb x JOIN nb y ON y.z = x.z AND x.n < y.n
+             |  GROUP BY 1, 2)
+             |SELECT u, w, cn, ra_micro FROM p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM adj WHERE adj.src = p.u AND adj.dst = p.w)
+             |ORDER BY ra_micro DESC, cn DESC, u, w LIMIT 100""".stripMargin)),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

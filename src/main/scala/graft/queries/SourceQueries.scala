@@ -439,6 +439,39 @@ object SourceQueries {
                      |    FROM linkrows) t
                      |  WHERE src <> dst""".stripMargin,
         iters = 4))),
+
+    // Weighted PageRank over the same crawled host graph — the variant
+    // the host graph actually calls for: rank splits proportionally to
+    // LINK COUNTS (Graphs.pagerankWeightedExact; site0's 4-2-1 outlink
+    // split vs linkrank's even thirds), per-edge contribution
+    // (rank·w) div W(src), exact integers end to end. The oracle
+    // replays extraction, the weighted host-edge rollup, and 4 unrolled
+    // weighted sweeps from raw HTML.
+    QueryDef(
+      "q_graph_linkrank_weighted",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        val edges = graft.sources.Links
+          .hostEdges(graft.sources.Links.resolved(pages))
+          .select(col("src_host").as("src"), col("dst_host").as("dst"),
+            col("n_links").as("weight"))
+        graft.llm.Graphs.pagerankWeightedExact(edges, iters = 4)
+          .orderBy(col("rank").desc, col("node")).limit(100)
+      },
+      Some(LlmQueries.pagerankWeightedOracleFrom(
+        prelude = s"""pages(url, html) AS (VALUES
+                     |  ${graft.sources.Warc.linksOracleValuesSql}),
+                     |${graft.sources.Links.linksExtractCtesSql}""".stripMargin,
+        edgesSql = """SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+                     |    SELECT regexp_extract(page_url,
+                     |        '^https?://([^/]+)', 1) AS src,
+                     |      regexp_extract(link_url,
+                     |        '^https?://([^/]+)', 1) AS dst
+                     |    FROM linkrows) t
+                     |  WHERE src <> dst GROUP BY src, dst""".stripMargin,
+        iters = 4))),
   )
 
   /** Shared DuckDB replay of [[graft.sources.Robots.rules]] plus the

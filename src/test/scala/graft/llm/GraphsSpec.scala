@@ -195,4 +195,62 @@ class GraphsSpec extends SparkSpec {
     assert(run(Seq(1L, 5L), 1) == Map(1L -> 0, 2L -> 1, 5L -> 0, 6L -> 1))
     assert(run(Seq(99L), 2) == Map(99L -> 0))
   }
+
+  test("linkPrediction: wedge scores, existing-edge anti-join, and the " +
+      "hub cap") {
+    import SparkSpec.spark.implicits._
+    // path 1-2-3 (hinge 2, deg 2) → pair (1,3): cn=1, ra=500000;
+    // square 1-2-3-4-1 → (1,3) ALSO via hinge 4 and (2,4) via 1 and 3;
+    // triangle edge 5-6,6-7,5-7: (5,7) already linked → anti-joined;
+    // star hub 10 with 5 leaves at maxDeg 4 → contributes nothing
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // square
+      (5L, 6L), (6L, 7L), (5L, 7L), // closed triangle
+      (10L, 21L), (10L, 22L), (10L, 23L), (10L, 24L), (10L, 25L) // hub
+    ).toDF("src", "dst")
+    def run(maxDeg: Long): Set[(Long, Long, Long, Long)] =
+      Graphs.linkPrediction(edges, maxDeg = maxDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    // square hinges all have deg 2 → ra per wedge = 1000000 div 2;
+    // the triangle's three wedge pairs are all existing edges → gone;
+    // hub wedges are capped away; deg-1 leaves hinge nothing
+    assert(run(4) === Set(
+      (1L, 3L, 2L, 1000000L), // via hinges 2 and 4
+      (2L, 4L, 2L, 1000000L))) // via hinges 1 and 3
+    // raising the cap to 5 admits the hub: C(5,2)=10 leaf pairs at
+    // ra = 1000000 div 5 each, on top of the square pairs
+    val opened = run(5)
+    val leafPairs = opened.filter { case (u, _, _, _) => u >= 21L }
+    assert(leafPairs.size === 10)
+    assert(leafPairs.forall { case (_, _, cn, ra) =>
+      cn == 1L && ra == 200000L })
+  }
+
+  test("pagerankWeightedExact: weight-1 graphs equal pagerankExact, and " +
+      "weights redirect rank toward the heavy edge") {
+    import SparkSpec.spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val unw = Graphs.pagerankExact(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Graphs.pagerankWeightedExact(
+        edges.withColumn("weight", lit(1L)), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === unw)
+    // tilt 1's outflow 9:1 toward node 2 — node 2 must now outrank its
+    // even-split rank, node 3 drop below it
+    val tilted = Graphs.pagerankWeightedExact(
+        Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+          (4L, 1L, 1L)).toDF("src", "dst", "weight"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tilted(2L) > w1(2L), s"2 should gain: $tilted vs $w1")
+    // duplicate (src,dst) rows merge by summing weight
+    val merged = Graphs.pagerankWeightedExact(
+        Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 1L),
+          (3L, 1L, 1L), (4L, 1L, 1L)).toDF("src", "dst", "weight"),
+        iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === tilted)
+  }
 }

@@ -105,7 +105,7 @@ class QueryPlanShapeSpec extends SparkSpec {
   test("late-round-11 operators (clustering coefficient, HITS, k-hop, " +
       "robots) never plan a cartesian or nested-loop join") {
     for (q <- Seq("q_graph_clustercoef", "q_graph_hits", "q_graph_khop",
-        "q_warc_robots")) {
+        "q_warc_robots", "q_graph_linkpred")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
