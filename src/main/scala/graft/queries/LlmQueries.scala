@@ -4388,6 +4388,102 @@ object LlmQueries {
              |    AND stop_hits >= 2 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Filter-funnel ablation report — the artifact every published
+    // pipeline paper tables (FineWeb/RefinedWeb ablations; Gopher's
+    // table A1): apply the quality battery CUMULATIVELY in a fixed
+    // order and report per-stage survivor counts, so a pipeline owner
+    // sees exactly where documents die. Stages reuse the exact integer
+    // rules of q_quality_gopher and q_quality_score verbatim. One
+    // codegen'd projection + ONE tiny aggregate — the report is 5 rows
+    // regardless of corpus size.
+    QueryDef(
+      "q_quality_funnel",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val stopArr = array(lit("the"), lit("a"), lit("of"),
+          lit("and"), lit("to"))
+        val base = load(s, dir, "documents")
+          .select(col("doc_id"), size(toks).as("n_words"),
+            (length(col("text")) - size(toks) + lit(1)).cast("long")
+              .as("sum_len"),
+            size(filter(toks, w => w.contains("#") || w.contains("...")))
+              .cast("long").as("n_symbol"),
+            size(filter(toks, w => array_contains(stopArr, w)))
+              .as("stop_hits"),
+            size(array_distinct(toks)).as("dist_cnt"))
+          .select(
+            col("n_words").between(20, 100000).as("b1"),
+            expr("sum_len * 1000000 div n_words")
+              .between(3000000L, 10000000L).as("b2"),
+            (expr("n_symbol * 1000000 div n_words") <= 100000L).as("b3"),
+            (col("stop_hits") >= 2).as("b4"),
+            ((col("stop_hits") + col("dist_cnt")) * 10
+              >= col("n_words") * 7).as("b5"))
+        val agg = base.agg(
+          count(lit(1)).as("c0"),
+          sum(col("b1").cast("long")).as("c1"),
+          sum((col("b1") && col("b2")).cast("long")).as("c2"),
+          sum((col("b1") && col("b2") && col("b3")).cast("long")).as("c3"),
+          sum((col("b1") && col("b2") && col("b3") && col("b4"))
+            .cast("long")).as("c4"),
+          sum((col("b1") && col("b2") && col("b3") && col("b4")
+            && col("b5")).cast("long")).as("c5"))
+        agg.select(explode(array(
+            struct(lit(1).as("stage_idx"), lit("word_count").as("stage"),
+              col("c0").as("n_in"), col("c1").as("n_pass")),
+            struct(lit(2).as("stage_idx"), lit("mean_word_len").as("stage"),
+              col("c1").as("n_in"), col("c2").as("n_pass")),
+            struct(lit(3).as("stage_idx"), lit("symbol_ratio").as("stage"),
+              col("c2").as("n_in"), col("c3").as("n_pass")),
+            struct(lit(4).as("stage_idx"), lit("stopword_hits").as("stage"),
+              col("c3").as("n_in"), col("c4").as("n_pass")),
+            struct(lit(5).as("stage_idx"), lit("lexical_score").as("stage"),
+              col("c4").as("n_in"), col("c5").as("n_pass"))))
+            .as("r"))
+          .select(col("r.stage_idx"), col("r.stage"), col("r.n_in"),
+            col("r.n_pass"))
+          .orderBy(col("stage_idx"))
+      },
+      Some("""WITH f AS (
+             |  SELECT
+             |    len(string_split(text, ' ')) AS n_words,
+             |    length(text) - len(string_split(text, ' ')) + 1 AS sum_len,
+             |    len(list_filter(string_split(text, ' '),
+             |      w -> contains(w, '#') OR contains(w, '...'))) AS n_symbol,
+             |    len(list_filter(string_split(text, ' '),
+             |      w -> list_contains(['the', 'a', 'of', 'and', 'to'], w)))
+             |      AS stop_hits,
+             |    len(list_distinct(string_split(text, ' '))) AS dist_cnt
+             |  FROM documents),
+             |b AS (
+             |  SELECT n_words BETWEEN 20 AND 100000 AS b1,
+             |    sum_len * 1000000 // n_words BETWEEN 3000000 AND 10000000
+             |      AS b2,
+             |    n_symbol * 1000000 // n_words <= 100000 AS b3,
+             |    stop_hits >= 2 AS b4,
+             |    (stop_hits + dist_cnt) * 10 >= n_words * 7 AS b5
+             |  FROM f),
+             |a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS c0,
+             |    CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS c2,
+             |    CAST(sum(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c3,
+             |    CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS c4,
+             |    CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 AND b5 THEN 1
+             |      ELSE 0 END) AS BIGINT) AS c5
+             |  FROM b)
+             |SELECT stage_idx, stage, n_in, n_pass FROM (
+             |  SELECT 1 AS stage_idx, 'word_count' AS stage, c0 AS n_in,
+             |    c1 AS n_pass FROM a
+             |  UNION ALL SELECT 2, 'mean_word_len', c1, c2 FROM a
+             |  UNION ALL SELECT 3, 'symbol_ratio', c2, c3 FROM a
+             |  UNION ALL SELECT 4, 'stopword_hits', c3, c4 FROM a
+             |  UNION ALL SELECT 5, 'lexical_score', c4, c5 FROM a)
+             |ORDER BY stage_idx""".stripMargin)),
+
     // C4's line-level cleaning battery (Raffel et al. 2020 §2.2) — the
     // most-cited published cleaning recipe, next to Gopher's
     // document-level stats: terminal-punctuation lines, ≥5-word lines,

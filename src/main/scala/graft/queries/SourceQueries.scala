@@ -243,7 +243,7 @@ object SourceQueries {
              |m AS (
              |  SELECT p.url, p.host, p.path, a.is_allow, a.prefix, a.plen
              |  FROM pages p LEFT JOIN appl a
-             |    ON a.r_host = p.host AND starts_with(p.path, a.prefix)),
+             |    ON a.r_host = p.host AND regexp_matches(p.path, a.rx)),
              |rk AS (
              |  SELECT *, row_number() OVER (PARTITION BY url
              |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
@@ -335,7 +335,7 @@ object SourceQueries {
              |  SELECT p.url, p.host, p.path, p.lastmod,
              |    a.is_allow, a.prefix, a.plen
              |  FROM epaths p LEFT JOIN appl a
-             |    ON a.r_host = p.host AND starts_with(p.path, a.prefix)),
+             |    ON a.r_host = p.host AND regexp_matches(p.path, a.rx)),
              |rk AS (
              |  SELECT *, row_number() OVER (PARTITION BY url
              |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
@@ -472,6 +472,48 @@ object SourceQueries {
                      |    FROM linkrows) t
                      |  WHERE src <> dst GROUP BY src, dst""".stripMargin,
         iters = 4))),
+
+    // Anchor-text aggregation per link target — the classic external
+    // relevance signal (how OTHER sites describe a page; used by every
+    // published web ranker since Brin & Page 1998 and by quality
+    // classifiers as off-page evidence): lowercase anchor terms of
+    // CROSS-HOST links only (same-host anchors are nav boilerplate),
+    // rolled up per (target, term) with referring-page counts. One
+    // explode + one hash aggregate over the resolved links; output
+    // bounded by (target, term) pairs.
+    QueryDef(
+      "q_warc_anchors",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        graft.sources.Links.resolved(pages)
+          .withColumn("src_host",
+            regexp_extract(col("page_url"), "^https?://([^/]+)", 1))
+          .withColumn("dst_host",
+            regexp_extract(col("link_url"), "^https?://([^/]+)", 1))
+          .filter(col("anchor") =!= "" && col("src_host") =!= col("dst_host"))
+          .select(col("link_url"), col("page_url"),
+            explode(split(lower(col("anchor")), " ")).as("term"))
+          .groupBy(col("link_url"), col("term"))
+          .agg(count(lit(1)).as("n_refs"),
+            countDistinct(col("page_url")).as("n_pages"))
+          .orderBy(col("link_url"), col("term"))
+      },
+      Some(s"""WITH pages(url, html) AS (VALUES
+             |  ${graft.sources.Warc.linksOracleValuesSql}),
+             |${graft.sources.Links.linksExtractCtesSql},
+             |ext AS (
+             |  SELECT link_url, page_url,
+             |    unnest(string_split(lower(anchor), ' ')) AS term
+             |  FROM linkrows
+             |  WHERE anchor <> ''
+             |    AND regexp_extract(page_url, '^https?://([^/]+)', 1)
+             |      <> regexp_extract(link_url, '^https?://([^/]+)', 1))
+             |SELECT link_url, term, count(*) AS n_refs,
+             |  count(DISTINCT page_url) AS n_pages
+             |FROM ext GROUP BY link_url, term
+             |ORDER BY link_url, term""".stripMargin)),
   )
 
   /** Shared DuckDB replay of [[graft.sources.Robots.rules]] plus the
@@ -524,7 +566,9 @@ object SourceQueries {
       |  WHERE agent = 'graftbot'),
       |appl AS (
       |  SELECT r.host AS r_host, r.is_allow, r.prefix,
-      |    len(r.prefix) AS plen
+      |    len(r.prefix) AS plen,
+      |    """.stripMargin +
+      graft.sources.Robots.ruleRegexSql("r.prefix") + """ AS rx
       |  FROM rules r LEFT JOIN spec s USING (host)
       |  WHERE (coalesce(s.hs, 0) = 1 AND r.agent = 'graftbot')
       |     OR (coalesce(s.hs, 0) = 0 AND r.agent = '*'))""".stripMargin

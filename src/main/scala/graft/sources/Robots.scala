@@ -25,12 +25,18 @@ import org.apache.spark.sql.functions._
   *  - group choice per host: the exact (case-insensitive) product-token
   *    group if the host has one, else the `*` group; rules of every
   *    matching group merge (the RFC merge rule for repeated groups);
-  *  - rule choice per URL: the longest matching path PREFIX; Allow wins
-  *    length ties; no matching rule → allowed. Wildcard `*`/`$`
-  *    matching is the widely-implemented EXTENSION of the RFC and is
-  *    out of scope here — matching is pure prefix (the 1994 REP rule),
-  *    which deliberately matches mid-segment (`Disallow: /tmp` blocks
-  *    `/tmpfile`, exactly as published parsers do).
+  *  - rule choice per URL: the most specific (longest-pattern) match;
+  *    Allow wins length ties; no matching rule → allowed. Patterns
+  *    support RFC 9309 §2.2.3's TWO special characters: `*` matches any
+  *    character run and a TRAILING `$` anchors the pattern to the URL
+  *    end (a `$` anywhere else is literal, the published-parser
+  *    behavior). A pattern without specials is a pure prefix — which
+  *    deliberately matches mid-segment (`Disallow: /tmp` blocks
+  *    `/tmpfile`, exactly as published parsers do). Matching compiles
+  *    each pattern to an anchored regex through [[patternSteps]], a
+  *    LITERAL-replace step list shared verbatim with the oracle SQL
+  *    ([[ruleRegexSql]]) so the two engines cannot drift; specificity
+  *    is raw pattern length (the Google-documented rule).
   *
   * Every step is deterministic integer/string work, so q_warc_robots
   * replays the ENTIRE parse + match in DuckDB from the restated
@@ -50,6 +56,43 @@ object Robots {
   // identically in both engines, so both use this regex
   private def rtrim(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^[ \\t\\r]+|[ \\t\\r]+$", "")
+
+  /** Pattern-body → regex-body conversion as LITERAL (search, replace)
+    * steps — literal `replace`, never regexp_replace, so the emitted
+    * Scala chain and SQL chain are character-identical (backref syntax
+    * differs between Java regex and RE2 replacements; literal steps
+    * sidestep it). Backslash escapes first; `*` becomes `.*` last. */
+  private[sources] val patternSteps: Seq[(String, String)] =
+    Seq("\\" -> "\\\\", "." -> "\\.", "^" -> "\\^", "$" -> "\\$",
+      "+" -> "\\+", "?" -> "\\?", "(" -> "\\(", ")" -> "\\)",
+      "[" -> "\\[", "]" -> "\\]", "{" -> "\\{", "}" -> "\\}",
+      "|" -> "\\|", "*" -> ".*")
+
+  /** Anchored match regex for a rule pattern column: `^` + converted
+    * body + (`$` when the pattern ends in `$`). An unanchored pattern's
+    * regex SEARCH with the leading `^` is exactly RFC prefix matching
+    * ("the pattern matches some prefix of the path"). */
+  private[sources] def ruleRegex(prefix: org.apache.spark.sql.Column) = {
+    val anchored = prefix.endsWith("$")
+    val body = when(anchored, prefix.substr(lit(1), length(prefix) - 1))
+      .otherwise(prefix)
+    val converted = patternSteps.foldLeft(body) { case (c, (a, b)) =>
+      replace(c, lit(a), lit(b))
+    }
+    concat(lit("^"), converted, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** The SAME conversion as DuckDB SQL over a column expression `inner`
+    * (used by the q_warc_robots / q_warc_sitemap oracle CTEs). */
+  private[graft] def ruleRegexSql(inner: String): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val body = s"CASE WHEN $inner LIKE '%$$' THEN " +
+      s"substring($inner, 1, length($inner) - 1) ELSE $inner END"
+    val converted = patternSteps.foldLeft(body) { case (c, (a, b)) =>
+      s"replace($c, ${lit(a)}, ${lit(b)})"
+    }
+    s"'^' || $converted || CASE WHEN $inner LIKE '%$$' THEN '$$' ELSE '' END"
+  }
 
   /** Parse robots.txt bodies into the merged rule table
     * (host, agent, is_allow, prefix). Input: one row per host with the
@@ -153,15 +196,17 @@ object Robots {
           || (coalesce(col("has_specific"), lit(0)) === 0
             && col("agent") === "*"))
       .select(col("host").as("r_host"), col("is_allow"), col("prefix"),
-        length(col("prefix")).as("plen"))
-    // one broadcast equi-join on host; the prefix predicate rides as
-    // the join filter. Lexicographic max of (plen, is_allow, prefix)
-    // IS the RFC rule: longest prefix, Allow wins ties (prefix as the
-    // final field makes the tie-break total and engine-independent).
+        length(col("prefix")).as("plen"),
+        ruleRegex(col("prefix")).as("rx"))
+    // one broadcast equi-join on host; the compiled-pattern predicate
+    // rides as the join filter. Lexicographic max of (plen, is_allow,
+    // prefix) IS the RFC rule: most specific pattern, Allow wins ties
+    // (prefix as the final field makes the tie-break total and
+    // engine-independent).
     pages
       .join(broadcast(applicable),
         col("host") === col("r_host")
-          && expr("startswith(path, prefix)"), "left")
+          && expr("path rlike rx"), "left")
       .groupBy(col("url"), col("host"), col("path"))
       .agg(max(when(col("plen").isNotNull,
         struct(col("plen"), col("is_allow"), col("prefix")))).as("best"))

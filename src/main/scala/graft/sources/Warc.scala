@@ -511,6 +511,9 @@ object Warc {
       "Disallow: /private/",
       "Allow: /private/pub/",
       "Disallow: /tmp",
+      "Disallow: /*.json$", // RFC 9309 specials: any-run + end anchor
+      "Disallow: /media/",
+      "Allow: /media/*.html", // wildcard Allow outranks by length
       "Crawl-delay: 10").mkString("\n"),
     "site1.example" -> Seq(
       "User-agent: graftbot",
@@ -535,7 +538,13 @@ object Warc {
     * prefix, tie, specific-group shadowing, no-match default). */
   private[graft] val robotsPagePaths: Seq[String] = Seq(
     "/page/1", "/private/x", "/private/pub/y", "/tmp/z", "/tmpfile",
-    "/graft-only/a", "/dup/d", "/other")
+    "/graft-only/a", "/dup/d", "/other",
+    // wildcard coverage (rules live on site0; other hosts allow these):
+    "/data.json", // blocked by /*.json$ on site0
+    "/a/b.json", // deep path still matches the any-run
+    "/data.json.bak", // $ anchor: NOT blocked
+    "/media/x.html", // wildcard Allow outranks /media/ by length
+    "/media/y.png") // plain /media/ Disallow holds
 
   /** Staged single-segment fixture: one robots.txt response per
     * [[robotsBodies]] host plus one page response per

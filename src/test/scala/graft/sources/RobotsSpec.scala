@@ -130,4 +130,35 @@ class RobotsSpec extends SparkSpec {
       "http://h/a" -> Some("2026-01-01"),
       "http://h/b" -> None), got.toString)
   }
+
+  test("allowed: RFC 9309 wildcards — * spans any run, trailing $ " +
+      "anchors, interior $ and regex metachars stay literal, " +
+      "specificity is raw pattern length") {
+    import SparkSpec.spark.implicits._
+    val rules = Seq(
+      ("h", "*", 0, "/*.json$"),
+      ("h", "*", 0, "/media/"),
+      ("h", "*", 1, "/media/*.html"),
+      ("h", "*", 0, "/a$b/"), // interior $ is literal
+      ("h", "*", 0, "/p(1)/")) // parens are literal, not a regex group
+      .toDF("host", "agent", "is_allow", "prefix")
+    val paths = Seq("/data.json", "/deep/er/x.json", "/data.json.bak",
+      "/media/x.html", "/media/x.html.tmp", "/media/y.png",
+      "/a$b/z", "/ab/z", "/p(1)/q", "/p1/q")
+    val pages = paths.map(p => (s"http://h$p", "h", p))
+      .toDF("url", "host", "path")
+    val got = Robots.allowed(pages, rules, "bot").collect()
+      .map(r => r.getString(2) -> r.getBoolean(3)).toMap
+    assert(got == Map(
+      "/data.json" -> false,
+      "/deep/er/x.json" -> false, // * spans multiple segments
+      "/data.json.bak" -> true, // $ anchor holds
+      "/media/x.html" -> true, // 13-char wildcard Allow beats /media/
+      // the Allow pattern matches a PREFIX of this path too (no $), so
+      // it still outranks the 7-char Disallow — the published rule
+      "/media/x.html.tmp" -> true,
+      "/media/y.png" -> false,
+      "/a$b/z" -> false, "/ab/z" -> true, // $ literal mid-pattern
+      "/p(1)/q" -> false, "/p1/q" -> true), got.toString)
+  }
 }
