@@ -146,6 +146,27 @@ object ScaleCheck {
     }.reduce(_ unionByName _)
   }
 
+  /** k disjoint id-shifted copies of the base customer⟷part purchase
+    * graph (orders carries the custkey; the synthesized lineitem drops
+    * l_orderkey, so copies build from BASE like [[copurchaseCopies]]).
+    * Customer ids offset by 10⁷ to stay disjoint from part ids; copy
+    * stride 10⁸ keeps copies disjoint from each other. */
+  private def custPartCopies(spark: SparkSession, base: String,
+                             factor: Int): DataFrame = {
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = spark.read.parquet(s"$base/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") + lit(10000000L)).as("src"),
+        col("l_partkey").as("dst"))
+    (0 until factor).map { k =>
+      if (k == 0) e0
+      else e0.select((col("src") + lit(k * 100000000L)).as("src"),
+        (col("dst") + lit(k * 100000000L)).as("dst"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val synthRoot = if (args.length > 1) args(1) else "target/scalecheck"
@@ -459,6 +480,17 @@ object ScaleCheck {
         spark.read.parquet(s"$dir/lineitem.parquet")
           .select(col("l_partkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst")), iters = 4)),
+      // round-11: link prediction on the COMPONENT-COPIES axis — k
+      // disjoint copies of the customer⟷part purchase graph: the hinge
+      // cap (deg ≤ 40) bounds per-hinge wedge fan-out, copies never
+      // cross-link, so wedge rows (~12M per copy at sf0.1) and pair
+      // groups grow EXACTLY k×; a super-linear curve would flag the
+      // wedge self-join or the pair aggregate degenerating into an
+      // uncapped all-pairs shape
+      ("q_graph_linkpred", (_, f) => graft.llm.Graphs.linkPrediction(
+        custPartCopies(spark, base, f), maxDeg = 40)
+        .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("w"))
+        .limit(100)),
       // round-8: audio fingerprint near-dup — k× staged WAV clips (same
       // out-of-timing staging rule as video); decode + fingerprint is
       // partition-local, and the only exchange is the banded signature
