@@ -87,7 +87,13 @@ object Bench {
     // round-11 addition #5: the heaviest of the late-round graph ops
     // (q_graph_clustercoef stays off the headline — its cost IS the
     // already-budgeted triangle count plus one projection)
-    "q_graph_hits")           // 4 two-direction integer HITS sweeps
+    "q_graph_hits",           // 4 two-direction integer HITS sweeps
+    // round-11 addition #6 (first frozen budget in BASELINE.md): the
+    // heaviest crawl/graph operator of the late round — capped wedge
+    // self-join + pair aggregate over the customer⟷part graph (~12M
+    // wedge rows at sf0.1); the crawl-fixture queries (links, robots,
+    // linkrank) stay off the headline as fixture-sized constants
+    "q_graph_linkpred")       // CN + resource-allocation link prediction
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

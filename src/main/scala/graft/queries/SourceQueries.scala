@@ -514,6 +514,46 @@ object SourceQueries {
              |  count(DISTINCT page_url) AS n_pages
              |FROM ext GROUP BY link_url, term
              |ORDER BY link_url, term""".stripMargin)),
+
+    // WARC WRITE round-trip — the sink half of the flagship source:
+    // re-publish 100 documents as member-per-record .warc.gz segments
+    // (Warc.writeResponses) and crack them back through the standard
+    // reader. The oracle reads the ORIGINAL documents table, so the
+    // writer's framing, Content-Length math, gzip member boundaries,
+    // and header round-trip are all hash-checked end to end — any
+    // byte-level writer bug surfaces as a reader mismatch.
+    QueryDef(
+      "q_warc_write_roundtrip",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            concat(lit("<urn:graft:doc-"),
+              lpad(col("doc_id").cast("string"), 5, "0"), lit(">"))
+              .as("record_id"),
+            concat(lit("http://corpus.example/doc/"), col("doc_id"))
+              .as("url"),
+            lit("2026-03-01T00:00:00Z").as("warc_date"),
+            lit("text/plain").as("content_type"),
+            col("text"))
+        val out = staged.getOrElseUpdate(s"warcout:$dir",
+          s"$stageRoot/warc_rt_${math.abs(dir.hashCode)}")
+        graft.sources.Warc.writeResponses(docs, out, numSegments = 4)
+        graft.sources.Warc.readResponses(s, out)
+          .select(col("record_id"), col("url"), col("warc_date"),
+            col("content_type"), col("text"), col("n_bytes"))
+          .orderBy(col("record_id"))
+      },
+      Some("""SELECT
+             |  '<urn:graft:doc-' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+             |    || '>' AS record_id,
+             |  'http://corpus.example/doc/' || doc_id AS url,
+             |  '2026-03-01T00:00:00Z' AS warc_date,
+             |  'text/plain' AS content_type,
+             |  text,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY record_id""".stripMargin)),
   )
 
   /** Shared DuckDB replay of [[graft.sources.Robots.rules]] plus the

@@ -336,6 +336,78 @@ object Warc {
       .toDF()
   }
 
+  /** WARC response-segment WRITER — the read path's missing half, so
+    * the engine can PRODUCE the published crawl artifact it ingests
+    * (re-publishing a filtered/deduped corpus as WARC is the standard
+    * interchange step between pipeline stages at Common Crawl scale).
+    * Input columns mirror [[readResponses]]' output contract
+    * (record_id, url, warc_date, content_type, text), so
+    * write∘read and read∘write are identities (spec- and
+    * oracle-pinned via the round-trip query q_warc_write_roundtrip).
+    *
+    * Layout: one `.warc.gz` segment per partition, each record its own
+    * gzip member (the Common Crawl member-per-record form, so readers
+    * can resync and split); records are WARC/1.0 `response` records
+    * with an HTTP/1.1 200 envelope. Writing streams record-by-record
+    * through a Hadoop FS output stream — O(record) heap, any
+    * Spark-visible filesystem. Each task writes an attempt-suffixed
+    * temp file and renames it into place, so a retried or speculative
+    * task last-wins on its own segment instead of interleaving bytes.
+    * Returns the record count written.
+    *
+    * Scale shape: embarrassingly parallel, zero shuffle (unless the
+    * caller repartitions to set segment count/size); at production
+    * scale pick numSegments ≈ corpusBytes / 1 GB to match the
+    * published segment sizing. */
+  def writeResponses(docs: DataFrame, dir: String,
+                     numSegments: Int = 0): Long = {
+    val spark = docs.sparkSession
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    import spark.implicits._
+    val src = docs.select("record_id", "url", "warc_date",
+      "content_type", "text")
+    val parted = if (numSegments > 0) src.repartition(numSegments) else src
+    val counts = parted.as[(String, String, String, String, String)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fin = new org.apache.hadoop.fs.Path(
+            f"$dir/seg_$pid%05d.warc.gz")
+          val tmp = new org.apache.hadoop.fs.Path(
+            f"$dir/.seg_$pid%05d.${tc.taskAttemptId()}.tmp")
+          val fs = fin.getFileSystem(hc.conf)
+          val out = fs.create(tmp, true)
+          var n = 0L
+          try it.foreach { case (rid, url, date, ctype, text) =>
+            out.write(gzipMember(
+              responseRecordFull(rid, url, date, ctype, text)))
+            n += 1
+          } finally out.close()
+          fs.delete(fin, false)
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(s"rename $tmp -> $fin failed")
+          Iterator.single(n)
+        }
+      }.collect() // one count per partition — bounded driver state
+    counts.sum
+  }
+
+  private def responseRecordFull(rid: String, uri: String, date: String,
+                                 ctype: String,
+                                 bodyText: String): Array[Byte] = {
+    val body = bodyText.getBytes(StandardCharsets.UTF_8)
+    val http = crlf(s"""HTTP/1.1 200 OK
+                       |Content-Type: $ctype
+                       |Content-Length: ${body.length}
+                       |
+                       |""".stripMargin) ++ body
+    record("response", rid,
+      s"WARC-Target-URI: $uri\nWARC-Date: $date\n", http)
+  }
+
   /** The (path, content) BLOB decode stage — kept for the
     * continuous-ingest STREAM
     * ([[graft.streaming.EventStreams.runBinaryAvailableNowAppend]]),
