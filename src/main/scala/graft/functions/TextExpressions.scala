@@ -76,6 +76,37 @@ case class RegistrableDomainExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for RFC 3986 dot-segment removal
+  * ([[graft.sources.Links]]' bounded step chain) — as inline
+  * regexp_replace trees the 16-step chain, duplicated across the
+  * link-resolution CASE's branches, exceeded Janino's method-size
+  * limit and re-parsed every pattern per row. This node emits ONE
+  * static call against per-JVM precompiled patterns
+  * (`Links.removeDotSegments`), staying inside whole-stage codegen
+  * exactly like [[RegistrableDomainExpr]]; semantics are
+  * character-identical to the oracle's regexp_replace chain (same
+  * patterns, same order, three runtimes). */
+case class DotSegmentNormalizeExpr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot-segment normalize expects a string path, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    graft.sources.Links.removeDotSegments(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.sources.Links.removeDotSegments($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftshim.GraftColumn
 
@@ -86,4 +117,8 @@ object TextExpressions {
   /** Column-level PSL registrable-domain extraction. */
   def registrableDomain(c: Column): Column =
     GraftColumn.column(RegistrableDomainExpr(GraftColumn.expression(c)))
+
+  /** Column-level RFC 3986 dot-segment removal (bounded step chain). */
+  def dotSegmentNormalize(c: Column): Column =
+    GraftColumn.column(DotSegmentNormalizeExpr(GraftColumn.expression(c)))
 }

@@ -36,9 +36,14 @@ import org.apache.spark.sql.functions._
   * path still carrying dot segments after [[NormRounds]] rounds is
   * DROPPED as malformed (salvage-what-matches: bounded-depth
   * incomplete normalization becomes a drop, never a wrong URL).
+  * A `<base href>` in the page overrides the resolution base (HTML's
+  * one document-wide resolution control, honored by every browser and
+  * published extractor): the FIRST base tag's href — itself resolved
+  * against the page URL when root-relative — replaces the page URL for
+  * origin/scheme/directory derivation; absolute links are unaffected.
   * Deliberately out of scope (documented, like Robots' wildcards):
-  * `<base href>` overrides, percent-encoding normalization, and dot
-  * segments inside query strings.
+  * relative `<base>` hrefs (rare and self-referential), percent-encoding
+  * normalization, and dot segments inside query strings.
   *
   * Every step is per-row regexp + one explode — embarrassingly
   * parallel, zero shuffle until the caller aggregates; the host-graph
@@ -66,6 +71,11 @@ object Links {
   /** The anchor body out of one match (greedy: the match itself ends at
     * the first `</a>`, so the group is exact). */
   private[sources] val AnchorRe: String = "(?is)^<a[^>]*>(.*)</a>$"
+
+  /** The FIRST `<base …href=…>` tag's href (HTML allows one; browsers
+    * use the first). Applied document-wide regardless of position. */
+  private[sources] val BaseTagRe: String =
+    "(?is)<base\\s[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
 
   /** Rounds of dot-segment collapse. Each round's GLOBAL mid-pass
     * collapses every non-overlapping `/seg/../` at once (so a run of k
@@ -100,9 +110,39 @@ object Links {
   private[sources] val OtherSchemeRe: String = "^(?i)[a-z][a-z0-9+.-]*:"
   private[sources] val HttpRe: String = "^(?i)https?://"
 
-  /** The engine-side normalization chain. */
+  /** [[normSteps]] precompiled once per JVM for the expression below. */
+  private val compiledNormSteps: Array[(java.util.regex.Pattern, String)] =
+    normSteps.map { case (p, r) =>
+      (java.util.regex.Pattern.compile(p), r)
+    }.toArray
+
+  /** The step chain as ONE JVM call (Java `replaceAll` over the same
+    * patterns in the same order ≡ the nested regexp_replace chain ≡ the
+    * oracle SQL — character-identical semantics, three runtimes).
+    * Static entry point of [[graft.functions.DotSegmentNormalizeExpr]];
+    * the no-dot fast path skips all 16 passes for the overwhelming
+    * majority of real URLs. */
+  def removeDotSegments(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var cur = s.toString
+    if (!cur.contains("/.")) return s
+    var i = 0
+    while (i < compiledNormSteps.length) {
+      cur = compiledNormSteps(i)._1.matcher(cur)
+        .replaceAll(compiledNormSteps(i)._2)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(cur)
+  }
+
+  /** The engine-side normalization: a single codegen'd expression node
+    * ([[removeDotSegments]]) rather than 16 inlined regexp_replace
+    * trees — the inline chain, duplicated across the resolution CASE's
+    * branches, blew Janino's method-size limit (caught by the
+    * QueryPlanShapeSpec fallback-disabled pin) and re-parsed each
+    * pattern per row besides. */
   private[sources] def normalizeDotSegments(c: Column): Column =
-    normSteps.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    graft.functions.TextExpressions.dotSegmentNormalize(c)
 
   /** The SAME chain as DuckDB SQL over the expression `inner`. */
   private[sources] def normalizeSql(inner: String): String =
@@ -115,17 +155,26 @@ object Links {
     "'" + s.replace("'", "''") + "'"
 
   /** Raw (href, anchor) occurrences per page. Input: (`url`, `html`).
-    * Output: (url, href, anchor) — href quote-stripped, `&amp;`-decoded,
-    * fragment-stripped (may be empty = fragment-only); anchor
-    * tag-stripped, whitespace-collapsed, trimmed. */
-  def rawLinks(pages: DataFrame): DataFrame =
+    * Output: (url, base_url, href, anchor) — base_url is the effective
+    * resolution base (the first `<base href>` when absolute or
+    * root-relative, else the page URL); href quote-stripped,
+    * `&amp;`-decoded, fragment-stripped (may be empty = fragment-only);
+    * anchor tag-stripped, whitespace-collapsed, trimmed. */
+  def rawLinks(pages: DataFrame): DataFrame = {
+    val rawBase = trim(
+      regexp_extract(col("html"), BaseTagRe, 1), "\"'")
+    val pageOrigin = regexp_extract(col("url"), "^(https?://[^/]+)", 1)
+    val effBase = when(rawBase.rlike(HttpRe), rawBase)
+      .when(rawBase.startsWith("/") && !rawBase.startsWith("//"),
+        concat(pageOrigin, rawBase))
+      .otherwise(col("url")) // none, relative, or non-http: page URL
     pages
-      .select(col("url"),
+      .select(col("url"), effBase.as("base_url"),
         // typed function, NOT expr(): a SQL string literal would
         // re-process the regex's backslashes
         explode(regexp_extract_all(col("html"), lit(ATagRe), lit(0)))
           .as("m"))
-      .select(col("url"),
+      .select(col("url"), col("base_url"),
         regexp_replace(
           regexp_replace(
             trim(regexp_extract(col("m"), HrefRe, 1), "\"'"),
@@ -135,17 +184,21 @@ object Links {
           regexp_replace(regexp_extract(col("m"), AnchorRe, 1),
             "<[^>]*>", " "),
           "[ \\t\\r\\n]+", " ")).as("anchor"))
+  }
 
   /** Resolved outgoing links per page: (page_url, link_url, anchor) —
     * one row per occurrence; fragment-only, non-http(s)-scheme, and
-    * malformed-dot-depth links are dropped. */
+    * malformed-dot-depth links are dropped. Relative links resolve
+    * against the EFFECTIVE base ([[rawLinks]]' base_url — the page URL
+    * unless a `<base href>` overrides it). */
   def resolved(pages: DataFrame): DataFrame = {
     val base = rawLinks(pages)
       .withColumn("origin",
-        regexp_extract(col("url"), "^(https?://[^/]+)", 1))
-      .withColumn("scheme", regexp_extract(col("url"), "^([a-z]+):", 1))
+        regexp_extract(col("base_url"), "^(https?://[^/]+)", 1))
+      .withColumn("scheme",
+        regexp_extract(col("base_url"), "^([a-z]+):", 1))
       .withColumn("basedir", {
-        val p = regexp_extract(col("url"), "^https?://[^/]+(/.*)?$", 1)
+        val p = regexp_extract(col("base_url"), "^https?://[^/]+(/.*)?$", 1)
         when(p === "", lit("/"))
           .otherwise(regexp_replace(p, "[^/]*$", ""))
       })
@@ -190,12 +243,23 @@ object Links {
   def linksExtractCtesSql: String = {
     val norm = normalizeSql(
       "CASE WHEN starts_with(href, '/') THEN href ELSE basedir || href END")
-    s"""lm AS (
-       |  SELECT url, unnest(regexp_extract_all(html,
-       |    ${sqlLit(ATagRe)}, 0)) AS m
+    s"""lbm AS (
+       |  SELECT url, html,
+       |    trim(regexp_extract(html, ${sqlLit(BaseTagRe)}, 1),
+       |      '"' || chr(39)) AS rawbase
        |  FROM pages),
-       |lraw AS (
+       |lm AS (
        |  SELECT url,
+       |    CASE
+       |      WHEN regexp_matches(rawbase, ${sqlLit(HttpRe)}) THEN rawbase
+       |      WHEN starts_with(rawbase, '/')
+       |        AND NOT starts_with(rawbase, '//') THEN
+       |        regexp_extract(url, '^(https?://[^/]+)', 1) || rawbase
+       |      ELSE url END AS base_url,
+       |    unnest(regexp_extract_all(html, ${sqlLit(ATagRe)}, 0)) AS m
+       |  FROM lbm),
+       |lraw AS (
+       |  SELECT url, base_url,
        |    regexp_replace(replace(
        |      trim(regexp_extract(m, ${sqlLit(HrefRe)}, 1), '"' || chr(39)),
        |      '&amp;', '&'), '#.*$$', '') AS href,
@@ -205,12 +269,13 @@ object Links {
        |  FROM lm),
        |lbase AS (
        |  SELECT url, href, anchor,
-       |    regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
-       |    regexp_extract(url, '^([a-z]+):', 1) AS scheme,
-       |    CASE WHEN regexp_extract(url, '^https?://[^/]+(/.*)$$', 1) = ''
+       |    regexp_extract(base_url, '^(https?://[^/]+)', 1) AS origin,
+       |    regexp_extract(base_url, '^([a-z]+):', 1) AS scheme,
+       |    CASE WHEN regexp_extract(base_url,
+       |        '^https?://[^/]+(/.*)$$', 1) = ''
        |      THEN '/'
        |      ELSE regexp_replace(
-       |        regexp_extract(url, '^https?://[^/]+(/.*)$$', 1),
+       |        regexp_extract(base_url, '^https?://[^/]+(/.*)$$', 1),
        |        '[^/]*$$', '') END AS basedir
        |  FROM lraw),
        |lnorm AS (

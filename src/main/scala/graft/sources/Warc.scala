@@ -781,6 +781,19 @@ object Warc {
       "<a href=\"#top\">to top</a>",
       "<a href=\"javascript:alert(1)\">noop</a>",
       "<p>No outbound links here.</p>",
+      "</body></html>").mkString("\n"),
+    // <base href> override page: relative and root-relative links
+    // resolve against the cdn base (a NEW host in the graph), absolute
+    // links are unaffected; the second base tag must be ignored
+    "http://site2.example/based/page.html" -> Seq(
+      "<html><head><base href=\"http://cdn.example/assets/\"></head>",
+      "<body>",
+      "<a href=\"img/logo.png\">cdn logo</a>",
+      "<a href=\"/rooted\">cdn rooted</a>",
+      "<a href=\"../up\">cdn up</a>",
+      "<a href=\"http://site0.example/abs\">abs unaffected</a>",
+      "<base href=\"http://wrong.example/\">",
+      "<a href=\"tail\">cdn tail</a>",
       "</body></html>").mkString("\n"))
 
   /** Staged single-segment fixture of the [[linkPageBodies]] pages. */

@@ -123,6 +123,27 @@ class LinksSpec extends SparkSpec {
       ("site0.example", "site3.example", 1L),
       ("site1.example", "site0.example", 1L),
       ("site1.example", "site2.example", 2L),
-      ("site2.example", "site0.example", 1L)))
+      ("site2.example", "site0.example", 2L), // p2.html + the based page
+      ("site2.example", "cdn.example", 4L))) // via the <base> override
+  }
+
+  test("<base href>: absolute base redirects relative and root-relative " +
+      "links, leaves absolute links alone; first base wins; relative " +
+      "base hrefs are ignored") {
+    val html =
+      """<head><base href="http://cdn.ex/a/"></head>
+        |<a href="x/y.png">r</a>
+        |<a href="/root">rr</a>
+        |<a href="../up">u</a>
+        |<a href="http://abs.ex/p">a</a>
+        |<base href="http://second.ex/">
+        |<a href="tail">t</a>""".stripMargin
+    assert(resolve(base, html).map(_._1) === Seq(
+      "http://cdn.ex/a/x/y.png", "http://cdn.ex/root", "http://cdn.ex/up",
+      "http://abs.ex/p", "http://cdn.ex/a/tail"))
+    // a RELATIVE base href is out of scope and ignored (page URL holds)
+    val rel = """<base href="sub/"><a href="x">r</a>"""
+    assert(resolve(base, rel).map(_._1) ===
+      Seq("http://h.example/a/b/x"))
   }
 }
