@@ -647,4 +647,30 @@ object Graphs {
       und.select(col("src").as("u"), col("dst").as("w")),
       Seq("u", "w"), "left_anti")
   }
+
+  /** Per-node link reciprocity over a DIRECTED graph — the classic
+    * link-exchange / link-farm signal (Gyöngyi & Garcia-Molina's web
+    * spam taxonomy: paid and reciprocal link schemes show near-1
+    * reciprocity, organic authority links near-0): of a node's distinct
+    * out-edges, the fraction whose reverse edge also exists, in exact
+    * integer micro-units (scale·n_recip div out_deg). Nodes with no
+    * out-edges (pure sinks) are absent — the ratio is undefined there.
+    *
+    * Scale shape: one distinct, one self-semi-join on the reversed key,
+    * two hash aggregates — all equi-shuffles on edge keys, output
+    * bounded by nodes. */
+  def reciprocity(edgesDf: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val e = Caches.track(edgesDf.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("n_recip"))
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+      .join(recip, Seq("node"), "left")
+      .select(col("node"), col("out_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        expr(s"($scale * coalesce(n_recip, 0L)) div out_deg")
+          .as("recip_micro"))
+  }
 }

@@ -97,6 +97,65 @@ object Retrieval {
       .filter(col("fused_rank") <= topK)
   }
 
+  /** Top-`perList` documents by Dirichlet-smoothed QUERY LIKELIHOOD —
+    * the other published lexical ranking family next to BM25 (the
+    * language-modeling approach: Ponte & Croft 1998; Dirichlet prior
+    * smoothing per Zhai & Lafferty 2001, μ = 2000 their recommended
+    * default):
+    *
+    *   score(q, d) = Σ_{t∈q} ln( (tf(t,d) + μ·cf(t)/|C|) / (|d| + μ) )
+    *
+    * Smoothing is the point: a document missing a query term still
+    * scores the term's collection probability instead of −∞, so long
+    * documents are not unfairly favored and every document is
+    * comparable. Query terms ABSENT from the whole collection have no
+    * collection probability and are dropped (the standard OOV rule).
+    *
+    * Exactness (the Kneser-Ney discipline): all counts are exact
+    * integers; the per-(doc, term) probability is evaluated in the
+    * stated association order — (tf + (μ·(cf/|C|))) / (|d| + μ) — then
+    * ln → 4 dp → integer micro-units; doc scores are exact BIGINT sums
+    * and the oracle replays the identical expression.
+    *
+    * Scale shape: one token scan feeds doc lengths, collection totals,
+    * and the |q|-bounded cf/tf tables; the (doc × query-term) grid is a
+    * broadcast cross of the |q|-row term table against doc lengths; the
+    * final list is a distributed top-K (TakeOrderedAndProject), window
+    * frame bounded by perList. Returns (doc_id, ql_micro, ql_rank). */
+  def topDirichletQL(documents: DataFrame, queryTerms: Seq[String],
+                     perList: Int, mu: Int = 2000,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = Caches.track(documents.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("t")))
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val ctot = toks.agg(count(lit(1)).as("ctot"))
+    val qt = queryTerms.distinct
+    val qtoks = toks.filter(col("t").isin(qt: _*))
+    val cf = qtoks.groupBy(col("t")).agg(count(lit(1)).as("cf"))
+    val tf = qtoks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val grid = docLen
+      .crossJoin(broadcast(cf.crossJoin(ctot))) // |q| rows × 1 total
+      .join(tf, Seq("doc_id", "t"), "left")
+      .select(col("doc_id"), col("dlen"), col("t"), col("cf"),
+        col("ctot"), coalesce(col("tf"), lit(0L)).as("tf"))
+    val p = (col("tf").cast("double")
+      + (lit(mu.toDouble)
+        * (col("cf").cast("double") / col("ctot").cast("double")))) /
+      (col("dlen").cast("double") + lit(mu.toDouble))
+    val perDoc = grid
+      .select(col("doc_id"),
+        round(round(log(p), 4) * 10000).cast("long").as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("micro")).as("ql_micro"))
+    val top = perDoc.orderBy(col("ql_micro").desc, col("doc_id"))
+      .limit(perList)
+    top.withColumn("ql_rank", row_number()
+      .over(Window.orderBy(col("ql_micro").desc, col("doc_id"))))
+  }
+
   /** End-to-end hybrid search: BM25 list + cosine list → RRF top-k over
     * the aligned (doc_id = vec_id) corpus. */
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,

@@ -46,6 +46,20 @@ object LlmQueries {
                                           scale: Long = 1000000000000L,
                                           dampingNum: Long = 85L,
                                           dampingDen: Long = 100L): String = {
+    val pre = if (prelude.isEmpty) "" else s"$prelude,\n"
+    s"""WITH $pre${pagerankCtesSql(edgesSql, iters, scale, dampingNum,
+         dampingDen)}
+       |SELECT node, rank FROM r$iters
+       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
+
+  /** The unrolled-PageRank CTE chain alone (edges … r{iters}) — for
+    * oracles that embed the rank as ONE INPUT of a larger composition
+    * (q_warc_frontier_ranked). */
+  private[queries] def pagerankCtesSql(edgesSql: String, iters: Int,
+                                       scale: Long = 1000000000000L,
+                                       dampingNum: Long = 85L,
+                                       dampingDen: Long = 100L): String = {
     // damping interpolates from the SAME parameters pagerankExact takes,
     // so pointing the query at non-default damping cannot silently
     // diverge from the oracle text
@@ -67,8 +81,7 @@ object LlmQueries {
          |    AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
     }.mkString(",\n")
-    val pre = if (prelude.isEmpty) "" else s"$prelude,\n"
-    s"""WITH ${pre}edges AS MATERIALIZED (
+    s"""edges AS MATERIALIZED (
        |  $edgesSql),
        |nodes AS MATERIALIZED (
        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
@@ -80,9 +93,7 @@ object LlmQueries {
        |  USING (node)),
        |r0 AS MATERIALIZED (
        |  SELECT node, $scale // (SELECT n FROM nc) AS rank FROM nodes),
-       |$steps
-       |SELECT node, rank FROM r$iters
-       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** WEIGHTED [[pagerankOracleFrom]]: `edgesSql` yields (src, dst, w);
@@ -4387,6 +4398,54 @@ object LlmQueries {
              |    AND n_symbol * 1000000 // n_words <= 100000
              |    AND stop_hits >= 2 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Dirichlet-smoothed query likelihood (Ponte&Croft 1998 / Zhai&
+    // Lafferty 2001, μ=2000) — the language-modeling ranking family
+    // next to q_bm25's probabilistic one, same query terms so the two
+    // lists are comparable. Smoothing means every document scores every
+    // (collection-observed) term — a missing term contributes the
+    // collection probability, not −∞. Exact integers after the
+    // ln→4dp→micro-units fix (the Kneser-Ney discipline); distributed
+    // top-20 via TakeOrderedAndProject.
+    QueryDef(
+      "q_retrieval_ql",
+      (s, dir) => graft.llm.Retrieval.topDirichletQL(
+          load(s, dir, "documents"), Seq("join", "scan", "stream"),
+          perList = 20)
+        .orderBy(col("ql_rank")),
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+             |ct AS (SELECT count(*) AS ctot FROM toks),
+             |cf AS (SELECT t, count(*) AS cf FROM toks
+             |  WHERE t IN ('join', 'scan', 'stream') GROUP BY 1),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+             |  WHERE t IN ('join', 'scan', 'stream') GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT d.doc_id, d.dlen, c.t, c.cf,
+             |    (SELECT ctot FROM ct) AS ctot,
+             |    coalesce(tf.tf, 0) AS tf
+             |  FROM dl d CROSS JOIN cf c
+             |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.t = c.t),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(round(round(ln(
+             |      (CAST(tf AS DOUBLE)
+             |        + (2000.0 * (CAST(cf AS DOUBLE) / CAST(ctot AS DOUBLE))))
+             |      / (CAST(dlen AS DOUBLE) + 2000.0)), 4) * 10000)
+             |      AS BIGINT) AS micro
+             |  FROM grid),
+             |pd AS (
+             |  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS ql_micro
+             |  FROM sc GROUP BY 1),
+             |top AS (
+             |  SELECT doc_id, ql_micro FROM pd
+             |  ORDER BY ql_micro DESC, doc_id LIMIT 20)
+             |SELECT doc_id, ql_micro,
+             |  CAST(row_number() OVER (ORDER BY ql_micro DESC, doc_id)
+             |    AS INT) AS ql_rank
+             |FROM top ORDER BY ql_rank""".stripMargin)),
 
     // Filter-funnel ablation report — the artifact every published
     // pipeline paper tables (FineWeb/RefinedWeb ablations; Gopher's

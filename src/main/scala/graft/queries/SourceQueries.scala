@@ -267,42 +267,7 @@ object SourceQueries {
     // and the anti-join — the WHOLE frontier build, independently.
     QueryDef(
       "q_warc_sitemap",
-      (s, _) => {
-        val docs = graft.sources.Warc
-          .readResponses(s, graft.sources.Warc.warcSitemapIngestDir)
-          .select(col("url"),
-            regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
-            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
-              .as("path"),
-            col("text"))
-        val robots = docs.filter(col("path") === "/robots.txt")
-          .select(col("host"), col("text").as("body"))
-        val maps = docs.filter(col("path") === "/sitemap.xml")
-          .select(col("host"), col("text").as("body"))
-        val crawled = docs
-          .filter(col("path") =!= "/robots.txt"
-            && col("path") =!= "/sitemap.xml")
-          .select(col("url")).distinct()
-          .withColumn("already_crawled", lit(true))
-        val ents = graft.sources.Sitemaps.entries(maps)
-          .select(col("url"), col("host"),
-            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
-              .as("path"),
-            col("lastmod"))
-        graft.sources.Robots
-          .allowed(ents.select(col("url"), col("host"), col("path")),
-            graft.sources.Robots.rules(robots), agent = "GraftBot")
-          .join(ents.select(col("url"), col("lastmod")), Seq("url"))
-          .join(crawled, Seq("url"), "left")
-          .join(graft.sources.Robots.delays(robots, "GraftBot"),
-            Seq("host"), "left")
-          .select(col("url"), col("host"), col("path"), col("lastmod"),
-            col("allowed"),
-            coalesce(col("already_crawled"), lit(false))
-              .as("already_crawled"),
-            col("crawl_delay"))
-          .orderBy(col("url"))
-      },
+      (s, _) => sitemapFrontier(s).orderBy(col("url")),
       Some(s"""WITH robots(host, body) AS (VALUES
              |  ${graft.sources.Warc.robotsOracleRobotsValuesSql}),
              |maps(host, body) AS (VALUES
@@ -311,36 +276,7 @@ object SourceQueries {
              |  ${graft.sources.Warc.robotsOraclePagesValuesSql}),
              |$robotsParseCtesSql,
              |$robotsDelayCtesSql,
-             |blocks AS (
-             |  SELECT host,
-             |    unnest(regexp_extract_all(body,
-             |      '(?s)<url>(.*?)</url>', 1)) AS block
-             |  FROM maps),
-             |ents AS (
-             |  SELECT host,
-             |    regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)
-             |      AS url,
-             |    nullif(regexp_extract(block,
-             |      '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '')
-             |      AS lastmod
-             |  FROM blocks
-             |  WHERE regexp_extract(block,
-             |    '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''),
-             |epaths AS (
-             |  SELECT url, host,
-             |    regexp_extract(url, '^https?://[^/]+(/.*)$$', 1) AS path,
-             |    lastmod
-             |  FROM ents),
-             |m AS (
-             |  SELECT p.url, p.host, p.path, p.lastmod,
-             |    a.is_allow, a.prefix, a.plen
-             |  FROM epaths p LEFT JOIN appl a
-             |    ON a.r_host = p.host AND regexp_matches(p.path, a.rx)),
-             |rk AS (
-             |  SELECT *, row_number() OVER (PARTITION BY url
-             |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
-             |      prefix DESC NULLS LAST) AS rn
-             |  FROM m)
+             |$sitemapFrontierCtesSql
              |SELECT e.url, e.host, e.path, e.lastmod,
              |  (e.plen IS NULL OR e.is_allow = 1) AS allowed,
              |  coalesce(c.ac, false) AS already_crawled,
@@ -554,6 +490,116 @@ object SourceQueries {
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              |FROM documents WHERE doc_id < 100
              |ORDER BY record_id""".stripMargin)),
+
+    // Link reciprocity per host over the crawled graph — the classic
+    // link-exchange/link-farm signal (near-1 reciprocity = paid or
+    // reciprocal schemes; organic authority links near-0): site0's 2/3
+    // reciprocated outlinks vs site1/site2's 1/2 is the fixture's
+    // discriminating spread; pure sinks (site3, cdn) are absent by
+    // contract. Exact integer micro-units; the oracle replays
+    // extraction + the reverse-edge semi-join.
+    QueryDef(
+      "q_graph_reciprocity",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        graft.llm.Graphs.reciprocity(
+            graft.sources.Links
+              .hostEdges(graft.sources.Links.resolved(pages))
+              .select(col("src_host").as("src"), col("dst_host").as("dst")))
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH pages(url, html) AS (VALUES
+             |  ${graft.sources.Warc.linksOracleValuesSql}),
+             |${graft.sources.Links.linksExtractCtesSql},
+             |he AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT regexp_extract(page_url,
+             |        '^https?://([^/]+)', 1) AS src,
+             |      regexp_extract(link_url,
+             |        '^https?://([^/]+)', 1) AS dst
+             |    FROM linkrows) t
+             |  WHERE src <> dst),
+             |rc AS (
+             |  SELECT e.src AS node, count(*) AS n_recip
+             |  FROM he e
+             |  WHERE EXISTS (SELECT 1 FROM he r
+             |    WHERE r.src = e.dst AND r.dst = e.src)
+             |  GROUP BY 1),
+             |od AS (
+             |  SELECT src AS node, count(*) AS out_deg FROM he GROUP BY 1)
+             |SELECT od.node, CAST(od.out_deg AS BIGINT) AS out_deg,
+             |  CAST(coalesce(rc.n_recip, 0) AS BIGINT) AS n_recip,
+             |  CAST((1000000 * coalesce(rc.n_recip, 0)) // od.out_deg
+             |    AS BIGINT) AS recip_micro
+             |FROM od LEFT JOIN rc USING (node)
+             |ORDER BY node""".stripMargin)),
+
+    // The capstone crawl composition — the scheduler input a polite,
+    // rank-prioritized crawler actually consumes: sitemap DISCOVERY +
+    // robots POLITENESS (wildcard rules, delays, crawled anti-flag)
+    // joined with host-level PageRank PRIORITY extracted from the
+    // crawled link graph (the published frontier-ordering signal since
+    // Cho/García-Molina/Page 1998). The oracle replays ALL of it in one
+    // CTE chain — robots parse, sitemap extraction, longest-match,
+    // delay binding, link extraction, host-edge assembly, and 4
+    // unrolled rank sweeps — from the restated fixture bodies. Scale
+    // shape: the rank table is host-bounded (broadcast); the frontier
+    // side stays embarrassingly parallel.
+    QueryDef(
+      "q_warc_frontier_ranked",
+      (s, _) => {
+        val pages = graft.sources.Warc
+          .readResponses(s, graft.sources.Warc.warcLinksIngestDir)
+          .select(col("url"), col("text").as("html"))
+        val rank = graft.llm.Graphs.pagerankExact(
+            graft.sources.Links
+              .hostEdges(graft.sources.Links.resolved(pages))
+              .select(col("src_host").as("src"), col("dst_host").as("dst")),
+            iters = 4)
+          .select(col("node").as("host"), col("rank").as("host_rank"))
+        sitemapFrontier(s)
+          .join(broadcast(rank), Seq("host"), "left")
+          .select(col("url"), col("host"), col("allowed"),
+            col("already_crawled"), col("crawl_delay"),
+            coalesce(col("host_rank"), lit(0L)).as("host_rank"),
+            (col("allowed") && !col("already_crawled")).as("eligible"))
+          .orderBy(col("url"))
+      },
+      Some(s"""WITH robots(host, body) AS (VALUES
+             |  ${graft.sources.Warc.robotsOracleRobotsValuesSql}),
+             |maps(host, body) AS (VALUES
+             |  ${graft.sources.Warc.sitemapOracleValuesSql}),
+             |crawled(url, c_host, c_path) AS (VALUES
+             |  ${graft.sources.Warc.robotsOraclePagesValuesSql}),
+             |pages(url, html) AS (VALUES
+             |  ${graft.sources.Warc.linksOracleValuesSql}),
+             |$robotsParseCtesSql,
+             |$robotsDelayCtesSql,
+             |$sitemapFrontierCtesSql,
+             |${graft.sources.Links.linksExtractCtesSql},
+             |${LlmQueries.pagerankCtesSql(
+                 """SELECT DISTINCT src, dst FROM (
+                   |    SELECT regexp_extract(page_url,
+                   |        '^https?://([^/]+)', 1) AS src,
+                   |      regexp_extract(link_url,
+                   |        '^https?://([^/]+)', 1) AS dst
+                   |    FROM linkrows) t
+                   |  WHERE src <> dst""".stripMargin, iters = 4)}
+             |SELECT e.url, e.host,
+             |  (e.plen IS NULL OR e.is_allow = 1) AS allowed,
+             |  coalesce(c.ac, false) AS already_crawled,
+             |  d.crawl_delay,
+             |  CAST(coalesce(rr.rank, 0) AS BIGINT) AS host_rank,
+             |  ((e.plen IS NULL OR e.is_allow = 1)
+             |    AND NOT coalesce(c.ac, false)) AS eligible
+             |FROM rk e
+             |LEFT JOIN (SELECT DISTINCT url, true AS ac FROM crawled) c
+             |  USING (url)
+             |LEFT JOIN delays d ON d.d_host = e.host
+             |LEFT JOIN r4 rr ON rr.node = e.host
+             |WHERE e.rn = 1 ORDER BY e.url""".stripMargin)),
   )
 
   /** Shared DuckDB replay of [[graft.sources.Robots.rules]] plus the
@@ -612,6 +658,82 @@ object SourceQueries {
       |  FROM rules r LEFT JOIN spec s USING (host)
       |  WHERE (coalesce(s.hs, 0) = 1 AND r.agent = 'graftbot')
       |     OR (coalesce(s.hs, 0) = 0 AND r.agent = '*'))""".stripMargin
+
+  /** The assembled crawl frontier off the sitemap fixture (engine side,
+    * shared by q_warc_sitemap and q_warc_frontier_ranked): sitemap
+    * entries + robots verdict + already-crawled anti-flag + per-host
+    * crawl delay. */
+  private def sitemapFrontier(s: SparkSession): DataFrame = {
+    val docs = graft.sources.Warc
+      .readResponses(s, graft.sources.Warc.warcSitemapIngestDir)
+      .select(col("url"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
+          .as("path"),
+        col("text"))
+    val robots = docs.filter(col("path") === "/robots.txt")
+      .select(col("host"), col("text").as("body"))
+    val maps = docs.filter(col("path") === "/sitemap.xml")
+      .select(col("host"), col("text").as("body"))
+    val crawled = docs
+      .filter(col("path") =!= "/robots.txt"
+        && col("path") =!= "/sitemap.xml")
+      .select(col("url")).distinct()
+      .withColumn("already_crawled", lit(true))
+    val ents = graft.sources.Sitemaps.entries(maps)
+      .select(col("url"), col("host"),
+        regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
+          .as("path"),
+        col("lastmod"))
+    graft.sources.Robots
+      .allowed(ents.select(col("url"), col("host"), col("path")),
+        graft.sources.Robots.rules(robots), agent = "GraftBot")
+      .join(ents.select(col("url"), col("lastmod")), Seq("url"))
+      .join(crawled, Seq("url"), "left")
+      .join(graft.sources.Robots.delays(robots, "GraftBot"),
+        Seq("host"), "left")
+      .select(col("url"), col("host"), col("path"), col("lastmod"),
+        col("allowed"),
+        coalesce(col("already_crawled"), lit(false))
+          .as("already_crawled"),
+        col("crawl_delay"))
+  }
+
+  /** DuckDB replay of the sitemap-entry extraction + robots verdict
+    * (expects `maps(host, body)` and `appl` in scope; yields
+    * `blocks` … `rk`) — shared verbatim by q_warc_sitemap and
+    * q_warc_frontier_ranked so the two frontier oracles cannot drift. */
+  private def sitemapFrontierCtesSql: String =
+    """blocks AS (
+      |  SELECT host,
+      |    unnest(regexp_extract_all(body,
+      |      '(?s)<url>(.*?)</url>', 1)) AS block
+      |  FROM maps),
+      |ents AS (
+      |  SELECT host,
+      |    regexp_extract(block, '(?s)<loc>\s*(.*?)\s*</loc>', 1)
+      |      AS url,
+      |    nullif(regexp_extract(block,
+      |      '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+      |      AS lastmod
+      |  FROM blocks
+      |  WHERE regexp_extract(block,
+      |    '(?s)<loc>\s*(.*?)\s*</loc>', 1) <> ''),
+      |epaths AS (
+      |  SELECT url, host,
+      |    regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path,
+      |    lastmod
+      |  FROM ents),
+      |m AS (
+      |  SELECT p.url, p.host, p.path, p.lastmod,
+      |    a.is_allow, a.prefix, a.plen
+      |  FROM epaths p LEFT JOIN appl a
+      |    ON a.r_host = p.host AND regexp_matches(p.path, a.rx)),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY url
+      |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
+      |      prefix DESC NULLS LAST) AS rn
+      |  FROM m)""".stripMargin
 
   /** DuckDB replay of [[graft.sources.Robots.delays]] for agent
     * 'graftbot': reuses `parsed` from [[robotsParseCtesSql]], yields

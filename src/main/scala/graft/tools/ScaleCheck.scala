@@ -491,6 +491,25 @@ object ScaleCheck {
         custPartCopies(spark, base, f), maxDeg = 40)
         .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("w"))
         .limit(100)),
+      // round-11: hyperlink extraction + resolution throughput on the
+      // PAGE-COUNT axis (50k·f in-plan synthesized pages, 5 anchors
+      // each covering the absolute/rooted/relative-dotted/scheme-drop/
+      // fragment rules): per-row regexp + explode + the codegen'd
+      // dot-segment expression, so time must track pages linearly and
+      // shuffle stay at the host-pair rollup's partials
+      ("q_warc_links_scale", (_, f) => {
+        val pages = spark.range(50000L * f).select(
+          concat(lit("http://h"), col("id") % 997,
+            lit(".example/d/e/"), col("id")).as("url"),
+          concat(
+            lit("<html><body><a href=\"http://t"), col("id") % 1009,
+            lit(".example/x\">t link</a>"),
+            lit("<a href='/a/b.html'>rooted</a>"),
+            lit("<a href=\"../up/c?q=1&amp;r=2\">up</a>"),
+            lit("<a href=\"javascript:void(0)\">j</a>"),
+            lit("<a href=\"p#frag\">f</a></body></html>")).as("html"))
+        graft.sources.Links.hostEdges(graft.sources.Links.resolved(pages))
+      }),
       // round-8: audio fingerprint near-dup — k× staged WAV clips (same
       // out-of-timing staging rule as video); decode + fingerprint is
       // partition-local, and the only exchange is the banded signature

@@ -253,4 +253,22 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === tilted)
   }
+
+  test("reciprocity: mutual pairs count, one-way links do not, pure " +
+      "sinks are absent, self-loops and duplicates ignored") {
+    import SparkSpec.spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), // mutual
+      (1L, 3L), // one-way (3 is a pure sink)
+      (1L, 1L), // self-loop: ignored
+      (2L, 1L), // duplicate: ignored
+      (4L, 1L), (1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graphs.reciprocity(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 666666L)), // out {2,3,4}; 2 and 4 reciprocated
+      2L -> ((1L, 1L, 1000000L)),
+      4L -> ((2L, 1L, 500000L)))) // 3 and 5 are sinks: absent
+  }
 }

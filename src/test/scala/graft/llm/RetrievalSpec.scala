@@ -85,4 +85,34 @@ class RetrievalSpec extends SparkSpec {
     Caches.release()
     spark.catalog.clearCache()
   }
+
+  test("topDirichletQL: a doc containing the term outranks an identical-" +
+      "length doc without it, smoothing still scores the absent doc, " +
+      "longer docs get no free ride, OOV terms drop") {
+    import graft.SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "spark data spark engine test"), // tf(spark)=2, len 5
+      (2L, "other words fill this line"), // tf=0, len 5
+      (3L, "spark " + Seq.fill(40)("pad").mkString(" ")) // tf=1, len 41
+    ).toDF("doc_id", "text")
+    val out = Retrieval.topDirichletQL(docs, Seq("spark"), perList = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2)))).toMap
+    // all three docs scored (smoothing: no -inf for doc 2)
+    assert(out.size === 3)
+    assert(out(1L)._2 === 1) // highest tf, short doc
+    assert(out(2L)._1 < out(1L)._1)
+    // μ=2000 ≫ these doc lengths, so the |d|+μ length penalty outweighs
+    // doc 3's single extra tf against doc 2 — the Dirichlet long-doc
+    // correction working exactly as published
+    assert(out(3L)._1 < out(2L)._1)
+    // an OOV query term (absent from the whole collection) drops: the
+    // scores equal the single-term query's
+    val withOov = Retrieval.topDirichletQL(docs,
+        Seq("spark", "zzzmissing"), perList = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withOov === out.view.mapValues(_._1).toMap)
+    Caches.release()
+    spark.catalog.clearCache()
+  }
 }
