@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,6 +107,44 @@ case class DotSegmentNormalizeExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for hyperlink extraction + RFC 3986
+  * resolution over one crawled page ([[graft.sources.Links]]): emits a
+  * single static call against per-JVM precompiled patterns, returning
+  * every `<a href>` occurrence as (base_url, href, anchor, link_url).
+  * Why an expression and not built-in string functions: the equivalent
+  * chain sits downstream of an explode, where Spark cannot split
+  * oversized generated code (Janino method-size failure — pinned by
+  * QueryPlanShapeSpec with codegen fallback disabled), and it re-scans
+  * the page html once per regex; this node scans once per pattern and
+  * keeps whole-stage codegen. Semantics are the oracle SQL chain's —
+  * same patterns, same order. */
+case class ExtractLinksExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      graft.sources.Links.LinkStructType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_links expects (url string, html string), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(url: Any, html: Any): Any =
+    graft.sources.Links.extractResolved(
+      url.asInstanceOf[UTF8String], html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (u, h) =>
+      s"${ev.value} = graft.sources.Links.extractResolved($u, $h);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftshim.GraftColumn
 
@@ -121,4 +159,10 @@ object TextExpressions {
   /** Column-level RFC 3986 dot-segment removal (bounded step chain). */
   def dotSegmentNormalize(c: Column): Column =
     GraftColumn.column(DotSegmentNormalizeExpr(GraftColumn.expression(c)))
+
+  /** Column-level hyperlink extraction + resolution:
+    * (url, html) → array of (base_url, href, anchor, link_url). */
+  def extractLinks(url: Column, html: Column): Column =
+    GraftColumn.column(ExtractLinksExpr(
+      GraftColumn.expression(url), GraftColumn.expression(html)))
 }

@@ -557,6 +557,12 @@ object Graphs {
     require(iters > 0, s"iters must be positive, got $iters")
     val edges = edgesDf
       .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      // reject nulls BEFORE the merge: sum() skips nulls, so a partly
+      // null (src,dst) group would silently under-weight instead of
+      // failing loudly
+      .withColumn("w", when(col("w").isNull || col("w") <= 0,
+        raise_error(lit("pagerankWeightedExact: null or non-positive " +
+          "edge weight"))).otherwise(col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -565,8 +571,6 @@ object Graphs {
       .distinct()
     val n = nodes.count()
     require(n > 0, "pagerank over an empty graph")
-    val badW = edges.filter(col("w") <= 0).count()
-    require(badW == 0, s"$badW edges carry non-positive weight")
     val withW = nodes
       .join(edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout")),
         Seq("node"), "left")

@@ -135,15 +135,6 @@ object Links {
     org.apache.spark.unsafe.types.UTF8String.fromString(cur)
   }
 
-  /** The engine-side normalization: a single codegen'd expression node
-    * ([[removeDotSegments]]) rather than 16 inlined regexp_replace
-    * trees — the inline chain, duplicated across the resolution CASE's
-    * branches, blew Janino's method-size limit (caught by the
-    * QueryPlanShapeSpec fallback-disabled pin) and re-parsed each
-    * pattern per row besides. */
-  private[sources] def normalizeDotSegments(c: Column): Column =
-    graft.functions.TextExpressions.dotSegmentNormalize(c)
-
   /** The SAME chain as DuckDB SQL over the expression `inner`. */
   private[sources] def normalizeSql(inner: String): String =
     normSteps.foldLeft(inner) { case (acc, (p, r)) =>
@@ -154,71 +145,163 @@ object Links {
   private[sources] def sqlLit(s: String): String =
     "'" + s.replace("'", "''") + "'"
 
+  // ------------------------------------------------------------------
+  // JVM extraction core. The first cut expressed extraction +
+  // resolution as a chain of built-in string expressions; Spark cannot
+  // split oversized expression code inside a Generate (explode) consume
+  // path, so the chain exceeded Janino's method-size limit (caught by
+  // the fallback-disabled plan pin) and re-scanned the page html once
+  // per regex besides. One codegen'd expression over per-JVM
+  // precompiled java.util.regex Patterns — the SAME patterns, in the
+  // SAME order, as the oracle's SQL chain — fixes both: the per-row
+  // code is one static call, and each pattern runs once per page.
+  // ------------------------------------------------------------------
+
+  private def pat(re: String) = java.util.regex.Pattern.compile(re)
+  private val ATagP = pat(ATagRe)
+  private val HrefP = pat(HrefRe)
+  private val AnchorP = pat(AnchorRe)
+  private val BaseTagP = pat(BaseTagRe)
+  private val FragP = pat("#.*$")
+  private val TagStripP = pat("<[^>]*>")
+  private val WsP = pat("[ \\t\\r\\n]+")
+  private val HttpP = pat(HttpRe)
+  private val OtherSchemeP = pat(OtherSchemeRe)
+  private val ResidualP = pat(ResidualDotRe)
+  private val OriginP = pat("^(https?://[^/]+)")
+  private val SchemeP = pat("^([a-z]+):")
+  private val BasePathP = pat("^https?://[^/]+(/.*)?$")
+  private val LastSegP = pat("[^/]*$")
+
+  /** regexp_extract semantics: first match's group 1, else "". */
+  private def rex(p: java.util.regex.Pattern, s: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) { val g = m.group(1); if (g == null) "" else g } else ""
+  }
+
+  /** Spark trim(c, chars) semantics for the quote set. */
+  private def trimQuotes(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && (s.charAt(a) == '"' || s.charAt(a) == '\'')) a += 1
+    while (b > a && (s.charAt(b - 1) == '"' || s.charAt(b - 1) == '\'')) b -= 1
+    s.substring(a, b)
+  }
+
+  /** Spark trim() semantics: spaces only (NOT Java's <=0x20 trim). */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  /** [[removeDotSegments]] on a plain String. */
+  private def removeDotSegmentsStr(s: String): String = {
+    if (!s.contains("/.")) return s
+    var cur = s
+    var i = 0
+    while (i < compiledNormSteps.length) {
+      cur = compiledNormSteps(i)._1.matcher(cur)
+        .replaceAll(compiledNormSteps(i)._2)
+      i += 1
+    }
+    cur
+  }
+
+  /** Output element type of [[extractResolved]]. */
+  val LinkStructType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("base_url",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("href",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("anchor",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("link_url",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** One page -> every `<a href>` occurrence as
+    * (base_url, href, anchor, link_url); link_url is NULL for dropped
+    * links (fragment-only, non-http(s) scheme, residual dot depth).
+    * Static entry point of [[graft.functions.ExtractLinksExpr]]. */
+  def extractResolved(urlU: org.apache.spark.unsafe.types.UTF8String,
+                      htmlU: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val url = urlU.toString
+    val html = htmlU.toString
+    // effective base: first <base href>, absolute or root-relative
+    val rawBase = trimQuotes(rex(BaseTagP, html))
+    val baseUrl =
+      if (HttpP.matcher(rawBase).find()) rawBase
+      else if (rawBase.startsWith("/") && !rawBase.startsWith("//"))
+        rex(OriginP, url) + rawBase
+      else url
+    val origin = rex(OriginP, baseUrl)
+    val scheme = rex(SchemeP, baseUrl)
+    val basepath0 = rex(BasePathP, baseUrl)
+    val basepath = if (basepath0.isEmpty) "/" else basepath0
+    val basedir = LastSegP.matcher(basepath).replaceAll("")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    val mm = ATagP.matcher(html)
+    while (mm.find()) {
+      val m = mm.group(0)
+      val href = FragP.matcher(
+        trimQuotes(rex(HrefP, m)).replace("&amp;", "&")).replaceAll("")
+      val anchor = trimSpaces(WsP.matcher(
+        TagStripP.matcher(rex(AnchorP, m)).replaceAll(" "))
+        .replaceAll(" "))
+      val linkUrl: String =
+        if (href.isEmpty) null
+        else if (HttpP.matcher(href).find()) href
+        else if (OtherSchemeP.matcher(href).find()) null
+        else if (href.startsWith("//")) scheme + ":" + href
+        // RFC 3986 s5.3: query-only keeps the base DOCUMENT path
+        else if (href.startsWith("?")) origin + basepath + href
+        else {
+          val np = removeDotSegmentsStr(
+            if (href.startsWith("/")) href else basedir + href)
+          if (ResidualP.matcher(np).find()) null else origin + np
+        }
+      def u(x: String) =
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        u(baseUrl), u(href), u(anchor),
+        if (linkUrl == null) null else u(linkUrl))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Raw (href, anchor) occurrences per page. Input: (`url`, `html`).
     * Output: (url, base_url, href, anchor) — base_url is the effective
     * resolution base (the first `<base href>` when absolute or
     * root-relative, else the page URL); href quote-stripped,
     * `&amp;`-decoded, fragment-stripped (may be empty = fragment-only);
     * anchor tag-stripped, whitespace-collapsed, trimmed. */
-  def rawLinks(pages: DataFrame): DataFrame = {
-    val rawBase = trim(
-      regexp_extract(col("html"), BaseTagRe, 1), "\"'")
-    val pageOrigin = regexp_extract(col("url"), "^(https?://[^/]+)", 1)
-    val effBase = when(rawBase.rlike(HttpRe), rawBase)
-      .when(rawBase.startsWith("/") && !rawBase.startsWith("//"),
-        concat(pageOrigin, rawBase))
-      .otherwise(col("url")) // none, relative, or non-http: page URL
+  def rawLinks(pages: DataFrame): DataFrame =
     pages
-      .select(col("url"), effBase.as("base_url"),
-        // typed function, NOT expr(): a SQL string literal would
-        // re-process the regex's backslashes
-        explode(regexp_extract_all(col("html"), lit(ATagRe), lit(0)))
-          .as("m"))
-      .select(col("url"), col("base_url"),
-        regexp_replace(
-          regexp_replace(
-            trim(regexp_extract(col("m"), HrefRe, 1), "\"'"),
-            "&amp;", "&"),
-          "#.*$", "").as("href"),
-        trim(regexp_replace(
-          regexp_replace(regexp_extract(col("m"), AnchorRe, 1),
-            "<[^>]*>", " "),
-          "[ \\t\\r\\n]+", " ")).as("anchor"))
-  }
+      .select(col("url"),
+        explode(graft.functions.TextExpressions.extractLinks(
+          col("url"), col("html"))).as("l"))
+      .select(col("url"), col("l.base_url").as("base_url"),
+        col("l.href").as("href"), col("l.anchor").as("anchor"))
 
   /** Resolved outgoing links per page: (page_url, link_url, anchor) —
     * one row per occurrence; fragment-only, non-http(s)-scheme, and
     * malformed-dot-depth links are dropped. Relative links resolve
-    * against the EFFECTIVE base ([[rawLinks]]' base_url — the page URL
-    * unless a `<base href>` overrides it). */
-  def resolved(pages: DataFrame): DataFrame = {
-    val base = rawLinks(pages)
-      .withColumn("origin",
-        regexp_extract(col("base_url"), "^(https?://[^/]+)", 1))
-      .withColumn("scheme",
-        regexp_extract(col("base_url"), "^([a-z]+):", 1))
-      .withColumn("basedir", {
-        val p = regexp_extract(col("base_url"), "^https?://[^/]+(/.*)?$", 1)
-        when(p === "", lit("/"))
-          .otherwise(regexp_replace(p, "[^/]*$", ""))
-      })
-      // normalize ONCE, in its own projection — the 16-step chain is
-      // the expensive expression; the CASE below only references it
-      .withColumn("npath", normalizeDotSegments(
-        when(col("href").startsWith("/"), col("href"))
-          .otherwise(concat(col("basedir"), col("href")))))
-    base
-      .withColumn("link_url",
-        when(col("href") === "", lit(null))
-          .when(col("href").rlike(HttpRe), col("href"))
-          .when(col("href").rlike(OtherSchemeRe), lit(null))
-          .when(col("href").startsWith("//"),
-            concat(col("scheme"), lit(":"), col("href")))
-          .when(col("npath").rlike(ResidualDotRe), lit(null))
-          .otherwise(concat(col("origin"), col("npath"))))
-      .filter(col("link_url").isNotNull)
-      .select(col("url").as("page_url"), col("link_url"), col("anchor"))
-  }
+    * against the EFFECTIVE base (the page URL unless a `<base href>`
+    * overrides it); a query-only reference keeps the base DOCUMENT
+    * path (RFC 3986 s5.3). */
+  def resolved(pages: DataFrame): DataFrame =
+    pages
+      .select(col("url").as("page_url"),
+        explode(graft.functions.TextExpressions.extractLinks(
+          col("url"), col("html"))).as("l"))
+      .filter(col("l.link_url").isNotNull)
+      .select(col("page_url"), col("l.link_url").as("link_url"),
+        col("l.anchor").as("anchor"))
 
   /** Host-level web-graph edges off [[resolved]]'s output:
     * (src_host, dst_host, n_links), intra-host edges excluded — the
@@ -267,19 +350,22 @@ object Links {
        |      regexp_extract(m, ${sqlLit(AnchorRe)}, 1),
        |      '<[^>]*>', ' ', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS anchor
        |  FROM lm),
-       |lbase AS (
-       |  SELECT url, href, anchor,
-       |    regexp_extract(base_url, '^(https?://[^/]+)', 1) AS origin,
-       |    regexp_extract(base_url, '^([a-z]+):', 1) AS scheme,
+       |lbp AS (
+       |  SELECT url, href, anchor, base_url,
        |    CASE WHEN regexp_extract(base_url,
        |        '^https?://[^/]+(/.*)$$', 1) = ''
        |      THEN '/'
-       |      ELSE regexp_replace(
-       |        regexp_extract(base_url, '^https?://[^/]+(/.*)$$', 1),
-       |        '[^/]*$$', '') END AS basedir
+       |      ELSE regexp_extract(base_url, '^https?://[^/]+(/.*)$$', 1)
+       |      END AS basepath
        |  FROM lraw),
+       |lbase AS (
+       |  SELECT url, href, anchor, basepath,
+       |    regexp_extract(base_url, '^(https?://[^/]+)', 1) AS origin,
+       |    regexp_extract(base_url, '^([a-z]+):', 1) AS scheme,
+       |    regexp_replace(basepath, '[^/]*$$', '') AS basedir
+       |  FROM lbp),
        |lnorm AS (
-       |  SELECT url, href, anchor, origin, scheme,
+       |  SELECT url, href, anchor, origin, scheme, basepath,
        |    $norm AS npath
        |  FROM lbase),
        |lres AS (
@@ -289,6 +375,7 @@ object Links {
        |      WHEN regexp_matches(href, ${sqlLit(HttpRe)}) THEN href
        |      WHEN regexp_matches(href, ${sqlLit(OtherSchemeRe)}) THEN NULL
        |      WHEN starts_with(href, '//') THEN scheme || ':' || href
+       |      WHEN starts_with(href, '?') THEN origin || basepath || href
        |      WHEN regexp_matches(npath, ${sqlLit(ResidualDotRe)}) THEN NULL
        |      ELSE origin || npath
        |    END AS link_url

@@ -748,6 +748,7 @@ object Warc {
       "<link href=\"/style.css\">",
       "<a href=\"../../../over/top\">beyond root</a>",
       "<a href=\"search?q=1&amp;r=2\">query link</a>",
+      "<a href=\"?sort=asc\">query only</a>",
       "<a href=\"/nested\"><b>Bold</b> anchor</a>",
       "<a href=\"/img\"><img src=\"i.png\"/></a>",
       "<a href=\"/ws\">  spaced",

@@ -34,15 +34,18 @@ class LinksSpec extends SparkSpec {
 
   test("resolution cases: absolute passes, scheme-relative takes base " +
       "scheme, root-relative takes origin, relative resolves against " +
-      "the base directory") {
+      "the base directory, query-only keeps the base DOCUMENT path") {
     val html =
       """<a href="https://x.example/p?q=1">abs</a>
         |<a href="//y.example/sr">sr</a>
         |<a href="/rooted">r</a>
-        |<a href="sib/ling">rel</a>""".stripMargin
+        |<a href="sib/ling">rel</a>
+        |<a href="?page=2">qonly</a>""".stripMargin
     assert(resolve(base, html).map(_._1) ===
       Seq("https://x.example/p?q=1", "http://y.example/sr",
-        "http://h.example/rooted", "http://h.example/a/b/sib/ling"))
+        "http://h.example/rooted", "http://h.example/a/b/sib/ling",
+        // RFC 3986 §5.3: NOT the directory — the document itself
+        "http://h.example/a/b/page.html?page=2"))
   }
 
   test("drop rules: fragment-only, javascript:, mailto:, data:, tel: " +
