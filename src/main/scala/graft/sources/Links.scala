@@ -77,27 +77,40 @@ object Links {
   private[sources] val BaseTagRe: String =
     "(?is)<base\\s[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
 
-  /** Rounds of dot-segment collapse. Each round's GLOBAL mid-pass
-    * collapses every non-overlapping `/seg/../` at once (so a run of k
-    * `..` roughly halves per round) plus one root-level no-op pop —
-    * 4 rounds resolve the ≤8-level chains real HTML contains; deeper
+  /** Rounds of dot-segment collapse: each round pops ONE level of every
+    * adjacent `/../` run (plus the whole root-level no-op run at once),
+    * so chains up to [[NormRounds]] real pops deep resolve; deeper
     * chains drop via [[ResidualDotRe]]. */
-  val NormRounds = 4
+  val NormRounds = 10
+
+  /** A path segment that is neither `.` nor `..` (those are operators,
+    * not segments): starts with a non-dot, or is a dotted name longer
+    * than the operators. CRITICAL correctness guard — if the collapse
+    * pattern's segment could match `..`, a `/../../` pair would
+    * self-collapse while a REAL segment to its left was still unpopped
+    * (two no-op pops where RFC does one real pop + one no-op), emitting
+    * a WRONG URL instead of residue. Found by the randomized
+    * RFC-equivalence property in LinksSpec. */
+  private val Seg = "(\\.\\.[^/]+|\\.[^./][^/]*|[^./][^/]*)"
 
   /** RFC 3986 §5.2.4 remove_dot_segments as a bounded (pattern →
-    * replacement) chain, applied in order. Shared verbatim between the
-    * engine ([[normalizeDotSegments]]) and the oracle SQL
-    * ([[normalizeSql]]). Kept deliberately short (16 steps): the chain
-    * is nested expression code in whole-stage codegen. */
+    * replacement) chain, applied in order; shared verbatim between the
+    * engine ([[removeDotSegments]]) and the oracle SQL
+    * ([[normalizeSql]]). The mid pattern deliberately carries NO
+    * leading slash (matching starts at the segment, replacement is
+    * empty): a leading-slash form consumes the '/' the NEXT candidate
+    * needs, so a global pass would skip alternating collapses — the
+    * second bug the randomized property caught. No lookarounds anywhere
+    * (the oracle runs on RE2, which has none). */
   private[sources] val normSteps: Seq[(String, String)] = {
     val dot = Seq.fill(3)("/\\./" -> "/") :+ ("/\\.$" -> "/")
     val dotdot = (1 to NormRounds).flatMap { _ =>
-      Seq("^/\\.\\./" -> "/", // pop at root = no-op pop
-        "/[^/]+/\\.\\./" -> "/") // pop one real segment (global)
+      Seq("^(/\\.\\.)+/" -> "/", // the whole root-level no-op run
+        s"$Seg/\\.\\./" -> "") // pop one real segment per run
     }
-    // interior passes leave at most a two-deep trailing `..` tail
-    val tail = Seq.fill(2)(
-      Seq("/[^/]+/\\.\\.$" -> "/", "^/\\.\\.$" -> "/")).flatten
+    // trailing `..` (no slash after) pops once; a lone root `/..`
+    // clamps to root
+    val tail = Seq("/" + Seg + "/\\.\\.$" -> "/", "^/\\.\\.$" -> "/")
     dot ++ dotdot ++ tail
   }
 

@@ -81,10 +81,15 @@ class LinksSpec extends SparkSpec {
   }
 
   test("a dot-chain deeper than the bounded normalization DROPS the " +
-      "link (never emits a wrong URL)") {
-    // 4 global-halving rounds resolve runs into the hundreds; ~2^6
-    // levels survive every pass and must hit the residual-dot guard
-    val deep = "../" * 500 + "x"
+      "link (never emits a wrong URL); root-level runs of any depth " +
+      "resolve") {
+    // a root-level run collapses whole per pass — 500 levels fine
+    val lead = "../" * 500 + "x"
+    assert(resolve(base, s"""<a href="$lead">t</a>""").map(_._1) ===
+      Seq("http://h.example/x"))
+    // adjacent REAL pops resolve one per round: 12 > NormRounds(10)
+    // leaves residue and must DROP, never emit a wrong URL
+    val deep = "s/" * 12 + "../" * 12 + "x"
     assert(resolve(base, s"""<a href="$deep">t</a>""") === Seq.empty)
   }
 
@@ -128,6 +133,52 @@ class LinksSpec extends SparkSpec {
       ("site1.example", "site2.example", 2L),
       ("site2.example", "site0.example", 2L), // p2.html + the based page
       ("site2.example", "cdn.example", 4L))) // via the <base> override
+  }
+
+  test("removeDotSegments equals textbook RFC 3986 remove_dot_segments " +
+      "whenever it reports no residue (randomized)") {
+    // reference implementation straight from RFC 3986 §5.2.4
+    def rfc(path: String): String = {
+      val out = new StringBuilder
+      var in = path
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.drop(3)
+        else if (in.startsWith("./")) in = in.drop(2)
+        else if (in.startsWith("/./")) in = "/" + in.drop(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../") || in == "/..") {
+          in = if (in == "/..") "/" else "/" + in.drop(4)
+          val i = out.lastIndexOf("/")
+          out.setLength(if (i < 0) 0 else i)
+        } else if (in == "." || in == "..") in = ""
+        else {
+          val next = in.indexOf('/', 1)
+          val seg = if (next < 0) in else in.take(next)
+          out.append(seg)
+          in = if (next < 0) "" else in.drop(next)
+        }
+      }
+      out.toString
+    }
+    val rnd = new scala.util.Random(11)
+    val segs = Seq("a", "bb", "ccc", ".", "..")
+    var checked = 0
+    for (_ <- 1 to 2000) {
+      val n = 1 + rnd.nextInt(10)
+      val path = "/" + Seq.fill(n)(segs(rnd.nextInt(segs.length)))
+        .mkString("/") + (if (rnd.nextBoolean()) "/" else "")
+      val got = Links.removeDotSegments(
+        org.apache.spark.unsafe.types.UTF8String.fromString(path)).toString
+      // the bounded chain may leave residue on adversarial depths —
+      // those DROP at the call site; where it claims done, it must
+      // agree with the RFC algorithm exactly
+      if (!got.matches(".*(/\\.\\./|/\\./).*")
+          && !got.endsWith("/..") && !got.endsWith("/.")) {
+        assert(got === rfc(path), s"path=$path")
+        checked += 1
+      }
+    }
+    assert(checked > 1500, s"only $checked of 2000 resolved — bound too tight")
   }
 
   test("<base href>: absolute base redirects relative and root-relative " +
