@@ -491,6 +491,35 @@ object SourceQueries {
              |FROM documents WHERE doc_id < 100
              |ORDER BY record_id""".stripMargin)),
 
+    // Per-segment scan report — the operational complement of the
+    // parser's silent quarantine rules (a corrupt segment yields zero
+    // records BY DESIGN; without a report that's invisible data loss):
+    // record/OK/byte counts per segment plus a quarantined flag, over
+    // the standard fixture EXTENDED with a non-gzip junk segment that
+    // must surface as a quarantined row. The oracle regenerates the
+    // per-segment expectations from the same closed form as
+    // q_scan_warc.
+    QueryDef(
+      "q_warc_report",
+      (s, _) => graft.sources.Warc
+        .segmentReport(s, graft.sources.Warc.warcReportIngestDir)
+        .orderBy(col("segment")),
+      Some("""WITH r AS (
+             |  SELECT i,
+             |    length('Record ' || i || ' body ') + (i % 13) AS nb,
+             |    CASE WHEN i % 9 = 0 THEN 0 ELSE 1 END AS ok,
+             |    CASE WHEN i < 24 THEN 'seg_0.warc'
+             |         ELSE 'seg_1.warc.gz' END AS segment
+             |  FROM generate_series(0, 35) AS g(i))
+             |SELECT segment, CAST(count(*) AS BIGINT) AS n_records,
+             |  CAST(sum(ok) AS BIGINT) AS n_ok,
+             |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+             |  false AS quarantined
+             |FROM r GROUP BY segment
+             |UNION ALL
+             |SELECT 'junk.warc.gz', 0, 0, 0, true
+             |ORDER BY segment""".stripMargin)),
+
     // Link reciprocity per host over the crawled graph — the classic
     // link-exchange/link-farm signal (near-1 reciprocity = paid or
     // reciprocal schemes; organic authority links near-0): site0's 2/3

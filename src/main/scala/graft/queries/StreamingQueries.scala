@@ -494,5 +494,31 @@ object StreamingQueries {
           .orderBy(col("record_id"))
       },
       Some(SourceQueries.warcScanOracleSql)),
+
+    // Streaming link DISCOVERY — the frontier-feeding half of the
+    // crawl loop, streaming like the dedup-ingest half: WARC segments
+    // land as a binaryFile stream, each micro-batch cracks its pages
+    // and extracts + resolves their outgoing links (stateless per-row
+    // work — no watermark, no state store), appending the frontier
+    // candidates a scheduler consumes. The oracle replays the whole
+    // extraction from the restated fixture bodies, so the STREAMING
+    // execution mode is hash-checked against the same closed form as
+    // the batch q_warc_links.
+    QueryDef(
+      "q_stream_warc_links",
+      (s, _) => {
+        EventStreams.runBinaryAvailableNowAppend(
+            s, graft.sources.Warc.warcLinksIngestDir,
+            df => graft.sources.Links.resolved(
+              graft.sources.Warc.decodeSegments(s)(df)
+                .select(col("url"), col("text").as("html"))),
+            "stream_warc_links")
+          .orderBy(col("page_url"), col("link_url"), col("anchor"))
+      },
+      Some(s"""WITH pages(url, html) AS (VALUES
+             |  ${graft.sources.Warc.linksOracleValuesSql}),
+             |${graft.sources.Links.linksExtractCtesSql}
+             |SELECT page_url, link_url, anchor FROM linkrows
+             |ORDER BY page_url, link_url, anchor""".stripMargin)),
   )
 }

@@ -408,6 +408,63 @@ object Warc {
       s"WARC-Target-URI: $uri\nWARC-Date: $date\n", http)
   }
 
+  /** Per-segment scan REPORT — the operational visibility the silent
+    * quarantine rules need (a corrupt-gzip or truncated segment yields
+    * zero/partial records by design; without a report that's invisible
+    * data loss): one row per segment file with parsed-record counts,
+    * OK-status counts, body bytes, and a `quarantined` flag for
+    * segments that yielded nothing. Runs the same parser as
+    * [[readResponses]] (one task per segment, embarrassingly parallel);
+    * the report is bounded by SEGMENT COUNT, not records. A crawl
+    * operator diffs n_records against the manifest's expected counts
+    * to catch rot before it propagates. */
+  def segmentReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    spark.read.format("binaryFile").load(dir)
+      .select("path").as[String]
+      .map { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val raw: java.io.InputStream =
+          try p.getFileSystem(hc.conf).open(p): java.io.InputStream
+          catch {
+            case _: java.io.FileNotFoundException =>
+              new java.io.ByteArrayInputStream(Array.emptyByteArray)
+          }
+        // the stream parse is a ONE-SHOT iterator — fold all three
+        // stats in a single pass (`.size` would consume it)
+        var n = 0L
+        var ok = 0L
+        var bytes = 0L
+        parseResponses(guardedSegmentStream(path, raw)).foreach { d =>
+          n += 1
+          if (d.http_status < 400) ok += 1
+          bytes += d.n_bytes
+        }
+        (p.getName, n, ok, bytes)
+      }
+      .toDF("segment", "n_records", "n_ok", "n_bytes")
+      .withColumn("quarantined",
+        org.apache.spark.sql.functions.col("n_records") === 0)
+  }
+
+  /** Staged fixture for q_warc_report: the standard 36-record two
+    * segments PLUS a non-gzip junk segment that must surface as a
+    * quarantined row instead of vanishing. */
+  lazy val warcReportIngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-rep-")
+    graft.core.Fs.deleteOnExit(dir, "graft-warc-rep-cleanup")
+    val src = java.nio.file.Paths.get(warcIngestDir)
+    java.nio.file.Files.copy(src.resolve("seg_0.warc"),
+      dir.resolve("seg_0.warc"))
+    java.nio.file.Files.copy(src.resolve("seg_1.warc.gz"),
+      dir.resolve("seg_1.warc.gz"))
+    java.nio.file.Files.write(dir.resolve("junk.warc.gz"),
+      "this is not gzip at all".getBytes(StandardCharsets.US_ASCII))
+    dir.toString
+  }
+
   /** The (path, content) BLOB decode stage — kept for the
     * continuous-ingest STREAM
     * ([[graft.streaming.EventStreams.runBinaryAvailableNowAppend]]),
