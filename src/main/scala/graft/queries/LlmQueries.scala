@@ -4399,6 +4399,81 @@ object LlmQueries {
              |    AND stop_hits >= 2 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Corpus card — the dataset-datasheet summary (Gebru et al. 2021's
+    // "Datasheets for Datasets"; every published corpus release ships
+    // one): one row per metric, all exact integers — doc/source/lang
+    // counts, token totals, vocabulary size, mean length in
+    // micro-units, exact-duplicate volume, text bytes. Three hash
+    // aggregates over one scan; nine rows at any corpus size.
+    QueryDef(
+      "q_corpus_card",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val toks = split(col("text"), " ")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_text_bytes"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+        val vocab = docs.select(explode(toks).as("t"))
+          .agg(countDistinct(col("t")).as("vocab_size"))
+        val dups = docs.groupBy(md5(col("text")))
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("exact_dup_docs"))
+        base.crossJoin(vocab).crossJoin(dups)
+          .select(explode(array(
+            struct(lit("exact_dup_docs").as("metric"),
+              col("exact_dup_docs").as("value")),
+            struct(lit("mean_tokens_micro").as("metric"),
+              expr("total_tokens * 1000000 div n_docs").as("value")),
+            struct(lit("n_docs").as("metric"),
+              col("n_docs").as("value")),
+            struct(lit("n_langs").as("metric"), col("n_langs").as("value")),
+            struct(lit("n_sources").as("metric"),
+              col("n_sources").as("value")),
+            struct(lit("total_text_bytes").as("metric"),
+              col("total_text_bytes").as("value")),
+            struct(lit("total_tokens").as("metric"),
+              col("total_tokens").as("value")),
+            struct(lit("vocab_size").as("metric"),
+              col("vocab_size").as("value")))).as("r"))
+          .select(col("r.metric"), col("r.value"))
+          .orderBy(col("metric"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |      AS total_tokens,
+             |    CAST(sum(length(text)) AS BIGINT) AS total_text_bytes,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |  FROM documents),
+             |v AS (
+             |  SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab_size
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+             |        FROM documents)),
+             |d AS (
+             |  SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+             |    AS BIGINT) AS exact_dup_docs
+             |  FROM (SELECT md5(text) AS h, count(*) AS c
+             |        FROM documents GROUP BY 1))
+             |SELECT metric, value FROM (
+             |  SELECT 'exact_dup_docs' AS metric,
+             |    (SELECT exact_dup_docs FROM d) AS value
+             |  UNION ALL SELECT 'mean_tokens_micro',
+             |    (SELECT total_tokens * 1000000 // n_docs FROM b)
+             |  UNION ALL SELECT 'n_docs', (SELECT n_docs FROM b)
+             |  UNION ALL SELECT 'n_langs', (SELECT n_langs FROM b)
+             |  UNION ALL SELECT 'n_sources', (SELECT n_sources FROM b)
+             |  UNION ALL SELECT 'total_text_bytes',
+             |    (SELECT total_text_bytes FROM b)
+             |  UNION ALL SELECT 'total_tokens',
+             |    (SELECT total_tokens FROM b)
+             |  UNION ALL SELECT 'vocab_size', (SELECT vocab_size FROM v))
+             |ORDER BY metric""".stripMargin)),
+
     // Dirichlet-smoothed query likelihood (Ponte&Croft 1998 / Zhai&
     // Lafferty 2001, μ=2000) — the language-modeling ranking family
     // next to q_bm25's probabilistic one, same query terms so the two
