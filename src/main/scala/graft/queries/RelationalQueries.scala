@@ -47,6 +47,71 @@ object RelationalQueries {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // PERMISSIVE malformed-row handling — the ingest-robustness contract
+    // real pipelines rely on (a 100 TB CSV/JSONL drop ALWAYS contains
+    // bad rows; failing the job or silently dropping them are both
+    // wrong): type-mismatch, under-length, and over-length rows keep
+    // their parseable fields, and the RAW line lands in the corrupt
+    // column for the dead-letter flow. The closed-form fixture plants
+    // one of each malformation; the oracle restates the expected
+    // salvage verbatim.
+    QueryDef(
+      "q_scan_csv_corrupt",
+      (s, _) => {
+        import org.apache.spark.sql.types._
+        val out = tmpDir("csv_corrupt")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "rows.csv"),
+          Seq("id,name,val", "1,alpha,10",
+            "2,beta,twenty", // type mismatch: val unparseable
+            "3,gamma,30",
+            "4,delta", // under-length
+            "5,eps,50,junk", // over-length
+            "6,zeta,60").mkString("\n").getBytes("UTF-8"))
+        val schema = new StructType().add("id", IntegerType)
+          .add("name", StringType).add("val", IntegerType)
+          .add("_corrupt_record", StringType)
+        s.read.option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).csv(out)
+          .select(col("id"), col("name"), col("val"),
+            col("_corrupt_record").isNotNull.as("corrupt"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (1, 'alpha', 10, false),
+             |  (2, 'beta', CAST(NULL AS INT), true),
+             |  (3, 'gamma', 30, false),
+             |  (4, 'delta', CAST(NULL AS INT), true),
+             |  (5, 'eps', 50, true),
+             |  (6, 'zeta', 60, false))
+             |  AS t(id, name, val, corrupt)
+             |ORDER BY id""".stripMargin)),
+
+    // Schema evolution under mergeSchema — the long-lived-dataset
+    // contract (a corpus written over months gains columns; old files
+    // must keep reading): two parquet file sets with DIFFERENT schemas
+    // read as one table, the missing column null-filled for old files.
+    QueryDef(
+      "q_scan_parquet_evolved",
+      (s, dir) => {
+        val out = tmpDir("pq_evolved")
+        val docs = load(s, dir, "documents")
+        docs.filter(col("doc_id") < 10).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$out/v1", s"$out/v2")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN doc_id < 10 THEN NULL ELSE source END AS source
+             |FROM documents WHERE doc_id < 20
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef(
       "q_scan_json",
       (s, dir) => {
