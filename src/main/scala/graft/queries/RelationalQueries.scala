@@ -112,6 +112,48 @@ object RelationalQueries {
              |FROM documents WHERE doc_id < 20
              |ORDER BY doc_id""".stripMargin)),
 
+    // JSONL malformed-row salvage — the SAME dead-letter contract for
+    // the corpus interchange format LLM pipelines actually ship
+    // (.jsonl): a type-mismatched field keeps the row's other fields
+    // and records the raw line; a syntactically broken line yields an
+    // all-null row with the raw line; a missing field is just null
+    // (NOT corrupt); unknown extra fields are ignored. All pinned by
+    // the closed-form fixture + restated oracle.
+    QueryDef(
+      "q_scan_jsonl_corrupt",
+      (s, _) => {
+        import org.apache.spark.sql.types._
+        val out = tmpDir("jsonl_corrupt")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "rows.jsonl"),
+          Seq("""{"id":1,"name":"alpha","val":10}""",
+            """{"id":2,"name":"beta","val":"twenty"}""", // type mismatch
+            """{"id":3,"name":"gamma"}""", // missing field: NOT corrupt
+            """{"id":4,"name":"delta","val":40,"extra":true}""", // extra ok
+            """{broken json line""", // syntax: all-null + corrupt
+            """{"id":6,"name":"zeta","val":60}""").mkString("\n")
+            .getBytes("UTF-8"))
+        val schema = new StructType().add("id", IntegerType)
+          .add("name", StringType).add("val", IntegerType)
+          .add("_corrupt_record", StringType)
+        s.read.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).json(out)
+          .select(col("id"), col("name"), col("val"),
+            col("_corrupt_record").isNotNull.as("corrupt"))
+          .orderBy(coalesce(col("id"), lit(-1)))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+             |    CAST(NULL AS INT), true),
+             |  (1, 'alpha', 10, false),
+             |  (2, 'beta', CAST(NULL AS INT), true),
+             |  (3, 'gamma', CAST(NULL AS INT), false),
+             |  (4, 'delta', 40, false),
+             |  (6, 'zeta', 60, false))
+             |  AS t(id, name, val, corrupt)
+             |ORDER BY coalesce(id, -1)""".stripMargin)),
+
     QueryDef(
       "q_scan_json",
       (s, dir) => {
