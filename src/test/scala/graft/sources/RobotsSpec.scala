@@ -161,4 +161,48 @@ class RobotsSpec extends SparkSpec {
       "/a$b/z" -> false, "/ab/z" -> true, // $ literal mid-pattern
       "/p(1)/q" -> false, "/p1/q" -> true), got.toString)
   }
+
+  test("wildcard pattern compilation equals an independent reference " +
+      "matcher (randomized)") {
+    // reference semantics straight from RFC 9309 §2.2.3, written
+    // directly (recursive * matching), no regex anywhere
+    def refMatch(path: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      // m(i, j): can body[j..] match path[i..] (prefix semantics: body
+      // may end before the path unless anchored)
+      def m(i: Int, j: Int): Boolean =
+        if (j == body.length) !anchored || i == path.length
+        else if (body.charAt(j) == '*')
+          (i to path.length).exists(k => m(k, j + 1))
+        else i < path.length && path.charAt(i) == body.charAt(j) &&
+          m(i + 1, j + 1)
+      m(0, 0)
+    }
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val chars = "ab/*.$()[x"
+    val cases = (1 to 300).map { i =>
+      val plen = 1 + rnd.nextInt(8)
+      val pattern = "/" + Seq.fill(plen)(chars(rnd.nextInt(chars.length)))
+        .mkString
+      val path = "/" + Seq.fill(1 + rnd.nextInt(10))(
+        chars.filter(c => c != '*')(rnd.nextInt(chars.length - 1)))
+        .mkString
+      (i.toLong, pattern, path)
+    }
+    // run every (pattern, path) pair through the ENGINE compiler: one
+    // rule per case on its own host, one page per case on that host
+    val rules = cases.map { case (i, p, _) => (s"h$i", "*", 0, p) }
+      .toDF("host", "agent", "is_allow", "prefix")
+    val pages = cases.map { case (i, _, path) =>
+      (s"http://h$i$path", s"h$i", path) }.toDF("url", "host", "path")
+    val got = Robots.allowed(pages, rules, "bot")
+      .collect().map(r => r.getString(1) -> !r.getBoolean(3)).toMap
+    cases.foreach { case (i, pattern, path) =>
+      val want = refMatch(path, pattern) // matched Disallow → blocked
+      assert(got(s"h$i") === want,
+        s"pattern=$pattern path=$path want=$want")
+    }
+  }
 }
