@@ -652,6 +652,58 @@ object Graphs {
       Seq("u", "w"), "left_anti")
   }
 
+  /** Deterministic graph WALKS — the DeepWalk / node2vec sampling input
+    * (Perozzi et al. 2014: corpus of truncated walks feeding a skip-gram
+    * model; in a data pipeline, walks also drive graph-aware corpus
+    * sampling). The published samplers draw the next hop uniformly at
+    * random; executor-side RNG would make runs irreproducible and
+    * oracle-incomparable, so this uses the library's md5-ordered
+    * sampling discipline (q_mixture_sample's): at step t the walk at v
+    * moves to argmin over out-neighbors w of
+    * md5(v || '|' || w || '|' || t || '|' || seed) — unbiased w.r.t.
+    * content, different per (step, seed), rerun-stable on any cluster,
+    * and bit-replayable by the oracle. A walk at a node with no
+    * out-edges HALTS (its later steps are absent — the DeepWalk
+    * truncation rule).
+    *
+    * Output: (start, step, node) for step 0..steps while alive.
+    *
+    * Scale shape: edges dedup'd and pre-partitioned by src, persisted
+    * once; per step one (frontier ⋈ edges) join in which only the
+    * n-row frontier moves, one per-start argmin aggregate;
+    * localCheckpoint bounds lineage to one step. */
+  def seededWalks(edgesDf: DataFrame, steps: Int,
+                  seed: Long = 42L): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val edges = edgesDf.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    var cur = nodes.select(col("node").as("start"), col("node").as("cur"))
+      .localCheckpoint()
+    var out = cur.select(col("start"), lit(0).as("step"),
+      col("cur").as("node"))
+    var t = 1
+    while (t <= steps) {
+      cur = cur
+        .join(edges, col("cur") === col("src"))
+        .withColumn("h", md5(concat(
+          col("cur").cast("string"), lit("|"),
+          col("dst").cast("string"), lit(s"|$t|$seed"))))
+        .groupBy(col("start"))
+        .agg(min(struct(col("h"), col("dst"))).as("best"))
+        .select(col("start"), col("best.dst").as("cur"))
+        .localCheckpoint()
+      out = out.unionByName(
+        cur.select(col("start"), lit(t).as("step"), col("cur").as("node")))
+      t += 1
+    }
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Per-node link reciprocity over a DIRECTED graph — the classic
     * link-exchange / link-farm signal (Gyöngyi & Garcia-Molina's web
     * spam taxonomy: paid and reciprocal link schemes show near-1

@@ -142,6 +142,39 @@ object LlmQueries {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Unrolled hash-derandomized walks over the symmetrized purchase
+    * graph: per step, one window argmin of the md5 hop hash over the
+    * frontier⋈edges join — the md5 input strings are identical on both
+    * engines, so the replay is bit-exact. */
+  private def walksOracle(steps: Int, seed: Long): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT start, cur FROM (
+         |    SELECT w.start, e.dst AS cur,
+         |      row_number() OVER (PARTITION BY w.start ORDER BY
+         |        md5(CAST(w.cur AS VARCHAR) || '|' ||
+         |            CAST(e.dst AS VARCHAR) || '|$t|$seed'), e.dst)
+         |        AS rn
+         |    FROM w${t - 1} w JOIN edges e ON e.src = w.cur) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to steps).map { t =>
+      s"UNION ALL SELECT start, $t, cur FROM w$t"
+    }.mkString("\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |w0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS start, src AS cur FROM edges),
+       |$stepCtes
+       |SELECT start, step, node FROM (
+       |  SELECT start, 0 AS step, cur AS node FROM w0
+       |  $unions)
+       |ORDER BY start, step""".stripMargin
+  }
+
   /** Unrolled synchronous label-propagation rounds over the same
     * purchase graph (the pagerankOracle pattern): per round, each node
     * takes the (count DESC, label ASC) argmax over neighbor labels plus
@@ -3930,6 +3963,29 @@ object LlmQueries {
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM adj WHERE adj.src = p.u AND adj.dst = p.w)
              |ORDER BY ra_micro DESC, cn DESC, u, w LIMIT 100""".stripMargin)),
+
+    // Deterministic graph walks (Graphs.seededWalks) — the DeepWalk/
+    // node2vec sampling input: 4 hash-derandomized steps over the
+    // symmetrized purchase graph (next hop = md5-argmin over
+    // neighbors, the md5-ordered sampling discipline — unbiased,
+    // rerun-stable, oracle-replayable where executor RNG never could
+    // be). The oracle unrolls every step's argmin as a window over the
+    // frontier⋈edges join — bit-identical hash strings on both
+    // engines.
+    QueryDef(
+      "q_graph_walks",
+      (s, dir) => {
+        val e0 = load(s, dir, "lineitem")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000).as("dst"))
+        graft.llm.Graphs.seededWalks(
+            e0.unionByName(e0.select(col("dst").as("src"),
+              col("src").as("dst"))),
+            steps = 4, seed = 42L)
+          .orderBy(col("start"), col("step"))
+      },
+      Some(walksOracle(steps = 4, seed = 42L)),
+    ),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

@@ -254,6 +254,30 @@ class GraphsSpec extends SparkSpec {
     assert(merged === tilted)
   }
 
+  test("seededWalks: walks halt at dead ends, reruns are identical, " +
+      "the seed changes paths, every hop follows a real edge") {
+    import SparkSpec.spark.implicits._
+    // 1→{2,3}, 2→{1,3}, 3: dead end; 4→4 self-loop only... no self
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    def run(seed: Long) = Graphs.seededWalks(edges, steps = 3, seed = seed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val a = run(42L)
+    assert(a === run(42L)) // deterministic
+    // node 3 is a dead end: its walk is step 0 only
+    assert(a.filter(_._1 == 3L) === Set((3L, 0, 3L)))
+    // every (step t-1 → t) transition is a real edge
+    val eset = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L))
+    val byWalk = a.groupBy(_._1)
+    byWalk.values.foreach { w =>
+      val path = w.toSeq.sortBy(_._2).map(_._3)
+      path.zip(path.tail).foreach(hop => assert(eset.contains(hop), hop))
+    }
+    // a different seed must change at least one hop somewhere
+    assert(run(7L) !== a)
+  }
+
   test("reciprocity: mutual pairs count, one-way links do not, pure " +
       "sinks are absent, self-loops and duplicates ignored") {
     import SparkSpec.spark.implicits._
