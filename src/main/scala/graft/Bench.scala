@@ -93,7 +93,11 @@ object Bench {
     // self-join + pair aggregate over the customer⟷part graph (~12M
     // wedge rows at sf0.1); the crawl-fixture queries (links, robots,
     // linkrank) stay off the headline as fixture-sized constants
-    "q_graph_linkpred")       // CN + resource-allocation link prediction
+    "q_graph_linkpred",       // CN + resource-allocation link prediction
+    // round-11 addition #7 (first frozen budget in BASELINE.md): 4
+    // md5-argmin walk steps over the symmetrized purchase graph — one
+    // frontier⋈edges join + per-start argmin per step
+    "q_graph_walks")          // hash-derandomized DeepWalk sampling
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
