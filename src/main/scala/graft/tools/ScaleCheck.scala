@@ -491,6 +491,19 @@ object ScaleCheck {
         custPartCopies(spark, base, f), maxDeg = 40)
         .orderBy(col("ra_micro").desc, col("cn").desc, col("u"), col("w"))
         .limit(100)),
+      // round-11: hash-derandomized walks on the k× purchase-graph axis
+      // (same synthesized lineitem as pagerank): per step one
+      // frontier⋈edges join over m′ = k·m edges where only the n-row
+      // frontier moves + one per-start argmin — time should track
+      // edges near-linearly with the frontier as the only moving side
+      ("q_graph_walks", (dir, _) => {
+        val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        graft.llm.Graphs.seededWalks(
+          e0.unionByName(e0.select(col("dst").as("src"),
+            col("src").as("dst"))), steps = 4, seed = 42L)
+      }),
       // round-11: hyperlink extraction + resolution throughput on the
       // PAGE-COUNT axis (50k·f in-plan synthesized pages, 5 anchors
       // each covering the absolute/rooted/relative-dotted/scheme-drop/
