@@ -201,6 +201,14 @@ object Links {
     s.substring(a, b)
   }
 
+  private val TabNlP = pat("[\\t\\r\\n]+")
+
+  /** URL Standard pre-parse cleanup: ASCII tab/CR/LF removed anywhere
+    * in a URL token. */
+  private def stripTabNl(s: String): String =
+    if (s.indexOf('\n') < 0 && s.indexOf('\r') < 0 && s.indexOf('\t') < 0) s
+    else TabNlP.matcher(s).replaceAll("")
+
   /** Spark trim() semantics: spaces only (NOT Java's <=0x20 trim). */
   private def trimSpaces(s: String): String = {
     var a = 0
@@ -245,7 +253,7 @@ object Links {
     val url = urlU.toString
     val html = htmlU.toString
     // effective base: first <base href>, absolute or root-relative
-    val rawBase = trimQuotes(rex(BaseTagP, html))
+    val rawBase = stripTabNl(trimQuotes(rex(BaseTagP, html)))
     val baseUrl =
       if (HttpP.matcher(rawBase).find()) rawBase
       else if (rawBase.startsWith("/") && !rawBase.startsWith("//"))
@@ -261,8 +269,14 @@ object Links {
     val mm = ATagP.matcher(html)
     while (mm.find()) {
       val m = mm.group(0)
+      // the URL Standard strips ASCII tab/newline from URLs before
+      // parsing (browsers do; multiline quoted hrefs are real crawled
+      // HTML) — and it removes the one case where Java's '$' (matches
+      // before a FINAL newline) and the oracle's RE2 '$' (end of text
+      // only) would diverge on the fragment strip
       val href = FragP.matcher(
-        trimQuotes(rex(HrefP, m)).replace("&amp;", "&")).replaceAll("")
+        stripTabNl(trimQuotes(rex(HrefP, m))).replace("&amp;", "&"))
+        .replaceAll("")
       val anchor = trimSpaces(WsP.matcher(
         TagStripP.matcher(rex(AnchorP, m)).replaceAll(" "))
         .replaceAll(" "))
@@ -341,8 +355,10 @@ object Links {
       "CASE WHEN starts_with(href, '/') THEN href ELSE basedir || href END")
     s"""lbm AS (
        |  SELECT url, html,
-       |    trim(regexp_extract(html, ${sqlLit(BaseTagRe)}, 1),
-       |      '"' || chr(39)) AS rawbase
+       |    regexp_replace(
+       |      trim(regexp_extract(html, ${sqlLit(BaseTagRe)}, 1),
+       |        '"' || chr(39)),
+       |      '[\\t\\r\\n]+', '', 'g') AS rawbase
        |  FROM pages),
        |lm AS (
        |  SELECT url,
@@ -356,8 +372,9 @@ object Links {
        |  FROM lbm),
        |lraw AS (
        |  SELECT url, base_url,
-       |    regexp_replace(replace(
+       |    regexp_replace(replace(regexp_replace(
        |      trim(regexp_extract(m, ${sqlLit(HrefRe)}, 1), '"' || chr(39)),
+       |      '[\\t\\r\\n]+', '', 'g'),
        |      '&amp;', '&'), '#.*$$', '') AS href,
        |    trim(regexp_replace(regexp_replace(
        |      regexp_extract(m, ${sqlLit(AnchorRe)}, 1),

@@ -93,6 +93,13 @@ class LinksSpec extends SparkSpec {
     assert(resolve(base, s"""<a href="$deep">t</a>""") === Seq.empty)
   }
 
+  test("URL Standard pre-parse: tab/newline stripped anywhere inside a " +
+      "quoted href (multiline hrefs are real crawled HTML)") {
+    val html = "<a href=\"/a/\nlong\t/pa\rth#frag\">t</a>"
+    assert(resolve(base, html).map(_._1) ===
+      Seq("http://h.example/a/long/path"))
+  }
+
   test("anchor text: nested tags strip, whitespace collapses, image " +
       "anchors yield empty text, &amp; decodes in hrefs") {
     val html =
