@@ -704,6 +704,26 @@ object Graphs {
     out
   }
 
+  /** Skip-gram training pairs off [[seededWalks]] — the actual DeepWalk
+    * corpus (Perozzi et al. 2014 §4.2: each walk is a "sentence", pairs
+    * within a window feed word2vec): (center, context, n) for every
+    * ordered pair of walk positions within `window` steps, counted over
+    * all walks. One self-join of the walks table on (start) with the
+    * |step delta| ≤ window predicate riding as the join filter, one
+    * hash aggregate; output bounded by observed (node, node) pairs. */
+  def walkSkipgramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("start"), col("step").as("s1"),
+      col("node").as("center"))
+    val b = walks.select(col("start"), col("step").as("s2"),
+      col("node").as("context"))
+    a.join(b, Seq("start"))
+      .filter(col("s1") =!= col("s2")
+        && abs(col("s1") - col("s2")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-node link reciprocity over a DIRECTED graph — the classic
     * link-exchange / link-farm signal (Gyöngyi & Garcia-Molina's web
     * spam taxonomy: paid and reciprocal link schemes show near-1

@@ -146,7 +146,7 @@ object LlmQueries {
     * graph: per step, one window argmin of the md5 hop hash over the
     * frontier⋈edges join — the md5 input strings are identical on both
     * engines, so the replay is bit-exact. */
-  private def walksOracle(steps: Int, seed: Long): String = {
+  private def walksCtesSql(steps: Int, seed: Long): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""w$t AS MATERIALIZED (
          |  SELECT start, cur FROM (
@@ -161,19 +161,23 @@ object LlmQueries {
     val unions = (1 to steps).map { t =>
       s"UNION ALL SELECT start, $t, cur FROM w$t"
     }.mkString("\n")
-    s"""WITH e0 AS MATERIALIZED (
+    s"""e0 AS MATERIALIZED (
        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
        |  FROM lineitem),
        |edges AS MATERIALIZED (
        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
        |w0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS start, src AS cur FROM edges),
-       |$stepCtes
-       |SELECT start, step, node FROM (
+       |$stepCtes,
+       |walks AS MATERIALIZED (
        |  SELECT start, 0 AS step, cur AS node FROM w0
-       |  $unions)
-       |ORDER BY start, step""".stripMargin
+       |  $unions)""".stripMargin
   }
+
+  private def walksOracle(steps: Int, seed: Long): String =
+    s"""WITH ${walksCtesSql(steps, seed)}
+       |SELECT start, step, node FROM walks
+       |ORDER BY start, step""".stripMargin
 
   /** Unrolled synchronous label-propagation rounds over the same
     * purchase graph (the pagerankOracle pattern): per round, each node
@@ -3986,6 +3990,35 @@ object LlmQueries {
       },
       Some(walksOracle(steps = 4, seed = 42L)),
     ),
+
+    // Skip-gram pairs off the walks — the actual DeepWalk training
+    // corpus (each walk is a "sentence"; window-2 pairs feed word2vec):
+    // composes q_graph_walks' derandomized walks with one windowed
+    // self-join + hash aggregate. Top-200 under a total order; the
+    // oracle replays walks AND pairing.
+    QueryDef(
+      "q_graph_walk_pairs",
+      (s, dir) => {
+        val e0 = load(s, dir, "lineitem")
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000).as("dst"))
+        graft.llm.Graphs.walkSkipgramPairs(
+            graft.llm.Graphs.seededWalks(
+              e0.unionByName(e0.select(col("dst").as("src"),
+                col("src").as("dst"))),
+              steps = 4, seed = 42L),
+            window = 2)
+          .orderBy(col("n").desc, col("center"), col("context"))
+          .limit(200)
+      },
+      Some(s"""WITH ${walksCtesSql(steps = 4, seed = 42L)}
+             |SELECT a.node AS center, b.node AS context,
+             |  count(*) AS n
+             |FROM walks a JOIN walks b
+             |  ON a.start = b.start AND a.step <> b.step
+             |  AND abs(a.step - b.step) <= 2
+             |GROUP BY a.node, b.node
+             |ORDER BY n DESC, center, context LIMIT 200""".stripMargin)),
 
     // Data mixing: resample the corpus to TARGET source proportions — the
     // training-mixture primitive (upweight curated sources, downweight

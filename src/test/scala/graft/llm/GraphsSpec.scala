@@ -278,6 +278,24 @@ class GraphsSpec extends SparkSpec {
     assert(run(7L) !== a)
   }
 
+  test("walkSkipgramPairs: window bounds, both directions, counts " +
+      "accumulate across walks") {
+    import SparkSpec.spark.implicits._
+    // two hand-written "walks": 1: a b c d ; 2: a b x
+    val walks = Seq(
+      (1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L), (1L, 3, 40L),
+      (2L, 0, 10L), (2L, 1, 20L), (2L, 2, 50L))
+      .toDF("start", "step", "node")
+    val got = Graphs.walkSkipgramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got((10L, 20L)) === 2L) // step-adjacent in both walks
+    assert(got((20L, 10L)) === 2L) // ordered pairs: both directions
+    assert(got((10L, 30L)) === 1L) // distance 2: inside window
+    assert(!got.contains((10L, 40L))) // distance 3: outside window
+    assert(got((10L, 50L)) === 1L) // walk 2's window-2 pair
+  }
+
   test("reciprocity: mutual pairs count, one-way links do not, pure " +
       "sinks are absent, self-loops and duplicates ignored") {
     import SparkSpec.spark.implicits._
