@@ -4488,6 +4488,59 @@ object LlmQueries {
              |    AND stop_hits >= 2 AS INT) AS keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary growth curve (Heaps' law diagnostics) — the corpus
+    // statistic tokenizer sizing and dedup health checks read (a
+    // too-flat curve means heavy duplication; the V ∝ n^β shape is the
+    // published law): cumulative distinct-token count at each corpus
+    // decile (doc_id order). Exact integers: a token contributes to
+    // the decile of its FIRST occurrence; deciles by (doc_id·10) div
+    // (max_id+1); cumulative sums over the 10-row bucket table. One
+    // explode + two hash aggregates + a 10-row window.
+    QueryDef(
+      "q_corpus_heaps",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val n = docs.agg((max(col("doc_id")) + 1).as("n"))
+        val bucketed = docs.crossJoin(broadcast(n))
+          .select(col("doc_id"), col("text"),
+            expr("(doc_id * 10) div n").as("b"))
+        val docsPer = bucketed.groupBy(col("b"))
+          .agg(count(lit(1)).as("nd"))
+        val firstPer = bucketed
+          .select(col("b"), explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).agg(min(col("b")).as("fb"))
+          .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+        val w = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docsPer
+          .join(firstPer.withColumnRenamed("fb", "b"), Seq("b"), "left")
+          .select(col("b"), col("nd"), coalesce(col("nv"), lit(0L)).as("nv"))
+          .withColumn("decile", (col("b") + 1).cast("int"))
+          .withColumn("docs_seen", sum(col("nd")).over(w))
+          .withColumn("vocab_size", sum(col("nv")).over(w))
+          .select(col("decile"), col("docs_seen"), col("vocab_size"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+             |bk AS (
+             |  SELECT doc_id, text,
+             |    (doc_id * 10) // (SELECT n FROM n) AS b
+             |  FROM documents),
+             |dp AS (SELECT b, count(*) AS nd FROM bk GROUP BY b),
+             |fp AS (
+             |  SELECT fb AS b, count(*) AS nv FROM (
+             |    SELECT t, min(b) AS fb FROM (
+             |      SELECT b, unnest(string_split(text, ' ')) AS t
+             |      FROM bk) GROUP BY t) GROUP BY fb)
+             |SELECT CAST(b + 1 AS INT) AS decile,
+             |  CAST(sum(nd) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_seen,
+             |  CAST(sum(coalesce(nv, 0)) OVER (ORDER BY b ROWS BETWEEN
+             |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS vocab_size
+             |FROM dp LEFT JOIN fp USING (b)
+             |ORDER BY decile""".stripMargin)),
+
     // Corpus card — the dataset-datasheet summary (Gebru et al. 2021's
     // "Datasheets for Datasets"; every published corpus release ships
     // one): one row per metric, all exact integers — doc/source/lang

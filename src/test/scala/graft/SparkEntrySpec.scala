@@ -37,9 +37,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // web graph, PageRank over the crawled host graph] and the C4
     // line-level cleaning battery) — bump these when operators are
     // added so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 282,
+    assert(SparkEntry.queries.size >= 283,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 282,
+    assert(SparkEntry.oracleSql.size >= 283,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
