@@ -22,7 +22,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-11 floor: 249 queries, ALL 249 oracle-checked (round 11
+    // round-11 floor: 283 queries, ALL oracle-checked (round 11
     // adds the JPEG perceptual-dedup gate, the unigram-LM tokenizer
     // trio [learn / encode / pretrained-encode with the full hard-EM
     // training replayed by the oracle], the closed IVF-PQ ingest loop,
