@@ -192,6 +192,30 @@ class WarcSpec extends SparkSpec {
       .filter(col("http_status") === 200).count() === 36L)
   }
 
+  test("write∘read round-trips ADVERSARIAL bodies byte-exactly: " +
+      "unicode, embedded CRLF/blank lines, WARC magic inside the body, " +
+      "empty text (randomized)") {
+    import graft.SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val nasty = Seq("\r\n\r\n", "WARC/1.0\r\n", "Content-Length: 7\r\n",
+      "中文✓", "café", "\n\n", "", "a\tb", "\"quoted\"", "&amp;")
+    val docs = (0 until 40).map { i =>
+      val body = Seq.fill(rnd.nextInt(6))(
+        nasty(rnd.nextInt(nasty.length))).mkString(
+        Seq.fill(rnd.nextInt(3))("x").mkString)
+      (f"<urn:graft:fuzz-$i%03d>", s"http://f.example/$i",
+        "2026-04-01T00:00:00Z", "text/plain", body)
+    }.toDF("record_id", "url", "warc_date", "content_type", "text")
+    val dir = tempDir("warc-fuzz-").toString
+    assert(Warc.writeResponses(docs, dir, numSegments = 4) === 40L)
+    val back = Warc.readResponses(spark, dir)
+      .select("record_id", "text").orderBy("record_id")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val want = docs.select("record_id", "text").orderBy("record_id")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(back.toSeq === want.toSeq)
+  }
+
   test("writeResponses skips empty partitions instead of writing " +
       "empty segments") {
     val dir = tempDir("warc-wrt-e-").toString
