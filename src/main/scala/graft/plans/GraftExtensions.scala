@@ -58,5 +58,32 @@ object GraftExtensions {
     * session via `GraftSessionShim.registerFunction`). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
-    Seq(fn("normalize_nfc", "NFC"), fn("normalize_nfkc", "NFKC"))
+    Seq(fn("normalize_nfc", "NFC"), fn("normalize_nfkc", "NFKC"),
+      (new FunctionIdentifier("registrable_domain"),
+        new ExpressionInfo(
+          classOf[graft.functions.RegistrableDomainExpr].getName,
+          "registrable_domain"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            "registrable_domain expects exactly one argument")
+          graft.functions.RegistrableDomainExpr(args.head): Expression
+        }),
+      (new FunctionIdentifier("dot_segment_normalize"),
+        new ExpressionInfo(
+          classOf[graft.functions.DotSegmentNormalizeExpr].getName,
+          "dot_segment_normalize"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            "dot_segment_normalize expects exactly one argument")
+          graft.functions.DotSegmentNormalizeExpr(args.head): Expression
+        }),
+      (new FunctionIdentifier("extract_links"),
+        new ExpressionInfo(
+          classOf[graft.functions.ExtractLinksExpr].getName,
+          "extract_links"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "extract_links expects (url, html)")
+          graft.functions.ExtractLinksExpr(args(0), args(1)): Expression
+        }))
 }

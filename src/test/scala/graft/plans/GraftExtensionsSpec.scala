@@ -36,7 +36,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftSessionShim.optimizerRules(ext, spark)
       .contains(CollapseNormalize))
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
-      Set("normalize_nfc", "normalize_nfkc"))
+      Set("normalize_nfc", "normalize_nfkc", "registrable_domain",
+        "dot_segment_normalize", "extract_links"))
   }
 
   test("injected SQL functions run the native expression on a live session") {
@@ -46,5 +47,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "normalize_nfkc('\ufb01le') AS k").head
     assert(out.getString(0) == "\u00e9")
     assert(out.getString(1) == "file")
+    // the round-11 additions: PSL lookup, RFC 3986 dot-segment
+    // removal, and hyperlink extraction all reachable from plain SQL
+    val r2 = spark.sql(
+      "SELECT registrable_domain('a.b.co.uk') AS d, " +
+        "dot_segment_normalize('/a/b/../c') AS p, " +
+        "size(extract_links('http://h.ex/d/', " +
+        "'<a href=\"x\">t</a>')) AS n").head
+    assert(r2.getString(0) == "b.co.uk")
+    assert(r2.getString(1) == "/a/c")
+    assert(r2.getInt(2) == 1)
   }
 }
