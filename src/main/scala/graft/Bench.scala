@@ -97,7 +97,14 @@ object Bench {
     // round-11 addition #7 (first frozen budget in BASELINE.md): 4
     // md5-argmin walk steps over the symmetrized purchase graph — one
     // frontier⋈edges join + per-start argmin per step
-    "q_graph_walks")          // hash-derandomized DeepWalk sampling
+    "q_graph_walks",          // hash-derandomized DeepWalk sampling
+    // round-12 additions (first frozen budgets in BASELINE.md): the
+    // heaviest round-11 operators still outside the headline — the
+    // streamed IVF-PQ ingest lifecycle (index write + AvailableNow
+    // batches by contract) and the EM-trained unigram tokenizer (each
+    // rep re-trains: invalidateTrained clears the memo)
+    "q_stream_ivfpq_ingest",  // IVF-PQ index + streamed delta ingest
+    "q_unigram_learn")        // unigram LM tokenizer, EM prune rounds
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
@@ -193,9 +200,22 @@ object Bench {
     val total = r3(results.map(_._2).sum)
     val calib = s"""{"start_sec":${r3(calibStart)},"end_sec":${r3(calibEnd)},""" +
       s""""frozen_sec":$CalibrationFrozenSec,"load_factor":${r3(loadFactor)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qjson,"queries_normalized":$njson,""" +
-      s""""calibration":$calib,"sf":"$sfDir"}""")
+      s""""calibration":$calib,"sf":"$sfDir"}"""
+    // The driver records only the LAST 2000 stdout chars; round 11's
+    // single full line outgrew that window and arrived front-truncated
+    // (BENCH_r11.json parsed:null). Contract from here on: the full
+    // JSON (incl. queries_normalized) goes to BENCH_LAST.json on disk,
+    // the full line prints FIRST (human/file redundancy), and a COMPACT
+    // line — queries + calibration only; normalized figures are
+    // queries[k]/load_factor — prints LAST so the tail always ends with
+    // one complete parseable JSON line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qjson,"calibration":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,10 +11,15 @@ import graft.llm.{Contamination, Dedup, EmbedStats, Multimodal, Packing, Retriev
   * similarity search (brute-force + LSH-bucketed ANN), text analysis
   * (language-ID, quality score, token counts, fingerprint).
   *
-  * SQL-expressible ops carry a DuckDB oracle; hash-family-dependent ops
-  * (MinHash/SimHash/LSH) are rows-only here and covered by ScalaTest
-  * ground-truth specs instead (the hash families can't be replicated in
-  * portable SQL).
+  * EVERY query here carries a DuckDB oracle. SQL-expressible ops replay
+  * their full computation; hash-family-dependent ops (MinHash/SimHash/
+  * LSH — the hash families can't be replicated in portable SQL) are
+  * gated by the PLANTED-TWIN contract instead: the fixture plants exact
+  * or controlled near-duplicate twins whose closed-form survival the
+  * oracle states as VALUES, so recall of every planted pair (and
+  * non-flagging of every disjoint-vocabulary control) is hash-checked
+  * even though the signatures themselves aren't. ScalaTest ground-truth
+  * specs additionally pin the hash families' internals.
   */
 object LlmQueries {
   import Tables.load
@@ -167,7 +172,13 @@ object LlmQueries {
        |edges AS MATERIALIZED (
        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
        |w0 AS MATERIALIZED (
-       |  SELECT DISTINCT src AS start, src AS cur FROM edges),
+       |  -- seed from the NODE set (src UNION dst), matching
+       |  -- Graphs.seededWalks' contract that every node starts a walk
+       |  -- (a dst-only sink yields its step-0 row); on the symmetrized
+       |  -- graphs used today the two agree, on a directed graph only
+       |  -- this form does
+       |  SELECT node AS start, node AS cur FROM (
+       |    SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
        |$stepCtes,
        |walks AS MATERIALIZED (
        |  SELECT start, 0 AS step, cur AS node FROM w0

@@ -243,7 +243,9 @@ object SourceQueries {
              |m AS (
              |  SELECT p.url, p.host, p.path, a.is_allow, a.prefix, a.plen
              |  FROM pages p LEFT JOIN appl a
-             |    ON a.r_host = p.host AND regexp_matches(p.path, a.rx)),
+             |    ON a.r_host = p.host AND regexp_matches(
+             |      regexp_replace(p.path, '[\\t\\n\\x0b\\f\\r]', '', 'g'),
+             |      a.rx)),
              |rk AS (
              |  SELECT *, row_number() OVER (PARTITION BY url
              |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,
@@ -472,9 +474,15 @@ object SourceQueries {
             lit("2026-03-01T00:00:00Z").as("warc_date"),
             lit("text/plain").as("content_type"),
             col("text"))
-        val out = staged.getOrElseUpdate(s"warcout:$dir",
-          s"$stageRoot/warc_rt_${math.abs(dir.hashCode)}")
-        graft.sources.Warc.writeResponses(docs, out, numSegments = 4)
+        // staged-once discipline: the WRITE lives inside the
+        // getOrElseUpdate body (not just the path), so concurrent
+        // builders in one JVM can't interleave delete+rename per
+        // segment under a reader of the same staged dir
+        val out = staged.getOrElseUpdate(s"warcout:$dir", {
+          val p = s"$stageRoot/warc_rt_${math.abs(dir.hashCode)}"
+          graft.sources.Warc.writeResponses(docs, p, numSegments = 4)
+          p
+        })
         graft.sources.Warc.readResponses(s, out)
           .select(col("record_id"), col("url"), col("warc_date"),
             col("content_type"), col("text"), col("n_bytes"))
@@ -757,7 +765,9 @@ object SourceQueries {
       |  SELECT p.url, p.host, p.path, p.lastmod,
       |    a.is_allow, a.prefix, a.plen
       |  FROM epaths p LEFT JOIN appl a
-      |    ON a.r_host = p.host AND regexp_matches(p.path, a.rx)),
+      |    ON a.r_host = p.host AND regexp_matches(
+      |      regexp_replace(p.path, '[\t\n\x0b\f\r]', '', 'g'),
+      |      a.rx)),
       |rk AS (
       |  SELECT *, row_number() OVER (PARTITION BY url
       |    ORDER BY plen DESC NULLS LAST, is_allow DESC NULLS LAST,

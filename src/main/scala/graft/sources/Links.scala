@@ -185,6 +185,7 @@ object Links {
   private val SchemeP = pat("^([a-z]+):")
   private val BasePathP = pat("^https?://[^/]+(/.*)?$")
   private val LastSegP = pat("[^/]*$")
+  private val BaseQueryP = pat("\\?.*$")
 
   /** regexp_extract semantics: first match's group 1, else "". */
   private def rex(p: java.util.regex.Pattern, s: String): String = {
@@ -261,7 +262,12 @@ object Links {
       else url
     val origin = rex(OriginP, baseUrl)
     val scheme = rex(SchemeP, baseUrl)
-    val basepath0 = rex(BasePathP, baseUrl)
+    // RFC 3986 s5.3: the base QUERY never participates in resolution —
+    // a query-only reference REPLACES it, and merge-paths uses the base
+    // path sans query (a query may legally contain '/', so stripping
+    // here also keeps basedir correct for bases like /p?a=/x).
+    val basepath0 = BaseQueryP.matcher(rex(BasePathP, baseUrl))
+      .replaceAll("")
     val basepath = if (basepath0.isEmpty) "/" else basepath0
     val basedir = LastSegP.matcher(basepath).replaceAll("")
     val out = scala.collection.mutable.ArrayBuffer
@@ -382,10 +388,11 @@ object Links {
        |  FROM lm),
        |lbp AS (
        |  SELECT url, href, anchor, base_url,
-       |    CASE WHEN regexp_extract(base_url,
-       |        '^https?://[^/]+(/.*)$$', 1) = ''
+       |    CASE WHEN regexp_replace(regexp_extract(base_url,
+       |        '^https?://[^/]+(/.*)$$', 1), '\\?.*$$', '') = ''
        |      THEN '/'
-       |      ELSE regexp_extract(base_url, '^https?://[^/]+(/.*)$$', 1)
+       |      ELSE regexp_replace(regexp_extract(base_url,
+       |        '^https?://[^/]+(/.*)$$', 1), '\\?.*$$', '')
        |      END AS basepath
        |  FROM lraw),
        |lbase AS (

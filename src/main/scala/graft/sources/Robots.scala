@@ -203,10 +203,21 @@ object Robots {
     // prefix) IS the RFC rule: most specific pattern, Allow wins ties
     // (prefix as the final field makes the tie-break total and
     // engine-independent).
+    //
+    // The match runs on a CONTROL-CHAR-STRIPPED copy of the path (the
+    // stripTabNl rationale from Links): Java regex '$' also matches
+    // before a final newline while the oracle's RE2 '$' is end-of-text
+    // only, so a path ending in \n would otherwise evaluate differently
+    // on the two engines. (The compiled rule body itself is safe — the
+    // patternSteps literal-escape means '\s' can never survive as a
+    // metachar — the divergence enters only through the path value.)
+    // The ORIGINAL path is what joins, groups, and returns.
     pages
+      .withColumn("match_path",
+        regexp_replace(col("path"), "[\\t\\n\\x0B\\f\\r]", ""))
       .join(broadcast(applicable),
         col("host") === col("r_host")
-          && expr("path rlike rx"), "left")
+          && expr("match_path rlike rx"), "left")
       .groupBy(col("url"), col("host"), col("path"))
       .agg(max(when(col("plen").isNotNull,
         struct(col("plen"), col("is_allow"), col("prefix")))).as("best"))

@@ -395,9 +395,24 @@ object Warc {
     counts.sum
   }
 
+  /** A CR/LF inside a header-bound field breaks WARC record framing —
+    * a crafted URL could smuggle extra headers or fake records into a
+    * re-published corpus. Fail loudly, per field, before framing (the
+    * fuzz pin attacks bodies, which are length-framed and safe; header
+    * fields are line-framed and are NOT). */
+  private def headerSafe(name: String, v: String): String = {
+    require(v.indexOf('\r') < 0 && v.indexOf('\n') < 0,
+      s"WARC header field $name must not contain CR/LF: ${v.take(80)}")
+    v
+  }
+
   private def responseRecordFull(rid: String, uri: String, date: String,
                                  ctype: String,
                                  bodyText: String): Array[Byte] = {
+    headerSafe("record_id", rid)
+    headerSafe("url", uri)
+    headerSafe("warc_date", date)
+    headerSafe("content_type", ctype)
     val body = bodyText.getBytes(StandardCharsets.UTF_8)
     val http = crlf(s"""HTTP/1.1 200 OK
                        |Content-Type: $ctype
@@ -828,6 +843,16 @@ object Warc {
       "<a href=\"//site2.example/one\">two one</a>",
       "<a href=\"https://site2.example/two\">two two</a>",
       "<a href=\"../local\">sibling</a>",
+      "</body></html>").mkString("\n"),
+    // query-carrying base URL (RFC 3986 §5.3): a query-only reference
+    // REPLACES the base query, and relative merge resolves against the
+    // base path SANS query — every link here is intra-host so the
+    // host-graph / linkrank fixtures keep their shape
+    "http://site1.example/list.html?sort=old&page=1" -> Seq(
+      "<html><body>",
+      "<a href=\"?sort=asc\">resort</a>",
+      "<a href=\"item/5\">item five</a>",
+      "<a href=\"/top\">to top</a>",
       "</body></html>").mkString("\n"),
     "http://site2.example/p2.html" -> Seq(
       "<html><body>",

@@ -216,6 +216,39 @@ class WarcSpec extends SparkSpec {
     assert(back.toSeq === want.toSeq)
   }
 
+  test("writeResponses REFUSES header-bound fields carrying CR/LF: a " +
+      "crafted url/record_id/date/content_type must not smuggle extra " +
+      "headers or fake records into a re-published corpus") {
+    import graft.SparkSpec.spark.implicits._
+    val evil = Seq(
+      // header-splitting URL: would inject a fake WARC header line
+      ("<urn:graft:evil-0>", "http://e.example/\r\nWARC-Type: response",
+        "2026-04-01T00:00:00Z", "text/plain", "body"),
+      ("<urn:graft:evil\n1>", "http://e.example/ok",
+        "2026-04-01T00:00:00Z", "text/plain", "body"),
+      ("<urn:graft:evil-2>", "http://e.example/ok",
+        "2026-04-01\r00:00:00Z", "text/plain", "body"),
+      ("<urn:graft:evil-3>", "http://e.example/ok",
+        "2026-04-01T00:00:00Z", "text/plain\r\nX-Fake: 1", "body"))
+    evil.foreach { row =>
+      val docs = Seq(row)
+        .toDF("record_id", "url", "warc_date", "content_type", "text")
+      val dir = tempDir("warc-evil-").toString
+      val e = intercept[org.apache.spark.SparkException] {
+        Warc.writeResponses(docs, dir, numSegments = 1)
+      }
+      assert(e.getMessage.contains("must not contain CR/LF")
+        || Option(e.getCause).exists(
+          _.getMessage.contains("must not contain CR/LF")), e.getMessage)
+    }
+    // bodies with CRLF remain fine (length-framed, fuzz-pinned above)
+    val ok = Seq(("<urn:graft:ok-0>", "http://e.example/ok",
+      "2026-04-01T00:00:00Z", "text/plain", "a\r\n\r\nb"))
+      .toDF("record_id", "url", "warc_date", "content_type", "text")
+    val dir = tempDir("warc-okbody-").toString
+    assert(Warc.writeResponses(ok, dir, numSegments = 1) === 1L)
+  }
+
   test("writeResponses skips empty partitions instead of writing " +
       "empty segments") {
     val dir = tempDir("warc-wrt-e-").toString

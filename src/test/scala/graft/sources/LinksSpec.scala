@@ -48,6 +48,24 @@ class LinksSpec extends SparkSpec {
         "http://h.example/a/b/page.html?page=2"))
   }
 
+  test("a base URL carrying a query: query-only REPLACES the base " +
+      "query (RFC 3986 §5.3), and relative merge ignores it — even " +
+      "when the base query contains '/'") {
+    val qbase = "http://h.example/a/b/page.html?a=1"
+    val html =
+      """<a href="?sort=asc">q</a>
+        |<a href="sib">rel</a>""".stripMargin
+    assert(resolve(qbase, html).map(_._1) ===
+      Seq("http://h.example/a/b/page.html?sort=asc",
+        "http://h.example/a/b/sib"))
+    // query with a slash must not poison the merge directory
+    val sbase = "http://h.example/a/b/page.html?redir=/x/y"
+    assert(resolve(sbase, """<a href="sib">r</a>""").map(_._1) ===
+      Seq("http://h.example/a/b/sib"))
+    assert(resolve(sbase, """<a href="?n=2">r</a>""").map(_._1) ===
+      Seq("http://h.example/a/b/page.html?n=2"))
+  }
+
   test("drop rules: fragment-only, javascript:, mailto:, data:, tel: " +
       "all drop; a trailing fragment strips off a kept link") {
     val html =

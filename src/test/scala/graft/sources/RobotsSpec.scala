@@ -71,6 +71,30 @@ class RobotsSpec extends SparkSpec {
       "/other" -> ((true, None))), got.toString)
   }
 
+  test("allowed: control chars in a path strip before matching, so a " +
+      "$-anchored rule evaluates identically under Java regex and the " +
+      "oracle's RE2 (Java '$' also matches before a final newline)") {
+    import SparkSpec.spark.implicits._
+    val rules = Seq(
+      ("h", "*", 0, "/private$"),
+      ("h", "*", 0, "/tab/page")).toDF("host", "agent", "is_allow", "prefix")
+    val pages = Seq(
+      ("http://h/private%0A", "h", "/private\n"),   // NL-terminated path
+      ("http://h/tab%09/page", "h", "/tab\t/page"), // embedded tab
+      ("http://h/privateX", "h", "/privateX"))      // anchor still binds
+      .toDF("url", "host", "path")
+    val got = Robots.allowed(pages, rules, "bot").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(
+      "http://h/private%0A" -> false, // stripped → exact match on anchor
+      "http://h/tab%09/page" -> false,
+      "http://h/privateX" -> true), got.toString)
+    // and the ORIGINAL path column round-trips unmodified
+    val paths = Robots.allowed(pages, rules, "bot").collect()
+      .map(_.getString(2)).toSet
+    assert(paths == Set("/private\n", "/tab\t/page", "/privateX"))
+  }
+
   test("allowed: a specific-agent group shadows * entirely (its rules " +
       "do not merge in), and the crawler token folds case") {
     import SparkSpec.spark.implicits._
