@@ -1,10 +1,10 @@
 package graft
 
-import java.nio.file.{Path, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Batch, Status, StatusTailer}
+import graft.core.{Batch, SidecarFs, Status, StatusTailer}
 import graft.operators.DefaultStages
 
 /** CLI batch runner — counterpart of `python -m repype <root> --run`
@@ -52,23 +52,22 @@ object GraftCli {
     spark.sparkContext.setLogLevel("WARN")
     DefaultStages.registerAll()
 
-    val root = Paths.get(path.get)
+    // the root may be scheme-qualified (file:/…, hdfs://…, s3a://…) —
+    // the whole tree (specs, digests, data, status.jsonl) lives there
+    val root = SidecarFs.canon(path.get)
     val batch = new Batch(spark)
     batch.load(root)
 
     // --task = exact path; --task-dir = the dir's task and its subtree
     // (repype/cli.py:336-352). Bare names resolve against the root.
-    def resolve(p: String): Path = {
-      val cand = Paths.get(p)
-      (if (cand.isAbsolute) cand else root.resolve(cand)).toAbsolutePath.normalize()
-    }
+    def resolve(p: String): HPath = SidecarFs.resolve(root, p)
     val taskPaths = tasks.map(resolve)
     val dirPaths = taskDirs.map(resolve)
     def select(cs: List[graft.core.RunContext]) =
       if (taskPaths.isEmpty && dirPaths.isEmpty) cs
       else cs.filter { c =>
         taskPaths.contains(c.task.path) || dirPaths.exists(d =>
-          c.task.path == d || c.task.path.startsWith(d))
+          SidecarFs.isUnder(d, c.task.path))
       }
     // reset applies to all selected runnable tasks (a completed task is
     // exactly what reset is for); run/dry-run only to pending ones
@@ -96,7 +95,7 @@ object GraftCli {
       println(s"DRY RUN — ${selected.size} pending task(s):")
       selected.foreach(c => println(s"  ${c.task.path} (${c.pending})"))
     } else {
-      val statusPath = root.resolve("status.jsonl")
+      val statusPath = new HPath(root, "status.jsonl")
       val status = Status.create(statusPath)
       // GRAFT_CLI_INTERMEDIATE=0 mutes in-flight \r lines (the reference's
       // REPYPE_CLI_INTERMEDIATE, repype/cli.py:113-116) — for dumb
@@ -108,7 +107,7 @@ object GraftCli {
       tailer.start()
       val ok =
         try batch.run(Some(selected), Some(status))
-        finally tailer.stop()
+        finally { tailer.stop(); status.close() }
       if (!ok) { spark.stop(); sys.exit(1) }
     }
     spark.stop()

@@ -1,10 +1,10 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Batch, Status, StatusTailer}
+import graft.core.{Batch, SidecarFs, Status, StatusTailer}
 import graft.operators.DefaultStages
 import graft.tui.TuiModel
 
@@ -63,7 +63,7 @@ object GraftTui {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: GraftTui <task-tree-root>")
-    val root = Paths.get(args(0)).toAbsolutePath.normalize()
+    val root = SidecarFs.canon(args(0))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -78,7 +78,7 @@ object GraftTui {
 
     var batch = new Batch(spark)
     batch.load(root)
-    var queued = Set.empty[Path]
+    var queued = Set.empty[HPath]
     var cursor = 0
     var message = ""
 
@@ -127,14 +127,14 @@ object GraftTui {
             if (targets.isEmpty) message = "nothing pending to run"
             else {
               val ok = suspended {
-                val statusPath = root.resolve("status.jsonl")
+                val statusPath = new HPath(root, "status.jsonl")
                 val status = Status.create(statusPath)
                 val tailer = new StatusTailer(statusPath,
                   s => { print(s); Console.flush() })
                 tailer.start()
                 val r =
                   try batch.run(Some(targets), Some(status))
-                  finally tailer.stop()
+                  finally { tailer.stop(); status.close() }
                 println(s"\n${if (r) "Done" else "FAILED"} — press Enter")
                 scala.io.StdIn.readLine()
                 r
@@ -155,7 +155,10 @@ object GraftTui {
             sel.foreach { r =>
               val editor = sys.env.getOrElse("EDITOR", "vi")
               val rc = suspended {
-                new ProcessBuilder(editor, r.path.resolve("task.yml").toString)
+                // $EDITOR can only open LOCAL files; a remote-scheme
+                // tree's specs are edited out of band
+                new ProcessBuilder(editor,
+                    new HPath(r.path, "task.yml").toUri.getPath)
                   .inheritIO().start().waitFor()
               }
               reload()
@@ -164,11 +167,12 @@ object GraftTui {
           case 'a' =>
             sel.foreach { r =>
               promptLine(s"New sub-task of ${r.path} — name: ").foreach { name =>
-                val dir = r.path.resolve(name)
-                if (Files.exists(dir)) message = s"$dir already exists"
+                val dir = new HPath(r.path, name)
+                if (SidecarFs.exists(dir.toString)) message = s"$dir already exists"
                 else {
-                  Files.createDirectories(dir)
-                  Files.writeString(dir.resolve("task.yml"),
+                  SidecarFs.mkdirs(dir.toString)
+                  SidecarFs.writeStringAtomic(
+                    new HPath(dir, "task.yml").toString,
                     "# sub-task spec: overrides merge over the parent's\nconfig: {}\n")
                   reload()
                   message = s"created $dir"
@@ -178,7 +182,7 @@ object GraftTui {
           case 'd' =>
             sel.foreach { r =>
               if (confirmKey(s"Delete ${r.path} and all sub-tasks?")) {
-                graft.core.Fs.deleteTree(r.path)
+                SidecarFs.deleteTree(r.path.toString)
                 reload()
                 message = s"deleted ${r.path}"
               }

@@ -1,10 +1,8 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
-
-import scala.jdk.CollectionConverters._
 
 /** Everything needed to run a task (repype/batch.py:25-92). */
 final case class RunContext(task: Task, pipeline: Pipeline, config: Config) {
@@ -22,39 +20,49 @@ final case class RunContext(task: Task, pipeline: Pipeline, config: Config) {
   * `SparkSession.newSession()` under a job group, so [[cancel]] maps to
   * `cancelJobGroup` (SURVEY.md §7.4 risk 5) — executors, not the driver
   * JVM, hold the heavy state in Spark.
+  *
+  * Discovery and spec reads go through [[SidecarFs]], so the task tree
+  * may live on any Hadoop filesystem (`file:`, `hdfs://`, `s3a://`);
+  * paths are canonicalized by [[SidecarFs.canon]] — address one tree in
+  * ONE spelling per session (`/x` vs `file:/x` are distinct keys, like
+  * two symlinked spellings before).
   */
 final class Batch(val spark: SparkSession) {
 
-  private var taskMap = Map.empty[Path, Task]
+  private var taskMap = Map.empty[HPath, Task]
   @volatile private var currentJobGroup: Option[String] = None
 
-  def tasks: Map[Path, Task] = taskMap
+  def tasks: Map[HPath, Task] = taskMap
 
   /** Load (or get) the task at `path`, creating parents upward as needed
     * (repype/batch.py:168-212). */
-  def task(path: Path): Option[Task] = {
-    val norm = path.toAbsolutePath.normalize()
+  def task(path: HPath): Option[Task] = {
+    val norm = SidecarFs.canon(path)
     taskMap.get(norm).orElse {
-      val specFile = norm.resolve("task.yml")
-      if (!Files.exists(specFile)) None
-      else {
-        val spec = Json.parseYaml(Files.readString(specFile))
+      val specFile = new HPath(norm, "task.yml")
+      SidecarFs.readString(specFile.toString).map { body =>
+        val spec = Json.parseYaml(body)
         val parent = Option(norm.getParent).flatMap(task)
         val t = new Task(spark, norm, spec, parent)
         taskMap += (norm -> t)
-        Some(t)
+        t
       }
     }
   }
 
+  def task(path: String): Option[Task] = task(new HPath(path))
+
   /** Recursively load all `task.yml` trees under `root`
-    * (repype/batch.py:214-221). */
-  def load(root: Path): Unit = {
-    val specs = Files.walk(root).iterator().asScala
-      .filter(p => p.getFileName.toString == "task.yml" && Files.isRegularFile(p))
-      .toList.sortBy(_.toString)
-    specs.foreach(p => task(p.getParent))
+    * (repype/batch.py:214-221). Discovered paths are re-spelled as
+    * children of the CALLER's root (listStatus qualifies them), so task
+    * keys match what `task(path)` lookups construct. */
+  def load(root: HPath): Unit = {
+    val croot = SidecarFs.canon(root)
+    SidecarFs.findFilesNamed(croot.toString, "task.yml")
+      .foreach(p => task(SidecarFs.rebase(croot, p.getParent)))
   }
+
+  def load(root: String): Unit = load(new HPath(root))
 
   /** Contexts for all runnable tasks, path-sorted (repype/batch.py:223-235). */
   def contexts: List[RunContext] =
@@ -77,7 +85,7 @@ final class Batch(val spark: SparkSession) {
     for ((ctx, idx) <- ctxs.zipWithIndex) {
       val taskStatus = status.map(_.derive())
       taskStatus.foreach(_.update(Map(
-        "info" -> "enter", "task" -> ctx.task.path.toAbsolutePath.toString,
+        "info" -> "enter", "task" -> ctx.task.path.toString,
         "step" -> idx.toLong, "step_count" -> ctxs.length.toLong)))
       val jobGroup = s"graft-task-${ctx.task.path}"
       currentJobGroup = Some(jobGroup)
@@ -85,7 +93,7 @@ final class Batch(val spark: SparkSession) {
         s"graft task ${ctx.task.path}", interruptOnCancel = true)
       // per-task execution metrics (input/shuffle/spill) → metrics.json
       try Metrics.capture(spark, jobGroup,
-        ctx.task.path.resolve("metrics.json")) { ctx.run(taskStatus) }
+        new HPath(ctx.task.path, "metrics.json")) { ctx.run(taskStatus) }
       catch {
         case e: Throwable =>
           val (stageId, cause) = e match {
@@ -94,7 +102,7 @@ final class Batch(val spark: SparkSession) {
           }
           taskStatus.foreach(_.update(Map(
             "info" -> "error",
-            "task" -> ctx.task.path.toAbsolutePath.toString,
+            "task" -> ctx.task.path.toString,
             "stage" -> stageId,
             "traceback" -> cause.toString)))
           return false

@@ -1,14 +1,17 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** stage × input table of run-time seconds, persisted as CSV — same layout
   * as the reference (repype/benchmark.py:21-115): header row = input ids,
   * first column = stage ids. Driver-side and tiny by construction.
+  *
+  * I/O goes through [[SidecarFs]] (Hadoop FileSystem), so times.csv lives
+  * wherever the task tree lives — local disk, HDFS, or an object store —
+  * and the save is an atomic tmp+rename publish (a concurrent times
+  * reader on a remote store never sees a torn CSV).
   */
-final class Benchmark(val filepath: Path) {
+final class Benchmark(val filepath: HPath) {
 
   private var rows: Vector[String] = Vector.empty          // stage ids
   private var cols: Vector[String] = Vector.empty          // input ids
@@ -41,21 +44,22 @@ final class Benchmark(val filepath: Path) {
   }
 
   def save(): Unit = {
-    Option(filepath.getParent).foreach(Files.createDirectories(_))
+    Option(filepath.getParent).foreach(p => SidecarFs.mkdirs(p.toString))
     val header = ("" +: cols).mkString(",")
     val body = rows.map(r =>
       (r +: cols.map(c => values.get((r, c)).map(_.toString).getOrElse(""))).mkString(","))
-    Files.writeString(filepath, (header +: body).mkString("", "\n", "\n"))
+    SidecarFs.writeStringAtomic(filepath.toString,
+      (header +: body).mkString("", "\n", "\n"))
   }
 
   def shape: (Int, Int) = (rows.length, cols.length)
 }
 
 object Benchmark {
-  def load(filepath: Path): Benchmark = {
+  def load(filepath: HPath): Benchmark = {
     val b = new Benchmark(filepath)
-    if (Files.exists(filepath)) {
-      val lines = Files.readAllLines(filepath).asScala.filter(_.nonEmpty)
+    SidecarFs.readString(filepath.toString).foreach { text =>
+      val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
       if (lines.nonEmpty) {
         val cols = lines.head.split(",", -1).drop(1)
         lines.drop(1).foreach { line =>

@@ -1,7 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
@@ -150,7 +149,7 @@ object Metrics {
     * group's totals to `out` (pretty-small JSON), including any per-stage
     * observed row counts registered during the run. The listener bus is
     * asynchronous — wait for it to drain before reading. */
-  def capture[T](spark: SparkSession, group: String, out: Path)(body: => T): T = {
+  def capture[T](spark: SparkSession, group: String, out: HPath)(body: => T): T = {
     val listener = new GroupListener
     spark.sparkContext.addSparkListener(listener)
     StageRows.clear(group,
@@ -171,7 +170,7 @@ object Metrics {
         if (rows.isEmpty) Seq.empty
         else Seq("rows_out" -> jsonObject(
           rows.toSeq.sorted.map { case (k, v) => (k, v.toString) }))
-      Files.writeString(out,
+      SidecarFs.writeStringAtomic(out.toString,
         jsonObject(listener.totals(group).fields ++ rowsField) + "\n")
     }
   }

@@ -225,11 +225,14 @@ final class Pipeline(
       }
     }
 
-  /** `scopes(scope) % input_id` → absolute path (repype/pipeline.py:364-374). */
-  def resolve(scope: String, inputId: InputId): Option[java.nio.file.Path] =
+  /** `scopes(scope) % input_id` → absolute path (repype/pipeline.py:364-374).
+    * Hadoop Path, so scopes may live on any Hadoop filesystem; scheme-less
+    * relative templates resolve against the working directory exactly as
+    * the java.nio implementation did. */
+  def resolve(scope: String, inputId: InputId): Option[org.apache.hadoop.fs.Path] =
     scopes.get(scope).map(template =>
-      java.nio.file.Paths.get(template.replace("%s", inputId.render)
-        .replace("%d", inputId.render)).toAbsolutePath.normalize())
+      SidecarFs.canon(template.replace("%s", inputId.render)
+        .replace("%d", inputId.render)))
 
   /** All fields the pipeline produces (repype/pipeline.py:376-384). */
   def fields: Set[String] = stageVec.flatMap(_.outputs).toSet + "input_id"

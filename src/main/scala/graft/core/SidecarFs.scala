@@ -99,6 +99,170 @@ object SidecarFs {
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Child DIRECTORY names of `dir`, empty when absent — the field-store
+    * listing shape (a parquet field dataset is a directory; stray files
+    * like _SUCCESS markers must not read as fields). */
+  def listDirNames(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Every file named `name` under `root`, recursively, path-sorted —
+    * the task-tree discovery walk. Task trees are small by construction
+    * (human-curated directories), so a driver-side recursive listing is
+    * the right shape; this is never a data-directory scan. */
+  def findFilesNamed(root: String, name: String): Seq[Path] = {
+    val r = new Path(root)
+    val fs = fsOf(r)
+    def walk(d: Path): Seq[Path] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName == name) Seq(st.getPath)
+        else Seq.empty
+      }
+    walk(r).sortBy(_.toString)
+  }
+
+  // ---- path algebra for the orchestration tier ----------------------
+  //
+  // Task trees address their artifacts by Hadoop Path so the SAME tree
+  // layout works on local disk, HDFS, or an object store. The canonical
+  // form deliberately PRESERVES the caller's scheme spelling (never
+  // auto-qualifies against fs.defaultFS): printed task paths match what
+  // the operator typed, and golden transcripts stay byte-stable. The
+  // flip side is documented: one tree must be addressed in ONE spelling
+  // per session — "/x" and "file:/x" name two distinct Task objects,
+  // exactly like two symlinked spellings under java.nio did.
+
+  /** Canonical task path: absolute (a scheme-less relative path resolves
+    * against the process working directory), `.`/`..` segments removed,
+    * scheme/authority preserved verbatim. */
+  def canon(p: Path): Path = {
+    val u = p.toUri
+    val abs =
+      if (u.getScheme != null || p.isAbsolute) p
+      else new Path(new Path(System.getProperty("user.dir")), p)
+    val au = abs.toUri
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    au.getPath.split("/").foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
+    }
+    val prefix = Option(au.getScheme).map(_ + ":").getOrElse("") +
+      Option(au.getAuthority).map("//" + _).getOrElse("")
+    new Path(prefix + "/" + out.mkString("/"))
+  }
+
+  def canon(s: String): Path = canon(new Path(s))
+
+  /** Resolve `child` against `base`: absolute or scheme-qualified child
+    * stands alone; a relative child joins under `base`. */
+  def resolve(base: Path, child: String): Path = {
+    val c = new Path(child)
+    if (c.toUri.getScheme != null || c.isAbsolute) canon(c)
+    else canon(new Path(base, child))
+  }
+
+  /** `p` rendered relative to `root` ("" when equal); `p` must be equal
+    * to or under `root` (both canonical). */
+  def relativize(root: Path, p: Path): String = {
+    val r = root.toString
+    val s = p.toString
+    if (s == r) ""
+    else if (s.startsWith(r + "/")) s.substring(r.length + 1)
+    else throw new IllegalArgumentException(s"$p is not under $root")
+  }
+
+  /** True when `p` equals `root` or sits under it (both canonical). */
+  def isUnder(root: Path, p: Path): Boolean =
+    p.toString == root.toString || p.toString.startsWith(root.toString + "/")
+
+  /** `p` fully qualified against its filesystem (scheme + authority
+    * added) — the spelling listStatus results carry. */
+  def qualified(p: Path): Path = fsOf(p).makeQualified(p)
+
+  /** Re-spell `p` (a listing result, fs-qualified) as a child of `root`
+    * (the CALLER's spelling): discovery must hand back paths that
+    * compare equal to what the caller would construct, or scheme-less
+    * and scheme-qualified addressing of the same tree would mix. */
+  def rebase(root: Path, p: Path): Path = {
+    val q = qualified(root).toString
+    val s = p.toString
+    if (s == q || s == root.toString) root
+    else if (s.startsWith(q + "/")) new Path(root, s.substring(q.length + 1))
+    else if (s.startsWith(root.toString + "/")) p
+    else throw new IllegalArgumentException(s"$p is not under $root")
+  }
+
+  // ---- status-log streaming ------------------------------------------
+  //
+  // The status JSONL is the one orchestration artifact written while
+  // concurrently READ (the live tailer). LocalFileSystem is checksummed
+  // (every write maintains a .crc sibling; a read mid-write can see a
+  // stale checksum and throw), so both ends unwrap to the RAW filesystem
+  // — on HDFS/object stores the filesystem is returned as-is.
+
+  private def rawFsOf(p: Path): FileSystem = fsOf(p) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  /** An open, flushed-per-write append sink (the status log's shape:
+    * one long-lived stream, hflush after every event so tailing readers
+    * see complete lines promptly — per-event open/append round-trips
+    * would be 2 metadata RPCs per event on a remote store, and plain
+    * append() is unsupported on LocalFileSystem and S3A anyway). */
+  final class AppendSink private[SidecarFs] (path: Path) {
+    private val out = {
+      val fs = rawFsOf(path)
+      Option(path.getParent).foreach(fs.mkdirs)
+      fs.create(path, true)
+    }
+    def append(line: String): Unit = {
+      out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.hflush()
+    }
+    def close(): Unit = out.close()
+  }
+
+  def createAppendSink(path: String): AppendSink =
+    new AppendSink(new Path(path))
+
+  /** Current byte length of `path`, -1 when absent (tailer polling). */
+  def length(path: String): Long = {
+    val p = new Path(path)
+    val fs = rawFsOf(p)
+    if (!fs.exists(p)) -1L else fs.getFileStatus(p).getLen
+  }
+
+  /** Bytes of `path` from `offset` (exclusive of anything written after
+    * the corresponding [[length]] call) — the tailer's incremental read. */
+  def readBytesFrom(path: String, offset: Long, len: Long): Array[Byte] = {
+    val p = new Path(path)
+    val in = rawFsOf(p).open(p)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](len.toInt)
+      var done = 0
+      while (done < buf.length) {
+        val n = in.read(buf, done, buf.length - done)
+        if (n < 0) return buf.take(done)
+        done += n
+      }
+      buf
+    } finally in.close()
+  }
+
   def mkdirs(dir: String): Unit = {
     val p = new Path(dir)
     fsOf(p).mkdirs(p)

@@ -1,8 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Append-only JSONL status event log with overwritable intermediates and
   * derived (nested) scopes.
@@ -15,7 +13,7 @@ import scala.jdk.CollectionConverters._
   * carrying their scope id, which readers tail by offset instead of a
   * watchdog; SURVEY.md §7.4 risk 4).
   */
-final class Status private (val path: Path, val scopeId: String,
+final class Status private (val path: HPath, val scopeId: String,
                             root: Status.Root) {
 
   /** Append an event; when `intermediate`, the next event in this scope
@@ -35,6 +33,12 @@ final class Status private (val path: Path, val scopeId: String,
     child
   }
 
+  /** Release the underlying append stream (safe to skip for
+    * process-lifetime statuses: every event is hflush'd on write, so
+    * readers are complete without a close; closing just frees the
+    * handle). */
+  def close(): Unit = root.close()
+
   /** Progress wrapper (repype/status.py:167-206): emits fractional progress
     * intermediates around an iterable, cleared on exit. */
   def progress[T](items: Seq[T], details: String = ""): Iterator[T] = {
@@ -52,33 +56,40 @@ final class Status private (val path: Path, val scopeId: String,
 
 object Status {
 
-  private[core] final class Root(path: Path) {
+  private[core] final class Root(path: HPath) {
     private val seq = new java.util.concurrent.atomic.AtomicLong(0)
     def nextSeq(): Long = seq.getAndIncrement()
+    // ONE long-lived sink, hflush per event (SidecarFs.AppendSink):
+    // plain per-event append() is unsupported on LocalFileSystem and
+    // S3A, and would cost 2 metadata RPCs per event on a remote store
+    private lazy val sink = SidecarFs.createAppendSink(path.toString)
     def append(line: String): Unit = synchronized {
-      Files.write(path, (line + "\n").getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      sink.append(line + "\n")
+    }
+    def close(): Unit = synchronized {
+      try sink.close() catch { case _: java.io.IOException => () }
     }
   }
 
   /** Create a status log at `path` (a JSONL file; repype/status.py:209-230
     * creates a temp dir of JSON files — one flat file is the Spark-side
     * equivalent). */
-  def create(path: Path): Status = {
-    Option(path.getParent).foreach(Files.createDirectories(_))
-    if (Files.exists(path)) Files.delete(path)
+  def create(path: HPath): Status = {
+    Option(path.getParent).foreach(p => SidecarFs.mkdirs(p.toString))
+    SidecarFs.deleteFile(path.toString)
     new Status(path, "0", new Root(path))
   }
 
-  def createTemp(): Status =
-    create(Files.createTempDirectory("graft-status").resolve("status.jsonl"))
+  def createTemp(): Status = create(new HPath(
+    java.nio.file.Files.createTempDirectory("graft-status").toString,
+    "status.jsonl"))
 
   /** Read all events back (driver-side tailing; repype/status.py:391-632's
     * watchdog reader reduced to offset reads). */
-  def readEvents(path: Path): Seq[Map[String, Any]] =
-    if (!Files.exists(path)) Seq.empty
-    else Files.readAllLines(path).asScala.toSeq
-      .filter(_.nonEmpty).map(Json.parseJson)
+  def readEvents(path: HPath): Seq[Map[String, Any]] =
+    SidecarFs.readString(path.toString)
+      .map(_.split("\n", -1).toSeq.filter(_.nonEmpty).map(Json.parseJson))
+      .getOrElse(Seq.empty)
 
   /** `format_hms` (repype/cli.py:36-44): `mm:ss`, or `h:mm:ss` above one
     * hour. */
@@ -227,7 +238,7 @@ final class ConsoleRenderer(write: String => Unit, indent: Int = 2,
   * of the reference's watchdog `StatusReader` (repype/status.py:391-632)
   * reduced to offset polling on one flat file. `stop()` drains whatever is
   * left so the transcript is complete. */
-final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
+final class StatusTailer(path: HPath, write: String => Unit, pollMs: Long = 50,
                          showIntermediate: Boolean = true) {
   private val renderer =
     new ConsoleRenderer(write, showIntermediate = showIntermediate)
@@ -240,19 +251,15 @@ final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
   thread.setDaemon(true)
 
   private def drain(): Unit = synchronized {
-    if (Files.exists(path)) {
-      val ch = java.nio.channels.FileChannel.open(path)
-      try {
-        val size = ch.size()
-        if (size > offset) {
-          val buf = java.nio.ByteBuffer.allocate((size - offset).toInt)
-          ch.position(offset)
-          while (buf.hasRemaining && ch.read(buf) >= 0) {}
-          offset = size
+    val size = SidecarFs.length(path.toString)
+    if (size >= 0) {
+      if (size > offset) {
+          val got = SidecarFs.readBytesFrom(path.toString, offset, size - offset)
+          offset += got.length
           // Buffer raw BYTES and decode only whole lines: a multi-byte
           // UTF-8 character split across two polls must not be decoded
           // mid-sequence (it would become replacement characters).
-          buffer ++= buf.array().take(buf.position())
+          buffer ++= got
           val upto = buffer.lastIndexOf('\n'.toByte)
           if (upto >= 0) {
             val complete = new String(buffer.take(upto).toArray, "UTF-8")
@@ -274,7 +281,6 @@ final class StatusTailer(path: Path, write: String => Unit, pollMs: Long = 50,
             }
           }
         }
-      } finally ch.close()
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,10 +16,18 @@ import scala.jdk.CollectionConverters._
   * follow the reference layout (repype/task.py:489-534), driving the same
   * incremental-recompute semantics: `isPending`, first-diverging-stage
   * detection, and ancestor pickup (repype/task.py:371-402,536-627).
+  *
+  * Paths are Hadoop paths and every metadata read/write goes through
+  * [[SidecarFs]], so a task tree — specs, digests, times.csv, the field
+  * store — lives wherever the DATA lives: local disk, HDFS, or an object
+  * store (`hdfs://…/tree`, `s3a://bucket/tree`), with pickup/staleness
+  * semantics intact. Digest and times writes are atomic tmp+rename
+  * publishes, so a concurrent `isPending` reader on a remote store never
+  * sees a torn digest.
   */
 final class Task(
     val spark: SparkSession,
-    val path: Path,
+    val path: HPath,
     val spec: Map[String, Any],
     val parent: Option[Task] = None) {
 
@@ -50,22 +58,20 @@ final class Task(
   }
 
   // -- artifact paths (repype/task.py:217-262) -----------------------------
-  def dataPath: Path = path.resolve("data")
-  def digestTaskFilepath: Path = path.resolve(".task.json")
-  def digestShaFilepath: Path = path.resolve(".sha.json")
-  def timesFilepath: Path = path.resolve("times.csv")
+  def dataPath: HPath = new HPath(path, "data")
+  def digestTaskFilepath: HPath = new HPath(path, ".task.json")
+  def digestShaFilepath: HPath = new HPath(path, ".sha.json")
+  def timesFilepath: HPath = new HPath(path, "times.csv")
 
   def times: Benchmark = Benchmark.load(timesFilepath)
 
   /** `{DIRNAME}`/`{ROOTDIR}` expansion, relative→task dir
     * (repype/task.py:320-342). */
-  def resolvePath(p: String): Path = {
+  def resolvePath(p: String): HPath = {
     val expanded = p
-      .replace("{DIRNAME}", path.getFileName.toString)
-      .replace("{ROOTDIR}", root.path.toAbsolutePath.toString)
-    val candidate = Paths.get(expanded)
-    (if (candidate.isAbsolute) candidate else path.resolve(candidate))
-      .toAbsolutePath.normalize()
+      .replace("{DIRNAME}", path.getName)
+      .replace("{ROOTDIR}", root.path.toString)
+    SidecarFs.resolve(path, expanded)
   }
 
   /** Hyperparameter precedence: parent config ← `base_config_path` YAML ←
@@ -77,7 +83,10 @@ final class Task(
     })
     val withBase = spec.get("base_config_path") match {
       case Some(p: String) =>
-        Config.fromYaml(Files.readString(resolvePath(p))).merge(own)
+        val bp = resolvePath(p)
+        val body = SidecarFs.readString(bp.toString).getOrElse(
+          throw new java.io.FileNotFoundException(bp.toString))
+        Config.fromYaml(body).merge(own)
       case _ => own
     }
     parent.map(_.createConfig().merge(withBase)).getOrElse(withBase)
@@ -112,14 +121,10 @@ final class Task(
     Json.sha1Of(fullSpecWithConfig(config))
 
   private def digestSha: Option[Map[String, Any]] =
-    if (Files.exists(digestShaFilepath))
-      Some(Json.parseJson(Files.readString(digestShaFilepath)))
-    else None
+    SidecarFs.readString(digestShaFilepath.toString).map(Json.parseJson)
 
   private def digestTask: Option[Map[String, Any]] =
-    if (Files.exists(digestTaskFilepath))
-      Some(Json.parseJson(Files.readString(digestTaskFilepath)))
-    else None
+    SidecarFs.readString(digestTaskFilepath.toString).map(Json.parseJson)
 
   /** `"incomplete" | "pipeline" | "specification" | ""`
     * (repype/task.py:371-402). */
@@ -189,8 +194,13 @@ final class Task(
                      data: Map[String, DataFrame]): Map[String, DataFrame] =
     data -- marginalFields(pipeline)
 
-  private def fieldDir(field: String, inputId: InputId): Path =
-    dataPath.resolve(field).resolve(s"input_id=${inputId.render}")
+  /** Live (manifest-resolved) directory of a stored field — the head
+    * version after a versioned store, the plain dir on legacy layouts. */
+  private[core] def fieldDataDir(field: String): HPath =
+    new HPath(Manifest.resolve(dataPath.toString, field))
+
+  private[core] def fieldDir(field: String, inputId: InputId): HPath =
+    new HPath(fieldDataDir(field), s"input_id=${inputId.render}")
 
   /** Persist the task data: Parquet per persistent field × input (columnar
     * replacement for dill.gz, repype/task.py:489-534), plus digests and
@@ -218,6 +228,14 @@ final class Task(
         id -> (stripMarginals(pipeline, fields) - "input_id")
       }
     val fieldNames = stripped.values.flatMap(_.keys).toSet
+    // Immutable-version publish (the graft.core.Manifest contract, shared
+    // with the persisted-index lifecycle): each field's complete new
+    // dataset lands in a fresh `<field>_vN` dir and goes live via ONE
+    // atomic pointer write — an in-flight load() of a re-running task
+    // keeps reading the prior COMPLETE version (retained one cycle,
+    // pruned by the next publish) instead of racing an in-place
+    // overwrite; on object stores the overwrite path would not even be
+    // atomic per file set.
     for (field <- fieldNames) {
       // in-plan row observation at the TOP of each stored field's final
       // plan: the count rides the write job (no recount) and lands in
@@ -242,27 +260,36 @@ final class Task(
         perInput.keys.forall(_.render.matches("[A-Za-z0-9._-]+")) &&
         perInput.values.map(_.schema).toSet.size == 1 &&
         !perInput.values.head.columns.contains("input_id")
+      val vdir = Manifest.nextVersionDir(dataPath.toString, field)
+      val target = new HPath(dataPath, vdir)
+      def inputDir(id: InputId) = new HPath(target, s"input_id=${id.render}")
       if (canBatch) {
         import org.apache.spark.sql.functions.lit
         perInput.toSeq.sortBy(_._1)
           .map { case (id, df) => df.withColumn("input_id", lit(id.render)) }
           .reduce(_ unionByName _)
           .write.mode("overwrite").partitionBy("input_id")
-          .parquet(dataPath.resolve(field).toString)
+          .parquet(target.toString)
         // a 0-row input produces no partition directory — write it
         // per-input so load()'s per-id existence contract holds
-        for ((id, df) <- perInput if !Files.exists(fieldDir(field, id)))
-          df.write.mode("overwrite").parquet(fieldDir(field, id).toString)
+        for ((id, df) <- perInput
+             if !SidecarFs.exists(inputDir(id).toString))
+          df.write.mode("overwrite").parquet(inputDir(id).toString)
       } else
         for ((id, df) <- perInput)
-          df.write.mode("overwrite").parquet(fieldDir(field, id).toString)
+          df.write.mode("overwrite").parquet(inputDir(id).toString)
+      Manifest.publish(dataPath.toString, field, vdir)
     }
-    Files.writeString(digestTaskFilepath,
+    SidecarFs.writeStringAtomic(digestTaskFilepath.toString,
       Json.canonical(fullSpecWithConfig(config)))
     val hashes = Map(
       "stages" -> pipeline.stages.map(st => st.id -> st.sha).toMap,
       "task" -> computeSha(config))
-    Files.writeString(digestShaFilepath, Json.canonical(hashes))
+    // .sha.json LAST, atomically: it is the completion marker isPending
+    // reads, so it must never precede (or tear ahead of) the artifacts
+    // it certifies
+    SidecarFs.writeStringAtomic(digestShaFilepath.toString,
+      Json.canonical(hashes))
     times.retain(pipeline.stages.map(_.id), inputIds)
     times.save()
   }
@@ -271,27 +298,24 @@ final class Task(
     * pipeline (repype/task.py:437-471). */
   def load(pipeline: Option[Pipeline] = None): Map[InputId, Map[String, DataFrame]] = {
     require(runnable, "not runnable")
-    require(Files.exists(dataPath) || inputIds.isEmpty || pipeline.isEmpty
-      || requiredFields(pipeline.get).isEmpty, s"no stored data at $dataPath")
+    require(SidecarFs.exists(dataPath.toString) || inputIds.isEmpty
+      || pipeline.isEmpty || requiredFields(pipeline.get).isEmpty,
+      s"no stored data at $dataPath")
+    def storedFieldDirs: Set[String] =
+      Manifest.names(dataPath.toString)
     val fields: Set[String] = pipeline match {
       case Some(p) => requiredFields(p)
-      case None =>
-        if (!Files.exists(dataPath)) Set.empty
-        else Files.list(dataPath).iterator().asScala
-          .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+      case None => storedFieldDirs
     }
     pipeline.foreach { _ =>
-      val stored =
-        if (!Files.exists(dataPath)) Set.empty
-        else Files.list(dataPath).iterator().asScala
-          .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+      val stored = storedFieldDirs
       require(stored == fields,
         s"Loaded data is inconsistent with the pipeline: $stored != $fields")
     }
     inputIds.map { id =>
       id -> fields.map { f =>
         val dir = fieldDir(f, id)
-        require(Files.exists(dir),
+        require(SidecarFs.exists(dir.toString),
           s"Loaded data is inconsistent with task specification: missing $dir")
         f -> spark.read.parquet(dir.toString)
       }.toMap
@@ -303,11 +327,11 @@ final class Task(
 
   /** Delete digests + data (repype/task.py:404-413). */
   def reset(): Unit = {
-    Files.deleteIfExists(digestShaFilepath)
-    Files.deleteIfExists(digestTaskFilepath)
-    Files.deleteIfExists(timesFilepath)
-    Files.deleteIfExists(path.resolve("metrics.json"))
-    Fs.deleteTree(dataPath)
+    SidecarFs.deleteFile(digestShaFilepath.toString)
+    SidecarFs.deleteFile(digestTaskFilepath.toString)
+    SidecarFs.deleteFile(timesFilepath.toString)
+    SidecarFs.deleteFile(new HPath(path, "metrics.json").toString)
+    SidecarFs.deleteTree(dataPath.toString)
   }
 
   // -- run (repype/task.py:629-732) ----------------------------------------
@@ -333,8 +357,8 @@ final class Task(
 
     status.foreach(_.update(Map(
       "info" -> "start",
-      "task" -> path.toAbsolutePath.toString,
-      "pickup" -> pickupTask.map(_.path.toAbsolutePath.toString).orNull,
+      "task" -> path.toString,
+      "pickup" -> pickupTask.map(_.path.toString).orNull,
       "first_stage" -> firstStage.map(_.id).orNull)))
 
     // Homogeneous inputs (identical per-input configure result — the
@@ -350,7 +374,7 @@ final class Task(
       for ((inputId, idx) <- ids.zipWithIndex) {
         val inputStatus = status.map(_.derive())
         inputStatus.foreach(_.update(Map(
-          "info" -> "process", "task" -> path.toAbsolutePath.toString,
+          "info" -> "process", "task" -> path.toString,
           "input_id" -> inputId.render,
           "step" -> idx.toLong, "step_count" -> ids.length.toLong)))
         val inputConfig = pipeline.configure(config, inputId)
@@ -363,8 +387,8 @@ final class Task(
           if (stripMarginalsFlag) stripMarginals(pipeline, newChunk) else newChunk
         timesChunk.foreach { case (stageId, dt) => times.set(stageId, inputId, dt) }
         pipeline.resolve("config", inputId).foreach { p =>
-          Option(p.getParent).foreach(Files.createDirectories(_))
-          Files.writeString(p, finalConfig.yaml)
+          Option(p.getParent).foreach(d => SidecarFs.mkdirs(d.toString))
+          SidecarFs.writeStringAtomic(p.toString, finalConfig.yaml)
         }
         data += (inputId -> stripped)
       }
@@ -373,7 +397,7 @@ final class Task(
     status.foreach(_.update(Map("info" -> "storing"), intermediate = true))
     store(pipeline, data, config, times, batchInputs = homogeneousInputs)
     status.foreach(_.update(Map(
-      "info" -> "completed", "task" -> path.toAbsolutePath.toString)))
+      "info" -> "completed", "task" -> path.toString)))
     data
   }
 

@@ -24,6 +24,12 @@ import graft.llm.{Contamination, Dedup, EmbedStats, Multimodal, Packing, Retriev
 object LlmQueries {
   import Tables.load
 
+  // staged-once discipline (the SourceQueries pattern): the versioned
+  // corpus store is built exactly once per sf dir INSIDE the map update,
+  // so concurrent builders can't interleave publishes under a reader
+  private val corpusVersionStore =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** DuckDB mirror of [[graft.llm.Graphs.pagerankExact]] over the
     * part→supplier purchase graph: the fixed iteration count unrolls into a
     * chain of CTEs (aggregates are not allowed in a recursive term, and an
@@ -1781,23 +1787,45 @@ object LlmQueries {
     // added / removed / changed / same between two corpus versions by
     // full-outer-joining content hashes — never the texts themselves, so
     // the shuffle carries (id, 32-byte md5) regardless of document size.
-    // v2 is derived deterministically from v1 (drop id%101==0, edit
-    // id%97==0, add shifted copies of id%103==0) so the oracle sees the
-    // same two versions and all four statuses occur.
+    // VERSION-ADDRESSED since round 12: the two snapshots are published
+    // through the graft.core.Manifest immutable-version store (the Task
+    // field-store / index-lifecycle mechanism) — v1 is read as the PINNED
+    // retained snapshot (documents_v1, the one-cycle grace version), v2
+    // through the live manifest head — so the query exercises publish +
+    // retention, not just the diff algebra. v2 is derived
+    // deterministically from v1 (drop id%101==0, edit id%97==0, add
+    // shifted copies of id%103==0) so the oracle sees the same two
+    // versions and all four statuses occur.
     QueryDef(
       "q_corpus_diff",
       (s, dir) => {
-        val v1 = load(s, dir, "documents")
+        val store = corpusVersionStore.getOrElseUpdate(dir, {
+          val root = s"${graft.core.Fs.scratchRoot}/corpus_ver_" +
+            math.abs(dir.hashCode)
+          graft.core.SidecarFs.deleteTree(root)
+          val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+          val v1dir = graft.core.Manifest.nextVersionDir(root, "documents")
+          docs.write.mode("overwrite").parquet(s"$root/$v1dir")
+          graft.core.Manifest.publish(root, "documents", v1dir)
+          val v2docs = docs
+            .filter(col("doc_id") % 101 =!= 0)
+            .select(col("doc_id"),
+              when(col("doc_id") % 97 === 0,
+                concat(col("text"), lit(" edited")))
+                .otherwise(col("text")).as("text"))
+            .unionByName(docs.filter(col("doc_id") % 103 === 0) // new docs
+              .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          val v2dir = graft.core.Manifest.nextVersionDir(root, "documents")
+          v2docs.write.mode("overwrite").parquet(s"$root/$v2dir")
+          // v1 stays on disk as the retained superseded version
+          graft.core.Manifest.publish(root, "documents", v2dir)
+          root
+        })
+        val v1 = s.read.parquet(s"$store/documents_v1") // pinned snapshot
           .select(col("doc_id"), md5(col("text")).as("h1"))
-        val base2 = load(s, dir, "documents")
-        val v2 = base2
-          .filter(col("doc_id") % 101 =!= 0)
-          .select(col("doc_id"),
-            md5(when(col("doc_id") % 97 === 0, concat(col("text"), lit(" edited")))
-              .otherwise(col("text"))).as("h2"))
-          .unionByName(base2.filter(col("doc_id") % 103 === 0) // new docs
-            .select((col("doc_id") + 1000000).as("doc_id"),
-              md5(col("text")).as("h2")))
+        val v2 = s.read // live head via the manifest pointer
+          .parquet(graft.core.Manifest.resolve(store, "documents"))
+          .select(col("doc_id"), md5(col("text")).as("h2"))
         v1.join(v2, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             when(col("h1").isNull, "added")

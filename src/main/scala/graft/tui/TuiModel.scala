@@ -1,8 +1,8 @@
 package graft.tui
 
-import java.nio.file.Path
+import org.apache.hadoop.fs.{Path => HPath}
 
-import graft.core.Batch
+import graft.core.{Batch, SidecarFs}
 
 /** Pure view model for the terminal UI — all layout/label logic lives
   * here so it is unit-testable without a terminal (the reference keeps the
@@ -12,17 +12,18 @@ import graft.core.Batch
 object TuiModel {
 
   /** One row of the task tree. */
-  final case class TaskRow(path: Path, depth: Int, pending: String,
+  final case class TaskRow(path: HPath, depth: Int, pending: String,
                            runnable: Boolean, queued: Boolean)
 
   /** Task rows in tree order (path sort = parents before children),
     * depth = nesting below `root`. Pending states come from fresh
     * contexts, like the reference's `update_task_tree`. */
-  def rows(batch: Batch, root: Path, queued: Set[Path]): Vector[TaskRow] = {
+  def rows(batch: Batch, root: HPath, queued: Set[HPath]): Vector[TaskRow] = {
     val pendingByPath = batch.contexts.map(c => c.task.path -> c.pending).toMap
+    val croot = SidecarFs.canon(root)
     batch.tasks.values.toVector.sortBy(_.path.toString).map { t =>
-      val rel = root.toAbsolutePath.normalize().relativize(t.path)
-      val depth = if (rel.toString.isEmpty) 0 else rel.getNameCount - 1
+      val rel = SidecarFs.relativize(croot, t.path)
+      val depth = if (rel.isEmpty) 0 else rel.count(_ == '/')
       TaskRow(t.path, depth, pendingByPath.getOrElse(t.path, ""),
         t.runnable, queued.contains(t.path))
     }
@@ -30,9 +31,9 @@ object TuiModel {
 
   /** Task label: queue marker, basename, pending state — mirroring the
     * reference's `format_task_label` (queued `→`, pending suffix). */
-  def label(row: TaskRow, root: Path): String = {
+  def label(row: TaskRow, root: HPath): String = {
     val name = {
-      val rel = root.toAbsolutePath.normalize().relativize(row.path).toString
+      val rel = SidecarFs.relativize(SidecarFs.canon(root), row.path)
       if (rel.isEmpty) "." else rel
     }
     val marker = if (row.queued) "→ " else "  "
@@ -55,10 +56,10 @@ object TuiModel {
   /** Full-screen render: header, tree with inverse-video cursor line,
     * summary, message line, key footer. Plain string of ANSI + newlines —
     * the caller owns clearing/positioning. */
-  def renderScreen(rs: Vector[TaskRow], cursor: Int, root: Path,
+  def renderScreen(rs: Vector[TaskRow], cursor: Int, root: HPath,
                    message: String, height: Int = 40): String = {
     val sb = new StringBuilder
-    sb.append(s"${Inverse} graft — ${root.toAbsolutePath.normalize()} ${Reset}\r\n\r\n")
+    sb.append(s"${Inverse} graft — ${SidecarFs.canon(root)} ${Reset}\r\n\r\n")
     val visible = rs.zipWithIndex.slice(
       math.max(0, cursor - (height - 8)), rs.length)
     for ((row, i) <- visible.take(height - 7)) {

@@ -27,6 +27,12 @@ abstract class SparkSpec extends AnyFunSuite {
   def tempDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(prefix)
 
+  /** Specs build fixtures with java.nio but the orchestration tier
+    * addresses them as Hadoop paths (SidecarFs); this keeps call sites
+    * terse. */
+  implicit def nioToHadoopPath(p: java.nio.file.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.toString)
+
   /** Run `body` with SQL confs set, restoring prior values after. */
   def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val conf = spark.conf

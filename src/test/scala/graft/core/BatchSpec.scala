@@ -45,7 +45,7 @@ class BatchSpec extends SparkSpec {
     assert(batch.task(root.resolve("a/b")).get.parent
       == batch.task(root.resolve("a")))
     // contexts: only runnable tasks (a and its child b inherit runnable)
-    assert(batch.contexts.map(_.task.path.getFileName.toString).toSet == Set("a", "b"))
+    assert(batch.contexts.map(_.task.path.getName).toSet == Set("a", "b"))
   }
 
   test("run executes pending tasks, transitions to not-pending") {
@@ -125,6 +125,6 @@ class BatchSpec extends SparkSpec {
     assert(String.valueOf(err("traceback")).contains("boom"))
     // b_never_runs is still pending (abort-on-failure)
     assert(batch.pendingContexts.exists(
-      _.task.path.getFileName.toString == "b_never_runs"))
+      _.task.path.getName == "b_never_runs"))
   }
 }

@@ -2,14 +2,15 @@ package graft.core
 
 import java.nio.file.Files
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Mirrors tests/test_benchmark.py: get/set, retain subset preserving
   * order, CSV save/load round-trip, setAll adoption. */
 class BenchmarkSpec extends AnyFunSuite {
 
-  private def path() =
-    Files.createTempDirectory("bench").resolve("times.csv")
+  private def path() = new HPath(
+    Files.createTempDirectory("bench").toString, "times.csv")
 
   test("set/get and shape") {
     val b = new Benchmark(path())
@@ -32,7 +33,8 @@ class BenchmarkSpec extends AnyFunSuite {
     assert(loaded.get("agg", InputId(1)).contains(1.75))
     assert(loaded.shape == (2, 1))
     // CSV layout: header = input ids, first column = stage ids
-    val lines = Files.readAllLines(p)
+    val lines = java.util.List.of(
+      SidecarFs.readString(p.toString).get.split("\n"): _*)
     assert(lines.get(0) == ",1")
     assert(lines.get(1).startsWith("scan,"))
   }
@@ -46,7 +48,8 @@ class BenchmarkSpec extends AnyFunSuite {
     assert(b.get("b", InputId(1)).isEmpty)
     assert(b.get("c", InputId(3)).contains(3.0))
     b.save()
-    val lines = Files.readAllLines(b.filepath)
+    val lines = java.util.List.of(
+      SidecarFs.readString(b.filepath.toString).get.split("\n"): _*)
     assert(lines.get(0) == ",3,1")   // retained column order
     assert(lines.get(1).startsWith("c,"))
     assert(lines.get(2).startsWith("a,"))

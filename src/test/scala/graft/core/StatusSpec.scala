@@ -2,6 +2,7 @@ package graft.core
 
 import java.nio.file.Files
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Mirrors tests/test_status.py: event append, intermediates, derived
@@ -10,7 +11,7 @@ class StatusSpec extends AnyFunSuite {
 
   private def mk() = {
     val dir = Files.createTempDirectory("status")
-    val path = dir.resolve("status.jsonl")
+    val path = new HPath(dir.toString, "status.jsonl")
     (path, Status.create(path))
   }
 
@@ -86,7 +87,7 @@ class StatusSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("tail")
     val path = dir.resolve("status.jsonl")
     val sb = new StringBuilder
-    val tailer = new StatusTailer(path,
+    val tailer = new StatusTailer(new HPath(path.toString),
       s => sb.synchronized { sb.append(s) }, pollMs = 5)
     // Event with a multi-byte char (✅ = 3 bytes in UTF-8), written in two
     // flushes SPLIT MID-CHARACTER, with a garbage line in between polls.

@@ -93,7 +93,7 @@ class TaskSpec extends SparkSpec {
     val batch = new Batch(spark)
     val t = batch.task(dir).get
     assert(t.resolvePath("{DIRNAME}/x").toString.endsWith("mytask/mytask/x"))
-    assert(t.resolvePath("rel").startsWith(dir))
+    assert(t.resolvePath("rel").toString.startsWith(dir.toString))
     assert(t.resolvePath("/abs/p").toString == "/abs/p")
   }
 
@@ -117,8 +117,9 @@ class TaskSpec extends SparkSpec {
     assert(ctx.pending == "incomplete")
     val data = ctx.run()
     assert(data.contains(InputId(1)))
-    assert(Files.exists(task.digestShaFilepath))
-    assert(Files.exists(tDir.resolve("data/summary_sorted/input_id=1")))
+    assert(SidecarFs.exists(task.digestShaFilepath.toString))
+    assert(SidecarFs.exists(
+      task.fieldDir("summary_sorted", InputId(1)).toString))
     // times.csv: 5 stages × 1 input
     assert(task.times.shape == (5, 1))
 
@@ -145,9 +146,11 @@ class TaskSpec extends SparkSpec {
       != task.times.get("filter-shipdate", InputId(1)))
 
     // 4. results actually differ (different filter window)
-    val parentRows = spark.read.parquet(tDir.resolve("data/summary_sorted/input_id=1").toString)
+    val parentRows = spark.read
+      .parquet(task.fieldDir("summary_sorted", InputId(1)).toString)
       .selectExpr("sum(count_order)").head.getLong(0)
-    val childRows = spark.read.parquet(vDir.resolve("data/summary_sorted/input_id=1").toString)
+    val childRows = spark.read
+      .parquet(variant.fieldDir("summary_sorted", InputId(1)).toString)
       .selectExpr("sum(count_order)").head.getLong(0)
     assert(childRows < parentRows)
 
@@ -174,7 +177,7 @@ class TaskSpec extends SparkSpec {
     // 7. reset clears artifacts
     task.reset()
     assert(ctx.pending == "incomplete")
-    assert(!Files.exists(task.digestShaFilepath))
+    assert(!SidecarFs.exists(task.digestShaFilepath.toString))
   }
 
   test("multi-input task: range ids, per-input scoped sinks, times shape") {
@@ -192,14 +195,16 @@ class TaskSpec extends SparkSpec {
     assert(data.keySet == Set(InputId(1), InputId(2), InputId(3)))
     for (i <- 1 to 3) {
       assert(Files.exists(root.resolve(s"out/$i.parquet")))
-      assert(Files.exists(dir.resolve(s"data/summary_sorted/input_id=$i")))
+      assert(SidecarFs.exists(
+        t.fieldDir("summary_sorted", InputId(i)).toString))
     }
     assert(t.times.shape == (5, 3))
     // homogeneous per-input configs → each field stored as ONE distributed
     // partitionBy("input_id") job: the _SUCCESS marker sits at the FIELD
     // level, not inside each input_id=N directory (SURVEY §1.4)
-    assert(Files.exists(dir.resolve("data/summary_sorted/_SUCCESS")))
-    assert(!Files.exists(dir.resolve("data/summary_sorted/input_id=1/_SUCCESS")))
+    val fdir = t.fieldDataDir("summary_sorted").toString
+    assert(SidecarFs.exists(s"$fdir/_SUCCESS"))
+    assert(!SidecarFs.exists(s"$fdir/input_id=1/_SUCCESS"))
     // and the partitioned layout round-trips through load()
     val loaded = t.load(Some(ctx.pipeline))
     assert(loaded(InputId(2))("summary_sorted").count() > 0)
@@ -242,14 +247,13 @@ class TaskSpec extends SparkSpec {
     val ctx = RunContext(t, t.createPipeline(), t.createConfig())
     ctx.run()
     // per-input writes: _SUCCESS inside each input dir, none at field level
-    assert(!Files.exists(dir.resolve("data/limited/_SUCCESS")))
-    assert(Files.exists(dir.resolve("data/limited/input_id=1/_SUCCESS")))
-    assert(Files.exists(dir.resolve("data/limited/input_id=2/_SUCCESS")))
+    val ldir = t.fieldDataDir("limited").toString
+    assert(!SidecarFs.exists(s"$ldir/_SUCCESS"))
+    assert(SidecarFs.exists(s"$ldir/input_id=1/_SUCCESS"))
+    assert(SidecarFs.exists(s"$ldir/input_id=2/_SUCCESS"))
     // the input-dependent config actually took effect
-    assert(spark.read.parquet(dir.resolve("data/limited/input_id=1").toString)
-      .count() == 10)
-    assert(spark.read.parquet(dir.resolve("data/limited/input_id=2").toString)
-      .count() == 20)
+    assert(spark.read.parquet(s"$ldir/input_id=1").count() == 10)
+    assert(spark.read.parquet(s"$ldir/input_id=2").count() == 20)
   }
 
   test("golden console transcript for a 2-task pickup run") {
@@ -352,12 +356,51 @@ class TaskSpec extends SparkSpec {
     val ctx = RunContext(t, t.createPipeline(), t.createConfig())
     assert(t.marginalFields(ctx.pipeline) == Set("summary"))
     ctx.run()
-    assert(!Files.exists(dir.resolve("data/summary")))
-    assert(Files.exists(dir.resolve("data/summary_sorted/input_id=1")))
+    assert(!Manifest.names(t.dataPath.toString).contains("summary"))
+    assert(SidecarFs.exists(
+      t.fieldDir("summary_sorted", InputId(1)).toString))
     // load validates and returns remaining fields
     val loaded = t.load(Some(ctx.pipeline))
     assert(loaded(InputId(1)).keySet == Set("summary_sorted", "lineitem",
       "lineitem_filtered", "summary_sorted_sunk"))
+  }
+
+  test("store publishes immutable field versions: a reader holding the " +
+      "prior version survives a re-store, and the next publish prunes it") {
+    val root = tempDir("task")
+    val tDir = root.resolve("t")
+    writeSpec(tDir, q1Spec(sfDir, "1998-09-02")
+      + s"scopes:\n  result: '${root}/out/%s.parquet'\n")
+    val batch = new Batch(spark)
+    batch.load(root)
+    val t = batch.task(tDir).get
+    val ctx = RunContext(t, t.createPipeline(), t.createConfig())
+    ctx.run() // publishes <field>_v1
+    val dataRoot = t.dataPath.toString
+    val v1 = Manifest.resolve(dataRoot, "summary_sorted")
+    assert(v1.endsWith("summary_sorted_v1"), v1)
+    val v1Rows = spark.read.parquet(s"$v1/input_id=1").count()
+    assert(v1Rows > 0)
+    // a second run is a pickup no-op in PROCESSING terms but re-stores:
+    // v2 goes live, v1 is RETAINED (the one-cycle in-flight-reader grace)
+    ctx.run()
+    val v2 = Manifest.resolve(dataRoot, "summary_sorted")
+    assert(v2.endsWith("summary_sorted_v2"), v2)
+    assert(SidecarFs.exists(v1), "superseded version must survive one cycle")
+    // the retained snapshot is still a COMPLETE readable dataset
+    assert(spark.read.parquet(s"$v1/input_id=1").count() == v1Rows)
+    // load() resolves to the live head
+    assert(t.fieldDataDir("summary_sorted").toString == v2)
+    // the third publish prunes v1, retains v2
+    ctx.run()
+    val v3 = Manifest.resolve(dataRoot, "summary_sorted")
+    assert(v3.endsWith("summary_sorted_v3"), v3)
+    assert(!SidecarFs.exists(v1), "two-generations-old version must prune")
+    assert(SidecarFs.exists(v2))
+    // pickup/staleness semantics are untouched by the layout
+    assert(ctx.pending == "")
+    val loaded = t.load(Some(ctx.pipeline))
+    assert(loaded(InputId(1))("summary_sorted").count() == v1Rows)
   }
 
   test("sql: compose stage parses output and inputs from its spec name") {

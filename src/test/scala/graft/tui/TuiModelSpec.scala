@@ -34,7 +34,8 @@ class TuiModelSpec extends SparkSpec {
   test("rows: tree order, depth, pending state, queue marker") {
     val (root, t, v, batch) = tree()
     val rs = TuiModel.rows(batch, root, queued = Set(v))
-    assert(rs.map(_.path) == Vector(t, v)) // parents before children
+    assert(rs.map(_.path.toString) ==
+      Vector(t.toString, v.toString)) // parents before children
     assert(rs.map(_.depth) == Vector(0, 1))
     assert(rs.forall(_.pending == "incomplete"))
     assert(rs.map(_.queued) == Vector(false, true))
