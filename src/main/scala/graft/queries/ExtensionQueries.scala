@@ -215,6 +215,88 @@ object ExtensionQueries {
              |  pix_sum
              |FROM px ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // MP3 manifest WITHOUT decode: the real MPEG-1 Layer III header walk
+    // (sync scan + bitrate/rate indexes + frame jumps) over synthesized
+    // frame sequences — duration, frame count, VBR flag, and junk-byte
+    // accounting all from headers alone; PCM decode stays documented
+    // out of scope (no bundled demuxer). The fixture plants leading
+    // junk (id%5=0, resync'd over), a truncated tail header (id%7=3,
+    // remainder quarantined, parsed frames kept), pure-garbage files
+    // (id%31=30, quarantined whole), and CBR-vs-VBR patterns (id%4);
+    // every feature follows a closed form of the id, so the oracle
+    // recomputes all of them — a walk off by one byte, a wrong bitrate
+    // table cell, or mis-counted junk breaks the hash.
+    QueryDef(
+      "q_multimodal_mp3_meta",
+      (s, _) => Multimodal.mp3Meta(Multimodal.syntheticMp3(s, 64))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    CAST(i % 3 AS INT) AS sr_idx, 3 + i % 6 AS nf
+             |  FROM generate_series(0, 63) AS g(i)),
+             |fr AS (
+             |  SELECT media_id, nf,
+             |    list_extract([44100, 48000, 32000],
+             |      CAST(sr_idx + 1 AS INT)) AS sr,
+             |    unnest(generate_series(0, nf - 1)) AS f
+             |  FROM m WHERE media_id % 31 <> 30),
+             |br AS (
+             |  SELECT media_id, nf, sr,
+             |    list_extract(
+             |      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             |       256, 320],
+             |      CAST(CASE WHEN media_id % 4 = 0 THEN 1 + media_id % 14
+             |           ELSE 1 + (media_id + f) % 14 END AS INT)) AS kbps
+             |  FROM fr)
+             |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(max(sr) AS INT) AS sample_rate,
+             |  CAST(sum(kbps) AS BIGINT) AS bitrate_kbps_sum,
+             |  count(DISTINCT kbps) > 1 AS is_vbr,
+             |  CAST(nf * 1152 * 1000000 // max(sr) AS BIGINT)
+             |    AS duration_micros,
+             |  CAST((CASE WHEN media_id % 5 = 0 THEN 7 + media_id % 11
+             |        ELSE 0 END)
+             |     + (CASE WHEN media_id % 7 = 3 THEN 9 ELSE 0 END)
+             |    AS BIGINT) AS n_junk_bytes,
+             |  false AS quarantined
+             |FROM br GROUP BY media_id, nf
+             |UNION ALL
+             |SELECT media_id, 0, 0, 0, false, 0,
+             |  CAST(40 + media_id AS BIGINT), true
+             |FROM m WHERE media_id % 31 = 30
+             |ORDER BY media_id""".stripMargin)),
+
+    // MP4 manifest WITHOUT decode: the real ISO BMFF box walk (size/4cc
+    // framing, mvhd timescale+duration, trak count) over synthesized
+    // ftyp+moov files; sample decode stays out of scope. A malformed
+    // trailing box (declared size 4 < header size, id%9=5) quarantines
+    // the remainder but KEEPS the parsed features — box framing has no
+    // sync word to resync on; garbage files (id%31=30) quarantine
+    // whole. The oracle recomputes every feature from the id closed
+    // forms.
+    QueryDef(
+      "q_multimodal_mp4_meta",
+      (s, _) => Multimodal.mp4Meta(Multimodal.syntheticMp4(s, 64))
+        .orderBy(col("media_id")),
+      Some("""WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    600 + (i % 5) * 100 AS timescale,
+             |    1200 + i * 7 AS duration_units,
+             |    1 + i % 3 AS n_tracks
+             |  FROM generate_series(0, 63) AS g(i))
+             |SELECT media_id, 'isom' AS brand,
+             |  CAST(timescale AS BIGINT) AS timescale,
+             |  CAST(duration_units AS BIGINT) AS duration_units,
+             |  CAST(duration_units * 1000000 // timescale AS BIGINT)
+             |    AS duration_micros,
+             |  CAST(n_tracks AS BIGINT) AS n_tracks,
+             |  media_id % 9 = 5 AS quarantined
+             |FROM m WHERE media_id % 31 <> 30
+             |UNION ALL
+             |SELECT media_id, '' AS brand, 0, 0, 0, 0, true
+             |FROM m WHERE media_id % 31 = 30
+             |ORDER BY media_id""".stripMargin)),
+
     // Typed cogroup — the per-group imperative escape hatch for logic
     // spanning TWO datasets (the batch sibling of
     // flatMapGroupsWithState): customers and their orders stream through

@@ -253,4 +253,61 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute,
       s"banded missing ${brute -- banded}, extra ${banded -- brute}")
   }
+
+  test("Mp3Codec.walk: resync over junk, frame accounting, VBR flag, " +
+      "truncated-tail quarantine keeps parsed frames, garbage " +
+      "quarantines whole") {
+    import Multimodal.Mp3Codec
+    def frame(bi: Int, si: Int, pad: Int) =
+      Mp3Codec.encodeFrame(bi, si, pad, j => (j % 100).toByte)
+    // clean CBR file: 3 identical-bitrate frames
+    val cbr = Array.concat(frame(9, 0, 0), frame(9, 0, 1), frame(9, 0, 0))
+    val m1 = Mp3Codec.walk(cbr)
+    assert(m1.nFrames == 3 && m1.sampleRate == 44100 && !m1.isVbr)
+    assert(m1.bitrateKbpsSum == 3 * 128)
+    assert(m1.durationMicros == 3L * 1152 * 1000000L / 44100)
+    assert(m1.nJunkBytes == 0 && !m1.quarantined)
+    // leading ID3-ish junk resyncs; mixed bitrates flag VBR
+    val junk = Array.tabulate[Byte](11)(j => (j % 90).toByte)
+    val m2 = Mp3Codec.walk(junk ++ frame(1, 1, 0) ++ frame(14, 1, 0))
+    assert(m2.nFrames == 2 && m2.sampleRate == 48000 && m2.isVbr)
+    assert(m2.bitrateKbpsSum == 32 + 320)
+    assert(m2.nJunkBytes == 11)
+    // truncated tail: a valid header whose frame overruns — the parsed
+    // prefix is KEPT, the tail bytes count as junk
+    val m3 = Mp3Codec.walk(frame(5, 2, 0) ++ frame(5, 2, 0).take(9))
+    assert(m3.nFrames == 1 && m3.nJunkBytes == 9 && !m3.quarantined)
+    // pure garbage (no sync anywhere): quarantined, everything zero
+    val m4 = Mp3Codec.walk(Array.tabulate[Byte](64)(j => (j % 120).toByte))
+    assert(m4.quarantined && m4.nFrames == 0 && m4.sampleRate == 0
+      && m4.durationMicros == 0 && m4.nJunkBytes == 64)
+    // a sync with an invalid bitrate index (15) is JUNK, not a frame
+    val bad = frame(9, 0, 0)
+    bad(2) = 0xF0.toByte
+    val m5 = Mp3Codec.walk(bad)
+    assert(m5.nFrames == 0 && m5.quarantined)
+  }
+
+  test("Mp4Codec.walk: ftyp brand, mvhd timescale/duration, trak count; " +
+      "malformed box quarantines the remainder keeping parsed features") {
+    import Multimodal.Mp4Codec
+    val clean = Mp4Codec.ftyp("isom") ++ Mp4Codec.moov(1000, 2500, 2)
+    val m1 = Mp4Codec.walk(clean)
+    assert(m1.brand == "isom" && m1.timescale == 1000
+      && m1.durationUnits == 2500 && m1.nTracks == 2 && !m1.quarantined)
+    assert(m1.durationMicros == 2500L * 1000000L / 1000)
+    // malformed trailing box (declared size < 8): parsed features kept,
+    // remainder quarantined
+    val m2 = Mp4Codec.walk(clean
+      ++ Array[Byte](0, 0, 0, 4) ++ "junk".getBytes("US-ASCII"))
+    assert(m2.brand == "isom" && m2.nTracks == 2 && m2.quarantined)
+    // a child box overrunning its moov parent also quarantines
+    val evilMoov = Mp4Codec.box("moov",
+      Array[Byte](0, 0, 8, 0) ++ "mvhd".getBytes("US-ASCII"))
+    val m3 = Mp4Codec.walk(Mp4Codec.ftyp("isom") ++ evilMoov)
+    assert(m3.brand == "isom" && m3.quarantined)
+    // pure garbage: nothing parses
+    val m4 = Mp4Codec.walk(Array.tabulate[Byte](32)(j => (j % 120).toByte))
+    assert(m4.quarantined && m4.brand == "" && m4.nTracks == 0)
+  }
 }
