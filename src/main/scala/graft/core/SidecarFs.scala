@@ -40,7 +40,18 @@ object SidecarFs {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  /** The path's filesystem with client-side checksumming unwrapped:
+    * LocalFileSystem maintains a `.crc` sibling per file, which litters
+    * task trees/index dirs with noise files and can throw on
+    * read-while-write (the status tailer); these are driver-side
+    * METADATA writes where the raw store's own integrity is the
+    * contract (HDFS checksums server-side; object stores have ETags).
+    * Non-checksummed filesystems pass through untouched. */
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(hadoopConf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
 
   def exists(path: String): Boolean = {
     val p = new Path(path)
@@ -205,17 +216,6 @@ object SidecarFs {
   }
 
   // ---- status-log streaming ------------------------------------------
-  //
-  // The status JSONL is the one orchestration artifact written while
-  // concurrently READ (the live tailer). LocalFileSystem is checksummed
-  // (every write maintains a .crc sibling; a read mid-write can see a
-  // stale checksum and throw), so both ends unwrap to the RAW filesystem
-  // — on HDFS/object stores the filesystem is returned as-is.
-
-  private def rawFsOf(p: Path): FileSystem = fsOf(p) match {
-    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-    case f => f
-  }
 
   /** An open, flushed-per-write append sink (the status log's shape:
     * one long-lived stream, hflush after every event so tailing readers
@@ -224,7 +224,7 @@ object SidecarFs {
     * append() is unsupported on LocalFileSystem and S3A anyway). */
   final class AppendSink private[SidecarFs] (path: Path) {
     private val out = {
-      val fs = rawFsOf(path)
+      val fs = fsOf(path)
       Option(path.getParent).foreach(fs.mkdirs)
       fs.create(path, true)
     }
@@ -241,7 +241,7 @@ object SidecarFs {
   /** Current byte length of `path`, -1 when absent (tailer polling). */
   def length(path: String): Long = {
     val p = new Path(path)
-    val fs = rawFsOf(p)
+    val fs = fsOf(p)
     if (!fs.exists(p)) -1L else fs.getFileStatus(p).getLen
   }
 
@@ -249,7 +249,7 @@ object SidecarFs {
     * the corresponding [[length]] call) — the tailer's incremental read. */
   def readBytesFrom(path: String, offset: Long, len: Long): Array[Byte] = {
     val p = new Path(path)
-    val in = rawFsOf(p).open(p)
+    val in = fsOf(p).open(p)
     try {
       in.seek(offset)
       val buf = new Array[Byte](len.toInt)

@@ -838,36 +838,56 @@ object Multimodal {
   private[llm] def synthMp3BitrateIdx(id: Long, f: Int): Int =
     if (id % 4 == 0) (1 + id % 14).toInt else (1 + (id + f) % 14).toInt
 
+  /** The id-closed-form MP3 fixture bytes — shared by the in-memory
+    * table ([[syntheticMp3]]) and the on-disk file staging
+    * ([[mp3IngestDir]]) so the batch and streaming manifests see
+    * byte-identical files and ONE oracle covers both. */
+  private[llm] def synthMp3Bytes(i: Int): Array[Byte] = {
+    val id = i.toLong
+    if (i % 31 == 30) Array.tabulate((40 + i).toInt)(j => ((i + j) % 127).toByte)
+    else {
+      val (srIdx, nf) = synthMp3Params(id)
+      val lead: Array[Byte] =
+        if (i % 5 == 0)
+          Array.tabulate(7 + i % 11)(j => ((i + j) % 127).toByte)
+        else Array.emptyByteArray
+      val frames = (0 until nf).flatMap { f =>
+        Mp3Codec.encodeFrame(synthMp3BitrateIdx(id, f), srIdx,
+          padding = ((i + f) % 2), fill = j => ((i * 37 + f * 11 + j) % 127).toByte)
+      }
+      val tail: Array[Byte] =
+        if (i % 7 == 3) {
+          val h = Mp3Codec.encodeFrame(1 + (i % 14), srIdx, padding = 0,
+            fill = j => ((i + j) % 127).toByte)
+          h.take(9) // valid header, frame cut off after 5 filler bytes
+        } else Array.emptyByteArray
+      lead ++ frames ++ tail
+    }
+  }
+
   /** Deterministic synthetic MP3 table: real MPEG frame sequences with
     * junk/truncation/garbage planted by closed forms of the id. Filler
     * and junk bytes are all < 0x7F, so no accidental sync patterns. */
   def syntheticMp3(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
-      val id = i.toLong
-      val bytes: Array[Byte] =
-        if (i % 31 == 30) Array.tabulate((40 + i).toInt)(j => ((i + j) % 127).toByte)
-        else {
-          val (srIdx, nf) = synthMp3Params(id)
-          val lead: Array[Byte] =
-            if (i % 5 == 0)
-              Array.tabulate(7 + i % 11)(j => ((i + j) % 127).toByte)
-            else Array.emptyByteArray
-          val frames = (0 until nf).flatMap { f =>
-            Mp3Codec.encodeFrame(synthMp3BitrateIdx(id, f), srIdx,
-              padding = ((i + f) % 2), fill = j => ((i * 37 + f * 11 + j) % 127).toByte)
-          }
-          val tail: Array[Byte] =
-            if (i % 7 == 3) {
-              val h = Mp3Codec.encodeFrame(1 + (i % 14), srIdx, padding = 0,
-                fill = j => ((i + j) % 127).toByte)
-              h.take(9) // valid header, frame cut off after 5 filler bytes
-            } else Array.emptyByteArray
-          lead ++ frames ++ tail
-        }
-      Row(id, "audio", bytes, "audio/mpeg", Map("src" -> s"crawl${i % 4}"))
+      Row(i.toLong, "audio", synthMp3Bytes(i), "audio/mpeg",
+        Map("src" -> s"crawl${i % 4}"))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, n / 16)), mediaSchema)
+  }
+
+  /** Staged on-disk copies of the 64 fixture MP3s (`mp3_NNN.mp3`) — the
+    * binaryFile-stream front door's input, ids recoverable from the
+    * filename exactly like the image-ingest fixture. */
+  lazy val mp3IngestDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mp3-ing-")
+    graft.core.Fs.deleteOnExit(dir, "graft-mp3-ing-cleanup")
+    (0 until 64).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(f"mp3_$i%03d.mp3"),
+        synthMp3Bytes(i))
+    }
+    dir.toString
   }
 
   /** Per-file MP3 manifest row (header walk, no decode). */

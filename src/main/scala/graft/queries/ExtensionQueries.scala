@@ -10,6 +10,48 @@ import graft.llm.Multimodal
   * binary-column pipeline (decode stubbed, plumbing real).
   */
 object ExtensionQueries {
+
+  /** Closed-form replay of the synthMp3Bytes fixture — shared verbatim
+    * by the batch q_multimodal_mp3_meta and the streaming
+    * q_stream_media_manifest (one walk, two execution modes, ONE
+    * oracle: the q_scan_warc discipline).  The bitrate table is
+    * restated as a SQL list; one wrong cell breaks both hashes. */
+  private[queries] val mp3MetaOracleSql: String =
+    """WITH m AS (
+             |  SELECT CAST(i AS BIGINT) AS media_id,
+             |    CAST(i % 3 AS INT) AS sr_idx, 3 + i % 6 AS nf
+             |  FROM generate_series(0, 63) AS g(i)),
+             |fr AS (
+             |  SELECT media_id, nf,
+             |    list_extract([44100, 48000, 32000],
+             |      CAST(sr_idx + 1 AS INT)) AS sr,
+             |    unnest(generate_series(0, nf - 1)) AS f
+             |  FROM m WHERE media_id % 31 <> 30),
+             |br AS (
+             |  SELECT media_id, nf, sr,
+             |    list_extract(
+             |      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             |       256, 320],
+             |      CAST(CASE WHEN media_id % 4 = 0 THEN 1 + media_id % 14
+             |           ELSE 1 + (media_id + f) % 14 END AS INT)) AS kbps
+             |  FROM fr)
+             |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(max(sr) AS INT) AS sample_rate,
+             |  CAST(sum(kbps) AS BIGINT) AS bitrate_kbps_sum,
+             |  count(DISTINCT kbps) > 1 AS is_vbr,
+             |  CAST(nf * 1152 * 1000000 // max(sr) AS BIGINT)
+             |    AS duration_micros,
+             |  CAST((CASE WHEN media_id % 5 = 0 THEN 7 + media_id % 11
+             |        ELSE 0 END)
+             |     + (CASE WHEN media_id % 7 = 3 THEN 9 ELSE 0 END)
+             |    AS BIGINT) AS n_junk_bytes,
+             |  false AS quarantined
+             |FROM br GROUP BY media_id, nf
+             |UNION ALL
+             |SELECT media_id, 0, 0, 0, false, 0,
+             |  CAST(40 + media_id AS BIGINT), true
+             |FROM m WHERE media_id % 31 = 30
+             |ORDER BY media_id""".stripMargin
   import Tables.load
 
   val queries: Seq[QueryDef] = Seq(
@@ -230,41 +272,7 @@ object ExtensionQueries {
       "q_multimodal_mp3_meta",
       (s, _) => Multimodal.mp3Meta(Multimodal.syntheticMp3(s, 64))
         .orderBy(col("media_id")),
-      Some("""WITH m AS (
-             |  SELECT CAST(i AS BIGINT) AS media_id,
-             |    CAST(i % 3 AS INT) AS sr_idx, 3 + i % 6 AS nf
-             |  FROM generate_series(0, 63) AS g(i)),
-             |fr AS (
-             |  SELECT media_id, nf,
-             |    list_extract([44100, 48000, 32000],
-             |      CAST(sr_idx + 1 AS INT)) AS sr,
-             |    unnest(generate_series(0, nf - 1)) AS f
-             |  FROM m WHERE media_id % 31 <> 30),
-             |br AS (
-             |  SELECT media_id, nf, sr,
-             |    list_extract(
-             |      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-             |       256, 320],
-             |      CAST(CASE WHEN media_id % 4 = 0 THEN 1 + media_id % 14
-             |           ELSE 1 + (media_id + f) % 14 END AS INT)) AS kbps
-             |  FROM fr)
-             |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
-             |  CAST(max(sr) AS INT) AS sample_rate,
-             |  CAST(sum(kbps) AS BIGINT) AS bitrate_kbps_sum,
-             |  count(DISTINCT kbps) > 1 AS is_vbr,
-             |  CAST(nf * 1152 * 1000000 // max(sr) AS BIGINT)
-             |    AS duration_micros,
-             |  CAST((CASE WHEN media_id % 5 = 0 THEN 7 + media_id % 11
-             |        ELSE 0 END)
-             |     + (CASE WHEN media_id % 7 = 3 THEN 9 ELSE 0 END)
-             |    AS BIGINT) AS n_junk_bytes,
-             |  false AS quarantined
-             |FROM br GROUP BY media_id, nf
-             |UNION ALL
-             |SELECT media_id, 0, 0, 0, false, 0,
-             |  CAST(40 + media_id AS BIGINT), true
-             |FROM m WHERE media_id % 31 = 30
-             |ORDER BY media_id""".stripMargin)),
+      Some(mp3MetaOracleSql)),
 
     // MP4 manifest WITHOUT decode: the real ISO BMFF box walk (size/4cc
     // framing, mvhd timescale+duration, trak count) over synthesized

@@ -520,5 +520,29 @@ object StreamingQueries {
              |${graft.sources.Links.linksExtractCtesSql}
              |SELECT page_url, link_url, anchor FROM linkrows
              |ORDER BY page_url, link_url, anchor""".stripMargin)),
+
+    // CONTINUOUS media-manifest ingest: crawled MP3 files land as a
+    // binaryFile stream (a live crawler writing media files) and the
+    // SAME header walk as the batch q_multimodal_mp3_meta runs per
+    // micro-batch — stateless per-file work, no watermark, no state
+    // store, so the stream must equal the batch manifest exactly and
+    // ONE oracle covers both execution modes (the q_stream_warc_ingest
+    // discipline). The staged files are byte-identical to the
+    // in-memory fixture (shared synthMp3Bytes closed forms), ids
+    // recovered from filenames like the image-ingest path.
+    QueryDef(
+      "q_stream_media_manifest",
+      (s, _) => {
+        EventStreams.runBinaryAvailableNowAppend(
+            s, graft.llm.Multimodal.mp3IngestDir,
+            df => graft.llm.Multimodal.mp3Meta(
+              df.select(
+                regexp_extract(col("path"), "mp3_(\\d+)\\.mp3$", 1)
+                  .cast("long").as("media_id"),
+                col("content"))),
+            "stream_media_manifest")
+          .orderBy(col("media_id"))
+      },
+      Some(ExtensionQueries.mp3MetaOracleSql)),
   )
 }

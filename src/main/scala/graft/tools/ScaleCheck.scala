@@ -406,6 +406,12 @@ object ScaleCheck {
         .sampleVideoFrames(
           spark.read.parquet(s"$synthRoot/videos_x$f/media.parquet"),
           stride = 2)),
+      // round-12: MP3 header walk on the container-BYTES axis (k× staged
+      // files, same out-of-timing staging rule as video) — the walk is
+      // O(file bytes) partition-local scan-and-jump with zero shuffle, so
+      // time must track bytes linearly and never the frame count alone
+      ("q_multimodal_mp3", (_, f) => graft.llm.Multimodal.mp3Meta(
+        spark.read.parquet(s"$synthRoot/mp3_x$f/media.parquet"))),
       // round-8: line-level boilerplate strip — the Caesar copies keep
       // each copy's recurring-line structure intact (rotation is a
       // bijection on line text) while lines never collide across copies,
@@ -540,6 +546,15 @@ object ScaleCheck {
         val dir = new java.io.File(s"$synthRoot/videos_x$f")
         if (!new java.io.File(dir, "_DONE").exists()) {
           graft.llm.Multimodal.syntheticVideo(spark, 64 * f)
+            .write.mode("overwrite").parquet(s"$dir/media.parquet")
+          new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
+        }
+      }
+    if (runs.exists(_._1 == "q_multimodal_mp3"))
+      for (f <- factors) {
+        val dir = new java.io.File(s"$synthRoot/mp3_x$f")
+        if (!new java.io.File(dir, "_DONE").exists()) {
+          graft.llm.Multimodal.syntheticMp3(spark, 64 * f)
             .write.mode("overwrite").parquet(s"$dir/media.parquet")
           new java.io.FileOutputStream(new java.io.File(dir, "_DONE")).close()
         }

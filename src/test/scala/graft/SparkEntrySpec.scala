@@ -22,7 +22,9 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the declared surface keeps growing, never silently shrinks") {
-    // round-11 floor: 283 queries, ALL oracle-checked (round 11
+    // round-12 floor: 286 queries, ALL oracle-checked (round 12 adds
+    // the MP3/MP4 header-walk manifests and the streaming
+    // media-manifest ingest sharing the batch oracle; round 11
     // adds the JPEG perceptual-dedup gate, the unigram-LM tokenizer
     // trio [learn / encode / pretrained-encode with the full hard-EM
     // training replayed by the oracle], the closed IVF-PQ ingest loop,
@@ -37,9 +39,9 @@ class SparkEntrySpec extends AnyFunSuite {
     // web graph, PageRank over the crawled host graph] and the C4
     // line-level cleaning battery) — bump these when operators are
     // added so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 283,
+    assert(SparkEntry.queries.size >= 286,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 283,
+    assert(SparkEntry.oracleSql.size >= 286,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
