@@ -779,19 +779,41 @@ object Multimodal {
 
     final case class Mp3Meta(nFrames: Long, sampleRate: Int,
                              bitrateKbpsSum: Long, isVbr: Boolean,
-                             durationMicros: Long, nJunkBytes: Long,
-                             quarantined: Boolean)
+                             durationMicros: Long, nTagBytes: Long,
+                             nJunkBytes: Long, quarantined: Boolean)
 
-    /** Header walk: scan to the next valid sync, validate the indexes,
-      * jump the whole frame — O(file bytes), no decode. Junk bytes
-      * (ID3 tags, garbage, mid-file damage) are counted and resync'd
-      * over; a valid header whose frame overruns the buffer is a
-      * truncated tail — its bytes count as junk and the walk stops
+    /** Header walk: an ID3v2 tag at offset 0 is skipped by its DECLARED
+      * syncsafe size (counted as `nTagBytes`, not junk) — this is a
+      * correctness rule, not accounting: tag payloads (album art)
+      * routinely contain 0xFF 0xFB byte runs that a naive resync scan
+      * would misparse as frames. Then: scan to the next valid sync,
+      * validate the indexes, jump the whole frame — O(file bytes), no
+      * decode. Junk bytes (garbage, mid-file damage) are counted and
+      * resync'd over; a valid header whose frame overruns the buffer is
+      * a truncated tail — its bytes count as junk and the walk stops
       * (parsed frames are KEPT); a file yielding zero frames is
       * `quarantined`. */
     def walk(bytes: Array[Byte]): Mp3Meta = {
       var i = 0
       var junk = 0L
+      var tagBytes = 0L
+      // ID3v2 header: "ID3" major minor flags size4(syncsafe — high bit
+      // of each byte must be 0, else it is not a tag and falls through
+      // to the junk scan); flags bit 4 = a 10-byte footer follows
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3' &&
+          (bytes(6) & 0x80) == 0 && (bytes(7) & 0x80) == 0 &&
+          (bytes(8) & 0x80) == 0 && (bytes(9) & 0x80) == 0) {
+        val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+          ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+        val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+        val total = 10 + sz + footer
+        if (total <= bytes.length) { tagBytes = total; i = total }
+        else { // lying tag size: nothing after the header is trustable
+          junk = bytes.length
+          i = bytes.length
+        }
+      }
       var frames = 0L
       var kbpsSum = 0L
       var sr = 0
@@ -825,14 +847,16 @@ object Multimodal {
         if (frames == 0) 0L
         else frames * SamplesPerFrame * 1000000L / sr
       Mp3Meta(frames, if (frames == 0) 0 else sr, kbpsSum,
-        kbpsSeen.size > 1, duration, junk, frames == 0)
+        kbpsSeen.size > 1, duration, tagBytes, junk, frames == 0)
     }
   }
 
   /** Closed-form MP3 fixture parameters — what [[syntheticMp3]] writes
     * and the q_multimodal_mp3_meta oracle recomputes: garbage files at
-    * id%31==30 (no sync anywhere), leading junk at id%5==0, a truncated
-    * tail header at id%7==3, CBR at id%4==0 and a VBR ramp otherwise. */
+    * id%31==30 (no sync anywhere), leading junk at id%5==0, an ID3v2
+    * tag (payload carrying a FAKE frame header the declared-size skip
+    * must never parse) at id%6==1 when no lead junk, a truncated tail
+    * header at id%7==3, CBR at id%4==0 and a VBR ramp otherwise. */
   private[llm] def synthMp3Params(id: Long): (Int, Int) =
     ((id % 3).toInt, (3 + id % 6).toInt) // (srIdx, nFrames)
   private[llm] def synthMp3BitrateIdx(id: Long, f: Int): Int =
@@ -850,7 +874,20 @@ object Multimodal {
       val lead: Array[Byte] =
         if (i % 5 == 0)
           Array.tabulate(7 + i % 11)(j => ((i + j) % 127).toByte)
-        else Array.emptyByteArray
+        else if (i % 6 == 1) {
+          // real ID3v2.3 tag: payload size 20 + i%13, with a plausible
+          // FRAME HEADER planted at payload offset 5 (album-art bytes in
+          // the wild) — parseable only by a walk that ignores the
+          // declared size
+          val sz = 20 + i % 13
+          val payload = Array.tabulate(sz)(j => ((i + j) % 127).toByte)
+          payload(5) = 0xFF.toByte
+          payload(6) = 0xFB.toByte
+          payload(7) = 0x92.toByte // bitrateIdx 9, srIdx 0, padding 1
+          Array[Byte]('I', 'D', '3', 3, 0, 0,
+            ((sz >> 21) & 0x7F).toByte, ((sz >> 14) & 0x7F).toByte,
+            ((sz >> 7) & 0x7F).toByte, (sz & 0x7F).toByte) ++ payload
+        } else Array.emptyByteArray
       val frames = (0 until nf).flatMap { f =>
         Mp3Codec.encodeFrame(synthMp3BitrateIdx(id, f), srIdx,
           padding = ((i + f) % 2), fill = j => ((i * 37 + f * 11 + j) % 127).toByte)
@@ -894,7 +931,8 @@ object Multimodal {
   final case class Mp3MetaRow(media_id: Long, n_frames: Long,
                               sample_rate: Int, bitrate_kbps_sum: Long,
                               is_vbr: Boolean, duration_micros: Long,
-                              n_junk_bytes: Long, quarantined: Boolean)
+                              n_tag_bytes: Long, n_junk_bytes: Long,
+                              quarantined: Boolean)
 
   def mp3Meta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -903,7 +941,8 @@ object Multimodal {
       .map { blob =>
         val m = Mp3Codec.walk(Option(blob.content).getOrElse(Array.emptyByteArray))
         Mp3MetaRow(blob.media_id, m.nFrames, m.sampleRate, m.bitrateKbpsSum,
-          m.isVbr, m.durationMicros, m.nJunkBytes, m.quarantined)
+          m.isVbr, m.durationMicros, m.nTagBytes, m.nJunkBytes,
+          m.quarantined)
       }
       .toDF()
   }

@@ -41,6 +41,9 @@ object ExtensionQueries {
              |  count(DISTINCT kbps) > 1 AS is_vbr,
              |  CAST(nf * 1152 * 1000000 // max(sr) AS BIGINT)
              |    AS duration_micros,
+             |  CAST(CASE WHEN media_id % 5 <> 0 AND media_id % 6 = 1
+             |       THEN 10 + 20 + media_id % 13 ELSE 0 END AS BIGINT)
+             |    AS n_tag_bytes,
              |  CAST((CASE WHEN media_id % 5 = 0 THEN 7 + media_id % 11
              |        ELSE 0 END)
              |     + (CASE WHEN media_id % 7 = 3 THEN 9 ELSE 0 END)
@@ -48,7 +51,7 @@ object ExtensionQueries {
              |  false AS quarantined
              |FROM br GROUP BY media_id, nf
              |UNION ALL
-             |SELECT media_id, 0, 0, 0, false, 0,
+             |SELECT media_id, 0, 0, 0, false, 0, 0,
              |  CAST(40 + media_id AS BIGINT), true
              |FROM m WHERE media_id % 31 = 30
              |ORDER BY media_id""".stripMargin
@@ -262,9 +265,12 @@ object ExtensionQueries {
     // frame sequences — duration, frame count, VBR flag, and junk-byte
     // accounting all from headers alone; PCM decode stays documented
     // out of scope (no bundled demuxer). The fixture plants leading
-    // junk (id%5=0, resync'd over), a truncated tail header (id%7=3,
-    // remainder quarantined, parsed frames kept), pure-garbage files
-    // (id%31=30, quarantined whole), and CBR-vs-VBR patterns (id%4);
+    // junk (id%5=0, resync'd over), a REAL ID3v2 tag whose payload
+    // carries a fake frame header (id%6=1 — the declared-size skip must
+    // never parse it; album-art bytes do this in the wild), a truncated
+    // tail header (id%7=3, remainder quarantined, parsed frames kept),
+    // pure-garbage files (id%31=30, quarantined whole), and CBR-vs-VBR
+    // patterns (id%4);
     // every feature follows a closed form of the id, so the oracle
     // recomputes all of them — a walk off by one byte, a wrong bitrate
     // table cell, or mis-counted junk breaks the hash.

@@ -288,6 +288,48 @@ class MultimodalSpec extends SparkSpec {
     assert(m5.nFrames == 0 && m5.quarantined)
   }
 
+  test("Mp3Codec.walk: an ID3v2 tag skips by its DECLARED syncsafe size " +
+      "— a fake frame header inside the tag payload must never parse — " +
+      "and a lying tag size quarantines") {
+    import Multimodal.Mp3Codec
+    def frame(bi: Int, si: Int, pad: Int) =
+      Mp3Codec.encodeFrame(bi, si, pad, j => (j % 100).toByte)
+    def id3(payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length
+      Array[Byte]('I', 'D', '3', 3, 0, 0,
+        ((sz >> 21) & 0x7F).toByte, ((sz >> 14) & 0x7F).toByte,
+        ((sz >> 7) & 0x7F).toByte, (sz & 0x7F).toByte) ++ payload
+    }
+    // album-art shape: tag payload carrying plausible frame-header bytes
+    val art = Array.tabulate[Byte](40)(j => (j % 100).toByte)
+    art(5) = 0xFF.toByte; art(6) = 0xFB.toByte; art(7) = 0x92.toByte
+    val m1 = Mp3Codec.walk(id3(art) ++ frame(9, 0, 0) ++ frame(9, 0, 0))
+    assert(m1.nFrames == 2, s"fake in-tag header parsed as a frame: $m1")
+    assert(m1.nTagBytes == 50 && m1.nJunkBytes == 0 && !m1.quarantined)
+    // the same bytes WITHOUT the tag framing WOULD parse a bogus frame
+    // region — proving the skip (not luck) protects the walk
+    val naive = Mp3Codec.walk(art)
+    assert(naive.nFrames >= 1 || naive.nJunkBytes == 40)
+    // lying declared size (larger than the file): nothing trustable
+    val lying = id3(art).take(20)
+    val m2 = Mp3Codec.walk(lying)
+    assert(m2.quarantined && m2.nFrames == 0 && m2.nJunkBytes == 20
+      && m2.nTagBytes == 0)
+    // a non-syncsafe size byte means NOT a tag: the 50 header+payload
+    // bytes fall through to the junk scan, the real frame still parses
+    val cleanArt = Array.tabulate[Byte](40)(j => (j % 100).toByte)
+    val bogus = id3(cleanArt)
+    bogus(6) = 0x80.toByte
+    val m3 = Mp3Codec.walk(bogus ++ frame(1, 1, 0))
+    assert(m3.nFrames == 1 && m3.nTagBytes == 0 && m3.nJunkBytes == 50)
+    // footer flag adds 10 to the skip
+    val withFooter = id3(art)
+    withFooter(5) = 0x10.toByte
+    val m4 = Mp3Codec.walk(
+      withFooter ++ Array.fill[Byte](10)(0x21) ++ frame(9, 0, 0))
+    assert(m4.nFrames == 1 && m4.nTagBytes == 60 && m4.nJunkBytes == 0)
+  }
+
   test("Mp4Codec.walk: ftyp brand, mvhd timescale/duration, trak count; " +
       "malformed box quarantines the remainder keeping parsed features") {
     import Multimodal.Mp4Codec
