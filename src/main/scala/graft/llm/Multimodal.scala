@@ -992,10 +992,22 @@ object Multimodal {
     private def fourCc(b: Array[Byte], i: Int): String =
       new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Top-level box walk + one-level moov walk. A box whose declared
-      * size is < 8 or overruns the buffer quarantines the REMAINDER
-      * (parsed boxes are kept, the Warc resync spirit — box framing has
-      * no sync word to resync on, so the rest of the file is opaque). */
+    private def readLong(b: Array[Byte], i: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+      v
+    }
+
+    /** Top-level box walk + one-level moov walk, including the two
+      * ISO BMFF size escapes real crawled media uses: declared size 1 =
+      * a 64-bit `largesize` follows the 4cc (files > 4 GB frame their
+      * mdat this way), declared size 0 = the box extends to END OF FILE
+      * (legal for the last top-level box only). Any other size < 8, an
+      * overrun, or a largesize box too short for its own header
+      * quarantines the REMAINDER (parsed boxes are kept, the Warc
+      * resync spirit — box framing has no sync word to resync on, so
+      * the rest of the file is opaque). */
     def walk(bytes: Array[Byte]): Mp4Meta = {
       var i = 0
       var brand = ""
@@ -1005,16 +1017,22 @@ object Multimodal {
       var sawBox = false
       var corrupt = false
       while (i + 8 <= bytes.length && !corrupt) {
-        val size = readInt(bytes, i)
+        val size32 = readInt(bytes, i)
         val tpe = fourCc(bytes, i + 4)
-        if (size < 8 || i + size > bytes.length) corrupt = true
+        val (size, hdr) =
+          if (size32 == 1L && i + 16 <= bytes.length)
+            (readLong(bytes, i + 8), 16L) // largesize after the 4cc
+          else if (size32 == 0L) ((bytes.length - i).toLong, 8L) // to EOF
+          else (size32, 8L)
+        if (size < hdr || i + size > bytes.length) corrupt = true
         else {
           sawBox = true
           tpe match {
-            case "ftyp" if size >= 12 => brand = fourCc(bytes, i + 8)
+            case "ftyp" if size >= hdr + 4 =>
+              brand = fourCc(bytes, i + hdr.toInt)
             case "moov" =>
-              var k = i + 8
-              val end = i + size.toInt
+              var k = i + hdr.toInt
+              val end = (i + size).toInt
               while (k + 8 <= end) {
                 val cs = readInt(bytes, k)
                 val ct = fourCc(bytes, k + 4)
@@ -1030,7 +1048,7 @@ object Multimodal {
               }
             case _ => ()
           }
-          i += size.toInt
+          i = (i + size).toInt
         }
       }
       if (i < bytes.length) corrupt = true // trailing partial box header

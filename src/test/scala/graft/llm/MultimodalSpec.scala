@@ -351,5 +351,35 @@ class MultimodalSpec extends SparkSpec {
     // pure garbage: nothing parses
     val m4 = Mp4Codec.walk(Array.tabulate[Byte](32)(j => (j % 120).toByte))
     assert(m4.quarantined && m4.brand == "" && m4.nTracks == 0)
+    // size==1 largesize framing (the >4 GB mdat shape): the box walk
+    // must jump by the 64-bit size, not treat it as corrupt
+    def large(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + payload.length)
+      b.putInt(1)
+      b.put(tpe.getBytes("US-ASCII"))
+      b.putLong(16L + payload.length)
+      b.put(payload)
+      b.array()
+    }
+    val moovBytes = Mp4Codec.moov(1000, 2500, 2)
+    val moovPayload = java.util.Arrays.copyOfRange(
+      moovBytes, 8, moovBytes.length)
+    val m5 = Mp4Codec.walk(Mp4Codec.ftyp("isom") ++ large("moov", moovPayload))
+    assert(m5.brand == "isom" && m5.timescale == 1000 && m5.nTracks == 2
+      && !m5.quarantined, m5.toString)
+    // size==0 = box extends to end of file (legal for the LAST box)
+    val eofBox = {
+      val p = Array.tabulate[Byte](24)(j => (j % 100).toByte)
+      val b = java.nio.ByteBuffer.allocate(8 + p.length)
+      b.putInt(0)
+      b.put("mdat".getBytes("US-ASCII"))
+      b.put(p)
+      b.array()
+    }
+    val m6 = Mp4Codec.walk(clean ++ eofBox)
+    assert(m6.brand == "isom" && m6.nTracks == 2 && !m6.quarantined)
+    // a largesize header cut off mid-way quarantines the remainder
+    val m7 = Mp4Codec.walk(clean ++ large("mdat", new Array[Byte](32)).take(12))
+    assert(m7.brand == "isom" && m7.nTracks == 2 && m7.quarantined)
   }
 }
