@@ -8,9 +8,10 @@ import graft.queries._
   *
   * `queries` is the full declared operator surface (SURVEY §2.b): each key
   * is one operator exercised end-to-end on the testdata tables; `oracleSql`
-  * carries the equivalent DuckDB SQL where the operator is SQL-expressible
-  * (hash-family ops — MinHash/SimHash/sign-LSH — are rows-only and
-  * ground-truth-tested in ScalaTest instead).
+  * carries the equivalent DuckDB SQL: SQL-expressible ops replay their
+  * full computation; hash-family ops (MinHash/SimHash/sign-LSH) are gated
+  * by the planted-twin contract (closed-form survivals stated as VALUES),
+  * so every query is hash-checked — none are rows-only.
   */
 object SparkEntry {
 
@@ -26,7 +27,8 @@ object SparkEntry {
       LlmQueries.queries ++
       StreamingQueries.queries ++
       ExtensionQueries.queries ++
-      SketchQueries.queries
+      SketchQueries.queries ++
+      GraphAnnQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

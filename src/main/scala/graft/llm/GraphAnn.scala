@@ -1,0 +1,238 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Graph-based approximate nearest neighbours — the published family the
+  * IVF/PQ tier deliberately left out, re-expressed in its batch-appropriate
+  * form: a k-NN GRAPH built by NN-Descent (Dong, Moses & Li, WWW 2011) and
+  * queried by bounded greedy BEAM SEARCH (the HNSW-family search rule,
+  * Malkov & Yashunin 2016, restricted to a fixed step budget — an index
+  * walk, not an online insert loop, which is the shape a batch engine can
+  * actually execute and replay).
+  *
+  * Everything is EXACT-INTEGER so the whole construction unrolls into
+  * bit-identical DuckDB CTEs (the pagerankExact discipline):
+  *
+  *  - vectors quantize per-vector to int codes `floor(x*127/m + 0.5)` with
+  *    `m = max(|x_i|)` (the q_embed_quantize rule: max is order-independent
+  *    and exact, so codes are bit-identical across engines — a sum-based
+  *    norm would not be);
+  *  - similarity is the exact integer key
+  *    `sign(dot) * (dot^2 * 1e6 div (n2_a * n2_b))` — micro-units of
+  *    cos^2 with the sign of cos, monotone in cosine over the quantized
+  *    vectors, computed entirely in BIGINT (dim 64: dot <= 64*127^2 ~ 1.0e6,
+  *    dot^2*1e6 ~ 1.1e18 < 2^63; n2 products ~ 1.1e12 — no overflow);
+  *  - "randomness" (init ring order, search entry point) is md5-hash
+  *    derandomized (the seededWalks discipline): unbiased w.r.t. content,
+  *    rerun-stable, replayable where executor RNG never could be.
+  *
+  * Scale design: NN-Descent is THE batch construction for k-NN graphs —
+  * per round only (src, dst) id pairs move through the candidate shuffle
+  * (codes join back per distinct pair, the Similarity discipline), and the
+  * reverse-neighbour cap bounds per-node candidates at (2k)^2 regardless of
+  * hub in-degree (the published sampling parameter rho, made deterministic:
+  * keep the k best reverse edges instead of a random sample). Total
+  * candidate volume is O(n * k^2) per round — linear in the corpus. Beam
+  * search scores |queries| * beam * k pairs per step — independent of
+  * corpus size, which is the whole point of a graph index.
+  */
+object GraphAnn {
+
+  /** Exact int quantization of an embedding column: (id, codes, n2) where
+    * codes[i] = floor(x_i * 127 / max_j |x_j| + 0.5) (all-zero vector =>
+    * all-zero codes) and n2 = sum codes^2 (exact BIGINT). Codes are kept as
+    * doubles for the codegen'd dot expression — every value is an integer
+    * <= 127 so double arithmetic over them is exact. */
+  private[llm] def quantized(embeddings: DataFrame, vecCol: String,
+                             idCol: String): DataFrame = {
+    val x = col(vecCol).cast("array<double>")
+    val m = array_max(transform(x, v => abs(v)))
+    val codes = when(m === 0, transform(x, _ => lit(0.0)))
+      .otherwise(transform(x, v => floor(v * lit(127.0) / m + lit(0.5))))
+    embeddings
+      .select(col(idCol).as("id"), codes.as("codes"))
+      .withColumn("n2",
+        Similarity.dot(col("codes"), col("codes")).cast("long"))
+  }
+
+  /** The exact integer similarity key over quantized vectors (see object
+    * doc). Zero-norm vectors compare below every real key (-1000001 <
+    * -1e6, the minimum of the signed micro-cos^2 range). */
+  private[llm] def simKey(d: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === 0 || n2b === 0, lit(-1000001L))
+      .otherwise(
+        when(d < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(d2 * 1000000L) div nprod"))
+
+  /** Attach the sim key to an (src, dst) id-pair frame: codes join back per
+    * pair (only ids travelled through the candidate shuffle), dot through
+    * the codegen'd expression, key in exact BIGINT. */
+  private def scorePairs(pairs: DataFrame, codes: DataFrame): DataFrame =
+    pairs
+      .join(codes.select(col("id").as("src"), col("codes").as("ca"),
+        col("n2").as("na")), "src")
+      .join(codes.select(col("id").as("dst"), col("codes").as("cb"),
+        col("n2").as("nb")), "dst")
+      .withColumn("d", Similarity.dot(col("ca"), col("cb")).cast("long"))
+      .withColumn("d2", col("d") * col("d"))
+      .withColumn("nprod", col("na") * col("nb"))
+      .withColumn("sim_key", simKey(col("d"), col("na"), col("nb")))
+      .select(col("src"), col("dst"), col("sim_key"))
+
+  /** Deterministic dense ranks 0..n-1 in md5 order (the derandomized
+    * "random permutation" behind the init ring): one distributed sort +
+    * zipWithIndex. The rank of a row is its position in the TOTAL order
+    * (md5(id || '|' || seed), id), so the result does not depend on where
+    * range-partition boundaries fall. Runs once per build. */
+  private[llm] def md5Ranks(ids: DataFrame, idCol: String,
+                            seed: Long): DataFrame = {
+    val spark = ids.sparkSession
+    val sorted = ids.select(col(idCol).as("id"))
+      .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
+        col("id"))
+    val schema = StructType(sorted.schema.fields)
+      .add("r", LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ i)
+      }, schema)
+  }
+
+  /** NN-Descent k-NN graph construction (Dong et al. 2011), hash-
+    * derandomized: init each node's neighbour list with the k nodes that
+    * follow it on the md5-ordered ring (the deterministic stand-in for the
+    * paper's random init — unbiased w.r.t. content because md5 order is),
+    * then for `rounds` iterations propose every neighbour-of-neighbour as
+    * a candidate and keep each node's k best by (sim_key DESC, id ASC).
+    * Reverse neighbour lists are capped at k per node by the same order
+    * (the deterministic form of the paper's rho-sampling) so hub in-degree
+    * can never blow the candidate volume past O(n * k^2) per round.
+    *
+    * Returns the directed graph (src, rk, dst, sim_key), k rows per node.
+    */
+  def nnDescentGraph(embeddings: DataFrame, k: Int, rounds: Int,
+                     seed: Long = 42L,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val codes = quantized(embeddings, vecCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = md5Ranks(codes.select(col("id").as(idCol)), idCol, seed)
+    // one driver Long (the HITS "one Long" budget): the ring modulus
+    val n = ranked.count()
+    require(n > 0, "nnDescentGraph over an empty corpus")
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("sim_key").desc, col("dst"))
+    val initPairs = ranked.select(col("id").as("src"), col("r"))
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("r2", (col("r") + col("j")) % lit(n))
+      .join(ranked.select(col("id").as("dst"), col("r").as("r2")), "r2")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    var b = scorePairs(initPairs, codes)
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("rk"), col("dst"), col("sim_key"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val wRev = Window.partitionBy(col("src"))
+        .orderBy(col("sim_key").desc, col("dst"))
+      val revCap = b
+        .select(col("dst").as("src"), col("src").as("dst"), col("sim_key"))
+        .withColumn("rr", row_number().over(wRev))
+        .filter(col("rr") <= k)
+        .select(col("src"), col("dst"))
+      val nbrs = b.select(col("src"), col("dst"))
+        .unionByName(revCap)
+        .distinct()
+      val cand = nbrs.as("a")
+        .join(nbrs.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(b.select(col("src"), col("dst")))
+        .distinct()
+      b = scorePairs(cand, codes)
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("rk"), col("dst"), col("sim_key"))
+        .localCheckpoint()
+      i += 1
+    }
+    codes.unpersist(blocking = false)
+    b
+  }
+
+  /** Bounded greedy beam search over a k-NN graph (the HNSW-family query
+    * rule in its batch form): all queries start at the SAME md5-argmin
+    * entry node, each step expands the current beam's graph neighbours,
+    * scores only the NEW candidates, and keeps the `beam` best visited per
+    * query; after `steps` expansions the k best visited (excluding the
+    * query itself) are the answer. Per step the scored volume is
+    * |queries| * beam * k — independent of corpus size.
+    *
+    * Returns (query_id, rk, cand_id, sim_key).
+    */
+  def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 k: Int, beam: Int, steps: Int, seed: Long = 42L,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && beam >= 1 && steps >= 0,
+      s"k/beam/steps must be positive, got $k/$beam/$steps")
+    val codes = quantized(corpus, vecCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graph.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val entry = codes
+      .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
+        col("id"))
+      .limit(1)
+      .select(col("id").as("cand_id"))
+    val q = quantized(queries, vecCol, idCol)
+      .select(col("id").as("query_id"), col("codes").as("qc"),
+        col("n2").as("qn2"))
+    // score a (query_id, cand_id) frame against the corpus codes
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(broadcast(q), "query_id")
+        .join(codes.select(col("id").as("cand_id"), col("codes").as("cb"),
+          col("n2").as("nb")), "cand_id")
+        .withColumn("d", Similarity.dot(col("qc"), col("cb")).cast("long"))
+        .withColumn("d2", col("d") * col("d"))
+        .withColumn("nprod", col("qn2") * col("nb"))
+        .withColumn("sim_key", simKey(col("d"), col("qn2"), col("nb")))
+        .select(col("query_id"), col("cand_id"), col("sim_key"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_key").desc, col("cand_id"))
+    var visited = score(q.select(col("query_id")).crossJoin(broadcast(entry)))
+      .localCheckpoint()
+    var t = 0
+    while (t < steps) {
+      val frontier = visited
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("cand_id"))
+      val expand = frontier
+        .join(edges.withColumnRenamed("src", "cand_id"), "cand_id")
+        .select(col("query_id"), col("dst").as("cand_id"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+      visited = visited.unionByName(score(expand)).localCheckpoint()
+      t += 1
+    }
+    codes.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    visited
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("sim_key"))
+  }
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.GraphAnn
+
+/** Graph-based ANN queries (NN-Descent k-NN graph + bounded beam search)
+  * over the `embeddings` table — the batch form of the HNSW family (see
+  * graft.llm.GraphAnn). Both oracles are FULL replays: the exact-integer
+  * quantization, the md5-ring init, every NN-Descent round, and every
+  * beam expansion unroll into DuckDB CTEs that must hash-match the engine
+  * bit for bit — no planted-value gates anywhere in this family.
+  */
+object GraphAnnQueries {
+  import Tables.load
+
+  /** The integer sim-key scoring macro over a (src, dst) pair CTE — shared
+    * verbatim by every scoring site so engine and oracle cannot drift.
+    * `sign(dot) * (dot^2 * 1e6 div (n2a * n2b))`, zero-norm = -1000001. */
+  private def scoreSql(pairsCte: String): String =
+    s"""SELECT p.src, p.dst,
+       |    CASE WHEN ca.n2 = 0 OR cb.n2 = 0 THEN -1000001
+       |         ELSE (CASE WHEN CAST(list_dot_product(ca.codes, cb.codes) AS BIGINT) < 0
+       |               THEN -1 ELSE 1 END)
+       |              * ((CAST(list_dot_product(ca.codes, cb.codes) AS BIGINT)
+       |                  * CAST(list_dot_product(ca.codes, cb.codes) AS BIGINT)
+       |                  * 1000000) // (ca.n2 * cb.n2))
+       |    END AS sim_key
+       |  FROM $pairsCte p
+       |  JOIN cv ca ON ca.vec_id = p.src
+       |  JOIN cv cb ON cb.vec_id = p.dst""".stripMargin
+
+  /** CTE chain replaying [[GraphAnn.nnDescentGraph]]: quantization (the
+    * q_embed_quantize floor(+0.5)/max-abs rule), exact n2, md5 ranks, the
+    * k-ring init, then `rounds` unrolled NN-Descent rounds (reverse lists
+    * capped at k, neighbour-of-neighbour candidates, top-k window). The
+    * final graph is CTE `b<rounds>`. */
+  private def nnDescentCtesSql(k: Int, rounds: Int, seed: Long): String = {
+    val prelude =
+      s"""e AS MATERIALIZED (
+         |  SELECT vec_id, i - 1 AS dim,
+         |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+         |mm AS (SELECT vec_id, max(abs(x)) AS m FROM e GROUP BY vec_id),
+         |qcd AS (
+         |  SELECT e.vec_id, dim,
+         |    CASE WHEN mm.m = 0 THEN 0
+         |         ELSE CAST(floor(x * 127 / mm.m + 0.5) AS BIGINT)
+         |    END AS code
+         |  FROM e JOIN mm USING (vec_id)),
+         |cv AS MATERIALIZED (
+         |  SELECT vec_id, list(CAST(code AS DOUBLE) ORDER BY dim) AS codes,
+         |    CAST(sum(code * code) AS BIGINT) AS n2
+         |  FROM qcd GROUP BY vec_id),
+         |rk0 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed'), vec_id)
+         |      - 1 AS r
+         |  FROM cv),
+         |b0p AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM rk0 a, unnest(generate_series(1, $k)) AS jj(j)
+         |  JOIN rk0 b ON b.r = (a.r + jj.j) % (SELECT count(*) FROM rk0)
+         |  WHERE a.vec_id <> b.vec_id),
+         |sc0 AS (
+         |  ${scoreSql("b0p")}),
+         |b0 AS MATERIALIZED (
+         |  SELECT src, rk, dst, sim_key FROM (
+         |    SELECT src, dst, sim_key,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY sim_key DESC, dst) AS rk
+         |    FROM sc0) t
+         |  WHERE rk <= $k)""".stripMargin
+    val roundCtes = (1 to rounds).map { t =>
+      val prev = s"b${t - 1}"
+      s"""revc$t AS (
+         |  SELECT src, dst FROM (
+         |    SELECT dst AS src, src AS dst, sim_key,
+         |      row_number() OVER (PARTITION BY dst
+         |                         ORDER BY sim_key DESC, src) AS rr
+         |    FROM $prev) t
+         |  WHERE rr <= $k),
+         |nb$t AS (
+         |  SELECT src, dst FROM $prev
+         |  UNION SELECT src, dst FROM revc$t),
+         |cd$t AS (
+         |  SELECT a.src, b.dst FROM nb$t a JOIN nb$t b ON a.dst = b.src
+         |  WHERE a.src <> b.dst
+         |  UNION SELECT src, dst FROM $prev),
+         |sc$t AS (
+         |  ${scoreSql(s"cd$t")}),
+         |b$t AS MATERIALIZED (
+         |  SELECT src, rk, dst, sim_key FROM (
+         |    SELECT src, dst, sim_key,
+         |      row_number() OVER (PARTITION BY src
+         |                         ORDER BY sim_key DESC, dst) AS rk
+         |    FROM sc$t) t
+         |  WHERE rk <= $k)""".stripMargin
+    }
+    (prelude +: roundCtes).mkString(",\n")
+  }
+
+  /** Beam-scoring macro (query side carries its codes in `qv`). */
+  private def beamScoreSql(pairsCte: String): String =
+    s"""SELECT p.query_id, p.cand_id,
+       |    CASE WHEN qv.qn2 = 0 OR cb.n2 = 0 THEN -1000001
+       |         ELSE (CASE WHEN CAST(list_dot_product(qv.qc, cb.codes) AS BIGINT) < 0
+       |               THEN -1 ELSE 1 END)
+       |              * ((CAST(list_dot_product(qv.qc, cb.codes) AS BIGINT)
+       |                  * CAST(list_dot_product(qv.qc, cb.codes) AS BIGINT)
+       |                  * 1000000) // (qv.qn2 * cb.n2))
+       |    END AS sim_key
+       |  FROM $pairsCte p
+       |  JOIN qv ON qv.query_id = p.query_id
+       |  JOIN cv cb ON cb.vec_id = p.cand_id""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // NN-Descent k-NN graph over the full embeddings table: K=16
+    // neighbours per vector, 6 descent rounds off the md5-ring init
+    // (uniform-random 64-d vectors are the hardest case for descent —
+    // no low-dim structure to exploit — and K=16/6 rounds measures ~0.92
+    // graph recall vs exact quantized top-16; smaller K converges far
+    // slower, the published NN-Descent behaviour). The oracle unrolls the
+    // ENTIRE construction — quantization, ranks, ring, all 6 rounds —
+    // into one CTE chain; any drift in a single code, candidate set, or
+    // tie-break breaks the hash.
+    QueryDef(
+      "q_sim_nndescent",
+      (s, dir) => GraphAnn.nnDescentGraph(
+          load(s, dir, "embeddings"), k = 16, rounds = 6, seed = 42L)
+        .orderBy(col("src"), col("rk")),
+      Some(s"""WITH ${nnDescentCtesSql(k = 16, rounds = 6, seed = 42L)}
+              |SELECT src, rk, dst, sim_key FROM b6
+              |ORDER BY src, rk""".stripMargin)),
+
+    // Bounded greedy beam search over that graph for the 10 query vectors:
+    // beam 8, 4 expansions, top-5 answers (recovers the exact quantized
+    // top-5 on this corpus — GraphAnnSpec measures the recall; per step
+    // only beam*K NEW candidates are scored, independent of corpus size).
+    // The oracle replays graph build AND search (entry argmin, per-step
+    // frontier, NOT-EXISTS dedup of already-visited candidates, final
+    // ranking) — the full ANN query path, hash-checked end to end.
+    QueryDef(
+      "q_sim_graph_search",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val graph = GraphAnn.nnDescentGraph(emb, k = 16, rounds = 6,
+          seed = 42L)
+        GraphAnn.beamSearch(graph, emb, emb.filter(col("vec_id") < 10),
+            k = 5, beam = 8, steps = 4, seed = 42L)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some {
+        val steps = 4
+        val stepCtes = (1 to steps).map { t =>
+          val prev = s"v${t - 1}"
+          s"""f$t AS (
+             |  SELECT query_id, cand_id FROM (
+             |    SELECT query_id, cand_id, sim_key,
+             |      row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY sim_key DESC, cand_id) AS rk
+             |    FROM $prev) t
+             |  WHERE rk <= 8),
+             |x$t AS (
+             |  SELECT DISTINCT f.query_id, g.dst AS cand_id
+             |  FROM f$t f JOIN b6 g ON g.src = f.cand_id
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM $prev v
+             |    WHERE v.query_id = f.query_id AND v.cand_id = g.dst)),
+             |s$t AS (
+             |  ${beamScoreSql(s"x$t")}),
+             |v$t AS MATERIALIZED (
+             |  SELECT * FROM $prev UNION ALL SELECT * FROM s$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${nnDescentCtesSql(k = 16, rounds = 6, seed = 42L)},
+           |qv AS (
+           |  SELECT vec_id AS query_id, codes AS qc, n2 AS qn2
+           |  FROM cv WHERE vec_id < 10),
+           |entry AS (
+           |  SELECT vec_id AS cand_id FROM cv
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR) || '|42'), vec_id
+           |  LIMIT 1),
+           |e0 AS (SELECT query_id, cand_id FROM qv, entry),
+           |v0 AS (
+           |  ${beamScoreSql("e0")}),
+           |$stepCtes
+           |SELECT query_id, rk, cand_id, sim_key FROM (
+           |  SELECT query_id, cand_id, sim_key,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY sim_key DESC, cand_id) AS rk
+           |  FROM v$steps
+           |  WHERE cand_id <> query_id) t
+           |WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+      }),
+  )
+}

@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Ground truth for the graph-ANN tier: exact int quantization, the
+  * integer sim key, md5-ring init, NN-Descent convergence on planted
+  * cluster structure, and beam search reaching a planted twin. */
+class GraphAnnSpec extends SparkSpec {
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import SparkSpec.spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  test("quantized: codes are floor(x*127/maxabs + 0.5), n2 exact") {
+    val df = vecs(1L -> Seq(0.5, -1.0, 0.25, 0.0))
+    val r = GraphAnn.quantized(df, "embedding", "vec_id").collect().head
+    // m = 1.0: codes floor(63.5+0.5)=64, floor(-127+0.5)=-127,
+    // floor(31.75+0.5)=32, 0
+    assert(r.getAs[Seq[Double]]("codes") === Seq(64.0, -127.0, 32.0, 0.0))
+    assert(r.getAs[Long]("n2") === 64L * 64 + 127L * 127 + 32L * 32)
+  }
+
+  test("quantized: the all-zero vector gets zero codes and n2 = 0") {
+    val df = vecs(7L -> Seq(0.0, 0.0, 0.0))
+    val r = GraphAnn.quantized(df, "embedding", "vec_id").collect().head
+    assert(r.getAs[Seq[Double]]("codes") === Seq(0.0, 0.0, 0.0))
+    assert(r.getAs[Long]("n2") === 0L)
+  }
+
+  test("sim key: parallel = 1e6, antiparallel = -1e6, orthogonal = 0, " +
+    "zero-norm below everything") {
+    val df = vecs(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.5, 0.0), // parallel to 1
+      3L -> Seq(-1.0, 0.0), // antiparallel to 1
+      4L -> Seq(0.0, 1.0), // orthogonal to 1
+      5L -> Seq(0.0, 0.0)) // zero norm
+    val g = GraphAnn.nnDescentGraph(df, k = 4, rounds = 1, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(g((1L, 2L)) === 1000000L)
+    assert(g((1L, 3L)) === -1000000L)
+    assert(g((1L, 4L)) === 0L)
+    assert(g((1L, 5L)) === -1000001L)
+    // ranking for src=1 follows the keys: parallel, orthogonal,
+    // antiparallel, zero-norm
+    val ranked = GraphAnn.nnDescentGraph(df, k = 4, rounds = 1, seed = 42L)
+      .filter(col("src") === 1L).orderBy(col("rk"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(ranked === Seq(2L, 4L, 3L, 5L))
+  }
+
+  test("md5 ring init wraps mod n and never links a node to itself") {
+    val df = vecs((1L to 5L).map(i => i -> Seq(i.toDouble, 1.0)): _*)
+    val g = GraphAnn.nnDescentGraph(df, k = 4, rounds = 0, seed = 42L)
+    val bySrc = g.collect().groupBy(_.getLong(0))
+    assert(bySrc.keySet === (1L to 5L).toSet)
+    // n=5, k=4: each node's ring covers all other 4 nodes exactly
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(2)).toSet === (1L to 5L).toSet - src)
+    }
+  }
+
+  test("NN-Descent converges to planted clusters the ring init mixes") {
+    // two tight clusters far apart; md5 ring order interleaves them, so
+    // round-0 lists are mixed — after 2 rounds each node's top-3 must be
+    // exactly its own cluster (neighbour-of-neighbour propagation)
+    val a = (0 until 4).map(i => (i.toLong, Seq(10.0 + i * 0.01, 1.0, 0.0)))
+    val b = (0 until 4).map(i => (100L + i, Seq(-1.0, 0.02 * i - 10.0, 0.0)))
+    val df = vecs((a ++ b): _*)
+    val init = GraphAnn.nnDescentGraph(df, k = 3, rounds = 0, seed = 42L)
+    val mixedInit = init.collect().exists { r =>
+      (r.getLong(0) < 100L) != (r.getLong(2) < 100L)
+    }
+    assert(mixedInit, "ring init should interleave the clusters")
+    val g = GraphAnn.nnDescentGraph(df, k = 3, rounds = 2, seed = 42L)
+    g.collect().foreach { r =>
+      assert((r.getLong(0) < 100L) === (r.getLong(2) < 100L),
+        s"cross-cluster edge survived 2 rounds: $r")
+    }
+  }
+
+  test("NN-Descent is rerun-identical and k rows per node") {
+    val df = vecs((1L to 9L).map(i =>
+      i -> Seq(math.sin(i.toDouble), math.cos(i * 0.7), 0.5 * i)): _*)
+    val r1 = GraphAnn.nnDescentGraph(df, k = 3, rounds = 2).collect()
+    val r2 = GraphAnn.nnDescentGraph(df, k = 3, rounds = 2).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    assert(r1.length === 9 * 3)
+    assert(r1.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted
+      .toSeq === Seq(1, 2, 3)))
+  }
+
+  test("beam search reaches a planted twin through the graph") {
+    // corpus: 20 vectors on a smooth curve + an exact twin (id 999) of the
+    // query (id 3). The graph links near neighbours, so the greedy walk
+    // from the md5 entry point must reach the twin and rank it first with
+    // sim key exactly 1e6.
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * i))
+    }
+    val twin = Seq((999L, base(3)._2))
+    val df = vecs((base ++ twin): _*)
+    val graph = GraphAnn.nnDescentGraph(df, k = 4, rounds = 3, seed = 42L)
+    val queries = df.filter(col("vec_id") === 3L)
+    val res = GraphAnn.beamSearch(graph, df, queries,
+      k = 5, beam = 4, steps = 6, seed = 42L)
+      .orderBy(col("rk")).collect()
+    assert(res.head.getLong(2) === 999L, s"twin not first: ${res.toSeq}")
+    assert(res.head.getLong(3) === 1000000L)
+    // the query itself never appears among its own results
+    assert(!res.exists(_.getLong(2) == 3L))
+  }
+
+  test("beam search scores only beam*k new candidates per step " +
+    "(visited never rescored: result has one row per candidate)") {
+    val df = vecs((0L to 11L).map(i =>
+      i -> Seq(math.cos(i * 0.5), math.sin(i * 0.5))): _*)
+    val graph = GraphAnn.nnDescentGraph(df, k = 3, rounds = 2)
+    val res = GraphAnn.beamSearch(graph, df, df.filter(col("vec_id") < 2),
+      k = 12, beam = 3, steps = 4)
+    val dups = res.groupBy(col("query_id"), col("cand_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
+  test("beam search on sf0.001 embeddings: recall@5 vs quantized " +
+    "brute force is high") {
+    // uniform-random 64-d embeddings are the hardest case for a k-NN
+    // graph (no intrinsic low-dim structure): K=16/6 descent rounds
+    // reaches ~0.92 graph recall, and beam 8 / 4 steps then recovers the
+    // exact quantized top-5 (measured 1.0 here; asserted >= 0.9)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val graph = GraphAnn.nnDescentGraph(emb, k = 16, rounds = 6)
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = GraphAnn.beamSearch(graph, emb, queries,
+      k = 5, beam = 8, steps = 4)
+      .select(col("query_id"), col("cand_id"))
+    // exact top-5 under the SAME quantized integer key (brute force over
+    // all pairs) — the recall target the graph approximates
+    val codes = GraphAnn.quantized(emb, "embedding", "vec_id")
+    val q = codes.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("codes").as("qc"),
+        col("n2").as("qn2"))
+    val exact = codes.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("d", Similarity.dot(col("qc"), col("codes")).cast("long"))
+      .withColumn("d2", col("d") * col("d"))
+      .withColumn("nprod", col("qn2") * col("n2"))
+      .withColumn("key", GraphAnn.simKey(col("d"), col("qn2"), col("n2")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("key").desc, col("id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("id").as("cand_id"))
+    val hits = approx.join(exact, Seq("query_id", "cand_id")).count()
+    val total = exact.count()
+    assert(hits >= (total * 0.9).toLong,
+      s"recall ${hits.toDouble / total} below 0.9")
+  }
+}
