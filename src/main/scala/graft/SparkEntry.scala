@@ -28,7 +28,8 @@ object SparkEntry {
       StreamingQueries.queries ++
       ExtensionQueries.queries ++
       SketchQueries.queries ++
-      GraphAnnQueries.queries
+      GraphAnnQueries.queries ++
+      MiningQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

@@ -84,6 +84,62 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact INTEGER dot product over `array<tinyint>` (int8-quantized
+  * vectors), returning BIGINT — the scoring kernel of the graph-ANN tier.
+  * Byte arrays are ~6× smaller than double arrays through a shuffle
+  * (UnsafeArrayData: 1 byte/element vs 8), which is what keeps the
+  * NN-Descent candidate joins' exchanges bounded when the codes table
+  * outgrows a broadcast; the integer accumulator is exact by
+  * construction (|dot| ≤ dim·127² — no rounding anywhere). */
+case class DotProductI8Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product_i8 expects array<tinyint> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.GraftColumn
 
@@ -91,4 +147,9 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumn.column(
       DotProductExpr(GraftColumn.expression(a), GraftColumn.expression(b)))
+
+  /** Column-level exact integer dot product over array<tinyint>. */
+  def dotProductI8(a: Column, b: Column): Column =
+    GraftColumn.column(
+      DotProductI8Expr(GraftColumn.expression(a), GraftColumn.expression(b)))
 }

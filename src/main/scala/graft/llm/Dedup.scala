@@ -1424,4 +1424,33 @@ object Dedup {
         sum(col("span_words")).as("dup_words"),
         max(col("span_words")).as("max_span"))
   }
+
+  /** SOFT deduplication (SoftDeDup — He et al. 2024): reweight duplicated
+    * documents instead of removing them — hard dedup throws away the
+    * information that a text was common, soft dedup keeps every copy but
+    * scales its sampling weight by 1/frequency so the EXPECTED token mass
+    * of each distinct text equals one copy's. Published motivation: the
+    * removal/keep cliff is a hyper-parameter trap; downweighting is
+    * smooth and preserves rare-context copies of common passages.
+    *
+    * Per document: `dup_cnt` = its exact-duplicate group size (md5 text
+    * groups, the [[exact]] discipline), `weight_micro` = 1e6 div dup_cnt
+    * (the 1/frequency sampling weight in exact micro-units), and
+    * `eff_tokens_micro` = n_tokens · weight_micro — the document's
+    * contribution to the corpus's effective (reweighted) token count, the
+    * quantity SoftDeDup holds constant. One hash aggregate + one join
+    * back by the 128-bit digest; every value an exact BIGINT. */
+  def softDedupWeights(documents: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val hashed = documents.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("text_hash"),
+      size(filter(split(col(textCol), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    val groups = hashed.groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("dup_cnt"))
+    hashed.join(groups, "text_hash")
+      .withColumn("weight_micro", expr("1000000L div dup_cnt"))
+      .select(col("doc_id"), col("dup_cnt"), col("weight_micro"),
+        (col("n_tokens") * col("weight_micro")).as("eff_tokens_micro"))
+  }
 }

@@ -42,22 +42,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAnn {
 
-  /** Exact int quantization of an embedding column: (id, codes, n2) where
-    * codes[i] = floor(x_i * 127 / max_j |x_j| + 0.5) (all-zero vector =>
-    * all-zero codes) and n2 = sum codes^2 (exact BIGINT). Codes are kept as
-    * doubles for the codegen'd dot expression — every value is an integer
-    * <= 127 so double arithmetic over them is exact. */
+  /** Exact int8 quantization of an embedding column: (id, codes, n2)
+    * where codes[i] = floor(x_i * 127 / max_j |x_j| + 0.5) (all-zero
+    * vector => all-zero codes) and n2 = sum codes^2 (exact BIGINT).
+    * Codes are `array<tinyint>` — values fit a signed byte by
+    * construction, and byte arrays are ~6× smaller than double arrays
+    * through a shuffle, which is what keeps the candidate joins'
+    * exchanges bounded when the codes table outgrows a broadcast
+    * (measured on the ScaleCheck k×-vectors axis). */
   private[llm] def quantized(embeddings: DataFrame, vecCol: String,
                              idCol: String): DataFrame = {
     val x = col(vecCol).cast("array<double>")
     val m = array_max(transform(x, v => abs(v)))
     val codes = when(m === 0, transform(x, _ => lit(0.0)))
       .otherwise(transform(x, v => floor(v * lit(127.0) / m + lit(0.5))))
+      .cast("array<tinyint>")
     embeddings
       .select(col(idCol).as("id"), codes.as("codes"))
-      .withColumn("n2",
-        Similarity.dot(col("codes"), col("codes")).cast("long"))
+      .withColumn("n2", dotI8(col("codes"), col("codes")))
   }
+
+  /** Exact integer dot over int8 code arrays — a native codegen'd
+    * expression (graft.functions.DotProductI8Expr). */
+  private def dotI8(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProductI8(a, b)
 
   /** The exact integer similarity key over quantized vectors (see object
     * doc). Zero-norm vectors compare below every real key (-1000001 <
@@ -77,7 +85,7 @@ object GraphAnn {
         col("n2").as("na")), "src")
       .join(codes.select(col("id").as("dst"), col("codes").as("cb"),
         col("n2").as("nb")), "dst")
-      .withColumn("d", Similarity.dot(col("ca"), col("cb")).cast("long"))
+      .withColumn("d", dotI8(col("ca"), col("cb")))
       .withColumn("d2", col("d") * col("d"))
       .withColumn("nprod", col("na") * col("nb"))
       .withColumn("sim_key", simKey(col("d"), col("na"), col("nb")))
@@ -183,18 +191,32 @@ object GraphAnn {
                  k: Int, beam: Int, steps: Int, seed: Long = 42L,
                  vecCol: String = "embedding",
                  idCol: String = "vec_id"): DataFrame = {
-    require(k >= 1 && beam >= 1 && steps >= 0,
-      s"k/beam/steps must be positive, got $k/$beam/$steps")
     val codes = quantized(corpus, vecCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = graph.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val entry = codes
       .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
         col("id"))
       .limit(1)
       .select(col("id").as("cand_id"))
-    val q = quantized(queries, vecCol, idCol)
+    val out = beamSearchCore(codes, graph, entry,
+      quantized(queries, vecCol, idCol), k, beam, steps)
+    codes.unpersist(blocking = false)
+    out
+  }
+
+  /** The search body shared by the in-memory and indexed paths: `codes`
+    * is the quantized corpus (id, codes, n2), `entryDf` one (cand_id)
+    * row, `qCodes` the quantized queries. */
+  private def beamSearchCore(codesIn: DataFrame, graph: DataFrame,
+                             entryDf: DataFrame, qCodes: DataFrame,
+                             k: Int, beam: Int, steps: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && steps >= 0,
+      s"k/beam/steps must be positive, got $k/$beam/$steps")
+    val codes = codesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graph.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val entry = entryDf
+    val q = qCodes
       .select(col("id").as("query_id"), col("codes").as("qc"),
         col("n2").as("qn2"))
     // score a (query_id, cand_id) frame against the corpus codes
@@ -203,7 +225,7 @@ object GraphAnn {
         .join(broadcast(q), "query_id")
         .join(codes.select(col("id").as("cand_id"), col("codes").as("cb"),
           col("n2").as("nb")), "cand_id")
-        .withColumn("d", Similarity.dot(col("qc"), col("cb")).cast("long"))
+        .withColumn("d", dotI8(col("qc"), col("cb")))
         .withColumn("d2", col("d") * col("d"))
         .withColumn("nprod", col("qn2") * col("nb"))
         .withColumn("sim_key", simKey(col("d"), col("qn2"), col("nb")))
@@ -234,5 +256,53 @@ object GraphAnn {
       .withColumn("rk", row_number().over(wBeam))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"), col("sim_key"))
+  }
+
+  /** Write the PERSISTED k-NN-graph index — the graph-ANN mirror of
+    * [[Similarity.writeIvfIndex]]: production builds the graph ONCE
+    * (NN-Descent is the expensive half) and every query batch pays only
+    * the beam walk. Layout: `path/codes` is the quantized corpus (the
+    * scoring payload — persisting it means a query batch never touches
+    * the raw embeddings), `path/graph` the NN-Descent edges, `path/entry`
+    * the one-row md5-argmin entry point (fixed at build time, so a later
+    * append can extend the graph without moving the entry). Versioned
+    * through [[IndexManifest]] like every other persisted index. */
+  def writeKnnGraphIndex(corpus: DataFrame, path: String, k: Int,
+                         rounds: Int, seed: Long = 42L,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): Unit = {
+    IndexManifest.reset(path)
+    val codes = quantized(corpus, vecCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    nnDescentGraph(corpus, k, rounds, seed, vecCol, idCol)
+      .write.mode("overwrite").parquet(s"$path/graph")
+    codes
+      .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
+        col("id"))
+      .limit(1)
+      .select(col("id").as("cand_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    codes.unpersist(blocking = false)
+  }
+
+  /** Beam search against a PERSISTED k-NN-graph index
+    * ([[writeKnnGraphIndex]]): the per-batch query path — reads the
+    * stored codes/graph/entry, never the raw embeddings, and scores only
+    * |queries| * beam * k candidates per step. Per step the plan is one
+    * broadcast-hash join of the (tiny) expansion set against the codes
+    * table — a columnar scan with zero shuffle; the per-query cost
+    * amortizes across the batched query set, which is the batch-engine
+    * form of the HNSW walk. */
+  def searchKnnGraphIndexed(queries: DataFrame, indexPath: String,
+                            k: Int, beam: Int, steps: Int,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val codes = spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
+    val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
+    val entry = spark.read.parquet(IndexManifest.resolve(indexPath, "entry"))
+    beamSearchCore(codes, graph, entry,
+      quantized(queries, vecCol, idCol), k, beam, steps)
   }
 }

@@ -997,4 +997,72 @@ object Similarity {
       .distinct() // a pair may collide in several tables; ids only here
     rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
+
+  /** Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — the
+    * published bitext-mining criterion, used for any aligned-pair
+    * harvesting across two embedding sets): raw cosine over-selects
+    * pairs in dense "hubness" regions, so each candidate is scored by
+    * its cosine RELATIVE to the average cosine of both endpoints' k
+    * nearest neighbours (the paper's `ratio` variant):
+    *
+    *   margin(x, y) = cos(x, y) / ( (Σ_{z∈NNk(x)} cos(x,z) / k
+    *                               + Σ_{z∈NNk(y)} cos(y,z) / k) / 2 )
+    *
+    * Exactness: per-pair cosines go to 4 dp fixed-point BIGINTs FIRST
+    * (`round(round(cos,4)*10000)` — the established bit-identical cosine
+    * then integer arithmetic), neighbour sums are integer sums (order-
+    * free), and the margin is one exact integer division
+    * `(c * 2k * 1e6) div (sum_x + sum_y)` — micro-units of the ratio.
+    * Pairs whose denominator is ≤ 0 drop (a negative-neighbourhood
+    * anchor has no meaningful margin; documented contract).
+    *
+    * Candidates are the FORWARD k-NN lists (x → its k nearest y), the
+    * paper's `fwd` strategy; `topN` best margins win under a total
+    * order. Scale shape: this composes on the ANN tier — swap
+    * [[bruteForceTopK]] for the graph/IVF path when the sides outgrow a
+    * broadcast; the margin math itself joins only (id, id, c) rows. */
+  def marginPairs(src: DataFrame, tgt: DataFrame, k: Int, topN: Int,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && topN >= 1, s"k/topN must be positive, got $k/$topN")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("s_vec"))
+      .withColumn("s_norm", l2norm(col("s_vec")))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("t_vec"))
+      .withColumn("t_norm", l2norm(col("t_vec")))
+    val pairs = s.crossJoin(t)
+      .withColumn("c_micro",
+        round(round(dot(col("s_vec"), col("t_vec"))
+          / (col("s_norm") * col("t_norm")), 4) * 10000).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("c_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwd = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("c_micro").desc, col("tgt_id"))))
+      .filter(col("rk") <= k)
+    val bwd = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("tgt_id"))
+          .orderBy(col("c_micro").desc, col("src_id"))))
+      .filter(col("rk") <= k)
+    val sumX = fwd.groupBy(col("src_id"))
+      .agg(sum(col("c_micro")).as("sum_x"))
+    val sumY = bwd.groupBy(col("tgt_id"))
+      .agg(sum(col("c_micro")).as("sum_y"))
+    // c_micro >= 0 keeps the integer division's operands non-negative,
+    // where Spark's `div` (trunc) and DuckDB's `//` (floor) agree — and a
+    // negative-cosine candidate is never a meaningful mined pair anyway
+    val out = fwd.select(col("src_id"), col("tgt_id"), col("c_micro"))
+      .filter(col("c_micro") >= 0)
+      .join(sumX, "src_id")
+      .join(sumY, "tgt_id")
+      .filter(col("sum_x") + col("sum_y") > 0)
+      .withColumn("num", col("c_micro") * lit(2L * k) * lit(1000000L))
+      .withColumn("margin_micro", expr("num div (sum_x + sum_y)"))
+      .select(col("src_id"), col("tgt_id"), col("c_micro"),
+        col("margin_micro"))
+      .orderBy(col("margin_micro").desc, col("src_id"), col("tgt_id"))
+      .limit(topN)
+    pairs.unpersist(blocking = false)
+    out
+  }
 }

@@ -152,7 +152,34 @@ object GraphAnnQueries {
             k = 5, beam = 8, steps = 4, seed = 42L)
           .orderBy(col("query_id"), col("rk"))
       },
-      Some {
+      Some(beamSearchOracleSql)),
+
+    // The PERSISTED k-NN-graph index lifecycle (write + indexed search) —
+    // the graph-ANN member of the persisted-index family (MinHash, IVF,
+    // IVF-PQ): the index stores quantized codes + graph + entry point and
+    // the query batch reads ONLY the index, never the raw embeddings.
+    // Full lifecycle per run by stated contract (the q_sim_ivf_indexed
+    // rule: fresh write, then the indexed query). Unlike the IVF family's
+    // twin gates, this oracle is the FULL replay — the persisted round
+    // trip must reproduce the in-memory construction bit for bit.
+    QueryDef(
+      "q_sim_graph_indexed",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val idx = s"${graft.core.Fs.scratchRoot}/knn_graph_index"
+        GraphAnn.writeKnnGraphIndex(emb, idx, k = 16, rounds = 6,
+          seed = 42L)
+        GraphAnn.searchKnnGraphIndexed(emb.filter(col("vec_id") < 10),
+            idx, k = 5, beam = 8, steps = 4)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some(beamSearchOracleSql)),
+  )
+
+  /** Full-replay oracle for beam search over the NN-Descent graph —
+    * shared verbatim by the in-memory and indexed queries so the two
+    * cannot drift. */
+  private lazy val beamSearchOracleSql: String = {
         val steps = 4
         val stepCtes = (1 to steps).map { t =>
           val prev = s"v${t - 1}"
@@ -194,6 +221,5 @@ object GraphAnnQueries {
            |  WHERE cand_id <> query_id) t
            |WHERE rk <= 5
            |ORDER BY query_id, rk""".stripMargin
-      }),
-  )
+  }
 }

@@ -535,7 +535,28 @@ object ScaleCheck {
       // table, so time should track clip bytes and shuffle stay tiny
       ("q_dedup_audiofp", (_, f) => Dedup.audioFingerprintPairs(
         spark.read.parquet(s"$synthRoot/audiofp_x$f/media.parquet"),
-        maxHamming = 4, maxBucketSize = 500)))
+        maxHamming = 4, maxBucketSize = 500)),
+      // round-12: NN-Descent graph BUILD on the k× embeddings axis
+      // (id-shifted copies): per round the candidate volume is O(n·K²)
+      // with only (src, dst) id pairs in the shuffle (codes join back
+      // per distinct pair), so time and shuffle bytes must track the
+      // vector count linearly — a super-linear curve would flag the
+      // neighbour-of-neighbour join degenerating toward all-pairs
+      ("q_sim_nndescent", (dir, _) => graft.llm.GraphAnn.nnDescentGraph(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        k = 16, rounds = 6)),
+      // round-12: beam SEARCH against the PERSISTED k-NN-graph index
+      // (staged per factor outside the timing — the production shape:
+      // the graph is a precomputed artifact): the scored pair count is
+      // |queries|·beam·K per step, INDEPENDENT of corpus size; the only
+      // residual growth is the broadcast-hash codes lookup scan, so the
+      // time curve must stay near-flat and shuffle near-zero while the
+      // index grows 10×
+      ("q_sim_graph_idx", (_, f) => graft.llm.GraphAnn
+        .searchKnnGraphIndexed(
+          spark.read.parquet(s"$base/embeddings.parquet")
+            .filter(col("vec_id") < 10),
+          s"$synthRoot/knngidx_x$f", k = 5, beam = 8, steps = 4)))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
 
@@ -643,8 +664,21 @@ object ScaleCheck {
           new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
         }
       }
+    if (runs.exists(_._1 == "q_sim_graph_idx"))
+      for (f <- factors) {
+        val src = if (f == 1) base else s"$synthRoot/x$f"
+        if (f != 1) synthesize(spark, base, f, src)
+        val ix = new java.io.File(s"$synthRoot/knngidx_x$f")
+        if (!new java.io.File(ix, "_DONE").exists()) {
+          graft.llm.GraphAnn.writeKnnGraphIndex(
+            spark.read.parquet(s"$src/embeddings.parquet"), ix.toString,
+            k = 16, rounds = 6)
+          Caches.release(); spark.catalog.clearCache()
+          new java.io.FileOutputStream(new java.io.File(ix, "_DONE")).close()
+        }
+      }
     // PQ ingest-loop staging: pristine two-tier index per factor behind
-    // the marker; each RUN works on a fresh file copy (the loop appends)
+    // the marker; each RUN works in a fresh file copy (the loop appends)
     if (runs.exists(_._1 == "q_ingest_loop_pq"))
       for (f <- factors) {
         val src = if (f == 1) base else s"$synthRoot/x$f"

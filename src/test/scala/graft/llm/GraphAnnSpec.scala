@@ -19,15 +19,15 @@ class GraphAnnSpec extends SparkSpec {
     val df = vecs(1L -> Seq(0.5, -1.0, 0.25, 0.0))
     val r = GraphAnn.quantized(df, "embedding", "vec_id").collect().head
     // m = 1.0: codes floor(63.5+0.5)=64, floor(-127+0.5)=-127,
-    // floor(31.75+0.5)=32, 0
-    assert(r.getAs[Seq[Double]]("codes") === Seq(64.0, -127.0, 32.0, 0.0))
+    // floor(31.75+0.5)=32, 0 — as int8 (byte) values
+    assert(r.getAs[Seq[Byte]]("codes") === Seq[Byte](64, -127, 32, 0))
     assert(r.getAs[Long]("n2") === 64L * 64 + 127L * 127 + 32L * 32)
   }
 
   test("quantized: the all-zero vector gets zero codes and n2 = 0") {
     val df = vecs(7L -> Seq(0.0, 0.0, 0.0))
     val r = GraphAnn.quantized(df, "embedding", "vec_id").collect().head
-    assert(r.getAs[Seq[Double]]("codes") === Seq(0.0, 0.0, 0.0))
+    assert(r.getAs[Seq[Byte]]("codes") === Seq[Byte](0, 0, 0))
     assert(r.getAs[Long]("n2") === 0L)
   }
 
@@ -126,6 +126,26 @@ class GraphAnnSpec extends SparkSpec {
     assert(dups === 0L)
   }
 
+  test("persisted k-NN-graph index: indexed search equals the " +
+    "in-memory path (codes/graph/entry round-trip)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val dir = tempDir("knngraph").toString
+    GraphAnn.writeKnnGraphIndex(emb, dir, k = 8, rounds = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inMem = GraphAnn.beamSearch(
+        GraphAnn.nnDescentGraph(emb, k = 8, rounds = 2), emb, queries,
+        k = 5, beam = 6, steps = 3)
+      .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
+    val indexed = GraphAnn.searchKnnGraphIndexed(queries, dir,
+        k = 5, beam = 6, steps = 3)
+      .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
+    assert(indexed === inMem)
+    // the index layout carries all three artifacts
+    for (part <- Seq("codes", "graph", "entry"))
+      assert(new java.io.File(s"$dir/$part").exists(), part)
+  }
+
   test("beam search on sf0.001 embeddings: recall@5 vs quantized " +
     "brute force is high") {
     // uniform-random 64-d embeddings are the hardest case for a k-NN
@@ -145,7 +165,8 @@ class GraphAnnSpec extends SparkSpec {
       .select(col("id").as("query_id"), col("codes").as("qc"),
         col("n2").as("qn2"))
     val exact = codes.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("d", Similarity.dot(col("qc"), col("codes")).cast("long"))
+      .withColumn("d", graft.functions.VectorExpressions
+        .dotProductI8(col("qc"), col("codes")))
       .withColumn("d2", col("d") * col("d"))
       .withColumn("nprod", col("qn2") * col("n2"))
       .withColumn("key", GraphAnn.simKey(col("d"), col("qn2"), col("n2")))

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ground truth for the mining tier: hashed TF-IDF (hand-computed md5
+  * feature indexes/signs and smooth-idf fixed point), margin-based pair
+  * mining (hubness correction pinned against raw cosine), and soft-dedup
+  * reweighting. */
+class MiningSpec extends SparkSpec {
+
+  test("hashedTfidf: hand-computed md5 dims, signs, and smooth idf") {
+    import SparkSpec.spark.implicits._
+    // md5("a")=0cc175b9c... -> dim 0x0cc175b9 % 32 = 25, 9th nibble 'c' -> -1
+    // md5("b")=92eb5ffee... -> dim 30, sign -1
+    // md5("c")=4a8a08f09... -> dim 16, sign -1
+    // N=2; idf_micro: df=1 -> round(ln(1.5),4dp)*1e4+1e4 = 14055; df=2 -> 10000
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Featurize.hashedTfidf(docs, dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, 25L) -> -2L * 14055, // a: tf 2, sign -1
+      (1L, 30L) -> -10000L, // b in doc 1
+      (2L, 30L) -> -10000L, // b in doc 2
+      (2L, 16L) -> -14055L)) // c
+  }
+
+  test("hashedTfidf: colliding terms sum (and exact cancellation drops " +
+    "the component)") {
+    import SparkSpec.spark.implicits._
+    // dim=1 forces every term into component 0; signs still differ by
+    // term, so same-sign terms accumulate and opposite signs cancel
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text") // both sign -1, df=1
+    val got = Featurize.hashedTfidf(docs, dim = 1).collect()
+    // N=1: idf_micro = round(ln(2/2),4)*1e4+1e4 = 10000 for both
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === -20000L)
+  }
+
+  test("marginPairs: hubness correction — margin is cosine relative to " +
+    "neighbourhood averages, exact integers") {
+    import SparkSpec.spark.implicits._
+    // src 1 = (1,0); tgt 10 = (1,0) twin, tgt 11 = (0.8,0.6) cos 0.8,
+    // tgt 12 = (0,1) cos 0. k=2: fwd NN of src 1 = {10 (c 10000),
+    // 11 (c 8000)}; sum_x = 18000. bwd NN of tgt 10 = {1} (only one src)
+    // -> sum_y = 10000; margin(1,10) = 10000*4e6 div 28000 = 1428571
+    val src = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.8, 0.6)), (12L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(src, tgt, k = 2, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    // only the k=2 forward pairs appear; the twin wins
+    assert(got.length === 2)
+    assert(got.head === ((1L, 10L, 10000L, 10000L * 4000000 / 28000)))
+    // pair (1,11): sum_y(11) = 8000 (one src); margin = 8000*4e6/26000
+    assert(got(1) === ((1L, 11L, 8000L, 8000L * 4000000L / 26000L)))
+  }
+
+  test("marginPairs: negative-cosine candidates never mined") {
+    import SparkSpec.spark.implicits._
+    val src = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Seq(-1.0, 0.0)), (11L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(src, tgt, k = 2, topN = 10).collect()
+    // cos(1,10) = -1 drops on c_micro >= 0; cos(1,11) = 0 survives only
+    // if the denominator is positive — here sum_x = 0 + (-10000) < 0, so
+    // nothing is mined at all
+    assert(got.isEmpty)
+  }
+
+  test("softDedupWeights: 1/frequency weights and effective token mass") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "unique doc here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 2L, 500000L, 3L * 500000),
+      (2L, 2L, 500000L, 3L * 500000),
+      (3L, 1L, 1000000L, 4L * 1000000)))
+    // the reweighted corpus token mass counts each DISTINCT text once
+    val eff = got.map(_._4).sum
+    assert(eff === (3L + 4L) * 1000000)
+  }
+}
