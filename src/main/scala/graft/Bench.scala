@@ -104,7 +104,17 @@ object Bench {
     // batches by contract) and the EM-trained unigram tokenizer (each
     // rep re-trains: invalidateTrained clears the memo)
     "q_stream_ivfpq_ingest",  // IVF-PQ index + streamed delta ingest
-    "q_unigram_learn")        // unigram LM tokenizer, EM prune rounds
+    "q_unigram_learn",        // unigram LM tokenizer, EM prune rounds
+    // round-12 session-2 additions (first frozen budgets in BASELINE.md):
+    // the graph-ANN tier — NN-Descent construction is the expensive half
+    // (6 unrolled descent rounds, O(n·K²) candidates/round), and the
+    // indexed query pays its FULL lifecycle per rep by the round-9
+    // contract (fresh codes+graph+entry write, then the beam walk; the
+    // light mining queries — hashed TF-IDF 1.0 s, margin pairs 0.4 s,
+    // soft dedup 0.4 s — stay off the headline as sub-second shapes)
+    "q_sim_nndescent",        // NN-Descent k-NN graph, K=16, 6 rounds
+    "q_sim_graph_indexed",    // k-NN-graph index write + beam search
+    "q_sim_graph_index_append") // graph index write + twin append + search
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

@@ -68,4 +68,24 @@ object Featurize {
       .agg(sum(col("w")).as("w_micro"))
       .filter(col("w_micro") =!= 0)
   }
+
+  /** DENSE hashed TF-IDF vectors: the sparse components assembled into a
+    * fixed `dim`-length array<double> (exact — every component is an
+    * integer) under the embeddings-table column contract (vec_id,
+    * embedding), so the whole ANN tier composes directly on documents
+    * that ship no model vectors. Documents whose every component
+    * cancelled to zero are absent (they carry no usable signal — the
+    * hashing-trick analogue of an empty text). One map-assembly
+    * aggregate over the ≤ dim sparse rows per doc. */
+  def hashedTfidfDense(documents: DataFrame, dim: Int = 32,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    hashedTfidf(documents, dim, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("dim"), col("w_micro")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("embedding"))
 }

@@ -286,6 +286,69 @@ object GraphAnn {
     codes.unpersist(blocking = false)
   }
 
+  /** APPEND new vectors to a persisted k-NN-graph index
+    * ([[writeKnnGraphIndex]]) — the maintenance half, the HNSW insert
+    * rule in batch form: each delta vector's neighbours come from a beam
+    * search over the EXISTING graph (navigation graph frozen during the
+    * search, the frozen-quantizer contract of [[Similarity.appendToIvfIndex]]),
+    * its k best become its out-edges, and each TOUCHED existing node
+    * re-ranks its edge list against the reverse candidates — HNSW's
+    * bidirectional link-with-pruning, without which appended rows would
+    * be unreachable (no in-edges means no walk ever arrives). The entry
+    * point is unchanged (append never moves it — a rebuilt entry would
+    * invalidate nothing but would force a full re-walk of golden
+    * transcripts for zero recall gain).
+    *
+    * Writes: codes gain the delta by plain parquet append (add-only);
+    * the graph — whose affected rows must be REPLACED, not appended —
+    * rewrites into a fresh `graph_vN` dir published by one atomic
+    * manifest-pointer write (the [[IndexManifest]] compaction pattern),
+    * so a concurrent reader keeps a consistent prior version. The
+    * rewrite is one linear pass; the re-rank work is bounded by the
+    * affected nodes (≤ |delta|·k), never the corpus. */
+  def appendToKnnGraphIndex(delta: DataFrame, indexPath: String,
+                            beam: Int = 8, steps: Int = 4,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): Unit = {
+    val spark = delta.sparkSession
+    val codes = spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
+    val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val entry = spark.read.parquet(IndexManifest.resolve(indexPath, "entry"))
+    // the index's k: one driver Int off the stored graph's rank column
+    val k = graph.agg(max(col("rk"))).collect().head.getInt(0)
+    val dCodes = quantized(delta, vecCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbrs = beamSearchCore(codes, graph, entry, dCodes, k, beam, steps)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("sim_key").desc, col("dst"))
+    val newOut = nbrs.select(col("query_id").as("src"), col("rk"),
+      col("cand_id").as("dst"), col("sim_key"))
+    // reverse candidates make the delta reachable; affected nodes
+    // re-rank their lists against them (delta ids are fresh, so no
+    // (src, dst) duplicates with existing edges are possible)
+    val revCand = nbrs.select(col("cand_id").as("src"),
+      col("query_id").as("dst"), col("sim_key"))
+    val affected = revCand.select(col("src")).distinct()
+    val reRanked = graph.join(affected, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("sim_key"))
+      .unionByName(revCand)
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("rk"), col("dst"), col("sim_key"))
+    val untouched = graph.join(affected, Seq("src"), "left_anti")
+    val graphV = IndexManifest.nextVersionDir(indexPath, "graph")
+    untouched.unionByName(reRanked).unionByName(newOut)
+      .write.mode("overwrite").parquet(s"$indexPath/$graphV")
+    IndexManifest.publish(indexPath, "graph", graphV)
+    dCodes.write.mode("append")
+      .parquet(IndexManifest.resolve(indexPath, "codes"))
+    graph.unpersist(blocking = false)
+    dCodes.unpersist(blocking = false)
+    nbrs.unpersist(blocking = false)
+  }
+
   /** Beam search against a PERSISTED k-NN-graph index
     * ([[writeKnnGraphIndex]]): the per-batch query path — reads the
     * stored codes/graph/entry, never the raw embeddings, and scores only

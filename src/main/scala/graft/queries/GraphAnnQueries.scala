@@ -35,12 +35,13 @@ object GraphAnnQueries {
     * k-ring init, then `rounds` unrolled NN-Descent rounds (reverse lists
     * capped at k, neighbour-of-neighbour candidates, top-k window). The
     * final graph is CTE `b<rounds>`. */
-  private def nnDescentCtesSql(k: Int, rounds: Int, seed: Long): String = {
+  private def nnDescentCtesSql(k: Int, rounds: Int, seed: Long,
+                               source: String = "embeddings"): String = {
     val prelude =
       s"""e AS MATERIALIZED (
          |  SELECT vec_id, i - 1 AS dim,
          |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+         |  FROM $source, unnest(generate_series(1, len(embedding))) AS u(i)),
          |mm AS (SELECT vec_id, max(abs(x)) AS m FROM e GROUP BY vec_id),
          |qcd AS (
          |  SELECT e.vec_id, dim,
@@ -174,6 +175,105 @@ object GraphAnnQueries {
           .orderBy(col("query_id"), col("rk"))
       },
       Some(beamSearchOracleSql)),
+
+    // k-NN-graph index MAINTENANCE: build on the base corpus, then
+    // APPEND exact twins of the 10 query vectors with the stored graph
+    // frozen for navigation (the frozen-quantizer contract) — the HNSW
+    // insert rule in batch form: delta out-edges from a beam walk,
+    // touched nodes re-rank against the reverse candidates so appended
+    // rows are REACHABLE (no reverse links would strand them — the
+    // property under test). An identical vector scores sim_key exactly
+    // 1e6 against its original (Cauchy-Schwarz equality of the quantized
+    // codes), so the gate demands the twin at rank 1 with key 1e6 —
+    // appended rows as first-class citizens of the walked graph. Fresh
+    // index per run, so appends never compound (q_sim_ivf_index_append
+    // rule); the hash-derandomized construction keeps the whole
+    // lifecycle rerun-identical.
+    QueryDef(
+      "q_sim_graph_index_append",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val idx = s"${graft.core.Fs.scratchRoot}/knn_graph_idx_app"
+        GraphAnn.writeKnnGraphIndex(emb, idx, k = 16, rounds = 6,
+          seed = 42L)
+        GraphAnn.appendToKnnGraphIndex(
+          queries.select((col("vec_id") + 100000).as("vec_id"),
+            col("embedding")), idx)
+        val top = GraphAnn.searchKnnGraphIndexed(queries, idx,
+          k = 5, beam = 8, steps = 4)
+        queries.select(col("vec_id").as("query_id"))
+          .join(top.filter(col("rk") === 1)
+            .select(col("query_id"),
+              (col("cand_id") === col("query_id") + 100000 &&
+                col("sim_key") === 1000000L).as("ok")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("ok"), lit(false)).as("twin_top1"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, true AS twin_top1
+             |FROM embeddings WHERE vec_id < 10
+             |ORDER BY query_id""".stripMargin)),
+
+    // END-TO-END model-free similar-document graph: documents → hashed
+    // TF-IDF dense vectors (Featurize.hashedTfidfDense, exact integers)
+    // → NN-Descent k-NN graph. The oracle replays the WHOLE composition
+    // — tokenization, df/idf fixed point, md5 feature hashing + signs,
+    // dense assembly, int8 quantization, ranks, ring, all 4 descent
+    // rounds — in one CTE chain: the "similar documents with zero
+    // model-produced vectors" path, hash-checked end to end.
+    QueryDef(
+      "q_sim_docs_graph",
+      (s, dir) => GraphAnn.nnDescentGraph(
+          graft.llm.Featurize.hashedTfidfDense(
+            load(s, dir, "documents"), dim = 32),
+          k = 8, rounds = 4, seed = 42L)
+        .orderBy(col("src"), col("rk")),
+      Some {
+        val tfidfCtes =
+          """toks AS (
+            |  SELECT doc_id, t.term
+            |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+            |  WHERE t.term <> ''),
+            |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            |dft AS (
+            |  SELECT term, count(DISTINCT doc_id) AS df
+            |  FROM toks GROUP BY term),
+            |idf AS (
+            |  SELECT term,
+            |    CAST(round(round(ln(CAST(n + 1 AS DOUBLE)
+            |                        / CAST(df + 1 AS DOUBLE)), 4)
+            |               * 10000) AS BIGINT) + 10000 AS idf_micro
+            |  FROM dft, nn),
+            |tfq AS (
+            |  SELECT doc_id, term, count(*) AS tf
+            |  FROM toks GROUP BY doc_id, term),
+            |wq AS (
+            |  SELECT doc_id,
+            |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 32 AS dim,
+            |    (CASE WHEN substr(md5(term), 9, 1) IN
+            |            ('0','1','2','3','4','5','6','7')
+            |          THEN 1 ELSE -1 END) * tf * idf_micro AS w
+            |  FROM tfq JOIN idf USING (term)),
+            |sparsev AS (
+            |  SELECT doc_id, dim, CAST(sum(w) AS BIGINT) AS w_micro
+            |  FROM wq GROUP BY doc_id, dim
+            |  HAVING sum(w) <> 0),
+            |docvecs AS MATERIALIZED (
+            |  SELECT s.doc_id AS vec_id,
+            |    list(CAST(coalesce(w.w_micro, 0) AS DOUBLE) ORDER BY g.d)
+            |      AS embedding
+            |  FROM (SELECT DISTINCT doc_id FROM sparsev) s
+            |  CROSS JOIN unnest(generate_series(0, 31)) AS g(d)
+            |  LEFT JOIN sparsev w ON w.doc_id = s.doc_id AND w.dim = g.d
+            |  GROUP BY s.doc_id)""".stripMargin
+        s"""WITH $tfidfCtes,
+           |${nnDescentCtesSql(k = 8, rounds = 4, seed = 42L,
+              source = "docvecs")}
+           |SELECT src, rk, dst, sim_key FROM b4
+           |ORDER BY src, rk""".stripMargin
+      }),
   )
 
   /** Full-replay oracle for beam search over the NN-Descent graph —

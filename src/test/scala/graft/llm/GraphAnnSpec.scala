@@ -146,6 +146,45 @@ class GraphAnnSpec extends SparkSpec {
       assert(new java.io.File(s"$dir/$part").exists(), part)
   }
 
+  test("index append: HNSW-style insert — appended twins are reachable " +
+    "(reverse links) and untouched nodes keep their lists") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 150)
+    val dir = tempDir("knnapp").toString
+    GraphAnn.writeKnnGraphIndex(emb, dir, k = 8, rounds = 3)
+    val before = spark.read.parquet(
+        graft.llm.IndexManifest.resolve(dir, "graph"))
+      .collect().map(_.toSeq).toSet
+    val queries = emb.filter(col("vec_id") < 5)
+    GraphAnn.appendToKnnGraphIndex(
+      queries.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")), dir)
+    val after = spark.read.parquet(
+      graft.llm.IndexManifest.resolve(dir, "graph"))
+    // appended nodes carry full out-lists (k inferred from the index)
+    val outDeg = after.filter(col("src") >= 100000)
+      .groupBy(col("src")).count().collect()
+    assert(outDeg.length === 5 && outDeg.forall(_.getLong(1) === 8L))
+    // twins are REACHABLE: the walk must arrive via re-ranked reverse
+    // links and rank them first with sim key exactly 1e6
+    val res = GraphAnn.searchKnnGraphIndexed(queries, dir,
+      k = 3, beam = 8, steps = 5)
+    val top1 = res.filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (0L to 4L).foreach { q =>
+      assert(top1(q) === ((q + 100000, 1000000L)), s"query $q: ${top1(q)}")
+    }
+    // nodes NOT adjacent to any twin keep their exact pre-append lists
+    val touched = after.filter(col("dst") >= 100000)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+    val untouchedAfter = after
+      .filter(!col("src").isin(touched.toSeq: _*) && col("src") < 100000)
+      .collect().map(_.toSeq).toSet
+    assert(untouchedAfter.subsetOf(before))
+    // the graph republished as a fresh manifest version
+    assert(graft.llm.IndexManifest.resolve(dir, "graph") !== s"$dir/graph")
+  }
+
   test("beam search on sf0.001 embeddings: recall@5 vs quantized " +
     "brute force is high") {
     // uniform-random 64-d embeddings are the hardest case for a k-NN

@@ -71,6 +71,39 @@ class MiningSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("hashedTfidfDense: sparse components land at their md5 dims, " +
+    "zeros elsewhere, under the embeddings column contract") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Featurize.hashedTfidfDense(docs, dim = 32)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Seq[Double]]("embedding")).toMap
+    assert(got(1L).length === 32)
+    assert(got(1L)(25) === -2.0 * 14055) // a at dim 25
+    assert(got(1L)(30) === -10000.0) // b at dim 30
+    assert(got(1L).zipWithIndex.filter(p => p._2 != 25 && p._2 != 30)
+      .forall(_._1 === 0.0))
+    assert(got(2L)(16) === -14055.0 && got(2L)(30) === -10000.0)
+  }
+
+  test("composition: duplicate documents become sim_key-1e6 neighbours " +
+    "in the NN-Descent doc graph") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles the aggregate by its grouping key"),
+      (2L, "spark shuffles the aggregate by its grouping key"), // twin
+      (3L, "parquet scans prune columns and push filters down"),
+      (4L, "watermarks bound state in streaming session windows"),
+      (5L, "broadcast joins keep the small dimension on every executor"))
+      .toDF("doc_id", "text")
+    val g = GraphAnn.nnDescentGraph(
+        Featurize.hashedTfidfDense(docs, dim = 32), k = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(g((1L, 1)) === ((2L, 1000000L)))
+    assert(g((2L, 1)) === ((1L, 1000000L)))
+  }
+
   test("softDedupWeights: 1/frequency weights and effective token mass") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
