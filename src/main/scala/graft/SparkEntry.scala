@@ -29,7 +29,8 @@ object SparkEntry {
       ExtensionQueries.queries ++
       SketchQueries.queries ++
       GraphAnnQueries.queries ++
-      MiningQueries.queries
+      MiningQueries.queries ++
+      CurationQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

@@ -1453,4 +1453,64 @@ object Dedup {
       .select(col("doc_id"), col("dup_cnt"), col("weight_micro"),
         (col("n_tokens") * col("weight_micro")).as("eff_tokens_micro"))
   }
+
+  /** Paragraph-level exact dedup with document rebuild — the Dolma recipe
+    * (Soldaini et al., ACL 2024 §3: paragraph duplicates are REMOVED from
+    * every document except the first occurrence, leaving the rest of the
+    * document intact; doc-level dedup would discard too much, span-level
+    * too little). Dolma streams through a Bloom filter, so "first" is
+    * stream order; the batch-exact equivalent here is the corpus total
+    * order (doc_id, position): a paragraph survives iff it is the minimum
+    * (doc_id, pos) occurrence of its content hash.
+    *
+    * Paragraph boundary: the testdata corpus carries no newlines, so the
+    * caller picks a deterministic window — `paraTokens`-token blocks (the
+    * last block short). A newline-delimited corpus would pass
+    * `split(text, '\n')` semantics instead via a pre-exploded frame.
+    *
+    * Output per document: `n_paras`, `n_kept`, and `clean_text` rebuilt
+    * from the surviving paragraphs in position order ('' when every
+    * paragraph lost — the dedup-delete case, kept as a row so the caller
+    * sees the mass removed).
+    *
+    * Scale shape: paragraph chunking is one codegen'd higher-order
+    * expression (zero shuffle); the winner per content hash is a single
+    * hash aggregate of a min-struct (map-side combinable — the md5 key
+    * shuffles (16B + id + pos) per DISTINCT paragraph, never text); the
+    * verdict joins back on (hash, doc_id, pos); the rebuild is a per-doc
+    * hash aggregate whose state is bounded by document size. No window
+    * over the corpus, no driver state.
+    */
+  def paragraphDedup(documents: DataFrame, paraTokens: Int = 20,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val ts = filter(split(col(textCol), " "), t => t =!= "")
+    val paras = documents
+      .select(col(idCol).as("doc_id"), ts.as("ts"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          expr(s"sequence(0, (greatest(size(ts), 1) - 1) div $paraTokens)"),
+          i => array_join(
+            slice(col("ts"), i * paraTokens + 1, lit(paraTokens)), " ")))
+          .as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("para"), md5(col("para")).as("ph"))
+    val winners = paras
+      .groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("ph"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+    paras.join(winners, "ph")
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("pos") === col("w_pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("para"))))),
+            s => s.getField("para")),
+          " ").as("clean_text"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy audits over structured data — the tabular complement of the
+  * text-side PII scrub (q_pii_scrub): before a table ships as training
+  * data or a released artifact, measure how identifying its
+  * quasi-identifier combinations are.
+  *
+  * All three operators are exact-integer (class sizes, distinct counts,
+  * rung indexes), so the DuckDB oracles replay them bit for bit.
+  *
+  * Scale shape: every audit is ONE hash aggregate keyed by the
+  * quasi-identifier tuple (map-side combinable; only the QI tuple + id
+  * shuffles, never payload columns); the generalization walk adds one
+  * 1-row min() collect per ladder rung (bounded driver state, bounded
+  * rungs). No windows over the table, no cross joins.
+  *
+  * Reference anchor: repype has no privacy stages; these are the
+  * release-gate stages an LLM-data user of the reference would hand-write
+  * (published: Sweeney 2002 k-anonymity; Machanavajjhala et al. 2007
+  * l-diversity; Sweeney's Datafly generalization walk).
+  */
+object Privacy {
+
+  /** k-anonymity audit (Sweeney, IJUFKS 2002): one row per
+    * quasi-identifier equivalence class with its size and whether it
+    * meets the k bar. A class below k means those rows are re-identifiable
+    * by joining the QI tuple against an external table. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Int): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_anon", col("class_size") >= k)
+
+  /** Distinct l-diversity audit (Machanavajjhala et al., ICDE 2006/TKDD
+    * 2007): a k-anonymous class still leaks when everyone in it shares
+    * one sensitive value — each class must carry >= l DISTINCT sensitive
+    * values. `sensitive` is any derivation column (e.g. a value band). */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: Column,
+                 l: Int): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+
+  /** Datafly-style global generalization walk (Sweeney 2002): `ladder`
+    * lists full-domain generalization rungs, most specific first; each
+    * rung is the complete (name, derivation) list for the QI columns.
+    * Rows generalize at the FIRST rung whose minimum class size reaches
+    * k (the last rung is taken unconditionally if none does — callers
+    * end the ladder with full suppression). Returns the class table at
+    * the chosen rung plus the rung index.
+    *
+    * The walk is at most `ladder.size` aggregate passes, each collecting
+    * ONE driver row — the published sequential loop is over RUNGS (a
+    * handful), never over data. */
+  def generalizeToK(df: DataFrame, ladder: Seq[Seq[(String, Column)]],
+                    k: Int): DataFrame = {
+    require(ladder.nonEmpty, "generalizeToK: empty ladder")
+    def classes(rung: Seq[(String, Column)]): DataFrame =
+      df.groupBy(rung.map { case (n, c) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("class_size"))
+    val found = ladder.indexWhere { rung =>
+      classes(rung).agg(min(col("class_size"))).head.getLong(0) >= k
+    }
+    val idx = if (found < 0) ladder.size - 1 else found
+    classes(ladder(idx)).withColumn("rung", lit(idx.toLong))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Linkage, Privacy}
+
+/** Round-12 session-2 curation tier: paragraph-level dedup (Dolma),
+  * privacy audits (k-anonymity / l-diversity), record linkage, and
+  * corpus-law diagnostics. Every oracle is a FULL replay in DuckDB —
+  * exact-integer counts and 4-dp fixed-point logs, never planted values.
+  */
+object CurationQueries {
+  import Tables.load
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Paragraph-level exact dedup with document rebuild (Dolma, Soldaini
+    // et al. 2024): duplicated paragraphs (20-token blocks here — the
+    // corpus carries no newlines) survive only at their minimum
+    // (doc_id, pos) occurrence; each doc reports total/kept paragraph
+    // counts and its rebuilt text. The oracle replays chunking, the
+    // first-occurrence window, and the ordered rebuild; at sf0.01 the
+    // corpus carries ~50 naturally-repeated paragraphs, so the result is
+    // non-vacuous without a fixture.
+    QueryDef(
+      "q_dedup_paragraphs",
+      (s, dir) => Dedup.paragraphDedup(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '),
+             |                             t -> t <> '') AS ts
+             |  FROM documents),
+             |paras AS (
+             |  SELECT doc_id, CAST((s.x - 1) // 20 AS BIGINT) AS pos,
+             |         array_to_string(ts[s.x : s.x + 19], ' ') AS para
+             |  FROM toks,
+             |       unnest(range(1, greatest(len(ts), 1) + 1, 20)) AS s(x)),
+             |k AS (
+             |  SELECT doc_id, pos, para,
+             |    row_number() OVER (PARTITION BY md5(para)
+             |                       ORDER BY doc_id, pos) AS rk
+             |  FROM paras)
+             |SELECT doc_id,
+             |  count(*) AS n_paras,
+             |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' '
+             |                      ORDER BY pos), '') AS clean_text
+             |FROM k GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity audit (Sweeney 2002) over the customer table's
+    // (nation, market-segment) quasi-identifier: per-class sizes and the
+    // k=10 verdict. At sf0.01 the 125 classes range 5..19 rows, so both
+    // verdicts appear. One hash aggregate — exact integers end to end.
+    QueryDef(
+      "q_privacy_kanon",
+      (s, dir) => Privacy.kAnonymity(load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  count(*) AS class_size,
+             |  count(*) >= 10 AS k_anon
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // Distinct l-diversity audit (Machanavajjhala et al. 2007): a
+    // k-anonymous class still leaks when its sensitive values collapse —
+    // here the sensitive attribute is the $1000 account-balance band and
+    // the bar is l=5 distinct bands per class (classes carry 4..10, so
+    // both verdicts appear). The band is floor(x/1000): two IEEE ops that
+    // evaluate bit-identically on both engines.
+    QueryDef(
+      "q_privacy_ldiversity",
+      (s, dir) => Privacy.lDiversity(load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long"), l = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  count(*) AS class_size,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             |    AS n_sensitive,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 5
+             |    AS l_diverse
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // Datafly-style generalization walk (Sweeney 2002): climb the
+    // full-domain ladder (nation, segment) -> (nation, *) -> (*, *) to
+    // the FIRST rung whose minimum class size reaches k=20. At sf0.01
+    // rung 0's minimum is 5 and per-nation minimums are >= 43, so rung 1
+    // is chosen — the oracle replays the rung choice (two scalar
+    // subqueries) and the class table at every branch.
+    QueryDef(
+      "q_privacy_generalize",
+      (s, dir) => Privacy.generalizeToK(load(s, dir, "customer"),
+          Seq(
+            Seq("qi_nation" -> col("c_nationkey").cast("string"),
+              "qi_segment" -> col("c_mktsegment")),
+            Seq("qi_nation" -> col("c_nationkey").cast("string"),
+              "qi_segment" -> lit("*")),
+            Seq("qi_nation" -> lit("*"), "qi_segment" -> lit("*"))),
+          k = 20)
+        .orderBy(col("qi_nation"), col("qi_segment")),
+      Some("""WITH m0 AS (
+             |  SELECT min(c) AS m FROM (
+             |    SELECT count(*) AS c FROM customer
+             |    GROUP BY c_nationkey, c_mktsegment)),
+             |m1 AS (
+             |  SELECT min(c) AS m FROM (
+             |    SELECT count(*) AS c FROM customer GROUP BY c_nationkey)),
+             |pick AS (
+             |  SELECT CASE WHEN (SELECT m FROM m0) >= 20 THEN 0
+             |              WHEN (SELECT m FROM m1) >= 20 THEN 1
+             |              ELSE 2 END AS rung)
+             |SELECT * FROM (
+             |  SELECT * FROM (
+             |    SELECT CAST(c_nationkey AS VARCHAR) AS qi_nation,
+             |           c_mktsegment AS qi_segment,
+             |           count(*) AS class_size, CAST(0 AS BIGINT) AS rung
+             |    FROM customer GROUP BY c_nationkey, c_mktsegment)
+             |  WHERE (SELECT rung FROM pick) = 0
+             |  UNION ALL
+             |  SELECT * FROM (
+             |    SELECT CAST(c_nationkey AS VARCHAR), '*', count(*),
+             |           CAST(1 AS BIGINT)
+             |    FROM customer GROUP BY c_nationkey)
+             |  WHERE (SELECT rung FROM pick) = 1
+             |  UNION ALL
+             |  SELECT * FROM (
+             |    SELECT '*', '*', count(*), CAST(2 AS BIGINT)
+             |    FROM customer)
+             |  WHERE (SELECT rung FROM pick) = 2)
+             |ORDER BY qi_nation, qi_segment""".stripMargin)),
+
+    // Record linkage / entity resolution (merge/purge, Hernández &
+    // Stolfo 1995): a noisy-entity fixture derived from customer — every
+    // custkey < 300 becomes an entity named segment-md5hex8 (md5 spreads
+    // non-twin neighbours ~8 edits apart) and every 5th gets a twin with
+    // the LAST character flipped (so the twin sorts adjacent to its
+    // base). Sorted-neighborhood window 3, levenshtein <= 2, connected
+    // components; singletons keep their own id. FULL replay: the oracle
+    // rebuilds the fixture, the rank window, the exact edit distance, and
+    // the transitive closure.
+    QueryDef(
+      "q_entity_resolution",
+      (s, dir) => {
+        val ents = entityFixture(load(s, dir, "customer"))
+        Linkage.resolveEntities(ents, "ent_id", "name",
+            window = 3, maxDist = 2)
+          .orderBy(col("ent_id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT c_custkey AS ent_id,
+             |    c_mktsegment || '-' ||
+             |      substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS name
+             |  FROM customer WHERE c_custkey < 300),
+             |twin AS (
+             |  SELECT ent_id + 100000 AS ent_id,
+             |    substr(name, 1, len(name) - 1) || 'x' AS name
+             |  FROM base WHERE ent_id % 5 = 0),
+             |ents AS (
+             |  SELECT * FROM base UNION ALL SELECT * FROM twin),
+             |rk AS (
+             |  SELECT ent_id, name,
+             |    row_number() OVER (ORDER BY name, ent_id) - 1 AS r
+             |  FROM ents),
+             |pairs AS (
+             |  SELECT a.ent_id AS d1, b.ent_id AS d2
+             |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 2
+             |  WHERE levenshtein(a.name, b.name) <= 2),
+             |edges AS (
+             |  SELECT d1 AS n1, d2 AS n2 FROM pairs
+             |  UNION ALL SELECT d2, d1 FROM pairs),
+             |reach AS (
+             |  SELECT n1 AS node, n1 AS lbl FROM edges
+             |  UNION
+             |  SELECT e.n2 AS node, r.lbl
+             |  FROM reach r JOIN edges e ON e.n1 = r.node),
+             |cl AS (
+             |  SELECT node AS ent_id, min(lbl) AS cluster_id
+             |  FROM reach GROUP BY node)
+             |SELECT e.ent_id,
+             |  CAST(coalesce(cl.cluster_id, e.ent_id) AS BIGINT)
+             |    AS cluster_id
+             |FROM ents e LEFT JOIN cl USING (ent_id)
+             |ORDER BY ent_id""".stripMargin)),
+  )
+
+  /** Noisy-entity fixture: base entities named segment-md5hex8 off the
+    * customer table, plus a last-character-flipped twin for every 5th —
+    * deterministic, so the DuckDB oracle rebuilds it verbatim. */
+  private def entityFixture(customer: org.apache.spark.sql.DataFrame) = {
+    val base = customer.filter(col("c_custkey") < 300)
+      .select(col("c_custkey").as("ent_id"),
+        concat(col("c_mktsegment"), lit("-"),
+          substring(md5(col("c_custkey").cast("string")), 1, 8)).as("name"))
+    val twin = base.filter(col("ent_id") % 5 === 0)
+      .select((col("ent_id") + 100000).as("ent_id"),
+        concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
+          .as("name"))
+    base.unionByName(twin)
+  }
+}
