@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Linkage, Privacy}
+import graft.llm.{Dedup, EvalMetrics, Linkage, Privacy}
 
 /** Round-12 session-2 curation tier: paragraph-level dedup (Dolma),
   * privacy audits (k-anonymity / l-diversity), record linkage, and
@@ -185,6 +185,163 @@ object CurationQueries {
              |    AS cluster_id
              |FROM ents e LEFT JOIN cl USING (ent_id)
              |ORDER BY ent_id""".stripMargin)),
+
+    // Corpus-level BLEU-4 (Papineni et al. 2002) — the eval-side scoring
+    // metric next to the decontamination gates: candidates are the
+    // references with every 7th token dropped (a deterministic,
+    // oracle-replayable "model output"), clipped n-gram precisions pooled
+    // over doc_id < 120, geometric mean + brevity penalty in the ln →
+    // 4 dp → micro-unit discipline. The oracle replays tokenization, the
+    // per-n gram explosion, clipping, and every fixed-point step.
+    QueryDef(
+      "q_eval_bleu",
+      (s, dir) => {
+        val refs = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)"), " ").as("cand"))
+        EvalMetrics.corpusBleu(refs, maxN = 4)
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS pid,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS rt
+             |  FROM documents WHERE doc_id < 120),
+             |t AS (
+             |  SELECT pid, rt,
+             |    list_filter(rt, (x, i) -> i % 7 != 0) AS ct FROM p),
+             |lens AS (
+             |  SELECT CAST(sum(len(rt)) AS BIGINT) AS r_len,
+             |         CAST(sum(len(ct)) AS BIGINT) AS c_len FROM t),
+             |cg AS (
+             |  SELECT pid, n.n AS n,
+             |         array_to_string(ct[s.i : s.i + n.n - 1], ' ') AS g
+             |  FROM t, (VALUES (1), (2), (3), (4)) n(n),
+             |       unnest(range(1, greatest(len(ct) - n.n + 1, 0) + 1))
+             |         AS s(i)),
+             |rg AS (
+             |  SELECT pid, n.n AS n,
+             |         array_to_string(rt[s.i : s.i + n.n - 1], ' ') AS g
+             |  FROM t, (VALUES (1), (2), (3), (4)) n(n),
+             |       unnest(range(1, greatest(len(rt) - n.n + 1, 0) + 1))
+             |         AS s(i)),
+             |cc AS (SELECT pid, n, g, count(*) AS ccnt
+             |       FROM cg GROUP BY pid, n, g),
+             |rc AS (SELECT pid, n, g, count(*) AS rcnt
+             |       FROM rg GROUP BY pid, n, g),
+             |pn AS (
+             |  SELECT n,
+             |    CAST(sum(least(ccnt, coalesce(rcnt, 0))) AS BIGINT) AS m,
+             |    CAST(sum(ccnt) AS BIGINT) AS tot
+             |  FROM cc LEFT JOIN rc USING (pid, n, g) GROUP BY n),
+             |wide AS (
+             |  SELECT
+             |    max(CASE WHEN n = 1 THEN m END) AS match_1,
+             |    max(CASE WHEN n = 1 THEN tot END) AS total_1,
+             |    max(CASE WHEN n = 2 THEN m END) AS match_2,
+             |    max(CASE WHEN n = 2 THEN tot END) AS total_2,
+             |    max(CASE WHEN n = 3 THEN m END) AS match_3,
+             |    max(CASE WHEN n = 3 THEN tot END) AS total_3,
+             |    max(CASE WHEN n = 4 THEN m END) AS match_4,
+             |    max(CASE WHEN n = 4 THEN tot END) AS total_4
+             |  FROM pn),
+             |lns AS (
+             |  SELECT *,
+             |    CASE WHEN match_1 = 0 THEN 0 ELSE CAST(round(round(
+             |      ln(CAST(match_1 AS DOUBLE) / CAST(total_1 AS DOUBLE)),
+             |      4) * 10000) AS BIGINT) END AS ln_1,
+             |    CASE WHEN match_2 = 0 THEN 0 ELSE CAST(round(round(
+             |      ln(CAST(match_2 AS DOUBLE) / CAST(total_2 AS DOUBLE)),
+             |      4) * 10000) AS BIGINT) END AS ln_2,
+             |    CASE WHEN match_3 = 0 THEN 0 ELSE CAST(round(round(
+             |      ln(CAST(match_3 AS DOUBLE) / CAST(total_3 AS DOUBLE)),
+             |      4) * 10000) AS BIGINT) END AS ln_3,
+             |    CASE WHEN match_4 = 0 THEN 0 ELSE CAST(round(round(
+             |      ln(CAST(match_4 AS DOUBLE) / CAST(total_4 AS DOUBLE)),
+             |      4) * 10000) AS BIGINT) END AS ln_4
+             |  FROM wide, lens),
+             |fin AS (
+             |  SELECT *,
+             |    (ln_1 + ln_2 + ln_3 + ln_4 + 800000) // 4 - 200000
+             |      AS lbar,
+             |    CASE WHEN c_len >= r_len THEN 1.0
+             |         ELSE exp(1.0 - CAST(r_len AS DOUBLE)
+             |                       / CAST(c_len AS DOUBLE)) END AS bp
+             |  FROM lns)
+             |SELECT match_1, total_1, match_2, total_2, match_3, total_3,
+             |  match_4, total_4, r_len, c_len,
+             |  CAST(round(round(bp, 4) * 10000) AS BIGINT) AS bp_micro,
+             |  CASE WHEN match_1 = 0 OR match_2 = 0 OR match_3 = 0
+             |            OR match_4 = 0 THEN 0
+             |       ELSE CAST(round(round(
+             |         bp * exp(CAST(lbar AS DOUBLE) / 10000.0),
+             |         4) * 10000) AS BIGINT) END AS bleu_micro
+             |FROM fin""".stripMargin)),
+
+    // Zipf rank-frequency slope — the vocabulary-law diagnostic beside
+    // the Heaps growth curve (q_corpus_heaps): OLS slope of ln(freq) on
+    // ln(rank) over the top-100 terms (natural text sits near −1; a
+    // flatter slope flags templated/spammy corpora). Exact BIGINT sums
+    // of 4-dp fixed-point logs; the slope is ONE IEEE division of exact
+    // (< 2^53) integers. The rank window runs over the 100-row top table
+    // — bounded, never the corpus.
+    QueryDef(
+      "q_corpus_zipf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = load(s, dir, "documents")
+          .select(explode(filter(split(col("text"), " "),
+            t => t =!= "")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        val top = counts.orderBy(col("freq").desc, col("t")).limit(100)
+        val ranked = top.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("t")))
+            .cast("long"))
+        def lnMicro(c: org.apache.spark.sql.Column) =
+          round(round(log(c.cast("double")), 4) * 10000).cast("long")
+        ranked
+          .select(lnMicro(col("rank")).as("x"), lnMicro(col("freq")).as("y"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("slope_micro",
+            round(round(
+              (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"), 6) * 1000000).cast("long"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT t.t
+             |  FROM documents,
+             |       unnest(list_filter(string_split(text, ' '),
+             |                          x -> x <> '')) AS t(t)),
+             |f AS (SELECT t, count(*) AS freq FROM tk GROUP BY t),
+             |top AS (SELECT t, freq FROM f ORDER BY freq DESC, t LIMIT 100),
+             |r AS (
+             |  SELECT freq,
+             |    row_number() OVER (ORDER BY freq DESC, t) AS rank
+             |  FROM top),
+             |xy AS (
+             |  SELECT
+             |    CAST(round(round(ln(CAST(rank AS DOUBLE)), 4) * 10000)
+             |      AS BIGINT) AS x,
+             |    CAST(round(round(ln(CAST(freq AS DOUBLE)), 4) * 10000)
+             |      AS BIGINT) AS y
+             |  FROM r),
+             |s AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM xy)
+             |SELECT n_terms, sx, sy, sxx, sxy,
+             |  CAST(round(round(
+             |    CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n_terms * sxx - sx * sx AS DOUBLE),
+             |    6) * 1000000) AS BIGINT) AS slope_micro
+             |FROM s""".stripMargin)),
   )
 
   /** Noisy-entity fixture: base entities named segment-md5hex8 off the

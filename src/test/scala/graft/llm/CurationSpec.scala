@@ -36,4 +36,122 @@ class CurationSpec extends SparkSpec {
       (1L, 2L, 2L, "p q r"),
       (2L, 1L, 1L, "")))
   }
+
+  test("kAnonymity: class sizes and the k verdict") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"), ("us", "b"),
+      ("fr", "a"), ("fr", "a"))
+      .toDF("country", "seg")
+    val got = Privacy.kAnonymity(df, Seq("country", "seg"), k = 2)
+      .orderBy("country", "seg")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3)))
+    assert(got === Array(
+      ("fr", "a", 2L, true),
+      ("us", "a", 3L, true),
+      ("us", "b", 1L, false)))
+  }
+
+  test("lDiversity: a k-anonymous class with collapsed sensitive values " +
+    "fails the l bar") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // class (us): 3 rows but only ONE sensitive value -> not 2-diverse
+      ("us", 5L), ("us", 5L), ("us", 5L),
+      // class (fr): 2 rows, 2 distinct values -> 2-diverse
+      ("fr", 1L), ("fr", 2L))
+      .toDF("country", "sens")
+    val got = Privacy.lDiversity(df, Seq("country"), col("sens"), l = 2)
+      .orderBy("country")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3)))
+    assert(got === Array(
+      ("fr", 2L, 2L, true),
+      ("us", 3L, 1L, false)))
+  }
+
+  test("generalizeToK: first satisfying rung wins; exhausted ladder " +
+    "falls through to the last rung") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(("us", "a"), ("us", "b"), ("fr", "a"), ("fr", "a"))
+      .toDF("country", "seg")
+    val ladder = Seq(
+      Seq("qc" -> col("country"), "qs" -> col("seg")), // min class 1
+      Seq("qc" -> col("country"), "qs" -> lit("*")),   // min class 2
+      Seq("qc" -> lit("*"), "qs" -> lit("*")))         // all 4
+    val atK2 = Privacy.generalizeToK(df, ladder, k = 2)
+      .orderBy("qc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(atK2 === Array(("fr", "*", 2L, 1L), ("us", "*", 2L, 1L)))
+    val atK9 = Privacy.generalizeToK(df, ladder, k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(atK9 === Array(("*", 4L, 2L))) // nothing reaches 9 -> last rung
+  }
+
+  test("sortedNeighborhoodPairs: only rows within the rank window " +
+    "compare, and the edit-distance bar filters") {
+    import SparkSpec.spark.implicits._
+    // sorted key order: aaaa(1) aaab(2) aaac(4) zzzz(3)
+    val recs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz"), (4L, "aaac"))
+      .toDF("ent_id", "name")
+    val w2 = Linkage.sortedNeighborhoodPairs(recs, "ent_id", "name",
+        window = 2, maxDist = 1)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // adjacent pairs only; (aaac, zzzz) dist 4 drops
+    assert(w2 === Array((1L, 2L, 1), (2L, 4L, 1)))
+    val w3 = Linkage.sortedNeighborhoodPairs(recs, "ent_id", "name",
+        window = 3, maxDist = 1)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // window 3 additionally reaches (aaaa, aaac)
+    assert(w3 === Array((1L, 2L, 1), (1L, 4L, 1), (2L, 4L, 1)))
+  }
+
+  test("corpusBleu: hand-computed clipped precisions, brevity penalty, " +
+    "and fixed-point geometric mean (maxN = 2)") {
+    import SparkSpec.spark.implicits._
+    // ref "the cat sat on the mat" (6), cand "the cat on the mat" (5):
+    // p1 = 5/5 (clip holds "the" at 2), p2 = 3/4 ("cat on" misses);
+    // l1 = 0, l2 = -2877; lbar = (0 - 2877 + 400000) div 2 - 200000
+    //    = -1439; bp = exp(1 - 6/5) = 0.8187 -> 8187;
+    // bleu = 0.81873 * exp(-0.1439) = 0.70900 -> 7090
+    val pairs = Seq((1L, "the cat sat on the mat", "the cat on the mat"))
+      .toDF("pair_id", "ref", "cand")
+    val r = EvalMetrics.corpusBleu(pairs, maxN = 2).collect().head
+    assert(r.getAs[Long]("match_1") === 5L)
+    assert(r.getAs[Long]("total_1") === 5L)
+    assert(r.getAs[Long]("match_2") === 3L)
+    assert(r.getAs[Long]("total_2") === 4L)
+    assert(r.getAs[Long]("r_len") === 6L)
+    assert(r.getAs[Long]("c_len") === 5L)
+    assert(r.getAs[Long]("bp_micro") === 8187L)
+    assert(r.getAs[Long]("bleu_micro") === 7090L)
+  }
+
+  test("corpusBleu: any zero n-gram precision zeroes the score (the " +
+    "unsmoothed convention), and a long candidate gets bp = 1") {
+    import SparkSpec.spark.implicits._
+    // cand shares unigrams but no bigram; cand longer than ref
+    val pairs = Seq((1L, "a b", "b x a")).toDF("pair_id", "ref", "cand")
+    val r = EvalMetrics.corpusBleu(pairs, maxN = 2).collect().head
+    assert(r.getAs[Long]("match_2") === 0L)
+    assert(r.getAs[Long]("bp_micro") === 10000L)
+    assert(r.getAs[Long]("bleu_micro") === 0L)
+  }
+
+  test("resolveEntities: matched records collapse to the minimum member " +
+    "id; singletons keep their own id") {
+    import SparkSpec.spark.implicits._
+    val recs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "zzzz"), (4L, "aaac"))
+      .toDF("ent_id", "name")
+    val got = Linkage.resolveEntities(recs, "ent_id", "name",
+        window = 3, maxDist = 1)
+      .orderBy("ent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array((1L, 1L), (2L, 1L), (3L, 3L), (4L, 1L)))
+  }
 }
