@@ -185,6 +185,32 @@ object StreamingQueries {
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
              |ORDER BY user_id, view_id, purchase_id NULLS FIRST""".stripMargin)),
 
+    // Stream-stream FULL OUTER join — completes the streaming join
+    // family: beyond the left join's unconverted views, the purchases
+    // with NO preceding view inside the horizon (direct traffic) must
+    // also surface, NULL-padded on the view side once the watermark
+    // proves no match can still arrive. Both sides' state evicts by
+    // watermark + the event-time range bound; user_id coalesces across
+    // sides. Same heartbeat mechanics and batch-equivalence oracle as
+    // the left join.
+    QueryDef(
+      "q_stream_join_full",
+      (s, dir) => EventStreams.runAvailableNowAppendHeartbeat(
+          s, s"$dir/events.parquet",
+          df => EventStreams.viewPurchaseJoinFullOuter(df),
+          "stream_join_full")
+        // sentinel filter on the SINK table (see the left-outer note)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id")),
+      Some("""SELECT coalesce(v.user_id, p.user_id) AS user_id,
+             |  v.event_id AS view_id, p.event_id AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+             |ORDER BY user_id, view_id NULLS FIRST,
+             |  purchase_id NULLS FIRST""".stripMargin)),
+
     // Stream-static enrichment join: events enriched with the customer
     // dimension (stream-static joins are STATELESS — only the downstream
     // windowed aggregate holds state), dim side broadcast so the stream

@@ -174,6 +174,36 @@ object EventStreams {
     // (observed: stale watermark, stranded outer rows).
   }
 
+  /** Stream-stream FULL OUTER attribution join — both unmatched sides
+    * survive: views that never converted (the left-outer rows) AND
+    * purchases with no preceding view inside the horizon (the
+    * direct-traffic rows a left join silently drops). Same state/eviction
+    * mechanics as the left join — watermarks on both sides plus the
+    * event-time range condition bound the buffered state, and unmatched
+    * rows emit once the watermark passes their eviction bound. `user_id`
+    * is coalesced across sides (the view side's is NULL on
+    * purchase-only rows). */
+  def viewPurchaseJoinFullOuter(events: DataFrame,
+                                horizon: String = "10 minutes",
+                                watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"interval $horizon"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("view_id"), col("purchase_id"))
+    // heartbeat sentinels filter AFTER the sink (see the left-outer note)
+  }
+
   /** Stateful streaming dedup by event_id within the watermark. */
   def dedupWithinWatermark(events: DataFrame,
                            watermark: String = "10 minutes"): DataFrame =
