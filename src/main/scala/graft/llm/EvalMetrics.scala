@@ -24,6 +24,13 @@ object EvalMetrics {
         i => array_join(slice(c, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** 60-bit gram fingerprint (md5 hex prefix as integer): the 8-byte
+    * count/join key that keeps gram STRINGS out of every exchange. 15 hex
+    * chars < 2^60 so the signed-long cast can't overflow; DuckDB mirror:
+    * `CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)`. */
+  private def gramFp(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
   /** Corpus-level BLEU (Papineni et al., ACL 2002) over (id, ref, cand)
     * row pairs: modified (clipped) n-gram precisions pooled across the
     * corpus for n = 1..maxN, geometric mean, brevity penalty.
@@ -44,9 +51,17 @@ object EvalMetrics {
     * integers (all < 2^53), association order stated in the expression.
     *
     * Scale shape: per-n gram explosion is codegen'd per-row work; counts
-    * are two hash aggregates keyed by (pair, n, gram) — only grams
-    * shuffle, never document text; everything after the per-n rollup is
-    * 1-row arithmetic. No windows, no driver state.
+    * are two hash aggregates keyed by (pair, n, FINGERPRINT) where the
+    * fingerprint is the md5-derived 60-bit integer of the gram — the
+    * gram string itself never shuffles (ScaleCheck measured the string
+    * variant's clip join going broadcast→SMJ at 10× and re-exchanging
+    * full 4-gram strings on both sides: 20× shuffle for 10× data; the
+    * fingerprint restored the linear trajectory with an 8-byte key).
+    * Collisions are the feature-hashing trade: ~n²/2^61 expected false
+    * gram equalities (≈1e-5 at ten million distinct grams) — and the
+    * oracle replays the same fingerprint, so cross-engine parity is
+    * unconditional. Everything after the per-n rollup is 1-row
+    * arithmetic. No windows, no driver state.
     */
   def corpusBleu(pairs: DataFrame, refCol: String = "ref",
                  candCol: String = "cand", idCol: String = "pair_id",
@@ -63,13 +78,13 @@ object EvalMetrics {
       (1 to maxN).map { n =>
         t.select(col("pid"), lit(n).as("n"),
             explode(grams(col(tokCol), n)).as("g"))
-          .groupBy(col("pid"), col("n"), col("g"))
+          .groupBy(col("pid"), col("n"), gramFp(col("g")).as("gh"))
           .agg(count(lit(1)).as(out))
       }.reduce(_ unionByName _)
 
     val cc = counted("ct", "ccnt")
     val rc = counted("rt", "rcnt")
-    val perN = cc.join(rc, Seq("pid", "n", "g"), "left")
+    val perN = cc.join(rc, Seq("pid", "n", "gh"), "left")
       .select(col("n"), col("ccnt"),
         least(col("ccnt"), coalesce(col("rcnt"), lit(0L))).as("clip"))
       .groupBy(col("n"))
@@ -110,5 +125,77 @@ object EvalMetrics {
           round(round(bp * exp(lbar.cast("double") / 10000.0), 4) * 10000)
             .cast("long")))
       .drop((1 to maxN).map(n => s"ln_$n"): _*)
+  }
+
+  /** Per-pair token-level F1 (the SQuAD answer metric, Rajpurkar et al.
+    * 2016): precision and recall from the CLIPPED unigram overlap
+    * (multiset intersection), F1 their harmonic mean. All-integer until
+    * the three fixed-point divisions — `overlap·1e6 div total` floor
+    * divisions of non-negative operands, engine-identical; F1 =
+    * 2pr·1e6 div (p+r) on the already-fixed-pointed p and r (stated
+    * order, so the oracle replays bit for bit); 0 whenever a side is
+    * empty or the overlap is 0.
+    *
+    * Scale shape: one explode + one (pair, token) hash aggregate per
+    * side, an equi-join on (pair, token), one per-pair rollup — only
+    * tokens shuffle, and per-pair state is bounded by pair length. */
+  def tokenF1(pairs: DataFrame, refCol: String = "ref",
+              candCol: String = "cand",
+              idCol: String = "pair_id"): DataFrame = {
+    def toks(c: String) = filter(split(col(c), " "), t => t =!= "")
+    val t = Caches.track(pairs.select(col(idCol).as("pid"),
+      toks(refCol).as("rt"), toks(candCol).as("ct")))
+    def counts(tokCol: String, out: String) =
+      t.select(col("pid"), explode(col(tokCol)).as("g"))
+        .groupBy(col("pid"), col("g")).agg(count(lit(1)).as(out))
+    val ov = counts("ct", "ccnt")
+      .join(counts("rt", "rcnt"), Seq("pid", "g"))
+      .groupBy(col("pid"))
+      .agg(sum(least(col("ccnt"), col("rcnt"))).as("overlap"))
+    t.select(col("pid"), size(col("rt")).cast("long").as("r_len"),
+        size(col("ct")).cast("long").as("c_len"))
+      .join(ov, Seq("pid"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("p_micro", when(col("c_len") === 0, lit(0L))
+        .otherwise(expr("overlap * 1000000L div c_len")))
+      .withColumn("r_micro", when(col("r_len") === 0, lit(0L))
+        .otherwise(expr("overlap * 1000000L div r_len")))
+      .withColumn("f1_micro",
+        when(col("p_micro") + col("r_micro") === 0, lit(0L))
+          .otherwise(expr(
+            "2 * p_micro * r_micro div (p_micro + r_micro)")))
+      .select(col("pid").as("pair_id"), col("overlap"), col("r_len"),
+        col("c_len"), col("p_micro"), col("r_micro"), col("f1_micro"))
+  }
+
+  /** Corpus ROUGE-N (Lin, 2004): RECALL-oriented n-gram overlap — the
+    * summarization complement of BLEU's precision (how much of the
+    * REFERENCE the candidate recovers). Pooled over the corpus like the
+    * published corpus variant: recall_micro = Σclip·1e6 div Σref_grams,
+    * one row per n = 1..maxN. Same clipped counts as [[corpusBleu]] with
+    * the roles of the denominators swapped; same shuffle shape. */
+  def corpusRougeN(pairs: DataFrame, refCol: String = "ref",
+                   candCol: String = "cand", idCol: String = "pair_id",
+                   maxN: Int = 2): DataFrame = {
+    def toks(c: String) = filter(split(col(c), " "), t => t =!= "")
+    val t = Caches.track(pairs.select(col(idCol).as("pid"),
+      toks(refCol).as("rt"), toks(candCol).as("ct")))
+    def counted(tokCol: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        t.select(col("pid"), lit(n).as("n"),
+            explode(grams(col(tokCol), n)).as("g"))
+          .groupBy(col("pid"), col("n"), gramFp(col("g")).as("gh"))
+          .agg(count(lit(1)).as(out))
+      }.reduce(_ unionByName _)
+    counted("rt", "rcnt")
+      .join(counted("ct", "ccnt"), Seq("pid", "n", "gh"), "left")
+      .select(col("n"),
+        least(col("rcnt"), coalesce(col("ccnt"), lit(0L))).as("clip"),
+        col("rcnt"))
+      .groupBy(col("n"))
+      .agg(sum(col("clip")).as("match_n"), sum(col("rcnt")).as("ref_total"))
+      .withColumn("recall_micro",
+        when(col("ref_total") === 0, lit(0L))
+          .otherwise(expr("match_n * 1000000L div ref_total")))
   }
 }

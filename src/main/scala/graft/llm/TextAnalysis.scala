@@ -1012,4 +1012,36 @@ object TextAnalysis {
         && !badHit).as("keep"),
       array_join(kept, "\n").as("clean_text"))
   }
+
+  /** Luhn-validated card-number detection (Luhn 1960; ISO/IEC 7812) — the
+    * checksum gate production DLP scanners put behind the digit-run
+    * regex: a 13–19 digit run is only a PII hit when its mod-10 checksum
+    * verifies, which drops the overwhelming majority of order ids,
+    * timestamps, and hashes a bare regex would scrub (the q_pii_scrub
+    * rule redacts every long digit run; this is the precision upgrade).
+    *
+    * One row per candidate digit run with its verdict. Pure per-row
+    * codegen'd work (regexp_extract_all + an `aggregate` over the digit
+    * positions) — no shuffle, no state; the checksum is exact integer
+    * arithmetic, so DuckDB replays it digit for digit. */
+  def luhnScan(df: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)"))
+          .as("candidate"))
+      // double every SECOND digit counting from the right (the check
+      // digit, rightmost, stays single): right-position = len - i + 1,
+      // doubled when even ⇔ (len - i) odd; doubled digits > 9 fold back
+      // by subtracting 9
+      .withColumn("luhn_ok", expr(
+        """aggregate(
+          |  sequence(1, length(candidate)), 0,
+          |  (acc, i) -> acc + (CASE
+          |    WHEN (length(candidate) - i) % 2 = 1
+          |    THEN IF(2 * CAST(substring(candidate, i, 1) AS INT) > 9,
+          |            2 * CAST(substring(candidate, i, 1) AS INT) - 9,
+          |            2 * CAST(substring(candidate, i, 1) AS INT))
+          |    ELSE CAST(substring(candidate, i, 1) AS INT) END)
+          |) % 10 = 0""".stripMargin))
 }

@@ -215,25 +215,29 @@ object CurationQueries {
              |         CAST(sum(len(ct)) AS BIGINT) AS c_len FROM t),
              |cg AS (
              |  SELECT pid, n.n AS n,
-             |         array_to_string(ct[s.i : s.i + n.n - 1], ' ') AS g
+             |         CAST('0x' || substr(md5(
+             |           array_to_string(ct[s.i : s.i + n.n - 1], ' ')),
+             |           1, 15) AS BIGINT) AS gh
              |  FROM t, (VALUES (1), (2), (3), (4)) n(n),
              |       unnest(range(1, greatest(len(ct) - n.n + 1, 0) + 1))
              |         AS s(i)),
              |rg AS (
              |  SELECT pid, n.n AS n,
-             |         array_to_string(rt[s.i : s.i + n.n - 1], ' ') AS g
+             |         CAST('0x' || substr(md5(
+             |           array_to_string(rt[s.i : s.i + n.n - 1], ' ')),
+             |           1, 15) AS BIGINT) AS gh
              |  FROM t, (VALUES (1), (2), (3), (4)) n(n),
              |       unnest(range(1, greatest(len(rt) - n.n + 1, 0) + 1))
              |         AS s(i)),
-             |cc AS (SELECT pid, n, g, count(*) AS ccnt
-             |       FROM cg GROUP BY pid, n, g),
-             |rc AS (SELECT pid, n, g, count(*) AS rcnt
-             |       FROM rg GROUP BY pid, n, g),
+             |cc AS (SELECT pid, n, gh, count(*) AS ccnt
+             |       FROM cg GROUP BY pid, n, gh),
+             |rc AS (SELECT pid, n, gh, count(*) AS rcnt
+             |       FROM rg GROUP BY pid, n, gh),
              |pn AS (
              |  SELECT n,
              |    CAST(sum(least(ccnt, coalesce(rcnt, 0))) AS BIGINT) AS m,
              |    CAST(sum(ccnt) AS BIGINT) AS tot
-             |  FROM cc LEFT JOIN rc USING (pid, n, g) GROUP BY n),
+             |  FROM cc LEFT JOIN rc USING (pid, n, gh) GROUP BY n),
              |wide AS (
              |  SELECT
              |    max(CASE WHEN n = 1 THEN m END) AS match_1,
@@ -277,6 +281,179 @@ object CurationQueries {
              |         bp * exp(CAST(lbar AS DOUBLE) / 10000.0),
              |         4) * 10000) AS BIGINT) END AS bleu_micro
              |FROM fin""".stripMargin)),
+
+    // Per-pair token F1 (the SQuAD answer metric, Rajpurkar et al. 2016):
+    // clipped unigram overlap → precision/recall/F1 in exact micro-units.
+    // Candidates drop every 7th reference token AND re-append the first
+    // three (so precision < 1: the extra copies clip at the reference
+    // multiplicity). The oracle replays the multiset intersection and all
+    // three floor divisions.
+    QueryDef(
+      "q_eval_token_f1",
+      (s, dir) => {
+        val pairs = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "concat(filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)," +
+                " slice(filter(split(text, ' '), t -> t != ''), 1, 3))"),
+              " ").as("cand"))
+        EvalMetrics.tokenF1(pairs).orderBy(col("pair_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS pid,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS rt
+             |  FROM documents WHERE doc_id < 120),
+             |t AS (
+             |  SELECT pid, rt,
+             |    list_concat(list_filter(rt, (x, i) -> i % 7 != 0),
+             |                rt[1:3]) AS ct
+             |  FROM p),
+             |cc AS (SELECT pid, g.g AS g, count(*) AS ccnt
+             |       FROM t, unnest(ct) AS g(g) GROUP BY pid, g.g),
+             |rc AS (SELECT pid, g.g AS g, count(*) AS rcnt
+             |       FROM t, unnest(rt) AS g(g) GROUP BY pid, g.g),
+             |ov AS (
+             |  SELECT pid, CAST(sum(least(ccnt, rcnt)) AS BIGINT) AS overlap
+             |  FROM cc JOIN rc USING (pid, g) GROUP BY pid),
+             |base AS (
+             |  SELECT t.pid AS pair_id, coalesce(overlap, 0) AS overlap,
+             |    CAST(len(rt) AS BIGINT) AS r_len,
+             |    CAST(len(ct) AS BIGINT) AS c_len
+             |  FROM t LEFT JOIN ov ON t.pid = ov.pid),
+             |m AS (
+             |  SELECT pair_id, overlap, r_len, c_len,
+             |    CASE WHEN c_len = 0 THEN 0
+             |         ELSE overlap * 1000000 // c_len END AS p_micro,
+             |    CASE WHEN r_len = 0 THEN 0
+             |         ELSE overlap * 1000000 // r_len END AS r_micro
+             |  FROM base)
+             |SELECT pair_id, overlap, r_len, c_len, p_micro, r_micro,
+             |  CASE WHEN p_micro + r_micro = 0 THEN 0
+             |       ELSE 2 * p_micro * r_micro // (p_micro + r_micro)
+             |  END AS f1_micro
+             |FROM m ORDER BY pair_id""".stripMargin)),
+
+    // Corpus ROUGE-1/2 (Lin 2004): the RECALL complement of BLEU — how
+    // much of the reference the candidate recovers, pooled over the
+    // corpus, one row per n. Same clipped counts as q_eval_bleu with the
+    // denominator swapped to the reference side.
+    QueryDef(
+      "q_eval_rouge",
+      (s, dir) => {
+        val pairs = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)"), " ").as("cand"))
+        EvalMetrics.corpusRougeN(pairs, maxN = 2).orderBy(col("n"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS pid,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS rt
+             |  FROM documents WHERE doc_id < 120),
+             |t AS (
+             |  SELECT pid, rt,
+             |    list_filter(rt, (x, i) -> i % 7 != 0) AS ct FROM p),
+             |rg AS (
+             |  SELECT pid, n.n AS n,
+             |         CAST('0x' || substr(md5(
+             |           array_to_string(rt[s.i : s.i + n.n - 1], ' ')),
+             |           1, 15) AS BIGINT) AS gh
+             |  FROM t, (VALUES (1), (2)) n(n),
+             |       unnest(range(1, greatest(len(rt) - n.n + 1, 0) + 1))
+             |         AS s(i)),
+             |cg AS (
+             |  SELECT pid, n.n AS n,
+             |         CAST('0x' || substr(md5(
+             |           array_to_string(ct[s.i : s.i + n.n - 1], ' ')),
+             |           1, 15) AS BIGINT) AS gh
+             |  FROM t, (VALUES (1), (2)) n(n),
+             |       unnest(range(1, greatest(len(ct) - n.n + 1, 0) + 1))
+             |         AS s(i)),
+             |rc AS (SELECT pid, n, gh, count(*) AS rcnt
+             |       FROM rg GROUP BY pid, n, gh),
+             |cc AS (SELECT pid, n, gh, count(*) AS ccnt
+             |       FROM cg GROUP BY pid, n, gh),
+             |pn AS (
+             |  SELECT n,
+             |    CAST(sum(least(rcnt, coalesce(ccnt, 0))) AS BIGINT)
+             |      AS match_n,
+             |    CAST(sum(rcnt) AS BIGINT) AS ref_total
+             |  FROM rc LEFT JOIN cc USING (pid, n, gh) GROUP BY n)
+             |SELECT n, match_n, ref_total,
+             |  CASE WHEN ref_total = 0 THEN 0
+             |       ELSE match_n * 1000000 // ref_total END AS recall_micro
+             |FROM pn ORDER BY n""".stripMargin)),
+
+    // Luhn-validated card detection (Luhn 1960) — the checksum gate
+    // behind the PII digit-run regex: the fixture plants one 16-digit
+    // candidate per customer (custkey < 200) whose check digit is
+    // CORRECT for even keys and corrupted (+5 mod 10) for odd keys, so
+    // both verdicts appear and the expected outcome is known by
+    // construction. The oracle rebuilds the fixture and replays the
+    // mod-10 checksum digit by digit over the extracted candidate.
+    QueryDef(
+      "q_pii_luhn",
+      (s, dir) => {
+        val fx = load(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_custkey").as("doc_id"),
+            expr("concat('4', lpad(cast(c_custkey as string), 14, '0'))")
+              .as("prefix"))
+          .withColumn("s", expr(
+            """aggregate(sequence(1, 15), 0,
+              |  (acc, i) -> acc + (CASE WHEN i % 2 = 1
+              |    THEN IF(2 * CAST(substring(prefix, i, 1) AS INT) > 9,
+              |            2 * CAST(substring(prefix, i, 1) AS INT) - 9,
+              |            2 * CAST(substring(prefix, i, 1) AS INT))
+              |    ELSE CAST(substring(prefix, i, 1) AS INT) END))"""
+              .stripMargin))
+          .withColumn("digit", expr(
+            "CASE WHEN doc_id % 2 = 0 THEN (10 - s % 10) % 10" +
+              " ELSE ((10 - s % 10) % 10 + 5) % 10 END"))
+          .select(col("doc_id"),
+            concat(lit("ref card "), col("prefix"),
+              col("digit").cast("string"), lit(" end")).as("text"))
+        graft.llm.TextAnalysis.luhnScan(fx)
+          .orderBy(col("doc_id"), col("candidate"))
+      },
+      Some("""WITH fx AS (
+             |  SELECT c_custkey AS doc_id,
+             |    '4' || lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS prefix
+             |  FROM customer WHERE c_custkey < 200),
+             |sm AS (
+             |  SELECT doc_id, prefix,
+             |    list_sum(list_transform(range(1, 16), i ->
+             |      CASE WHEN i % 2 = 1
+             |        THEN CASE
+             |          WHEN 2 * CAST(substr(prefix, CAST(i AS INT), 1)
+             |                        AS INT) > 9
+             |          THEN 2 * CAST(substr(prefix, CAST(i AS INT), 1)
+             |                        AS INT) - 9
+             |          ELSE 2 * CAST(substr(prefix, CAST(i AS INT), 1)
+             |                        AS INT) END
+             |        ELSE CAST(substr(prefix, CAST(i AS INT), 1) AS INT)
+             |      END)) AS s
+             |  FROM fx),
+             |num AS (
+             |  SELECT doc_id, prefix || CAST(
+             |    CASE WHEN doc_id % 2 = 0 THEN (10 - s % 10) % 10
+             |         ELSE ((10 - s % 10) % 10 + 5) % 10 END AS VARCHAR)
+             |    AS candidate
+             |  FROM sm)
+             |SELECT doc_id, candidate,
+             |  list_sum(list_transform(range(1, len(candidate) + 1), i ->
+             |    CASE WHEN (len(candidate) - i) % 2 = 1
+             |      THEN CASE
+             |        WHEN 2 * CAST(substr(candidate, CAST(i AS INT), 1)
+             |                      AS INT) > 9
+             |        THEN 2 * CAST(substr(candidate, CAST(i AS INT), 1)
+             |                      AS INT) - 9
+             |        ELSE 2 * CAST(substr(candidate, CAST(i AS INT), 1)
+             |                      AS INT) END
+             |      ELSE CAST(substr(candidate, CAST(i AS INT), 1) AS INT)
+             |    END)) % 10 = 0 AS luhn_ok
+             |FROM num ORDER BY doc_id, candidate""".stripMargin)),
 
     // Zipf rank-frequency slope — the vocabulary-law diagnostic beside
     // the Heaps growth curve (q_corpus_heaps): OLS slope of ln(freq) on

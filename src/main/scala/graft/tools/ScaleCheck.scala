@@ -556,7 +556,43 @@ object ScaleCheck {
         .searchKnnGraphIndexed(
           spark.read.parquet(s"$base/embeddings.parquet")
             .filter(col("vec_id") < 10),
-          s"$synthRoot/knngidx_x$f", k = 5, beam = 8, steps = 4)))
+          s"$synthRoot/knngidx_x$f", k = 5, beam = 8, steps = 4)),
+      // round-12 session-2: paragraph dedup on the corpus axis — the
+      // Caesar rotation preserves every intra-copy duplicated paragraph
+      // exactly and makes copies disjoint, so output rows, the winner
+      // hash aggregate, and the join-back all scale linearly with k
+      ("q_dedup_paragraphs", (dir, _) => Dedup.paragraphDedup(
+        spark.read.parquet(s"$dir/documents.parquet"))),
+      // entity-resolution on the record-count axis: entities derived
+      // from the k× documents table (md5-spread names + a flipped-tail
+      // twin per 5th record) — sort + rank, bounded window join,
+      // levenshtein verify, CC rounds; candidate volume is n·(w−1) by
+      // construction so the whole chain must track n
+      ("q_entity_resolution", (dir, _) => {
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("ent_id"),
+            concat(col("source"), lit("-"),
+              substring(md5(col("doc_id").cast("string")), 1, 8))
+              .as("name"))
+        val twin = base.filter(col("ent_id") % 5 === 0)
+          .select((col("ent_id") + 1000000000L).as("ent_id"),
+            concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
+              .as("name"))
+        graft.llm.Linkage.resolveEntities(base.unionByName(twin),
+          "ent_id", "name", window = 3, maxDist = 2)
+      }),
+      // corpus BLEU on the corpus axis: the 4× n-gram explosion and the
+      // two (pair, n, gram) hash aggregates are the whole cost — grams
+      // shuffle, text does not; everything after the per-n rollup is
+      // 1-row arithmetic
+      ("q_eval_bleu", (dir, _) => {
+        val refs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)"), " ").as("cand"))
+        graft.llm.EvalMetrics.corpusBleu(refs, maxN = 4)
+      }))
     val runs = allRuns.filter { case (name, _) =>
       only.forall(_.contains(name)) }
 

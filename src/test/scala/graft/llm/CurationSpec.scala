@@ -143,6 +143,52 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("bleu_micro") === 0L)
   }
 
+  test("tokenF1: clipped multiset overlap; precision, recall, and F1 " +
+    "in exact micro-units") {
+    import SparkSpec.spark.implicits._
+    // ref "a b a c": counts a2 b1 c1; cand "a a a b": a3 b1
+    // overlap = min(3,2) + min(1,1) = 3; p = r = 750000; f1 = 750000
+    val pairs = Seq(
+      (1L, "a b a c", "a a a b"),
+      (2L, "x y", "z z")) // zero overlap -> all zeros
+      .toDF("pair_id", "ref", "cand")
+    val got = EvalMetrics.tokenF1(pairs).orderBy("pair_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got === Array(
+      (1L, 3L, 750000L, 750000L, 750000L),
+      (2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("corpusRougeN: recall-oriented clipped n-gram overlap per n") {
+    import SparkSpec.spark.implicits._
+    // ref "a b c d" vs cand "a b d":
+    // n=1: clip 3 of 4 ref grams -> 750000
+    // n=2: only "a b" matches of 3 ref bigrams -> 333333 (floor)
+    val pairs = Seq((1L, "a b c d", "a b d")).toDF("pair_id", "ref", "cand")
+    val got = EvalMetrics.corpusRougeN(pairs, maxN = 2).orderBy("n")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got === Array((1, 3L, 4L, 750000L), (2, 1L, 3L, 333333L)))
+  }
+
+  test("luhnScan: canonical test PANs verify, an off-by-one check digit " +
+    "fails, and short digit runs are not candidates") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),   // classic Visa test PAN: valid
+      (2L, "pay 4111111111111112 now"),   // corrupted check digit
+      (3L, "visa13 4222222222222 ok"),    // 13-digit test PAN: valid
+      (4L, "order 123456789012 done"))    // 12 digits: below the scan floor
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.luhnScan(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got === Array(
+      (1L, "4111111111111111", true),
+      (2L, "4111111111111112", false),
+      (3L, "4222222222222", true)))
+  }
+
   test("resolveEntities: matched records collapse to the minimum member " +
     "id; singletons keep their own id") {
     import SparkSpec.spark.implicits._
