@@ -145,6 +145,71 @@ case class ExtractLinksExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Longest-common-subsequence LENGTH between two token arrays — the
+  * alignment kernel of ROUGE-L (Lin 2004). The classic O(n·m) DP with a
+  * two-row rolling buffer, shipped as a native codegen'd expression for
+  * the usual reason (a Scala UDF would box both arrays per row and break
+  * whole-stage codegen); per-row work is partition-local, which is the
+  * published cost of the metric. Element comparison is UTF8String
+  * equality (null elements never match). */
+case class LcsLenExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lcs_len expects array<string> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Lcs.lcsLen(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Lcs.lcsLen($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static DP kernel shared by interpreted eval and generated code. */
+object Lcs {
+  def lcsLen(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ai = if (a.isNullAt(i - 1)) null else a.getUTF8String(i - 1)
+      var j = 1
+      while (j <= m) {
+        val bj = if (b.isNullAt(j - 1)) null else b.getUTF8String(j - 1)
+        cur(j) =
+          if (ai != null && bj != null && ai.equals(bj)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    prev(m).toLong
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftshim.GraftColumn
 
@@ -165,4 +230,9 @@ object TextExpressions {
   def extractLinks(url: Column, html: Column): Column =
     GraftColumn.column(ExtractLinksExpr(
       GraftColumn.expression(url), GraftColumn.expression(html)))
+
+  /** Column-level LCS length over two array<string> token columns. */
+  def lcsLen(a: Column, b: Column): Column =
+    GraftColumn.column(LcsLenExpr(
+      GraftColumn.expression(a), GraftColumn.expression(b)))
 }

@@ -198,4 +198,33 @@ object EvalMetrics {
         when(col("ref_total") === 0, lit(0L))
           .otherwise(expr("match_n * 1000000L div ref_total")))
   }
+
+  /** Per-pair ROUGE-L (Lin 2004, β = 1): longest-common-subsequence
+    * alignment — rewards in-order coverage without requiring contiguity,
+    * the property n-gram overlap can't see (a candidate with every
+    * reference token in scrambled order scores high ROUGE-1 but low
+    * ROUGE-L). The LCS kernel is [[graft.functions.LcsLenExpr]], a
+    * native codegen'd expression (also SQL-registered as `lcs_len`);
+    * per-row DP is the metric's published cost and stays
+    * partition-local — no shuffle at all, the whole metric is one
+    * codegen'd projection. P/R/F in the exact floor-division micro-unit
+    * discipline. */
+  def rougeL(pairs: DataFrame, refCol: String = "ref",
+             candCol: String = "cand",
+             idCol: String = "pair_id"): DataFrame = {
+    def toks(c: String) = filter(split(col(c), " "), t => t =!= "")
+    pairs.select(col(idCol).as("pair_id"),
+        graft.functions.TextExpressions
+          .lcsLen(toks(refCol), toks(candCol)).as("lcs"),
+        size(toks(refCol)).cast("long").as("r_len"),
+        size(toks(candCol)).cast("long").as("c_len"))
+      .withColumn("r_micro", when(col("r_len") === 0, lit(0L))
+        .otherwise(expr("lcs * 1000000L div r_len")))
+      .withColumn("p_micro", when(col("c_len") === 0, lit(0L))
+        .otherwise(expr("lcs * 1000000L div c_len")))
+      .withColumn("f_micro",
+        when(col("p_micro") + col("r_micro") === 0, lit(0L))
+          .otherwise(expr(
+            "2 * p_micro * r_micro div (p_micro + r_micro)")))
+  }
 }

@@ -85,5 +85,13 @@ object GraftExtensions {
           require(args.length == 2,
             "extract_links expects (url, html)")
           graft.functions.ExtractLinksExpr(args(0), args(1)): Expression
+        }),
+      (new FunctionIdentifier("lcs_len"),
+        new ExpressionInfo(
+          classOf[graft.functions.LcsLenExpr].getName, "lcs_len"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "lcs_len expects (array<string>, array<string>)")
+          graft.functions.LcsLenExpr(args(0), args(1)): Expression
         }))
 }

@@ -386,6 +386,63 @@ object CurationQueries {
              |       ELSE match_n * 1000000 // ref_total END AS recall_micro
              |FROM pn ORDER BY n""".stripMargin)),
 
+    // Per-pair ROUGE-L (Lin 2004) through the native codegen'd LCS
+    // expression: in-order alignment the n-gram metrics can't see. The
+    // oracle is closed-form by construction — the derived candidates are
+    // SUBSEQUENCES of their references (every 7th token dropped), so
+    // LCS = c_len exactly; three planted scrambled/disjoint pairs carry
+    // hand-computed LCS values (3, 3, 0) that exercise the general DP,
+    // and the spec pins more. Both sides then replay the same micro-unit
+    // P/R/F arithmetic.
+    QueryDef(
+      "q_eval_rouge_l",
+      (s, dir) => {
+        import s.implicits._
+        val derived = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)"), " ").as("cand"))
+        val planted = Seq(
+          (900001L, "a b c d e", "b a d c e"), // LCS 3
+          (900002L, "x y x y", "y x y x"),     // LCS 3
+          (900003L, "p q r", "s t"))           // LCS 0
+          .toDF("pair_id", "ref", "cand")
+        EvalMetrics.rougeL(derived.unionByName(planted))
+          .orderBy(col("pair_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS pid,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS rt
+             |  FROM documents WHERE doc_id < 120),
+             |d AS (
+             |  SELECT pid AS pair_id,
+             |    CAST(len(rt) AS BIGINT) AS r_len,
+             |    CAST(len(list_filter(rt, (x, i) -> i % 7 != 0))
+             |      AS BIGINT) AS c_len,
+             |    -- cand is a subsequence of ref: LCS = |cand| exactly
+             |    CAST(len(list_filter(rt, (x, i) -> i % 7 != 0))
+             |      AS BIGINT) AS lcs
+             |  FROM p
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (900001, CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+             |     CAST(3 AS BIGINT)),
+             |    (900002, 4, 4, 3),
+             |    (900003, 3, 2, 0)) v(pair_id, r_len, c_len, lcs)),
+             |m AS (
+             |  SELECT pair_id, lcs, r_len, c_len,
+             |    CASE WHEN r_len = 0 THEN 0
+             |         ELSE lcs * 1000000 // r_len END AS r_micro,
+             |    CASE WHEN c_len = 0 THEN 0
+             |         ELSE lcs * 1000000 // c_len END AS p_micro
+             |  FROM d)
+             |SELECT pair_id, lcs, r_len, c_len, r_micro, p_micro,
+             |  CASE WHEN p_micro + r_micro = 0 THEN 0
+             |       ELSE 2 * p_micro * r_micro // (p_micro + r_micro)
+             |  END AS f_micro
+             |FROM m ORDER BY pair_id""".stripMargin)),
+
     // Luhn-validated card detection (Luhn 1960) — the checksum gate
     // behind the PII digit-run regex: the fixture plants one 16-digit
     // candidate per customer (custkey < 200) whose check digit is

@@ -172,6 +172,40 @@ class CurationSpec extends SparkSpec {
     assert(got === Array((1, 3L, 4L, 750000L), (2, 1L, 3L, 333333L)))
   }
 
+  test("lcsLen: order-sensitive alignment — scrambles, repeats, " +
+    "subsequences, and disjoint/empty inputs") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions.{filter => afilter, split, col}
+    import graft.functions.TextExpressions
+    val cases = Seq(
+      ("a b c d e", "b a d c e", 3L), // scrambled: best chains len 3
+      ("x y x y", "y x y x", 3L),     // repeats: overlap shifts by one
+      ("a b c", "a b c", 3L),         // identity
+      ("a b c d", "b d", 2L),         // subsequence: LCS = |cand|
+      ("p q r", "s t", 0L),           // disjoint
+      ("a b", "", 0L))                // empty side
+      .toDF("ref", "cand", "want")
+    def toks(c: String) = afilter(split(col(c), " "), t => t =!= "")
+    val got = cases.select(
+      TextExpressions.lcsLen(toks("ref"), toks("cand")).as("lcs"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("rougeL: per-pair P/R/F micro-units off the LCS kernel") {
+    import SparkSpec.spark.implicits._
+    // ref "a b c d" (4) vs cand "b d x" (3): LCS 2
+    // r = 2e6 div 4 = 500000; p = 2e6 div 3 = 666666
+    // f = 2*500000*666666 div 1166666 = 571428
+    val pairs = Seq((1L, "a b c d", "b d x")).toDF("pair_id", "ref", "cand")
+    val r = EvalMetrics.rougeL(pairs).collect().head
+    assert(r.getAs[Long]("lcs") === 2L)
+    assert(r.getAs[Long]("r_micro") === 500000L)
+    assert(r.getAs[Long]("p_micro") === 666666L)
+    assert(r.getAs[Long]("f_micro") ===
+      2L * 500000L * 666666L / (500000L + 666666L))
+  }
+
   test("luhnScan: canonical test PANs verify, an off-by-one check digit " +
     "fails, and short digit runs are not candidates") {
     import SparkSpec.spark.implicits._

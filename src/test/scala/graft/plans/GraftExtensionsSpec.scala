@@ -37,7 +37,7 @@ class GraftExtensionsSpec extends SparkSpec {
       .contains(CollapseNormalize))
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("normalize_nfc", "normalize_nfkc", "registrable_domain",
-        "dot_segment_normalize", "extract_links"))
+        "dot_segment_normalize", "extract_links", "lcs_len"))
   }
 
   test("injected SQL functions run the native expression on a live session") {
@@ -57,5 +57,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r2.getString(0) == "b.co.uk")
     assert(r2.getString(1) == "/a/c")
     assert(r2.getInt(2) == 1)
+    // round-12: the ROUGE-L alignment kernel from plain SQL
+    val r3 = spark.sql(
+      "SELECT lcs_len(array('a','b','c','d','e')," +
+        " array('b','a','d','c','e')) AS l").head
+    assert(r3.getLong(0) == 3L)
   }
 }
