@@ -114,7 +114,16 @@ object Bench {
     // soft dedup 0.4 s — stay off the headline as sub-second shapes)
     "q_sim_nndescent",        // NN-Descent k-NN graph, K=16, 6 rounds
     "q_sim_graph_indexed",    // k-NN-graph index write + beam search
-    "q_sim_graph_index_append") // graph index write + twin append + search
+    "q_sim_graph_index_append", // graph index write + twin append + search
+    // round-12 session-2 continuation (first frozen budgets in
+    // BASELINE.md): the heaviest of the curation/eval additions — the
+    // full-outer streaming join pays the whole AvailableNow lifecycle
+    // per rep; entity resolution pays sort+rank, the window join, and
+    // the CC rounds. The light ones (q_dedup_paragraphs 1.0 s,
+    // q_eval_bleu 0.8 s, rest sub-second) stay off per policy; their
+    // scale evidence is ScaleCheck's corpus/record-count rows
+    "q_stream_join_full",     // stream-stream full outer, 2-side state
+    "q_entity_resolution")    // sorted-neighborhood + levenshtein + CC
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

@@ -39,9 +39,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // web graph, PageRank over the crawled host graph] and the C4
     // line-level cleaning battery) — bump these when operators are
     // added so a bad refactor can't drop queries without failing CI
-    assert(SparkEntry.queries.size >= 286,
+    // round-12 session-2 continuation raises the floor to 306: paragraph
+    // dedup (Dolma), the privacy trio (k-anon / l-div / Datafly walk),
+    // sorted-neighborhood entity resolution, the eval-metric tier (BLEU,
+    // token F1, ROUGE-N, ROUGE-L via the native LCS kernel), Luhn PII
+    // validation, the Zipf slope, and the stream-stream full outer join
+    assert(SparkEntry.queries.size >= 306,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 286,
+    assert(SparkEntry.oracleSql.size >= 306,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
