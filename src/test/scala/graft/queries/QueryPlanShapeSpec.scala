@@ -143,4 +143,52 @@ class QueryPlanShapeSpec extends SparkSpec {
     graft.llm.Caches.release()
     spark.catalog.clearCache()
   }
+
+  test("round-12 curation tier: entity resolution and paragraph dedup " +
+      "plan only equi-joins; ROUGE-L stays codegen'd and joinless") {
+    for (q <- Seq("q_entity_resolution", "q_dedup_paragraphs")) {
+      val p = plan(q)
+      // the sorted-neighborhood candidate join is rank = rank + offset
+      // (equi on rb); the paragraph winner joins back on the hash — a
+      // BNLJ/cartesian here is the quadratic blowup both ops exist to
+      // avoid
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+      graft.llm.Caches.release()
+      spark.catalog.clearCache()
+    }
+    // ROUGE-L is ONE codegen'd projection: no join, no exchange at all,
+    // and the native LCS expression must survive fallback-disabled
+    // codegen (a Janino failure throws instead of silently interpreting)
+    val df = graft.SparkEntry.queries("q_eval_rouge_l")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"rouge_l should be joinless per-row work:\n$p")
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      assert(df.collect().nonEmpty)
+    }
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
+
+  test("BLEU clip join is keyed by the 8-byte gram fingerprint — gram " +
+      "strings never reach an exchange") {
+    // the ScaleCheck-adjudicated fix: string-keyed counts re-exchanged
+    // full 4-gram strings once the clip join crossed broadcast→SMJ
+    // (20× shuffle at 10×). The executed plan's exchanges must carry
+    // the fingerprint column, not a gram string column
+    val p = plan("q_eval_bleu")
+    assert(p.contains("gh"), s"fingerprint column missing from plan:\n$p")
+    // the final assembly is a DELIBERATE 1-row broadcast cross (wide ×
+    // lens — the q_embed_covariance pattern), so BNLJ is expected; what
+    // must not appear is a cartesian or a shuffled join keyed by a gram
+    // STRING (the clip join's only string-typed key would be g)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.matches("(?s).*sortmergejoin[^\\n]*\\bg#.*"),
+      s"clip join keyed by the gram string:\n$p")
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
 }
