@@ -1481,6 +1481,128 @@ object Dedup {
     * hash aggregate whose state is bounded by document size. No window
     * over the corpus, no driver state.
     */
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    * w-hash window, keep each window's MINIMUM hash. The paper's
+    * guarantee carries over: two documents sharing a token run of
+    * length ≥ w + k − 1 are guaranteed to share a fingerprint, while
+    * only ~2/(w+1) of all gram hashes are kept — the shift-resistant,
+    * sub-linear-output complement of fixed shingle sampling. (Variant
+    * note: ties keep the minimum VALUE per window and the fingerprint
+    * set is de-duplicated per document; the paper's rightmost-position
+    * rule only matters when positions are reported.)
+    *
+    * Hashes are the md5-derived 60-bit integers of the gram text
+    * (engine-portable, oracle-replayable). Documents shorter than k
+    * tokens have no grams and emit no fingerprints; documents with
+    * fewer than w hashes winnow one window over what exists.
+    *
+    * Scale shape: gram hashing and window minima are ONE codegen'd
+    * higher-order expression per row (zero shuffle); the only exchange
+    * is the (doc_id, fp) DISTINCT — 16 bytes per kept fingerprint,
+    * ~2/(w+1) of the gram count. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 3,
+                         window: Int = 4, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && window >= 1, s"k and window must be >= 1")
+    val fpOf = (g: Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val ts = filter(split(col(textCol), " "), t => t =!= "")
+    documents
+      .select(col(idCol).as("doc_id"), ts.as("ts"))
+      .withColumn("hs",
+        when(size(col("ts")) >= k,
+          transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+            i => fpOf(array_join(slice(col("ts"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<long>")))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("hs")) >= 1,
+            transform(
+              sequence(lit(1), greatest(size(col("hs")) - (window - 1),
+                lit(1))),
+              j => array_min(slice(col("hs"), j, lit(window)))))
+            .otherwise(array().cast("array<long>"))).as("fp"))
+      .distinct()
+  }
+
+  /** Winnowing-based near-dup candidates: documents sharing at least
+    * `minShared` selected fingerprints, via the inverted fingerprint
+    * index (fp equi-join — never all-pairs); fingerprints in more than
+    * `maxDocFreq` documents drop first (the stopword rule: a corpus-wide
+    * fingerprint contributes candidates but no discrimination, and
+    * capping it bounds the join's per-key fan-out). */
+  def winnowPairs(documents: DataFrame, k: Int = 3, window: Int = 4,
+                  minShared: Int = 3, maxDocFreq: Int = 20,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val fps = Caches.track(
+      winnowFingerprints(documents, k, window, textCol, idCol))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val keyed = fps.join(rare, "fp")
+    keyed.select(col("fp"), col("doc_id").as("d1"))
+      .join(keyed.select(col("fp"), col("doc_id").as("d2")), "fp")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Content-defined chunking (the LBFS rule, Muthitacharoen et al.
+    * SOSP 2001; the token-level form of FastCDC's gear test): a chunk
+    * boundary falls AFTER token i whenever the hash of the k-token gram
+    * ending at i satisfies `hash % divisor == 0` — so boundaries are
+    * functions of CONTENT, not position, and an insertion near the top
+    * of a document re-synchronizes within one gram instead of shifting
+    * every downstream block (the failure mode of fixed-size chunking,
+    * e.g. [[paragraphDedup]]'s 20-token windows). Expected chunk length
+    * is `divisor` tokens; documents shorter than k tokens are one chunk.
+    * (The production byte-level variant adds min/max chunk clamps;
+    * omitted here — the testdata grams are uniform enough that the
+    * geometric length distribution is the point being exercised.)
+    *
+    * Returns (doc_id, chunk_idx, n_tokens, chunk_hash, chunk) — the
+    * chunk table that downstream exact-hash dedup consumes.
+    *
+    * Scale shape: gram hashing, the boundary filter, and span assembly
+    * are ONE codegen'd higher-order expression chain per row — zero
+    * shuffle in the operator itself. */
+  def cdcChunks(documents: DataFrame, k: Int = 3, divisor: Int = 8,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && divisor >= 1, "k and divisor must be >= 1")
+    val fpOf = (g: Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val ts = filter(split(col(textCol), " "), t => t =!= "")
+    documents
+      .select(col(idCol).as("doc_id"), ts.as("ts"))
+      .withColumn("hs",
+        when(size(col("ts")) >= k,
+          transform(sequence(lit(1), size(col("ts")) - (k - 1)),
+            i => fpOf(array_join(slice(col("ts"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("cs",
+        when(size(col("ts")) >= k,
+          filter(sequence(lit(k), size(col("ts"))),
+            i => element_at(col("hs"), i - (k - 1)) % divisor === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("cs"), c => c + 1)))
+      .withColumn("ends", concat(col("cs"), array(size(col("ts")))))
+      .select(col("doc_id"), col("ts"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("p", "se")))
+      .filter(col("se.e") >= col("se.s")) // drop the empty tail span
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("chunk_idx"),
+        (col("se.e") - col("se.s") + 1).cast("long").as("n_tokens"),
+        array_join(slice(col("ts"), col("se.s"),
+          col("se.e") - col("se.s") + 1), " ").as("chunk"))
+      .withColumn("chunk_hash", md5(col("chunk")))
+  }
+
   def paragraphDedup(documents: DataFrame, paraTokens: Int = 20,
                      textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {

@@ -186,6 +186,176 @@ object CurationQueries {
              |FROM ents e LEFT JOIN cl USING (ent_id)
              |ORDER BY ent_id""".stripMargin)),
 
+    // Winnowing fingerprints (MOSS, Schleimer et al. 2003): per-doc
+    // selected minima of 3-gram hashes over 4-hash windows — the
+    // shift-resistant, ~2/(w+1)-density document signature. Full replay:
+    // the oracle recomputes gram hashes, window minima, and the
+    // per-doc distinct set.
+    QueryDef(
+      "q_text_winnow",
+      (s, dir) => Dedup.winnowFingerprints(load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("fp")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+             |      i -> CAST('0x' || substr(md5(
+             |             array_to_string(ts[i : i + 2], ' ')), 1, 15)
+             |           AS BIGINT)) AS hs
+             |  FROM toks),
+             |wins AS (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      range(1, greatest(len(hs) - 3, least(len(hs), 1)) + 1),
+             |      j -> list_min(hs[j : j + 3])) AS ws
+             |  FROM hs)
+             |SELECT DISTINCT doc_id, f.fp AS fp
+             |FROM wins, unnest(ws) AS f(fp)
+             |ORDER BY doc_id, fp""".stripMargin)),
+
+    // Winnowing near-dup candidates: docs sharing >= 3 fingerprints via
+    // the inverted fingerprint index (df-capped at 20 — the stopword
+    // rule), the MOSS pairing step. At sf0.01: 25 candidate pairs off
+    // ~7k distinct fingerprints, zero hot ones.
+    QueryDef(
+      "q_dedup_winnow",
+      (s, dir) => Dedup.winnowPairs(load(s, dir, "documents"))
+        .orderBy(col("d1"), col("d2")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+             |      i -> CAST('0x' || substr(md5(
+             |             array_to_string(ts[i : i + 2], ' ')), 1, 15)
+             |           AS BIGINT)) AS hs
+             |  FROM toks),
+             |wins AS (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      range(1, greatest(len(hs) - 3, least(len(hs), 1)) + 1),
+             |      j -> list_min(hs[j : j + 3])) AS ws
+             |  FROM hs),
+             |fps AS (
+             |  SELECT DISTINCT doc_id, f.fp AS fp
+             |  FROM wins, unnest(ws) AS f(fp)),
+             |rare AS (
+             |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20)
+             |SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |  count(*) AS n_shared
+             |FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+             |WHERE a.doc_id < b.doc_id
+             |GROUP BY a.doc_id, b.doc_id
+             |HAVING count(*) >= 3
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // Content-defined chunking (LBFS boundary rule): chunk boundaries
+    // where the 3-gram hash % 8 == 0 — position-independent chunks that
+    // re-synchronize after insertions, the dedup complement of the
+    // FIXED 20-token paragraphs. Full replay of gram hashes, the
+    // boundary filter, span assembly, and chunk hashing.
+    QueryDef(
+      "q_chunk_cdc",
+      (s, dir) => Dedup.cdcChunks(load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id, ts,
+             |    list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+             |      i -> CAST('0x' || substr(md5(
+             |             array_to_string(ts[i : i + 2], ' ')), 1, 15)
+             |           AS BIGINT)) AS hs
+             |  FROM toks),
+             |cuts AS (
+             |  SELECT doc_id, ts,
+             |    list_filter(range(3, len(ts) + 1),
+             |      i -> hs[CAST(i AS INT) - 2] % 8 = 0) AS cs
+             |  FROM hs),
+             |spans AS (
+             |  SELECT doc_id, ts,
+             |    list_prepend(CAST(1 AS BIGINT),
+             |      list_transform(cs, c -> c + 1)) AS starts,
+             |    list_append(cs, CAST(len(ts) AS BIGINT)) AS ends
+             |  FROM cuts),
+             |chunks AS (
+             |  SELECT doc_id, ts, u.i AS chunk_idx,
+             |    starts[u.i] AS s, ends[u.i] AS e
+             |  FROM spans, unnest(range(1, len(starts) + 1)) AS u(i)
+             |  WHERE ends[u.i] >= starts[u.i])
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  CAST(e - s + 1 AS BIGINT) AS n_tokens,
+             |  array_to_string(ts[s : e], ' ') AS chunk,
+             |  md5(array_to_string(ts[s : e], ' ')) AS chunk_hash
+             |FROM chunks
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // CDC chunk dedup summary: the duplicated content-defined chunks
+    // across the corpus (246 groups at sf0.01) — what a byte-level
+    // dedup store would collapse. One hash aggregate over the chunk
+    // table; keyed by the canonical minimum (doc, idx) occurrence.
+    QueryDef(
+      "q_dedup_cdc",
+      (s, dir) => Dedup.cdcChunks(load(s, dir, "documents"))
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("dup_cnt"),
+          min(struct(col("doc_id"), col("chunk_idx"))).as("w"),
+          min(col("n_tokens")).as("n_tokens"))
+        .filter(col("dup_cnt") > 1)
+        .select(col("chunk_hash"), col("dup_cnt"),
+          col("w.doc_id").as("first_doc"),
+          col("w.chunk_idx").as("first_idx"), col("n_tokens"))
+        .orderBy(col("chunk_hash")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id, ts,
+             |    list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+             |      i -> CAST('0x' || substr(md5(
+             |             array_to_string(ts[i : i + 2], ' ')), 1, 15)
+             |           AS BIGINT)) AS hs
+             |  FROM toks),
+             |cuts AS (
+             |  SELECT doc_id, ts,
+             |    list_filter(range(3, len(ts) + 1),
+             |      i -> hs[CAST(i AS INT) - 2] % 8 = 0) AS cs
+             |  FROM hs),
+             |spans AS (
+             |  SELECT doc_id, ts,
+             |    list_prepend(CAST(1 AS BIGINT),
+             |      list_transform(cs, c -> c + 1)) AS starts,
+             |    list_append(cs, CAST(len(ts) AS BIGINT)) AS ends
+             |  FROM cuts),
+             |chunks AS (
+             |  SELECT doc_id, u.i AS chunk_idx,
+             |    CAST(ends[u.i] - starts[u.i] + 1 AS BIGINT) AS n_tokens,
+             |    md5(array_to_string(ts[starts[u.i] : ends[u.i]], ' '))
+             |      AS chunk_hash
+             |  FROM spans, unnest(range(1, len(starts) + 1)) AS u(i)
+             |  WHERE ends[u.i] >= starts[u.i])
+             |SELECT chunk_hash, dup_cnt, first_doc,
+             |  CAST(first_idx AS BIGINT) AS first_idx, n_tokens
+             |FROM (
+             |  SELECT chunk_hash,
+             |    count(*) OVER (PARTITION BY chunk_hash) AS dup_cnt,
+             |    doc_id AS first_doc, chunk_idx AS first_idx,
+             |    CAST(min(n_tokens) OVER (PARTITION BY chunk_hash)
+             |      AS BIGINT) AS n_tokens,
+             |    row_number() OVER (PARTITION BY chunk_hash
+             |                       ORDER BY doc_id, chunk_idx) AS rk
+             |  FROM chunks)
+             |WHERE rk = 1 AND dup_cnt > 1
+             |ORDER BY chunk_hash""".stripMargin)),
+
     // Corpus-level BLEU-4 (Papineni et al. 2002) — the eval-side scoring
     // metric next to the decontamination gates: candidates are the
     // references with every 7th token dropped (a deterministic,

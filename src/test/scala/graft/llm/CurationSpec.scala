@@ -172,6 +172,73 @@ class CurationSpec extends SparkSpec {
     assert(got === Array((1, 3L, 4L, 750000L), (2, 1L, 3L, 333333L)))
   }
 
+  test("winnowFingerprints: the w+k-1 guarantee, 2/(w+1) density bound, " +
+    "and the short-document edges") {
+    import SparkSpec.spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ") // 20 distinct toks
+    val shifted = "p1 p2 p3 " + (6 to 14).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),      // 18 grams (k=3), 15 windows (w=4)
+      (2L, shifted),   // contains base's w6..w14 run, at a SHIFTED offset
+      (3L, "x y"),     // shorter than k: no grams, no fingerprints
+      (4L, "x y z q")) // 2 grams < w hashes: ONE window over what exists
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: doc 2 shares doc 1's run of length 9 = w + k + 2 > w+k-1
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared run must yield a shared fingerprint despite the shift")
+    // density: can never keep more fingerprints than windows
+    assert(byDoc(1L).size <= 15)
+    // short-document edges
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).size === 1)
+  }
+
+  test("winnowPairs: near-dup docs pair via shared fingerprints; " +
+    "disjoint-vocabulary docs never do") {
+    import SparkSpec.spark.implicits._
+    val run = (1 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " a1 a2"),
+      (2L, "b1 b2 " + run), // shares the 15-token run with doc 1
+      (3L, (1 to 15).map(i => s"z$i").mkString(" "))) // disjoint vocab
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, k = 3, window = 4,
+        minShared = 2, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Array((1L, 2L)))
+  }
+
+  test("cdcChunks: chunks tile the document; boundaries are content-" +
+    "defined so a prefix insertion re-synchronizes interior chunks") {
+    import SparkSpec.spark.implicits._
+    val body = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "ins1 ins2 ins3 " + body), // prefix shifts every fixed block
+      (3L, "a b"))                    // shorter than k: one whole chunk
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4)))
+    // chunks tile: per-doc token counts sum to the doc length, indexes
+    // contiguous from 1
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).sum === 60L)
+    assert(d1.map(_._2).toSeq === (1L to d1.length))
+    // re-synchronization: docs 1 and 2 share interior chunk hashes even
+    // though every FIXED-offset block differs (the published CDC point)
+    val h1 = ch.filter(_._1 == 1L).map(_._4).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._4).toSet
+    assert((h1 intersect h2).nonEmpty,
+      "content-defined boundaries must survive a prefix insertion")
+    // short doc: one chunk, the whole text
+    val d3 = ch.filter(_._1 == 3L)
+    assert(d3.length === 1 && d3.head._3 === 2L)
+  }
+
   test("lcsLen: order-sensitive alignment — scrambles, repeats, " +
     "subsequences, and disjoint/empty inputs") {
     import SparkSpec.spark.implicits._
