@@ -1517,12 +1517,21 @@ object Dedup {
           .otherwise(array().cast("array<long>")))
       .select(col("doc_id"),
         explode(
-          when(size(col("hs")) >= 1,
-            transform(
-              sequence(lit(1), greatest(size(col("hs")) - (window - 1),
-                lit(1))),
-              j => array_min(slice(col("hs"), j, lit(window)))))
-            .otherwise(array().cast("array<long>"))).as("fp"))
+          when(size(col("hs")) >= 1, {
+            // sliding-window minima WITHOUT indexing hs inside a lambda
+            // (the cdcChunks O(n²)-inlining lesson): fold `window`
+            // shifted slices of hs with element-wise least — every hs
+            // reference is a direct slice/zip_with argument, evaluated
+            // once per row. zip_with null-pads the shorter slice and
+            // least skips nulls, which reproduces the short-document
+            // one-window-over-what-exists rule
+            val w = greatest(size(col("hs")) - (window - 1), lit(1))
+            (1 until window).foldLeft(slice(col("hs"), lit(1), w)) {
+              (acc, d) =>
+                zip_with(acc, slice(col("hs"), lit(1 + d), w),
+                  (a, b) => least(a, b))
+            }
+          }).otherwise(array().cast("array<long>"))).as("fp"))
       .distinct()
   }
 
@@ -1584,10 +1593,17 @@ object Dedup {
           transform(sequence(lit(1), size(col("ts")) - (k - 1)),
             i => fpOf(array_join(slice(col("ts"), i, lit(k)), " "))))
           .otherwise(array().cast("array<long>")))
+      // hs enters as a DIRECT zip_with argument, never inside a lambda
+      // body: a single-referenced alias gets inlined by projection
+      // collapse, and an array expression inside a lambda re-evaluates
+      // per ELEMENT — O(n²) md5 calls per document (ScaleCheck measured
+      // the element_at(hs, i) form at 30.6 s where this runs in ~2 s)
       .withColumn("cs",
         when(size(col("ts")) >= k,
-          filter(sequence(lit(k), size(col("ts"))),
-            i => element_at(col("hs"), i - (k - 1)) % divisor === 0))
+          filter(
+            zip_with(col("hs"), sequence(lit(k), size(col("ts"))),
+              (h, i) => when(h % divisor === 0, i).otherwise(lit(-1))),
+            x => x =!= -1))
           .otherwise(array().cast("array<int>")))
       .withColumn("starts",
         concat(array(lit(1)), transform(col("cs"), c => c + 1)))

@@ -574,5 +574,50 @@ object EventQueries {
              |    AS INT)) AS BIGINT) AS n_anomalies,
              |  count(*) AS n_events
              |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event streams —
+    // the clickstream model behind "what follows a view" product
+    // analytics (and the random-surfer estimate PageRank discretizes):
+    // consecutive-event (from → to) counts per user in (ts, event_id)
+    // order, with transition probabilities in exact floor-division
+    // micro-units. The lag window partitions by user_id — per-user state
+    // only, never a window over the whole stream.
+    QueryDef(
+      "q_events_markov",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val steps = load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = steps.groupBy(col("from_type"))
+          .agg(sum(col("cnt")).as("from_total"))
+        steps.join(totals, "from_type")
+          .withColumn("p_micro", expr("cnt * 1000000L div from_total"))
+          .select(col("from_type"), col("to_type"), col("cnt"),
+            col("p_micro"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, count(*) AS cnt
+             |  FROM st WHERE to_type IS NOT NULL
+             |  GROUP BY from_type, to_type),
+             |t AS (
+             |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS from_total
+             |  FROM c GROUP BY from_type)
+             |SELECT from_type, to_type, cnt,
+             |  cnt * 1000000 // from_total AS p_micro
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
   )
 }

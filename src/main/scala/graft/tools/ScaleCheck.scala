@@ -581,6 +581,18 @@ object ScaleCheck {
         graft.llm.Linkage.resolveEntities(base.unionByName(twin),
           "ent_id", "name", window = 3, maxDist = 2)
       }),
+      // winnowing pairs on the corpus axis: per-row fingerprint
+      // selection (zero shuffle), one DISTINCT, the df-capped inverted
+      // fingerprint join — candidates bounded by the df cap per key
+      ("q_dedup_winnow", (dir, _) => Dedup.winnowPairs(
+        spark.read.parquet(s"$dir/documents.parquet"))),
+      // CDC chunk dedup on the corpus axis: chunking is codegen'd
+      // per-row work; the only exchange is the chunk-hash aggregate
+      ("q_dedup_cdc", (dir, _) => Dedup.cdcChunks(
+        spark.read.parquet(s"$dir/documents.parquet"))
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("dup_cnt"))
+        .filter(col("dup_cnt") > 1)),
       // corpus BLEU on the corpus axis: the 4× n-gram explosion and the
       // two (pair, n, gram) hash aggregates are the whole cost — grams
       // shuffle, text does not; everything after the per-n rollup is

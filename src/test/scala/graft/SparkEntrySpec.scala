@@ -44,9 +44,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // sorted-neighborhood entity resolution, the eval-metric tier (BLEU,
     // token F1, ROUGE-N, ROUGE-L via the native LCS kernel), Luhn PII
     // validation, the Zipf slope, and the stream-stream full outer join
-    assert(SparkEntry.queries.size >= 306,
+    // ... then 311 with winnowing fingerprints + pairs (MOSS),
+    // content-defined chunking + chunk dedup (LBFS), and the Markov
+    // transition matrix over event streams
+    assert(SparkEntry.queries.size >= 311,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 306,
+    assert(SparkEntry.oracleSql.size >= 311,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
