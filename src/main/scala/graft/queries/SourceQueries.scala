@@ -26,6 +26,29 @@ object SourceQueries {
       Tables.load(spark, dir, table).write.mode("overwrite").orc(out)
       out
     })
+  // ONE well-formed document under a root element: the Spark 4 native
+  // XML reader parses a file as an XML document and extracts rowTag
+  // elements — bare sibling elements with no root land in
+  // _corrupt_record past the first one (probed)
+  private def stageXml(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"xml:$dir", {
+      val out = s"$stageRoot/xml_${math.abs(dir.hashCode)}"
+      val rows = Tables.load(spark, dir, "nation")
+        .select(lit(1).as("ord"), col("n_nationkey").cast("long").as("k"),
+          concat(lit("  <nation><key>"), col("n_nationkey"),
+            lit("</key><name>"), col("n_name"),
+            lit("</name><region>"), col("n_regionkey"),
+            lit("</region></nation>")).as("value"))
+      val head = spark.range(1).select(lit(0).as("ord"),
+        lit(-1L).as("k"), lit("<nations>").as("value"))
+      val tail = spark.range(1).select(lit(2).as("ord"),
+        lit(-1L).as("k"), lit("</nations>").as("value"))
+      head.unionByName(rows).unionByName(tail)
+        .repartition(1).sortWithinPartitions(col("ord"), col("k"))
+        .select(col("value"))
+        .write.mode("overwrite").text(out)
+      out
+    })
 
   /** Closed-form oracle of the 36-record Warc fixture — shared verbatim
     * by q_scan_warc and the streaming q_stream_warc_ingest (one decode
@@ -92,6 +115,46 @@ object SourceQueries {
       },
       Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // Native XML source (new in Spark 4 core — no external spark-xml
+    // module needed, unlike Avro which stays environment-blocked): the
+    // nation table staged as an XML document per row, read back through
+    // format("xml") with rowTag framing and schema inference, then
+    // aggregated. The oracle recomputes from the source table, so any
+    // corruption in the stage-write → XML-parse path breaks the match.
+    QueryDef(
+      "q_scan_xml",
+      (s, dir) => {
+        val path = stageXml(s, dir)
+        s.read.format("xml").option("rowTag", "nation").load(path)
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n"), min(col("name")).as("first_name"))
+          .orderBy(col("region"))
+      },
+      Some("""SELECT n_regionkey AS region, count(*) AS n,
+             |  min(n_name) AS first_name
+             |FROM nation GROUP BY n_regionkey ORDER BY region""".stripMargin)),
+
+    // from_xml scalar parsing — the column-level half of the XML surface
+    // (a crawled corpus carries XML fragments INSIDE columns: sitemaps,
+    // RSS, config blobs): build a fragment per customer, parse it back
+    // with an explicit schema, and verify the extracted fields against
+    // the source columns. Per-row parse, no shuffle before the rollup.
+    QueryDef(
+      "q_xml_funcs",
+      (s, dir) => {
+        val frag = concat(lit("<c><k>"), col("c_custkey"),
+          lit("</k><seg>"), col("c_mktsegment"), lit("</seg></c>"))
+        Tables.load(s, dir, "customer").filter(col("c_custkey") < 100)
+          .select(col("c_custkey"),
+            from_xml(frag, lit("k BIGINT, seg STRING")).as("x"))
+          .select(col("c_custkey"), col("x.k").as("k"),
+            col("x.seg").as("seg"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_custkey AS k, c_mktsegment AS seg
+             |FROM customer WHERE c_custkey < 100
+             |ORDER BY c_custkey""".stripMargin)),
 
     // binaryFile source — the real ingest path for multimodal corpora
     // (images/audio as opaque bytes + file metadata; llm/Multimodal is the

@@ -47,9 +47,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // ... then 311 with winnowing fingerprints + pairs (MOSS),
     // content-defined chunking + chunk dedup (LBFS), and the Markov
     // transition matrix over event streams
-    assert(SparkEntry.queries.size >= 311,
+    // ... and 313 with the Spark-4 native XML source + from_xml parsing
+    assert(SparkEntry.queries.size >= 313,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 311,
+    assert(SparkEntry.oracleSql.size >= 313,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
