@@ -199,6 +199,65 @@ object EvalMetrics {
           .otherwise(expr("match_n * 1000000L div ref_total")))
   }
 
+  /** Corpus chrF (Popović, WMT 2015; sacrebleu's chrF2 defaults): the
+    * CHARACTER n-gram F-score — the MT metric that survives morphology
+    * and tokenization differences word metrics trip on. Whitespace is
+    * removed (the published default), char n-grams run n = 1..maxN
+    * (default 6), statistics pool over the corpus, and the final score
+    * is the arithmetic mean over n of F_β with β = 2 (recall-weighted):
+    * F = (1+β²)·P·R / (β²·P + R).
+    *
+    * Exactness: clipped/total counts are BIGINTs; P and R are
+    * floor-division micro-units; F is one integer formula over them
+    * (5·P·R div (4·P + R), exact); the mean divides the non-negative
+    * sum. Grams key by the 60-bit md5 fingerprint like [[corpusBleu]]
+    * (strings never shuffle; DuckDB replays the fingerprint). Returns
+    * one row per n plus the `chrf_micro` mean on every row. */
+  def corpusChrF(pairs: DataFrame, refCol: String = "ref",
+                 candCol: String = "cand", idCol: String = "pair_id",
+                 maxN: Int = 6): DataFrame = {
+    def chars(c: String) = regexp_replace(col(c), " ", "")
+    val t = Caches.track(pairs.select(col(idCol).as("pid"),
+      chars(refCol).as("rs"), chars(candCol).as("cs")))
+    def charGrams(c: Column, n: Int): Column =
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - (n - 1)),
+          i => c.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    def counted(sCol: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        t.select(col("pid"), lit(n).as("n"),
+            explode(charGrams(col(sCol), n)).as("g"))
+          .groupBy(col("pid"), col("n"), gramFp(col("g")).as("gh"))
+          .agg(count(lit(1)).as(out))
+      }.reduce(_ unionByName _)
+    val perN = counted("cs", "ccnt")
+      .join(counted("rs", "rcnt"), Seq("pid", "n", "gh"), "full_outer")
+      .select(col("n"),
+        least(coalesce(col("ccnt"), lit(0L)),
+          coalesce(col("rcnt"), lit(0L))).as("clip"),
+        coalesce(col("ccnt"), lit(0L)).as("ccnt"),
+        coalesce(col("rcnt"), lit(0L)).as("rcnt"))
+      .groupBy(col("n"))
+      .agg(sum(col("clip")).as("match_n"),
+        sum(col("ccnt")).as("cand_total"),
+        sum(col("rcnt")).as("ref_total"))
+      .withColumn("p_micro", when(col("cand_total") === 0, lit(0L))
+        .otherwise(expr("match_n * 1000000L div cand_total")))
+      .withColumn("r_micro", when(col("ref_total") === 0, lit(0L))
+        .otherwise(expr("match_n * 1000000L div ref_total")))
+      .withColumn("f_micro",
+        when(lit(4) * col("p_micro") + col("r_micro") === 0, lit(0L))
+          .otherwise(expr(
+            "5 * p_micro * r_micro div (4 * p_micro + r_micro)")))
+    val mean = perN.agg(sum(col("f_micro")).as("fsum"))
+      .select(expr(s"fsum div ${maxN}L").as("chrf_micro"))
+    perN.crossJoin(broadcast(mean))
+      .select(col("n"), col("match_n"), col("cand_total"),
+        col("ref_total"), col("p_micro"), col("r_micro"), col("f_micro"),
+        col("chrf_micro"))
+  }
+
   /** Per-pair ROUGE-L (Lin 2004, β = 1): longest-common-subsequence
     * alignment — rewards in-order coverage without requiring contiguity,
     * the property n-gram overlap can't see (a candidate with every

@@ -452,6 +452,72 @@ object CurationQueries {
              |         4) * 10000) AS BIGINT) END AS bleu_micro
              |FROM fin""".stripMargin)),
 
+    // Corpus chrF2 (Popović 2015): character n-gram F-score, n = 1..6,
+    // β = 2, whitespace removed — the MT metric robust to tokenization.
+    // One row per n plus the pooled mean; same fingerprint-keyed
+    // exchange discipline as BLEU. Full replay.
+    QueryDef(
+      "q_eval_chrf",
+      (s, dir) => {
+        val pairs = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)"), " ").as("cand"))
+        EvalMetrics.corpusChrF(pairs, maxN = 6).orderBy(col("n"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS pid, replace(text, ' ', '') AS rs,
+             |    array_to_string(list_filter(
+             |      list_filter(string_split(text, ' '), t -> t <> ''),
+             |      (x, i) -> i % 7 != 0), '') AS cs
+             |  FROM documents WHERE doc_id < 120),
+             |ns AS (SELECT n FROM (VALUES (1), (2), (3), (4), (5), (6))
+             |       v(n)),
+             |cg AS (
+             |  SELECT pid, n,
+             |    CAST('0x' || substr(md5(substr(cs, CAST(s.i AS INT), n)),
+             |      1, 15) AS BIGINT) AS gh
+             |  FROM p, ns,
+             |       unnest(range(1, greatest(len(cs) - n + 1, 0) + 1))
+             |         AS s(i)),
+             |rg AS (
+             |  SELECT pid, n,
+             |    CAST('0x' || substr(md5(substr(rs, CAST(s.i AS INT), n)),
+             |      1, 15) AS BIGINT) AS gh
+             |  FROM p, ns,
+             |       unnest(range(1, greatest(len(rs) - n + 1, 0) + 1))
+             |         AS s(i)),
+             |cc AS (SELECT pid, n, gh, count(*) AS ccnt
+             |       FROM cg GROUP BY pid, n, gh),
+             |rc AS (SELECT pid, n, gh, count(*) AS rcnt
+             |       FROM rg GROUP BY pid, n, gh),
+             |pn AS (
+             |  SELECT n,
+             |    CAST(sum(least(coalesce(ccnt, 0), coalesce(rcnt, 0)))
+             |      AS BIGINT) AS match_n,
+             |    CAST(sum(coalesce(ccnt, 0)) AS BIGINT) AS cand_total,
+             |    CAST(sum(coalesce(rcnt, 0)) AS BIGINT) AS ref_total
+             |  FROM cc FULL JOIN rc USING (pid, n, gh) GROUP BY n),
+             |f AS (
+             |  SELECT n, match_n, cand_total, ref_total,
+             |    CASE WHEN cand_total = 0 THEN 0
+             |         ELSE match_n * 1000000 // cand_total END AS p_micro,
+             |    CASE WHEN ref_total = 0 THEN 0
+             |         ELSE match_n * 1000000 // ref_total END AS r_micro
+             |  FROM pn),
+             |ff AS (
+             |  SELECT *,
+             |    CASE WHEN 4 * p_micro + r_micro = 0 THEN 0
+             |         ELSE 5 * p_micro * r_micro
+             |              // (4 * p_micro + r_micro) END AS f_micro
+             |  FROM f),
+             |m AS (SELECT CAST(sum(f_micro) AS BIGINT) // 6
+             |        AS chrf_micro FROM ff)
+             |SELECT n, match_n, cand_total, ref_total, p_micro, r_micro,
+             |  f_micro, chrf_micro
+             |FROM ff, m ORDER BY n""".stripMargin)),
+
     // Per-pair token F1 (the SQuAD answer metric, Rajpurkar et al. 2016):
     // clipped unigram overlap → precision/recall/F1 in exact micro-units.
     // Candidates drop every 7th reference token AND re-append the first
@@ -681,6 +747,178 @@ object CurationQueries {
              |      ELSE CAST(substr(candidate, CAST(i AS INT), 1) AS INT)
              |    END)) % 10 = 0 AS luhn_ok
              |FROM num ORDER BY doc_id, candidate""".stripMargin)),
+
+    // PMI collocations (Church & Hanks, CL 1990): adjacent-token pairs
+    // ranked by pointwise mutual information ln(c(x,y)·N / (cx·cy))
+    // with bigram-based marginals — the corpus-linguistics collocation
+    // detector (and the signal behind phrase-vocab induction). Pairs
+    // come from zip_with against the shifted token array (no window
+    // over the corpus); counts are exact; one ln → 4 dp micro.
+    QueryDef(
+      "q_text_pmi",
+      (s, dir) => {
+        val pairs = load(s, dir, "documents")
+          .select(filter(split(col("text"), " "), t => t =!= "").as("ts"))
+          .select(explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+            (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+          .filter(col("p.y").isNotNull)
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        val cxy = pairs.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("cxy"))
+        val n = cxy.agg(sum(col("cxy")).as("n"))
+        val cx = cxy.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+        val cy = cxy.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+        cxy.filter(col("cxy") >= 5)
+          .join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+          .withColumn("pmi_micro",
+            round(round(log(col("cxy").cast("double")
+              * col("n").cast("double")
+              / (col("cx").cast("double") * col("cy").cast("double"))),
+              4) * 10000).cast("long"))
+          .select(col("x"), col("y"), col("cxy"), col("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("x"), col("y"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT list_filter(string_split(text, ' '), t -> t <> '')
+             |    AS ts
+             |  FROM documents),
+             |pr AS (
+             |  SELECT ts[CAST(i AS INT)] AS x,
+             |         ts[CAST(i AS INT) + 1] AS y
+             |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS s(i)),
+             |cxy AS (SELECT x, y, count(*) AS cxy FROM pr GROUP BY x, y),
+             |n AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cxy),
+             |cx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx
+             |       FROM cxy GROUP BY x),
+             |cy AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy
+             |       FROM cxy GROUP BY y)
+             |SELECT x, y, cxy,
+             |  CAST(round(round(ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+             |    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 4) * 10000)
+             |    AS BIGINT) AS pmi_micro
+             |FROM cxy JOIN cx USING (x) JOIN cy USING (y), n
+             |WHERE cxy >= 5
+             |ORDER BY pmi_micro DESC, x, y
+             |LIMIT 50""".stripMargin)),
+
+    // Term dispersion DP (Gries 2008): how evenly a term spreads across
+    // corpus parts (the `source` column) — 0 = perfectly proportional,
+    // →1 = concentrated in one part. A high-frequency term with high DP
+    // is a template artifact, not vocabulary; dispersion is the
+    // published complement of raw frequency for stopword/boilerplate
+    // decisions. DP = ½·Σ_parts |v_i/f − s_i| over ALL parts (zero
+    // counts included via the part × term grid), every share an exact
+    // floor-division micro-unit.
+    QueryDef(
+      "q_text_dispersion",
+      (s, dir) => {
+        val toks = load(s, dir, "documents")
+          .select(col("source"),
+            explode(filter(split(col("text"), " "), t => t =!= ""))
+              .as("t"))
+        val vt = toks.groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("v"))
+        val sizes = toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("sz"))
+        val total = sizes.agg(sum(col("sz")).as("tt"))
+        val f = vt.groupBy(col("t")).agg(sum(col("v")).as("f"))
+          .filter(col("f") >= 100)
+        f.crossJoin(broadcast(sizes)).crossJoin(broadcast(total))
+          .join(vt, Seq("source", "t"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L)))
+          .withColumn("d", abs(expr("v * 1000000L div f")
+            - expr("sz * 1000000L div tt")))
+          .groupBy(col("t"), col("f"))
+          .agg(expr("sum(d) div 2").as("dp_micro"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, u.t AS t
+             |  FROM documents,
+             |       unnest(list_filter(string_split(text, ' '),
+             |                          x -> x <> '')) AS u(t)),
+             |vt AS (SELECT source, t, count(*) AS v
+             |       FROM toks GROUP BY source, t),
+             |sz AS (SELECT source, count(*) AS sz
+             |       FROM toks GROUP BY source),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM toks),
+             |f AS (SELECT t, CAST(sum(v) AS BIGINT) AS f
+             |      FROM vt GROUP BY t HAVING sum(v) >= 100),
+             |grid AS (
+             |  SELECT f.t, f.f, sz.source, sz.sz,
+             |    coalesce(vt.v, 0) AS v
+             |  FROM f CROSS JOIN sz
+             |  LEFT JOIN vt ON vt.source = sz.source AND vt.t = f.t)
+             |SELECT t, f,
+             |  CAST(sum(abs(v * 1000000 // f
+             |               - sz * 1000000 // (SELECT tt FROM tt)))
+             |    AS BIGINT) // 2 AS dp_micro
+             |FROM grid GROUP BY t, f
+             |ORDER BY t""".stripMargin)),
+
+    // Population stability index (the credit-scoring drift standard;
+    // PSI > 0.2 is the published "significant shift" bar) between two
+    // crawl sources' document-length distributions: 50-char bins,
+    // Laplace +1 smoothing so empty bins stay defined, contributions
+    // (p−q)·ln(p/q) — sign-aligned factors, so every term and the sum
+    // are non-negative exact micro-units after the one IEEE ln.
+    QueryDef(
+      "q_drift_psi",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), expr("n_chars div 50").as("bin"))
+        val bins = docs.select(col("bin")).distinct()
+        def cnt(src: String, out: String) =
+          docs.filter(col("source") === src)
+            .groupBy(col("bin")).agg(count(lit(1)).as(out))
+        val joined = bins
+          .join(cnt("src0", "cp"), Seq("bin"), "left")
+          .join(cnt("src1", "cq"), Seq("bin"), "left")
+          .select(col("bin"),
+            (coalesce(col("cp"), lit(0L)) + 1).as("cp"),
+            (coalesce(col("cq"), lit(0L)) + 1).as("cq"))
+        val totals = joined.agg(sum(col("cp")).as("np"),
+          sum(col("cq")).as("nq"))
+        joined.crossJoin(broadcast(totals))
+          .withColumn("p_micro", expr("cp * 1000000L div np"))
+          .withColumn("q_micro", expr("cq * 1000000L div nq"))
+          .withColumn("ln_micro",
+            round(round(log(col("p_micro").cast("double")
+              / col("q_micro").cast("double")), 4) * 10000).cast("long"))
+          .withColumn("psi_bin_micro",
+            expr("(p_micro - q_micro) * ln_micro div 10000"))
+          .select(col("bin"), col("cp"), col("cq"), col("p_micro"),
+            col("q_micro"), col("psi_bin_micro"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, n_chars // 50 AS bin FROM documents
+             |  WHERE source IN ('src0', 'src1')),
+             |bins AS (SELECT DISTINCT bin FROM d),
+             |cp AS (SELECT bin, count(*) AS c FROM d
+             |       WHERE source = 'src0' GROUP BY bin),
+             |cq AS (SELECT bin, count(*) AS c FROM d
+             |       WHERE source = 'src1' GROUP BY bin),
+             |j AS (
+             |  SELECT bin, coalesce(cp.c, 0) + 1 AS cp,
+             |         coalesce(cq.c, 0) + 1 AS cq
+             |  FROM bins LEFT JOIN cp USING (bin)
+             |            LEFT JOIN cq USING (bin)),
+             |t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+             |             CAST(sum(cq) AS BIGINT) AS nq FROM j),
+             |m AS (
+             |  SELECT bin, cp, cq,
+             |    cp * 1000000 // np AS p_micro,
+             |    cq * 1000000 // nq AS q_micro
+             |  FROM j, t)
+             |SELECT bin, cp, cq, p_micro, q_micro,
+             |  (p_micro - q_micro) * CAST(round(round(
+             |     ln(CAST(p_micro AS DOUBLE) / CAST(q_micro AS DOUBLE)),
+             |     4) * 10000) AS BIGINT) // 10000 AS psi_bin_micro
+             |FROM m ORDER BY bin""".stripMargin)),
 
     // Zipf rank-frequency slope — the vocabulary-law diagnostic beside
     // the Heaps growth curve (q_corpus_heaps): OLS slope of ln(freq) on

@@ -47,10 +47,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // ... then 311 with winnowing fingerprints + pairs (MOSS),
     // content-defined chunking + chunk dedup (LBFS), and the Markov
     // transition matrix over event streams
-    // ... and 313 with the Spark-4 native XML source + from_xml parsing
-    assert(SparkEntry.queries.size >= 313,
+    // ... 313 with the Spark-4 native XML source + from_xml parsing,
+    // and 317 with chrF2, PMI collocations, term dispersion (Gries DP),
+    // and the PSI drift audit
+    assert(SparkEntry.queries.size >= 317,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 313,
+    assert(SparkEntry.oracleSql.size >= 317,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
