@@ -182,6 +182,88 @@ case class LcsLenExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaro-Winkler similarity between two strings — the record-linkage
+  * standard verifier (Winkler 1990, on Jaro 1989; the metric the
+  * merge/purge literature scores name candidates with). Native codegen'd
+  * expression for the usual reason; semantics calibrated against DuckDB's
+  * `jaro_winkler_similarity` so the oracle replays exactly (fuzzed on
+  * 3000 random pairs at 1e-12): INTEGER transposition halving, 0.7 boost
+  * threshold (strict >), prefix cap 4, scaling 0.1, either-empty → 0,
+  * equal → 1. Comparison is by UTF-16 code unit (≡ codepoints on the
+  * fixtures' ASCII; documented limit for astral-plane text). */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler expects (string, string), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Jaro.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Jaro.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object Jaro {
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (a == b) return 1.0
+    val w = math.max(0, math.max(l1, l2) / 2 - 1)
+    val ma = new Array[Boolean](l1)
+    val mb = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - w)
+      val hi = math.min(l2 - 1, i + w)
+      var found = false
+      while (!found && j <= hi) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j0 = 0
+    i = 0
+    while (i < l1) {
+      if (ma(i)) {
+        while (!mb(j0)) j0 += 1
+        if (a.charAt(i) != b.charAt(j0)) t += 1
+        j0 += 1
+      }
+      i += 1
+    }
+    val tt = t / 2 // integer halving — the DuckDB-calibrated rule
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - tt) / md) / 3.0
+    if (jaro > 0.7) {
+      var p = 0
+      while (p < 4 && p < l1 && p < l2 && a.charAt(p) == b.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
 /** Static DP kernel shared by interpreted eval and generated code. */
 object Lcs {
   def lcsLen(a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -234,5 +316,10 @@ object TextExpressions {
   /** Column-level LCS length over two array<string> token columns. */
   def lcsLen(a: Column, b: Column): Column =
     GraftColumn.column(LcsLenExpr(
+      GraftColumn.expression(a), GraftColumn.expression(b)))
+
+  /** Column-level Jaro-Winkler similarity (DuckDB-calibrated). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumn.column(JaroWinklerExpr(
       GraftColumn.expression(a), GraftColumn.expression(b)))
 }

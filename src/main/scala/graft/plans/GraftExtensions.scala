@@ -93,5 +93,14 @@ object GraftExtensions {
           require(args.length == 2,
             "lcs_len expects (array<string>, array<string>)")
           graft.functions.LcsLenExpr(args(0), args(1)): Expression
+        }),
+      (new FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(
+          classOf[graft.functions.JaroWinklerExpr].getName,
+          "jaro_winkler"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "jaro_winkler expects (string, string)")
+          graft.functions.JaroWinklerExpr(args(0), args(1)): Expression
         }))
 }

@@ -452,6 +452,57 @@ object CurationQueries {
              |         4) * 10000) AS BIGINT) END AS bleu_micro
              |FROM fin""".stripMargin)),
 
+    // Jaro-Winkler candidate verification — the record-linkage standard
+    // metric (Winkler 1990) over the sorted-neighborhood candidates,
+    // via the native codegen'd expression (SQL: jaro_winkler),
+    // calibrated byte-for-byte against DuckDB's implementation (integer
+    // transposition halving, 0.7 boost bar, prefix cap 4). Twins (one
+    // trailing-char flip on a 17-char name) score ~0.97 and match at
+    // the published 0.85 bar; md5-spread non-twin neighbours fall well
+    // below. Full replay: DuckDB recomputes the fixture, the rank
+    // window, and its own jaro_winkler_similarity.
+    QueryDef(
+      "q_linkage_jw",
+      (s, dir) => {
+        val ents = entityFixture(load(s, dir, "customer"))
+        val cands = Linkage.sortedNeighborhoodPairs(ents, "ent_id",
+          "name", window = 3, maxDist = Int.MaxValue)
+        val named = cands
+          .join(ents.select(col("ent_id").as("id_a"),
+            col("name").as("name_a")), "id_a")
+          .join(ents.select(col("ent_id").as("id_b"),
+            col("name").as("name_b")), "id_b")
+        named.select(col("id_a"), col("id_b"),
+            round(round(graft.functions.TextExpressions
+              .jaroWinkler(col("name_a"), col("name_b")), 4) * 10000)
+              .cast("long").as("jw_micro"))
+          .withColumn("matched", col("jw_micro") >= 8500)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey AS ent_id,
+             |    c_mktsegment || '-' ||
+             |      substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS name
+             |  FROM customer WHERE c_custkey < 300),
+             |twin AS (
+             |  SELECT ent_id + 100000 AS ent_id,
+             |    substr(name, 1, len(name) - 1) || 'x' AS name
+             |  FROM base WHERE ent_id % 5 = 0),
+             |ents AS (
+             |  SELECT * FROM base UNION ALL SELECT * FROM twin),
+             |rk AS (
+             |  SELECT ent_id, name,
+             |    row_number() OVER (ORDER BY name, ent_id) - 1 AS r
+             |  FROM ents),
+             |p AS (
+             |  SELECT a.ent_id AS id_a, b.ent_id AS id_b,
+             |    CAST(round(round(
+             |      jaro_winkler_similarity(a.name, b.name), 4) * 10000)
+             |      AS BIGINT) AS jw_micro
+             |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 2)
+             |SELECT id_a, id_b, jw_micro, jw_micro >= 8500 AS matched
+             |FROM p ORDER BY id_a, id_b""".stripMargin)),
+
     // Corpus chrF2 (Popović 2015): character n-gram F-score, n = 1..6,
     // β = 2, whitespace removed — the MT metric robust to tokenization.
     // One row per n plus the pooled mean; same fingerprint-keyed

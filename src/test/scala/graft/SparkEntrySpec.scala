@@ -48,11 +48,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // content-defined chunking + chunk dedup (LBFS), and the Markov
     // transition matrix over event streams
     // ... 313 with the Spark-4 native XML source + from_xml parsing,
-    // and 317 with chrF2, PMI collocations, term dispersion (Gries DP),
-    // and the PSI drift audit
-    assert(SparkEntry.queries.size >= 317,
+    // 317 with chrF2, PMI collocations, term dispersion (Gries DP),
+    // and the PSI drift audit, and 318 with Jaro-Winkler candidate
+    // verification through the DuckDB-calibrated native expression
+    assert(SparkEntry.queries.size >= 318,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 317,
+    assert(SparkEntry.oracleSql.size >= 318,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

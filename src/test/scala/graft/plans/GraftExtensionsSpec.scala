@@ -37,7 +37,8 @@ class GraftExtensionsSpec extends SparkSpec {
       .contains(CollapseNormalize))
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("normalize_nfc", "normalize_nfkc", "registrable_domain",
-        "dot_segment_normalize", "extract_links", "lcs_len"))
+        "dot_segment_normalize", "extract_links", "lcs_len",
+        "jaro_winkler"))
   }
 
   test("injected SQL functions run the native expression on a live session") {
@@ -62,5 +63,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT lcs_len(array('a','b','c','d','e')," +
         " array('b','a','d','c','e')) AS l").head
     assert(r3.getLong(0) == 3L)
+    // round-12: the record-linkage verifier — canonical Winkler values
+    val r4 = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS a, " +
+        "jaro_winkler('dixon', 'dicksonx') AS b, " +
+        "jaro_winkler('abqqqqqq', 'abzzzz') AS c, " + // below boost bar
+        "jaro_winkler('', '') AS d").head             // DuckDB edge: 0
+    assert(math.abs(r4.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(r4.getDouble(1) - 0.8133333333333332) < 1e-12)
+    assert(math.abs(r4.getDouble(2) - 0.5277777777777778) < 1e-12)
+    assert(r4.getDouble(3) == 0.0)
   }
 }
