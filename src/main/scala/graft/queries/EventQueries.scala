@@ -619,5 +619,54 @@ object EventQueries {
              |  cnt * 1000000 // from_total AS p_micro
              |FROM c JOIN t USING (from_type)
              |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Exponentially-weighted moving average over per-type hourly counts
+    // (Brown 1956 — the smoothing behind every ops dashboard's
+    // "expected traffic" line; the EWMA level IS the one-step
+    // forecast). INTEGER-EXACT recursion: the level lives in count
+    // micro-units and each step is s' = (α·x·1e6 + (1−α)·s) div 1e6
+    // with α = 0.3 — pure BIGINT arithmetic both engines replay bit for
+    // bit (a float EWMA would compound rounding differently). Per-type
+    // state is the bounded hourly array (collect + fold with an
+    // explicit scaled seed; DuckDB's init-less list_reduce gets the
+    // seed PREPENDED as its first element).
+    QueryDef(
+      "q_events_ewma",
+      (s, dir) => {
+        val hourly = load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            transform(sort_array(collect_list(
+              struct(col("h"), col("cnt")))), x => x.getField("cnt"))
+              .as("cs"))
+          .withColumn("ewma_micro", expr(
+            """aggregate(
+              |  slice(cs, 2, greatest(size(cs) - 1, 0)),
+              |  element_at(cs, 1) * 1000000L,
+              |  (acc, x) ->
+              |    (300000L * x * 1000000L + 700000L * acc) div 1000000L
+              |)""".stripMargin))
+          .select(col("event_type"), col("n_hours"), col("ewma_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY event_type, h),
+             |srt AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_hours,
+             |    list(CAST(cnt AS BIGINT) ORDER BY h) AS cs
+             |  FROM hourly GROUP BY event_type)
+             |SELECT event_type, n_hours,
+             |  list_reduce(
+             |    list_prepend(cs[1] * 1000000, cs[2:]),
+             |    (acc, x) ->
+             |      (300000 * x * 1000000 + 700000 * acc) // 1000000)
+             |    AS ewma_micro
+             |FROM srt ORDER BY event_type""".stripMargin)),
   )
 }

@@ -49,11 +49,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // transition matrix over event streams
     // ... 313 with the Spark-4 native XML source + from_xml parsing,
     // 317 with chrF2, PMI collocations, term dispersion (Gries DP),
-    // and the PSI drift audit, and 318 with Jaro-Winkler candidate
-    // verification through the DuckDB-calibrated native expression
-    assert(SparkEntry.queries.size >= 318,
+    // and the PSI drift audit, 318 with Jaro-Winkler candidate
+    // verification through the DuckDB-calibrated native expression,
+    // and 319 with the integer-exact EWMA smoothing fold
+    assert(SparkEntry.queries.size >= 319,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 318,
+    assert(SparkEntry.oracleSql.size >= 319,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
