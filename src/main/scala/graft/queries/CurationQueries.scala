@@ -971,6 +971,95 @@ object CurationQueries {
              |     4) * 10000) AS BIGINT) // 10000 AS psi_bin_micro
              |FROM m ORDER BY bin""".stripMargin)),
 
+    // word2vec negative-sampling table (Mikolov et al., NIPS 2013 §2.2):
+    // noise distribution ∝ count^0.75 — the published flattening that
+    // keeps rare words sampleable. Per-term weight and cumulative share
+    // in micro-units; ONE IEEE pow per term then exact integer
+    // normalization; the cumulative window runs over the bounded
+    // vocabulary, never the corpus.
+    QueryDef(
+      "q_token_negsample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = load(s, dir, "documents")
+          .select(explode(filter(split(col("text"), " "),
+            t => t =!= "")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+          .withColumn("w_micro",
+            round(round(pow(col("cnt").cast("double"), 0.75), 4) * 10000)
+              .cast("long"))
+        val total = counts.agg(sum(col("w_micro")).as("tw"))
+        counts.crossJoin(broadcast(total))
+          .withColumn("p_micro", expr("w_micro * 1000000L div tw"))
+          .withColumn("cum_micro",
+            sum(col("p_micro")).over(
+              Window.orderBy(col("cnt").desc, col("t"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("t"), col("cnt"), col("w_micro"), col("p_micro"),
+            col("cum_micro"))
+          .orderBy(col("cnt").desc, col("t"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT u.t AS t
+             |  FROM documents,
+             |       unnest(list_filter(string_split(text, ' '),
+             |                          x -> x <> '')) AS u(t)),
+             |c AS (
+             |  SELECT t, count(*) AS cnt,
+             |    CAST(round(round(pow(CAST(count(*) AS DOUBLE), 0.75), 4)
+             |      * 10000) AS BIGINT) AS w_micro
+             |  FROM tk GROUP BY t),
+             |tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM c),
+             |p AS (
+             |  SELECT t, cnt, w_micro,
+             |    w_micro * 1000000 // (SELECT tw FROM tw) AS p_micro
+             |  FROM c)
+             |SELECT t, cnt, w_micro, p_micro,
+             |  CAST(sum(p_micro) OVER (ORDER BY cnt DESC, t
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micro
+             |FROM p ORDER BY cnt DESC, t""".stripMargin)),
+
+    // word2vec frequent-word subsampling (Mikolov et al. 2013 §2.3):
+    // p_discard = 1 − sqrt(t/f) with t = 1e-3 against each term's
+    // corpus frequency share — the aggressive downweighting of
+    // stopword-frequency terms that speeds training and IMPROVES rare
+    // vectors. Frequency shares and the final probability in exact
+    // micro-units around the one IEEE sqrt; never negative (terms
+    // below the threshold keep p_discard = 0).
+    QueryDef(
+      "q_token_subsample",
+      (s, dir) => {
+        val counts = load(s, dir, "documents")
+          .select(explode(filter(split(col("text"), " "),
+            t => t =!= "")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).as("n"))
+        counts.crossJoin(broadcast(total))
+          .withColumn("f_micro", expr("cnt * 1000000L div n"))
+          .withColumn("p_discard_micro",
+            greatest(lit(0L),
+              lit(1000000L) - round(round(
+                sqrt(lit(1000.0) / col("f_micro").cast("double")), 4)
+                * 10000).cast("long") * 100))
+          .select(col("t"), col("cnt"), col("f_micro"),
+            col("p_discard_micro"))
+          .orderBy(col("cnt").desc, col("t"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT u.t AS t
+             |  FROM documents,
+             |       unnest(list_filter(string_split(text, ' '),
+             |                          x -> x <> '')) AS u(t)),
+             |c AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
+             |SELECT t, cnt,
+             |  cnt * 1000000 // (SELECT n FROM n) AS f_micro,
+             |  greatest(CAST(0 AS BIGINT), 1000000 -
+             |    CAST(round(round(sqrt(1000.0 /
+             |      CAST(cnt * 1000000 // (SELECT n FROM n) AS DOUBLE)),
+             |      4) * 10000) AS BIGINT) * 100) AS p_discard_micro
+             |FROM c ORDER BY cnt DESC, t""".stripMargin)),
+
     // Zipf rank-frequency slope — the vocabulary-law diagnostic beside
     // the Heaps growth curve (q_corpus_heaps): OLS slope of ln(freq) on
     // ln(rank) over the top-100 terms (natural text sits near −1; a

@@ -51,10 +51,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // 317 with chrF2, PMI collocations, term dispersion (Gries DP),
     // and the PSI drift audit, 318 with Jaro-Winkler candidate
     // verification through the DuckDB-calibrated native expression,
-    // and 319 with the integer-exact EWMA smoothing fold
-    assert(SparkEntry.queries.size >= 319,
+    // 319 with the integer-exact EWMA smoothing fold, and 321 with the
+    // word2vec preprocessing pair (count^0.75 negative-sampling table,
+    // frequent-word subsampling)
+    assert(SparkEntry.queries.size >= 321,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 319,
+    assert(SparkEntry.oracleSql.size >= 321,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
