@@ -971,6 +971,68 @@ object CurationQueries {
              |     4) * 10000) AS BIGINT) // 10000 AS psi_bin_micro
              |FROM m ORDER BY bin""".stripMargin)),
 
+    // TextRank keywords (Mihalcea & Tarau, EMNLP 2004): PageRank over
+    // the word co-occurrence graph (adjacency window 2, undirected) —
+    // the unsupervised keyword extractor. Words become 60-bit
+    // fingerprint node ids; the sweep is the exact-integer
+    // Graphs.pagerankExact (4 sweeps, 0.85); the oracle rebuilds the
+    // graph and replays the SAME unrolled CTE chain every pagerank
+    // query shares, then joins ranks back to words.
+    QueryDef(
+      "q_text_textrank",
+      (s, dir) => {
+        val fpOf = (g: org.apache.spark.sql.Column) =>
+          conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+        val prs = load(s, dir, "documents")
+          .select(filter(split(col("text"), " "), t => t =!= "").as("ts"))
+          .select(explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+            (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+          .filter(col("p.y").isNotNull && col("p.x") =!= col("p.y"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        val edges = prs
+          .unionByName(prs.select(col("y").as("x"), col("x").as("y")))
+          .select(fpOf(col("x")).as("src"), fpOf(col("y")).as("dst"))
+          .distinct()
+        val words = prs.select(col("x").as("word"))
+          .unionByName(prs.select(col("y").as("word"))).distinct()
+          .select(col("word"), fpOf(col("word")).as("node"))
+        graft.llm.Graphs.pagerankExact(edges, iters = 4)
+          .join(words, "node")
+          .select(col("word"), col("rank"))
+          .orderBy(col("rank").desc, col("word")).limit(100)
+      },
+      Some {
+        val prelude =
+          """toks AS (
+            |  SELECT list_filter(string_split(text, ' '), t -> t <> '')
+            |    AS ts
+            |  FROM documents),
+            |pr AS (
+            |  SELECT ts[CAST(i AS INT)] AS x, ts[CAST(i AS INT) + 1] AS y
+            |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS s(i)
+            |  WHERE ts[CAST(i AS INT)] <> ts[CAST(i AS INT) + 1]),
+            |und AS (
+            |  SELECT x, y FROM pr UNION ALL SELECT y, x FROM pr),
+            |wmap AS (
+            |  SELECT DISTINCT x AS word,
+            |    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) AS fp
+            |  FROM und)""".stripMargin
+        val chain = LlmQueries.pagerankCtesSql(
+          edgesSql = """SELECT DISTINCT
+                       |    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+                       |      AS src,
+                       |    CAST('0x' || substr(md5(y), 1, 15) AS BIGINT)
+                       |      AS dst
+                       |  FROM und""".stripMargin,
+          iters = 4)
+        s"""WITH $prelude,
+           |$chain
+           |SELECT w.word AS word, r.rank AS rank
+           |FROM r4 r JOIN wmap w ON w.fp = r.node
+           |ORDER BY rank DESC, word LIMIT 100""".stripMargin
+      }),
+
     // word2vec negative-sampling table (Mikolov et al., NIPS 2013 §2.2):
     // noise distribution ∝ count^0.75 — the published flattening that
     // keeps rare words sampleable. Per-term weight and cumulative share
