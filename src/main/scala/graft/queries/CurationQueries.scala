@@ -1033,6 +1033,113 @@ object CurationQueries {
            |ORDER BY rank DESC, word LIMIT 100""".stripMargin
       }),
 
+    // RAKE keyphrases (Rose et al. 2010): candidate phrases are maximal
+    // stopword-free token runs; each word scores deg/freq where deg =
+    // freq + Σ per occurrence (phrase_len − 1) (the rake-nltk co-
+    // occurrence rule); a phrase scores the sum over its tokens (with
+    // multiplicity). Stopwords here are the corpus's fillers {a, the}.
+    // Phrase splitting rides the CDC span machinery under the direct-
+    // argument lambda discipline; scores are exact floor-division
+    // micro-units; top-20 by (score, phrase) is deterministic.
+    QueryDef(
+      "q_text_rake",
+      (s, dir) => {
+        val ts = filter(split(col("text"), " "), t => t =!= "")
+        val phrases = load(s, dir, "documents")
+          .select(col("doc_id"), ts.as("ts"))
+          .withColumn("cs", filter(
+            zip_with(col("ts"),
+              sequence(lit(1), greatest(size(col("ts")), lit(1))),
+              (t, i) => when(t === "a" || t === "the", i)
+                .otherwise(lit(-1))),
+            x => x =!= -1))
+          .withColumn("starts",
+            concat(array(lit(1)), transform(col("cs"), c => c + 1)))
+          .withColumn("ends",
+            concat(transform(col("cs"), c => c - 1),
+              array(size(col("ts")))))
+          .select(col("doc_id"), col("ts"),
+            explode(zip_with(col("starts"), col("ends"),
+              (a, b) => struct(a.as("s"), b.as("e")))).as("se"))
+          .filter(col("se.e") >= col("se.s"))
+          .select(array_join(slice(col("ts"), col("se.s"),
+            col("se.e") - col("se.s") + 1), " ").as("phrase"),
+            (col("se.e") - col("se.s") + 1).cast("long").as("plen"))
+        // three consumers (word scores, phrase-token join, occurrence
+        // counts): persist or the span assembly re-runs per consumer
+        val ph = phrases
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val words = ph.select(col("plen"),
+          explode(split(col("phrase"), " ")).as("w"))
+        val scores = words.groupBy(col("w"))
+          .agg(count(lit(1)).as("freq"),
+            (count(lit(1)) + sum(col("plen") - 1)).as("deg"))
+          .withColumn("score_micro", expr("deg * 1000000L div freq"))
+        // sum over ALL occurrences' tokens = per-occurrence score ×
+        // n_occur (every occurrence contributes the same integer), so
+        // the later div n_occur is exact
+        ph.select(col("phrase"),
+            explode(split(col("phrase"), " ")).as("w"))
+          .join(scores, "w")
+          .groupBy(col("phrase"))
+          .agg(sum(col("score_micro")).as("sum_all"))
+          .join(ph.groupBy(col("phrase"))
+            .agg(count(lit(1)).as("n_occur"), min(col("plen")).as("plen")),
+            "phrase")
+          .withColumn("score_micro",
+            expr("sum_all div n_occur"))
+          .select(col("phrase"), col("plen"), col("n_occur"),
+            col("score_micro"))
+          .orderBy(col("score_micro").desc, col("phrase"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             |  FROM documents),
+             |cuts AS (
+             |  SELECT doc_id, ts,
+             |    list_filter(range(1, len(ts) + 1),
+             |      i -> ts[CAST(i AS INT)] IN ('a', 'the')) AS cs
+             |  FROM toks),
+             |spans AS (
+             |  SELECT doc_id, ts,
+             |    list_prepend(CAST(1 AS BIGINT),
+             |      list_transform(cs, c -> c + 1)) AS starts,
+             |    list_append(list_transform(cs, c -> c - 1),
+             |      CAST(len(ts) AS BIGINT)) AS ends
+             |  FROM cuts),
+             |ph AS (
+             |  SELECT array_to_string(ts[starts[u.i] : ends[u.i]], ' ')
+             |    AS phrase,
+             |    CAST(ends[u.i] - starts[u.i] + 1 AS BIGINT) AS plen
+             |  FROM spans, unnest(range(1, len(starts) + 1)) AS u(i)
+             |  WHERE ends[u.i] >= starts[u.i]),
+             |wd AS (
+             |  SELECT w.w AS w, plen
+             |  FROM ph, unnest(string_split(phrase, ' ')) AS w(w)),
+             |sc AS (
+             |  SELECT w, count(*) AS freq,
+             |    CAST(count(*) + sum(plen - 1) AS BIGINT) AS deg,
+             |    (count(*) + CAST(sum(plen - 1) AS BIGINT)) * 1000000
+             |      // count(*) AS score_micro
+             |  FROM wd GROUP BY w),
+             |pw AS (
+             |  SELECT phrase, w.w AS w
+             |  FROM ph, unnest(string_split(phrase, ' ')) AS w(w)),
+             |psum AS (
+             |  SELECT phrase, CAST(sum(score_micro) AS BIGINT) AS sum_all
+             |  FROM pw JOIN sc USING (w) GROUP BY phrase),
+             |pocc AS (
+             |  SELECT phrase, count(*) AS n_occur,
+             |    CAST(min(plen) AS BIGINT) AS plen
+             |  FROM ph GROUP BY phrase)
+             |SELECT phrase, plen, n_occur,
+             |  sum_all // n_occur AS score_micro
+             |FROM psum JOIN pocc USING (phrase)
+             |ORDER BY score_micro DESC, phrase
+             |LIMIT 20""".stripMargin)),
+
     // word2vec negative-sampling table (Mikolov et al., NIPS 2013 §2.2):
     // noise distribution ∝ count^0.75 — the published flattening that
     // keeps rare words sampleable. Per-term weight and cumulative share

@@ -53,11 +53,11 @@ class SparkEntrySpec extends AnyFunSuite {
     // verification through the DuckDB-calibrated native expression,
     // 319 with the integer-exact EWMA smoothing fold, and 321 with the
     // word2vec preprocessing pair (count^0.75 negative-sampling table,
-    // frequent-word subsampling), and 322 with TextRank keywords over
-    // the word co-occurrence graph
-    assert(SparkEntry.queries.size >= 322,
+    // frequent-word subsampling), 322 with TextRank keywords over
+    // the word co-occurrence graph, and 323 with RAKE keyphrases
+    assert(SparkEntry.queries.size >= 323,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 322,
+    assert(SparkEntry.oracleSql.size >= 323,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
