@@ -123,7 +123,13 @@ object Bench {
     // q_eval_bleu 0.8 s, rest sub-second) stay off per policy; their
     // scale evidence is ScaleCheck's corpus/record-count rows
     "q_stream_join_full",     // stream-stream full outer, 2-side state
-    "q_entity_resolution")    // sorted-neighborhood + levenshtein + CC
+    "q_entity_resolution",    // sorted-neighborhood + levenshtein + CC
+    // round-12 session-2 continuation #2 (first frozen budgets in
+    // BASELINE.md): the heaviest of the metric/keyword additions — the
+    // 6-n char-gram F-score and the co-occurrence-graph pagerank; the
+    // rest of the tier measured 0.15-1.5 s and stays off per policy
+    "q_eval_chrf",            // chrF2: char 1..6-gram clipped F, fp keys
+    "q_text_textrank")        // pagerank over word co-occurrence graph
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
