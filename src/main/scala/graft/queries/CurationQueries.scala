@@ -1033,6 +1033,88 @@ object CurationQueries {
            |ORDER BY rank DESC, word LIMIT 100""".stripMargin
       }),
 
+    // distinct-n diversity (Li et al., NAACL 2016): distinct n-grams /
+    // total n-grams over the candidate side — the standard degenerate-
+    // repetition detector for generated text (a looping generator
+    // scores near 0). Distinctness counts over the 60-bit fingerprints
+    // (the fixed-width-key rule); one row per n = 1, 2.
+    QueryDef(
+      "q_eval_distinct_n",
+      (s, dir) => {
+        val cands = load(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(expr("filter(filter(split(text, ' '), t -> t != '')," +
+            " (t, i) -> (i + 1) % 7 != 0)").as("ct"))
+        val grams = (1 to 2).map { n =>
+          cands.select(lit(n).as("n"), explode(
+            when(size(col("ct")) >= n,
+              transform(sequence(lit(1), size(col("ct")) - (n - 1)),
+                i => array_join(slice(col("ct"), i, lit(n)), " ")))
+              .otherwise(array().cast("array<string>"))).as("g"))
+        }.reduce(_ unionByName _)
+        grams
+          .select(col("n"),
+            conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+              .as("gh"))
+          .groupBy(col("n"))
+          .agg(countDistinct(col("gh")).as("n_distinct"),
+            count(lit(1)).as("n_total"))
+          .withColumn("distinct_micro",
+            expr("n_distinct * 1000000L div n_total"))
+          .orderBy(col("n"))
+      },
+      Some("""WITH p AS (
+             |  SELECT list_filter(
+             |    list_filter(string_split(text, ' '), t -> t <> ''),
+             |    (x, i) -> i % 7 != 0) AS ct
+             |  FROM documents WHERE doc_id < 120),
+             |g AS (
+             |  SELECT n.n AS n,
+             |    CAST('0x' || substr(md5(
+             |      array_to_string(ct[s.i : s.i + n.n - 1], ' ')), 1, 15)
+             |      AS BIGINT) AS gh
+             |  FROM p, (VALUES (1), (2)) n(n),
+             |       unnest(range(1, greatest(len(ct) - n.n + 1, 0) + 1))
+             |         AS s(i))
+             |SELECT n, CAST(count(DISTINCT gh) AS BIGINT) AS n_distinct,
+             |  count(*) AS n_total,
+             |  count(DISTINCT gh) * 1000000 // count(*) AS distinct_micro
+             |FROM g GROUP BY n ORDER BY n""".stripMargin)),
+
+    // Lexical diversity per document: type-token ratio (types·1e6 div
+    // tokens) and Guiraud's root TTR types/√tokens (Guiraud 1954 — the
+    // length-corrected variant, since raw TTR decays with length) —
+    // the per-doc vocabulary-richness signals beside the corpus-level
+    // Heaps/Zipf laws. One IEEE sqrt under the 4-dp micro discipline.
+    QueryDef(
+      "q_text_ttr",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("tokens"),
+          size(array_distinct(filter(split(col("text"), " "),
+            t => t =!= ""))).cast("long").as("types"))
+        .filter(col("tokens") > 0)
+        .withColumn("ttr_micro", expr("types * 1000000L div tokens"))
+        .withColumn("guiraud_micro",
+          round(round(col("types").cast("double")
+            / sqrt(col("tokens").cast("double")), 4) * 10000)
+            .cast("long"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) AS BIGINT) AS tokens,
+             |    CAST(len(list_distinct(list_filter(
+             |      string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+             |      AS types
+             |  FROM documents)
+             |SELECT doc_id, tokens, types,
+             |  types * 1000000 // tokens AS ttr_micro,
+             |  CAST(round(round(CAST(types AS DOUBLE)
+             |    / sqrt(CAST(tokens AS DOUBLE)), 4) * 10000) AS BIGINT)
+             |    AS guiraud_micro
+             |FROM t WHERE tokens > 0 ORDER BY doc_id""".stripMargin)),
+
     // RAKE keyphrases (Rose et al. 2010): candidate phrases are maximal
     // stopword-free token runs; each word scores deg/freq where deg =
     // freq + Σ per occurrence (phrase_len − 1) (the rake-nltk co-

@@ -593,6 +593,23 @@ object ScaleCheck {
         .groupBy(col("chunk_hash"))
         .agg(count(lit(1)).as("dup_cnt"))
         .filter(col("dup_cnt") > 1)),
+      // chrF on the corpus axis: 6 char-gram explosions + the
+      // fingerprint-keyed full-outer clip join — the heaviest eval
+      // metric; shuffle must track gram rows linearly
+      ("q_eval_chrf", (dir, _) => {
+        val refs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("pair_id"), col("text").as("ref"),
+            array_join(expr(
+              "filter(filter(split(text, ' '), t -> t != '')," +
+                " (t, i) -> (i + 1) % 7 != 0)"), " ").as("cand"))
+        graft.llm.EvalMetrics.corpusChrF(refs, maxN = 6)
+      }),
+      // TextRank on the vocabulary axis: the Caesar rotation gives each
+      // copy a DISJOINT vocabulary, so the co-occurrence graph grows k×
+      // in nodes and edges — the pagerank sweeps must keep moving only
+      // the n-row state
+      ("q_text_textrank", (dir, _) =>
+        graft.SparkEntry.queries("q_text_textrank")(spark, dir)),
       // corpus BLEU on the corpus axis: the 4× n-gram explosion and the
       // two (pair, n, gram) hash aggregates are the whole cost — grams
       // shuffle, text does not; everything after the per-n rollup is

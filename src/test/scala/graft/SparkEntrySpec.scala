@@ -54,10 +54,11 @@ class SparkEntrySpec extends AnyFunSuite {
     // 319 with the integer-exact EWMA smoothing fold, and 321 with the
     // word2vec preprocessing pair (count^0.75 negative-sampling table,
     // frequent-word subsampling), 322 with TextRank keywords over
-    // the word co-occurrence graph, and 323 with RAKE keyphrases
-    assert(SparkEntry.queries.size >= 323,
+    // the word co-occurrence graph, 323 with RAKE keyphrases, and 325
+    // with distinct-n diversity and TTR/Guiraud lexical richness
+    assert(SparkEntry.queries.size >= 325,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 323,
+    assert(SparkEntry.oracleSql.size >= 325,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
