@@ -1311,6 +1311,88 @@ object CurationQueries {
              |      4) * 10000) AS BIGINT) * 100) AS p_discard_micro
              |FROM c ORDER BY cnt DESC, t""".stripMargin)),
 
+    // Jensen-Shannon divergence (Lin 1991) between the same two source
+    // distributions PSI audits — the SYMMETRIC, [0, ln 2]-bounded
+    // complement (PSI blows up on near-empty bins; JSD never does).
+    // Same bins and Laplace smoothing as q_drift_psi; per-bin rows carry
+    // the raw integer products p·ln(p/m) + q·ln(q/m) WITHOUT division
+    // (they are signed, and trunc-vs-floor division diverges below
+    // zero); the one final division happens after the non-negative
+    // clamp of the total (JSD >= 0 exactly; the 4-dp ln rounding can
+    // push the integer sum epsilon-negative).
+    QueryDef(
+      "q_drift_jsd",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), expr("n_chars div 50").as("bin"))
+        val bins = docs.select(col("bin")).distinct()
+        def cnt(src: String, out: String) =
+          docs.filter(col("source") === src)
+            .groupBy(col("bin")).agg(count(lit(1)).as(out))
+        val joined = bins
+          .join(cnt("src0", "cp"), Seq("bin"), "left")
+          .join(cnt("src1", "cq"), Seq("bin"), "left")
+          .select(col("bin"),
+            (coalesce(col("cp"), lit(0L)) + 1).as("cp"),
+            (coalesce(col("cq"), lit(0L)) + 1).as("cq"))
+        val totals = joined.agg(sum(col("cp")).as("np"),
+          sum(col("cq")).as("nq"))
+        def lnMicro(num: org.apache.spark.sql.Column,
+                    den: org.apache.spark.sql.Column) =
+          round(round(log(num.cast("double") / den.cast("double")), 4)
+            * 10000).cast("long")
+        val perBin = joined.crossJoin(broadcast(totals))
+          .withColumn("p_micro", expr("cp * 1000000L div np"))
+          .withColumn("q_micro", expr("cq * 1000000L div nq"))
+          .withColumn("m_micro", expr("(p_micro + q_micro) div 2"))
+          .withColumn("raw",
+            col("p_micro") * lnMicro(col("p_micro"), col("m_micro"))
+              + col("q_micro") * lnMicro(col("q_micro"), col("m_micro")))
+        val total = perBin.agg(
+          expr("greatest(0L, sum(raw)) div 20000L").as("jsd_micro"))
+        perBin.crossJoin(broadcast(total))
+          .select(col("bin"), col("p_micro"), col("q_micro"),
+            col("raw").as("raw_contrib"), col("jsd_micro"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, n_chars // 50 AS bin FROM documents
+             |  WHERE source IN ('src0', 'src1')),
+             |bins AS (SELECT DISTINCT bin FROM d),
+             |cp AS (SELECT bin, count(*) AS c FROM d
+             |       WHERE source = 'src0' GROUP BY bin),
+             |cq AS (SELECT bin, count(*) AS c FROM d
+             |       WHERE source = 'src1' GROUP BY bin),
+             |j AS (
+             |  SELECT bin, coalesce(cp.c, 0) + 1 AS cp,
+             |         coalesce(cq.c, 0) + 1 AS cq
+             |  FROM bins LEFT JOIN cp USING (bin)
+             |            LEFT JOIN cq USING (bin)),
+             |t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+             |             CAST(sum(cq) AS BIGINT) AS nq FROM j),
+             |m AS (
+             |  SELECT bin,
+             |    cp * 1000000 // np AS p_micro,
+             |    cq * 1000000 // nq AS q_micro,
+             |    (cp * 1000000 // np + cq * 1000000 // nq) // 2
+             |      AS m_micro
+             |  FROM j, t),
+             |r AS (
+             |  SELECT bin, p_micro, q_micro,
+             |    p_micro * CAST(round(round(ln(CAST(p_micro AS DOUBLE)
+             |      / CAST(m_micro AS DOUBLE)), 4) * 10000) AS BIGINT)
+             |    + q_micro * CAST(round(round(ln(CAST(q_micro AS DOUBLE)
+             |      / CAST(m_micro AS DOUBLE)), 4) * 10000) AS BIGINT)
+             |      AS raw_contrib
+             |  FROM m),
+             |tot AS (
+             |  SELECT greatest(CAST(0 AS BIGINT),
+             |    CAST(sum(raw_contrib) AS BIGINT)) // 20000 AS jsd_micro
+             |  FROM r)
+             |SELECT bin, p_micro, q_micro, raw_contrib, jsd_micro
+             |FROM r, tot ORDER BY bin""".stripMargin)),
+
     // Zipf rank-frequency slope — the vocabulary-law diagnostic beside
     // the Heaps growth curve (q_corpus_heaps): OLS slope of ln(freq) on
     // ln(rank) over the top-100 terms (natural text sits near −1; a

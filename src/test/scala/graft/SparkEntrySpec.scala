@@ -55,10 +55,11 @@ class SparkEntrySpec extends AnyFunSuite {
     // word2vec preprocessing pair (count^0.75 negative-sampling table,
     // frequent-word subsampling), 322 with TextRank keywords over
     // the word co-occurrence graph, 323 with RAKE keyphrases, and 325
-    // with distinct-n diversity and TTR/Guiraud lexical richness
-    assert(SparkEntry.queries.size >= 325,
+    // with distinct-n diversity and TTR/Guiraud lexical richness,
+    // and 326 with the Jensen-Shannon drift divergence
+    assert(SparkEntry.queries.size >= 326,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 325,
+    assert(SparkEntry.oracleSql.size >= 326,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }
