@@ -216,7 +216,7 @@ object EvalMetrics {
   def corpusChrF(pairs: DataFrame, refCol: String = "ref",
                  candCol: String = "cand", idCol: String = "pair_id",
                  maxN: Int = 6): DataFrame = {
-    def chars(c: String) = regexp_replace(col(c), " ", "")
+    def chars(c: String) = regexp_replace(col(c), "\\s", "")
     val t = Caches.track(pairs.select(col(idCol).as("pid"),
       chars(refCol).as("rs"), chars(candCol).as("cs")))
     def charGrams(c: Column, n: Int): Column =

@@ -62,7 +62,11 @@ object Privacy {
       df.groupBy(rung.map { case (n, c) => c.as(n) }: _*)
         .agg(count(lit(1)).as("class_size"))
     val found = ladder.indexWhere { rung =>
-      classes(rung).agg(min(col("class_size"))).head.getLong(0) >= k
+      // min over zero classes (empty input) is null — a null minimum
+      // never satisfies a rung, so an empty frame falls through to the
+      // terminal full-suppression rung instead of NPE-ing.
+      val m = classes(rung).agg(min(col("class_size"))).head
+      Option(m.get(0)).exists(_.asInstanceOf[Long] >= k)
     }
     val idx = if (found < 0) ladder.size - 1 else found
     classes(ladder(idx)).withColumn("rung", lit(idx.toLong))

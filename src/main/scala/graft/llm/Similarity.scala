@@ -1018,9 +1018,10 @@ object Similarity {
     *
     * Candidates are the FORWARD k-NN lists (x → its k nearest y), the
     * paper's `fwd` strategy; `topN` best margins win under a total
-    * order. Scale shape: this composes on the ANN tier — swap
-    * [[bruteForceTopK]] for the graph/IVF path when the sides outgrow a
-    * broadcast; the margin math itself joins only (id, id, c) rows. */
+    * order. This exact variant scores O(|src|·|tgt|) cosines — the
+    * DuckDB-replayable correctness anchor at fixture scale;
+    * [[marginPairsAnn]] is the production path (IVF candidates, same
+    * margin tail via [[marginFromKnn]]). */
   def marginPairs(src: DataFrame, tgt: DataFrame, k: Int, topN: Int,
                   vecCol: String = "embedding",
                   idCol: String = "vec_id"): DataFrame = {
@@ -1040,10 +1041,27 @@ object Similarity {
         Window.partitionBy(col("src_id"))
           .orderBy(col("c_micro").desc, col("tgt_id"))))
       .filter(col("rk") <= k)
+      .select(col("src_id"), col("tgt_id"), col("c_micro"))
     val bwd = pairs.withColumn("rk", row_number().over(
         Window.partitionBy(col("tgt_id"))
           .orderBy(col("c_micro").desc, col("src_id"))))
       .filter(col("rk") <= k)
+      .select(col("src_id"), col("tgt_id"), col("c_micro"))
+    val out = marginFromKnn(fwd, bwd, k, topN)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** The margin tail shared by the exact and ANN mining paths: given the
+    * FORWARD k-NN lists (src → its ≤k nearest tgt, with 4-dp fixed-point
+    * cosine `c_micro`) and the BACKWARD lists (tgt → its ≤k nearest src),
+    * compute `margin(x, y) = (c · 2k · 1e6) div (sum_x + sum_y)` and keep
+    * the global `topN` under a total order. Joins move only (id, id,
+    * BIGINT) rows — the vectors never reach this stage, which is why the
+    * candidate GENERATION is the only part that changes between the exact
+    * and ANN variants. */
+  private def marginFromKnn(fwd: DataFrame, bwd: DataFrame, k: Int,
+                            topN: Int): DataFrame = {
     val sumX = fwd.groupBy(col("src_id"))
       .agg(sum(col("c_micro")).as("sum_x"))
     val sumY = bwd.groupBy(col("tgt_id"))
@@ -1051,8 +1069,7 @@ object Similarity {
     // c_micro >= 0 keeps the integer division's operands non-negative,
     // where Spark's `div` (trunc) and DuckDB's `//` (floor) agree — and a
     // negative-cosine candidate is never a meaningful mined pair anyway
-    val out = fwd.select(col("src_id"), col("tgt_id"), col("c_micro"))
-      .filter(col("c_micro") >= 0)
+    fwd.filter(col("c_micro") >= 0)
       .join(sumX, "src_id")
       .join(sumY, "tgt_id")
       .filter(col("sum_x") + col("sum_y") > 0)
@@ -1062,7 +1079,62 @@ object Similarity {
         col("margin_micro"))
       .orderBy(col("margin_micro").desc, col("src_id"), col("tgt_id"))
       .limit(topN)
-    pairs.unpersist(blocking = false)
-    out
+  }
+
+  /** Margin-based pair mining composed on the IVF ANN tier — the scale
+    * path of [[marginPairs]] (same Artetxe & Schwenk margin, same integer
+    * math, same output contract): candidates come from nprobe-cell IVF
+    * probing in BOTH directions instead of the exact all-pairs table, so
+    * the scored-pair volume is |src|·nprobe·(|tgt|/nlist) +
+    * |tgt|·nprobe·(|src|/nlist) — sub-quadratic whenever `nlist` grows
+    * with the corpus (the FAISS sizing rule, nlist ∝ √n), where the exact
+    * path is O(|src|·|tgt|) cosines and dies at bitext-mining scale
+    * (100M × 100M sides).
+    *
+    * Plan shape: each direction is one k-means training pass (k·dim
+    * driver doubles), per-row codegen'd cell assignment, and a cell
+    * EQUI-JOIN — deliberately NOT the broadcast-probe tail of
+    * [[ivfTopK]], because in mining the "query" side is itself
+    * corpus-scale; the join shuffles on the cell key and Catalyst/AQE
+    * still broadcasts when a side is genuinely small. No cartesian
+    * anywhere (QueryPlanShapeSpec pins it).
+    *
+    * Contract: src/tgt id spaces must be disjoint (mining is cross-set;
+    * there is no self-pair exclusion). An exact twin planted in `tgt`
+    * is structurally guaranteed to be its source's candidate: identical
+    * vectors produce identical centroid-score arrays, so the twin's
+    * assigned cell IS the source's probe #1 ([[ivfTopK]]'s twin-gate
+    * argument), and cos 1.0 puts it at the top of the forward list.
+    * Lists shorter than k (sparse probed cells) inflate the margin —
+    * fewer competitors is genuinely weaker hubness evidence, the
+    * direction a miner wants. */
+  def marginPairsAnn(src: DataFrame, tgt: DataFrame, k: Int, topN: Int,
+                     nlist: Int, nprobe: Int, trainIters: Int = 3,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && topN >= 1, s"k/topN must be positive, got $k/$topN")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    def knn(corpus: DataFrame, queries: DataFrame): DataFrame = {
+      val centroids = Clustering.trainCentroids(
+        corpus, idCol, vecCol, nlist, trainIters)
+      val cands = assignCells(corpus, centroids, vecCol, idCol)
+      val probed = probeTable(queries, centroids, nprobe, vecCol, idCol)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("cand_id"))
+      cands.join(probed, Seq("cell"))
+        .withColumn("cos_raw",
+          dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("cand_id"),
+          round(round(col("cos_raw"), 4) * 10000).cast("long").as("c_micro"))
+    }
+    val fwd = knn(tgt, src).select(col("query_id").as("src_id"),
+      col("cand_id").as("tgt_id"), col("c_micro"))
+    val bwd = knn(src, tgt).select(col("cand_id").as("src_id"),
+      col("query_id").as("tgt_id"), col("c_micro"))
+    marginFromKnn(fwd, bwd, k, topN)
   }
 }

@@ -1027,8 +1027,13 @@ object TextAnalysis {
   def luhnScan(df: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol).as("doc_id"),
+        // digit-boundary lookarounds: a 20+-digit run (hash, id) is NOT
+        // a card candidate — without them the greedy {13,19} would
+        // slice a 19-digit prefix out of it and occasionally pass the
+        // checksum by chance
         explode(expr(
-          s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)"))
+          s"regexp_extract_all($textCol," +
+            " '(?<![0-9])[0-9]{13,19}(?![0-9])', 0)"))
           .as("candidate"))
       // double every SECOND digit counting from the right (the check
       // digit, rightmost, stays single): right-position = len - i + 1,

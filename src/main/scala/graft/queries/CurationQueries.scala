@@ -518,10 +518,11 @@ object CurationQueries {
         EvalMetrics.corpusChrF(pairs, maxN = 6).orderBy(col("n"))
       },
       Some("""WITH p AS (
-             |  SELECT doc_id AS pid, replace(text, ' ', '') AS rs,
-             |    array_to_string(list_filter(
+             |  SELECT doc_id AS pid,
+             |    regexp_replace(text, '\s', '', 'g') AS rs,
+             |    regexp_replace(array_to_string(list_filter(
              |      list_filter(string_split(text, ' '), t -> t <> ''),
-             |      (x, i) -> i % 7 != 0), '') AS cs
+             |      (x, i) -> i % 7 != 0), ''), '\s', '', 'g') AS cs
              |  FROM documents WHERE doc_id < 120),
              |ns AS (SELECT n FROM (VALUES (1), (2), (3), (4), (5), (6))
              |       v(n)),
@@ -1287,11 +1288,16 @@ object CurationQueries {
         val total = counts.agg(sum(col("cnt")).as("n"))
         counts.crossJoin(broadcast(total))
           .withColumn("f_micro", expr("cnt * 1000000L div n"))
+          // f_micro floors to 0 for rare terms once the corpus passes
+          // ~1e6 tokens; sqrt(t/0)=Inf would Long.MaxValue-overflow in
+          // Spark and crash the DuckDB cast — such terms are below the
+          // threshold, so p_discard is exactly 0.
           .withColumn("p_discard_micro",
-            greatest(lit(0L),
-              lit(1000000L) - round(round(
-                sqrt(lit(1000.0) / col("f_micro").cast("double")), 4)
-                * 10000).cast("long") * 100))
+            when(col("f_micro") === 0L, lit(0L)).otherwise(
+              greatest(lit(0L),
+                lit(1000000L) - round(round(
+                  sqrt(lit(1000.0) / col("f_micro").cast("double")), 4)
+                  * 10000).cast("long") * 100)))
           .select(col("t"), col("cnt"), col("f_micro"),
             col("p_discard_micro"))
           .orderBy(col("cnt").desc, col("t"))
@@ -1302,14 +1308,18 @@ object CurationQueries {
              |       unnest(list_filter(string_split(text, ' '),
              |                          x -> x <> '')) AS u(t)),
              |c AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
-             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
-             |SELECT t, cnt,
-             |  cnt * 1000000 // (SELECT n FROM n) AS f_micro,
-             |  greatest(CAST(0 AS BIGINT), 1000000 -
-             |    CAST(round(round(sqrt(1000.0 /
-             |      CAST(cnt * 1000000 // (SELECT n FROM n) AS DOUBLE)),
-             |      4) * 10000) AS BIGINT) * 100) AS p_discard_micro
-             |FROM c ORDER BY cnt DESC, t""".stripMargin)),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+             |f AS (SELECT t, cnt,
+             |        cnt * 1000000 // (SELECT n FROM n) AS f_micro
+             |      FROM c)
+             |SELECT t, cnt, f_micro,
+             |  CASE WHEN f_micro = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE greatest(CAST(0 AS BIGINT), 1000000 -
+             |         CAST(round(round(sqrt(1000.0 /
+             |           CAST(f_micro AS DOUBLE)),
+             |           4) * 10000) AS BIGINT) * 100)
+             |  END AS p_discard_micro
+             |FROM f ORDER BY cnt DESC, t""".stripMargin)),
 
     // Jensen-Shannon divergence (Lin 1991) between the same two source
     // distributions PSI audits — the SYMMETRIC, [0, ln 2]-bounded

@@ -99,12 +99,52 @@ object MiningQueries {
              |sy AS (SELECT tgt_id, sum(c_micro) AS sum_y FROM bwd GROUP BY tgt_id),
              |m AS (
              |  SELECT f.src_id, f.tgt_id, f.c_micro,
-             |    (f.c_micro * 8 * 1000000) // (sum_x + sum_y) AS margin_micro
+             |    CAST((f.c_micro * 8 * 1000000) // (sum_x + sum_y) AS BIGINT) AS margin_micro
              |  FROM fwd f JOIN sx USING (src_id) JOIN sy USING (tgt_id)
              |  WHERE f.c_micro >= 0 AND sum_x + sum_y > 0)
              |SELECT src_id, tgt_id, c_micro, margin_micro FROM m
              |ORDER BY margin_micro DESC, src_id, tgt_id
              |LIMIT 50""".stripMargin)),
+
+    // Margin mining on the ANN tier (Similarity.marginPairsAnn) — the
+    // production path the exact query above anchors: candidates from
+    // nprobe-cell IVF probing in BOTH directions, same integer margin
+    // tail. In-plan twin gate (the q_sim_ivf discipline — k-means
+    // centroids are not expressible in portable SQL): exact copies of
+    // the label-0 vectors with vec_id < 100 are planted into the
+    // label-1 target side at vec_id + 100000; identical vectors share
+    // centroid-score arrays, so each twin sits in its source's probe-#1
+    // cell — guaranteed candidacy, cosine 1.0 (c_micro 10000), and a
+    // margin far above any background pair (measured background cross-
+    // and intra-label cosines cap at 0.51 across sf0.001-0.1, putting
+    // the worst twin margin at ~1.58e6 vs the 1.4e6 bar). One boolean
+    // per planted source; the oracle matches literal TRUE.
+    QueryDef(
+      "q_sim_margin_ann",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val src = emb.filter(col("label") === 0)
+          .select("vec_id", "embedding")
+        val planted = src.filter(col("vec_id") < 100)
+        val tgt = emb.filter(col("label") === 1)
+          .select("vec_id", "embedding")
+          .unionByName(planted.select(
+            (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        val mined = Similarity.marginPairsAnn(src, tgt, k = 4, topN = 60,
+          nlist = 16, nprobe = 4)
+        val ok = mined.filter(col("tgt_id") === col("src_id") + 100000L
+            && col("c_micro") === 10000L
+            && col("margin_micro") >= 1400000L)
+          .select(col("src_id"), lit(true).as("ok"))
+        planted.select(col("vec_id").as("src_id"))
+          .join(ok, Seq("src_id"), "left")
+          .select(col("src_id"),
+            coalesce(col("ok"), lit(false)).as("twin_mined"))
+          .orderBy(col("src_id"))
+      },
+      Some("""SELECT vec_id AS src_id, true AS twin_mined
+             |FROM embeddings WHERE label = 0 AND vec_id < 100
+             |ORDER BY src_id""".stripMargin)),
 
     // Soft dedup (SoftDeDup, He et al. 2024): 1/frequency sampling
     // weights over exact-duplicate groups instead of removal — every
