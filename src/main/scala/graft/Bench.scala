@@ -178,53 +178,68 @@ object Bench {
 
     exec("q1_pricing") // warmup (JVM + codegen), untimed
 
-    // load probe AROUND the query block: sustained external load shows up
-    // in both ends; a transient shows up in one (and the per-query
-    // best-of-3 already absorbs transients)
-    val calibStart = calibrate(spark, cpus.toInt)
+    // INTERLEAVED load probes (round-13, replacing the two bookends):
+    // a probe runs before the first query and after every SEGMENT of 10
+    // queries, and each query normalizes by ITS segment's factor (mean of
+    // the probes bracketing the segment). Bookends provably missed
+    // mid-run load spikes — rounds 10-12 each burned a TimeOne
+    // adjudication cycle on 1.5× "regressions" whose load arrived after
+    // the start probe and left before the end one; a ≤10-query bracket
+    // bounds how much external load can hide between probes.
+    val SegmentLen = 10
+    val segments = headline.grouped(SegmentLen).toSeq
+    val probes = scala.collection.mutable.ArrayBuffer(
+      calibrate(spark, cpus.toInt))
 
     // best-of-3: a single rep occasionally catches a JIT/GC transient
     // (observed 10× outliers, and one whole run distorted by external
     // machine load); the min of three reps is the stable figure
-    val results = headline.map { name =>
-      val reps = (1 to 3).map { _ =>
-        // every rep pays BPE training: a memo hit would report the cost
-        // of not training (see Tokenization.invalidateTrained)
-        graft.llm.Tokenization.invalidateTrained()
-        val t0 = System.nanoTime()
-        try exec(name) catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = segments.zipWithIndex.flatMap { case (seg, si) =>
+      val segResults = seg.map { name =>
+        val reps = (1 to 3).map { _ =>
+          // every rep pays BPE training: a memo hit would report the cost
+          // of not training (see Tokenization.invalidateTrained)
+          graft.llm.Tokenization.invalidateTrained()
+          val t0 = System.nanoTime()
+          try exec(name) catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e6
         }
-        (System.nanoTime() - t0) / 1e6
+        // release persisted subtrees BETWEEN QUERIES, deliberately not
+        // between reps: CacheManager dedups persists by canonicalized
+        // plan, so reps 2-3 REUSE rep 1's cache (no duplicate memory),
+        // and best-of-3 therefore measures the warm-cache steady state —
+        // the semantics the frozen BASELINE.md budgets were measured
+        // under. Releasing per-rep would re-pay every cache build 3× and
+        // shift totals ~60% with zero plan change. Caches.release() also
+        // drops the registry's plan references.
+        graft.llm.Caches.release()
+        spark.catalog.clearCache()
+        (name, math.rint(reps.min) / 1e3, si)
       }
-      // release persisted subtrees BETWEEN QUERIES, deliberately not
-      // between reps: CacheManager dedups persists by canonicalized plan,
-      // so reps 2-3 REUSE rep 1's cache (no duplicate memory), and
-      // best-of-3 therefore measures the warm-cache steady state — the
-      // semantics the frozen BASELINE.md budgets were measured under.
-      // Releasing per-rep would re-pay every cache build 3× and shift
-      // totals ~60% with zero plan change. Caches.release() also drops
-      // the registry's plan references.
-      graft.llm.Caches.release()
-      spark.catalog.clearCache()
-      name -> math.rint(reps.min) / 1e3
+      probes += calibrate(spark, cpus.toInt)
+      segResults
     }
 
-    val calibEnd = calibrate(spark, cpus.toInt)
-    // mean of the two probes vs the frozen quiet-machine time = how much
-    // slower THIS run's machine was than the one the budgets were frozen
-    // on; dividing raw seconds by it gives the load-normalized figure
-    val loadFactor = (calibStart + calibEnd) / 2 / CalibrationFrozenSec
+    // per-segment factor: mean of the probes bracketing the segment vs
+    // the frozen quiet-machine probe time; the overall factor (mean of
+    // ALL probes) is kept for run-level comparisons
+    val segFactors = segments.indices.map(i =>
+      (probes(i) + probes(i + 1)) / 2 / CalibrationFrozenSec)
+    val loadFactor = probes.sum / probes.length / CalibrationFrozenSec
     def r3(v: Double) = math.rint(v * 1000) / 1000
 
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val njson = results
-      .map { case (k, v) => "\"" + k + "\":" + r3(v / loadFactor) }
+      .map { case (k, v, si) => "\"" + k + "\":" + r3(v / segFactors(si)) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val calib = s"""{"start_sec":${r3(calibStart)},"end_sec":${r3(calibEnd)},""" +
-      s""""frozen_sec":$CalibrationFrozenSec,"load_factor":${r3(loadFactor)}}"""
+    val calib = s"""{"start_sec":${r3(probes.head)},"end_sec":${r3(probes.last)},""" +
+      s""""frozen_sec":$CalibrationFrozenSec,"load_factor":${r3(loadFactor)},""" +
+      s""""probe_sec":${probes.map(r3).mkString("[", ",", "]")},""" +
+      s""""segment_factors":${segFactors.map(r3).mkString("[", ",", "]")}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qjson,"queries_normalized":$njson,""" +
       s""""calibration":$calib,"sf":"$sfDir"}"""

@@ -741,15 +741,17 @@ object TextAnalysis {
     * smoothed over a fixed 256-bucket feature space. High-weight docs
     * "look like" the target domain; selection takes the top quantile.
     *
-    * Scale shape: ONE tokenize-explode feeds ONE bucket aggregate (raw
-    * count and filtered target count together — the target slice never
-    * costs a second corpus scan); the 256-row log-ratio table is
-    * vocabulary-free (hashing trick: no dictionary to build or ship) and
-    * broadcasts back onto the exploded tokens; per-doc weights are exact
-    * BIGINT sums of fixed-point per-bucket ratios ([[unigramLmScore]]'s
-    * determinism recipe). Nothing but two narrow shuffles scales with the
-    * corpus. The bucket is two md5 hex digits mapped through `instr`
-    * (portable across engines — hex→int casts are not).
+    * Scale shape: ONE tokenize-explode feeds ONE (doc, bucket) count
+    * aggregate — everything downstream (the 256-row corpus bucket table,
+    * the log-ratio broadcast, the per-doc weight rollup) works off that
+    * ≤256-rows-per-doc table, never re-touching exploded tokens (Σ_tokens
+    * lr = Σ_buckets cnt·lr exactly, so the collapse is integer-lossless);
+    * the target count rides free (tgt is per-doc constant: ct = tgt·cnt).
+    * The 256-row log-ratio table is vocabulary-free (hashing trick: no
+    * dictionary to build or ship) and broadcasts onto the per-doc bucket
+    * counts. Nothing but two narrow shuffles scales with the corpus. The
+    * bucket is two md5 hex digits mapped through `instr` (portable across
+    * engines — hex→int casts are not).
     *
     * `targetPred` is any boolean Column over `documents`' columns (e.g.
     * `col("lang") === "en"`, a quality flag, a hand-curated id set); a
@@ -763,26 +765,33 @@ object TextAnalysis {
     val hx = "0123456789abcdef"
     def digit(i: Int): Column =
       instr(lit(hx), substring(md5(col("term")), i, 1)) - 1
-    val tok = Caches.track(documents
+    // (doc, bucket) counts: the ONLY pass over exploded tokens. Cached —
+    // it feeds both the corpus bucket table and the per-doc rollup, and
+    // it is min(n_tokens, 256) rows per doc vs one row per token.
+    val dbc = Caches.track(documents
       .select(col(idCol).as("doc_id"),
         coalesce(targetPred.cast("int"), lit(0)).as("tgt"),
         explode(split(col(textCol), " ")).as("term"))
       .select(col("doc_id"), col("tgt"),
-        (digit(1) * 16 + digit(2)).cast("long").as("b")))
-    // 256 rows, two consumers (log-ratio table + totals): cache it or the
-    // corpus-sized bucket aggregation over `tok` runs twice per action
-    val bc = Caches.track(tok.groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct")))
+        (digit(1) * 16 + digit(2)).cast("long").as("b"))
+      .groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt")))
+    // corpus bucket table (256 rows): tgt is per-doc constant, so the
+    // target token count is tgt·cnt — the target slice never costs a
+    // second corpus scan
+    val bc = Caches.track(dbc.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(col("tgt") * col("cnt")).as("ct")))
     val totals = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lr = bc.crossJoin(broadcast(totals))
       .select(col("b"),
         round(round(log(((col("ct") + lit(1.0)) * (col("nr") + lit(256))) /
             ((col("cr") + lit(1.0)) * (col("nt") + lit(256)))), 4)
           * 10000).cast("long").as("lr_micro"))
-    tok.join(broadcast(lr), "b")
+    dbc.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("lr_micro")).as("log_w_micro"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lr_micro")).as("log_w_micro"))
   }
 
   /** BM25 relevance per (document, query term) — the ranking function TF-IDF

@@ -557,6 +557,18 @@ object ScaleCheck {
           spark.read.parquet(s"$base/embeddings.parquet")
             .filter(col("vec_id") < 10),
           s"$synthRoot/knngidx_x$f", k = 5, beam = 8, steps = 4)),
+      // round-13: ANN margin mining on the corpus axis — BOTH sides grow
+      // k× (id-shifted embedding copies) and nlist grows with the corpus
+      // (the FAISS sizing rule, nlist ∝ n at fixed cell size): per-cell
+      // candidate lists stay ~constant, so the scored-pair volume and
+      // shuffle must track the corpus LINEARLY where the exact path's
+      // crossJoin grows k² — the sub-quadratic claim under test
+      ("q_sim_margin_ann", (dir, f) => {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.marginPairsAnn(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+          k = 4, topN = 60, nlist = 16 * f, nprobe = 4)
+      }),
       // round-12 session-2: paragraph dedup on the corpus axis — the
       // Caesar rotation preserves every intra-copy duplicated paragraph
       // exactly and makes copies disjoint, so output rows, the winner

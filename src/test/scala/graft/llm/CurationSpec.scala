@@ -89,6 +89,11 @@ class CurationSpec extends SparkSpec {
     val atK9 = Privacy.generalizeToK(df, ladder, k = 9)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
     assert(atK9 === Array(("*", 4L, 2L))) // nothing reaches 9 -> last rung
+    // empty input: min(class_size) is null at every rung — no rung is
+    // satisfied, the walk falls through to the terminal rung and returns
+    // zero classes instead of NPE-ing on the null minimum
+    val empty = Privacy.generalizeToK(df.filter(lit(false)), ladder, k = 2)
+    assert(empty.collect().isEmpty)
   }
 
   test("sortedNeighborhoodPairs: only rows within the rank window " +
@@ -288,6 +293,12 @@ class CurationSpec extends SparkSpec {
       (1L, "4111111111111111", true),
       (2L, "4111111111111112", false),
       (3L, "4222222222222", true)))
+    // a 20+-digit run (hash, order id) is NOT a card candidate: the
+    // digit-boundary lookarounds must reject it outright, not slice a
+    // 19-digit prefix that could pass the checksum by chance
+    val long = Seq((9L, "ref 41111111111111110000 x"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.luhnScan(long).collect().isEmpty)
   }
 
   test("resolveEntities: matched records collapse to the minimum member " +

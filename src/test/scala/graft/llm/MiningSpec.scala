@@ -71,6 +71,45 @@ class MiningSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("marginPairsAnn: exhaustive probing (nprobe = nlist) reproduces " +
+    "the exact path pair for pair") {
+    import SparkSpec.spark.implicits._
+    // deterministic 8-d vectors; nprobe = nlist makes IVF candidate
+    // generation exhaustive, so the ANN path must agree with the exact
+    // crossJoin path on every mined pair, cosine, and margin
+    def vec(i: Long): Seq[Double] =
+      (0 until 8).map(d => math.sin(i * 2.39996 + d * 0.73) + 0.1)
+    val src = (0L until 15L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tgt = (100L until 115L).map(i => (i, vec(i * 7 + 3)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.marginPairs(src, tgt, k = 3, topN = 20)
+      .collect().map(_.toSeq).toSeq
+    val ann = Similarity.marginPairsAnn(src, tgt, k = 3, topN = 20,
+        nlist = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(ann === exact)
+  }
+
+  test("marginPairsAnn: planted twins mine at cosine 1.0 above the " +
+    "margin bar under real nprobe < nlist pruning") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val src = emb.filter(col("label") === 0).select("vec_id", "embedding")
+    val planted = src.filter(col("vec_id") < 100)
+    val tgt = emb.filter(col("label") === 1).select("vec_id", "embedding")
+      .unionByName(planted.select(
+        (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val mined = Similarity.marginPairsAnn(src, tgt, k = 4, topN = 60,
+      nlist = 16, nprobe = 4).collect()
+    val twins = mined.filter(r => r.getLong(1) == r.getLong(0) + 100000L)
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val nPlanted = planted.count()
+    assert(twins.length.toLong === nPlanted)
+    assert(twins.forall(_._2 == 10000L),
+      s"twin cosines not 1.0: ${twins.mkString(",")}")
+    assert(twins.forall(_._3 >= 1400000L),
+      s"twin margins under bar: ${twins.mkString(",")}")
+  }
+
   test("hashedTfidfDense: sparse components land at their md5 dims, " +
     "zeros elsewhere, under the embeddings column contract") {
     import SparkSpec.spark.implicits._

@@ -173,6 +173,20 @@ class QueryPlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-13 ANN margin mining plans no cartesian — candidates come " +
+      "from the IVF cell equi-join, never all-pairs") {
+    // the exact marginPairs is a deliberate crossJoin anchor at fixture
+    // scale; the ANN path is the production shape and must never fall
+    // back to it (a cartesian here is O(|src|·|tgt|) cosines — the
+    // scale-killer the operator exists to avoid)
+    val p = plan("q_sim_margin_ann")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in plan:\n$p")
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("BLEU clip join is keyed by the 8-byte gram fingerprint — gram " +
       "strings never reach an exchange") {
     // the ScaleCheck-adjudicated fix: string-keyed counts re-exchanged
