@@ -562,6 +562,57 @@ object SourceQueries {
              |FROM documents WHERE doc_id < 100
              |ORDER BY record_id""".stripMargin)),
 
+    // WebDataset tar shards — the published multimodal training-data
+    // interchange (tar-of-sample-files; basename-up-to-first-dot
+    // groups members into samples): documents become two-member
+    // samples (txt body + deterministic json sidecar), write as 4 tar
+    // shards (repartition-by-key contiguity, partition-local Hadoop
+    // streaming, attempt-suffixed rename) and crack back through the
+    // path-streaming block walk. The oracle recomputes sample key,
+    // ext, byte length, and md5 from the source rows (members are
+    // UTF-8 bytes, so DuckDB's md5 over the recomposed strings matches
+    // Spark's md5 over the member bytes) — the q_scan_binary rule,
+    // covering USTAR framing, checksums, padding, multi-dot ext
+    // splitting, and the end-of-archive stop, end to end.
+    QueryDef(
+      "q_webdataset_roundtrip",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+        def key = concat(lit("doc"),
+          lpad(col("doc_id").cast("string"), 5, "0"))
+        val members = docs.select(key.as("sample_key"),
+            lit("txt").as("ext"), col("text").cast("binary").as("data"))
+          .unionByName(docs.select(key.as("sample_key"),
+            lit("meta.json").as("ext"),
+            concat(lit("{\"id\":"), col("doc_id"),
+              lit(",\"source\":\""), col("source"), lit("\"}"))
+              .cast("binary").as("data")))
+        val out = staged.getOrElseUpdate(s"wds:$dir", {
+          val p = s"$stageRoot/wds_rt_${math.abs(dir.hashCode)}"
+          graft.sources.WebDataset.writeShards(members, p, numShards = 4)
+          p
+        })
+        graft.sources.WebDataset.readSamples(s, out)
+          .select(col("sample_key"), col("ext"), col("n_bytes"),
+            md5(col("data")).as("content_md5"))
+          .orderBy(col("sample_key"), col("ext"))
+      },
+      Some("""WITH m AS (
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+             |      AS sample_key,
+             |    'txt' AS ext, text AS payload
+             |  FROM documents WHERE doc_id < 60
+             |  UNION ALL
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0'),
+             |    'meta.json',
+             |    '{"id":' || doc_id || ',"source":"' || source || '"}'
+             |  FROM documents WHERE doc_id < 60)
+             |SELECT sample_key, ext,
+             |  CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+             |  md5(payload) AS content_md5
+             |FROM m ORDER BY sample_key, ext""".stripMargin)),
+
     // Per-segment scan report — the operational complement of the
     // parser's silent quarantine rules (a corrupt segment yields zero
     // records BY DESIGN; without a report that's invisible data loss):
