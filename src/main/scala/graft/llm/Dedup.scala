@@ -1619,11 +1619,14 @@ object Dedup {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
-  def paragraphDedup(documents: DataFrame, paraTokens: Int = 20,
-                     textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+  /** Fixed-width token chunking shared by the exact and fuzzy paragraph
+    * rules: one (doc_id, pos, para) row per `paraTokens`-token window.
+    * Pure per-row codegen'd work — the only exchange in either consumer
+    * comes after this. */
+  private def paragraphChunks(documents: DataFrame, paraTokens: Int,
+                              textCol: String, idCol: String): DataFrame = {
     val ts = filter(split(col(textCol), " "), t => t =!= "")
-    val paras = documents
+    documents
       .select(col(idCol).as("doc_id"), ts.as("ts"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -1631,8 +1634,14 @@ object Dedup {
           i => array_join(
             slice(col("ts"), i * paraTokens + 1, lit(paraTokens)), " ")))
           .as(Seq("pos", "para")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("para"), md5(col("para")).as("ph"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("para"))
+  }
+
+  def paragraphDedup(documents: DataFrame, paraTokens: Int = 20,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val paras = paragraphChunks(documents, paraTokens, textCol, idCol)
+      .withColumn("ph", md5(col("para")))
     val winners = paras
       .groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
@@ -1650,5 +1659,51 @@ object Dedup {
               when(col("kept"), struct(col("pos"), col("para"))))),
             s => s.getField("para")),
           " ").as("clean_text"))
+  }
+
+  /** Paragraph ids pack (doc, pos) into one long for the shared LSH
+    * machinery; 1e6 positions per doc bounds documents at ~20M tokens
+    * under the default 20-token windows — far past any training doc. */
+  private val ParaStride = 1000000L
+
+  /** FUZZY paragraph dedup — the MinHash complement of
+    * [[paragraphDedup]]'s exact rule (the published pipelines, Dolma
+    * among them, run paragraph dedup at BOTH granularities: exact hash
+    * for verbatim boilerplate, MinHash for near-verbatim templates):
+    * chunk into `paraTokens`-token windows ([[paragraphChunks]], the
+    * same chunker as the exact rule), then run the banded-MinHash
+    * candidate machinery ([[minhashLsh]] verbatim — signatures, band
+    * equi-join, hot-bucket star cap) over PARAGRAPH text. Returns one
+    * row per candidate pair at `minJaccard` or above:
+    * (d1, p1, d2, p2, est_jaccard).
+    *
+    * Empty paragraphs drop before signatures: every short-tail empty
+    * chunk is byte-identical, so they would all collide into one
+    * corpus-sized mega-bucket — the exact skew the star cap exists for,
+    * and pure noise besides.
+    *
+    * Scale shape is [[minhashLsh]]'s: linear signature pass over ~n/20
+    * paragraph rows, narrow banded exchange, candidate volume bounded
+    * by bucket structure (cap for skew) — never all-pairs. */
+  def paragraphMinhashPairs(documents: DataFrame, paraTokens: Int = 20,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleSize: Int = 5, minJaccard: Double = 0.8,
+                            maxBucketSize: Int = Int.MaxValue,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val paras = paragraphChunks(documents, paraTokens, textCol, idCol)
+      .filter(col("para") =!= "")
+      .select((col("doc_id") * ParaStride + col("pos")).as("para_id"),
+        col("para"))
+    minhashLsh(paras, numHashes, bands, shingleSize,
+        textCol = "para", idCol = "para_id",
+        maxBucketSize = maxBucketSize)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(
+        expr(s"d1 div $ParaStride").as("d1"),
+        (col("d1") % ParaStride).as("p1"),
+        expr(s"d2 div $ParaStride").as("d2"),
+        (col("d2") % ParaStride).as("p2"),
+        col("est_jaccard"))
   }
 }

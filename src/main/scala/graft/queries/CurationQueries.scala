@@ -49,6 +49,46 @@ object CurationQueries {
              |FROM k GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // FUZZY paragraph dedup (the MinHash half of Dolma's paragraph
+    // rule): the same 20-token chunker feeds the banded-MinHash
+    // candidate machinery over paragraph text. In-plan twin gate (the
+    // q_dedup_minhash discipline — the affine MinHash family is not
+    // expressible in portable SQL): each source doc < 100 gets a
+    // planted companion (id + 100000) whose SECOND paragraph is a
+    // verbatim copy of the source's FIRST, behind 20 filler tokens of
+    // its own — a cross-document repeated paragraph inside otherwise
+    // unrelated text, exactly the case document-level MinHash dilutes
+    // away and paragraph granularity exists to catch. Identical
+    // paragraph text ⇒ identical signature ⇒ every band collides, so
+    // the (src pos 0, twin pos 1) pair must surface at est_jaccard 1.0.
+    QueryDef(
+      "q_dedup_paragraphs_fuzzy",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+          .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+        val para0 = array_join(slice(
+          filter(split(col("text"), " "), t => t =!= ""), 1, 20), " ")
+        val filler = array_join(transform(sequence(lit(0), lit(19)),
+          j => concat(lit("f"), col("doc_id"), lit("x"), j)), " ")
+        val planted = docs.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(filler, lit(" "), para0).as("text"))
+        val pairs = Dedup.paragraphMinhashPairs(
+          docs.unionByName(planted), paraTokens = 20,
+          numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.8)
+        val hit = pairs.filter(col("d2") === col("d1") + 100000L
+            && col("p1") === 0L && col("p2") === 1L
+            && col("est_jaccard") === 1.0)
+          .select(col("d1").as("doc_id"), lit(true).as("ok"))
+        docs.select("doc_id")
+          .join(hit, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ok"), lit(false)).as("copy_found"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, true AS copy_found
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
+
     // k-anonymity audit (Sweeney 2002) over the customer table's
     // (nation, market-segment) quasi-identifier: per-class sizes and the
     // k=10 verdict. At sf0.01 the 125 classes range 5..19 rows, so both

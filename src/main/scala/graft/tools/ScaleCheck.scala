@@ -575,6 +575,15 @@ object ScaleCheck {
       // hash aggregate, and the join-back all scale linearly with k
       ("q_dedup_paragraphs", (dir, _) => Dedup.paragraphDedup(
         spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-13: FUZZY paragraph dedup on the same corpus axis — the
+      // Caesar rotation preserves intra-copy near-dup paragraph
+      // structure exactly while copies share no word tokens, so the
+      // paragraph signature pass, the banded exchange, and pair output
+      // all grow linearly with k; the hot-bucket cap (500) bounds any
+      // boilerplate-paragraph clique
+      ("q_dedup_paragraphs_fuzzy", (dir, _) => Dedup.paragraphMinhashPairs(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        maxBucketSize = 500)),
       // entity-resolution on the record-count axis: entities derived
       // from the k× documents table (md5-spread names + a flipped-tail
       // twin per 5th record) — sort + rank, bounded window join,

@@ -37,6 +37,43 @@ class CurationSpec extends SparkSpec {
       (2L, 1L, 1L, "")))
   }
 
+  test("paragraphMinhashPairs: near-verbatim paragraphs pair across " +
+    "docs, exact copies at est 1.0, unrelated text stays unpaired") {
+    import SparkSpec.spark.implicits._
+    val base = (0 until 20).map(j => s"tok$j").mkString(" ")
+    val near = ((0 until 20).map(j => s"tok$j")
+      .updated(7, "CHANGED")).mkString(" ")
+    val docs = Seq(
+      (1L, base),                      // para (1, 0)
+      (2L, s"$near"),                  // one token differs -> near-dup
+      (3L, s"zz yy xx ww vv uu"),      // unrelated
+      (4L, (0 until 20).map(j => s"fill$j").mkString(" ") + " " + base))
+      .toDF("doc_id", "text")
+    // doc 4: 20 filler tokens then the EXACT base paragraph at pos 1
+    // (the cross-doc verbatim case document-level MinHash dilutes away)
+    val got = Dedup.paragraphMinhashPairs(docs, paraTokens = 20,
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getDouble(4))).toMap
+    // exact copy: doc 1 para 0 == doc 4 para 1
+    assert(got((1L, 0L, 4L, 1L)) === 1.0)
+    // near-dup (1 of 20 tokens changed): high but sub-1.0 estimate
+    val nd = got((1L, 0L, 2L, 0L))
+    assert(nd >= 0.5 && nd < 1.0, s"near-dup estimate $nd")
+    // unrelated doc 3 never appears
+    assert(!got.keys.exists(k => k._1 == 3L || k._3 == 3L))
+  }
+
+  test("paragraphMinhashPairs: empty tail paragraphs drop before " +
+    "signatures — whitespace-only docs pair with nothing") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, " "), (2L, "  "), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.paragraphMinhashPairs(docs, paraTokens = 2,
+      minJaccard = 0.0).collect().isEmpty)
+  }
+
   test("kAnonymity: class sizes and the k verdict") {
     import SparkSpec.spark.implicits._
     val df = Seq(
