@@ -129,7 +129,13 @@ object Bench {
     // 6-n char-gram F-score and the co-occurrence-graph pagerank; the
     // rest of the tier measured 0.15-1.5 s and stays off per policy
     "q_eval_chrf",            // chrF2: char 1..6-gram clipped F, fp keys
-    "q_text_textrank")        // pagerank over word co-occurrence graph
+    "q_text_textrank",        // pagerank over word co-occurrence graph
+    // round-13 addition (first frozen budget in BASELINE.md): the
+    // heaviest new operator — ANN-composed margin mining pays two IVF
+    // trainings + both directions' cell-join k-NN per run; the light
+    // round-13 ops (fuzzy paragraph dedup 1.2 s, WebDataset roundtrip
+    // 0.2 s) stay off per the sub-2 s policy
+    "q_sim_margin_ann")       // bidirectional IVF k-NN + margin tail
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
