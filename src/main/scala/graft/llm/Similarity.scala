@@ -1112,29 +1112,80 @@ object Similarity {
                      nlist: Int, nprobe: Int, trainIters: Int = 3,
                      vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && topN >= 1, s"k/topN must be positive, got $k/$topN")
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
     def knn(corpus: DataFrame, queries: DataFrame): DataFrame = {
       val centroids = Clustering.trainCentroids(
         corpus, idCol, vecCol, nlist, trainIters)
-      val cands = assignCells(corpus, centroids, vecCol, idCol)
-      val probed = probeTable(queries, centroids, nprobe, vecCol, idCol)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_raw").desc, col("cand_id"))
-      cands.join(probed, Seq("cell"))
-        .withColumn("cos_raw",
-          dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select(col("query_id"), col("cand_id"),
-          round(round(col("cos_raw"), 4) * 10000).cast("long").as("c_micro"))
+      cellKnn(assignCells(corpus, centroids, vecCol, idCol),
+        probeTable(queries, centroids, nprobe, vecCol, idCol), k)
     }
     val fwd = knn(tgt, src).select(col("query_id").as("src_id"),
       col("cand_id").as("tgt_id"), col("c_micro"))
     val bwd = knn(src, tgt).select(col("cand_id").as("src_id"),
       col("query_id").as("tgt_id"), col("c_micro"))
+    marginFromKnn(fwd, bwd, k, topN)
+  }
+
+  /** The mining k-NN tail shared by the in-memory and indexed margin
+    * paths: cell EQUI-JOIN (no broadcast hint — both sides are
+    * corpus-scale in mining; Catalyst/AQE still broadcasts a genuinely
+    * small side), exact cosine, per-query top-k, 4-dp fixed-point. */
+  private def cellKnn(cands: DataFrame, probed: DataFrame,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("cand_id"))
+    cands.join(probed, Seq("cell"))
+      .withColumn("cos_raw",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(round(col("cos_raw"), 4) * 10000).cast("long").as("c_micro"))
+  }
+
+  /** Margin mining over two PERSISTED IVF indexes ([[writeIvfIndex]]) —
+    * the production refresh shape of [[marginPairsAnn]]: a daily bitext
+    * refresh re-mines against corpora whose indexes were built (and are
+    * appended/compacted) once, so the per-run cost is ONLY the two
+    * bidirectional probe joins — no re-training, no re-assignment, and
+    * both sides' vectors and norms come straight from the postings
+    * (norms were computed at index-write time). Candidates, scoring,
+    * and the integer margin tail are byte-identical to the in-memory
+    * path ([[cellKnn]] / [[marginFromKnn]] shared), so mined pairs
+    * cannot drift between the two.
+    *
+    * Same contracts as [[marginPairsAnn]]: disjoint id spaces, twins
+    * structurally guaranteed candidacy (identical vectors share
+    * centroid-score arrays against the FROZEN quantizer, so an appended
+    * twin lands in its source's probe-#1 cell — the
+    * [[appendToIvfIndex]] add-after-train rule extends to mining). */
+  def marginPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                         srcIndexPath: String, tgtIndexPath: String,
+                         k: Int, topN: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, s"k/topN must be positive, got $k/$topN")
+    def postings(path: String): DataFrame =
+      spark.read.parquet(IndexManifest.resolve(path, "postings"))
+    def knn(queryIdx: String, corpusIdx: String): DataFrame = {
+      val centroids = loadCentroids(spark, corpusIdx)
+      require(nprobe >= 1 && nprobe <= centroids.length,
+        s"nprobe must be in [1, nlist=${centroids.length}], got $nprobe")
+      val probed = postings(queryIdx)
+        .select(col("cand_id").as("query_id"), col("c_vec").as("q_vec"),
+          col("c_norm").as("q_norm"))
+        .withColumn("d", Clustering.centroidScores(col("q_vec"), centroids))
+        .select(col("query_id"), col("q_vec"), col("q_norm"),
+          explode(probeCells(col("d"), centroids.length, nprobe)).as("cell"))
+      cellKnn(postings(corpusIdx), probed, k)
+    }
+    val fwd = knn(srcIndexPath, tgtIndexPath)
+      .select(col("query_id").as("src_id"),
+        col("cand_id").as("tgt_id"), col("c_micro"))
+    val bwd = knn(tgtIndexPath, srcIndexPath)
+      .select(col("cand_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("c_micro"))
     marginFromKnn(fwd, bwd, k, topN)
   }
 }

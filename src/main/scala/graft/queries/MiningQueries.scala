@@ -146,6 +146,45 @@ object MiningQueries {
              |FROM embeddings WHERE label = 0 AND vec_id < 100
              |ORDER BY src_id""".stripMargin)),
 
+    // Margin mining over PERSISTED IVF indexes — the production
+    // refresh shape (daily bitext re-mines against corpora whose
+    // indexes were built once): both sides write as cell-partitioned
+    // indexes (full lifecycle per run, the q_sim_ivf_indexed rule),
+    // then mining reads ONLY postings + centroids — no re-training, no
+    // re-assignment, norms straight from the index. Same twin gate and
+    // bar as q_sim_margin_ann; candidates/scoring/margin tail are
+    // shared code, so the two paths cannot drift.
+    QueryDef(
+      "q_sim_margin_indexed",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val src = emb.filter(col("label") === 0)
+          .select("vec_id", "embedding")
+        val planted = src.filter(col("vec_id") < 100)
+        val tgt = emb.filter(col("label") === 1)
+          .select("vec_id", "embedding")
+          .unionByName(planted.select(
+            (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        val si = s"${graft.core.Fs.scratchRoot}/margin_src_idx"
+        val ti = s"${graft.core.Fs.scratchRoot}/margin_tgt_idx"
+        Similarity.writeIvfIndex(src, si, nlist = 16)
+        Similarity.writeIvfIndex(tgt, ti, nlist = 16)
+        val mined = Similarity.marginPairsIndexed(s, si, ti,
+          k = 4, topN = 60, nprobe = 4)
+        val ok = mined.filter(col("tgt_id") === col("src_id") + 100000L
+            && col("c_micro") === 10000L
+            && col("margin_micro") >= 1400000L)
+          .select(col("src_id"), lit(true).as("ok"))
+        planted.select(col("vec_id").as("src_id"))
+          .join(ok, Seq("src_id"), "left")
+          .select(col("src_id"),
+            coalesce(col("ok"), lit(false)).as("twin_mined"))
+          .orderBy(col("src_id"))
+      },
+      Some("""SELECT vec_id AS src_id, true AS twin_mined
+             |FROM embeddings WHERE label = 0 AND vec_id < 100
+             |ORDER BY src_id""".stripMargin)),
+
     // Soft dedup (SoftDeDup, He et al. 2024): 1/frequency sampling
     // weights over exact-duplicate groups instead of removal — every
     // value an exact BIGINT (weight and effective token mass in

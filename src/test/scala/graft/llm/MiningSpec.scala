@@ -110,6 +110,24 @@ class MiningSpec extends SparkSpec {
       s"twin margins under bar: ${twins.mkString(",")}")
   }
 
+  test("marginPairsIndexed ≡ marginPairsAnn on the same sides — the " +
+    "persisted path cannot drift from the in-memory one") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val src = emb.filter(col("label") === 0).select("vec_id", "embedding")
+    val tgt = emb.filter(col("label") === 1).select("vec_id", "embedding")
+    val inMem = Similarity.marginPairsAnn(src, tgt, k = 4, topN = 30,
+      nlist = 8, nprobe = 3).collect().map(_.toSeq).toSeq
+    val si = tempDir("margin_si").toString
+    val ti = tempDir("margin_ti").toString
+    Similarity.writeIvfIndex(src, si, nlist = 8)
+    Similarity.writeIvfIndex(tgt, ti, nlist = 8)
+    val indexed = Similarity.marginPairsIndexed(spark, si, ti,
+      k = 4, topN = 30, nprobe = 3).collect().map(_.toSeq).toSeq
+    // deterministic seeded training → identical centroids → identical
+    // candidates, cosines, and margins
+    assert(indexed === inMem)
+  }
+
   test("hashedTfidfDense: sparse components land at their md5 dims, " +
     "zeros elsewhere, under the embeddings column contract") {
     import SparkSpec.spark.implicits._
