@@ -1431,6 +1431,41 @@ object LlmQueries {
              |    + bit_count(xor(a.hi, b.hi)) <= 6
              |ORDER BY d1, d2""".stripMargin)),
 
+    // WebDataset × multimodal composition — the dataloader boundary
+    // round trip on REAL media: the PNG fixture publishes as tar
+    // shards (one sample per image, blob as the .png member), cracks
+    // back through the path-streaming block walk, and the decoded
+    // bytes feed the SAME dHash banded near-dup as the direct path.
+    // The oracle is q_dedup_phash's full-strength replay (every dHash
+    // recomputed from closed-form pixels in DuckDB), so a single byte
+    // corrupted anywhere in the tar framing, member split, or decode
+    // chain breaks the hash — the composition, not just the parts, is
+    // what's checked. The corrupt blob rides through the shard like
+    // any member and still quarantines at decode.
+    QueryDef(
+      "q_webdataset_media",
+      (s, _) => {
+        val media = Multimodal.syntheticPhashMedia(s, 48)
+        val members = media.select(
+          lpad(col("media_id").cast("string"), 6, "0").as("sample_key"),
+          lit("png").as("ext"), col("content").as("data"))
+        val dir = s"${graft.core.Fs.scratchRoot}/wds_media"
+        graft.sources.WebDataset.writeShards(members, dir, numShards = 4)
+        val back = graft.sources.WebDataset.readSamples(s, dir)
+          .select(col("sample_key").cast("long").as("media_id"),
+            col("data").as("content"))
+        Dedup.imageDhashPairs(back, maxHamming = 6)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH ${phashHashCtes(48, 4)}
+             |SELECT a.media_id AS d1, b.media_id AS d2,
+             |  CAST(bit_count(xor(a.lo, b.lo))
+             |     + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+             |FROM hash a JOIN hash b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.lo, b.lo))
+             |    + bit_count(xor(a.hi, b.hi)) <= 6
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Image near-dup CLUSTERING end to end — the pair surface composed
     // with the O(log n) star components into what a curation pipeline
     // actually consumes: (image, cluster) with the cluster id = the
