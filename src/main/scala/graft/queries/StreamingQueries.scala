@@ -570,5 +570,57 @@ object StreamingQueries {
           .orderBy(col("media_id"))
       },
       Some(ExtensionQueries.mp3MetaOracleSql)),
+
+    // CONTINUOUS WebDataset publishing — the write-side mirror of the
+    // ingest streams: sample-member rows arrive as a parquet stream
+    // (one file per trigger → 3 micro-batches here) and every batch
+    // lands as its own batch-keyed SEGMENT of tar shards; the batch
+    // reader then cracks ALL segments recursively. The published
+    // member set must equal the batch writer's (one oracle covers the
+    // roundtrip exactly as q_webdataset_roundtrip — how rows were
+    // batched across segments must be invisible). Fresh per-JVM
+    // scratch dirs per run; restart idempotency (same batch → same
+    // segment, rewrite-in-place) is spec territory.
+    QueryDef(
+      "q_stream_webdataset_publish",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+        def key = concat(lit("doc"),
+          lpad(col("doc_id").cast("string"), 5, "0"))
+        val members = docs.select(key.as("sample_key"),
+            lit("txt").as("ext"), col("text").cast("binary").as("data"))
+          .unionByName(docs.select(key.as("sample_key"),
+            lit("meta.json").as("ext"),
+            concat(lit("{\"id\":"), col("doc_id"),
+              lit(",\"source\":\""), col("source"), lit("\"}"))
+              .cast("binary").as("data")))
+        val root = graft.core.Fs.scratchRoot
+        val in = s"$root/wds_pub_in"
+        val out = s"$root/wds_pub_out"
+        val cp = s"$root/wds_pub_cp"
+        graft.core.Fs.deleteTree(out); graft.core.Fs.deleteTree(cp)
+        members.repartition(3).write.mode("overwrite").parquet(in)
+        EventStreams.runWebDatasetPublishLoop(s, in, out,
+          shardsPerBatch = 2, cp)
+        graft.sources.WebDataset.readSamples(s, out)
+          .select(col("sample_key"), col("ext"), col("n_bytes"),
+            md5(col("data")).as("content_md5"))
+          .orderBy(col("sample_key"), col("ext"))
+      },
+      Some("""WITH m AS (
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+             |      AS sample_key,
+             |    'txt' AS ext, text AS payload
+             |  FROM documents WHERE doc_id < 60
+             |  UNION ALL
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0'),
+             |    'meta.json',
+             |    '{"id":' || doc_id || ',"source":"' || source || '"}'
+             |  FROM documents WHERE doc_id < 60)
+             |SELECT sample_key, ext,
+             |  CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+             |  md5(payload) AS content_md5
+             |FROM m ORDER BY sample_key, ext""".stripMargin)),
   )
 }

@@ -254,7 +254,10 @@ object WebDataset {
     import spark.implicits._
     val hc = org.apache.spark.graftshim.GraftSparkInternals
       .broadcastHadoopConf(spark.sparkContext)
-    spark.read.format("binaryFile").load(dir)
+    // recursive: a streamed publisher lays shards out as batch-keyed
+    // segment subdirs; `.`/`_`-prefixed temps are hidden by the listing
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
       .select("path").as[String]
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
@@ -284,7 +287,8 @@ object WebDataset {
     import spark.implicits._
     val hc = org.apache.spark.graftshim.GraftSparkInternals
       .broadcastHadoopConf(spark.sparkContext)
-    spark.read.format("binaryFile").load(dir)
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
       .select("path").as[String]
       .map { path =>
         val p = new org.apache.hadoop.fs.Path(path)

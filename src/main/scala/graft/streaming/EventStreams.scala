@@ -622,6 +622,44 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Continuous WebDataset PUBLISHING — the multimodal crawler's output
+    * front door, the write-side mirror of the ingest loops: each
+    * micro-batch of flat sample-member rows (sample_key, ext, data)
+    * lands as a batch-keyed SEGMENT of tar shards
+    * (`shardDir/seg_<streamKey>-b<id>/shard_*.tar` via
+    * [[graft.sources.WebDataset.writeShards]]), so a dataloader can
+    * start consuming finished segments while the stream keeps
+    * appending new ones.
+    *
+    * Restart/re-delivery semantics without commit markers: the shard
+    * writer is IDEMPOTENT per (segment, shard) — a re-delivered batch
+    * carries the same rows to the same batch-keyed segment dir, and
+    * each shard task rewrites its own file via attempt-suffixed temp +
+    * rename (last-wins), so duplicates cannot accumulate; a recreated
+    * checkpoint mints a fresh [[streamKey]], so its batch 0 lands in a
+    * NEW segment instead of colliding with the old stream's. Readers
+    * never see partial shards (`.`-prefixed temps are hidden from the
+    * listing by contract). */
+  def runWebDatasetPublishLoop(spark: SparkSession, parquetDir: String,
+                               shardDir: String, shardsPerBatch: Int,
+                               checkpoint: String): Unit = {
+    val schema = spark.read.parquet(parquetDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(parquetDir)
+    val sk = streamKey(checkpoint)
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.sources.WebDataset.writeShards(
+          df, s"$shardDir/seg_$sk-b$id", shardsPerBatch)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Append-mode run over a STREAMED binaryFile directory — continuous
     * container ingest (WARC segments landing from a live crawler, media
     * blobs from an uploader): the file stream discovers new blobs per

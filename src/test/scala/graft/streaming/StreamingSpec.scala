@@ -612,4 +612,50 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
     assert(top == Set((100L, 1.0)), s"planted twin must rank 1: $top")
   }
+
+  test("WebDataset publish loop: batch-keyed segments, restart no-op, " +
+    "incremental input lands only a new segment") {
+    import SparkSpec.spark.implicits._
+    val root = s"/root/repo/target/tmp/spec_wdspub_${System.nanoTime()}"
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    def members(lo: Int, hi: Int) = (lo until hi).flatMap(i => Seq(
+      (f"s$i%04d", "txt", s"payload$i".getBytes("UTF-8")),
+      (f"s$i%04d", "json", s"""{"i":$i}""".getBytes("UTF-8"))))
+      .toDF("sample_key", "ext", "data")
+    members(0, 6).repartition(2).write.parquet(in)
+    EventStreams.runWebDatasetPublishLoop(spark, in, out,
+      shardsPerBatch = 2, cp)
+    def listing = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".tar"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val first = listing
+    // 2 input files -> 2 batch-keyed segments, each <= 2 shards
+    assert(first.map(_._1.split("/").dropRight(1).last).distinct.size == 2)
+    def readBack = graft.sources.WebDataset.readSamples(spark, out)
+      .select("sample_key", "ext").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val expect6 = (0 until 6).flatMap(i =>
+      Seq((f"s$i%04d", "json"), (f"s$i%04d", "txt"))).sorted
+    assert(readBack == expect6)
+    // restart with the SAME checkpoint and no new input: a no-op — not
+    // one shard file touched
+    EventStreams.runWebDatasetPublishLoop(spark, in, out,
+      shardsPerBatch = 2, cp)
+    assert(listing == first)
+    // one NEW input file: exactly one new segment, old ones untouched
+    members(6, 8).coalesce(1).write.mode("append").parquet(in)
+    EventStreams.runWebDatasetPublishLoop(spark, in, out,
+      shardsPerBatch = 2, cp)
+    val third = listing
+    assert(third.filter(f => first.exists(_._1 == f._1)) == first,
+      "existing segments were rewritten")
+    assert(third.map(_._1.split("/").dropRight(1).last).distinct.size == 3)
+    val expect8 = (0 until 8).flatMap(i =>
+      Seq((f"s$i%04d", "json"), (f"s$i%04d", "txt"))).sorted
+    assert(readBack == expect8)
+  }
 }
