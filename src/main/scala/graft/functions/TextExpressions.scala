@@ -292,6 +292,57 @@ object Lcs {
   }
 }
 
+/** DEFLATE-compressed byte length of a string's UTF-8 bytes — the
+  * kernel of the published compression-ratio quality filter (documents
+  * that compress far below the corpus norm are templated/repetitive
+  * boilerplate; far above it, binary-ish noise). Native codegen'd
+  * expression: per-row `java.util.zip.Deflater` at the FIXED level 6
+  * with a thread-local reused instance (a Deflater holds native zlib
+  * state — per-row allocation would dominate). Deterministic for a
+  * given input on a given JVM's zlib; queries gate on widely-separated
+  * THRESHOLD booleans, never raw lengths, so a zlib revision cannot
+  * flip a verdict. */
+case class DeflateLenExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_len expects a string, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    Deflate.deflateLen(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Deflate.deflateLen($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object Deflate {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, /* nowrap = */ true)
+  }
+  private val sink = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+  def deflateLen(s: UTF8String): Long = {
+    val in = s.getBytes
+    val d = local.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = sink.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftshim.GraftColumn
 
@@ -322,4 +373,8 @@ object TextExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftColumn.column(JaroWinklerExpr(
       GraftColumn.expression(a), GraftColumn.expression(b)))
+
+  /** Column-level DEFLATE(level 6) byte length of a string's UTF-8. */
+  def deflateLen(c: Column): Column =
+    GraftColumn.column(DeflateLenExpr(GraftColumn.expression(c)))
 }

@@ -874,46 +874,28 @@ object TextAnalysis {
     * curation): highly repetitive or templated text compresses far below
     * natural prose, and near-random noise barely compresses at all, so
     * the ratio separates both failure modes from quality text with one
-    * cheap pass. Partition-local `mapPartitions` with ONE reused
-    * Deflater per partition (level fixed at 6 — the ratio must be a
-    * stable fingerprint, not drift with a JVM default); emitted in
-    * integer micro-units (compressed·10⁶ div raw) so downstream
-    * thresholds are exact. Null/empty text → ratio 0. DEFLATE is not
-    * SQL-expressible, so this is spec-gated rather than oracle-checked:
-    * LlmSpec pins the repetitive < natural < noise ordering and
-    * determinism across runs.
-    */
+    * cheap pass. Round-13 upgrade: the DEFLATE length is a native
+    * codegen'd expression ([[graft.functions.DeflateLenExpr]], raw
+    * deflate at the fixed level 6, thread-local reused Deflater — one
+    * per pool thread, bounded), so the whole signal lives inside
+    * whole-stage codegen next to the other quality projections instead
+    * of a mapPartitions island. Emitted in integer micro-units
+    * (compressed·10⁶ div raw) so downstream thresholds are exact.
+    * Null/empty text → ratio 0. DEFLATE is not SQL-expressible, so raw
+    * lengths are spec territory (LlmSpec pins repetitive < natural <
+    * noise ordering and determinism); q_quality_compress oracle-gates
+    * widely-separated threshold verdicts that a zlib revision cannot
+    * flip. */
   def compressionRatio(documents: DataFrame, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
+                       idCol: String = "doc_id"): DataFrame =
     documents.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(6)
-        // Deflater buffers are NATIVE memory, reclaimed only at GC
-        // finalization — on a long-lived executor that accrues off-heap
-        // until the container limit; release at task end instead
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
-        val buf = new Array[Byte](64 * 1024)
-        it.map { case (id, text) =>
-          if (text == null || text.isEmpty) (id, 0L, 0L)
-          else {
-            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            deflater.reset()
-            deflater.setInput(raw)
-            deflater.finish()
-            var compressed = 0L
-            while (!deflater.finished())
-              compressed += deflater.deflate(buf)
-            (id, raw.length.toLong, compressed * 1000000L / raw.length)
-          }
-        }
-      }
-      .toDF("doc_id", "n_bytes", "ratio_micro")
-  }
+        coalesce(octet_length(col(textCol)), lit(0)).cast("long")
+          .as("n_bytes"),
+        graft.functions.TextExpressions.deflateLen(col(textCol))
+          .as("dl"))
+      .select(col("doc_id"), col("n_bytes"),
+        when(col("n_bytes") === 0L, lit(0L))
+          .otherwise(expr("dl * 1000000L div n_bytes")).as("ratio_micro"))
 
   /** Line-level boilerplate removal — the first cleaning pass in published
     * web-corpus pipelines (CCNet's per-shard line dedup, RefinedWeb's

@@ -102,5 +102,13 @@ object GraftExtensions {
           require(args.length == 2,
             "jaro_winkler expects (string, string)")
           graft.functions.JaroWinklerExpr(args(0), args(1)): Expression
+        }),
+      (new FunctionIdentifier("deflate_len"),
+        new ExpressionInfo(
+          classOf[graft.functions.DeflateLenExpr].getName,
+          "deflate_len"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "deflate_len expects (string)")
+          graft.functions.DeflateLenExpr(args(0)): Expression
         }))
 }

@@ -89,6 +89,45 @@ object CurationQueries {
              |FROM documents WHERE doc_id < 100
              |ORDER BY doc_id""".stripMargin)),
 
+    // Compression-ratio quality signal (the published deflate filter:
+    // templated/repetitive text compresses far below natural prose,
+    // near-random noise barely compresses). DEFLATE is not
+    // SQL-expressible, so the gate plants both failure modes per
+    // source doc — an 80×-repeated-token doc and a 512-hex-char md5
+    // doc — and checks threshold verdicts with huge margins (measured:
+    // repeats land ≤ 0.045, hex noise 0.55-0.57, bars at 0.15/0.30),
+    // so a zlib revision cannot flip a verdict. Raw-length ordering
+    // and determinism stay pinned in LlmSpec.
+    QueryDef(
+      "q_quality_compress",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").filter(col("doc_id") < 100)
+        val firstTok = coalesce(element_at(
+          filter(split(col("text"), " "), t => t =!= ""), 1), lit("x"))
+        val rep = docs.select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(array_repeat(firstTok, 80), " ").as("text"))
+        val rnd = docs.select((col("doc_id") + 200000L).as("doc_id"),
+          concat((0 until 16).map(j =>
+            md5(concat(col("doc_id").cast("string"), lit(s":$j")))): _*)
+            .as("text"))
+        val r = graft.llm.TextAnalysis.compressionRatio(
+          docs.select(col("doc_id"), col("text"))
+            .unionByName(rep).unionByName(rnd))
+        r.select((col("doc_id") % 100000L).as("src_id"),
+            expr("doc_id div 100000").as("kind"), col("ratio_micro"))
+          .groupBy(col("src_id"))
+          .agg(
+            max(when(col("kind") === 1, col("ratio_micro"))).as("rep_r"),
+            max(when(col("kind") === 2, col("ratio_micro"))).as("rnd_r"))
+          .select(col("src_id").as("doc_id"),
+            (col("rep_r") < 150000L).as("rep_flagged"),
+            (col("rnd_r") >= 300000L).as("rnd_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, true AS rep_flagged, true AS rnd_clean
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin)),
+
     // k-anonymity audit (Sweeney 2002) over the customer table's
     // (nation, market-segment) quasi-identifier: per-class sizes and the
     // k=10 verdict. At sf0.01 the 125 classes range 5..19 rows, so both

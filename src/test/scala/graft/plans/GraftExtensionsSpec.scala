@@ -38,7 +38,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("normalize_nfc", "normalize_nfkc", "registrable_domain",
         "dot_segment_normalize", "extract_links", "lcs_len",
-        "jaro_winkler"))
+        "jaro_winkler", "deflate_len"))
   }
 
   test("injected SQL functions run the native expression on a live session") {
@@ -73,5 +73,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r4.getDouble(1) - 0.8133333333333332) < 1e-12)
     assert(math.abs(r4.getDouble(2) - 0.5277777777777778) < 1e-12)
     assert(r4.getDouble(3) == 0.0)
+    // round-13: the compression-signal kernel from plain SQL — a
+    // 400-char single-symbol run must deflate far below a fifth of an
+    // equal-length md5-hex chain (bar ordering, never exact lengths)
+    val r5 = spark.sql(
+      "SELECT deflate_len(repeat('a', 400)) AS rep, " +
+        "deflate_len(concat(md5('1'), md5('2'), md5('3'), md5('4'), " +
+        "md5('5'), md5('6'), md5('7'), md5('8'), md5('9'), md5('10'), " +
+        "md5('11'), md5('12'))) AS rnd").head
+    assert(r5.getLong(0) * 5 < r5.getLong(1),
+      s"deflate separation broke: ${r5.getLong(0)} vs ${r5.getLong(1)}")
   }
 }

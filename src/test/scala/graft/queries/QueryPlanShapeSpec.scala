@@ -187,6 +187,23 @@ class QueryPlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-13 compression signal is joinless per-row work and the " +
+      "native deflate expression survives fallback-disabled codegen") {
+    val df = graft.SparkEntry.queries("q_quality_compress")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // one projection per planted row + the per-source rollup: no joins
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      s"compression signal should be join-free:\n$p")
+    // a Janino failure in DeflateLenExpr's generated code must throw,
+    // not silently degrade to interpreted eval (the ROUGE-L pin rule)
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      assert(df.collect().nonEmpty)
+    }
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("BLEU clip join is keyed by the 8-byte gram fingerprint — gram " +
       "strings never reach an exchange") {
     // the ScaleCheck-adjudicated fix: string-keyed counts re-exchanged
