@@ -76,6 +76,47 @@ object Contamination {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC complement of the
+    * shingle and MinHash rules (a well-paraphrased eval leak shares no
+    * shingles at ANY fuzz level, but it does sit next to its benchmark
+    * item in embedding space — the SemDeDup observation applied to eval
+    * integrity): a train vector is contaminated when its cosine against
+    * ANY benchmark vector reaches `minCosMicro` (4-dp fixed point).
+    *
+    * Scale shape: the benchmark side BROADCASTS by the family contract
+    * (eval suites are thousands of items, not corpora) and the train
+    * side streams once — the [[Similarity.bruteForceTopK]] shape with a
+    * threshold instead of a rank. Cosines integerize BEFORE the
+    * compare, so verdicts are exact and the oracle replays the whole
+    * thing (no gate). If an eval suite ever outgrows broadcast, swap
+    * candidate generation to the IVF cell join (the `marginPairsAnn`
+    * shape) — the verdict math is unchanged. `max_cos_micro` is 0 for
+    * clean rows (documented: "no hit at or above 0"). */
+  def semanticContamination(train: DataFrame, benchmark: DataFrame,
+                            minCosMicro: Long = 9000L,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    import Similarity.{dot, l2norm}
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("t_vec"))
+      .withColumn("t_norm", l2norm(col("t_vec")))
+    val b = benchmark.select(col(idCol).as("bench_id"),
+        col(vecCol).as("b_vec"))
+      .withColumn("b_norm", l2norm(col("b_vec")))
+    val hits = t.crossJoin(broadcast(b))
+      .withColumn("c_micro",
+        round(round(dot(col("t_vec"), col("b_vec"))
+          / (col("t_norm") * col("b_norm")), 4) * 10000).cast("long"))
+      .filter(col("c_micro") >= minCosMicro)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("c_micro")).as("max_c"))
+    train.select(col(idCol).as("train_id"))
+      .join(hits, Seq("train_id"), "left")
+      .select(col("train_id"),
+        col("n_hits").isNotNull.cast("int").as("contaminated"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_c"), lit(0L)).as("max_cos_micro"))
+  }
+
   /** The eval-integrity direction of [[sharedShingles]]: a per-BENCHMARK-
     * item contamination report — for each benchmark doc, how many distinct
     * training docs share ≥1 shingle with it and how many distinct

@@ -2437,6 +2437,61 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       Some(graft.llm.Tokenization.bpePretrainedOracleSql(PretrainedMerges))),
 
+    // SEMANTIC decontamination (Contamination.semanticContamination):
+    // the embedding-space complement of the shingle/MinHash rules — a
+    // paraphrased eval leak shares no shingles but sits next to its
+    // benchmark item in embedding space. Benchmark = the label-0
+    // vectors under id 100; train = every other-label vector PLUS
+    // planted exact twins of the benchmark (cos 1.0 — the leak).
+    // FULL replay, not a gate: 4-dp fixed-point cosines, integer hit
+    // counts and maxima, all recomputed by DuckDB over the same 55k
+    // broadcast-cross pairs.
+    QueryDef(
+      "q_decontaminate_semantic",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val bench = emb.filter(col("label") === 0 && col("vec_id") < 100)
+          .select("vec_id", "embedding")
+        val train = emb.filter(col("label") =!= 0)
+          .select("vec_id", "embedding")
+          .unionByName(bench.select(
+            (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        Contamination.semanticContamination(train, bench,
+            minCosMicro = 9000L)
+          .orderBy(col("train_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT vec_id AS bench_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE label = 0 AND vec_id < 100),
+             |t AS (
+             |  SELECT vec_id AS train_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE label <> 0
+             |  UNION ALL
+             |  SELECT vec_id + 100000,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |  FROM embeddings WHERE label = 0 AND vec_id < 100),
+             |p AS (
+             |  SELECT train_id,
+             |    CAST(round(round(
+             |      list_dot_product(t.v, b.v)
+             |        / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+             |      4) * 10000) AS BIGINT) AS c
+             |  FROM t, b),
+             |h AS (
+             |  SELECT train_id, CAST(count(*) AS BIGINT) AS n_hits,
+             |    max(c) AS mx
+             |  FROM p WHERE c >= 9000 GROUP BY train_id)
+             |SELECT t.train_id,
+             |  CAST(h.train_id IS NOT NULL AS INT) AS contaminated,
+             |  coalesce(n_hits, 0) AS n_hits,
+             |  coalesce(mx, 0) AS max_cos_micro
+             |FROM (SELECT DISTINCT train_id FROM t) t
+             |LEFT JOIN h USING (train_id)
+             |ORDER BY train_id""".stripMargin)),
+
     // Benchmark decontamination: training docs sharing ≥1 distinct
     // 20-char shingle with a (broadcast) benchmark set — here the docs
     // with doc_id % 50 == 0 play the eval set, the rest the train corpus.

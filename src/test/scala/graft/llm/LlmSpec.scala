@@ -1671,6 +1671,27 @@ class LlmSpec extends SparkSpec {
     assert(out(11L) == ((0, 0L)), out.toString)
   }
 
+  test("semanticContamination flags the embedding twin a paraphrase " +
+      "leaves shingle-invisible; orthogonal vectors stay clean") {
+    import SparkSpec.spark.implicits._
+    val bench = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),   // the leak: cos 1.0
+      (11L, Seq(0.9, 0.1, 0.0, 0.0)),   // near-leak: cos ~0.9939
+      (12L, Seq(0.0, 1.0, 0.0, 0.0)),   // orthogonal: cos 0
+      (13L, Seq(0.89, 0.46, 0.0, 0.0))) // cos ~0.888 — below the bar
+      .toDF("vec_id", "embedding")
+    val out = Contamination.semanticContamination(train, bench,
+        minCosMicro = 9000L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((1, 1L, 10000L)), out.toString)
+    assert(out(11L)._1 == 1 && out(11L)._3 >= 9900L, out.toString)
+    assert(out(12L) == ((0, 0L, 0L)), out.toString)
+    assert(out(13L) == ((0, 0L, 0L)), out.toString)
+  }
+
   test("learnBpeMerges replace is left-to-right non-overlapping") {
     import SparkSpec.spark.implicits._
     // 'aaaa' has three overlapping a|a positions but greedy left-to-right
