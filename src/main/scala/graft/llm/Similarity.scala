@@ -1060,8 +1060,12 @@ object Similarity {
     * BIGINT) rows — the vectors never reach this stage, which is why the
     * candidate GENERATION is the only part that changes between the exact
     * and ANN variants. */
-  private def marginFromKnn(fwd: DataFrame, bwd: DataFrame, k: Int,
+  private def marginFromKnn(fwdIn: DataFrame, bwd: DataFrame, k: Int,
                             topN: Int): DataFrame = {
+    // fwd feeds BOTH the neighbourhood sum and the candidate join — for
+    // the ANN paths that is the whole cell-join k-NN; untracked it
+    // would run twice per action
+    val fwd = Caches.track(fwdIn)
     val sumX = fwd.groupBy(col("src_id"))
       .agg(sum(col("c_micro")).as("sum_x"))
     val sumY = bwd.groupBy(col("tgt_id"))
