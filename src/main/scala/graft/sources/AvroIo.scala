@@ -207,7 +207,9 @@ object AvroIo {
     import spark.implicits._
     val hc = org.apache.spark.graftshim.GraftSparkInternals
       .broadcastHadoopConf(spark.sparkContext)
-    val st = toSparkSchema(dirSchema(spark, dir, hc.conf))
+    val dirAvroSchema = dirSchema(spark, dir, hc.conf)
+    val expectedJson = dirAvroSchema.toString
+    val st = toSparkSchema(dirAvroSchema)
     val width = st.length
     val rows = spark.read.format("binaryFile").load(dir)
       .filter(col("path").endsWith(".avro"))
@@ -232,7 +234,15 @@ object AvroIo {
               try raw.close() catch { case _: java.io.IOException => () }
               null
           }
-        if (ds == null) Iterator.empty
+        // a container whose embedded schema differs from the
+        // directory's quarantines whole: decoding by POSITION against
+        // the wrong field list would silently transpose values — worse
+        // than missing data (the mixed-schema dir is an operator error
+        // this makes loud via row counts, not corrupt rows)
+        if (ds != null && ds.getSchema.toString != expectedJson) {
+          try ds.close() catch { case _: java.io.IOException => () }
+          Iterator.empty
+        } else if (ds == null) Iterator.empty
         else {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>

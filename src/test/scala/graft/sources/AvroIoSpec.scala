@@ -92,6 +92,24 @@ class AvroIoSpec extends SparkSpec {
     assert(ids.forall(_ < n))
   }
 
+  test("a container with a DIFFERENT embedded schema quarantines whole " +
+    "instead of positionally transposing values") {
+    val dir = tempDir("avro_mixed")
+    import SparkSpec.spark.implicits._
+    AvroIo.writeAvro(Seq((1L, "x")).toDF("id", "v"), dir.toString,
+      numFiles = 1)
+    // second container under a DIFFERENT field list — write elsewhere,
+    // move in under a name that sorts after the first
+    val other = tempDir("avro_other")
+    AvroIo.writeAvro(Seq(("y", 2L)).toDF("v", "id"), other.toString,
+      numFiles = 1)
+    val src = Files.list(other).toArray.map(_.toString)
+      .filter(_.endsWith(".avro")).head
+    Files.copy(Paths.get(src), dir.resolve("part_zz.avro"))
+    val got = AvroIo.readAvro(spark, dir.toString).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("types outside the surface refuse loudly at write") {
     import SparkSpec.spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
