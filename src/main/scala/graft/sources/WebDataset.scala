@@ -199,7 +199,14 @@ object WebDataset {
     * format's streaming-dataloader contract. Returns members written.
     *
     * `numShards` 0 keeps the session's shuffle partitioning; at
-    * production scale pick numShards ≈ corpusBytes / 1 GB. */
+    * production scale pick numShards ≈ corpusBytes / 1 GB.
+    *
+    * Re-write contract (shared with [[Warc.writeResponses]]): shards
+    * are keyed by partition id, so re-running into the SAME dir is a
+    * clean overwrite only when the partition count is unchanged — pass
+    * an explicit `numShards` (the streaming publisher does; its
+    * re-delivered batches rewrite byte-identically) or write into a
+    * fresh/keyed directory. */
   def writeShards(samples: DataFrame, dir: String, numShards: Int = 0,
                   keyCol: String = "sample_key", extCol: String = "ext",
                   dataCol: String = "data"): Long = {
