@@ -569,6 +569,38 @@ object ScaleCheck {
           emb.filter(col("label") === 0), emb.filter(col("label") === 1),
           k = 4, topN = 60, nlist = 16 * f, nprobe = 4)
       }),
+      // round-13: semantic decontamination on the TRAIN axis — the
+      // benchmark side is FIXED (eval suites don't grow with the
+      // corpus) and broadcasts, so the pair volume and time must track
+      // the k× train side exactly linearly with shuffle at the per-doc
+      // rollup's partials only
+      ("q_decontaminate_semantic", (dir, _) => {
+        val bench = spark.read.parquet(s"$base/embeddings.parquet")
+          .filter(col("label") === 0 && col("vec_id") < 100)
+          .select("vec_id", "embedding")
+        graft.llm.Contamination.semanticContamination(
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .filter(col("label") =!= 0).select("vec_id", "embedding"),
+          bench, minCosMicro = 9000L)
+      }),
+      // round-13: WebDataset write+crack roundtrip on the corpus-BYTES
+      // axis — unlike the staged-fixture container rows, the WRITE is
+      // the operator here: shard framing, the contiguity shuffle, and
+      // the block-walk read must all track bytes linearly (shards per
+      // run scale with the factor to hold per-shard size constant)
+      ("q_webdataset_roundtrip", (dir, f) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val members = docs.select(
+          concat(lit("d"), col("doc_id")).as("sample_key"),
+          lit("txt").as("ext"), col("text").cast("binary").as("data"))
+        val out = s"$synthRoot/wds_rt_x$f"
+        graft.core.Fs.deleteTree(out)
+        graft.sources.WebDataset.writeShards(members, out,
+          numShards = 8 * f)
+        graft.sources.WebDataset.readSamples(spark, out)
+          .groupBy(col("ext"))
+          .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
+      }),
       // round-12 session-2: paragraph dedup on the corpus axis — the
       // Caesar rotation preserves every intra-copy duplicated paragraph
       // exactly and makes copies disjoint, so output rows, the winner
