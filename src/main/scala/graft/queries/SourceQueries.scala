@@ -639,6 +639,62 @@ object SourceQueries {
              |  md5(payload) AS content_md5
              |FROM m ORDER BY sample_key, ext""".stripMargin)),
 
+    // WebDataset shard report — the operational complement of the tar
+    // quarantine rules (the q_warc_report rule: a corrupt shard yields
+    // zero members BY DESIGN; without a report that's invisible data
+    // loss): the roundtrip fixture re-staged as ONE shard (always
+    // nonempty — the count stays closed-form) plus one planted
+    // non-tar junk file that must surface as a quarantined row. The
+    // oracle recomputes member/sample/byte totals from the source rows
+    // and states the shard/quarantine counts from the fixture's closed
+    // form.
+    QueryDef(
+      "q_webdataset_report",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+        def key = concat(lit("doc"),
+          lpad(col("doc_id").cast("string"), 5, "0"))
+        val members = docs.select(key.as("sample_key"),
+            lit("txt").as("ext"), col("text").cast("binary").as("data"))
+          .unionByName(docs.select(key.as("sample_key"),
+            lit("meta.json").as("ext"),
+            concat(lit("{\"id\":"), col("doc_id"),
+              lit(",\"source\":\""), col("source"), lit("\"}"))
+              .cast("binary").as("data")))
+        val out = staged.getOrElseUpdate(s"wdsrep:$dir", {
+          val p = s"$stageRoot/wds_rep_${math.abs(dir.hashCode)}"
+          graft.sources.WebDataset.writeShards(members, p, numShards = 1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p, "junk.tar"),
+            "not a tar at all".getBytes("UTF-8"))
+          p
+        })
+        graft.sources.WebDataset.shardReport(s, out)
+          .agg(count(lit(1)).as("n_shards"),
+            sum(when(col("quarantined"), 1L).otherwise(0L))
+              .as("n_quarantined"),
+            sum(col("n_members")).as("n_members"),
+            sum(col("n_samples")).as("n_samples"),
+            sum(col("member_bytes")).as("member_bytes"))
+      },
+      Some("""WITH m AS (
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+             |      AS sample_key,
+             |    text AS payload
+             |  FROM documents WHERE doc_id < 60
+             |  UNION ALL
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0'),
+             |    '{"id":' || doc_id || ',"source":"' || source || '"}'
+             |  FROM documents WHERE doc_id < 60)
+             |SELECT CAST(2 AS BIGINT) AS n_shards,
+             |  CAST(1 AS BIGINT) AS n_quarantined,
+             |  CAST(count(*) AS BIGINT) AS n_members,
+             |  CAST(count(DISTINCT sample_key) AS BIGINT) AS n_samples,
+             |  CAST(sum(octet_length(encode(payload))) AS BIGINT)
+             |    AS member_bytes
+             |FROM m""".stripMargin)),
+
     // Per-segment scan report — the operational complement of the
     // parser's silent quarantine rules (a corrupt segment yields zero
     // records BY DESIGN; without a report that's invisible data loss):
