@@ -601,6 +601,21 @@ object ScaleCheck {
           .groupBy(col("ext"))
           .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
       }),
+      // round-13: Avro container roundtrip on the corpus-bytes axis —
+      // the third format row next to WARC and WebDataset: deflate-block
+      // framing on write and block decode on read are both
+      // partition-local, so time tracks bytes and shuffle stays at the
+      // final aggregate's partials (files ∝ factor holds per-container
+      // size constant)
+      ("q_scan_avro_roundtrip", (dir, f) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val out = s"$synthRoot/avro_rt_x$f"
+        graft.core.Fs.deleteTree(out)
+        graft.sources.AvroIo.writeAvro(docs, out, numFiles = 8 * f)
+        graft.sources.AvroIo.readAvro(spark, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      }),
       // round-12 session-2: paragraph dedup on the corpus axis — the
       // Caesar rotation preserves every intra-copy duplicated paragraph
       // exactly and makes copies disjoint, so output rows, the winner
