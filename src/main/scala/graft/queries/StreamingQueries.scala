@@ -571,6 +571,39 @@ object StreamingQueries {
       },
       Some(ExtensionQueries.mp3MetaOracleSql)),
 
+    // CONTINUOUS Avro ingest — the container-format trio's streaming
+    // read side (WARC segments and media blobs already stream): Avro
+    // containers land as a binaryFile stream (an upstream system
+    // dropping interchange files) and each micro-batch's blobs decode
+    // through the same framing/quarantine rules as the batch scan,
+    // under the schema fixed at PLAN time from the landing dir
+    // (AvroIo.schemaJsonOf — a stream cannot discover its schema per
+    // batch). Stateless per-file work; the stream must equal the
+    // batch rows exactly, so ONE oracle covers both execution modes
+    // (the q_stream_warc_ingest discipline).
+    QueryDef(
+      "q_stream_avro_ingest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+        val tmp = graft.core.Fs.scratchRoot
+        val land = s"$tmp/graft_avro_stream_land"
+        if (!new java.io.File(s"$land/_STAGED").exists()) {
+          graft.sources.AvroIo.writeAvro(docs, land, numFiles = 3)
+          new java.io.FileOutputStream(
+            new java.io.File(s"$land/_STAGED")).close()
+        }
+        val schemaJson = graft.sources.AvroIo.schemaJsonOf(s, land)
+        EventStreams.runBinaryAvailableNowAppend(s, land,
+            df => graft.sources.AvroIo.decodeBlobs(
+              df.filter(col("path").endsWith(".avro")), schemaJson),
+            "stream_avro_ingest")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents WHERE doc_id < 60
+             |ORDER BY doc_id""".stripMargin)),
+
     // CONTINUOUS WebDataset publishing — the write-side mirror of the
     // ingest streams: sample-member rows arrive as a parquet stream
     // (one file per trigger → 3 micro-batches here) and every batch

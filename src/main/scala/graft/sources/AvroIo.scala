@@ -199,6 +199,59 @@ object AvroIo {
         s"no readable .avro container in $dir"))
   }
 
+  /** Embedded schema of the containers under `dir`, as Avro JSON — the
+    * plan-time input of [[decodeBlobs]] (a streaming transform needs
+    * its output schema before any micro-batch arrives). */
+  def schemaJsonOf(spark: SparkSession, dir: String): String = {
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    dirSchema(spark, dir, hc.conf).toString
+  }
+
+  /** BLOB-decoding stage for STREAMED containers (the
+    * [[Warc.decodeSegments]] contract: this variant exists for the
+    * binaryFile stream, where content arrives per micro-batch anyway —
+    * batch scans use the path-streaming [[readAvro]]): each row's
+    * `content` bytes parse as one Avro container under the FIXED
+    * `schemaJson` ([[schemaJsonOf]]); same quarantine rules as the
+    * batch reader (unreadable or schema-mismatched containers empty,
+    * truncated ones keep decoded blocks). */
+  def decodeBlobs(files: DataFrame, schemaJson: String): DataFrame = {
+    val st = toSparkSchema(new Schema.Parser().parse(schemaJson))
+    val width = st.length
+    files.select(col("content"))
+      .flatMap { (r: Row) =>
+        val bytes = r.getAs[Array[Byte]](0)
+        if (bytes == null) Iterator.empty
+        else {
+          val ds =
+            try new DataFileStream(
+              new java.io.ByteArrayInputStream(bytes),
+              new GenericDatumReader[GenericRecord]())
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (ds == null || ds.getSchema.toString != schemaJson)
+            Iterator.empty
+          else new Iterator[Row] {
+            private def more: Boolean =
+              try ds.hasNext
+              catch { case scala.util.control.NonFatal(_) => false }
+            private var ok = more
+            override def hasNext: Boolean = ok
+            override def next(): Row = {
+              val rec = ds.next()
+              val vals = new Array[Any](width)
+              var i = 0
+              while (i < width) {
+                vals(i) = fromAvroValue(rec.get(i)); i += 1
+              }
+              ok = more
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(st))
+  }
+
   /** Scan a directory of `.avro` container files into a DataFrame. One
     * task per file; O(block) heap; a corrupt/non-Avro file quarantines
     * whole (the WARC rule: only a structurally unreadable container is
