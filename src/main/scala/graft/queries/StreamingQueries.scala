@@ -604,6 +604,57 @@ object StreamingQueries {
              |FROM documents WHERE doc_id < 60
              |ORDER BY doc_id""".stripMargin)),
 
+    // CONTINUOUS WebDataset ingest — the read direction of the shard
+    // boundary (publishing below is the write direction): shards land
+    // as a binaryFile stream (a partner dropping training shards) and
+    // each micro-batch's blobs crack through the same USTAR
+    // framing/quarantine rules as the batch block walk. Stateless, so
+    // the stream must equal the batch reader exactly — the roundtrip
+    // oracle covers both execution modes.
+    QueryDef(
+      "q_stream_webdataset_ingest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+        def key = concat(lit("doc"),
+          lpad(col("doc_id").cast("string"), 5, "0"))
+        val members = docs.select(key.as("sample_key"),
+            lit("txt").as("ext"), col("text").cast("binary").as("data"))
+          .unionByName(docs.select(key.as("sample_key"),
+            lit("meta.json").as("ext"),
+            concat(lit("{\"id\":"), col("doc_id"),
+              lit(",\"source\":\""), col("source"), lit("\"}"))
+              .cast("binary").as("data")))
+        val land = s"${graft.core.Fs.scratchRoot}/graft_wds_stream_land"
+        if (!new java.io.File(s"$land/_STAGED").exists()) {
+          graft.sources.WebDataset.writeShards(members, land,
+            numShards = 3)
+          new java.io.FileOutputStream(
+            new java.io.File(s"$land/_STAGED")).close()
+        }
+        EventStreams.runBinaryAvailableNowAppend(s, land,
+            df => graft.sources.WebDataset.decodeShardBlobs(
+                df.filter(col("path").endsWith(".tar")))
+              .select(col("sample_key"), col("ext"), col("n_bytes"),
+                md5(col("data")).as("content_md5")),
+            "stream_wds_ingest")
+          .orderBy(col("sample_key"), col("ext"))
+      },
+      Some("""WITH m AS (
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+             |      AS sample_key,
+             |    'txt' AS ext, text AS payload
+             |  FROM documents WHERE doc_id < 60
+             |  UNION ALL
+             |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 5, '0'),
+             |    'meta.json',
+             |    '{"id":' || doc_id || ',"source":"' || source || '"}'
+             |  FROM documents WHERE doc_id < 60)
+             |SELECT sample_key, ext,
+             |  CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+             |  md5(payload) AS content_md5
+             |FROM m ORDER BY sample_key, ext""".stripMargin)),
+
     // CONTINUOUS WebDataset publishing — the write-side mirror of the
     // ingest streams: sample-member rows arrive as a parquet stream
     // (one file per trigger → 3 micro-batches here) and every batch

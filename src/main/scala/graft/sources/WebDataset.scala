@@ -285,6 +285,34 @@ object WebDataset {
       .toDF("shard", "sample_key", "ext", "data", "n_bytes")
   }
 
+  /** BLOB-decoding stage for STREAMED shards (the [[Warc.decodeSegments]]
+    * contract: this variant exists for the binaryFile stream, where
+    * content arrives per micro-batch anyway — batch scans use the
+    * path-streaming [[readSamples]]): each row's `content` bytes parse
+    * as one tar shard under the same framing/quarantine rules; `path`
+    * supplies the shard name. Output schema identical to
+    * [[readSamples]]. */
+  def decodeShardBlobs(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        if (bytes == null) Iterator.empty
+        else {
+          val shard = new org.apache.hadoop.fs.Path(path).getName
+          parseMembers(guardedStream(path,
+            new java.io.ByteArrayInputStream(bytes)))
+            .map { case (name, data) =>
+              val dot = name.indexOf('.')
+              val key = if (dot < 0) name else name.substring(0, dot)
+              val ext = if (dot < 0) "" else name.substring(dot + 1)
+              (shard, key, ext, data, data.length.toLong)
+            }
+        }
+      }
+      .toDF("shard", "sample_key", "ext", "data", "n_bytes")
+  }
+
   /** Per-shard scan report: members parsed, distinct samples, member
     * bytes — the quarantine-visibility row ([[Warc.segmentReport]]
     * rule). A shard that parses to zero members (corrupt from the
