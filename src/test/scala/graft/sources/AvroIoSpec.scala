@@ -110,6 +110,25 @@ class AvroIoSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("decodeBlobs ≡ readAvro on the same directory, corrupt container " +
+    "included — the streamed and batch decode paths cannot drift") {
+    val dir = tempDir("avro_parity")
+    import SparkSpec.spark.implicits._
+    AvroIo.writeAvro(
+      Seq((1L, "x"), (2L, "y"), (3L, null: String)).toDF("id", "v"),
+      dir.toString, numFiles = 2)
+    Files.write(dir.resolve("junk.avro"), "nope".getBytes)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val batch = AvroIo.readAvro(spark, dir.toString)
+    val schemaJson = AvroIo.schemaJsonOf(spark, dir.toString)
+    val blobs = AvroIo.decodeBlobs(
+      spark.read.format("binaryFile").load(dir.toString)
+        .filter(col("path").endsWith(".avro")), schemaJson)
+    assert(canon(blobs) === canon(batch))
+    assert(batch.count() === 3)
+  }
+
   test("types outside the surface refuse loudly at write") {
     import SparkSpec.spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
