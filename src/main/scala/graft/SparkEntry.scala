@@ -30,7 +30,9 @@ object SparkEntry {
       SketchQueries.queries ++
       GraphAnnQueries.queries ++
       MiningQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      RetrievalQueries.queries ++
+      ClusteringQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

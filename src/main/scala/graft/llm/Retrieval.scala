@@ -164,4 +164,104 @@ object Retrieval {
     rrfFuse(topLexical(documents, queryTerms, perList),
       topVector(embeddings, queryVecId, perList),
       rrfK, topK)
+
+  /** One (doc_id, term, pos) row per token — the flat token stream every
+    * positional operator here builds on. Positions are 0-based ORIGINAL
+    * token indices (empty tokens from doubled/trailing separators are
+    * dropped AFTER numbering, so the surviving indices still reflect the
+    * raw split — adjacency stays well-defined and both engines replay the
+    * same numbering). */
+  private[llm] def tokenStream(documents: DataFrame, textCol: String,
+                               idCol: String): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Positional inverted index: one posting row per (term, doc_id) with
+    * the sorted 0-based occurrence positions and the term frequency —
+    * the on-disk layout behind phrase/proximity search in every lexical
+    * engine (Lucene's positions file, re-expressed relationally).
+    *
+    * Scale shape: one tokenize scan + one hash aggregation keyed on
+    * (term, doc_id) — linear shuffle in token volume, no windows, no
+    * sorts over the corpus (the per-posting `sort_array` sorts each
+    * BOUNDED position list in place). The result is naturally
+    * term-partitionable for bucketed persistence. */
+  def positionalPostings(documents: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    tokenStream(documents, textCol, idCol)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+
+  /** Exact phrase match counts: documents containing the consecutive
+    * token sequence `phrase`, with the number of occurrences. The token
+    * stream is filtered to the phrase's terms BEFORE any join (postings
+    * pruning — each join side is bounded by that term's corpus
+    * frequency, never the token volume), then adjacent positions chain
+    * via equi-joins on (doc_id, pos + i). */
+  def phraseMatches(documents: DataFrame, phrase: Seq[String],
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = Caches.track(
+      tokenStream(documents, textCol, idCol)
+        .filter(col("term").isin(phrase: _*)))
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val chained = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val next = toks.filter(col("term") === w)
+          .select(col("doc_id").as("n_doc"), col("pos").as("n_pos"))
+        acc.join(next, col("n_doc") === col("doc_id") &&
+            col("n_pos") === col("pos") + lit(i))
+          .select(col("doc_id"), col("pos"))
+    }
+    chained.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Greedy bigram-LM generation: from the corpus' most frequent
+    * document-initial token, repeatedly follow the highest-count bigram
+    * continuation (ties → lexicographically smallest next token) for up
+    * to `steps` steps — the argmax decode of the corpus bigram model
+    * (the deterministic skeleton of n-gram sampling; temperature-0
+    * decoding in LM terms). The chain stops early iff the current token
+    * never occurs with a successor (document-final only).
+    *
+    * Scale shape: bigram counts and the per-prev argmax are one
+    * tokenize + two hash aggregations + one bounded window partitioned
+    * by prev token (vocabulary-bounded state, like the tokenizer
+    * learners); the generation itself is `steps` joins against that
+    * cached vocabulary-sized argmax table — the chain is inherently
+    * sequential, but each step touches one row, and NOTHING is collected
+    * to the driver. Returns (step, word) for step 0..≤steps-1. */
+  def greedyBigramChain(documents: DataFrame, steps: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val toks = Caches.track(tokenStream(documents, textCol, idCol))
+    val bigrams = toks.as("a")
+      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.term").as("prev"), col("b.term").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val wArg = Window.partitionBy(col("prev"))
+      .orderBy(col("cnt").desc, col("next"))
+    val argmax = Caches.track(bigrams
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next")))
+    val start = toks.filter(col("pos") === 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(1)
+      .select(lit(0).as("step"), col("term").as("word"))
+    val states = Iterator.iterate(start.select(col("step"), col("word"))) {
+      prev =>
+        prev.as("g")
+          .join(argmax.as("m"), col("m.prev") === col("g.word"))
+          .select((col("g.step") + 1).as("step"), col("m.next").as("word"))
+    }.take(steps).toSeq
+    states.reduce(_ unionByName _)
+  }
 }

@@ -668,5 +668,106 @@ object EventQueries {
              |      (300000 * x * 1000000 + 700000 * acc) // 1000000)
              |    AS ewma_micro
              |FROM srt ORDER BY event_type""".stripMargin)),
+
+    // CUSUM change-point detection over per-type hourly counts (Page
+    // 1954 — the classic sequential change detector behind traffic-shift
+    // alarms): the cumulative sum of deviations from the series mean
+    // peaks, in absolute value, at the hour where the level shifts.
+    // INTEGER-EXACT throughout: the per-type mean lives in count
+    // micro-units via one floor division (sum·1e6 div n — positive, so
+    // Spark `div` and DuckDB `//` truncate identically) and the running
+    // sum is pure BIGINT, so both engines replay the argmax bit for bit.
+    // Scale shape: one hash aggregation to hourly counts (linear
+    // shuffle), then per-type windows over a BOUNDED series (≤ hours in
+    // the data's span, not event volume) — the window partition is the
+    // event_type, never the raw stream.
+    QueryDef(
+      "q_events_cusum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPick = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum_micro")).desc, col("h"))
+        hourly
+          .withColumn("mean_micro",
+            expr("(sum(cnt) over (partition by event_type) * 1000000L)" +
+              " div count(*) over (partition by event_type)"))
+          .withColumn("n_hours", count(lit(1)).over(wAll))
+          .withColumn("cusum_micro",
+            sum(col("cnt") * lit(1000000L) - col("mean_micro")).over(wRun))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n_hours"),
+            col("h").as("change_hour"),
+            abs(col("cusum_micro")).as("cusum_abs_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY event_type, h),
+             |d AS (
+             |  SELECT event_type, h, cnt,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS n_hours,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type) * 1000000
+             |      AS BIGINT)
+             |      // CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             |      AS mean_micro
+             |  FROM hourly),
+             |c AS (
+             |  SELECT event_type, h, n_hours,
+             |    CAST(sum(cnt * 1000000 - mean_micro) OVER (
+             |      PARTITION BY event_type ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cusum_micro
+             |  FROM d),
+             |p AS (
+             |  SELECT event_type, h, n_hours, cusum_micro,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(cusum_micro) DESC, h) AS rn
+             |  FROM c)
+             |SELECT event_type, n_hours, h AS change_hour,
+             |  abs(cusum_micro) AS cusum_abs_micro
+             |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Hour-of-day seasonal index per event type (the multiplicative
+    // seasonal decomposition every traffic-normalization job runs before
+    // anomaly thresholds): observed count per (type, hour-of-day) vs the
+    // uniform expectation total/24, as an exact floor-division micro
+    // ratio idx = cnt·24·1e6 div total (1e6 = flat). One hash
+    // aggregation (linear shuffle) to a ≤ 24-rows-per-type profile; the
+    // totals join is a broadcast of |event_type| rows.
+    QueryDef(
+      "q_events_seasonal",
+      (s, dir) => {
+        val byHod = load(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = byHod.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("total"))
+        byHod.join(broadcast(totals), "event_type")
+          .withColumn("idx_micro", expr("cnt * 24 * 1000000L div total"))
+          .select(col("event_type"), col("hod"), col("cnt"),
+            col("idx_micro"))
+          .orderBy(col("event_type"), col("hod"))
+      },
+      Some("""WITH byhod AS (
+             |  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY event_type, hod),
+             |t AS (
+             |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+             |  FROM byhod GROUP BY event_type)
+             |SELECT event_type, hod, cnt,
+             |  cnt * 24 * 1000000 // total AS idx_micro
+             |FROM byhod JOIN t USING (event_type)
+             |ORDER BY event_type, hod""".stripMargin)),
   )
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Retrieval
+
+/** Positional-index retrieval tier over the `documents` table: the
+  * inverted-index layout, exact phrase search on top of it, and the
+  * greedy (temperature-0) decode of the corpus bigram model. These are
+  * the lexical-engine primitives (Lucene positions / Manning-Raghavan-
+  * Schütze ch. 2 positional postings) that complement the library's
+  * score-based retrieval (BM25 / query-likelihood / RRF in
+  * [[graft.llm.Retrieval]]).
+  *
+  * Oracle discipline: token positions are 0-based original split
+  * indices on BOTH engines (DuckDB `generate_subscripts` is 1-based →
+  * `pos - 1`); empty tokens from trailing separators are dropped after
+  * numbering on both sides, so adjacency replays exactly.
+  */
+object RetrievalQueries {
+  import Tables.load
+
+  /** The DuckDB mirror of [[Retrieval.tokenStream]]: 0-based positions,
+    * empty tokens dropped after numbering. */
+  private val tokSql =
+    """tok AS (
+      |  SELECT doc_id, term, CAST(pos - 1 AS INT) AS pos FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(text, ' ')) AS term,
+      |      generate_subscripts(string_split(text, ' '), 1) AS pos
+      |    FROM documents)
+      |  WHERE term <> '')""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Positional inverted index: one posting per (term, doc_id) with the
+    // sorted occurrence positions and tf — one tokenize scan + one hash
+    // aggregation (linear shuffle in token volume; see
+    // Retrieval.positionalPostings for the layout rationale).
+    QueryDef(
+      "q_index_postings",
+      (s, dir) => {
+        Retrieval.positionalPostings(load(s, dir, "documents"))
+          .orderBy(col("term"), col("doc_id"))
+      },
+      Some(s"""WITH $tokSql
+             |SELECT term, doc_id,
+             |  list(pos ORDER BY pos) AS positions,
+             |  count(*) AS tf
+             |FROM tok GROUP BY term, doc_id
+             |ORDER BY term, doc_id""".stripMargin)),
+
+    // Exact phrase search ("value table") via position-adjacency joins
+    // over postings pruned to the phrase's terms — each join side is
+    // bounded by one term's corpus frequency, never the token volume.
+    QueryDef(
+      "q_retrieval_phrase",
+      (s, dir) => {
+        Retrieval.phraseMatches(load(s, dir, "documents"),
+            Seq("value", "table"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $tokSql
+             |SELECT a.doc_id, count(*) AS n_matches
+             |FROM tok a JOIN tok b
+             |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |WHERE a.term = 'value' AND b.term = 'table'
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
+    // Greedy bigram-LM decode: 8 steps from the most frequent
+    // document-initial token, each step the highest-count continuation
+    // (ties → lexicographically smallest). The oracle replays the exact
+    // chain with a recursive CTE over the same argmax table.
+    QueryDef(
+      "q_lm_generate",
+      (s, dir) => {
+        Retrieval.greedyBigramChain(load(s, dir, "documents"), steps = 8)
+          .orderBy(col("step"))
+      },
+      Some(s"""WITH RECURSIVE $tokSql,
+             |big AS (
+             |  SELECT a.term AS prev, b.term AS next, count(*) AS cnt
+             |  FROM tok a JOIN tok b
+             |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY prev, next),
+             |am AS (
+             |  SELECT prev, next FROM (
+             |    SELECT prev, next,
+             |      row_number() OVER (PARTITION BY prev
+             |                         ORDER BY cnt DESC, next) AS rn
+             |    FROM big) WHERE rn = 1),
+             |st AS (
+             |  SELECT term FROM (
+             |    SELECT term, row_number()
+             |      OVER (ORDER BY count(*) DESC, term) AS rn
+             |    FROM tok WHERE pos = 0 GROUP BY term) WHERE rn = 1),
+             |g AS (
+             |  SELECT CAST(0 AS INT) AS step, term AS word FROM st
+             |  UNION ALL
+             |  SELECT CAST(g.step + 1 AS INT), am.next
+             |  FROM g JOIN am ON am.prev = g.word WHERE g.step < 7)
+             |SELECT step, word FROM g ORDER BY step""".stripMargin)),
+  )
+}

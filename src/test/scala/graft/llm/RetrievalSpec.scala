@@ -115,4 +115,55 @@ class RetrievalSpec extends SparkSpec {
     Caches.release()
     spark.catalog.clearCache()
   }
+
+  private def docs2(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("phraseMatches: counts overlapping occurrences, is order-" +
+      "sensitive, and drops docs without the full phrase") {
+    val d = docs2(Seq(
+      1L -> "a b a b a",   // "a b" twice; "b a" twice
+      2L -> "b a b",       // "a b" once
+      3L -> "a a b b",     // "a b" once (middle)
+      4L -> "b b a"))      // "a b" never
+    val ab = Retrieval.phraseMatches(d, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val aab = Retrieval.phraseMatches(d, Seq("a", "a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aab === Map(3L -> 1L))
+    Caches.release()
+    spark.catalog.clearCache()
+  }
+
+  test("phraseMatches: trailing-separator empty tokens never break " +
+      "adjacency (positions number the raw split)") {
+    val d = docs2(Seq(1L -> "x y ", 2L -> "x  y"))
+    // doc 1: "x"@0 "y"@1 ""@2 -> adjacent; doc 2: "x"@0 ""@1 "y"@2 -> NOT
+    val got = Retrieval.phraseMatches(d, Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L))
+    Caches.release()
+    spark.catalog.clearCache()
+  }
+
+  test("greedyBigramChain: follows max-count continuations with the " +
+      "lexicographic tie-break and stops early at a final-only token") {
+    // starts: "s" (2 docs) beats "a" (1). bigrams from s: s->m twice,
+    // s->z once => m. from m: tie m->b / m->a (1 each) => "a" wins lex.
+    // "a" occurs only document-finally => chain stops at step 2.
+    val d = docs2(Seq(
+      1L -> "s m b",
+      2L -> "s m a",
+      3L -> "b s z"))
+    val got = Retrieval.greedyBigramChain(d, steps = 8)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq(0 -> "s", 1 -> "m", 2 -> "a"))
+    Caches.release()
+    spark.catalog.clearCache()
+  }
 }
