@@ -1546,6 +1546,100 @@ object CurationQueries {
              |      / CAST(n_terms * sxx - sx * sx AS DOUBLE),
              |    6) * 1000000) AS BIGINT) AS slope_micro
              |FROM s""".stripMargin)),
+
+    // Fellegi-Sunter probabilistic linkage scoring (Fellegi & Sunter
+    // 1969 — the decision theory behind every production record-linkage
+    // system, splink/JedAI included) over the sorted-neighborhood
+    // candidates: each field comparison contributes its log2(m/u)
+    // agreement weight or log2((1-m)/(1-u)) disagreement weight; the
+    // summed score classifies match / clerical-review / non-match at
+    // the two thresholds. The m/u priors are FIXED model constants, so
+    // every weight is a precomputed integer micro-literal and the whole
+    // score is exact BIGINT addition — the float model lives outside
+    // the query. Fields come from the customer row behind each entity
+    // (twins share their base's attributes, so they agree everywhere
+    // and score as strong matches; window neighbors rarely agree on
+    // nation AND balance bucket). Scale shape: blocking bounds
+    // candidates (window per sort rank); scoring is a per-pair
+    // projection after two broadcast-able attribute joins.
+    //   seg:    m=.95 u=.20 -> +2247928 / -4000000
+    //   nation: m=.95 u=.04 -> +4569856 / -4263034
+    //   balkb:  m=.90 u=.10 -> +3169925 / -3169925
+    QueryDef(
+      "q_linkage_fs",
+      (s, dir) => {
+        val ents = entityFixture(load(s, dir, "customer"))
+        val cands = Linkage.sortedNeighborhoodPairs(ents, "ent_id",
+          "name", window = 3, maxDist = Int.MaxValue)
+        val attrs = load(s, dir, "customer")
+          .select(col("c_custkey").as("base_id"),
+            col("c_mktsegment").as("seg"),
+            col("c_nationkey").as("nat"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("balkb"))
+        val withA = cands
+          .withColumn("base_a", col("id_a") % 100000)
+          .withColumn("base_b", col("id_b") % 100000)
+          .join(attrs.select(col("base_id").as("base_a"),
+            col("seg").as("seg_a"), col("nat").as("nat_a"),
+            col("balkb").as("balkb_a")), "base_a")
+          .join(attrs.select(col("base_id").as("base_b"),
+            col("seg").as("seg_b"), col("nat").as("nat_b"),
+            col("balkb").as("balkb_b")), "base_b")
+        withA
+          .withColumn("fs_micro",
+            when(col("seg_a") === col("seg_b"), lit(2247928L))
+              .otherwise(lit(-4000000L)) +
+            when(col("nat_a") === col("nat_b"), lit(4569856L))
+              .otherwise(lit(-4263034L)) +
+            when(col("balkb_a") === col("balkb_b"), lit(3169925L))
+              .otherwise(lit(-3169925L)))
+          .withColumn("decision",
+            when(col("fs_micro") >= 4000000L, lit("match"))
+              .when(col("fs_micro") <= -4000000L, lit("nonmatch"))
+              .otherwise(lit("review")))
+          .select(col("id_a"), col("id_b"), col("fs_micro"),
+            col("decision"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey AS ent_id,
+             |    c_mktsegment || '-' ||
+             |      substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS name
+             |  FROM customer WHERE c_custkey < 300),
+             |twin AS (
+             |  SELECT ent_id + 100000 AS ent_id,
+             |    substr(name, 1, len(name) - 1) || 'x' AS name
+             |  FROM base WHERE ent_id % 5 = 0),
+             |ents AS (
+             |  SELECT * FROM base UNION ALL SELECT * FROM twin),
+             |rk AS (
+             |  SELECT ent_id, name,
+             |    row_number() OVER (ORDER BY name, ent_id) - 1 AS r
+             |  FROM ents),
+             |p AS (
+             |  SELECT a.ent_id AS id_a, b.ent_id AS id_b
+             |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 2),
+             |attrs AS (
+             |  SELECT c_custkey AS base_id, c_mktsegment AS seg,
+             |    c_nationkey AS nat,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balkb
+             |  FROM customer),
+             |sc AS (
+             |  SELECT p.id_a, p.id_b,
+             |    (CASE WHEN a.seg = b.seg THEN 2247928
+             |          ELSE -4000000 END
+             |     + CASE WHEN a.nat = b.nat THEN 4569856
+             |            ELSE -4263034 END
+             |     + CASE WHEN a.balkb = b.balkb THEN 3169925
+             |            ELSE -3169925 END) AS fs_micro
+             |  FROM p
+             |  JOIN attrs a ON a.base_id = p.id_a % 100000
+             |  JOIN attrs b ON b.base_id = p.id_b % 100000)
+             |SELECT id_a, id_b, CAST(fs_micro AS BIGINT) AS fs_micro,
+             |  CASE WHEN fs_micro >= 4000000 THEN 'match'
+             |       WHEN fs_micro <= -4000000 THEN 'nonmatch'
+             |       ELSE 'review' END AS decision
+             |FROM sc ORDER BY id_a, id_b""".stripMargin)),
   )
 
   /** Noisy-entity fixture: base entities named segment-md5hex8 off the

@@ -4939,6 +4939,62 @@ object LlmQueries {
              |      '\\b(badword1|badword2)\\b')) AS keep,
              |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Flesch-Kincaid grade level (Kincaid 1975 — the readability score
+    // education-targeted corpus filters bucket by): 0.39·(W/S) +
+    // 11.8·(Y/W) − 15.59 with W words, S sentence-punctuation groups
+    // (min 1), Y vowel-group syllable estimates. The corpus text is
+    // punctuation-free word salad, so the fixture PLANTS sentence
+    // boundaries (two substr/concat cuts — identical string ops both
+    // engines). INTEGER-EXACT: the three counts come from
+    // regexp_extract_all group counts; the grade is one non-negative
+    // floor division over the common denominator S·W in micro-units —
+    // no float ever appears. Per-row projection, no shuffle at all.
+    QueryDef(
+      "q_text_readability",
+      (s, dir) => {
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 60), lit(". "),
+              substring(col("text"), 61, 60), lit("! "),
+              substring(col("text"), 121, 1000000)).as("t2"))
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(t2, '[a-z]+', 0)"))
+              .cast("long").as("words"),
+            greatest(lit(1L),
+              size(expr("regexp_extract_all(t2, '[.!?]+', 0)"))
+                .cast("long")).as("sentences"),
+            size(expr("regexp_extract_all(t2, '[aeiouy]+', 0)"))
+              .cast("long").as("syllables"))
+          .withColumn("words", greatest(lit(1L), col("words")))
+          .withColumn("fk_micro", expr(
+            """greatest(0L,
+              |  390000L * words * words
+              |  + 11800000L * syllables * sentences
+              |  - 15590000L * sentences * words)
+              |div (sentences * words)""".stripMargin))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 60) || '. ' || substr(text, 61, 60)
+             |      || '! ' || substr(text, 121, 1000000) AS t2
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    greatest(1, CAST(len(regexp_extract_all(t2, '[a-z]+'))
+             |      AS BIGINT)) AS words,
+             |    greatest(1, CAST(len(regexp_extract_all(t2, '[.!?]+'))
+             |      AS BIGINT)) AS sentences,
+             |    CAST(len(regexp_extract_all(t2, '[aeiouy]+')) AS BIGINT)
+             |      AS syllables
+             |  FROM t)
+             |SELECT doc_id, words, sentences, syllables,
+             |  greatest(0, 390000 * words * words
+             |      + 11800000 * syllables * sentences
+             |      - 15590000 * sentences * words)
+             |    // (sentences * words) AS fk_micro
+             |FROM c ORDER BY doc_id""".stripMargin)),
   )
 
   /** Closed-form fixture for q_quality_c4: 48 docs whose lines cycle

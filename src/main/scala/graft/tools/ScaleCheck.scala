@@ -196,6 +196,25 @@ object ScaleCheck {
     // tables from dir; generator-input paths (video) scale off the
     // factor directly
     val allRuns: Seq[(String, (String, Int) => DataFrame)] = Seq(
+      // grid-DBSCAN: each synthesized copy shifts +5.0 in x (copies are
+      // disjoint blobs), so OCCUPIED CELLS and clusters both grow k× —
+      // the spatial-growth axis; a super-linear curve here would flag
+      // the cell aggregation or the CC rounds
+      ("q_cluster_density", (dir, _) => {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.llm.Density.gridDbscan(
+          e.select(col("vec_id"),
+            (col("embedding").getItem(0).cast("double") +
+              expr("vec_id div 10000000L").cast("double") * lit(5.0))
+              .as("x"),
+            col("embedding").getItem(1).cast("double").as("y")),
+          eps = 0.05, minPts = 12, idCol = "vec_id")
+      }),
+      // positional postings: Caesar copies share no tokens, so the
+      // (term, doc) key space AND token volume grow k× — shuffle must
+      // stay exactly linear
+      ("q_index_postings", (dir, _) => graft.llm.Retrieval
+        .positionalPostings(spark.read.parquet(s"$dir/documents.parquet"))),
       ("q_dedup_minhash", (dir, _) => Dedup.minhashLsh(
         spark.read.parquet(s"$dir/documents.parquet"),
         numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)),
