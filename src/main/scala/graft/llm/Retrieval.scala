@@ -221,6 +221,40 @@ object Retrieval {
     chained.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Unordered proximity match counts: per document, the number of
+    * (posA, posB) occurrence pairs of `termA` and `termB` within
+    * `maxDist` token positions. Like [[phraseMatches]], both sides are
+    * pruned to the query terms FIRST; the |posA − posB| ≤ maxDist
+    * predicate then resolves through a LOSSLESS band join — positions
+    * bucket into width-(maxDist+1) bands, candidates equi-join on
+    * (doc_id, band ± 1), and the exact distance filter runs on that
+    * constant-fanout candidate set. No inequality join ever reaches the
+    * planner (an |a−b| ≤ k theta-join would plan as BNLJ), so the plan
+    * stays shuffle-linear in the two terms' posting sizes. */
+  def proximityMatches(documents: DataFrame, termA: String, termB: String,
+                       maxDist: Int, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(termA != termB, "proximity terms must differ")
+    val width = maxDist + 1
+    val toks = Caches.track(
+      tokenStream(documents, textCol, idCol)
+        .filter(col("term").isin(termA, termB))
+        .withColumn("band", (col("pos") / lit(width)).cast("long")))
+    val a = toks.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pos_a"), col("band"))
+      .select(col("doc_id"), col("pos_a"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1))
+          .as("probe"))
+    val b = toks.filter(col("term") === termB)
+      .select(col("doc_id").as("b_doc"), col("pos").as("pos_b"),
+        col("band").as("b_probe"))
+    a.join(b, col("b_doc") === col("doc_id") &&
+        col("probe") === col("b_probe"))
+      .filter(abs(col("pos_a") - col("pos_b")) <= lit(maxDist))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Greedy bigram-LM generation: from the corpus' most frequent
     * document-initial token, repeatedly follow the highest-count bigram
     * continuation (ties → lexicographically smallest next token) for up

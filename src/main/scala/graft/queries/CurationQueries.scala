@@ -1640,6 +1640,58 @@ object CurationQueries {
              |       WHEN fs_micro <= -4000000 THEN 'nonmatch'
              |       ELSE 'review' END AS decision
              |FROM sc ORDER BY id_a, id_b""".stripMargin)),
+
+    // Curriculum ordering (Bengio 2009 easy-first scheduling, the shape
+    // length/difficulty-staged pretraining runs use): every document
+    // gets a deterministic global training position — difficulty
+    // buckets FIRST (fixed n_chars thresholds, so no global window ever
+    // touches the corpus), hash-shuffled WITHIN each bucket (md5 order
+    // decorrelates difficulty inside a stage), positions offset by the
+    // cumulative counts of easier buckets. Scale shape: the only
+    // corpus-sized operations are one projection and one
+    // per-bucket-partitioned row_number; the offsets come from a ≤10-row
+    // aggregate joined back via broadcast. A single global
+    // orderBy/ntile would be the anti-pattern this shape exists to
+    // avoid.
+    QueryDef(
+      "q_curriculum_order",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id"),
+            least(expr("n_chars div 200"), lit(9L)).as("bucket"))
+        val ranked = docs.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("bucket"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        val offsets = docs.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off",
+            coalesce(sum(col("n")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("off"))
+        ranked.join(broadcast(offsets), "bucket")
+          .select(col("doc_id"), col("bucket"),
+            (col("off") + col("rnk") - 1).as("pos"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, least(n_chars // 200, 9) AS bucket
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, bucket,
+             |    row_number() OVER (PARTITION BY bucket
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+             |  FROM d),
+             |o AS (
+             |  SELECT bucket,
+             |    CAST(coalesce(sum(n) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS off
+             |  FROM (SELECT bucket, count(*) AS n FROM d GROUP BY bucket))
+             |SELECT r.doc_id, r.bucket, o.off + r.rnk - 1 AS pos
+             |FROM r JOIN o USING (bucket)
+             |ORDER BY pos""".stripMargin)),
   )
 
   /** Noisy-entity fixture: base entities named segment-md5hex8 off the

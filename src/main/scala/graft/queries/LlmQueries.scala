@@ -4995,6 +4995,46 @@ object LlmQueries {
              |      - 15590000 * sentences * words)
              |    // (sentences * words) AS fk_micro
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Dictionary blocklist filtering (the C4/Gopher badwords rule as a
+    // standalone operator): per-document blocked-token count and
+    // fraction against a term DICTIONARY, keep = fraction ≤ 10%. The
+    // dictionary joins as a broadcast table (the scale shape for real
+    // blocklists — tens of thousands of terms, far past inlined-isin
+    // territory but trivially broadcastable); tokens never shuffle, the
+    // per-doc aggregation is the only exchange. Exact integers
+    // throughout (count micro-fraction via floor division).
+    QueryDef(
+      "q_filter_blocklist",
+      (s, dir) => {
+        val bl = s.createDataFrame(
+          Seq("slow", "merge", "vector").map(Tuple1(_)))
+          .toDF("term").withColumn("bad", lit(1L))
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .join(broadcast(bl), Seq("term"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("bad"), lit(0L))).as("n_bad"))
+          .withColumn("bad_micro",
+            expr("n_bad * 1000000L div n_tokens"))
+          .withColumn("keep", col("bad_micro") <= 100000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(CASE WHEN term IN ('slow', 'merge', 'vector')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+             |  FROM tok WHERE term <> '' GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_bad,
+             |  n_bad * 1000000 // n_tokens AS bad_micro,
+             |  n_bad * 1000000 // n_tokens <= 100000 AS keep
+             |FROM c ORDER BY doc_id""".stripMargin)),
   )
 
   /** Closed-form fixture for q_quality_c4: 48 docs whose lines cycle

@@ -67,6 +67,27 @@ object RetrievalQueries {
              |WHERE a.term = 'value' AND b.term = 'table'
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // Unordered proximity search ("value" within 3 tokens of "table"):
+    // the banded-equi-join form — bands of width maxDist+1 make the
+    // |posA−posB| ≤ 3 predicate a constant-fanout equi-join (lossless:
+    // positions within 3 always land in same-or-adjacent bands), so no
+    // inequality join reaches the planner. The oracle states the same
+    // predicate directly (DuckDB's IEJoin handles it at oracle scale).
+    QueryDef(
+      "q_retrieval_proximity",
+      (s, dir) => {
+        Retrieval.proximityMatches(load(s, dir, "documents"),
+            "value", "table", maxDist = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $tokSql
+             |SELECT a.doc_id, count(*) AS n_pairs
+             |FROM tok a JOIN tok b
+             |  ON b.doc_id = a.doc_id
+             |  AND abs(a.pos - b.pos) <= 3
+             |WHERE a.term = 'value' AND b.term = 'table'
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
     // Greedy bigram-LM decode: 8 steps from the most frequent
     // document-initial token, each step the highest-count continuation
     // (ties → lexicographically smallest). The oracle replays the exact

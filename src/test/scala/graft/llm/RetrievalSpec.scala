@@ -150,6 +150,24 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("proximityMatches: band join is lossless at exactly maxDist " +
+      "across a band boundary, and pairs beyond maxDist drop") {
+    // maxDist=3 -> band width 4. doc 1: a@3, b@4 — adjacent bands,
+    // dist 1. doc 2: a@0, b@3 — same band, dist exactly 3. doc 3:
+    // a@0, b@4 — adjacent bands but dist 4 (must drop). doc 4: a@0,
+    // b@0+8 — two bands apart (probe fanout must not reach it).
+    val d = docs2(Seq(
+      1L -> "x y z a b",
+      2L -> "a y z b",
+      3L -> "a y z w b",
+      4L -> "a y z w v u w2 y2 b"))
+    val got = Retrieval.proximityMatches(d, "a", "b", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+    Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("greedyBigramChain: follows max-count continuations with the " +
       "lexicographic tie-break and stops early at a final-only token") {
     // starts: "s" (2 docs) beats "a" (1). bigrams from s: s->m twice,

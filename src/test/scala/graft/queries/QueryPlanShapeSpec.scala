@@ -222,4 +222,21 @@ class QueryPlanShapeSpec extends SparkSpec {
     graft.llm.Caches.release()
     spark.catalog.clearCache()
   }
+
+  test("round-13 positional/linkage/clustering queries never plan a " +
+      "cartesian or nested-loop join") {
+    // phrase/proximity: postings-pruned equi-joins on (doc, pos/band) —
+    // proximity's |a−b| ≤ k predicate must resolve through the band
+    // keys, never a theta join; density: 9-offset equi-joins + CC;
+    // fs-linkage: rank-window candidates + attribute equi-joins
+    for (q <- Seq("q_retrieval_phrase", "q_retrieval_proximity",
+        "q_cluster_density", "q_linkage_fs", "q_index_postings")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+      graft.llm.Caches.release()
+      spark.catalog.clearCache()
+    }
+  }
 }
