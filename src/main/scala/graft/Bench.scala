@@ -135,7 +135,11 @@ object Bench {
     // trainings + both directions' cell-join k-NN per run; the light
     // round-13 ops (fuzzy paragraph dedup 1.2 s, WebDataset roundtrip
     // 0.2 s) stay off per the sub-2 s policy
-    "q_sim_margin_ann")       // bidirectional IVF k-NN + margin tail
+    "q_sim_margin_ann",       // bidirectional IVF k-NN + margin tail
+    // round-13 session-2 addition (first frozen budget in BASELINE.md):
+    // grid-DBSCAN pays its CC rounds per run; the other ten session-2
+    // ops measured 0.27-1.6 s and stay off per the sub-2 s policy
+    "q_cluster_density")      // eps-grid density clustering + CC
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

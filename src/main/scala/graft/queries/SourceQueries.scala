@@ -588,6 +588,43 @@ object SourceQueries {
              |FROM documents WHERE doc_id < 100
              |ORDER BY doc_id""".stripMargin)),
 
+    // Arrow IPC files (Feather v2) — the zero-copy columnar interchange
+    // at every dataloader/featurestore boundary, via Arrow CORE (ships
+    // with Spark; pyarrow reads/writes the same bytes, validated both
+    // directions — tools/ArrowProbe). Write the embeddings table
+    // widened to the FULL supported type surface (long/int/double/bool/
+    // string-with-nulls/binary/list<float>) as 4 IPC files
+    // (partition-local batch writes, attempt-suffixed rename), read
+    // back through the seekable path-streaming scan. Oracle = the same
+    // derivation straight from the source table: write∘read identity
+    // over every column type.
+    QueryDef(
+      "q_scan_arrow",
+      (s, dir) => {
+        val src = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            (col("vec_id") * lit(0.5)).as("dval"),
+            (col("vec_id") % 2 === 0).as("flag"),
+            when(col("vec_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("v"), col("vec_id"))).as("tag"),
+            unhex(md5(col("vec_id").cast("string"))).as("fp"),
+            col("embedding"))
+        val out = staged.getOrElseUpdate(s"arrow:$dir", {
+          val p = s"$stageRoot/arrow_${math.abs(dir.hashCode)}"
+          graft.sources.ArrowIo.writeArrow(src, p, numFiles = 4)
+          p
+        })
+        graft.sources.ArrowIo.readArrow(s, out).orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, label,
+             |  vec_id * CAST(0.5 AS DOUBLE) AS dval,
+             |  vec_id % 2 = 0 AS flag,
+             |  CASE WHEN vec_id % 7 = 0 THEN NULL
+             |       ELSE 'v' || CAST(vec_id AS VARCHAR) END AS tag,
+             |  unhex(md5(CAST(vec_id AS VARCHAR))) AS fp,
+             |  embedding
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // WebDataset tar shards — the published multimodal training-data
     // interchange (tar-of-sample-files; basename-up-to-first-dot
     // groups members into samples): documents become two-member

@@ -1,0 +1,359 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.impl.UnionListWriter
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Arrow IPC files (the Feather-v2 random-access format) — the
+  * zero-copy columnar interchange every dataloader/featurestore
+  * boundary speaks (pyarrow `feather.read_table` / `RecordBatchFileReader`
+  * reads these bytes verbatim; validated against pyarrow 17 during
+  * development). Arrow CORE ships with Spark (it backs the Pandas-UDF
+  * transport), so like [[AvroIo]] this needs no external module — only
+  * the container discipline the engine's other sources already follow:
+  *
+  *  - WRITE is embarrassingly parallel: each task fills 4096-row
+  *    record batches into ONE reused `VectorSchemaRoot` and streams
+  *    them through `ArrowFileWriter` into a Hadoop FS stream (the file
+  *    format writes its footer at close — sequential, no seeking), to
+  *    an attempt-suffixed temp renamed into place. O(batch) heap.
+  *  - READ is path-streaming with ONE driver-side footer open for the
+  *    schema: each task re-opens its file through a seekable Hadoop
+  *    channel adapter and decodes batch by batch — O(batch) heap, one
+  *    task per file. Random access (the format's point) also makes a
+  *    future batch-range split trivial.
+  *
+  * Type surface (covers every engine table, loudly refused beyond it):
+  * boolean/int/long/float/double/string/binary, nullable bitmaps,
+  * `array<float|double|long|int>` (the embeddings column). Quarantine
+  * contract (the WARC rule): a corrupt or non-Arrow file quarantines
+  * whole; a file whose embedded schema differs from the directory's
+  * quarantines whole (positional decode against the wrong field list
+  * would transpose values); a truncation mid-file keeps the batches
+  * decoded before it.
+  */
+object ArrowIo {
+
+  private val BatchRows = 4096
+
+  // ------------------------------------------------------------- schema
+
+  private def arrowType(dt: DataType): ArrowType = dt match {
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case other => throw new IllegalArgumentException(
+      s"arrow write: unsupported Spark type $other")
+  }
+
+  private[graft] def toArrowSchema(st: StructType): Schema = {
+    val fields = st.fields.map { f =>
+      f.dataType match {
+        case ArrayType(et, containsNull) =>
+          et match {
+            case FloatType | DoubleType | LongType | IntegerType => ()
+            case other => throw new IllegalArgumentException(
+              s"arrow write: unsupported list element type $other")
+          }
+          val child = new Field("item",
+            new FieldType(containsNull, arrowType(et), null),
+            java.util.List.of[Field]())
+          new Field(f.name,
+            new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+            java.util.List.of(child))
+        case dt =>
+          new Field(f.name, new FieldType(f.nullable, arrowType(dt), null),
+            java.util.List.of[Field]())
+      }
+    }
+    new Schema(fields.toList.asJava)
+  }
+
+  private[graft] def toSparkSchema(s: Schema): StructType = {
+    def scalarType(t: ArrowType): DataType = t match {
+      case _: ArrowType.Bool => BooleanType
+      case i: ArrowType.Int if i.getBitWidth == 32 && i.getIsSigned => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 64 && i.getIsSigned => LongType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"arrow read: unsupported Arrow type $other")
+    }
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val dt = f.getType match {
+        case _: ArrowType.List =>
+          val child = f.getChildren.get(0)
+          ArrayType(scalarType(child.getType), child.isNullable)
+        case t => scalarType(t)
+      }
+      StructField(f.getName, dt, f.isNullable)
+    })
+  }
+
+  // ------------------------------------------------------------- values
+
+  /** One cell into the batch's vector at `i` — scalar vectors via their
+    * typed setters, lists via the per-batch `UnionListWriter`. */
+  private def setValue(vec: FieldVector, lw: UnionListWriter, i: Int,
+                       v: Any): Unit = vec match {
+    case b: BigIntVector => b.setSafe(i, v.asInstanceOf[Long])
+    case b: IntVector => b.setSafe(i, v.asInstanceOf[Int])
+    case b: Float8Vector => b.setSafe(i, v.asInstanceOf[Double])
+    case b: Float4Vector => b.setSafe(i, v.asInstanceOf[Float])
+    case b: BitVector => b.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+    case b: VarCharVector =>
+      b.setSafe(i, v.asInstanceOf[String]
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case b: VarBinaryVector => b.setSafe(i, v.asInstanceOf[Array[Byte]])
+    case _: ListVector =>
+      lw.setPosition(i)
+      lw.startList()
+      v.asInstanceOf[scala.collection.Seq[_]].foreach {
+        case f: Float => lw.float4().writeFloat4(f)
+        case d: Double => lw.float8().writeFloat8(d)
+        case n: Long => lw.bigInt().writeBigInt(n)
+        case n: Int => lw.integer().writeInt(n)
+        case other => throw new IllegalArgumentException(
+          s"arrow write: unsupported list element $other")
+      }
+      lw.endList()
+    case other => throw new IllegalArgumentException(
+      s"arrow write: unsupported vector ${other.getClass.getName}")
+  }
+
+  private def fromArrowValue(v: Any): Any = v match {
+    case null => null
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case l: java.util.List[_] => l.asScala.toSeq.map(fromArrowValue)
+    case other => other // primitives + byte[] pass through
+  }
+
+  // -------------------------------------------------------------- write
+
+  /** Write `df` as `part_NNNNN.arrow` IPC files under `dir`. Returns
+    * rows written. `numFiles` 0 keeps the incoming partitioning. */
+  def writeArrow(df: DataFrame, dir: String, numFiles: Int = 0): Long = {
+    val spark = df.sparkSession
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    val st = df.schema
+    val schemaJson = toArrowSchema(st).toJson
+    val parted = if (numFiles > 0) df.repartition(numFiles) else df
+    val counts = parted.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val schema = Schema.fromJSON(schemaJson)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fin = new org.apache.hadoop.fs.Path(f"$dir/part_$pid%05d.arrow")
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$dir/.part_$pid%05d.${tc.taskAttemptId()}.tmp")
+        val fs = fin.getFileSystem(hc.conf)
+        val allocator = new RootAllocator()
+        val root = VectorSchemaRoot.create(schema, allocator)
+        val out = fs.create(tmp, true)
+        val ch = java.nio.channels.Channels.newChannel(out)
+        val w = new ArrowFileWriter(root, null, ch)
+        var n = 0L
+        try {
+          w.start()
+          val grouped = it.grouped(BatchRows)
+          while (grouped.hasNext) {
+            val batch = grouped.next()
+            root.allocateNew()
+            val vecs = (0 until st.length).map(root.getVector).toArray
+            val listWriters = vecs.map {
+              case l: ListVector => l.getWriter
+              case _ => null
+            }
+            var i = 0
+            batch.foreach { row =>
+              var c = 0
+              while (c < st.length) {
+                val v = row.get(c)
+                if (v == null) vecs(c) match {
+                  // list nulls: the writer never visits the slot, so the
+                  // validity bit stays unset — setRowCount back-fills the
+                  // offsets over the gap
+                  case _: ListVector => ()
+                  case fv: BaseFixedWidthVector => fv.setNull(i)
+                  case vv: BaseVariableWidthVector => vv.setNull(i)
+                  case other => throw new IllegalArgumentException(
+                    s"arrow write: cannot null ${other.getClass.getName}")
+                }
+                else setValue(vecs(c), listWriters(c), i, v)
+                c += 1
+              }
+              i += 1
+              n += 1
+            }
+            root.setRowCount(i)
+            w.writeBatch()
+          }
+          w.end()
+        } finally {
+          try w.close() finally { // closes the channel + FS stream
+            root.close(); allocator.close()
+          }
+        }
+        fs.delete(fin, false)
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(s"rename $tmp -> $fin failed")
+        Iterator.single(n)
+      }
+    }.collect() // one count per file — bounded driver state
+    counts.sum
+  }
+
+  // --------------------------------------------------------------- read
+
+  /** Seekable-channel adapter over a Hadoop input stream — the file
+    * format's reader seeks to the footer first. */
+  private final class HadoopSeekableChannel(
+      in: org.apache.hadoop.fs.FSDataInputStream, totalSize: Long)
+    extends java.nio.channels.SeekableByteChannel {
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val buf = new Array[Byte](dst.remaining())
+      val n = in.read(buf, 0, buf.length)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(p); this
+    }
+    override def size(): Long = totalSize
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new java.io.IOException("read-only channel")
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new java.io.IOException("read-only channel")
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+  }
+
+  /** Schema of the first readable container under `dir` — one
+    * driver-side footer open, the format's own self-description. */
+  private def dirSchema(dir: String,
+                        hc: org.apache.hadoop.conf.Configuration): Schema = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hc)
+    val candidates = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+    candidates.iterator.flatMap { f =>
+      val allocator = new RootAllocator()
+      try {
+        val ch = new HadoopSeekableChannel(fs.open(f),
+          fs.getFileStatus(f).getLen)
+        val r = new ArrowFileReader(ch, allocator)
+        try Iterator.single(r.getVectorSchemaRoot.getSchema)
+        finally r.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => Iterator.empty
+      } finally {
+        try allocator.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }.nextOption().getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no readable .arrow file in $dir"))
+  }
+
+  /** Scan a directory of `.arrow` IPC files into a DataFrame. One task
+    * per file; O(batch) heap; corrupt / schema-mismatched files
+    * quarantine whole, truncation keeps prior batches. */
+  def readArrow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    val dirArrowSchema = dirSchema(dir, hc.conf)
+    val expectedJson = dirArrowSchema.toJson
+    val st = toSparkSchema(dirArrowSchema)
+    val width = st.length
+    val rows = spark.read.format("binaryFile").load(dir)
+      .filter(col("path").endsWith(".arrow"))
+      .select("path").as[String].rdd
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hc.conf)
+        val allocator = new RootAllocator()
+        val reader =
+          try {
+            val ch = new HadoopSeekableChannel(fs.open(p),
+              fs.getFileStatus(p).getLen)
+            val r = new ArrowFileReader(ch, allocator)
+            // footer + schema validate on first root access: ANY
+            // failure is a structurally unreadable file — quarantine
+            if (r.getVectorSchemaRoot.getSchema.toJson != expectedJson) {
+              r.close(); null
+            } else r
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              try allocator.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+              null
+          }
+        if (reader == null) Iterator.empty
+        else {
+          val closeAll = () => {
+            try reader.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+            try allocator.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
+          val root = reader.getVectorSchemaRoot
+          new Iterator[Row] {
+            private var inBatch = 0
+            private var batchRows = 0
+            // loadNextBatch on a truncated file throws: treat as
+            // exhaustion (quarantine the remainder, keep decoded rows)
+            private def advance(): Unit =
+              while (inBatch >= batchRows && {
+                val more =
+                  try reader.loadNextBatch()
+                  catch { case scala.util.control.NonFatal(_) => false }
+                if (more) { batchRows = root.getRowCount; inBatch = 0 }
+                else { batchRows = -1 } // terminal
+                more
+              }) ()
+            advance()
+            override def hasNext: Boolean = batchRows > 0 && inBatch < batchRows
+            override def next(): Row = {
+              val vals = new Array[Any](width)
+              var c = 0
+              while (c < width) {
+                val vec = root.getVector(c)
+                vals(c) =
+                  if (vec.isNull(inBatch)) null
+                  else fromArrowValue(vec.getObject(inBatch))
+                c += 1
+              }
+              inBatch += 1
+              if (inBatch >= batchRows) advance()
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, st)
+  }
+}
