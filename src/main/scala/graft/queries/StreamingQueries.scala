@@ -604,6 +604,35 @@ object StreamingQueries {
              |FROM documents WHERE doc_id < 60
              |ORDER BY doc_id""".stripMargin)),
 
+    // CONTINUOUS Arrow ingest — completes the container quartet's
+    // streaming read side (WARC, Avro, WebDataset already stream):
+    // finished IPC files land as a binaryFile stream and each
+    // micro-batch's blobs decode under the schema fixed at PLAN time
+    // (ArrowIo.schemaJsonOf), with the batch scan's footer/quarantine
+    // rules. Stateless, so ONE oracle covers stream ≡ batch.
+    QueryDef(
+      "q_stream_arrow_ingest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+        val tmp = graft.core.Fs.scratchRoot
+        val land = s"$tmp/graft_arrow_stream_land"
+        if (!new java.io.File(s"$land/_STAGED").exists()) {
+          graft.sources.ArrowIo.writeArrow(docs, land, numFiles = 3)
+          new java.io.FileOutputStream(
+            new java.io.File(s"$land/_STAGED")).close()
+        }
+        val schemaJson = graft.sources.ArrowIo.schemaJsonOf(s, land)
+        EventStreams.runBinaryAvailableNowAppend(s, land,
+            df => graft.sources.ArrowIo.decodeBlobs(
+              df.filter(col("path").endsWith(".arrow")), schemaJson),
+            "stream_arrow_ingest")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents WHERE doc_id < 60
+             |ORDER BY doc_id""".stripMargin)),
+
     // CONTINUOUS WebDataset ingest — the read direction of the shard
     // boundary (publishing below is the write direction): shards land
     // as a binaryFile stream (a partner dropping training shards) and

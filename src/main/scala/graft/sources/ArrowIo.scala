@@ -276,6 +276,75 @@ object ArrowIo {
         s"no readable .arrow file in $dir"))
   }
 
+  /** Embedded schema of the IPC files under `dir`, as Arrow schema
+    * JSON — the plan-time input of [[decodeBlobs]] (a streaming
+    * transform needs its output schema before any micro-batch
+    * arrives). */
+  def schemaJsonOf(spark: SparkSession, dir: String): String = {
+    val hc = org.apache.spark.graftshim.GraftSparkInternals
+      .broadcastHadoopConf(spark.sparkContext)
+    dirSchema(dir, hc.conf).toJson
+  }
+
+  /** BLOB-decoding stage for STREAMED IPC files (the
+    * [[AvroIo.decodeBlobs]] contract: this variant exists for the
+    * binaryFile stream, where content arrives per micro-batch anyway —
+    * batch scans use the path-streaming [[readArrow]]): each row's
+    * `content` bytes parse as one Arrow file under the FIXED
+    * `schemaJson` ([[schemaJsonOf]]); same quarantine rules as the
+    * batch reader (unreadable, truncated-footer, or schema-mismatched
+    * files empty). */
+  def decodeBlobs(files: DataFrame, schemaJson: String): DataFrame = {
+    val st = toSparkSchema(Schema.fromJSON(schemaJson))
+    val width = st.length
+    files.select(col("content"))
+      .flatMap { (r: Row) =>
+        val bytes = r.getAs[Array[Byte]](0)
+        if (bytes == null) Iterator.empty
+        else {
+          val allocator = new RootAllocator()
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val ch = new org.apache.arrow.vector.util
+            .ByteArrayReadableSeekableByteChannel(bytes)
+          try {
+            val reader = new ArrowFileReader(ch, allocator)
+            try {
+              val root = reader.getVectorSchemaRoot
+              if (root.getSchema.toJson == schemaJson) {
+                // mid-file decode failure (a footer that lied) keeps the
+                // batches decoded before it — EXACTLY the batch reader's
+                // truncation rule, so stream ≡ batch holds on corrupt
+                // inputs too
+                while (reader.loadNextBatch()) {
+                  var i = 0
+                  val nRows = root.getRowCount
+                  while (i < nRows) {
+                    val vals = new Array[Any](width)
+                    var c = 0
+                    while (c < width) {
+                      val vec = root.getVector(c)
+                      vals(c) =
+                        if (vec.isNull(i)) null
+                        else fromArrowValue(vec.getObject(i))
+                      c += 1
+                    }
+                    out += Row.fromSeq(vals.toIndexedSeq)
+                    i += 1
+                  }
+                }
+              }
+            } finally reader.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => () // keep decoded rows
+          } finally {
+            try allocator.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          out.iterator
+        }
+      }(org.apache.spark.sql.Encoders.row(st))
+  }
+
   /** Scan a directory of `.arrow` IPC files into a DataFrame. One task
     * per file; O(batch) heap; corrupt / schema-mismatched files
     * quarantine whole, truncation keeps prior batches. */

@@ -626,6 +626,17 @@ object ScaleCheck {
       // partition-local, so time tracks bytes and shuffle stays at the
       // final aggregate's partials (files ∝ factor holds per-container
       // size constant)
+      // round-13 session-2: Arrow IPC roundtrip on the same bytes axis
+      // as the Avro row — write is the operator, files ∝ factor
+      ("q_scan_arrow_roundtrip", (dir, f) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val out = s"$synthRoot/arrow_rt_x$f"
+        graft.core.Fs.deleteTree(out)
+        graft.sources.ArrowIo.writeArrow(docs, out, numFiles = 8 * f)
+        graft.sources.ArrowIo.readArrow(spark, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      }),
       ("q_scan_avro_roundtrip", (dir, f) => {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         val out = s"$synthRoot/avro_rt_x$f"

@@ -129,6 +129,25 @@ class ArrowIoSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("decodeBlobs ≡ readArrow on the same directory, corrupt file " +
+    "included — the streamed and batch decode paths cannot drift") {
+    val dir = tempDir("arrow_parity")
+    import SparkSpec.spark.implicits._
+    ArrowIo.writeArrow(
+      Seq((1L, "x"), (2L, "y"), (3L, null: String)).toDF("id", "v"),
+      dir.toString, numFiles = 2)
+    Files.write(dir.resolve("junk.arrow"), "nope".getBytes)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val batch = ArrowIo.readArrow(spark, dir.toString)
+    val schemaJson = ArrowIo.schemaJsonOf(spark, dir.toString)
+    val blobs = ArrowIo.decodeBlobs(
+      spark.read.format("binaryFile").load(dir.toString)
+        .filter(col("path").endsWith(".arrow")), schemaJson)
+    assert(canon(blobs) === canon(batch))
+    assert(batch.count() === 3)
+  }
+
   test("types outside the surface refuse loudly at write") {
     import SparkSpec.spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
