@@ -270,4 +270,71 @@ object Clustering {
       trainCentroidsDiag(vecs, idCol, vecCol, k, iters, trainFraction)
     (assignTo(vecs, idCol, vecCol, centroids), inertia)
   }
+
+  /** k-center greedy coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation behind coreset/active-learning
+    * data selection, e.g. Sener & Savarese 2018): seed with the
+    * max-norm vector, then repeatedly add the point FARTHEST from the
+    * selected set. Returns the k selected rows as (step, idCol,
+    * d2_sel) — d2_sel is the squared distance to the previously
+    * selected set at selection time (0 for the seed); the sequence is
+    * non-increasing (each step covers the space more).
+    *
+    * INTEGER-EXACT: vectors quantize ONCE to milli-unit integers
+    * (`floor(x·1000)` — pure double ops, then all distances are exact
+    * BIGINT sums), so selection has no float-comparison ambiguity and
+    * any engine replays the argmax bit for bit. Ties break to the
+    * smallest id.
+    *
+    * Scale shape: k passes over the corpus (the published algorithm's
+    * O(k·n)); each pass is one broadcast of the SINGLE newest center +
+    * a running `least` against the cached min-distance column, and the
+    * argmax plans as TakeOrderedAndProject (per-partition heaps, never
+    * a global sort). Driver state is k quantized vectors — bounded, the
+    * k-means contract. */
+  def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = vecs.sparkSession
+    val q = vecs.select(col(idCol),
+        expr(s"transform($vecCol, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def dist2(cvCol: String): Column = expr(
+      s"aggregate(zip_with(qv, $cvCol, (a, b) -> (a - b) * (a - b)), " +
+        "0L, (acc, x) -> acc + x)")
+    val seedRow = q
+      .withColumn("s",
+        expr("aggregate(transform(qv, v -> v * v), 0L, (acc, x) -> acc + x)"))
+      .orderBy(col("s").desc, col(idCol)).limit(1)
+      .select(col(idCol), col("qv")).head()
+    val selected = scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Long)]((0, seedRow.getLong(0), 0L))
+    def centerDf(r: org.apache.spark.sql.Row) = {
+      import spark.implicits._
+      Seq(r.getAs[scala.collection.Seq[Long]](1).toSeq).toDF("cv")
+    }
+    var cur = q.crossJoin(broadcast(centerDf(seedRow)))
+      .withColumn("md", dist2("cv")).drop("cv")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var step = 1
+    while (step < k) {
+      // exclude already-selected ids: with duplicate vectors in the
+      // corpus the global md argmax could otherwise re-pick a selected
+      // point once every remaining distance is 0
+      val sel = cur.filter(!col(idCol).isInCollection(selected.map(_._2)))
+        .orderBy(col("md").desc, col(idCol)).limit(1)
+        .select(col(idCol), col("qv"), col("md")).head()
+      selected += ((step, sel.getLong(0), sel.getLong(2)))
+      val next = cur.crossJoin(broadcast(centerDf(sel)))
+        .withColumn("md", least(col("md"), dist2("cv"))).drop("cv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cur.unpersist()
+      cur = next
+      step += 1
+    }
+    cur.unpersist(); q.unpersist()
+    import spark.implicits._
+    selected.toSeq.toDF("step", idCol, "d2_sel")
+  }
 }

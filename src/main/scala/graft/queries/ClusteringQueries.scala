@@ -68,5 +68,67 @@ object ClusteringQueries {
              |FROM p LEFT JOIN m
              |  ON m.code = (p.cx + 1000000) * 4000000 + (p.cy + 1000000)
              |ORDER BY p.vec_id""".stripMargin)),
+
+    // k-center greedy coreset selection (Gonzalez 1985 farthest-point,
+    // the Sener-Savarese active-learning/coreset selector): 8 centers,
+    // max-norm seed, farthest-point iterations over milli-quantized
+    // integer distances (selection is exact BIGINT argmax — no float
+    // comparison anywhere). The oracle replays all 8 steps unrolled
+    // (generated CTE chain: running min-distance via least, argmax with
+    // the id tie-break, selected ids excluded).
+    QueryDef(
+      "q_select_kcenter",
+      (s, dir) => {
+        graft.llm.Clustering.kCenterGreedy(
+            load(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .orderBy(col("step"))
+      },
+      Some(kCenterSql(8))),
   )
+
+  /** Unrolled DuckDB replay of [[graft.llm.Clustering.kCenterGreedy]]:
+    * quantize, max-norm seed, then k−1 (distance-update → excluded
+    * argmax) rounds. */
+  private def kCenterSql(k: Int): String = {
+    val dist = (qvA: String, qvB: String) =>
+      s"CAST(list_sum(list_transform(list_zip($qvA, $qvB), " +
+        s"z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |s0 AS (
+         |  SELECT vec_id, qv FROM (
+         |    SELECT vec_id, qv,
+         |      CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
+         |        AS s
+         |    FROM q) ORDER BY s DESC, vec_id LIMIT 1),
+         |d1 AS (
+         |  SELECT q.vec_id, q.qv, ${dist("q.qv", "s0.qv")} AS md
+         |  FROM q, s0)""".stripMargin
+    val steps = (1 until k).map { i =>
+      val excl = ("SELECT vec_id FROM s0" +:
+        (1 until i).map(j => s"SELECT vec_id FROM c$j"))
+        .mkString(" UNION ALL ")
+      val pick =
+        s"""c$i AS (
+           |  SELECT vec_id, qv, md FROM d$i
+           |  WHERE vec_id NOT IN ($excl)
+           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      val update =
+        if (i == k - 1) ""
+        else s""",
+           |d${i + 1} AS (
+           |  SELECT d$i.vec_id, d$i.qv,
+           |    least(d$i.md, ${dist(s"d$i.qv", s"c$i.qv")}) AS md
+           |  FROM d$i, c$i)""".stripMargin
+      pick + update
+    }.mkString(",\n")
+    val union = (s"SELECT 0 AS step, vec_id, CAST(0 AS BIGINT) AS d2_sel FROM s0" +:
+      (1 until k).map(i =>
+        s"SELECT $i AS step, vec_id, md AS d2_sel FROM c$i"))
+      .mkString(" UNION ALL ")
+    s"$head,\n$steps\nSELECT step, vec_id, d2_sel FROM ($union)\nORDER BY step"
+  }
 }

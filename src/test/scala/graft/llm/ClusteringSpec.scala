@@ -167,4 +167,48 @@ class ClusteringSpec extends SparkSpec {
     // different blobs here, but their spread still dwarfs convergence)
     assert(inertia.last <= inertia.head)
   }
+
+  test("kCenterGreedy: farthest-first traversal — max-norm seed, each " +
+      "pick is the true farthest point, d2_sel never increases") {
+    val s = spark
+    import s.implicits._
+    // a line of points at x = 0, 1, 10, 11, 30 (y = 0): seed is 30
+    // (max norm), then 0 (d² from 30 = 900), then 10 or 11 — 10 is
+    // 100 from 0 and 400 from 30 -> min 100; 11 -> min 121; 1 -> 1.
+    // So third pick is 11 (min-dist 121), fourth 10? after 11: 10's
+    // min dist becomes 1. 1's min dist is 1. tie -> lower id.
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(10.0f, 0.0f)), (4L, Seq(11.0f, 0.0f)),
+      (5L, Seq(30.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Clustering.kCenterGreedy(pts, "vec_id", "embedding", k = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // milli-quantized: 1 unit = 1000 -> d² scales by 1e6
+    assert(got.toSeq === Seq(
+      (0, 5L, 0L),
+      (1, 1L, 900L * 1000000L),
+      (2, 4L, 121L * 1000000L),
+      (3, 2L, 1L * 1000000L)))
+    // non-increasing selection distances after the seed
+    val ds = got.drop(1).map(_._3)
+    ds.indices.drop(1).foreach(i => assert(ds(i) <= ds(i - 1)))
+  }
+
+  test("kCenterGreedy: exact duplicate vectors are never re-selected " +
+      "(id exclusion, not distance)") {
+    val s = spark
+    import s.implicits._
+    // three distinct positions, each duplicated; k=3 must pick three
+    // DISTINCT positions even though duplicates tie at distance 0
+    val pts = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(0.0f)),
+      (3L, Seq(5.0f)), (4L, Seq(5.0f)),
+      (5L, Seq(9.0f)), (6L, Seq(9.0f))).toDF("vec_id", "embedding")
+    val got = Clustering.kCenterGreedy(pts, "vec_id", "embedding", k = 3)
+      .orderBy("step").collect().map(_.getLong(1)).toSeq
+    assert(got.size === 3)
+    // positions: 9 (max norm), 0 (farthest), 5 (next) — lowest dup ids
+    assert(got === Seq(5L, 1L, 3L))
+  }
 }
