@@ -8,19 +8,23 @@ import org.apache.spark.sql.functions._
   * data or a released artifact, measure how identifying its
   * quasi-identifier combinations are.
   *
-  * All three operators are exact-integer (class sizes, distinct counts,
-  * rung indexes), so the DuckDB oracles replay them bit for bit.
+  * All four operators are exact-integer (class sizes, distinct counts,
+  * rung indexes, cross-multiplied EMD), so the DuckDB oracles replay
+  * them bit for bit.
   *
   * Scale shape: every audit is ONE hash aggregate keyed by the
   * quasi-identifier tuple (map-side combinable; only the QI tuple + id
   * shuffles, never payload columns); the generalization walk adds one
   * 1-row min() collect per ladder rung (bounded driver state, bounded
-  * rungs). No windows over the table, no cross joins.
+  * rungs). No windows over the table; the only cross join is
+  * t-closeness's bounded classes × buckets grid (aggregate-sized, by
+  * construction).
   *
   * Reference anchor: repype has no privacy stages; these are the
   * release-gate stages an LLM-data user of the reference would hand-write
   * (published: Sweeney 2002 k-anonymity; Machanavajjhala et al. 2007
-  * l-diversity; Sweeney's Datafly generalization walk).
+  * l-diversity; Sweeney's Datafly generalization walk; Li, Li &
+  * Venkatasubramanian 2007 t-closeness).
   */
 object Privacy {
 
@@ -70,5 +74,62 @@ object Privacy {
     }
     val idx = if (found < 0) ladder.size - 1 else found
     classes(ladder(idx)).withColumn("rung", lit(idx.toLong))
+  }
+
+  /** t-closeness audit for an ORDERED sensitive attribute (Li, Li &
+    * Venkatasubramanian, ICDE 2007) — the rung above l-diversity: a
+    * class can be l-diverse yet still leak when its sensitive
+    * DISTRIBUTION skews far from the table's. The ordered-attribute
+    * earth-mover's distance is the published closed form
+    * EMD = (1/(m−1))·Σ_b |cum_class(b) − cum_global(b)| over the m
+    * ordered buckets. INTEGER-EXACT via cross-multiplication: the
+    * per-bucket term is |cumC·N − cumG·n_c| (pure BIGINT), and the
+    * final ratio is ONE micro floor division by (m−1)·n_c·N — no float
+    * distribution ever materializes, so any engine replays the audit
+    * bit for bit.
+    *
+    * Scale shape: one (class, bucket) hash aggregation over the data
+    * (linear shuffle), then everything runs on the classes × buckets
+    * grid — |classes|·m rows, data-volume-independent; the zero-fill
+    * grid join broadcasts the bucket list and the cumulative windows
+    * partition per class over ≤ m rows. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: Column,
+                 tMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(quasi.map(col) :+ sensitive.as("bucket"): _*)
+    val cells = Caches.track(
+      base.groupBy((quasi.map(col) :+ col("bucket")): _*)
+        .agg(count(lit(1)).as("cnt")))
+    val buckets = cells.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val classes = cells.groupBy(quasi.map(col): _*)
+      .agg(sum(col("cnt")).as("class_size"))
+    // zero-filled grid: every class × every global bucket — a DELIBERATE
+    // broadcast cross of two bounded aggregates (|classes| × m rows,
+    // the q_embed_covariance pattern), never data-sized
+    val grid = classes.crossJoin(broadcast(buckets))
+      .join(cells, quasi :+ "bucket", "left")
+      .na.fill(0L, Seq("cnt"))
+    val wCum = Window.partitionBy(quasi.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(quasi.map(col): _*)
+    val terms = grid
+      .withColumn("cum_c", sum(col("cnt")).over(wCum))
+      .withColumn("cum_g", sum(col("gcnt")).over(wCum))
+      .withColumn("n_total", sum(col("gcnt")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+    terms.groupBy((quasi.map(col) :+ col("class_size")): _*)
+      .agg(
+        sum(abs(col("cum_c") * col("n_total")
+          - col("cum_g") * col("class_size"))).as("emd_num"),
+        first(col("m")).as("m"),
+        first(col("n_total")).as("n_total"))
+      .withColumn("emd_micro", expr(
+        "emd_num * 1000000L div (greatest(m - 1, 1L)" +
+          " * class_size * n_total)"))
+      .withColumn("t_close", col("emd_micro") <= tMicro)
+      .select((quasi.map(col) :+ col("class_size") :+ col("emd_micro")
+        :+ col("t_close")): _*)
   }
 }

@@ -989,6 +989,134 @@ object CurationQueries {
              |FROM grid GROUP BY t, f
              |ORDER BY t""".stripMargin)),
 
+    // Two-sample Kolmogorov-Smirnov statistic per event type (the
+    // classic distribution-shift test behind A/B and canary checks):
+    // D = max_b |cdfA(b) − cdfB(b)| over 0.01-width value bins, with the
+    // deterministic even/odd event_id split as the two samples.
+    // INTEGER-EXACT via cross-multiplication: the per-bin term is
+    // |cumA·nB − cumB·nA| (pure BIGINT), the statistic is ONE micro
+    // floor division by nA·nB at the argmax — no float CDF ever
+    // materializes. Scale shape: one (type, bin) hash aggregation
+    // (linear shuffle); the cumulative/argmax windows run per type over
+    // the BOUNDED bin list (value range / 0.01), never the event stream.
+    // Production-honest: binned KS is the published streaming/sketch
+    // form; the bin width is the resolution knob.
+    QueryDef(
+      "q_drift_ks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = load(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("bin"),
+            (col("event_id") % 2 === 0).as("is_a"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+            sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("event_type"))
+        val wPick = Window.partitionBy(col("event_type"))
+          .orderBy(col("diff").desc, col("bin"))
+        cells
+          .withColumn("cum_a", sum(col("ca")).over(wCum))
+          .withColumn("cum_b", sum(col("cb")).over(wCum))
+          .withColumn("n_a", sum(col("ca")).over(wAll))
+          .withColumn("n_b", sum(col("cb")).over(wAll))
+          .withColumn("diff",
+            abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .withColumn("ks_micro", expr("diff * 1000000L div (n_a * n_b)"))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            col("bin").as("at_bin"), col("ks_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100) AS BIGINT) AS bin,
+             |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS cb
+             |  FROM events GROUP BY event_type, bin),
+             |c AS (
+             |  SELECT event_type, bin,
+             |    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+             |    CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+             |    CAST(sum(ca) OVER t AS BIGINT) AS n_a,
+             |    CAST(sum(cb) OVER t AS BIGINT) AS n_b
+             |  FROM cells
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  t AS (PARTITION BY event_type)),
+             |d AS (
+             |  SELECT event_type, bin, n_a, n_b,
+             |    abs(cum_a * n_b - cum_b * n_a) AS diff,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, bin)
+             |      AS rn
+             |  FROM c)
+             |SELECT event_type, n_a, n_b, bin AS at_bin,
+             |  diff * 1000000 // (n_a * n_b) AS ks_micro
+             |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    // rung above l-diversity on the SAME equivalence classes: each
+    // class's acctbal-band distribution must sit within EMD t of the
+    // table's. Ordered-attribute EMD in the published closed form
+    // (mean |cdf gap|), integer-exact via cross-multiplication (see
+    // Privacy.tCloseness); t = 0.25.
+    QueryDef(
+      "q_privacy_tcloseness",
+      (s, dir) => Privacy.tCloseness(load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long"), tMicro = 250000L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+             |    count(*) AS cnt
+             |  FROM customer GROUP BY c_nationkey, c_mktsegment, bucket),
+             |buckets AS (
+             |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt
+             |  FROM cells GROUP BY bucket),
+             |classes AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(sum(cnt) AS BIGINT) AS class_size
+             |  FROM cells GROUP BY c_nationkey, c_mktsegment),
+             |grid AS (
+             |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+             |    b.bucket, b.gcnt, coalesce(ce.cnt, 0) AS cnt
+             |  FROM classes cl CROSS JOIN buckets b
+             |  LEFT JOIN cells ce
+             |    ON ce.c_nationkey = cl.c_nationkey
+             |    AND ce.c_mktsegment = cl.c_mktsegment
+             |    AND ce.bucket = b.bucket),
+             |t AS (
+             |  SELECT c_nationkey, c_mktsegment, class_size,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS cum_c,
+             |    CAST(sum(gcnt) OVER w AS BIGINT) AS cum_g,
+             |    CAST(sum(gcnt) OVER p AS BIGINT) AS n_total,
+             |    CAST(count(*) OVER p AS BIGINT) AS m
+             |  FROM grid
+             |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+             |    ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  p AS (PARTITION BY c_nationkey, c_mktsegment)),
+             |e AS (
+             |  SELECT c_nationkey, c_mktsegment, class_size,
+             |    CAST(sum(abs(cum_c * n_total - cum_g * class_size))
+             |      AS BIGINT) AS emd_num,
+             |    max(m) AS m, max(n_total) AS n_total
+             |  FROM t
+             |  GROUP BY c_nationkey, c_mktsegment, class_size)
+             |SELECT c_nationkey, c_mktsegment, class_size,
+             |  emd_num * 1000000 // (greatest(m - 1, 1)
+             |    * class_size * n_total) AS emd_micro,
+             |  emd_num * 1000000 // (greatest(m - 1, 1)
+             |    * class_size * n_total) <= 250000 AS t_close
+             |FROM e ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
     // Population stability index (the credit-scoring drift standard;
     // PSI > 0.2 is the published "significant shift" bar) between two
     // crawl sources' document-length distributions: 50-char bins,

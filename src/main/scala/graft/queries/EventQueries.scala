@@ -669,6 +669,83 @@ object EventQueries {
              |    AS ewma_micro
              |FROM srt ORDER BY event_type""".stripMargin)),
 
+    // Holt linear-trend (double exponential) smoothing over per-type
+    // hourly counts (Holt 1957 — the EWMA upgrade that tracks a trend;
+    // level+trend is the one-step forecast behind capacity dashboards):
+    //   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},  α=0.3, β=0.4.
+    // INTEGER-EXACT two-component recursion: state lives in count
+    // micro-units, every step is BIGINT arithmetic with truncating
+    // division (Spark `div` and DuckDB `//` both truncate toward zero,
+    // verified on negative trends), so both engines replay the fold bit
+    // for bit. The state is a STRUCT accumulator in Spark `aggregate`;
+    // the DuckDB replay carries it as a 2-element LIST instead —
+    // DuckDB 1.0's struct literal inside a list_reduce lambda SHADOWS
+    // `acc.l` with the just-built `l` field (verified: the `b` field
+    // then sees the new level), so named state must not collide and
+    // positional state cannot. Standard seed: l₀ = x₀, b₀ = x₁ − x₀,
+    // folding from the third point.
+    QueryDef(
+      "q_events_holt",
+      (s, dir) => {
+        val hourly = load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            transform(sort_array(collect_list(
+              struct(col("h"), col("cnt")))), x => x.getField("cnt"))
+              .as("cs"))
+          .filter(size(col("cs")) >= 2)
+          .withColumn("st", expr(
+            """aggregate(
+              |  slice(cs, 3, greatest(size(cs) - 2, 0)),
+              |  named_struct(
+              |    'l', element_at(cs, 1) * 1000000L,
+              |    'b', (element_at(cs, 2) - element_at(cs, 1)) * 1000000L),
+              |  (acc, x) -> named_struct(
+              |    'l', (300000L * x * 1000000L
+              |          + 700000L * (acc.l + acc.b)) div 1000000L,
+              |    'b', (400000L * (((300000L * x * 1000000L
+              |            + 700000L * (acc.l + acc.b)) div 1000000L)
+              |          - acc.l)
+              |          + 600000L * acc.b) div 1000000L)
+              |)""".stripMargin))
+          .select(col("event_type"), col("n_hours"),
+            col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+            (col("st.l") + col("st.b")).as("forecast_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY event_type, h),
+             |srt AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_hours,
+             |    list(CAST(cnt AS BIGINT) ORDER BY h) AS cs
+             |  FROM hourly GROUP BY event_type),
+             |f AS (
+             |  SELECT event_type, n_hours,
+             |    list_reduce(
+             |      list_prepend(
+             |        [cs[1] * 1000000, (cs[2] - cs[1]) * 1000000],
+             |        list_transform(cs[3:],
+             |          x -> [x, CAST(0 AS BIGINT)])),
+             |      (acc, x) -> [
+             |        (300000 * x[1] * 1000000
+             |         + 700000 * (acc[1] + acc[2])) // 1000000,
+             |        (400000 * (((300000 * x[1] * 1000000
+             |             + 700000 * (acc[1] + acc[2])) // 1000000)
+             |           - acc[1])
+             |         + 600000 * acc[2]) // 1000000]) AS st
+             |  FROM srt WHERE len(cs) >= 2)
+             |SELECT event_type, n_hours,
+             |  st[1] AS level_micro, st[2] AS trend_micro,
+             |  st[1] + st[2] AS forecast_micro
+             |FROM f ORDER BY event_type""".stripMargin)),
+
     // CUSUM change-point detection over per-type hourly counts (Page
     // 1954 — the classic sequential change detector behind traffic-shift
     // alarms): the cumulative sum of deviations from the series mean
