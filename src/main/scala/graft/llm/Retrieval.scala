@@ -298,4 +298,56 @@ object Retrieval {
     }.take(steps).toSeq
     states.reduce(_ unionByName _)
   }
+
+  /** Beam-search decode of the corpus bigram model — the width-`width`
+    * generalization of [[greedyBigramChain]] (width 1 ≡ greedy): from
+    * the most frequent document-initial token, expand every live beam
+    * with all its bigram continuations, keep the `width` best by
+    * cumulative log-probability, repeat `steps` times. Returns the
+    * surviving beams as (rank, path, score_micro).
+    *
+    * Log-probabilities follow the [[topDirichletQL]] float discipline:
+    * each ln(cnt/total) fixes to a 4-dp integer (×10⁴) BEFORE any
+    * addition, so cumulative scores are exact integer sums and the
+    * (score DESC, path ASC) beam cut is engine-reproducible. A beam
+    * whose last token is document-final-only dies (no expansion).
+    *
+    * Scale shape: the lp model is the vocabulary-bounded bigram table
+    * (built exactly like the greedy argmax — text never shuffles after
+    * the one tokenize pass); each step joins ≤ width beam rows against
+    * the cached model and ranks ≤ width·branching candidates — the
+    * per-step window is model-bounded, never corpus-bounded. */
+  def beamBigramDecode(documents: DataFrame, steps: Int, width: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(steps >= 1 && width >= 1, "steps and width must be >= 1")
+    val toks = Caches.track(tokenStream(documents, textCol, idCol))
+    val bigrams = toks.as("a")
+      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.term").as("prev"), col("b.term").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tots = bigrams.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    val lp = Caches.track(bigrams.join(tots, "prev")
+      .select(col("prev"), col("next"),
+        round(round(log(col("cnt").cast("double") / col("tot")), 4)
+          * 10000).cast("long").as("lp")))
+    val start = toks.filter(col("pos") === 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(1)
+      .select(col("term").as("path"), col("term").as("last"),
+        lit(0L).as("score"))
+    val wCut = Window.orderBy(col("score").desc, col("path"))
+    val fin = Iterator.iterate(start) { beams =>
+      beams.as("g")
+        .join(lp.as("m"), col("m.prev") === col("g.last"))
+        .select(concat(col("g.path"), lit(" "), col("m.next")).as("path"),
+          col("m.next").as("last"), (col("g.score") + col("m.lp")).as("score"))
+        .withColumn("rn", row_number().over(wCut))
+        .filter(col("rn") <= width)
+        .select(col("path"), col("last"), col("score"))
+    }.drop(steps).next()
+    fin.withColumn("rank", row_number().over(wCut))
+      .select(col("rank"), col("path"), col("score").as("score_micro"))
+  }
 }

@@ -88,6 +88,20 @@ object RetrievalQueries {
              |WHERE a.term = 'value' AND b.term = 'table'
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // Beam-search decode (width 2, 5 steps) of the same bigram model —
+    // the width-k generalization of the greedy chain, with cumulative
+    // 4-dp-fixed log-probability scores (integer sums after the one ln
+    // per edge, the q_retrieval_ql float discipline). The oracle
+    // replays all 5 expand-and-cut rounds unrolled.
+    QueryDef(
+      "q_lm_beam",
+      (s, dir) => {
+        Retrieval.beamBigramDecode(load(s, dir, "documents"),
+            steps = 5, width = 2)
+          .orderBy(col("rank"))
+      },
+      Some(beamSql(steps = 5, width = 2))),
+
     // Greedy bigram-LM decode: 8 steps from the most frequent
     // document-initial token, each step the highest-count continuation
     // (ties → lexicographically smallest). The oracle replays the exact
@@ -122,4 +136,48 @@ object RetrievalQueries {
              |  FROM g JOIN am ON am.prev = g.word WHERE g.step < 7)
              |SELECT step, word FROM g ORDER BY step""".stripMargin)),
   )
+
+  /** Unrolled DuckDB replay of [[Retrieval.beamBigramDecode]]: the lp
+    * model, the start beam, then `steps` (expand → width-cut) rounds. */
+  private def beamSql(steps: Int, width: Int): String = {
+    val head =
+      s"""WITH $tokSql,
+         |big AS (
+         |  SELECT a.term AS prev, b.term AS next, count(*) AS cnt
+         |  FROM tok a JOIN tok b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY prev, next),
+         |tots AS (
+         |  SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM big GROUP BY prev),
+         |lp AS (
+         |  SELECT prev, next,
+         |    CAST(round(round(ln(CAST(cnt AS DOUBLE) / tot), 4) * 10000)
+         |      AS BIGINT) AS lp
+         |  FROM big JOIN tots USING (prev)),
+         |b0 AS (
+         |  SELECT term AS path, term AS last,
+         |    CAST(0 AS BIGINT) AS score
+         |  FROM (
+         |    SELECT term, row_number()
+         |      OVER (ORDER BY count(*) DESC, term) AS rn
+         |    FROM tok WHERE pos = 0 GROUP BY term) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to steps).map { i =>
+      s"""c$i AS (
+         |  SELECT b.path || ' ' || m.next AS path, m.next AS last,
+         |    b.score + m.lp AS score
+         |  FROM b${i - 1} b JOIN lp m ON m.prev = b.last),
+         |b$i AS (
+         |  SELECT path, last, score FROM (
+         |    SELECT path, last, score, row_number()
+         |      OVER (ORDER BY score DESC, path) AS rn
+         |    FROM c$i) WHERE rn <= $width)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, path) AS INT)
+       |    AS rank,
+       |  path, score AS score_micro
+       |FROM b$steps ORDER BY rank""".stripMargin
+  }
 }

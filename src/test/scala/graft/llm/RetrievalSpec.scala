@@ -168,6 +168,32 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("beamBigramDecode: width 1 follows the greedy path; width 2 " +
+      "keeps the two best-scoring paths; dead-end beams die") {
+    // from s: s->m (2), s->z (1). from m: m->a, m->b (1 each).
+    // z and a and b are final-only.
+    val d = docs2(Seq(
+      1L -> "s m b",
+      2L -> "s m a",
+      3L -> "b s z"))
+    val w1 = Retrieval.beamBigramDecode(d, steps = 1, width = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // step 1 greedy: s -> m (ln(2/3) beats ln(1/3))
+    assert(w1 === Seq(1 -> "s m"))
+    val w2 = Retrieval.beamBigramDecode(d, steps = 1, width = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(w2 === Seq(1 -> "s m", 2 -> "s z"))
+    // step 2: "s m" expands to "s m a"/"s m b" (tie, path asc);
+    // "s z" dies (z is final-only)
+    val w2s2 = Retrieval.beamBigramDecode(d, steps = 2, width = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(w2s2 === Seq(1 -> "s m a", 2 -> "s m b"))
+    Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("greedyBigramChain: follows max-count continuations with the " +
       "lexicographic tie-break and stops early at a final-only token") {
     // starts: "s" (2 docs) beats "a" (1). bigrams from s: s->m twice,
