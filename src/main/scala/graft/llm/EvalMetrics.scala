@@ -286,4 +286,73 @@ object EvalMetrics {
           .otherwise(expr(
             "2 * p_micro * r_micro div (p_micro + r_micro)")))
   }
+
+  /** Per-rank nDCG gain 1/log2(rank+1), fixed to 4-dp ×10⁴ integers at
+    * BUILD time (both the engine and the generated oracle embed these
+    * same literals, so no runtime log2 ever has to agree cross-engine).
+    * Index 0 ↔ rank 1. */
+  private[graft] val NdcgGains: Seq[Long] =
+    Seq(10000L, 6309L, 5000L, 4307L, 3869L, 3562L, 3333L, 3155L, 3010L,
+      2891L)
+  private[graft] val NdcgGainPrefix: Seq[Long] =
+    NdcgGains.scanLeft(0L)(_ + _).tail
+
+  /** Ranking-quality metrics for a retrieval run — nDCG@k, MRR, and
+    * recall@k per query (Järvelin & Kekäläinen 2002 for DCG; the
+    * standard IR eval battery): `retrieved` carries (query_id, rk,
+    * cand_id) from any ranker (e.g. [[Similarity.bruteForceTopK]]);
+    * relevance is binary label agreement against `labels` (id → label).
+    * INTEGER-EXACT throughout: MRR is one floor division by the first
+    * relevant rank, recall by the per-label relevant total, and DCG
+    * uses the build-time [[NdcgGains]] literals — so the whole battery
+    * hash-replays on any engine.
+    *
+    * Scale shape: two broadcast-able label joins + ONE per-query hash
+    * aggregation over the k retrieved rows; the relevant-total side is
+    * a label-cardinality aggregate joined back broadcast. Nothing
+    * corpus-sized shuffles beyond the ranker's own output. */
+  def rankingMetrics(retrieved: DataFrame, labels: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgGains.size,
+      s"k must be in [1, ${NdcgGains.size}]")
+    val gains = NdcgGains.take(k)
+    val prefix = NdcgGainPrefix.take(k)
+    val lab = labels.select(col("vec_id"), col("label"))
+    // per-query relevant total = |label class| − 1 (the query itself):
+    // one label-cardinality aggregate broadcast back, never a self-join
+    val labCounts = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("label_n"))
+    val relTotals = lab.join(broadcast(labCounts), "label")
+      .select(col("vec_id").as("query_id"),
+        (col("label_n") - 1).as("n_rel"))
+    val scored = retrieved.filter(col("rk") <= k)
+      .join(broadcast(lab.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))), "query_id")
+      .join(broadcast(lab.select(col("vec_id").as("cand_id"),
+        col("label").as("c_label"))), "cand_id")
+      .withColumn("rel",
+        when(col("q_label") === col("c_label"), 1L).otherwise(0L))
+      .withColumn("gain",
+        element_at(typedLit(gains), col("rk").cast("int")))
+    scored.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rk"))).as("first_rel"),
+        sum(col("rel") * col("gain")).as("dcg"))
+      .join(broadcast(relTotals), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("mrr_micro",
+        when(col("first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000L div first_rel")))
+      .withColumn("recall_micro",
+        when(col("n_rel") === 0L, lit(0L))
+          .otherwise(expr("hits * 1000000L div n_rel")))
+      .withColumn("idcg",
+        element_at(typedLit(prefix),
+          least(col("n_rel"), lit(k.toLong)).cast("int")))
+      .withColumn("ndcg_micro",
+        when(col("n_rel") === 0L, lit(0L))
+          .otherwise(expr("dcg * 1000000L div idcg")))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        col("mrr_micro"), col("recall_micro"), col("ndcg_micro"))
+  }
 }

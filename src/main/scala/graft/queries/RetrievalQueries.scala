@@ -88,6 +88,24 @@ object RetrievalQueries {
              |WHERE a.term = 'value' AND b.term = 'table'
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // Ranking-quality eval battery (nDCG@10 / MRR / recall@10) over the
+    // exact cosine retriever, relevance = label agreement: the standard
+    // IR eval every retrieval stack reports. Integer-exact — MRR and
+    // recall are floor divisions, DCG uses BUILD-TIME 1/log2(rank+1)
+    // constants shared verbatim with the generated oracle, so no
+    // runtime log2 has to agree cross-engine.
+    QueryDef(
+      "q_eval_ranking",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val retrieved = graft.llm.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), k = 10)
+        graft.llm.EvalMetrics.rankingMetrics(
+            retrieved, emb.select(col("vec_id"), col("label")), k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some(rankingSql(k = 10))),
+
     // Beam-search decode (width 2, 5 steps) of the same bigram model —
     // the width-k generalization of the greedy chain, with cumulative
     // 4-dp-fixed log-probability scores (integer sums after the one ln
@@ -179,5 +197,68 @@ object RetrievalQueries {
        |    AS rank,
        |  path, score AS score_micro
        |FROM b$steps ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.llm.EvalMetrics.rankingMetrics]] over the
+    * exact cosine retriever: the q_sim_topk cosine CTE, then the metric
+    * battery with the SAME build-time gain constants. */
+  private def rankingSql(k: Int): String = {
+    val gains = graft.llm.EvalMetrics.NdcgGains.take(k)
+    val prefix = graft.llm.EvalMetrics.NdcgGainPrefix.take(k)
+    val gainsVals = gains.zipWithIndex
+      .map { case (g, i) => s"(${i + 1}, ${g})" }.mkString(", ")
+    val prefixVals = prefix.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c})" }.mkString(", ")
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    q.label AS q_label, c.label AS c_label,
+       |    list_dot_product(
+       |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+       |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(q.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(c.embedding,
+       |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |      AS cos_sim
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, cand_id, q_label, c_label,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, cand_id) AS rk
+       |  FROM sims),
+       |g(rk, gain) AS (VALUES $gainsVals),
+       |pfx(n, cum) AS (VALUES $prefixVals),
+       |lc AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS label_n
+       |  FROM embeddings GROUP BY label),
+       |rel AS (
+       |  SELECT r.query_id, r.rk,
+       |    CASE WHEN r.q_label = r.c_label
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rel,
+       |    CAST(g.gain AS BIGINT) AS gain
+       |  FROM ranked r JOIN g ON g.rk = r.rk
+       |  WHERE r.rk <= $k),
+       |agg AS (
+       |  SELECT query_id,
+       |    CAST(sum(rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+       |    CAST(sum(rel * gain) AS BIGINT) AS dcg
+       |  FROM rel GROUP BY query_id),
+       |n AS (
+       |  SELECT e.vec_id AS query_id, lc.label_n - 1 AS n_rel
+       |  FROM embeddings e JOIN lc ON lc.label = e.label
+       |  WHERE e.vec_id < 10)
+       |SELECT a.query_id, n.n_rel, a.hits,
+       |  CASE WHEN a.first_rel IS NULL THEN CAST(0 AS BIGINT)
+       |       ELSE 1000000 // CAST(a.first_rel AS BIGINT) END AS mrr_micro,
+       |  CASE WHEN n.n_rel = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE a.hits * 1000000 // n.n_rel END AS recall_micro,
+       |  CASE WHEN n.n_rel = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE a.dcg * 1000000
+       |         // (SELECT CAST(cum AS BIGINT) FROM pfx
+       |             WHERE pfx.n = least(n.n_rel, $k)) END AS ndcg_micro
+       |FROM agg a JOIN n USING (query_id)
+       |ORDER BY a.query_id""".stripMargin
   }
 }
