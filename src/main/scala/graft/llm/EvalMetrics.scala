@@ -355,4 +355,24 @@ object EvalMetrics {
       .select(col("query_id"), col("n_rel"), col("hits"),
         col("mrr_micro"), col("recall_micro"), col("ndcg_micro"))
   }
+
+  /** ANN recall@k against the exact retriever — THE deployment metric
+    * for every approximate index (FAISS reports it on every benchmark):
+    * per query, the fraction of the exact top-k the approximate run
+    * surfaced. Both inputs carry (query_id, cand_id) rows (ranks
+    * irrelevant — recall is set overlap); exact floor-division micro.
+    * Queries the approximate side missed entirely score 0 (left join
+    * from the exact side's query set). */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hits = exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("recall_micro",
+        expr(s"n_overlap * 1000000L div ${k}L"))
+  }
 }

@@ -25,10 +25,10 @@ object Similarity {
     * zip_with/aggregate fold: same element-order accumulation (so DuckDB's
     * sequential `list_dot_product` stays bit-identical), none of the
     * per-element interpreted-lambda cost. */
-  private[llm] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
-  private[llm] def l2norm(v: Column): Column = sqrt(dot(v, v))
+  private[graft] def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   private[llm] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))

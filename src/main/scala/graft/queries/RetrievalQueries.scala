@@ -106,6 +106,121 @@ object RetrievalQueries {
       },
       Some(rankingSql(k = 10))),
 
+    // ANN recall@10 vs the exact retriever — the FAISS-benchmark metric
+    // every approximate index deployment tracks. The approximate side
+    // here is the fixed-prototype Voronoi ANN (first-8 prototypes,
+    // integer-micro dot argmax cells, nprobe=2 — the q_diverse_sample
+    // recipe), chosen BECAUSE it replays exactly in SQL (trained-IVF
+    // recall is the library path, spec-pinned at nprobe=nlist ≡ exact);
+    // in-cell ranking reuses the bit-identical cosine idiom. Recall is
+    // set overlap — one equi-join + floor division.
+    QueryDef(
+      "q_eval_ann_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val exact = graft.llm.Similarity.bruteForceTopK(
+          base, base.filter(col("vec_id") < 10), k = 10)
+        // fixed-prototype Voronoi cells (integer-micro dot argmax)
+        val e = base.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        val cent = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "y")))
+        val dp = e.join(broadcast(cent), "dim")
+          .groupBy(col("vec_id"), col("c"))
+          .agg(sum(floor(col("x") * col("y") * lit(1000000) + lit(0.5))
+            .cast("long")).as("dp_micro"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dp_micro").desc, col("c"))
+        val ranked = dp.withColumn("rk", row_number().over(wA))
+        val cells = ranked.filter(col("rk") === 1)
+          .select(col("vec_id").as("cand_id"), col("c").as("cell"))
+        val probes = ranked.filter(col("rk") <= 2 && col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("c").as("cell"))
+        // in-cell exact cosine top-10 (the bruteForceTopK idiom: norms
+        // hoisted, same IEEE order as the oracle's replay)
+        val qv = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .withColumn("qn", graft.llm.Similarity.l2norm(col("qv")))
+        val cv = base
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+          .withColumn("cn", graft.llm.Similarity.l2norm(col("cv")))
+        val wR = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        val approx = probes.join(cells, "cell")
+          .filter(col("query_id") =!= col("cand_id"))
+          .join(qv, "query_id").join(cv, "cand_id")
+          .withColumn("cos", graft.llm.Similarity.dot(col("qv"), col("cv"))
+            / (col("qn") * col("cn")))
+          .withColumn("rk", row_number().over(wR))
+          .filter(col("rk") <= 10)
+        graft.llm.EvalMetrics.annRecall(exact, approx, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding FROM embeddings),
+             |sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_dot_product(
+             |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(q.embedding,
+             |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(c.embedding,
+             |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |      AS cos_sim
+             |  FROM base q JOIN base c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10),
+             |exact AS (
+             |  SELECT query_id, cand_id FROM (
+             |    SELECT query_id, cand_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY cos_sim DESC, cand_id) AS rk
+             |    FROM sims) WHERE rk <= 10),
+             |e AS (
+             |  SELECT vec_id, i - 1 AS dim,
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM base, unnest(generate_series(1, len(embedding)))
+             |    AS u(i)),
+             |cent AS (
+             |  SELECT vec_id AS c, dim, x AS y FROM e WHERE vec_id < 8),
+             |dp AS (
+             |  SELECT e.vec_id, cent.c,
+             |    CAST(sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS dp_micro
+             |  FROM e JOIN cent USING (dim) GROUP BY e.vec_id, cent.c),
+             |rkd AS (
+             |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY dp_micro DESC, c) AS rk
+             |  FROM dp),
+             |cells AS (
+             |  SELECT vec_id AS cand_id, c AS cell FROM rkd WHERE rk = 1),
+             |probes AS (
+             |  SELECT vec_id AS query_id, c AS cell FROM rkd
+             |  WHERE rk <= 2 AND vec_id < 10),
+             |approx AS (
+             |  SELECT query_id, cand_id FROM (
+             |    SELECT p.query_id, cl.cand_id, s.cos_sim,
+             |      row_number() OVER (PARTITION BY p.query_id
+             |        ORDER BY s.cos_sim DESC, cl.cand_id) AS rk
+             |    FROM probes p JOIN cells cl USING (cell)
+             |    JOIN sims s ON s.query_id = p.query_id
+             |      AND s.cand_id = cl.cand_id
+             |    WHERE p.query_id <> cl.cand_id) WHERE rk <= 10),
+             |hits AS (
+             |  SELECT e.query_id, CAST(count(a.cand_id) AS BIGINT)
+             |    AS n_overlap
+             |  FROM exact e LEFT JOIN approx a
+             |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+             |  GROUP BY e.query_id)
+             |SELECT query_id, n_overlap,
+             |  n_overlap * 1000000 // 10 AS recall_micro
+             |FROM hits ORDER BY query_id""".stripMargin)),
+
     // Beam-search decode (width 2, 5 steps) of the same bigram model —
     // the width-k generalization of the greedy chain, with cumulative
     // 4-dp-fixed log-probability scores (integer sums after the one ln
