@@ -669,6 +669,116 @@ object EventQueries {
              |    AS ewma_micro
              |FROM srt ORDER BY event_type""".stripMargin)),
 
+    // Last-touch marketing attribution (the funnel's credit-assignment
+    // step): every purchase attributes to the user's most recent click
+    // or view within the hour before it. The time-band predicate
+    // resolves Spark-side through the LOSSLESS hour-band equi-join (the
+    // proximity-search pattern: purchase hour probes its own and the
+    // previous hour's band — a touch within 1h always lands there), so
+    // no inequality join reaches the planner; the last-touch argmax is
+    // a per-purchase window over the banded candidates. Exact integers:
+    // the gap rides in microseconds.
+    QueryDef(
+      "q_events_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("p_us"))
+          .withColumn("probe", explode(array(
+            expr("p_us div 3600000000L"),
+            expr("p_us div 3600000000L - 1"))))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("t_user"),
+            col("event_id").as("touch_id"),
+            col("event_type").as("touch_type"),
+            unix_micros(col("ts")).as("t_us"))
+          .withColumn("band", expr("t_us div 3600000000L"))
+        val wPick = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("t_us").desc, col("touch_id").desc)
+        purchases.join(touches,
+            col("t_user") === col("user_id") &&
+              col("band") === col("probe") &&
+              col("t_us") < col("p_us") &&
+              col("t_us") >= col("p_us") - lit(3600000000L))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+            (col("p_us") - col("t_us")).as("gap_us"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS purchase_id,
+             |    epoch_us(ts) AS p_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id, event_id AS touch_id,
+             |    event_type AS touch_type, epoch_us(ts) AS t_us
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |j AS (
+             |  SELECT p.purchase_id, t.touch_id, t.touch_type,
+             |    p.p_us - t.t_us AS gap_us,
+             |    row_number() OVER (PARTITION BY p.purchase_id
+             |      ORDER BY t.t_us DESC, t.touch_id DESC) AS rn
+             |  FROM p JOIN t ON t.user_id = p.user_id
+             |    AND t.t_us < p.p_us
+             |    AND t.t_us >= p.p_us - 3600000000)
+             |SELECT purchase_id, touch_id, touch_type, gap_us
+             |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
+    // RFM segmentation (recency / frequency / monetary quintiles — the
+    // classic behavioral scoring): per user, hours since their last
+    // event (vs the stream's max timestamp), event count, and the
+    // 2-dp-rounded value total; each dimension scores 1-5 by ntile with
+    // the user_id tie-break, composed as r·100 + f·10 + m. The ntiles
+    // here are exact windows over the PER-USER aggregate (one row per
+    // user); at 1e9 users the cutoffs would come from approx quantiles
+    // instead — the aggregation shape is unchanged.
+    QueryDef(
+      "q_events_rfm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = load(s, dir, "events")
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("f"),
+            round(sum(col("value")), 2).as("m"))
+        val maxTs = perUser.agg(max(col("last_us")).as("max_us"))
+        perUser.crossJoin(broadcast(maxTs))
+          .withColumn("r_hours",
+            expr("(max_us - last_us) div 3600000000L"))
+          .withColumn("r_score",
+            ntile(5).over(Window.orderBy(col("r_hours"), col("user_id"))))
+          .withColumn("f_score",
+            ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))))
+          .withColumn("m_score",
+            ntile(5).over(Window.orderBy(col("m").desc, col("user_id"))))
+          .withColumn("rfm",
+            col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .select(col("user_id"), col("r_hours"), col("f"), col("m"),
+            col("r_score"), col("f_score"), col("m_score"), col("rfm"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+             |    count(*) AS f, round(sum(value), 2) AS m
+             |  FROM events GROUP BY user_id),
+             |x AS (SELECT max(last_us) AS max_us FROM u),
+             |sc AS (
+             |  SELECT user_id,
+             |    (x.max_us - last_us) // 3600000000 AS r_hours, f, m,
+             |    CAST(ntile(5) OVER (ORDER BY (x.max_us - last_us)
+             |      // 3600000000, user_id) AS INT) AS r_score,
+             |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INT)
+             |      AS f_score,
+             |    CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INT)
+             |      AS m_score
+             |  FROM u, x)
+             |SELECT user_id, r_hours, f, m, r_score, f_score, m_score,
+             |  r_score * 100 + f_score * 10 + m_score AS rfm
+             |FROM sc ORDER BY user_id""".stripMargin)),
+
     // Holt linear-trend (double exponential) smoothing over per-type
     // hourly counts (Holt 1957 — the EWMA upgrade that tracks a trend;
     // level+trend is the one-step forecast behind capacity dashboards):

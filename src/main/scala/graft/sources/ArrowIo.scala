@@ -296,53 +296,58 @@ object ArrowIo {
     * files empty). */
   def decodeBlobs(files: DataFrame, schemaJson: String): DataFrame = {
     val st = toSparkSchema(Schema.fromJSON(schemaJson))
-    val width = st.length
     files.select(col("content"))
       .flatMap { (r: Row) =>
-        val bytes = r.getAs[Array[Byte]](0)
-        if (bytes == null) Iterator.empty
-        else {
-          val allocator = new RootAllocator()
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          val ch = new org.apache.arrow.vector.util
-            .ByteArrayReadableSeekableByteChannel(bytes)
-          try {
-            val reader = new ArrowFileReader(ch, allocator)
-            try {
-              val root = reader.getVectorSchemaRoot
-              if (root.getSchema.toJson == schemaJson) {
-                // mid-file decode failure (a footer that lied) keeps the
-                // batches decoded before it — EXACTLY the batch reader's
-                // truncation rule, so stream ≡ batch holds on corrupt
-                // inputs too
-                while (reader.loadNextBatch()) {
-                  var i = 0
-                  val nRows = root.getRowCount
-                  while (i < nRows) {
-                    val vals = new Array[Any](width)
-                    var c = 0
-                    while (c < width) {
-                      val vec = root.getVector(c)
-                      vals(c) =
-                        if (vec.isNull(i)) null
-                        else fromArrowValue(vec.getObject(i))
-                      c += 1
-                    }
-                    out += Row.fromSeq(vals.toIndexedSeq)
-                    i += 1
-                  }
-                }
-              }
-            } finally reader.close()
-          } catch {
-            case scala.util.control.NonFatal(_) => () // keep decoded rows
-          } finally {
-            try allocator.close()
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
-          out.iterator
-        }
+        decodeOneBlob(r.getAs[Array[Byte]](0), schemaJson).iterator
       }(org.apache.spark.sql.Encoders.row(st))
+  }
+
+  /** One blob's rows under `schemaJson` — the pure-JVM core of
+    * [[decodeBlobs]] (fuzzed directly by ContainerProps, no Spark
+    * session): unreadable/truncated-footer/schema-mismatched bytes
+    * yield nothing, a mid-file decode failure (a footer that lied)
+    * keeps the batches decoded before it — EXACTLY the batch reader's
+    * truncation rule, so stream ≡ batch holds on corrupt inputs too.
+    * NEVER throws on malformed input. */
+  private[graft] def decodeOneBlob(bytes: Array[Byte],
+                                   schemaJson: String): Vector[Row] = {
+    if (bytes == null) return Vector.empty
+    val width = toSparkSchema(Schema.fromJSON(schemaJson)).length
+    val allocator = new RootAllocator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val ch = new org.apache.arrow.vector.util
+      .ByteArrayReadableSeekableByteChannel(bytes)
+    try {
+      val reader = new ArrowFileReader(ch, allocator)
+      try {
+        val root = reader.getVectorSchemaRoot
+        if (root.getSchema.toJson == schemaJson) {
+          while (reader.loadNextBatch()) {
+            var i = 0
+            val nRows = root.getRowCount
+            while (i < nRows) {
+              val vals = new Array[Any](width)
+              var c = 0
+              while (c < width) {
+                val vec = root.getVector(c)
+                vals(c) =
+                  if (vec.isNull(i)) null
+                  else fromArrowValue(vec.getObject(i))
+                c += 1
+              }
+              out += Row.fromSeq(vals.toIndexedSeq)
+              i += 1
+            }
+          }
+        }
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => () // keep decoded rows
+    } finally {
+      try allocator.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    out.toVector
   }
 
   /** Scan a directory of `.arrow` IPC files into a DataFrame. One task

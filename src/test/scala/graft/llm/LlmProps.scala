@@ -223,4 +223,78 @@ object LlmProps extends Properties("graft.llm") {
         Prop(ok)
       } finally graft.core.Fs.deleteTree(root)
     }
+
+  // -- gridDbscan ------------------------------------------------------------
+
+  private val ptGen: Gen[(Double, Double)] = for {
+    xi <- Gen.chooseNum(-8, 8); yi <- Gen.chooseNum(-8, 8)
+  } yield (xi / 2.0, yi / 2.0) // quarter-cell grid at eps=1 forces collisions
+
+  property("gridDbscan: same-cell points share a label; noise iff the 3x3 " +
+      "neighborhood is below minPts; adjacent dense cells merge") =
+    forAll(Gen.chooseNum(2, 6), Gen.nonEmptyListOf(ptGen)) { (minPts, pts) =>
+      import SparkSpec.spark.implicits._
+      val eps = 1.0
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = Density.gridDbscan(df, eps, minPts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Caches.release(); SparkSpec.spark.catalog.clearCache()
+      // Scala reference of the cell geometry
+      def cell(p: (Double, Double)) =
+        (math.floor(p._1 / eps).toLong, math.floor(p._2 / eps).toLong)
+      val byCell = pts.indices.groupBy(i => cell(pts(i)))
+      val counts = byCell.view.mapValues(_.size).toMap
+      def neigh(c: (Long, Long)) = (for {
+        dx <- -1 to 1; dy <- -1 to 1
+      } yield counts.getOrElse((c._1 + dx, c._2 + dy), 0)).sum
+      val dense = counts.keySet.filter(c => neigh(c) >= minPts)
+      val sameCell = byCell.values.forall(ids =>
+        ids.map(i => got(i.toLong)).toSet.size == 1)
+      val noiseRule = pts.indices.forall { i =>
+        (got(i.toLong) == -1L) == !dense(cell(pts(i)))
+      }
+      val mergeRule = (for {
+        a <- dense; b <- dense
+        if math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1
+      } yield (byCell(a).head, byCell(b).head)).forall {
+        case (i, j) => got(i.toLong) == got(j.toLong)
+      }
+      sameCell && noiseRule && mergeRule
+    }
+
+  // -- kCenterGreedy ----------------------------------------------------------
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(3, Gen.chooseNum(-10, 10).map(_ / 2.0f)).map(_.toSeq)
+
+  property("kCenterGreedy: distinct selections, non-increasing selection " +
+      "distances, and the Gonzalez coverage bound") =
+    forAll(Gen.chooseNum(2, 5), Gen.nonEmptyListOf(vecGen)) { (k, vecs) =>
+      import SparkSpec.spark.implicits._
+      val kk = math.min(k, vecs.size)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val sel = Clustering.kCenterGreedy(df, "vec_id", "embedding", kk)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      SparkSpec.spark.catalog.clearCache()
+      def q(v: Seq[Float]): Seq[Long] =
+        v.map(x => math.floor(x.toDouble * 1000).toLong)
+      def d2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val qs = vecs.map(q)
+      val selIds = sel.map(_._2)
+      val distinctSel = selIds.distinct.length == selIds.length
+      val ds = sel.drop(1).map(_._3)
+      val nonInc = ds.zip(ds.drop(1)).forall { case (a, b) => b <= a }
+      // coverage: every point's min distance to the selected set is at
+      // most the LAST selection distance (Gonzalez's 2-approx argument)
+      val lastD = if (ds.nonEmpty) ds.last else 0L
+      val coverage = sel.length < kk || vecs.indices.forall { i =>
+        val md = selIds.map(sid => d2(qs(i), qs(sid.toInt))).min
+        md <= lastD || selIds.contains(i.toLong)
+      }
+      distinctSel && nonInc && coverage
+    }
 }

@@ -100,4 +100,93 @@ object ContainerProps extends Properties("graft.sources.containers") {
       }
       got.size >= safe && got.size <= ms.size
     }
+
+  // -- Arrow IPC blobs ---------------------------------------------------------
+
+  /** A valid in-memory Arrow IPC file of (id, v) rows, built straight on
+    * the Arrow API (independent of the production writer) with `perBatch`
+    * rows per record batch. */
+  private def arrowOf(rows: Seq[(Long, String)], perBatch: Int): Array[Byte] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    val schema = new Schema(java.util.List.of(
+      new Field("id", new FieldType(false, new ArrowType.Int(64, true), null),
+        java.util.List.of[Field]()),
+      new Field("v", new FieldType(true, ArrowType.Utf8.INSTANCE, null),
+        java.util.List.of[Field]())))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    try {
+      w.start()
+      rows.grouped(math.max(perBatch, 1)).foreach { batch =>
+        root.allocateNew()
+        batch.zipWithIndex.foreach { case ((id, v), i) =>
+          root.getVector(0).asInstanceOf[BigIntVector].setSafe(i, id)
+          root.getVector(1).asInstanceOf[VarCharVector]
+            .setSafe(i, v.getBytes(StandardCharsets.UTF_8))
+        }
+        root.setRowCount(batch.size)
+        w.writeBatch()
+      }
+      w.end()
+    } finally { w.close(); root.close(); alloc.close() }
+    bos.toByteArray
+  }
+
+  private val arrowSchemaJson: String =
+    ArrowIo.toArrowSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true)))).toJson
+
+  private val arrowRowsGen: Gen[Seq[(Long, String)]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      v <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (id, v)).map(_.toSeq)
+
+  property("arrow roundtrip: externally-built IPC files decode row for " +
+    "row across batch boundaries") =
+    forAll(arrowRowsGen, Gen.chooseNum(1, 7)) { (rows, perBatch) =>
+      val got = ArrowIo.decodeOneBlob(arrowOf(rows, perBatch), arrowSchemaJson)
+      got.map(r => (r.getLong(0), r.getString(1))) == rows.toVector
+    }
+
+  property("arrow byte soup: arbitrary bytes never throw and decode to " +
+    "nothing") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      ArrowIo.decodeOneBlob(bs.toArray, arrowSchemaJson).isEmpty
+    }
+
+  property("arrow truncation: any prefix cut never throws and yields a " +
+    "prefix of the rows (usually empty — the footer IS the index)") =
+    forAll(arrowRowsGen, Gen.chooseNum(1, 7), Gen.choose(0.0, 1.0)) {
+      (rows, perBatch, frac) =>
+        val full = arrowOf(rows, perBatch)
+        val cut = java.util.Arrays.copyOfRange(full, 0,
+          (full.length * frac).toInt)
+        val got = ArrowIo.decodeOneBlob(cut, arrowSchemaJson)
+        got.map(r => (r.getLong(0), r.getString(1))) ==
+          rows.toVector.take(got.size)
+    }
+
+  property("arrow bit-flip: one corrupted byte never throws and always " +
+    "terminates (a flipped metadata count CAN inflate decoded rows with " +
+    "padding garbage — inherent to footer-indexed columnar files, which " +
+    "is why the engine's trust boundary is the whole-file checksum of " +
+    "the transport, not the container)") =
+    forAll(arrowRowsGen, Gen.chooseNum(1, 7), Gen.choose(0, Int.MaxValue),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)) { (rows, perBatch, posSeed, b) =>
+      val full = arrowOf(rows, perBatch)
+      val mut = full.clone()
+      if (mut.nonEmpty) mut(posSeed % mut.length) = b
+      ArrowIo.decodeOneBlob(mut, arrowSchemaJson)
+      true
+    }
 }
