@@ -230,11 +230,24 @@ class QueryPlanShapeSpec extends SparkSpec {
     // keys, never a theta join; density: 9-offset equi-joins + CC;
     // fs-linkage: rank-window candidates + attribute equi-joins
     for (q <- Seq("q_retrieval_phrase", "q_retrieval_proximity",
-        "q_cluster_density", "q_linkage_fs", "q_index_postings")) {
+        "q_cluster_density", "q_linkage_fs", "q_index_postings",
+        // attribution: the 1h lookback must ride the hour-band equi-join
+        "q_events_attribution")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested loop:\n$p")
+      graft.llm.Caches.release()
+      spark.catalog.clearCache()
+    }
+    // rfm / t-closeness / ann-recall carry a DELIBERATE bounded
+    // broadcast cross (the 1-row max-timestamp fold; the classes ×
+    // buckets grid; the 10-query exact brute-force side) — pin only
+    // that nothing data-sized shuffles into a cartesian
+    for (q <- Seq("q_events_rfm", "q_privacy_tcloseness",
+        "q_eval_ann_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       graft.llm.Caches.release()
       spark.catalog.clearCache()
     }
