@@ -669,6 +669,42 @@ object EventQueries {
              |    AS ewma_micro
              |FROM srt ORDER BY event_type""".stripMargin)),
 
+    // Top user journeys (path analysis — the "what do users actually
+    // do" product-analytics staple): each user's first five event types
+    // in (ts, event_id) order joined as a path string, counted, top 20
+    // paths by frequency (ties → path asc). The per-user slice is a
+    // bounded window (5 rows survive); the path census is one hash
+    // aggregation; the top-20 plans as TakeOrderedAndProject.
+    QueryDef(
+      "q_events_paths",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 5)
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(sort_array(collect_list(
+              struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), " > ").as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path")).limit(20)
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id,
+             |    string_agg(event_type, ' > ' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY user_id)
+             |SELECT path, count(*) AS n_users
+             |FROM p GROUP BY path
+             |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
     // Last-touch marketing attribution (the funnel's credit-assignment
     // step): every purchase attributes to the user's most recent click
     // or view within the hour before it. The time-band predicate

@@ -626,6 +626,12 @@ object ScaleCheck {
       // partition-local, so time tracks bytes and shuffle stays at the
       // final aggregate's partials (files ∝ factor holds per-container
       // size constant)
+      // round-13 session-2: attribution on the event-traffic axis (k×
+      // users over the same time range): purchases AND touches both
+      // grow k×, but the band join is per-user so candidates per
+      // purchase stay constant — shuffle must be linear
+      ("q_events_attribution", (dir, _) =>
+        graft.SparkEntry.queries("q_events_attribution")(spark, dir)),
       // round-13 session-2: Arrow IPC roundtrip on the same bytes axis
       // as the Avro row — write is the operator, files ∝ factor
       ("q_scan_arrow_roundtrip", (dir, f) => {
