@@ -326,11 +326,17 @@ object Clustering {
         .orderBy(col("md").desc, col(idCol)).limit(1)
         .select(col(idCol), col("qv"), col("md")).head()
       selected += ((step, sel.getLong(0), sel.getLong(2)))
-      val next = cur.crossJoin(broadcast(centerDf(sel)))
-        .withColumn("md", least(col("md"), dist2("cv"))).drop("cv")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      cur.unpersist()
-      cur = next
+      if (step < k - 1) {
+        val next = cur.crossJoin(broadcast(centerDf(sel)))
+          .withColumn("md", least(col("md"), dist2("cv"))).drop("cv")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize BEFORE dropping cur's cache — unpersisting first
+        // would force every later pass to rebuild the whole distance-
+        // update chain from q (O(k²·n) instead of the documented O(k·n))
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
       step += 1
     }
     cur.unpersist(); q.unpersist()

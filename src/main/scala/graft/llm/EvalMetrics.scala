@@ -347,8 +347,13 @@ object EvalMetrics {
         when(col("n_rel") === 0L, lit(0L))
           .otherwise(expr("hits * 1000000L div n_rel")))
       .withColumn("idcg",
+        // clamp the index to >= 1: a singleton label class gives
+        // n_rel = 0 and element_at(_, 0) throws UNCONDITIONALLY before
+        // the n_rel = 0 CASE below could short-circuit (Spark evaluates
+        // the column, DuckDB's CASE doesn't — the guard must live here)
         element_at(typedLit(prefix),
-          least(col("n_rel"), lit(k.toLong)).cast("int")))
+          greatest(least(col("n_rel"), lit(k.toLong)), lit(1L))
+            .cast("int")))
       .withColumn("ndcg_micro",
         when(col("n_rel") === 0L, lit(0L))
           .otherwise(expr("dcg * 1000000L div idcg")))

@@ -82,11 +82,14 @@ object Privacy {
     * DISTRIBUTION skews far from the table's. The ordered-attribute
     * earth-mover's distance is the published closed form
     * EMD = (1/(m−1))·Σ_b |cum_class(b) − cum_global(b)| over the m
-    * ordered buckets. INTEGER-EXACT via cross-multiplication: the
-    * per-bucket term is |cumC·N − cumG·n_c| (pure BIGINT), and the
-    * final ratio is ONE micro floor division by (m−1)·n_c·N — no float
-    * distribution ever materializes, so any engine replays the audit
-    * bit for bit.
+    * ordered buckets. The per-bucket terms and their sum are
+    * integer-exact via cross-multiplication (|cumC·N − cumG·n_c|, pure
+    * BIGINT — `emd_num` is bounded by m·n_c·N, safe to ~4e17 row-pair
+    * products); only the final ratio is ONE stated-order IEEE
+    * expression over those exact integers (emd_num/(m−1)/n_c/N·1e6,
+    * floored) — a `·1e6` BIGINT multiply would overflow six orders of
+    * magnitude earlier. No float distribution ever materializes, and
+    * both engines replay the same double ops bit for bit.
     *
     * Scale shape: one (class, bucket) hash aggregation over the data
     * (linear shuffle), then everything runs on the classes × buckets
@@ -126,8 +129,10 @@ object Privacy {
         first(col("m")).as("m"),
         first(col("n_total")).as("n_total"))
       .withColumn("emd_micro", expr(
-        "emd_num * 1000000L div (greatest(m - 1, 1L)" +
-          " * class_size * n_total)"))
+        "CAST(floor(CAST(emd_num AS DOUBLE)" +
+          " / CAST(greatest(m - 1, 1L) AS DOUBLE)" +
+          " / CAST(class_size AS DOUBLE) / CAST(n_total AS DOUBLE)" +
+          " * 1000000.0) AS BIGINT)"))
       .withColumn("t_close", col("emd_micro") <= tMicro)
       .select((quasi.map(col) :+ col("class_size") :+ col("emd_micro")
         :+ col("t_close")): _*)

@@ -993,10 +993,14 @@ object CurationQueries {
     // classic distribution-shift test behind A/B and canary checks):
     // D = max_b |cdfA(b) − cdfB(b)| over 0.01-width value bins, with the
     // deterministic even/odd event_id split as the two samples.
-    // INTEGER-EXACT via cross-multiplication: the per-bin term is
-    // |cumA·nB − cumB·nA| (pure BIGINT), the statistic is ONE micro
-    // floor division by nA·nB at the argmax — no float CDF ever
-    // materializes. Scale shape: one (type, bin) hash aggregation
+    // The per-bin term and the ARGMAX are integer-exact via
+    // cross-multiplication (|cumA·nB − cumB·nA|, pure BIGINT — safe to
+    // ~3e9 events per split); only the final statistic is ONE stated-
+    // order IEEE expression over those exact integers (diff/nA/nB·1e6,
+    // floored) — `diff·1e6` in BIGINT would overflow at ~3e6 events per
+    // split, far inside the query's claimed horizon. Both engines
+    // replay the same double ops bit for bit.
+    // Scale shape: one (type, bin) hash aggregation
     // (linear shuffle); the cumulative/argmax windows run per type over
     // the BOUNDED bin list (value range / 0.01), never the event stream.
     // Production-honest: binned KS is the published streaming/sketch
@@ -1026,7 +1030,9 @@ object CurationQueries {
             abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1)
-          .withColumn("ks_micro", expr("diff * 1000000L div (n_a * n_b)"))
+          .withColumn("ks_micro", expr(
+            "CAST(floor(CAST(diff AS DOUBLE) / CAST(n_a AS DOUBLE)" +
+              " / CAST(n_b AS DOUBLE) * 1000000.0) AS BIGINT)"))
           .select(col("event_type"), col("n_a"), col("n_b"),
             col("bin").as("at_bin"), col("ks_micro"))
           .orderBy(col("event_type"))
@@ -1057,7 +1063,9 @@ object CurationQueries {
              |      AS rn
              |  FROM c)
              |SELECT event_type, n_a, n_b, bin AS at_bin,
-             |  diff * 1000000 // (n_a * n_b) AS ks_micro
+             |  CAST(floor(CAST(diff AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |    / CAST(n_b AS DOUBLE) * 1000000.0) AS BIGINT)
+             |    AS ks_micro
              |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
     // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
@@ -1111,10 +1119,14 @@ object CurationQueries {
              |  FROM t
              |  GROUP BY c_nationkey, c_mktsegment, class_size)
              |SELECT c_nationkey, c_mktsegment, class_size,
-             |  emd_num * 1000000 // (greatest(m - 1, 1)
-             |    * class_size * n_total) AS emd_micro,
-             |  emd_num * 1000000 // (greatest(m - 1, 1)
-             |    * class_size * n_total) <= 250000 AS t_close
+             |  CAST(floor(CAST(emd_num AS DOUBLE)
+             |    / CAST(greatest(m - 1, 1) AS DOUBLE)
+             |    / CAST(class_size AS DOUBLE) / CAST(n_total AS DOUBLE)
+             |    * 1000000.0) AS BIGINT) AS emd_micro,
+             |  CAST(floor(CAST(emd_num AS DOUBLE)
+             |    / CAST(greatest(m - 1, 1) AS DOUBLE)
+             |    / CAST(class_size AS DOUBLE) / CAST(n_total AS DOUBLE)
+             |    * 1000000.0) AS BIGINT) <= 250000 AS t_close
              |FROM e ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
 
     // Population stability index (the credit-scoring drift standard;

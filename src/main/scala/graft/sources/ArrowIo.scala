@@ -122,10 +122,21 @@ object ArrowIo {
       b.setSafe(i, v.asInstanceOf[String]
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case b: VarBinaryVector => b.setSafe(i, v.asInstanceOf[Array[Byte]])
-    case _: ListVector =>
+    case l: ListVector =>
       lw.setPosition(i)
       lw.startList()
       v.asInstanceOf[scala.collection.Seq[_]].foreach {
+        case null => l.getDataVector match {
+          // null ELEMENTS are part of the declared surface (the schema
+          // maps containsNull to child nullability, and the reader
+          // decodes them) — write must be symmetric, not fail mid-batch
+          case _: Float4Vector => lw.float4().writeNull()
+          case _: Float8Vector => lw.float8().writeNull()
+          case _: BigIntVector => lw.bigInt().writeNull()
+          case _: IntVector => lw.integer().writeNull()
+          case other => throw new IllegalArgumentException(
+            s"arrow write: unsupported list child ${other.getClass.getName}")
+        }
         case f: Float => lw.float4().writeFloat4(f)
         case d: Double => lw.float8().writeFloat8(d)
         case n: Long => lw.bigInt().writeBigInt(n)
@@ -368,20 +379,31 @@ object ArrowIo {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(hc.conf)
         val allocator = new RootAllocator()
+        var ch: HadoopSeekableChannel = null
+        def closeQuietly(): Unit = {
+          if (ch != null)
+            try ch.close() catch { case _: java.io.IOException => () }
+          try allocator.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         val reader =
           try {
-            val ch = new HadoopSeekableChannel(fs.open(p),
+            ch = new HadoopSeekableChannel(fs.open(p),
               fs.getFileStatus(p).getLen)
             val r = new ArrowFileReader(ch, allocator)
             // footer + schema validate on first root access: ANY
-            // failure is a structurally unreadable file — quarantine
+            // failure is a structurally unreadable file — quarantine.
+            // EVERY quarantine path closes the Hadoop stream AND the
+            // allocator: a directory of corrupt files on a long-lived
+            // executor must not bleed fds or direct memory
             if (r.getVectorSchemaRoot.getSchema.toJson != expectedJson) {
-              r.close(); null
+              try r.close() catch { case _: java.io.IOException => () }
+              closeQuietly()
+              null
             } else r
           } catch {
             case scala.util.control.NonFatal(_) =>
-              try allocator.close()
-              catch { case scala.util.control.NonFatal(_) => () }
+              closeQuietly()
               null
           }
         if (reader == null) Iterator.empty

@@ -168,6 +168,22 @@ class RetrievalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rankingMetrics: a singleton label class (n_rel = 0) scores all " +
+      "zeros instead of crashing on the idcg lookup") {
+    val s = spark
+    import s.implicits._
+    // query 1's label is unique in the corpus -> n_rel = 0; Spark
+    // evaluates the idcg element_at column even under the n_rel=0 CASE,
+    // so an unclamped index 0 would throw INVALID_INDEX_OF_ZERO
+    val labels = Seq((1L, 99), (2L, 5), (3L, 5)).toDF("vec_id", "label")
+    val retrieved = Seq((1L, 1, 2L), (1L, 2, 3L))
+      .toDF("query_id", "rk", "cand_id")
+    val got = EvalMetrics.rankingMetrics(retrieved, labels, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("beamBigramDecode: width 1 follows the greedy path; width 2 " +
       "keeps the two best-scoring paths; dead-end beams die") {
     // from s: s->m (2), s->z (1). from m: m->a, m->b (1 each).

@@ -54,6 +54,28 @@ class ArrowIoSpec extends SparkSpec {
       && got(2).getAs[scala.collection.Seq[Float]]("vec").isEmpty)
   }
 
+  test("null LIST ELEMENTS roundtrip (containsNull surface is " +
+    "write-read symmetric)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(1.5f, null, -2.5f)),
+      Row(2L, Seq(null, null)),
+      Row(3L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tempDir("arrow_nullel").toString
+    assert(ArrowIo.writeArrow(df, dir, numFiles = 1) === 3L)
+    val got = ArrowIo.readArrow(spark, dir).orderBy("id").collect()
+    assert(got(0).getAs[scala.collection.Seq[Any]]("vec").toSeq
+      === Seq(1.5f, null, -2.5f))
+    assert(got(1).getAs[scala.collection.Seq[Any]]("vec").toSeq
+      === Seq(null, null))
+    assert(got(2).isNullAt(1))
+  }
+
   test("a file larger than one record batch roundtrips across the " +
     "batch boundary (4096-row batches)") {
     import SparkSpec.spark.implicits._
