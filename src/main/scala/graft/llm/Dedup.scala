@@ -869,6 +869,43 @@ object Dedup {
     * matching index rows, and the verify probes the stored signature
     * table for candidate ids only. Same output contract as
     * [[incrementalMinhashMatches]]: (batch_id, hist_id, est_jaccard). */
+  /** Delete documents from a persisted MinHash index — the
+    * right-to-be-forgotten lifecycle step (a takedown/GDPR request must
+    * remove a document's SIGNATURES, not just the corpus row: a banded
+    * index otherwise keeps flagging new copies of deleted content
+    * against phantom history). Rewrites both tiers without the deleted
+    * ids and publishes through the same atomic manifest-pointer swap as
+    * compaction, so an in-flight probe keeps reading the prior COMPLETE
+    * version and the layout contract (band partition dirs,
+    * range-distributed + bucket-sorted) is preserved.
+    *
+    * Scale shape: `ids` broadcasts into two anti-joins over one full
+    * read/rewrite of the index — deletion costs one compaction, so
+    * batch requests into one call (the published practice). O(index)
+    * I/O, O(ids) driver-free state, no windows. */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, ids: DataFrame): Unit = {
+    requireNoUncommittedIngest(indexPath, ingestKeyedDirs(indexPath))
+    val del = broadcast(
+      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val bandsV = IndexManifest.nextVersionDir(indexPath, "bands")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "bands"))
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("hist_id"))
+      .join(del, col("hist_id") === col("del_id"), "left_anti")
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexPath/$bandsV")
+    val sigsV = IndexManifest.nextVersionDir(indexPath, "sigs")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "sigs"))
+      .join(del, col("doc_id") === col("del_id"), "left_anti")
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode("overwrite").parquet(s"$indexPath/$sigsV")
+    IndexManifest.publish(indexPath, "bands", bandsV)
+    IndexManifest.publish(indexPath, "sigs", sigsV)
+  }
+
   def incrementalMinhashMatchesIndexed(batch: DataFrame, indexPath: String,
                                        textCol: String = "text",
                                        idCol: String = "doc_id"): DataFrame = {

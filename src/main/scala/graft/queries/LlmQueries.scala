@@ -2279,6 +2279,50 @@ object LlmQueries {
              |SELECT doc_id + 300000, true FROM documents WHERE doc_id < 20
              |ORDER BY probe_id""".stripMargin)),
 
+    // Index DELETION — the right-to-be-forgotten lifecycle step: write
+    // history, DELETE docs 0-19, then probe with planted copies of BOTH
+    // the deleted docs and retained ones. A probe of deleted content
+    // must NOT match its (removed) origin — phantom signatures are the
+    // failure mode this rewrite exists to prevent — while retained
+    // probes must still flag. The match filter is origin-keyed (hist_id
+    // = batch_id − offset), so an incidental cross-document signature
+    // collision cannot fake either verdict. Fresh overwrite per run.
+    QueryDef(
+      "q_dedup_index_delete",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 300)
+        val idx = s"${graft.core.Fs.scratchRoot}/mh_index_del"
+        Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
+          shingleSize = 5, maxBucketSize = 500)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          history.filter(col("doc_id") < 20).select(col("doc_id")))
+        val probes = history.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+          .unionByName(history
+            .filter(col("doc_id") >= 100 && col("doc_id") < 120)
+            .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+        val matches = Dedup.incrementalMinhashMatchesIndexed(probes, idx)
+        probes.select(col("doc_id").as("probe_id"))
+          .join(matches
+              .filter((col("hist_id") === col("batch_id") - 500000 ||
+                  col("hist_id") === col("batch_id") - 600000) &&
+                col("est_jaccard") >= 0.9999)
+              .select(col("batch_id").as("probe_id"),
+                lit(true).as("origin_dup"))
+              .distinct(),
+            Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("origin_dup"), lit(false)).as("origin_dup"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""SELECT doc_id + 500000 AS probe_id, false AS origin_dup
+             |FROM documents WHERE doc_id < 20
+             |UNION ALL
+             |SELECT doc_id + 600000, true FROM documents
+             |WHERE doc_id >= 100 AND doc_id < 120
+             |ORDER BY probe_id""".stripMargin)),
+
     // BPE merge-table learning (Sennrich et al. 2016): the first 8 merges
     // over the whitespace word-frequency table, counts weighted by word
     // frequency, ties to the lexicographically smallest pair. The corpus

@@ -260,6 +260,35 @@ class LlmSpec extends SparkSpec {
       s"compaction must shrink the file count ($filesBefore -> ${bandFiles()})")
   }
 
+  test("deleteFromMinhashIndex removes a doc's signatures from BOTH " +
+      "tiers, publishes a new version, and leaves every other doc's " +
+      "reader output untouched") {
+    import SparkSpec.spark.implicits._
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, s"document number $i with some repeated filler words $i"))
+      .toDF("doc_id", "text")
+    val idx = tempDir("graft-mh-delete-").toString + "/idx"
+    Dedup.writeMinhashIndex(mk(0L until 30L), idx,
+      numHashes = 32, bands = 8, shingleSize = 5)
+    val probe = mk(Seq(5L, 12L))
+      .select((col("doc_id") + 9000).as("doc_id"), col("text"))
+    def matches() = Dedup.incrementalMinhashMatchesIndexed(probe, idx)
+      .collect().filter(_.getDouble(2) >= 0.999)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches().map(_._2) == Set(5L, 12L))
+    val bandsBefore = IndexManifest.resolve(idx, "bands")
+    Dedup.deleteFromMinhashIndex(spark, idx, Seq(5L).toDF("doc_id"))
+    // deleted doc gone from both tiers; retained twin still flags
+    assert(matches().map(_._2) == Set(12L),
+      "deleted doc must stop matching; retained docs must not")
+    assert(spark.read.parquet(IndexManifest.resolve(idx, "sigs"))
+      .filter(col("doc_id") === 5L).isEmpty)
+    assert(spark.read.parquet(IndexManifest.resolve(idx, "bands"))
+      .filter(col("hist_id") === 5L).isEmpty)
+    // published as a NEW version (snapshot semantics, not in-place)
+    assert(IndexManifest.resolve(idx, "bands") != bandsBefore)
+  }
+
   test("compactMinhashIndex re-applies the global hot-bucket cap that " +
       "appends can only honor within their own rows") {
     import SparkSpec.spark.implicits._
