@@ -355,6 +355,34 @@ object Similarity {
     Dedup.pruneCommitMarkers(indexPath)
   }
 
+  /** Delete vectors from a persisted IVF index — the ANN mirror of
+    * [[Dedup.deleteFromMinhashIndex]] (a takedown must remove the
+    * POSTINGS, or probes keep surfacing deleted content as neighbors):
+    * one broadcast anti-join over a full postings rewrite preserving
+    * the cell layout (partition dirs, range-distributed + id-sorted),
+    * published through the same atomic manifest-pointer swap — an
+    * in-flight probe keeps reading the prior COMPLETE version. The
+    * quantizer tiers (centroids/codebooks) are FROZEN model state with
+    * no per-document rows, so they carry nothing to delete. O(index)
+    * I/O = one compaction; batch requests into one call. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, ids: DataFrame): Unit = {
+    Dedup.requireNoUncommittedIngest(indexPath,
+      Dedup.ingestKeyedDirs(indexPath))
+    val del = broadcast(
+      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val postingsV = IndexManifest.nextVersionDir(indexPath, "postings")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
+      .select(col("cell").cast("int").as("cell"), col("cand_id"),
+        col("c_vec"), col("c_norm"))
+      .join(del, col("cand_id") === col("del_id"), "left_anti")
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("cand_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/$postingsV")
+    IndexManifest.publish(indexPath, "postings", postingsV)
+  }
+
   /** One micro-batch of the CLOSED embedding ingest loop — the ANN
     * mirror of [[Dedup.ingestBatchIntoMinhashIndex]] and the streaming
     * form of SemDeDup: match `batch` vectors against the persisted IVF

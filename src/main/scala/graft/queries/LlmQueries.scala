@@ -926,6 +926,32 @@ object LlmQueries {
       },
       Some(annTwinGateSql)),
 
+    // IVF index DELETION — the ANN right-to-be-forgotten mirror of
+    // q_dedup_index_delete: write the index WITH all ten planted twins,
+    // delete five of them, and probe. A deleted twin must stop
+    // surfacing at top-1 (phantom postings are the failure mode), while
+    // the retained five still gate exactly as before — same frozen
+    // quantizer, same probe path, one anti-joined postings rewrite
+    // published via the manifest swap. Fresh overwrite per run.
+    QueryDef(
+      "q_sim_ivf_index_delete",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val idx = s"${graft.core.Fs.scratchRoot}/ivf_index_del"
+        Similarity.writeIvfIndex(corpus, idx, nlist = 16)
+        Similarity.deleteFromIvfIndex(s, idx,
+          queries.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 100000).as("vec_id")))
+        annTwinGate(queries,
+          Similarity.ivfTopKIndexed(queries, idx, k = 5, nprobe = 4))
+      },
+      Some("""SELECT vec_id AS query_id, vec_id >= 5 AS twin_top1
+             |FROM embeddings WHERE vec_id < 10
+             |ORDER BY query_id""".stripMargin)),
+
     // IVF index MAINTENANCE: train + write on the base corpus, then
     // APPEND the planted twins with the STORED centroids (quantizer
     // frozen — the FAISS add-after-train contract; retraining would
