@@ -613,6 +613,44 @@ object Similarity {
     Dedup.pruneCommitMarkers(indexPath)
   }
 
+  /** Delete vectors from a persisted IVF-PQ index — BOTH per-document
+    * tiers rewrite (the ADC code postings AND, when stored, the raw
+    * refine vectors; a takedown that left either tier would keep
+    * surfacing deleted content in one scan mode). Same contract as
+    * [[deleteFromIvfIndex]]: broadcast anti-joins, cell layout
+    * preserved, manifest-swap published; codebook/centroid tiers are
+    * frozen model state with nothing per-document. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, ids: DataFrame): Unit = {
+    Dedup.requireNoUncommittedIngest(indexPath,
+      Dedup.ingestKeyedDirs(indexPath))
+    val del = broadcast(
+      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
+      .select(col("cell").cast("int").as("cell"), col("cand_id"),
+        col("code"), col("c_norm"))
+      .join(del, col("cand_id") === col("del_id"), "left_anti")
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"), col("cand_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/$codesV")
+    IndexManifest.publish(indexPath, "codes", codesV)
+    if (loadPq(spark, indexPath)._2) {
+      val vecsV = IndexManifest.nextVersionDir(indexPath, "vectors")
+      spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
+        .select(col("cell").cast("int").as("cell"), col("cand_id"),
+          col("c_vec"), col("c_norm"))
+        .join(del, col("cand_id") === col("del_id"), "left_anti")
+        .repartitionByRange(col("cell"))
+        .sortWithinPartitions(col("cell"), col("cand_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexPath/$vecsV")
+      IndexManifest.publish(indexPath, "vectors", vecsV)
+    }
+  }
+
+
   /** The [[compactIvfIndexIfNeeded]] hook for the IVF-PQ index: compact
     * when any CODES cell dir's live parquet-file count exceeds the bar
     * (the ADC scan's per-probe cost measure; the refine tier decays in

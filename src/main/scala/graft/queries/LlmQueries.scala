@@ -1000,6 +1000,31 @@ object LlmQueries {
       },
       Some(annTwinGateSql)),
 
+    // IVF-PQ index DELETION — the takedown must clear BOTH per-document
+    // tiers (code postings AND raw refine vectors): a tier left behind
+    // keeps surfacing deleted content in one scan mode. Same
+    // twin-gate-with-deletions contract as the IVF mirror.
+    QueryDef(
+      "q_sim_ivfpq_index_delete",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val queries = base.filter(col("vec_id") < 10)
+        val corpus = base.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_index_del"
+        Similarity.writeIvfPqIndex(corpus, idx, nlist = 16, m = 8,
+          ksub = 16)
+        Similarity.deleteFromIvfPqIndex(s, idx,
+          queries.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 100000).as("vec_id")))
+        annTwinGate(queries,
+          Similarity.ivfPqTopKIndexed(queries, idx, k = 5, nprobe = 4,
+            refine = 4))
+      },
+      Some("""SELECT vec_id AS query_id, vec_id >= 5 AS twin_top1
+             |FROM embeddings WHERE vec_id < 10
+             |ORDER BY query_id""".stripMargin)),
+
     // ADC-ONLY IVF-PQ index (storeVectors = false) — the FAISS
     // no-refine deployment where storing d floats per vector is
     // exactly the cost PQ exists to avoid: the index is codes +
