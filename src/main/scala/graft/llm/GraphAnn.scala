@@ -357,6 +357,57 @@ object GraphAnn {
     * table — a columnar scan with zero shuffle; the per-query cost
     * amortizes across the batched query set, which is the batch-engine
     * form of the HNSW walk. */
+  /** Delete vectors from a persisted k-NN-graph index — the graph
+    * member of the takedown family ([[Similarity.deleteFromIvfIndex]]):
+    * a deleted node must leave the CODES (or it still scores), its OWN
+    * out-edges, AND every other node's edge LIST (a dangling dst would
+    * keep routing walks toward — and surfacing — removed content).
+    * Both per-document tiers rewrite via broadcast anti-joins (edges
+    * drop when EITHER endpoint is deleted) and publish through the
+    * manifest swap; if the entry point itself was deleted, a new one is
+    * re-derived from the surviving codes by the SAME md5-argmin rule
+    * (`seed` must be the build seed). Surviving nodes whose lists
+    * shrank keep their remaining edges — the HNSW hard-delete
+    * trade-off: recall degrades gracefully with deletion volume, and a
+    * heavily-deleted graph warrants a rebuild (the drifted-quantizer
+    * rule, DESIGN.md §3). */
+  def deleteFromKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, ids: DataFrame,
+                              seed: Long = 42L): Unit = {
+    Dedup.requireNoUncommittedIngest(indexPath,
+      Dedup.ingestKeyedDirs(indexPath))
+    val del = broadcast(
+      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
+    val survivors = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "codes"))
+      .join(del, col("id") === col("del_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    survivors.write.mode("overwrite").parquet(s"$indexPath/$codesV")
+    val graphV = IndexManifest.nextVersionDir(indexPath, "graph")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
+      .join(del, col("src") === col("del_id"), "left_anti")
+      .join(del, col("dst") === col("del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexPath/$graphV")
+    val entryDeleted = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "entry"))
+      .join(del, col("cand_id") === col("del_id"), "left_semi")
+      .limit(1).count() > 0
+    if (entryDeleted) {
+      val entryV = IndexManifest.nextVersionDir(indexPath, "entry")
+      survivors
+        .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
+          col("id"))
+        .limit(1)
+        .select(col("id").as("cand_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$entryV")
+      IndexManifest.publish(indexPath, "entry", entryV)
+    }
+    survivors.unpersist(blocking = false)
+    IndexManifest.publish(indexPath, "codes", codesV)
+    IndexManifest.publish(indexPath, "graph", graphV)
+  }
+
   def searchKnnGraphIndexed(queries: DataFrame, indexPath: String,
                             k: Int, beam: Int, steps: Int,
                             vecCol: String = "embedding",

@@ -216,6 +216,43 @@ object GraphAnnQueries {
              |FROM embeddings WHERE vec_id < 10
              |ORDER BY query_id""".stripMargin)),
 
+    // k-NN-graph index DELETION — the graph member of the takedown
+    // family, composed over the append path (so deletion is tested on
+    // EXACTLY the rows the insert rule wired in): append all ten twins,
+    // delete five, search. A deleted twin must vanish from codes, its
+    // own out-edges AND every reverse edge list (a dangling dst would
+    // keep routing walks to removed content); the retained five must
+    // still gate at rank 1 / sim 1e6 through the rewritten graph.
+    QueryDef(
+      "q_sim_graph_index_delete",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val idx = s"${graft.core.Fs.scratchRoot}/knn_graph_idx_del"
+        GraphAnn.writeKnnGraphIndex(emb, idx, k = 16, rounds = 6,
+          seed = 42L)
+        GraphAnn.appendToKnnGraphIndex(
+          queries.select((col("vec_id") + 100000).as("vec_id"),
+            col("embedding")), idx)
+        GraphAnn.deleteFromKnnGraphIndex(s, idx,
+          queries.filter(col("vec_id") < 5)
+            .select((col("vec_id") + 100000).as("vec_id")), seed = 42L)
+        val top = GraphAnn.searchKnnGraphIndexed(queries, idx,
+          k = 5, beam = 8, steps = 4)
+        queries.select(col("vec_id").as("query_id"))
+          .join(top.filter(col("rk") === 1)
+            .select(col("query_id"),
+              (col("cand_id") === col("query_id") + 100000 &&
+                col("sim_key") === 1000000L).as("ok")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("ok"), lit(false)).as("twin_top1"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, vec_id >= 5 AS twin_top1
+             |FROM embeddings WHERE vec_id < 10
+             |ORDER BY query_id""".stripMargin)),
+
     // END-TO-END model-free similar-document graph: documents → hashed
     // TF-IDF dense vectors (Featurize.hashedTfidfDense, exact integers)
     // → NN-Descent k-NN graph. The oracle replays the WHOLE composition

@@ -219,4 +219,32 @@ class GraphAnnSpec extends SparkSpec {
     assert(hits >= (total * 0.9).toLong,
       s"recall ${hits.toDouble / total} below 0.9")
   }
+
+  test("deleteFromKnnGraphIndex: deleting the ENTRY node re-derives a " +
+      "surviving entry by the build rule and search still walks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idx = tempDir("graft-knn-del-").toString + "/idx"
+    GraphAnn.writeKnnGraphIndex(emb, idx, k = 8, rounds = 3, seed = 42L)
+    import SparkSpec.spark.implicits._
+    val entryBefore = spark.read
+      .parquet(IndexManifest.resolve(idx, "entry")).head.getLong(0)
+    GraphAnn.deleteFromKnnGraphIndex(spark, idx,
+      Seq(entryBefore).toDF("vec_id"), seed = 42L)
+    val entryAfter = spark.read
+      .parquet(IndexManifest.resolve(idx, "entry")).head.getLong(0)
+    assert(entryAfter != entryBefore)
+    // the deleted node is gone from every tier
+    assert(spark.read.parquet(IndexManifest.resolve(idx, "codes"))
+      .filter(col("id") === entryBefore).isEmpty)
+    val g = spark.read.parquet(IndexManifest.resolve(idx, "graph"))
+    assert(g.filter(col("src") === entryBefore
+      || col("dst") === entryBefore).isEmpty)
+    // search from the re-derived entry still returns ranked results
+    val out = GraphAnn.searchKnnGraphIndexed(
+      emb.filter(col("vec_id") < 3), idx, k = 3, beam = 8, steps = 4)
+    assert(out.count() > 0)
+    assert(out.filter(col("cand_id") === entryBefore).isEmpty,
+      "deleted node must never surface as a result")
+  }
 }
