@@ -136,10 +136,17 @@ object Bench {
     // round-13 ops (fuzzy paragraph dedup 1.2 s, WebDataset roundtrip
     // 0.2 s) stay off per the sub-2 s policy
     "q_sim_margin_ann",       // bidirectional IVF k-NN + margin tail
-    // round-13 session-2 addition (first frozen budget in BASELINE.md):
-    // grid-DBSCAN pays its CC rounds per run; the other ten session-2
-    // ops measured 0.27-1.6 s and stay off per the sub-2 s policy
-    "q_cluster_density")      // eps-grid density clustering + CC
+    // round-13 session-2 additions (first frozen budgets in
+    // BASELINE.md): grid-DBSCAN pays its CC rounds per run; the four
+    // takedown queries pay their FULL index lifecycle (write [+append]
+    // + delete rewrite + probe) per rep by the round-9 contract; the
+    // other session-2 ops measured 0.27-1.6 s and stay off per the
+    // sub-2 s policy
+    "q_cluster_density",      // eps-grid density clustering + CC
+    "q_dedup_index_delete",   // MinHash write + anti-join rewrite + probe
+    "q_sim_ivf_index_delete", // IVF write + postings rewrite + probe
+    "q_sim_ivfpq_index_delete", // IVF-PQ two-tier delete rewrite + probe
+    "q_sim_graph_index_delete") // graph build + append + delete + search
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
