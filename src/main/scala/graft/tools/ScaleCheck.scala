@@ -626,6 +626,24 @@ object ScaleCheck {
       // partition-local, so time tracks bytes and shuffle stays at the
       // final aggregate's partials (files ∝ factor holds per-container
       // size constant)
+      // round-13 session-2: index deletion on the index-size axis —
+      // write a k× index, delete a FIXED 20-id batch, probe. The claim
+      // under test: delete cost = one compaction (one full read+rewrite,
+      // linear in index size; the fixed request batch adds nothing)
+      ("q_index_delete_mh", (dir, _) => {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val idx = s"$synthRoot/mh_del_sc"
+        graft.core.Fs.deleteTree(idx)
+        Dedup.writeMinhashIndex(docs, idx, numHashes = 64, bands = 16,
+          shingleSize = 5, maxBucketSize = 500)
+        Dedup.deleteFromMinhashIndex(spark, idx,
+          docs.filter(col("doc_id") < 20).select(col("doc_id")))
+        Dedup.incrementalMinhashMatchesIndexed(
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+            .select((col("doc_id") + 900000).as("doc_id"), col("text")),
+          idx)
+      }),
       // round-13 session-2: attribution on the event-traffic axis (k×
       // users over the same time range): purchases AND touches both
       // grow k×, but the band join is per-user so candidates per
