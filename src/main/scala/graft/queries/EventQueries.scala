@@ -669,6 +669,64 @@ object EventQueries {
              |    AS ewma_micro
              |FROM srt ORDER BY event_type""".stripMargin)),
 
+    // DYNAMIC-gap session windows (the Spark-4 gap-expression form of
+    // q_events_session): the inactivity gap depends on the EVENT — an
+    // error tightens it to 2 minutes, everything else keeps 5 — the
+    // shape real sessionization uses (checkout pages get longer grace
+    // than errors). The oracle replays Spark's merge rule exactly via
+    // gaps-and-islands over the running cumulative MAX of per-event
+    // window ends (an event joins the session iff its µs start is
+    // under that max), all in integer microseconds.
+    QueryDef(
+      "q_events_session_dynamic",
+      (s, dir) => {
+        // NOTE: the gap expression must be CalendarIntervalType — ANSI
+        // INTERVAL literals parse as DayTimeInterval and are rejected;
+        // string gaps coerce correctly
+        val gap = when(col("event_type") === "error", lit("2 minutes"))
+          .otherwise(lit("5 minutes"))
+        load(s, dir, "events")
+          .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_errors"))
+          .select(col("user_id"),
+            date_trunc("second", col("w.start")).as("session_start"),
+            col("n_events"), col("n_errors"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts, event_type,
+             |    epoch_us(ts) AS t_us,
+             |    epoch_us(ts) + CASE WHEN event_type = 'error'
+             |      THEN 120000000 ELSE 300000000 END AS end_us
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, ts, event_type, t_us,
+             |    max(end_us) OVER (PARTITION BY user_id
+             |      ORDER BY t_us, end_us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_max_end
+             |  FROM d),
+             |f AS (
+             |  SELECT user_id, ts, event_type,
+             |    CASE WHEN prev_max_end IS NULL
+             |           OR t_us >= prev_max_end THEN 1 ELSE 0 END AS new_s
+             |  FROM m),
+             |g AS (
+             |  SELECT user_id, ts, event_type,
+             |    sum(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts)
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sid
+             |  FROM f)
+             |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+             |  count(*) AS n_events,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_errors
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Top user journeys (path analysis — the "what do users actually
     // do" product-analytics staple): each user's first five event types
     // in (ts, event_id) order joined as a path string, counted, top 20
