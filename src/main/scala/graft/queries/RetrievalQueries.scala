@@ -36,16 +36,24 @@ object RetrievalQueries {
     // Positional inverted index: one posting per (term, doc_id) with the
     // sorted occurrence positions and tf — one tokenize scan + one hash
     // aggregation (linear shuffle in token volume; see
-    // Retrieval.positionalPostings for the layout rationale).
+    // Retrieval.positionalPostings for the layout rationale). Output
+    // discipline: the positions list rides the comparison as a
+    // comma-joined string (the harness's canonical sort cannot hash raw
+    // list cells — the q_array_funcs rule), exact either way since
+    // positions are ints.
     QueryDef(
       "q_index_postings",
       (s, dir) => {
         Retrieval.positionalPostings(load(s, dir, "documents"))
+          .select(col("term"), col("doc_id"),
+            expr("array_join(transform(positions, p -> cast(p as string)), ',')")
+              .as("positions"),
+            col("tf"))
           .orderBy(col("term"), col("doc_id"))
       },
       Some(s"""WITH $tokSql
              |SELECT term, doc_id,
-             |  list(pos ORDER BY pos) AS positions,
+             |  array_to_string(list(pos ORDER BY pos), ',') AS positions,
              |  count(*) AS tf
              |FROM tok GROUP BY term, doc_id
              |ORDER BY term, doc_id""".stripMargin)),

@@ -614,7 +614,19 @@ object SourceQueries {
           graft.sources.ArrowIo.writeArrow(src, p, numFiles = 4)
           p
         })
-        graft.sources.ArrowIo.readArrow(s, out).orderBy(col("vec_id"))
+        // The list<float> column rides the comparison as (dim, md5 of
+        // floor-quantized elements): both engines widen the SAME float
+        // bits to double and multiply/floor in IEEE double, so the
+        // digest is deterministic with no rounding-parity risk — and
+        // the harness's canonical sort never sees a raw list cell.
+        graft.sources.ArrowIo.readArrow(s, out)
+          .select(col("vec_id"), col("label"), col("dval"), col("flag"),
+            col("tag"), col("fp"),
+            size(col("embedding")).as("emb_dim"),
+            expr("md5(array_join(transform(embedding, x -> cast(cast(" +
+              "floor(cast(x as double) * cast(100000 as double)) as bigint" +
+              ") as string)), ','))").as("emb_md5"))
+          .orderBy(col("vec_id"))
       },
       Some("""SELECT vec_id, label,
              |  vec_id * CAST(0.5 AS DOUBLE) AS dval,
@@ -622,7 +634,10 @@ object SourceQueries {
              |  CASE WHEN vec_id % 7 = 0 THEN NULL
              |       ELSE 'v' || CAST(vec_id AS VARCHAR) END AS tag,
              |  unhex(md5(CAST(vec_id AS VARCHAR))) AS fp,
-             |  embedding
+             |  len(embedding) AS emb_dim,
+             |  md5(array_to_string(list_transform(embedding, x -> CAST(CAST(
+             |    floor(CAST(x AS DOUBLE) * CAST(100000 AS DOUBLE)) AS BIGINT
+             |  ) AS VARCHAR)), ',')) AS emb_md5
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // WebDataset tar shards — the published multimodal training-data
