@@ -21,6 +21,42 @@ class SparkEntrySpec extends AnyFunSuite {
     })
   }
 
+  test("no registered query emits a top-level container column") {
+    // The driver harness canonical-sorts result frames via pandas; a raw
+    // array/map/struct cell is unhashable there and reds the row even
+    // when the engine math is exact (rounds 12-13: q_sim_margin_pairs,
+    // q_index_postings, q_scan_arrow). Queries must reduce containers to
+    // scalars/strings (array_join / md5-digest / to_json) before
+    // registering — this pins that contract for every current and
+    // future query.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def container(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    def offenders(schema: StructType): Seq[String] =
+      schema.fields.collect {
+        case f if container(f.dataType) => s"${f.name}:${f.dataType.simpleString}"
+      }.toSeq
+    // the checker itself must reject a planted violation
+    assert(offenders(SparkSpec.spark.sql(
+      "SELECT array(1, 2) AS xs, map('a', 1) AS m, struct(1 AS a) AS st, 1 AS n"
+    ).schema) === Seq("xs:array<int>", "m:map<string,int>", "st:struct<a:int>"))
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val off =
+        try offenders(fn(SparkSpec.spark, SparkSpec.sfDir).schema)
+        catch { case e: Throwable =>
+          Seq(s"<query failed to build: ${e.getClass.getSimpleName}>")
+        }
+      // release per-query persist()s the same way Verify does, or cached
+      // blocks accumulate for the life of the suite JVM
+      graft.llm.Caches.release()
+      SparkSpec.spark.catalog.clearCache()
+      if (off.isEmpty) None else Some(s"$name -> ${off.mkString(", ")}")
+    }
+    assert(bad.isEmpty, s"\ncontainer-typed output columns:\n${bad.mkString("\n")}")
+  }
+
   test("the declared surface keeps growing, never silently shrinks") {
     // round-12 floor: 286 queries, ALL oracle-checked (round 12 adds
     // the MP3/MP4 header-walk manifests and the streaming
