@@ -307,10 +307,14 @@ object EvalMetrics {
     * uses the build-time [[NdcgGains]] literals — so the whole battery
     * hash-replays on any engine.
     *
-    * Scale shape: two broadcast-able label joins + ONE per-query hash
-    * aggregation over the k retrieved rows; the relevant-total side is
-    * a label-cardinality aggregate joined back broadcast. Nothing
-    * corpus-sized shuffles beyond the ranker's own output. */
+    * Scale shape: the only force-broadcast is the label-CARDINALITY
+    * aggregate (one row per distinct label). The label lookups joined
+    * into the retrieved list are corpus-sized (one row per vector), so
+    * they are plain equi-joins — AQE broadcasts them when the corpus is
+    * small and shuffles them (linear, key-partitioned) when it is not;
+    * force-broadcasting a corpus-sized frame would be a driver OOM at
+    * production scale. The per-query aggregation runs over the k
+    * retrieved rows only. */
   def rankingMetrics(retrieved: DataFrame, labels: DataFrame,
                      k: Int): DataFrame = {
     require(k >= 1 && k <= NdcgGains.size,
@@ -326,10 +330,10 @@ object EvalMetrics {
       .select(col("vec_id").as("query_id"),
         (col("label_n") - 1).as("n_rel"))
     val scored = retrieved.filter(col("rk") <= k)
-      .join(broadcast(lab.select(col("vec_id").as("query_id"),
-        col("label").as("q_label"))), "query_id")
-      .join(broadcast(lab.select(col("vec_id").as("cand_id"),
-        col("label").as("c_label"))), "cand_id")
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+      .join(lab.select(col("vec_id").as("cand_id"),
+        col("label").as("c_label")), "cand_id")
       .withColumn("rel",
         when(col("q_label") === col("c_label"), 1L).otherwise(0L))
       .withColumn("gain",
@@ -338,7 +342,7 @@ object EvalMetrics {
       .agg(sum(col("rel")).as("hits"),
         min(when(col("rel") === 1L, col("rk"))).as("first_rel"),
         sum(col("rel") * col("gain")).as("dcg"))
-      .join(broadcast(relTotals), Seq("query_id"), "left")
+      .join(relTotals, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_rel"))
       .withColumn("mrr_micro",
         when(col("first_rel").isNull, lit(0L))

@@ -50,9 +50,25 @@ object GraphAnn {
     * through a shuffle, which is what keeps the candidate joins'
     * exchanges bounded when the codes table outgrows a broadcast
     * (measured on the ScaleCheck k×-vectors axis). */
+  /** Largest dimensionality the exact BIGINT sim key can carry without
+    * overflow: dot ≤ dim·127², and `dot²·1e6` must stay below 2⁶³ —
+    * dot ≤ ⌊√(2⁶³/10⁶)⌋ = 3 037 000, so dim ≤ 3 037 000/127² = 188.
+    * Production embeddings above this (e.g. 768-dim) belong on the
+    * IVF / IVF-PQ tier, whose integer discipline scales per-subspace;
+    * admitting them here would abort the whole build at runtime under
+    * ANSI overflow checking instead of refusing up front. */
+  private[llm] val MaxDim = 188
+
   private[llm] def quantized(embeddings: DataFrame, vecCol: String,
                              idCol: String): DataFrame = {
-    val x = col(vecCol).cast("array<double>")
+    val x0 = col(vecCol).cast("array<double>")
+    // per-row guard, fused into the projection (zero extra passes): the
+    // overflow bound is a data property, so it must hold row-by-row
+    val x = when(size(x0) <= MaxDim, x0).otherwise(raise_error(concat(
+      lit("graph-ann: vector dim "), size(x0).cast("string"),
+      lit(s" exceeds $MaxDim — the exact integer sim key (dot^2*1e6) " +
+        "would overflow BIGINT; use the IVF/IVF-PQ tier for " +
+        "high-dimensional embeddings"))))
     val m = array_max(transform(x, v => abs(v)))
     val codes = when(m === 0, transform(x, _ => lit(0.0)))
       .otherwise(transform(x, v => floor(v * lit(127.0) / m + lit(0.5))))
@@ -272,18 +288,42 @@ object GraphAnn {
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): Unit = {
     IndexManifest.reset(path)
+    val spark = corpus.sparkSession
     val codes = quantized(corpus, vecCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     codes.write.mode("overwrite").parquet(s"$path/codes")
-    nnDescentGraph(corpus, k, rounds, seed, vecCol, idCol)
-      .write.mode("overwrite").parquet(s"$path/graph")
+    val graph = nnDescentGraph(corpus, k, rounds, seed, vecCol, idCol)
+    graph.write.mode("overwrite").parquet(s"$path/graph")
     codes
       .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
         col("id"))
       .limit(1)
       .select(col("id").as("cand_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    // meta tier (the MinHash index discipline): the build seed — so a
+    // later entry re-derivation after delete CANNOT diverge from the
+    // build's md5-argmin rule (a caller-supplied seed was a doc-only
+    // contract that silently broke golden replays when violated) — plus
+    // the build-time graph shape the health probe compares against.
+    val (nNodes, nEdges) = (
+      spark.read.parquet(s"$path/codes").count(),
+      spark.read.parquet(s"$path/graph").count())
+    import spark.implicits._
+    Seq((seed, k, rounds, nNodes, nEdges))
+      .toDF("seed", "k", "rounds", "build_nodes", "build_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     codes.unpersist(blocking = false)
+  }
+
+  /** The index's build-time meta row (seed, k, rounds, build_nodes,
+    * build_edges) — written once by [[writeKnnGraphIndex]], never
+    * versioned (build parameters are immutable by contract). */
+  private[llm] def knnGraphMeta(spark: SparkSession,
+                                indexPath: String): Row = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1,
+      s"malformed knn-graph index meta at $indexPath/meta")
+    meta.head
   }
 
   /** APPEND new vectors to a persisted k-NN-graph index
@@ -365,15 +405,17 @@ object GraphAnn {
     * Both per-document tiers rewrite via broadcast anti-joins (edges
     * drop when EITHER endpoint is deleted) and publish through the
     * manifest swap; if the entry point itself was deleted, a new one is
-    * re-derived from the surviving codes by the SAME md5-argmin rule
-    * (`seed` must be the build seed). Surviving nodes whose lists
-    * shrank keep their remaining edges — the HNSW hard-delete
-    * trade-off: recall degrades gracefully with deletion volume, and a
-    * heavily-deleted graph warrants a rebuild (the drifted-quantizer
-    * rule, DESIGN.md §3). */
+    * re-derived from the surviving codes by the SAME md5-argmin rule —
+    * the build seed comes from the index's own meta tier (the no-drift
+    * rule every reader and maintainer follows), never from the caller.
+    * Surviving nodes whose lists shrank keep their remaining edges —
+    * the HNSW hard-delete trade-off: recall degrades gracefully with
+    * deletion volume, and a heavily-deleted graph warrants a rebuild;
+    * [[knnGraphIndexHealth]] makes that trigger measurable
+    * (DESIGN.md §3). */
   def deleteFromKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
-                              indexPath: String, ids: DataFrame,
-                              seed: Long = 42L): Unit = {
+                              indexPath: String, ids: DataFrame): Unit = {
+    val seed = knnGraphMeta(spark, indexPath).getAs[Long]("seed")
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
     val del = broadcast(

@@ -823,12 +823,17 @@ object EventQueries {
 
     // RFM segmentation (recency / frequency / monetary quintiles — the
     // classic behavioral scoring): per user, hours since their last
-    // event (vs the stream's max timestamp), event count, and the
-    // 2-dp-rounded value total; each dimension scores 1-5 by ntile with
-    // the user_id tie-break, composed as r·100 + f·10 + m. The ntiles
-    // here are exact windows over the PER-USER aggregate (one row per
-    // user); at 1e9 users the cutoffs would come from approx quantiles
-    // instead — the aggregation shape is unchanged.
+    // event (vs the stream's max timestamp), event count, and the value
+    // total; each dimension scores 1-5 by ntile with the user_id
+    // tie-break, composed as r·100 + f·10 + m. The monetary total is
+    // INTEGER CENTS (per-row floor(value·100 + 0.5) — identical IEEE
+    // ops on identical doubles both engines, then a BIGINT sum), never
+    // an order-dependent double: a last-ulp accumulation difference at
+    // a quantile boundary would otherwise flip a user's quintile and
+    // cascade into a different rfm code. The ntiles here are exact
+    // windows over the PER-USER aggregate (one row per user); at 1e9
+    // users the cutoffs would come from approx quantiles instead — the
+    // aggregation shape is unchanged.
     QueryDef(
       "q_events_rfm",
       (s, dir) => {
@@ -837,7 +842,8 @@ object EventQueries {
         val perUser = ev.groupBy(col("user_id"))
           .agg(max(unix_micros(col("ts"))).as("last_us"),
             count(lit(1)).as("f"),
-            round(sum(col("value")), 2).as("m"))
+            sum(expr("cast(floor(value * cast(100 as double) + " +
+              "cast(0.5 as double)) as bigint)")).as("m_cents"))
         val maxTs = perUser.agg(max(col("last_us")).as("max_us"))
         perUser.crossJoin(broadcast(maxTs))
           .withColumn("r_hours",
@@ -847,29 +853,31 @@ object EventQueries {
           .withColumn("f_score",
             ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))))
           .withColumn("m_score",
-            ntile(5).over(Window.orderBy(col("m").desc, col("user_id"))))
+            ntile(5).over(Window.orderBy(col("m_cents").desc, col("user_id"))))
           .withColumn("rfm",
             col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-          .select(col("user_id"), col("r_hours"), col("f"), col("m"),
+          .select(col("user_id"), col("r_hours"), col("f"), col("m_cents"),
             col("r_score"), col("f_score"), col("m_score"), col("rfm"))
           .orderBy(col("user_id"))
       },
       Some("""WITH u AS (
              |  SELECT user_id, max(epoch_us(ts)) AS last_us,
-             |    count(*) AS f, round(sum(value), 2) AS m
+             |    count(*) AS f,
+             |    CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE) +
+             |      CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS m_cents
              |  FROM events GROUP BY user_id),
              |x AS (SELECT max(last_us) AS max_us FROM u),
              |sc AS (
              |  SELECT user_id,
-             |    (x.max_us - last_us) // 3600000000 AS r_hours, f, m,
+             |    (x.max_us - last_us) // 3600000000 AS r_hours, f, m_cents,
              |    CAST(ntile(5) OVER (ORDER BY (x.max_us - last_us)
              |      // 3600000000, user_id) AS INT) AS r_score,
              |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INT)
              |      AS f_score,
-             |    CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INT)
+             |    CAST(ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS INT)
              |      AS m_score
              |  FROM u, x)
-             |SELECT user_id, r_hours, f, m, r_score, f_score, m_score,
+             |SELECT user_id, r_hours, f, m_cents, r_score, f_score, m_score,
              |  r_score * 100 + f_score * 10 + m_score AS rfm
              |FROM sc ORDER BY user_id""".stripMargin)),
 

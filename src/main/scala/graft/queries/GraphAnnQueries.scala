@@ -236,7 +236,7 @@ object GraphAnnQueries {
             col("embedding")), idx)
         GraphAnn.deleteFromKnnGraphIndex(s, idx,
           queries.filter(col("vec_id") < 5)
-            .select((col("vec_id") + 100000).as("vec_id")), seed = 42L)
+            .select((col("vec_id") + 100000).as("vec_id")))
         val top = GraphAnn.searchKnnGraphIndexed(queries, idx,
           k = 5, beam = 8, steps = 4)
         queries.select(col("vec_id").as("query_id"))

@@ -166,6 +166,8 @@ object ArrowIo {
       .broadcastHadoopConf(spark.sparkContext)
     val st = df.schema
     val schemaJson = toArrowSchema(st).toJson
+    PartFiles.clearStale(dir, "part_", ".arrow",
+      spark.sparkContext.hadoopConfiguration)
     val parted = if (numFiles > 0) df.repartition(numFiles) else df
     val counts = parted.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty

@@ -135,6 +135,8 @@ object AvroIo {
       .broadcastHadoopConf(spark.sparkContext)
     val st = df.schema
     val schemaJson = toAvroSchema(st, "GraftRecord").toString
+    PartFiles.clearStale(dir, "part_", ".avro",
+      spark.sparkContext.hadoopConfiguration)
     val parted = if (numFiles > 0) df.repartition(numFiles) else df
     val counts = parted.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty

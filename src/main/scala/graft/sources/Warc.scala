@@ -365,6 +365,8 @@ object Warc {
     val hc = org.apache.spark.graftshim.GraftSparkInternals
       .broadcastHadoopConf(spark.sparkContext)
     import spark.implicits._
+    PartFiles.clearStale(dir, "seg_", ".warc.gz",
+      spark.sparkContext.hadoopConfiguration)
     val src = docs.select("record_id", "url", "warc_date",
       "content_type", "text")
     val parted = if (numSegments > 0) src.repartition(numSegments) else src

@@ -216,6 +216,8 @@ object WebDataset {
     import spark.implicits._
     val src = samples.select(col(keyCol).cast("string").as("k"),
       col(extCol).cast("string").as("e"), col(dataCol).as("d"))
+    PartFiles.clearStale(dir, "shard_", ".tar",
+      spark.sparkContext.hadoopConfiguration)
     val parted =
       (if (numShards > 0) src.repartition(numShards, col("k"))
        else src.repartition(col("k")))

@@ -141,9 +141,36 @@ class GraphAnnSpec extends SparkSpec {
         k = 5, beam = 6, steps = 3)
       .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
     assert(indexed === inMem)
-    // the index layout carries all three artifacts
-    for (part <- Seq("codes", "graph", "entry"))
+    // the index layout carries all three artifacts plus the build meta
+    for (part <- Seq("codes", "graph", "entry", "meta"))
       assert(new java.io.File(s"$dir/$part").exists(), part)
+    // meta pins the build parameters delete/health re-derive from — the
+    // seed is the INDEX's, not a caller argument (a wrong caller seed
+    // used to silently re-derive a different entry point)
+    val meta = spark.read.parquet(s"$dir/meta").collect()
+    assert(meta.length === 1)
+    assert(meta.head.getAs[Long]("seed") === 42L)
+    assert(meta.head.getAs[Int]("k") === 8)
+    assert(meta.head.getAs[Long]("build_nodes") === 120L)
+    assert(meta.head.getAs[Long]("build_edges") > 0L)
+  }
+
+  test("vectors beyond the BIGINT-safe dimensionality refuse loudly") {
+    // dot ≤ dim·127² and dot²·1e6 < 2⁶³ hold only to dim 188; a 768-dim
+    // production embedding must be rejected up front, not abort the
+    // whole build later under ANSI overflow checking
+    import SparkSpec.spark.implicits._
+    val wide = Seq((1L, Array.fill(189)(0.5f)), (2L, Array.fill(189)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      GraphAnn.nnDescentGraph(wide, k = 1, rounds = 1).collect()
+    }
+    assert(e.getMessage.contains("exceeds 188"), e.getMessage)
+    // at the bound itself the build still runs
+    val ok = Seq((1L, Array.fill(188)(0.5f)), (2L, Array.fill(188)(0.25f)),
+      (3L, Array.fill(188)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(GraphAnn.nnDescentGraph(ok, k = 1, rounds = 1).count() > 0)
   }
 
   test("index append: HNSW-style insert — appended twins are reachable " +
@@ -230,7 +257,7 @@ class GraphAnnSpec extends SparkSpec {
     val entryBefore = spark.read
       .parquet(IndexManifest.resolve(idx, "entry")).head.getLong(0)
     GraphAnn.deleteFromKnnGraphIndex(spark, idx,
-      Seq(entryBefore).toDF("vec_id"), seed = 42L)
+      Seq(entryBefore).toDF("vec_id"))
     val entryAfter = spark.read
       .parquet(IndexManifest.resolve(idx, "entry")).head.getLong(0)
     assert(entryAfter != entryBefore)

@@ -170,6 +170,25 @@ class ArrowIoSpec extends SparkSpec {
     assert(batch.count() === 3)
   }
 
+  test("re-write with fewer partitions clears stale higher-numbered parts") {
+    import SparkSpec.spark.implicits._
+    val dir = tempDir("arrow_rw").toString
+    def parts = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(dir)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".arrow"))
+    }
+    ArrowIo.writeArrow((1L to 40L).toDF("id"), dir, numFiles = 4)
+    assert(parts === 4)
+    // fewer partitions: without the pre-write clear, part_00002/3 from
+    // the first write would survive and readArrow would mix both runs
+    ArrowIo.writeArrow((100L to 109L).toDF("id"), dir, numFiles = 2)
+    assert(parts === 2)
+    val back = ArrowIo.readArrow(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === (100L to 109L).toSeq)
+  }
+
   test("types outside the surface refuse loudly at write") {
     import SparkSpec.spark.implicits._
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
