@@ -20,6 +20,11 @@ object Similarity {
   /** Dimensionality of the embeddings tables (TESTDATA.md). */
   private[llm] val EmbeddingDim = 64
 
+  /** Per-side row ceiling for the EXACT margin-mining anchor
+    * ([[marginPairs]]): 5000×5000 = 25M cosines is the fixture-scale
+    * budget; anything bigger belongs on the ANN candidate paths. */
+  private[llm] val MaxExactMiningSide = 5000L
+
   /** Sequential dot product in double precision — a native codegen'd
     * expression (graft.functions.DotProductExpr) rather than a
     * zip_with/aggregate fold: same element-order accumulation (so DuckDB's
@@ -1093,6 +1098,17 @@ object Similarity {
                   idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && topN >= 1, s"k/topN must be positive, got $k/$topN")
+    // The exact anchor scores |src|·|tgt| cosines by design — a
+    // DuckDB-replayable correctness fixture, NOT a production path. A
+    // corpus-scale call here is one mistake away from a 100M×100M
+    // cartesian, so oversize inputs refuse up front (two cheap counts
+    // guard a crossJoin) and steer to the ANN variant.
+    val (nSrc, nTgt) = (src.count(), tgt.count())
+    require(nSrc <= MaxExactMiningSide && nTgt <= MaxExactMiningSide,
+      s"marginPairs is the exact all-pairs anchor (scores |src|*|tgt| " +
+        s"cosines) and refuses sides beyond $MaxExactMiningSide rows " +
+        s"(got $nSrc x $nTgt); use marginPairsAnn / marginPairsIndexed " +
+        "for corpus-scale mining")
     val s = src.select(col(idCol).as("src_id"), col(vecCol).as("s_vec"))
       .withColumn("s_norm", l2norm(col("s_vec")))
     val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("t_vec"))

@@ -177,4 +177,22 @@ class MiningSpec extends SparkSpec {
     val eff = got.map(_._4).sum
     assert(eff === (3L + 4L) * 1000000)
   }
+
+  test("marginPairs refuses corpus-scale sides and steers to the ANN path") {
+    import SparkSpec.spark.implicits._
+    // the exact anchor is all-pairs by design; a side past the fixture
+    // ceiling must refuse BEFORE any crossJoin reaches the planner
+    val big = spark.range(5001)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val small = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.marginPairs(big, small, k = 2, topN = 5)
+    }
+    assert(e.getMessage.contains("marginPairsAnn"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.marginPairs(small, big, k = 2, topN = 5)
+    }
+    assert(e2.getMessage.contains("5000"), e2.getMessage)
+  }
 }
