@@ -450,6 +450,57 @@ object GraphAnn {
     IndexManifest.publish(indexPath, "graph", graphV)
   }
 
+  /** Operational HEALTH of a persisted k-NN-graph index — the metric
+    * that makes the documented hard-delete trade-off operable
+    * (DESIGN.md §3: "a heavily-deleted graph warrants a rebuild"):
+    * without it, recall degradation after deletions is invisible until
+    * queries start missing. Hard deletes remove edges whenever EITHER
+    * endpoint is deleted, so surviving nodes' lists shrink and walks
+    * lose routing options; the observable proxy is the SURVIVING MEAN
+    * OUT-DEGREE versus its build-time value (both from the index's own
+    * meta — deleting fraction f of nodes uniformly leaves ≈(1−f) of
+    * each survivor's edges, so health_micro ≈ (1−f)·1e6):
+    *
+    *   health_micro = (edges/nodes) / (build_edges/build_nodes) · 1e6
+    *
+    * computed exactly from four counts (driver-side BigInt — no
+    * overflow at any corpus size). `rebuild` trips when health falls
+    * below `minHealthMicro` (default 800 000 = mean lists at 80% of
+    * build — ≈20% net deletion, where beam recall measurably sags) OR
+    * the entry point lost all out-edges (a disconnected entry stalls
+    * every walk at step 0). Cost: two metadata-only counts and two
+    * one-row lookups — cheap enough to run after every takedown batch.
+    * Returns one row: (build_nodes, build_edges, nodes, edges,
+    * health_micro, entry_connected, rebuild). */
+  def knnGraphIndexHealth(spark: SparkSession, indexPath: String,
+                          minHealthMicro: Long = 800000L): DataFrame = {
+    require(minHealthMicro >= 0, "minHealthMicro must be >= 0")
+    val meta = knnGraphMeta(spark, indexPath)
+    val buildNodes = meta.getAs[Long]("build_nodes")
+    val buildEdges = meta.getAs[Long]("build_edges")
+    val codes = spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
+    val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = codes.count()
+    val nEdges = graph.count()
+    val entryId = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "entry"))
+      .collect().head.getAs[Long]("cand_id")
+    val entryConnected =
+      graph.filter(col("src") === entryId).limit(1).count() > 0
+    graph.unpersist(blocking = false)
+    val healthMicro =
+      if (nNodes == 0 || buildEdges == 0) 0L
+      else (BigInt(nEdges) * buildNodes * 1000000L /
+        (BigInt(nNodes) * buildEdges)).toLong
+    val rebuild = healthMicro < minHealthMicro || !entryConnected
+    import spark.implicits._
+    Seq((buildNodes, buildEdges, nNodes, nEdges, healthMicro,
+        entryConnected, rebuild))
+      .toDF("build_nodes", "build_edges", "nodes", "edges",
+        "health_micro", "entry_connected", "rebuild")
+  }
+
   def searchKnnGraphIndexed(queries: DataFrame, indexPath: String,
                             k: Int, beam: Int, steps: Int,
                             vecCol: String = "embedding",

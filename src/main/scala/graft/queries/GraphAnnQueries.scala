@@ -253,6 +253,47 @@ object GraphAnnQueries {
              |FROM embeddings WHERE vec_id < 10
              |ORDER BY query_id""".stripMargin)),
 
+    // k-NN-graph index HEALTH — the operational rebuild trigger that
+    // makes the hard-delete trade-off measurable (DESIGN.md §3): health
+    // = surviving mean out-degree vs the build-time value from the
+    // index's own meta, exactly 1e6 on an untouched index, ≈(1−f)·1e6
+    // after deleting fraction f (edges drop when either endpoint
+    // does). Scenario: fresh build (health exactly 1e6, no rebuild),
+    // then a heavy ~40% takedown — the trigger must trip. The oracle
+    // replays the node counts from the source table and the gates as
+    // constants; the exact post-delete health is graph-shape-dependent,
+    // so it rides as the `degraded` ordering gate (the twin_top1 rule).
+    QueryDef(
+      "q_sim_graph_health",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val idx = s"${graft.core.Fs.scratchRoot}/knn_graph_idx_health"
+        GraphAnn.writeKnnGraphIndex(emb, idx, k = 16, rounds = 6,
+          seed = 42L)
+        val before = GraphAnn.knnGraphIndexHealth(s, idx)
+          .select(col("build_nodes"),
+            col("health_micro").as("health_before_micro"),
+            col("rebuild").as("rebuild_before"))
+        GraphAnn.deleteFromKnnGraphIndex(s, idx,
+          emb.filter(col("vec_id") % 5 < 2).select(col("vec_id")))
+        val after = GraphAnn.knnGraphIndexHealth(s, idx)
+          .select(col("nodes").as("nodes_after"),
+            col("health_micro").as("ha"),
+            col("rebuild").as("rebuild_after"))
+        before.crossJoin(after) // two 1-row driver-built frames
+          .select(col("build_nodes"), col("nodes_after"),
+            col("health_before_micro"), col("rebuild_before"),
+            col("rebuild_after"),
+            (col("ha") < col("health_before_micro")).as("degraded"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS build_nodes,
+             |  CAST(count(*) FILTER (WHERE vec_id % 5 >= 2) AS BIGINT)
+             |    AS nodes_after,
+             |  CAST(1000000 AS BIGINT) AS health_before_micro,
+             |  false AS rebuild_before, true AS rebuild_after,
+             |  true AS degraded
+             |FROM embeddings""".stripMargin)),
+
     // END-TO-END model-free similar-document graph: documents → hashed
     // TF-IDF dense vectors (Featurize.hashedTfidfDense, exact integers)
     // → NN-Descent k-NN graph. The oracle replays the WHOLE composition

@@ -274,4 +274,37 @@ class GraphAnnSpec extends SparkSpec {
     assert(out.filter(col("cand_id") === entryBefore).isEmpty,
       "deleted node must never surface as a result")
   }
+
+  test("index health: light deletion stays healthy, heavy deletion " +
+      "trips the rebuild trigger, a disconnected entry always trips") {
+    import SparkSpec.spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val idx = tempDir("graft-knn-health-").toString + "/idx"
+    GraphAnn.writeKnnGraphIndex(emb, idx, k = 8, rounds = 3)
+    // untouched index: health is exactly 1e6 and nothing trips
+    val fresh = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(fresh.getAs[Long]("health_micro") === 1000000L)
+    assert(fresh.getAs[Boolean]("entry_connected"))
+    assert(!fresh.getAs[Boolean]("rebuild"))
+    // light deletion (2%): mean out-degree barely moves
+    GraphAnn.deleteFromKnnGraphIndex(spark, idx,
+      Seq(0L, 1L).toDF("vec_id"))
+    val light = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(light.getAs[Long]("health_micro") > 900000L)
+    assert(!light.getAs[Boolean]("rebuild"))
+    // heavy deletion (~40%): survivors lose ~40% of their lists —
+    // health ~ 0.6e6, well under the 0.8e6 default threshold
+    GraphAnn.deleteFromKnnGraphIndex(spark, idx,
+      emb.filter(col("vec_id") % 5 < 2).select(col("vec_id")))
+    val heavy = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(heavy.getAs[Long]("health_micro") < 800000L,
+      heavy.getAs[Long]("health_micro").toString)
+    assert(heavy.getAs[Boolean]("rebuild"))
+    // the trigger is also caller-tunable: the same heavy state passes
+    // under a permissive threshold (isolating the threshold rule)
+    val loose = GraphAnn.knnGraphIndexHealth(spark, idx,
+      minHealthMicro = 100000L).collect().head
+    assert(!loose.getAs[Boolean]("rebuild"))
+  }
 }
