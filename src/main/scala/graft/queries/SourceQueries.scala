@@ -588,6 +588,36 @@ object SourceQueries {
              |FROM documents WHERE doc_id < 100
              |ORDER BY doc_id""".stripMargin)),
 
+    // Avro roundtrip of the engine's OWN events table — the logical-type
+    // surface the r13 verdict called out as the remaining interchange
+    // gap: `ts` rides as the standard timestamp-micros long (exact epoch
+    // micros both directions, pre-epoch safe) and a pricing-shaped
+    // decimal column as the decimal logical type (unscaled bytes,
+    // precision/scale in the schema). The decimal derives by integer
+    // multiplication only (quarter-steps), so both engines build the
+    // identical exact value — no double→decimal rounding parity risk.
+    QueryDef(
+      "q_scan_avro_events",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_id") < 200)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"),
+            (col("event_id").cast("decimal(14,2)")
+              * lit("0.25").cast("decimal(4,2)")).as("price"))
+        val out = staged.getOrElseUpdate(s"avro_events:$dir", {
+          val p = s"$stageRoot/avro_events_${math.abs(dir.hashCode)}"
+          graft.sources.AvroIo.writeAvro(ev, p, numFiles = 4)
+          p
+        })
+        graft.sources.AvroIo.readAvro(s, out).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, ts, user_id, event_type,
+             |  CAST(event_id AS DECIMAL(14,2)) * CAST(0.25 AS DECIMAL(4,2))
+             |    AS price
+             |FROM events WHERE event_id < 200
+             |ORDER BY event_id""".stripMargin)),
+
     // Arrow IPC files (Feather v2) — the zero-copy columnar interchange
     // at every dataloader/featurestore boundary, via Arrow CORE (ships
     // with Spark; pyarrow reads/writes the same bytes, validated both
@@ -608,6 +638,12 @@ object SourceQueries {
             when(col("vec_id") % 7 === 0, lit(null).cast("string"))
               .otherwise(concat(lit("v"), col("vec_id"))).as("tag"),
             unhex(md5(col("vec_id").cast("string"))).as("fp"),
+            // logical-type surface (r13 verdict): timestamp-micros via
+            // the Timestamp(MICROSECOND, UTC) vector, decimal128 with
+            // integer-only derivation (no double→decimal rounding)
+            timestamp_micros(col("vec_id") * lit(1000003L)).as("tsc"),
+            (col("vec_id").cast("decimal(14,2)")
+              * lit("0.25").cast("decimal(4,2)")).as("price"),
             col("embedding"))
         val out = staged.getOrElseUpdate(s"arrow:$dir", {
           val p = s"$stageRoot/arrow_${math.abs(dir.hashCode)}"
@@ -621,7 +657,7 @@ object SourceQueries {
         // the harness's canonical sort never sees a raw list cell.
         graft.sources.ArrowIo.readArrow(s, out)
           .select(col("vec_id"), col("label"), col("dval"), col("flag"),
-            col("tag"), col("fp"),
+            col("tag"), col("fp"), col("tsc"), col("price"),
             size(col("embedding")).as("emb_dim"),
             expr("md5(array_join(transform(embedding, x -> cast(cast(" +
               "floor(cast(x as double) * cast(100000 as double)) as bigint" +
@@ -634,6 +670,9 @@ object SourceQueries {
              |  CASE WHEN vec_id % 7 = 0 THEN NULL
              |       ELSE 'v' || CAST(vec_id AS VARCHAR) END AS tag,
              |  unhex(md5(CAST(vec_id AS VARCHAR))) AS fp,
+             |  make_timestamp(vec_id * 1000003) AS tsc,
+             |  CAST(vec_id AS DECIMAL(14,2)) * CAST(0.25 AS DECIMAL(4,2))
+             |    AS price,
              |  len(embedding) AS emb_dim,
              |  md5(array_to_string(list_transform(embedding, x -> CAST(CAST(
              |    floor(CAST(x AS DOUBLE) * CAST(100000 AS DOUBLE)) AS BIGINT

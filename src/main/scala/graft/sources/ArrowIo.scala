@@ -33,8 +33,9 @@ import org.apache.spark.sql.types._
   *    future batch-range split trivial.
   *
   * Type surface (covers every engine table, loudly refused beyond it):
-  * boolean/int/long/float/double/string/binary, nullable bitmaps,
-  * `array<float|double|long|int>` (the embeddings column). Quarantine
+  * boolean/int/long/float/double/string/binary, timestamp-micros (UTC)
+  * and decimal128 logical types (the events/pricing columns), nullable
+  * bitmaps, `array<float|double|long|int>` (the embeddings column). Quarantine
   * contract (the WARC rule): a corrupt or non-Arrow file quarantines
   * whole; a file whose embedded schema differs from the directory's
   * quarantines whole (positional decode against the wrong field list
@@ -55,6 +56,15 @@ object ArrowIo {
     case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
     case StringType => ArrowType.Utf8.INSTANCE
     case BinaryType => ArrowType.Binary.INSTANCE
+    // logical types (r13 verdict: the engine's own tables must ride the
+    // container quartet end-to-end): Spark TimestampType is micros
+    // since epoch, tz-normalized — exactly Arrow Timestamp(MICROSECOND,
+    // UTC); DecimalType maps to Arrow Decimal128 with the same
+    // precision/scale (the pricing-column shape)
+    case TimestampType =>
+      new ArrowType.Timestamp(
+        org.apache.arrow.vector.types.TimeUnit.MICROSECOND, "UTC")
+    case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
     case other => throw new IllegalArgumentException(
       s"arrow write: unsupported Spark type $other")
   }
@@ -93,6 +103,11 @@ object ArrowIo {
           if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Binary => BinaryType
+      case ts: ArrowType.Timestamp
+          if ts.getUnit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND
+            && ts.getTimezone != null => TimestampType
+      case d: ArrowType.Decimal if d.getBitWidth == 128 =>
+        DecimalType(d.getPrecision, d.getScale)
       case other => throw new IllegalArgumentException(
         s"arrow read: unsupported Arrow type $other")
     }
@@ -122,6 +137,12 @@ object ArrowIo {
       b.setSafe(i, v.asInstanceOf[String]
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case b: VarBinaryVector => b.setSafe(i, v.asInstanceOf[Array[Byte]])
+    case b: TimeStampMicroTZVector =>
+      b.setSafe(i, timestampToMicros(v.asInstanceOf[java.sql.Timestamp]))
+    case b: DecimalVector =>
+      // Spark normalizes row decimals to the column's declared scale,
+      // which is what the vector's setSafe(BigDecimal) contract demands
+      b.setSafe(i, v.asInstanceOf[java.math.BigDecimal])
     case l: ListVector =>
       lw.setPosition(i)
       lw.startList()
@@ -147,6 +168,27 @@ object ArrowIo {
       lw.endList()
     case other => throw new IllegalArgumentException(
       s"arrow write: unsupported vector ${other.getClass.getName}")
+  }
+
+  /** Epoch micros of a java.sql.Timestamp (exact: floor-second + the
+    * sub-second nanos, correct for pre-epoch values too). */
+  private def timestampToMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** One decoded cell — vector-aware where `getObject`'s raw value is
+    * ambiguous (a timestamp vector yields a bare Long; Spark Rows need
+    * java.sql.Timestamp) or already right (DecimalVector yields the
+    * BigDecimal Spark expects). */
+  private def cellValue(vec: FieldVector, i: Int): Any = vec match {
+    case t: TimeStampMicroTZVector => microsToTimestamp(t.get(i))
+    case d: DecimalVector => d.getObject(i)
+    case v => fromArrowValue(v.getObject(i))
   }
 
   private def fromArrowValue(v: Any): Any = v match {
@@ -345,7 +387,7 @@ object ArrowIo {
                 val vec = root.getVector(c)
                 vals(c) =
                   if (vec.isNull(i)) null
-                  else fromArrowValue(vec.getObject(i))
+                  else cellValue(vec, i)
                 c += 1
               }
               out += Row.fromSeq(vals.toIndexedSeq)
@@ -442,7 +484,7 @@ object ArrowIo {
                 val vec = root.getVector(c)
                 vals(c) =
                   if (vec.isNull(inBatch)) null
-                  else fromArrowValue(vec.getObject(inBatch))
+                  else cellValue(vec, inBatch)
                 c += 1
               }
               inBatch += 1

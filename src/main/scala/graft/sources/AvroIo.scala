@@ -31,7 +31,8 @@ import org.apache.spark.sql.types._
   *    per file.
   *
   * Type surface (covers every engine table, loudly refused beyond it):
-  * boolean/int/long/float/double/string/binary, nullable as the
+  * boolean/int/long/float/double/string/binary, timestamp-micros and
+  * decimal logical types (the events/pricing columns), nullable as the
   * standard `[null, T]` union, `array<primitive>` (the embeddings
   * column). A corrupt or non-Avro file quarantines whole (empty
   * iterator), matching the WARC/WebDataset contract.
@@ -48,6 +49,17 @@ object AvroIo {
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
     case StringType => Schema.create(Schema.Type.STRING)
     case BinaryType => Schema.create(Schema.Type.BYTES)
+    // logical types (r13 verdict: the engine's own tables must ride the
+    // container quartet end-to-end): Spark timestamps are epoch micros
+    // -> the standard timestamp-micros long; decimals carry their
+    // unscaled bytes under the decimal logical type (precision/scale in
+    // the schema — the Avro spec's reference encoding)
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, containsNull) =>
       val e = avroType(et)
       Schema.createArray(
@@ -82,7 +94,13 @@ object AvroIo {
     else s
 
   private[graft] def toSparkSchema(s: Schema): StructType = {
-    def sparkType(t: Schema): DataType = nonNull(t).getType match {
+    def sparkType(t: Schema): DataType = nonNull(t).getLogicalType match {
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        DecimalType(d.getPrecision, d.getScale)
+      case _ => sparkRawType(t)
+    }
+    def sparkRawType(t: Schema): DataType = nonNull(t).getType match {
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.INT => IntegerType
       case Schema.Type.LONG => LongType
@@ -109,10 +127,42 @@ object AvroIo {
   private def toAvroValue(v: Any): Any = v match {
     case null => null
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case t: java.sql.Timestamp => // exact epoch micros, pre-epoch safe
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case d: java.math.BigDecimal => // unscaled bytes; scale is schema's
+      java.nio.ByteBuffer.wrap(d.unscaledValue().toByteArray)
     case seq: scala.collection.Seq[_] =>
       seq.map(toAvroValue).asJava
     case other => other // primitives + String pass through
   }
+
+  /** Per-field decoders for a record schema — the read mirror of
+    * [[toAvroValue]]: logical types arrive as raw longs/bytes from the
+    * GenericDatumReader, so the conversion must come from the DECLARED
+    * schema, not the runtime value (a timestamp long is
+    * indistinguishable from a bigint). */
+  private def fieldConverters(s: Schema): Array[Any => Any] =
+    s.getFields.asScala.map { f =>
+      nonNull(f.schema()).getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+          (v: Any) => if (v == null) null else {
+            val us = v.asInstanceOf[Long]
+            val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          // capture only the int scale: the converters ride a task
+          // closure and Avro LogicalType objects are not Serializable
+          val scale = d.getScale
+          (v: Any) => if (v == null) null else {
+            val bb = v.asInstanceOf[java.nio.ByteBuffer]
+            val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+            new java.math.BigDecimal(new java.math.BigInteger(b), scale)
+          }
+        case _ => fromAvroValue _
+      }
+    }.toArray
 
   private def fromAvroValue(v: Any): Any = v match {
     case null => null
@@ -221,6 +271,7 @@ object AvroIo {
   def decodeBlobs(files: DataFrame, schemaJson: String): DataFrame = {
     val st = toSparkSchema(new Schema.Parser().parse(schemaJson))
     val width = st.length
+    val conv = fieldConverters(new Schema.Parser().parse(schemaJson))
     files.select(col("content"))
       .flatMap { (r: Row) =>
         val bytes = r.getAs[Array[Byte]](0)
@@ -244,7 +295,7 @@ object AvroIo {
               val vals = new Array[Any](width)
               var i = 0
               while (i < width) {
-                vals(i) = fromAvroValue(rec.get(i)); i += 1
+                vals(i) = conv(i)(rec.get(i)); i += 1
               }
               ok = more
               Row.fromSeq(vals.toIndexedSeq)
@@ -266,6 +317,7 @@ object AvroIo {
     val expectedJson = dirAvroSchema.toString
     val st = toSparkSchema(dirAvroSchema)
     val width = st.length
+    val conv = fieldConverters(dirAvroSchema)
     val rows = spark.read.format("binaryFile").load(dir)
       .filter(col("path").endsWith(".avro"))
       .select("path").as[String].rdd
@@ -314,7 +366,7 @@ object AvroIo {
               val rec = ds.next()
               val vals = new Array[Any](width)
               var i = 0
-              while (i < width) { vals(i) = fromAvroValue(rec.get(i)); i += 1 }
+              while (i < width) { vals(i) = conv(i)(rec.get(i)); i += 1 }
               ok = more
               if (!ok) try ds.close() catch {
                 case _: java.io.IOException => ()

@@ -11,6 +11,10 @@ object ArrowProbe {
     import spark.implicits._
     val df = Seq((1L, "a", Seq(0.5f, 1.5f)), (2L, "b", Seq(2.5f)))
       .toDF("id", "name", "vec")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(id * 1000003)"))
+      .withColumn("amt", org.apache.spark.sql.functions.expr(
+        "cast(id as decimal(14,4)) * cast('0.25' as decimal(4,2))"))
     graft.sources.ArrowIo.writeArrow(df, args(0), numFiles = 1)
     println("WROTE " + args(0))
     if (args.length > 1) {

@@ -197,4 +197,35 @@ class ArrowIoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported Spark type"))
   }
+
+  test("timestamp-micros and decimal logical types roundtrip exactly " +
+      "(pre-epoch, sub-second, negative and null cells included)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("amt", DecimalType(14, 4), nullable = true)))
+    def ts(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = Seq(
+      Row(1L, ts(1234567890123456L), new java.math.BigDecimal("1234567890.1234")),
+      Row(2L, ts(-987654321L), new java.math.BigDecimal("-0.0001")),
+      Row(3L, null, null),
+      Row(4L, ts(0L), new java.math.BigDecimal("0.0000")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tempDir("arrow_logical").toString
+    ArrowIo.writeArrow(df, dir, numFiles = 2)
+    val back = ArrowIo.readArrow(spark, dir)
+    assert(back.schema === schema)
+    val got = back.orderBy("id").collect()
+    assert(got(0).getTimestamp(1) === ts(1234567890123456L))
+    assert(got(0).getDecimal(2) === new java.math.BigDecimal("1234567890.1234"))
+    assert(got(1).getTimestamp(1) === ts(-987654321L)) // pre-epoch floor
+    assert(got(1).getDecimal(2) === new java.math.BigDecimal("-0.0001"))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+    assert(got(3).getTimestamp(1) === ts(0L))
+  }
 }
