@@ -42,14 +42,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAnn {
 
-  /** Exact int8 quantization of an embedding column: (id, codes, n2)
-    * where codes[i] = floor(x_i * 127 / max_j |x_j| + 0.5) (all-zero
-    * vector => all-zero codes) and n2 = sum codes^2 (exact BIGINT).
-    * Codes are `array<tinyint>` — values fit a signed byte by
-    * construction, and byte arrays are ~6× smaller than double arrays
-    * through a shuffle, which is what keeps the candidate joins'
-    * exchanges bounded when the codes table outgrows a broadcast
-    * (measured on the ScaleCheck k×-vectors axis). */
   /** Largest dimensionality the exact BIGINT sim key can carry without
     * overflow: dot ≤ dim·127², and `dot²·1e6` must stay below 2⁶³ —
     * dot ≤ ⌊√(2⁶³/10⁶)⌋ = 3 037 000, so dim ≤ 3 037 000/127² = 188.
@@ -59,6 +51,14 @@ object GraphAnn {
     * ANSI overflow checking instead of refusing up front. */
   private[llm] val MaxDim = 188
 
+  /** Exact int8 quantization of an embedding column: (id, codes, n2)
+    * where codes[i] = floor(x_i * 127 / max_j |x_j| + 0.5) (all-zero
+    * vector => all-zero codes) and n2 = sum codes^2 (exact BIGINT).
+    * Codes are `array<tinyint>` — values fit a signed byte by
+    * construction, and byte arrays are ~6× smaller than double arrays
+    * through a shuffle, which is what keeps the candidate joins'
+    * exchanges bounded when the codes table outgrows a broadcast
+    * (measured on the ScaleCheck k×-vectors axis). */
   private[llm] def quantized(embeddings: DataFrame, vecCol: String,
                              idCol: String): DataFrame = {
     val x0 = col(vecCol).cast("array<double>")
@@ -418,8 +418,8 @@ object GraphAnn {
     val seed = knnGraphMeta(spark, indexPath).getAs[Long]("seed")
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
-    val del = broadcast(
-      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
+    val del = broadcast(Dedup.unionTombstoned(spark, indexPath, ids))
     val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
     val survivors = spark.read
       .parquet(IndexManifest.resolve(indexPath, "codes"))
@@ -448,6 +448,7 @@ object GraphAnn {
     survivors.unpersist(blocking = false)
     IndexManifest.publish(indexPath, "codes", codesV)
     IndexManifest.publish(indexPath, "graph", graphV)
+    Dedup.clearTombstones(tombDirs)
   }
 
   /** Operational HEALTH of a persisted k-NN-graph index — the metric
@@ -505,11 +506,27 @@ object GraphAnn {
                             k: Int, beam: Int, steps: Int,
                             vecCol: String = "embedding",
                             idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val codes = spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
     val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
     val entry = spark.read.parquet(IndexManifest.resolve(indexPath, "entry"))
-    beamSearchCore(codes, graph, entry,
+    val raw = beamSearchCore(codes, graph, entry,
       quantized(queries, vecCol, idCol), k, beam, steps)
+    // tombstoned nodes (takedown during live ingest) still ROUTE — the
+    // walk keeps their edges until the hard delete rewrites the graph —
+    // but must never SURFACE: filter the answer set and re-rank. The
+    // structural cleanup (and tombstone consumption) is
+    // deleteFromKnnGraphIndex's; knnGraphIndexHealth stays the
+    // rebuild-pressure gauge.
+    Dedup.tombstoneIds(spark, indexPath) match {
+      case Some(t) =>
+        raw.join(broadcast(t), raw("cand_id") === t("del_id"), "left_anti")
+          .withColumn("rk", row_number().over(Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("sim_key").desc, col("cand_id"))))
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      case None => raw
+    }
   }
 }

@@ -348,15 +348,18 @@ object Similarity {
                       indexPath: String): Unit = {
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
+    val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
     val postingsV = IndexManifest.nextVersionDir(indexPath, "postings")
-    spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
+    Dedup.exceptTombstoned(spark, indexPath,
+      spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
-        col("c_vec"), col("c_norm"))
+        col("c_vec"), col("c_norm")), "cand_id")
       .repartitionByRange(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$postingsV")
     IndexManifest.publish(indexPath, "postings", postingsV)
+    Dedup.clearTombstones(tombDirs)
     Dedup.pruneCommitMarkers(indexPath)
   }
 
@@ -374,8 +377,8 @@ object Similarity {
                          indexPath: String, ids: DataFrame): Unit = {
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
-    val del = broadcast(
-      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val tombDirs = Dedup.tombstoneDirs(indexPath)
+    val del = broadcast(Dedup.unionTombstoned(spark, indexPath, ids))
     val postingsV = IndexManifest.nextVersionDir(indexPath, "postings")
     spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
@@ -386,6 +389,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$postingsV")
     IndexManifest.publish(indexPath, "postings", postingsV)
+    Dedup.clearTombstones(tombDirs)
   }
 
   /** One micro-batch of the CLOSED embedding ingest loop — the ANN
@@ -595,10 +599,12 @@ object Similarity {
                         indexPath: String): Unit = {
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
+    val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
     val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
-    spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
+    Dedup.exceptTombstoned(spark, indexPath,
+      spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
-        col("code"), col("c_norm"))
+        col("code"), col("c_norm")), "cand_id")
       .repartitionByRange(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
@@ -606,15 +612,17 @@ object Similarity {
     IndexManifest.publish(indexPath, "codes", codesV)
     if (loadPq(spark, indexPath)._2) {
       val vecsV = IndexManifest.nextVersionDir(indexPath, "vectors")
-      spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
+      Dedup.exceptTombstoned(spark, indexPath,
+        spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
         .select(col("cell").cast("int").as("cell"), col("cand_id"),
-          col("c_vec"), col("c_norm"))
+          col("c_vec"), col("c_norm")), "cand_id")
         .repartitionByRange(col("cell"))
         .sortWithinPartitions(col("cell"), col("cand_id"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexPath/$vecsV")
       IndexManifest.publish(indexPath, "vectors", vecsV)
     }
+    Dedup.clearTombstones(tombDirs)
     Dedup.pruneCommitMarkers(indexPath)
   }
 
@@ -629,8 +637,8 @@ object Similarity {
                            indexPath: String, ids: DataFrame): Unit = {
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
-    val del = broadcast(
-      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    val tombDirs = Dedup.tombstoneDirs(indexPath)
+    val del = broadcast(Dedup.unionTombstoned(spark, indexPath, ids))
     val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
     spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
@@ -653,6 +661,7 @@ object Similarity {
         .parquet(s"$indexPath/$vecsV")
       IndexManifest.publish(indexPath, "vectors", vecsV)
     }
+    Dedup.clearTombstones(tombDirs)
   }
 
 
@@ -708,8 +717,12 @@ object Similarity {
       .map(_.getInt(0)).sorted // ≤ nlist values
     def pruneToProbed(df: DataFrame): DataFrame =
       df.filter(col("cell").isin(probedCells.map(c => c: Any).toSeq: _*))
-    val codes = pruneToProbed(
-      spark.read.parquet(IndexManifest.resolve(indexPath, "codes")))
+    // tombstone filter on the CODES tier only: both scan modes generate
+    // candidates from codes, so the refine tier cannot resurface an id
+    // filtered here
+    val codes = Dedup.exceptTombstoned(spark, indexPath, pruneToProbed(
+      spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))),
+      "cand_id")
     if (adcOnly) {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("adc").desc, col("cand_id"))
@@ -763,9 +776,12 @@ object Similarity {
       probeTable(queries, centroids, nprobe, vecCol, idCol))
     val cells = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted // ≤ nlist values
-    val postings = spark.read
+    // pending tombstones (takedown during live ingest) must not
+    // surface as neighbours; they leave the tiers at the next compaction
+    val postings = Dedup.exceptTombstoned(spark, indexPath, spark.read
       .parquet(IndexManifest.resolve(indexPath, "postings"))
-      .filter(col("cell").isin(cells.map(c => c: Any).toSeq: _*))
+      .filter(col("cell").isin(cells.map(c => c: Any).toSeq: _*)),
+      "cand_id")
     rankProbed(postings, probed, k)
   }
 

@@ -2374,6 +2374,88 @@ object LlmQueries {
              |WHERE doc_id >= 100 AND doc_id < 120
              |ORDER BY probe_id""".stripMargin)),
 
+    // TAKEDOWN COMPOSED WITH LIVE INGEST (r13 verdict missing #1): the
+    // hard delete correctly REFUSES while an ingest batch is in flight
+    // (absorbing its keyed files erases the identity its restart
+    // recovery depends on), but production right-to-be-forgotten cannot
+    // stop the loop. Scenario: write history → run an ingest batch →
+    // strip its commit marker (the crashed/in-flight state the
+    // interlock guards) → hard delete must refuse (gated as a column) →
+    // TOMBSTONE docs 0-19 instead, which races nothing. Probes then
+    // verify all three properties at once: tombstoned content stops
+    // matching IMMEDIATELY (before any compaction), retained history
+    // still flags, and the in-flight batch's rows remain fully
+    // readable (its twins still flag — probes read a complete index
+    // version throughout). Consumption into the tiers is pinned by
+    // TombstoneSpec (compaction folds the ids in and clears the
+    // requests).
+    QueryDef(
+      "q_dedup_takedown_live",
+      (s, dir) => {
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 300)
+        val idx = s"${graft.core.Fs.scratchRoot}/mh_index_tomb"
+        Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
+          shingleSize = 5, maxBucketSize = 500)
+        // the in-flight batch carries SYNTHETIC guaranteed-novel text
+        // (md5-derived, zero shingle overlap with the corpus) so the
+        // loop appends all 20 rows — the oracle can then state the
+        // in-flight readability gate as a constant
+        def synthText = concat_ws(" ", lit("takedown live synth"),
+          col("doc_id"), md5(col("doc_id").cast("string")),
+          md5((col("doc_id") + 1).cast("string")),
+          md5((col("doc_id") + 2).cast("string")))
+        val batch = docs
+          .filter(col("doc_id") >= 300 && col("doc_id") < 320)
+          .select(col("doc_id"), synthText.as("text"))
+        Dedup.ingestBatchIntoMinhashIndex(
+          batch, idx, "takedown-live-b0", threshold = 0.9)
+        // strip the commit marker: the batch's keyed files are now the
+        // in-flight state the hard-delete interlock exists for
+        graft.core.SidecarFs.deleteFile(
+          s"$idx/ingest_commits/takedown-live-b0")
+        val hardRefused =
+          try {
+            Dedup.deleteFromMinhashIndex(s, idx,
+              history.filter(col("doc_id") < 20).select(col("doc_id")))
+            false
+          } catch { case _: IllegalArgumentException => true }
+        Dedup.addTombstones(s, idx,
+          history.filter(col("doc_id") < 20).select(col("doc_id")))
+        val probes = history.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+          .unionByName(history
+            .filter(col("doc_id") >= 100 && col("doc_id") < 120)
+            .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+          .unionByName(batch
+            .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+        val matches = Dedup.incrementalMinhashMatchesIndexed(probes, idx)
+        probes.select(col("doc_id").as("probe_id"))
+          .join(matches
+              .filter((col("hist_id") === col("batch_id") - 500000 ||
+                  col("hist_id") === col("batch_id") - 600000 ||
+                  col("hist_id") === col("batch_id") - 700000) &&
+                col("est_jaccard") >= 0.9999)
+              .select(col("batch_id").as("probe_id"),
+                lit(true).as("origin_dup"))
+              .distinct(),
+            Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("origin_dup"), lit(false)).as("origin_dup"),
+            lit(hardRefused).as("hard_delete_refused"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""SELECT doc_id + 500000 AS probe_id, false AS origin_dup,
+             |  true AS hard_delete_refused
+             |FROM documents WHERE doc_id < 20
+             |UNION ALL
+             |SELECT doc_id + 600000, true, true FROM documents
+             |WHERE doc_id >= 100 AND doc_id < 120
+             |UNION ALL
+             |SELECT doc_id + 700000, true, true FROM documents
+             |WHERE doc_id >= 300 AND doc_id < 320
+             |ORDER BY probe_id""".stripMargin)),
+
     // BPE merge-table learning (Sennrich et al. 2016): the first 8 merges
     // over the whitespace word-frequency table, counts weighted by word
     // frequency, ties to the lexicographically smallest pair. The corpus
