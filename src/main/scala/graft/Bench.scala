@@ -207,6 +207,31 @@ object Bench {
     val segments = headline.grouped(SegmentLen).toSeq
     val probes = scala.collection.mutable.ArrayBuffer(
       calibrate(spark, cpus.toInt))
+    // Probe-pair sanity (round-14, the BENCH_r13 end-probe lesson: one
+    // 3.963 s probe vs 0.54 frozen — factor 4.16 against 1.02-1.24
+    // peers — would have DEFLATED a real 4x regression in its segment's
+    // normalized figures). A probe disagreeing >2x with its bracketing
+    // partner is discarded and re-run once; if the re-run still
+    // disagrees, the probe stands (sustained load is real) but every
+    // segment it brackets is marked suspect in the JSON, so a
+    // normalized figure from a suspect segment is never trusted
+    // silently.
+    val probeRetries = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val probeSuspect = scala.collection.mutable.ArrayBuffer(false)
+    def pairDisagrees(a: Double, b: Double): Boolean =
+      a / b > 2.0 || b / a > 2.0
+    def sanityProbe(): Unit = {
+      val prev = probes.last
+      var p = calibrate(spark, cpus.toInt)
+      var retries = 0
+      if (pairDisagrees(p, prev)) { // transient? discard, one re-run
+        p = calibrate(spark, cpus.toInt)
+        retries = 1
+      }
+      probes += p
+      probeRetries += retries
+      probeSuspect += pairDisagrees(p, prev)
+    }
 
     // best-of-3: a single rep occasionally catches a JIT/GC transient
     // (observed 10× outliers, and one whole run distorted by external
@@ -235,7 +260,7 @@ object Bench {
         spark.catalog.clearCache()
         (name, math.rint(reps.min) / 1e3, si)
       }
-      probes += calibrate(spark, cpus.toInt)
+      sanityProbe()
       segResults
     }
 
@@ -244,6 +269,10 @@ object Bench {
     // ALL probes) is kept for run-level comparisons
     val segFactors = segments.indices.map(i =>
       (probes(i) + probes(i + 1)) / 2 / CalibrationFrozenSec)
+    // a segment is suspect when either bracketing probe disagreed >2x
+    // with ITS predecessor even after the re-run
+    val suspectSegments = segments.indices
+      .filter(i => probeSuspect(i) || probeSuspect(i + 1))
     val loadFactor = probes.sum / probes.length / CalibrationFrozenSec
     def r3(v: Double) = math.rint(v * 1000) / 1000
 
@@ -256,7 +285,9 @@ object Bench {
     val calib = s"""{"start_sec":${r3(probes.head)},"end_sec":${r3(probes.last)},""" +
       s""""frozen_sec":$CalibrationFrozenSec,"load_factor":${r3(loadFactor)},""" +
       s""""probe_sec":${probes.map(r3).mkString("[", ",", "]")},""" +
-      s""""segment_factors":${segFactors.map(r3).mkString("[", ",", "]")}}"""
+      s""""segment_factors":${segFactors.map(r3).mkString("[", ",", "]")},""" +
+      s""""probe_retries":${probeRetries.mkString("[", ",", "]")},""" +
+      s""""suspect_segments":${suspectSegments.mkString("[", ",", "]")}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qjson,"queries_normalized":$njson,""" +
       s""""calibration":$calib,"sf":"$sfDir"}"""
