@@ -39,6 +39,12 @@ object ScaleCheck {
   private final class ShuffleListener extends SparkListener {
     val write = new AtomicLong(0L)
     val read = new AtomicLong(0L)
+    // per-stage task durations (ms) since the last snapshot — the
+    // straggler measure: a skewed reduce key shows up as one task far
+    // above its OWN stage's median (cross-stage comparison would be
+    // meaningless: a 1-row collect stage is always tiny next to a scan)
+    private val stageTasks =
+      scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -46,7 +52,37 @@ object ScaleCheck {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       }
     }
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null) stageTasks.synchronized {
+        stageTasks.getOrElseUpdate(te.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += te.taskInfo.duration
+      }
+    /** Max over stages with >= `minTasks` tasks of (stage max / stage
+      * median) since the last call, then reset — 1.0 when no stage
+      * qualifies. The "no straggler task > 4x median" gate reads this. */
+    def drainStraggler(minTasks: Int = 8): Double = stageTasks.synchronized {
+      val worst = stageTasks.values
+        .filter(_.length >= minTasks)
+        .map { ds =>
+          val sorted = ds.sorted
+          val med = math.max(1L, sorted(sorted.length / 2))
+          sorted.last.toDouble / med
+        }
+      stageTasks.clear()
+      if (worst.isEmpty) 1.0 else worst.max
+    }
   }
+
+  /** Plant a Zipfian head on a corpus: the same stopword 8× in EVERY
+    * document plus a mid-frequency bigram partner in every 3rd — the
+    * skew axis every real corpus has (planted after any per-copy
+    * rotation, so the stopword's corpus frequency is the FULL corpus
+    * size at every factor). */
+  private def zipfify(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat_ws(" ", col("text"),
+      lit(Seq.fill(8)("zzstop").mkString(" ")),
+      when(col("doc_id") % 3 === 0, lit("zzmid zzstop zzmid"))
+        .otherwise(lit(""))))
 
   private def synthesize(spark: SparkSession, base: String, factor: Int,
                          dir: String): Unit = {
@@ -215,6 +251,25 @@ object ScaleCheck {
       // stay exactly linear
       ("q_index_postings", (dir, _) => graft.llm.Retrieval
         .positionalPostings(spark.read.parquet(s"$dir/documents.parquet"))),
+      // round-14 (VERDICT r13 #7): TERM SKEW. A Zipfian stopword spans
+      // every document (planted AFTER the Caesar rotation, so its
+      // corpus frequency is the full k× doc count — the worst skew a
+      // real corpus produces). The postings layout keys by (term, DOC),
+      // so the stopword's occurrences spread across as many reduce keys
+      // as there are documents — no task receives a term-sized group.
+      // Gate: shuffle linear in k, straggler_x < 4.
+      ("q_index_postings_zipf", (dir, _) => graft.llm.Retrieval
+        .positionalPostings(zipfify(
+          spark.read.parquet(s"$dir/documents.parquet")))),
+      // phrase search over the SKEWED terms themselves: both sides of
+      // the adjacency join are the stopword/mid-word postings (corpus-
+      // sized term frequency), but the join keys on doc_id with
+      // constant per-doc fanout — the lossless-band discipline's skew
+      // claim, measured. Same gates.
+      ("q_retrieval_phrase_zipf", (dir, _) => graft.llm.Retrieval
+        .phraseMatches(zipfify(
+          spark.read.parquet(s"$dir/documents.parquet")),
+          Seq("zzmid", "zzstop"))),
       ("q_dedup_minhash", (dir, _) => Dedup.minhashLsh(
         spark.read.parquet(s"$dir/documents.parquet"),
         numHashes = 64, bands = 16, shingleSize = 5, maxBucketSize = 500)),
@@ -922,18 +977,22 @@ object ScaleCheck {
           // the cost of not training (same rule as graft.Bench)
           graft.llm.Tokenization.invalidateTrained()
           val w0 = drained(listener.write); val r0 = listener.read.get()
+          listener.drainStraggler() // reset the per-stage task window
           val t0 = System.nanoTime()
           mk(dir, f).write.format("noop").mode("overwrite").save()
           val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
           Caches.release()
           spark.catalog.clearCache()
-          (sec, drained(listener.write) - w0, listener.read.get() - r0)
+          val w1 = drained(listener.write)
+          (sec, w1 - w0, listener.read.get() - r0,
+            listener.drainStraggler())
         }
         val best = reps.minBy(_._1)
         val mb = (b: Long) => math.rint(b / 1e5) / 10.0
         println(s"""{"query":"$name","factor":$f,"sec":${best._1},""" +
           s""""shuffle_write_mb":${mb(best._2)},""" +
-          s""""shuffle_read_mb":${mb(best._3)}}""")
+          s""""shuffle_read_mb":${mb(best._3)},""" +
+          s""""straggler_x":${math.rint(best._4 * 10) / 10}}""")
       }
     }
     spark.stop()
