@@ -146,7 +146,15 @@ object Bench {
     "q_dedup_index_delete",   // MinHash write + anti-join rewrite + probe
     "q_sim_ivf_index_delete", // IVF write + postings rewrite + probe
     "q_sim_ivfpq_index_delete", // IVF-PQ two-tier delete rewrite + probe
-    "q_sim_graph_index_delete") // graph build + append + delete + search
+    "q_sim_graph_index_delete", // graph build + append + delete + search
+    // round-14 additions (first frozen budgets in BASELINE.md): the
+    // takedown-during-live-ingest composition pays index write + a real
+    // ingest batch + the tombstone + 60 probes per rep; the health
+    // gauge pays the full NN-Descent build + a 40% takedown + two
+    // health reads. The light round-14 ops (q_scan_avro_events 0.2 s)
+    // stay off per the sub-2 s policy
+    "q_dedup_takedown_live",  // MinHash ingest loop + tombstone + probes
+    "q_sim_graph_health")     // graph build + heavy delete + health x2
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
