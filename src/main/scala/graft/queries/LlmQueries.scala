@@ -1743,6 +1743,149 @@ object LlmQueries {
              |SELECT lang, rk, term, score FROM ranked WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    // Multinomial Naive Bayes TRAINING (the learned corpus-filter tier:
+    // the SQL-replayable cousin of the fastText quality/language
+    // classifiers every pretraining pipeline gates on): add-one
+    // smoothing, every log term fixed to 4-dp micro BEFORE any addition
+    // (the q_retrieval_ql ln discipline), priors from document counts.
+    // Output = per-class priors + miss mass + the (vocabulary-bounded)
+    // term table's count and exact BIGINT checksum; the oracle replays
+    // the whole training pass.
+    QueryDef(
+      "q_class_nb_train",
+      (s, dir) => {
+        val m = graft.llm.Classify.naiveBayesTrain(
+          load(s, dir, "documents").filter(col("doc_id") < 300), "lang")
+        m.labels.join(
+            m.terms.groupBy(col("label"))
+              .agg(count(lit(1)).as("n_terms"),
+                sum(col("llik_micro")).cast("long").as("sum_llik")),
+            Seq("label"), "left")
+          .select(col("label"), col("logprior_micro"), col("miss_micro"),
+            col("n_terms"), col("sum_llik"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 300),
+             |tok AS (
+             |  SELECT label, t AS term FROM (
+             |    SELECT lang AS label,
+             |      unnest(string_split(text, ' ')) AS t FROM train)
+             |  WHERE t <> ''),
+             |v AS (SELECT count(DISTINCT term) AS vocab FROM tok),
+             |ct AS (SELECT label, count(*) AS n_c FROM tok GROUP BY 1),
+             |nd AS (SELECT count(*) AS n FROM train),
+             |pri AS (
+             |  SELECT lang AS label, count(*) AS n_docs_c
+             |  FROM train GROUP BY 1),
+             |lab AS (
+             |  SELECT p.label,
+             |    CAST(round(round(ln(CAST(p.n_docs_c AS DOUBLE)
+             |      / CAST(nd.n AS DOUBLE)), 4) * 10000) AS BIGINT)
+             |      AS logprior_micro,
+             |    CAST(round(round(ln(CAST(1 AS DOUBLE)
+             |      / CAST(ct.n_c + v.vocab AS DOUBLE)), 4) * 10000)
+             |      AS BIGINT) AS miss_micro
+             |  FROM pri p JOIN ct ON ct.label = p.label
+             |  CROSS JOIN nd CROSS JOIN v),
+             |tc AS (SELECT label, term, count(*) AS cnt
+             |  FROM tok GROUP BY 1, 2),
+             |tm AS (
+             |  SELECT tc.label, tc.term,
+             |    CAST(round(round(ln(CAST(tc.cnt + 1 AS DOUBLE)
+             |      / CAST(ct.n_c + v.vocab AS DOUBLE)), 4) * 10000)
+             |      AS BIGINT) AS llik_micro
+             |  FROM tc JOIN ct ON ct.label = tc.label CROSS JOIN v),
+             |agg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_terms,
+             |  CAST(sum(llik_micro) AS BIGINT) AS sum_llik
+             |  FROM tm GROUP BY 1)
+             |SELECT l.label, l.logprior_micro, l.miss_micro,
+             |  a.n_terms, a.sum_llik
+             |FROM lab l JOIN agg a ON a.label = l.label
+             |ORDER BY l.label""".stripMargin)),
+
+    // Naive Bayes SCORING — the routing/filter half: train on the
+    // labeled slice, score a held-out slice, keep each document's
+    // argmax class (score DESC, label ASC ties — the engine argmax
+    // rule). Unseen terms take the class's miss mass (count 0 ⇒ the
+    // same smoothed formula), empty documents score on priors alone.
+    // Oracle replays train AND score end to end — the full learned-
+    // filter loop, hash-checked.
+    QueryDef(
+      "q_class_nb_score",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val m = graft.llm.Classify.naiveBayesTrain(
+          docs.filter(col("doc_id") < 300), "lang")
+        graft.llm.Classify.naiveBayesScore(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), m)
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("label").as("pred"),
+            col("score_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 300),
+             |tok AS (
+             |  SELECT label, t AS term FROM (
+             |    SELECT lang AS label,
+             |      unnest(string_split(text, ' ')) AS t FROM train)
+             |  WHERE t <> ''),
+             |v AS (SELECT count(DISTINCT term) AS vocab FROM tok),
+             |ct AS (SELECT label, count(*) AS n_c FROM tok GROUP BY 1),
+             |nd AS (SELECT count(*) AS n FROM train),
+             |pri AS (
+             |  SELECT lang AS label, count(*) AS n_docs_c
+             |  FROM train GROUP BY 1),
+             |lab AS (
+             |  SELECT p.label,
+             |    CAST(round(round(ln(CAST(p.n_docs_c AS DOUBLE)
+             |      / CAST(nd.n AS DOUBLE)), 4) * 10000) AS BIGINT)
+             |      AS logprior_micro,
+             |    CAST(round(round(ln(CAST(1 AS DOUBLE)
+             |      / CAST(ct.n_c + v.vocab AS DOUBLE)), 4) * 10000)
+             |      AS BIGINT) AS miss_micro
+             |  FROM pri p JOIN ct ON ct.label = p.label
+             |  CROSS JOIN nd CROSS JOIN v),
+             |tc AS (SELECT label, term, count(*) AS cnt
+             |  FROM tok GROUP BY 1, 2),
+             |tm AS (
+             |  SELECT tc.label, tc.term,
+             |    CAST(round(round(ln(CAST(tc.cnt + 1 AS DOUBLE)
+             |      / CAST(ct.n_c + v.vocab AS DOUBLE)), 4) * 10000)
+             |      AS BIGINT) AS llik_micro
+             |  FROM tc JOIN ct ON ct.label = tc.label CROSS JOIN v),
+             |sdocs AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id >= 300 AND doc_id < 400),
+             |stok AS (
+             |  SELECT doc_id, t AS term FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |    FROM sdocs)
+             |  WHERE t <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM stok GROUP BY 1, 2),
+             |ev AS (
+             |  SELECT tf.doc_id, l.label,
+             |    CAST(sum(tf.tf * coalesce(tm.llik_micro, l.miss_micro))
+             |      AS BIGINT) AS tok_micro
+             |  FROM tf CROSS JOIN lab l
+             |  LEFT JOIN tm ON tm.label = l.label AND tm.term = tf.term
+             |  GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT d.doc_id, l.label,
+             |    l.logprior_micro + coalesce(ev.tok_micro, 0)
+             |      AS score_micro
+             |  FROM sdocs d CROSS JOIN lab l
+             |  LEFT JOIN ev ON ev.doc_id = d.doc_id AND ev.label = l.label),
+             |rk AS (
+             |  SELECT doc_id, label, score_micro,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score_micro DESC, label) AS rk
+             |  FROM grid)
+             |SELECT doc_id, label AS pred, score_micro
+             |FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
     // Feature hashing (the hashing trick): tokens → fixed 16-dim count
     // vector via a portable content hash, no vocabulary to build, ship,
     // or keep in sync — the streaming-friendly featurizer for linear
