@@ -735,9 +735,22 @@ object Dedup {
     * batches are human-request-scale by contract (the ids broadcast on
     * every read until consumed); bulk deletions belong on the hard
     * path. */
+  /** Pending-request ceiling: tombstones broadcast into every read until
+    * consumed, so the tier is for request-scale takedowns; a bulk
+    * deletion is one maintenance rewrite away on the hard path. */
+  private[llm] val MaxPendingTombstones = 100000L
+
   def addTombstones(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, ids: DataFrame): Unit = {
     val del = ids.select(col(ids.columns.head).as("del_id")).distinct()
+    val pending = tombstoneIds(spark, indexPath)
+      .map(_.count()).getOrElse(0L) + del.count()
+    require(pending <= MaxPendingTombstones,
+      s"$pending pending tombstoned ids would exceed the " +
+        s"$MaxPendingTombstones read-path broadcast ceiling at " +
+        s"$indexPath; run the hard deleteFrom*Index (or a compaction) " +
+        "to consume the standing requests, or route bulk deletions " +
+        "there directly")
     val key = del
       .agg(md5(concat_ws(",",
         sort_array(collect_list(col("del_id").cast("string"))))))

@@ -1268,8 +1268,12 @@ object Similarity {
                          srcIndexPath: String, tgtIndexPath: String,
                          k: Int, topN: Int, nprobe: Int): DataFrame = {
     require(k >= 1 && topN >= 1, s"k/topN must be positive, got $k/$topN")
+    // pending tombstones filter BOTH sides: a taken-down vector must
+    // neither mine as an anchor nor surface as a mined partner
     def postings(path: String): DataFrame =
-      spark.read.parquet(IndexManifest.resolve(path, "postings"))
+      Dedup.exceptTombstoned(spark, path,
+        spark.read.parquet(IndexManifest.resolve(path, "postings")),
+        "cand_id")
     def knn(queryIdx: String, corpusIdx: String): DataFrame = {
       val centroids = loadCentroids(spark, corpusIdx)
       require(nprobe >= 1 && nprobe <= centroids.length,

@@ -157,4 +157,17 @@ class TombstoneSpec extends SparkSpec {
     assert(codes.filter(col("id").isin(top.map(x => x: Any).toSeq: _*))
       .isEmpty, "hard delete must fold tombstoned ids into its rewrite")
   }
+
+  test("the tombstone tier refuses bulk deletions (read-path broadcast " +
+      "ceiling) and steers to the hard path") {
+    val idx = tempDir("tomb-bulk-").toString + "/idx"
+    Similarity.writeIvfIndex(emb(50), idx, nlist = 4)
+    val bulk = spark.range(Dedup.MaxPendingTombstones + 1)
+      .select(col("id").as("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.addTombstones(spark, idx, bulk)
+    }
+    assert(e.getMessage.contains("deleteFrom"), e.getMessage)
+    assert(Dedup.tombstoneDirs(idx).isEmpty, "nothing may land on refusal")
+  }
 }
