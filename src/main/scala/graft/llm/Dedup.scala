@@ -743,20 +743,41 @@ object Dedup {
   def addTombstones(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, ids: DataFrame): Unit = {
     val del = ids.select(col(ids.columns.head).as("del_id")).distinct()
-    val pending = tombstoneIds(spark, indexPath)
-      .map(_.count()).getOrElse(0L) + del.count()
-    require(pending <= MaxPendingTombstones,
-      s"$pending pending tombstoned ids would exceed the " +
-        s"$MaxPendingTombstones read-path broadcast ceiling at " +
-        s"$indexPath; run the hard deleteFrom*Index (or a compaction) " +
-        "to consume the standing requests, or route bulk deletions " +
-        "there directly")
-    val key = del
-      .agg(md5(concat_ws(",",
-        sort_array(collect_list(col("del_id").cast("string"))))))
-      .head.getString(0)
-    del.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexPath/tombstones/req-$key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (del.count() == 0L) return // an empty request must not register
+      // the ceiling counts the UNION with what's already pending, so an
+      // idempotent at-least-once re-delivery of the same request (same
+      // ids -> same dir) can never double-count itself into a refusal
+      val after = tombstoneIds(spark, indexPath) match {
+        case Some(t) => t.unionByName(del).distinct().count()
+        case None => del.count()
+      }
+      require(after <= MaxPendingTombstones,
+        s"$after pending tombstoned ids would exceed the " +
+          s"$MaxPendingTombstones read-path broadcast ceiling at " +
+          s"$indexPath; run the hard deleteFrom*Index (or a compaction) " +
+          "to consume the standing requests, or route bulk deletions " +
+          "there directly")
+      val key = del
+        .agg(md5(concat_ws(",",
+          sort_array(collect_list(col("del_id").cast("string"))))))
+        .head.getString(0)
+      // staged publish: the distributed write lands in a dot-prefixed
+      // dir tombstoneDirs never lists (a crashed write can therefore
+      // never brick reads with a footerless dir), then one rename makes
+      // the request live — the manifest discipline, request-sized. A
+      // final dir that already exists IS this exact request (the key is
+      // the md5 of the sorted id list, and finals only ever appear via
+      // the rename of a complete staging dir), so a re-delivery
+      // short-circuits instead of renaming over live content.
+      val fin = s"$indexPath/tombstones/req-$key"
+      if (!graft.core.SidecarFs.exists(fin)) {
+        val staging = s"$indexPath/tombstones/.staging-req-$key"
+        del.coalesce(1).write.mode("overwrite").parquet(staging)
+        graft.core.SidecarFs.renameOverwrite(staging, fin)
+      }
+    } finally del.unpersist(blocking = false)
   }
 
   /** Pending tombstone request dirs (absolute paths), snapshot-listed:
@@ -996,12 +1017,7 @@ object Dedup {
     // a full-rewrite pass consumes pending tombstones too (one
     // maintenance rewrite, every standing request folded in)
     val tombDirs = tombstoneDirs(indexPath)
-    val delIds = tombstoneIds(spark, indexPath) match {
-      case Some(t) =>
-        ids.select(col(ids.columns.head).as("del_id")).unionByName(t)
-      case None => ids.select(col(ids.columns.head).as("del_id"))
-    }
-    val del = broadcast(delIds.distinct())
+    val del = broadcast(unionTombstoned(spark, indexPath, ids))
     val bandsV = IndexManifest.nextVersionDir(indexPath, "bands")
     spark.read.parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),

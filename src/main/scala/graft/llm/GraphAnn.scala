@@ -63,12 +63,17 @@ object GraphAnn {
                              idCol: String): DataFrame = {
     val x0 = col(vecCol).cast("array<double>")
     // per-row guard, fused into the projection (zero extra passes): the
-    // overflow bound is a data property, so it must hold row-by-row
-    val x = when(size(x0) <= MaxDim, x0).otherwise(raise_error(concat(
-      lit("graph-ann: vector dim "), size(x0).cast("string"),
-      lit(s" exceeds $MaxDim — the exact integer sim key (dot^2*1e6) " +
-        "would overflow BIGINT; use the IVF/IVF-PQ tier for " +
-        "high-dimensional embeddings"))))
+    // overflow bound is a data property, so it must hold row-by-row.
+    // NULL vectors pass through untouched (they quantize to null codes
+    // and sort below everything, as before the guard) — size(NULL) is
+    // NULL, and the otherwise branch would turn them into an opaque
+    // raise_error(NULL) crash
+    val x = when(x0.isNull || size(x0) <= MaxDim, x0)
+      .otherwise(raise_error(concat(
+        lit("graph-ann: vector dim "), size(x0).cast("string"),
+        lit(s" exceeds $MaxDim — the exact integer sim key (dot^2*1e6) " +
+          "would overflow BIGINT; use the IVF/IVF-PQ tier for " +
+          "high-dimensional embeddings"))))
     val m = array_max(transform(x, v => abs(v)))
     val codes = when(m === 0, transform(x, _ => lit(0.0)))
       .otherwise(transform(x, v => floor(v * lit(127.0) / m + lit(0.5))))
@@ -484,11 +489,14 @@ object GraphAnn {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = codes.count()
     val nEdges = graph.count()
+    // a FULLY-deleted index has an empty entry tier — exactly the
+    // total-takedown state the gauge must report (health 0, rebuild),
+    // never crash on
     val entryId = spark.read
       .parquet(IndexManifest.resolve(indexPath, "entry"))
-      .collect().head.getAs[Long]("cand_id")
-    val entryConnected =
-      graph.filter(col("src") === entryId).limit(1).count() > 0
+      .collect().headOption.map(_.getAs[Long]("cand_id"))
+    val entryConnected = entryId.exists(id =>
+      graph.filter(col("src") === id).limit(1).count() > 0)
     graph.unpersist(blocking = false)
     val healthMicro =
       if (nNodes == 0 || buildEdges == 0) 0L

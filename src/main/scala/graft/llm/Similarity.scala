@@ -1117,14 +1117,17 @@ object Similarity {
     // The exact anchor scores |src|·|tgt| cosines by design — a
     // DuckDB-replayable correctness fixture, NOT a production path. A
     // corpus-scale call here is one mistake away from a 100M×100M
-    // cartesian, so oversize inputs refuse up front (two cheap counts
-    // guard a crossJoin) and steer to the ANN variant.
-    val (nSrc, nTgt) = (src.count(), tgt.count())
+    // cartesian, so oversize inputs refuse up front and steer to the
+    // ANN variant. The probe is limit(N+1).count() — it stops after at
+    // most N+1 rows, so the corpus-scale mistake pays a bounded scan,
+    // not a full pass, before the refusal
+    val probe = MaxExactMiningSide + 1
+    val (nSrc, nTgt) = (src.limit(probe.toInt).count(),
+      tgt.limit(probe.toInt).count())
     require(nSrc <= MaxExactMiningSide && nTgt <= MaxExactMiningSide,
       s"marginPairs is the exact all-pairs anchor (scores |src|*|tgt| " +
-        s"cosines) and refuses sides beyond $MaxExactMiningSide rows " +
-        s"(got $nSrc x $nTgt); use marginPairsAnn / marginPairsIndexed " +
-        "for corpus-scale mining")
+        s"cosines) and refuses sides beyond $MaxExactMiningSide rows; " +
+        "use marginPairsAnn / marginPairsIndexed for corpus-scale mining")
     val s = src.select(col(idCol).as("src_id"), col(vecCol).as("s_vec"))
       .withColumn("s_norm", l2norm(col("s_vec")))
     val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("t_vec"))

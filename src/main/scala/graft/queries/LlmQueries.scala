@@ -1784,9 +1784,10 @@ object LlmQueries {
              |      / CAST(nd.n AS DOUBLE)), 4) * 10000) AS BIGINT)
              |      AS logprior_micro,
              |    CAST(round(round(ln(CAST(1 AS DOUBLE)
-             |      / CAST(ct.n_c + v.vocab AS DOUBLE)), 4) * 10000)
+             |      / CAST(coalesce(ct.n_c, 0) + v.vocab AS DOUBLE)),
+             |      4) * 10000)
              |      AS BIGINT) AS miss_micro
-             |  FROM pri p JOIN ct ON ct.label = p.label
+             |  FROM pri p LEFT JOIN ct ON ct.label = p.label
              |  CROSS JOIN nd CROSS JOIN v),
              |tc AS (SELECT label, term, count(*) AS cnt
              |  FROM tok GROUP BY 1, 2),
@@ -1843,9 +1844,10 @@ object LlmQueries {
              |      / CAST(nd.n AS DOUBLE)), 4) * 10000) AS BIGINT)
              |      AS logprior_micro,
              |    CAST(round(round(ln(CAST(1 AS DOUBLE)
-             |      / CAST(ct.n_c + v.vocab AS DOUBLE)), 4) * 10000)
+             |      / CAST(coalesce(ct.n_c, 0) + v.vocab AS DOUBLE)),
+             |      4) * 10000)
              |      AS BIGINT) AS miss_micro
-             |  FROM pri p JOIN ct ON ct.label = p.label
+             |  FROM pri p LEFT JOIN ct ON ct.label = p.label
              |  CROSS JOIN nd CROSS JOIN v),
              |tc AS (SELECT label, term, count(*) AS cnt
              |  FROM tok GROUP BY 1, 2),

@@ -208,8 +208,6 @@ object ArrowIo {
       .broadcastHadoopConf(spark.sparkContext)
     val st = df.schema
     val schemaJson = toArrowSchema(st).toJson
-    PartFiles.clearStale(dir, "part_", ".arrow",
-      spark.sparkContext.hadoopConfiguration)
     val parted = if (numFiles > 0) df.repartition(numFiles) else df
     val counts = parted.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
@@ -271,10 +269,14 @@ object ArrowIo {
         fs.delete(fin, false)
         if (!fs.rename(tmp, fin))
           throw new java.io.IOException(s"rename $tmp -> $fin failed")
-        Iterator.single(n)
+        Iterator.single((pid, n))
       }
-    }.collect() // one count per file — bounded driver state
-    counts.sum
+    }.collect() // one (pid, count) per file — bounded driver state
+    // post-success overwrite semantics: keep exactly this job's files
+    PartFiles.clearStaleExcept(dir, "part_", ".arrow",
+      counts.map { case (pid, _) => f"part_$pid%05d.arrow" }.toSet,
+      spark.sparkContext.hadoopConfiguration)
+    counts.map(_._2).sum
   }
 
   // --------------------------------------------------------------- read

@@ -185,8 +185,6 @@ object AvroIo {
       .broadcastHadoopConf(spark.sparkContext)
     val st = df.schema
     val schemaJson = toAvroSchema(st, "GraftRecord").toString
-    PartFiles.clearStale(dir, "part_", ".avro",
-      spark.sparkContext.hadoopConfiguration)
     val parted = if (numFiles > 0) df.repartition(numFiles) else df
     val counts = parted.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
@@ -216,10 +214,13 @@ object AvroIo {
         fs.delete(fin, false)
         if (!fs.rename(tmp, fin))
           throw new java.io.IOException(s"rename $tmp -> $fin failed")
-        Iterator.single(n)
+        Iterator.single((pid, n))
       }
-    }.collect() // one count per file — bounded driver state
-    counts.sum
+    }.collect() // one (pid, count) per file — bounded driver state
+    PartFiles.clearStaleExcept(dir, "part_", ".avro",
+      counts.map { case (pid, _) => f"part_$pid%05d.avro" }.toSet,
+      spark.sparkContext.hadoopConfiguration)
+    counts.map(_._2).sum
   }
 
   // -------------------------------------------------------------- read

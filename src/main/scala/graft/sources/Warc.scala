@@ -365,8 +365,6 @@ object Warc {
     val hc = org.apache.spark.graftshim.GraftSparkInternals
       .broadcastHadoopConf(spark.sparkContext)
     import spark.implicits._
-    PartFiles.clearStale(dir, "seg_", ".warc.gz",
-      spark.sparkContext.hadoopConfiguration)
     val src = docs.select("record_id", "url", "warc_date",
       "content_type", "text")
     val parted = if (numSegments > 0) src.repartition(numSegments) else src
@@ -391,10 +389,13 @@ object Warc {
           fs.delete(fin, false)
           if (!fs.rename(tmp, fin))
             throw new java.io.IOException(s"rename $tmp -> $fin failed")
-          Iterator.single(n)
+          Iterator.single((pid, n))
         }
-      }.collect() // one count per partition — bounded driver state
-    counts.sum
+      }.collect() // one (pid, count) per partition — bounded driver state
+    PartFiles.clearStaleExcept(dir, "seg_", ".warc.gz",
+      counts.map { case (pid, _) => f"seg_$pid%05d.warc.gz" }.toSet,
+      spark.sparkContext.hadoopConfiguration)
+    counts.map(_._2).sum
   }
 
   /** A CR/LF inside a header-bound field breaks WARC record framing —

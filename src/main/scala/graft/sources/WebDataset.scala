@@ -216,8 +216,6 @@ object WebDataset {
     import spark.implicits._
     val src = samples.select(col(keyCol).cast("string").as("k"),
       col(extCol).cast("string").as("e"), col(dataCol).as("d"))
-    PartFiles.clearStale(dir, "shard_", ".tar",
-      spark.sparkContext.hadoopConfiguration)
     val parted =
       (if (numShards > 0) src.repartition(numShards, col("k"))
        else src.repartition(col("k")))
@@ -247,10 +245,13 @@ object WebDataset {
           fs.delete(fin, false)
           if (!fs.rename(tmp, fin))
             throw new java.io.IOException(s"rename $tmp -> $fin failed")
-          Iterator.single(n)
+          Iterator.single((pid, n))
         }
-      }.collect() // one count per shard — bounded driver state
-    counts.sum
+      }.collect() // one (pid, count) per shard — bounded driver state
+    PartFiles.clearStaleExcept(dir, "shard_", ".tar",
+      counts.map { case (pid, _) => f"shard_$pid%06d.tar" }.toSet,
+      spark.sparkContext.hadoopConfiguration)
+    counts.map(_._2).sum
   }
 
   // --------------------------------------------------------------- read

@@ -170,4 +170,16 @@ class TombstoneSpec extends SparkSpec {
     assert(e.getMessage.contains("deleteFrom"), e.getMessage)
     assert(Dedup.tombstoneDirs(idx).isEmpty, "nothing may land on refusal")
   }
+
+  test("health gauge survives a TOTAL takedown: health 0, rebuild, no crash") {
+    val idx = tempDir("tomb-total-").toString + "/idx"
+    val corpus = emb(40)
+    GraphAnn.writeKnnGraphIndex(corpus, idx, k = 4, rounds = 2)
+    GraphAnn.deleteFromKnnGraphIndex(spark, idx, corpus.select("vec_id"))
+    val h = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(h.getAs[Long]("nodes") === 0L)
+    assert(h.getAs[Long]("health_micro") === 0L)
+    assert(!h.getAs[Boolean]("entry_connected"))
+    assert(h.getAs[Boolean]("rebuild"))
+  }
 }
