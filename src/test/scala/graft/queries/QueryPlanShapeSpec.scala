@@ -252,4 +252,43 @@ class QueryPlanShapeSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("round-14 NB scoring plans no cartesian: the label grid rides a " +
+      "broadcast, the model join is keyed") {
+    // the per-(doc, label) grid is |docs| x |labels| by design, but it
+    // must materialize through a BROADCAST of the handful of label rows
+    // (a CartesianProduct here would shuffle the corpus per label), and
+    // the vocabulary-bounded model joins by (label, term) key
+    for (name <- Seq("q_class_nb_train", "q_class_nb_score")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
+
+  test("round-14 tombstone read filter is a BROADCAST anti-join on every " +
+      "indexed probe path") {
+    // pending tombstones are request-scale by contract; the read-path
+    // filter must never shuffle the index to apply them
+    import SparkSpec.spark.implicits._
+    val idx = tempDir("planshape-tomb-").toString + "/idx"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    graft.llm.Similarity.writeIvfIndex(emb, idx, nlist = 4)
+    graft.llm.Dedup.addTombstones(spark, idx, Seq(1L, 2L).toDF("vec_id"))
+    val df = graft.llm.Similarity.ivfTopKIndexed(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      idx, k = 3, nprobe = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"no anti-join in plan:\n$p")
+    assert(!p.contains("SortMergeJoin(") ||
+      !p.contains("LeftAnti, SortMergeJoin"),
+      s"tombstone filter fell to a shuffle join:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$p")
+    graft.llm.Caches.release()
+    spark.catalog.clearCache()
+  }
 }
