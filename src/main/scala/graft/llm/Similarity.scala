@@ -316,6 +316,75 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignCells(corpus, centroids, vecCol, idCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    // meta tier (the knnGraphIndexHealth discipline): the build-time
+    // mean assignment distance is the anchor [[ivfIndexDrift]] compares
+    // against — stored WITH the index so the drift gauge can never use
+    // a different baseline than the build actually had
+    val (buildSum, buildN) = assignDistMicro(
+      spark.read.parquet(s"$path/postings"), centroids)
+    import spark.implicits._
+    Seq((nlist, buildN, buildSum))
+      .toDF("nlist", "build_n", "build_dist_sum_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Exact integer drift ingredients of a postings frame against a
+    * quantizer: per row, the squared distance to the ASSIGNED centroid
+    * (`|v|² + min(|c|² − 2 v·c)` — the same scoring expression as cell
+    * assignment, so the gauge measures exactly what routing pays),
+    * floor-quantized to micro BIGINT; returns (sum, count). Integer sum
+    * → the mean is order-free and rerun-exact. */
+  private def assignDistMicro(postings: DataFrame,
+                              centroids: Array[Array[Double]]): (Long, Long) = {
+    val r = postings
+      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
+      .select((floor((dot(col("c_vec"), col("c_vec")) +
+          array_min(col("d"))) * lit(1e6) + lit(0.5)).cast("long"))
+        .as("d2_micro"))
+      .agg(sum(col("d2_micro")), count(lit(1))).collect().head
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
+  /** Quantizer-DRIFT gauge of a persisted IVF index — the IVF member of
+    * the measured-rebuild family ([[GraphAnn.knnGraphIndexHealth]] is
+    * the graph one): appends assign new vectors with the FROZEN
+    * centroids (the FAISS add-after-train contract), so as the corpus
+    * drifts from the trained quantizer, vectors land ever farther from
+    * their assigned centroids and probe recall decays invisibly. The
+    * observable is the CURRENT mean squared assignment distance versus
+    * the build-time value from the index's own meta:
+    *
+    *   drift_micro = mean_dist_now / mean_dist_build · 1e6
+    *
+    * exactly 1e6 on an untouched index AND under duplicate-population
+    * growth (integer mean: (2s) div (2n) = s div n), rising only when
+    * appended vectors genuinely sit farther out. `rebuild` trips above
+    * `maxDriftMicro` (default 1 250 000 = mean distance 25% over
+    * build). A zero build mean (every vector ON a centroid: nlist ≥ n
+    * degenerate fixtures) reports 1e6 when still exact and trips
+    * otherwise. Cost: one linear postings scan — run it after each
+    * append window, next to compactIvfIndexIfNeeded. Returns one row:
+    * (build_n, n, drift_micro, rebuild). */
+  def ivfIndexDrift(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String,
+                    maxDriftMicro: Long = 1250000L): DataFrame = {
+    require(maxDriftMicro >= 0, "maxDriftMicro must be >= 0")
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    require(meta.length == 1, s"malformed IVF index meta at $indexPath/meta")
+    val buildN = meta.head.getAs[Long]("build_n")
+    val buildSum = meta.head.getAs[Long]("build_dist_sum_micro")
+    val (curSum, curN) = assignDistMicro(
+      spark.read.parquet(IndexManifest.resolve(indexPath, "postings")),
+      loadCentroids(spark, indexPath))
+    val buildMean = if (buildN == 0) 0L else buildSum / buildN
+    val curMean = if (curN == 0) 0L else curSum / curN
+    val driftMicro =
+      if (buildMean == 0L)
+        (if (curMean == 0L) 1000000L else maxDriftMicro + 1L)
+      else (BigInt(curMean) * 1000000L / buildMean).toLong
+    import spark.implicits._
+    Seq((buildN, curN, driftMicro, driftMicro > maxDriftMicro))
+      .toDF("build_n", "n", "drift_micro", "rebuild")
   }
 
   /** APPEND new vectors to a persisted IVF index ([[writeIvfIndex]]) —

@@ -952,6 +952,50 @@ object LlmQueries {
              |FROM embeddings WHERE vec_id < 10
              |ORDER BY query_id""".stripMargin)),
 
+    // IVF quantizer-DRIFT gauge — the IVF member of the measured-rebuild
+    // family (q_sim_graph_health is the graph one): appends assign with
+    // the FROZEN centroids, so corpus drift decays probe recall
+    // invisibly; the gauge compares the current mean assignment
+    // distance to the build-time anchor in the index meta. Scenario:
+    // fresh build (exactly 1e6), twin append (bit-unchanged — integer
+    // mean: 2s div 2n = s div n, so benign growth can never false-
+    // alarm), then a genuinely drifted +10-offset append that must trip
+    // the 25% bar. The oracle replays counts + gates as constants (the
+    // twin invariance makes drift_twin_micro an exact replayable 1e6,
+    // not a tolerance check).
+    QueryDef(
+      "q_sim_ivf_drift",
+      (s, dir) => {
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val idx = s"${graft.core.Fs.scratchRoot}/ivf_idx_drift"
+        Similarity.writeIvfIndex(base, idx, nlist = 16)
+        val fresh = Similarity.ivfIndexDrift(s, idx)
+          .select(col("build_n"),
+            col("drift_micro").as("drift_fresh_micro"),
+            col("rebuild").as("rebuild_fresh"))
+        Similarity.appendToIvfIndex(base.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")), idx)
+        val twin = Similarity.ivfIndexDrift(s, idx)
+          .select(col("drift_micro").as("drift_twin_micro"),
+            col("rebuild").as("rebuild_twin"))
+        Similarity.appendToIvfIndex(base.filter(col("vec_id") < 200)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            expr("transform(embedding, x -> x + cast(10 as float))")
+              .as("embedding")), idx)
+        val far = Similarity.ivfIndexDrift(s, idx)
+          .select(col("n").as("n_final"), col("rebuild").as("rebuild_far"))
+        fresh.crossJoin(twin).crossJoin(far) // three 1-row driver frames
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS build_n,
+             |  CAST(1000000 AS BIGINT) AS drift_fresh_micro,
+             |  false AS rebuild_fresh,
+             |  CAST(1000000 AS BIGINT) AS drift_twin_micro,
+             |  false AS rebuild_twin,
+             |  CAST(2 * count(*) +
+             |    count(*) FILTER (WHERE vec_id < 200) AS BIGINT) AS n_final,
+             |  true AS rebuild_far
+             |FROM embeddings""".stripMargin)),
+
     // IVF index MAINTENANCE: train + write on the base corpus, then
     // APPEND the planted twins with the STORED centroids (quantizer
     // frozen — the FAISS add-after-train contract; retraining would
