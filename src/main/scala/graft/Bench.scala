@@ -154,7 +154,8 @@ object Bench {
     // health reads. The light round-14 ops (q_scan_avro_events 0.2 s)
     // stay off per the sub-2 s policy
     "q_dedup_takedown_live",  // MinHash ingest loop + tombstone + probes
-    "q_sim_graph_health")     // graph build + heavy delete + health x2
+    "q_sim_graph_health",     // graph build + heavy delete + health x2
+    "q_sim_ivf_drift")        // IVF build + 2 appends + 3 drift scans
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
