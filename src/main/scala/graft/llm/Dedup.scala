@@ -711,6 +711,11 @@ object Dedup {
 
   // ---- tombstones (takedown composed with live ingest) ----------------
 
+  /** Pending-request ceiling: tombstones broadcast into every read until
+    * consumed, so the tier is for request-scale takedowns; a bulk
+    * deletion is one maintenance rewrite away on the hard path. */
+  private[llm] val MaxPendingTombstones = 100000L
+
   /** Register a takedown WITHOUT draining the ingest loop — the
     * production right-to-be-forgotten front door (r13 verdict missing
     * #1): the hard `deleteFrom*Index` rewrites are full-index
@@ -735,11 +740,6 @@ object Dedup {
     * batches are human-request-scale by contract (the ids broadcast on
     * every read until consumed); bulk deletions belong on the hard
     * path. */
-  /** Pending-request ceiling: tombstones broadcast into every read until
-    * consumed, so the tier is for request-scale takedowns; a bulk
-    * deletion is one maintenance rewrite away on the hard path. */
-  private[llm] val MaxPendingTombstones = 100000L
-
   def addTombstones(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, ids: DataFrame): Unit = {
     val del = ids.select(col(ids.columns.head).as("del_id")).distinct()

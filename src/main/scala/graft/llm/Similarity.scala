@@ -314,33 +314,42 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assignCells(corpus, centroids, vecCol, idCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
     // meta tier (the knnGraphIndexHealth discipline): the build-time
     // mean assignment distance is the anchor [[ivfIndexDrift]] compares
-    // against — stored WITH the index so the drift gauge can never use
-    // a different baseline than the build actually had
-    val (buildSum, buildN) = assignDistMicro(
-      spark.read.parquet(s"$path/postings"), centroids)
-    import spark.implicits._
+    // against — stored WITH the index so the gauge can never use a
+    // different baseline than the build actually had. Collected via an
+    // Observation ON the postings write itself (the d2 column is
+    // computed, observed, then dropped before the files land), so the
+    // anchor costs ZERO extra passes over the corpus.
+    val obs = org.apache.spark.sql.Observation("ivf_build_drift")
+    assignCells(corpus, centroids, vecCol, idCol)
+      .withColumn("d2_micro", assignDistMicroCol(col("c_vec"), centroids))
+      .observe(obs, sum(col("d2_micro")).as("s"), count(lit(1)).as("n"))
+      .drop("d2_micro")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    val m = obs.get
+    val buildSum = m("s") match { case null => 0L; case v => v.asInstanceOf[Long] }
+    val buildN = m("n").asInstanceOf[Long]
     Seq((nlist, buildN, buildSum))
       .toDF("nlist", "build_n", "build_dist_sum_micro")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Exact integer drift ingredients of a postings frame against a
-    * quantizer: per row, the squared distance to the ASSIGNED centroid
-    * (`|v|² + min(|c|² − 2 v·c)` — the same scoring expression as cell
-    * assignment, so the gauge measures exactly what routing pays),
-    * floor-quantized to micro BIGINT; returns (sum, count). Integer sum
-    * → the mean is order-free and rerun-exact. */
+  /** Per-row exact integer drift ingredient: the squared distance to
+    * the ASSIGNED centroid (`|v|² + min(|c|² − 2 v·c)` — the same
+    * scoring expression as cell assignment, so the gauge measures
+    * exactly what routing pays), floor-quantized to micro BIGINT.
+    * Integer sums of this column are order-free and rerun-exact. */
+  private def assignDistMicroCol(vec: Column,
+                                 centroids: Array[Array[Double]]): Column =
+    floor((dot(vec, vec) +
+        array_min(Clustering.centroidScores(vec, centroids))) * lit(1e6)
+      + lit(0.5)).cast("long")
+
   private def assignDistMicro(postings: DataFrame,
                               centroids: Array[Array[Double]]): (Long, Long) = {
     val r = postings
-      .withColumn("d", Clustering.centroidScores(col("c_vec"), centroids))
-      .select((floor((dot(col("c_vec"), col("c_vec")) +
-          array_min(col("d"))) * lit(1e6) + lit(0.5)).cast("long"))
-        .as("d2_micro"))
+      .select(assignDistMicroCol(col("c_vec"), centroids).as("d2_micro"))
       .agg(sum(col("d2_micro")), count(lit(1))).collect().head
     (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
   }
@@ -373,15 +382,25 @@ object Similarity {
     require(meta.length == 1, s"malformed IVF index meta at $indexPath/meta")
     val buildN = meta.head.getAs[Long]("build_n")
     val buildSum = meta.head.getAs[Long]("build_dist_sum_micro")
+    // pending tombstones are excluded like every read path (and like
+    // the compaction that will drop them): logically-deleted far-out
+    // vectors must not trigger a needless rebuild
     val (curSum, curN) = assignDistMicro(
-      spark.read.parquet(IndexManifest.resolve(indexPath, "postings")),
+      Dedup.exceptTombstoned(spark, indexPath,
+        spark.read.parquet(IndexManifest.resolve(indexPath, "postings")),
+        "cand_id"),
       loadCentroids(spark, indexPath))
     val buildMean = if (buildN == 0) 0L else buildSum / buildN
     val curMean = if (curN == 0) 0L else curSum / curN
+    // saturate the ratio at Long.MaxValue: an extreme-drift/tiny-anchor
+    // ratio must report a huge (tripping) figure, never wrap negative
+    def sat(b: BigInt): Long =
+      if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
     val driftMicro =
       if (buildMean == 0L)
-        (if (curMean == 0L) 1000000L else maxDriftMicro + 1L)
-      else (BigInt(curMean) * 1000000L / buildMean).toLong
+        (if (curMean == 0L) 1000000L
+         else sat(BigInt(maxDriftMicro) + 1L))
+      else sat(BigInt(curMean) * 1000000L / buildMean)
     import spark.implicits._
     Seq((buildN, curN, driftMicro, driftMicro > maxDriftMicro))
       .toDF("build_n", "n", "drift_micro", "rebuild")

@@ -208,6 +208,8 @@ object ArrowIo {
       .broadcastHadoopConf(spark.sparkContext)
     val st = df.schema
     val schemaJson = toArrowSchema(st).toJson
+    PartFiles.clearStaging(dir, spark.sparkContext.hadoopConfiguration)
+    val gen = PartFiles.stagingDir(dir)
     val parted = if (numFiles > 0) df.repartition(numFiles) else df
     val counts = parted.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
@@ -215,9 +217,10 @@ object ArrowIo {
         val schema = Schema.fromJSON(schemaJson)
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        val fin = new org.apache.hadoop.fs.Path(f"$dir/part_$pid%05d.arrow")
+        val name = f"part_$pid%05d.arrow"
+        val fin = new org.apache.hadoop.fs.Path(s"$gen/$name")
         val tmp = new org.apache.hadoop.fs.Path(
-          f"$dir/.part_$pid%05d.${tc.taskAttemptId()}.tmp")
+          f"$gen/.part_$pid%05d.${tc.taskAttemptId()}.tmp")
         val fs = fin.getFileSystem(hc.conf)
         val allocator = new RootAllocator()
         val root = VectorSchemaRoot.create(schema, allocator)
@@ -269,12 +272,12 @@ object ArrowIo {
         fs.delete(fin, false)
         if (!fs.rename(tmp, fin))
           throw new java.io.IOException(s"rename $tmp -> $fin failed")
-        Iterator.single((pid, n))
+        Iterator.single((name, n))
       }
-    }.collect() // one (pid, count) per file — bounded driver state
-    // post-success overwrite semantics: keep exactly this job's files
-    PartFiles.clearStaleExcept(dir, "part_", ".arrow",
-      counts.map { case (pid, _) => f"part_$pid%05d.arrow" }.toSet,
+    }.collect() // one (name, count) per file — bounded driver state
+    // success: swap the staged generation live (exact overwrite)
+    PartFiles.publishGeneration(dir, "part_", ".arrow",
+      counts.map(_._1).toIndexedSeq,
       spark.sparkContext.hadoopConfiguration)
     counts.map(_._2).sum
   }

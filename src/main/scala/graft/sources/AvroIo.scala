@@ -185,6 +185,8 @@ object AvroIo {
       .broadcastHadoopConf(spark.sparkContext)
     val st = df.schema
     val schemaJson = toAvroSchema(st, "GraftRecord").toString
+    PartFiles.clearStaging(dir, spark.sparkContext.hadoopConfiguration)
+    val gen = PartFiles.stagingDir(dir)
     val parted = if (numFiles > 0) df.repartition(numFiles) else df
     val counts = parted.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
@@ -192,9 +194,10 @@ object AvroIo {
         val schema = new Schema.Parser().parse(schemaJson)
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        val fin = new org.apache.hadoop.fs.Path(f"$dir/part_$pid%05d.avro")
+        val name = f"part_$pid%05d.avro"
+        val fin = new org.apache.hadoop.fs.Path(s"$gen/$name")
         val tmp = new org.apache.hadoop.fs.Path(
-          f"$dir/.part_$pid%05d.${tc.taskAttemptId()}.tmp")
+          f"$gen/.part_$pid%05d.${tc.taskAttemptId()}.tmp")
         val fs = fin.getFileSystem(hc.conf)
         val out = fs.create(tmp, true)
         val w = new DataFileWriter(
@@ -214,11 +217,11 @@ object AvroIo {
         fs.delete(fin, false)
         if (!fs.rename(tmp, fin))
           throw new java.io.IOException(s"rename $tmp -> $fin failed")
-        Iterator.single((pid, n))
+        Iterator.single((name, n))
       }
-    }.collect() // one (pid, count) per file — bounded driver state
-    PartFiles.clearStaleExcept(dir, "part_", ".avro",
-      counts.map { case (pid, _) => f"part_$pid%05d.avro" }.toSet,
+    }.collect() // one (name, count) per file — bounded driver state
+    PartFiles.publishGeneration(dir, "part_", ".avro",
+      counts.map(_._1).toIndexedSeq,
       spark.sparkContext.hadoopConfiguration)
     counts.map(_._2).sum
   }

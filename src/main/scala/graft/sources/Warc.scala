@@ -367,6 +367,8 @@ object Warc {
     import spark.implicits._
     val src = docs.select("record_id", "url", "warc_date",
       "content_type", "text")
+    PartFiles.clearStaging(dir, spark.sparkContext.hadoopConfiguration)
+    val gen = PartFiles.stagingDir(dir)
     val parted = if (numSegments > 0) src.repartition(numSegments) else src
     val counts = parted.as[(String, String, String, String, String)]
       .mapPartitions { it =>
@@ -374,10 +376,10 @@ object Warc {
         else {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val fin = new org.apache.hadoop.fs.Path(
-            f"$dir/seg_$pid%05d.warc.gz")
+          val name = f"seg_$pid%05d.warc.gz"
+          val fin = new org.apache.hadoop.fs.Path(s"$gen/$name")
           val tmp = new org.apache.hadoop.fs.Path(
-            f"$dir/.seg_$pid%05d.${tc.taskAttemptId()}.tmp")
+            f"$gen/.seg_$pid%05d.${tc.taskAttemptId()}.tmp")
           val fs = fin.getFileSystem(hc.conf)
           val out = fs.create(tmp, true)
           var n = 0L
@@ -389,11 +391,11 @@ object Warc {
           fs.delete(fin, false)
           if (!fs.rename(tmp, fin))
             throw new java.io.IOException(s"rename $tmp -> $fin failed")
-          Iterator.single((pid, n))
+          Iterator.single((name, n))
         }
-      }.collect() // one (pid, count) per partition — bounded driver state
-    PartFiles.clearStaleExcept(dir, "seg_", ".warc.gz",
-      counts.map { case (pid, _) => f"seg_$pid%05d.warc.gz" }.toSet,
+      }.collect() // one (name, count) per partition — bounded driver state
+    PartFiles.publishGeneration(dir, "seg_", ".warc.gz",
+      counts.map(_._1).toIndexedSeq,
       spark.sparkContext.hadoopConfiguration)
     counts.map(_._2).sum
   }

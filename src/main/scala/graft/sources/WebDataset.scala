@@ -216,6 +216,8 @@ object WebDataset {
     import spark.implicits._
     val src = samples.select(col(keyCol).cast("string").as("k"),
       col(extCol).cast("string").as("e"), col(dataCol).as("d"))
+    PartFiles.clearStaging(dir, spark.sparkContext.hadoopConfiguration)
+    val gen = PartFiles.stagingDir(dir)
     val parted =
       (if (numShards > 0) src.repartition(numShards, col("k"))
        else src.repartition(col("k")))
@@ -226,10 +228,10 @@ object WebDataset {
         else {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val fin = new org.apache.hadoop.fs.Path(
-            f"$dir/shard_$pid%06d.tar")
+          val name = f"shard_$pid%06d.tar"
+          val fin = new org.apache.hadoop.fs.Path(s"$gen/$name")
           val tmp = new org.apache.hadoop.fs.Path(
-            f"$dir/.shard_$pid%06d.${tc.taskAttemptId()}.tmp")
+            f"$gen/.shard_$pid%06d.${tc.taskAttemptId()}.tmp")
           val fs = fin.getFileSystem(hc.conf)
           val out = fs.create(tmp, true)
           var n = 0L
@@ -245,11 +247,11 @@ object WebDataset {
           fs.delete(fin, false)
           if (!fs.rename(tmp, fin))
             throw new java.io.IOException(s"rename $tmp -> $fin failed")
-          Iterator.single((pid, n))
+          Iterator.single((name, n))
         }
-      }.collect() // one (pid, count) per shard — bounded driver state
-    PartFiles.clearStaleExcept(dir, "shard_", ".tar",
-      counts.map { case (pid, _) => f"shard_$pid%06d.tar" }.toSet,
+      }.collect() // one (name, count) per shard — bounded driver state
+    PartFiles.publishGeneration(dir, "shard_", ".tar",
+      counts.map(_._1).toIndexedSeq,
       spark.sparkContext.hadoopConfiguration)
     counts.map(_._2).sum
   }

@@ -283,10 +283,12 @@ class QueryPlanShapeSpec extends SparkSpec {
       idx, k = 3, nprobe = 4)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), s"no anti-join in plan:\n$p")
-    assert(!p.contains("SortMergeJoin(") ||
-      !p.contains("LeftAnti, SortMergeJoin"),
-      s"tombstone filter fell to a shuffle join:\n$p")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+    // the whole probe plan is broadcast-scale: ANY sort-merge or
+    // shuffled-hash join here means either the tombstone filter or the
+    // probe join fell off the broadcast path
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"tombstone/probe join fell to a shuffle join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
       s"expected broadcast anti-join:\n$p")
     graft.llm.Caches.release()
     spark.catalog.clearCache()
