@@ -228,4 +228,31 @@ class ArrowIoSpec extends SparkSpec {
     assert(got(2).isNullAt(1) && got(2).isNullAt(2))
     assert(got(3).getTimestamp(1) === ts(0L))
   }
+
+  test("a crashed re-write leaves the previous generation fully readable " +
+      "(staged files are invisible until the driver swap)") {
+    import SparkSpec.spark.implicits._
+    val dir = tempDir("arrow_crash").toString
+    ArrowIo.writeArrow((1L to 20L).toDF("id"), dir, numFiles = 2)
+    // simulate a job that died mid-write: staged files exist, the swap
+    // never ran — readers must see ONLY the old generation (the old
+    // discipline mixed generations or lost files here)
+    val gen = java.nio.file.Paths.get(dir, ".gen")
+    java.nio.file.Files.createDirectories(gen)
+    val live = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".arrow")).head
+    java.nio.file.Files.copy(Paths.get(live),
+      gen.resolve("part_00099.arrow"))
+    val back = ArrowIo.readArrow(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === (1L to 20L).toSeq,
+      "staged (unpublished) files must never reach readers")
+    // the next successful write clears the crashed staging and swaps in
+    // exactly its own generation
+    ArrowIo.writeArrow((100L to 104L).toDF("id"), dir, numFiles = 1)
+    assert(!java.nio.file.Files.exists(gen))
+    val after = ArrowIo.readArrow(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === (100L to 104L).toSeq)
+  }
 }
