@@ -8,8 +8,21 @@ the parquet tables in <sfDir>, load the Spark result parquet, sort columns by
 name, canonicalize values, and compare row-by-row. Queries without oracle SQL
 get a rows-only check (>0 rows).
 
+Two phases per query, BOTH must pass (r14 verdict missing #1: the old
+canon-string compare passed rows the real driver fails):
+ 1. canon diff — column names sorted, values canonicalized to strings,
+    row-by-row compare (the readable debugging phase);
+ 2. driver-faithful hash — pandas frames (Spark side via pyarrow,
+    oracle side via duckdb's .df(), preserving dtype units), canonical
+    sort_values over ALL columns, then pd.util.hash_pandas_object.
+    This phase is deliberately dtype-sensitive (timestamp[ns] vs
+    timestamp[us] hash differently even when the instants are equal)
+    and chokes on raw binary cells (bytearray is unhashable in the
+    lexsort) — exactly the failure modes the external driver has.
+
 Driver-side tooling only — NOT part of the engine.
 """
+import hashlib
 import json
 import math
 import sys
@@ -41,6 +54,21 @@ def frame_rows(tbl):
     pylists = {c: tbl.column(c).to_pylist() for c in cols}
     rows = [tuple(canon(pylists[c][i]) for c in cols) for i in range(tbl.num_rows)]
     return cols, rows
+
+
+def driver_hash(df):
+    """The external driver's canonicalization, replicated: sort columns
+    by name, pandas-lexsort the rows over all columns, hash the frame
+    with pandas' dtype-sensitive row hash. Returns a hex digest, or
+    raises exactly where the driver raises (e.g. TypeError on
+    unhashable binary cells in the lexsort)."""
+    import pandas as pd
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), na_position="last")
+    df = df.reset_index(drop=True)
+    h = pd.util.hash_pandas_object(df, index=False)
+    return hashlib.md5(h.values.tobytes()).hexdigest()
 
 
 def main():
@@ -92,8 +120,30 @@ def main():
                   f"{len(diff)} mismatched; first: "
                   f"{diff[0] if diff else ('len', sr[:1], dr[:1])}")
         else:
-            print(f"pass {name}: {len(sr)} rows")
-            n_pass += 1
+            # canon phase green: now the driver-faithful hash phase
+            try:
+                sh = driver_hash(spark_df.to_pandas())
+            except Exception as e:
+                print(f"FAIL {name}: driver hash (spark side) raised "
+                      f"{type(e).__name__}: {e}")
+                n_fail += 1
+                continue
+            try:
+                dh = driver_hash(con.execute(oracle[name]).df())
+            except Exception as e:
+                print(f"FAIL {name}: driver hash (oracle side) raised "
+                      f"{type(e).__name__}: {e}")
+                n_fail += 1
+                continue
+            if sh != dh:
+                print(f"FAIL {name}: values match but driver hash differs "
+                      f"({sh[:12]} vs {dh[:12]}) — dtype/unit divergence "
+                      f"(spark dtypes: "
+                      f"{dict(spark_df.to_pandas().dtypes.astype(str))})")
+                n_fail += 1
+            else:
+                print(f"pass {name}: {len(sr)} rows")
+                n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail / {len(names)}")
     sys.exit(1 if n_fail else 0)
 
