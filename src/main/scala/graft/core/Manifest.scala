@@ -80,20 +80,33 @@ object Manifest {
     * prune every OTHER version of `name` except the one just
     * superseded — the one-cycle grace window for in-flight readers.
     * The superseded dir is pruned by the NEXT publish. */
-  def publish(root: String, name: String, versionDir: String): Unit = {
+  def publish(root: String, name: String, versionDir: String): Unit =
+    publishAll(root, Map(name -> versionDir))
+
+  /** Publish SEVERAL names in ONE atomic manifest replace — the
+    * multi-tier swap a whole-index rebuild needs (centroids + postings
+    * + meta must flip together: a reader resolving between two separate
+    * publishes would route new-quantizer cells against old postings).
+    * Same per-name pruning and one-cycle grace window as the
+    * single-name form. */
+  def publishAll(root: String, updates: Map[String, String]): Unit = {
+    require(updates.nonEmpty, "publishAll of nothing")
     val prior = readMap(root)
-    val superseded = prior.getOrElse(name, name)
-    val next = prior + (name -> versionDir)
+    val superseded = updates.keySet.map(n => prior.getOrElse(n, n))
+    val next = prior ++ updates
     val body = next.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("", "\n", "\n")
     SidecarFs.writeStringAtomic(manifestPath(root), body)
-    // prune stale versions: everything matching `name` or `name_v*`
-    // that is neither the new live dir nor its immediate predecessor
-    val re = (java.util.regex.Pattern.quote(name) + "(_v\\d+)?").r
-    val stale = SidecarFs.listNames(root).filter {
-      case d @ re(_*) => d != versionDir && d != superseded
-      case _ => false
+    // prune stale versions: everything matching an updated `name` or
+    // `name_v*` that is neither its new live dir nor its immediate
+    // predecessor
+    updates.foreach { case (name, versionDir) =>
+      val re = (java.util.regex.Pattern.quote(name) + "(_v\\d+)?").r
+      val stale = SidecarFs.listNames(root).filter {
+        case d @ re(_*) => d != versionDir && !superseded.contains(d)
+        case _ => false
+      }
+      stale.foreach(d => SidecarFs.deleteTree(s"$root/$d"))
     }
-    stale.foreach(d => SidecarFs.deleteTree(s"$root/$d"))
   }
 }

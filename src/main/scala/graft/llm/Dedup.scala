@@ -742,7 +742,14 @@ object Dedup {
     * path. */
   def addTombstones(spark: org.apache.spark.sql.SparkSession,
                     indexPath: String, ids: DataFrame): Unit = {
-    val del = ids.select(col(ids.columns.head).as("del_id")).distinct()
+    // del_id is CANONICALLY a string in every request parquet: two
+    // takedown deliveries with different caller id types (int vs long
+    // vs string) must never produce request dirs whose schemas cannot
+    // union — that would brick every read path of the index until the
+    // dirs were removed by hand. Consumers cast their join side the
+    // same way ([[exceptTombstoned]]/[[unionTombstoned]]).
+    val del = ids.select(col(ids.columns.head).cast("string").as("del_id"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (del.count() == 0L) return // an empty request must not register
@@ -787,36 +794,57 @@ object Dedup {
     listDirs(s"$indexPath/tombstones", "req-")
       .map(d => s"$indexPath/tombstones/$d")
 
-  /** All pending tombstoned ids as one distinct `del_id` frame, or None
-    * when the index has no pending requests (the common case — zero
-    * extra work on the read path). */
+  /** All pending tombstoned ids as one distinct STRING `del_id` frame,
+    * or None when the index has no pending requests (the common case —
+    * zero extra work on the read path). Dirs are read one by one and
+    * unioned post-cast, so a pre-normalization request dir (r14 wrote
+    * del_id in the caller's type) can never schema-clash a newer one. */
   private[llm] def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
                                 indexPath: String): Option[DataFrame] = {
     val dirs = tombstoneDirs(indexPath)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).select("del_id").distinct())
+    else Some(dirs
+      .map(d => spark.read.parquet(d)
+        .select(col("del_id").cast("string").as("del_id")))
+      .reduce(_.unionByName(_))
+      .distinct())
   }
 
   /** The read-path filter: anti-join `df` against pending tombstones on
     * `idCol` (broadcast — request-scale by contract), or `df` untouched
-    * when none are pending. */
+    * when none are pending. The id comparison casts `idCol` to string,
+    * the canonical request type ([[addTombstones]]).
+    *
+    * [[addTombstones]]' ceiling is check-then-act (the union count and
+    * the request write are separate steps), so two CONCURRENT takedown
+    * deliveries with distinct id sets can both pass the check and land
+    * the pending total past [[MaxPendingTombstones]] — takedowns share
+    * the index's single-maintenance-writer contract, but this reader
+    * must not hard-fail if that contract was violated upstream. It
+    * re-verifies the pending count and degrades to a SHUFFLE anti-join
+    * past the ceiling: slower, still correct, and the next compaction
+    * drains the backlog either way. */
   private[llm] def exceptTombstoned(spark: org.apache.spark.sql.SparkSession,
                                     indexPath: String, df: DataFrame,
                                     idCol: String): DataFrame =
     tombstoneIds(spark, indexPath) match {
-      case Some(t) =>
-        df.join(broadcast(t), df(idCol) === t("del_id"), "left_anti")
+      case Some(t) => // the count re-scan is request-dir-sized (KBs)
+        val side =
+          if (t.count() <= MaxPendingTombstones) broadcast(t) else t
+        df.join(side, df(idCol).cast("string") === t("del_id"), "left_anti")
       case None => df
     }
 
   /** The hard-delete composition: the caller's `ids` (first column)
-    * unioned with every pending tombstoned id, distinct, as `del_id` —
-    * a full-rewrite pass folds all standing requests into one
-    * anti-join. */
+    * unioned with every pending tombstoned id, distinct, as the
+    * canonical STRING `del_id` — a full-rewrite pass folds all standing
+    * requests into one anti-join. Consumers must cast their own id side
+    * to string in the join (comparing a raw bigint against a string
+    * column would coerce BOTH to double — lossy above 2^53). */
   private[llm] def unionTombstoned(spark: org.apache.spark.sql.SparkSession,
                                    indexPath: String,
                                    ids: DataFrame): DataFrame = {
-    val base = ids.select(col(ids.columns.head).as("del_id"))
+    val base = ids.select(col(ids.columns.head).cast("string").as("del_id"))
     tombstoneIds(spark, indexPath) match {
       case Some(t) => base.unionByName(t).distinct()
       case None => base.distinct()
@@ -1022,14 +1050,14 @@ object Dedup {
     spark.read.parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("hist_id"))
-      .join(del, col("hist_id") === col("del_id"), "left_anti")
+      .join(del, col("hist_id").cast("string") === col("del_id"), "left_anti")
       .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexPath/$bandsV")
     val sigsV = IndexManifest.nextVersionDir(indexPath, "sigs")
     spark.read.parquet(IndexManifest.resolve(indexPath, "sigs"))
-      .join(del, col("doc_id") === col("del_id"), "left_anti")
+      .join(del, col("doc_id").cast("string") === col("del_id"), "left_anti")
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode("overwrite").parquet(s"$indexPath/$sigsV")
     IndexManifest.publish(indexPath, "bands", bandsV)

@@ -146,11 +146,20 @@ object GraphAnn {
   def nnDescentGraph(embeddings: DataFrame, k: Int, rounds: Int,
                      seed: Long = 42L,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
+                     idCol: String = "vec_id"): DataFrame =
+    nnDescentFromCodes(quantized(embeddings, vecCol, idCol),
+      k, rounds, seed, idCol)
+
+  /** [[nnDescentGraph]] body over an ALREADY-quantized (id, codes, n2)
+    * frame — the entry point the measured rebuild uses (a persisted
+    * index stores codes, never the raw embeddings, so a rebuild must
+    * not need them back). */
+  private[llm] def nnDescentFromCodes(codesIn: DataFrame, k: Int,
+                                      rounds: Int, seed: Long,
+                                      idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val codes = quantized(embeddings, vecCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val codes = codesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = md5Ranks(codes.select(col("id").as(idCol)), idCol, seed)
     // one driver Long (the HITS "one Long" budget): the ring modulus
     val n = ranked.count()
@@ -294,6 +303,15 @@ object GraphAnn {
                          idCol: String = "vec_id"): Unit = {
     IndexManifest.reset(path)
     val spark = corpus.sparkSession
+    // meta FIRST (r14 ADVICE: the old meta-last order left a crashed
+    // build searchable but unmaintainable). seed/k/rounds are
+    // derivation-free inputs; the shape counts are unknowable until the
+    // data tiers land, so they ride a preliminary -1 that the final
+    // versioned meta write below atomically replaces — a crash between
+    // the two leaves delete (seed present) working and health reporting
+    // rebuild-pressure (unknown anchor ⇒ rebuild), never a throw.
+    writeGraphMeta(spark, path, seed, k, rounds, -1L, -1L,
+      versioned = false)
     val codes = quantized(corpus, vecCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     codes.write.mode("overwrite").parquet(s"$path/codes")
@@ -305,31 +323,68 @@ object GraphAnn {
       .limit(1)
       .select(col("id").as("cand_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
-    // meta tier (the MinHash index discipline): the build seed — so a
-    // later entry re-derivation after delete CANNOT diverge from the
-    // build's md5-argmin rule (a caller-supplied seed was a doc-only
-    // contract that silently broke golden replays when violated) — plus
-    // the build-time graph shape the health probe compares against.
+    // final meta with the build-time shape counts, published through
+    // the versioned pointer (atomic replace of the preliminary row)
     val (nNodes, nEdges) = (
       spark.read.parquet(s"$path/codes").count(),
       spark.read.parquet(s"$path/graph").count())
-    import spark.implicits._
-    Seq((seed, k, rounds, nNodes, nEdges))
-      .toDF("seed", "k", "rounds", "build_nodes", "build_edges")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeGraphMeta(spark, path, seed, k, rounds, nNodes, nEdges,
+      versioned = true)
     codes.unpersist(blocking = false)
   }
 
-  /** The index's build-time meta row (seed, k, rounds, build_nodes,
-    * build_edges) — written once by [[writeKnnGraphIndex]], never
-    * versioned (build parameters are immutable by contract). */
-  private[llm] def knnGraphMeta(spark: SparkSession,
-                                indexPath: String): Row = {
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()
-    require(meta.length == 1,
-      s"malformed knn-graph index meta at $indexPath/meta")
-    meta.head
+  /** One meta row (seed, k, rounds, build_nodes, build_edges).
+    * `versioned = false` writes the plain dir (the pre-data
+    * preliminary row — nothing to replace atomically yet);
+    * `versioned = true` publishes through the [[IndexManifest]]
+    * pointer so the replacement is atomic against readers. */
+  private def writeGraphMeta(spark: SparkSession, path: String,
+                             seed: Long, k: Int, rounds: Int,
+                             nNodes: Long, nEdges: Long,
+                             versioned: Boolean): Unit = {
+    import spark.implicits._
+    val df = Seq((seed, k, rounds, nNodes, nEdges))
+      .toDF("seed", "k", "rounds", "build_nodes", "build_edges")
+      .coalesce(1)
+    if (!versioned) df.write.mode("overwrite").parquet(s"$path/meta")
+    else {
+      val v = IndexManifest.nextVersionDir(path, "meta")
+      df.write.mode("overwrite").parquet(s"$path/$v")
+      IndexManifest.publish(path, "meta", v)
+    }
   }
+
+  /** The index's build-time meta row (seed, k, rounds, build_nodes,
+    * build_edges), or None for an index that predates the meta tier or
+    * whose build crashed before writing it — callers degrade loudly
+    * (default seed / rebuild-pressure) instead of throwing, so such an
+    * index stays maintainable (r14 ADVICE: the r14 shape broke
+    * delete/health on every pre-meta index). */
+  private[llm] def knnGraphMeta(spark: SparkSession,
+                                indexPath: String): Option[Row] = {
+    val p = IndexManifest.resolve(indexPath, "meta")
+    if (!graft.core.SidecarFs.exists(p)) None
+    else {
+      val meta = spark.read.parquet(p).collect()
+      require(meta.length == 1,
+        s"malformed knn-graph index meta at $p")
+      Some(meta.head)
+    }
+  }
+
+  /** The build seed every maintenance pass re-derives entries with:
+    * the meta tier's, or the documented [[writeKnnGraphIndex]] default
+    * (42) with a loud warning for pre-meta indexes. */
+  private def graphSeedOf(spark: SparkSession, indexPath: String): Long =
+    knnGraphMeta(spark, indexPath) match {
+      case Some(m) => m.getAs[Long]("seed")
+      case None =>
+        System.err.println(s"[graft] knn-graph index at $indexPath has " +
+          "no meta tier (pre-meta layout or crashed build): falling " +
+          "back to the default build seed 42 — if the index was built " +
+          "with a custom seed, rebuild it to restore the meta anchor")
+        42L
+    }
 
   /** APPEND new vectors to a persisted k-NN-graph index
     * ([[writeKnnGraphIndex]]) — the maintenance half, the HNSW insert
@@ -420,7 +475,7 @@ object GraphAnn {
     * (DESIGN.md §3). */
   def deleteFromKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, ids: DataFrame): Unit = {
-    val seed = knnGraphMeta(spark, indexPath).getAs[Long]("seed")
+    val seed = graphSeedOf(spark, indexPath)
     Dedup.requireNoUncommittedIngest(indexPath,
       Dedup.ingestKeyedDirs(indexPath))
     val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
@@ -428,17 +483,17 @@ object GraphAnn {
     val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
     val survivors = spark.read
       .parquet(IndexManifest.resolve(indexPath, "codes"))
-      .join(del, col("id") === col("del_id"), "left_anti")
+      .join(del, col("id").cast("string") === col("del_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     survivors.write.mode("overwrite").parquet(s"$indexPath/$codesV")
     val graphV = IndexManifest.nextVersionDir(indexPath, "graph")
     spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
-      .join(del, col("src") === col("del_id"), "left_anti")
-      .join(del, col("dst") === col("del_id"), "left_anti")
+      .join(del, col("src").cast("string") === col("del_id"), "left_anti")
+      .join(del, col("dst").cast("string") === col("del_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$indexPath/$graphV")
     val entryDeleted = spark.read
       .parquet(IndexManifest.resolve(indexPath, "entry"))
-      .join(del, col("cand_id") === col("del_id"), "left_semi")
+      .join(del, col("cand_id").cast("string") === col("del_id"), "left_semi")
       .limit(1).count() > 0
     if (entryDeleted) {
       val entryV = IndexManifest.nextVersionDir(indexPath, "entry")
@@ -481,9 +536,13 @@ object GraphAnn {
   def knnGraphIndexHealth(spark: SparkSession, indexPath: String,
                           minHealthMicro: Long = 800000L): DataFrame = {
     require(minHealthMicro >= 0, "minHealthMicro must be >= 0")
+    // no meta tier (pre-meta layout) or preliminary -1 counts (a build
+    // that crashed between meta and the final count write): the anchor
+    // is unknown, which is itself rebuild-pressure — report it
+    // (health -1, rebuild) rather than throw (r14 ADVICE)
     val meta = knnGraphMeta(spark, indexPath)
-    val buildNodes = meta.getAs[Long]("build_nodes")
-    val buildEdges = meta.getAs[Long]("build_edges")
+    val buildNodes = meta.map(_.getAs[Long]("build_nodes")).getOrElse(-1L)
+    val buildEdges = meta.map(_.getAs[Long]("build_edges")).getOrElse(-1L)
     val codes = spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
     val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -499,7 +558,8 @@ object GraphAnn {
       graph.filter(col("src") === id).limit(1).count() > 0)
     graph.unpersist(blocking = false)
     val healthMicro =
-      if (nNodes == 0 || buildEdges == 0) 0L
+      if (buildNodes < 0 || buildEdges < 0) -1L // unknown anchor
+      else if (nNodes == 0 || buildEdges == 0) 0L
       else (BigInt(nEdges) * buildNodes * 1000000L /
         (BigInt(nNodes) * buildEdges)).toLong
     val rebuild = healthMicro < minHealthMicro || !entryConnected
@@ -508,6 +568,87 @@ object GraphAnn {
         entryConnected, rebuild))
       .toDF("build_nodes", "build_edges", "nodes", "edges",
         "health_micro", "entry_connected", "rebuild")
+  }
+
+  /** Close the measured-rebuild loop for the graph index
+    * ([[knnGraphIndexHealth]] is the gauge, this is the ACTUATOR — the
+    * graph mirror of [[Similarity.rebuildIvfIndexIfDrifted]]): when the
+    * health gauge trips (shrunken edge lists after hard deletes, a
+    * disconnected entry, or a lost/preliminary meta anchor), re-run
+    * NN-Descent over the SURVIVING stored codes (pending tombstones
+    * folded out — a logically-deleted vector must not re-enter the
+    * graph), re-derive the entry by the build rule, and publish codes +
+    * graph + entry + meta in ONE atomic manifest write. The new meta's
+    * anchor is the rebuilt shape, so health returns to ≈1e6 by
+    * construction. No trip ⇒ strictly a no-op (nothing written,
+    * manifest untouched — spec-pinned).
+    *
+    * Build parameters come from the index's own meta; a pre-meta index
+    * rebuilds with k inferred from the stored graph's rank column,
+    * the default seed (42), and 6 NN-Descent rounds (the documented
+    * convergence budget) — and the rebuild RESTORES the meta tier, so
+    * the fallback fires at most once per index.
+    *
+    * Cost: one NN-Descent build over the surviving codes — the same as
+    * the original build over the current corpus, the floor for any
+    * graph rebuild. Single maintenance writer; tombstones consumed.
+    *
+    * Returns one row: the PRE-rebuild gauge plus `rebuilt`. */
+  def rebuildKnnGraphIndexIfUnhealthy(spark: SparkSession,
+                                      indexPath: String,
+                                      minHealthMicro: Long = 800000L)
+      : DataFrame = {
+    import spark.implicits._
+    val gauge = knnGraphIndexHealth(spark, indexPath, minHealthMicro)
+      .collect().head
+    val trip = gauge.getAs[Boolean]("rebuild")
+    if (trip) {
+      Dedup.requireNoUncommittedIngest(indexPath,
+        Dedup.ingestKeyedDirs(indexPath))
+      val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
+      val meta = knnGraphMeta(spark, indexPath)
+      val seed = meta.map(_.getAs[Long]("seed")).getOrElse(42L)
+      val storedGraph = spark.read
+        .parquet(IndexManifest.resolve(indexPath, "graph"))
+      val k = meta.map(_.getAs[Int]("k")).getOrElse(
+        storedGraph.agg(max(col("rk"))).collect().head.getInt(0))
+      val rounds = meta.map(_.getAs[Int]("rounds")).getOrElse(6)
+      // materialize the survivors ONCE as the new (unpublished) codes
+      // version, then build everything downstream from that dir — the
+      // anti-join runs once, and graph/entry/counts read parquet
+      val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
+      Dedup.exceptTombstoned(spark, indexPath,
+          spark.read.parquet(IndexManifest.resolve(indexPath, "codes")),
+          "id")
+        .write.mode("overwrite").parquet(s"$indexPath/$codesV")
+      val survivors = spark.read.parquet(s"$indexPath/$codesV")
+      val graph = nnDescentFromCodes(survivors, k, rounds, seed)
+      val graphV = IndexManifest.nextVersionDir(indexPath, "graph")
+      graph.write.mode("overwrite").parquet(s"$indexPath/$graphV")
+      val entryV = IndexManifest.nextVersionDir(indexPath, "entry")
+      survivors
+        .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
+          col("id"))
+        .limit(1)
+        .select(col("id").as("cand_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$entryV")
+      val (nNodes, nEdges) = (survivors.count(),
+        spark.read.parquet(s"$indexPath/$graphV").count())
+      val metaV = IndexManifest.nextVersionDir(indexPath, "meta")
+      Seq((seed, k, rounds, nNodes, nEdges))
+        .toDF("seed", "k", "rounds", "build_nodes", "build_edges")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$metaV")
+      IndexManifest.publishAll(indexPath, Map(
+        "codes" -> codesV, "graph" -> graphV,
+        "entry" -> entryV, "meta" -> metaV))
+      Dedup.clearTombstones(tombDirs)
+    }
+    Seq((gauge.getAs[Long]("build_nodes"), gauge.getAs[Long]("build_edges"),
+        gauge.getAs[Long]("nodes"), gauge.getAs[Long]("edges"),
+        gauge.getAs[Long]("health_micro"),
+        gauge.getAs[Boolean]("entry_connected"), trip, trip))
+      .toDF("build_nodes", "build_edges", "nodes", "edges",
+        "health_micro", "entry_connected", "rebuild", "rebuilt")
   }
 
   def searchKnnGraphIndexed(queries: DataFrame, indexPath: String,
@@ -529,7 +670,8 @@ object GraphAnn {
     // rebuild-pressure gauge.
     Dedup.tombstoneIds(spark, indexPath) match {
       case Some(t) =>
-        raw.join(broadcast(t), raw("cand_id") === t("del_id"), "left_anti")
+        raw.join(broadcast(t), raw("cand_id").cast("string") === t("del_id"),
+          "left_anti")
           .withColumn("rk", row_number().over(Window
             .partitionBy(col("query_id"))
             .orderBy(col("sim_key").desc, col("cand_id"))))

@@ -25,6 +25,11 @@ object IndexManifest {
   def publish(indexPath: String, name: String, versionDir: String): Unit =
     Manifest.publish(indexPath, name, versionDir)
 
+  /** See [[graft.core.Manifest.publishAll]] — the atomic multi-tier
+    * swap used by the measured-rebuild passes. */
+  def publishAll(indexPath: String, updates: Map[String, String]): Unit =
+    Manifest.publishAll(indexPath, updates)
+
   /** Reset an index path for a FRESH write (writeMinhashIndex /
     * writeIvfIndex / writeIvfPqIndex over a pre-existing index at
     * `path`): delete the WHOLE index tree. Anything narrower leaves a

@@ -271,7 +271,8 @@ object Similarity {
     * rows — the k-means contract). */
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String): Array[Array[Double]] =
-    spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
+    spark.read.parquet(IndexManifest.resolve(indexPath, "centroids"))
+      .orderBy("cell")
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
 
@@ -378,7 +379,8 @@ object Similarity {
                     indexPath: String,
                     maxDriftMicro: Long = 1250000L): DataFrame = {
     require(maxDriftMicro >= 0, "maxDriftMicro must be >= 0")
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()
+    val meta = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "meta")).collect()
     require(meta.length == 1, s"malformed IVF index meta at $indexPath/meta")
     val buildN = meta.head.getAs[Long]("build_n")
     val buildSum = meta.head.getAs[Long]("build_dist_sum_micro")
@@ -404,6 +406,90 @@ object Similarity {
     import spark.implicits._
     Seq((buildN, curN, driftMicro, driftMicro > maxDriftMicro))
       .toDF("build_n", "n", "drift_micro", "rebuild")
+  }
+
+  /** Close the measured-rebuild loop ([[ivfIndexDrift]] is the gauge,
+    * this is the ACTUATOR — DESIGN §3's index lifecycle): when drift
+    * trips, RETRAIN the coarse quantizer on the index's CURRENT
+    * postings (pending tombstones folded out first — logically-deleted
+    * vectors must not vote on centroids), re-assign every surviving
+    * vector, and publish centroids + postings + meta in ONE atomic
+    * manifest write ([[IndexManifest.publishAll]] — a reader resolving
+    * mid-rebuild must never route new-quantizer cells against old
+    * postings). The new meta carries the retrained build anchor, so the
+    * gauge returns to ≈1e6 by construction and the next drift episode
+    * measures against the NEW quantizer. No trip ⇒ strictly a no-op
+    * (nothing written, manifest untouched — spec-pinned).
+    *
+    * Scale shape: one drift gauge pass + `trainIters` Lloyd scans over
+    * the (optionally `trainFraction`-sampled) survivors + one linear
+    * re-assignment write — the same cost as the original
+    * [[writeIvfIndex]] over the current corpus, which is the floor for
+    * any rebuild. Single maintenance writer, like every other
+    * full-rewrite pass; pending tombstones are consumed (their ids are
+    * gone from the new postings) and ingest commit markers pruned.
+    *
+    * Returns one row: the PRE-rebuild gauge (build_n, n, drift_micro,
+    * rebuild) plus `rebuilt` — true iff the trip fired and the swap
+    * published. */
+  def rebuildIvfIndexIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String,
+                               maxDriftMicro: Long = 1250000L,
+                               trainIters: Int = 3,
+                               trainFraction: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val gauge = ivfIndexDrift(spark, indexPath, maxDriftMicro)
+      .collect().head
+    val trip = gauge.getAs[Boolean]("rebuild")
+    if (trip) {
+      Dedup.requireNoUncommittedIngest(indexPath,
+        Dedup.ingestKeyedDirs(indexPath))
+      val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
+      val nlist = spark.read
+        .parquet(IndexManifest.resolve(indexPath, "meta"))
+        .collect().head.getAs[Int]("nlist")
+      val survivors = Dedup.exceptTombstoned(spark, indexPath,
+          spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
+            .select(col("cand_id"), col("c_vec")), "cand_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centroids = Clustering.trainCentroids(
+        survivors, "cand_id", "c_vec", nlist, trainIters, trainFraction)
+      val centV = IndexManifest.nextVersionDir(indexPath, "centroids")
+      centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$centV")
+      // re-assignment pass doubles as the NEW build anchor (the
+      // writeIvfIndex Observation trick — zero extra scans)
+      val postV = IndexManifest.nextVersionDir(indexPath, "postings")
+      val obs = org.apache.spark.sql.Observation(
+        s"ivf_rebuild_drift_${System.identityHashCode(this)}_$postV")
+      assignCells(survivors, centroids, "c_vec", "cand_id")
+        .withColumn("d2_micro", assignDistMicroCol(col("c_vec"), centroids))
+        .observe(obs, sum(col("d2_micro")).as("s"), count(lit(1)).as("n"))
+        .drop("d2_micro")
+        .repartitionByRange(col("cell"))
+        .sortWithinPartitions(col("cell"), col("cand_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexPath/$postV")
+      val m = obs.get
+      val buildSum = m("s") match {
+        case null => 0L; case v => v.asInstanceOf[Long]
+      }
+      val buildN = m("n").asInstanceOf[Long]
+      val metaV = IndexManifest.nextVersionDir(indexPath, "meta")
+      Seq((nlist, buildN, buildSum))
+        .toDF("nlist", "build_n", "build_dist_sum_micro")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$metaV")
+      IndexManifest.publishAll(indexPath, Map(
+        "centroids" -> centV, "postings" -> postV, "meta" -> metaV))
+      Dedup.clearTombstones(tombDirs)
+      Dedup.pruneCommitMarkers(indexPath)
+      survivors.unpersist(blocking = false)
+    }
+    Seq((gauge.getAs[Long]("build_n"), gauge.getAs[Long]("n"),
+        gauge.getAs[Long]("drift_micro"), trip, trip))
+      .toDF("build_n", "n", "drift_micro", "rebuild", "rebuilt")
   }
 
   /** APPEND new vectors to a persisted IVF index ([[writeIvfIndex]]) —
@@ -471,7 +557,7 @@ object Similarity {
     spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("c_vec"), col("c_norm"))
-      .join(del, col("cand_id") === col("del_id"), "left_anti")
+      .join(del, col("cand_id").cast("string") === col("del_id"), "left_anti")
       .repartitionByRange(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
@@ -731,7 +817,7 @@ object Similarity {
     spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("code"), col("c_norm"))
-      .join(del, col("cand_id") === col("del_id"), "left_anti")
+      .join(del, col("cand_id").cast("string") === col("del_id"), "left_anti")
       .repartitionByRange(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
@@ -742,7 +828,7 @@ object Similarity {
       spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
         .select(col("cell").cast("int").as("cell"), col("cand_id"),
           col("c_vec"), col("c_norm"))
-        .join(del, col("cand_id") === col("del_id"), "left_anti")
+        .join(del, col("cand_id").cast("string") === col("del_id"), "left_anti")
         .repartitionByRange(col("cell"))
         .sortWithinPartitions(col("cell"), col("cand_id"))
         .write.mode("overwrite").partitionBy("cell")

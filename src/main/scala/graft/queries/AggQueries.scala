@@ -206,20 +206,26 @@ object AggQueries {
             count_if(col("o_totalprice") > 200000).as("n_big"),
             // sum DECIMAL inputs, not doubles: decimal addition is exact and
             // associative, so the result is order-independent across engines
-            sum(when(col("o_orderpriority") === "1-URGENT",
+            // … then surface as integer CENTS / epoch MICROS: raw
+            // decimal/timestamp outputs are banned by the r15 output
+            // contract (dtype-representation hash divergence)
+            (sum(when(col("o_orderpriority") === "1-URGENT",
                 col("o_totalprice").cast("decimal(18,2)"))
-              .otherwise(lit(0).cast("decimal(18,2)")))
-              .cast("decimal(18,2)").as("urgent_total"),
-            max(when(col("o_orderpriority") === "1-URGENT", col("o_orderdate")))
-              .as("last_urgent"))
+              .otherwise(lit(0).cast("decimal(18,2)"))) * lit(100))
+              .cast("long").as("urgent_total_cents"),
+            unix_micros(max(when(col("o_orderpriority") === "1-URGENT",
+                col("o_orderdate"))))
+              .as("last_urgent_us"))
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus,
              |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
              |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
              |               THEN CAST(o_totalprice AS DECIMAL(18,2))
-             |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS urgent_total,
-             |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END) AS last_urgent
+             |               ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+             |    AS BIGINT) AS urgent_total_cents,
+             |  epoch_us(max(CASE WHEN o_orderpriority = '1-URGENT'
+             |    THEN o_orderdate END)) AS last_urgent_us
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // min_by / max_by (argmin/argmax).

@@ -139,8 +139,10 @@ object AnalyticQueries {
           .select(explode(sequence(col("d0"), col("d1"),
             expr("interval 1 day"))).as("day"))
         spine.join(daily, Seq("day"), "left")
-          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-          .orderBy(col("day"))
+          .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+              .as("day_epoch"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy(col("day_epoch"))
       },
       Some("""WITH spine AS (
              |  SELECT CAST(unnest(generate_series(
@@ -151,9 +153,11 @@ object AnalyticQueries {
              |daily AS (
              |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
              |  FROM orders GROUP BY day)
-             |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders
+             |SELECT CAST(date_diff('day', DATE '1970-01-01', s.day) AS INT)
+             |    AS day_epoch,
+             |  coalesce(d.n_orders, 0) AS n_orders
              |FROM spine s LEFT JOIN daily d ON s.day = d.day
-             |ORDER BY s.day""".stripMargin)),
+             |ORDER BY day_epoch""".stripMargin)),
 
     // Salted skew join, oracle-checked: result-identical to the plain
     // equi-join by construction — the DuckDB oracle IS the plain join, so
@@ -496,17 +500,22 @@ object AnalyticQueries {
             Tables.cents(col("o_totalprice")).as("state_cents"))
           .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
           .withColumn("is_current", col("valid_to").isNull)
-          .orderBy(col("k"), col("valid_from"), col("change_id"))
+          .select(col("k"), col("change_id"),
+            unix_micros(col("valid_from")).as("valid_from_us"),
+            col("state_cents"),
+            unix_micros(col("valid_to")).as("valid_to_us"),
+            col("is_current"))
+          .orderBy(col("k"), col("valid_from_us"), col("change_id"))
       },
       Some("""SELECT o_custkey AS k, o_orderkey AS change_id,
-             |  o_orderdate AS valid_from,
+             |  epoch_us(o_orderdate) AS valid_from_us,
              |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS state_cents,
-             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
-             |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey)) AS valid_to_us,
              |  lead(o_orderdate) OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
              |FROM orders WHERE o_custkey <= 200
-             |ORDER BY k, valid_from, change_id""".stripMargin)),
+             |ORDER BY k, valid_from_us, change_id""".stripMargin)),
 
     // Winsorization (outlier clipping at the 1st/99th percentile) — the
     // data-cleaning staple before any mean-based statistic. Bounds are

@@ -24,12 +24,14 @@ object EventQueries {
         load(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v"))
-          .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_v"))
-          .orderBy(col("ws"), col("event_type"))
+          .select(unix_micros(col("w.start")).as("ws_us"),
+            col("event_type"), col("cnt"), col("sum_v"))
+          .orderBy(col("ws_us"), col("event_type"))
       },
-      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
              |  count(*) AS cnt, round(sum(value), 2) AS sum_v
-             |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+             |FROM events GROUP BY ws_us, event_type
+             |ORDER BY ws_us, event_type""".stripMargin)),
 
     // Sliding 1h window every 30min: each event lands in 2 windows; the SQL
     // equivalent materializes both via time_bucket and a shifted copy.
@@ -39,14 +41,14 @@ object EventQueries {
         load(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
           .agg(count(lit(1)).as("cnt"))
-          .select(col("w.start").as("ws"), col("cnt"))
-          .orderBy(col("ws"))
+          .select(unix_micros(col("w.start")).as("ws_us"), col("cnt"))
+          .orderBy(col("ws_us"))
       },
-      Some("""SELECT ws, count(*) AS cnt FROM (
+      Some("""SELECT epoch_us(ws) AS ws_us, count(*) AS cnt FROM (
              |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
              |  UNION ALL
              |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
-             |GROUP BY ws ORDER BY ws""".stripMargin)),
+             |GROUP BY ws ORDER BY ws_us""".stripMargin)),
 
     // Session windows (5-minute gap) per user — batch session_window; the
     // SQL oracle reconstructs sessions via gaps-and-islands. A new session
@@ -58,9 +60,10 @@ object EventQueries {
           .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
           .select(col("user_id"),
-            date_trunc("second", col("w.start")).as("session_start"),
+            unix_micros(date_trunc("second", col("w.start")))
+              .as("session_start_us"),
             col("n_events"), col("sum_v"))
-          .orderBy(col("user_id"), col("session_start"))
+          .orderBy(col("user_id"), col("session_start_us"))
       },
       Some("""WITH d AS (
              |  SELECT user_id, ts, value,
@@ -74,10 +77,11 @@ object EventQueries {
              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
              |  FROM d)
-             |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+             |SELECT user_id,
+             |  epoch_us(date_trunc('second', min(ts))) AS session_start_us,
              |  count(*) AS n_events, round(sum(value), 2) AS sum_v
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)),
+             |ORDER BY user_id, session_start_us""".stripMargin)),
 
     // As-of join: for each purchase event, the most recent click of the same
     // user strictly before it. Implemented the scalable way — a single
@@ -105,11 +109,12 @@ object EventQueries {
           .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
           .filter(col("is_probe") === 1)
           .select(col("probe_id").as("event_id"),
-            date_trunc("second", col("asof_click")).as("prev_click_s"))
+            unix_micros(date_trunc("second", col("asof_click")))
+              .as("prev_click_us"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT p.event_id,
-             |  date_trunc('second', max(c.ts)) AS prev_click_s
+             |  epoch_us(date_trunc('second', max(c.ts))) AS prev_click_us
              |FROM events p
              |LEFT JOIN events c
              |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
@@ -139,11 +144,12 @@ object EventQueries {
             first(col("click_ts"), ignoreNulls = true).over(w))
           .filter(col("is_probe") === 1)
           .select(col("probe_id").as("event_id"),
-            date_trunc("second", col("next_click")).as("next_click_s"))
+            unix_micros(date_trunc("second", col("next_click")))
+              .as("next_click_us"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT p.event_id,
-             |  date_trunc('second', min(c.ts)) AS next_click_s
+             |  epoch_us(date_trunc('second', min(c.ts))) AS next_click_us
              |FROM events p
              |LEFT JOIN events c
              |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
@@ -169,7 +175,8 @@ object EventQueries {
           .join(days.select(col("d").as("w_day")), Seq("w_day"))
           .groupBy(col("w_day"))
           .agg(countDistinct(col("user_id")).as("wau"))
-          .orderBy(col("w_day"))
+          .select(unix_micros(col("w_day")).as("w_day_us"), col("wau"))
+          .orderBy(col("w_day_us"))
       },
       Some("""WITH e AS (
              |  SELECT user_id, date_trunc('day', ts) AS d FROM events),
@@ -177,9 +184,10 @@ object EventQueries {
              |win AS (
              |  SELECT e.user_id, e.d + o.off * INTERVAL '1 day' AS w_day
              |  FROM e, LATERAL (SELECT unnest(generate_series(0, 6)) AS off) o)
-             |SELECT w.w_day, count(DISTINCT w.user_id) AS wau
+             |SELECT epoch_us(w.w_day) AS w_day_us,
+             |  count(DISTINCT w.user_id) AS wau
              |FROM win w JOIN days ON days.d = w.w_day
-             |GROUP BY w.w_day ORDER BY w.w_day""".stripMargin)),
+             |GROUP BY w.w_day ORDER BY w_day_us""".stripMargin)),
 
     // As-of join with TOLERANCE (merge_asof's tolerance parameter): the
     // most recent click strictly before each purchase, kept only when it
@@ -209,14 +217,14 @@ object EventQueries {
             last(col("click_ts"), ignoreNulls = true).over(w))
           .filter(col("is_probe") === 1)
           .select(col("probe_id").as("event_id"),
-            date_trunc("second",
+            unix_micros(date_trunc("second",
               when(expr("unix_micros(ts) - unix_micros(asof_click)")
-                <= lit(300000000L), col("asof_click")))
-              .as("prev_click_5m_s"))
+                <= lit(300000000L), col("asof_click"))))
+              .as("prev_click_5m_us"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT p.event_id,
-             |  date_trunc('second', max(c.ts)) AS prev_click_5m_s
+             |  epoch_us(date_trunc('second', max(c.ts))) AS prev_click_5m_us
              |FROM events p
              |LEFT JOIN events c
              |  ON c.user_id = p.user_id AND c.event_type = 'click'
@@ -263,6 +271,8 @@ object EventQueries {
                 .when(col("fwd").isNull, col("back"))
                 .when(col("dt_back") <= col("dt_fwd"), col("back"))
                 .otherwise(col("fwd"))).as("nearest_click_s"))
+          .select(col("event_id"),
+            unix_micros(col("nearest_click_s")).as("nearest_click_us"))
           .orderBy(col("event_id"))
       },
       Some("""WITH p AS (
@@ -280,7 +290,7 @@ object EventQueries {
              |   -- integer epoch_us comparison stays exact either way)
              |   AND epoch_us(c.ts) <> epoch_us(p.ts))
              |SELECT p.event_id,
-             |  date_trunc('second', cand.cts) AS nearest_click_s
+             |  epoch_us(date_trunc('second', cand.cts)) AS nearest_click_us
              |FROM p LEFT JOIN cand ON cand.event_id = p.event_id AND rk = 1
              |ORDER BY p.event_id""".stripMargin)),
 
@@ -308,7 +318,9 @@ object EventQueries {
             max(col("value")).as("high"),
             max(when(col("rn_a") === 1, col("value"))).as("open"),
             max(when(col("rn_d") === 1, col("value"))).as("close"))
-          .orderBy(col("h"))
+          .select(unix_micros(col("h")).as("h_us"), col("n"), col("low"),
+            col("high"), col("open"), col("close"))
+          .orderBy(col("h_us"))
       },
       Some("""WITH r AS (
              |  SELECT date_trunc('hour', ts) AS h, value,
@@ -317,10 +329,11 @@ object EventQueries {
              |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
              |      ORDER BY ts DESC, event_id DESC) AS rn_d
              |  FROM events)
-             |SELECT h, count(*) AS n, min(value) AS low, max(value) AS high,
+             |SELECT epoch_us(h) AS h_us, count(*) AS n,
+             |  min(value) AS low, max(value) AS high,
              |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
              |  max(CASE WHEN rn_d = 1 THEN value END) AS close
-             |FROM r GROUP BY h ORDER BY h""".stripMargin)),
+             |FROM r GROUP BY h ORDER BY h_us""".stripMargin)),
 
     // Gap/delta analysis: time since previous event per user (any type).
     QueryDef(
@@ -446,20 +459,23 @@ object EventQueries {
         val cohort = ev.groupBy(col("user_id"))
           .agg(min(col("d")).as("cohort_day"))
         ev.join(cohort, "user_id")
-          .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day"))
-            .as("day_offset"))
+          .groupBy(datediff(col("cohort_day"), lit("1970-01-01").cast("date"))
+              .as("cohort_day_epoch"),
+            datediff(col("d"), col("cohort_day")).as("day_offset"))
           .agg(countDistinct(col("user_id")).as("active_users"))
-          .orderBy(col("cohort_day"), col("day_offset"))
+          .orderBy(col("cohort_day_epoch"), col("day_offset"))
       },
       Some("""WITH ev AS (
              |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
              |cohort AS (
              |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
-             |SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+             |SELECT CAST(date_diff('day', DATE '1970-01-01', cohort_day)
+             |    AS INT) AS cohort_day_epoch,
+             |  date_diff('day', cohort_day, d) AS day_offset,
              |  count(DISTINCT user_id) AS active_users
              |FROM ev JOIN cohort USING (user_id)
-             |GROUP BY cohort_day, day_offset
-             |ORDER BY cohort_day, day_offset""".stripMargin)),
+             |GROUP BY cohort_day_epoch, day_offset
+             |ORDER BY cohort_day_epoch, day_offset""".stripMargin)),
 
     // Interval-union coverage: each event opens a 5-minute activity
     // interval; overlapping intervals merge (gaps-and-islands via the
@@ -691,9 +707,10 @@ object EventQueries {
             sum(when(col("event_type") === "error", 1L).otherwise(0L))
               .as("n_errors"))
           .select(col("user_id"),
-            date_trunc("second", col("w.start")).as("session_start"),
+            unix_micros(date_trunc("second", col("w.start")))
+              .as("session_start_us"),
             col("n_events"), col("n_errors"))
-          .orderBy(col("user_id"), col("session_start"))
+          .orderBy(col("user_id"), col("session_start_us"))
       },
       Some("""WITH d AS (
              |  SELECT user_id, ts, event_type,
@@ -720,12 +737,13 @@ object EventQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      AS sid
              |  FROM f)
-             |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+             |SELECT user_id,
+             |  epoch_us(date_trunc('second', min(ts))) AS session_start_us,
              |  count(*) AS n_events,
              |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_errors
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)),
+             |ORDER BY user_id, session_start_us""".stripMargin)),
 
     // Top user journeys (path analysis — the "what do users actually
     // do" product-analytics staple): each user's first five event types
@@ -993,7 +1011,7 @@ object EventQueries {
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1)
           .select(col("event_type"), col("n_hours"),
-            col("h").as("change_hour"),
+            unix_micros(col("h")).as("change_hour_us"),
             abs(col("cusum_micro")).as("cusum_abs_micro"))
           .orderBy(col("event_type"))
       },
@@ -1022,7 +1040,7 @@ object EventQueries {
              |    row_number() OVER (PARTITION BY event_type
              |      ORDER BY abs(cusum_micro) DESC, h) AS rn
              |  FROM c)
-             |SELECT event_type, n_hours, h AS change_hour,
+             |SELECT event_type, n_hours, epoch_us(h) AS change_hour_us,
              |  abs(cusum_micro) AS cusum_abs_micro
              |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 

@@ -53,23 +53,33 @@ object FunctionQueries {
             year(col("o_orderdate")).as("y"),
             month(col("o_orderdate")).as("m"),
             dayofmonth(col("o_orderdate")).as("d"),
-            // DuckDB date_trunc returns DATE at day-or-coarser precision —
-            // cast to match, or the oracle compare type-mismatches
-            date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
-            date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+            // every date-valued result rides as INTEGER epoch days (the
+            // r15 output contract: no temporal types in registered
+            // outputs) — the trunc/add/diff functions stay fully
+            // exercised, only the final representation is integral
+            datediff(date_trunc("month", col("o_orderdate")).cast(DateType),
+              lit("1970-01-01").cast(DateType)).as("month_start_epoch"),
+            datediff(date_add(col("o_orderdate").cast(DateType), 30),
+              lit("1970-01-01").cast(DateType)).as("plus30_epoch"),
             datediff(lit("1998-01-01").cast(DateType),
               col("o_orderdate").cast(DateType)).as("days_to_98"),
-            col("o_orderdate").cast(DateType).as("odate"))
+            datediff(col("o_orderdate").cast(DateType),
+              lit("1970-01-01").cast(DateType)).as("odate_epoch"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
              |  CAST(year(o_orderdate) AS INT) AS y,
              |  CAST(month(o_orderdate) AS INT) AS m,
              |  CAST(day(o_orderdate) AS INT) AS d,
-             |  date_trunc('month', o_orderdate) AS month_start,
-             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
-             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
-             |  CAST(o_orderdate AS DATE) AS odate
+             |  CAST(date_diff('day', DATE '1970-01-01',
+             |    CAST(date_trunc('month', o_orderdate) AS DATE)) AS INT)
+             |    AS month_start_epoch,
+             |  CAST(date_diff('day', DATE '1970-01-01',
+             |    CAST(o_orderdate AS DATE) + 30) AS INT) AS plus30_epoch,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+             |    DATE '1998-01-01') AS INT) AS days_to_98,
+             |  CAST(date_diff('day', DATE '1970-01-01',
+             |    CAST(o_orderdate AS DATE)) AS INT) AS odate_epoch
              |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(

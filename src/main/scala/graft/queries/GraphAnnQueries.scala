@@ -294,6 +294,60 @@ object GraphAnnQueries {
              |  true AS degraded
              |FROM embeddings""".stripMargin)),
 
+    // The graph mirror of the closed loop: hard deletes shrink
+    // surviving edge lists until knnGraphIndexHealth trips;
+    // rebuildKnnGraphIndexIfUnhealthy re-runs NN-Descent over the
+    // SURVIVING stored codes (never the raw embeddings — an index
+    // must be rebuildable from itself), re-derives the entry by the
+    // build rule, swaps codes+graph+entry+meta atomically, and the
+    // health anchor returns to exactly 1e6 with the planted twin
+    // reachable through the rebuilt graph. No-trip ⇒ no-op is the
+    // spec-pinned half (IndexHealthSpec).
+    QueryDef(
+      "q_sim_graph_rebuild",
+      (s, dir) => {
+        import s.implicits._
+        val base = load(s, dir, "embeddings")
+          .select("vec_id", "embedding").filter(col("vec_id") < 120)
+        val twinId = 900001L
+        val idx = s"${graft.core.Fs.scratchRoot}/graph_idx_rebuild"
+        GraphAnn.writeKnnGraphIndex(
+          base.unionByName(base.filter(col("vec_id") === 0)
+            .select(lit(twinId).as("vec_id"), col("embedding"))),
+          idx, k = 8, rounds = 1)
+        val fresh = GraphAnn.rebuildKnnGraphIndexIfUnhealthy(s, idx)
+          .collect().head
+        GraphAnn.deleteFromKnnGraphIndex(s, idx,
+          (40L until 120L).toDF("vec_id"))
+        val r = GraphAnn.rebuildKnnGraphIndexIfUnhealthy(s, idx)
+          .collect().head
+        val post = GraphAnn.knnGraphIndexHealth(s, idx).collect().head
+        val found = GraphAnn.searchKnnGraphIndexed(
+            base.filter(col("vec_id") === 0), idx,
+            k = 5, beam = 6, steps = 3)
+          .filter(col("cand_id") === twinId).count() > 0
+        Seq((fresh.getAs[Long]("health_micro"),
+            fresh.getAs[Boolean]("rebuilt"),
+            r.getAs[Boolean]("rebuild"), r.getAs[Boolean]("rebuilt"),
+            post.getAs[Long]("health_micro"),
+            post.getAs[Boolean]("rebuild"),
+            post.getAs[Boolean]("entry_connected"),
+            post.getAs[Long]("nodes"), found))
+          .toDF("health_fresh_micro", "rebuilt_fresh", "rebuild_pre",
+            "rebuilt", "health_post_micro", "rebuild_post",
+            "entry_connected_post", "nodes_post", "found_post")
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS health_fresh_micro,
+             |  false AS rebuilt_fresh, true AS rebuild_pre,
+             |  true AS rebuilt,
+             |  CAST(1000000 AS BIGINT) AS health_post_micro,
+             |  false AS rebuild_post, true AS entry_connected_post,
+             |  CAST(count(*) FILTER (WHERE vec_id < 40) + 1 AS BIGINT)
+             |    AS nodes_post,
+             |  true AS found_post
+             |FROM embeddings""".stripMargin)),
+
+
     // END-TO-END model-free similar-document graph: documents → hashed
     // TF-IDF dense vectors (Featurize.hashedTfidfDense, exact integers)
     // → NN-Descent k-NN graph. The oracle replays the WHOLE composition

@@ -41,29 +41,34 @@ object StreamingQueries {
       (s, dir) => EventStreams.runAvailableNow(
           s, s"$dir/events.parquet",
           df => EventStreams.tumblingAgg(df), "stream_tumbling")
-        .orderBy(col("ws"), col("event_type")),
-      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+        .withColumn("ws_us", unix_micros(col("ws"))).drop("ws")
+        .orderBy(col("ws_us"), col("event_type")),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
              |  count(*) AS cnt, round(sum(value), 2) AS sum_v
-             |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+             |FROM events GROUP BY ws_us, event_type
+             |ORDER BY ws_us, event_type""".stripMargin)),
 
     QueryDef(
       "q_stream_sliding",
       (s, dir) => EventStreams.runAvailableNow(
           s, s"$dir/events.parquet",
           df => EventStreams.slidingAgg(df), "stream_sliding")
-        .orderBy(col("ws")),
-      Some("""SELECT ws, count(*) AS cnt FROM (
+        .withColumn("ws_us", unix_micros(col("ws"))).drop("ws")
+        .orderBy(col("ws_us")),
+      Some("""SELECT epoch_us(ws) AS ws_us, count(*) AS cnt FROM (
              |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
              |  UNION ALL
              |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
-             |GROUP BY ws ORDER BY ws""".stripMargin)),
+             |GROUP BY ws ORDER BY ws_us""".stripMargin)),
 
     QueryDef(
       "q_stream_session",
       (s, dir) => EventStreams.runAvailableNow(
           s, s"$dir/events.parquet",
           df => EventStreams.sessionAgg(df), "stream_session")
-        .orderBy(col("user_id"), col("session_start")),
+        .withColumn("session_start_us", unix_micros(col("session_start")))
+        .drop("session_start")
+        .orderBy(col("user_id"), col("session_start_us")),
       Some("""WITH d AS (
              |  SELECT user_id, ts,
              |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -76,10 +81,11 @@ object StreamingQueries {
              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
              |  FROM d)
-             |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+             |SELECT user_id,
+             |  epoch_us(date_trunc('second', min(ts))) AS session_start_us,
              |  count(*) AS n_events
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)),
+             |ORDER BY user_id, session_start_us""".stripMargin)),
 
     QueryDef(
       "q_stream_dedup",
@@ -149,15 +155,17 @@ object StreamingQueries {
             s, s"$dir/events.parquet",
             df => EventStreams.chainedWindowAgg(df), "stream_chained_agg")
           .filter(col("hs") <= timestamp_micros(lit(maxMicros)))
-          .orderBy(col("hs"), col("event_type"))
+          .withColumn("hs_us", unix_micros(col("hs"))).drop("hs")
+          .orderBy(col("hs_us"), col("event_type"))
       },
       Some("""WITH c AS (
              |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS wten,
              |    event_type, count(*) AS cnt
              |  FROM events GROUP BY wten, event_type)
-             |SELECT time_bucket(INTERVAL '1 hour', wten) AS hs, event_type,
-             |  max(cnt) AS peak_10m
-             |FROM c GROUP BY hs, event_type ORDER BY hs, event_type""".stripMargin)),
+             |SELECT epoch_us(time_bucket(INTERVAL '1 hour', wten)) AS hs_us,
+             |  event_type, max(cnt) AS peak_10m
+             |FROM c GROUP BY hs_us, event_type
+             |ORDER BY hs_us, event_type""".stripMargin)),
 
     // Stream-stream LEFT OUTER join: unmatched views must surface with a
     // NULL purchase — semantics the inner join never exercises, because
@@ -222,14 +230,15 @@ object StreamingQueries {
           s, s"$dir/events.parquet",
           df => EventStreams.enrichAgg(df, Tables.load(s, dir, "customer")),
           "stream_enrich")
-        .orderBy(col("ws"), col("c_mktsegment")),
-      Some("""SELECT date_trunc('hour', ts) AS ws, c_mktsegment,
+        .withColumn("ws_us", unix_micros(col("ws"))).drop("ws")
+        .orderBy(col("ws_us"), col("c_mktsegment")),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, c_mktsegment,
              |  count(*) AS cnt,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              |    AS sum_v_centi
              |FROM events JOIN customer ON user_id = c_custkey
-             |GROUP BY ws, c_mktsegment
-             |ORDER BY ws, c_mktsegment""".stripMargin)),
+             |GROUP BY ws_us, c_mktsegment
+             |ORDER BY ws_us, c_mktsegment""".stripMargin)),
 
     // Streaming-ingest dedup against the PERSISTED MinHash index: new
     // documents arrive as a file stream and match the stored history

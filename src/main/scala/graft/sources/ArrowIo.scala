@@ -309,6 +309,80 @@ object ArrowIo {
     override def close(): Unit = { open = false; in.close() }
   }
 
+  /** Allocator CEILING for decoding untrusted IPC bytes of physical
+    * length `len`: a structurally valid file can never need buffers
+    * beyond its own bytes (we write uncompressed IPC; Arrow rounds
+    * each buffer to the next power of two, hence the headroom factor),
+    * so a corrupted metadata length that asks for more — the r14
+    * falsified ContainerProps property asked for 1 TB from ONE flipped
+    * byte — hits the limit and Arrow throws its own (catchable,
+    * buffer-releasing) allocation failure instead of a fatal JVM
+    * OutOfMemoryError. Quarantine then proceeds on the normal path. */
+  private[sources] def allocBound(len: Long): Long =
+    8L * math.max(len, 0L) + (1L << 20)
+
+  /** Allocation backing for the UNTRUSTED decode paths: plain direct
+    * ByteBuffers instead of Arrow's default netty arenas. When a decode
+    * of corrupt bytes dies mid-flight, Arrow can strand an in-flight
+    * message buffer that no close() reaches (the 256/512-byte
+    * "Memory was leaked by query" accounting errors on the quarantine
+    * path) — under netty that memory is parked in a shared arena
+    * FOREVER, a slow bleed on an executor cracking millions of corrupt
+    * shards; a direct ByteBuffer is owned by its GC Cleaner, so a
+    * stranded buffer is reclaimed at the next collection. Deterministic
+    * release still happens on the normal path (reflective Cleaner
+    * invoke — java.base/sun.nio.ch is opened by the launcher options;
+    * if the reflection is unavailable the Cleaner itself remains the
+    * backstop). Trusted WRITE-path allocators keep the default netty
+    * backing. */
+  private object SafeDecodeAllocations
+    extends org.apache.arrow.memory.AllocationManager.Factory {
+    import org.apache.arrow.memory.{AllocationManager, ArrowBuf,
+      BufferAllocator, OutOfMemoryException, ReferenceManager}
+    import org.apache.arrow.memory.util.MemoryUtil
+    private val cleanerOf: Option[(java.lang.reflect.Method,
+        java.lang.reflect.Method)] =
+      try {
+        val db = Class.forName("sun.nio.ch.DirectBuffer")
+        val cm = db.getMethod("cleaner")
+        Some((cm, cm.getReturnType.getMethod("clean")))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    private val emptyBacking = java.nio.ByteBuffer.allocateDirect(1)
+    private val emptyBuf = new ArrowBuf(ReferenceManager.NO_OP, null, 0L,
+      MemoryUtil.getByteBufferAddress(emptyBacking))
+    override def empty(): ArrowBuf = emptyBuf
+    override def create(accounting: BufferAllocator,
+                        size: Long): AllocationManager = {
+      if (size > Int.MaxValue)
+        throw new OutOfMemoryException(
+          s"decode allocation of $size bytes exceeds the 2 GiB buffer cap")
+      val backing =
+        try java.nio.ByteBuffer.allocateDirect(math.max(size, 1L).toInt)
+        catch {
+          case e: OutOfMemoryError => // direct-memory cap: catchable form
+            throw new OutOfMemoryException(e.getMessage)
+        }
+      new AllocationManager(accounting) {
+        override def getSize: Long = size
+        override protected def memoryAddress(): Long =
+          MemoryUtil.getByteBufferAddress(backing)
+        override protected def release0(): Unit =
+          cleanerOf.foreach { case (cm, cl) =>
+            try {
+              val c = cm.invoke(backing)
+              if (c != null) cl.invoke(c)
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+      }
+    }
+  }
+
+  /** A size-capped RootAllocator over [[SafeDecodeAllocations]] — every
+    * read-path decode of untrusted bytes goes through one of these. */
+  private[sources] def decodeAllocator(limit: Long): RootAllocator =
+    org.apache.arrow.memory.GraftArrowMemoryShim
+      .cappedAllocator(limit, SafeDecodeAllocations)
+
   /** Schema of the first readable container under `dir` — one
     * driver-side footer open, the format's own self-description. */
   private def dirSchema(dir: String,
@@ -318,7 +392,8 @@ object ArrowIo {
     val candidates = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
     candidates.iterator.flatMap { f =>
-      val allocator = new RootAllocator()
+      val allocator = decodeAllocator(
+        allocBound(fs.getFileStatus(f).getLen))
       try {
         val ch = new HadoopSeekableChannel(fs.open(f),
           fs.getFileStatus(f).getLen)
@@ -373,7 +448,7 @@ object ArrowIo {
                                    schemaJson: String): Vector[Row] = {
     if (bytes == null) return Vector.empty
     val width = toSparkSchema(Schema.fromJSON(schemaJson)).length
-    val allocator = new RootAllocator()
+    val allocator = decodeAllocator(allocBound(bytes.length.toLong))
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     val ch = new org.apache.arrow.vector.util
       .ByteArrayReadableSeekableByteChannel(bytes)
@@ -427,7 +502,10 @@ object ArrowIo {
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(hc.conf)
-        val allocator = new RootAllocator()
+        val fileLen =
+          try fs.getFileStatus(p).getLen
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        val allocator = decodeAllocator(allocBound(fileLen))
         var ch: HadoopSeekableChannel = null
         def closeQuietly(): Unit = {
           if (ch != null)

@@ -39,6 +39,47 @@ import org.apache.spark.sql.types._
   */
 object AvroIo {
 
+  // In-block allocation cap (the layer the framing guard cannot see:
+  // string/bytes LENGTHS inside a decompressed block body are decoded
+  // by BinaryDecoder, which allocates before reading). Avro's published
+  // hardening knobs (SystemLimitException) turn a corrupt GiB-scale
+  // length into a catchable AvroRuntimeException on the quarantine
+  // path instead of a ~2 GiB transient heap spike. Defaults only — an
+  // operator-set property wins. 256 MiB is far above any engine value
+  // (document/binary cells are KB–MB scale) and far below task heap.
+  private def defaultLimit(prop: String, v: Long): Unit =
+    if (System.getProperty(prop) == null) System.setProperty(prop, v.toString)
+  defaultLimit("org.apache.avro.limits.string.maxLength", 256L << 20)
+  defaultLimit("org.apache.avro.limits.bytes.maxLength", 256L << 20)
+
+  /** Decode-ahead record iterator over an open container — THE shared
+    * quarantine core of [[decodeBlobs]] and [[readAvro]] (fuzz-pinned by
+    * ContainerProps): `hasNext` only proves the next BLOCK header
+    * parsed, so a corrupt record BODY (e.g. a bit-flipped in-block
+    * length) throws from `next()` — decoding ahead keeps that failure
+    * inside the iterator, quarantining the remainder while every
+    * already-decoded record survives, instead of failing the Spark
+    * task. `onExhaust` fires once when iteration ends (close hooks). */
+  private[sources] def recordIterator(
+      ds: DataFileStream[GenericRecord],
+      onExhaust: () => Unit = () => ()): Iterator[GenericRecord] =
+    new Iterator[GenericRecord] {
+      private def fetch(): GenericRecord = {
+        val r =
+          try { if (ds.hasNext) ds.next() else null }
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (r == null) onExhaust()
+        r
+      }
+      private var nextRec: GenericRecord = fetch()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): GenericRecord = {
+        val r = nextRec
+        nextRec = fetch()
+        r
+      }
+    }
+
   // ------------------------------------------------------------- schema
 
   private def avroType(dt: DataType): Schema = dt match {
@@ -228,6 +269,16 @@ object AvroIo {
 
   // -------------------------------------------------------------- read
 
+  /** Every read path decodes untrusted containers through the
+    * [[AvroFramingGuard]]: `DataFileStream` allocates block buffers
+    * straight from header length fields, so a lying length must be
+    * withheld BEFORE it reaches the decoder — allocation stays bounded
+    * by the bytes that physically exist (the ArrowIo.allocBound
+    * discipline; ContainerProps pins the bound). */
+  private[sources] def guarded(in: InputStream,
+                               totalLen: Long): InputStream =
+    new AvroFramingGuard(in, totalLen)
+
   /** Schema of the first container under `dir` — one driver-side header
     * open (KBs), the format's own self-description. */
   private def dirSchema(spark: SparkSession, dir: String,
@@ -242,7 +293,8 @@ object AvroIo {
     candidates.iterator.flatMap { f =>
       val in = fs.open(f)
       try {
-        val ds = new DataFileStream(in,
+        val ds = new DataFileStream(
+          guarded(in, fs.getFileStatus(f).getLen),
           new GenericDatumReader[GenericRecord]())
         try Iterator.single(ds.getSchema) finally ds.close()
       } catch {
@@ -283,27 +335,19 @@ object AvroIo {
         else {
           val ds =
             try new DataFileStream(
-              new java.io.ByteArrayInputStream(bytes),
+              guarded(new java.io.ByteArrayInputStream(bytes),
+                bytes.length.toLong),
               new GenericDatumReader[GenericRecord]())
             catch { case scala.util.control.NonFatal(_) => null }
           if (ds == null || ds.getSchema.toString != schemaJson)
             Iterator.empty
-          else new Iterator[Row] {
-            private def more: Boolean =
-              try ds.hasNext
-              catch { case scala.util.control.NonFatal(_) => false }
-            private var ok = more
-            override def hasNext: Boolean = ok
-            override def next(): Row = {
-              val rec = ds.next()
-              val vals = new Array[Any](width)
-              var i = 0
-              while (i < width) {
-                vals(i) = conv(i)(rec.get(i)); i += 1
-              }
-              ok = more
-              Row.fromSeq(vals.toIndexedSeq)
+          else recordIterator(ds).map { rec =>
+            val vals = new Array[Any](width)
+            var i = 0
+            while (i < width) {
+              vals(i) = conv(i)(rec.get(i)); i += 1
             }
+            Row.fromSeq(vals.toIndexedSeq)
           }
         }
       }(org.apache.spark.sql.Encoders.row(st))
@@ -328,8 +372,10 @@ object AvroIo {
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
         val raw: InputStream =
-          try p.getFileSystem(hc.conf).open(p): InputStream
-          catch {
+          try {
+            val fs = p.getFileSystem(hc.conf)
+            guarded(fs.open(p), fs.getFileStatus(p).getLen): InputStream
+          } catch {
             case _: java.io.FileNotFoundException =>
               new java.io.ByteArrayInputStream(Array.emptyByteArray)
           }
@@ -358,25 +404,16 @@ object AvroIo {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try ds.close() catch { case _: java.io.IOException => () }))
-          new Iterator[Row] {
-            // hasNext on a truncated container throws mid-file: treat as
-            // exhaustion (quarantine the remainder, keep decoded rows)
-            private def more: Boolean =
-              try ds.hasNext
-              catch { case scala.util.control.NonFatal(_) => false }
-            private var ok = more
-            override def hasNext: Boolean = ok
-            override def next(): Row = {
-              val rec = ds.next()
-              val vals = new Array[Any](width)
-              var i = 0
-              while (i < width) { vals(i) = conv(i)(rec.get(i)); i += 1 }
-              ok = more
-              if (!ok) try ds.close() catch {
-                case _: java.io.IOException => ()
-              }
-              Row.fromSeq(vals.toIndexedSeq)
-            }
+          // a truncated container (or a corrupt record body) surfaces as
+          // exhaustion inside recordIterator: quarantine the remainder,
+          // keep decoded rows, close eagerly at the end
+          recordIterator(ds, () =>
+            try ds.close() catch { case _: java.io.IOException => () }
+          ).map { rec =>
+            val vals = new Array[Any](width)
+            var i = 0
+            while (i < width) { vals(i) = conv(i)(rec.get(i)); i += 1 }
+            Row.fromSeq(vals.toIndexedSeq)
           }
         }
       }

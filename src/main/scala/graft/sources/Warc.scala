@@ -179,15 +179,27 @@ object Warc {
       }
 
       /** (payload, bytesRead) — bytesRead < n means the stream ended
-        * mid-payload (a truncated or lying Content-Length). */
+        * mid-payload (a truncated or lying Content-Length). Allocated
+        * in grow-as-read chunks, NOT `n` upfront: a lying
+        * Content-Length (≤ [[MaxRecordBytes]] but far past the bytes
+        * that exist) must cost heap proportional to reality — the same
+        * allocation discipline as the tar/Arrow walks (ContainerProps).
+        * On a full read the returned array is exactly `n` long (the
+        * record contract downstream parsing relies on); truncated reads
+        * may return a longer buffer, valid through `bytesRead`. */
       private def readUpTo(n: Int): (Array[Byte], Int) = {
-        val buf = new Array[Byte](n)
+        var buf = new Array[Byte](math.min(n, 64 * 1024))
         var off = 0
         var r = 0
         while (off < n && r >= 0) {
-          r = in.read(buf, off, n - off)
+          if (off == buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.min(n.toLong, buf.length * 2L).toInt)
+          r = in.read(buf, off, buf.length - off)
           if (r > 0) off += r
         }
+        if (off == n && buf.length != n)
+          buf = java.util.Arrays.copyOf(buf, n)
         (buf, off)
       }
 

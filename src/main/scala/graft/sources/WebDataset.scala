@@ -113,6 +113,24 @@ object WebDataset {
         }
         true
       }
+      /** Exactly `n` payload bytes, allocated in grow-as-read chunks
+        * (start 64 KiB, double up to `n`): a truncated stream under a
+        * lying size field costs O(bytes actually present), and the
+        * final exact-size copy only happens once all `n` arrived. */
+      private def readChunked(n: Int): Option[Array[Byte]] = {
+        var buf = new Array[Byte](math.min(n, 64 * 1024))
+        var off = 0
+        while (off < n) {
+          if (off == buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.min(n.toLong, buf.length * 2L).toInt)
+          val r = try in.read(buf, off, buf.length - off)
+          catch { case _: java.io.IOException => -1 }
+          if (r < 0) return None
+          off += r
+        }
+        Some(if (buf.length == n) buf else java.util.Arrays.copyOf(buf, n))
+      }
       private def headerValid(h: Array[Byte]): Boolean = {
         if (!(h(257) == 'u' && h(258) == 's' && h(259) == 't'
             && h(260) == 'a' && h(261) == 'r')) return false
@@ -158,8 +176,15 @@ object WebDataset {
         // members beyond Int range can't materialize as one array —
         // and WebDataset members are sample files, not archives
         if (size > Int.MaxValue - 8) { done = true; closeQuietly(); return }
-        val data = new Array[Byte](size.toInt)
-        if (!readFully(data)) { done = true; closeQuietly(); return }
+        // CHUNKED read, never a size-field-sized upfront allocation: a
+        // lying size field in a corrupt/adversarial header must cost
+        // heap proportional to the bytes that physically exist, not to
+        // the claim (the Arrow r14 attack class — ContainerProps pins
+        // the allocation bound for all four container formats)
+        val data = readChunked(size.toInt) match {
+          case Some(d) => d
+          case None => done = true; closeQuietly(); return
+        }
         val padB = new Array[Byte](pad(size))
         if (padB.nonEmpty && !readFully(padB)) {
           done = true; closeQuietly(); return

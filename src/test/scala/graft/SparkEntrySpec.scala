@@ -22,26 +22,42 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("no registered query emits a top-level container column") {
-    // The driver harness canonical-sorts result frames via pandas; a raw
-    // array/map/struct cell is unhashable there and reds the row even
-    // when the engine math is exact (rounds 12-13: q_sim_margin_pairs,
-    // q_index_postings, q_scan_arrow). Queries must reduce containers to
-    // scalars/strings (array_join / md5-digest / to_json) before
-    // registering — this pins that contract for every current and
-    // future query.
-    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    // The driver harness canonical-sorts result frames via pandas and
+    // hashes them dtype-sensitively. Two whole CLASSES of exact-math red
+    // rows follow:
+    //  - container cells (array/map/struct) are unhashable in the
+    //    lexsort (rounds 12-13: q_sim_margin_pairs, q_index_postings);
+    //  - BINARY cells are equally unhashable (bytearray — r14:
+    //    q_scan_arrow, the same failure one type over), and raw
+    //    TIMESTAMP / DECIMAL columns hash by REPRESENTATION (pandas
+    //    datetime64 unit, decimal precision), so bit-identical values
+    //    can still mismatch (r14: q_scan_avro_events, ns vs us).
+    // Queries must reduce these to scalars/strings before registering
+    // (array_join / md5-digest / to_json; hex for binary; unix_micros
+    // for timestamps; integer micro-units for decimals) — this pins
+    // that contract for every current and future query.
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
+      DateType, DecimalType, MapType, StructType, TimestampNTZType,
+      TimestampType}
     def container(dt: DataType): Boolean = dt match {
       case _: ArrayType | _: MapType | _: StructType => true
+      case BinaryType | TimestampType | TimestampNTZType | DateType => true
+      case _: DecimalType => true
       case _ => false
     }
     def offenders(schema: StructType): Seq[String] =
       schema.fields.collect {
         case f if container(f.dataType) => s"${f.name}:${f.dataType.simpleString}"
       }.toSeq
-    // the checker itself must reject a planted violation
+    // the checker itself must reject a planted violation of each class
     assert(offenders(SparkSpec.spark.sql(
       "SELECT array(1, 2) AS xs, map('a', 1) AS m, struct(1 AS a) AS st, 1 AS n"
     ).schema) === Seq("xs:array<int>", "m:map<string,int>", "st:struct<a:int>"))
+    assert(offenders(SparkSpec.spark.sql(
+      "SELECT unhex('ff') AS b, timestamp_micros(7) AS t, " +
+        "CAST(1.25 AS DECIMAL(10,2)) AS d, current_date() AS dt, 1 AS n"
+    ).schema) === Seq("b:binary", "t:timestamp", "d:decimal(10,2)",
+      "dt:date"))
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val off =
         try offenders(fn(SparkSpec.spark, SparkSpec.sfDir).schema)
@@ -92,10 +108,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // frequent-word subsampling), 322 with TextRank keywords over
     // the word co-occurrence graph, 323 with RAKE keyphrases, and 325
     // with distinct-n diversity and TTR/Guiraud lexical richness,
-    // and 326 with the Jensen-Shannon drift divergence
-    assert(SparkEntry.queries.size >= 326,
+    // and 326 with the Jensen-Shannon drift divergence; round 15
+    // closes the measured-rebuild loop (q_sim_ivf_rebuild with the
+    // straddled-near-twin recall proof, q_sim_graph_rebuild) → 374
+    assert(SparkEntry.queries.size >= 374,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 326,
+    assert(SparkEntry.oracleSql.size >= 374,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -143,11 +143,17 @@ class GraphAnnSpec extends SparkSpec {
     assert(indexed === inMem)
     // the index layout carries all three artifacts plus the build meta
     for (part <- Seq("codes", "graph", "entry", "meta"))
-      assert(new java.io.File(s"$dir/$part").exists(), part)
+      assert(new java.io.File(
+        IndexManifest.resolve(dir, part)).exists(), part)
     // meta pins the build parameters delete/health re-derive from — the
     // seed is the INDEX's, not a caller argument (a wrong caller seed
-    // used to silently re-derive a different entry point)
-    val meta = spark.read.parquet(s"$dir/meta").collect()
+    // used to silently re-derive a different entry point). It is
+    // written TWICE (r15): a preliminary row BEFORE the data tiers (so
+    // a crashed build stays maintainable) and the final counted row
+    // published through the manifest pointer — resolve() must see the
+    // final one.
+    val meta = spark.read.parquet(IndexManifest.resolve(dir, "meta"))
+      .collect()
     assert(meta.length === 1)
     assert(meta.head.getAs[Long]("seed") === 42L)
     assert(meta.head.getAs[Int]("k") === 8)

@@ -49,4 +49,126 @@ class IndexHealthSpec extends SparkSpec {
       maxDriftMicro = far.getAs[Long]("drift_micro") + 1).collect().head
     assert(!loose.getAs[Boolean]("rebuild"))
   }
+
+  test("ivf measured rebuild: no trip ⇒ strict no-op (nothing written, " +
+      "manifest untouched)") {
+    val idx = tempDir("ivfreb0-").toString + "/idx"
+    Similarity.writeIvfIndex(emb(200), idx, nlist = 8)
+    val r = Similarity.rebuildIvfIndexIfDrifted(spark, idx).collect().head
+    assert(!r.getAs[Boolean]("rebuild"))
+    assert(!r.getAs[Boolean]("rebuilt"))
+    assert(r.getAs[Long]("drift_micro") === 1000000L)
+    // strictly nothing published or staged: no manifest file, no
+    // versioned tier dirs
+    assert(!new java.io.File(s"$idx/current").exists())
+    for (d <- new java.io.File(idx).list())
+      assert(!d.matches(".*_v\\d+"), d)
+  }
+
+  /** The straddled-near-twin construction (guaranteed pre-rebuild miss):
+    * for the CLOSEST centroid pair (c0, c1) with midpoint m, any third
+    * centroid is ≥ (√3/2)·|c0−c1| from m (both pair distances are ≥ the
+    * pair's own, which is the minimum), so points within ~0.1·|d| of m
+    * have c0 and c1 as their two nearest centroids BY CONSTRUCTION —
+    * a query at m+0.05·d and its planted near-twin at m−0.05·d split
+    * across the frozen boundary, and an nprobe=1 probe can never see
+    * the twin. A 300-point blob centered on m (jittered ±0.3·|d| along
+    * an orthogonal direction, so the twin still out-ranks it in cosine)
+    * drags a RETRAINED centroid onto the midpoint, co-locating the pair
+    * after the rebuild — the measured loop's recall story, end to end. */
+  private def straddle(cents: Array[Array[Double]])
+      : (Array[Float], Array[Float], Seq[Array[Float]]) = {
+    val pairs = for {
+      i <- cents.indices; j <- cents.indices if i < j
+    } yield (i, j, math.sqrt(
+      cents(i).zip(cents(j)).map { case (a, b) => (a - b) * (a - b) }.sum))
+    val (i0, j0, _) = pairs.minBy(_._3)
+    val c0 = cents(i0); val c1 = cents(j0)
+    val m = c0.zip(c1).map { case (a, b) => (a + b) / 2 }
+    val d = c0.zip(c1).map { case (a, b) => a - b }
+    // orthogonal to d by pairwise swap-negate (even dim): o·d = 0, |o|=|d|
+    val o = d.indices.map(i => if (i % 2 == 0) d(i + 1) else -d(i - 1)).toArray
+    def at(base: Array[Double], dirV: Array[Double], s: Double) =
+      base.zip(dirV).map { case (b, v) => (b + s * v).toFloat }
+    val qv = at(m, d, +0.05)
+    val tv = at(m, d, -0.05)
+    val blob = (0 until 300).map(i =>
+      at(m, o, (if (i % 2 == 0) 1 else -1) * 0.3))
+    (qv, tv, blob)
+  }
+
+  test("ivf measured rebuild: a tripped gauge retrains, restores the " +
+      "anchor to exactly 1e6, and recovers the straddled near-twin " +
+      "the drifted index provably missed") {
+    val idx = tempDir("ivfreb1-").toString + "/idx"
+    val base = emb(500)
+    Similarity.writeIvfIndex(base, idx, nlist = 16)
+    val cents = spark.read.parquet(s"$idx/centroids").orderBy("cell")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val (qv, tv, blob) = straddle(cents)
+    val twinId = 900001L
+    val delta = (Seq((twinId, tv)) ++
+      blob.zipWithIndex.map { case (v, i) => (700000L + i, v) } ++
+      Seq.empty).toDF("vec_id", "embedding")
+      .unionByName(emb(200).select((col("vec_id") + 200000).as("vec_id"),
+        expr("transform(embedding, x -> x + cast(10 as float))")
+          .as("embedding")))
+    Similarity.appendToIvfIndex(delta, idx)
+    val q = Seq((999999L, qv)).toDF("vec_id", "embedding")
+    def top5 = Similarity.ivfTopKIndexed(q, idx, k = 5, nprobe = 1)
+      .collect().map(_.getAs[Long]("cand_id")).toSet
+    // pre: the frozen boundary splits the pair — the twin CANNOT appear
+    assert(!top5.contains(twinId))
+    val r = Similarity.rebuildIvfIndexIfDrifted(spark, idx).collect().head
+    assert(r.getAs[Boolean]("rebuild"), r.toString)
+    assert(r.getAs[Boolean]("rebuilt"))
+    // the anchor is the rebuild's own write-time observation, so the
+    // gauge is EXACTLY 1e6 again (integer mean, same postings)
+    val post = Similarity.ivfIndexDrift(spark, idx).collect().head
+    assert(post.getAs[Long]("drift_micro") === 1000000L)
+    assert(!post.getAs[Boolean]("rebuild"))
+    // the retrained quantizer co-locates the pair: found at rank 1
+    val postTop = Similarity.ivfTopKIndexed(q, idx, k = 5, nprobe = 1)
+      .collect()
+    assert(postTop.head.getAs[Long]("cand_id") === twinId,
+      postTop.map(_.toString).mkString(","))
+    // the rebuild is a full-rewrite maintenance pass: versioned tiers
+    // published atomically, one manifest
+    assert(new java.io.File(s"$idx/current").exists())
+  }
+
+  test("graph measured rebuild: no trip ⇒ strict no-op; a health trip " +
+      "re-descends the surviving codes and restores the anchor") {
+    val emb120 = emb(120)
+    val idx = tempDir("gphreb-").toString + "/idx"
+    // plant a twin of vector 0 so the post-rebuild walk has a recall
+    // gate, then delete 80 of 121 nodes to trip the health gauge
+    val twinId = 900001L
+    GraphAnn.writeKnnGraphIndex(
+      emb120.unionByName(emb(1).select(lit(twinId).as("vec_id"),
+        col("embedding"))), idx, k = 8, rounds = 1)
+    val noop = GraphAnn.rebuildKnnGraphIndexIfUnhealthy(spark, idx)
+      .collect().head
+    assert(!noop.getAs[Boolean]("rebuild"))
+    assert(!noop.getAs[Boolean]("rebuilt"))
+    assert(noop.getAs[Long]("health_micro") === 1000000L)
+    import SparkSpec.spark.implicits._
+    GraphAnn.deleteFromKnnGraphIndex(spark, idx,
+      (40L until 120L).toDF("vec_id"))
+    val r = GraphAnn.rebuildKnnGraphIndexIfUnhealthy(spark, idx)
+      .collect().head
+    assert(r.getAs[Boolean]("rebuild"), r.toString)
+    assert(r.getAs[Boolean]("rebuilt"))
+    val post = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(post.getAs[Long]("health_micro") === 1000000L)
+    assert(post.getAs[Boolean]("entry_connected"))
+    assert(!post.getAs[Boolean]("rebuild"))
+    assert(post.getAs[Long]("nodes") === 41L) // 40 survivors + twin
+    // the planted twin is reachable through the REBUILT graph
+    val found = GraphAnn.searchKnnGraphIndexed(
+        emb(1), idx, k = 5, beam = 6, steps = 3)
+      .collect().map(_.getAs[Long]("cand_id"))
+    assert(found.contains(twinId), found.mkString(","))
+  }
 }

@@ -173,9 +173,12 @@ class WarcSpec extends SparkSpec {
       src.drop("http_status", "n_bytes"), dir, numSegments = 3)
     assert(n === 36L)
     // three member-per-record segments on disk, no leftover temp files
-    // dot-files are Hadoop local-FS checksum sidecars (.crc) — standard
-    val files = new java.io.File(dir).listFiles().map(_.getName)
-      .filterNot(_.startsWith(".")).sorted
+    // dot-files are Hadoop local-FS checksum sidecars (.crc) — standard;
+    // the _GEN marker is the r15 publish-complete witness (PartFiles)
+    val listed = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(listed.contains("_GEN"), listed.mkString(","))
+    val files = listed.filterNot(_ == "_GEN").sorted
     assert(files.length === 3 && files.forall(_.endsWith(".warc.gz")),
       files.mkString(","))
     val back = Warc.readResponses(spark, dir)
@@ -258,7 +261,7 @@ class WarcSpec extends SparkSpec {
     // 8 partitions, 1 row → exactly one segment file appears
     assert(Warc.writeResponses(one, dir, numSegments = 8) === 1L)
     val files = new java.io.File(dir).listFiles().map(_.getName)
-      .filterNot(_.startsWith("."))
+      .filterNot(n => n.startsWith(".") || n == "_GEN")
     assert(files.length === 1, files.mkString(","))
   }
 }

@@ -16,6 +16,21 @@ object ContainerProps extends Properties("graft.sources.containers") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(200)
 
+  /** Heap allocated on this thread by `f` (HotSpot's per-thread
+    * allocation counter) — the measurable form of the bounded-
+    * allocation contract: a parser fed a LYING length field must cost
+    * heap proportional to the bytes that physically exist, never to
+    * the claim. (Arrow's buffers are off-heap and bounded by its
+    * size-capped allocator instead — the seed-replay property below.) */
+  private def heapAllocated(f: => Unit): Long = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val id = Thread.currentThread().getId
+    val before = mx.getThreadAllocatedBytes(id)
+    f
+    mx.getThreadAllocatedBytes(id) - before
+  }
+
   /** A syntactically valid in-memory tar of (name, payload) members —
     * built independently of the production writer (GNU-style magic,
     * space-terminated octals), the external-producer shape. */
@@ -78,6 +93,35 @@ object ContainerProps extends Properties("graft.sources.containers") {
         new ByteArrayInputStream(cut)).toVector
       val names = got.map(_._1)
       names == ms.map(_._1).take(names.length)
+    }
+
+  property("tar lying size field: parse cost follows the bytes that " +
+    "exist, never the claim (chunked member reads)") =
+    forAll(Gen.choose(0, 4096), Gen.choose(20, 30)) { (actual, claimLog) =>
+      // one header whose size field claims up to a GiB, with only
+      // `actual` payload bytes physically behind it
+      val claim = 1L << claimLog
+      val h = new Array[Byte](512)
+      val nb = "lying.txt".getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes(StandardCharsets.US_ASCII)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(100, "0000644 "); put(108, "0000000 "); put(116, "0000000 ")
+      put(124, f"$claim%011o "); put(136, "00000000000 ")
+      put(148, "        "); h(156) = '0'; put(257, "ustar  ")
+      var sum = 0L
+      for (i <- 0 until 512) sum += h(i) & 0xff
+      put(148, f"$sum%06o  ")
+      val bytes = h ++ new Array[Byte](actual)
+      val alloc = heapAllocated {
+        WebDataset.parseMembers(
+          new ByteArrayInputStream(bytes)).toVector
+      }
+      // generous ScalaCheck/JVM noise slack — the point is that the
+      // GiB-scale claim never materializes
+      alloc < bytes.length.toLong * 8 + (4L << 20)
     }
 
   property("tar bit-flip: one corrupted byte never throws; members " +
@@ -176,11 +220,7 @@ object ContainerProps extends Properties("graft.sources.containers") {
           rows.toVector.take(got.size)
     }
 
-  property("arrow bit-flip: one corrupted byte never throws and always " +
-    "terminates (a flipped metadata count CAN inflate decoded rows with " +
-    "padding garbage — inherent to footer-indexed columnar files, which " +
-    "is why the engine's trust boundary is the whole-file checksum of " +
-    "the transport, not the container)") =
+  private val arrowBitFlip =
     forAll(arrowRowsGen, Gen.chooseNum(1, 7), Gen.choose(0, Int.MaxValue),
       Gen.choose(Byte.MinValue, Byte.MaxValue)) { (rows, perBatch, posSeed, b) =>
       val full = arrowOf(rows, perBatch)
@@ -188,5 +228,154 @@ object ContainerProps extends Properties("graft.sources.containers") {
       if (mut.nonEmpty) mut(posSeed % mut.length) = b
       ArrowIo.decodeOneBlob(mut, arrowSchemaJson)
       true
+    }
+
+  property("arrow bit-flip: one corrupted byte never throws and always " +
+    "terminates (a flipped metadata count CAN inflate decoded rows with " +
+    "padding garbage — inherent to footer-indexed columnar files, which " +
+    "is why the engine's trust boundary is the whole-file checksum of " +
+    "the transport, not the container)") = arrowBitFlip
+
+  // The r14 judging run falsified the property above with a fatal JVM
+  // OutOfMemoryError: one flipped byte in the IPC metadata asked the
+  // (then unbounded) RootAllocator for 1,095,216,660,824 bytes. The
+  // allocator is now ceiling-bound to the input's physical size
+  // (ArrowIo.allocBound), so the same corruption throws Arrow's own
+  // catchable allocation failure into the quarantine path. Replay the
+  // exact falsifying seed so the fix can never regress silently.
+  property("arrow bit-flip replays the r14 falsifying seed (bounded " +
+    "allocator: corrupt metadata lengths can never fatal-OOM the JVM)") =
+    arrowBitFlip.useSeed(org.scalacheck.rng.Seed
+      .fromBase64("C8s6YdIPnDpCTyMiB_rgvtADI2tdDwh0-q9guD7NUIO=").get)
+
+  // -- WARC records --------------------------------------------------------
+
+  property("warc lying content-length: parse cost follows the bytes " +
+    "that exist, never the claim (chunked payload reads)") =
+    forAll(Gen.choose(0, 4096), Gen.choose(1 << 20, 60 << 20)) {
+      (actual, claim) =>
+        val rec = ("WARC/1.0\r\n" +
+          "WARC-Type: response\r\n" +
+          "WARC-Record-ID: <urn:uuid:x>\r\n" +
+          s"Content-Length: $claim\r\n\r\n")
+          .getBytes(StandardCharsets.US_ASCII) ++ new Array[Byte](actual)
+        val alloc = heapAllocated {
+          Warc.parseResponses(new ByteArrayInputStream(rec)).toVector
+        }
+        alloc < rec.length.toLong * 8 + (4L << 20)
+    }
+
+  // -- Avro object containers ----------------------------------------------
+
+  /** A valid in-memory Avro container of (id, v) records, built straight
+    * on the Avro API (independent of the production writer). */
+  private def avroOf(rows: Seq[(Long, String)],
+                     deflate: Boolean): Array[Byte] = {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: ASchema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("v").endRecord()
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    if (deflate) w.setCodec(CodecFactory.deflateCodec(3))
+    w.setSyncInterval(64) // several small blocks even for short inputs
+    w.create(schema, bos)
+    try rows.foreach { case (id, v) =>
+      val r = new GenericData.Record(schema)
+      r.put("id", java.lang.Long.valueOf(id)); r.put("v", v)
+      w.append(r)
+    } finally w.close()
+    bos.toByteArray
+  }
+
+  /** Decode a container through the PRODUCTION wiring (framing guard in
+    * front of DataFileStream, the AvroIo quarantine rules): (id, v)
+    * rows of the decodable prefix, empty on unreadable. */
+  private def avroDecode(bytes: Array[Byte]): Vector[(Long, String)] = {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val ds =
+      try new DataFileStream(
+        AvroIo.guarded(new ByteArrayInputStream(bytes), bytes.length.toLong),
+        new GenericDatumReader[GenericRecord]())
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ds == null) Vector.empty
+    // a header bit-flip can yield a DIFFERENT valid schema (a renamed
+    // field): production quarantines on schema mismatch before decoding
+    // — mirror that rule, or the (id, v) mapping below throws on fields
+    // that no longer exist
+    else if (ds.getSchema.getFields.size != 2 ||
+        ds.getSchema.getField("id") == null ||
+        ds.getSchema.getField("v") == null) {
+      ds.close(); Vector.empty
+    } else try {
+      AvroIo.recordIterator(ds)
+        .map(r => (r.get("id").asInstanceOf[Long], r.get("v").toString))
+        .toVector
+    } finally ds.close()
+  }
+
+  private val avroRowsGen: Gen[Seq[(Long, String)]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      v <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (id, v)).map(_.toSeq)
+
+  /** Avro varint (zigzag long) — for forging block headers. */
+  private def zigzagVarint(v: Long): Array[Byte] = {
+    var u = (v << 1) ^ (v >> 63)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    while ((u & ~0x7fL) != 0L) {
+      out += ((u & 0x7f) | 0x80).toByte; u >>>= 7
+    }
+    out += u.toByte
+    out.toArray
+  }
+
+  property("avro roundtrip through the framing guard: valid containers " +
+    "decode record for record (deflate and null codec)") =
+    forAll(avroRowsGen, Gen.oneOf(true, false)) { (rows, deflate) =>
+      avroDecode(avroOf(rows, deflate)) == rows.toVector
+    }
+
+  property("avro forged block header (GiB-scale byteSize claim): the " +
+    "guard withholds it — prior blocks decode, allocation follows the " +
+    "bytes that exist, and nothing throws") =
+    forAll(avroRowsGen, Gen.oneOf(true, false), Gen.choose(0, 64)) {
+      (rows, deflate, junk) =>
+        // a syntactically plausible next block whose byteSize lies:
+        // count=1, byteSize=1 GiB, followed by a little junk
+        val forged = avroOf(rows, deflate) ++
+          zigzagVarint(1L) ++ zigzagVarint(1L << 30) ++
+          new Array[Byte](junk)
+        var got: Vector[(Long, String)] = Vector.empty
+        val alloc = heapAllocated { got = avroDecode(forged) }
+        got == rows.toVector &&
+          alloc < forged.length.toLong * 16 + (8L << 20)
+    }
+
+  property("avro bit-flip: one corrupted byte never throws and always " +
+    "terminates (a flipped in-block length CANNOT fail the task: the " +
+    "decode-ahead iterator quarantines the remainder — this seed class " +
+    "found exactly that gap in r15)") =
+    forAll(avroRowsGen, Gen.oneOf(true, false), Gen.choose(0, Int.MaxValue),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)) { (rows, deflate, posSeed, b) =>
+      val full = avroOf(rows, deflate)
+      val mut = full.clone()
+      if (mut.nonEmpty) mut(posSeed % mut.length) = b
+      avroDecode(mut)
+      true
+    }
+
+  property("avro truncation: any prefix cut never throws and yields a " +
+    "prefix of the records") =
+    forAll(avroRowsGen, Gen.oneOf(true, false), Gen.choose(0.0, 1.0)) {
+      (rows, deflate, frac) =>
+        val full = avroOf(rows, deflate)
+        val cut = java.util.Arrays.copyOfRange(full, 0,
+          (full.length * frac).toInt)
+        val got = avroDecode(cut)
+        got == rows.toVector.take(got.size)
     }
 }
