@@ -155,7 +155,15 @@ object Bench {
     // stay off per the sub-2 s policy
     "q_dedup_takedown_live",  // MinHash ingest loop + tombstone + probes
     "q_sim_graph_health",     // graph build + heavy delete + health x2
-    "q_sim_ivf_drift")        // IVF build + 2 appends + 3 drift scans
+    "q_sim_ivf_drift",        // IVF build + 2 appends + 3 drift scans
+    // round-15 additions (first frozen budgets in BASELINE.md): the
+    // measured-rebuild actuators pay their FULL lifecycle per rep —
+    // IVF: index write + straddle append + probe + gauge + quantizer
+    // RETRAIN + re-assignment rewrite + post gauge + post probe; graph:
+    // NN-Descent build + takedown delete + RE-DESCENT over survivors +
+    // health + beam search
+    "q_sim_ivf_rebuild",      // drift trip -> retrain + atomic 3-tier swap
+    "q_sim_graph_rebuild")    // health trip -> re-descent + 4-tier swap
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd

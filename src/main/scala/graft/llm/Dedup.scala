@@ -716,6 +716,14 @@ object Dedup {
     * deletion is one maintenance rewrite away on the hard path. */
   private[llm] val MaxPendingTombstones = 100000L
 
+  /** Pending request-DIR ceiling: [[tombstoneIds]] reads dirs one by one
+    * (per-dir casts make mixed-vintage schemas safe), so the read-path
+    * plan is a dirs-wide union — id count alone doesn't bound it
+    * (100k one-id deliveries would be a 100k-way union on every read).
+    * Past this many standing dirs, addTombstones refuses and steers to
+    * the consuming maintenance pass, exactly like the id ceiling. */
+  private[llm] val MaxPendingTombstoneDirs = 256
+
   /** Register a takedown WITHOUT draining the ingest loop — the
     * production right-to-be-forgotten front door (r13 verdict missing
     * #1): the hard `deleteFrom*Index` rewrites are full-index
@@ -766,6 +774,11 @@ object Dedup {
           s"$indexPath; run the hard deleteFrom*Index (or a compaction) " +
           "to consume the standing requests, or route bulk deletions " +
           "there directly")
+      val nDirs = tombstoneDirs(indexPath).size
+      require(nDirs < MaxPendingTombstoneDirs,
+        s"$nDirs standing tombstone request dirs at $indexPath reach " +
+          s"the $MaxPendingTombstoneDirs read-path plan ceiling; run " +
+          "the hard deleteFrom*Index (or a compaction) to consume them")
       val key = del
         .agg(md5(concat_ws(",",
           sort_array(collect_list(col("del_id").cast("string"))))))

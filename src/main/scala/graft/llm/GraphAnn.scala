@@ -146,20 +146,25 @@ object GraphAnn {
   def nnDescentGraph(embeddings: DataFrame, k: Int, rounds: Int,
                      seed: Long = 42L,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame =
-    nnDescentFromCodes(quantized(embeddings, vecCol, idCol),
-      k, rounds, seed, idCol)
+                     idCol: String = "vec_id"): DataFrame = {
+    val codes = quantized(embeddings, vecCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = nnDescentFromCodes(codes, k, rounds, seed, idCol)
+    codes.unpersist(blocking = false)
+    out
+  }
 
   /** [[nnDescentGraph]] body over an ALREADY-quantized (id, codes, n2)
-    * frame — the entry point the measured rebuild uses (a persisted
-    * index stores codes, never the raw embeddings, so a rebuild must
-    * not need them back). */
-  private[llm] def nnDescentFromCodes(codesIn: DataFrame, k: Int,
+    * frame — the entry point the index write and the measured rebuild
+    * share (a persisted index stores codes, never the raw embeddings,
+    * so a rebuild must not need them back). The CALLER owns caching of
+    * `codes` (the descent scans it every round); the returned graph is
+    * localCheckpoint-materialized. */
+  private[llm] def nnDescentFromCodes(codes: DataFrame, k: Int,
                                       rounds: Int, seed: Long,
                                       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val codes = codesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = md5Ranks(codes.select(col("id").as(idCol)), idCol, seed)
     // one driver Long (the HITS "one Long" budget): the ring modulus
     val n = ranked.count()
@@ -203,7 +208,6 @@ object GraphAnn {
         .localCheckpoint()
       i += 1
     }
-    codes.unpersist(blocking = false)
     b
   }
 
@@ -315,7 +319,10 @@ object GraphAnn {
     val codes = quantized(corpus, vecCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     codes.write.mode("overwrite").parquet(s"$path/codes")
-    val graph = nnDescentGraph(corpus, k, rounds, seed, vecCol, idCol)
+    // descend over the codes ALREADY quantized and cached for the tier
+    // write above — re-quantizing the corpus (the pre-r15 shape) paid a
+    // whole redundant linear pass per build
+    val graph = nnDescentFromCodes(codes, k, rounds, seed, idCol)
     graph.write.mode("overwrite").parquet(s"$path/graph")
     codes
       .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
@@ -602,6 +609,7 @@ object GraphAnn {
     val gauge = knnGraphIndexHealth(spark, indexPath, minHealthMicro)
       .collect().head
     val trip = gauge.getAs[Boolean]("rebuild")
+    var rebuilt = trip
     if (trip) {
       Dedup.requireNoUncommittedIngest(indexPath,
         Dedup.ingestKeyedDirs(indexPath))
@@ -611,7 +619,11 @@ object GraphAnn {
       val storedGraph = spark.read
         .parquet(IndexManifest.resolve(indexPath, "graph"))
       val k = meta.map(_.getAs[Int]("k")).getOrElse(
-        storedGraph.agg(max(col("rk"))).collect().head.getInt(0))
+        // pre-meta index: infer k from the stored ranks; an EMPTY graph
+        // tier (everything hard-deleted) aggregates to null — default,
+        // don't NPE (the r15 review's finding)
+        Option(storedGraph.agg(max(col("rk"))).collect().head.get(0))
+          .map(_.asInstanceOf[Int]).getOrElse(16))
       val rounds = meta.map(_.getAs[Int]("rounds")).getOrElse(6)
       // materialize the survivors ONCE as the new (unpublished) codes
       // version, then build everything downstream from that dir — the
@@ -622,6 +634,15 @@ object GraphAnn {
           "id")
         .write.mode("overwrite").parquet(s"$indexPath/$codesV")
       val survivors = spark.read.parquet(s"$indexPath/$codesV")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (survivors.count() == 0L) {
+        // a fully-deleted index has nothing to descend over: report
+        // no-op rather than crash mid-maintenance (the health gauge
+        // documents this exact state as report-never-crash); the
+        // unpublished empty codes_vN is swept by the next publish
+        survivors.unpersist(blocking = false)
+        rebuilt = false
+      } else {
       val graph = nnDescentFromCodes(survivors, k, rounds, seed)
       val graphV = IndexManifest.nextVersionDir(indexPath, "graph")
       graph.write.mode("overwrite").parquet(s"$indexPath/$graphV")
@@ -642,11 +663,13 @@ object GraphAnn {
         "codes" -> codesV, "graph" -> graphV,
         "entry" -> entryV, "meta" -> metaV))
       Dedup.clearTombstones(tombDirs)
+      survivors.unpersist(blocking = false)
+      }
     }
     Seq((gauge.getAs[Long]("build_nodes"), gauge.getAs[Long]("build_edges"),
         gauge.getAs[Long]("nodes"), gauge.getAs[Long]("edges"),
         gauge.getAs[Long]("health_micro"),
-        gauge.getAs[Boolean]("entry_connected"), trip, trip))
+        gauge.getAs[Boolean]("entry_connected"), trip, rebuilt))
       .toDF("build_nodes", "build_edges", "nodes", "edges",
         "health_micro", "entry_connected", "rebuild", "rebuilt")
   }

@@ -502,9 +502,14 @@ object ArrowIo {
       .flatMap { path =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(hc.conf)
+        // a status failure here must NOT silently shrink the allocator
+        // cap (a transient RPC error on a VALID file would quarantine
+        // its rows via a 1 MiB ceiling): only a vanished file degrades
+        // to the quarantine path; other IO errors rethrow into Spark's
+        // task retry — the readAvro open-time contract
         val fileLen =
           try fs.getFileStatus(p).getLen
-          catch { case scala.util.control.NonFatal(_) => 0L }
+          catch { case _: java.io.FileNotFoundException => 0L }
         val allocator = decodeAllocator(allocBound(fileLen))
         var ch: HadoopSeekableChannel = null
         def closeQuietly(): Unit = {

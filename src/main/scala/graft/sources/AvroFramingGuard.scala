@@ -46,6 +46,10 @@ private[sources] final class AvroFramingGuard(in: InputStream,
 
   // parser position: 0=magic, 1=meta map, 2=header sync, 3=block loop
   private var state = 0
+  // whether the container declares a compression codec (avro.codec
+  // metadata, captured while the map streams through): compressed
+  // blocks get the tighter size cap below
+  private var compressed = false
 
   private def pull(): Int = {
     if (remaining <= 0) return -1
@@ -106,8 +110,21 @@ private[sources] final class AvroFramingGuard(in: InputStream,
             var e = 0L
             while (ok && e < entries) {
               ok = varint(out).filter(lenOk).exists { kLen => // key
-                fixed(kLen.toInt) && varint(out).filter(lenOk).exists {
-                  vLen => fixed(vLen.toInt) // value
+                val kFrom = out.size()
+                fixed(kLen.toInt) && {
+                  val key = new String(out.toByteArray, kFrom, kLen.toInt,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  varint(out).filter(lenOk).exists { vLen =>
+                    val vFrom = out.size()
+                    fixed(vLen.toInt) && {
+                      if (key == "avro.codec") {
+                        val codec = new String(out.toByteArray, vFrom,
+                          vLen.toInt, java.nio.charset.StandardCharsets.UTF_8)
+                        compressed = codec.nonEmpty && codec != "null"
+                      }
+                      true
+                    }
+                  }
                 }
               }
               e += 1
@@ -123,7 +140,9 @@ private[sources] final class AvroFramingGuard(in: InputStream,
           case None => dead = true // clean EOF at a block boundary
           case Some(count) =>
             varint(t) match {
-              case Some(size) if count >= 0 && lenOk(size) =>
+              case Some(size) if count >= 0 && lenOk(size) &&
+                  (!compressed ||
+                    size <= AvroFramingGuard.MaxCompressedBlockBytes) =>
                 out.write(t.toByteArray)
                 passThrough = size + 16L // payload + block sync
               case _ => dead = true // withhold the lying header
@@ -165,4 +184,23 @@ private[sources] final class AvroFramingGuard(in: InputStream,
   }
 
   override def close(): Unit = in.close()
+}
+
+private[sources] object AvroFramingGuard {
+
+  /** Compressed-block size cap. The physical-remainder check bounds
+    * what a block header can CLAIM, but a compressed block decompresses
+    * whole into heap BEFORE any record decode (DataFileStream grows a
+    * buffer to the full decompressed size), and deflate expands up to
+    * ~1032:1 — so without this cap a physically-present 10 MB bomb
+    * block still means a ~10 GB fatal allocation (the r15 review's
+    * deflate-bomb finding). 1 MiB compressed bounds the decompression
+    * transient at ~1 GB worst-case — survivable and catch-adjacent —
+    * while legitimate blocks are sync-interval-sized (Avro's default is
+    * 64 KB pre-compression; the engine's own writer uses the default),
+    * so real containers sit 16× under the cap. An oversized block
+    * truncates cleanly at the previous block boundary (decoded rows
+    * kept), the established quarantine rule — never a crash. Null-codec
+    * blocks decode in place and need only the physical bound. */
+  val MaxCompressedBlockBytes: Long = 1L << 20
 }

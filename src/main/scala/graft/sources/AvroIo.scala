@@ -51,6 +51,17 @@ object AvroIo {
     if (System.getProperty(prop) == null) System.setProperty(prop, v.toString)
   defaultLimit("org.apache.avro.limits.string.maxLength", 256L << 20)
   defaultLimit("org.apache.avro.limits.bytes.maxLength", 256L << 20)
+  // SystemLimitException caches the properties in its own static init,
+  // so if ANY Avro use preceded this object's init in the JVM (Spark's
+  // Kryo Avro registration, user code) the caps would silently never
+  // apply — force a re-read via the class's package-private test hook
+  // (classpath classes are open to reflection; best-effort by design)
+  try {
+    val cls = Class.forName("org.apache.avro.SystemLimitException")
+    val m = cls.getDeclaredMethod("resetLimits")
+    m.setAccessible(true)
+    m.invoke(null)
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Decode-ahead record iterator over an open container — THE shared
     * quarantine core of [[decodeBlobs]] and [[readAvro]] (fuzz-pinned by

@@ -138,6 +138,38 @@ class IndexHealthSpec extends SparkSpec {
     assert(new java.io.File(s"$idx/current").exists())
   }
 
+  test("graph measured rebuild: zero survivors (total takedown) reports " +
+      "rebuilt=false instead of crashing mid-maintenance") {
+    val idx = tempDir("gphreb0-").toString + "/idx"
+    GraphAnn.writeKnnGraphIndex(emb(40), idx, k = 4, rounds = 1)
+    import SparkSpec.spark.implicits._
+    GraphAnn.deleteFromKnnGraphIndex(spark, idx, (0L until 40L).toDF("vec_id"))
+    val gauge = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(gauge.getAs[Boolean]("rebuild")) // the documented total-takedown state
+    val r = GraphAnn.rebuildKnnGraphIndexIfUnhealthy(spark, idx)
+      .collect().head
+    assert(r.getAs[Boolean]("rebuild"))   // the gauge DID trip…
+    assert(!r.getAs[Boolean]("rebuilt"))  // …but there is nothing to rebuild
+  }
+
+  test("graph measured rebuild: a lost meta tier (pre-meta/crashed-build " +
+      "index) rebuilds on defaults and RESTORES the meta anchor") {
+    val idx = tempDir("gphrebm-").toString + "/idx"
+    GraphAnn.writeKnnGraphIndex(emb(60), idx, k = 4, rounds = 1)
+    graft.core.SidecarFs.deleteTree(
+      IndexManifest.resolve(idx, "meta")) // simulate the legacy layout
+    val gauge = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(gauge.getAs[Long]("health_micro") === -1L) // unknown anchor
+    assert(gauge.getAs[Boolean]("rebuild"))
+    val r = GraphAnn.rebuildKnnGraphIndexIfUnhealthy(spark, idx)
+      .collect().head
+    assert(r.getAs[Boolean]("rebuilt"))
+    // the rebuild restored the meta tier — the fallback fires ONCE
+    val post = GraphAnn.knnGraphIndexHealth(spark, idx).collect().head
+    assert(post.getAs[Long]("health_micro") === 1000000L)
+    assert(!post.getAs[Boolean]("rebuild"))
+  }
+
   test("graph measured rebuild: no trip ⇒ strict no-op; a health trip " +
       "re-descends the surviving codes and restores the anchor") {
     val emb120 = emb(120)

@@ -355,6 +355,21 @@ object ContainerProps extends Properties("graft.sources.containers") {
           alloc < forged.length.toLong * 16 + (8L << 20)
     }
 
+  property("avro oversized COMPRESSED block (deflate-bomb class): a " +
+    "block past MaxCompressedBlockBytes is withheld even when its bytes " +
+    "physically exist — prior records decode, the decompression " +
+    "transient never happens") =
+    forAll(avroRowsGen) { rows =>
+      // physically-present 2 MiB "compressed" block (junk inflates to
+      // an error anyway, but the point is the guard never delivers it:
+      // a real bomb's decompression would happen BEFORE the inflate
+      // error could save us)
+      val sz = AvroFramingGuard.MaxCompressedBlockBytes.toInt + (1 << 20)
+      val forged = avroOf(rows, deflate = true) ++
+        zigzagVarint(5L) ++ zigzagVarint(sz.toLong) ++ new Array[Byte](sz)
+      avroDecode(forged) == rows.toVector
+    }
+
   property("avro bit-flip: one corrupted byte never throws and always " +
     "terminates (a flipped in-block length CANNOT fail the task: the " +
     "decode-ahead iterator quarantines the remainder — this seed class " +
