@@ -311,17 +311,22 @@ object Similarity {
     IndexManifest.reset(path) // a fresh write supersedes any old manifest
     val centroids = Clustering.trainCentroids(
       corpus, idCol, vecCol, nlist, trainIters, trainFraction)
+    // meta tier (the knnGraphIndexHealth discipline): preliminary row
+    // FIRST (the graph-index crash rule — a build that dies mid-write
+    // must leave the gauge reporting unknown-anchor rebuild-pressure,
+    // never throwing), then the counted anchor publishes atomically
+    // after the postings land. The anchor is the build-time mean
+    // assignment distance [[ivfIndexDrift]] compares against, collected
+    // via an Observation ON the postings write itself (the d2 column is
+    // computed, observed, then dropped before the files land) — ZERO
+    // extra passes over the corpus.
+    Seq((nlist, -1L, -1L))
+      .toDF("nlist", "build_n", "build_dist_sum_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // meta tier (the knnGraphIndexHealth discipline): the build-time
-    // mean assignment distance is the anchor [[ivfIndexDrift]] compares
-    // against — stored WITH the index so the gauge can never use a
-    // different baseline than the build actually had. Collected via an
-    // Observation ON the postings write itself (the d2 column is
-    // computed, observed, then dropped before the files land), so the
-    // anchor costs ZERO extra passes over the corpus.
     val obs = org.apache.spark.sql.Observation("ivf_build_drift")
     assignCells(corpus, centroids, vecCol, idCol)
       .withColumn("d2_micro", assignDistMicroCol(col("c_vec"), centroids))
@@ -331,9 +336,11 @@ object Similarity {
     val m = obs.get
     val buildSum = m("s") match { case null => 0L; case v => v.asInstanceOf[Long] }
     val buildN = m("n").asInstanceOf[Long]
+    val metaV = IndexManifest.nextVersionDir(path, "meta")
     Seq((nlist, buildN, buildSum))
       .toDF("nlist", "build_n", "build_dist_sum_micro")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$metaV")
+    IndexManifest.publish(path, "meta", metaV)
   }
 
   /** Per-row exact integer drift ingredient: the squared distance to
@@ -384,6 +391,15 @@ object Similarity {
     require(meta.length == 1, s"malformed IVF index meta at $indexPath/meta")
     val buildN = meta.head.getAs[Long]("build_n")
     val buildSum = meta.head.getAs[Long]("build_dist_sum_micro")
+    if (buildN < 0L || buildSum < 0L) {
+      // preliminary meta = a build that crashed before its anchor write:
+      // the anchor is unknown, which is itself rebuild-pressure — report
+      // (-1, rebuild) rather than divide by a sentinel (the graph-index
+      // rule); the rebuild actuator restores the anchor
+      import spark.implicits._
+      return Seq((buildN, -1L, -1L, true))
+        .toDF("build_n", "n", "drift_micro", "rebuild")
+    }
     // pending tombstones are excluded like every read path (and like
     // the compaction that will drop them): logically-deleted far-out
     // vectors must not trigger a needless rebuild
@@ -441,6 +457,7 @@ object Similarity {
     val gauge = ivfIndexDrift(spark, indexPath, maxDriftMicro)
       .collect().head
     val trip = gauge.getAs[Boolean]("rebuild")
+    var rebuilt = trip
     if (trip) {
       Dedup.requireNoUncommittedIngest(indexPath,
         Dedup.ingestKeyedDirs(indexPath))
@@ -452,6 +469,16 @@ object Similarity {
           spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
             .select(col("cand_id"), col("c_vec")), "cand_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (survivors.count() == 0L) {
+        // nothing to retrain from (total takedown): report no-op, never
+        // crash mid-maintenance (the graph-rebuild rule)
+        survivors.unpersist(blocking = false)
+        rebuilt = false
+        import spark.implicits._
+        return Seq((gauge.getAs[Long]("build_n"), gauge.getAs[Long]("n"),
+            gauge.getAs[Long]("drift_micro"), trip, rebuilt))
+          .toDF("build_n", "n", "drift_micro", "rebuild", "rebuilt")
+      }
       val centroids = Clustering.trainCentroids(
         survivors, "cand_id", "c_vec", nlist, trainIters, trainFraction)
       val centV = IndexManifest.nextVersionDir(indexPath, "centroids")
@@ -462,14 +489,15 @@ object Similarity {
       // re-assignment pass doubles as the NEW build anchor (the
       // writeIvfIndex Observation trick — zero extra scans)
       val postV = IndexManifest.nextVersionDir(indexPath, "postings")
+      // plain partitioned write, like writeIvfIndex: repartitionByRange
+      // would re-execute the observed child for range sampling and
+      // double the anchor counts (caught by IndexHealthSpec)
       val obs = org.apache.spark.sql.Observation(
-        s"ivf_rebuild_drift_${System.identityHashCode(this)}_$postV")
+        s"ivf_rebuild_drift_$postV")
       assignCells(survivors, centroids, "c_vec", "cand_id")
         .withColumn("d2_micro", assignDistMicroCol(col("c_vec"), centroids))
         .observe(obs, sum(col("d2_micro")).as("s"), count(lit(1)).as("n"))
         .drop("d2_micro")
-        .repartitionByRange(col("cell"))
-        .sortWithinPartitions(col("cell"), col("cand_id"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexPath/$postV")
       val m = obs.get
@@ -488,7 +516,7 @@ object Similarity {
       survivors.unpersist(blocking = false)
     }
     Seq((gauge.getAs[Long]("build_n"), gauge.getAs[Long]("n"),
-        gauge.getAs[Long]("drift_micro"), trip, trip))
+        gauge.getAs[Long]("drift_micro"), trip, rebuilt))
       .toDF("build_n", "n", "drift_micro", "rebuild", "rebuilt")
   }
 
@@ -654,31 +682,197 @@ object Similarity {
       book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((pq.m, ksub, pq.dsub, storeVectors))
-      .toDF("m", "ksub", "dsub", "has_vectors")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_meta")
+    // preliminary pq_meta BEFORE the data tiers (the writeIvfIndex /
+    // graph-index crash rule), then the counted drift anchor publishes
+    // atomically after the vectors land — collected via an Observation
+    // ON the vectors write (zero extra passes). A vectors-less index
+    // keeps the -1 sentinel: [[ivfPqIndexDrift]] requires the raw
+    // tier anyway (codes alone cannot measure assignment distance).
+    def pqMetaDf(buildN: Long, buildSum: Long) =
+      Seq((pq.m, ksub, pq.dsub, storeVectors, nlist, buildN, buildSum))
+        .toDF("m", "ksub", "dsub", "has_vectors", "nlist",
+          "build_n", "build_dist_sum_micro")
+        .coalesce(1)
+    pqMetaDf(-1L, -1L).write.mode("overwrite").parquet(s"$path/pq_meta")
     encodeIvfPq(corpus, cells, pq, vecCol, idCol).drop("cv")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    if (storeVectors)
+    if (storeVectors) {
+      val obs = org.apache.spark.sql.Observation("ivfpq_build_drift")
       assignCells(corpus, cells, vecCol, idCol)
+        .withColumn("d2_micro", assignDistMicroCol(col("c_vec"), cells))
+        .observe(obs, sum(col("d2_micro")).as("s"), count(lit(1)).as("n"))
+        .drop("d2_micro")
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+      val mm = obs.get
+      val buildSum = mm("s") match {
+        case null => 0L; case v => v.asInstanceOf[Long]
+      }
+      val metaV = IndexManifest.nextVersionDir(path, "pq_meta")
+      pqMetaDf(mm("n").asInstanceOf[Long], buildSum)
+        .write.mode("overwrite").parquet(s"$path/$metaV")
+      IndexManifest.publish(path, "pq_meta", metaV)
+    }
+  }
+
+  /** Quantizer-DRIFT gauge of a persisted IVF-PQ index — the third
+    * member of the measured-rebuild family ([[ivfIndexDrift]] /
+    * [[GraphAnn.knnGraphIndexHealth]]): appends encode with the FROZEN
+    * coarse centroids AND codebooks, so corpus drift decays both the
+    * cell routing and the ADC approximation invisibly. The observable
+    * is the same integer mean-assignment-distance ratio as the raw-IVF
+    * gauge, measured over the raw-vector refine tier (the codes tier
+    * cannot carry it — m small ints per row say nothing about distance
+    * to the coarse centroid). Requires `storeVectors=true` (refused
+    * loudly otherwise); a preliminary/crashed-build anchor reports
+    * (-1, rebuild) — the actuator restores it. Cost: one linear
+    * vectors-tier scan. Returns (build_n, n, drift_micro, rebuild). */
+  def ivfPqIndexDrift(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String,
+                      maxDriftMicro: Long = 1250000L): DataFrame = {
+    require(maxDriftMicro >= 0, "maxDriftMicro must be >= 0")
+    import spark.implicits._
+    val meta = pqMetaRow(spark, indexPath)
+    require(meta.getAs[Boolean]("has_vectors"),
+      s"index at $indexPath was written with storeVectors=false — " +
+        "the drift gauge measures the raw-vector tier; rebuild the " +
+        "index with vectors to make it drift-gaugeable")
+    val buildN = meta.getAs[Long]("build_n")
+    val buildSum = meta.getAs[Long]("build_dist_sum_micro")
+    if (buildN < 0L || buildSum < 0L)
+      return Seq((buildN, -1L, -1L, true))
+        .toDF("build_n", "n", "drift_micro", "rebuild")
+    val (curSum, curN) = assignDistMicro(
+      Dedup.exceptTombstoned(spark, indexPath,
+        spark.read.parquet(IndexManifest.resolve(indexPath, "vectors")),
+        "cand_id"),
+      loadCentroids(spark, indexPath))
+    val buildMean = if (buildN == 0) 0L else buildSum / buildN
+    val curMean = if (curN == 0) 0L else curSum / curN
+    def sat(b: BigInt): Long =
+      if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
+    val driftMicro =
+      if (buildMean == 0L)
+        (if (curMean == 0L) 1000000L else sat(BigInt(maxDriftMicro) + 1L))
+      else sat(BigInt(curMean) * 1000000L / buildMean)
+    Seq((buildN, curN, driftMicro, driftMicro > maxDriftMicro))
+      .toDF("build_n", "n", "drift_micro", "rebuild")
+  }
+
+  /** Close the measured-rebuild loop for IVF-PQ — the third actuator
+    * ([[rebuildIvfIndexIfDrifted]] / [[GraphAnn.rebuildKnnGraphIndexIfUnhealthy]]):
+    * when [[ivfPqIndexDrift]] trips, retrain BOTH quantizer tiers
+    * (coarse centroids and PQ codebooks — parallel trainings, the
+    * writeIvfPqIndex shape) on the surviving raw vectors (pending
+    * tombstones folded out), re-encode every survivor, and publish
+    * centroids + codebooks + codes + vectors + pq_meta in ONE atomic
+    * manifest write. The vectors re-write's Observation is the new
+    * anchor, so the gauge returns to exactly 1e6. No trip ⇒ strict
+    * no-op; zero survivors ⇒ reported no-op (never a mid-maintenance
+    * crash). Single maintenance writer; tombstones consumed. */
+  def rebuildIvfPqIndexIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String,
+                                 maxDriftMicro: Long = 1250000L,
+                                 trainIters: Int = 3,
+                                 trainFraction: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val gauge = ivfPqIndexDrift(spark, indexPath, maxDriftMicro)
+      .collect().head
+    val trip = gauge.getAs[Boolean]("rebuild")
+    var rebuilt = trip
+    if (trip) {
+      Dedup.requireNoUncommittedIngest(indexPath,
+        Dedup.ingestKeyedDirs(indexPath))
+      val tombDirs = Dedup.tombstoneDirs(indexPath) // consumed below
+      val meta = pqMetaRow(spark, indexPath)
+      val m = meta.getAs[Int]("m")
+      val ksub = meta.getAs[Int]("ksub")
+      val nlist = meta.getAs[Int]("nlist")
+      val survivors = Dedup.exceptTombstoned(spark, indexPath,
+          spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
+            .select(col("cand_id"), col("c_vec")), "cand_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (survivors.count() == 0L) {
+        survivors.unpersist(blocking = false)
+        rebuilt = false
+      } else {
+        val (cells, pq) = trainCoarseAndPq(survivors, nlist, m, ksub,
+          trainIters, "c_vec", "cand_id", trainFraction)
+        val centV = IndexManifest.nextVersionDir(indexPath, "centroids")
+        cells.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/$centV")
+        val bookV = IndexManifest.nextVersionDir(indexPath, "codebooks")
+        pq.codebooks.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+        }.toDF("subspace", "code", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/$bookV")
+        val codesV = IndexManifest.nextVersionDir(indexPath, "codes")
+        encodeIvfPq(survivors, cells, pq, "c_vec", "cand_id").drop("cv")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/$codesV")
+        val vecsV = IndexManifest.nextVersionDir(indexPath, "vectors")
+        val obs = org.apache.spark.sql.Observation(
+          s"ivfpq_rebuild_drift_$vecsV")
+        // plain observed write (the repartitionByRange double-execution
+        // rule above)
+        assignCells(survivors, cells, "c_vec", "cand_id")
+          .withColumn("d2_micro", assignDistMicroCol(col("c_vec"), cells))
+          .observe(obs, sum(col("d2_micro")).as("s"), count(lit(1)).as("n"))
+          .drop("d2_micro")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/$vecsV")
+        val mm = obs.get
+        val buildSum = mm("s") match {
+          case null => 0L; case v => v.asInstanceOf[Long]
+        }
+        val metaV = IndexManifest.nextVersionDir(indexPath, "pq_meta")
+        Seq((m, ksub, pq.dsub, true, nlist,
+            mm("n").asInstanceOf[Long], buildSum))
+          .toDF("m", "ksub", "dsub", "has_vectors", "nlist",
+            "build_n", "build_dist_sum_micro")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/$metaV")
+        IndexManifest.publishAll(indexPath, Map(
+          "centroids" -> centV, "codebooks" -> bookV,
+          "codes" -> codesV, "vectors" -> vecsV, "pq_meta" -> metaV))
+        Dedup.clearTombstones(tombDirs)
+        Dedup.pruneCommitMarkers(indexPath)
+        survivors.unpersist(blocking = false)
+      }
+    }
+    Seq((gauge.getAs[Long]("build_n"), gauge.getAs[Long]("n"),
+        gauge.getAs[Long]("drift_micro"), trip, rebuilt))
+      .toDF("build_n", "n", "drift_micro", "rebuild", "rebuilt")
   }
 
   /** (PQ, has_vectors) reconstructed from a persisted index's
     * codebooks + meta — bounded driver state (m×ksub rows, KBs). */
+  /** One pq_meta row, manifest-resolved (a rebuild publishes versioned
+    * meta like every other tier). */
+  private def pqMetaRow(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): org.apache.spark.sql.Row = {
+    val meta = spark.read
+      .parquet(IndexManifest.resolve(indexPath, "pq_meta")).collect()
+    require(meta.length == 1, s"malformed pq_meta at $indexPath/pq_meta")
+    meta.head
+  }
+
   private def loadPq(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String): (Pq, Boolean) = {
-    val meta = spark.read.parquet(s"$indexPath/pq_meta").collect()
-    require(meta.length == 1, s"malformed pq_meta at $indexPath/pq_meta")
-    val m = meta.head.getAs[Int]("m")
-    val ksub = meta.head.getAs[Int]("ksub")
-    val dsub = meta.head.getAs[Int]("dsub")
+    val meta = pqMetaRow(spark, indexPath)
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val dsub = meta.getAs[Int]("dsub")
     val books = Array.fill(m)(Array.ofDim[Array[Double]](ksub))
-    spark.read.parquet(s"$indexPath/codebooks").collect().foreach { r =>
-      books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
-        r.getAs[scala.collection.Seq[Double]]("centroid").toArray
-    }
-    (Pq(books.toIndexedSeq, m, dsub), meta.head.getAs[Boolean]("has_vectors"))
+    spark.read.parquet(IndexManifest.resolve(indexPath, "codebooks"))
+      .collect().foreach { r =>
+        books(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
+          r.getAs[scala.collection.Seq[Double]]("centroid").toArray
+      }
+    (Pq(books.toIndexedSeq, m, dsub), meta.getAs[Boolean]("has_vectors"))
   }
 
   /** APPEND new vectors to a persisted IVF-PQ index: coarse quantizer

@@ -1066,6 +1066,64 @@ object LlmQueries {
              |  false AS rebuild_post, true AS found_post
              |FROM embeddings""".stripMargin)),
 
+    // The measured-rebuild loop's THIRD member (IVF-PQ — after r15's
+    // q_sim_ivf_rebuild and q_sim_graph_rebuild, every vector-index
+    // family now has gauge + actuator): the drift gauge reads the
+    // raw-vector refine tier (codes alone cannot measure assignment
+    // distance), is exactly 1e6 fresh, and trips on the +10 drifted
+    // append; the rebuild retrains BOTH quantizer tiers on the
+    // survivors and swaps centroids+codebooks+codes+vectors+pq_meta in
+    // ONE atomic manifest write, restoring the anchor to exactly 1e6.
+    // A planted twin of base vector 0 (appended alongside the drifted
+    // cluster) reads back at rank 1 through all five swapped tiers.
+    QueryDef(
+      "q_sim_ivfpq_rebuild",
+      (s, dir) => {
+        import s.implicits._
+        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_idx_rebuild"
+        Similarity.writeIvfPqIndex(base, idx, nlist = 16, m = 8, ksub = 16)
+        val fresh = Similarity.rebuildIvfPqIndexIfDrifted(s, idx)
+          .collect().head
+        val twinId = 900001L
+        Similarity.appendToIvfPqIndex(
+          base.filter(col("vec_id") < 200)
+            .select((col("vec_id") + 200000).as("vec_id"),
+              expr("transform(embedding, x -> x + cast(10 as float))")
+                .as("embedding"))
+            .unionByName(base.filter(col("vec_id") === 0L)
+              .select(lit(twinId).as("vec_id"), col("embedding"))), idx)
+        val r = Similarity.rebuildIvfPqIndexIfDrifted(s, idx)
+          .collect().head
+        val post = Similarity.ivfPqIndexDrift(s, idx).collect().head
+        val found = Similarity.ivfPqTopKIndexed(
+            base.filter(col("vec_id") === 0L), idx,
+            k = 3, nprobe = 2, refine = 4)
+          .filter(col("rk") === 1 && col("cand_id") === twinId)
+          .count() > 0
+        Seq((fresh.getAs[Long]("drift_micro"),
+            fresh.getAs[Boolean]("rebuilt"),
+            r.getAs[Long]("n"), r.getAs[Boolean]("rebuild"),
+            r.getAs[Boolean]("rebuilt"),
+            post.getAs[Long]("build_n"),
+            post.getAs[Long]("drift_micro"),
+            post.getAs[Boolean]("rebuild"), found))
+          .toDF("drift_fresh_micro", "rebuilt_fresh", "n_pre",
+            "rebuild_pre", "rebuilt", "post_build_n", "drift_post_micro",
+            "rebuild_post", "found_post")
+      },
+      Some("""SELECT CAST(1000000 AS BIGINT) AS drift_fresh_micro,
+             |  false AS rebuilt_fresh,
+             |  CAST(count(*) + 1 +
+             |    count(*) FILTER (WHERE vec_id < 200) AS BIGINT) AS n_pre,
+             |  true AS rebuild_pre, true AS rebuilt,
+             |  CAST(count(*) + 1 +
+             |    count(*) FILTER (WHERE vec_id < 200) AS BIGINT)
+             |    AS post_build_n,
+             |  CAST(1000000 AS BIGINT) AS drift_post_micro,
+             |  false AS rebuild_post, true AS found_post
+             |FROM embeddings""".stripMargin)),
+
     // IVF index MAINTENANCE: train + write on the base corpus, then
     // APPEND the planted twins with the STORED centroids (quantizer
     // frozen — the FAISS add-after-train contract; retraining would

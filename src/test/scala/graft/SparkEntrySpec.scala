@@ -110,10 +110,11 @@ class SparkEntrySpec extends AnyFunSuite {
     // with distinct-n diversity and TTR/Guiraud lexical richness,
     // and 326 with the Jensen-Shannon drift divergence; round 15
     // closes the measured-rebuild loop (q_sim_ivf_rebuild with the
-    // straddled-near-twin recall proof, q_sim_graph_rebuild) → 374
-    assert(SparkEntry.queries.size >= 374,
+    // straddled-near-twin recall proof, q_sim_graph_rebuild) → 374,
+    // then q_sim_ivfpq_rebuild completes the family → 375
+    assert(SparkEntry.queries.size >= 375,
       s"only ${SparkEntry.queries.size} queries registered")
-    assert(SparkEntry.oracleSql.size >= 374,
+    assert(SparkEntry.oracleSql.size >= 375,
       s"only ${SparkEntry.oracleSql.size} oracle-checked")
   }
 }

@@ -50,19 +50,93 @@ class IndexHealthSpec extends SparkSpec {
     assert(!loose.getAs[Boolean]("rebuild"))
   }
 
+  test("ivfpq drift: exactly 1e6 untouched and under twin growth, " +
+      "tripped by a drifted append; vectors-less indexes refuse") {
+    val idx = tempDir("pqdrift-").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb(200), idx, nlist = 8, m = 8, ksub = 16)
+    val fresh = Similarity.ivfPqIndexDrift(spark, idx).collect().head
+    assert(fresh.getAs[Long]("drift_micro") === 1000000L)
+    assert(!fresh.getAs[Boolean]("rebuild"))
+    assert(fresh.getAs[Long]("build_n") === 200L)
+    Similarity.appendToIvfPqIndex(
+      emb(200).select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")), idx)
+    val twin = Similarity.ivfPqIndexDrift(spark, idx).collect().head
+    assert(twin.getAs[Long]("drift_micro") === 1000000L)
+    assert(twin.getAs[Long]("n") === 400L)
+    Similarity.appendToIvfPqIndex(
+      emb(100).select((col("vec_id") + 200000).as("vec_id"),
+        expr("transform(embedding, x -> x + cast(10 as float))")
+          .as("embedding")), idx)
+    val far = Similarity.ivfPqIndexDrift(spark, idx).collect().head
+    assert(far.getAs[Boolean]("rebuild"), far.toString)
+    // a codes-only index cannot measure assignment distance — refuse
+    val noVecs = tempDir("pqdriftnv-").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb(50), noVecs, nlist = 4, m = 8,
+      ksub = 8, storeVectors = false)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexDrift(spark, noVecs)
+    }
+    assert(e.getMessage.contains("storeVectors"))
+  }
+
+  test("ivfpq measured rebuild: no trip ⇒ strict no-op; a drift trip " +
+      "retrains BOTH quantizer tiers, restores the anchor to exactly " +
+      "1e6, and the planted twin reads back through all five swapped " +
+      "tiers") {
+    val idx = tempDir("pqreb-").toString + "/idx"
+    val base = emb(300)
+    Similarity.writeIvfPqIndex(base, idx, nlist = 8, m = 8, ksub = 16)
+    val noop = Similarity.rebuildIvfPqIndexIfDrifted(spark, idx)
+      .collect().head
+    assert(!noop.getAs[Boolean]("rebuild"))
+    assert(!noop.getAs[Boolean]("rebuilt"))
+    // drift trip from a +10 cluster; the recall gate is a planted twin
+    // of BASE vector 0 appended in the same batch (the q_sim_ivfpq gate
+    // shape — inside the drifted near-clone cluster ADC cannot separate
+    // an exact twin from its ~0.9999-cosine neighbours, which is an
+    // honest PQ property, not a tier-swap failure)
+    import SparkSpec.spark.implicits._
+    val drifted = emb(100)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        expr("transform(embedding, x -> x + cast(10 as float))")
+          .as("embedding"))
+    Similarity.appendToIvfPqIndex(
+      drifted.unionByName(base.filter(col("vec_id") === 0L)
+        .select(lit(900001L).as("vec_id"), col("embedding"))), idx)
+    val r = Similarity.rebuildIvfPqIndexIfDrifted(spark, idx)
+      .collect().head
+    assert(r.getAs[Boolean]("rebuild"), r.toString)
+    assert(r.getAs[Boolean]("rebuilt"))
+    val post = Similarity.ivfPqIndexDrift(spark, idx).collect().head
+    assert(post.getAs[Long]("drift_micro") === 1000000L)
+    assert(!post.getAs[Boolean]("rebuild"))
+    assert(post.getAs[Long]("build_n") === 401L)
+    // the twin reads back at rank 1 through the REBUILT five tiers
+    // (centroids/codebooks/codes/vectors/pq_meta all swapped)
+    val top = Similarity.ivfPqTopKIndexed(
+        base.filter(col("vec_id") === 0L), idx,
+        k = 3, nprobe = 2, refine = 4)
+      .collect()
+    assert(top.head.getAs[Long]("cand_id") === 900001L,
+      top.map(_.toString).mkString(","))
+  }
+
   test("ivf measured rebuild: no trip ⇒ strict no-op (nothing written, " +
       "manifest untouched)") {
     val idx = tempDir("ivfreb0-").toString + "/idx"
     Similarity.writeIvfIndex(emb(200), idx, nlist = 8)
+    // snapshot the on-disk state the fresh write left (incl. its
+    // versioned meta publish) — the no-op must change NOTHING
+    def snapshot() = (
+      graft.core.SidecarFs.readString(s"$idx/current"),
+      new java.io.File(idx).list().sorted.toSeq)
+    val before = snapshot()
     val r = Similarity.rebuildIvfIndexIfDrifted(spark, idx).collect().head
     assert(!r.getAs[Boolean]("rebuild"))
     assert(!r.getAs[Boolean]("rebuilt"))
     assert(r.getAs[Long]("drift_micro") === 1000000L)
-    // strictly nothing published or staged: no manifest file, no
-    // versioned tier dirs
-    assert(!new java.io.File(s"$idx/current").exists())
-    for (d <- new java.io.File(idx).list())
-      assert(!d.matches(".*_v\\d+"), d)
+    assert(snapshot() === before)
   }
 
   /** The straddled-near-twin construction (guaranteed pre-rebuild miss):
