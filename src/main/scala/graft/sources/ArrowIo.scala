@@ -321,6 +321,69 @@ object ArrowIo {
   private[sources] def allocBound(len: Long): Long =
     8L * math.max(len, 0L) + (1L << 20)
 
+  /** Decode ceiling for IPC files whose record batches declare BODY
+    * COMPRESSION (LZ4_FRAME/ZSTD — externally produced; the engine
+    * writes uncompressed): decompressed buffers legitimately exceed any
+    * physical-bytes multiple, so the cap becomes an absolute survivable
+    * ceiling (1 GiB, the Avro MaxInflatedBlockBytes constant) instead
+    * of silently quarantining a VALID compressed file (r15 advice). A
+    * compressed bomb still dies a catchable allocation failure at the
+    * ceiling — loudly logged — never a fatal JVM OOM. */
+  private[sources] def compressedAllocBound(len: Long): Long =
+    math.max(allocBound(len), 1L << 30)
+
+  /** True iff the file's first record batch declares body compression.
+    * Writers set the codec uniformly per file, so the first batch
+    * speaks for the file. Reads only the batch's encapsulated
+    * flatbuffer MESSAGE straight from the channel (KBs — never the
+    * body); any parse failure reads as uncompressed, keeping the strict
+    * bound (a corrupt file quarantines on the normal path anyway). */
+  private def firstBatchCompressed(
+      ch: java.nio.channels.SeekableByteChannel,
+      blocks: java.util.List[
+        org.apache.arrow.vector.ipc.message.ArrowBlock]): Boolean =
+    try {
+      if (blocks.isEmpty) return false
+      val b = blocks.get(0)
+      // a real batch MESSAGE is KBs; a flipped footer length can claim
+      // GiBs — refuse the probe (reads as uncompressed, strict bound
+      // stays) rather than allocate the claim
+      if (b.getMetadataLength < 8 || b.getMetadataLength > (16 << 20))
+        return false
+      val bb = java.nio.ByteBuffer.allocate(b.getMetadataLength)
+      ch.position(b.getOffset)
+      // n == 0 at EOF too (ByteArrayReadableSeekableByteChannel never
+      // returns -1) — any non-positive read ends the loop
+      while (bb.hasRemaining && ch.read(bb) > 0) ()
+      if (bb.hasRemaining) return false
+      bb.flip()
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val first = bb.getInt
+      if (first == -1) bb.getInt // modern framing: continuation + length
+      // else legacy framing: `first` WAS the length, message follows
+      val msgBuf = bb.slice().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(msgBuf)
+      if (msg.headerType() !=
+          org.apache.arrow.flatbuf.MessageHeader.RecordBatch) false
+      else {
+        val rb = msg.header(new org.apache.arrow.flatbuf.RecordBatch())
+          .asInstanceOf[org.apache.arrow.flatbuf.RecordBatch]
+        rb != null && rb.compression() != null
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The decompression codec factory for the read paths (LZ4/ZSTD via
+    * arrow-compression, on the classpath with Spark). Harmless for
+    * uncompressed files. */
+  private def codecFactory
+      : org.apache.arrow.vector.compression.CompressionCodec.Factory =
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+
+  private def warnAllocCeiling(where: String, e: Throwable): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"arrow decode at $where hit its allocation ceiling " +
+        s"(${e.getMessage}): remainder quarantined")
+
   /** Allocation backing for the UNTRUSTED decode paths: plain direct
     * ByteBuffers instead of Arrow's default netty arenas. When a decode
     * of corrupt bytes dies mid-flight, Arrow can strand an in-flight
@@ -382,6 +445,15 @@ object ArrowIo {
   private[sources] def decodeAllocator(limit: Long): RootAllocator =
     org.apache.arrow.memory.GraftArrowMemoryShim
       .cappedAllocator(limit, SafeDecodeAllocations)
+
+  /** Peak off-heap allocation of this thread's most recent
+    * [[decodeOneBlob]] — test observability only: ContainerProps pins
+    * `peak ≤ allocBound(len)` as a 200-case PROPERTY (Arrow's direct
+    * buffers are invisible to the heap-side ThreadMXBean counter the
+    * other container formats assert with), so the bound survives a
+    * refactor that silently drops the cap. */
+  private[sources] val lastDecodePeak: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
 
   /** Schema of the first readable container under `dir` — one
     * driver-side footer open, the format's own self-description. */
@@ -448,12 +520,36 @@ object ArrowIo {
                                    schemaJson: String): Vector[Row] = {
     if (bytes == null) return Vector.empty
     val width = toSparkSchema(Schema.fromJSON(schemaJson)).length
-    val allocator = decodeAllocator(allocBound(bytes.length.toLong))
+    // compressed batches legitimately decode past the physical-bytes
+    // bound — probe the footer (KBs) and widen to the absolute ceiling
+    // for them (r15 advice: a valid LZ4/ZSTD file must not quarantine)
+    val strictBound = allocBound(bytes.length.toLong)
+    val bound = {
+      val probe =
+        try {
+          val a = decodeAllocator(strictBound)
+          try {
+            val r = new ArrowFileReader(new org.apache.arrow.vector.util
+              .ByteArrayReadableSeekableByteChannel(bytes), a)
+            try {
+              r.getVectorSchemaRoot
+              firstBatchCompressed(new org.apache.arrow.vector.util
+                .ByteArrayReadableSeekableByteChannel(bytes),
+                r.getRecordBlocks)
+            } finally r.close()
+          } finally {
+            try a.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (probe) compressedAllocBound(bytes.length.toLong) else strictBound
+    }
+    val allocator = decodeAllocator(bound)
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     val ch = new org.apache.arrow.vector.util
       .ByteArrayReadableSeekableByteChannel(bytes)
     try {
-      val reader = new ArrowFileReader(ch, allocator)
+      val reader = new ArrowFileReader(ch, allocator, codecFactory)
       try {
         val root = reader.getVectorSchemaRoot
         if (root.getSchema.toJson == schemaJson) {
@@ -477,8 +573,13 @@ object ArrowIo {
         }
       } finally reader.close()
     } catch {
+      case e: org.apache.arrow.memory.OutOfMemoryException =>
+        warnAllocCeiling("blob", e) // keep decoded rows, loudly
       case scala.util.control.NonFatal(_) => () // keep decoded rows
     } finally {
+      lastDecodePeak.set(
+        try allocator.getPeakMemoryAllocation
+        catch { case scala.util.control.NonFatal(_) => 0L })
       try allocator.close()
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -510,7 +611,7 @@ object ArrowIo {
         val fileLen =
           try fs.getFileStatus(p).getLen
           catch { case _: java.io.FileNotFoundException => 0L }
-        val allocator = decodeAllocator(allocBound(fileLen))
+        var allocator = decodeAllocator(allocBound(fileLen))
         var ch: HadoopSeekableChannel = null
         def closeQuietly(): Unit = {
           if (ch != null)
@@ -522,7 +623,7 @@ object ArrowIo {
           try {
             ch = new HadoopSeekableChannel(fs.open(p),
               fs.getFileStatus(p).getLen)
-            val r = new ArrowFileReader(ch, allocator)
+            val r = new ArrowFileReader(ch, allocator, codecFactory)
             // footer + schema validate on first root access: ANY
             // failure is a structurally unreadable file — quarantine.
             // EVERY quarantine path closes the Hadoop stream AND the
@@ -532,6 +633,20 @@ object ArrowIo {
               try r.close() catch { case _: java.io.IOException => () }
               closeQuietly()
               null
+            } else if (firstBatchCompressed(ch, r.getRecordBlocks)) {
+              // compressed batches legitimately decode past the
+              // physical-bytes bound: reopen under the absolute
+              // compressed-decode ceiling instead of quarantining a
+              // valid file mid-scan (r15 advice). Uncompressed files —
+              // everything the engine writes — never take this reopen.
+              try r.close() catch { case _: java.io.IOException => () }
+              closeQuietly()
+              allocator = decodeAllocator(compressedAllocBound(fileLen))
+              ch = new HadoopSeekableChannel(fs.open(p),
+                fs.getFileStatus(p).getLen)
+              val rw = new ArrowFileReader(ch, allocator, codecFactory)
+              rw.getVectorSchemaRoot
+              rw
             } else r
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -558,7 +673,11 @@ object ArrowIo {
               while (inBatch >= batchRows && {
                 val more =
                   try reader.loadNextBatch()
-                  catch { case scala.util.control.NonFatal(_) => false }
+                  catch {
+                    case e: org.apache.arrow.memory.OutOfMemoryException =>
+                      warnAllocCeiling(path, e); false
+                    case scala.util.control.NonFatal(_) => false
+                  }
                 if (more) { batchRows = root.getRowCount; inBatch = 0 }
                 else { batchRows = -1 } // terminal
                 more

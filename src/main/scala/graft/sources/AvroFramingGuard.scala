@@ -46,10 +46,12 @@ private[sources] final class AvroFramingGuard(in: InputStream,
 
   // parser position: 0=magic, 1=meta map, 2=header sync, 3=block loop
   private var state = 0
-  // whether the container declares a compression codec (avro.codec
-  // metadata, captured while the map streams through): compressed
-  // blocks get the tighter size cap below
-  private var compressed = false
+  // the container's declared compression codec (avro.codec metadata,
+  // captured while the map streams through; "" / "null" = none):
+  // large compressed blocks get the inflate pre-check below
+  private var codecName = ""
+  private def compressed: Boolean =
+    codecName.nonEmpty && codecName != "null"
 
   private def pull(): Int = {
     if (remaining <= 0) return -1
@@ -118,9 +120,8 @@ private[sources] final class AvroFramingGuard(in: InputStream,
                     val vFrom = out.size()
                     fixed(vLen.toInt) && {
                       if (key == "avro.codec") {
-                        val codec = new String(out.toByteArray, vFrom,
+                        codecName = new String(out.toByteArray, vFrom,
                           vLen.toInt, java.nio.charset.StandardCharsets.UTF_8)
-                        compressed = codec.nonEmpty && codec != "null"
                       }
                       true
                     }
@@ -142,9 +143,41 @@ private[sources] final class AvroFramingGuard(in: InputStream,
             varint(t) match {
               case Some(size) if count >= 0 && lenOk(size) &&
                   (!compressed ||
-                    size <= AvroFramingGuard.MaxCompressedBlockBytes) =>
+                    size <= AvroFramingGuard.PrecheckThresholdBytes) =>
                 out.write(t.toByteArray)
                 passThrough = size + 16L // payload + block sync
+              case Some(size) if count >= 0 && lenOk(size) =>
+                // LARGE compressed block. A single record > threshold is
+                // VALID Avro (a block always holds a whole record), so
+                // withholding on input size alone silently drops real
+                // data (the r15 advice finding). Instead buffer the
+                // payload (data-sized heap — the bytes physically
+                // exist) and bound the decompression TRANSIENT: a
+                // streaming inflate counts output and only a genuine
+                // bomb (output past MaxInflatedBlockBytes) is withheld,
+                // loudly.
+                val payload = new Array[Byte](size.toInt)
+                var got = 0
+                var eof = false
+                while (got < payload.length && !eof) {
+                  val want = math.min(payload.length - got,
+                    remaining).toInt
+                  val n = if (want == 0) -1
+                  else try in.read(payload, got, want)
+                  catch { case _: java.io.IOException => -1 }
+                  if (n < 0) eof = true
+                  else { consumed += n; got += n }
+                }
+                if (eof) dead = true // truncated payload
+                else if (AvroFramingGuard.inflatesWithinCap(
+                    codecName, payload)) {
+                  out.write(t.toByteArray)
+                  out.write(payload)
+                  passThrough = 16L // block sync
+                } else {
+                  AvroFramingGuard.noteWithheld(codecName, size)
+                  dead = true
+                }
               case _ => dead = true // withhold the lying header
             }
         }
@@ -188,19 +221,68 @@ private[sources] final class AvroFramingGuard(in: InputStream,
 
 private[sources] object AvroFramingGuard {
 
-  /** Compressed-block size cap. The physical-remainder check bounds
-    * what a block header can CLAIM, but a compressed block decompresses
-    * whole into heap BEFORE any record decode (DataFileStream grows a
-    * buffer to the full decompressed size), and deflate expands up to
-    * ~1032:1 — so without this cap a physically-present 10 MB bomb
-    * block still means a ~10 GB fatal allocation (the r15 review's
-    * deflate-bomb finding). 1 MiB compressed bounds the decompression
-    * transient at ~1 GB worst-case — survivable and catch-adjacent —
-    * while legitimate blocks are sync-interval-sized (Avro's default is
-    * 64 KB pre-compression; the engine's own writer uses the default),
-    * so real containers sit 16× under the cap. An oversized block
-    * truncates cleanly at the previous block boundary (decoded rows
-    * kept), the established quarantine rule — never a crash. Null-codec
-    * blocks decode in place and need only the physical bound. */
-  val MaxCompressedBlockBytes: Long = 1L << 20
+  /** Compressed blocks at or under this size stream through without a
+    * pre-check: deflate expands at most ~1032:1, so the decompression
+    * transient inside `DataFileStream` is bounded at ~1 GiB —
+    * survivable — without buffering anything. Legitimate blocks are
+    * usually sync-interval-sized (Avro's default is 64 KB
+    * pre-compression), so almost all real blocks take this zero-cost
+    * path. */
+  val PrecheckThresholdBytes: Long = 1L << 20
+
+  /** Decompressed-size cap for blocks above the threshold. A block
+    * always holds at least one whole record and the engine's own
+    * string/bytes limits sit at 256 MiB (AvroIo), so 1 GiB of decoded
+    * block is far above any legitimate container and far below the
+    * multi-hundred-GiB output of a physically-small deflate bomb (the
+    * r15 review's finding). The check bounds the decompression
+    * TRANSIENT by counting streaming-inflate OUTPUT — valid containers
+    * of any compressed block size pass (the r15 advice's silent-data-
+    * loss fix); only genuine bombs are withheld, and loudly. */
+  val MaxInflatedBlockBytes: Long = 1L << 30
+
+  /** Blocks withheld by the size check since JVM start — the loud
+    * counter the r15 advice asked for (a withheld block must never
+    * present as a silent clean EOF). */
+  val withheldBlocks = new java.util.concurrent.atomic.AtomicLong
+
+  private[sources] def noteWithheld(codec: String, size: Long): Unit = {
+    withheldBlocks.incrementAndGet()
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"AvroFramingGuard: withheld a $size-byte '$codec' block whose " +
+        s"decompressed size exceeds $MaxInflatedBlockBytes bytes (or " +
+        "whose codec cannot be pre-checked); the remainder of this " +
+        "container is quarantined")
+  }
+
+  /** True iff `payload` is safe to hand to the decoder: its
+    * decompressed size, counted via a streaming inflater into a small
+    * reused buffer, stays within [[MaxInflatedBlockBytes]]. Avro's
+    * deflate codec is RAW deflate (nowrap). A payload that FAILS to
+    * inflate is safe to deliver — the decoder's own failure produces at
+    * most what the count saw before the error, and the established
+    * decode-ahead quarantine handles it. Codecs we cannot pre-check
+    * (snappy/zstd/bzip2 — the engine never writes them) are withheld
+    * above the threshold rather than trusted. */
+  private[sources] def inflatesWithinCap(codec: String,
+                                         payload: Array[Byte]): Boolean = {
+    if (codec != "deflate") return false
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(payload)
+      val buf = new Array[Byte](64 << 10)
+      var total = 0L
+      var done = false
+      while (!done && !inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return true }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          done = true // truncated/odd stream: downstream quarantines it
+        total += n
+        if (total > MaxInflatedBlockBytes) return false
+      }
+      true
+    } finally inf.end()
+  }
 }

@@ -61,23 +61,46 @@ private[sources] object PartFiles {
     * source of truth — re-deriving them driver-side from a duplicated
     * format string would delete the new generation on any drift between
     * the two sites). */
+  /** Per-file overwrite-rename strategy: `FileContext` where the
+    * scheme has an AbstractFileSystem binding (one ATOMIC
+    * overwrite-rename — no window at all); object-store FileSystems
+    * (s3a et al.) ship none by default, so there the fallback is
+    * delete-then-rename via the plain FileSystem API — a brief
+    * missing-name window (never a partial file) instead of an
+    * `UnsupportedFileSystemException` that fails the whole publish
+    * (r15 advice). The `_GEN` marker already brackets the swap either
+    * way. */
+  private def overwriteRenamer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      (src, dst) =>
+        fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        (src, dst) => {
+          fs.delete(dst, false)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"rename $src -> $dst failed")
+        }
+    }
+
   def publishGeneration(dir: String, prefix: String, suffix: String,
                         names: Seq[String],
                         conf: org.apache.hadoop.conf.Configuration): Unit = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(conf)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, conf)
+    val rename = overwriteRenamer(fs, conf)
     // entering the swap window: the marker goes first, so a crash
     // anywhere below leaves the window detectably open
     fs.delete(new org.apache.hadoop.fs.Path(dir, MarkerName), false)
     names.foreach { n =>
       val fin = new org.apache.hadoop.fs.Path(dir, n)
       val staged = new org.apache.hadoop.fs.Path(stagingDir(dir), n)
-      // one atomic overwrite-rename per file: no delete-then-rename
-      // window where the name is missing
-      fc.rename(staged, fin,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      rename(staged, fin)
     }
     val keep = names.toSet
     fs.listStatus(d).foreach { st =>
@@ -94,7 +117,6 @@ private[sources] object PartFiles {
     try out.write(names.sorted.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, MarkerName),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    rename(tmp, new org.apache.hadoop.fs.Path(dir, MarkerName))
   }
 }

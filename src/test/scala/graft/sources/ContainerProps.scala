@@ -4,7 +4,7 @@ import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Fuzz/robustness properties for the container parsers (pure JVM — no
   * Spark jobs). The quarantine contract under test: arbitrary bytes,
@@ -248,6 +248,61 @@ object ContainerProps extends Properties("graft.sources.containers") {
     arrowBitFlip.useSeed(org.scalacheck.rng.Seed
       .fromBase64("C8s6YdIPnDpCTyMiB_rgvtADI2tdDwh0-q9guD7NUIO=").get)
 
+  property("arrow allocation bound pinned as a PROPERTY (r15 verdict: " +
+    "direct buffers are invisible to the heap counter — assert the " +
+    "capped allocator's peak ≤ allocBound(len) under bit-flips)") =
+    forAll(arrowRowsGen, Gen.chooseNum(1, 7), Gen.choose(0, Int.MaxValue),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)) { (rows, perBatch, posSeed, b) =>
+      val full = arrowOf(rows, perBatch)
+      val mut = full.clone()
+      if (mut.nonEmpty) mut(posSeed % mut.length) = b
+      ArrowIo.decodeOneBlob(mut, arrowSchemaJson)
+      val peak: Long = ArrowIo.lastDecodePeak.get()
+      peak <= ArrowIo.allocBound(mut.length.toLong)
+    }
+
+  property("arrow VALID LZ4-compressed IPC (decoded buffers far past " +
+    "the physical-bytes bound): decodes in full under the " +
+    "compressed-decode ceiling instead of quarantining (r15 advice)") = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    val schema = new Schema(java.util.List.of(
+      new Field("id", new FieldType(false, new ArrowType.Int(64, true), null),
+        java.util.List.of[Field]()),
+      new Field("v", new FieldType(true, ArrowType.Utf8.INSTANCE, null),
+        java.util.List.of[Field]())))
+    val rows = (0 until 300).map(i => (i.toLong, "a" * 20000))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ArrowFileWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos),
+      new java.util.HashMap[String, String](),
+      new org.apache.arrow.vector.ipc.message.IpcOption(),
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+      org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME)
+    try {
+      w.start()
+      root.allocateNew()
+      rows.zipWithIndex.foreach { case ((id, v), i) =>
+        root.getVector(0).asInstanceOf[BigIntVector].setSafe(i, id)
+        root.getVector(1).asInstanceOf[VarCharVector]
+          .setSafe(i, v.getBytes(StandardCharsets.UTF_8))
+      }
+      root.setRowCount(rows.size)
+      w.writeBatch()
+      w.end()
+    } finally { w.close(); root.close(); alloc.close() }
+    val blob = bos.toByteArray
+    val got = ArrowIo.decodeOneBlob(blob, arrowSchemaJson)
+    (300L * 20000L > ArrowIo.allocBound(blob.length.toLong)) :|
+      s"decoded size must exceed the strict bound (file ${blob.length} B)" &&
+      (got.map(r => (r.getLong(0), r.getString(1))) == rows.toVector) :|
+      "full decode through the widened ceiling"
+  }
+
   // -- WARC records --------------------------------------------------------
 
   property("warc lying content-length: parse cost follows the bytes " +
@@ -355,20 +410,63 @@ object ContainerProps extends Properties("graft.sources.containers") {
           alloc < forged.length.toLong * 16 + (8L << 20)
     }
 
-  property("avro oversized COMPRESSED block (deflate-bomb class): a " +
-    "block past MaxCompressedBlockBytes is withheld even when its bytes " +
-    "physically exist — prior records decode, the decompression " +
-    "transient never happens") =
+  property("avro oversized junk 'compressed' block: the inflate " +
+    "pre-check delivers it (raw deflate fails fast, transient bounded " +
+    "by output produced) and the decode-ahead iterator quarantines the " +
+    "remainder — prior records decode") =
     forAll(avroRowsGen) { rows =>
-      // physically-present 2 MiB "compressed" block (junk inflates to
-      // an error anyway, but the point is the guard never delivers it:
-      // a real bomb's decompression would happen BEFORE the inflate
-      // error could save us)
-      val sz = AvroFramingGuard.MaxCompressedBlockBytes.toInt + (1 << 20)
+      val sz = AvroFramingGuard.PrecheckThresholdBytes.toInt + (1 << 20)
       val forged = avroOf(rows, deflate = true) ++
         zigzagVarint(5L) ++ zigzagVarint(sz.toLong) ++ new Array[Byte](sz)
       avroDecode(forged) == rows.toVector
     }
+
+  property("avro single VALID record above PrecheckThresholdBytes " +
+    "compressed: decodes in full — an oversized block that really holds " +
+    "a record must never be silently dropped (r15 advice: the old " +
+    "input-size cap lost data the engine itself wrote)") = {
+    // incompressible payload → the deflate-coded block stays > 1 MiB
+    val rnd = new java.util.Random(7)
+    val raw = new Array[Byte](3 << 20)
+    rnd.nextBytes(raw)
+    val big = java.util.Base64.getEncoder.encodeToString(raw) // 4 MiB
+    val rows = Seq((1L, big), (2L, "tail"))
+    avroDecode(avroOf(rows, deflate = true)) == rows.toVector
+  }
+
+  property("avro GENUINE deflate bomb (MB payload, >1 GiB output): " +
+    "withheld LOUDLY — prior records decode, withheldBlocks increments, " +
+    "the decompression transient never reaches the decoder") = {
+    // raw-deflate 1.5 GiB of zeros → ~MB-scale payload (past the
+    // pre-check threshold, output past MaxInflatedBlockBytes)
+    val defl = new java.util.zip.Deflater(1, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zeros = new Array[Byte](1 << 20)
+    val outBuf = new Array[Byte](1 << 16)
+    var fed = 0L
+    val target = 3L << 29 // 1.5 GiB of output when inflated
+    while (fed < target) {
+      defl.setInput(zeros)
+      while (!defl.needsInput()) {
+        val n = defl.deflate(outBuf); bos.write(outBuf, 0, n)
+      }
+      fed += zeros.length
+    }
+    defl.finish()
+    while (!defl.finished()) {
+      val n = defl.deflate(outBuf); bos.write(outBuf, 0, n)
+    }
+    defl.end()
+    val bomb = bos.toByteArray
+    val rows = Seq((1L, "kept"), (2L, "also kept"))
+    val forged = avroOf(rows, deflate = true) ++
+      zigzagVarint(1L) ++ zigzagVarint(bomb.length.toLong) ++ bomb ++
+      new Array[Byte](16) // block sync
+    val before = AvroFramingGuard.withheldBlocks.get()
+    (bomb.length > AvroFramingGuard.PrecheckThresholdBytes) :| "payload past threshold" &&
+      (avroDecode(forged) == rows.toVector) :| "prior records decode" &&
+      (AvroFramingGuard.withheldBlocks.get() > before) :| "withhold counted"
+  }
 
   property("avro bit-flip: one corrupted byte never throws and always " +
     "terminates (a flipped in-block length CANNOT fail the task: the " +
