@@ -146,25 +146,31 @@ object GraphAnn {
   def nnDescentGraph(embeddings: DataFrame, k: Int, rounds: Int,
                      seed: Long = 42L,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
-    val codes = quantized(embeddings, vecCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = nnDescentFromCodes(codes, k, rounds, seed, idCol)
-    codes.unpersist(blocking = false)
-    out
-  }
+                     idCol: String = "vec_id"): DataFrame =
+    nnDescentFromCodes(quantized(embeddings, vecCol, idCol),
+      k, rounds, seed, idCol)
 
   /** [[nnDescentGraph]] body over an ALREADY-quantized (id, codes, n2)
     * frame — the entry point the index write and the measured rebuild
     * share (a persisted index stores codes, never the raw embeddings,
-    * so a rebuild must not need them back). The CALLER owns caching of
-    * `codes` (the descent scans it every round); the returned graph is
-    * localCheckpoint-materialized. */
-  private[llm] def nnDescentFromCodes(codes: DataFrame, k: Int,
+    * so a rebuild must not need them back).
+    *
+    * The descent input is materialized HERE, eagerly and lineage-free
+    * (`localCheckpoint`): the loop scans it every round, and a plain
+    * `MEMORY_AND_DISK` persist owned by callers left the cost shape at
+    * the mercy of cache state late in a long run — a partition that
+    * was never cached (or got dropped) silently re-ran quantization
+    * once per round, the most plausible mechanism for the bimodal
+    * 7.9 s ↔ 26.8 s driver-bench history of q_sim_nndescent (r15
+    * VERDICT #1). With the lineage cut, an evicted block moves to disk
+    * and is READ back — recomputation is structurally impossible. The
+    * returned graph is likewise localCheckpoint-materialized. */
+  private[llm] def nnDescentFromCodes(codesIn: DataFrame, k: Int,
                                       rounds: Int, seed: Long,
                                       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val codes = codesIn.localCheckpoint() // eager: quantization runs ONCE
     val ranked = md5Ranks(codes.select(col("id").as(idCol)), idCol, seed)
     // one driver Long (the HITS "one Long" budget): the ring modulus
     val n = ranked.count()
@@ -550,6 +556,19 @@ object GraphAnn {
     val meta = knnGraphMeta(spark, indexPath)
     val buildNodes = meta.map(_.getAs[Long]("build_nodes")).getOrElse(-1L)
     val buildEdges = meta.map(_.getAs[Long]("build_edges")).getOrElse(-1L)
+    // a build that crashed between the preliminary meta and the data
+    // tiers left no codes/graph to measure: report (-1, rebuild) — the
+    // same report-never-crash degrade as the unknown anchor, and the
+    // actuator's tier check turns the trip into a reported no-op
+    if (!(graft.core.SidecarFs.exists(
+          IndexManifest.resolve(indexPath, "codes")) &&
+        graft.core.SidecarFs.exists(
+          IndexManifest.resolve(indexPath, "graph")))) {
+      import spark.implicits._
+      return Seq((buildNodes, buildEdges, -1L, -1L, -1L, false, true))
+        .toDF("build_nodes", "build_edges", "nodes", "edges",
+          "health_micro", "entry_connected", "rebuild")
+    }
     val codes = spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
     val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -558,9 +577,14 @@ object GraphAnn {
     // a FULLY-deleted index has an empty entry tier — exactly the
     // total-takedown state the gauge must report (health 0, rebuild),
     // never crash on
-    val entryId = spark.read
-      .parquet(IndexManifest.resolve(indexPath, "entry"))
-      .collect().headOption.map(_.getAs[Long]("cand_id"))
+    val entryP = IndexManifest.resolve(indexPath, "entry")
+    // entry is written AFTER codes/graph: a crash in that window leaves
+    // it missing — same degrade as an empty entry (disconnected ⇒
+    // rebuild-pressure), never a throw
+    val entryId =
+      if (!graft.core.SidecarFs.exists(entryP)) None
+      else spark.read.parquet(entryP)
+        .collect().headOption.map(_.getAs[Long]("cand_id"))
     val entryConnected = entryId.exists(id =>
       graph.filter(col("src") === id).limit(1).count() > 0)
     graph.unpersist(blocking = false)
@@ -610,6 +634,22 @@ object GraphAnn {
       .collect().head
     val trip = gauge.getAs[Boolean]("rebuild")
     var rebuilt = trip
+    // meta-first write discipline means a build that crashed between
+    // the preliminary meta and the data tiers leaves rebuild-pressure
+    // with nothing to rebuild FROM — report, never crash mid-maintenance
+    // (r15 advice; the Similarity actuators apply the same rule)
+    if (trip && !(graft.core.SidecarFs.exists(
+          IndexManifest.resolve(indexPath, "codes")) &&
+        graft.core.SidecarFs.exists(
+          IndexManifest.resolve(indexPath, "graph")))) {
+      rebuilt = false
+      return Seq((gauge.getAs[Long]("build_nodes"),
+          gauge.getAs[Long]("build_edges"), gauge.getAs[Long]("nodes"),
+          gauge.getAs[Long]("edges"), gauge.getAs[Long]("health_micro"),
+          gauge.getAs[Boolean]("entry_connected"), trip, rebuilt))
+        .toDF("build_nodes", "build_edges", "nodes", "edges",
+          "health_micro", "entry_connected", "rebuild", "rebuilt")
+    }
     if (trip) {
       Dedup.requireNoUncommittedIngest(indexPath,
         Dedup.ingestKeyedDirs(indexPath))

@@ -458,6 +458,17 @@ object Similarity {
       .collect().head
     val trip = gauge.getAs[Boolean]("rebuild")
     var rebuilt = trip
+    // a -1 anchor can mean a build that crashed BEFORE its data tiers
+    // landed: the gauge correctly reports rebuild-pressure, but there
+    // is nothing to rebuild FROM — report, never crash mid-maintenance
+    // (r15 advice; the report-never-crash contract)
+    if (trip && !graft.core.SidecarFs.exists(
+        IndexManifest.resolve(indexPath, "postings"))) {
+      rebuilt = false
+      return Seq((gauge.getAs[Long]("build_n"), gauge.getAs[Long]("n"),
+          gauge.getAs[Long]("drift_micro"), trip, rebuilt))
+        .toDF("build_n", "n", "drift_micro", "rebuild", "rebuilt")
+    }
     if (trip) {
       Dedup.requireNoUncommittedIngest(indexPath,
         Dedup.ingestKeyedDirs(indexPath))
@@ -736,8 +747,17 @@ object Similarity {
       s"index at $indexPath was written with storeVectors=false — " +
         "the drift gauge measures the raw-vector tier; rebuild the " +
         "index with vectors to make it drift-gaugeable")
-    val buildN = meta.getAs[Long]("build_n")
-    val buildSum = meta.getAs[Long]("build_dist_sum_micro")
+    // pq_meta written before the anchor columns existed (pre-r15 layout:
+    // m/ksub/dsub/has_vectors only) degrades to the -1 sentinel — the
+    // knnGraphMeta pre-meta rule, NOT a getAs crash (r15 advice): an
+    // unknown anchor is itself rebuild-pressure, and the actuator
+    // restores it
+    val fields = meta.schema.fieldNames.toSet
+    val buildN =
+      if (fields("build_n")) meta.getAs[Long]("build_n") else -1L
+    val buildSum =
+      if (fields("build_dist_sum_micro"))
+        meta.getAs[Long]("build_dist_sum_micro") else -1L
     if (buildN < 0L || buildSum < 0L)
       return Seq((buildN, -1L, -1L, true))
         .toDF("build_n", "n", "drift_micro", "rebuild")
@@ -779,6 +799,16 @@ object Similarity {
       .collect().head
     val trip = gauge.getAs[Boolean]("rebuild")
     var rebuilt = trip
+    // crashed-before-data-tiers build: rebuild-pressure with nothing to
+    // rebuild from — report, never crash (the rebuildIvfIndexIfDrifted
+    // rule)
+    if (trip && !graft.core.SidecarFs.exists(
+        IndexManifest.resolve(indexPath, "vectors"))) {
+      rebuilt = false
+      return Seq((gauge.getAs[Long]("build_n"), gauge.getAs[Long]("n"),
+          gauge.getAs[Long]("drift_micro"), trip, rebuilt))
+        .toDF("build_n", "n", "drift_micro", "rebuild", "rebuilt")
+    }
     if (trip) {
       Dedup.requireNoUncommittedIngest(indexPath,
         Dedup.ingestKeyedDirs(indexPath))
@@ -786,7 +816,13 @@ object Similarity {
       val meta = pqMetaRow(spark, indexPath)
       val m = meta.getAs[Int]("m")
       val ksub = meta.getAs[Int]("ksub")
-      val nlist = meta.getAs[Int]("nlist")
+      // pre-r15 pq_meta has no nlist column: infer it from the coarse
+      // quantizer itself (nlist IS the centroid count) instead of
+      // crashing a maintenance pass on an old index (r15 advice)
+      val nlist =
+        if (meta.schema.fieldNames.contains("nlist"))
+          meta.getAs[Int]("nlist")
+        else loadCentroids(spark, indexPath).length
       val survivors = Dedup.exceptTombstoned(spark, indexPath,
           spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
             .select(col("cand_id"), col("c_vec")), "cand_id")
