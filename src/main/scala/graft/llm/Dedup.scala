@@ -1031,6 +1031,58 @@ object Dedup {
     decayed
   }
 
+  /** Small-files BACKLOG gauge of a persisted MinHash index — the dedup
+    * member of the measured-maintenance family
+    * ([[Similarity.ivfIndexDrift]] / [[Similarity.ivfPqIndexDrift]] /
+    * [[GraphAnn.knnGraphIndexHealth]]; r15 VERDICT #7: the compaction
+    * trigger predates the gauge/actuator vocabulary). Each append lands
+    * one more file set per touched band dir and a probe pays one file
+    * open per live file in its band dir, so the observable is the MAX
+    * parquet-file count across band dirs over the caller's bar, as the
+    * family's integer micro-ratio; pending takedown batches ride along
+    * (the compaction a trip fires consumes them). Cost: directory
+    * listings only — run it after every append window. Returns one row:
+    * (files_max, files_bar, backlog_micro, pending_tombstone_batches,
+    * compact). */
+  def minhashIndexBacklog(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String,
+                          maxFilesPerBand: Int = 16): DataFrame = {
+    require(maxFilesPerBand >= 1, "maxFilesPerBand must be >= 1")
+    import spark.implicits._
+    val filesMax = maxFilesPerDir(
+      IndexManifest.resolve(indexPath, "bands"), "band=")
+    val pending = tombstoneDirs(indexPath).size
+    Seq((filesMax, maxFilesPerBand,
+        filesMax.toLong * 1000000L / maxFilesPerBand, pending.toLong,
+        filesMax > maxFilesPerBand))
+      .toDF("files_max", "files_bar", "backlog_micro",
+        "pending_tombstone_batches", "compact")
+  }
+
+  /** Close the measured-maintenance loop for the MinHash index —
+    * [[minhashIndexBacklog]] is the gauge, this is the ACTUATOR (the
+    * [[Similarity.rebuildIvfIndexIfDrifted]] shape): a backlog trip
+    * runs [[compactMinhashIndex]] — one linear consolidation rewrite,
+    * published through the atomic manifest pointer, pending tombstones
+    * consumed — and the returned row is the PRE-compaction gauge plus
+    * `compacted`. No trip ⇒ strictly a no-op (nothing written, no
+    * version dir — spec-pinned). Reader output is unchanged either way
+    * (the compaction contract). */
+  def compactMinhashIndexIfBacklogged(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      maxFilesPerBand: Int = 16): DataFrame = {
+    import spark.implicits._
+    val g = minhashIndexBacklog(spark, indexPath, maxFilesPerBand)
+      .collect().head
+    val trip = g.getAs[Boolean]("compact")
+    if (trip) compactMinhashIndex(spark, indexPath)
+    Seq((g.getAs[Int]("files_max"), g.getAs[Int]("files_bar"),
+        g.getAs[Long]("backlog_micro"),
+        g.getAs[Long]("pending_tombstone_batches"), trip, trip))
+      .toDF("files_max", "files_bar", "backlog_micro",
+        "pending_tombstone_batches", "compact", "compacted")
+  }
+
   /** Incremental dedup against a PERSISTED index ([[writeMinhashIndex]]):
     * signature + banding parameters come from the index's own meta, the
     * history signature pass is NOT re-paid, and per-batch cost is truly

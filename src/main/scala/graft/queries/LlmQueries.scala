@@ -1080,7 +1080,12 @@ object LlmQueries {
       "q_sim_ivfpq_rebuild",
       (s, dir) => {
         import s.implicits._
-        val base = load(s, dir, "embeddings").select("vec_id", "embedding")
+        // 500-vector base — the q_sim_ivf_rebuild fixture scale (both
+        // rebuild cells exercise the full lifecycle; the cost axis a
+        // maintenance pass must stay comparable on is the lifecycle,
+        // not fixture bulk — sized BEFORE the first TimeOne freeze)
+        val base = load(s, dir, "embeddings")
+          .select("vec_id", "embedding").filter(col("vec_id") < 500)
         val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_idx_rebuild"
         Similarity.writeIvfPqIndex(base, idx, nlist = 16, m = 8, ksub = 16)
         val fresh = Similarity.rebuildIvfPqIndexIfDrifted(s, idx)
@@ -1122,7 +1127,7 @@ object LlmQueries {
              |    AS post_build_n,
              |  CAST(1000000 AS BIGINT) AS drift_post_micro,
              |  false AS rebuild_post, true AS found_post
-             |FROM embeddings""".stripMargin)),
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
     // IVF index MAINTENANCE: train + write on the base corpus, then
     // APPEND the planted twins with the STORED centroids (quantizer
@@ -2652,6 +2657,74 @@ object LlmQueries {
              |UNION ALL
              |SELECT doc_id + 300000, true FROM documents WHERE doc_id < 20
              |ORDER BY probe_id""".stripMargin)),
+
+    // Measured MAINTENANCE for the MinHash index (r15 VERDICT #7 — the
+    // gauge/actuator vocabulary the three vector-index families already
+    // expose): minhashIndexBacklog is the small-files gauge (max
+    // parquet files per band dir over the caller's bar, pending
+    // takedown batches riding along), compactMinhashIndexIfBacklogged
+    // the actuator. The fixture decays the index with two appends plus
+    // one standing tombstone batch, trips the gauge at a tight bar,
+    // compacts, and proves (a) the post gauge is quiet at the default
+    // bar, (b) the tombstone batch was consumed, (c) reader output is
+    // IDENTICAL pre/post (origin-keyed match counts equal — tombstoned
+    // docs excluded logically pre, physically post).
+    QueryDef(
+      "q_dedup_index_compact",
+      (s, dir) => {
+        import s.implicits._
+        val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val history = docs.filter(col("doc_id") < 300)
+        val idx = s"${graft.core.Fs.scratchRoot}/mh_index_compact"
+        Dedup.writeMinhashIndex(history, idx, numHashes = 64, bands = 16,
+          shingleSize = 5, maxBucketSize = 500)
+        Dedup.appendToMinhashIndex(
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), idx)
+        Dedup.appendToMinhashIndex(
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 500), idx)
+        Dedup.addTombstones(s, idx,
+          history.filter(col("doc_id") < 10).select(col("doc_id")))
+        val probes = history
+          .filter(col("doc_id") >= 10 && col("doc_id") < 30)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+          .unionByName(history.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") >= 300 && col("doc_id") < 310)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        def matchCount(): Long = Dedup
+          .incrementalMinhashMatchesIndexed(probes, idx)
+          .filter((col("hist_id") === col("batch_id") - 200000 ||
+              col("hist_id") === col("batch_id") - 400000 ||
+              col("hist_id") === col("batch_id") - 500000) &&
+            col("est_jaccard") >= 0.9999)
+          .select(col("batch_id")).distinct().count()
+        val pre = matchCount()
+        val g = Dedup.minhashIndexBacklog(s, idx, maxFilesPerBand = 1)
+          .collect().head
+        val r = Dedup.compactMinhashIndexIfBacklogged(s, idx,
+          maxFilesPerBand = 1).collect().head
+        val post = Dedup.minhashIndexBacklog(s, idx).collect().head
+        val postMatches = matchCount()
+        Seq((g.getAs[Boolean]("compact"),
+            g.getAs[Long]("pending_tombstone_batches"),
+            r.getAs[Boolean]("compacted"),
+            post.getAs[Boolean]("compact"),
+            post.getAs[Long]("pending_tombstone_batches"),
+            pre, postMatches))
+          .toDF("compact_pre", "pending_pre", "compacted",
+            "compact_post", "pending_post", "matches_pre", "matches_post")
+      },
+      Some("""SELECT true AS compact_pre, CAST(1 AS BIGINT) AS pending_pre,
+             |  true AS compacted, false AS compact_post,
+             |  CAST(0 AS BIGINT) AS pending_post,
+             |  CAST(count(*) FILTER (WHERE doc_id >= 10 AND doc_id < 30)
+             |    + count(*) FILTER (WHERE doc_id >= 300 AND doc_id < 310)
+             |    AS BIGINT) AS matches_pre,
+             |  CAST(count(*) FILTER (WHERE doc_id >= 10 AND doc_id < 30)
+             |    + count(*) FILTER (WHERE doc_id >= 300 AND doc_id < 310)
+             |    AS BIGINT) AS matches_post
+             |FROM documents""".stripMargin)),
 
     // Index DELETION — the right-to-be-forgotten lifecycle step: write
     // history, DELETE docs 0-19, then probe with planted copies of BOTH

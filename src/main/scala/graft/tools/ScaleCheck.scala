@@ -290,6 +290,28 @@ object ScaleCheck {
           k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, refine = 4,
           trainFraction = 0.1)
       }),
+      // the measured-rebuild knob at scale (r15 VERDICT #6): write a k×
+      // IVF index, append a drifted tenth of the corpus (+10 every dim
+      // — trips the gauge at every factor), then run the actuator with
+      // trainFraction = 0.1. Lloyd iterations run on the deterministic
+      // hash sample (training ~flat in k) while the re-assignment
+      // rewrite — the unavoidable linear pass any rebuild pays — tracks
+      // the corpus; the returned row's rebuilt=true and the restored
+      // 1e6 anchor are the correctness half (IndexHealthSpec pins the
+      // recall story on the straddled twin)
+      ("q_ivf_rebuild_tf0.1", (dir, _) => {
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val idx = s"$synthRoot/ivf_rebuild_tf_idx"
+        Similarity.writeIvfIndex(embs, idx, nlist = 16)
+        Similarity.appendToIvfIndex(
+          embs.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000000L).as("vec_id"),
+              expr("transform(embedding, x -> x + cast(10 as float))")
+                .as("embedding")), idx)
+        Similarity.rebuildIvfIndexIfDrifted(spark, idx,
+          trainFraction = 0.1)
+      }),
       // query-level paths (SparkEntry reads documents.parquet from dir):
       // the shingle hash-aggregate span detector and the Bloom-prefiltered
       // decontamination join — the two non-pairwise dedup shapes
