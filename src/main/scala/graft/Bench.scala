@@ -163,7 +163,72 @@ object Bench {
     // NN-Descent build + takedown delete + RE-DESCENT over survivors +
     // health + beam search
     "q_sim_ivf_rebuild",      // drift trip -> retrain + atomic 3-tier swap
-    "q_sim_graph_rebuild")    // health trip -> re-descent + 4-tier swap
+    "q_sim_graph_rebuild",    // health trip -> re-descent + 4-tier swap
+    // round-16 addition (first frozen budget in BASELINE.md): the
+    // IVF-PQ rebuild landed after r15's final headline run (deferral
+    // precedent noted there); a rep pays the full two-tier lifecycle
+    // TWICE — write + fresh no-op gauge + drifted append + tripped
+    // gauge + BOTH quantizer tiers retrained + re-encode + 5-tier
+    // atomic swap + post gauge + rank-1 twin probe
+    "q_sim_ivfpq_rebuild")    // IVF-PQ drift trip -> 5-tier rebuild
+
+  /** Frozen per-query budget measures (seconds) — BASELINE.md's freeze
+    * tables made machine-readable (r15 VERDICT #3/#4: the in-run
+    * sanity rule and the 10× ratio denominators both need the frozen
+    * figures in code, not prose). Values are each query's FIRST frozen
+    * measurement, superseded only by an explicitly recorded re-freeze
+    * (q_graph_pagerank 7.28 → 6.11, BASELINE.md round-11 re-freeze);
+    * the original 10 round-1 cells carry the round-7 restated
+    * local[32] figures (BASELINE.md round-7 table, bar column ÷ 2).
+    * The budget bar is max(2 × frozen, 2.0 s) — the round-13
+    * sub-second floor. BenchSpec pins headline ⊆ frozenSec. */
+  val frozenSec: Map[String, Double] = Map(
+    "q1_pricing" -> 0.46, "q_join_multi" -> 1.30, "q_join_left" -> 0.675,
+    "q_topk_per_group" -> 0.53, "q_window_frames" -> 0.435,
+    "q_events_session" -> 1.065, "q_dedup_exact" -> 0.34,
+    "q_dedup_minhash" -> 2.885, "q_sim_topk" -> 0.62,
+    "q_text_stats" -> 0.285,
+    "q_sim_ivfpq" -> 4.45, "q_bm25" -> 0.74, "q_dedup_spans" -> 0.73,
+    "q_stream_chained_agg" -> 5.25, "q_importance_dsir" -> 0.34,
+    "q_ccnet_buckets" -> 0.62, "q_bpe_learn" -> 1.75,
+    "q_dedup_incremental" -> 0.82, "q_temporal_join" -> 0.41,
+    "q_multimodal_video" -> 0.73, "q_dedup_suffix" -> 2.72,
+    "q_embed_covariance" -> 1.91, "q_boilerplate" -> 0.82,
+    "q_lm_bigram" -> 1.30, "q_graph_pagerank" -> 6.11,
+    "q_stream_dedup_indexed" -> 10.84, "q_dedup_index_append" -> 3.37,
+    "q_sim_ivf_index_append" -> 2.89, "q_dedup_clusters_star" -> 2.97,
+    "q_sim_ivf_indexed" -> 2.51, "q_sim_ivfpq_indexed" -> 6.09,
+    "q_stream_dedup_append" -> 9.86, "q_graph_labelprop" -> 3.87,
+    "q_wordpiece_encode" -> 2.44, "q_graph_triangles" -> 8.54,
+    "q_graph_kcore" -> 6.18, "q_graph_trustrank" -> 6.64,
+    "q_graph_hits" -> 8.42, "q_graph_linkpred" -> 4.31,
+    "q_graph_walks" -> 5.80, "q_stream_ivfpq_ingest" -> 9.51,
+    "q_unigram_learn" -> 0.58, "q_sim_nndescent" -> 7.79,
+    "q_sim_graph_indexed" -> 10.60, "q_sim_graph_index_append" -> 14.38,
+    "q_stream_join_full" -> 3.33, "q_entity_resolution" -> 1.81,
+    "q_eval_chrf" -> 3.33, "q_text_textrank" -> 3.63,
+    "q_sim_margin_ann" -> 3.03, "q_cluster_density" -> 3.29,
+    "q_dedup_index_delete" -> 2.57, "q_sim_ivf_index_delete" -> 2.76,
+    "q_sim_ivfpq_index_delete" -> 6.75,
+    "q_sim_graph_index_delete" -> 11.66,
+    "q_dedup_takedown_live" -> 6.94, "q_sim_graph_health" -> 11.40,
+    "q_sim_ivf_drift" -> 4.59, "q_sim_ivf_rebuild" -> 9.08,
+    "q_sim_graph_rebuild" -> 8.87, "q_sim_ivfpq_rebuild" -> 13.54)
+
+  /** A query's budget bar: max(2 × frozen measure, 2.0 s) — the
+    * round-13 sub-second-floor policy, in code. */
+  def barSec(name: String): Option[Double] =
+    frozenSec.get(name).map(f => math.max(2.0 * f, 2.0))
+
+  /** Single-cell sanity rule (r15 VERDICT #3 — BENCH_r15 shipped
+    * q_sim_nndescent at 3.4× its budget with no in-run signal): a
+    * best-of-3 RAW figure over the query's own bar triggers ONE
+    * automatic in-run re-measure, and BOTH numbers ship in the JSON
+    * (`reruns` → {raw, rerun}), so a transient spike never stands as
+    * the round's only record. Pure decision function — BenchSpec
+    * plants a slowdown against it. */
+  def cellNeedsRerun(name: String, rawSec: Double): Boolean =
+    barSec(name).exists(rawSec > _)
 
   /** Fixed-work calibration probe: rows hashed per rep. The probe is
     * pure compute over `spark.range` — no I/O, no shuffle, one codegen'd
@@ -194,6 +259,40 @@ object Bench {
     }
     reps.min
   }
+
+  /** Per-query task-metric telemetry (r15 VERDICT #1): GC time, peak
+    * per-task execution memory, spill bytes, and task count aggregated
+    * over every task a query's reps ran, shipped per cell in the bench
+    * JSON — so a cell-level anomaly (q_sim_nndescent's 26.8 s in
+    * BENCH_r15, against three same-day in-budget builder runs) is
+    * attributed in-run instead of adjudicated from prose afterwards. */
+  final class TaskMetricsAgg extends org.apache.spark.scheduler.SparkListener {
+    private val gc = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val peak = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        gc.addAndGet(m.jvmGCTime)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        tasks.incrementAndGet()
+        var p = peak.get()
+        while (m.peakExecutionMemory > p &&
+          !peak.compareAndSet(p, m.peakExecutionMemory)) p = peak.get()
+      }
+    }
+    def reset(): Unit = { gc.set(0); spill.set(0); peak.set(0); tasks.set(0) }
+    /** (gc_ms, peak_task_mem, spill_bytes, tasks) since reset. */
+    def snapshot: (Long, Long, Long, Long) =
+      (gc.get, peak.get, spill.get, tasks.get)
+  }
+
+  private final case class Cell(name: String, sec: Double, seg: Int,
+                                rerun: Option[(Double, Double)], // (raw, rerun)
+                                gcMs: Long, peakMem: Long,
+                                spillBytes: Long, tasks: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -250,21 +349,35 @@ object Bench {
       probeSuspect += pairDisagrees(p, prev)
     }
 
+    val metricsAgg = new TaskMetricsAgg
+    spark.sparkContext.addSparkListener(metricsAgg)
+    def timedRep(name: String): Double = {
+      // every rep pays BPE training: a memo hit would report the cost
+      // of not training (see Tokenization.invalidateTrained)
+      graft.llm.Tokenization.invalidateTrained()
+      val t0 = System.nanoTime()
+      try exec(name) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e6
+    }
+
     // best-of-3: a single rep occasionally catches a JIT/GC transient
     // (observed 10× outliers, and one whole run distorted by external
     // machine load); the min of three reps is the stable figure
     val results = segments.zipWithIndex.flatMap { case (seg, si) =>
       val segResults = seg.map { name =>
-        val reps = (1 to 3).map { _ =>
-          // every rep pays BPE training: a memo hit would report the cost
-          // of not training (see Tokenization.invalidateTrained)
-          graft.llm.Tokenization.invalidateTrained()
-          val t0 = System.nanoTime()
-          try exec(name) catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e6
-        }
+        org.apache.spark.graftshim.GraftSparkInternals
+          .drainListenerBus(spark.sparkContext)
+        metricsAgg.reset()
+        val reps = (1 to 3).map(_ => timedRep(name))
+        val raw = math.rint(reps.min) / 1e3
+        // single-cell sanity (r15 VERDICT #3): one automatic in-run
+        // re-measure when the raw best exceeds the query's own bar —
+        // both numbers ship, and the reported figure is the best-of-4
+        val rerun =
+          if (cellNeedsRerun(name, raw)) Some(math.rint(timedRep(name)) / 1e3)
+          else None
         // release persisted subtrees BETWEEN QUERIES, deliberately not
         // between reps: CacheManager dedups persists by canonicalized
         // plan, so reps 2-3 REUSE rep 1's cache (no duplicate memory),
@@ -275,7 +388,11 @@ object Bench {
         // drops the registry's plan references.
         graft.llm.Caches.release()
         spark.catalog.clearCache()
-        (name, math.rint(reps.min) / 1e3, si)
+        org.apache.spark.graftshim.GraftSparkInternals
+          .drainListenerBus(spark.sparkContext)
+        val (gcMs, peakMem, spillB, nTasks) = metricsAgg.snapshot
+        Cell(name, rerun.fold(raw)(math.min(raw, _)), si,
+          rerun.map(r => (raw, r)), gcMs, peakMem, spillB, nTasks)
       }
       sanityProbe()
       segResults
@@ -293,12 +410,26 @@ object Bench {
     val loadFactor = probes.sum / probes.length / CalibrationFrozenSec
     def r3(v: Double) = math.rint(v * 1000) / 1000
 
-    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qjson = results.map(c => "\"" + c.name + "\":" + c.sec)
       .mkString("{", ",", "}")
     val njson = results
-      .map { case (k, v, si) => "\"" + k + "\":" + r3(v / segFactors(si)) }
+      .map(c => "\"" + c.name + "\":" + r3(c.sec / segFactors(c.seg)))
       .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    // single-cell sanity records: every over-bar cell's raw best-of-3
+    // AND its automatic in-run re-measure (the reported figure above is
+    // the best of the four)
+    val rerunJson = results.flatMap(c => c.rerun.map { case (raw, rr) =>
+      "\"" + c.name + "\":{\"raw\":" + raw + ",\"rerun\":" + rr + "}"
+    }).mkString("{", ",", "}")
+    // per-cell task metrics: GC ms, max per-task execution memory,
+    // spilled bytes, task count over the cell's reps
+    val tmJson = results.map(c =>
+      "\"" + c.name + "\":{\"gc_ms\":" + c.gcMs +
+        ",\"peak_task_mem\":" + c.peakMem +
+        ",\"spill_bytes\":" + c.spillBytes +
+        ",\"tasks\":" + c.tasks + "}")
+      .mkString("{", ",", "}")
+    val total = r3(results.map(_.sec).sum)
     val calib = s"""{"start_sec":${r3(probes.head)},"end_sec":${r3(probes.last)},""" +
       s""""frozen_sec":$CalibrationFrozenSec,"load_factor":${r3(loadFactor)},""" +
       s""""probe_sec":${probes.map(r3).mkString("[", ",", "]")},""" +
@@ -307,6 +438,7 @@ object Bench {
       s""""suspect_segments":${suspectSegments.mkString("[", ",", "]")}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qjson,"queries_normalized":$njson,""" +
+      s""""reruns":$rerunJson,"task_metrics":$tmJson,""" +
       s""""calibration":$calib,"sf":"$sfDir"}"""
     // The driver records only the LAST 2000 stdout chars; round 11's
     // single full line outgrew that window and arrived front-truncated
@@ -320,7 +452,8 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qjson,"calibration":$calib,"sf":"$sfDir"}""")
+      s""""queries":$qjson,"reruns":$rerunJson,""" +
+      s""""calibration":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
