@@ -451,9 +451,13 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     println(full)
+    // the COMPACT line stays queries + calibration ONLY: the driver
+    // records the last 2000 stdout chars, and rerun/telemetry entries
+    // appear exactly on the anomalous runs where front-truncating this
+    // line would lose the whole record (the BENCH_r11 lesson) — those
+    // fields live in the full line above and BENCH_LAST.json
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qjson,"reruns":$rerunJson,""" +
-      s""""calibration":$calib,"sf":"$sfDir"}""")
+      s""""queries":$qjson,"calibration":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

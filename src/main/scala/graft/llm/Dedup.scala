@@ -1025,11 +1025,19 @@ object Dedup {
   def compactMinhashIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
                                   indexPath: String,
                                   maxFilesPerBand: Int = 16): Boolean = {
-    val decayed = maxFilesPerDir(
-      IndexManifest.resolve(indexPath, "bands"), "band=") > maxFilesPerBand
+    // the Boolean form of [[compactMinhashIndexIfBacklogged]] — ONE
+    // shared trip rule (backlogFilesMax > bar), so the two entry points
+    // can never diverge (r16 review). This form also accepts bar 0
+    // (force-trip, spec-pinned), which the gauge's micro-ratio cannot.
+    val decayed = backlogFilesMax(indexPath) > maxFilesPerBand
     if (decayed) compactMinhashIndex(spark, indexPath)
     decayed
   }
+
+  /** The one observable both compaction triggers read: max live
+    * parquet-file count across the bands tier's band dirs. */
+  private def backlogFilesMax(indexPath: String): Int =
+    maxFilesPerDir(IndexManifest.resolve(indexPath, "bands"), "band=")
 
   /** Small-files BACKLOG gauge of a persisted MinHash index — the dedup
     * member of the measured-maintenance family
@@ -1049,8 +1057,7 @@ object Dedup {
                           maxFilesPerBand: Int = 16): DataFrame = {
     require(maxFilesPerBand >= 1, "maxFilesPerBand must be >= 1")
     import spark.implicits._
-    val filesMax = maxFilesPerDir(
-      IndexManifest.resolve(indexPath, "bands"), "band=")
+    val filesMax = backlogFilesMax(indexPath)
     val pending = tombstoneDirs(indexPath).size
     Seq((filesMax, maxFilesPerBand,
         filesMax.toLong * 1000000L / maxFilesPerBand, pending.toLong,

@@ -146,31 +146,46 @@ object GraphAnn {
   def nnDescentGraph(embeddings: DataFrame, k: Int, rounds: Int,
                      seed: Long = 42L,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame =
-    nnDescentFromCodes(quantized(embeddings, vecCol, idCol),
-      k, rounds, seed, idCol)
+                     idCol: String = "vec_id"): DataFrame = {
+    val spark = embeddings.sparkSession
+    // eager lineage-free materialization of the descent input:
+    // quantization runs ONCE and an evicted block is READ BACK from
+    // disk, never recomputed — per-round re-quantization under
+    // late-run memory pressure was the most plausible mechanism for
+    // the bimodal 7.9 s ↔ 26.8 s driver-bench history of
+    // q_sim_nndescent (r15 VERDICT #1). The checkpoint blocks are
+    // RDD-level state that neither Caches.release nor clearCache
+    // touches, so they are freed EXPLICITLY once the (itself
+    // checkpoint-materialized) graph no longer depends on them (r16
+    // review: an unfreed copy per call lingered until ContextCleaner).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val codes = quantized(embeddings, vecCol, idCol).localCheckpoint()
+    val ckptIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    try nnDescentFromCodes(codes, k, rounds, seed, idCol)
+    finally ckptIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+  }
 
   /** [[nnDescentGraph]] body over an ALREADY-quantized (id, codes, n2)
     * frame — the entry point the index write and the measured rebuild
     * share (a persisted index stores codes, never the raw embeddings,
     * so a rebuild must not need them back).
     *
-    * The descent input is materialized HERE, eagerly and lineage-free
-    * (`localCheckpoint`): the loop scans it every round, and a plain
-    * `MEMORY_AND_DISK` persist owned by callers left the cost shape at
-    * the mercy of cache state late in a long run — a partition that
-    * was never cached (or got dropped) silently re-ran quantization
-    * once per round, the most plausible mechanism for the bimodal
-    * 7.9 s ↔ 26.8 s driver-bench history of q_sim_nndescent (r15
-    * VERDICT #1). With the lineage cut, an evicted block moves to disk
-    * and is READ back — recomputation is structurally impossible. The
-    * returned graph is likewise localCheckpoint-materialized. */
-  private[llm] def nnDescentFromCodes(codesIn: DataFrame, k: Int,
+    * INPUT-STABILITY CONTRACT: the loop scans `codes` every round, so
+    * the caller must pass a frame whose per-scan cost cannot silently
+    * change — file-backed parquet (the index write and the rebuild
+    * both read the codes TIER they just wrote) or an eager
+    * `localCheckpoint` ([[nnDescentGraph]]). Exactly one materialized
+    * copy stays alive (the r16 review caught a first cut checkpointing
+    * INSIDE this method, double-holding the corpus under callers that
+    * had already persisted it). The returned graph is
+    * localCheckpoint-materialized. */
+  private[llm] def nnDescentFromCodes(codes: DataFrame, k: Int,
                                       rounds: Int, seed: Long,
                                       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val codes = codesIn.localCheckpoint() // eager: quantization runs ONCE
     val ranked = md5Ranks(codes.select(col("id").as(idCol)), idCol, seed)
     // one driver Long (the HITS "one Long" budget): the ring modulus
     val n = ranked.count()
@@ -322,12 +337,13 @@ object GraphAnn {
     // rebuild-pressure (unknown anchor ⇒ rebuild), never a throw.
     writeGraphMeta(spark, path, seed, k, rounds, -1L, -1L,
       versioned = false)
-    val codes = quantized(corpus, vecCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    codes.write.mode("overwrite").parquet(s"$path/codes")
-    // descend over the codes ALREADY quantized and cached for the tier
-    // write above — re-quantizing the corpus (the pre-r15 shape) paid a
-    // whole redundant linear pass per build
+    quantized(corpus, vecCol, idCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    // descend over the codes TIER just written: quantization still runs
+    // exactly once (the write above), and the file-backed input is
+    // eviction-immune with ZERO extra materialized copies — the
+    // nnDescentFromCodes input-stability contract
+    val codes = spark.read.parquet(s"$path/codes")
     val graph = nnDescentFromCodes(codes, k, rounds, seed, idCol)
     graph.write.mode("overwrite").parquet(s"$path/graph")
     codes
@@ -343,7 +359,6 @@ object GraphAnn {
       spark.read.parquet(s"$path/graph").count())
     writeGraphMeta(spark, path, seed, k, rounds, nNodes, nEdges,
       versioned = true)
-    codes.unpersist(blocking = false)
   }
 
   /** One meta row (seed, k, rounds, build_nodes, build_edges).

@@ -323,14 +323,18 @@ object ArrowIo {
 
   /** Decode ceiling for IPC files whose record batches declare BODY
     * COMPRESSION (LZ4_FRAME/ZSTD — externally produced; the engine
-    * writes uncompressed): decompressed buffers legitimately exceed any
-    * physical-bytes multiple, so the cap becomes an absolute survivable
-    * ceiling (1 GiB, the Avro MaxInflatedBlockBytes constant) instead
-    * of silently quarantining a VALID compressed file (r15 advice). A
-    * compressed bomb still dies a catchable allocation failure at the
-    * ceiling — loudly logged — never a fatal JVM OOM. */
+    * writes uncompressed): decompressed buffers legitimately exceed the
+    * 8× bound, so the cap widens — but stays INPUT-PROPORTIONAL
+    * (256× + 8 MiB, capped at 1 GiB): a forged compression claim on a
+    * KB-scale blob buys a ~8 MiB ceiling, never a gigabyte (the
+    * claim-sized-allocation class allocBound exists for — this round's
+    * review caught the first cut granting a flat 1 GiB to any input
+    * that merely CLAIMED compression). 256× covers every practical
+    * LZ4/ZSTD corpus ratio; a pathological valid file past it
+    * quarantines LOUDLY at a catchable allocation failure — never a
+    * fatal JVM OOM, never a silent drop. */
   private[sources] def compressedAllocBound(len: Long): Long =
-    math.max(allocBound(len), 1L << 30)
+    math.min(256L * math.max(len, 0L) + (8L << 20), 1L << 30)
 
   /** True iff the file's first record batch declares body compression.
     * Writers set the codec uniformly per file, so the first batch
@@ -520,38 +524,35 @@ object ArrowIo {
                                    schemaJson: String): Vector[Row] = {
     if (bytes == null) return Vector.empty
     val width = toSparkSchema(Schema.fromJSON(schemaJson)).length
-    // compressed batches legitimately decode past the physical-bytes
-    // bound — probe the footer (KBs) and widen to the absolute ceiling
-    // for them (r15 advice: a valid LZ4/ZSTD file must not quarantine)
-    val strictBound = allocBound(bytes.length.toLong)
-    val bound = {
-      val probe =
-        try {
-          val a = decodeAllocator(strictBound)
-          try {
-            val r = new ArrowFileReader(new org.apache.arrow.vector.util
-              .ByteArrayReadableSeekableByteChannel(bytes), a)
-            try {
-              r.getVectorSchemaRoot
-              firstBatchCompressed(new org.apache.arrow.vector.util
-                .ByteArrayReadableSeekableByteChannel(bytes),
-                r.getRecordBlocks)
-            } finally r.close()
-          } finally {
-            try a.close()
-            catch { case scala.util.control.NonFatal(_) => () }
-          }
-        } catch { case scala.util.control.NonFatal(_) => false }
-      if (probe) compressedAllocBound(bytes.length.toLong) else strictBound
-    }
-    val allocator = decodeAllocator(bound)
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val ch = new org.apache.arrow.vector.util
-      .ByteArrayReadableSeekableByteChannel(bytes)
+    // open once under the strict physical-bytes bound; compressed
+    // batches legitimately decode past it, so detect body compression
+    // on the LIVE reader's footer (KBs) and reopen under the widened
+    // ceiling ONLY then — engine-written (always uncompressed) blobs
+    // never pay a second footer parse (this round's review caught the
+    // first cut probing every blob twice)
+    var allocator = decodeAllocator(allocBound(bytes.length.toLong))
     try {
-      val reader = new ArrowFileReader(ch, allocator, codecFactory)
+      var reader = new ArrowFileReader(new org.apache.arrow.vector.util
+        .ByteArrayReadableSeekableByteChannel(bytes), allocator,
+        codecFactory)
       try {
-        val root = reader.getVectorSchemaRoot
+        var root = reader.getVectorSchemaRoot
+        if (root.getSchema.toJson == schemaJson &&
+            firstBatchCompressed(new org.apache.arrow.vector.util
+              .ByteArrayReadableSeekableByteChannel(bytes),
+              reader.getRecordBlocks)) {
+          try reader.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+          try allocator.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+          allocator = decodeAllocator(
+            compressedAllocBound(bytes.length.toLong))
+          reader = new ArrowFileReader(new org.apache.arrow.vector.util
+            .ByteArrayReadableSeekableByteChannel(bytes), allocator,
+            codecFactory)
+          root = reader.getVectorSchemaRoot
+        }
         if (root.getSchema.toJson == schemaJson) {
           while (reader.loadNextBatch()) {
             var i = 0
@@ -571,7 +572,10 @@ object ArrowIo {
             }
           }
         }
-      } finally reader.close()
+      } finally {
+        try reader.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     } catch {
       case e: org.apache.arrow.memory.OutOfMemoryException =>
         warnAllocCeiling("blob", e) // keep decoded rows, loudly

@@ -25,10 +25,17 @@ import java.io.InputStream
   * `DataFileStream` construction reports as a structurally unreadable
   * container (quarantine whole), again the established rule.
   *
-  * Pass-through cost: O(1) state, no payload buffering (payload bytes
-  * stream through with a countdown), one small staging buffer for the
-  * framing scalars. Valid containers are byte-identical through the
-  * guard.
+  * Pass-through cost: O(1) state for uncompressed and small-compressed
+  * blocks (payload bytes stream through with a countdown), one small
+  * staging buffer for the framing scalars — with ONE stated exception:
+  * a deflate block larger than
+  * [[AvroFramingGuard.PrecheckThresholdBytes]] is buffered ONCE
+  * (data-sized heap — the bytes physically exist, capped at
+  * [[AvroFramingGuard.MaxBufferedCompressedBytes]]) so its decompressed
+  * size can be counted by a streaming inflate BEFORE the decoder is
+  * allowed to allocate it; snappy blocks instead have their leading
+  * size claim peeked (≤ 5 bytes, no buffering). Valid containers are
+  * byte-identical through the guard.
   */
 private[sources] final class AvroFramingGuard(in: InputStream,
                                               totalLen: Long)
@@ -40,6 +47,11 @@ private[sources] final class AvroFramingGuard(in: InputStream,
   // validated bytes ready to deliver
   private var staged: Array[Byte] = Array.emptyByteArray
   private var stagedPos = 0
+  // a pre-checked large-block payload, delivered AFTER `staged` (kept
+  // as its own array — routing it through the staging BAOS would copy
+  // it twice more and break the max-array ceiling near 2 GiB)
+  private var stagedPayload: Array[Byte] = Array.emptyByteArray
+  private var stagedPayloadPos = 0
   // > 0: that many payload bytes stream through without staging
   private var passThrough = 0L
   private var dead = false // EOF to the consumer, forever
@@ -142,20 +154,49 @@ private[sources] final class AvroFramingGuard(in: InputStream,
           case Some(count) =>
             varint(t) match {
               case Some(size) if count >= 0 && lenOk(size) &&
+                  codecName == "snappy" =>
+                // snappy DECLARES its decompressed size up front (the
+                // raw-snappy leading varint) and Avro's SnappyCodec
+                // allocates exactly that CLAIM before decompressing —
+                // so at EVERY block size the claim, not a ratio, is
+                // what must be bounded. Peek the varint (≤ 5 bytes),
+                // withhold a bomb claim loudly, stream the rest.
+                val peek = new Array[Byte](math.min(5L, size).toInt)
+                var got = 0
+                var eof = false
+                while (got < peek.length && !eof) {
+                  val n = try in.read(peek, got, peek.length - got)
+                  catch { case _: java.io.IOException => -1 }
+                  if (n < 0) eof = true
+                  else { consumed += n; got += n }
+                }
+                if (eof) dead = true // truncated payload
+                else AvroFramingGuard.snappyClaim(peek) match {
+                  case Some(claim)
+                      if claim <= AvroFramingGuard.MaxInflatedBlockBytes =>
+                    out.write(t.toByteArray)
+                    out.write(peek)
+                    passThrough = size - peek.length + 16L
+                  case _ => // bomb claim or unparseable preamble
+                    AvroFramingGuard.noteWithheld(codecName, size)
+                    dead = true
+                }
+              case Some(size) if count >= 0 && lenOk(size) &&
                   (!compressed ||
                     size <= AvroFramingGuard.PrecheckThresholdBytes) =>
                 out.write(t.toByteArray)
                 passThrough = size + 16L // payload + block sync
-              case Some(size) if count >= 0 && lenOk(size) =>
+              case Some(size) if count >= 0 && lenOk(size) &&
+                  size <= AvroFramingGuard.MaxBufferedCompressedBytes =>
                 // LARGE compressed block. A single record > threshold is
                 // VALID Avro (a block always holds a whole record), so
                 // withholding on input size alone silently drops real
                 // data (the r15 advice finding). Instead buffer the
-                // payload (data-sized heap — the bytes physically
-                // exist) and bound the decompression TRANSIENT: a
-                // streaming inflate counts output and only a genuine
-                // bomb (output past MaxInflatedBlockBytes) is withheld,
-                // loudly.
+                // payload ONCE (data-sized heap — the bytes physically
+                // exist; delivered via stagedPayload, never re-copied)
+                // and bound the decompression TRANSIENT: a streaming
+                // inflate counts output and only a genuine bomb (output
+                // past MaxInflatedBlockBytes) is withheld, loudly.
                 val payload = new Array[Byte](size.toInt)
                 var got = 0
                 var eof = false
@@ -172,12 +213,20 @@ private[sources] final class AvroFramingGuard(in: InputStream,
                 else if (AvroFramingGuard.inflatesWithinCap(
                     codecName, payload)) {
                   out.write(t.toByteArray)
-                  out.write(payload)
+                  stagedPayload = payload
+                  stagedPayloadPos = 0
                   passThrough = 16L // block sync
                 } else {
                   AvroFramingGuard.noteWithheld(codecName, size)
                   dead = true
                 }
+              case Some(size) if count >= 0 && lenOk(size) =>
+                // compressed block past the 1 GiB buffering ceiling: no
+                // legitimate record is this large (string/bytes cells
+                // cap at 256 MiB) and buffering it would court the max-
+                // array limit — withhold loudly
+                AvroFramingGuard.noteWithheld(codecName, size)
+                dead = true
               case _ => dead = true // withhold the lying header
             }
         }
@@ -195,12 +244,20 @@ private[sources] final class AvroFramingGuard(in: InputStream,
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
     if (len == 0) return 0
-    while (!dead && stagedPos >= staged.length && passThrough == 0L)
+    while (!dead && stagedPos >= staged.length &&
+        stagedPayloadPos >= stagedPayload.length && passThrough == 0L)
       stageNext()
     if (stagedPos < staged.length) {
       val n = math.min(len, staged.length - stagedPos)
       System.arraycopy(staged, stagedPos, buf, off, n)
       stagedPos += n
+      n
+    } else if (stagedPayloadPos < stagedPayload.length) {
+      val n = math.min(len, stagedPayload.length - stagedPayloadPos)
+      System.arraycopy(stagedPayload, stagedPayloadPos, buf, off, n)
+      stagedPayloadPos += n
+      if (stagedPayloadPos >= stagedPayload.length)
+        stagedPayload = Array.emptyByteArray // free the block promptly
       n
     } else if (passThrough > 0L) {
       val want = math.min(len.toLong, math.min(passThrough, remaining))
@@ -241,6 +298,30 @@ private[sources] object AvroFramingGuard {
     * loss fix); only genuine bombs are withheld, and loudly. */
   val MaxInflatedBlockBytes: Long = 1L << 30
 
+  /** Buffering ceiling for the deflate pre-check path: a single
+    * compressed block past 1 GiB is beyond any legitimate record
+    * (string/bytes cells cap at 256 MiB) and buffering it would court
+    * the JVM max-array limit — withheld loudly instead. */
+  val MaxBufferedCompressedBytes: Long = 1L << 30
+
+  /** The decompressed-size CLAIM at the head of a raw-snappy payload
+    * (unsigned LEB128 varint — snappy's preamble, which Avro's
+    * SnappyCodec allocates verbatim before decompressing). None when
+    * the preamble is malformed. */
+  private[sources] def snappyClaim(peek: Array[Byte]): Option[Long] = {
+    var u = 0L
+    var shift = 0
+    var i = 0
+    while (i < peek.length && shift <= 28) {
+      val b = peek(i) & 0xff
+      u |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return Some(u)
+      shift += 7
+      i += 1
+    }
+    None // ran out of bytes or a >32-bit claim: malformed either way
+  }
+
   /** Blocks withheld by the size check since JVM start — the loud
     * counter the r15 advice asked for (a withheld block must never
     * present as a silent clean EOF). */
@@ -261,9 +342,10 @@ private[sources] object AvroFramingGuard {
     * deflate codec is RAW deflate (nowrap). A payload that FAILS to
     * inflate is safe to deliver — the decoder's own failure produces at
     * most what the count saw before the error, and the established
-    * decode-ahead quarantine handles it. Codecs we cannot pre-check
-    * (snappy/zstd/bzip2 — the engine never writes them) are withheld
-    * above the threshold rather than trusted. */
+    * decode-ahead quarantine handles it. Snappy is pre-checked by its
+    * OWN preamble claim ([[snappyClaim]], any block size); codecs with
+    * no cheap bound (zstd/bzip2 — the engine never writes them) are
+    * withheld above the threshold rather than trusted. */
   private[sources] def inflatesWithinCap(codec: String,
                                          payload: Array[Byte]): Boolean = {
     if (codec != "deflate") return false
