@@ -457,13 +457,21 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     println(full)
-    // the COMPACT line stays queries + calibration ONLY: the driver
-    // records the last 2000 stdout chars, and rerun/telemetry entries
-    // appear exactly on the anomalous runs where front-truncating this
-    // line would lose the whole record (the BENCH_r11 lesson) — those
-    // fields live in the full line above and BENCH_LAST.json
+    // the COMPACT line stays queries + slim calibration ONLY: the
+    // driver records the last 2000 stdout chars, and rerun/telemetry
+    // entries appear exactly on the anomalous runs where
+    // front-truncating this line would lose the whole record (the
+    // BENCH_r11 lesson) — those fields, and the full probe/segment
+    // arrays, live in the full line above and BENCH_LAST.json. At 61
+    // queries the full-calibration form measured ~1900 chars — within
+    // ~100 of the window; the slim form buys ~250 chars of headroom.
+    val calibSlim =
+      s"""{"frozen_sec":$CalibrationFrozenSec,""" +
+      s""""load_factor":${r3(loadFactor)},""" +
+      s""""probe_retries":${probeRetries.mkString("[", ",", "]")},""" +
+      s""""suspect_segments":${suspectSegments.mkString("[", ",", "]")}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qjson,"calibration":$calib,"sf":"$sfDir"}""")
+      s""""queries":$qjson,"calibration":$calibSlim,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

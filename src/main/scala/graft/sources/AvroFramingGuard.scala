@@ -182,8 +182,13 @@ private[sources] final class AvroFramingGuard(in: InputStream,
                     dead = true
                 }
               case Some(size) if count >= 0 && lenOk(size) &&
-                  (!compressed ||
-                    size <= AvroFramingGuard.PrecheckThresholdBytes) =>
+                  (!compressed || (codecName == "deflate" &&
+                    size <= AvroFramingGuard.PrecheckThresholdBytes)) =>
+                // the no-check fast path: uncompressed blocks decode in
+                // place, and deflate's ≤1032:1 ratio bounds a ≤1 MiB
+                // block's transient at ~1 GiB. zstd/bzip2/xz ratios are
+                // UNBOUNDED (a KB-scale zstd bomb can emit tens of GiB)
+                // so they take the counting pre-check at EVERY size
                 out.write(t.toByteArray)
                 passThrough = size + 16L // payload + block sync
               case Some(size) if count >= 0 && lenOk(size) &&
@@ -337,34 +342,86 @@ private[sources] object AvroFramingGuard {
   }
 
   /** True iff `payload` is safe to hand to the decoder: its
-    * decompressed size, counted via a streaming inflater into a small
-    * reused buffer, stays within [[MaxInflatedBlockBytes]]. Avro's
-    * deflate codec is RAW deflate (nowrap). A payload that FAILS to
-    * inflate is safe to deliver — the decoder's own failure produces at
-    * most what the count saw before the error, and the established
-    * decode-ahead quarantine handles it. Snappy is pre-checked by its
-    * OWN preamble claim ([[snappyClaim]], any block size); codecs with
-    * no cheap bound (zstd/bzip2 — the engine never writes them) are
+    * decompressed size, counted by streaming the codec's own
+    * decompressor into a small reused buffer, stays within
+    * [[MaxInflatedBlockBytes]]. Avro's deflate codec is RAW deflate
+    * (nowrap); zstandard/bzip2/xz count through their commons-
+    * compress / zstd-jni streams (Avro's own codecs decompress via
+    * growth-to-actual-output, so bounding the counted output bounds
+    * the decoder's transient). A payload that FAILS to decompress is
+    * safe to deliver — the decoder's failure produces at most what the
+    * count saw before the error, and the established decode-ahead
+    * quarantine handles it — EXCEPT an xz dictionary claim past the
+    * memory limit, which must be withheld (the decoder would allocate
+    * the claim). Snappy is pre-checked by its OWN preamble claim
+    * ([[snappyClaim]], any block size); an unknown codec name is
     * withheld above the threshold rather than trusted. */
   private[sources] def inflatesWithinCap(codec: String,
                                          payload: Array[Byte]): Boolean = {
-    if (codec != "deflate") return false
-    val inf = new java.util.zip.Inflater(true)
-    try {
-      inf.setInput(payload)
-      val buf = new Array[Byte](64 << 10)
-      var total = 0L
-      var done = false
-      while (!done && !inf.finished()) {
-        val n =
-          try inf.inflate(buf)
-          catch { case _: java.util.zip.DataFormatException => return true }
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
-          done = true // truncated/odd stream: downstream quarantines it
-        total += n
-        if (total > MaxInflatedBlockBytes) return false
+    def countStream(
+        open: java.io.InputStream => java.io.InputStream): Boolean = {
+      val in =
+        try open(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: org.apache.commons.compress.MemoryLimitException =>
+            return false // a header CLAIM past the limit: withhold
+          case scala.util.control.NonFatal(_) =>
+            return true // malformed: downstream quarantines it cheaply
+        }
+      try {
+        val buf = new Array[Byte](64 << 10)
+        var total = 0L
+        var n = 0
+        while ({
+          n = try in.read(buf)
+          catch {
+            case _: org.apache.commons.compress.MemoryLimitException =>
+              return false
+            case scala.util.control.NonFatal(_) => -1
+          }
+          n >= 0
+        }) {
+          total += n
+          if (total > MaxInflatedBlockBytes) return false
+        }
+        true
+      } finally {
+        try in.close()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
-      true
-    } finally inf.end()
+    }
+    codec match {
+      case "deflate" =>
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(payload)
+          val buf = new Array[Byte](64 << 10)
+          var total = 0L
+          var done = false
+          while (!done && !inf.finished()) {
+            val n =
+              try inf.inflate(buf)
+              catch {
+                case _: java.util.zip.DataFormatException => return true
+              }
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              done = true // truncated/odd stream: downstream quarantines
+            total += n
+            if (total > MaxInflatedBlockBytes) return false
+          }
+          true
+        } finally inf.end()
+      case "zstandard" =>
+        countStream(s =>
+          new com.github.luben.zstd.ZstdInputStreamNoFinalizer(s))
+      case "bzip2" =>
+        countStream(s => new org.apache.commons.compress.compressors
+          .bzip2.BZip2CompressorInputStream(s))
+      case "xz" =>
+        // memory limit in KiB: an xz dict claim past 1 GiB withholds
+        countStream(s => new org.apache.commons.compress.compressors
+          .xz.XZCompressorInputStream(s, false, 1 << 20))
+      case _ => false
+    }
   }
 }

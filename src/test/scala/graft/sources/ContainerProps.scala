@@ -508,6 +508,35 @@ object ContainerProps extends Properties("graft.sources.containers") {
       (AvroFramingGuard.withheldBlocks.get() > before) :| "claim withheld loudly"
   }
 
+  property("avro zstandard codec: a valid container (incl. a record " +
+    "far past the pre-check threshold) decodes in full, and a zstd " +
+    "bomb block (KB payload, >1 GiB output — zstd ratios are " +
+    "unbounded, so EVERY zstd block takes the counting pre-check) is " +
+    "withheld loudly") = {
+    val rnd = new java.util.Random(13)
+    val raw = new Array[Byte](2 << 20)
+    rnd.nextBytes(raw)
+    val big = java.util.Base64.getEncoder.encodeToString(raw) // ~2.7 MiB
+    val rows = Seq((1L, big), (2L, "tail"))
+    val full = avroOfCodec(rows,
+      Some(org.apache.avro.file.CodecFactory.zstandardCodec(3)))
+    val okRoundtrip = avroDecode(full) == rows.toVector
+    // bomb: zstd of 1.5 GiB of zeros compresses to a tiny payload
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos, 1)
+    val zeros = new Array[Byte](1 << 20)
+    var fed = 0L
+    while (fed < (3L << 29)) { z.write(zeros); fed += zeros.length }
+    z.close()
+    val bomb = bos.toByteArray
+    val before = AvroFramingGuard.withheldBlocks.get()
+    val forged = full ++ zigzagVarint(1L) ++
+      zigzagVarint(bomb.length.toLong) ++ bomb ++ new Array[Byte](16)
+    okRoundtrip :| "zstd roundtrip incl. oversized record" &&
+      (avroDecode(forged) == rows.toVector) :| "prior records decode" &&
+      (AvroFramingGuard.withheldBlocks.get() > before) :| "bomb withheld loudly"
+  }
+
   property("avro bit-flip: one corrupted byte never throws and always " +
     "terminates (a flipped in-block length CANNOT fail the task: the " +
     "decode-ahead iterator quarantines the remainder — this seed class " +
