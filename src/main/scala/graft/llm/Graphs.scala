@@ -245,8 +245,17 @@ object Graphs {
       .filter(col("a.dv") < col("b.dv") ||
         (col("a.dv") === col("b.dv") && col("a.v") < col("b.v")))
       .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+    // SHUFFLED HASH join for the closure: the streamed side is the
+    // wedge set (Θ(Σ d(u)²) rows — the dominant intermediate, ~410M at
+    // the 10× bench), the build side the oriented edge set (m rows,
+    // far smaller). Catalyst's default sort-merge SORTS the wedge
+    // stream, which is where the 10× run's 77 GB of spill and 230 s
+    // of GC went (r16 telemetry); hash-building the edge side instead
+    // streams the wedges through unsorted — same exchange, no sort,
+    // no wedge-sized spill.
     val tris = wedges
-      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+      .join(oriented.select(col("u").as("v"), col("v").as("w"))
+        .hint("shuffle_hash"),
         Seq("v", "w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val perNode = tris
