@@ -696,7 +696,10 @@ object Graphs {
       col("cur").as("node"))
     var t = 1
     while (t <= steps) {
-      cur = cur
+      // hash-build the n-row frontier (the q_graph_triangles closure
+      // lesson, r16 telemetry): sort-merge re-SORTED the m-row edge
+      // table every step — the cell's 3.7 GB of 10× spill
+      cur = cur.hint("shuffle_hash")
         .join(edges, col("cur") === col("src"))
         .withColumn("h", md5(concat(
           col("cur").cast("string"), lit("|"),
