@@ -56,7 +56,8 @@ object Graphs {
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contribs = edges
         .join(state.filter(col("deg") > 0)
-          .select(col("node").as("src"), col("rank"), col("deg")), "src")
+          .select(col("node").as("src"), col("rank"), col("deg"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
@@ -117,7 +118,8 @@ object Graphs {
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val contribs = edges
         .join(state.filter(col("deg") > 0)
-          .select(col("node").as("src"), col("rank"), col("deg")), "src")
+          .select(col("node").as("src"), col("rank"), col("deg"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
@@ -178,7 +180,8 @@ object Graphs {
     var i = 0
     while (i < iters) {
       val votes = adj
-        .join(state.select(col("node").as("dst"), col("lbl")), "dst")
+        .join(state.select(col("node").as("dst"), col("lbl"))
+          .hint("shuffle_hash"), "dst")
         .select(col("src").as("node"), col("lbl"))
         .unionByName(state.select(col("node"), col("lbl"))) // self-vote
         .groupBy(col("node"), col("lbl"))
@@ -395,7 +398,8 @@ object Graphs {
       // total would re-evaluate the expensive m-row join on both the
       // broadcast and probe sides of the normalization
       val authRaw = eSrc
-        .join(state.select(col("node").as("src"), col("hub")), "src")
+        .join(state.select(col("node").as("src"), col("hub"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub")).as("raw"))
         .localCheckpoint()
@@ -407,7 +411,8 @@ object Graphs {
           expr(s"(coalesce(raw, 0L) * $scale) div $aTot").as("auth"))
         .localCheckpoint()
       val hubRaw = eDst
-        .join(auth.select(col("node").as("dst"), col("auth")), "dst")
+        .join(auth.select(col("node").as("dst"), col("auth"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth")).as("raw"))
         .localCheckpoint()
@@ -524,7 +529,8 @@ object Graphs {
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val contribs = edges
         .join(state.filter(col("deg") > 0)
-          .select(col("node").as("src"), col("rank"), col("deg")), "src")
+          .select(col("node").as("src"), col("rank"), col("deg"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
