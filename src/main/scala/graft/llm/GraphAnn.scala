@@ -101,6 +101,11 @@ object GraphAnn {
     * pair (only ids travelled through the candidate shuffle), dot through
     * the codegen'd expression, key in exact BIGINT. */
   private def scorePairs(pairs: DataFrame, codes: DataFrame): DataFrame =
+    // NOTE (r16): a shuffle_hash hint on the codes sides was tried
+    // under the graph-sweep telemetry pattern and MEASURED WORSE at
+    // 10× (31.1 s vs 21.0 — the wide int8-code rows make a heavy hash
+    // build, and the pair set arrives pre-exchanged for the window
+    // that follows): reverted, measured-don't-guess both ways
     pairs
       .join(codes.select(col("id").as("src"), col("codes").as("ca"),
         col("n2").as("na")), "src")
