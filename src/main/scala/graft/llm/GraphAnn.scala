@@ -105,12 +105,18 @@ object GraphAnn {
     // under the graph-sweep telemetry pattern and MEASURED WORSE at
     // 10× (31.1 s vs 21.0 — the wide int8-code rows make a heavy hash
     // build, and the pair set arrives pre-exchanged for the window
-    // that follows): reverted, measured-don't-guess both ways
+    // that follows): reverted, measured-don't-guess both ways.
+    // JOIN ORDER (r16, guide §2.4): dst side first, src side LAST — a
+    // non-broadcast codes join re-partitions the pair stream by its
+    // join key, so ending on the src join leaves hash(src) exactly
+    // where the caller's top-k window needs it (broadcast regime:
+    // both joins preserve the incoming hash(src) partitioning and the
+    // order is indifferent). Inner equi-joins commute — same rows.
     pairs
-      .join(codes.select(col("id").as("src"), col("codes").as("ca"),
-        col("n2").as("na")), "src")
       .join(codes.select(col("id").as("dst"), col("codes").as("cb"),
         col("n2").as("nb")), "dst")
+      .join(codes.select(col("id").as("src"), col("codes").as("ca"),
+        col("n2").as("na")), "src")
       .withColumn("d", dotI8(col("ca"), col("cb")))
       .withColumn("d2", col("d") * col("d"))
       .withColumn("nprod", col("na") * col("nb"))
@@ -130,10 +136,17 @@ object GraphAnn {
         col("id"))
     val schema = StructType(sorted.schema.fields)
       .add("r", LongType, nullable = false)
+    // eager materialization (r16, guide §1/§5): the RDD-backed result
+    // was consumed 3-4× per build (ring modulus count + both sides of
+    // the init-ring join), and every consumer re-ran the distributed
+    // sort AND zipWithIndex's size pass — the checkpoint makes the
+    // sort run once. n (id, rank) rows — metadata-sized. Callers free
+    // the blocks via the getPersistentRDDs diff ([[nnDescentGraph]]'s
+    // pattern) once their downstream graph is checkpoint-materialized.
     spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (row, i) =>
         Row.fromSeq(row.toSeq :+ i)
-      }, schema)
+      }, schema).localCheckpoint()
   }
 
   /** NN-Descent k-NN graph construction (Dong et al. 2011), hash-
@@ -191,47 +204,100 @@ object GraphAnn {
                                       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = codes.sparkSession
+    // the ranked frame's checkpoint blocks are freed once the init
+    // graph below is itself checkpoint-materialized (nothing later
+    // reads the ring) — the nnDescentGraph explicit-release pattern
+    val beforeRanked = spark.sparkContext.getPersistentRDDs.keySet
     val ranked = md5Ranks(codes.select(col("id").as(idCol)), idCol, seed)
+    val rankedCkpt =
+      spark.sparkContext.getPersistentRDDs.keySet -- beforeRanked
     // one driver Long (the HITS "one Long" budget): the ring modulus
     val n = ranked.count()
     require(n > 0, "nnDescentGraph over an empty corpus")
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("sim_key").desc, col("dst"))
+    // (src,dst) pair dedup EXCHANGE DISCIPLINE (guide §2.4, r16): the
+    // natural `.distinct()` exchanges by hash(src,dst), and the top-k
+    // window that follows scoring then re-exchanges by hash(src) — two
+    // shuffles of the round's biggest stream. Repartitioning by src
+    // FIRST lets ONE exchange serve both: hash(src) co-locates equal
+    // (src,dst) rows, so the dedup aggregate runs exchange-free on top
+    // of it, the scoring joins preserve the partitioning, and the
+    // window's ClusteredDistribution(src) is already satisfied. Same
+    // rows, one exchange instead of two.
+    def dedupBySrc(pairs: DataFrame): DataFrame =
+      pairs.repartition(col("src")).distinct()
     val initPairs = ranked.select(col("id").as("src"), col("r"))
       .withColumn("j", explode(sequence(lit(1), lit(k))))
       .withColumn("r2", (col("r") + col("j")) % lit(n))
       .join(ranked.select(col("id").as("dst"), col("r").as("r2")), "r2")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-      .distinct()
-    var b = scorePairs(initPairs, codes)
+    val preInit = spark.sparkContext.getPersistentRDDs.keySet
+    var b = scorePairs(dedupBySrc(initPairs), codes)
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("src"), col("rk"), col("dst"), col("sim_key"))
       .localCheckpoint()
+    rankedCkpt.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    // each round's new checkpoint supersedes the previous one; freeing
+    // the old blocks EXPLICITLY (not waiting for ContextCleaner GC)
+    // keeps at most one round of graph state resident (guide §5 —
+    // persisted leftovers compete with execution memory, and the r15
+    // nndescent variance was exactly late-run memory pressure)
+    var bCkpt = spark.sparkContext.getPersistentRDDs.keySet -- preInit
     var i = 0
     while (i < rounds) {
+      // ADJACENCY-LIST round form (guide §2.4, r16 — same candidate
+      // SET as the edge-set form the oracle replays, three exchanges
+      // per round instead of six):
+      //   L(v) = fwd(v) ∪ revTop_k(v); cand = {(x,y): m∈L(x), y∈L(m)}.
+      // The edge-set form paid hash(dst) for the reverse window,
+      // hash(src,dst) for the nbrs distinct, hash(dst)+hash(src) for
+      // the nbrs⋈nbrs middle join, and hash(src,dst) for the cand
+      // distinct. Here: the reverse cap's window is the only hash(dst)
+      // exchange and its groupBy reuses it; fwd lists group on b's
+      // checkpoint-preserved hash(src) partitioning with NO exchange;
+      // the fwd⋈rev list join is co-partitioned (exchange-free); the
+      // middle join exchanges the exploded (x,m) edges by hash(m) once
+      // against the already-node-keyed L; and the pair dedup runs on
+      // one hash(src) exchange that the scoring joins and the top-k
+      // window then reuse (dedupBySrc).
       val wRev = Window.partitionBy(col("src"))
         .orderBy(col("sim_key").desc, col("dst"))
-      val revCap = b
+      val rev = b
         .select(col("dst").as("src"), col("src").as("dst"), col("sim_key"))
         .withColumn("rr", row_number().over(wRev))
         .filter(col("rr") <= k)
-        .select(col("src"), col("dst"))
-      val nbrs = b.select(col("src"), col("dst"))
-        .unionByName(revCap)
-        .distinct()
-      val cand = nbrs.as("a")
-        .join(nbrs.as("b"), col("a.dst") === col("b.src"))
-        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .groupBy(col("src")).agg(collect_list(col("dst")).as("rl"))
+      val fwd = b.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("fl"))
+      // per-node neighbour list, both directions, deduped in-row — the
+      // list union replaces the edge-set `nbrs.distinct()` exchange
+      val nlists = fwd.join(rev, Seq("src"), "left")
+        .select(col("src"),
+          when(col("rl").isNull, col("fl"))
+            .otherwise(array_union(col("fl"), col("rl"))).as("nl"))
+      val cand = nlists
+        .select(col("src"), explode(col("nl")).as("mid"))
+        .join(nlists.withColumnRenamed("src", "mid"), "mid")
+        .select(col("src"), explode(col("nl")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .unionByName(b.select(col("src"), col("dst")))
-        .distinct()
-      b = scorePairs(cand, codes)
+      val preB = spark.sparkContext.getPersistentRDDs.keySet
+      b = scorePairs(dedupBySrc(cand), codes)
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= k)
         .select(col("src"), col("rk"), col("dst"), col("sim_key"))
         .localCheckpoint()
+      val newB = spark.sparkContext.getPersistentRDDs.keySet -- preB
+      bCkpt.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false)))
+      bCkpt = newB
       i += 1
     }
     b
