@@ -501,12 +501,20 @@ object Dedup {
                             mode: String): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket"))
+    // ONE exchange, not two (r16, guide §2.4): the range repartition
+    // moves FIRST — RangePartitioning(band, bucket) co-locates equal
+    // (band, bucket) keys, which satisfies the hot-bucket window's
+    // clustering requirement, so the window that previously forced its
+    // own hash(band, bucket) exchange now runs on top of the same
+    // shuffle that lays the files out. Same rows, same per-file sort;
+    // only the range boundaries are now sampled pre-filter (layout
+    // detail, not content).
     bandedBuckets(sigs, bands, r)
+      .repartitionByRange(col("band"), col("bucket"))
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("doc_id")).over(w))
       .filter(col("bsz") <= maxBucketSize || col("doc_id") === col("rep"))
       .select(col("band"), col("bucket"), col("doc_id").as("hist_id"))
-      .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band").parquet(bandsDir)
   }
@@ -982,12 +990,17 @@ object Dedup {
       .parquet(IndexManifest.resolve(indexPath, "bands"))
       .select(col("band").cast("int").as("band"), col("bucket"),
         col("hist_id")), "hist_id")
+      // ONE exchange, not three (r16, guide §2.4 — the writeBandRows
+      // discipline): the range repartition moves first and co-locates
+      // equal (band, bucket) keys, so the dedup aggregates one-phase
+      // and the hot-bucket window runs exchange-free on the same
+      // shuffle that lays the files out
+      .repartitionByRange(col("band"), col("bucket"))
       .distinct()
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("hist_id")).over(w))
       .filter(col("bsz") <= cap || col("hist_id") === col("rep"))
       .select(col("band"), col("bucket"), col("hist_id"))
-      .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$indexPath/$bandsV")

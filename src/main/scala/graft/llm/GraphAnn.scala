@@ -366,9 +366,17 @@ object GraphAnn {
         .withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("cand_id"))
+      // one hash(query_id) exchange serves the dedup AND the anti-join
+      // (the nnDescentFromCodes dedupBySrc discipline, guide §2.4):
+      // hash(query_id) co-locates equal (query_id, cand_id) rows, so
+      // the distinct aggregates one-phase on top of the repartition and
+      // the anti-join's clustering requirement is already satisfied —
+      // the natural `.distinct()` exchanged by hash(query_id, cand_id)
+      // and the anti-join then re-exchanged BOTH sides
       val expand = frontier
         .join(edges.withColumnRenamed("src", "cand_id"), "cand_id")
         .select(col("query_id"), col("dst").as("cand_id"))
+        .repartition(col("query_id"))
         .distinct()
         .join(visited.select(col("query_id"), col("cand_id")),
           Seq("query_id", "cand_id"), "left_anti")
