@@ -416,7 +416,12 @@ object GraphAnn {
     // rebuild-pressure (unknown anchor ⇒ rebuild), never a throw.
     writeGraphMeta(spark, path, seed, k, rounds, -1L, -1L,
       versioned = false)
+    // shape counts ride the tier writes as Observations (r16, guide
+    // §1.4 discipline: zero extra passes) — the old read-back counts
+    // were two additional jobs over files just written
+    val obsCodes = org.apache.spark.sql.Observation("knn_graph_codes_n")
     quantized(corpus, vecCol, idCol)
+      .observe(obsCodes, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/codes")
     // descend over the codes TIER just written: quantization still runs
     // exactly once (the write above), and the file-backed input is
@@ -424,7 +429,9 @@ object GraphAnn {
     // nnDescentFromCodes input-stability contract
     val codes = spark.read.parquet(s"$path/codes")
     val graph = nnDescentFromCodes(codes, k, rounds, seed, idCol)
-    graph.write.mode("overwrite").parquet(s"$path/graph")
+    val obsGraph = org.apache.spark.sql.Observation("knn_graph_edges_n")
+    graph.observe(obsGraph, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/graph")
     codes
       .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
         col("id"))
@@ -433,11 +440,9 @@ object GraphAnn {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
     // final meta with the build-time shape counts, published through
     // the versioned pointer (atomic replace of the preliminary row)
-    val (nNodes, nEdges) = (
-      spark.read.parquet(s"$path/codes").count(),
-      spark.read.parquet(s"$path/graph").count())
-    writeGraphMeta(spark, path, seed, k, rounds, nNodes, nEdges,
-      versioned = true)
+    writeGraphMeta(spark, path, seed, k, rounds,
+      obsCodes.get("n").asInstanceOf[Long],
+      obsGraph.get("n").asInstanceOf[Long], versioned = true)
   }
 
   /** One meta row (seed, k, rounds, build_nodes, build_edges).
@@ -522,8 +527,12 @@ object GraphAnn {
     val graph = spark.read.parquet(IndexManifest.resolve(indexPath, "graph"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val entry = spark.read.parquet(IndexManifest.resolve(indexPath, "entry"))
-    // the index's k: one driver Int off the stored graph's rank column
-    val k = graph.agg(max(col("rk"))).collect().head.getInt(0)
+    // the index's k: from the meta tier (one KB-scale read); only a
+    // pre-meta index pays the full-graph max-rank aggregate fallback
+    val k = knnGraphMeta(spark, indexPath) match {
+      case Some(m) => m.getAs[Int]("k")
+      case None => graph.agg(max(col("rk"))).collect().head.getInt(0)
+    }
     val dCodes = quantized(delta, vecCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nbrs = beamSearchCore(codes, graph, entry, dCodes, k, beam, steps)
@@ -779,7 +788,10 @@ object GraphAnn {
       } else {
       val graph = nnDescentFromCodes(survivors, k, rounds, seed)
       val graphV = IndexManifest.nextVersionDir(indexPath, "graph")
-      graph.write.mode("overwrite").parquet(s"$indexPath/$graphV")
+      val obsGraph = org.apache.spark.sql.Observation(
+        s"knn_rebuild_edges_$graphV")
+      graph.observe(obsGraph, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$indexPath/$graphV")
       val entryV = IndexManifest.nextVersionDir(indexPath, "entry")
       survivors
         .orderBy(md5(concat(col("id").cast("string"), lit(s"|$seed"))),
@@ -788,7 +800,7 @@ object GraphAnn {
         .select(col("id").as("cand_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$entryV")
       val (nNodes, nEdges) = (survivors.count(),
-        spark.read.parquet(s"$indexPath/$graphV").count())
+        obsGraph.get("n").asInstanceOf[Long])
       val metaV = IndexManifest.nextVersionDir(indexPath, "meta")
       Seq((seed, k, rounds, nNodes, nEdges))
         .toDF("seed", "k", "rounds", "build_nodes", "build_edges")
