@@ -170,7 +170,15 @@ object Bench {
     // TWICE — write + fresh no-op gauge + drifted append + tripped
     // gauge + BOTH quantizer tiers retrained + re-encode + 5-tier
     // atomic swap + post gauge + rank-1 twin probe
-    "q_sim_ivfpq_rebuild")    // IVF-PQ drift trip -> 5-tier rebuild
+    "q_sim_ivfpq_rebuild",    // IVF-PQ drift trip -> 5-tier rebuild
+    // round-17 addition (first frozen budget in BASELINE.md): the
+    // MinHash compaction gauge/actuator entered the oracle set in r16
+    // (its 376th query) without a bench cell — r16 VERDICT #4 mandates
+    // the freeze so the newest maintenance actuator is
+    // performance-visible. A rep pays index write + two appends + a
+    // tombstone batch + pre gauge/probe + compaction rewrite + post
+    // gauge/probe.
+    "q_dedup_index_compact")  // backlog trip -> per-band compaction
 
   /** Frozen per-query budget measures (seconds) — BASELINE.md's freeze
     * tables made machine-readable (r15 VERDICT #3/#4: the in-run
@@ -213,7 +221,8 @@ object Bench {
     "q_sim_graph_index_delete" -> 11.66,
     "q_dedup_takedown_live" -> 6.94, "q_sim_graph_health" -> 11.40,
     "q_sim_ivf_drift" -> 4.59, "q_sim_ivf_rebuild" -> 9.08,
-    "q_sim_graph_rebuild" -> 8.87, "q_sim_ivfpq_rebuild" -> 13.54)
+    "q_sim_graph_rebuild" -> 8.87, "q_sim_ivfpq_rebuild" -> 13.54,
+    "q_dedup_index_compact" -> 7.65)
 
   /** A query's budget bar: max(2 × frozen measure, 2.0 s) — the
     * round-13 sub-second-floor policy, in code. */
@@ -244,6 +253,41 @@ object Bench {
     * sustained external load pushes it up in proportion to how much the
     * same load inflates the per-query numbers. */
   val CalibrationFrozenSec = 0.54
+
+  /** Fixed-work I/O calibration probe (r16 VERDICT #3): [[calibrate]]
+    * is pure compute and provably blind to I/O/scheduler-shaped load —
+    * BENCH_r16 read load_factor 1.024 while I/O-bound cells inflated
+    * 25-60% and the same-morning 8-core run beat the 32-core one
+    * outright. This probe writes a fixed ~30 MB INCOMPRESSIBLE parquet
+    * dataset (xxhash64 column — compression cannot shrink the disk
+    * bytes) to the scratch dir, reads it back through a full scan, and
+    * deletes it; its runtime varies with disk/page-cache/commit
+    * pressure, the component the compute probe cannot see. Reported
+    * next to load_factor in BOTH JSON lines so the driver can flag
+    * I/O-shaped noise the way load_factor flags CPU load. */
+  val IoProbeRows = 2_000_000L
+
+  /** Quiet-machine I/O probe time (sec), frozen like
+    * [[CalibrationFrozenSec]] — best-of-3 on an idle host, 32 threads
+    * (BASELINE.md "Calibration", round-17 row). */
+  val IoProbeFrozenSec = 0.21
+
+  /** One I/O probe measurement: best-of-2 of the fixed write + scan. */
+  def calibrateIo(spark: SparkSession, cpus: Int): Double = {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"${graft.core.Fs.scratchRoot}/bench_io_probe"
+    val reps = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, IoProbeRows, 1L, cpus)
+        .select(expr("id"), expr("xxhash64(id)").as("h"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).agg(expr("bit_xor(h)"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    graft.core.Fs.deleteTree(dir)
+    reps.min
+  }
 
   /** One probe measurement: best-of-3 of the fixed work, on the same
     * thread pool the queries use. */
@@ -323,6 +367,10 @@ object Bench {
     val segments = headline.grouped(SegmentLen).toSeq
     val probes = scala.collection.mutable.ArrayBuffer(
       calibrate(spark, cpus.toInt))
+    // the I/O probe rides the same bracket points as the CPU probe (no
+    // retry logic — sustained disk pressure is exactly what it reports)
+    val ioProbes = scala.collection.mutable.ArrayBuffer(
+      calibrateIo(spark, cpus.toInt))
     // Probe-pair sanity (round-14, the BENCH_r13 end-probe lesson: one
     // 3.963 s probe vs 0.54 frozen — factor 4.16 against 1.02-1.24
     // peers — would have DEFLATED a real 4x regression in its segment's
@@ -347,6 +395,7 @@ object Bench {
       probes += p
       probeRetries += retries
       probeSuspect += pairDisagrees(p, prev)
+      ioProbes += calibrateIo(spark, cpus.toInt)
     }
 
     val metricsAgg = new TaskMetricsAgg
@@ -414,6 +463,7 @@ object Bench {
     val suspectSegments = segments.indices
       .filter(i => probeSuspect(i) || probeSuspect(i + 1))
     val loadFactor = probes.sum / probes.length / CalibrationFrozenSec
+    val ioLoadFactor = ioProbes.sum / ioProbes.length / IoProbeFrozenSec
     def r3(v: Double) = math.rint(v * 1000) / 1000
 
     val qjson = results.map(c => "\"" + c.name + "\":" + c.sec)
@@ -441,7 +491,10 @@ object Bench {
       s""""probe_sec":${probes.map(r3).mkString("[", ",", "]")},""" +
       s""""segment_factors":${segFactors.map(r3).mkString("[", ",", "]")},""" +
       s""""probe_retries":${probeRetries.mkString("[", ",", "]")},""" +
-      s""""suspect_segments":${suspectSegments.mkString("[", ",", "]")}}"""
+      s""""suspect_segments":${suspectSegments.mkString("[", ",", "]")},""" +
+      s""""io_probe_sec":${ioProbes.map(r3).mkString("[", ",", "]")},""" +
+      s""""io_frozen_sec":$IoProbeFrozenSec,""" +
+      s""""io_load_factor":${r3(ioLoadFactor)}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qjson,"queries_normalized":$njson,""" +
       s""""reruns":$rerunJson,"task_metrics":$tmJson,""" +
@@ -468,6 +521,7 @@ object Bench {
     val calibSlim =
       s"""{"frozen_sec":$CalibrationFrozenSec,""" +
       s""""load_factor":${r3(loadFactor)},""" +
+      s""""io_load_factor":${r3(ioLoadFactor)},""" +
       s""""probe_retries":${probeRetries.mkString("[", ",", "]")},""" +
       s""""suspect_segments":${suspectSegments.mkString("[", ",", "]")}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +

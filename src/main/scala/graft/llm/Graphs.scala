@@ -17,6 +17,64 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Data-derived shuffle width for a sweep's exchanges (guide §2.2/§2.4:
+    * size shuffles to the data, not the core count). Every iterative
+    * sweep here moves node-sized state — n rows of (node, long) — per
+    * round, so a cores-derived `spark.sql.shuffle.partitions` spends
+    * more wall-clock on task scheduling than on work once the state is
+    * small relative to the cores (r16 scaling block: trustrank 6.95 s
+    * at 32 cores vs 2.73 s at 8 — pure partition-count overhead; AQE
+    * cannot coalesce these exchanges because every round's plan has a
+    * `localCheckpoint` LogicalRDD leaf, which disables
+    * CoalesceShufflePartitions). The width is estimated from the
+    * optimizer's sizeInBytes of the edge input — file-backed scans
+    * size accurately; a join-shaped input inflates the estimate, which
+    * degrades to the session width (conservative, never
+    * under-parallel) — and clamped to [1, spark.sql.shuffle.partitions],
+    * so at production scale the data-derived count meets the cap and
+    * the plan is today's. `graft.sweep.targetPartitionBytes` (default
+    * 16 MB — integer-arithmetic sweeps are bytes-bound, not
+    * compute-bound; production clusters with network shuffles should
+    * raise it toward the guide's 100 MB+) parameterises the goal. */
+  private[llm] def sweepPartitions(edgesDf: DataFrame): Int = {
+    val spark = edgesDf.sparkSession
+    val target = spark.conf.getOption("graft.sweep.targetPartitionBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    require(target > 0, s"targetPartitionBytes must be positive, got $target")
+    val bytes = edgesDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = BigInt(spark.sessionState.conf.numShufflePartitions)
+    ((bytes + target - 1) / target).min(cap).max(BigInt(1)).toInt
+  }
+
+  /** [[sweepPartitions]] from a MEASURED row count (the kcore path: its
+    * edge input is a self-join whose optimizer estimate inflates
+    * multiplicatively, but the deduped adjacency is checkpoint-
+    * materialized before the rounds, so its true cardinality is one
+    * cheap cached count away). 32 bytes ≈ one (long, long) unsafe row
+    * with overhead. */
+  private[llm] def sweepPartitionsForRows(spark: org.apache.spark.sql.SparkSession,
+                                          rows: Long): Int = {
+    val target = spark.conf.getOption("graft.sweep.targetPartitionBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    require(target > 0, s"targetPartitionBytes must be positive, got $target")
+    val cap = BigInt(spark.sessionState.conf.numShufflePartitions)
+    ((BigInt(rows) * 32 + target - 1) / target).min(cap).max(BigInt(1)).toInt
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to the sweep
+    * width, restoring the caller's value after. Only the EAGER work
+    * inside the body (the per-round checkpoints and counts) plans under
+    * the sweep width; a lazily returned frame is planned later under
+    * the caller's own conf, which is exactly right — the sweep state is
+    * the thing that is node-sized, not the caller's downstream plan. */
+  private def withSweepWidth[T](spark: org.apache.spark.sql.SparkSession,
+                                p: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, p.toString)
+    try body finally spark.conf.set(key, saved)
+  }
+
   /** Damped PageRank over a directed edge list `(src, dst)`; returns
     * (node, rank) with Σrank = 1 (dangling mass redistributed uniformly).
     * Duplicate edges are collapsed first (multi-edges would double-count
@@ -26,6 +84,7 @@ object Graphs {
   def pagerank(edgesDf: DataFrame, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    withSweepWidth(edgesDf.sparkSession, sweepPartitions(edgesDf)) {
     // pre-partitioned by src: the once-per-sweep (edges ⋈ state) join
     // reuses this persisted partitioning, so the BIG side of the sweep
     // join never re-exchanges — only the n-row rank table moves
@@ -73,6 +132,7 @@ object Graphs {
     edges.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     state.select(col("node"), col("rank"))
+    }
   }
 
   /** Fixed-point integer PageRank — identical sweep structure to
@@ -94,6 +154,7 @@ object Graphs {
                     dampingNum: Long = 85L, dampingDen: Long = 100L,
                     scale: Long = 1000000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    withSweepWidth(edgesDf.sparkSession, sweepPartitions(edgesDf)) {
     // same sweep shape as [[pagerank]]: src-partitioned persisted edges,
     // deg folded into the iterated (node, deg, rank) state
     val edges = edgesDf.select(col("src"), col("dst")).distinct()
@@ -136,6 +197,7 @@ object Graphs {
     edges.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     state.select(col("node"), col("rank"))
+    }
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -166,6 +228,13 @@ object Graphs {
     * round. */
   def labelPropagation(edgesDf: DataFrame, iters: Int = 4): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    // NO sweep-width narrowing here (r17, measured): unlike the
+    // pagerank-family sweeps, each LPA round hash-aggregates ~2m vote
+    // rows whose group count is edge-scale, not node-scale (partial
+    // aggregation cannot compress (node, lbl) votes), so the round is
+    // m-row COMPUTE, not state-exchange overhead — narrowing to the
+    // byte-derived width serialized that work and measured 4.3→7.6 s
+    // at sf0.1/local[32]
     // symmetrize + dedup; pre-partition by dst so the per-round
     // (adj ⋈ labels-on-dst) join never re-exchanges the big side
     val adj = edgesDf.select(col("src"), col("dst"))
@@ -303,6 +372,13 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // the input is a self-join whose optimizer size estimate inflates
+    // multiplicatively, so the sweep width comes from the checkpointed
+    // adjacency's TRUE cardinality (one cached count — the peel rounds
+    // then run p-wide instead of cores-wide)
+    val spark = edgesDf.sparkSession
+    val p = sweepPartitionsForRows(spark, adj.count())
+    withSweepWidth(spark, p) {
     var i = 0
     while (i < rounds) {
       val keep = adj.groupBy(col("src").as("node"))
@@ -317,6 +393,7 @@ object Graphs {
       i += 1
     }
     adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    }
   }
 
   /** Local clustering coefficient — the per-node ratio actually consumed
@@ -373,6 +450,7 @@ object Graphs {
   def hitsExact(edgesDf: DataFrame, iters: Int = 4,
                 scale: Long = 1000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    withSweepWidth(edgesDf.sparkSession, sweepPartitions(edgesDf)) {
     val eSrc = edgesDf.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -429,6 +507,7 @@ object Graphs {
     }
     Seq(eSrc, eDst, nodes).foreach(_.unpersist(blocking = false))
     state
+    }
   }
 
   /** Hop distance from a seed set — synchronous frontier BFS over the
@@ -453,6 +532,9 @@ object Graphs {
   def khopDistance(edgesDf: DataFrame, seeds: DataFrame,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // no sweep-width narrowing: each hop's frontier⋈edges join emits
+    // edge-scale rows into a DISTINCT whose group count is edge-scale —
+    // the labelPropagation compute shape, not the pagerank state shape
     val edges = edgesDf.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -500,6 +582,7 @@ object Graphs {
                      dampingNum: Long = 85L, dampingDen: Long = 100L,
                      scale: Long = 1000000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    withSweepWidth(edgesDf.sparkSession, sweepPartitions(edgesDf)) {
     val edges = edgesDf.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -549,6 +632,7 @@ object Graphs {
     withDeg.unpersist(blocking = false)
     seedSet.unpersist(blocking = false)
     state.select(col("node"), col("rank"))
+    }
   }
 
   /** Exact-integer WEIGHTED PageRank — the variant the crawled host
@@ -570,6 +654,7 @@ object Graphs {
                             dampingNum: Long = 85L, dampingDen: Long = 100L,
                             scale: Long = 1000000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    withSweepWidth(edgesDf.sparkSession, sweepPartitions(edgesDf)) {
     val edges = edgesDf
       .select(col("src"), col("dst"), col("weight").cast("long").as("w"))
       // reject nulls BEFORE the merge: sum() skips nulls, so a partly
@@ -617,6 +702,7 @@ object Graphs {
     edges.unpersist(blocking = false)
     withW.unpersist(blocking = false)
     state.select(col("node"), col("rank"))
+    }
   }
 
   /** Link prediction over an undirected graph: for every DISTANCE-2
@@ -690,6 +776,10 @@ object Graphs {
   def seededWalks(edgesDf: DataFrame, steps: Int,
                   seed: Long = 42L): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
+    // no sweep-width narrowing: the per-step frontier⋈edges join emits
+    // one row per out-edge of the frontier and computes an md5 PER ROW
+    // before the argmin — edge-scale compute that needs the cores
+    // (narrowing measured 3.9→26.3 s at sf0.1/local[32])
     val edges = edgesDf.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -567,7 +567,7 @@ object Similarity {
       spark.read.parquet(IndexManifest.resolve(indexPath, "postings"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("c_vec"), col("c_norm")), "cand_id")
-      .repartitionByRange(col("cell"))
+      .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$postingsV")
@@ -580,7 +580,10 @@ object Similarity {
     * [[Dedup.deleteFromMinhashIndex]] (a takedown must remove the
     * POSTINGS, or probes keep surfacing deleted content as neighbors):
     * one broadcast anti-join over a full postings rewrite preserving
-    * the cell layout (partition dirs, range-distributed + id-sorted),
+    * the cell layout (partition dirs, cell-clustered + id-sorted; hash
+    * repartition, not range — range SAMPLING re-executes the whole
+    * scan+anti-join child once more, and cell pruning is directory-
+    * level so range order buys nothing, guide §2.4/r17),
     * published through the same atomic manifest-pointer swap — an
     * in-flight probe keeps reading the prior COMPLETE version. The
     * quantizer tiers (centroids/codebooks) are FROZEN model state with
@@ -597,7 +600,7 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("c_vec"), col("c_norm"))
       .join(del, col("cand_id").cast("string") === col("del_id"), "left_anti")
-      .repartitionByRange(col("cell"))
+      .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$postingsV")
@@ -1009,7 +1012,7 @@ object Similarity {
       spark.read.parquet(IndexManifest.resolve(indexPath, "codes"))
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("code"), col("c_norm")), "cand_id")
-      .repartitionByRange(col("cell"))
+      .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$codesV")
@@ -1020,7 +1023,7 @@ object Similarity {
         spark.read.parquet(IndexManifest.resolve(indexPath, "vectors"))
         .select(col("cell").cast("int").as("cell"), col("cand_id"),
           col("c_vec"), col("c_norm")), "cand_id")
-        .repartitionByRange(col("cell"))
+        .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("cand_id"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexPath/$vecsV")
@@ -1048,7 +1051,7 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("cand_id"),
         col("code"), col("c_norm"))
       .join(del, col("cand_id").cast("string") === col("del_id"), "left_anti")
-      .repartitionByRange(col("cell"))
+      .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("cand_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/$codesV")
@@ -1059,7 +1062,7 @@ object Similarity {
         .select(col("cell").cast("int").as("cell"), col("cand_id"),
           col("c_vec"), col("c_norm"))
         .join(del, col("cand_id").cast("string") === col("del_id"), "left_anti")
-        .repartitionByRange(col("cell"))
+        .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("cand_id"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexPath/$vecsV")

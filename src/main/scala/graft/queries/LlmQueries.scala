@@ -1080,10 +1080,18 @@ object LlmQueries {
       "q_sim_ivfpq_rebuild",
       (s, dir) => {
         import s.implicits._
-        // 500-vector base — the q_sim_ivf_rebuild fixture scale (both
-        // rebuild cells exercise the full lifecycle; the cost axis a
-        // maintenance pass must stay comparable on is the lifecycle,
-        // not fixture bulk — sized BEFORE the first TimeOne freeze)
+        // 500-vector base — a FIXED-SIZE cap, the q_sim_graph_rebuild
+        // precedent (GraphAnnQueries: vec_id < 120), NOT the
+        // q_sim_ivf_rebuild scale (that cell loads the full table; the
+        // r16 comment here claimed otherwise and was wrong — r16
+        // VERDICT #1). Rationale: the cell times the LIFECYCLE (write +
+        // gauge + drifted append + two-tier retrain + 5-tier swap +
+        // probes), so fixture bulk is capped to keep the per-action
+        // overhead measurable; the cap predates the cell's first frozen
+        // budget (13.54 s was frozen on THIS fixture), so no bench
+        // comparison spans the resize. Known trade-off: a fixed cap
+        // makes the cell SF-invariant — scaling evidence for the
+        // rebuild path comes from ScaleCheck, not this cell.
         val base = load(s, dir, "embeddings")
           .select("vec_id", "embedding").filter(col("vec_id") < 500)
         val idx = s"${graft.core.Fs.scratchRoot}/ivfpq_idx_rebuild"

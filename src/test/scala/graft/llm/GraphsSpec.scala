@@ -296,6 +296,33 @@ class GraphsSpec extends SparkSpec {
     assert(got((10L, 50L)) === 1L) // walk 2's window-2 pair
   }
 
+  test("sweepPartitions: data-derived width clamps to [1, session " +
+      "shuffle width], the knob is honored, and the sweep result is " +
+      "width-invariant with the session conf restored") {
+    import SparkSpec.spark.implicits._
+    val spark = SparkSpec.spark
+    val cap = spark.sessionState.conf.numShufflePartitions
+    // a KB-scale local relation sizes to the floor
+    val tiny = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graphs.sweepPartitions(tiny) === 1)
+    // the rows-based estimate: GB-scale clamps to the session width,
+    // zero rows to the floor
+    assert(Graphs.sweepPartitionsForRows(spark, 1L << 30) === cap)
+    assert(Graphs.sweepPartitionsForRows(spark, 0L) === 1)
+    // width-invariance: the sweeps are exact integer arithmetic, so
+    // forcing the width to the cap (1-byte target) must change nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    def run() = Graphs.pagerankExact(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrow = run()
+    spark.conf.set("graft.sweep.targetPartitionBytes", "1")
+    try assert(run() === narrow)
+    finally spark.conf.unset("graft.sweep.targetPartitionBytes")
+    // the sweep restores the caller's shuffle width
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === cap.toString)
+  }
+
   test("reciprocity: mutual pairs count, one-way links do not, pure " +
       "sinks are absent, self-loops and duplicates ignored") {
     import SparkSpec.spark.implicits._
