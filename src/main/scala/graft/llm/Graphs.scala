@@ -32,14 +32,23 @@ object Graphs {
     * degrades to the session width (conservative, never
     * under-parallel) — and clamped to [1, spark.sql.shuffle.partitions],
     * so at production scale the data-derived count meets the cap and
-    * the plan is today's. `graft.sweep.targetPartitionBytes` (default
-    * 16 MB — integer-arithmetic sweeps are bytes-bound, not
-    * compute-bound; production clusters with network shuffles should
-    * raise it toward the guide's 100 MB+) parameterises the goal. */
-  private[llm] def sweepPartitions(edgesDf: DataFrame): Int = {
+    * the plan is today's. `graft.sweep.targetPartitionBytes`
+    * parameterises the goal; the default is MEASURED, not the guide's
+    * cluster-shuffle 100 MB+: each sweep round also COMPUTES O(m) rows
+    * on the chosen width, so the target is the point where a second
+    * task pays for itself on integer per-row work — 1 MB ≈ 60-100 k
+    * edge rows (16 MB kept the sf0.1 win but measured +10-22% on the
+    * pagerank family at the 10× bench, where it sized the 6 M-row
+    * sweeps to 1-2 tasks; 1 MB restores ~full width there while sf0.1
+    * still plans 1-2). kcore uses 16 MB (see
+    * [[sweepPartitionsForRows]]): its round cost shrinks geometrically
+    * after the first peel, and the wider target measured −32% at
+    * sf0.1. */
+  private[llm] def sweepPartitions(edgesDf: DataFrame,
+                                   defaultTarget: Long = 1L << 20): Int = {
     val spark = edgesDf.sparkSession
     val target = spark.conf.getOption("graft.sweep.targetPartitionBytes")
-      .map(_.toLong).getOrElse(16L << 20)
+      .map(_.toLong).getOrElse(defaultTarget)
     require(target > 0, s"targetPartitionBytes must be positive, got $target")
     val bytes = edgesDf.queryExecution.optimizedPlan.stats.sizeInBytes
     val cap = BigInt(spark.sessionState.conf.numShufflePartitions)
@@ -53,9 +62,10 @@ object Graphs {
     * cheap cached count away). 32 bytes ≈ one (long, long) unsafe row
     * with overhead. */
   private[llm] def sweepPartitionsForRows(spark: org.apache.spark.sql.SparkSession,
-                                          rows: Long): Int = {
+                                          rows: Long,
+                                          defaultTarget: Long = 16L << 20): Int = {
     val target = spark.conf.getOption("graft.sweep.targetPartitionBytes")
-      .map(_.toLong).getOrElse(16L << 20)
+      .map(_.toLong).getOrElse(defaultTarget)
     require(target > 0, s"targetPartitionBytes must be positive, got $target")
     val cap = BigInt(spark.sessionState.conf.numShufflePartitions)
     ((BigInt(rows) * 32 + target - 1) / target).min(cap).max(BigInt(1)).toInt
